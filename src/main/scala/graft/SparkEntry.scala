@@ -1,13 +1,334 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DiffSql, DiffSummary, TableDiff, DiffOptions}
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every `queries` entry ends in a deterministic total ORDER BY (cheap
+  * at verify scale; eliminated under `count()` by Catalyst's
+  * EliminateSorts when benching) and every float aggregate is computed
+  * in DECIMAL then cast to DOUBLE, so the DuckDB oracle hashes
+  * identically regardless of partial-aggregation order.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  // ---- shared column lists (testdata schemas, FIXTURES.md §B) ----
+  private val lineitemCols = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate")
+  private val ordersCols = Seq(
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority")
+
+  private val lineitemDiffSql: String = DiffSql.generate(
+    beforeBody = "SELECT * FROM lineitem",
+    afterBody = Tables.lineitemAfterSql,
+    keys = Seq("l_orderkey", "l_linenumber"),
+    beforeCols = lineitemCols,
+    afterCols = lineitemCols :+ "extra_col",
+    paddedTypes = Map("extra_col" -> "DOUBLE"))
+
+  private val ordersDiffSql: String = DiffSql.generate(
+    beforeBody = "SELECT * FROM orders",
+    afterBody = Tables.ordersAfterSql,
+    keys = Seq("o_orderkey"),
+    beforeCols = ordersCols,
+    afterCols = ordersCols)
+
+  private def decodeSql(c: String): String =
+    s"""CASE WHEN $c IS NULL THEN 'PRESENT_BOTH'
+       | WHEN $c = 0 THEN 'MATCH'
+       | WHEN $c = 1 THEN 'DIFFERENT'
+       | WHEN $c = 2 THEN 'NULL_IN_BEFORE_ONLY'
+       | WHEN $c = 3 THEN 'NULL_IN_AFTER_ONLY'
+       | WHEN $c = 4 THEN 'MISSING_IN_BEFORE'
+       | WHEN $c = 5 THEN 'MISSING_IN_AFTER'
+       | ELSE 'UNKNOWN' END""".stripMargin.replaceAll("\n", "")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the full diff pipeline, drilled down to the rows that differ.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val d = TableDiff.diff(
+      Tables.lineitem(spark, dir),
+      Tables.lineitemAfter(spark, dir),
+      Seq("l_orderkey", "l_linenumber"))
+    DiffSummary.differingRows(d)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- core diff pipeline (SURVEY §2.1 O1–O10) ----
+    "q_diff_lineitem" -> ((s, dir) => {
+      TableDiff
+        .diff(
+          Tables.lineitem(s, dir),
+          Tables.lineitemAfter(s, dir),
+          Seq("l_orderkey", "l_linenumber"))
+        .orderBy("K_l_orderkey", "K_l_linenumber")
+    }),
+    "q_diff_orders_literal" -> ((s, dir) => {
+      // reference's literal 3-node plan (union-distinct keys + 2 left joins)
+      TableDiff
+        .diff(
+          Tables.orders(s, dir),
+          Tables.ordersAfter(s, dir),
+          Seq("o_orderkey"),
+          opts = DiffOptions(literalPlan = true))
+        .orderBy("K_o_orderkey")
+    }),
+    "q_diff_summary" -> ((s, dir) => {
+      DiffSummary.summary(
+        TableDiff.diff(
+          Tables.lineitem(s, dir),
+          Tables.lineitemAfter(s, dir),
+          Seq("l_orderkey", "l_linenumber")))
+    }),
+    "q_status_decode" -> ((s, dir) => {
+      val d = TableDiff.diff(
+        Tables.orders(s, dir),
+        Tables.ordersAfter(s, dir),
+        Seq("o_orderkey"))
+      d.select(
+        col("K_o_orderkey"),
+        DiffSummary.decodeStatus(col(TableDiff.RowStatus)).as("row_label"),
+        DiffSummary.decodeStatus(col("o_totalprice")).as("price_label"),
+        DiffSummary.decodeStatus(col("o_orderpriority")).as("priority_label"))
+        .orderBy("K_o_orderkey")
+    }),
+    "q_sidebyside_unionall" -> ((s, dir) => {
+      DiffSummary
+        .sideBySide(
+          Tables.lineitem(s, dir),
+          Tables.lineitemAfter(s, dir))
+        .orderBy("source", "l_orderkey", "l_linenumber")
+    }),
+
+    // ---- relational building blocks (SURVEY §2.1/2.2) ----
+    "q_scan_filter" -> ((s, dir) => {
+      Tables
+        .lineitem(s, dir)
+        .filter(
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+            col("l_discount") > 0.05)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q_union_distinct" -> ((s, dir) => {
+      Tables
+        .customer(s, dir)
+        .select(col("c_custkey").as("custkey"))
+        .union(Tables.orders(s, dir).select(col("o_custkey").as("custkey")))
+        .distinct()
+        .orderBy("custkey")
+    }),
+    "q_nullsafe_join" -> ((s, dir) => {
+      val t1 = Tables
+        .orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          when(col("o_orderkey") % 11 === 0, lit(null).cast("long"))
+            .otherwise(col("o_custkey"))
+            .as("nck"))
+      val t2 = t1.select(col("o_orderkey").as("k2"), col("nck").as("nck2"))
+      t1.join(t2, col("o_orderkey") <=> col("k2") && col("nck") <=> col("nck2"))
+        .select("o_orderkey", "nck")
+        .orderBy("o_orderkey")
+    }),
+    "q_orderby_topn" -> ((s, dir) => {
+      Tables
+        .orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(100)
+    }),
+    "q_agg_pricing" -> ((s, dir) => {
+      Tables
+        .lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q_join_agg_nation" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      val n = Tables.nation(s, dir)
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("n_name")
+    }),
+
+    // ---- event streams, batch shape (extensions; streaming twins in graft.streaming) ----
+    "q_events_window" -> ((s, dir) => {
+      Tables
+        .events(s, dir)
+        .groupBy(
+          date_trunc("hour", col("ts")).as("hour"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,4)"))
+            .cast("double").as("sum_value"))
+        .orderBy("hour", "event_type")
+    }),
+    "q_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables
+        .events(s, dir)
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn(
+          "new_session",
+          when(
+            col("prev_ts").isNull ||
+              unix_micros(col("ts").cast("timestamp")) -
+              unix_micros(col("prev_ts").cast("timestamp")) > 1800000000L,
+            1).otherwise(0))
+        .withColumn(
+          "session_id",
+          sum("new_session").over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min("ts").as("session_start"),
+          max("ts").as("session_end"))
+        .orderBy("user_id", "session_id")
+    }),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_diff_lineitem" ->
+      s"$lineitemDiffSql\nORDER BY K_l_orderkey, K_l_linenumber",
+    "q_diff_orders_literal" ->
+      s"$ordersDiffSql\nORDER BY K_o_orderkey",
+    "q_diff_summary" -> {
+      val anyCol = (lineitemCols :+ "extra_col").map(c => s"$c > 0").mkString(" OR ")
+      s"""WITH diff AS (
+         |$lineitemDiffSql
+         |)
+         |SELECT COUNT(*) AS total_rows,
+         |  CAST(SUM(CASE WHEN _row_status IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS rows_in_both,
+         |  CAST(SUM(CASE WHEN _row_status = 4 THEN 1 ELSE 0 END) AS BIGINT) AS missing_in_before,
+         |  CAST(SUM(CASE WHEN _row_status = 5 THEN 1 ELSE 0 END) AS BIGINT) AS missing_in_after,
+         |  CAST(SUM(CASE WHEN _row_status IS NULL AND ($anyCol) THEN 1 ELSE 0 END) AS BIGINT) AS rows_with_cell_diffs
+         |FROM diff""".stripMargin
+    },
+    "q_status_decode" ->
+      s"""WITH diff AS (
+         |$ordersDiffSql
+         |)
+         |SELECT K_o_orderkey,
+         |  ${decodeSql("_row_status")} AS row_label,
+         |  ${decodeSql("o_totalprice")} AS price_label,
+         |  ${decodeSql("o_orderpriority")} AS priority_label
+         |FROM diff ORDER BY K_o_orderkey""".stripMargin,
+    "q_sidebyside_unionall" -> {
+      val cols = lineitemCols.mkString(", ")
+      s"""SELECT $cols, 'BEFORE' AS source, CAST(NULL AS DOUBLE) AS extra_col FROM lineitem
+         |UNION ALL
+         |SELECT $cols, 'AFTER' AS source, extra_col FROM (
+         |${Tables.lineitemAfterSql}
+         |)
+         |ORDER BY source, l_orderkey, l_linenumber""".stripMargin
+    },
+    "q_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_union_distinct" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |UNION
+        |SELECT o_custkey FROM orders
+        |ORDER BY custkey""".stripMargin,
+    "q_nullsafe_join" ->
+      """WITH t AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_custkey END AS nck
+        |  FROM orders
+        |)
+        |SELECT t1.o_orderkey, t1.nck
+        |FROM t t1 JOIN t t2
+        |  ON t1.o_orderkey IS NOT DISTINCT FROM t2.o_orderkey
+        | AND t1.nck IS NOT DISTINCT FROM t2.nck
+        |ORDER BY t1.o_orderkey""".stripMargin,
+    "q_orderby_topn" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_agg_nation" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q_events_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour, event_type""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN prev_ts IS NULL
+        |                OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM e
+        |), t AS (
+        |  SELECT user_id, event_id, ts,
+        |         SUM(new_session) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM s
+        |)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM t GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+  )
 }

@@ -1,0 +1,108 @@
+package graft.operators
+
+/** ANSI-SQL text emitter for the diff — the counterpart of the
+  * reference's whole purpose (it *generates* SQL rather than executing
+  * it — checkatron/diffgen.py:96-111 rendering
+  * checkatron/templates/full_compare.sql.j2). Our engine executes
+  * natively via [[TableDiff]]; this emitter exists (a) for audit
+  * parity — users of the reference get SQL text they can read — and
+  * (b) to generate the DuckDB oracle queries for the driver harness,
+  * guaranteeing the oracle and the Spark plan share one definition of
+  * the semantics. Null-safe equality is spelled
+  * `IS NOT DISTINCT FROM` (ANSI/DuckDB) where Spark uses `<=>`.
+  */
+object DiffSql {
+
+  /** Emit the full diff query (no trailing ORDER BY; caller appends).
+    *
+    * @param beforeBody SQL producing the before side (table name or subquery body)
+    * @param afterBody  SQL producing the after side
+    * @param keys       business-key column names
+    * @param beforeCols columns of the before side, in order
+    * @param afterCols  columns of the after side, in order
+    * @param paddedTypes SQL type per column that is absent on one side,
+    *                    for `CAST(NULL AS t)` padding (full_compare.sql.j2:45,52)
+    * @param legacyRowStatusZero emit `0` instead of `NULL` for
+    *                    present-both rows (SURVEY.md §0 trap 1)
+    */
+  def generate(
+      beforeBody: String,
+      afterBody: String,
+      keys: Seq[String],
+      beforeCols: Seq[String],
+      afterCols: Seq[String],
+      paddedTypes: Map[String, String] = Map.empty,
+      legacyRowStatusZero: Boolean = false): String = {
+    val allCols = SchemaUtils.mergeColumns(beforeCols, afterCols)
+    val bSet = beforeCols.map(_.toLowerCase).toSet
+    val aSet = afterCols.map(_.toLowerCase).toSet
+
+    def pad(c: String) =
+      paddedTypes.get(c).map(t => s"CAST(NULL AS $t)").getOrElse("NULL")
+
+    val keyList = keys.mkString(", ")
+    val kEcho = keys.map(k => s"k.$k AS K_$k").mkString(", ")
+    val bProj = allCols
+      .map(c => if (bSet(c.toLowerCase)) s"b.$c AS b_$c" else s"${pad(c)} AS b_$c")
+      .mkString(",\n    ")
+    val aProj = allCols
+      .map(c => if (aSet(c.toLowerCase)) s"a.$c AS a_$c" else s"${pad(c)} AS a_$c")
+      .mkString(",\n    ")
+    def joinCond(alias: String) =
+      keys
+        .map(k => s"$alias.$k IS NOT DISTINCT FROM k.$k")
+        .mkString(" AND ")
+
+    val k0 = keys.head
+    val bothPresent = if (legacyRowStatusZero) "0" else "CAST(NULL AS INTEGER)"
+    val statusCols = allCols
+      .map { c =>
+        s"""CASE WHEN b_$c IS NULL AND a_$c IS NULL THEN 0
+           |    WHEN b_$c IS NULL THEN 2
+           |    WHEN a_$c IS NULL THEN 3
+           |    WHEN b_$c = a_$c THEN 0
+           |    ELSE 1 END AS $c""".stripMargin
+      }
+      .mkString(",\n  ")
+
+    s"""WITH before_t AS (
+       |$beforeBody
+       |), after_t AS (
+       |$afterBody
+       |), all_keys AS (
+       |  SELECT $keyList FROM before_t
+       |  UNION
+       |  SELECT $keyList FROM after_t
+       |), joined AS (
+       |  SELECT $kEcho,
+       |    $bProj,
+       |    $aProj
+       |  FROM all_keys k
+       |  LEFT JOIN before_t b ON ${joinCond("b")}
+       |  LEFT JOIN after_t a ON ${joinCond("a")}
+       |)
+       |SELECT
+       |  CASE WHEN b_$k0 IS NULL THEN 4
+       |       WHEN a_$k0 IS NULL THEN 5
+       |       ELSE $bothPresent END AS _row_status,
+       |  ${keys.map(k => s"K_$k").mkString(", ")},
+       |  $statusCols
+       |FROM joined""".stripMargin
+  }
+
+  /** Single-line "transport" flattening: strip `--` comments and
+    * collapse all whitespace — the reference's one-statement-per-line
+    * batch form (diffgen.py:120-129). The reference only drops
+    * comment-only lines and *forbids* inline `--` (AGENTS.md:176-179);
+    * we additionally strip trailing comments so any emitted SQL is
+    * flattenable. (Naive about `--` inside string literals, same as
+    * the reference.)
+    */
+  def flatten(sql: String): String =
+    sql.linesIterator
+      .map(_.replaceAll("--.*$", "").trim)
+      .filterNot(_.isEmpty)
+      .mkString(" ")
+      .replaceAll("\\s+", " ")
+      .trim
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Companion validation/summary queries from the reference's documented
+  * workflow (SURVEY.md §2.2 V1–V6): the user runs these against
+  * `diff_result` after the diff (reference: README.md:185-197,
+  * samples/setup_all.sql:77-117, tools/step_ledger.py:253-259).
+  */
+object DiffSummary {
+
+  import TableDiff.RowStatus
+
+  /** V1: one-row conditional aggregate over the diff result
+    * (README.md:186-193). `legacy` selects the `_row_status = 0`
+    * match convention the docs use; default counts matches as
+    * `_row_status IS NULL` per the live template (SURVEY.md §0 trap 1).
+    *
+    * Distributed shape: global partial-aggregate → single-row final;
+    * no shuffle of the wide status matrix, only of 5 longs.
+    */
+  def summary(diff: DataFrame, legacy: Boolean = false): DataFrame = {
+    val present =
+      if (legacy) col(RowStatus) === 0 else col(RowStatus).isNull
+    def countIf(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    diff.agg(
+      count(lit(1)).as("total_rows"),
+      countIf(present).as("rows_in_both"),
+      countIf(col(RowStatus) === TableDiff.MissingInBefore)
+        .as("missing_in_before"),
+      countIf(col(RowStatus) === TableDiff.MissingInAfter)
+        .as("missing_in_after"),
+      countIf(present && TableDiff.anyColumnDiffers(diff))
+        .as("rows_with_cell_diffs"))
+  }
+
+  /** V2: drill-down filter — rows where anything differs (row missing
+    * on a side, or any status cell > 0). README.md:196.
+    */
+  def differingRows(diff: DataFrame): DataFrame =
+    diff.filter(col(RowStatus).isNotNull || TableDiff.anyColumnDiffers(diff))
+
+  /** V3: side-by-side verification — bag union of both inputs tagged
+    * with a literal source column, schemas aligned with NULL padding
+    * (README.md:135-143, samples/setup_all.sql:55-63).
+    */
+  def sideBySide(before: DataFrame, after: DataFrame): DataFrame =
+    before
+      .withColumn("source", lit("BEFORE"))
+      .unionByName(
+        after.withColumn("source", lit("AFTER")),
+        allowMissingColumns = true)
+
+  /** V5: per-table row counts with a literal tag (README.md:136-138). */
+  def rowCounts(tables: Seq[(String, DataFrame)]): DataFrame =
+    tables
+      .map { case (name, df) =>
+        df.agg(count(lit(1)).as("row_count"))
+          .select(lit(name).as("table_name"), col("row_count"))
+      }
+      .reduce(_.unionByName(_))
+
+  /** V6: status-code → human label decode for one status column
+    * (samples/setup_all.sql:89-117). Pure `when` chain — codegen'd,
+    * no UDF.
+    */
+  def decodeStatus(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(c.isNull, "PRESENT_BOTH")
+      .when(c === TableDiff.Match, "MATCH")
+      .when(c === TableDiff.Different, "DIFFERENT")
+      .when(c === TableDiff.NullInBeforeOnly, "NULL_IN_BEFORE_ONLY")
+      .when(c === TableDiff.NullInAfterOnly, "NULL_IN_AFTER_ONLY")
+      .when(c === TableDiff.MissingInBefore, "MISSING_IN_BEFORE")
+      .when(c === TableDiff.MissingInAfter, "MISSING_IN_AFTER")
+      .otherwise("UNKNOWN")
+}

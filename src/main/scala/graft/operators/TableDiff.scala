@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Options for [[TableDiff.diff]].
+  *
+  * @param legacyRowStatusZero the live reference template emits
+  *   `_row_status = NULL` for rows present on both sides
+  *   (full_compare.sql.j2:71, pinned by tests/test_diffgen.py:56) but
+  *   three docs and one stale artifact assume `0`
+  *   (README.md:189, samples/setup_all.sql:80,
+  *   artifacts/generated_diff.sql:164-168). Default = live semantics
+  *   (NULL); set true for the legacy `0` convention.
+  * @param literalPlan when true, build the reference's literal 3-node
+  *   plan — UNION-distinct of key tuples + two null-safe LEFT joins
+  *   (full_compare.sql.j2:23-65). When false (default), build ONE
+  *   full-outer null-safe join, which is row-for-row equivalent
+  *   (including b×a fan-out under duplicate keys — both plans yield
+  *   m×n rows for a key with m before / n after matches) but shuffles
+  *   each input once instead of three times. Property-tested equal in
+  *   TableDiffSpec.
+  * @param keyPrefix prefix for the echoed key-value columns
+  *   (reference: `K_` — full_compare.sql.j2:39,73-75).
+  * @param upperCase reference upper-cases every column name for
+  *   Snowflake (diffgen.py:73). Off by default to keep parquet-cased
+  *   names round-trippable.
+  */
+final case class DiffOptions(
+    legacyRowStatusZero: Boolean = false,
+    literalPlan: Boolean = false,
+    keyPrefix: String = "K_",
+    upperCase: Boolean = false)
+
+/** Spark-native re-expression of the reference's generated diff query
+  * (reference: checkatron/templates/full_compare.sql.j2 — the entire
+  * query surface of simbo1905/checkatron, see SURVEY.md §0/§2.1).
+  *
+  * Given `before` and `after` DataFrames, a business-key column list,
+  * and optional per-side WHERE predicates, emits one row per key tuple
+  * present on either side with:
+  *
+  *   - `_row_status`: 4 = row missing in BEFORE, 5 = missing in AFTER,
+  *     NULL (or 0 in legacy mode) = present on both sides
+  *     (full_compare.sql.j2:68-72; keyed off the FIRST key column's
+  *     side-value nullness, faithfully including the reference's
+  *     behavior for NULL-valued keys);
+  *   - `K_<key>` echo columns with the original key values/types
+  *     (full_compare.sql.j2:39,73-75);
+  *   - one INT status column per column of the union of both schemas,
+  *     keys included (full_compare.sql.j2:77-85):
+  *     0 = match (equal, or NULL on both sides), 1 = both non-NULL and
+  *     different, 2 = NULL in BEFORE only, 3 = NULL in AFTER only.
+  *     Columns absent on one side are NULL-padded, so an added/dropped
+  *     column reads 2/3 on every present-both row
+  *     (full_compare.sql.j2:45,52).
+  *
+  * Scale notes (100 TB design point): the default plan is a single
+  * full-outer sort-merge/shuffled-hash join on null-safe key equality
+  * (Spark plans `<=>` as a proper equi-join key, not a residual
+  * filter), so each input is scanned and shuffled exactly once; the
+  * wide per-column CASE projection is whole-stage-codegen'd. NULL-key
+  * rows all hash to one partition — AQE skew handling applies; keys
+  * are business keys and overwhelmingly non-NULL in practice.
+  */
+object TableDiff {
+
+  val RowStatus = "_row_status"
+
+  /** Status-cell codes (full_compare.sql.j2:79-83 / README.md:9-14). */
+  val Match = 0
+  val Different = 1
+  val NullInBeforeOnly = 2
+  val NullInAfterOnly = 3
+  val MissingInBefore = 4
+  val MissingInAfter = 5
+
+  def diff(
+      before: DataFrame,
+      after: DataFrame,
+      keys: Seq[String],
+      beforeWhere: Option[String] = None,
+      afterWhere: Option[String] = None,
+      opts: DiffOptions = DiffOptions()): DataFrame = {
+    require(keys.nonEmpty, "at least one key column is required")
+
+    // O2: opaque per-side WHERE strings, parsed by Catalyst
+    // (reference injects them verbatim — full_compare.sql.j2:14-15,19-20)
+    def cased(df: DataFrame): DataFrame =
+      if (opts.upperCase) df.toDF(df.columns.map(_.toUpperCase).toIndexedSeq: _*) else df
+    val b = cased(beforeWhere.fold(before)(w => before.filter(expr(w))))
+    val a = cased(afterWhere.fold(after)(w => after.filter(expr(w))))
+
+    val keyNames = keys.map { k =>
+      val kk = if (opts.upperCase) k.toUpperCase else k
+      SchemaUtils.resolve(b, kk) // keys must exist on the before side
+    }
+    // G3: ordered union of both schemas, before-side first
+    val allCols = SchemaUtils.mergeColumnTypes(b.schema, a.schema)
+
+    // O6: per-side projection aligned to the union schema, with
+    // literal-NULL padding for columns absent on that side
+    def aligned(df: DataFrame, prefix: String): DataFrame =
+      df.select(allCols.map { case (c, dt) =>
+        if (df.columns.exists(_.equalsIgnoreCase(c))) col(c).as(prefix + c)
+        else lit(null).cast(dt).as(prefix + c)
+      }: _*)
+    val bAligned = aligned(b, "b_")
+    val aAligned = aligned(a, "a_")
+
+    val joined: DataFrame =
+      if (opts.literalPlan) {
+        // O4: UNION (distinct) of key tuples from both sides
+        val allKeys = b
+          .select(keyNames.map(col): _*)
+          .union(a.select(keyNames.map(col): _*))
+          .distinct()
+          .select(keyNames.map(k => col(k).as(opts.keyPrefix + k)): _*)
+        // O5: two null-safe LEFT equi-joins (Spark plans <=> as a join key)
+        def keyCond(side: DataFrame, prefix: String): Column =
+          keyNames
+            .map(k => allKeys(opts.keyPrefix + k) <=> side(prefix + k))
+            .reduce(_ && _)
+        allKeys
+          .join(bAligned, keyCond(bAligned, "b_"), "left")
+          .join(aAligned, keyCond(aAligned, "a_"), "left")
+      } else {
+        // Fast path: ONE full-outer null-safe join — equivalent row
+        // multiset (see DiffOptions.literalPlan), 1/3rd the shuffles.
+        val cond = keyNames
+          .map(k => bAligned(s"b_$k") <=> aAligned(s"a_$k"))
+          .reduce(_ && _)
+        val j = bAligned.join(aAligned, cond, "full_outer")
+        // echo keys from whichever side is present (equal when both)
+        keyNames.foldLeft(j) { (df, k) =>
+          df.withColumn(opts.keyPrefix + k, coalesce(col(s"b_$k"), col(s"a_$k")))
+        }
+      }
+
+    // O7: _row_status keyed off the FIRST key column (j2:68-72)
+    val k0 = keyNames.head
+    val bothPresent: Column =
+      if (opts.legacyRowStatusZero) lit(0) else lit(null).cast("int")
+    val rowStatus = when(col(s"b_$k0").isNull, MissingInBefore)
+      .when(col(s"a_$k0").isNull, MissingInAfter)
+      .otherwise(bothPresent)
+      .as(RowStatus)
+
+    // O9: per-column status CASE over every union column (j2:77-85)
+    def status(c: String): Column = {
+      val bc = col(s"b_$c")
+      val ac = col(s"a_$c")
+      when(bc.isNull && ac.isNull, Match)
+        .when(bc.isNull, NullInBeforeOnly)
+        .when(ac.isNull, NullInAfterOnly)
+        .when(bc === ac, Match)
+        .otherwise(Different)
+        .as(c)
+    }
+
+    // O8 + output shape: _row_status first, K_ echoes, then the matrix
+    joined.select(
+      rowStatus +:
+        keyNames.map(k => col(opts.keyPrefix + k)) ++:
+        allCols.map { case (c, _) => status(c) }: _*)
+  }
+
+  /** The status columns of a diff result (everything but `_row_status`
+    * and the `K_` echoes).
+    */
+  def statusColumns(diff: DataFrame, keyPrefix: String = "K_"): Seq[String] =
+    diff.columns.filterNot(c => c == RowStatus || c.startsWith(keyPrefix)).toSeq
+
+  /** "Any column differs" predicate (reference README.md:18,209 —
+    * Excel-style "filter any column > 0"), V2 in SURVEY.md §2.2.
+    */
+  def anyColumnDiffers(diff: DataFrame, keyPrefix: String = "K_"): Column =
+    statusColumns(diff, keyPrefix).map(c => col(c) > 0).reduce(_ || _)
+}

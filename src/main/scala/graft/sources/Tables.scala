@@ -1,0 +1,113 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet table readers for the driver test data
+  * (/root/repo/TESTDATA.md), plus the deterministic before/after
+  * diff fixtures (/root/repo/FIXTURES.md §B "Diff-fixture
+  * construction"): the reference's core query needs a before/after
+  * pair, so `after` sides are computed in-engine as pure
+  * perturbations of a base table — no files written, fully
+  * expressible in the DuckDB oracle SQL.
+  */
+object Tables {
+
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
+  /** events.ts is parquet TIMESTAMP(NANOS, isAdjustedToUTC=false), which
+    * Spark's vectorized reader rejects. Read nanos as long
+    * (spark.sql.legacy.parquet.nanosAsLong) and convert to
+    * TIMESTAMP_NTZ micros — lossless for this data (values are
+    * microsecond-resolution) and matches DuckDB's naive TIMESTAMP in
+    * the oracle. Integer `DIV` keeps the full 63-bit nanos precision
+    * (a double division would lose bits above 2^53).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, dir, "events")
+      .withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+
+  /** Deterministic "after" perturbation of lineitem (FIXTURES.md §B):
+    *   - rows with l_orderkey % 101 == 0 dropped   → `_row_status` 5
+    *   - rows with l_orderkey % 103 == 0 re-injected with negated
+    *     order key                                  → `_row_status` 4
+    *   - l_quantity + 1 where l_orderkey % 97 == 0  → status 1
+    *   - l_tax nulled where l_orderkey % 89 == 0    → status 3
+    *   - constant `extra_col` appended              → status 2 on every
+    *     present-both row (added-column semantics,
+    *     full_compare.sql.j2:45)
+    * Keys: (l_orderkey, l_linenumber) — unique, so this also serves as
+    * the duplicate-key fan-out control.
+    */
+  def lineitemAfter(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+    val base = li
+      .filter(col("l_orderkey") % 101 =!= 0)
+      .withColumn(
+        "l_quantity",
+        when(col("l_orderkey") % 97 === 0, col("l_quantity") + 1)
+          .otherwise(col("l_quantity")))
+      .withColumn(
+        "l_tax",
+        when(col("l_orderkey") % 89 === 0, lit(null).cast("double"))
+          .otherwise(col("l_tax")))
+    val injected = li
+      .filter(col("l_orderkey") % 103 === 0)
+      .withColumn("l_orderkey", -col("l_orderkey"))
+    base.unionByName(injected).withColumn("extra_col", lit(1.0))
+  }
+
+  /** DuckDB-dialect SQL producing exactly [[lineitemAfter]], for
+    * embedding in oracle queries as a CTE body.
+    */
+  val lineitemAfterSql: String =
+    """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+      |  CASE WHEN l_orderkey % 97 = 0 THEN l_quantity + 1 ELSE l_quantity END AS l_quantity,
+      |  l_extendedprice, l_discount,
+      |  CASE WHEN l_orderkey % 89 = 0 THEN NULL ELSE l_tax END AS l_tax,
+      |  l_returnflag, l_linestatus, l_shipdate,
+      |  CAST(1.0 AS DOUBLE) AS extra_col
+      |FROM lineitem WHERE l_orderkey % 101 <> 0
+      |UNION ALL
+      |SELECT -l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+      |  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+      |  l_shipdate, CAST(1.0 AS DOUBLE)
+      |FROM lineitem WHERE l_orderkey % 103 = 0""".stripMargin
+
+  /** Smaller deterministic before/after pair on orders, used by the
+    * literal-plan and decode queries: drop % 53, mutate o_totalprice
+    * % 47, null o_orderpriority % 43.
+    */
+  def ordersAfter(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    o.filter(col("o_orderkey") % 53 =!= 0)
+      .withColumn(
+        "o_totalprice",
+        when(col("o_orderkey") % 47 === 0, col("o_totalprice") + lit(10.0))
+          .otherwise(col("o_totalprice")))
+      .withColumn(
+        "o_orderpriority",
+        when(col("o_orderkey") % 43 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")))
+  }
+
+  /** DuckDB-dialect SQL producing exactly [[ordersAfter]]. */
+  val ordersAfterSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderkey % 47 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice,
+      |  o_orderdate,
+      |  CASE WHEN o_orderkey % 43 = 0 THEN NULL ELSE o_orderpriority END AS o_orderpriority
+      |FROM orders WHERE o_orderkey % 53 <> 0""".stripMargin
+}

@@ -1,0 +1,263 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{DiffOptions, DiffSql, DiffSummary, TableDiff}
+
+/** Mirrors every pinned scenario of the reference's test suite
+  * (reference: tests/test_diffgen.py, via FIXTURES.md §A3) plus the
+  * scenarios the reference leaves untested (row-only-in-before, NULL
+  * keys, duplicate-key fan-out, legacy `_row_status = 0` mode) and the
+  * fast-plan ≡ literal-plan equivalence property.
+  */
+class TableDiffSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rowsByKey(df: DataFrame, key: String): Map[Any, Row] =
+    df.collect().map(r => r.getAs[Any](key) -> r).toMap
+
+  // --- tests/test_diffgen.py:22-56 ---
+  test("identical single row → all statuses 0, _row_status NULL") {
+    val before = Seq((1, "a")).toDF("k1", "val")
+    val d = TableDiff.diff(before, before, Seq("k1")).collect().head
+    assert(d.getAs[Any]("_row_status") == null)
+    assert(d.getAs[Int]("val") == 0)
+    assert(d.getAs[Int]("k1") == 0)
+    assert(d.getAs[Int]("K_k1") == 1)
+  }
+
+  // --- tests/test_diffgen.py:59-94 ---
+  test("column added on after side → status 2 everywhere for it") {
+    val before = Seq((1, "a")).toDF("k1", "val")
+    val after = Seq((1, "a", 99)).toDF("k1", "val", "new_col")
+    val d = TableDiff.diff(before, after, Seq("k1")).collect().head
+    assert(d.getAs[Any]("_row_status") == null)
+    assert(d.getAs[Int]("val") == 0)
+    assert(d.getAs[Int]("new_col") == 2)
+  }
+
+  test("column dropped on after side → status 3") {
+    val before = Seq((1, "a", 99)).toDF("k1", "val", "old_col")
+    val after = Seq((1, "a")).toDF("k1", "val")
+    val d = TableDiff.diff(before, after, Seq("k1")).collect().head
+    assert(d.getAs[Int]("old_col") == 3)
+  }
+
+  // --- tests/test_diffgen.py:97-126 ---
+  test("changed value → status 1") {
+    val before = Seq((1, "a")).toDF("k1", "val")
+    val after = Seq((1, "b")).toDF("k1", "val")
+    val d = TableDiff.diff(before, after, Seq("k1")).collect().head
+    assert(d.getAs[Any]("_row_status") == null)
+    assert(d.getAs[Int]("val") == 1)
+  }
+
+  // --- tests/test_diffgen.py:129-157 ---
+  test("row only in after → _row_status 4, value cols 2") {
+    val before = Seq.empty[(Int, String)].toDF("k1", "val")
+    val after = Seq((1, "a")).toDF("k1", "val")
+    val d = TableDiff.diff(before, after, Seq("k1")).collect().head
+    assert(d.getAs[Int]("_row_status") == 4)
+    assert(d.getAs[Int]("val") == 2)
+    assert(d.getAs[Int]("K_k1") == 1)
+  }
+
+  // untested in the reference (full_compare.sql.j2:70)
+  test("row only in before → _row_status 5, value cols 3") {
+    val before = Seq((1, "a")).toDF("k1", "val")
+    val after = Seq.empty[(Int, String)].toDF("k1", "val")
+    val d = TableDiff.diff(before, after, Seq("k1")).collect().head
+    assert(d.getAs[Int]("_row_status") == 5)
+    assert(d.getAs[Int]("val") == 3)
+  }
+
+  // --- tests/test_diffgen.py:160-194 ---
+  test("composite key") {
+    val before = Seq((1, "x", 100)).toDF("k1", "k2", "val")
+    val d = TableDiff.diff(before, before, Seq("k1", "k2")).collect().head
+    assert(d.getAs[Any]("_row_status") == null)
+    assert(d.getAs[Int]("val") == 0)
+    assert(d.getAs[String]("K_k2") == "x")
+  }
+
+  test("both-NULL cells match (status 0); one-side NULL → 2/3") {
+    val before = Seq((1, Option.empty[String], Option("x"), Option("y")))
+      .toDF("k1", "both_null", "null_after", "same")
+    val after = Seq((1, Option.empty[String], Option.empty[String], Option("y")))
+      .toDF("k1", "both_null", "null_after", "same")
+    val d = TableDiff.diff(before, after, Seq("k1")).collect().head
+    assert(d.getAs[Int]("both_null") == 0)
+    assert(d.getAs[Int]("null_after") == 3)
+    assert(d.getAs[Int]("same") == 0)
+  }
+
+  test("NULL-valued keys pair up null-safely (and poison _row_status per reference)") {
+    val before = Seq((Option.empty[Int], "a"), (Option(1), "b")).toDF("k1", "val")
+    val after = Seq((Option.empty[Int], "a"), (Option(1), "b")).toDF("k1", "val")
+    val d = TableDiff.diff(before, after, Seq("k1"))
+    // NULL key matched NULL key → one output row for it, val status 0.
+    // The reference keys _row_status off b_<k0> IS NULL, so a present
+    // NULL-keyed row still reads 4 — faithfully reproduced
+    // (full_compare.sql.j2:68-72).
+    assert(d.count() == 2)
+    val nullRow = d.filter("K_k1 IS NULL").collect().head
+    assert(nullRow.getAs[Int]("val") == 0)
+    assert(nullRow.getAs[Int]("_row_status") == 4)
+  }
+
+  test("duplicate keys fan out b×a per key (reference multiplicity)") {
+    val before = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k1", "val")
+    val after = Seq((1, "x"), (1, "y"), (1, "z")).toDF("k1", "val")
+    val d = TableDiff.diff(before, after, Seq("k1"))
+    // key 1: 2×3 = 6 rows; key 2: only-in-before → 1 row
+    assert(d.count() == 7)
+    assert(d.filter("K_k1 = 1").count() == 6)
+    val lit = TableDiff.diff(before, after, Seq("k1"),
+      opts = DiffOptions(literalPlan = true))
+    assert(lit.count() == 7)
+  }
+
+  test("fast plan ≡ literal plan (same row multiset)") {
+    val before = Seq(
+      (Option(1), Option("a"), Option(10)),
+      (Option(1), Option("a"), Option(11)), // duplicate key
+      (Option(2), Option.empty[String], Option(20)), // NULL in key
+      (Option(3), Option("c"), Option.empty[Int]),
+      (Option.empty[Int], Option("d"), Option(40))
+    ).toDF("k1", "k2", "val")
+    val after = Seq(
+      (Option(1), Option("a"), Option(10)),
+      (Option(2), Option.empty[String], Option(21)),
+      (Option(4), Option("e"), Option(50)),
+      (Option.empty[Int], Option("d"), Option(40))
+    ).toDF("k1", "k2", "val")
+    val fast = TableDiff.diff(before, after, Seq("k1", "k2"))
+    val literal = TableDiff.diff(before, after, Seq("k1", "k2"),
+      opts = DiffOptions(literalPlan = true))
+    assert(fast.columns.toSeq == literal.columns.toSeq)
+    // multiset equality via exceptAll both ways
+    assert(fast.exceptAll(literal).isEmpty && literal.exceptAll(fast).isEmpty)
+  }
+
+  test("self-diff of a real table with unique keys is all-match") {
+    val o = spark.read
+      .parquet("/root/testdata/sf0.001/orders.parquet")
+    val d = TableDiff.diff(o, o, Seq("o_orderkey"))
+    assert(d.count() == o.count())
+    assert(DiffSummary.differingRows(d).isEmpty)
+  }
+
+  test("self-diff under duplicate keys fans out m² per key and flags intra-key diffs") {
+    // lineitem's (l_orderkey, l_linenumber) is deliberately non-unique
+    // in the synthetic data — self-diff pairs every before-row with
+    // every after-row of the same key, so rows with differing payloads
+    // inside one key group read status 1 (reference multiplicity, §4).
+    val li = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val d = TableDiff.diff(li, li, Seq("l_orderkey", "l_linenumber"))
+    assert(d.count() >= li.count())
+    assert(d.filter("_row_status IS NOT NULL").isEmpty) // every key on both sides
+  }
+
+  test("legacy _row_status=0 convention behind the flag") {
+    val before = Seq((1, "a")).toDF("k1", "val")
+    val d = TableDiff
+      .diff(before, before, Seq("k1"), opts = DiffOptions(legacyRowStatusZero = true))
+      .collect().head
+    assert(d.getAs[Int]("_row_status") == 0)
+  }
+
+  test("per-side WHERE filters (opaque predicate strings)") {
+    val t = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k1", "val")
+    val d = TableDiff.diff(t, t, Seq("k1"),
+      beforeWhere = Some("k1 <= 2"), afterWhere = Some("k1 >= 2"))
+    val m = rowsByKey(d, "K_k1")
+    assert(m(1).getAs[Int]("_row_status") == 5)
+    assert(m(2).getAs[Any]("_row_status") == null)
+    assert(m(3).getAs[Int]("_row_status") == 4)
+  }
+
+  test("upperCase mode upper-cases all output columns (Snowflake parity)") {
+    val before = Seq((1, "a")).toDF("k1", "val")
+    val d = TableDiff.diff(before, before, Seq("k1"),
+      opts = DiffOptions(upperCase = true))
+    assert(d.columns.toSeq == Seq("_row_status", "K_K1", "K1", "VAL"))
+  }
+
+  // --- FIXTURES.md §A2: the canonical 6-row portfolio oracle ---
+  test("portfolio end-to-end sample matches the documented oracle") {
+    import java.sql.Date
+    val dt = Date.valueOf("2024-01-15")
+    val before = Seq(
+      (1001L, "GROWTH", dt, 50000.00, "ACTIVE"),
+      (1002L, "INCOME", dt, 75000.50, "ACTIVE"),
+      (1003L, "GROWTH", dt, 25000.75, "SUSPENDED"),
+      (1004L, "BALANCED", dt, 100000.00, "ACTIVE"),
+      (1005L, "INCOME", dt, 30000.00, "ACTIVE")
+    ).toDF("ACCOUNT_ID", "PORTFOLIO_NAME", "VALUATION_DATE", "BALANCE", "STATUS")
+    val after = Seq(
+      (1001L, "GROWTH", dt, 50000.00, "ACTIVE", 1.1),
+      (1002L, "INCOME", dt, 75000.50, "ACTIVE", 2.2),
+      (1003L, "GROWTH", dt, 25000.75, "ACTIVE", 3.3),
+      (1004L, "BALANCED", dt, 100000.00, "ACTIVE", 4.4),
+      (1005L, "INCOME", dt, 35000.00, "ACTIVE", 5.5),
+      (1006L, "GROWTH", dt, 60000.00, "ACTIVE", 6.6)
+    ).toDF("ACCOUNT_ID", "PORTFOLIO_NAME", "VALUATION_DATE", "BALANCE", "STATUS", "NEW_COLUMN")
+    val keys = Seq("ACCOUNT_ID", "PORTFOLIO_NAME", "VALUATION_DATE")
+    val d = TableDiff.diff(before, after, keys)
+    assert(d.columns.head == "_row_status")
+    val m = rowsByKey(d, "K_ACCOUNT_ID")
+    for (k <- Seq(1001L, 1002L, 1004L)) {
+      assert(m(k).getAs[Any]("_row_status") == null)
+      assert(m(k).getAs[Int]("BALANCE") == 0)
+      assert(m(k).getAs[Int]("STATUS") == 0)
+      assert(m(k).getAs[Int]("NEW_COLUMN") == 2)
+    }
+    assert(m(1003L).getAs[Int]("STATUS") == 1)
+    assert(m(1003L).getAs[Int]("BALANCE") == 0)
+    assert(m(1005L).getAs[Int]("BALANCE") == 1)
+    assert(m(1006L).getAs[Int]("_row_status") == 4)
+    assert(m(1006L).getAs[Int]("BALANCE") == 2)
+    // summary (README.md:186-196): total=6, different=2, missing_in_before=1
+    val s = DiffSummary.summary(d).collect().head
+    assert(s.getAs[Long]("total_rows") == 6L)
+    assert(s.getAs[Long]("rows_in_both") == 5L)
+    assert(s.getAs[Long]("missing_in_before") == 1L)
+    assert(s.getAs[Long]("missing_in_after") == 0L)
+    // every present-both row differs somewhere (NEW_COLUMN reads 2)
+    assert(s.getAs[Long]("rows_with_cell_diffs") == 5L)
+    // drill-down + decode (V2/V6)
+    assert(DiffSummary.differingRows(d).count() == 6)
+    val dec = d
+      .select($"K_ACCOUNT_ID", DiffSummary.decodeStatus($"STATUS").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dec(1003L) == "DIFFERENT")
+    assert(dec(1001L) == "MATCH")
+    assert(dec(1006L) == "NULL_IN_BEFORE_ONLY")
+  }
+
+  // --- tests/test_diffgen.py:197-249 (transport form) ---
+  test("audit SQL emits the diff shape; flatten strips comments to one line") {
+    val sql = DiffSql.generate(
+      "SELECT * FROM b -- before side\n",
+      "SELECT * FROM a",
+      Seq("k1"), Seq("k1", "val"), Seq("k1", "val"))
+    assert(sql.contains("IS NOT DISTINCT FROM"))
+    assert(sql.contains("UNION"))
+    val flat = DiffSql.flatten(sql)
+    assert(!flat.contains("\n"))
+    assert(!flat.contains("--"))
+  }
+
+  test("sideBySide pads missing columns and tags sources") {
+    val before = Seq((1, "a")).toDF("k1", "val")
+    val after = Seq((1, "a", 9)).toDF("k1", "val", "extra")
+    val s = DiffSummary.sideBySide(before, after)
+    assert(s.columns.toSeq == Seq("k1", "val", "source", "extra"))
+    assert(s.count() == 2)
+    assert(s.filter("source = 'BEFORE' AND extra IS NULL").count() == 1)
+  }
+}
