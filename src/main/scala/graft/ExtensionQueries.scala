@@ -1,0 +1,246 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextExprs._
+import graft.functions.VectorExprs
+import graft.operators.{Dedup, SimilaritySearch, TextAnalysis}
+import graft.sources.{Corpus, Tables}
+
+/** Training-data-pipeline extension queries (dedup, similarity
+  * search, text analysis, multimodal plumbing) with their DuckDB
+  * oracles. Split from [[SparkEntry]] for readability; SparkEntry
+  * concatenates these maps into the driver contract.
+  */
+object ExtensionQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- deduplication family ----
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Corpus.docCorpus(s, dir)).orderBy("canonical_doc_id")),
+    "q_dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Corpus.docCorpus(s, dir)).orderBy("doc_a", "doc_b")),
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(Corpus.docCorpus(s, dir)).orderBy("doc_a", "doc_b")),
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Corpus.docCorpus(s, dir)).orderBy("doc_a", "doc_b")),
+    "q_dedup_embed" -> ((s, dir) =>
+      Dedup.embeddingPairs(Corpus.embCorpus(s, dir)).orderBy("vec_a", "vec_b")),
+
+    // ---- similarity search ----
+    "q_embed_topk_brute" -> ((s, dir) =>
+      SimilaritySearch.bruteTopK(Tables.embeddings(s, dir)).orderBy("query_id", "rank")),
+    "q_embed_ann_ivf" -> ((s, dir) =>
+      SimilaritySearch.ivfTopK(Tables.embeddings(s, dir)).orderBy("query_id", "rank")),
+
+    // ---- text analysis ----
+    "q_text_tokens" -> ((s, dir) =>
+      TextAnalysis.tokenStats(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_text_quality" -> ((s, dir) =>
+      TextAnalysis.quality(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_text_langid" -> ((s, dir) =>
+      TextAnalysis.langId(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // ---- multimodal plumbing: opaque binary payloads + typed metadata ----
+    "q_multimodal_bytes" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          md5(col("text").cast("binary")).as("digest"))
+        .orderBy("doc_id")),
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB oracles (same algorithms, dialect-mirrored — see TextExprs)
+  // ------------------------------------------------------------------
+
+  private val corpus = Corpus.docCorpusSql
+  private val tokGuard3 = s"${tokenCountDuck("text")} >= 3"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      s"""WITH corpus AS (
+         |$corpus
+         |)
+         |SELECT min(doc_id) AS canonical_doc_id, COUNT(*) AS n_copies
+         |FROM corpus GROUP BY text ORDER BY canonical_doc_id""".stripMargin,
+
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH corpus AS (
+         |$corpus
+         |), tokw AS (
+         |  SELECT doc_id, source AS block, ${wordHashArrayDuck(wordsDuck("text"))} AS wh
+         |  FROM corpus WHERE $tokGuard3
+         |), tok AS (
+         |  SELECT doc_id, block, ${shingleHashesFromWordHashesDuck("wh", 3)} AS grams FROM tokw
+         |), g AS (
+         |  SELECT doc_id, block, CAST(len(grams) AS BIGINT) AS n_grams, unnest(grams) AS gram FROM tok
+         |), p AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |         x.n_grams AS na, y.n_grams AS nb, COUNT(*) AS shared
+         |  FROM g x JOIN g y
+         |    ON x.gram = y.gram AND x.block = y.block AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2, 3, 4
+         |), j AS (
+         |  SELECT doc_a, doc_b, shared,
+         |         ${ppmDuck("shared", "na + nb - shared")} AS jaccard_ppm
+         |  FROM p
+         |)
+         |SELECT doc_a, doc_b, shared, jaccard_ppm FROM j
+         |WHERE jaccard_ppm >= 300000 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_minhash" -> {
+      val bandSelects = bandKeysDuck("sig").zipWithIndex
+        .map { case (k, b) => s"SELECT doc_id, $b AS band, $k AS bkey FROM tok" }
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH corpus AS (
+         |$corpus
+         |), tokw AS (
+         |  SELECT doc_id, ${wordHashArrayDuck(wordsDuck("text"))} AS wh
+         |  FROM corpus WHERE $tokGuard3
+         |), tok0 AS (
+         |  SELECT doc_id, ${shingleHashesFromWordHashesDuck("wh", 3)} AS grams FROM tokw
+         |), tok AS (
+         |  SELECT doc_id, ${minhashSigDuck("grams")} AS sig FROM tok0
+         |), bands AS (
+         |  $bandSelects
+         |), cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+         |), j AS (
+         |  SELECT doc_a, doc_b, tx.sig AS siga, ty.sig AS sigb
+         |  FROM cand
+         |  JOIN tok tx ON tx.doc_id = cand.doc_a
+         |  JOIN tok ty ON ty.doc_id = cand.doc_b
+         |), r AS (
+         |  SELECT doc_a, doc_b, ${sigAgreementDuck("siga", "sigb")} AS n_agree FROM j
+         |)
+         |SELECT doc_a, doc_b, n_agree FROM r
+         |WHERE n_agree >= ${NumMinhash / 2} ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q_dedup_simhash" ->
+      s"""WITH corpus AS (
+         |$corpus
+         |), fpv AS (
+         |  SELECT doc_id, source AS block, ${simhashVotesDuck(wordsDuck("text"))} AS votes
+         |  FROM corpus WHERE ${tokenCountDuck("text")} >= 1
+         |), fp AS (
+         |  SELECT doc_id, block, ${simhashPackDuck("votes")} AS simhash FROM fpv
+         |)
+         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |FROM fp x JOIN fp y ON x.block = y.block AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 4
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_embed" ->
+      s"""WITH corpus AS (
+         |${Corpus.embCorpusSql}
+         |), e AS (
+         |  SELECT vec_id, label, embedding,
+         |         sqrt(${VectorExprs.dotDuck("embedding", "embedding")}) AS norm
+         |  FROM corpus
+         |), p AS (
+         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |    CAST(floor(1e6 * ((${VectorExprs.dotDuck("x.embedding", "y.embedding")}) / (x.norm * y.norm))) AS BIGINT) AS cos_ppm
+         |  FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
+         |)
+         |SELECT vec_a, vec_b, cos_ppm FROM p
+         |WHERE cos_ppm >= 999000 ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q_embed_topk_brute" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qemb,
+         |         sqrt(${VectorExprs.dotDuck("embedding", "embedding")}) AS qnorm
+         |  FROM embeddings WHERE vec_id % 97 = 0
+         |), cand AS (
+         |  SELECT vec_id AS cand_id, embedding AS cemb,
+         |         sqrt(${VectorExprs.dotDuck("embedding", "embedding")}) AS cnorm
+         |  FROM embeddings
+         |), scored AS (
+         |  SELECT q.query_id, cand.cand_id,
+         |         (${VectorExprs.dotDuck("q.qemb", "cand.cemb")}) / (q.qnorm * cand.cnorm) AS cos
+         |  FROM cand CROSS JOIN q
+         |  WHERE cand.cand_id <> q.query_id
+         |), r AS (
+         |  SELECT query_id,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS BIGINT) AS "rank",
+         |         cand_id, CAST(floor(1e6 * cos) AS BIGINT) AS cos_ppm
+         |  FROM scored
+         |)
+         |SELECT query_id, "rank", cand_id, cos_ppm FROM r
+         |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    "q_embed_ann_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id % 50 = 0
+         |), adist AS (
+         |  SELECT e.vec_id AS vid, e.embedding, c.cid,
+         |         ${VectorExprs.l2sqDuck("e.embedding", "c.cemb")} AS d
+         |  FROM embeddings e CROSS JOIN cents c
+         |), assign AS (
+         |  SELECT vid AS cand_id, cid, embedding AS cand_emb,
+         |         sqrt(${VectorExprs.dotDuck("embedding", "embedding")}) AS cnorm
+         |  FROM (
+         |    SELECT vid, cid, embedding,
+         |           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+         |    FROM adist) t WHERE rn = 1
+         |), qdist AS (
+         |  SELECT e.vec_id AS vid, e.embedding, c.cid,
+         |         ${VectorExprs.l2sqDuck("e.embedding", "c.cemb")} AS d
+         |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id % 97 = 0
+         |), qprobe AS (
+         |  SELECT vid AS query_id, embedding AS qemb, cid,
+         |         sqrt(${VectorExprs.dotDuck("embedding", "embedding")}) AS qnorm
+         |  FROM (
+         |    SELECT vid, cid, embedding,
+         |           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+         |    FROM qdist) t WHERE rn <= 2
+         |), scored AS (
+         |  SELECT query_id, cand_id,
+         |         (${VectorExprs.dotDuck("qprobe.qemb", "assign.cand_emb")}) / (qprobe.qnorm * assign.cnorm) AS cos
+         |  FROM qprobe JOIN assign USING (cid)
+         |  WHERE query_id <> cand_id
+         |), r AS (
+         |  SELECT query_id,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS BIGINT) AS "rank",
+         |         cand_id, CAST(floor(1e6 * cos) AS BIGINT) AS cos_ppm
+         |  FROM scored
+         |)
+         |SELECT query_id, "rank", cand_id, cos_ppm FROM r
+         |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    "q_text_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(${tokenCountDuck("text")} AS BIGINT) AS n_tokens_ws,
+         |  CAST(${regexpCountDuck("text", bpeClassDuck)} AS BIGINT) AS n_tokens_bpe,
+         |  CAST(length(text) AS BIGINT) AS n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      s"""SELECT doc_id,
+         |  ${TextAnalysis.qualityDuckProjection("text")}
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_langid" ->
+      s"""SELECT doc_id,
+         |  ${TextAnalysis.langIdDuckProjection("text")}
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      s"""SELECT doc_id, ${charHashDuck("text")} AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_bytes" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -63,8 +63,13 @@ object SparkEntry {
     DiffSummary.differingRows(d)
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * training-data-pipeline extensions in [[ExtensionQueries]].
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ ExtensionQueries.queries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- core diff pipeline (SURVEY §2.1 O1–O10) ----
     "q_diff_lineitem" -> ((s, dir) => {
       TableDiff
@@ -221,7 +226,10 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    coreOracleSql ++ ExtensionQueries.oracleSql
+
+  private def coreOracleSql: Map[String, String] = Map(
     "q_diff_lineitem" ->
       s"$lineitemDiffSql\nORDER BY K_l_orderkey, K_l_linenumber",
     "q_diff_orders_literal" ->

@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PolyHash
+import graft.functions.TextExprs._
+import graft.functions.VectorExprs
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * sophistication: exact (hash groupBy), n-gram Jaccard (exact
+  * set-similarity), MinHash+LSH (the 100 TB scale path: candidate
+  * generation by band-bucket join instead of all-pairs), SimHash
+  * (bit-fingerprint + Hamming), and embedding-cosine near-dup.
+  *
+  * Scale notes: exact dedup is one hash shuffle on the text (or its
+  * fingerprint — at 100 TB group by a 64-bit fingerprint, not the
+  * full text, to shrink shuffle width). n-gram Jaccard all-pairs is
+  * quadratic per shared gram and exists as the small-scale oracle /
+  * verifier; MinHash-LSH is the production path — cost is
+  * O(docs × bands) explode + an equi-join on (band, key), both
+  * shuffle-partitionable, no cross join anywhere. SimHash pairs are
+  * blocked per `source` here; at scale, block by fingerprint prefix
+  * instead. All hashes are oracle-reproducible polynomial folds
+  * (see [[graft.functions.TextExprs]]); swap in `xxhash64` for raw
+  * throughput when cross-engine reproducibility isn't needed.
+  */
+object Dedup {
+
+  /** Exact dedup: one row per distinct text with the winning
+    * (minimum) id and the number of copies.
+    */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .groupBy(col(textCol))
+      .agg(min(col(idCol)).as("canonical_doc_id"), count(lit(1)).as("n_copies"))
+      .select("canonical_doc_id", "n_copies")
+
+  /** Exact n-gram Jaccard similarity pairs: explode distinct word
+    * n-gram hashes, self-join on (block, gram), count shared, Jaccard
+    * = |∩| / (|A| + |B| − |∩|) in fixed-point ppm. The `blockCol`
+    * bound is what keeps the inherently-quadratic exact comparison
+    * tractable — at scale you always block (by source, domain, or an
+    * LSH bucket); the unblocked exact sweep is what [[minhashPairs]]
+    * replaces.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      n: Int = 3,
+      minJaccardPpm: Long = 300000L,
+      blockCol: String = "source",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    PolyHash.register(docs.sparkSession)
+    // the word-hash array MUST be materialized before the shingle
+    // lambda indexes it: GetArrayItem on an inline array expression
+    // re-evaluates the whole array per access (~130× per row here)
+    val wh = docs
+      .filter(expr(s"${tokenCountSpark(textCol)} >= $n"))
+      .select(
+        col(idCol).as("doc_id"),
+        col(blockCol).as("block"),
+        expr(wordHashArraySpark(wordsSpark(textCol))).as("wh"))
+      .persist()
+    // materialized: consumed by size() + explode() and both join sides
+    val toks = wh
+      .select(
+        col("doc_id"),
+        col("block"),
+        expr(shingleHashesFromWordHashesSpark("wh", n)).as("grams"))
+      .persist()
+    val g = toks.select(
+      col("doc_id"),
+      col("block"),
+      size(col("grams")).cast("long").as("n_grams"),
+      explode(col("grams")).as("gram"))
+    g.as("x")
+      .join(g.as("y"),
+        col("x.gram") === col("y.gram") && col("x.block") === col("y.block") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(
+        col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"),
+        col("x.n_grams").as("na"),
+        col("y.n_grams").as("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard_ppm", expr(ppmSpark("shared", "na + nb - shared")).cast("long"))
+      .filter(col("jaccard_ppm") >= minJaccardPpm)
+      .select("doc_a", "doc_b", "shared", "jaccard_ppm")
+  }
+
+  /** MinHash+LSH near-dup candidates: signature → band keys →
+    * equi-join on (band, key) → estimated Jaccard = fraction of
+    * agreeing signature positions. The scale path: no all-pairs
+    * comparison; candidate generation is a partitionable hash join.
+    */
+  def minhashPairs(
+      docs: DataFrame,
+      n: Int = 3,
+      minAgree: Int = NumMinhash / 2,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    PolyHash.register(docs.sparkSession)
+    // cache boundaries at every array-consuming step: lambdas indexing
+    // an inline array expression re-evaluate it per access, and the
+    // signature projection references the gram array 32× (once per
+    // permutation); the band self-join then consumes signatures twice
+    val wh = docs
+      .filter(expr(s"${tokenCountSpark(textCol)} >= $n"))
+      .select(
+        col(idCol).as("doc_id"),
+        expr(wordHashArraySpark(wordsSpark(textCol))).as("wh"))
+      .persist()
+    val grams = wh
+      .select(col("doc_id"), expr(shingleHashesFromWordHashesSpark("wh", n)).as("grams"))
+      .persist()
+    val toks = grams
+      .select(col("doc_id"), expr(minhashSigSpark("grams")).as("sig"))
+      .persist()
+    val bandStructs = bandKeysSpark("sig").zipWithIndex
+      .map { case (k, b) => s"struct($b AS band, $k AS bkey)" }
+      .mkString(", ")
+    val bands = toks.select(
+      col("doc_id"),
+      col("sig"),
+      expr(s"explode(array($bandStructs))").as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sig").as("siga"), col("y.sig").as("sigb"))
+      .distinct() // a pair can collide in several bands
+      .withColumn("n_agree", expr(sigAgreementSpark("siga", "sigb")).cast("long"))
+      .filter(col("n_agree") >= minAgree)
+      .select("doc_a", "doc_b", "n_agree")
+  }
+
+  /** SimHash near-dup pairs: 30-bit fingerprints, Hamming distance
+    * within `source` blocks.
+    */
+  def simhashPairs(
+      docs: DataFrame,
+      maxHamming: Int = 4,
+      blockCol: String = "source",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    PolyHash.register(docs.sparkSession)
+    // materialize the word-hash arrays (cache boundary stops
+    // CollapseProject from re-inlining the char folds 30×), then
+    // compute votes + packed fingerprint from the cached column; the
+    // fingerprints themselves are persisted because the self-join
+    // consumes them on both sides
+    val wh = docs
+      .filter(expr(s"${tokenCountSpark(textCol)} >= 1"))
+      .select(
+        col(idCol).as("doc_id"),
+        col(blockCol).as("block"),
+        expr(wordHashArraySpark(wordsSpark(textCol))).as("wh"))
+      .persist()
+    val fp = wh
+      .select(
+        col("doc_id"),
+        col("block"),
+        expr(simhashPackSpark(simhashVotesFromHashesSpark("wh"))).as("simhash"))
+      .persist()
+    fp.as("x")
+      .join(fp.as("y"),
+        col("x.block") === col("y.block") && col("x.doc_id") < col("y.doc_id"))
+      .withColumn(
+        "hamming",
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(
+        col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"),
+        col("hamming"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs, blocked by `label` (a
+    * stand-in for an LSH/IVF bucket at scale).
+    */
+  def embeddingPairs(
+      emb: DataFrame,
+      minCosPpm: Long = 999000L,
+      blockCol: String = "label",
+      idCol: String = "vec_id"): DataFrame = {
+    // precompute per-vector norms once (N rows) instead of per pair
+    // (N²/blocks rows) — value-identical, the oracle mirrors this
+    // shape; materialized because the self-join reads it twice
+    val e = emb.select(
+      col(idCol).as("vec_id"),
+      col(blockCol).as("block"),
+      col("embedding"),
+      expr(s"sqrt(${VectorExprs.dotSpark("embedding", "embedding")})").as("norm"))
+      .persist()
+    e.as("x")
+      .join(e.as("y"),
+        col("x.block") === col("y.block") && col("x.vec_id") < col("y.vec_id"))
+      .withColumn(
+        "cos",
+        expr(VectorExprs.dotSpark("x.embedding", "y.embedding")) /
+          (col("x.norm") * col("y.norm")))
+      .withColumn("cos_ppm", floor(lit(1000000.0) * col("cos")).cast("long"))
+      .filter(col("cos_ppm") >= minCosPpm)
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"), col("cos_ppm"))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExprs._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * `bruteTopK` is the exact baseline: broadcast the (small) query set
+  * against all candidates — one narrow pass over the candidates, no
+  * shuffle of the big side except the final per-query top-k, which is
+  * a partial (map-side) top-k under Spark's WindowExec + filter.
+  *
+  * `ivfTopK` is the scale path: assign every vector to its nearest
+  * coarse centroid once (broadcast centroids — at 100 TB this is the
+  * classic IVF build pass), then probe only the `nprobe` closest
+  * centroid lists per query, cutting scanned candidates by
+  * ~nprobe/nlist. Both are deterministic: distance ties break by id.
+  */
+object SimilaritySearch {
+
+  /** Exact top-k cosine neighbors for queries selected by
+    * `vec_id % queryMod == 0`.
+    */
+  def bruteTopK(
+      emb: DataFrame,
+      k: Int = 5,
+      queryMod: Int = 97,
+      idCol: String = "vec_id"): DataFrame = {
+    val q = emb
+      .filter(col(idCol) % queryMod === 0)
+      .select(
+        col(idCol).as("query_id"),
+        col("embedding").as("qemb"),
+        expr(s"sqrt(${dotSpark("embedding", "embedding")})").as("qnorm"))
+    val cand = emb.select(
+      col(idCol).as("cand_id"),
+      col("embedding").as("cemb"),
+      expr(s"sqrt(${dotSpark("embedding", "embedding")})").as("cnorm"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    cand
+      .crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", expr(dotSpark("qemb", "cemb")) / (col("qnorm") * col("cnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col("rank").cast("long").as("rank"),
+        col("cand_id"),
+        floor(lit(1000000.0) * col("cos")).cast("long").as("cos_ppm"))
+  }
+
+  /** IVF-style ANN: coarse centroids are the vectors with
+    * `vec_id % centroidMod == 0`; every vector is assigned to its
+    * L2-nearest centroid; each query probes its `nprobe` nearest
+    * centroid lists and ranks those candidates by cosine.
+    */
+  def ivfTopK(
+      emb: DataFrame,
+      k: Int = 5,
+      queryMod: Int = 97,
+      centroidMod: Int = 50,
+      nprobe: Int = 2,
+      idCol: String = "vec_id"): DataFrame = {
+    val cents = emb
+      .filter(col(idCol) % centroidMod === 0)
+      .select(col(idCol).as("cid"), col("embedding").as("cemb"))
+    val byDist = Window.partitionBy("vid").orderBy(col("d"), col("cid"))
+
+    // build pass: vector → nearest centroid (broadcast join, no shuffle
+    // of the big side beyond the window's per-vector grouping)
+    val assign = emb
+      .select(col(idCol).as("vid"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d", expr(l2sqSpark("embedding", "cemb")))
+      .withColumn("rn", row_number().over(byDist))
+      .filter(col("rn") === 1)
+      .select(
+        col("vid").as("cand_id"), col("cid"), col("embedding").as("cand_emb"),
+        expr(s"sqrt(${dotSpark("embedding", "embedding")})").as("cnorm"))
+
+    // probe pass: query → nprobe nearest centroids
+    val qprobe = emb
+      .filter(col(idCol) % queryMod === 0)
+      .select(col(idCol).as("vid"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d", expr(l2sqSpark("embedding", "cemb")))
+      .withColumn("rn", row_number().over(byDist))
+      .filter(col("rn") <= nprobe)
+      .select(
+        col("vid").as("query_id"), col("embedding").as("qemb"), col("cid"),
+        expr(s"sqrt(${dotSpark("embedding", "embedding")})").as("qnorm"))
+
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    qprobe
+      .join(assign, "cid")
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", expr(dotSpark("qemb", "cand_emb")) / (col("qnorm") * col("cnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col("rank").cast("long").as("rank"),
+        col("cand_id"),
+        floor(lit(1000000.0) * col("cos")).cast("long").as("cos_ppm"))
+  }
+}

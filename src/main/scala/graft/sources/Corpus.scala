@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dedup/similarity fixtures over the driver test
+  * tables. The raw `documents`/`embeddings` tables contain no
+  * duplicates (all 500 texts distinct at sf0.01), so — like the diff
+  * fixtures in [[Tables]] — duplicate and near-duplicate corpora are
+  * constructed in-engine, expressible identically in the DuckDB
+  * oracle SQL.
+  */
+object Corpus {
+
+  /** documents ∪ exact copies (doc_id % 7, id + 1,000,000) ∪ near-dup
+    * copies with a 4-token tail appended (doc_id % 11, id + 2,000,000).
+    */
+  def docCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.unionByName(
+      d.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+      .unionByName(
+        d.filter(col("doc_id") % 11 === 0)
+          .withColumn("doc_id", col("doc_id") + 2000000L)
+          .withColumn("text", concat(col("text"), lit(" near dup extra tail"))))
+  }
+
+  val docCorpusSql: String =
+    """SELECT doc_id, text, lang, source, n_chars FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000, text, lang, source, n_chars
+      |FROM documents WHERE doc_id % 7 = 0
+      |UNION ALL
+      |SELECT doc_id + 2000000, text || ' near dup extra tail', lang, source, n_chars
+      |FROM documents WHERE doc_id % 11 = 0""".stripMargin
+
+  /** embeddings ∪ scaled copies (vec_id % 17, id + 100,000, embedding
+    * × 1.001f — cosine-identical up to float rounding, so they read
+    * as near-duplicates under cosine ≥ 0.999).
+    */
+  def embCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    e.unionByName(
+      e.filter(col("vec_id") % 17 === 0)
+        .withColumn("vec_id", col("vec_id") + 100000L)
+        .withColumn(
+          "embedding",
+          expr("transform(embedding, x -> x * cast(1.001 as float))")))
+  }
+
+  val embCorpusSql: String =
+    """SELECT vec_id, embedding, label FROM embeddings
+      |UNION ALL
+      |SELECT vec_id + 100000, list_transform(embedding, x -> x * 1.001::FLOAT), label
+      |FROM embeddings WHERE vec_id % 17 = 0""".stripMargin
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming twins of the batch event operators in
+  * [[graft.SparkEntry]] (q_events_window / q_sessionize): the same
+  * aggregations expressed over an unbounded stream with watermarks,
+  * plus a custom-state operator via mapGroupsWithState.
+  *
+  * At scale these run with the same partitioning story as batch: the
+  * groupBy keys shuffle once into the state store; watermarks bound
+  * state size. Tested with MemoryStream in EventStreamsSpec.
+  */
+object EventStreams {
+
+  /** Event row shape used by the typed state operator. */
+  case class Event(
+      event_id: Long,
+      ts: java.sql.Timestamp,
+      user_id: Long,
+      event_type: String,
+      value: Double)
+
+  case class UserRunningCount(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Tumbling-window counts per event type with a watermark —
+    * streaming twin of q_events_window.
+    */
+  def windowedCounts(
+      events: DataFrame,
+      watermark: String = "10 minutes",
+      windowLength: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"),
+        col("n_events"),
+        col("sum_value"))
+
+  /** Session windows per user (gap-based) — streaming twin of
+    * q_sessionize, using Spark's native session_window instead of the
+    * batch lag/cumsum formulation.
+    */
+  def sessionWindows(
+      events: DataFrame,
+      watermark: String = "10 minutes",
+      gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"),
+        col("n_events"),
+        col("sum_value"))
+
+  /** Custom keyed state: per-user running event count + value total,
+    * emitted on every update (mapGroupsWithState with processing-time
+    * semantics; state never expires here — a production pipeline
+    * would set a timeout).
+    */
+  def runningUserCounts(events: Dataset[Event]): Dataset[UserRunningCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunningCount, UserRunningCount](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[UserRunningCount]) =>
+          val prev = state.getOption.getOrElse(UserRunningCount(userId, 0L, 0.0))
+          val (n, v) = rows.foldLeft((prev.n_events, prev.total_value)) {
+            case ((cn, cv), e) => (cn + 1, cv + e.value)
+          }
+          val next = UserRunningCount(userId, n, v)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Output mode that matches [[runningUserCounts]]. */
+  val runningUserCountsOutputMode: OutputMode = OutputMode.Update()
+}

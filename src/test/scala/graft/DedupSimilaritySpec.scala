@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, SimilaritySearch, TextAnalysis}
+import graft.sources.{Corpus, Tables}
+
+/** Quality properties the DuckDB oracle can't express: recall of the
+  * planted duplicates/near-duplicates and ANN-vs-brute agreement.
+  * Runs on sf0.001 (500 docs / 500 vectors).
+  */
+class DedupSimilaritySpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val corpus = Corpus.docCorpus(spark, dir).cache()
+
+  test("exact dedup finds every planted exact copy and nothing else") {
+    val d = Dedup.exact(corpus).cache()
+    val dups = d.filter("n_copies > 1")
+    // ids ≡ 0 (mod 7) in 0..499 are copied exactly once
+    assert(dups.count() == Math.ceil(500.0 / 7).toLong)
+    assert(dups.filter("n_copies != 2").count() == 0)
+    assert(d.count() > 500) // near-dup variants stay distinct
+  }
+
+  test("ngram Jaccard: exact copies score 1e6; planted near-dups score high") {
+    val p = Dedup.ngramJaccardPairs(corpus).cache()
+    val exactPairs = p.filter("doc_b = doc_a + 1000000 AND jaccard_ppm = 1000000")
+    assert(exactPairs.count() == Math.ceil(500.0 / 7).toLong)
+    val nearPairs = p.filter("doc_a < 500 AND doc_b = doc_a + 2000000")
+    assert(nearPairs.count() == Math.ceil(500.0 / 11).toLong)
+    // a 4-token tail on a short doc can drag Jaccard down toward ~0.5
+    assert(nearPairs.filter("jaccard_ppm < 400000").count() == 0)
+  }
+
+  test("MinHash-LSH recovers planted pairs with full-signature agreement on exact copies") {
+    val p = Dedup.minhashPairs(corpus).cache()
+    // doc_a < 500: ids ≡ 0 (mod 77) also pair an exact copy with a
+    // near-dup at the same id distance, which can tie at full agreement
+    val exactPairs = p.filter(s"doc_a < 500 AND doc_b = doc_a + 1000000 AND n_agree = 32")
+    assert(exactPairs.count() == Math.ceil(500.0 / 7).toLong)
+    // near-dups: LSH banding is probabilistic — expect most planted
+    // pairs recovered at est-Jaccard ≥ 0.5
+    val near = p.filter("doc_b = doc_a + 2000000").count()
+    assert(near >= Math.ceil(500.0 / 11).toLong * 8 / 10, s"minhash near-dup recall too low: $near")
+  }
+
+  test("SimHash: exact copies at Hamming 0") {
+    val p = Dedup.simhashPairs(corpus).cache()
+    // exact copies share source block and fingerprint; restrict doc_a to
+    // originals — ids ≡ 0 (mod 77) also plant an (exact-copy, near-dup)
+    // pair at the same id distance
+    assert(p.filter("doc_a < 500 AND doc_b = doc_a + 1000000 AND hamming = 0").count() ==
+      Math.ceil(500.0 / 7).toLong)
+  }
+
+  test("embedding near-dup pairs = exactly the planted scaled copies") {
+    val p = Dedup.embeddingPairs(Corpus.embCorpus(spark, dir))
+    val rows = p.collect()
+    assert(rows.length == Math.ceil(500.0 / 17).toLong)
+    assert(rows.forall(r => r.getAs[Long]("vec_b") == r.getAs[Long]("vec_a") + 100000L))
+    assert(rows.forall(_.getAs[Long]("cos_ppm") >= 999000L))
+  }
+
+  test("IVF ANN: probing all lists ≡ brute force; nprobe=2 trades recall for 5× fewer scans") {
+    val emb = Tables.embeddings(spark, dir)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val brute = pairs(SimilaritySearch.bruteTopK(emb))
+    assert(brute.nonEmpty)
+    // invariant: probing every centroid list recovers the exact answer
+    val full = pairs(SimilaritySearch.ivfTopK(emb, nprobe = Int.MaxValue))
+    assert(full == brute)
+    // nprobe=2 of 10 lists over *random* vectors: recall is modest at
+    // this toy scale (real corpora cluster; these don't) — sanity-bound it
+    val ivf = pairs(SimilaritySearch.ivfTopK(emb))
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.2, s"IVF recall vs brute force = $recall")
+    assert(ivf.size == brute.size)
+  }
+
+  test("language ID labels every doc with one of the five languages") {
+    val l = TextAnalysis.langId(Tables.documents(spark, dir))
+    assert(l.filter("lang_pred NOT IN ('en','de','es','fr','zh')").count() == 0)
+  }
+
+  test("fingerprint is injective on the distinct-text corpus (no collisions at this scale)") {
+    val fp = TextAnalysis.fingerprint(Tables.documents(spark, dir))
+    assert(fp.select("fingerprint").distinct().count() == fp.count())
+  }
+}

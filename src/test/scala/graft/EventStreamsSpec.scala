@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** Drives the streaming operators through MemoryStream → memory sink,
+  * the in-process stand-in for a Kafka→Structured-Streaming pipeline.
+  */
+class EventStreamsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("windowed counts aggregate per tumbling hour with watermark") {
+    import spark.implicits._
+    val ms = MemoryStream[Event](spark)
+    val q = EventStreams
+      .windowedCounts(ms.toDF())
+      .writeStream.format("memory").queryName("wc")
+      .outputMode("complete").start()
+    try {
+      ms.addData(
+        Event(1, ts(5), 10, "click", 1.0),
+        Event(2, ts(20), 10, "click", 2.0),
+        Event(3, ts(70), 11, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc").collect()
+        .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+      assert(rows == Set(
+        (ts(0), "click", 2L, 3.0),
+        (ts(60), "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("session windows close after the gap and emit on watermark advance") {
+    import spark.implicits._
+    val ms = MemoryStream[Event](spark)
+    val q = EventStreams
+      .sessionWindows(ms.toDF(), watermark = "10 minutes", gap = "30 minutes")
+      .writeStream.format("memory").queryName("sw")
+      .outputMode("append").start()
+    try {
+      // user 10: events at :00 and :10 (one session), then :90 (new session)
+      ms.addData(
+        Event(1, ts(0), 10, "click", 1.0),
+        Event(2, ts(10), 10, "click", 1.0),
+        Event(3, ts(90), 10, "click", 1.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close everything
+      ms.addData(Event(4, ts(600), 99, "view", 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sw").filter("user_id = 10").collect()
+        .map(r => (r.getAs[Timestamp]("session_start"), r.getAs[Long]("n_events"))).toSet
+      assert(sessions == Set((ts(0), 2L), (ts(90), 1L)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-user counters across batches") {
+    import spark.implicits._
+    val ms = MemoryStream[Event](spark)
+    val q = EventStreams
+      .runningUserCounts(ms.toDS())
+      .writeStream.format("memory").queryName("ruc")
+      .outputMode(EventStreams.runningUserCountsOutputMode).start()
+    try {
+      ms.addData(Event(1, ts(0), 10, "click", 1.5), Event(2, ts(1), 10, "click", 2.5))
+      q.processAllAvailable()
+      ms.addData(Event(3, ts(2), 10, "view", 6.0))
+      q.processAllAvailable()
+      val last = spark.table("ruc").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+        .filter(_._1 == 10).maxBy(_._2)
+      // state carried across the two batches: 3 events, 10.0 total
+      assert(last == ((10L, 3L, 10.0)))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+import graft.sources.Tables
+
+class MultimodalSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val media =
+    Multimodal.synthesizeMedia(Tables.documents(spark, dir)).cache()
+
+  test("synthesized media table matches the canonical schema") {
+    assert(media.schema.fieldNames.toSeq == Seq("media_id", "media", "meta"))
+    assert(media.schema("media").dataType.typeName == "binary")
+    assert(media.count() == 500)
+  }
+
+  test("partition-wise feature extraction yields normalized fixed-width features") {
+    val f = Multimodal.extractFeatures(media).cache()
+    assert(f.columns.toSeq == Seq("media_id", "n_bytes", "features"))
+    assert(f.count() == 500)
+    val row = f.filter("media_id = 0").collect().head
+    val feats = row.getAs[scala.collection.Seq[Float]]("features")
+    assert(feats.length == Multimodal.StubDecoder.FeatureDim)
+    // histogram is normalized by byte count → sums to ~1
+    assert(math.abs(feats.sum - 1.0f) < 1e-3)
+    assert(row.getAs[Long]("n_bytes") > 0)
+  }
+
+  test("frame sampling explodes payloads into strided fixed-size frames") {
+    val frames = Multimodal.sampleFrames(media, frameBytes = 32, stride = 4)
+    assert(frames.columns.toSeq == Seq("media_id", "frame_no", "frame"))
+    assert(frames.filter("frame_no % 4 != 0").count() == 0)
+    // every doc ≥ 32 bytes yields at least one frame
+    assert(frames.select("media_id").distinct().count() == 500)
+    // deterministic: first frame of doc 0 = first 32 text bytes
+    val f0 = frames.filter("media_id = 0 AND frame_no = 0").collect().head
+    val txt = Tables.documents(spark, dir).filter("doc_id = 0")
+      .collect().head.getAs[String]("text")
+    assert(new String(f0.getAs[Array[Byte]]("frame"), "UTF-8") == txt.take(32))
+  }
+}
