@@ -185,6 +185,15 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
+    "q_row_counts" -> ((s, dir) => {
+      // V5: per-table counts with literal tags (README.md:136-138)
+      DiffSummary.rowCounts(Seq(
+        "customer" -> Tables.customer(s, dir),
+        "lineitem" -> Tables.lineitem(s, dir),
+        "orders" -> Tables.orders(s, dir)))
+        .orderBy("table_name")
+    }),
+
     // ---- event streams, batch shape (extensions; streaming twins in graft.streaming) ----
     "q_events_window" -> ((s, dir) => {
       Tables
@@ -309,6 +318,11 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,
+    "q_row_counts" ->
+      """SELECT 'customer' AS table_name, COUNT(*) AS row_count FROM customer
+        |UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+        |UNION ALL SELECT 'orders', COUNT(*) FROM orders
+        |ORDER BY table_name""".stripMargin,
     "q_events_window" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  COUNT(*) AS n_events,

@@ -1,0 +1,144 @@
+package graft.cli
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import graft.operators.DiffSql
+
+/** Drop-in equivalent of the reference CLI (`python -m
+  * checkatron.diffgen` — reference: checkatron/diffgen.py): read
+  * Snowflake DESCRIBE-format schema CSVs, emit the diff SQL text.
+  *
+  * Our engine executes the diff natively ([[graft.operators.TableDiff]]);
+  * this tool reproduces the reference's generate-SQL workflow for
+  * audit and migration compatibility:
+  *
+  *   - positional args: before-schema CSV, after-schema CSV
+  *     (diffgen.py:52-55)
+  *   - `--keys` keys CSV (same format, rows = key columns, diffgen.py:73)
+  *   - `--before_where/--after_where` opaque predicate strings
+  *     (diffgen.py:56-57)
+  *   - `--before_table/--after_table` overrides; otherwise inferred
+  *     from the CSV filename stem with `_`→`.` (diffgen.py:86-94)
+  *   - `--out` (default diff.sql), `--single_line`, `--stack_input`
+  *     (diffgen.py:58-66,120-140)
+  */
+object DiffGen {
+
+  final case class Config(
+      beforeCsv: String,
+      afterCsv: String,
+      keysCsv: String,
+      beforeWhere: Option[String] = None,
+      afterWhere: Option[String] = None,
+      beforeTable: Option[String] = None,
+      afterTable: Option[String] = None,
+      out: String = "diff.sql",
+      singleLine: Boolean = false,
+      stackInput: Option[String] = None)
+
+  /** Schema-descriptor CSV loader (G1, diffgen.py:30-34): Snowflake
+    * `DESCRIBE TABLE` download format; only `name` and `type` are
+    * consumed, extra columns optional (tests use truncated headers).
+    * Names are upper-cased (diffgen.py:73).
+    */
+  def loadSchemaCsv(path: String): Seq[(String, String)] = {
+    val lines = Files.readAllLines(Paths.get(path)).toArray(Array.empty[String])
+      .toSeq.filter(_.nonEmpty)
+    require(lines.nonEmpty, s"empty schema csv: $path")
+    val header = lines.head.split(",", -1).map(_.trim.toLowerCase)
+    val nameIdx = header.indexOf("name")
+    val typeIdx = header.indexOf("type")
+    require(nameIdx >= 0, s"schema csv $path has no 'name' column")
+    lines.tail.map { line =>
+      val cells = line.split(",", -1)
+      val name = cells(nameIdx).trim.toUpperCase
+      val tpe = if (typeIdx >= 0 && typeIdx < cells.length) cells(typeIdx).trim else ""
+      name -> tpe
+    }
+  }
+
+  /** Type classing (G2, diffgen.py:37-47): collapse the external type
+    * system to TEXT vs NUMBER by substring match; fallback TEXT. The
+    * live template never consumes it (dead parameter in the
+    * reference), kept for API parity.
+    */
+  def typeClass(sqlType: String): String = {
+    val t = sqlType.toUpperCase
+    if (Seq("NUMBER", "INT", "FLOAT", "DECIMAL").exists(t.contains)) "NUMBER"
+    else "TEXT"
+  }
+
+  /** Table-name inference (G4, diffgen.py:86-94): CSV filename stem,
+    * `_` → `.` (e.g. example_before.csv → example.before).
+    */
+  def inferTableName(csvPath: String): String = {
+    val fname = Paths.get(csvPath).getFileName.toString
+    val stem = fname.stripSuffix(".csv")
+    stem.replace('_', '.')
+  }
+
+  /** Build the full SQL text (CTAS form, like the reference template's
+    * `CREATE OR REPLACE TABLE diff_result AS` — full_compare.sql.j2:10).
+    */
+  def buildSql(cfg: Config): String = {
+    val beforeCols = loadSchemaCsv(cfg.beforeCsv).map(_._1)
+    val afterCols = loadSchemaCsv(cfg.afterCsv).map(_._1)
+    val keys = loadSchemaCsv(cfg.keysCsv).map(_._1)
+    require(keys.nonEmpty, "at least one key column required")
+    val beforeTable = cfg.beforeTable.getOrElse(inferTableName(cfg.beforeCsv))
+    val afterTable = cfg.afterTable.getOrElse(inferTableName(cfg.afterCsv))
+    def body(table: String, where: Option[String]): String =
+      s"SELECT * FROM $table" + where.map(w => s" WHERE $w").getOrElse("")
+    val query = DiffSql.generate(
+      beforeBody = body(beforeTable, cfg.beforeWhere),
+      afterBody = body(afterTable, cfg.afterWhere),
+      keys = keys,
+      beforeCols = beforeCols,
+      afterCols = afterCols)
+    s"CREATE OR REPLACE TABLE diff_result AS\n$query"
+  }
+
+  def parseArgs(args: Seq[String]): Config = {
+    val positional = scala.collection.mutable.ArrayBuffer[String]()
+    var cfg = Config("", "", "")
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--keys" => cfg = cfg.copy(keysCsv = args(i + 1)); i += 2
+        case "--before_where" => cfg = cfg.copy(beforeWhere = Some(args(i + 1))); i += 2
+        case "--after_where" => cfg = cfg.copy(afterWhere = Some(args(i + 1))); i += 2
+        case "--before_table" => cfg = cfg.copy(beforeTable = Some(args(i + 1))); i += 2
+        case "--after_table" => cfg = cfg.copy(afterTable = Some(args(i + 1))); i += 2
+        case "--out" => cfg = cfg.copy(out = args(i + 1)); i += 2
+        case "--single_line" => cfg = cfg.copy(singleLine = true); i += 1
+        case "--stack_input" => cfg = cfg.copy(stackInput = Some(args(i + 1))); i += 2
+        case p => positional += p; i += 1
+      }
+    }
+    require(positional.length == 2, "usage: DiffGen <before.csv> <after.csv> --keys <keys.csv> [...]")
+    require(cfg.keysCsv.nonEmpty, "--keys is required")
+    cfg.copy(beforeCsv = positional(0), afterCsv = positional(1))
+  }
+
+  def run(cfg: Config): String = {
+    val sql = buildSql(cfg)
+    val outSql = if (cfg.singleLine) DiffSql.flatten(sql) else sql
+    Files.writeString(Paths.get(cfg.out), outSql + "\n")
+    // G7 (diffgen.py:135-140): APPEND the single-line statement to the
+    // FIFO stack file (the reference's test calls it "prepend" but the
+    // code appends — tests/test_diffgen.py:241-249 assert last line)
+    cfg.stackInput.foreach { stack =>
+      Files.writeString(
+        Paths.get(stack),
+        DiffSql.flatten(sql) + "\n",
+        StandardOpenOption.CREATE,
+        StandardOpenOption.APPEND)
+    }
+    outSql
+  }
+
+  def main(args: Array[String]): Unit = {
+    run(parseArgs(args.toIndexedSeq))
+    ()
+  }
+}

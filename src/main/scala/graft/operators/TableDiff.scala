@@ -25,12 +25,19 @@ import org.apache.spark.sql.functions._
   * @param upperCase reference upper-cases every column name for
   *   Snowflake (diffgen.py:73). Off by default to keep parquet-cased
   *   names round-trippable.
+  * @param statusesAsMap emit ONE `statuses MAP<STRING,INT>` column
+  *   instead of a status column per union column. For very wide
+  *   schemas (thousands of columns) the per-column CASE projection
+  *   stresses whole-stage codegen's 64KB method limits and the row
+  *   width; the map form keeps the projection narrow at identical
+  *   information content (SURVEY.md §7 "wide schemas").
   */
 final case class DiffOptions(
     legacyRowStatusZero: Boolean = false,
     literalPlan: Boolean = false,
     keyPrefix: String = "K_",
-    upperCase: Boolean = false)
+    upperCase: Boolean = false,
+    statusesAsMap: Boolean = false)
 
 /** Spark-native re-expression of the reference's generated diff query
   * (reference: checkatron/templates/full_compare.sql.j2 — the entire
@@ -159,10 +166,18 @@ object TableDiff {
     }
 
     // O8 + output shape: _row_status first, K_ echoes, then the matrix
-    joined.select(
-      rowStatus +:
-        keyNames.map(k => col(opts.keyPrefix + k)) ++:
-        allCols.map { case (c, _) => status(c) }: _*)
+    if (opts.statusesAsMap)
+      joined.select(
+        rowStatus +:
+          keyNames.map(k => col(opts.keyPrefix + k)) :+
+          map_from_arrays(
+            array(allCols.map { case (c, _) => lit(c) }: _*),
+            array(allCols.map { case (c, _) => status(c) }: _*)).as("statuses"): _*)
+    else
+      joined.select(
+        rowStatus +:
+          keyNames.map(k => col(opts.keyPrefix + k)) ++:
+          allCols.map { case (c, _) => status(c) }: _*)
   }
 
   /** The status columns of a diff result (everything but `_row_status`

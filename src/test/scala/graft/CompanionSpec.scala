@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{DiffOptions, SessionInfo, TableDiff}
+
+/** V7 (DDL lifecycle), V9 (session context), and the wide-schema
+  * map-output mode.
+  */
+class CompanionSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("V7: CREATE TABLE / INSERT VALUES / SELECT / DROP lifecycle") {
+    val loc = java.nio.file.Files.createTempDirectory("ddl").toString
+    spark.sql(s"""CREATE TABLE ddl_probe (id BIGINT, name STRING, bal DOUBLE)
+                 |USING parquet LOCATION '$loc'""".stripMargin)
+    try {
+      spark.sql("INSERT INTO ddl_probe VALUES (1, 'a', 10.5), (2, 'b', 20.0)")
+      assert(spark.sql("SELECT COUNT(*) FROM ddl_probe").collect().head.getLong(0) == 2L)
+      assert(spark.catalog.tableExists("ddl_probe"))
+      // V8: schema introspection — DESCRIBE matches df.schema
+      val desc = spark.sql("DESCRIBE TABLE ddl_probe").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(desc("id") == "bigint" && desc("bal") == "double")
+    } finally spark.sql("DROP TABLE IF EXISTS ddl_probe")
+    assert(!spark.catalog.tableExists("ddl_probe"))
+  }
+
+  test("V9: session-context probe returns one row of live context") {
+    val r = SessionInfo.whoami(spark).collect().head
+    assert(r.getAs[String]("catalog") == "spark_catalog")
+    assert(r.getAs[String]("database") == "default")
+    assert(r.getAs[java.sql.Timestamp]("ts") != null)
+    assert(r.getAs[String]("engine_version").nonEmpty)
+  }
+
+  test("statusesAsMap emits one MAP column with identical codes") {
+    import spark.implicits._
+    val before = Seq((1, "a", 10), (2, "b", 20)).toDF("k", "s", "v")
+    val after = Seq((1, "a", 11), (3, "c", 30)).toDF("k", "s", "v")
+    val wide = TableDiff.diff(before, after, Seq("k"))
+    val mapd = TableDiff.diff(before, after, Seq("k"),
+      opts = DiffOptions(statusesAsMap = true))
+    assert(mapd.columns.toSeq == Seq("_row_status", "K_k", "statuses"))
+    val m = mapd.collect()
+      .map(r => r.getAs[Any]("K_k") -> r.getAs[Map[String, Int]]("statuses")).toMap
+    val w = wide.collect().map(r => r.getAs[Any]("K_k") -> r).toMap
+    for ((k, row) <- w; c <- TableDiff.statusColumns(wide))
+      assert(m(k)(c) == row.getAs[Int](c), s"key $k col $c")
+  }
+}

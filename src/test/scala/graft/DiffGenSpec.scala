@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cli.DiffGen
+import graft.operators.{DiffOptions, DiffSql, TableDiff}
+
+/** Mirrors the reference's CLI behaviors (tests/test_diffgen.py:197-249
+  * plus the loader/inference units) and cross-checks the emitted SQL
+  * against the native operator by executing it in Spark.
+  */
+class DiffGenSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def tmpCsv(name: String, content: String): Path = {
+    val dir = Files.createTempDirectory("diffgen")
+    val p = dir.resolve(name)
+    Files.writeString(p, content)
+    p
+  }
+
+  private val beforeCsv =
+    """name,type,kind,null?
+      |k1,INT,,
+      |val,VARCHAR,,
+      |""".stripMargin
+  private val afterCsv =
+    """name,type
+      |k1,INT
+      |val,VARCHAR
+      |new_col,NUMBER(10,2)
+      |""".stripMargin
+  private val keysCsv = "name,type\nk1,INT\n"
+
+  test("schema CSV loader reads truncated headers, upper-cases names (G1)") {
+    val p = tmpCsv("example_before.csv", beforeCsv)
+    assert(DiffGen.loadSchemaCsv(p.toString) == Seq("K1" -> "INT", "VAL" -> "VARCHAR"))
+  }
+
+  test("type classing collapses to TEXT/NUMBER with TEXT fallback (G2)") {
+    assert(DiffGen.typeClass("NUMBER(15,2)") == "NUMBER")
+    assert(DiffGen.typeClass("DECIMAL") == "NUMBER")
+    assert(DiffGen.typeClass("VARCHAR(50)") == "TEXT")
+    assert(DiffGen.typeClass("DATE") == "TEXT") // reference fallback
+  }
+
+  test("table-name inference: filename stem, underscore → dot (G4)") {
+    assert(DiffGen.inferTableName("/tmp/x/example_before.csv") == "example.before")
+  }
+
+  test("CLI end-to-end: emits CTAS diff SQL; --single_line + --stack_input append") {
+    val b = tmpCsv("example_before.csv", beforeCsv)
+    val a = tmpCsv("example_after.csv", afterCsv)
+    val k = tmpCsv("example_keys.csv", keysCsv)
+    val out = Files.createTempDirectory("diffgen").resolve("diff.sql")
+    val stack = Files.createTempDirectory("diffgen").resolve("stack.sql")
+    Files.writeString(stack, "SELECT 1;\n") // pre-existing stack content
+    DiffGen.main(Array(
+      b.toString, a.toString, "--keys", k.toString,
+      "--out", out.toString, "--single_line", "--stack_input", stack.toString))
+    val sql = Files.readString(out)
+    assert(sql.contains("CREATE OR REPLACE TABLE diff_result AS"))
+    assert(sql.trim.linesIterator.size == 1) // flattened
+    assert(!sql.contains("--"))
+    assert(sql.contains("FROM example.before"))
+    assert(sql.contains("IS NOT DISTINCT FROM"))
+    // stack: appended AFTER existing content (reference "prepend" that
+    // actually appends — tests/test_diffgen.py:241-249)
+    val stackLines = Files.readString(stack).trim.linesIterator.toSeq
+    assert(stackLines.head == "SELECT 1;")
+    assert(stackLines.last.contains("diff_result"))
+    assert(stackLines.size == 2)
+  }
+
+  test("emitted SQL executed by Spark ≡ native TableDiff operator") {
+    import spark.implicits._
+    val before = Seq((1, "a"), (2, "b"), (3, "c")).toDF("K1", "VAL")
+    val after = Seq((1, "a"), (2, "x"), (4, "d")).toDF("K1", "VAL")
+    before.createOrReplaceTempView("diffgen_b")
+    after.createOrReplaceTempView("diffgen_a")
+    val sql = DiffSql.generate(
+      "SELECT * FROM diffgen_b",
+      "SELECT * FROM diffgen_a",
+      Seq("K1"), Seq("K1", "VAL"), Seq("K1", "VAL"))
+    val viaSql = spark.sql(sql)
+    val viaOperator = TableDiff.diff(before, after, Seq("K1"),
+      opts = DiffOptions(upperCase = true))
+    assert(viaSql.columns.toSeq == viaOperator.columns.toSeq)
+    assert(viaSql.exceptAll(viaOperator).isEmpty &&
+      viaOperator.exceptAll(viaSql).isEmpty)
+  }
+}
