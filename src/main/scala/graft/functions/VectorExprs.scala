@@ -13,13 +13,15 @@ object VectorExprs {
   /** Embedding dimensionality of the test tables (TESTDATA.md). */
   val Dim = 64
 
-  def dotSpark(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)"
+  /** Spark side uses the codegen'd [[VecDot]]/[[VecL2Sq]] kernels —
+    * callers must have called `VecDot.register(spark)`. Left-to-right
+    * double accumulation, bit-identical to the DuckDB folds below.
+    */
+  def dotSpark(a: String, b: String): String = s"vec_dot($a, $b)"
   def dotDuck(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> ($a[i]::DOUBLE) * ($b[i]::DOUBLE)), (acc, v) -> acc + v)"
 
-  def l2sqSpark(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> (cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))), cast(0 as double), (acc, v) -> acc + v)"
+  def l2sqSpark(a: String, b: String): String = s"vec_l2sq($a, $b)"
   def l2sqDuck(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> (($a[i]::DOUBLE) - ($b[i]::DOUBLE)) * (($a[i]::DOUBLE) - ($b[i]::DOUBLE))), (acc, v) -> acc + v)"
 

@@ -187,6 +187,7 @@ object Dedup {
       minCosPpm: Long = 999000L,
       blockCol: String = "label",
       idCol: String = "vec_id"): DataFrame = {
+    graft.functions.VecDot.register(emb.sparkSession)
     // precompute per-vector norms once (N rows) instead of per pair
     // (N²/blocks rows) — value-identical, the oracle mirrors this
     // shape; materialized because the self-join reads it twice

@@ -29,6 +29,7 @@ object SimilaritySearch {
       k: Int = 5,
       queryMod: Int = 97,
       idCol: String = "vec_id"): DataFrame = {
+    graft.functions.VecDot.register(emb.sparkSession)
     val q = emb
       .filter(col(idCol) % queryMod === 0)
       .select(
@@ -65,6 +66,7 @@ object SimilaritySearch {
       centroidMod: Int = 50,
       nprobe: Int = 2,
       idCol: String = "vec_id"): DataFrame = {
+    graft.functions.VecDot.register(emb.sparkSession)
     val cents = emb
       .filter(col(idCol) % centroidMod === 0)
       .select(col(idCol).as("cid"), col("embedding").as("cemb"))

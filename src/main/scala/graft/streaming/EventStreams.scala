@@ -61,6 +61,18 @@ object EventStreams {
         col("n_events"),
         col("sum_value"))
 
+  /** Streaming exact dedup — the training-pipeline ingest shape: drop
+    * replayed/duplicate events by id while the watermark bounds the
+    * dedup state (without it, state grows with the whole stream).
+    */
+  def dedupStream(
+      events: DataFrame,
+      watermark: String = "10 minutes",
+      keyCols: Seq[String] = Seq("event_id")): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Custom keyed state: per-user running event count + value total,
     * emitted on every update (mapGroupsWithState with processing-time
     * semantics; state never expires here — a production pipeline

@@ -63,6 +63,26 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops replayed event ids within the watermark") {
+    import spark.implicits._
+    val ms = MemoryStream[Event](spark)
+    val q = EventStreams
+      .dedupStream(ms.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        Event(1, ts(0), 10, "click", 1.0),
+        Event(1, ts(0), 10, "click", 1.0), // duplicate in-batch
+        Event(2, ts(1), 10, "view", 2.0))
+      q.processAllAvailable()
+      ms.addData(Event(1, ts(2), 10, "click", 1.0)) // replay across batches
+      q.processAllAvailable()
+      val ids = spark.table("dedup").collect().map(_.getAs[Long]("event_id")).toSeq
+      assert(ids.sorted == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user counters across batches") {
     import spark.implicits._
     val ms = MemoryStream[Event](spark)

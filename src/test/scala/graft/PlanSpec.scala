@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the scale design (SCALE.md) depends
+  * on these physical-plan properties; a refactor that silently loses
+  * one (extra shuffle, lost pushdown, lost broadcast) would still pass
+  * the value-correctness gate, so they are pinned here.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  // formatted plans list each node twice (tree + detail); match the
+  // tree lines ("<JoinImpl> <JoinType> (" / "+- Exchange (") only
+  test("diff is ONE full-outer join, not the literal 3-node plan") {
+    val p = plan("q_diff_lineitem")
+    assert("Join FullOuter".r.findAllIn(p).size == 1, p.take(2000))
+    // two input exchanges + the deterministic orderBy's range exchange
+    assert("[+:]- Exchange".r.findAllIn(p).size <= 3)
+  }
+
+  test("literal-plan mode really builds union-distinct keys + two left joins") {
+    val p = plan("q_diff_orders_literal")
+    assert("Join LeftOuter".r.findAllIn(p).size == 2, p.take(2000))
+    assert(p.contains("HashAggregate")) // the UNION's distinct
+  }
+
+  test("filters and column pruning reach the parquet scan") {
+    val p = plan("q_scan_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), LessThan"))
+    // projection pruned to the 5 referenced columns, not all 11
+    assert(p.contains(
+      "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double,l_discount:double,l_shipdate:timestamp_ntz>"))
+  }
+
+  test("dimension joins broadcast the small sides") {
+    val p = plan("q_join_agg_nation")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
+    // the fact scan reads only the needed columns
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"))
+  }
+
+  test("aggregation is partial (map-side combine) before the exchange") {
+    val p = plan("q_agg_pricing")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(aggIdx >= 0 && p.indexOf("HashAggregate", aggIdx + 1) > 0) // partial + final
+  }
+
+  test("top-n compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_orderby_topn")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("vector kernels appear as codegen'd expressions in the ANN plan") {
+    val p = plan("q_embed_topk_brute")
+    assert(p.contains("vec_dot"))
+    assert(!p.contains("aggregate(zip_with")) // no interpreted HOF fold left
+  }
+}
