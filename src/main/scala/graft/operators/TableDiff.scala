@@ -31,13 +31,23 @@ import org.apache.spark.sql.functions._
   *   stresses whole-stage codegen's 64KB method limits and the row
   *   width; the map form keeps the projection narrow at identical
   *   information content (SURVEY.md §7 "wide schemas").
+  * @param nullKeySideChannel route rows whose key tuple contains a
+  *   NULL through a separate small diff and union the results. Under
+  *   null-safe hashing every all/partially-NULL key lands in the same
+  *   few partitions; when a large fraction of rows has NULL keys this
+  *   becomes the straggler at 100 TB (AQE skew-join splits can't help
+  *   a single hot KEY, only hot partitions of distinct keys). The
+  *   split is exact: a key tuple matches only tuples with the same
+  *   NULL pattern, so the two sub-diffs partition the output.
+  *   Property-tested equivalent to the default plan.
   */
 final case class DiffOptions(
     legacyRowStatusZero: Boolean = false,
     literalPlan: Boolean = false,
     keyPrefix: String = "K_",
     upperCase: Boolean = false,
-    statusesAsMap: Boolean = false)
+    statusesAsMap: Boolean = false,
+    nullKeySideChannel: Boolean = false)
 
 /** Spark-native re-expression of the reference's generated diff query
   * (reference: checkatron/templates/full_compare.sql.j2 — the entire
@@ -102,6 +112,19 @@ object TableDiff {
       val kk = if (opts.upperCase) k.toUpperCase else k
       SchemaUtils.resolve(b, kk) // keys must exist on the before side
     }
+
+    if (opts.nullKeySideChannel) {
+      // exact split by NULL pattern: NULL-containing key tuples can
+      // only match NULL-containing tuples, so the sub-diffs partition
+      // the output; the (small) NULL-key diff no longer rides the hot
+      // partitions of the main shuffle
+      val anyKeyNull = keyNames.map(col(_).isNull).reduce(_ || _)
+      val sub = opts.copy(nullKeySideChannel = false)
+      val mainDiff = diff(b.filter(!anyKeyNull), a.filter(!anyKeyNull), keyNames, opts = sub)
+      val nullDiff = diff(b.filter(anyKeyNull), a.filter(anyKeyNull), keyNames, opts = sub)
+      return mainDiff.unionByName(nullDiff)
+    }
+
     // G3: ordered union of both schemas, before-side first
     val allCols = SchemaUtils.mergeColumnTypes(b.schema, a.schema)
 

@@ -72,6 +72,19 @@ class DiffPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("nullKeySideChannel plan ≡ default plan (exact split by NULL pattern)") {
+    import graft.operators.DiffOptions
+    for (_ <- 1 to 6) {
+      val a = randTable(allowNullKey = true)
+      val b = randTable(allowNullKey = true)
+      val plain = TableDiff.diff(a, b, Seq("k"))
+      val split = TableDiff.diff(a, b, Seq("k"),
+        opts = DiffOptions(nullKeySideChannel = true))
+      assert(plain.columns.toSeq == split.columns.toSeq)
+      assert(plain.exceptAll(split).isEmpty && split.exceptAll(plain).isEmpty)
+    }
+  }
+
   test("key-set law: output keys = distinct union of both sides' key tuples") {
     for (_ <- 1 to 5) {
       val a = randTable(allowNullKey = true)
