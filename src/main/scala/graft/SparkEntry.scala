@@ -185,6 +185,59 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
+    "q_window_rank" -> ((s, dir) => {
+      // top-3 customers by spend per market segment (windowed ranking)
+      val bySegment = Window
+        .partitionBy("c_mktsegment")
+        .orderBy(col("total_spend").desc, col("c_custkey"))
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("total_spend"))
+        .withColumn("rank", row_number().over(bySegment).cast("long"))
+        .filter(col("rank") <= 3)
+        .orderBy("c_mktsegment", "rank")
+    }),
+    "q_rollup" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").as("sum_qty"))
+        .orderBy(
+          col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+    "q_join_semi" -> ((s, dir) => {
+      // lineitems of high-value orders (left semi = EXISTS)
+      val bigOrders = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 400000.0)
+        .select("o_orderkey")
+      Tables.lineitem(s, dir)
+        .join(bigOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+    "q_join_anti" -> ((s, dir) => {
+      // orders with no lineitems (left anti = NOT EXISTS)
+      Tables.orders(s, dir)
+        .join(
+          Tables.lineitem(s, dir).select("l_orderkey"),
+          col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+    "q_json_extract" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_value"))
+        .orderBy("event_id")
+    }),
     "q_row_counts" -> ((s, dir) => {
       // V5: per-table counts with literal tags (README.md:136-138)
       DiffSummary.rowCounts(Seq(
@@ -318,6 +371,40 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,
+    "q_window_rank" ->
+      """WITH spend AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_mktsegment, c_custkey
+        |), r AS (
+        |  SELECT c_mktsegment, c_custkey, total_spend,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |           ORDER BY total_spend DESC, c_custkey) AS BIGINT) AS "rank"
+        |  FROM spend
+        |)
+        |SELECT c_mktsegment, c_custkey, total_spend, "rank" FROM r
+        |WHERE "rank" <= 3 ORDER BY c_mktsegment, "rank"""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_join_semi" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l_orderkey AND o_totalprice > 400000.0)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_join_anti" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_id, event_type,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_value
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_row_counts" ->
       """SELECT 'customer' AS table_name, COUNT(*) AS row_count FROM customer
         |UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
