@@ -185,6 +185,13 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
+    "q_profile_drift" -> ((s, dir) => {
+      // per-column distinct/NULL drift between before/after (exact
+      // form for the oracle; the HLL form is profile(approx = true))
+      DiffSummary.profileDrift(
+        Tables.orders(s, dir),
+        Tables.ordersAfter(s, dir))
+    }),
     "q_window_rank" -> ((s, dir) => {
       // top-3 customers by spend per market segment (windowed ranking)
       val bySegment = Window
@@ -371,6 +378,20 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,
+    "q_profile_drift" -> {
+      def aggList(prefix: String) = ordersCols.map { c =>
+        s"COUNT(DISTINCT $c) AS $prefix${c}_n_distinct,\n" +
+          s"  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS $prefix${c}_n_nulls"
+      }.mkString(",\n  ")
+      s"""WITH bprof AS (
+         |  SELECT ${aggList("b_")} FROM orders
+         |), aprof AS (
+         |  SELECT ${aggList("a_")} FROM (
+         |${Tables.ordersAfterSql}
+         |  )
+         |)
+         |SELECT * FROM bprof CROSS JOIN aprof""".stripMargin
+    },
     "q_window_rank" ->
       """WITH spend AS (
         |  SELECT c_mktsegment, c_custkey,

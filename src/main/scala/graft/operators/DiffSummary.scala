@@ -62,6 +62,33 @@ object DiffSummary {
       }
       .reduce(_.unionByName(_))
 
+  /** Column profile: per-column distinct and NULL counts in one
+    * aggregation pass (2N aggregates, single shuffle of partial
+    * states). `approx = true` swaps exact distinct counting for
+    * HyperLogLog++ (`approx_count_distinct`) — at 100 TB the exact
+    * form shuffles per-column value sets, the HLL form shuffles
+    * constant-size sketches; use approx for drift monitoring, exact
+    * when the counts feed a correctness decision.
+    */
+  def profile(df: DataFrame, prefix: String = "", approx: Boolean = false): DataFrame = {
+    val aggs = df.columns.toSeq.flatMap { c =>
+      val nd =
+        if (approx) approx_count_distinct(col(c))
+        else countDistinct(col(c))
+      Seq(
+        nd.as(s"$prefix${c}_n_distinct"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"$prefix${c}_n_nulls"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Profile drift between two relations: side-by-side per-column
+    * distinct/NULL counts (the poor-man's schema-drift monitor the
+    * reference's summary workflow gestures at — README.md:135-143).
+    */
+  def profileDrift(before: DataFrame, after: DataFrame, approx: Boolean = false): DataFrame =
+    profile(before, "b_", approx).crossJoin(profile(after, "a_", approx))
+
   /** V6: status-code → human label decode for one status column
     * (samples/setup_all.sql:89-117). Pure `when` chain — codegen'd,
     * no UDF.

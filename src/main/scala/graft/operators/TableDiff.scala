@@ -40,6 +40,14 @@ import org.apache.spark.sql.functions._
   *   split is exact: a key tuple matches only tuples with the same
   *   NULL pattern, so the two sub-diffs partition the output.
   *   Property-tested equivalent to the default plan.
+  * @param keysNotNull declare the key columns NULL-free, so the join
+  *   uses plain `=` instead of `<=>`. Semantically identical when the
+  *   declaration holds (NULL-keyed rows, if any, silently become
+  *   missing-on-both-sides rows) — and it unlocks what null-safe keys
+  *   cannot have: Spark rewrites `<=>` join keys to
+  *   coalesce/isnull pairs, whose required distribution a bucketed
+  *   table layout can never satisfy, so co-located bucket joins
+  *   (zero-shuffle recurring diffs, BucketedDiffSpec) need `=` keys.
   */
 final case class DiffOptions(
     legacyRowStatusZero: Boolean = false,
@@ -47,7 +55,8 @@ final case class DiffOptions(
     keyPrefix: String = "K_",
     upperCase: Boolean = false,
     statusesAsMap: Boolean = false,
-    nullKeySideChannel: Boolean = false)
+    nullKeySideChannel: Boolean = false,
+    keysNotNull: Boolean = false)
 
 /** Spark-native re-expression of the reference's generated diff query
   * (reference: checkatron/templates/full_compare.sql.j2 — the entire
@@ -158,7 +167,10 @@ object TableDiff {
         // Fast path: ONE full-outer null-safe join — equivalent row
         // multiset (see DiffOptions.literalPlan), 1/3rd the shuffles.
         val cond = keyNames
-          .map(k => bAligned(s"b_$k") <=> aAligned(s"a_$k"))
+          .map { k =>
+            if (opts.keysNotNull) bAligned(s"b_$k") === aAligned(s"a_$k")
+            else bAligned(s"b_$k") <=> aAligned(s"a_$k")
+          }
           .reduce(_ && _)
         val j = bAligned.join(aAligned, cond, "full_outer")
         // echo keys from whichever side is present (equal when both)

@@ -97,4 +97,40 @@ object EventStreams {
 
   /** Output mode that matches [[runningUserCounts]]. */
   val runningUserCountsOutputMode: OutputMode = OutputMode.Update()
+
+  /** Streaming twin of the table diff's missing-row detection
+    * (`_row_status = 5`): events seen on the `expected` stream that
+    * never arrived on the `actual` stream within the join window —
+    * a stream-stream left-outer join with watermarks on both sides,
+    * emitting the unmatched rows once the watermark passes
+    * (the standard "detect lost events between two pipelines" shape).
+    *
+    * State is bounded by the watermark + time-range condition; the
+    * join shuffles both streams once on the key, exactly like the
+    * batch diff's single join.
+    */
+  def missingInActual(
+      expected: DataFrame,
+      actual: DataFrame,
+      watermark: String = "10 minutes",
+      joinWindow: String = "15 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val e = expected.withWatermark("ts", watermark)
+      .select(
+        col("event_id").as("e_id"), col("ts").as("e_ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val a = actual.withWatermark("ts", watermark)
+      .select(col("event_id").as("a_id"), col("ts").as("a_ts"))
+    e.join(
+      a,
+      expr(
+        s"""e_id = a_id AND
+           |a_ts >= e_ts - INTERVAL $joinWindow AND
+           |a_ts <= e_ts + INTERVAL $joinWindow""".stripMargin),
+      "left_outer")
+      .filter(col("a_id").isNull)
+      .select(
+        col("e_id").as("event_id"), col("e_ts").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+  }
 }

@@ -85,6 +85,17 @@ class DiffPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("keysNotNull plan ≡ default plan when keys are in fact non-NULL") {
+    import graft.operators.DiffOptions
+    for (_ <- 1 to 6) {
+      val a = randTable()
+      val b = randTable()
+      val plain = TableDiff.diff(a, b, Seq("k"))
+      val eq = TableDiff.diff(a, b, Seq("k"), opts = DiffOptions(keysNotNull = true))
+      assert(plain.exceptAll(eq).isEmpty && eq.exceptAll(plain).isEmpty)
+    }
+  }
+
   test("key-set law: output keys = distinct union of both sides' key tuples") {
     for (_ <- 1 to 5) {
       val a = randTable(allowNullKey = true)

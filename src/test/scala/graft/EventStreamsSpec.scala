@@ -83,6 +83,33 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream diff flags events missing from the actual stream") {
+    import spark.implicits._
+    val expected = MemoryStream[Event](spark)
+    val actual = MemoryStream[Event](spark)
+    val q = EventStreams
+      .missingInActual(expected.toDF(), actual.toDF())
+      .writeStream.format("memory").queryName("missing")
+      .outputMode("append").start()
+    try {
+      expected.addData(
+        Event(1, ts(0), 10, "click", 1.0),
+        Event(2, ts(1), 10, "view", 2.0),
+        Event(3, ts(2), 11, "click", 3.0))
+      actual.addData(
+        Event(1, ts(0), 10, "click", 1.0),
+        Event(3, ts(2), 11, "click", 3.0)) // event 2 lost downstream
+      q.processAllAvailable()
+      // advance both watermarks far enough to expire the join state
+      expected.addData(Event(99, ts(600), 1, "view", 0.0))
+      actual.addData(Event(99, ts(600), 1, "view", 0.0))
+      q.processAllAvailable()
+      val missing = spark.table("missing").collect()
+        .map(_.getAs[Long]("event_id")).toSeq.filter(_ != 99L)
+      assert(missing == Seq(2L))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user counters across batches") {
     import spark.implicits._
     val ms = MemoryStream[Event](spark)
