@@ -89,14 +89,12 @@ object TextExprs {
   }
 
   /** MinHash signature (array of NumMinhash BIGINTs) over a
-    * hash-set-array column `hs`.
+    * hash-set-array column `hs`. Spark side uses the codegen'd
+    * [[MinHashSig]] kernel — callers must have called
+    * `MinHashSig.register(spark)`; values identical to the k-pass
+    * `array_min(transform(...))` formulation and the DuckDB twin.
     */
-  def minhashSigSpark(hs: String): String = {
-    val mins = (0 until NumMinhash)
-      .map(i => s"array_min(transform($hs, h -> (${minhashA(i)} * h + ${minhashB(i)}) % $P))")
-      .mkString(", ")
-    s"array($mins)"
-  }
+  def minhashSigSpark(hs: String): String = s"minhash_sig($hs)"
   def minhashSigDuck(hs: String): String = {
     val mins = (0 until NumMinhash)
       .map(i => s"list_aggregate(list_transform($hs, h -> (${minhashA(i)} * h + ${minhashB(i)}) % $P), 'min')")

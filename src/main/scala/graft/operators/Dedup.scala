@@ -101,6 +101,7 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     PolyHash.register(docs.sparkSession)
+    graft.functions.MinHashSig.register(docs.sparkSession)
     // cache boundaries at every array-consuming step: lambdas indexing
     // an inline array expression re-evaluate it per access, and the
     // signature projection references the gram array 32× (once per
