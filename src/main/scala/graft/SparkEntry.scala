@@ -185,6 +185,20 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
+    "q_asof_join" -> ((s, dir) => {
+      // attribution: each purchase joined to the user's most recent
+      // prior (or simultaneous) click
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+      graft.operators.AsOfJoin.lastPrior(
+        left = ev.filter(col("event_type") === "purchase"),
+        right = ev.filter(col("event_type") === "click"),
+        partitionCols = Seq("user_id"),
+        timeCol = "ts",
+        payloadCols = Seq("ts", "event_id"),
+        tieCol = "event_id")
+        .orderBy("event_id")
+    }),
     "q_profile_drift" -> ((s, dir) => {
       // per-column distinct/NULL drift between before/after (exact
       // form for the oracle; the HLL form is profile(approx = true))
@@ -378,6 +392,23 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,
+    "q_asof_join" ->
+      """WITH tagged AS (
+        |  SELECT event_id, ts, user_id, event_type, value, props,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_left,
+        |         CASE WHEN event_type = 'click' THEN ts END AS r_ts,
+        |         CASE WHEN event_type = 'click' THEN event_id END AS r_id
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), w AS (
+        |  SELECT event_id, ts, user_id, event_type, value, props, is_left,
+        |         last_value(r_ts IGNORE NULLS) OVER win AS asof_ts,
+        |         last_value(r_id IGNORE NULLS) OVER win AS asof_event_id
+        |  FROM tagged
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, is_left, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_id, ts, user_id, event_type, value, props, asof_ts, asof_event_id
+        |FROM w WHERE is_left = 1 ORDER BY event_id""".stripMargin,
     "q_profile_drift" -> {
       def aggList(prefix: String) = ordersCols.map { c =>
         s"COUNT(DISTINCT $c) AS $prefix${c}_n_distinct,\n" +

@@ -149,23 +149,17 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     PolyHash.register(docs.sparkSession)
-    // materialize the word-hash arrays (cache boundary stops
-    // CollapseProject from re-inlining the char folds 30×), then
-    // compute votes + packed fingerprint from the cached column; the
-    // fingerprints themselves are persisted because the self-join
+    graft.functions.SimHashPack.register(docs.sparkSession)
+    // simhash_pack consumes the word-hash array exactly once in a
+    // fused codegen'd kernel (no lambda indexing → no re-evaluation
+    // trap); the fingerprints are persisted because the self-join
     // consumes them on both sides
-    val wh = docs
+    val fp = docs
       .filter(expr(s"${tokenCountSpark(textCol)} >= 1"))
       .select(
         col(idCol).as("doc_id"),
         col(blockCol).as("block"),
-        expr(wordHashArraySpark(wordsSpark(textCol))).as("wh"))
-      .persist()
-    val fp = wh
-      .select(
-        col("doc_id"),
-        col("block"),
-        expr(simhashPackSpark(simhashVotesFromHashesSpark("wh"))).as("simhash"))
+        expr(s"simhash_pack(${wordHashArraySpark(wordsSpark(textCol))})").as("simhash"))
       .persist()
     fp.as("x")
       .join(fp.as("y"),
