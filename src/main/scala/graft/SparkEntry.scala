@@ -185,6 +185,59 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
+    "q_salted_agg" -> ((s, dir) => {
+      // two-stage salted aggregation (hot-key mitigation); result ≡
+      // plain GROUP BY, which is exactly what the oracle runs
+      graft.operators.SkewUtils
+        .saltedSumCount(
+          Tables.events(s, dir),
+          Seq("user_id"),
+          col("value").cast("decimal(18,4)"),
+          salts = 16)
+        .select(
+          col("user_id"),
+          col("sum_value").cast("double").as("sum_value"),
+          col("n_rows"))
+        .orderBy("user_id")
+    }),
+    "q_cube" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").as("sum_qty"))
+        .orderBy(
+          col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+    "q_unpivot" -> ((s, dir) => {
+      // melt the pricing summary's metric columns into rows
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_base_price"),
+          count(lit(1)).cast("double").as("count_order"))
+        .selectExpr(
+          "l_returnflag", "l_linestatus",
+          """stack(3,
+             |  'sum_qty', sum_qty,
+             |  'sum_base_price', sum_base_price,
+             |  'count_order', count_order) AS (metric, metric_value)""".stripMargin)
+        .orderBy("l_returnflag", "l_linestatus", "metric")
+    }),
+    "q_percentiles" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90"),
+          expr("percentile(l_extendedprice, 0.99)").as("p99"))
+        .orderBy("l_returnflag")
+    }),
     "q_asof_join" -> ((s, dir) => {
       // attribution: each purchase joined to the user's most recent
       // prior (or simultaneous) click
@@ -392,6 +445,37 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  COUNT(*) AS n_rows
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_unpivot" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |    CAST(COUNT(*) AS DOUBLE) AS count_order
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |)
+        |SELECT l_returnflag, l_linestatus, 'sum_qty' AS metric, sum_qty AS metric_value FROM agg
+        |UNION ALL
+        |SELECT l_returnflag, l_linestatus, 'sum_base_price', sum_base_price FROM agg
+        |UNION ALL
+        |SELECT l_returnflag, l_linestatus, 'count_order', count_order FROM agg
+        |ORDER BY l_returnflag, l_linestatus, metric""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice::DOUBLE, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice::DOUBLE, 0.9) AS p90,
+        |  quantile_cont(l_extendedprice::DOUBLE, 0.99) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_asof_join" ->
       """WITH tagged AS (
         |  SELECT event_id, ts, user_id, event_type, value, props,
