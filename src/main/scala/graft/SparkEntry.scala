@@ -334,30 +334,56 @@ object SparkEntry {
             .cast("double").as("sum_value"))
         .orderBy("hour", "event_type")
     }),
-    "q_sessionize" -> ((s, dir) => {
-      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      Tables
-        .events(s, dir)
-        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+    "q_sessionize" -> ((s, dir) =>
+      sessionsDf(s, dir).orderBy("user_id", "session_id")),
+    "q_range_join" -> ((s, dir) => {
+      // events falling inside the 20 longest sessions ("incident
+      // windows") — point-in-interval via bucketized equi-join
+      val sess = sessionsDf(s, dir)
         .withColumn(
-          "new_session",
-          when(
-            col("prev_ts").isNull ||
-              unix_micros(col("ts").cast("timestamp")) -
-              unix_micros(col("prev_ts").cast("timestamp")) > 1800000000L,
-            1).otherwise(0))
-        .withColumn(
-          "session_id",
-          sum("new_session").over(
-            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("user_id", "session_id")
-        .agg(
-          count(lit(1)).as("n_events"),
-          min("ts").as("session_start"),
-          max("ts").as("session_end"))
-        .orderBy("user_id", "session_id")
+          "dur",
+          unix_micros(col("session_end").cast("timestamp")) -
+            unix_micros(col("session_start").cast("timestamp")))
+      val byDur = Window.orderBy(col("dur").desc, col("user_id"), col("session_id"))
+      val windows = sess
+        .orderBy(col("dur").desc, col("user_id"), col("session_id"))
+        .limit(20)
+        .withColumn("window_id", row_number().over(byDur).cast("long"))
+        .select("window_id", "session_start", "session_end")
+      graft.operators.RangeJoin
+        .pointInInterval(
+          Tables.events(s, dir).select("event_id", "ts"),
+          "ts", windows, "session_start", "session_end")
+        .select("event_id", "window_id")
+        .orderBy("window_id", "event_id")
     }),
   )
+
+  /** Gap-based sessionization of the events table (lag + cumulative
+    * sum; 30-minute gap) — shared by q_sessionize and q_range_join.
+    */
+  private def sessionsDf(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables
+      .events(s, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn(
+        "new_session",
+        when(
+          col("prev_ts").isNull ||
+            unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("prev_ts").cast("timestamp")) > 1800000000L,
+          1).otherwise(0))
+      .withColumn(
+        "session_id",
+        sum("new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts").as("session_start"),
+        max("ts").as("session_end"))
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -554,26 +580,48 @@ object SparkEntry {
         |GROUP BY 1, 2
         |ORDER BY hour, event_type""".stripMargin,
     "q_sessionize" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, ts,
-        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        |  FROM events
-        |), s AS (
-        |  SELECT user_id, event_id, ts,
-        |         CASE WHEN prev_ts IS NULL
-        |                OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
-        |              THEN 1 ELSE 0 END AS new_session
-        |  FROM e
-        |), t AS (
-        |  SELECT user_id, event_id, ts,
-        |         SUM(new_session) OVER (
-        |           PARTITION BY user_id ORDER BY ts, event_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-        |  FROM s
-        |)
-        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-        |  COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
-        |FROM t GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin,
+      s"""$sessionizeCtes
+         |SELECT user_id, session_id, n_events, session_start, session_end
+         |FROM sess ORDER BY user_id, session_id""".stripMargin,
+    "q_range_join" ->
+      s"""$sessionizeCtes,
+         |win AS (
+         |  SELECT window_id, session_start, session_end FROM (
+         |    SELECT CAST(ROW_NUMBER() OVER (
+         |             ORDER BY epoch_us(session_end) - epoch_us(session_start) DESC,
+         |                      user_id, session_id) AS BIGINT) AS window_id,
+         |           session_start, session_end
+         |    FROM sess) t2 WHERE window_id <= 20
+         |)
+         |SELECT e2.event_id, w.window_id
+         |FROM events e2 JOIN win w
+         |  ON e2.ts >= w.session_start AND e2.ts <= w.session_end
+         |ORDER BY window_id, event_id""".stripMargin,
   )
+
+  /** Shared DuckDB CTE chain producing the `sess` relation
+    * (sessionization twin of [[sessionsDf]]).
+    */
+  private val sessionizeCtes: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts,
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events
+      |), s AS (
+      |  SELECT user_id, event_id, ts,
+      |         CASE WHEN prev_ts IS NULL
+      |                OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM e
+      |), t AS (
+      |  SELECT user_id, event_id, ts,
+      |         SUM(new_session) OVER (
+      |           PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM s
+      |), sess AS (
+      |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |    COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+      |  FROM t GROUP BY user_id, session_id
+      |)""".stripMargin
 }
