@@ -57,6 +57,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("range join plans as a hash join on the bucket, never a nested loop") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("Join Inner"))
+  }
+
+  test("as-of join is pure window composition — no join operator at all") {
+    val p = plan("q_asof_join")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("Window"))
+    assert(p.contains("Union"))
+  }
+
   test("vector kernels appear as codegen'd expressions in the ANN plan") {
     val p = plan("q_embed_topk_brute")
     assert(p.contains("vec_dot"))
