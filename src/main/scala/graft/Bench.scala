@@ -24,13 +24,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var failed = false
       val times = (1 to iters).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            failed = true
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      // a failed query must read as a failure, not a fast success
+      name -> (if (failed) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -36,6 +36,34 @@ object DiffGen {
       singleLine: Boolean = false,
       stackInput: Option[String] = None)
 
+  /** RFC-4180-style CSV line split: handles quoted cells (so Snowflake
+    * types like `"NUMBER(38,0)"` keep their embedded comma) and `""`
+    * escapes. The reference uses Python's csv module; a raw
+    * `split(",")` would shift every cell after the first quoted type.
+    */
+  private[cli] def splitCsvLine(line: String): Seq[String] = {
+    val cells = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var inQuotes = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQuotes) {
+        if (c == '"' && i + 1 < line.length && line.charAt(i + 1) == '"') {
+          cur += '"'; i += 1
+        } else if (c == '"') inQuotes = false
+        else cur += c
+      } else c match {
+        case '"' => inQuotes = true
+        case ',' => cells += cur.result(); cur.clear()
+        case _ => cur += c
+      }
+      i += 1
+    }
+    cells += cur.result()
+    cells.toSeq
+  }
+
   /** Schema-descriptor CSV loader (G1, diffgen.py:30-34): Snowflake
     * `DESCRIBE TABLE` download format; only `name` and `type` are
     * consumed, extra columns optional (tests use truncated headers).
@@ -45,12 +73,12 @@ object DiffGen {
     val lines = Files.readAllLines(Paths.get(path)).toArray(Array.empty[String])
       .toSeq.filter(_.nonEmpty)
     require(lines.nonEmpty, s"empty schema csv: $path")
-    val header = lines.head.split(",", -1).map(_.trim.toLowerCase)
+    val header = splitCsvLine(lines.head).map(_.trim.toLowerCase)
     val nameIdx = header.indexOf("name")
     val typeIdx = header.indexOf("type")
     require(nameIdx >= 0, s"schema csv $path has no 'name' column")
     lines.tail.map { line =>
-      val cells = line.split(",", -1)
+      val cells = splitCsvLine(line)
       val name = cells(nameIdx).trim.toUpperCase
       val tpe = if (typeIdx >= 0 && typeIdx < cells.length) cells(typeIdx).trim else ""
       name -> tpe
@@ -102,16 +130,20 @@ object DiffGen {
     val positional = scala.collection.mutable.ArrayBuffer[String]()
     var cfg = Config("", "", "")
     var i = 0
+    def value(flag: String): String = {
+      require(i + 1 < args.length, s"$flag requires a value")
+      args(i + 1)
+    }
     while (i < args.length) {
       args(i) match {
-        case "--keys" => cfg = cfg.copy(keysCsv = args(i + 1)); i += 2
-        case "--before_where" => cfg = cfg.copy(beforeWhere = Some(args(i + 1))); i += 2
-        case "--after_where" => cfg = cfg.copy(afterWhere = Some(args(i + 1))); i += 2
-        case "--before_table" => cfg = cfg.copy(beforeTable = Some(args(i + 1))); i += 2
-        case "--after_table" => cfg = cfg.copy(afterTable = Some(args(i + 1))); i += 2
-        case "--out" => cfg = cfg.copy(out = args(i + 1)); i += 2
+        case f @ "--keys" => cfg = cfg.copy(keysCsv = value(f)); i += 2
+        case f @ "--before_where" => cfg = cfg.copy(beforeWhere = Some(value(f))); i += 2
+        case f @ "--after_where" => cfg = cfg.copy(afterWhere = Some(value(f))); i += 2
+        case f @ "--before_table" => cfg = cfg.copy(beforeTable = Some(value(f))); i += 2
+        case f @ "--after_table" => cfg = cfg.copy(afterTable = Some(value(f))); i += 2
+        case f @ "--out" => cfg = cfg.copy(out = value(f)); i += 2
         case "--single_line" => cfg = cfg.copy(singleLine = true); i += 1
-        case "--stack_input" => cfg = cfg.copy(stackInput = Some(args(i + 1))); i += 2
+        case f @ "--stack_input" => cfg = cfg.copy(stackInput = Some(value(f))); i += 2
         case p => positional += p; i += 1
       }
     }

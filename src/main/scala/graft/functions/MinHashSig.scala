@@ -19,6 +19,15 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig requires ARRAY<BIGINT> input, got ${other.catalogString}")
+    }
+
   protected override def nullSafeEval(input: Any): Any =
     MinHashSig.sig(input.asInstanceOf[ArrayData])
 

@@ -21,6 +21,13 @@ case class PolyHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "poly_hash"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[org.apache.spark.sql.types.StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"poly_hash requires STRING input, got ${child.dataType.catalogString}")
+
   protected override def nullSafeEval(input: Any): Any =
     PolyHash.hash(input.asInstanceOf[UTF8String].toString)
 

@@ -17,6 +17,15 @@ case class SimHashPack(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash_pack"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_pack requires ARRAY<BIGINT> input, got ${other.catalogString}")
+    }
+
   protected override def nullSafeEval(input: Any): Any =
     SimHashPack.pack(input.asInstanceOf[ArrayData])
 

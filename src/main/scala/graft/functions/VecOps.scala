@@ -19,6 +19,20 @@ abstract class VecFold extends BinaryExpression {
   override def dataType: DataType = DoubleType
   protected def fold(a: ArrayData, b: ArrayData): Double
 
+  // the kernels read 4-byte float slots — reject anything else at
+  // analysis time instead of returning garbage at runtime
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<FLOAT> inputs, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
   protected override def nullSafeEval(l: Any, r: Any): Any =
     fold(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
 }

@@ -24,6 +24,14 @@ import graft.functions.VectorExprs
   * instead. All hashes are oracle-reproducible polynomial folds
   * (see [[graft.functions.TextExprs]]); swap in `xxhash64` for raw
   * throughput when cross-engine reproducibility isn't needed.
+  *
+  * Cache lifecycle: these operators `persist()` load-bearing
+  * intermediates (multi-consumer array columns — SCALE.md "Hard-won
+  * Spark evaluation rules") and do NOT unpersist them, since the
+  * returned DataFrame still depends on them lazily. Callers running
+  * many invocations in one session should
+  * `spark.catalog.clearCache()` between batches (as graft.Verify and
+  * graft.Bench do) or unpersist after their terminal action.
   */
 object Dedup {
 

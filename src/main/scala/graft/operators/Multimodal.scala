@@ -85,7 +85,9 @@ object Multimodal {
     * fan-out is distributed, not driver-side.
     */
   def sampleFrames(media: DataFrame, frameBytes: Int = 32, stride: Int = 4): DataFrame =
-    media.select(
+    media
+      .filter(octet_length(col("media")) > 0) // empty payload → zero frames
+      .select(
       col("media_id"),
       posexplode(
         expr(s"transform(sequence(0, greatest(0, CAST(ceil(octet_length(media) / $frameBytes.0D) AS INT) - 1)), i -> substring(media, i * $frameBytes + 1, $frameBytes))"))

@@ -14,9 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object SkewUtils {
 
-  /** Two-stage salted sum+count per key. The salt is a deterministic
-    * hash of the row's value column — any distribution works because
-    * the second stage merges all salts of a key.
+  /** Two-stage salted sum+count per key. The salt derives from the
+    * row's position (`monotonically_increasing_id`), NOT from the
+    * data: hashing a value column would collapse a hot key whose
+    * values are constant (the canonical skew case — billions of
+    * default/sentinel values under one key) back onto one salt. Any
+    * assignment works because the second stage merges every salt of a
+    * key, so the nondeterminism of row ids across retries never
+    * reaches the result.
     */
   def saltedSumCount(
       df: DataFrame,
@@ -24,7 +29,7 @@ object SkewUtils {
       valueCol: Column,
       salts: Int = 16): DataFrame = {
     val keys = keyCols.map(col)
-    df.withColumn("_salt", pmod(xxhash64(valueCol), lit(salts)))
+    df.withColumn("_salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
       .groupBy(keys :+ col("_salt"): _*)
       .agg(sum(valueCol).as("_psum"), count(lit(1)).as("_pcount"))
       .groupBy(keys: _*)

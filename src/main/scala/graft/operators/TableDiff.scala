@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.MetadataBuilder
 
 /** Options for [[TableDiff.diff]].
   *
@@ -200,30 +201,58 @@ object TableDiff {
         .as(c)
     }
 
-    // O8 + output shape: _row_status first, K_ echoes, then the matrix
+    // O8 + output shape: _row_status first, K_ echoes, then the matrix.
+    // Status and key-echo columns carry metadata markers so the
+    // companion helpers identify them structurally — a name-prefix
+    // heuristic would silently misclassify a DATA column named K_*.
+    val keyMeta = new MetadataBuilder().putBoolean(TableDiff.KeyEchoMeta, true).build()
+    val statusMeta = new MetadataBuilder().putBoolean(TableDiff.StatusMeta, true).build()
     if (opts.statusesAsMap)
       joined.select(
         rowStatus +:
-          keyNames.map(k => col(opts.keyPrefix + k)) :+
+          keyNames.map(k => col(opts.keyPrefix + k).as(opts.keyPrefix + k, keyMeta)) :+
           map_from_arrays(
             array(allCols.map { case (c, _) => lit(c) }: _*),
-            array(allCols.map { case (c, _) => status(c) }: _*)).as("statuses"): _*)
+            array(allCols.map { case (c, _) => status(c) }: _*))
+            .as("statuses", statusMeta): _*)
     else
       joined.select(
         rowStatus +:
-          keyNames.map(k => col(opts.keyPrefix + k)) ++:
-          allCols.map { case (c, _) => status(c) }: _*)
+          keyNames.map(k => col(opts.keyPrefix + k).as(opts.keyPrefix + k, keyMeta)) ++:
+          allCols.map { case (c, _) => status(c).as(c, statusMeta) }: _*)
   }
 
-  /** The status columns of a diff result (everything but `_row_status`
-    * and the `K_` echoes).
+  /** Column-metadata keys marking a diff result's status cells and
+    * key echoes (set by [[diff]]), so helpers never have to guess
+    * from names.
     */
-  def statusColumns(diff: DataFrame, keyPrefix: String = "K_"): Seq[String] =
-    diff.columns.filterNot(c => c == RowStatus || c.startsWith(keyPrefix)).toSeq
+  val StatusMeta = "graft.diff.status"
+  val KeyEchoMeta = "graft.diff.keyEcho"
+
+  private def hasMeta(f: org.apache.spark.sql.types.StructField, key: String): Boolean =
+    f.metadata.contains(key) && f.metadata.getBoolean(key)
+
+  /** The status columns of a diff result. Prefers the metadata markers
+    * [[diff]] attaches; falls back to the name heuristic (everything
+    * but `_row_status` and `keyPrefix`-prefixed columns) for frames
+    * that lost metadata, e.g. a parquet round-trip.
+    */
+  def statusColumns(diff: DataFrame, keyPrefix: String = "K_"): Seq[String] = {
+    val marked = diff.schema.fields.filter(hasMeta(_, StatusMeta)).map(_.name).toSeq
+    if (marked.nonEmpty) marked
+    else diff.columns.filterNot(c => c == RowStatus || c.startsWith(keyPrefix)).toSeq
+  }
 
   /** "Any column differs" predicate (reference README.md:18,209 —
     * Excel-style "filter any column > 0"), V2 in SURVEY.md §2.2.
+    * Works for both output shapes (per-column INTs and the
+    * `statusesAsMap` MAP column).
     */
-  def anyColumnDiffers(diff: DataFrame, keyPrefix: String = "K_"): Column =
-    statusColumns(diff, keyPrefix).map(c => col(c) > 0).reduce(_ || _)
+  def anyColumnDiffers(diff: DataFrame, keyPrefix: String = "K_"): Column = {
+    val cols = statusColumns(diff, keyPrefix)
+    if (cols == Seq("statuses") &&
+      diff.schema("statuses").dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      exists(map_values(col("statuses")), _ > 0)
+    else cols.map(c => col(c) > 0).reduce(_ || _)
+  }
 }

@@ -30,6 +30,14 @@ object Tables {
     * microsecond-resolution) and matches DuckDB's naive TIMESTAMP in
     * the oracle. Integer `DIV` keeps the full 63-bit nanos precision
     * (a double division would lose bits above 2^53).
+    *
+    * NOTE: the conf set here is session-global and must stay set for
+    * the lifetime of this DataFrame (the parquet scan consults it at
+    * execution, not just at schema inference), so it is deliberately
+    * not restored. Side effect on other reads: TIMESTAMP(NANOS)
+    * columns elsewhere in the session read as LongType instead of
+    * failing — a benign direction, but order-dependent; sessions that
+    * need the hard error should not touch the events table.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -35,6 +35,31 @@ class CompanionSpec extends AnyFunSuite {
     assert(r.getAs[String]("engine_version").nonEmpty)
   }
 
+  test("a data column named K_* is still counted by summary/differingRows") {
+    import spark.implicits._
+    // name collides with the key-echo prefix — metadata markers, not
+    // name heuristics, must identify status columns
+    val before = Seq((1, 10.0)).toDF("id", "K_FACTOR")
+    val after = Seq((1, 99.0)).toDF("id", "K_FACTOR")
+    val d = TableDiff.diff(before, after, Seq("id"))
+    assert(TableDiff.statusColumns(d).contains("K_FACTOR"))
+    assert(graft.operators.DiffSummary.differingRows(d).count() == 1)
+    val s = graft.operators.DiffSummary.summary(d).collect().head
+    assert(s.getAs[Long]("rows_with_cell_diffs") == 1L)
+  }
+
+  test("summary/differingRows work on statusesAsMap output") {
+    import spark.implicits._
+    val before = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val after = Seq((1, "a"), (2, "x")).toDF("k", "v")
+    val d = TableDiff.diff(before, after, Seq("k"),
+      opts = DiffOptions(statusesAsMap = true))
+    assert(graft.operators.DiffSummary.differingRows(d).count() == 1)
+    val s = graft.operators.DiffSummary.summary(d).collect().head
+    assert(s.getAs[Long]("total_rows") == 2L)
+    assert(s.getAs[Long]("rows_with_cell_diffs") == 1L)
+  }
+
   test("statusesAsMap emits one MAP column with identical codes") {
     import spark.implicits._
     val before = Seq((1, "a", 10), (2, "b", 20)).toDF("k", "s", "v")

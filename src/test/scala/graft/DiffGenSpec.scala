@@ -40,6 +40,23 @@ class DiffGenSpec extends AnyFunSuite {
     assert(DiffGen.loadSchemaCsv(p.toString) == Seq("K1" -> "INT", "VAL" -> "VARCHAR"))
   }
 
+  test("schema CSV loader handles quoted type cells with embedded commas") {
+    val p = tmpCsv("t.csv",
+      """name,type,kind
+        |MY_COL,"NUMBER(38,0)",COLUMN
+        |OTHER,"VARCHAR(50)",COLUMN
+        |""".stripMargin)
+    assert(DiffGen.loadSchemaCsv(p.toString) ==
+      Seq("MY_COL" -> "NUMBER(38,0)", "OTHER" -> "VARCHAR(50)"))
+  }
+
+  test("flag missing its value fails with a message, not an index error") {
+    val e = intercept[IllegalArgumentException] {
+      DiffGen.parseArgs(Seq("b.csv", "a.csv", "--keys"))
+    }
+    assert(e.getMessage.contains("--keys requires a value"))
+  }
+
   test("type classing collapses to TEXT/NUMBER with TEXT fallback (G2)") {
     assert(DiffGen.typeClass("NUMBER(15,2)") == "NUMBER")
     assert(DiffGen.typeClass("DECIMAL") == "NUMBER")

@@ -43,4 +43,13 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().head.getAs[String]("text")
     assert(new String(f0.getAs[Array[Byte]]("frame"), "UTF-8") == txt.take(32))
   }
+
+  test("empty payloads contribute zero frames") {
+    import spark.implicits._
+    val m = Multimodal.synthesizeMedia(
+      Seq((1L, ""), (2L, "some actual payload")).toDF("doc_id", "text"))
+    val frames = Multimodal.sampleFrames(m)
+    assert(frames.filter("media_id = 1").count() == 0)
+    assert(frames.filter("media_id = 2").count() == 1)
+  }
 }
