@@ -49,6 +49,11 @@ import org.apache.spark.sql.types.MetadataBuilder
   *   coalesce/isnull pairs, whose required distribution a bucketed
   *   table layout can never satisfy, so co-located bucket joins
   *   (zero-shuffle recurring diffs, BucketedDiffSpec) need `=` keys.
+  * @param preferShuffledHash hint the join to ShuffledHashJoin
+  *   instead of sort-merge: skips both sort phases (~25% faster at
+  *   bench scale) but builds a per-partition hash map of one side —
+  *   use when partitions comfortably fit executor memory; sort-merge
+  *   (default) degrades gracefully via spill at 100 TB.
   */
 final case class DiffOptions(
     legacyRowStatusZero: Boolean = false,
@@ -57,7 +62,8 @@ final case class DiffOptions(
     upperCase: Boolean = false,
     statusesAsMap: Boolean = false,
     nullKeySideChannel: Boolean = false,
-    keysNotNull: Boolean = false)
+    keysNotNull: Boolean = false,
+    preferShuffledHash: Boolean = false)
 
 /** Spark-native re-expression of the reference's generated diff query
   * (reference: checkatron/templates/full_compare.sql.j2 — the entire
@@ -173,7 +179,9 @@ object TableDiff {
             else bAligned(s"b_$k") <=> aAligned(s"a_$k")
           }
           .reduce(_ && _)
-        val j = bAligned.join(aAligned, cond, "full_outer")
+        val aSide =
+          if (opts.preferShuffledHash) aAligned.hint("shuffle_hash") else aAligned
+        val j = bAligned.join(aSide, cond, "full_outer")
         // echo keys from whichever side is present (equal when both)
         keyNames.foldLeft(j) { (df, k) =>
           df.withColumn(opts.keyPrefix + k, coalesce(col(s"b_$k"), col(s"a_$k")))

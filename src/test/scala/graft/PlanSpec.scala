@@ -25,6 +25,17 @@ class PlanSpec extends AnyFunSuite {
     assert("[+:]- Exchange".r.findAllIn(p).size <= 3)
   }
 
+  test("preferShuffledHash hints the diff join to ShuffledHashJoin") {
+    import graft.operators.{DiffOptions, TableDiff}
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val d = TableDiff.diff(o, o, Seq("o_orderkey"),
+      opts = DiffOptions(preferShuffledHash = true))
+    val p = d.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("ShuffledHashJoin"), p.take(1500))
+    assert(d.count() == o.count()) // and still computes correctly
+  }
+
   test("literal-plan mode really builds union-distinct keys + two left joins") {
     val p = plan("q_diff_orders_literal")
     assert("Join LeftOuter".r.findAllIn(p).size == 2, p.take(2000))
