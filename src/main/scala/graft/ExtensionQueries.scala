@@ -139,20 +139,35 @@ object ExtensionQueries {
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 4
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "q_dedup_embed" ->
+    "q_dedup_embed" -> {
+      // mirrors the Spark operator's comparison-bit band candidate
+      // generation (VectorExprs.cmpBandKeys*) — one definition of
+      // semantics, two dialects, like the minhash oracle
+      val bandSelects = VectorExprs.cmpBandKeysDuck("embedding").zipWithIndex
+        .map { case (k, b) => s"SELECT vec_id, $b AS band, $k AS bkey FROM e" }
+        .mkString("\n  UNION ALL\n  ")
       s"""WITH corpus AS (
          |${Corpus.embCorpusSql}
          |), e AS (
-         |  SELECT vec_id, label, embedding,
+         |  SELECT vec_id, embedding,
          |         sqrt(${VectorExprs.dotDuck("embedding", "embedding")}) AS norm
          |  FROM corpus
+         |), bands AS (
+         |  $bandSelects
+         |), cand AS (
+         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id
          |), p AS (
-         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-         |    CAST(floor(1e6 * ((${VectorExprs.dotDuck("x.embedding", "y.embedding")}) / (x.norm * y.norm))) AS BIGINT) AS cos_ppm
-         |  FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
+         |  SELECT vec_a, vec_b,
+         |    CAST(floor(1e6 * ((${VectorExprs.dotDuck("ex.embedding", "ey.embedding")}) / (ex.norm * ey.norm))) AS BIGINT) AS cos_ppm
+         |  FROM cand
+         |  JOIN e ex ON ex.vec_id = cand.vec_a
+         |  JOIN e ey ON ey.vec_id = cand.vec_b
          |)
          |SELECT vec_a, vec_b, cos_ppm FROM p
-         |WHERE cos_ppm >= 999000 ORDER BY vec_a, vec_b""".stripMargin,
+         |WHERE cos_ppm >= 999000 ORDER BY vec_a, vec_b""".stripMargin
+    },
 
     "q_embed_topk_brute" ->
       s"""WITH q AS (

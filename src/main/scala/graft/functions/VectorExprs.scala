@@ -29,4 +29,47 @@ object VectorExprs {
     s"(${dotSpark(a, b)}) / (sqrt(${dotSpark(a, a)}) * sqrt(${dotSpark(b, b)}))"
   def cosineDuck(a: String, b: String): String =
     s"(${dotDuck(a, b)}) / (sqrt(${dotDuck(a, a)}) * sqrt(${dotDuck(b, b)}))"
+
+  // ---------- comparison-bit LSH bands (near-dup candidate blocking) ----------
+  /** Winner-take-all-style sketch: bit t is `x[a_t] > x[b_t]` for a
+    * fixed pseudo-random index pair (a_t, b_t). Comparisons are
+    * invariant under positive per-vector scaling (float multiply by a
+    * positive constant is monotone), so scaled near-duplicates collide
+    * with probability ~1 — and the bits cost O(1) each, no dot
+    * products. Grouped into [[CmpBands]] bands of [[CmpBitsPerBand]]
+    * bits; candidate pairs agree on at least one whole band (same
+    * banding scheme as MinHash-LSH). Cf. Yagnik et al., "The Power of
+    * Comparative Reasoning" (ICCV 2011).
+    */
+  val CmpBands = 8
+  val CmpBitsPerBand = 8
+
+  /** Deterministic index pair for comparison bit `t` (both dialects
+    * embed the same literals, so the bands are engine-identical).
+    */
+  def cmpPair(t: Int): (Int, Int) = {
+    def h(x: Int): Int = (((x + 1) * 2654435761L) % 1000000007L % Dim).toInt
+    val a = h(2 * t)
+    val b0 = h(2 * t + 1)
+    val b = if (b0 == a) (b0 + 1) % Dim else b0
+    (a, b)
+  }
+
+  /** One packed band-key expression per band. Spark arrays index
+    * 0-based, DuckDB lists 1-based.
+    */
+  def cmpBandKeysSpark(e: String): Seq[String] =
+    (0 until CmpBands).map { band =>
+      (0 until CmpBitsPerBand).map { j =>
+        val (a, b) = cmpPair(band * CmpBitsPerBand + j)
+        s"(CASE WHEN $e[$a] > $e[$b] THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+    }
+  def cmpBandKeysDuck(e: String): Seq[String] =
+    (0 until CmpBands).map { band =>
+      (0 until CmpBitsPerBand).map { j =>
+        val (a, b) = cmpPair(band * CmpBitsPerBand + j)
+        s"(CASE WHEN $e[${a + 1}] > $e[${b + 1}] THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+    }
 }

@@ -19,9 +19,11 @@ import graft.functions.VectorExprs
   * quadratic per shared gram and exists as the small-scale oracle /
   * verifier; MinHash-LSH is the production path — cost is
   * O(docs × bands) explode + an equi-join on (band, key), both
-  * shuffle-partitionable, no cross join anywhere. SimHash pairs are
-  * blocked per `source` here; at scale, block by fingerprint prefix
-  * instead. All hashes are oracle-reproducible polynomial folds
+  * shuffle-partitionable, no cross join anywhere. SimHash candidates
+  * come from the lossless pigeonhole multi-index over fingerprint
+  * segments; embedding near-dup candidates from scale-invariant
+  * comparison-bit LSH bands — both equi-joins, no within-block
+  * cartesian anywhere. All hashes are oracle-reproducible polynomial folds
   * (see [[graft.functions.TextExprs]]); swap in `xxhash64` for raw
   * throughput when cross-engine reproducibility isn't needed.
   *
@@ -147,15 +149,41 @@ object Dedup {
       .select("doc_a", "doc_b", "n_agree")
   }
 
+  /** Disjoint bit segments covering the SimHash fingerprint:
+    * `maxHamming + 1` segments of near-equal width. Pigeonhole: a pair
+    * with Hamming distance ≤ maxHamming differs in at most maxHamming
+    * bits, which can touch at most maxHamming of the maxHamming+1
+    * segments — so the pair agrees EXACTLY on at least one whole
+    * segment. Candidate generation on (segment_idx, segment_value) is
+    * therefore a lossless equi-join: same answer as all-pairs, but
+    * hash-join-shaped (the 100 TB requirement).
+    */
+  private[graft] def simhashSegments(maxHamming: Int): Seq[(Int, Int)] = {
+    require(maxHamming >= 0 && maxHamming < SimhashBits,
+      s"maxHamming must be in [0, $SimhashBits)")
+    val nSeg = maxHamming + 1
+    val base = SimhashBits / nSeg
+    val rem = SimhashBits % nSeg
+    val widths = Seq.tabulate(nSeg)(i => if (i < rem) base + 1 else base)
+    widths.scanLeft(0)(_ + _).init.zip(widths)
+  }
+
   /** SimHash near-dup pairs: 30-bit fingerprints, Hamming distance
-    * within `source` blocks.
+    * within `source` blocks. Candidates come from the pigeonhole
+    * multi-index (see [[simhashSegments]]) — an equi-join on
+    * (block, segment, segment_value) with an exact
+    * `bit_count(xor) <= maxHamming` refine, never an all-pairs sweep.
+    * `pigeonhole = false` selects the quadratic-within-block reference
+    * formulation (the small-scale verifier DedupSimilaritySpec uses to
+    * prove the equi-join candidates are lossless).
     */
   def simhashPairs(
       docs: DataFrame,
       maxHamming: Int = 4,
       blockCol: String = "source",
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      pigeonhole: Boolean = true): DataFrame = {
     PolyHash.register(docs.sparkSession)
     graft.functions.SimHashPack.register(docs.sparkSession)
     // simhash_pack consumes the word-hash array exactly once in a
@@ -169,46 +197,88 @@ object Dedup {
         col(blockCol).as("block"),
         expr(s"simhash_pack(${wordHashArraySpark(wordsSpark(textCol))})").as("simhash"))
       .persist()
-    fp.as("x")
-      .join(fp.as("y"),
-        col("x.block") === col("y.block") && col("x.doc_id") < col("y.doc_id"))
-      .withColumn(
-        "hamming",
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long"))
+    val cand =
+      if (!pigeonhole) {
+        fp.as("x")
+          .join(fp.as("y"),
+            col("x.block") === col("y.block") && col("x.doc_id") < col("y.doc_id"))
+          .select(
+            col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+      } else {
+        val segStructs = simhashSegments(maxHamming).zipWithIndex
+          .map { case ((start, width), i) =>
+            s"struct($i AS seg, shiftright(simhash, $start) & ${(1L << width) - 1}L AS segval)"
+          }
+          .mkString(", ")
+        val sg = fp
+          .select(
+            col("doc_id"), col("block"), col("simhash"),
+            expr(s"explode(array($segStructs))").as("sk"))
+          .select(
+            col("doc_id"), col("block"), col("simhash"),
+            col("sk.seg").as("sh_seg"), col("sk.segval").as("sh_key"))
+        sg.as("x")
+          .join(sg.as("y"),
+            col("x.sh_seg") === col("y.sh_seg") &&
+              col("x.sh_key") === col("y.sh_key") &&
+              col("x.block") === col("y.block") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(
+            col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+          .distinct() // a pair can agree on several segments
+      }
+    cand
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select(
-        col("x.doc_id").as("doc_a"),
-        col("y.doc_id").as("doc_b"),
-        col("hamming"))
+      .select("doc_a", "doc_b", "hamming")
   }
 
-  /** Embedding-cosine near-duplicate pairs, blocked by `label` (a
-    * stand-in for an LSH/IVF bucket at scale).
+  /** Embedding-cosine near-duplicate pairs. Candidate blocks are
+    * derived from the data: comparison-bit LSH bands
+    * ([[graft.functions.VectorExprs.cmpBandKeysSpark]]) — bit t is
+    * `x[a_t] > x[b_t]`, invariant under positive scaling, so scaled
+    * copies collide in every band; a pair is a candidate when any of
+    * the 8 bands agrees in full. Candidate generation is an equi-join
+    * on (band, key) — partitionable, no within-block cartesian — and
+    * the refine is the exact cosine threshold.
     */
   def embeddingPairs(
       emb: DataFrame,
       minCosPpm: Long = 999000L,
-      blockCol: String = "label",
       idCol: String = "vec_id"): DataFrame = {
     graft.functions.VecDot.register(emb.sparkSession)
-    // precompute per-vector norms once (N rows) instead of per pair
-    // (N²/blocks rows) — value-identical, the oracle mirrors this
-    // shape; materialized because the self-join reads it twice
+    // precompute per-vector norms once (N rows) instead of per
+    // candidate; materialized because the band self-join reads the
+    // frame twice
     val e = emb.select(
       col(idCol).as("vec_id"),
-      col(blockCol).as("block"),
       col("embedding"),
       expr(s"sqrt(${VectorExprs.dotSpark("embedding", "embedding")})").as("norm"))
       .persist()
-    e.as("x")
-      .join(e.as("y"),
-        col("x.block") === col("y.block") && col("x.vec_id") < col("y.vec_id"))
-      .withColumn(
-        "cos",
-        expr(VectorExprs.dotSpark("x.embedding", "y.embedding")) /
-          (col("x.norm") * col("y.norm")))
+    val bandStructs = VectorExprs.cmpBandKeysSpark("embedding").zipWithIndex
+      .map { case (k, b) => s"struct($b AS band, $k AS bkey)" }
+      .mkString(", ")
+    val bands = e
+      .select(
+        col("vec_id"), col("embedding"), col("norm"),
+        expr(s"explode(array($bandStructs))").as("bk"))
+      .select(
+        col("vec_id"), col("embedding"), col("norm"),
+        col("bk.band").as("eb_band"), col("bk.bkey").as("eb_key"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.eb_band") === col("y.eb_band") && col("x.eb_key") === col("y.eb_key") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(
+        col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        col("x.embedding").as("ea"), col("y.embedding").as("eb"),
+        col("x.norm").as("na"), col("y.norm").as("nb"))
+      .distinct() // a pair can collide in several bands
+      .withColumn("cos", expr(VectorExprs.dotSpark("ea", "eb")) / (col("na") * col("nb")))
       .withColumn("cos_ppm", floor(lit(1000000.0) * col("cos")).cast("long"))
       .filter(col("cos_ppm") >= minCosPpm)
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"), col("cos_ppm"))
+      .select("vec_a", "vec_b", "cos_ppm")
   }
 }

@@ -56,6 +56,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
       Math.ceil(500.0 / 7).toLong)
   }
 
+  test("SimHash pigeonhole candidates are lossless vs the all-pairs reference") {
+    // the pigeonhole bound must hold at any maxHamming, including ones
+    // with uneven segment widths (30 bits / 3, 5, 8 segments)
+    for (k <- Seq(2, 4, 7)) {
+      def pairs(pigeonhole: Boolean): Set[(Long, Long, Long)] =
+        Dedup.simhashPairs(corpus, maxHamming = k, pigeonhole = pigeonhole)
+          .collect()
+          .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming")))
+          .toSet
+      val blocked = pairs(pigeonhole = true)
+      val allPairs = pairs(pigeonhole = false)
+      assert(blocked == allPairs, s"maxHamming=$k: pigeonhole diverged from all-pairs")
+      assert(blocked.nonEmpty, s"maxHamming=$k produced no pairs — vacuous comparison")
+    }
+  }
+
   test("embedding near-dup pairs = exactly the planted scaled copies") {
     val p = Dedup.embeddingPairs(Corpus.embCorpus(spark, dir))
     val rows = p.collect()

@@ -81,6 +81,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Union"))
   }
 
+  test("simhash candidates are an equi-join on pigeonhole segments, not a block cartesian") {
+    val p = plan("q_dedup_simhash")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the segment value participates in the join keys — candidates are
+    // bucketed by fingerprint content, not just the block column
+    assert(p.contains("sh_key"), p.take(2000))
+  }
+
+  test("embedding near-dup candidates are an equi-join on LSH band keys") {
+    val p = plan("q_dedup_embed")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("eb_key"), p.take(2000))
+  }
+
   test("vector kernels appear as codegen'd expressions in the ANN plan") {
     val p = plan("q_embed_topk_brute")
     assert(p.contains("vec_dot"))
