@@ -353,7 +353,8 @@ object SparkEntry {
       graft.operators.RangeJoin
         .pointInInterval(
           Tables.events(s, dir).select("event_id", "ts"),
-          "ts", windows, "session_start", "session_end")
+          "ts", windows, "session_start", "session_end",
+          broadcastIntervals = true)
         .select("event_id", "window_id")
         .orderBy("window_id", "event_id")
     }),

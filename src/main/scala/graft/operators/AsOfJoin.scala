@@ -24,6 +24,12 @@ object AsOfJoin {
     * Right-side payload columns come back as `asof_<name>` (NULL when
     * no prior right row exists). Ties at equal timestamps prefer the
     * right row (it is "already visible"), then break by `tieCol`.
+    *
+    * A right row whose payload value is genuinely NULL yields
+    * `asof_<name> = NULL` — the payload rides inside a per-row
+    * non-null struct, so the running `last(_, ignoreNulls)` tracks
+    * the latest right ROW rather than the latest non-null VALUE and
+    * never carries a stale earlier payload across a NULL observation.
     */
   def lastPrior(
       left: DataFrame,
@@ -41,14 +47,17 @@ object AsOfJoin {
         (partitionCols.map(col) :+ col(timeCol) :+ col(tieCol) :+ col("_is_left")) ++
           leftCols.filterNot(c => partitionCols.contains(c) || c == timeCol || c == tieCol)
             .map(col) ++
-          payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+          payloadCols.map(c =>
+            lit(null).cast(org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("v", right.schema(c).dataType))))
+              .as(s"_r_$c")): _*)
     val rTagged = right
       .withColumn("_is_left", lit(0))
       .select(
         (partitionCols.map(col) :+ col(timeCol) :+ col(tieCol) :+ col("_is_left")) ++
           leftCols.filterNot(c => partitionCols.contains(c) || c == timeCol || c == tieCol)
             .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-          payloadCols.map(c => col(c).as(s"_r_$c")): _*)
+          payloadCols.map(c => struct(col(c).as("v")).as(s"_r_$c")): _*)
     val byTime = Window
       .partitionBy(partitionCols.map(col): _*)
       .orderBy(col(timeCol), col("_is_left"), col(tieCol))
@@ -58,6 +67,8 @@ object AsOfJoin {
     }
     carried
       .filter(col("_is_left") === 1)
-      .select(leftCols.map(col) ++ payloadCols.map(c => col(s"asof_$c")): _*)
+      .select(
+        leftCols.map(col) ++
+          payloadCols.map(c => col(s"asof_$c").getField("v").as(s"asof_$c")): _*)
   }
 }

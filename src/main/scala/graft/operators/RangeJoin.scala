@@ -19,6 +19,14 @@ object RangeJoin {
 
   /** Inclusive-bounds point-in-interval join. Column names of
     * `points` and `intervals` must be disjoint.
+    *
+    * Set `broadcastIntervals` when the interval side is known-small
+    * (top-k incident windows, a calendar table): it pins a broadcast
+    * hash join so the points side is never shuffled, independent of
+    * whatever size estimate Catalyst derives for the post-explode
+    * frame — at high scale the stats on a windowed/limited subtree
+    * are unknown and the planner would otherwise fall back to
+    * shuffling both sides on `_bucket`.
     */
   def pointInInterval(
       points: DataFrame,
@@ -26,7 +34,8 @@ object RangeJoin {
       intervals: DataFrame,
       startCol: String,
       endCol: String,
-      bucketMicros: Long = 600000000L /* 10 min */ ): DataFrame = {
+      bucketMicros: Long = 600000000L /* 10 min */,
+      broadcastIntervals: Boolean = false): DataFrame = {
     val pb = points.withColumn(
       "_bucket",
       expr(s"unix_micros(CAST($pointTimeCol AS TIMESTAMP)) DIV $bucketMicros"))
@@ -38,7 +47,7 @@ object RangeJoin {
     // a point lives in exactly one bucket and an interval is listed
     // once per bucket it spans → each (point, interval) pair meets at
     // most once; no dedup needed after the refine
-    pb.join(ib, "_bucket")
+    pb.join(if (broadcastIntervals) broadcast(ib) else ib, "_bucket")
       .filter(col(pointTimeCol) >= col(startCol) && col(pointTimeCol) <= col(endCol))
       .drop("_bucket")
   }

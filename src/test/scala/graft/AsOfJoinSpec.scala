@@ -36,4 +36,26 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(r(103L) == ((null, null))) // no prior right row
     assert(r(104L) == ((4L, 200.0)))
   }
+
+  test("a genuinely-NULL right payload is carried as NULL, not the previous non-NULL value") {
+    import spark.implicits._
+    val trades = Seq(
+      (201L, ts(5), 1L),  // after quote@1 (price 100) → 100
+      (202L, ts(12), 1L), // after quote@10 whose price is NULL → NULL, not 100
+      (203L, ts(20), 1L)  // after quote@15 (price 120) → 120
+    ).toDF("event_id", "ts", "user_id")
+    val quotes = Seq(
+      (1L, ts(1), 1L, Some(100.0)),
+      (2L, ts(10), 1L, None), // the NULL observation that must not be skipped
+      (3L, ts(15), 1L, Some(120.0))
+    ).toDF("event_id", "ts", "user_id", "price")
+    val r = AsOfJoin.lastPrior(
+      trades, quotes, Seq("user_id"), "ts",
+      payloadCols = Seq("event_id", "price"), tieCol = "event_id")
+      .collect().map(x => x.getAs[Long]("event_id") ->
+        (x.getAs[Any]("asof_event_id"), x.getAs[Any]("asof_price"))).toMap
+    assert(r(201L) == ((1L, 100.0)))
+    assert(r(202L) == ((2L, null))) // latest right ROW wins; its NULL is the answer
+    assert(r(203L) == ((3L, 120.0)))
+  }
 }
