@@ -115,6 +115,38 @@ object SparkEntry {
           Tables.lineitemAfter(s, dir))
         .orderBy("source", "l_orderkey", "l_linenumber")
     }),
+    "q_diff_ctas" -> ((s, dir) => {
+      // O10 materialized sink: the reference's one output IS a
+      // persisted diff_result table (full_compare.sql.j2:10 CTAS).
+      // Write the diff, then answer from the materialization — the
+      // hash compare therefore verifies the write+read round trip,
+      // not just the plan.
+      val d = TableDiff.diff(
+        Tables.orders(s, dir),
+        Tables.ordersAfter(s, dir),
+        Seq("o_orderkey"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ctas_orders_diff"
+      d.write.mode("overwrite").parquet(path)
+      s.read.parquet(path).orderBy("K_o_orderkey")
+    }),
+    "q_diff_statuses_map" -> ((s, dir) => {
+      // wide-schema escape hatch: ONE MAP column instead of a status
+      // column per union column; presented as parallel sorted arrays
+      // because the driver's comparator stringifies via DuckDB, whose
+      // MAP rendering differs from parquet's
+      val d = TableDiff.diff(
+        Tables.lineitem(s, dir),
+        Tables.lineitemAfter(s, dir),
+        Seq("l_orderkey", "l_linenumber"),
+        opts = DiffOptions(statusesAsMap = true))
+      d.select(
+        col(TableDiff.RowStatus),
+        col("K_l_orderkey"),
+        col("K_l_linenumber"),
+        map_keys(col("statuses")).as("status_cols"),
+        map_values(col("statuses")).as("status_vals"))
+        .orderBy("K_l_orderkey", "K_l_linenumber")
+    }),
 
     // ---- relational building blocks (SURVEY §2.1/2.2) ----
     "q_scan_filter" -> ((s, dir) => {
@@ -426,6 +458,20 @@ object SparkEntry {
          |${Tables.lineitemAfterSql}
          |)
          |ORDER BY source, l_orderkey, l_linenumber""".stripMargin
+    },
+    "q_diff_ctas" ->
+      s"$ordersDiffSql\nORDER BY K_o_orderkey",
+    "q_diff_statuses_map" -> {
+      val cols = lineitemCols :+ "extra_col"
+      val names = cols.map(c => s"'$c'").mkString(", ")
+      val vals = cols.mkString(", ")
+      s"""WITH diff AS (
+         |$lineitemDiffSql
+         |)
+         |SELECT _row_status, K_l_orderkey, K_l_linenumber,
+         |  [$names] AS status_cols,
+         |  [$vals] AS status_vals
+         |FROM diff ORDER BY K_l_orderkey, K_l_linenumber""".stripMargin
     },
     "q_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate

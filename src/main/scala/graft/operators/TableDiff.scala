@@ -255,12 +255,19 @@ object TableDiff {
     * Excel-style "filter any column > 0"), V2 in SURVEY.md §2.2.
     * Works for both output shapes (per-column INTs and the
     * `statusesAsMap` MAP column).
+    *
+    * The per-column form is `greatest(cols…) > 0`, not an OR chain:
+    * status cells are non-null ints, so the two are equivalent, and a
+    * left-deep `c1 > 0 OR c2 > 0 OR …` over thousands of columns
+    * overflows the analyzer's recursion (one stack frame per Or node)
+    * — `greatest` is a single flat expression regardless of width.
     */
   def anyColumnDiffers(diff: DataFrame, keyPrefix: String = "K_"): Column = {
     val cols = statusColumns(diff, keyPrefix)
     if (cols == Seq("statuses") &&
       diff.schema("statuses").dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
       exists(map_values(col("statuses")), _ > 0)
-    else cols.map(c => col(c) > 0).reduce(_ || _)
+    else if (cols.sizeIs == 1) col(cols.head) > 0
+    else greatest(cols.map(col): _*) > 0
   }
 }
