@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextExprs._
 import graft.functions.VectorExprs
-import graft.operators.{Dedup, SimilaritySearch, TextAnalysis}
+import graft.operators.{ConnectedComponents, Dedup, SimilaritySearch, TextAnalysis}
 import graft.sources.{Corpus, Tables}
 
 /** Training-data-pipeline extension queries (dedup, similarity
@@ -27,6 +27,19 @@ object ExtensionQueries {
       Dedup.simhashPairs(Corpus.docCorpus(s, dir)).orderBy("doc_a", "doc_b")),
     "q_dedup_embed" -> ((s, dir) =>
       Dedup.embeddingPairs(Corpus.embCorpus(s, dir)).orderBy("vec_a", "vec_b")),
+    "q_dedup_clusters" -> ((s, dir) => {
+      // pairs → clusters: minimum-label propagation over the minhash
+      // near-dup pairs; component = canonical (minimum) doc_id
+      val pairs = Dedup.minhashPairs(Corpus.docCorpus(s, dir))
+      val labels = ConnectedComponents.labelPropagate(pairs, "doc_a", "doc_b")
+      labels
+        .withColumn(
+          "cluster_size",
+          count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("component")))
+        .select(col("node").as("doc_id"), col("component"), col("cluster_size"))
+        .orderBy("doc_id")
+    }),
 
     // ---- similarity search ----
     "q_embed_topk_brute" -> ((s, dir) =>
@@ -61,6 +74,41 @@ object ExtensionQueries {
   private val corpus = Corpus.docCorpusSql
   private val tokGuard3 = s"${tokenCountDuck("text")} >= 3"
 
+  /** The minhash near-dup pairs as bare SQL (no final ORDER BY) —
+    * shared by the q_dedup_minhash oracle and, as the edge list, by
+    * the q_dedup_clusters recursive-CTE oracle.
+    */
+  private val minhashPairsSql: String = {
+    val bandSelects = bandKeysDuck("sig").zipWithIndex
+      .map { case (k, b) => s"SELECT doc_id, $b AS band, $k AS bkey FROM tok" }
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH corpus AS (
+       |$corpus
+       |), tokw AS (
+       |  SELECT doc_id, ${wordHashArrayDuck(wordsDuck("text"))} AS wh
+       |  FROM corpus WHERE $tokGuard3
+       |), tok0 AS (
+       |  SELECT doc_id, ${shingleHashesFromWordHashesDuck("wh", 3)} AS grams FROM tokw
+       |), tok AS (
+       |  SELECT doc_id, ${minhashSigDuck("grams")} AS sig FROM tok0
+       |), bands AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+       |), j AS (
+       |  SELECT doc_a, doc_b, tx.sig AS siga, ty.sig AS sigb
+       |  FROM cand
+       |  JOIN tok tx ON tx.doc_id = cand.doc_a
+       |  JOIN tok ty ON ty.doc_id = cand.doc_b
+       |), r AS (
+       |  SELECT doc_a, doc_b, ${sigAgreementDuck("siga", "sigb")} AS n_agree FROM j
+       |)
+       |SELECT doc_a, doc_b, n_agree FROM r
+       |WHERE n_agree >= ${NumMinhash / 2}""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
       s"""WITH corpus AS (
@@ -93,36 +141,31 @@ object ExtensionQueries {
          |SELECT doc_a, doc_b, shared, jaccard_ppm FROM j
          |WHERE jaccard_ppm >= 300000 ORDER BY doc_a, doc_b""".stripMargin,
 
-    "q_dedup_minhash" -> {
-      val bandSelects = bandKeysDuck("sig").zipWithIndex
-        .map { case (k, b) => s"SELECT doc_id, $b AS band, $k AS bkey FROM tok" }
-        .mkString("\n  UNION ALL\n  ")
-      s"""WITH corpus AS (
-         |$corpus
-         |), tokw AS (
-         |  SELECT doc_id, ${wordHashArrayDuck(wordsDuck("text"))} AS wh
-         |  FROM corpus WHERE $tokGuard3
-         |), tok0 AS (
-         |  SELECT doc_id, ${shingleHashesFromWordHashesDuck("wh", 3)} AS grams FROM tokw
-         |), tok AS (
-         |  SELECT doc_id, ${minhashSigDuck("grams")} AS sig FROM tok0
-         |), bands AS (
-         |  $bandSelects
-         |), cand AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
-         |), j AS (
-         |  SELECT doc_a, doc_b, tx.sig AS siga, ty.sig AS sigb
-         |  FROM cand
-         |  JOIN tok tx ON tx.doc_id = cand.doc_a
-         |  JOIN tok ty ON ty.doc_id = cand.doc_b
-         |), r AS (
-         |  SELECT doc_a, doc_b, ${sigAgreementDuck("siga", "sigb")} AS n_agree FROM j
+    "q_dedup_minhash" ->
+      s"$minhashPairsSql ORDER BY doc_a, doc_b",
+
+    "q_dedup_clusters" ->
+      // exact reachability oracle: enumerate every (node, reachable
+      // label) via a recursive CTE, take the minimum — the textbook
+      // definition the iterative Spark propagation must agree with
+      s"""WITH RECURSIVE pairs AS (
+         |$minhashPairsSql
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs
+         |), nodes AS (
+         |  SELECT DISTINCT src AS node FROM edges
+         |), reach(node, lbl) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+         |), comp AS (
+         |  SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node
          |)
-         |SELECT doc_a, doc_b, n_agree FROM r
-         |WHERE n_agree >= ${NumMinhash / 2} ORDER BY doc_a, doc_b""".stripMargin
-    },
+         |SELECT doc_id, component,
+         |       CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size
+         |FROM comp ORDER BY doc_id""".stripMargin,
 
     "q_dedup_simhash" ->
       s"""WITH corpus AS (

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair list, in pure DataFrame ops —
+  * the step that turns near-duplicate PAIRS (Dedup.minhashPairs and
+  * friends) into duplicate CLUSTERS with one canonical document each.
+  *
+  * Algorithm: iterative minimum-label propagation. Every node starts
+  * labeled with its own id; each round replaces a node's label with
+  * the minimum over itself and its neighbors' labels; at fixpoint the
+  * label is the minimum node id reachable in the component — a
+  * deterministic canonical id, independent of iteration schedule.
+  *
+  * Scale shape: one round = one equi-join of the (symmetrized) edge
+  * list against the label frame plus a groupBy-min — both hash
+  * shuffles on node id, no driver-side graph. Rounds needed = graph
+  * diameter; duplicate clusters are near-cliques (diameter ≈ 1-2), so
+  * the loop converges in 2-3 rounds on dedup workloads. The driver
+  * loop holds only a changed-row COUNT, never node data. For
+  * adversarial long-chain graphs swap in large-star/small-star
+  * (O(log n) rounds, same join-shaped building blocks); for dedup
+  * output, min-propagation with a diameter-bound iteration cap is the
+  * simpler and sufficient tool.
+  */
+object ConnectedComponents {
+
+  /** Component labels for every node incident to at least one edge:
+    * (node, component) where component = min reachable node id.
+    * Nodes with no edges are the caller's business (a doc in no pair
+    * is its own singleton cluster and needs no join to find out).
+    *
+    * @param maxIter hard bound on propagation rounds (≥ graph
+    *   diameter for exact convergence; the loop exits early the first
+    *   round nothing changes)
+    */
+  def labelPropagate(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 20): DataFrame = {
+    require(maxIter >= 1, "maxIter must be >= 1")
+    // undirected: list each edge both ways, once. localCheckpoint
+    // (not persist): each round's plan references the previous
+    // round's TWICE (propagation join + convergence count), so
+    // without cutting lineage the logical plan doubles per round and
+    // analysis itself blows up exponentially — the standard hazard of
+    // iterative algorithms on DataFrames, and the reason GraphFrames
+    // checkpoints. Eager local checkpoints keep every round's plan
+    // O(1) deep.
+    val sym = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .union(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym
+      .select(col("src").as("node"))
+      .distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // min label among each node's neighbors (join on the edge's src
+      // side, aggregate to its dst side)
+      val nbrMin = sym
+        .join(labels, sym("src") === labels("node"))
+        .groupBy(sym("dst").as("node"))
+        .agg(min("component").as("nbr_component"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("node", "nbr_node"),
+          labels("node") === col("nbr_node"), "left")
+        .select(
+          col("node"),
+          least(col("component"), coalesce(col("nbr_component"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.withColumnRenamed("component", "prev"), "node")
+        .filter(col("component") =!= col("prev"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+}

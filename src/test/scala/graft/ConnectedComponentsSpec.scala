@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ConnectedComponents
+
+class ConnectedComponentsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def components(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents
+      .labelPropagate(edges.toDF("a", "b"), "a", "b")
+      .collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("component"))
+      .toMap
+  }
+
+  /** Reference union-find on the driver. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // canonicalize to min-of-component
+    val roots = parent.keys.map(k => k -> find(k)).toMap
+    val minOf = roots.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
+    roots.map { case (k, r) => k -> minOf(r) }
+  }
+
+  test("two components, one a chain needing several propagation rounds") {
+    // chain 10-9-8-…-1 (diameter 9) + triangle 100-101-102
+    val chain = (1L until 10L).map(i => (i + 1, i))
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val got = components(chain ++ tri)
+    (1L to 10L).foreach(n => assert(got(n) == 1L, s"node $n"))
+    Seq(100L, 101L, 102L).foreach(n => assert(got(n) == 100L, s"node $n"))
+  }
+
+  test("agrees with union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      assert(components(edges) == unionFind(edges), s"trial $trial")
+    }
+  }
+
+  test("maxIter caps the rounds (under-iterated chain does not converge to min)") {
+    import spark.implicits._
+    val chain = (1L until 10L).map(i => (i + 1, i))
+    val capped = ConnectedComponents
+      .labelPropagate(chain.toDF("a", "b"), "a", "b", maxIter = 2)
+      .collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("component"))
+      .toMap
+    // after 2 rounds node 10 has only seen labels within distance 2
+    assert(capped(10L) > 1L)
+  }
+}
