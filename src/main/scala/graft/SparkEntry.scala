@@ -368,6 +368,26 @@ object SparkEntry {
     }),
     "q_sessionize" -> ((s, dir) =>
       sessionsDf(s, dir).orderBy("user_id", "session_id")),
+    // ---- streaming twins, driven end-to-end through the micro-batch
+    // engine (file stream source → watermark → state store → memory
+    // sink) and hashed against DuckDB like any batch query ----
+    "q_stream_events_window" -> ((s, dir) => {
+      val out = graft.streaming.StreamRunner.runToCompletion(
+        graft.streaming.EventStreams.windowedCounts(
+          graft.streaming.StreamRunner.eventsStream(s, dir)))
+      out
+        .withColumn("window_start", col("window_start").cast("timestamp_ntz"))
+        .orderBy("window_start", "event_type")
+    }),
+    "q_stream_sessionize" -> ((s, dir) => {
+      val out = graft.streaming.StreamRunner.runToCompletion(
+        graft.streaming.EventStreams.sessionWindows(
+          graft.streaming.StreamRunner.eventsStream(s, dir)))
+      out
+        .withColumn("session_start", col("session_start").cast("timestamp_ntz"))
+        .withColumn("session_end", col("session_end").cast("timestamp_ntz"))
+        .orderBy("user_id", "session_start")
+    }),
     "q_range_join" -> ((s, dir) => {
       // events falling inside the 20 longest sessions ("incident
       // windows") — point-in-interval via bucketized equi-join
@@ -630,6 +650,43 @@ object SparkEntry {
       s"""$sessionizeCtes
          |SELECT user_id, session_id, n_events, session_start, session_end
          |FROM sess ORDER BY user_id, session_id""".stripMargin,
+    "q_stream_events_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
+    // session_window semantics differ from the batch lag/cumsum
+    // sessionize in two pinned ways: events merge while the gap is
+    // STRICTLY under 30 min (the window [start, last+gap) is
+    // end-exclusive), and session_end is last-event + gap, not
+    // last-event — so the oracle is its own CTE chain, not sess
+    "q_stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         CASE WHEN prev_ts IS NULL
+        |                OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM e
+        |), t AS (
+        |  SELECT user_id, ts, value,
+        |         SUM(new_session) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM s
+        |)
+        |SELECT MIN(ts) AS session_start,
+        |       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       user_id,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM t GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
     "q_range_join" ->
       s"""$sessionizeCtes,
          |win AS (

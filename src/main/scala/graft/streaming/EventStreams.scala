@@ -35,7 +35,12 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLength), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        // DECIMAL-summed then widened: float addition is
+        // order-sensitive and micro-batch partial aggregation orders
+        // differ run to run — same convention as the batch queries
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
       .select(
         col("window.start").as("window_start"),
         col("event_type"),
@@ -53,7 +58,9 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
       .select(
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),

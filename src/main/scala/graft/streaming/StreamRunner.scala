@@ -1,0 +1,64 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Runs a Structured-Streaming transform over the driver's events
+  * parquet to completion, returning the final result as a plain
+  * DataFrame — the bridge that makes streaming operators visible to
+  * the batch-shaped correctness harness (graft.Verify hashes the
+  * result against a DuckDB oracle like any other query).
+  *
+  * Mechanics: the file stream source requires a DIRECTORY, so the
+  * single events.parquet is staged behind a symlink in a scratch dir;
+  * the stream runs with Trigger.AvailableNow (process everything
+  * currently present, then stop) into an in-memory sink in complete
+  * output mode. Same code path as an unbounded run — micro-batch
+  * planner, state store, event-time windows — just with a bounded
+  * source, which is exactly the batch-equivalence claim being tested.
+  */
+object StreamRunner {
+
+  private val sinkCounter = new AtomicInteger()
+
+  /** Events table as a stream, with the same nanos→TIMESTAMP
+    * normalization as [[graft.sources.Tables.events]] — except to
+    * TimestampType (not NTZ): event-time watermarks require TIMESTAMP.
+    * Run under a UTC session so the wall-clock values coincide.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = Paths.get(dir, "events.parquet")
+    val stage = Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_stream_stage_${src.toAbsolutePath.toString.hashCode.toHexString}")
+    Files.createDirectories(stage)
+    val link = stage.resolve("events.parquet")
+    if (!Files.exists(link)) Files.createSymbolicLink(link, src.toAbsolutePath)
+    val schema = spark.read.parquet(src.toString).schema
+    spark.readStream
+      .schema(schema)
+      .parquet(stage.toString)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Start `streamingDf` with AvailableNow into a fresh memory sink,
+    * wait for it to drain, and return the sink's contents.
+    */
+  def runToCompletion(streamingDf: DataFrame, outputMode: String = "complete"): DataFrame = {
+    val spark = streamingDf.sparkSession
+    val sink = s"graft_stream_sink_${sinkCounter.incrementAndGet()}"
+    val q = streamingDf.writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+}
