@@ -291,6 +291,36 @@ object SparkEntry {
         Tables.orders(s, dir),
         Tables.ordersAfter(s, dir))
     }),
+    "q_profile_sketch_drift" -> ((s, dir) => {
+      // mergeable-sketch drift with an in-engine exact cross-check:
+      // the oracle pins the exact counts AND that every sketch
+      // estimate lands within tolerance of its exact twin (sketch_ok
+      // is literal TRUE on the DuckDB side — if the sketch path
+      // breaks, the flag flips and the hash mismatches)
+      import graft.operators.ProfileSketch
+      val b = Tables.orders(s, dir)
+      val a = Tables.ordersAfter(s, dir)
+      val dr = ProfileSketch.drift(
+        ProfileSketch.columnSketches(b),
+        ProfileSketch.columnSketches(a))
+      def exactLong(df: DataFrame, p: String): DataFrame = {
+        val cols = df.columns.toSeq
+        val aggs = cols.map(c => countDistinct(col(c)).as(s"${c}__nd"))
+        val one = df.agg(aggs.head, aggs.tail: _*)
+        val stackArgs = cols.map(c => s"'$c', `${c}__nd`").mkString(", ")
+        one.selectExpr(s"stack(${cols.size}, $stackArgs) AS (col_name, ${p}n_distinct)")
+      }
+      dr.join(exactLong(b, "b_"), "col_name")
+        .join(exactLong(a, "a_"), "col_name")
+        .select(
+          col("col_name"),
+          col("b_n_distinct"), col("a_n_distinct"),
+          col("b_n_nulls"), col("a_n_nulls"),
+          (ProfileSketch.withinTolerance(col("b_est_distinct"), col("b_n_distinct"), 0.05) &&
+            ProfileSketch.withinTolerance(col("a_est_distinct"), col("a_n_distinct"), 0.05))
+            .as("sketch_ok"))
+        .orderBy("col_name")
+    }),
     "q_window_rank" -> ((s, dir) => {
       // top-3 customers by spend per market segment (windowed ranking)
       val bySegment = Window
@@ -599,6 +629,22 @@ object SparkEntry {
          |  )
          |)
          |SELECT * FROM bprof CROSS JOIN aprof""".stripMargin
+    },
+    "q_profile_sketch_drift" -> {
+      def prof(prefix: String, rel: String) = ordersCols.map { c =>
+        s"SELECT '$c' AS col_name, COUNT(DISTINCT $c) AS ${prefix}n_distinct,\n" +
+          s"  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${prefix}n_nulls FROM $rel"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH aft AS (
+         |${Tables.ordersAfterSql}
+         |), bprof AS (
+         |  ${prof("b_", "orders")}
+         |), aprof AS (
+         |  ${prof("a_", "aft")}
+         |)
+         |SELECT col_name, b_n_distinct, a_n_distinct, b_n_nulls, a_n_nulls,
+         |       TRUE AS sketch_ok
+         |FROM bprof JOIN aprof USING (col_name) ORDER BY col_name""".stripMargin
     },
     "q_window_rank" ->
       """WITH spend AS (
