@@ -59,6 +59,10 @@ object ConnectedComponents {
       .distinct()
       .withColumn("component", col("node"))
       .localCheckpoint(true)
+    // convergence probe: labels only ever DECREASE (least of self and
+    // neighbors), so the label sum is strictly decreasing until the
+    // fixpoint — an O(1)-row agg replaces a join-and-compare pass
+    var labelSum = sumOf(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -68,7 +72,7 @@ object ConnectedComponents {
         .join(labels, sym("src") === labels("node"))
         .groupBy(sym("dst").as("node"))
         .agg(min("component").as("nbr_component"))
-      val next = labels
+      labels = labels
         .join(nbrMin.withColumnRenamed("node", "nbr_node"),
           labels("node") === col("nbr_node"), "left")
         .select(
@@ -76,14 +80,19 @@ object ConnectedComponents {
           least(col("component"), coalesce(col("nbr_component"), col("component")))
             .as("component"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.withColumnRenamed("component", "prev"), "node")
-        .filter(col("component") =!= col("prev"))
-        .count()
-      labels = next
-      converged = changed == 0
+      val nextSum = sumOf(labels)
+      converged = nextSum == labelSum
+      labelSum = nextSum
       iter += 1
     }
     labels
   }
+
+  // DECIMAL(38) sum: exact for any realistic id range, so the
+  // equal-sum convergence test cannot alias through long overflow
+  private def sumOf(labels: DataFrame): java.math.BigDecimal =
+    labels
+      .agg(coalesce(sum(col("component").cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")))
+      .head()
+      .getDecimal(0)
 }

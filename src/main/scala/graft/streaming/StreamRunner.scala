@@ -48,16 +48,34 @@ object StreamRunner {
 
   /** Start `streamingDf` with AvailableNow into a fresh memory sink,
     * wait for it to drain, and return the sink's contents.
+    *
+    * `statePartitions` sizes the stateful-operator shuffle for THIS
+    * query (pinned into the checkpoint at start, so it is a per-query
+    * knob by construction): each state partition carries a state
+    * store with per-batch commit I/O, so it should track expected
+    * state volume, not the session's batch-shuffle width — a
+    * bench-scale micro-batch wants single digits where a 100 TB
+    * deployment would run hundreds. The session conf is restored
+    * after start.
     */
-  def runToCompletion(streamingDf: DataFrame, outputMode: String = "complete"): DataFrame = {
+  def runToCompletion(
+      streamingDf: DataFrame,
+      outputMode: String = "complete",
+      statePartitions: Int = 8): DataFrame = {
     val spark = streamingDf.sparkSession
     val sink = s"graft_stream_sink_${sinkCounter.incrementAndGet()}"
-    val q = streamingDf.writeStream
-      .format("memory")
-      .queryName(sink)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, statePartitions)
+    val q =
+      try
+        streamingDf.writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode(outputMode)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      finally spark.conf.set(key, prev)
     q.awaitTermination()
     spark.table(sink)
   }
