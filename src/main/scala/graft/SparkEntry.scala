@@ -270,6 +270,114 @@ object SparkEntry {
           expr("percentile(l_extendedprice, 0.99)").as("p99"))
         .orderBy("l_returnflag")
     }),
+    "q_grouping_sets" -> ((s, dir) => {
+      // non-hierarchical grouping sets — the case neither ROLLUP nor
+      // CUBE can express: totals per returnflag AND per linestatus in
+      // one scan (one shuffle of partial aggregates per set)
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").as("sum_qty"))
+        .orderBy(
+          col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+    "q_pivot" -> ((s, dir) => {
+      // wide pivot (inverse of q_unpivot's melt) with an explicit
+      // value list: Spark plans it as ONE conditional aggregation
+      // pass, no per-value scans; explicit values keep the output
+      // schema static (the dynamic form needs a distinct-values job
+      // first and is not what you run at 100 TB)
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+        .orderBy("o_orderpriority")
+    }),
+    "q_moving_window" -> ((s, dir) => {
+      // per-customer order history: 3-order moving average + running
+      // total (ROWS frames; DECIMAL internally so the sequential and
+      // any tree-evaluated window implementation agree bit-for-bit)
+      val w = Window
+        .partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, dir)
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          (sum(col("o_totalprice").cast("decimal(18,2)"))
+            .over(w.rowsBetween(-2, Window.currentRow)).cast("double") /
+            count(lit(1)).over(w.rowsBetween(-2, Window.currentRow)))
+            .as("avg_last3"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_total"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    }),
+    "q_gapfill_resample" -> ((s, dir) => {
+      // time-series resample: hourly spine per event type (sequence +
+      // explode — generated, never materialized wide), left join of
+      // hourly aggregates, zero-fill counts and forward-fill the last
+      // seen hourly average. The spine join broadcasts nothing big:
+      // it is |types| × |hours| rows.
+      val ev = Tables.events(s, dir)
+      val hourly = ev
+        .groupBy(
+          date_trunc("hour", col("ts")).as("hour"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          // mean as double(exact-decimal sum) / count: both engines
+          // perform the identical single IEEE division — a native
+          // decimal AVG rounds at engine-specific scales
+          (sum(col("value").cast("decimal(18,4)")).cast("double") / count(lit(1)))
+            .as("avg_value"))
+      val bounds = ev.agg(
+        date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      val spine = bounds
+        .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+        .crossJoin(ev.select("event_type").distinct())
+      val ffill = Window
+        .partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine
+        .join(hourly, Seq("hour", "event_type"), "left")
+        .select(
+          col("hour"), col("event_type"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("avg_value"), ignoreNulls = true).over(ffill).as("avg_value_ffill"))
+        .orderBy("hour", "event_type")
+    }),
+    "q_approx_quantile_check" -> ((s, dir) => {
+      // approximate quantiles cross-checked in-engine against the
+      // exact percentiles (same pattern as q_profile_sketch_drift:
+      // the oracle pins the exact values plus a literal-TRUE flag)
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.99)").as("p99"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("a50"),
+          expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("a99"))
+        .select(
+          col("l_returnflag"), col("p50"), col("p99"),
+          (abs(col("a50") - col("p50")) / col("p50") <= 0.01 &&
+            abs(col("a99") - col("p99")) / col("p99") <= 0.01).as("approx_ok"))
+        .orderBy("l_returnflag")
+    }),
+    "q_diff_sql_exec" -> ((s, dir) => {
+      // the generated diff SQL TEXT, executed verbatim by Spark over
+      // temp views — the reference's actual product is this text, and
+      // the oracle runs the IDENTICAL string in DuckDB: one artifact,
+      // two engines, same hash
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql(s"$ordersDiffSql\nORDER BY K_o_orderkey")
+    }),
     "q_asof_join" -> ((s, dir) => {
       // attribution: each purchase joined to the user's most recent
       // prior (or simultaneous) click
@@ -599,6 +707,61 @@ object SparkEntry {
         |  quantile_cont(l_extendedprice::DOUBLE, 0.9) AS p90,
         |  quantile_cont(l_extendedprice::DOUBLE, 0.99) AS p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "O",
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_moving_window" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w3 AS DOUBLE)
+        |    / COUNT(*) OVER w3 AS avg_last3,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER wrun AS DOUBLE) AS running_total
+        |FROM orders
+        |WINDOW
+        |  w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+        |  wrun AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q_gapfill_resample" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |         COUNT(*) AS n_events,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_value
+        |  FROM events GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+        |  FROM events
+        |), spine AS (
+        |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+        |), grid AS (
+        |  SELECT s.hour, t.event_type
+        |  FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+        |)
+        |SELECT g.hour, g.event_type,
+        |       COALESCE(h.n_events, 0) AS n_events,
+        |       last_value(h.avg_value IGNORE NULLS) OVER (
+        |         PARTITION BY g.event_type ORDER BY g.hour
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value_ffill
+        |FROM grid g
+        |LEFT JOIN hourly h ON h.hour = g.hour AND h.event_type = g.event_type
+        |ORDER BY g.hour, g.event_type""".stripMargin,
+    "q_approx_quantile_check" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice::DOUBLE, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice::DOUBLE, 0.99) AS p99,
+        |  TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_diff_sql_exec" ->
+      s"$ordersDiffSql\nORDER BY K_o_orderkey",
     "q_asof_join" ->
       """WITH tagged AS (
         |  SELECT event_id, ts, user_id, event_type, value, props,
