@@ -41,6 +41,37 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    "q_dedup_fuzzy_verify" -> ((s, dir) => {
+      // exact edit-distance verification of the minhash CANDIDATES —
+      // the refine stage of the two-phase dedup: cheap bucketed
+      // candidates first, expensive O(len²) Levenshtein only on the
+      // candidate set (never all pairs)
+      val corpus = Corpus.docCorpus(s, dir)
+      val t = corpus.select(col("doc_id"), col("text"))
+      Dedup.minhashPairs(corpus)
+        .join(t.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+        .join(t.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+        .select(
+          col("doc_a"), col("doc_b"), col("n_agree"),
+          levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
+        .orderBy("doc_a", "doc_b")
+    }),
+    "q_dedup_apply" -> ((s, dir) => {
+      // the APPLY step: pairs → clusters → drop every non-canonical
+      // member, keeping singletons untouched (they never enter the
+      // label frame, so the anti-join passes them through)
+      val corpus = Corpus.docCorpus(s, dir)
+      val labels = ConnectedComponents
+        .labelPropagate(Dedup.minhashPairs(corpus), "doc_a", "doc_b")
+      corpus
+        .join(
+          labels.filter(col("node") =!= col("component"))
+            .select(col("node").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // ---- similarity search ----
     "q_embed_topk_brute" -> ((s, dir) =>
       SimilaritySearch.bruteTopK(Tables.embeddings(s, dir)).orderBy("query_id", "rank")),
@@ -143,6 +174,41 @@ object ExtensionQueries {
 
     "q_dedup_minhash" ->
       s"$minhashPairsSql ORDER BY doc_a, doc_b",
+
+    "q_dedup_fuzzy_verify" ->
+      s"""WITH pairs AS (
+         |$minhashPairsSql
+         |), corpus2 AS (
+         |$corpus
+         |)
+         |SELECT p.doc_a, p.doc_b, p.n_agree,
+         |       CAST(levenshtein(ca.text, cb.text) AS BIGINT) AS edit_dist
+         |FROM pairs p
+         |JOIN corpus2 ca ON ca.doc_id = p.doc_a
+         |JOIN corpus2 cb ON cb.doc_id = p.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_apply" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$minhashPairsSql
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs
+         |), nodes AS (
+         |  SELECT DISTINCT src AS node FROM edges
+         |), reach(node, lbl) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+         |), comp AS (
+         |  SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node
+         |), corpus2 AS (
+         |$corpus
+         |)
+         |SELECT c.doc_id, c.source FROM corpus2 c
+         |WHERE c.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_clusters" ->
       // exact reachability oracle: enumerate every (node, reachable

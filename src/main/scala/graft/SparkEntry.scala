@@ -370,6 +370,49 @@ object SparkEntry {
             abs(col("a99") - col("p99")) / col("p99") <= 0.01).as("approx_ok"))
         .orderBy("l_returnflag")
     }),
+    "q_upsert_apply" -> ((s, dir) => {
+      // CDC apply / MERGE: after-side rows replace matching keys
+      // ROW-WISE (an after row's genuine NULL must not resurrect the
+      // before value — so CASE on key presence, never per-column
+      // coalesce), unmatched after rows insert, before-only rows
+      // survive. One full-outer join: the same single-shuffle shape
+      // as the diff.
+      val b = Tables.orders(s, dir)
+      val a = Tables.ordersAfter(s, dir)
+      val cond = b("o_orderkey") === a("o_orderkey")
+      val fromAfter = a("o_orderkey").isNotNull
+      val j = b.join(a, cond, "full_outer")
+      j.select(
+        when(fromAfter, when(b("o_orderkey").isNotNull, "UPDATE").otherwise("INSERT"))
+          .otherwise("KEEP").as("op") +:
+          ordersCols.map(c => when(fromAfter, a(c)).otherwise(b(c)).as(c)): _*)
+        .orderBy("o_orderkey")
+    }),
+    "q_hash_sample" -> ((s, dir) => {
+      // deterministic hash sampling — the scale-safe sample: a pure
+      // filter on a key hash (no shuffle, no RNG state, reproducible
+      // across engines/runs, pushes down to the scan), vs .sample()
+      // whose per-partition RNG is neither portable nor stable
+      graft.functions.PolyHash.register(s)
+      Tables.orders(s, dir)
+        .filter(expr(
+          s"${graft.functions.TextExprs.charHashSpark("CAST(o_orderkey AS STRING)")} % 10 = 0"))
+        .agg(
+          count(lit(1)).as("n_sampled"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_price"),
+          min("o_orderkey").as("min_key"),
+          max("o_orderkey").as("max_key"))
+    }),
+    "q_setops" -> ((s, dir) => {
+      // INTERSECT / EXCEPT surface (distinct set semantics)
+      val c = Tables.customer(s, dir).select(col("c_custkey").as("custkey"))
+      val o = Tables.orders(s, dir).select(col("o_custkey").as("custkey"))
+      c.intersect(o).withColumn("op", lit("with_orders"))
+        .unionByName(c.except(o).withColumn("op", lit("without_orders")))
+        .select("op", "custkey")
+        .orderBy("op", "custkey")
+    }),
     "q_diff_sql_exec" -> ((s, dir) => {
       // the generated diff SQL TEXT, executed verbatim by Spark over
       // temp views — the reference's actual product is this text, and
@@ -762,6 +805,42 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_diff_sql_exec" ->
       s"$ordersDiffSql\nORDER BY K_o_orderkey",
+    "q_upsert_apply" -> {
+      val merged = ordersCols
+        .map(c => s"CASE WHEN a.o_orderkey IS NOT NULL THEN a.$c ELSE b.$c END AS $c")
+        .mkString(",\n  ")
+      s"""WITH aft AS (
+         |${Tables.ordersAfterSql}
+         |)
+         |SELECT
+         |  CASE WHEN a.o_orderkey IS NOT NULL THEN
+         |         CASE WHEN b.o_orderkey IS NOT NULL THEN 'UPDATE' ELSE 'INSERT' END
+         |       ELSE 'KEEP' END AS op,
+         |  $merged
+         |FROM orders b FULL OUTER JOIN aft a ON b.o_orderkey = a.o_orderkey
+         |ORDER BY o_orderkey""".stripMargin
+    },
+    "q_hash_sample" -> {
+      val h = graft.functions.TextExprs.charHashDuck("CAST(o_orderkey AS VARCHAR)")
+      s"""SELECT COUNT(*) AS n_sampled,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         |  MIN(o_orderkey) AS min_key,
+         |  MAX(o_orderkey) AS max_key
+         |FROM orders WHERE $h % 10 = 0""".stripMargin
+    },
+    "q_setops" ->
+      """SELECT 'with_orders' AS op, custkey FROM (
+        |  SELECT c_custkey AS custkey FROM customer
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders
+        |)
+        |UNION ALL
+        |SELECT 'without_orders' AS op, custkey FROM (
+        |  SELECT c_custkey AS custkey FROM customer
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders
+        |)
+        |ORDER BY op, custkey""".stripMargin,
     "q_asof_join" ->
       """WITH tagged AS (
         |  SELECT event_id, ts, user_id, event_type, value, props,
