@@ -31,7 +31,8 @@ object ExtensionQueries {
       // pairs → clusters: minimum-label propagation over the minhash
       // near-dup pairs; component = canonical (minimum) doc_id
       val pairs = Dedup.minhashPairs(Corpus.docCorpus(s, dir))
-      val labels = ConnectedComponents.labelPropagate(pairs, "doc_a", "doc_b")
+      val labels = ConnectedComponents.labelPropagate(
+        pairs, "doc_a", "doc_b", numPartitions = Some(8))
       labels
         .withColumn(
           "cluster_size",
@@ -61,8 +62,8 @@ object ExtensionQueries {
       // member, keeping singletons untouched (they never enter the
       // label frame, so the anti-join passes them through)
       val corpus = Corpus.docCorpus(s, dir)
-      val labels = ConnectedComponents
-        .labelPropagate(Dedup.minhashPairs(corpus), "doc_a", "doc_b")
+      val labels = ConnectedComponents.labelPropagate(
+        Dedup.minhashPairs(corpus), "doc_a", "doc_b", numPartitions = Some(8))
       corpus
         .join(
           labels.filter(col("node") =!= col("component"))

@@ -34,31 +34,41 @@ object ConnectedComponents {
     * @param maxIter hard bound on propagation rounds (≥ graph
     *   diameter for exact convergence; the loop exits early the first
     *   round nothing changes)
+    * @param numPartitions width of the checkpointed iteration frames.
+    *   Size to the EDGE LIST, not the session default: every round's
+    *   tasks run over these partitions, so a 32-wide layout on a
+    *   thousand-edge graph is pure scheduling overhead, while a
+    *   billion-edge graph wants hundreds. None keeps the planner's
+    *   width.
     */
   def labelPropagate(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20,
+      numPartitions: Option[Int] = None): DataFrame = {
     require(maxIter >= 1, "maxIter must be >= 1")
+    def width(df: DataFrame): DataFrame =
+      numPartitions.fold(df)(n => df.repartition(n, col("src")))
     // undirected: list each edge both ways, once. localCheckpoint
     // (not persist): each round's plan references the previous
     // round's TWICE (propagation join + convergence count), so
     // without cutting lineage the logical plan doubles per round and
     // analysis itself blows up exponentially — the standard hazard of
     // iterative algorithms on DataFrames, and the reason GraphFrames
-    // checkpoints. Eager local checkpoints keep every round's plan
-    // O(1) deep.
-    val sym = edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .union(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+    // checkpoints. Checkpoints are LAZY: the convergence-sum action
+    // of the same round materializes them, one job per round.
+    val sym = width(
+      edges
+        .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+        .union(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
+        .distinct())
+      .localCheckpoint(false)
     var labels = sym
       .select(col("src").as("node"))
       .distinct()
       .withColumn("component", col("node"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // convergence probe: labels only ever DECREASE (least of self and
     // neighbors), so the label sum is strictly decreasing until the
     // fixpoint — an O(1)-row agg replaces a join-and-compare pass
@@ -79,7 +89,7 @@ object ConnectedComponents {
           col("node"),
           least(col("component"), coalesce(col("nbr_component"), col("component")))
             .as("component"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val nextSum = sumOf(labels)
       converged = nextSum == labelSum
       labelSum = nextSum
