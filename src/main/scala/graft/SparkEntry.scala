@@ -370,6 +370,25 @@ object SparkEntry {
             abs(col("a99") - col("p99")) / col("p99") <= 0.01).as("approx_ok"))
         .orderBy("l_returnflag")
     }),
+    "q_quantile_sketch_check" -> ((s, dir) => {
+      // mergeable DDSketch quantiles (custom TypedImperativeAggregate,
+      // graft.functions.QuantileSketch) cross-checked against exact
+      // percentiles — same oracle pattern as q_profile_sketch_drift:
+      // exact values pinned, dd_ok literal TRUE
+      graft.functions.QuantileSketch.register(s)
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.99)").as("p99"),
+          expr("dd_quantile(dd_sketch_agg(CAST(l_extendedprice AS DOUBLE)), 0.5)").as("d50"),
+          expr("dd_quantile(dd_sketch_agg(CAST(l_extendedprice AS DOUBLE)), 0.99)").as("d99"))
+        .select(
+          col("l_returnflag"), col("p50"), col("p99"),
+          (abs(col("d50") - col("p50")) / col("p50") <= 0.025 &&
+            abs(col("d99") - col("p99")) / col("p99") <= 0.025).as("dd_ok"))
+        .orderBy("l_returnflag")
+    }),
     "q_upsert_apply" -> ((s, dir) => {
       // CDC apply / MERGE: after-side rows replace matching keys
       // ROW-WISE (an after row's genuine NULL must not resurrect the
@@ -805,6 +824,12 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_diff_sql_exec" ->
       s"$ordersDiffSql\nORDER BY K_o_orderkey",
+    "q_quantile_sketch_check" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice::DOUBLE, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice::DOUBLE, 0.99) AS p99,
+        |  TRUE AS dd_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_upsert_apply" -> {
       val merged = ordersCols
         .map(c => s"CASE WHEN a.o_orderkey IS NOT NULL THEN a.$c ELSE b.$c END AS $c")
