@@ -102,4 +102,41 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("vec_dot"))
     assert(!p.contains("aggregate(zip_with")) // no interpreted HOF fold left
   }
+
+  test("pivot compiles to one conditional-aggregation pass, no join or expand") {
+    val p = plan("q_pivot")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("Expand"), p.take(2000))
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(aggIdx >= 0 && p.indexOf("HashAggregate", aggIdx + 1) > 0) // partial + final
+  }
+
+  test("upsert-apply is exactly ONE full-outer join — the single-shuffle MERGE") {
+    val p = plan("q_upsert_apply")
+    assert("Join FullOuter".r.findAllIn(p).size == 1, p.take(2000))
+  }
+
+  test("hash sampling is a pure filter over one scan: no join, no pre-agg exchange") {
+    val p = plan("q_hash_sample")
+    assert(!p.contains("Join"), p.take(2000))
+    // count node-detail headers — the tree section lists nodes twice
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1)
+    // single global aggregate: partial → (single-partition) exchange → final
+    assert(p.contains("Filter"))
+    assert(p.contains("poly_hash"))
+  }
+
+  test("grouping sets aggregate via Expand in a single pass — no per-set scans") {
+    val p = plan("q_grouping_sets")
+    assert(p.contains("Expand"))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1, p.take(2000))
+  }
+
+  test("generated diff SQL text plans identically to the literal DataFrame diff") {
+    // the SQL string and the DataFrame API must hit the same physical
+    // shape: union-distinct keys + two left joins (the text mirrors
+    // the reference template, which is the literal plan)
+    val p = plan("q_diff_sql_exec")
+    assert("Join LeftOuter".r.findAllIn(p).size == 2, p.take(2000))
+  }
 }
