@@ -591,26 +591,47 @@ object SparkEntry {
     "q_range_join" -> ((s, dir) => {
       // events falling inside the 20 longest sessions ("incident
       // windows") — point-in-interval via bucketized equi-join
-      val sess = sessionsDf(s, dir)
-        .withColumn(
-          "dur",
-          unix_micros(col("session_end").cast("timestamp")) -
-            unix_micros(col("session_start").cast("timestamp")))
-      val byDur = Window.orderBy(col("dur").desc, col("user_id"), col("session_id"))
-      val windows = sess
-        .orderBy(col("dur").desc, col("user_id"), col("session_id"))
-        .limit(20)
-        .withColumn("window_id", row_number().over(byDur).cast("long"))
-        .select("window_id", "session_start", "session_end")
       graft.operators.RangeJoin
         .pointInInterval(
           Tables.events(s, dir).select("event_id", "ts"),
-          "ts", windows, "session_start", "session_end",
+          "ts", windowsDf(s, dir), "session_start", "session_end",
           broadcastIntervals = true)
         .select("event_id", "window_id")
         .orderBy("window_id", "event_id")
     }),
+    "q_range_join_auto" -> ((s, dir) => {
+      // the SAME query written NAIVELY — a bare BETWEEN join Spark
+      // would plan as a nested loop — shaped into the bucketized
+      // equi-join by the RangeJoinRewrite optimizer rule
+      // (SparkSessionExtensions / install). One oracle, two paths:
+      // the explicit operator above and the rule-rewritten plan here.
+      graft.plans.RangeJoinRewrite.install(s)
+      Tables.events(s, dir)
+        .select("event_id", "ts")
+        .join(
+          windowsDf(s, dir),
+          col("ts") >= col("session_start") && col("ts") <= col("session_end"))
+        .select("event_id", "window_id")
+        .orderBy("window_id", "event_id")
+    }),
   )
+
+  /** Top-20 longest sessions as (window_id, start, end) incident
+    * windows — shared by q_range_join and q_range_join_auto.
+    */
+  private def windowsDf(s: SparkSession, dir: String): DataFrame = {
+    val sess = sessionsDf(s, dir)
+      .withColumn(
+        "dur",
+        unix_micros(col("session_end").cast("timestamp")) -
+          unix_micros(col("session_start").cast("timestamp")))
+    val byDur = Window.orderBy(col("dur").desc, col("user_id"), col("session_id"))
+    sess
+      .orderBy(col("dur").desc, col("user_id"), col("session_id"))
+      .limit(20)
+      .withColumn("window_id", row_number().over(byDur).cast("long"))
+      .select("window_id", "session_start", "session_end")
+  }
 
   /** Gap-based sessionization of the events table (lag + cumulative
     * sum; 30-minute gap) — shared by q_sessionize and q_range_join.
@@ -1001,6 +1022,20 @@ object SparkEntry {
         |FROM t GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin,
     "q_range_join" ->
+      s"""$sessionizeCtes,
+         |win AS (
+         |  SELECT window_id, session_start, session_end FROM (
+         |    SELECT CAST(ROW_NUMBER() OVER (
+         |             ORDER BY epoch_us(session_end) - epoch_us(session_start) DESC,
+         |                      user_id, session_id) AS BIGINT) AS window_id,
+         |           session_start, session_end
+         |    FROM sess) t2 WHERE window_id <= 20
+         |)
+         |SELECT e2.event_id, w.window_id
+         |FROM events e2 JOIN win w
+         |  ON e2.ts >= w.session_start AND e2.ts <= w.session_end
+         |ORDER BY window_id, event_id""".stripMargin,
+    "q_range_join_auto" ->
       s"""$sessionizeCtes,
          |win AS (
          |  SELECT window_id, session_start, session_end FROM (
