@@ -370,6 +370,34 @@ object SparkEntry {
             abs(col("a99") - col("p99")) / col("p99") <= 0.01).as("approx_ok"))
         .orderBy("l_returnflag")
     }),
+    "q_collect_sorted" -> ((s, dir) => {
+      // nested-type aggregation: per-customer order-key array.
+      // collect_list's arrival order is partial-agg-order-dependent —
+      // array_sort makes the result deterministic and cross-engine
+      // comparable (same rule as the DECIMAL casts for float sums)
+      Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(
+          array_sort(collect_list("o_orderkey")).as("order_keys"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_custkey")
+    }),
+    "q_datetime_funcs" -> ((s, dir) => {
+      // portable date/time function surface over the order dates
+      Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("d"),
+          date_add(col("o_orderdate"), 30).as("due_date"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+            .cast("long").as("days_since_95"),
+          last_day(col("o_orderdate")).as("month_end"))
+        .orderBy("o_orderkey")
+    }),
     "q_quantile_sketch_check" -> ((s, dir) => {
       // mergeable DDSketch quantiles (custom TypedImperativeAggregate,
       // graft.functions.QuantileSketch) cross-checked against exact
@@ -845,6 +873,21 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_diff_sql_exec" ->
       s"$ordersDiffSql\nORDER BY K_o_orderkey",
+    "q_collect_sorted" ->
+      """SELECT o_custkey,
+        |  list(o_orderkey ORDER BY o_orderkey) AS order_keys,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_datetime_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
+        |  CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS q,
+        |  CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
+        |  CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) AS d,
+        |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+        |  CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since_95,
+        |  last_day(o_orderdate) AS month_end
+        |FROM orders WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey""".stripMargin,
     "q_quantile_sketch_check" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_extendedprice::DOUBLE, 0.5) AS p50,

@@ -58,10 +58,14 @@ object ConnectedComponents {
     // iterative algorithms on DataFrames, and the reason GraphFrames
     // checkpoints. Checkpoints are LAZY: the convergence-sum action
     // of the same round materializes them, one job per round.
+    // materialize the edge input ONCE before symmetrizing: the union
+    // references the (possibly expensive — minhash band join) edge
+    // plan twice, and without the cut both branches recompute it
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .localCheckpoint(false)
     val sym = width(
-      edges
-        .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-        .union(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
         .distinct())
       .localCheckpoint(false)
     var labels = sym
