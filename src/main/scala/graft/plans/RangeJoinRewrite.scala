@@ -96,9 +96,18 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] {
             val pAttr = pAlias.toAttribute
             val iAttr = AttributeReference("_rj_bucket_i", LongType, nullable = false)()
             val pProj = Project(pSide.output :+ pAlias, pSide)
-            // one row per bucket the interval overlaps
+            // one row per bucket the interval overlaps. Inverted
+            // intervals (lo > hi) match nothing under BETWEEN but
+            // would make sequence() THROW — guard to an empty array
+            // so they drop out instead (NULL bounds already yield a
+            // NULL sequence → no generated rows → dropped, matching
+            // the NULL-condition behavior of the original join).
+            val seq = If(
+              LessThanOrEqual(loBucket, hiBucket),
+              Sequence(loBucket, hiBucket, Some(Literal(1L)), tz),
+              Literal.create(Array.empty[Long], org.apache.spark.sql.types.ArrayType(LongType)))
             val gen = Generate(
-              Explode(Sequence(loBucket, hiBucket, Some(Literal(1L)), tz)),
+              Explode(seq),
               unrequiredChildIndex = Nil,
               outer = false,
               qualifier = None,

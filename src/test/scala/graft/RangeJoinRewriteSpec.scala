@@ -56,6 +56,21 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     assert(naive.count() == got.size)
   }
 
+  test("inverted and NULL intervals drop out instead of crashing sequence()") {
+    import spark.implicits._
+    val pts = Seq((1L, ts(30))).toDF("pid", "pts")
+    val bad = Seq(
+      (1L, Some(ts(400)), Some(ts(10))), // inverted: lo > hi
+      (2L, None, Some(ts(400))),         // NULL lo
+      (3L, Some(ts(10)), Some(ts(60)))   // sane: matches the point
+    ).toDF("iid", "lo", "hi")
+    val j = pts.join(bad, col("pts") >= col("lo") && col("pts") <= col("hi"))
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("_rj_bucket"), p.take(1500)) // rule did fire
+    val rows = j.select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((1L, 3L)))
+  }
+
   test("joins with an equi key are left alone") {
     import spark.implicits._
     val a = Seq((1L, ts(5))).toDF("k", "ats")
