@@ -125,9 +125,10 @@ object SparkEntry {
         Tables.orders(s, dir),
         Tables.ordersAfter(s, dir),
         Seq("o_orderkey"))
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ctas_orders_diff"
-      d.write.mode("overwrite").parquet(path)
-      s.read.parquet(path).orderBy("K_o_orderkey")
+      // per-JVM unique target: a fixed shared tmp path would let two
+      // harness processes overwrite each other's part files mid-scan
+      d.write.mode("overwrite").parquet(ctasPath)
+      s.read.parquet(ctasPath).orderBy("K_o_orderkey")
     }),
     "q_diff_statuses_map" -> ((s, dir) => {
       // wide-schema escape hatch: ONE MAP column instead of a status
@@ -643,6 +644,14 @@ object SparkEntry {
         .orderBy("window_id", "event_id")
     }),
   )
+
+  /** Materialization target for q_diff_ctas: stable within one JVM
+    * (bench iterations reuse it via overwrite), disjoint across
+    * processes.
+    */
+  private lazy val ctasPath: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ctas_orders_diff_" +
+      java.util.UUID.randomUUID().toString.take(8)
 
   /** Top-20 longest sessions as (window_id, start, end) incident
     * windows — shared by q_range_join and q_range_join_auto.

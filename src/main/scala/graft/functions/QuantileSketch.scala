@@ -60,8 +60,19 @@ object QuantileSketch {
     def total: Long = zero + pos.values.sum + neg.values.sum
   }
 
-  private def bucket(absX: Double): Long =
-    math.ceil(math.log(absX) / LogGamma).toLong
+  /** Bucket index, clamped into Int range so the serialized form
+    * (Int indices) is lossless for EVERY double: ±Infinity buckets at
+    * ±Int.MaxValue, whose bucketValue is ±Infinity again — without
+    * the clamp an Infinity landed on Long.MaxValue, serialized as -1,
+    * and corrupted both quantiles and the bit-identical-merge
+    * invariant after any shuffle of partial states.
+    */
+  private def bucket(absX: Double): Long = {
+    val raw = math.ceil(math.log(absX) / LogGamma)
+    if (raw >= Int.MaxValue) Int.MaxValue.toLong
+    else if (raw <= Int.MinValue) Int.MinValue.toLong
+    else raw.toLong
+  }
 
   /** Midpoint estimator for bucket i: 2·γ^i / (γ+1), within α of every
     * value the bucket covers.
@@ -93,12 +104,16 @@ object QuantileSketch {
   }
 
   /** Quantile read-out: rank `ceil(q·n)` over neg-desc, zero, pos-asc
-    * cumulative counts. NULL (None) on an empty sketch.
+    * cumulative counts. NULL (None) on an empty sketch; q is clamped
+    * into [0, 1] (so rank ≤ n and the cumulative walk always
+    * terminates inside a bucket — an out-of-range q used to fall
+    * through to `pos.keys.max`, which throws when no positives exist).
     */
   def quantile(s: State, q: Double): Option[Double] = {
     val n = s.total
     if (n == 0L) return None
-    val rank = math.max(1L, math.ceil(q * n).toLong)
+    val qc = math.min(1.0, math.max(0.0, q))
+    val rank = math.min(n, math.max(1L, math.ceil(qc * n).toLong))
     var seen = 0L
     for ((i, c) <- s.neg.toSeq.sortBy(-_._1)) {
       seen += c
@@ -110,7 +125,7 @@ object QuantileSketch {
       seen += c
       if (seen >= rank) return Some(bucketValue(i))
     }
-    Some(bucketValue(s.pos.keys.max)) // rank rounding tail guard
+    None // unreachable: rank ≤ n and every count was walked
   }
 
   /** Static helper for [[DDQuantile]]'s codegen. */

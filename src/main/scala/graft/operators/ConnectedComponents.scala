@@ -48,8 +48,8 @@ object ConnectedComponents {
       maxIter: Int = 20,
       numPartitions: Option[Int] = None): DataFrame = {
     require(maxIter >= 1, "maxIter must be >= 1")
-    def width(df: DataFrame): DataFrame =
-      numPartitions.fold(df)(n => df.repartition(n, col("src")))
+    def width(df: DataFrame, key: String): DataFrame =
+      numPartitions.fold(df)(n => df.repartition(n, col(key)))
     // undirected: list each edge both ways, once. localCheckpoint
     // (not persist): each round's plan references the previous
     // round's TWICE (propagation join + convergence count), so
@@ -66,12 +66,13 @@ object ConnectedComponents {
       .localCheckpoint(false)
     val sym = width(
       e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct())
+        .distinct(), "src")
       .localCheckpoint(false)
-    var labels = sym
-      .select(col("src").as("node"))
-      .distinct()
-      .withColumn("component", col("node"))
+    var labels = width(
+      sym
+        .select(col("src").as("node"))
+        .distinct()
+        .withColumn("component", col("node")), "node")
       .localCheckpoint(false)
     // convergence probe: labels only ever DECREASE (least of self and
     // neighbors), so the label sum is strictly decreasing until the
@@ -86,13 +87,18 @@ object ConnectedComponents {
         .join(labels, sym("src") === labels("node"))
         .groupBy(sym("dst").as("node"))
         .agg(min("component").as("nbr_component"))
-      labels = labels
-        .join(nbrMin.withColumnRenamed("node", "nbr_node"),
-          labels("node") === col("nbr_node"), "left")
-        .select(
-          col("node"),
-          least(col("component"), coalesce(col("nbr_component"), col("component")))
-            .as("component"))
+      // the width() applies to EVERY checkpointed round frame, not
+      // just the edge list — otherwise each round's join output (and
+      // its checkpoint) re-widens to spark.sql.shuffle.partitions and
+      // the knob stops meaning anything
+      labels = width(
+        labels
+          .join(nbrMin.withColumnRenamed("node", "nbr_node"),
+            labels("node") === col("nbr_node"), "left")
+          .select(
+            col("node"),
+            least(col("component"), coalesce(col("nbr_component"), col("component")))
+              .as("component")), "node")
         .localCheckpoint(false)
       val nextSum = sumOf(labels)
       converged = nextSum == labelSum

@@ -33,12 +33,18 @@ object StreamRunner {
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = Paths.get(dir, "events.parquet")
-    val stage = Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_stream_stage_${src.toAbsolutePath.toString.hashCode.toHexString}")
+    // stage dir keyed by the sanitized FULL path (a 32-bit hash could
+    // collide two datasets onto one stage dir and silently stream the
+    // wrong table); the link is recreated every call so a stale or
+    // dangling symlink from a prior run can never wedge the source
+    // (Files.exists FOLLOWS links, so a dangling one reads as absent
+    // while createSymbolicLink still throws FileAlreadyExists)
+    val key = src.toAbsolutePath.toString.replaceAll("[^A-Za-z0-9._-]", "_")
+    val stage = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_stream_stage_$key")
     Files.createDirectories(stage)
     val link = stage.resolve("events.parquet")
-    if (!Files.exists(link)) Files.createSymbolicLink(link, src.toAbsolutePath)
+    Files.deleteIfExists(link)
+    Files.createSymbolicLink(link, src.toAbsolutePath)
     val schema = spark.read.parquet(src.toString).schema
     spark.readStream
       .schema(schema)
@@ -63,7 +69,13 @@ object StreamRunner {
       outputMode: String = "complete",
       statePartitions: Int = 8): DataFrame = {
     val spark = streamingDf.sparkSession
-    val sink = s"graft_stream_sink_${sinkCounter.incrementAndGet()}"
+    // memory-sink tables live in driver memory until dropped and
+    // clearCache() does NOT free them; keep at most the previous
+    // result alive (its consumer — Verify's write / Bench's count —
+    // has finished by the time the next stream starts)
+    val id = sinkCounter.incrementAndGet()
+    (1 until id - 1).foreach(i => spark.catalog.dropTempView(s"graft_stream_sink_$i"))
+    val sink = s"graft_stream_sink_$id"
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, statePartitions)

@@ -47,6 +47,28 @@ class QuantileSketchSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("a99") - r.getAs[Double]("e99")) / r.getAs[Double]("e99") <= tol)
   }
 
+  test("infinities survive the serialize round trip; out-of-range q clamps instead of throwing") {
+    val s = registered()
+    s.range(100)
+      .selectExpr("CASE WHEN id = 0 THEN CAST('Infinity' AS DOUBLE) ELSE CAST(id AS DOUBLE) END AS x")
+      .createOrReplaceTempView("qs_inf")
+    val r = s.sql(
+      """SELECT dd_quantile(dd_union_agg(sk), 1.0) AS top,
+        |       dd_quantile(dd_union_agg(sk), 1.5) AS over,
+        |       dd_quantile(dd_union_agg(sk), -0.5) AS under
+        |FROM (SELECT dd_sketch_agg(x) AS sk FROM qs_inf)""".stripMargin).head()
+    // the Infinity bucket clamps to Int.MaxValue whose midpoint is
+    // Infinity again — not a corrupted small bucket
+    assert(r.getAs[Double]("top").isPosInfinity)
+    assert(r.getAs[Double]("over").isPosInfinity) // q > 1 clamps to 1
+    assert(r.getAs[Double]("under") > 0) // q < 0 clamps to 0 → min value region
+    // all-negative data with q clamped high must not throw (the old
+    // tail guard called pos.keys.max on an empty map)
+    s.range(10).selectExpr("CAST(-1 - id AS DOUBLE) AS x").createOrReplaceTempView("qs_neg")
+    val neg = s.sql("SELECT dd_quantile(dd_sketch_agg(x), 2.0) AS q FROM qs_neg").head()
+    assert(neg.getAs[Double]("q") < 0)
+  }
+
   test("negative values, zeros, and empty sketches behave") {
     val s = registered()
     s.range(1000)
