@@ -371,6 +371,32 @@ object SparkEntry {
             abs(col("a99") - col("p99")) / col("p99") <= 0.01).as("approx_ok"))
         .orderBy("l_returnflag")
     }),
+    "q_sink_partitioned" -> ((s, dir) => {
+      // partitioned data layout: write events partitioned by
+      // event_type, answer from the materialization with a filter on
+      // the partition column — the scan must touch ONE partition
+      // directory (partition pruning; pinned in PlanSpec), which is
+      // the layout story for recurring per-category scans at 100 TB
+      val src = Tables.events(s, dir).select("event_id", "ts", "event_type", "value")
+      src.write.mode("overwrite").partitionBy("event_type").parquet(partitionedPath)
+      s.read.parquet(partitionedPath)
+        .filter(col("event_type") === "click")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+        .orderBy("hour")
+    }),
+    "q_sink_json_roundtrip" -> ((s, dir) => {
+      // JSON sink/source round trip: write the documents table as
+      // JSON lines, read it back with the ORIGINAL schema (schema-on-
+      // read), hash against the untouched parquet — proves the
+      // text-format path is lossless for this data, including the
+      // multi-line/quoted text bodies
+      val docs = Tables.documents(s, dir)
+      docs.write.mode("overwrite").json(jsonPath)
+      s.read.schema(docs.schema).json(jsonPath).orderBy("doc_id")
+    }),
     "q_collect_sorted" -> ((s, dir) => {
       // nested-type aggregation: per-customer order-key array.
       // collect_list's arrival order is partial-agg-order-dependent —
@@ -653,6 +679,14 @@ object SparkEntry {
     s"${System.getProperty("java.io.tmpdir")}/graft_ctas_orders_diff_" +
       java.util.UUID.randomUUID().toString.take(8)
 
+  private lazy val partitionedPath: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_events_by_type_" +
+      java.util.UUID.randomUUID().toString.take(8)
+
+  private lazy val jsonPath: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_documents_json_" +
+      java.util.UUID.randomUUID().toString.take(8)
+
   /** Top-20 longest sessions as (window_id, start, end) incident
     * windows — shared by q_range_join and q_range_join_auto.
     */
@@ -882,6 +916,15 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_diff_sql_exec" ->
       s"$ordersDiffSql\nORDER BY K_o_orderkey",
+    "q_sink_partitioned" ->
+      """SELECT date_trunc('hour', ts) AS hour,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY 1 ORDER BY hour""".stripMargin,
+    "q_sink_json_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_collect_sorted" ->
       """SELECT o_custkey,
         |  list(o_orderkey ORDER BY o_orderkey) AS order_keys,

@@ -132,6 +132,12 @@ class PlanSpec extends AnyFunSuite {
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1, p.take(2000))
   }
 
+  test("partitioned sink read-back prunes to the filtered partition directory") {
+    val p = plan("q_sink_partitioned")
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"), p.take(2000))
+    assert(p.contains("(event_type = click)") || p.contains("event_type#"), p.take(2000))
+  }
+
   test("generated diff SQL text plans identically to the literal DataFrame diff") {
     // the SQL string and the DataFrame API must hit the same physical
     // shape: union-distinct keys + two left joins (the text mirrors
