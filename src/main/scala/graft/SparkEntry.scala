@@ -560,6 +560,29 @@ object SparkEntry {
         .filter(col("rank") <= 3)
         .orderBy("c_mktsegment", "rank")
     }),
+    "q_window_rank_fast" -> ((s, dir) => {
+      // SAME query as q_window_rank, but planned through the custom
+      // top-k operator: TopKViaHeapRule rewrites the row_number
+      // filter into TopKPerGroup, and TopKStrategy plans bounded
+      // heaps on both sides of the shuffle instead of a full
+      // per-group sort (no WindowExec, no Sort — pinned in
+      // TopKPerGroupSpec). Same oracle as q_window_rank.
+      graft.plans.TopKPerGroup.install(s)
+      val bySegment = Window
+        .partitionBy("c_mktsegment")
+        .orderBy(col("total_spend").desc, col("c_custkey"))
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("total_spend"))
+        .withColumn("rank", row_number().over(bySegment))
+        .filter(col("rank") <= 3)
+        .select(
+          col("c_mktsegment"), col("c_custkey"), col("total_spend"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("c_mktsegment", "rank")
+    }),
     "q_rollup" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .rollup("l_returnflag", "l_linestatus")
@@ -1030,6 +1053,20 @@ object SparkEntry {
          |FROM bprof JOIN aprof USING (col_name) ORDER BY col_name""".stripMargin
     },
     "q_window_rank" ->
+      """WITH spend AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_mktsegment, c_custkey
+        |), r AS (
+        |  SELECT c_mktsegment, c_custkey, total_spend,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |           ORDER BY total_spend DESC, c_custkey) AS BIGINT) AS "rank"
+        |  FROM spend
+        |)
+        |SELECT c_mktsegment, c_custkey, total_spend, "rank" FROM r
+        |WHERE "rank" <= 3 ORDER BY c_mktsegment, "rank"""".stripMargin,
+    "q_window_rank_fast" ->
       """WITH spend AS (
         |  SELECT c_mktsegment, c_custkey,
         |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend

@@ -134,6 +134,9 @@ object RangeJoinRewrite {
 
 /** `spark.sql.extensions = graft.plans.GraftExtensions` entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RangeJoinRewrite())
+    e.injectOptimizerRule(_ => TopKViaHeapRule())
+    e.injectPlannerStrategy(s => TopKStrategy(s))
+  }
 }
