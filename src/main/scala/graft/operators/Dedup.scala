@@ -136,14 +136,19 @@ object Dedup {
       col("sig"),
       expr(s"explode(array($bandStructs))").as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    bands.as("x")
+    // distinct over the BARE id pair (a pair can collide in several
+    // bands), then re-join the persisted signatures: deduplicating
+    // rows that carry two 32-long arrays makes the exchange and the
+    // hash compare pay for 64 longs per row; the narrow form ships 2
+    val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(
-        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.sig").as("siga"), col("y.sig").as("sigb"))
-      .distinct() // a pair can collide in several bands
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("sig").as("siga")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("sig").as("sigb")), "doc_b")
       .withColumn("n_agree", expr(sigAgreementSpark("siga", "sigb")).cast("long"))
       .filter(col("n_agree") >= minAgree)
       .select("doc_a", "doc_b", "n_agree")
@@ -267,15 +272,21 @@ object Dedup {
       .select(
         col("vec_id"), col("embedding"), col("norm"),
         col("bk.band").as("eb_band"), col("bk.bkey").as("eb_key"))
-    bands.as("x")
+    // same narrow-distinct shape as minhashPairs: dedup bare id
+    // pairs, then re-join the persisted vectors for the exact refine
+    val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.eb_band") === col("y.eb_band") && col("x.eb_key") === col("y.eb_key") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(
-        col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        col("x.embedding").as("ea"), col("y.embedding").as("eb"),
-        col("x.norm").as("na"), col("y.norm").as("nb"))
-      .distinct() // a pair can collide in several bands
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(
+        e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("norm").as("na")),
+        "vec_a")
+      .join(
+        e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("norm").as("nb")),
+        "vec_b")
       .withColumn("cos", expr(VectorExprs.dotSpark("ea", "eb")) / (col("na") * col("nb")))
       .withColumn("cos_ppm", floor(lit(1000000.0) * col("cos")).cast("long"))
       .filter(col("cos_ppm") >= minCosPpm)
