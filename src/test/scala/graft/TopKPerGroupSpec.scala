@@ -61,6 +61,12 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1, 2L), (1L, 2, 1L), (2L, 1, 3L)))
   }
 
+  test("empty input yields an empty result through the heap plan") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Int)].toDF("id", "g", "v")
+    assert(ranked(empty, 3).count() == 0)
+  }
+
   test("a keep-everything bound (k = Int.MaxValue) neither overflows nor drops rows") {
     val df = data(200, 4, seed = 9)
     val got = ranked(df, Int.MaxValue).count()
