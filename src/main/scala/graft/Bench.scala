@@ -23,6 +23,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // extensions always on — see the note in Verify: plan shapes must
+    // not depend on query execution order
+    graft.plans.RangeJoinRewrite.install(spark)
+    graft.plans.TopKPerGroup.install(spark)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var failed = false
       val times = (1 to iters).map { _ =>

@@ -694,21 +694,27 @@ object SparkEntry {
     }),
   )
 
-  /** Materialization target for q_diff_ctas: stable within one JVM
-    * (bench iterations reuse it via overwrite), disjoint across
-    * processes.
+  /** Materialization targets for the sink queries: stable within one
+    * JVM (bench iterations reuse them via overwrite), disjoint across
+    * processes, and reclaimed at JVM exit — per-JVM uniqueness without
+    * cleanup would leak a full-table copy into tmp per harness run.
     */
-  private lazy val ctasPath: String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_ctas_orders_diff_" +
-      java.util.UUID.randomUUID().toString.take(8)
+  private def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files
+      .createTempDirectory(s"graft_${prefix}_")
+      .toAbsolutePath
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(f => java.nio.file.Files.deleteIfExists(f))
+      } catch { case _: Throwable => () }))
+    p.toString
+  }
 
-  private lazy val partitionedPath: String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_events_by_type_" +
-      java.util.UUID.randomUUID().toString.take(8)
-
-  private lazy val jsonPath: String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_documents_json_" +
-      java.util.UUID.randomUUID().toString.take(8)
+  private lazy val ctasPath: String = scratchDir("ctas_orders_diff")
+  private lazy val partitionedPath: String = scratchDir("events_by_type")
+  private lazy val jsonPath: String = scratchDir("documents_json")
 
   /** Top-20 longest sessions as (window_id, start, end) incident
     * windows — shared by q_range_join and q_range_join_auto.

@@ -18,6 +18,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the engine's optimizer extensions are part of the product: keep
+    // them ON for every query so (a) all oracles continuously gate the
+    // custom operators and (b) plans don't depend on which query
+    // happened to install them first
+    graft.plans.RangeJoinRewrite.install(spark)
+    graft.plans.TopKPerGroup.install(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       spark.catalog.clearCache() // operators persist hot intermediates

@@ -73,7 +73,11 @@ case class TopKViaHeapRule() extends Rule[LogicalPlan] {
             partitionSpec,
             orderSpec,
             child,
-            _)) if orderSpec.nonEmpty =>
+            _))
+        // empty partitionSpec = GLOBAL top-k: ClusteredDistribution(Nil)
+        // is not constructible, and the stock TakeOrdered path already
+        // handles it — leave it alone
+        if orderSpec.nonEmpty && partitionSpec.nonEmpty =>
       boundOf(cond, a.toAttribute) match {
         case Some(k) if k > 0 =>
           // Spark >= 3.5 may already have inserted its WindowGroupLimit
@@ -134,6 +138,12 @@ case class TopKPerGroupExec(
     val outTypes = output.map(_.dataType).toArray
     val kk = k
     val isPartial = partial
+    // memory contract: O(k · groups-per-partition) ON-HEAP, no spill
+    // (same family as TakeOrderedAndProject's per-partition heap).
+    // A near-unique group key would approach one heap per input row —
+    // fail fast with guidance instead of an opaque executor OOM.
+    val maxGroups =
+      conf.getConfString("spark.graft.topk.maxGroupsPerPartition", "8388608").toLong
     child.execute().mapPartitions { iter =>
       val groupProj = UnsafeProjection.create(groupExprsSer, childOutput)
       val ordering = RowOrdering.create(orderSer, childOutput)
@@ -149,6 +159,12 @@ case class TopKPerGroupExec(
         val key = groupProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
+          if (heaps.size() >= maxGroups)
+            throw new org.apache.spark.SparkException(
+              s"TopKPerGroup: more than $maxGroups distinct groups in one partition — " +
+                "the bounded-heap operator holds k rows per group on heap with no spill. " +
+                "Raise spark.graft.topk.maxGroupsPerPartition, repartition wider, or " +
+                "skip the rewrite for this near-unique grouping key.")
           // initial capacity only — clamp it: a huge k (e.g. a
           // rank <= Int.MaxValue "keep everything" filter) must not
           // overflow kk + 1 into a negative capacity
@@ -167,16 +183,23 @@ case class TopKPerGroupExec(
         private var current: Iterator[InternalRow] = Iterator.empty
         override def hasNext: Boolean = {
           while (!current.hasNext && groups.hasNext) {
-            val rows = new java.util.ArrayList[InternalRow](groups.next())
-            java.util.Collections.sort(rows, new java.util.Comparator[InternalRow] {
-              override def compare(x: InternalRow, y: InternalRow): Int = ordering.compare(x, y)
-            })
+            val heap = groups.next()
             current =
-              if (isPartial) scala.jdk.CollectionConverters.ListHasAsScala(rows).asScala.iterator
-              else scala.jdk.CollectionConverters.ListHasAsScala(rows).asScala.iterator.zipWithIndex
-                .map { case (r, i) =>
-                  new JoinedRow(r, InternalRow(i + 1)): InternalRow
-                }
+              if (isPartial)
+                // the exchange destroys order and the final stage
+                // re-heaps anyway: drain unsorted, skip the O(k log k)
+                scala.jdk.CollectionConverters.IteratorHasAsScala(heap.iterator()).asScala
+              else {
+                val rows = new java.util.ArrayList[InternalRow](heap)
+                java.util.Collections.sort(rows, new java.util.Comparator[InternalRow] {
+                  override def compare(x: InternalRow, y: InternalRow): Int =
+                    ordering.compare(x, y)
+                })
+                scala.jdk.CollectionConverters.ListHasAsScala(rows).asScala.iterator.zipWithIndex
+                  .map { case (r, i) =>
+                    new JoinedRow(r, InternalRow(i + 1)): InternalRow
+                  }
+              }
           }
           current.hasNext
         }

@@ -33,14 +33,19 @@ object StreamRunner {
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = Paths.get(dir, "events.parquet")
-    // stage dir keyed by the sanitized FULL path (a 32-bit hash could
-    // collide two datasets onto one stage dir and silently stream the
-    // wrong table); the link is recreated every call so a stale or
-    // dangling symlink from a prior run can never wedge the source
-    // (Files.exists FOLLOWS links, so a dangling one reads as absent
-    // while createSymbolicLink still throws FileAlreadyExists)
-    val key = src.toAbsolutePath.toString.replaceAll("[^A-Za-z0-9._-]", "_")
-    val stage = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_stream_stage_$key")
+    // stage dir keyed by a SHA-256 digest of the full path: a strong
+    // digest cannot collide two datasets onto one stage dir (a 32-bit
+    // hash or lossy sanitization could) and keeps the dir name short
+    // regardless of how deep the data path nests (a full embedded
+    // path can blow the 255-byte filename limit). The link is
+    // recreated every call so a stale or dangling symlink from a
+    // prior run can never wedge the source (Files.exists FOLLOWS
+    // links, so a dangling one reads as absent while
+    // createSymbolicLink still throws FileAlreadyExists).
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(src.toAbsolutePath.toString.getBytes("UTF-8"))
+      .take(12).map(b => f"$b%02x").mkString
+    val stage = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_stream_stage_$digest")
     Files.createDirectories(stage)
     val link = stage.resolve("events.parquet")
     Files.deleteIfExists(link)

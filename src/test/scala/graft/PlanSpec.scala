@@ -135,7 +135,9 @@ class PlanSpec extends AnyFunSuite {
   test("partitioned sink read-back prunes to the filtered partition directory") {
     val p = plan("q_sink_partitioned")
     assert(p.contains("PartitionFilters: [isnotnull(event_type"), p.take(2000))
-    assert(p.contains("(event_type = click)") || p.contains("event_type#"), p.take(2000))
+    // the literal value must appear INSIDE the partition-filter list,
+    // not merely anywhere in the plan
+    assert("PartitionFilters: \\[[^\\]]*= click".r.findFirstIn(p).isDefined, p.take(2000))
   }
 
   test("generated diff SQL text plans identically to the literal DataFrame diff") {

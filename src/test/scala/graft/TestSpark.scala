@@ -14,6 +14,11 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // mirror Verify/Bench: the optimizer extensions are always on, so
+    // every suite runs against the shipped configuration and the
+    // leave-alone cases prove the rules don't overreach
+    graft.plans.RangeJoinRewrite.install(s)
+    graft.plans.TopKPerGroup.install(s)
     s
   }
 }
