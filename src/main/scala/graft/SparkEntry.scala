@@ -409,6 +409,38 @@ object SparkEntry {
           count(lit(1)).as("n_orders"))
         .orderBy("o_custkey")
     }),
+    "q_string_funcs" -> ((s, dir) => {
+      // portable string-function surface over the documents table
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("len"),
+          upper(substring(col("text"), 1, 12)).as("head_u"),
+          lower(substring(col("text"), 1, 12)).as("head_l"),
+          reverse(substring(col("text"), 1, 12)).as("head_rev"),
+          expr("replace(substr(text, 1, 30), ' ', '_')").as("head_repl"),
+          instr(col("text"), "the").cast("long").as("pos_the"),
+          concat(col("lang"), lit("/"), col("source")).as("tag"))
+        .orderBy("doc_id")
+    }),
+    "q_math_funcs" -> ((s, dir) => {
+      // deterministic math surface: only operations that are
+      // IEEE-exact (abs/floor/ceil/sqrt — sqrt is correctly rounded
+      // by the standard) or integral — round/ln/exp/pow round
+      // differently across libm implementations and cannot hash-match
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 11 === 0)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - 0.05).as("abs_disc_delta"),
+          floor(col("l_extendedprice")).cast("long").as("price_floor"),
+          ceil(col("l_extendedprice")).cast("long").as("price_ceil"),
+          sqrt(col("l_quantity")).as("qty_sqrt"),
+          signum(col("l_tax") - 0.04).as("tax_sign"),
+          (col("l_partkey") % 7).as("part_mod"),
+          greatest(col("l_discount"), col("l_tax")).as("max_rate"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
     "q_datetime_funcs" -> ((s, dir) => {
       // portable date/time function surface over the order dates
       Tables.orders(s, dir)
@@ -959,6 +991,27 @@ object SparkEntry {
         |  list(o_orderkey ORDER BY o_orderkey) AS order_keys,
         |  COUNT(*) AS n_orders
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS len,
+        |  upper(substr(text, 1, 12)) AS head_u,
+        |  lower(substr(text, 1, 12)) AS head_l,
+        |  reverse(substr(text, 1, 12)) AS head_rev,
+        |  replace(substr(text, 1, 30), ' ', '_') AS head_repl,
+        |  CAST(instr(text, 'the') AS BIGINT) AS pos_the,
+        |  concat(lang, '/', source) AS tag
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_discount - 0.05) AS abs_disc_delta,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  sqrt(l_quantity) AS qty_sqrt,
+        |  CAST(sign(l_tax - 0.04) AS DOUBLE) AS tax_sign,
+        |  l_partkey % 7 AS part_mod,
+        |  greatest(l_discount, l_tax) AS max_rate
+        |FROM lineitem WHERE l_orderkey % 11 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_datetime_funcs" ->
       """SELECT o_orderkey,
         |  CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
