@@ -130,6 +130,26 @@ object SparkEntry {
       d.write.mode("overwrite").parquet(ctasPath)
       s.read.parquet(ctasPath).orderBy("K_o_orderkey")
     }),
+    "q_diff_bucketed" -> ((s, dir) => {
+      // the recurring-diff posture at 100 TB: both snapshots written
+      // bucketed by the business key → the full-outer join reads
+      // co-located buckets with ZERO shuffle exchanges (only the
+      // deterministic ORDER BY exchanges; pinned in PlanSpec).
+      // keysNotNull is required: Spark rewrites null-safe `<=>` keys
+      // to coalesce/isnull forms no bucketed layout can satisfy.
+      val bTbl = "graft_bucketed_orders_before"
+      val aTbl = "graft_bucketed_orders_after"
+      Seq(bTbl, aTbl).foreach(resetBucketTable(s, _))
+      Tables.orders(s, dir).write
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(bTbl)
+      Tables.ordersAfter(s, dir).write
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(aTbl)
+      TableDiff
+        .diff(
+          s.table(bTbl), s.table(aTbl), Seq("o_orderkey"),
+          opts = DiffOptions(keysNotNull = true))
+        .orderBy("K_o_orderkey")
+    }),
     "q_diff_statuses_map" -> ((s, dir) => {
       // wide-schema escape hatch: ONE MAP column instead of a status
       // column per union column; presented as parallel sorted arrays
@@ -744,6 +764,22 @@ object SparkEntry {
     p.toString
   }
 
+  /** Drop a managed table AND its warehouse directory: across JVMs
+    * the in-memory catalog forgets the table while the files persist,
+    * and a later CREATE would refuse the non-empty location.
+    */
+  private def resetBucketTable(s: SparkSession, name: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:").stripPrefix("//")
+    val dir = java.nio.file.Paths.get(wh, name)
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   private lazy val ctasPath: String = scratchDir("ctas_orders_diff")
   private lazy val partitionedPath: String = scratchDir("events_by_type")
   private lazy val jsonPath: String = scratchDir("documents_json")
@@ -833,6 +869,8 @@ object SparkEntry {
          |ORDER BY source, l_orderkey, l_linenumber""".stripMargin
     },
     "q_diff_ctas" ->
+      s"$ordersDiffSql\nORDER BY K_o_orderkey",
+    "q_diff_bucketed" ->
       s"$ordersDiffSql\nORDER BY K_o_orderkey",
     "q_diff_statuses_map" -> {
       val cols = lineitemCols :+ "extra_col"

@@ -132,6 +132,13 @@ class PlanSpec extends AnyFunSuite {
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1, p.take(2000))
   }
 
+  test("bucketed diff joins co-located buckets: the only exchange is the ORDER BY's") {
+    val p = plan("q_diff_bucketed")
+    assert("Join FullOuter".r.findAllIn(p).size == 1, p.take(2000))
+    // one range exchange for the deterministic ORDER BY, zero for the join
+    assert("[+:]- Exchange".r.findAllIn(p).size == 1, p.take(2000))
+  }
+
   test("partitioned sink read-back prunes to the filtered partition directory") {
     val p = plan("q_sink_partitioned")
     assert(p.contains("PartitionFilters: [isnotnull(event_type"), p.take(2000))
