@@ -42,10 +42,15 @@ object Bench {
       // a failed query must read as a failure, not a fast success
       name -> (if (failed) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // millisecond precision: the driver stores only the tail of stdout
+    // (~2 KB) and BENCH_r04.json shows the full-precision 65-query line
+    // overflowed it mid-line ("parsed": null) — 3 decimals keeps the
+    // whole line inside the capture window
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -160,12 +160,16 @@ object SparkEntry {
         Tables.lineitemAfter(s, dir),
         Seq("l_orderkey", "l_linenumber"),
         opts = DiffOptions(statusesAsMap = true))
+      // scalarized (array_join) so every output column is sortable by
+      // the driver's pandas comparator — arrays hash fine but can't be
+      // lexsorted (CORRECTNESS_r04: unhashable numpy.ndarray)
       d.select(
         col(TableDiff.RowStatus),
         col("K_l_orderkey"),
         col("K_l_linenumber"),
-        map_keys(col("statuses")).as("status_cols"),
-        map_values(col("statuses")).as("status_vals"))
+        array_join(map_keys(col("statuses")), ",").as("status_cols"),
+        array_join(map_values(col("statuses")).cast("array<string>"), ",")
+          .as("status_vals"))
         .orderBy("K_l_orderkey", "K_l_linenumber")
     }),
 
@@ -421,11 +425,17 @@ object SparkEntry {
       // nested-type aggregation: per-customer order-key array.
       // collect_list's arrival order is partial-agg-order-dependent —
       // array_sort makes the result deterministic and cross-engine
-      // comparable (same rule as the DECIMAL casts for float sums)
+      // comparable (same rule as the DECIMAL casts for float sums).
+      // The sorted array is emitted as a joined string because the
+      // driver's pandas comparator can't lexsort array cells
+      // (CORRECTNESS_r04: unhashable numpy.ndarray); sort happens on
+      // the numeric array BEFORE the string cast, so "10" vs "2"
+      // string ordering never leaks in
       Tables.orders(s, dir)
         .groupBy("o_custkey")
         .agg(
-          array_sort(collect_list("o_orderkey")).as("order_keys"),
+          array_join(array_sort(collect_list("o_orderkey")).cast("array<string>"), ",")
+            .as("order_keys"),
           count(lit(1)).as("n_orders"))
         .orderBy("o_custkey")
     }),
@@ -874,14 +884,14 @@ object SparkEntry {
       s"$ordersDiffSql\nORDER BY K_o_orderkey",
     "q_diff_statuses_map" -> {
       val cols = lineitemCols :+ "extra_col"
-      val names = cols.map(c => s"'$c'").mkString(", ")
-      val vals = cols.mkString(", ")
+      val names = cols.mkString(",")
+      val vals = cols.map(c => s"CAST($c AS VARCHAR)").mkString(", ")
       s"""WITH diff AS (
          |$lineitemDiffSql
          |)
          |SELECT _row_status, K_l_orderkey, K_l_linenumber,
-         |  [$names] AS status_cols,
-         |  [$vals] AS status_vals
+         |  '$names' AS status_cols,
+         |  concat_ws(',', $vals) AS status_vals
          |FROM diff ORDER BY K_l_orderkey, K_l_linenumber""".stripMargin
     },
     "q_scan_filter" ->
@@ -1026,7 +1036,7 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_collect_sorted" ->
       """SELECT o_custkey,
-        |  list(o_orderkey ORDER BY o_orderkey) AS order_keys,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys,
         |  COUNT(*) AS n_orders
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q_string_funcs" ->

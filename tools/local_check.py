@@ -16,11 +16,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(con, rel_sql, label):
-    """Return (ncols, colnames, hash) for a result set, canonicalized."""
+    """Return (ncols, colnames, hash) for a result set, canonicalized.
+
+    Mirrors the driver's comparator: it loads results into pandas and
+    lexsorts rows with DataFrame.sort_values, which throws on
+    array-valued cells (unhashable numpy.ndarray — CORRECTNESS_r04).
+    We probe that exact path first so the local gate is never greener
+    than the driver's, then hash via the stringify-sort path.
+    """
     df = con.execute(rel_sql).fetch_arrow_table()
     import pyarrow as pa  # noqa
     names = sorted(df.column_names)
     df = df.select(names)
+    # driver-compat probe: pandas sort_values must succeed
+    pdf = df.to_pandas()
+    pdf.sort_values(by=names)  # raises TypeError on ndarray cells
     # stringify + sort rows
     rows = []
     for batch in df.to_pylist():
