@@ -54,10 +54,20 @@ object SimilaritySearch {
         floor(lit(1000000.0) * col("cos")).cast("long").as("cos_ppm"))
   }
 
-  /** IVF-style ANN: coarse centroids are the vectors with
-    * `vec_id % centroidMod == 0`; every vector is assigned to its
-    * L2-nearest centroid; each query probes its `nprobe` nearest
-    * centroid lists and ranks those candidates by cosine.
+  /** IVF-style ANN: coarse centroids are seeded from the vectors with
+    * `vec_id % centroidMod == 0`, then refined by `lloydIters` Lloyd
+    * (k-means) iterations; every vector is assigned to its L2-nearest
+    * centroid; each query probes its `nprobe` nearest centroid lists
+    * and ranks those candidates by cosine.
+    *
+    * The Lloyd pass is pure DataFrame aggregation: assign (broadcast
+    * centroids) → per-dimension mean (posexplode + groupBy(cid, pos))
+    * → rebuild the centroid array. Means are DECIMAL-summed then
+    * widened, the same determinism convention as every float aggregate
+    * in the suite, and cast back to FLOAT so both engines carry
+    * bit-identical centroids into the distance kernels. Empty clusters
+    * cannot occur: each seed centroid is a member vector with
+    * self-distance 0, ties broken by cid, so it always keeps itself.
     */
   def ivfTopK(
       emb: DataFrame,
@@ -65,12 +75,32 @@ object SimilaritySearch {
       queryMod: Int = 97,
       centroidMod: Int = 50,
       nprobe: Int = 2,
+      lloydIters: Int = 1,
       idCol: String = "vec_id"): DataFrame = {
     graft.functions.VecDot.register(emb.sparkSession)
-    val cents = emb
+    val seeds = emb
       .filter(col(idCol) % centroidMod === 0)
       .select(col(idCol).as("cid"), col("embedding").as("cemb"))
     val byDist = Window.partitionBy("vid").orderBy(col("d"), col("cid"))
+
+    val cents = (1 to lloydIters).foldLeft(seeds) { (c, _) =>
+      emb
+        .select(col(idCol).as("vid"), col("embedding"))
+        .crossJoin(broadcast(c))
+        .withColumn("d", expr(l2sqSpark("embedding", "cemb")))
+        .withColumn("rn", row_number().over(byDist))
+        .filter(col("rn") === 1)
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(
+          (sum(col("x").cast("decimal(28,12)")).cast("double") / count(lit(1)))
+            .cast("float").as("m"))
+        .groupBy("cid")
+        .agg(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("m")))),
+            e => e("m")).as("cemb"))
+    }
 
     // build pass: vector → nearest centroid (broadcast join, no shuffle
     // of the big side beyond the window's per-vector grouping)

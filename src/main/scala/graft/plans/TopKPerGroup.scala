@@ -62,6 +62,16 @@ case class TopKViaHeapRule() extends Rule[LogicalPlan] {
       Some(v)
     case LessThan(r: Attribute, Literal(v: Int, IntegerType)) if r.semanticEquals(rank) =>
       Some(v - 1)
+    case GreaterThanOrEqual(Literal(v: Int, IntegerType), r: Attribute) if r.semanticEquals(rank) =>
+      Some(v)
+    case GreaterThan(Literal(v: Int, IntegerType), r: Attribute) if r.semanticEquals(rank) =>
+      Some(v - 1)
+    // rank = 1 is exactly top-1: rank is row_number, so = 1 ⇔ <= 1.
+    // (= v for v > 1 is NOT a top-k — it keeps only the v-th row.)
+    case EqualTo(r: Attribute, Literal(1, IntegerType)) if r.semanticEquals(rank) =>
+      Some(1)
+    case EqualTo(Literal(1, IntegerType), r: Attribute) if r.semanticEquals(rank) =>
+      Some(1)
     case _ => None
   }
 
