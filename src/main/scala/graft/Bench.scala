@@ -8,12 +8,23 @@ import org.apache.spark.sql.SparkSession
   * cached across queries distorts memory pressure), and the reported
   * time is the best of `SPARK_GRAFT_BENCH_ITERS` runs (default 2) to
   * damp JIT/IO warm-up noise.
+  *
+  * Isolation knobs (for contention-resistant re-measures; both leave
+  * the default driver output byte-compatible when unset):
+  *   - SPARK_GRAFT_BENCH_ONLY: comma-separated query names — run only
+  *     these (one query per JVM gives the cleanest number).
+  *   - SPARK_GRAFT_BENCH_SPREAD=1: also emit per-query `"spread"`
+  *     (max-min over the iterations) so dispersion is recorded
+  *     alongside the min.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val emitSpread = sys.env.get("SPARK_GRAFT_BENCH_SPREAD").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,7 +38,9 @@ object Bench {
     // not depend on query execution order
     graft.plans.RangeJoinRewrite.install(spark)
     graft.plans.TopKPerGroup.install(spark)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = selected.map { case (name, fn) =>
       var failed = false
       val times = (1 to iters).map { _ =>
         spark.catalog.clearCache()
@@ -40,17 +53,21 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       // a failed query must read as a failure, not a fast success
-      name -> (if (failed) -1.0 else times.min)
+      (name, if (failed) -1.0 else times.min, if (failed) -1.0 else times.max - times.min)
     }
     // millisecond precision: the driver stores only the tail of stdout
     // (~2 KB) and BENCH_r04.json shows the full-precision 65-query line
     // overflowed it mid-line ("parsed": null) — 3 decimals keeps the
     // whole line inside the capture window
     def fmt(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spread =
+      if (!emitSpread) ""
+      else results.map { case (k, _, s) => "\"" + k + "\":" + fmt(s) }
+        .mkString(""","spread":{""", ",", "}") + s""","iters":$iters"""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorExprs._
 
+import scala.jdk.CollectionConverters._
+
 /** Approximate-nearest-neighbor search over an embedding column.
   *
   * `bruteTopK` is the exact baseline: broadcast the (small) query set
@@ -30,6 +32,10 @@ object SimilaritySearch {
       queryMod: Int = 97,
       idCol: String = "vec_id"): DataFrame = {
     graft.functions.VecDot.register(emb.sparkSession)
+    // the per-query top-k below is the Filter-over-row_number pattern;
+    // make sure library callers get the bounded-heap plan, not a full
+    // per-partition sort (idempotent — Verify/Bench install it anyway)
+    graft.plans.TopKPerGroup.install(emb.sparkSession)
     val q = emb
       .filter(col(idCol) % queryMod === 0)
       .select(
@@ -68,6 +74,16 @@ object SimilaritySearch {
     * bit-identical centroids into the distance kernels. Empty clusters
     * cannot occur: each seed centroid is a member vector with
     * self-distance 0, ties broken by cid, so it always keeps itself.
+    *
+    * The centroid table is collected to the driver after seeding and
+    * after every Lloyd update (the MLlib KMeans design: centroids live
+    * on the driver between iterations, members never do). Without
+    * this, `cents` is a lazy plan whose lineage contains the whole
+    * loop, and each downstream consumer (the build pass AND the probe
+    * pass) replays every iteration — with it, each pass over the data
+    * executes exactly once. Size is |vectors|/centroidMod rows × dim
+    * floats — a few thousand rows at any scale worth running IVF at,
+    * and the exact payload `broadcast()` would ship anyway.
     */
   def ivfTopK(
       emb: DataFrame,
@@ -77,29 +93,37 @@ object SimilaritySearch {
       nprobe: Int = 2,
       lloydIters: Int = 1,
       idCol: String = "vec_id"): DataFrame = {
-    graft.functions.VecDot.register(emb.sparkSession)
-    val seeds = emb
-      .filter(col(idCol) % centroidMod === 0)
-      .select(col(idCol).as("cid"), col("embedding").as("cemb"))
+    val spark = emb.sparkSession
+    graft.functions.VecDot.register(spark)
+    // per-query / per-vector top-k via the bounded-heap operator even
+    // for library callers outside Verify/Bench (idempotent install)
+    graft.plans.TopKPerGroup.install(spark)
+    def localize(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.collect().toSeq.asJava, df.schema)
+    val seeds = localize(
+      emb
+        .filter(col(idCol) % centroidMod === 0)
+        .select(col(idCol).as("cid"), col("embedding").as("cemb")))
     val byDist = Window.partitionBy("vid").orderBy(col("d"), col("cid"))
 
     val cents = (1 to lloydIters).foldLeft(seeds) { (c, _) =>
-      emb
-        .select(col(idCol).as("vid"), col("embedding"))
-        .crossJoin(broadcast(c))
-        .withColumn("d", expr(l2sqSpark("embedding", "cemb")))
-        .withColumn("rn", row_number().over(byDist))
-        .filter(col("rn") === 1)
-        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos")
-        .agg(
-          (sum(col("x").cast("decimal(28,12)")).cast("double") / count(lit(1)))
-            .cast("float").as("m"))
-        .groupBy("cid")
-        .agg(
-          transform(
-            array_sort(collect_list(struct(col("pos"), col("m")))),
-            e => e("m")).as("cemb"))
+      localize(
+        emb
+          .select(col(idCol).as("vid"), col("embedding"))
+          .crossJoin(broadcast(c))
+          .withColumn("d", expr(l2sqSpark("embedding", "cemb")))
+          .withColumn("rn", row_number().over(byDist))
+          .filter(col("rn") === 1)
+          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy("cid", "pos")
+          .agg(
+            (sum(col("x").cast("decimal(28,12)")).cast("double") / count(lit(1)))
+              .cast("float").as("m"))
+          .groupBy("cid")
+          .agg(
+            transform(
+              array_sort(collect_list(struct(col("pos"), col("m")))),
+              e => e("m")).as("cemb")))
     }
 
     // build pass: vector → nearest centroid (broadcast join, no shuffle

@@ -147,6 +147,21 @@ class PlanSpec extends AnyFunSuite {
     assert("PartitionFilters: \\[[^\\]]*= click".r.findFirstIn(p).isDefined, p.take(2000))
   }
 
+  test("ANN top-k plans as the bounded-heap operator even in a bare session") {
+    // library callers don't run Verify/Bench's session-wide install;
+    // ivfTopK/bruteTopK must self-install (idempotently) or their
+    // rn<=k filters fall back to the full WindowExec sort
+    val fresh = spark.newSession()
+    assert(!fresh.experimental.extraOptimizations
+      .exists(_.isInstanceOf[graft.plans.TopKViaHeapRule]))
+    val emb = fresh.read.parquet(s"$dir/embeddings.parquet")
+    val p = graft.operators.SimilaritySearch
+      .ivfTopK(emb)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("TopKPerGroup"), p.take(2000))
+    assert(!p.contains("WindowExec"), p.take(2000))
+  }
+
   test("generated diff SQL text plans identically to the literal DataFrame diff") {
     // the SQL string and the DataFrame API must hit the same physical
     // shape: union-distinct keys + two left joins (the text mirrors
