@@ -133,6 +133,28 @@ object ExtensionQueries {
           octet_length(col("text")).cast("long").as("n_bytes"),
           md5(col("text").cast("binary")).as("digest"))
         .orderBy("doc_id")),
+    "q_multimodal_features" -> ((s, dir) => {
+      // the REAL decode path end-to-end: synthesize the media table
+      // (BINARY payload + typed metadata), run extractFeatures'
+      // mapPartitions decoder, and hash the features against a DuckDB
+      // twin of the stub's 16-bin byte histogram. Ratios are float32
+      // and cross-engine float stringification differs, so the
+      // features are de-normalized back to exact integer bin COUNTS
+      // (ratio × n_bytes, exact below 2^24 — see StubDecoder) and
+      // scalarized (array_join) for the driver's row-sorting comparator.
+      val media = graft.operators.Multimodal.synthesizeMedia(
+        Tables.documents(s, dir))
+      graft.operators.Multimodal.extractFeatures(media)
+        .select(
+          col("media_id"),
+          col("n_bytes"),
+          array_join(
+            transform(
+              col("features"),
+              f => round(f * col("n_bytes")).cast("long")),
+            ",").as("bin_counts"))
+        .orderBy("media_id")
+    }),
   )
 
   // ------------------------------------------------------------------
@@ -429,5 +451,30 @@ object ExtensionQueries {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // 16-bin high-nibble byte histogram of the payload — DuckDB twin
+    // of Multimodal.StubDecoder.decode. Byte values via
+    // unicode(substr(...)): valid because the synthetic documents are
+    // pure ASCII (verified octet_length(encode(text)) = length(text)
+    // for every row at all SFs); a non-ASCII corpus would need BLOB
+    // byte extraction DuckDB doesn't expose in SQL.
+    "q_multimodal_features" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        |  FROM documents
+        |), ch AS (
+        |  SELECT doc_id, unicode(substr(text, CAST(i AS INT), 1)) // 16 AS bin
+        |  FROM pos
+        |), h AS (
+        |  SELECT doc_id, bin, COUNT(*) AS c FROM ch GROUP BY doc_id, bin
+        |), spine AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, b.bin
+        |  FROM documents, range(0, 16) b(bin)
+        |)
+        |SELECT spine.doc_id AS media_id, spine.n_bytes,
+        |  string_agg(CAST(COALESCE(h.c, 0) AS VARCHAR), ',' ORDER BY spine.bin) AS bin_counts
+        |FROM spine LEFT JOIN h ON h.doc_id = spine.doc_id AND h.bin = spine.bin
+        |GROUP BY spine.doc_id, spine.n_bytes
+        |ORDER BY media_id""".stripMargin,
   )
 }

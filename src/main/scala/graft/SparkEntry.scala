@@ -34,6 +34,22 @@ object SparkEntry {
     afterCols = lineitemCols :+ "extra_col",
     paddedTypes = Map("extra_col" -> "DOUBLE"))
 
+  /** O2 oracle twin of q_diff_filtered: identical predicates pushed
+    * into the CTE bodies, exactly where the reference's Jinja template
+    * injects them (full_compare.sql.j2:14-15,19-20).
+    */
+  private val lineitemFilteredDiffSql: String = DiffSql.generate(
+    beforeBody =
+      "SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'",
+    afterBody =
+      s"""SELECT * FROM (
+         |${Tables.lineitemAfterSql}
+         |) t WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00' AND l_discount <= 0.08""".stripMargin,
+    keys = Seq("l_orderkey", "l_linenumber"),
+    beforeCols = lineitemCols,
+    afterCols = lineitemCols :+ "extra_col",
+    paddedTypes = Map("extra_col" -> "DOUBLE"))
+
   private val ordersDiffSql: String = DiffSql.generate(
     beforeBody = "SELECT * FROM orders",
     afterBody = Tables.ordersAfterSql,
@@ -149,6 +165,54 @@ object SparkEntry {
           s.table(bTbl), s.table(aTbl), Seq("o_orderkey"),
           opts = DiffOptions(keysNotNull = true))
         .orderBy("K_o_orderkey")
+    }),
+    "q_diff_filtered" -> ((s, dir) => {
+      // O2: per-side WHERE predicates — the reference's only
+      // query-surface knob besides keys (full_compare.sql.j2:14-15,
+      // 19-20; CLI diffgen.py:56-57). Opaque SQL strings parsed by
+      // Catalyst; deliberately DIFFERENT per side so the asymmetric
+      // filter shows up as missing-row statuses, the snapshot-diff
+      // situation the knob exists for.
+      TableDiff
+        .diff(
+          Tables.lineitem(s, dir),
+          Tables.lineitemAfter(s, dir),
+          Seq("l_orderkey", "l_linenumber"),
+          beforeWhere = Some("l_shipdate < TIMESTAMP_NTZ '1997-01-01 00:00:00'"),
+          afterWhere = Some(
+            "l_shipdate < TIMESTAMP_NTZ '1997-01-01 00:00:00' AND l_discount <= 0.08"))
+        .orderBy("K_l_orderkey", "K_l_linenumber")
+    }),
+    "q_ddl_lifecycle" -> ((s, dir) => {
+      // V7+V8+G1/G2 as ONE oracled round trip: CREATE a managed table,
+      // INSERT two disjoint slices (second proves INSERT appends),
+      // DESCRIBE the live table into the reference's schema-CSV
+      // download format, re-load that text through the G1 CSV loader,
+      // and answer from the loaded schema × the table's row count —
+      // every value in the result passed through the full lifecycle.
+      val tbl = "graft_lifecycle_orders"
+      resetBucketTable(s, tbl)
+      s.sql(
+        s"""CREATE TABLE $tbl
+           |(o_orderkey BIGINT, o_custkey BIGINT, o_orderpriority STRING)
+           |USING parquet""".stripMargin)
+      def slice(m: Int) = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 10 === m)
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+      slice(0).write.insertInto(tbl)
+      slice(1).write.insertInto(tbl)
+      val csvPath = java.nio.file.Files.createTempFile("graft_describe_", ".csv")
+      java.nio.file.Files.writeString(
+        csvPath, graft.cli.DiffGen.describeCsv(s.table(tbl).schema))
+      val loaded =
+        try graft.cli.DiffGen.loadSchemaCsv(csvPath.toString)
+        finally java.nio.file.Files.deleteIfExists(csvPath)
+      import s.implicits._
+      loaded
+        .map { case (n, t) => (n, graft.cli.DiffGen.typeClass(t)) }
+        .toDF("col_name", "type_class")
+        .crossJoin(broadcast(s.table(tbl).agg(count(lit(1)).as("n_rows"))))
+        .orderBy("col_name")
     }),
     "q_diff_statuses_map" -> ((s, dir) => {
       // wide-schema escape hatch: ONE MAP column instead of a status
@@ -882,6 +946,16 @@ object SparkEntry {
       s"$ordersDiffSql\nORDER BY K_o_orderkey",
     "q_diff_bucketed" ->
       s"$ordersDiffSql\nORDER BY K_o_orderkey",
+    "q_diff_filtered" ->
+      s"$lineitemFilteredDiffSql\nORDER BY K_l_orderkey, K_l_linenumber",
+    "q_ddl_lifecycle" ->
+      """SELECT col_name, type_class, n_rows FROM
+        |  (VALUES ('O_ORDERKEY', 'NUMBER'),
+        |          ('O_CUSTKEY', 'NUMBER'),
+        |          ('O_ORDERPRIORITY', 'TEXT')) t(col_name, type_class)
+        |CROSS JOIN
+        |  (SELECT COUNT(*) AS n_rows FROM orders WHERE o_orderkey % 10 IN (0, 1)) c
+        |ORDER BY col_name""".stripMargin,
     "q_diff_statuses_map" -> {
       val cols = lineitemCols :+ "extra_col"
       val names = cols.mkString(",")

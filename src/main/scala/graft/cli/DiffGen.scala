@@ -85,6 +85,35 @@ object DiffGen {
     }
   }
 
+  /** V8 inverse of [[loadSchemaCsv]]: emit a Spark schema in the
+    * Snowflake-DESCRIBE download format the reference consumes
+    * (diffgen.py:30-34 — `name,type` header, one row per column,
+    * external type names). The type mapping follows Snowflake's
+    * documented equivalents so [[typeClass]] classes the result the
+    * same way it classes a real DESCRIBE download: all integral and
+    * fractional types land in NUMBER, strings in TEXT.
+    */
+  def describeCsv(schema: org.apache.spark.sql.types.StructType): String = {
+    import org.apache.spark.sql.types._
+    def sfType(dt: DataType): String = dt match {
+      case ByteType | ShortType | IntegerType | LongType => "NUMBER(38,0)"
+      case FloatType | DoubleType => "FLOAT"
+      case d: DecimalType => s"NUMBER(${d.precision},${d.scale})"
+      case StringType => "VARCHAR(16777216)"
+      case BooleanType => "BOOLEAN"
+      case DateType => "DATE"
+      case TimestampType => "TIMESTAMP_LTZ(9)"
+      case TimestampNTZType => "TIMESTAMP_NTZ(9)"
+      case BinaryType => "BINARY(8388608)"
+      case other => other.sql // structured types have no CSV-era equivalent
+    }
+    // quote cells with embedded commas (NUMBER(38,0)) exactly like the
+    // real DESCRIBE downloads — splitCsvLine reverses it
+    def cell(s: String): String = if (s.contains(',')) "\"" + s + "\"" else s
+    ("name,type" +: schema.fields.toSeq.map(f => s"${f.name.toUpperCase},${cell(sfType(f.dataType))}"))
+      .mkString("\n")
+  }
+
   /** Type classing (G2, diffgen.py:37-47): collapse the external type
     * system to TEXT vs NUMBER by substring match; fallback TEXT. The
     * live template never consumes it (dead parameter in the
