@@ -24,6 +24,15 @@ object Bench {
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // fail fast on unknown names: a typo would otherwise select nothing
+    // and print a 0.000-total line that reads as a (suspiciously fast)
+    // successful isolated re-measure instead of an error
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(
+        unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names no known query: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val emitSpread = sys.env.get("SPARK_GRAFT_BENCH_SPREAD").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -140,7 +140,10 @@ object ExtensionQueries {
       // twin of the stub's 16-bin byte histogram. Ratios are float32
       // and cross-engine float stringification differs, so the
       // features are de-normalized back to exact integer bin COUNTS
-      // (ratio × n_bytes, exact below 2^24 — see StubDecoder) and
+      // (ratio × n_bytes — exact below 2^23: the stored float32 ratio
+      // carries a half-ulp relative error of 2^-24, so round() is only
+      // guaranteed to recover the integer count while count·2^-24 < 1/2,
+      // i.e. counts < 2^23 ≈ 8M-byte documents — see StubDecoder) and
       // scalarized (array_join) for the driver's row-sorting comparator.
       val media = graft.operators.Multimodal.synthesizeMedia(
         Tables.documents(s, dir))

@@ -12,6 +12,13 @@ object Verify {
     // local correctness loop on one new query doesn't re-run all 65
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // same fail-fast as Bench: a typo'd name must error, not no-op
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(
+        unknown.isEmpty,
+        s"SPARK_GRAFT_VERIFY_ONLY names no known query: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     def selected(name: String): Boolean = only.forall(_.contains(name))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -51,7 +58,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(o => selected(o._1))
+    // With VERIFY_ONLY active, emit ALL oracle entries, not just the
+    // subset: the parquet dumps of unselected queries survive in
+    // outDir, so dropping their oracle SQL would silently break a later
+    // driver comparison over the same directory. The full map is always
+    // consistent with SparkEntry (oracleSql is source-of-truth, not
+    // per-run state), so emitting it unconditionally is a strict
+    // superset of the merge the subset run needs.
+    val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

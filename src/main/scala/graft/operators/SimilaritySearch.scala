@@ -81,9 +81,17 @@ object SimilaritySearch {
     * this, `cents` is a lazy plan whose lineage contains the whole
     * loop, and each downstream consumer (the build pass AND the probe
     * pass) replays every iteration — with it, each pass over the data
-    * executes exactly once. Size is |vectors|/centroidMod rows × dim
-    * floats — a few thousand rows at any scale worth running IVF at,
-    * and the exact payload `broadcast()` would ship anyway.
+    * executes exactly once.
+    *
+    * ⚠ `centroidMod` must SCALE WITH |vectors|: the seed set is
+    * |vectors|/centroidMod rows, ALL of which land on the driver (and
+    * would be broadcast anyway — same asymptotic limit either way). A
+    * fixed mod at growing data volume grows nlist linearly; pick
+    * centroidMod ≈ |vectors|/nlist for a target list count (IVF
+    * guidance: nlist ≈ sqrt(|vectors|)). The collect is guarded by
+    * `maxCentroids` — it fails fast with sizing guidance instead of
+    * letting an undersized mod OOM the driver at plan-construction
+    * time.
     */
   def ivfTopK(
       emb: DataFrame,
@@ -92,14 +100,26 @@ object SimilaritySearch {
       centroidMod: Int = 50,
       nprobe: Int = 2,
       lloydIters: Int = 1,
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id",
+      maxCentroids: Int = 1 << 20): DataFrame = {
     val spark = emb.sparkSession
     graft.functions.VecDot.register(spark)
     // per-query / per-vector top-k via the bounded-heap operator even
     // for library callers outside Verify/Bench (idempotent install)
     graft.plans.TopKPerGroup.install(spark)
-    def localize(df: DataFrame): DataFrame =
-      spark.createDataFrame(df.collect().toSeq.asJava, df.schema)
+    def localize(df: DataFrame): DataFrame = {
+      // cap BEFORE materializing: collect limit+1 rows so an oversized
+      // centroid set costs one extra row, not a driver OOM
+      val rows = df.limit(maxCentroids + 1).collect()
+      require(
+        rows.length <= maxCentroids,
+        s"ivfTopK: centroid set exceeds maxCentroids=$maxCentroids rows. " +
+          s"centroidMod=$centroidMod yields |vectors|/$centroidMod seeds and " +
+          "must scale with data volume — pick centroidMod ≈ |vectors|/nlist " +
+          "(nlist ≈ sqrt(|vectors|)), or raise maxCentroids if the driver " +
+          "can genuinely hold that many centroids.")
+      spark.createDataFrame(rows.toSeq.asJava, df.schema)
+    }
     val seeds = localize(
       emb
         .filter(col(idCol) % centroidMod === 0)
