@@ -792,6 +792,69 @@ object SparkEntry {
         .withColumn("session_end", col("session_end").cast("timestamp_ntz"))
         .orderBy("user_id", "session_start")
     }),
+    "q_stream_dedup" -> ((s, dir) => {
+      // streaming exact dedup end-to-end: watermark-bounded state
+      // dedup on a coarse key (event_ids are unique in the data, so
+      // deduping by (user_id, event_type) exercises real drops). Only
+      // the KEY columns are emitted: which row survives per key is
+      // engine-internal arrival order; the surviving key set is exact.
+      val out = graft.streaming.StreamRunner.runToCompletion(
+        graft.streaming.EventStreams.dedupStream(
+          graft.streaming.StreamRunner.eventsStream(s, dir),
+          keyCols = Seq("user_id", "event_type"))
+          .select("user_id", "event_type"),
+        outputMode = "append")
+      out.orderBy("user_id", "event_type")
+    }),
+    "q_stream_missing" -> ((s, dir) => {
+      // stream-stream diff: the actual stream "loses" every 10th
+      // event; the outer join emits an expected row once the watermark
+      // proves no match can arrive. The outer state only flushes in a
+      // LATER batch, so the source stages sentinel files that push the
+      // watermark past all real rows (see StreamRunner.eventsStream);
+      // sentinels carry negative ids and are filtered back out.
+      val expected = graft.streaming.StreamRunner.eventsStream(s, dir, sentinels = 2)
+      val actual = graft.streaming.StreamRunner.eventsStream(s, dir, sentinels = 2)
+        .filter(col("event_id") % 10 =!= 0)
+      val out = graft.streaming.StreamRunner.runToCompletion(
+        graft.streaming.EventStreams.missingInActual(expected, actual),
+        outputMode = "append")
+      out.filter(col("event_id") >= 0)
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+        .orderBy("event_id")
+    }),
+    "q_stream_running_counts" -> ((s, dir) => {
+      import s.implicits._
+      val ev = graft.streaming.StreamRunner.eventsStream(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[graft.streaming.EventStreams.Event]
+      val updates = graft.streaming.StreamRunner.runToCompletion(
+        graft.streaming.EventStreams.runningUserCounts(ev).toDF(),
+        outputMode = "update")
+      // update mode appends one row per (user, batch) to the memory
+      // sink: reduce to the FINAL state per user (n_events is monotone
+      // per user, and a timeout re-emission equals the last update),
+      // then pin the float total with the tolerance-flag pattern — the
+      // typed fold sums raw doubles in arrival order, which no
+      // cross-engine hash can reproduce bit-exactly
+      val fin = updates
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("total_value"))).as("st"))
+        .select(
+          col("user_id"),
+          col("st.n_events").as("n_events"),
+          col("st.total_value").as("tv"))
+      val exact = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(sum(col("value")).as("v_exact"))
+      fin.join(exact, "user_id")
+        .select(
+          col("user_id"),
+          col("n_events"),
+          (abs(col("tv") - col("v_exact")) <=
+            greatest(abs(col("v_exact")) * lit(1e-9), lit(1e-6))).as("value_ok"))
+        .orderBy("user_id")
+    }),
     "q_range_join" -> ((s, dir) => {
       // events falling inside the 20 longest sessions ("incident
       // windows") — point-in-interval via bucketized equi-join
@@ -1334,6 +1397,18 @@ object SparkEntry {
         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM t GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q_stream_missing" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+        |WHERE event_id % 10 = 0 ORDER BY event_id""".stripMargin,
+    // value_ok is the literal-TRUE-flag pattern: the exact running
+    // count is pinned; the float total (summed in stream arrival
+    // order) is tolerance-checked in-engine
+    "q_stream_running_counts" ->
+      """SELECT user_id, COUNT(*) AS n_events, TRUE AS value_ok
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_range_join" ->
       s"""$sessionizeCtes,
          |win AS (

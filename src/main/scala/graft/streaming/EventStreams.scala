@@ -81,24 +81,48 @@ object EventStreams {
       .dropDuplicatesWithinWatermark(keyCols)
 
   /** Custom keyed state: per-user running event count + value total,
-    * emitted on every update (mapGroupsWithState with processing-time
-    * semantics; state never expires here — a production pipeline
-    * would set a timeout).
+    * emitted on every update. State expires on an EVENT-TIME timeout:
+    * a user idle for `stateExpiry` past the watermark has their final
+    * state re-emitted once (idempotent for any final-state consumer —
+    * it equals the last update) and removed, so state size tracks
+    * ACTIVE users, not all users ever seen. Without this the state
+    * store grows with the whole key universe — the unbounded-state
+    * trap in any 100 TB keyed-state pipeline.
     */
-  def runningUserCounts(events: Dataset[Event]): Dataset[UserRunningCount] = {
+  def runningUserCounts(
+      events: Dataset[Event],
+      watermark: String = "10 minutes",
+      stateExpiryMs: Long = 60L * 60 * 1000): Dataset[UserRunningCount] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .mapGroupsWithState[UserRunningCount, UserRunningCount](
-        GroupStateTimeout.NoTimeout) {
+        GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[UserRunningCount]) =>
-          val prev = state.getOption.getOrElse(UserRunningCount(userId, 0L, 0.0))
-          val (n, v) = rows.foldLeft((prev.n_events, prev.total_value)) {
-            case ((cn, cv), e) => (cn + 1, cv + e.value)
+          if (state.hasTimedOut) {
+            // final emission, then drop the state — a group only times
+            // out in a batch where it has no data, so `state` is set
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserRunningCount(userId, 0L, 0.0))
+            var maxEventMs = Long.MinValue
+            val (n, v) = rows.foldLeft((prev.n_events, prev.total_value)) {
+              case ((cn, cv), e) =>
+                maxEventMs = math.max(maxEventMs, e.ts.getTime)
+                (cn + 1, cv + e.value)
+            }
+            val next = UserRunningCount(userId, n, v)
+            state.update(next)
+            // expiry is event-time anchored to this group's newest
+            // event; clamp above the current watermark — Spark rejects
+            // a timeout already in the past
+            state.setTimeoutTimestamp(
+              math.max(maxEventMs + stateExpiryMs, state.getCurrentWatermarkMs + 1))
+            next
           }
-          val next = UserRunningCount(userId, n, v)
-          state.update(next)
-          next
       }
   }
 

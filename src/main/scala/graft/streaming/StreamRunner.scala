@@ -29,11 +29,26 @@ object StreamRunner {
     * normalization as [[graft.sources.Tables.events]] — except to
     * TimestampType (not NTZ): event-time watermarks require TIMESTAMP.
     * Run under a UTC session so the wall-clock values coincide.
+    *
+    * `sentinels` > 0 stages that many single-row "watermark pusher"
+    * files after the real data (each with `event_id = -i`, an event
+    * time i days past the real maximum) and reads with
+    * `maxFilesPerTrigger = 1` so each file lands in its own
+    * micro-batch. Operators that only EMIT when the watermark passes —
+    * stream-stream outer joins, event-time state timeouts — never
+    * flush in a single AvailableNow batch (the watermark is still at
+    * its initial value while the only data batch runs); the sentinel
+    * batches advance the watermark past all real rows and give the
+    * engine batches in which to evict + emit. Callers filter the
+    * sentinel rows (`event_id < 0`) out of the result. The file source
+    * processes oldest-modification-time first, so the freshly written
+    * sentinels always follow the (old) testdata link.
     */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+  def eventsStream(spark: SparkSession, dir: String, sentinels: Int = 0): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = Paths.get(dir, "events.parquet")
-    // stage dir keyed by a SHA-256 digest of the full path: a strong
+    // stage dir keyed by a SHA-256 digest of the full path (plus the
+    // sentinel layout, which changes the dir contents): a strong
     // digest cannot collide two datasets onto one stage dir (a 32-bit
     // hash or lossy sanitization could) and keeps the dir name short
     // regardless of how deep the data path nests (a full embedded
@@ -43,7 +58,7 @@ object StreamRunner {
     // links, so a dangling one reads as absent while
     // createSymbolicLink still throws FileAlreadyExists).
     val digest = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(src.toAbsolutePath.toString.getBytes("UTF-8"))
+      .digest(s"${src.toAbsolutePath}#sentinels=$sentinels".getBytes("UTF-8"))
       .take(12).map(b => f"$b%02x").mkString
     val stage = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_stream_stage_$digest")
     Files.createDirectories(stage)
@@ -51,10 +66,61 @@ object StreamRunner {
     Files.deleteIfExists(link)
     Files.createSymbolicLink(link, src.toAbsolutePath)
     val schema = spark.read.parquet(src.toString).schema
-    spark.readStream
+    if (sentinels > 0) stageSentinels(spark, src, stage, schema, sentinels)
+    val reader = spark.readStream
       .schema(schema)
+      .option("maxFilesPerTrigger", if (sentinels > 0) "1" else "1000")
+    reader
       .parquet(stage.toString)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Write `n` one-row sentinel parquet files into `stage`. Row i
+    * carries `event_id = -i` and `ts = max(real ts) + i days` (still
+    * raw nanos — the schema is the RAW file schema, ts as LongType
+    * under nanosAsLong; the stream's timestamp_micros conversion
+    * applies downstream). Files are written fresh every call so their
+    * modification time — the file source's processing order — is
+    * always newer than the linked testdata.
+    */
+  private def stageSentinels(
+      spark: SparkSession,
+      src: java.nio.file.Path,
+      stage: java.nio.file.Path,
+      schema: org.apache.spark.sql.types.StructType,
+      n: Int): Unit = {
+    import scala.jdk.CollectionConverters._
+    val maxTs = spark.read.parquet(src.toString)
+      .agg(max(col("ts"))).head().getLong(0)
+    val dayNanos = 86400L * 1000 * 1000 * 1000
+    (1 to n).foreach { i =>
+      val values = schema.fields.map { f =>
+        (f.name, f.dataType.typeName) match {
+          case ("event_id", _)   => java.lang.Long.valueOf(-i.toLong)
+          case ("ts", _)         => java.lang.Long.valueOf(maxTs + i * dayNanos)
+          case ("user_id", _)    => java.lang.Long.valueOf(-1L)
+          case ("event_type", _) => "sentinel"
+          case ("value", _)      => java.lang.Double.valueOf(0.0)
+          case _                 => null
+        }
+      }
+      val row = org.apache.spark.sql.Row.fromSeq(values.toSeq)
+      val tmp = Files.createTempDirectory("graft_sentinel_")
+      spark.createDataFrame(List(row).asJava, schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"sentinel write produced no parquet in $tmp"))
+      val dest = stage.resolve(s"sentinel_$i.parquet")
+      Files.deleteIfExists(dest)
+      Files.copy(part, dest)
+      // fresh mtime AFTER the copy so ordering holds even if copy
+      // preserved the source attribute on some filesystem
+      Files.setLastModifiedTime(
+        dest, java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(f => Files.deleteIfExists(f))
+    }
   }
 
   /** Start `streamingDf` with AvailableNow into a fresh memory sink,

@@ -129,4 +129,36 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(last == ((10L, 3L, 10.0)))
     } finally q.stop()
   }
+
+  test("running counters expire on the event-time timeout and restart from zero") {
+    import spark.implicits._
+    val ms = MemoryStream[Event](spark)
+    val q = EventStreams
+      .runningUserCounts(ms.toDS()) // default expiry: 1h past the user's newest event
+      .writeStream.format("memory").queryName("ruc_expiry")
+      .outputMode(EventStreams.runningUserCountsOutputMode).start()
+    try {
+      // b1: user 10 active; timeout registered at ts(1) + 1h
+      ms.addData(Event(1, ts(0), 10, "click", 1.5), Event(2, ts(1), 10, "click", 2.5))
+      q.processAllAvailable()
+      // b2: unrelated user far in the future — advances the watermark
+      // to ts(600) - 10min, well past user 10's timeout
+      ms.addData(Event(3, ts(600), 99, "view", 0.0))
+      q.processAllAvailable()
+      // b3: another unrelated user — user 10 has NO data this batch, so
+      // the timeout fires: final state (10, 2, 4.0) re-emitted, removed
+      ms.addData(Event(4, ts(610), 11, "view", 0.0))
+      q.processAllAvailable()
+      // b4: user 10 returns — a fresh counter, not a continuation
+      ms.addData(Event(5, ts(620), 10, "click", 7.0))
+      q.processAllAvailable()
+      val user10 = spark.table("ruc_expiry").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+        .filter(_._1 == 10)
+      // restart proof: post-expiry row counts only the new event
+      assert(user10.contains((10L, 1L, 7.0)), user10.mkString(", "))
+      // no continuation: had state survived, b4 would emit (10, 3, 11.0)
+      assert(!user10.exists(_._2 == 3L), user10.mkString(", "))
+    } finally q.stop()
+  }
 }
