@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -29,13 +31,43 @@ import graft.functions.VectorExprs
   *
   * Cache lifecycle: these operators `persist()` load-bearing
   * intermediates (multi-consumer array columns — SCALE.md "Hard-won
-  * Spark evaluation rules") and do NOT unpersist them, since the
-  * returned DataFrame still depends on them lazily. Callers running
-  * many invocations in one session should
-  * `spark.catalog.clearCache()` between batches (as graft.Verify and
-  * graft.Bench do) or unpersist after their terminal action.
+  * Spark evaluation rules") and can NOT unpersist them before
+  * returning, since the returned DataFrame still depends on them
+  * lazily. Every persist is TRACKED: after the terminal action on a
+  * returned DataFrame, call [[Dedup.unpersistAll]] to release exactly
+  * the intermediates these operators cached (leaving caller-owned
+  * caches alone — unlike `spark.catalog.clearCache()`, which
+  * graft.Verify/Bench use because they own the whole session).
+  * Composing several dedup calls without either cleanup accumulates
+  * cached intermediates silently.
   */
 object Dedup {
+
+  /** Intermediates persisted by operators in this object, pending
+    * [[unpersistAll]]. Unpersisting a DataFrame is always SAFE — any
+    * still-lazy consumer just recomputes — so the worst case of
+    * calling this too early is lost caching, never wrong results.
+    */
+  private val trackedCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def persistTracked(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    trackedCaches.add(p)
+    p
+  }
+
+  /** Release every intermediate a Dedup operator persisted in this
+    * JVM since the last call (blocking, so cache memory is actually
+    * free when this returns).
+    */
+  def unpersistAll(): Unit = {
+    var df = trackedCaches.poll()
+    while (df != null) {
+      df.unpersist(blocking = true)
+      df = trackedCaches.poll()
+    }
+  }
 
   /** Exact dedup: one row per distinct text with the winning
     * (minimum) id and the number of copies.
@@ -71,14 +103,14 @@ object Dedup {
         col(idCol).as("doc_id"),
         col(blockCol).as("block"),
         expr(wordHashArraySpark(wordsSpark(textCol))).as("wh"))
-      .persist()
+      .pipe(graft.operators.Dedup.persistTracked)
     // materialized: consumed by size() + explode() and both join sides
     val toks = wh
       .select(
         col("doc_id"),
         col("block"),
         expr(shingleHashesFromWordHashesSpark("wh", n)).as("grams"))
-      .persist()
+      .pipe(graft.operators.Dedup.persistTracked)
     val g = toks.select(
       col("doc_id"),
       col("block"),
@@ -121,13 +153,13 @@ object Dedup {
       .select(
         col(idCol).as("doc_id"),
         expr(wordHashArraySpark(wordsSpark(textCol))).as("wh"))
-      .persist()
+      .pipe(graft.operators.Dedup.persistTracked)
     val grams = wh
       .select(col("doc_id"), expr(shingleHashesFromWordHashesSpark("wh", n)).as("grams"))
-      .persist()
+      .pipe(graft.operators.Dedup.persistTracked)
     val toks = grams
       .select(col("doc_id"), expr(minhashSigSpark("grams")).as("sig"))
-      .persist()
+      .pipe(graft.operators.Dedup.persistTracked)
     val bandStructs = bandKeysSpark("sig").zipWithIndex
       .map { case (k, b) => s"struct($b AS band, $k AS bkey)" }
       .mkString(", ")
@@ -201,7 +233,7 @@ object Dedup {
         col(idCol).as("doc_id"),
         col(blockCol).as("block"),
         expr(s"simhash_pack(${wordHashArraySpark(wordsSpark(textCol))})").as("simhash"))
-      .persist()
+      .pipe(graft.operators.Dedup.persistTracked)
     val cand =
       if (!pigeonhole) {
         fp.as("x")
@@ -261,7 +293,7 @@ object Dedup {
       col(idCol).as("vec_id"),
       col("embedding"),
       expr(s"sqrt(${VectorExprs.dotSpark("embedding", "embedding")})").as("norm"))
-      .persist()
+      .pipe(graft.operators.Dedup.persistTracked)
     val bandStructs = VectorExprs.cmpBandKeysSpark("embedding").zipWithIndex
       .map { case (k, b) => s"struct($b AS band, $k AS bkey)" }
       .mkString(", ")

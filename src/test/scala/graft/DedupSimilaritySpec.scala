@@ -106,4 +106,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val fp = TextAnalysis.fingerprint(Tables.documents(spark, dir))
     assert(fp.select("fingerprint").distinct().count() == fp.count())
   }
+
+  test("unpersistAll releases exactly the dedup-persisted intermediates") {
+    // clean slate: earlier tests cache results whose plans would
+    // otherwise serve this test's run straight from the CacheManager
+    spark.catalog.clearCache()
+    Dedup.unpersistAll()
+    // caller-owned cache that must SURVIVE the dedup cleanup
+    val mine = corpus.limit(10).cache()
+    mine.count()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Dedup.minhashPairs(corpus, n = 4).count() // persists wh/grams/sig internally
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "minhashPairs should have materialized tracked caches")
+    Dedup.unpersistAll()
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "unpersistAll left dedup intermediates cached")
+    // the caller's cache is untouched (clearCache() would have dropped it)
+    assert(mine.storageLevel.useMemory)
+    mine.unpersist()
+  }
 }
