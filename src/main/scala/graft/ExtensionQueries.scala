@@ -158,6 +158,96 @@ object ExtensionQueries {
             ",").as("bin_counts"))
         .orderBy("media_id")
     }),
+
+    // ---- corpus curation: salience, heavy hitters, sampling, layout ----
+    "q_tfidf_top_terms" -> ((s, dir) =>
+      TextAnalysis.tfIdfTopTerms(Tables.documents(s, dir)).orderBy("doc_id", "rank")),
+    "q_heavy_hitters_cms" -> ((s, dir) => {
+      // distributed heavy-hitter probe: mergeable count-min sketch
+      // built in one narrow agg pass, then the exact top-10 keys are
+      // probed against it via cms_estimate — the oracle pins the
+      // exact counts and the sketch's ≤ exact + ε·N guarantee as a
+      // literal-TRUE flag (same pattern as the profile/quantile
+      // sketches). ε=1e-4 → 2719 counters ≫ |suppliers|, so at test
+      // scale the estimate is near-exact; at 100 TB the sketch stays
+      // KB-sized while an exact groupBy needs a full shuffle.
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.CmsOps.register(s)
+      val keyed = Tables.lineitem(s, dir).select(col("l_suppkey").as("k"))
+      val exact = keyed.groupBy("k").agg(count(lit(1)).as("cnt"))
+      // global top-10: the window runs on the post-agg |suppliers|
+      // rows, not the fact table
+      val top = exact
+        .withColumn(
+          "rank",
+          row_number().over(Window.orderBy(col("cnt").desc, col("k").asc)).cast("long"))
+        .filter(col("rank") <= 10)
+      val sketch = keyed.agg(
+        expr("count_min_sketch(k, 0.0001d, 0.999d, 42)").as("sk"))
+      val total = keyed.agg(count(lit(1)).as("n"))
+      top.join(broadcast(sketch)).join(broadcast(total))
+        .select(
+          col("k").as("l_suppkey"),
+          col("cnt"),
+          col("rank"),
+          (expr("cms_estimate(sk, k)") >= col("cnt") &&
+            expr("cms_estimate(sk, k)") <= col("cnt") +
+              expr("CAST(ceil(0.0001 * n) AS BIGINT)")).as("cms_ok"))
+        .orderBy("rank")
+    }),
+    "q_stratified_sample" -> ((s, dir) => {
+      // deterministic per-stratum downsampling: keep 1/10 of F-status
+      // orders, 1/20 of O, 1/2 of the rest — a pure hash filter, no
+      // RNG, no shuffle before the verification agg
+      graft.functions.PolyHash.register(s)
+      val h = graft.functions.TextExprs.charHashSpark("CAST(o_orderkey AS STRING)")
+      graft.operators.Sampling
+        .stratifiedHash(
+          Tables.orders(s, dir), "o_orderstatus", h,
+          Seq("F" -> 10, "O" -> 20), defaultMod = 2)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_sampled"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_price"),
+          min("o_orderkey").as("min_key"),
+          max("o_orderkey").as("max_key"))
+        .orderBy("o_orderstatus")
+    }),
+    "q_zorder_key" -> ((s, dir) => {
+      // Morton-interleave (part, supplier) into a Z-key and roll up
+      // per 2^24-wide Z-cell — the layout stat a writer would use to
+      // size range-partitioned, min/max-prunable files
+      graft.functions.ZInterleave16.register(s)
+      Tables.lineitem(s, dir)
+        .select(expr(
+          "z_interleave16(CAST(l_partkey % 65536 AS BIGINT), CAST(l_suppkey % 65536 AS BIGINT))")
+          .as("zkey"))
+        .groupBy(expr("shiftright(zkey, 16)").as("zcell"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min("zkey").as("zmin"),
+          max("zkey").as("zmax"))
+        .orderBy("zcell")
+    }),
+    "q_bloom_prune_join" -> ((s, dir) => {
+      // fact-to-selective-dim join with the fact side bloom-pruned
+      // before its shuffle; the oracle is the PLAIN join — false
+      // positives are guaranteed invisible in the result
+      val topSuppliers = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") > 9000.0)
+        .select(col("s_suppkey"), col("s_name"))
+      graft.operators.BloomPrune
+        .prunedJoin(
+          Tables.lineitem(s, dir), topSuppliers,
+          largeKey = "l_suppkey", smallKey = "s_suppkey", estItems = 100000L)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("revenue"))
+        .orderBy("s_suppkey")
+    }),
   )
 
   // ------------------------------------------------------------------
@@ -479,5 +569,51 @@ object ExtensionQueries {
         |FROM spine LEFT JOIN h ON h.doc_id = spine.doc_id AND h.bin = spine.bin
         |GROUP BY spine.doc_id, spine.n_bytes
         |ORDER BY media_id""".stripMargin,
+
+    "q_tfidf_top_terms" ->
+      TextAnalysis.tfIdfTopTermsDuckSql("documents"),
+
+    // exact counts + the sketch bound as a literal-TRUE flag
+    "q_heavy_hitters_cms" ->
+      """WITH exact AS (
+        |  SELECT l_suppkey AS k, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+        |), ranked AS (
+        |  SELECT k, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, k) AS BIGINT) AS rank
+        |  FROM exact)
+        |SELECT k AS l_suppkey, cnt, rank, TRUE AS cms_ok
+        |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "q_stratified_sample" -> {
+      val h = graft.functions.TextExprs.charHashDuck("CAST(o_orderkey AS VARCHAR)")
+      val m = graft.operators.Sampling.modulusCase(
+        "o_orderstatus", Seq("F" -> 10, "O" -> 20), 2)
+      s"""SELECT o_orderstatus,
+         |  COUNT(*) AS n_sampled,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         |  MIN(o_orderkey) AS min_key,
+         |  MAX(o_orderkey) AS max_key
+         |FROM orders WHERE (${graft.operators.Sampling.mixedHash(h)}) % ($m) = 0
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    },
+
+    "q_zorder_key" -> {
+      val z = graft.functions.ZInterleave16.interleaveDuck(
+        "l_partkey % 65536", "l_suppkey % 65536")
+      s"""WITH z AS (SELECT $z AS zkey FROM lineitem)
+         |SELECT zkey >> 16 AS zcell, COUNT(*) AS n_rows,
+         |  MIN(zkey) AS zmin, MAX(zkey) AS zmax
+         |FROM z GROUP BY 1 ORDER BY zcell""".stripMargin
+    },
+
+    // the PLAIN join — the bloom prefilter must be invisible here
+    "q_bloom_prune_join" ->
+      """SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN (SELECT s_suppkey, s_name FROM supplier WHERE s_acctbal > 9000.0) s
+        |  ON l.l_suppkey = s.s_suppkey
+        |GROUP BY s.s_suppkey, s.s_name
+        |ORDER BY s.s_suppkey""".stripMargin,
   )
 }

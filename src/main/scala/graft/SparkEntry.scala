@@ -588,6 +588,17 @@ object SparkEntry {
           ordersCols.map(c => when(fromAfter, a(c)).otherwise(b(c)).as(c)): _*)
         .orderBy("o_orderkey")
     }),
+    "q_scd2_history" -> ((s, dir) => {
+      // snapshot pair → SCD Type-2 dimension history: one full-outer
+      // null-safe join + a narrow explode emits validity intervals
+      // (closed rows for updated/deleted keys, open rows for current
+      // versions) — the versioned-warehouse downstream of the diff
+      graft.operators.Scd2.snapshotHistory(
+        Tables.orders(s, dir), Tables.ordersAfter(s, dir),
+        keys = Seq("o_orderkey"),
+        validFrom = "2024-01-01", validTo = "2024-02-01")
+        .orderBy("o_orderkey", "valid_from")
+    }),
     "q_hash_sample" -> ((s, dir) => {
       // deterministic hash sampling — the scale-safe sample: a pure
       // filter on a key hash (no shuffle, no RNG state, reproducible
@@ -1227,6 +1238,39 @@ object SparkEntry {
          |  $merged
          |FROM orders b FULL OUTER JOIN aft a ON b.o_orderkey = a.o_orderkey
          |ORDER BY o_orderkey""".stripMargin
+    },
+    "q_scd2_history" -> {
+      val vals = ordersCols.filterNot(_ == "o_orderkey")
+      val changed = vals.map(c => s"b.$c IS DISTINCT FROM a.$c").mkString(" OR ")
+      val bCols = ("o_orderkey" +: vals).map(c => s"b.$c").mkString(", ")
+      val aCols = ("o_orderkey" +: vals).map(c => s"a.$c").mkString(", ")
+      s"""WITH aft AS (
+         |${Tables.ordersAfterSql}
+         |), chg AS (
+         |  SELECT b.o_orderkey FROM orders b JOIN aft a ON b.o_orderkey = a.o_orderkey
+         |  WHERE $changed
+         |)
+         |SELECT $bCols,
+         |  DATE '2024-01-01' AS valid_from,
+         |  CASE WHEN a.o_orderkey IS NULL OR c.o_orderkey IS NOT NULL
+         |       THEN DATE '2024-02-01' END AS valid_to,
+         |  (a.o_orderkey IS NOT NULL AND c.o_orderkey IS NULL) AS is_current,
+         |  CASE WHEN a.o_orderkey IS NULL THEN 'deleted'
+         |       WHEN c.o_orderkey IS NOT NULL THEN 'updated'
+         |       ELSE 'unchanged' END AS change_type
+         |FROM orders b
+         |LEFT JOIN aft a ON b.o_orderkey = a.o_orderkey
+         |LEFT JOIN chg c ON b.o_orderkey = c.o_orderkey
+         |UNION ALL
+         |SELECT $aCols,
+         |  DATE '2024-02-01' AS valid_from,
+         |  CAST(NULL AS DATE) AS valid_to,
+         |  TRUE AS is_current,
+         |  CASE WHEN b.o_orderkey IS NULL THEN 'inserted' ELSE 'updated' END AS change_type
+         |FROM aft a
+         |LEFT JOIN orders b ON a.o_orderkey = b.o_orderkey
+         |WHERE b.o_orderkey IS NULL OR a.o_orderkey IN (SELECT o_orderkey FROM chg)
+         |ORDER BY o_orderkey, valid_from""".stripMargin
     },
     "q_hash_sample" -> {
       val h = graft.functions.TextExprs.charHashDuck("CAST(o_orderkey AS VARCHAR)")

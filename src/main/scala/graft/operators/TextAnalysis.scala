@@ -118,4 +118,67 @@ object TextAnalysis {
       col(idCol),
       expr(charHashSpark(textCol)).as("fingerprint"))
   }
+
+  /** Top-k salient terms per document by a tf·idf-proportional score.
+    *
+    * Pipeline (all equi-join/aggregate shaped, the 100 TB contract):
+    * tokenize → explode (narrow) → tf per (doc, term) and df per term
+    * (two hash aggregates sharing the token pass) → join tf to the
+    * much smaller df table on term → bounded top-k per doc via
+    * row_number (TopKPerGroup plans it as a bounded heap, O(k·docs)
+    * memory, no global sort).
+    *
+    * Scoring is deliberately log-free: `score = tf · (N+1)/(df+1)` is
+    * the same ranking family as tf·idf but every operation (integer
+    * products exact in double, one IEEE division, one multiply, one
+    * floor) is bit-reproducible across engines — `ln` implementations
+    * are only ulp-accurate and an ulp under `floor` is a
+    * cross-engine cliff. Fixed-point ppm like [[quality]].
+    *
+    * N (corpus size) rides in as a broadcast 1-row aggregate, not a
+    * driver-side `count()` — the whole plan stays lazy.
+    */
+  def tfIdfTopTerms(
+      docs: DataFrame,
+      k: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(
+      col(idCol),
+      explode(expr(s"filter(split(lower($textCol), '[^a-z]+'), t -> t <> '')")).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = toks.select(col(idCol), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(idCol).orderBy(col("score_ppm").desc, col("term").asc)
+    tf.join(df, "term")
+      .join(broadcast(n))
+      .withColumn(
+        "score_ppm",
+        expr("CAST(floor(1e6 * ((tf * (n + 1e0)) / (df + 1e0))) AS BIGINT)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("score_ppm"), col("rank").cast("long").as("rank"))
+  }
+
+  /** DuckDB twin of [[tfIdfTopTerms]] as a full SELECT. */
+  def tfIdfTopTermsDuckSql(docsRelation: String, k: Int = 3): String =
+    s"""WITH toks0 AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+       |  FROM $docsRelation
+       |), toks AS (SELECT doc_id, term FROM toks0 WHERE term <> ''),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n FROM $docsRelation),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    CAST(floor(1e6 * ((tf.tf * (n.n + 1e0)) / (df.df + 1e0))) AS BIGINT) AS score_ppm
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT doc_id, term, score_ppm,
+       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_ppm DESC, term) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT doc_id, term, score_ppm, rank FROM ranked WHERE rank <= $k
+       |ORDER BY doc_id, rank""".stripMargin
 }

@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{CmsOps, ZInterleave16}
+import graft.operators.{BloomPrune, Sampling, TextAnalysis}
+
+/** Round-7 pipeline operators: bloom join pruning, count-min heavy
+  * hitters, Z-order layout keys, stratified sampling, tf-idf top
+  * terms.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  // ---- bloom join pruning ----
+
+  test("bloom-pruned join returns exactly the plain join's rows") {
+    import spark.implicits._
+    val large = (1L to 2000L).map(k => (k, k % 97)).toDF("id", "fk")
+    val small = Seq((5L, "a"), (13L, "b"), (44L, "c")).toDF("pk", "name")
+    val pruned = BloomPrune.prunedJoin(large, small, "fk", "pk", estItems = 100L)
+      .select("id", "fk", "pk", "name")
+    val plain = large.join(small, col("fk") === col("pk"))
+      .select("id", "fk", "pk", "name")
+    assert(pruned.count() == plain.count())
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+  }
+
+  test("the bloom probe filters the large side BELOW the join") {
+    import spark.implicits._
+    val large = (1L to 100L).map(k => (k, k % 7)).toDF("id", "fk")
+    val small = Seq((1L, "a")).toDF("pk", "name")
+    val plan = BloomPrune.prunedJoin(large, small, "fk", "pk", estItems = 10L)
+      .queryExecution.executedPlan.toString
+    // tree renders parents above children: the probe-side filter line
+    // must appear below the join line
+    val joinAt = plan.linesIterator.indexWhere(_.contains("Join"))
+    val filterAt = plan.linesIterator.indexWhere(l =>
+      l.contains("Filter") && l.contains("might_contain"))
+    assert(joinAt >= 0 && filterAt > joinAt,
+      s"bloom filter not below the join:\n$plan")
+  }
+
+  // ---- count-min sketch estimate ----
+
+  test("cms_estimate upper-bounds within eps*N and never undercounts") {
+    import spark.implicits._
+    CmsOps.register(spark)
+    // skewed multiset: key k appears k times, over 8 partitions so the
+    // sketch aggregation exercises partial+merge
+    val data = (1L to 50L).flatMap(k => Seq.fill(k.toInt)(k))
+    val df = spark.sparkContext.parallelize(data, 8).toDF("k")
+    val sk = df.agg(expr("count_min_sketch(k, 0.001d, 0.99d, 7)").as("sk"))
+    val n = data.size
+    val checked = df.groupBy("k").agg(count(lit(1)).as("exact"))
+      .join(broadcast(sk))
+      .select(
+        col("k"), col("exact"),
+        expr("cms_estimate(sk, k)").as("est"))
+      .collect()
+    assert(checked.length == 50)
+    checked.foreach { r =>
+      val (exact, est) = (r.getAs[Long]("exact"), r.getAs[Long]("est"))
+      assert(est >= exact, s"undercount for k=${r.getAs[Long]("k")}")
+      assert(est <= exact + math.ceil(0.001 * n).toLong + 1,
+        s"estimate $est too far above exact $exact")
+    }
+  }
+
+  test("cms_estimate rejects non-(BINARY, BIGINT) inputs at analysis time") {
+    import spark.implicits._
+    CmsOps.register(spark)
+    val df = Seq((Array[Byte](1), 1)).toDF("sk", "k")
+    val e = intercept[Exception] {
+      df.select(expr("cms_estimate(sk, CAST(k AS INT))")).collect()
+    }
+    assert(e.getMessage.contains("cms_estimate"))
+  }
+
+  // ---- Z-order interleave ----
+
+  test("z_interleave16 matches a bit-by-bit reference") {
+    def reference(x: Long, y: Long): Long = {
+      var z = 0L
+      for (b <- 0 until 16) {
+        z |= ((x >> b) & 1L) << (2 * b)
+        z |= ((y >> b) & 1L) << (2 * b + 1)
+      }
+      z
+    }
+    val cases = Seq(
+      (0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (0xABCDL, 0x1234L), (70000L, 3L) /* masked to 16 bits */ )
+    cases.foreach { case (x, y) =>
+      assert(ZInterleave16.interleave(x, y) == reference(x & 0xFFFF, y & 0xFFFF),
+        s"mismatch at ($x, $y)")
+    }
+  }
+
+  test("sorting by z-key clusters both dimensions: per-chunk bbox area shrinks") {
+    import spark.implicits._
+    ZInterleave16.register(spark)
+    // 64x64 grid; after a z-sort, consecutive chunks of 256 rows
+    // should cover a small bounding box in BOTH x and y (the whole
+    // point of the layout), vs the x-sorted layout where y spans the
+    // full axis in every chunk
+    val grid = for { x <- 0L until 64L; y <- 0L until 64L } yield (x, y)
+    val zSorted = grid.toDF("x", "y")
+      .withColumn("z", expr("z_interleave16(x, y)"))
+      .orderBy("z")
+      .collect()
+    val chunkAreas = zSorted.grouped(256).map { chunk =>
+      val xs = chunk.map(_.getAs[Long]("x"))
+      val ys = chunk.map(_.getAs[Long]("y"))
+      (xs.max - xs.min + 1) * (ys.max - ys.min + 1)
+    }.toSeq
+    // perfect z-curve on a 64x64 grid: each 256-row chunk is a 16x16
+    // tile (area 256); any lexicographic sort gives 64*4-ish boxes
+    // with full-axis spans (area >= 64*4 = 256 only when aligned —
+    // but with y spanning 0..63 the box is 4*64; same area, worse
+    // shape). Assert the z-property exactly: every chunk is a 16x16 tile.
+    assert(chunkAreas.forall(_ == 256), s"non-tile chunks: $chunkAreas")
+  }
+
+  test("z_interleave16 stays inside WholeStageCodegen") {
+    ZInterleave16.register(spark)
+    // a Range source (not a LocalTableScan, which constant-folds the
+    // whole projection away) so the expression actually code-gens
+    val plan = spark.range(10).toDF("x")
+      .select(expr("z_interleave16(x, x)"))
+      .queryExecution.executedPlan.toString
+    // the compact rendering marks WholeStageCodegen stages with "*(n)"
+    // — the projection carrying the expression must be starred
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("z_interleave16")),
+      plan)
+  }
+
+  // ---- stratified sampling ----
+
+  test("stratified hash sampling is deterministic and respects per-stratum rates") {
+    import spark.implicits._
+    graft.functions.PolyHash.register(spark)
+    val rows = (1L to 10000L).map(k => (k, if (k % 3 == 0) "big" else "small"))
+    val df = rows.toDF("k", "stratum")
+    val h = graft.functions.TextExprs.charHashSpark("CAST(k AS STRING)")
+    val sampled = Sampling.stratifiedHash(df, "stratum", h, Seq("big" -> 10), defaultMod = 2)
+    val counts = sampled.groupBy("stratum").count().collect()
+      .map(r => r.getAs[String]("stratum") -> r.getAs[Long]("count")).toMap
+    val bigTotal = rows.count(_._2 == "big")
+    val smallTotal = rows.size - bigTotal
+    // hash-modulus keeps ~1/m per stratum; generous tolerance, the
+    // point is the per-stratum ratio difference and determinism
+    assert(math.abs(counts("big").toDouble / bigTotal - 0.1) < 0.03)
+    assert(math.abs(counts("small").toDouble / smallTotal - 0.5) < 0.05)
+    // rerun: identical row set (no RNG state anywhere)
+    val again = Sampling.stratifiedHash(df, "stratum", h, Seq("big" -> 10), defaultMod = 2)
+    assert(sampled.exceptAll(again).isEmpty && again.exceptAll(sampled).isEmpty)
+  }
+
+  // ---- tf-idf top terms ----
+
+  test("tf-idf ranks a document's distinctive term above ubiquitous ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat zebra zebra"),
+      (2L, "the dog sat on the log"),
+      (3L, "the bird sat on the wire")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfIdfTopTerms(docs, k = 1).collect()
+    val top1 = top.find(_.getAs[Long]("doc_id") == 1L).get
+    // 'zebra': tf=2, df=1 — beats 'the' (tf=2, df=3) and everything else
+    assert(top1.getAs[String]("term") == "zebra")
+    // ranks are 1-based and dense per doc
+    assert(top.forall(_.getAs[Long]("rank") == 1L))
+  }
+
+  test("tf-idf top-k plans as a bounded heap, not a global sort") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val plan = TextAnalysis.tfIdfTopTerms(docs, k = 3)
+      .queryExecution.executedPlan.toString
+    // TopKPerGroup rewrites the rank<=k window into the bounded-heap
+    // operator (same pin as ANN's rn=1)
+    assert(plan.contains("TopKPerGroup") || !plan.contains("Window"),
+      s"expected bounded-heap top-k, got:\n$plan")
+  }
+}
