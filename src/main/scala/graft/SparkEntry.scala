@@ -599,6 +599,22 @@ object SparkEntry {
         validFrom = "2024-01-01", validTo = "2024-02-01")
         .orderBy("o_orderkey", "valid_from")
     }),
+    "q_scd2_asof" -> ((s, dir) => {
+      // time travel over the SCD2 history: reconstructing the
+      // snapshot on each side of the transition must reproduce the
+      // raw before/after tables EXACTLY — the oracle is the original
+      // tables themselves, the strongest possible losslessness check
+      val hist = graft.operators.Scd2.snapshotHistory(
+        Tables.orders(s, dir), Tables.ordersAfter(s, dir),
+        keys = Seq("o_orderkey"),
+        validFrom = "2024-01-01", validTo = "2024-02-01")
+      graft.operators.Scd2.asOf(hist, "2024-01-15")
+        .withColumn("as_of", lit("t0"))
+        .unionByName(
+          graft.operators.Scd2.asOf(hist, "2024-02-15")
+            .withColumn("as_of", lit("t1")))
+        .orderBy("as_of", "o_orderkey")
+    }),
     "q_hash_sample" -> ((s, dir) => {
       // deterministic hash sampling — the scale-safe sample: a pure
       // filter on a key hash (no shuffle, no RNG state, reproducible
@@ -1271,6 +1287,16 @@ object SparkEntry {
          |LEFT JOIN orders b ON a.o_orderkey = b.o_orderkey
          |WHERE b.o_orderkey IS NULL OR a.o_orderkey IN (SELECT o_orderkey FROM chg)
          |ORDER BY o_orderkey, valid_from""".stripMargin
+    },
+    "q_scd2_asof" -> {
+      val cols = ordersCols.mkString(", ")
+      s"""WITH aft AS (
+         |${Tables.ordersAfterSql}
+         |)
+         |SELECT $cols, 't0' AS as_of FROM orders
+         |UNION ALL
+         |SELECT $cols, 't1' AS as_of FROM aft
+         |ORDER BY as_of, o_orderkey""".stripMargin
     },
     "q_hash_sample" -> {
       val h = graft.functions.TextExprs.charHashDuck("CAST(o_orderkey AS VARCHAR)")

@@ -82,4 +82,30 @@ object ZInterleave16 {
   /** DuckDB twin of the full interleave, over two SQL expressions. */
   def interleaveDuck(x: String, y: String): String =
     s"(${spreadDuck(x)} | (${spreadDuck(y)} << 1))"
+
+  /** Cluster a DataFrame for a two-dimensional-locality write:
+    * range-partition by the Z-key into `numFiles` partitions and sort
+    * within each, so a `write.parquet` of the result produces files
+    * whose min/max column statistics are tight on BOTH dimensions.
+    * The helper keys on `xCol % 65536` / `yCol % 65536` (file-level
+    * clustering granularity; the modulus preserves locality for keys
+    * that are themselves dense).
+    *
+    * The `_z` column is dropped before return — callers write exactly
+    * their own schema; the clustering lives in the row order.
+    */
+  def clusterByZ(
+      df: org.apache.spark.sql.DataFrame,
+      xCol: String,
+      yCol: String,
+      numFiles: Int): org.apache.spark.sql.DataFrame = {
+    register(df.sparkSession)
+    import org.apache.spark.sql.functions.{col, expr}
+    df.withColumn(
+        "_z",
+        expr(s"z_interleave16(CAST($xCol % 65536 AS BIGINT), CAST($yCol % 65536 AS BIGINT))"))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+  }
 }

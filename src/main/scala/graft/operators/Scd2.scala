@@ -107,4 +107,21 @@ object Scd2 {
       .filter(col("v").isNotNull)
       .select(col("v.*"))
   }
+
+  /** Point-in-time read: reconstruct the snapshot as of `date` from a
+    * [[snapshotHistory]] row set. A row is visible iff
+    * `valid_from ≤ date < valid_to` (open intervals never expire).
+    *
+    * Pure filter + projection — at scale this is the whole point of
+    * SCD2: time travel without storing N snapshots. Reconstruction is
+    * lossless: `asOf` at any instant in [t0, t1) returns exactly the
+    * `before` snapshot, and at ≥ t1 exactly `after` (the
+    * q_scd2_asof oracle pins both directions against the raw tables).
+    */
+  def asOf(history: DataFrame, date: String): DataFrame = {
+    val d = lit(date).cast("date")
+    history
+      .filter(col("valid_from") <= d && (col("valid_to").isNull || col("valid_to") > d))
+      .drop("valid_from", "valid_to", "is_current", "change_type")
+  }
 }

@@ -124,6 +124,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(chunkAreas.forall(_ == 256), s"non-tile chunks: $chunkAreas")
   }
 
+  test("clusterByZ yields disjoint per-partition z-ranges with tight 2-D bboxes") {
+    import spark.implicits._
+    val grid = for { x <- 0L until 64L; y <- 0L until 64L } yield (x, y)
+    val clustered = ZInterleave16.clusterByZ(grid.toDF("x", "y"), "x", "y", numFiles = 16)
+    val perPart = clustered
+      .withColumn("pid", spark_partition_id())
+      .withColumn("z", expr("z_interleave16(x, y)"))
+      .groupBy("pid")
+      .agg(
+        min("z").as("zmin"), max("z").as("zmax"),
+        min("x").as("xmin"), max("x").as("xmax"),
+        min("y").as("ymin"), max("y").as("ymax"),
+        count(lit(1)).as("n"))
+      .collect()
+    // range partitioning: z-intervals must not overlap across files
+    val ranges = perPart.map(r => (r.getAs[Long]("zmin"), r.getAs[Long]("zmax"))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, s"overlapping z-ranges: ${ranges.toSeq}")
+      case _ =>
+    }
+    // locality: each file's 2-D bounding box must be far smaller than
+    // the naive x-sorted layout, where every file spans all of y
+    // (area ≥ 4·64 = 256 with a 64-wide side). Range boundaries come
+    // from sampling so tiles aren't exact — bound the mean area.
+    val areas = perPart.map(r =>
+      (r.getAs[Long]("xmax") - r.getAs[Long]("xmin") + 1) *
+        (r.getAs[Long]("ymax") - r.getAs[Long]("ymin") + 1).toDouble)
+    val meanArea = areas.sum / areas.length
+    assert(meanArea < 1024, s"poor clustering, mean bbox area $meanArea (naive is 4096/file)")
+    assert(!clustered.columns.contains("_z"))
+  }
+
   test("z_interleave16 stays inside WholeStageCodegen") {
     ZInterleave16.register(spark)
     // a Range source (not a LocalTableScan, which constant-folds the

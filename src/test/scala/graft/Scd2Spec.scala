@@ -87,6 +87,27 @@ class Scd2Spec extends AnyFunSuite {
     assert(joins == 1, s"expected exactly 1 join, plan:\n$plan")
   }
 
+  test("asOf reconstructs each snapshot losslessly on its side of the transition") {
+    import spark.implicits._
+    val before = Seq((1L, "A", 10.0), (2L, "A", 20.0), (3L, "A", 30.0))
+      .map { case (k, s2, a) => (java.lang.Long.valueOf(k), s2, java.lang.Double.valueOf(a)) }
+    val after = Seq((1L, "A", 10.0), (2L, "B", 20.0), (4L, "A", 40.0))
+      .map { case (k, s2, a) => (java.lang.Long.valueOf(k), s2, java.lang.Double.valueOf(a)) }
+    val hist = Scd2.snapshotHistory(
+      before.toDF("k", "status", "amount"), after.toDF("k", "status", "amount"),
+      keys = Seq("k"), validFrom = "2024-01-01", validTo = "2024-02-01")
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("status"), r.getAs[Double]("amount"))).toSet
+
+    // mid-interval → before; at/after the transition → after;
+    // exactly t0 → before (valid_from ≤ d is inclusive)
+    assert(rows(Scd2.asOf(hist, "2024-01-15")) == before.map(t => (t._1.longValue, t._2, t._3.doubleValue)).toSet)
+    assert(rows(Scd2.asOf(hist, "2024-01-01")) == before.map(t => (t._1.longValue, t._2, t._3.doubleValue)).toSet)
+    assert(rows(Scd2.asOf(hist, "2024-02-01")) == after.map(t => (t._1.longValue, t._2, t._3.doubleValue)).toSet)
+    assert(rows(Scd2.asOf(hist, "2030-01-01")) == after.map(t => (t._1.longValue, t._2, t._3.doubleValue)).toSet)
+  }
+
   test("every key present in either snapshot has exactly one current or closed chain") {
     // is_current XOR closed-without-successor: each key's interval set
     // must tile [t0, ∞) or [t0, t1) with no overlaps — spot-check the
