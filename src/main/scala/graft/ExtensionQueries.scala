@@ -175,13 +175,15 @@ object ExtensionQueries {
       graft.functions.CmsOps.register(s)
       val keyed = Tables.lineitem(s, dir).select(col("l_suppkey").as("k"))
       val exact = keyed.groupBy("k").agg(count(lit(1)).as("cnt"))
-      // global top-10: the window runs on the post-agg |suppliers|
-      // rows, not the fact table
+      // global top-10 via orderBy+limit → TakeOrderedAndProject (a
+      // distributed bounded heap, no single-partition window over the
+      // full key set); the rank column is then a window over 10 rows
       val top = exact
+        .orderBy(col("cnt").desc, col("k").asc)
+        .limit(10)
         .withColumn(
           "rank",
           row_number().over(Window.orderBy(col("cnt").desc, col("k").asc)).cast("long"))
-        .filter(col("rank") <= 10)
       val sketch = keyed.agg(
         expr("count_min_sketch(k, 0.0001d, 0.999d, 42)").as("sk"))
       val total = keyed.agg(count(lit(1)).as("n"))

@@ -122,11 +122,16 @@ object TextAnalysis {
   /** Top-k salient terms per document by a tf·idf-proportional score.
     *
     * Pipeline (all equi-join/aggregate shaped, the 100 TB contract):
-    * tokenize → explode (narrow) → tf per (doc, term) and df per term
-    * (two hash aggregates sharing the token pass) → join tf to the
-    * much smaller df table on term → bounded top-k per doc via
-    * row_number (TopKPerGroup plans it as a bounded heap, O(k·docs)
-    * memory, no global sort).
+    * tokenize → explode (narrow) → tf per (doc, term) → df as an
+    * unbounded COUNT window over tf partitioned by term. tf already
+    * holds one row per (doc, term), so df is a per-term row count —
+    * and computing it as a window instead of a second aggregate +
+    * join keeps the corpus scan STRUCTURALLY single (a separate df
+    * subtree re-scans: column pruning differentiates the branches, so
+    * ReuseExchange cannot dedupe them). Then bounded top-k per doc
+    * via row_number (planned as a group-limit, O(k·docs) memory, no
+    * global sort). Three exchanges total: (doc,term) agg, term
+    * window, doc top-k.
     *
     * Scoring is deliberately log-free: `score = tf · (N+1)/(df+1)` is
     * the same ranking family as tf·idf but every operation (integer
@@ -148,11 +153,9 @@ object TextAnalysis {
       col(idCol),
       explode(expr(s"filter(split(lower($textCol), '[^a-z]+'), t -> t <> '')")).as("term"))
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val df = toks.select(col(idCol), col("term")).distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(idCol).orderBy(col("score_ppm").desc, col("term").asc)
-    tf.join(df, "term")
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .join(broadcast(n))
       .withColumn(
         "score_ppm",

@@ -28,6 +28,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
   }
 
+  test("an undersized bloom (high false-positive rate) never changes the result") {
+    import spark.implicits._
+    val large = (1L to 5000L).map(k => (k, k % 211)).toDF("id", "fk")
+    val small = Seq((7L, "a"), (101L, "b")).toDF("pk", "name")
+    // estItems=1 → 8-bit bitmap: nearly everything is a false
+    // positive, the prefilter prunes almost nothing — the exact join
+    // must still make the output identical to the plain join
+    val pruned = BloomPrune.prunedJoin(large, small, "fk", "pk", estItems = 1L)
+      .select("id", "fk", "pk", "name")
+    val plain = large.join(small, col("fk") === col("pk"))
+      .select("id", "fk", "pk", "name")
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+  }
+
   test("the bloom probe filters the large side BELOW the join") {
     import spark.implicits._
     val large = (1L to 100L).map(k => (k, k % 7)).toDF("id", "fk")
