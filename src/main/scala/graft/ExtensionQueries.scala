@@ -232,6 +232,34 @@ object ExtensionQueries {
           max("zkey").as("zmax"))
         .orderBy("zcell")
     }),
+    "q_split_assign" -> ((s, dir) => {
+      // deterministic train/val/test assignment: same doc → same
+      // split in every run and every engine (incremental ingests
+      // can't leak eval rows into train)
+      graft.functions.PolyHash.register(s)
+      val h = graft.functions.TextExprs.charHashSpark("CAST(doc_id AS STRING)")
+      graft.operators.Sampling
+        .assignSplit(
+          Tables.documents(s, dir), h,
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"))
+        .orderBy("split")
+    }),
+    "q_per_source_cap" -> ((s, dir) =>
+      // quota curation: keep the 25 longest docs per source — planned
+      // as a group-limit around ONE shuffle on source, not a global sort
+      graft.operators.Sampling
+        .perGroupCap(
+          Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+          "source",
+          Seq(col("n_chars").desc, col("doc_id").asc), k = 25)
+        .select("source", "doc_id", "n_chars", "rn")
+        .orderBy("source", "rn")),
+    "q_text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_bloom_prune_join" -> ((s, dir) => {
       // fact-to-selective-dim join with the fact side bloom-pruned
       // before its shuffle; the oracle is the PLAIN join — false
@@ -607,6 +635,30 @@ object ExtensionQueries {
          |  MIN(zkey) AS zmin, MAX(zkey) AS zmax
          |FROM z GROUP BY 1 ORDER BY zcell""".stripMargin
     },
+
+    "q_split_assign" -> {
+      val h = graft.functions.TextExprs.charHashDuck("CAST(doc_id AS VARCHAR)")
+      val c = graft.operators.Sampling.splitCase(
+        h, Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      s"""SELECT $c AS split,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+    },
+
+    "q_per_source_cap" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn
+        |  FROM documents)
+        |SELECT source, doc_id, n_chars, rn FROM ranked
+        |WHERE rn <= 25 ORDER BY source, rn""".stripMargin,
+
+    "q_text_repetition" ->
+      s"""SELECT doc_id,
+         |  ${TextAnalysis.repetitionDuckProjection("text")}
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the PLAIN join — the bloom prefilter must be invisible here
     "q_bloom_prune_join" ->

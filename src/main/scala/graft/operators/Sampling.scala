@@ -49,6 +49,56 @@ object Sampling {
   def mixedHash(hashExpr: String): String =
     s"((($hashExpr) * 2654435761) % 1000000007)"
 
+  /** Deterministic train/val/test split assignment: re-mixed
+    * `hash % 100` lands each row in a percentile bucket, and
+    * cumulative weight ranges name the split. Key-hash splits are the
+    * only kind that survive pipeline re-runs: the same document lands
+    * in the same split forever (and in any engine), so later
+    * incremental ingests can't leak val/test rows into train.
+    *
+    * @param weights (name, percent) in assignment order; must sum to
+    *                100
+    */
+  def assignSplit(
+      df: DataFrame,
+      hashExpr: String,
+      weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.map(_._2).sum == 100, "split weights must sum to 100")
+    df.withColumn("split", expr(splitCase(hashExpr, weights)))
+  }
+
+  /** The dialect-neutral CASE mapping a re-mixed hash to its split
+    * name — shared verbatim by the Spark column and the DuckDB
+    * oracle.
+    */
+  def splitCase(hashExpr: String, weights: Seq[(String, Int)]): String = {
+    val bucket = s"(${mixedHash(hashExpr)}) % 100"
+    val bounds = weights.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
+    val whens = weights.init.zip(bounds.init)
+      .map { case ((name, _), hi) => s"WHEN ($bucket) < $hi THEN '$name'" }
+      .mkString(" ")
+    s"CASE $whens ELSE '${weights.last._1}' END"
+  }
+
+  /** Cap each group at its `k` best rows by `orderSql` (an ORDER BY
+    * fragment; include a unique tiebreaker for determinism). The
+    * curation workhorse — "at most k documents per domain" — planned
+    * as a group-limit (bounded heaps around one shuffle on
+    * `groupCol`), never a global sort.
+    */
+  def perGroupCap(
+      df: DataFrame,
+      groupCol: String,
+      orderCols: Seq[org.apache.spark.sql.Column],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val w = Window.partitionBy(groupCol).orderBy(orderCols: _*)
+    df.withColumn("rn", row_number().over(w))
+      .filter(expr(s"rn <= $k"))
+      .withColumn("rn", expr("CAST(rn AS BIGINT)"))
+  }
+
   /** The dialect-neutral `CASE stratum WHEN ... END` modulus picker —
     * shared verbatim by the Spark filter and the DuckDB oracle.
     */

@@ -165,6 +165,32 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("score_ppm"), col("rank").cast("long").as("rank"))
   }
 
+  /** Intra-document repetition: distinct-token count vs total tokens,
+    * the classic repeated-content quality signal. A single narrow
+    * projection — `array_distinct` over the token array, no explode,
+    * no shuffle — so it composes into any scan at zero extra passes.
+    * Fixed-point ppm (integer arithmetic end-to-end, cross-engine
+    * hashable).
+    */
+  def repetition(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toksArr = s"filter(split(lower($textCol), '[^a-z]+'), t -> t <> '')"
+    docs.select(
+      col(idCol),
+      expr(s"size($toksArr)").cast("long").as("n_tokens"),
+      expr(s"size(array_distinct($toksArr))").cast("long").as("n_distinct"),
+      expr(ppmSpark(
+        s"size($toksArr) - size(array_distinct($toksArr))",
+        s"size($toksArr)")).cast("long").as("repetition_ppm"))
+  }
+
+  /** DuckDB twin of [[repetition]]'s projection list (minus the id). */
+  def repetitionDuckProjection(t: String): String = {
+    val toksArr = s"list_filter(string_split_regex(lower($t), '[^a-z]+'), x -> x <> '')"
+    s"""CAST(len($toksArr) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct($toksArr)) AS BIGINT) AS n_distinct,
+       |  ${ppmDuck(s"len($toksArr) - len(list_distinct($toksArr))", s"len($toksArr)")} AS repetition_ppm""".stripMargin
+  }
+
   /** DuckDB twin of [[tfIdfTopTerms]] as a full SELECT. */
   def tfIdfTopTermsDuckSql(docsRelation: String, k: Int = 3): String =
     s"""WITH toks0 AS (

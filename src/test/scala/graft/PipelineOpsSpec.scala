@@ -205,6 +205,60 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(sampled.exceptAll(again).isEmpty && again.exceptAll(sampled).isEmpty)
   }
 
+  test("assignSplit is exhaustive, deterministic, and near the declared weights") {
+    import spark.implicits._
+    graft.functions.PolyHash.register(spark)
+    val df = (1L to 20000L).toDF("k")
+    val h = graft.functions.TextExprs.charHashSpark("CAST(k AS STRING)")
+    val splits = Sampling.assignSplit(df, h, Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val counts = splits.groupBy("split").count().collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("count")).toMap
+    assert(counts.keySet == Set("train", "val", "test")) // exhaustive, no NULL bucket
+    assert(math.abs(counts("train") / 20000.0 - 0.80) < 0.02)
+    assert(math.abs(counts("val") / 20000.0 - 0.10) < 0.02)
+    assert(math.abs(counts("test") / 20000.0 - 0.10) < 0.02)
+    // re-assignment is identical row-for-row (the anti-leak property)
+    val again = Sampling.assignSplit(df, h, Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    assert(splits.exceptAll(again).isEmpty)
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(df, h, Seq("train" -> 90, "val" -> 20))
+    }
+  }
+
+  test("perGroupCap keeps exactly the k best per group, planned as a group-limit") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(k => (k, s"g${k % 7}", k * 3 % 101)).toDF("id", "g", "score")
+    val capped = Sampling.perGroupCap(df, "g", Seq(col("score").desc, col("id").asc), k = 5)
+    val byGroup = capped.collect().groupBy(_.getAs[String]("g"))
+    assert(byGroup.size == 7 && byGroup.values.forall(_.length == 5))
+    // each group's kept rows are its true top-5 under the same order
+    byGroup.foreach { case (g, rows) =>
+      val expected = (1L to 1000L).filter(k => s"g${k % 7}" == g)
+        .map(k => (k * 3 % 101, k)).sortBy { case (s2, k) => (-s2, k) }.take(5)
+        .map(_._2).toSet
+      assert(rows.map(_.getAs[Long]("id")).toSet == expected, s"group $g")
+    }
+    // bounded-heap shape: a group-limit (native WindowGroupLimit or
+    // the TopKPerGroup extension), never a whole-partition sort alone
+    val plan = Sampling.perGroupCap(df, "g", Seq(col("score").desc), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") || plan.contains("TopKPerGroup"), plan)
+  }
+
+  test("repetition counts duplicated tokens in fixed-point ppm") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha alpha alpha beta"), // 4 tokens, 2 distinct → 50% repeated
+      (2L, "all distinct words here"),
+      (3L, "")).toDF("doc_id", "text")
+    val m = TextAnalysis.repetition(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_distinct"), r.getAs[Long]("repetition_ppm"))).toMap
+    assert(m(1L) == ((4L, 2L, 500000L)))
+    assert(m(2L) == ((4L, 4L, 0L)))
+    assert(m(3L)._3 == 0L) // empty doc: no division blow-up
+  }
+
   // ---- tf-idf top terms ----
 
   test("tf-idf ranks a document's distinctive term above ubiquitous ones") {
