@@ -615,6 +615,25 @@ object SparkEntry {
             .withColumn("as_of", lit("t1")))
         .orderBy("as_of", "o_orderkey")
     }),
+    "q_schema_roundtrip" -> ((s, dir) => {
+      // V8+G1+G2 end-to-end through the driver gate: introspect the
+      // lineitem schema, emit it in the Snowflake-DESCRIBE CSV format
+      // the reference consumes, load that CSV back, and class each
+      // type TEXT/NUMBER — the oracle is an independent literal
+      // expectation, so any drift in the emission, the CSV parse
+      // (quoted NUMBER(38,0) cells), or the classing turns a row red
+      import s.implicits._
+      val sch = Tables.lineitem(s, dir).schema
+      val csv = graft.cli.DiffGen.describeCsv(sch)
+      val p = java.nio.file.Files.createTempFile("graft_describe_", ".csv")
+      java.nio.file.Files.writeString(p, csv)
+      val loaded =
+        try graft.cli.DiffGen.loadSchemaCsv(p.toString)
+        finally java.nio.file.Files.deleteIfExists(p)
+      loaded.map { case (n, t) => (n, t, graft.cli.DiffGen.typeClass(t)) }
+        .toDF("col_name", "sf_type", "type_class")
+        .orderBy("col_name")
+    }),
     "q_hash_sample" -> ((s, dir) => {
       // deterministic hash sampling — the scale-safe sample: a pure
       // filter on a key hash (no shuffle, no RNG state, reproducible
@@ -1298,6 +1317,26 @@ object SparkEntry {
          |SELECT $cols, 't1' AS as_of FROM aft
          |ORDER BY as_of, o_orderkey""".stripMargin
     },
+    // independent literal expectation of the V8→G1→G2 chain on the
+    // lineitem schema: parquet int32/int64 → NUMBER(38,0), double →
+    // FLOAT (Snowflake's fractional type), string → VARCHAR, NTZ
+    // timestamp → TIMESTAMP_NTZ(9) (classed TEXT, the reference's
+    // fallback for non-numeric types)
+    "q_schema_roundtrip" ->
+      """SELECT * FROM (VALUES
+        |  ('L_DISCOUNT', 'FLOAT', 'NUMBER'),
+        |  ('L_EXTENDEDPRICE', 'FLOAT', 'NUMBER'),
+        |  ('L_LINENUMBER', 'NUMBER(38,0)', 'NUMBER'),
+        |  ('L_LINESTATUS', 'VARCHAR(16777216)', 'TEXT'),
+        |  ('L_ORDERKEY', 'NUMBER(38,0)', 'NUMBER'),
+        |  ('L_PARTKEY', 'NUMBER(38,0)', 'NUMBER'),
+        |  ('L_QUANTITY', 'FLOAT', 'NUMBER'),
+        |  ('L_RETURNFLAG', 'VARCHAR(16777216)', 'TEXT'),
+        |  ('L_SHIPDATE', 'TIMESTAMP_NTZ(9)', 'TEXT'),
+        |  ('L_SUPPKEY', 'NUMBER(38,0)', 'NUMBER'),
+        |  ('L_TAX', 'FLOAT', 'NUMBER')
+        |) AS t(col_name, sf_type, type_class)
+        |ORDER BY col_name""".stripMargin,
     "q_hash_sample" -> {
       val h = graft.functions.TextExprs.charHashDuck("CAST(o_orderkey AS VARCHAR)")
       s"""SELECT COUNT(*) AS n_sampled,
