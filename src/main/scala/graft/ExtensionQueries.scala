@@ -159,6 +159,23 @@ object ExtensionQueries {
         .orderBy("media_id")
     }),
 
+    "q_multimodal_frames" -> ((s, dir) => {
+      // frame sampling end-to-end: synthesize media payloads, split
+      // into 32-byte frames plan-side (posexplode — distributed
+      // fan-out), keep every 4th; frames are BINARY so the driver
+      // comparator sees them as md5 digests + lengths (same
+      // scalarization rationale as q_multimodal_bytes)
+      val media = graft.operators.Multimodal.synthesizeMedia(
+        Tables.documents(s, dir))
+      graft.operators.Multimodal.sampleFrames(media, frameBytes = 32, stride = 4)
+        .select(
+          col("media_id"),
+          col("frame_no").cast("long").as("frame_no"),
+          octet_length(col("frame")).cast("long").as("frame_bytes"),
+          md5(col("frame")).as("digest"))
+        .orderBy("media_id", "frame_no")
+    }),
+
     // ---- corpus curation: salience, heavy hitters, sampling, layout ----
     "q_tfidf_top_terms" -> ((s, dir) =>
       TextAnalysis.tfIdfTopTerms(Tables.documents(s, dir)).orderBy("doc_id", "rank")),
@@ -599,6 +616,21 @@ object ExtensionQueries {
         |FROM spine LEFT JOIN h ON h.doc_id = spine.doc_id AND h.bin = spine.bin
         |GROUP BY spine.doc_id, spine.n_bytes
         |ORDER BY media_id""".stripMargin,
+
+    // 32-byte frame slices of the ASCII payloads (same
+    // ASCII-validity argument as q_multimodal_features)
+    "q_multimodal_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id, i AS frame_no,
+        |    substr(text, CAST(i * 32 + 1 AS INT), 32) AS frame
+        |  FROM documents, unnest(range(0, CAST(ceil(length(text) / 32.0) AS INT))) u(i)
+        |  WHERE length(text) > 0
+        |)
+        |SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no,
+        |  CAST(length(frame) AS BIGINT) AS frame_bytes,
+        |  md5(frame) AS digest
+        |FROM f WHERE frame_no % 4 = 0
+        |ORDER BY media_id, frame_no""".stripMargin,
 
     "q_tfidf_top_terms" ->
       TextAnalysis.tfIdfTopTermsDuckSql("documents"),
