@@ -277,6 +277,14 @@ object ExtensionQueries {
         .orderBy("source", "rn")),
     "q_text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_decontaminate" -> ((s, dir) => {
+      // benchmark-leak check: every doc's distinct-3-gram overlap vs
+      // a planted "benchmark" subset (doc_id % 97) — planted members
+      // read 1e6 ppm, clean docs 0, shared boilerplate in between
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      TextAnalysis.contamination(docs, bench).orderBy("doc_id")
+    }),
     "q_bloom_prune_join" -> ((s, dir) => {
       // fact-to-selective-dim join with the fact side bloom-pruned
       // before its shuffle; the oracle is the PLAIN join — false
@@ -691,6 +699,10 @@ object ExtensionQueries {
       s"""SELECT doc_id,
          |  ${TextAnalysis.repetitionDuckProjection("text")}
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      TextAnalysis.contaminationDuckSql(
+        "documents", "SELECT text FROM documents WHERE doc_id % 97 = 0"),
 
     // the PLAIN join — the bloom prefilter must be invisible here
     "q_bloom_prune_join" ->

@@ -191,6 +191,78 @@ object TextAnalysis {
        |  ${ppmDuck(s"len($toksArr) - len(list_distinct($toksArr))", s"len($toksArr)")} AS repetition_ppm""".stripMargin
   }
 
+  /** Benchmark decontamination: per document, the fraction of its
+    * distinct word n-grams that appear anywhere in a benchmark
+    * corpus — the standard pre-training hygiene check that eval/test
+    * material has not leaked into the training set.
+    *
+    * Shape at 100 TB: the benchmark gram set is small (evals are
+    * thousands of documents, not billions) → distinct + `broadcast`;
+    * the corpus side is one narrow shingle pass + explode, then a
+    * broadcast LEFT join and a hash re-aggregation on doc_id — no
+    * shuffle ever touches the full corpus beyond the final per-doc
+    * agg. Reuses the dedup family's materialized-word-hash shingle
+    * kernels (inline arrays re-evaluate per access — SCALE.md rule 2).
+    */
+  def contamination(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    graft.functions.PolyHash.register(docs.sparkSession)
+    def distinctGrams(df: DataFrame, keep: Column*): DataFrame =
+      df.filter(expr(s"${tokenCountSpark(textCol)} >= $n"))
+        .select(keep :+ expr(wordHashArraySpark(wordsSpark(textCol))).as("wh"): _*)
+        .select(keep :+ expr(s"array_distinct(${shingleHashesFromWordHashesSpark("wh", n)})").as("grams"): _*)
+    val bench = distinctGrams(benchmark)
+      .select(explode(col("grams")).as("gram"))
+      .distinct()
+      .withColumn("_hit", lit(1))
+    val corpus = distinctGrams(docs, col(idCol))
+      .select(
+        col(idCol),
+        size(col("grams")).cast("long").as("n_grams"),
+        explode(col("grams")).as("gram"))
+    corpus
+      .join(broadcast(bench), Seq("gram"), "left")
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_hit"))
+      .withColumn(
+        "contamination_ppm",
+        expr(ppmSpark("n_hit", "n_grams")).cast("long"))
+  }
+
+  /** DuckDB twin of [[contamination]] as a full SELECT.
+    * @param benchRelation SQL producing the benchmark docs (needs
+    *                      `text`); wrapped as a CTE body
+    */
+  def contaminationDuckSql(docsRelation: String, benchRelation: String, n: Int = 3): String = {
+    val guard = s"${tokenCountDuck("text")} >= $n"
+    s"""WITH bwh AS (
+       |  SELECT ${wordHashArrayDuck(wordsDuck("text"))} AS wh
+       |  FROM ($benchRelation) WHERE $guard
+       |), bg AS (
+       |  SELECT DISTINCT unnest(list_distinct(${shingleHashesFromWordHashesDuck("wh", n)})) AS gram
+       |  FROM bwh
+       |), dwh AS (
+       |  SELECT doc_id, ${wordHashArrayDuck(wordsDuck("text"))} AS wh
+       |  FROM $docsRelation WHERE $guard
+       |), dg AS (
+       |  SELECT doc_id, list_distinct(${shingleHashesFromWordHashesDuck("wh", n)}) AS grams
+       |  FROM dwh
+       |), e AS (
+       |  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams, unnest(grams) AS gram
+       |  FROM dg
+       |)
+       |SELECT e.doc_id, e.n_grams,
+       |  CAST(SUM(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  ${ppmDuck("SUM(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END)", "e.n_grams")} AS contamination_ppm
+       |FROM e LEFT JOIN bg USING (gram)
+       |GROUP BY e.doc_id, e.n_grams
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB twin of [[tfIdfTopTerms]] as a full SELECT. */
   def tfIdfTopTermsDuckSql(docsRelation: String, k: Int = 3): String =
     s"""WITH toks0 AS (

@@ -259,6 +259,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(m(3L)._3 == 0L) // empty doc: no division blow-up
   }
 
+  test("contamination scores planted, partial, and clean docs correctly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // IS the benchmark doc
+      (2L, "quick brown fox leaps somewhere else entirely today"), // shares one 3-gram
+      (3L, "completely unrelated text with no overlap at all")).toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") === 1L)
+    val m = TextAnalysis.contamination(docs, bench).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"), r.getAs[Long]("contamination_ppm"))).toMap
+    assert(m(1L)._3 == 1000000L) // planted: every gram hits
+    // doc 2: grams of 8 words = 6 distinct 3-grams, exactly one
+    // ("quick brown fox") appears in the benchmark
+    assert(m(2L)._1 == 6L && m(2L)._2 == 1L)
+    assert(m(2L)._3 == math.floor(1e6 * 1.0 / 6.0).toLong)
+    assert(m(3L)._2 == 0L && m(3L)._3 == 0L) // clean
+  }
+
   // ---- tf-idf top terms ----
 
   test("tf-idf ranks a document's distinctive term above ubiquitous ones") {
