@@ -169,4 +169,33 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q_diff_sql_exec")
     assert("Join LeftOuter".r.findAllIn(p).size == 2, p.take(2000))
   }
+
+  test("round-7 queries prune their scans to the consumed columns") {
+    // a 2-column projection that reads the full lineitem/documents
+    // width is wrong at any scale — pin the pushed ReadSchema
+    assert(plan("q_zorder_key").contains(
+      "ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"))
+    assert(plan("q_tfidf_top_terms").contains(
+      "ReadSchema: struct<doc_id:bigint,text:string>"))
+    assert(plan("q_heavy_hitters_cms").contains(
+      "ReadSchema: struct<l_suppkey:bigint>"))
+    assert(plan("q_per_source_cap").contains(
+      "ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>"))
+  }
+
+  test("scd2 asOf over a history TABLE is a pure pushed-filter scan") {
+    // the time-travel read path: materialize a history once, then any
+    // asOf is a single scan with the validity predicates pushed down —
+    // no join, no shuffle (the orderBy-free form)
+    val hist = graft.operators.Scd2.snapshotHistory(
+      spark.read.parquet(s"$dir/orders.parquet"),
+      graft.sources.Tables.ordersAfter(spark, dir),
+      Seq("o_orderkey"), "2024-01-01", "2024-02-01")
+    val out = java.nio.file.Files.createTempDirectory("graft_scd2_hist_").toString
+    hist.write.mode("overwrite").parquet(out)
+    val p = graft.operators.Scd2.asOf(spark.read.parquet(out), "2024-01-15")
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Join") && !p.contains("Exchange"), p.take(2000))
+    assert(p.contains("PushedFilters:") && p.contains("valid_from"), p.take(2000))
+  }
 }
