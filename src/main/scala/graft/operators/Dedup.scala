@@ -51,7 +51,7 @@ object Dedup {
   private val trackedCaches =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  private def persistTracked(df: DataFrame): DataFrame = {
+  private[operators] def persistTracked(df: DataFrame): DataFrame = {
     val p = df.persist()
     trackedCaches.add(p)
     p

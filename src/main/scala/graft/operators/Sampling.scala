@@ -63,6 +63,8 @@ object Sampling {
       df: DataFrame,
       hashExpr: String,
       weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "every split weight must be positive")
     require(weights.map(_._2).sum == 100, "split weights must sum to 100")
     df.withColumn("split", expr(splitCase(hashExpr, weights)))
   }
@@ -91,6 +93,8 @@ object Sampling {
       groupCol: String,
       orderCols: Seq[org.apache.spark.sql.Column],
       k: Int): DataFrame = {
+    require(k >= 1, s"cap must be at least 1, got $k")
+    require(orderCols.nonEmpty, "perGroupCap needs an ordering")
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.row_number
     val w = Window.partitionBy(groupCol).orderBy(orderCols: _*)

@@ -46,6 +46,9 @@ object Scd2 {
     require(
       before.columns.sorted.sameElements(after.columns.sorted),
       s"snapshots must share a schema, got ${before.columns.mkString(",")} vs ${after.columns.mkString(",")}")
+    require(
+      keys.forall(before.columns.contains),
+      s"keys ${keys.filterNot(before.columns.contains).mkString(",")} not in the snapshot schema")
     val valueCols = before.columns.filterNot(keys.contains).toSeq
     val ordered = keys ++ valueCols
 

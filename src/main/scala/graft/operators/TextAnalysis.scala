@@ -202,7 +202,12 @@ object TextAnalysis {
     * broadcast LEFT join and a hash re-aggregation on doc_id — no
     * shuffle ever touches the full corpus beyond the final per-doc
     * agg. Reuses the dedup family's materialized-word-hash shingle
-    * kernels (inline arrays re-evaluate per access — SCALE.md rule 2).
+    * kernels, including their tracked persists: the word-hash and
+    * gram arrays MUST be cache-materialized or CollapseProject
+    * re-inlines the whole shingle expression into every consumer
+    * (size + explode → the expensive pass runs twice; SCALE.md rules
+    * 1-2 — observed as a 10× bench hit before the persists). Caches
+    * register with [[Dedup.unpersistAll]] like every dedup operator.
     */
   def contamination(
       docs: DataFrame,
@@ -211,10 +216,14 @@ object TextAnalysis {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     graft.functions.PolyHash.register(docs.sparkSession)
-    def distinctGrams(df: DataFrame, keep: Column*): DataFrame =
-      df.filter(expr(s"${tokenCountSpark(textCol)} >= $n"))
-        .select(keep :+ expr(wordHashArraySpark(wordsSpark(textCol))).as("wh"): _*)
-        .select(keep :+ expr(s"array_distinct(${shingleHashesFromWordHashesSpark("wh", n)})").as("grams"): _*)
+    def distinctGrams(df: DataFrame, keep: Column*): DataFrame = {
+      val wh = Dedup.persistTracked(
+        df.filter(expr(s"${tokenCountSpark(textCol)} >= $n"))
+          .select(keep :+ expr(wordHashArraySpark(wordsSpark(textCol))).as("wh"): _*))
+      Dedup.persistTracked(
+        wh.select(keep :+ expr(
+          s"array_distinct(${shingleHashesFromWordHashesSpark("wh", n)})").as("grams"): _*))
+    }
     val bench = distinctGrams(benchmark)
       .select(explode(col("grams")).as("gram"))
       .distinct()
