@@ -62,6 +62,20 @@ object ExtensionQueries {
       Dedup.simhashPairs(Corpus.docCorpus(s, dir)).orderBy("doc_a", "doc_b")),
     "q_dedup_embed" -> ((s, dir) =>
       Dedup.embeddingPairs(Corpus.embCorpus(s, dir)).orderBy("vec_a", "vec_b")),
+    "q_dedup_incremental" -> ((s, dir) => {
+      // the ingest shape: dedup a NEW batch (the planted exact +
+      // near-dup copies) against the EXISTING corpus only — no
+      // corpus self-pairing
+      val d = Tables.documents(s, dir)
+      val newBatch = d
+        .filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .unionByName(
+          d.filter(col("doc_id") % 11 === 0)
+            .withColumn("doc_id", col("doc_id") + 2000000L)
+            .withColumn("text", concat(col("text"), lit(" near dup extra tail"))))
+      Dedup.minhashPairsAgainst(newBatch, d).orderBy("new_id", "corpus_id")
+    }),
     "q_dedup_clusters" -> ((s, dir) => {
       // pairs → clusters: minimum-label propagation over the minhash
       // near-dup pairs; component = canonical (minimum) doc_id
@@ -347,7 +361,50 @@ object ExtensionQueries {
        |WHERE n_agree >= ${NumMinhash / 2}""".stripMargin
   }
 
+  /** Cross-corpus (new × corpus) minhash pair SQL for the incremental
+    * dedup oracle — same signature/band algebra as [[minhashPairsSql]]
+    * but without the self-join's id inequality.
+    */
+  private val minhashIncrementalSql: String = {
+    def sigCtes(rel: String, p: String): String = {
+      val bandSelects = bandKeysDuck("sig").zipWithIndex
+        .map { case (k, b) => s"SELECT doc_id, $b AS band, $k AS bkey FROM ${p}s" }
+        .mkString("\n  UNION ALL\n  ")
+      s"""${p}w AS (
+         |  SELECT doc_id, ${wordHashArrayDuck(wordsDuck("text"))} AS wh
+         |  FROM ($rel) WHERE $tokGuard3
+         |), ${p}g AS (
+         |  SELECT doc_id, ${shingleHashesFromWordHashesDuck("wh", 3)} AS grams FROM ${p}w
+         |), ${p}s AS (
+         |  SELECT doc_id, ${minhashSigDuck("grams")} AS sig FROM ${p}g
+         |), ${p}b AS (
+         |  $bandSelects
+         |)""".stripMargin
+    }
+    val newRel =
+      """SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' near dup extra tail' FROM documents WHERE doc_id % 11 = 0""".stripMargin
+    s"""WITH ${sigCtes(newRel, "n")},
+       |${sigCtes("SELECT doc_id, text FROM documents", "c")},
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS corpus_id
+       |  FROM nb x JOIN cb y ON x.band = y.band AND x.bkey = y.bkey
+       |), j AS (
+       |  SELECT new_id, corpus_id, xs.sig AS siga, ys.sig AS sigb
+       |  FROM cand
+       |  JOIN ns xs ON xs.doc_id = cand.new_id
+       |  JOIN cs ys ON ys.doc_id = cand.corpus_id
+       |), r AS (
+       |  SELECT new_id, corpus_id, ${sigAgreementDuck("siga", "sigb")} AS n_agree FROM j
+       |)
+       |SELECT new_id, corpus_id, n_agree FROM r
+       |WHERE n_agree >= ${NumMinhash / 2}
+       |ORDER BY new_id, corpus_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_incremental" -> minhashIncrementalSql,
     "q_dedup_exact" ->
       s"""WITH corpus AS (
          |$corpus

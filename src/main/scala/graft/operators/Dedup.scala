@@ -136,18 +136,15 @@ object Dedup {
     * agreeing signature positions. The scale path: no all-pairs
     * comparison; candidate generation is a partitionable hash join.
     */
-  def minhashPairs(
-      docs: DataFrame,
-      n: Int = 3,
-      minAgree: Int = NumMinhash / 2,
-      textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    PolyHash.register(docs.sparkSession)
-    graft.functions.MinHashSig.register(docs.sparkSession)
-    // cache boundaries at every array-consuming step: lambdas indexing
-    // an inline array expression re-evaluate it per access, and the
-    // signature projection references the gram array 32× (once per
-    // permutation); the band self-join then consumes signatures twice
+  /** Persisted (doc_id, sig) minhash signatures for a corpus — the
+    * shared front half of [[minhashPairs]] / [[minhashPairsAgainst]].
+    * Cache boundaries at every array-consuming step: lambdas indexing
+    * an inline array expression re-evaluate it per access, and the
+    * signature projection references the gram array 32× (once per
+    * permutation); the band join then consumes signatures twice.
+    */
+  private def minhashSignatures(
+      docs: DataFrame, n: Int, textCol: String, idCol: String): DataFrame = {
     val wh = docs
       .filter(expr(s"${tokenCountSpark(textCol)} >= $n"))
       .select(
@@ -157,17 +154,33 @@ object Dedup {
     val grams = wh
       .select(col("doc_id"), expr(shingleHashesFromWordHashesSpark("wh", n)).as("grams"))
       .pipe(graft.operators.Dedup.persistTracked)
-    val toks = grams
+    grams
       .select(col("doc_id"), expr(minhashSigSpark("grams")).as("sig"))
       .pipe(graft.operators.Dedup.persistTracked)
+  }
+
+  /** (doc_id, sig, band, bkey) LSH band rows for a signature table. */
+  private def bandRows(toks: DataFrame): DataFrame = {
     val bandStructs = bandKeysSpark("sig").zipWithIndex
       .map { case (k, b) => s"struct($b AS band, $k AS bkey)" }
       .mkString(", ")
-    val bands = toks.select(
+    toks.select(
       col("doc_id"),
       col("sig"),
       expr(s"explode(array($bandStructs))").as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  def minhashPairs(
+      docs: DataFrame,
+      n: Int = 3,
+      minAgree: Int = NumMinhash / 2,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    PolyHash.register(docs.sparkSession)
+    graft.functions.MinHashSig.register(docs.sparkSession)
+    val toks = minhashSignatures(docs, n, textCol, idCol)
+    val bands = bandRows(toks)
     // distinct over the BARE id pair (a pair can collide in several
     // bands), then re-join the persisted signatures: deduplicating
     // rows that carry two 32-long arrays makes the exchange and the
@@ -184,6 +197,44 @@ object Dedup {
       .withColumn("n_agree", expr(sigAgreementSpark("siga", "sigb")).cast("long"))
       .filter(col("n_agree") >= minAgree)
       .select("doc_a", "doc_b", "n_agree")
+  }
+
+  /** Incremental dedup: MinHash+LSH near-dup pairs of a NEW batch
+    * against an EXISTING corpus — the production ingest shape. A
+    * steady-state pipeline never re-pairs the corpus with itself; it
+    * signatures the (small) new batch and band-joins it against the
+    * corpus's (precomputable, append-only) signature table, so the
+    * per-ingest cost is O(|new| + matched corpus bands), not
+    * O(|corpus|²) or even O(|corpus| log |corpus|). Candidate
+    * generation stays a partitionable equi-join on (band, key); at
+    * 100 TB the corpus band table is the thing you materialize once
+    * and append to.
+    *
+    * Returns (new_id, corpus_id, n_agree). A document present in both
+    * inputs (same id) matches itself — callers filter if unwanted.
+    */
+  def minhashPairsAgainst(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      n: Int = 3,
+      minAgree: Int = NumMinhash / 2,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    PolyHash.register(newDocs.sparkSession)
+    graft.functions.MinHashSig.register(newDocs.sparkSession)
+    val newToks = minhashSignatures(newDocs, n, textCol, idCol)
+    val corpToks = minhashSignatures(corpus, n, textCol, idCol)
+    val cand = bandRows(newToks).as("x")
+      .join(bandRows(corpToks).as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("corpus_id"))
+      .distinct()
+    cand
+      .join(newToks.select(col("doc_id").as("new_id"), col("sig").as("siga")), "new_id")
+      .join(corpToks.select(col("doc_id").as("corpus_id"), col("sig").as("sigb")), "corpus_id")
+      .withColumn("n_agree", expr(sigAgreementSpark("siga", "sigb")).cast("long"))
+      .filter(col("n_agree") >= minAgree)
+      .select("new_id", "corpus_id", "n_agree")
   }
 
   /** Disjoint bit segments covering the SimHash fingerprint:

@@ -259,6 +259,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(m(3L)._3 == 0L) // empty doc: no division blow-up
   }
 
+  test("incremental minhash pairs the new batch against the corpus only") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy sleeping dog tonight"),
+      (2L, "an entirely different document about distributed query engines today"),
+      (3L, "a third document that resembles nothing else in this corpus")).toDF("doc_id", "text")
+    val newBatch = Seq(
+      (100L, "the quick brown fox jumps over the lazy sleeping dog tonight"), // exact copy of 1
+      (101L, "fresh unseen content with no duplicate anywhere in sight")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairsAgainst(newBatch, corpus).collect()
+    // the copy matches its original with a full-agreement signature
+    val hit = pairs.find(r => r.getAs[Long]("new_id") == 100L && r.getAs[Long]("corpus_id") == 1L)
+    assert(hit.isDefined && hit.get.getAs[Long]("n_agree") == 32L, pairs.mkString(","))
+    // the fresh doc matches nothing, and ids never come from the same side
+    assert(!pairs.exists(_.getAs[Long]("new_id") == 101L))
+    assert(pairs.forall(r => r.getAs[Long]("new_id") >= 100L && r.getAs[Long]("corpus_id") < 100L))
+  }
+
   test("contamination scores planted, partial, and clean docs correctly") {
     import spark.implicits._
     val docs = Seq(
