@@ -615,6 +615,28 @@ object SparkEntry {
             .withColumn("as_of", lit("t1")))
         .orderBy("as_of", "o_orderkey")
     }),
+    "q_scd2_merge" -> ((s, dir) => {
+      // incremental SCD2: fold a THIRD snapshot into the existing
+      // history (the production ingest path — only current rows join
+      // the snapshot, closed rows pass through), then prove the
+      // merged history still reconstructs ALL THREE snapshots exactly
+      val hist1 = graft.operators.Scd2.snapshotHistory(
+        Tables.orders(s, dir), Tables.ordersAfter(s, dir),
+        keys = Seq("o_orderkey"),
+        validFrom = "2024-01-01", validTo = "2024-02-01")
+      val hist2 = graft.operators.Scd2.merge(
+        hist1, Tables.ordersAfter2(s, dir),
+        keys = Seq("o_orderkey"), asOfDate = "2024-03-01")
+      graft.operators.Scd2.asOf(hist2, "2024-01-15")
+        .withColumn("as_of", lit("t0"))
+        .unionByName(
+          graft.operators.Scd2.asOf(hist2, "2024-02-15")
+            .withColumn("as_of", lit("t1")))
+        .unionByName(
+          graft.operators.Scd2.asOf(hist2, "2024-03-15")
+            .withColumn("as_of", lit("t2")))
+        .orderBy("as_of", "o_orderkey")
+    }),
     "q_schema_roundtrip" -> ((s, dir) => {
       // V8+G1+G2 end-to-end through the driver gate: introspect the
       // lineitem schema, emit it in the Snowflake-DESCRIBE CSV format
@@ -1315,6 +1337,22 @@ object SparkEntry {
          |SELECT $cols, 't0' AS as_of FROM orders
          |UNION ALL
          |SELECT $cols, 't1' AS as_of FROM aft
+         |ORDER BY as_of, o_orderkey""".stripMargin
+    },
+    // lossless three-way reconstruction: the merged history must
+    // reproduce each raw snapshot on its own interval
+    "q_scd2_merge" -> {
+      val cols = ordersCols.mkString(", ")
+      s"""WITH aft AS (
+         |${Tables.ordersAfterSql}
+         |), aft2 AS (
+         |${Tables.ordersAfter2Sql}
+         |)
+         |SELECT $cols, 't0' AS as_of FROM orders
+         |UNION ALL
+         |SELECT $cols, 't1' AS as_of FROM aft
+         |UNION ALL
+         |SELECT $cols, 't2' AS as_of FROM aft2
          |ORDER BY as_of, o_orderkey""".stripMargin
     },
     // independent literal expectation of the V8→G1→G2 chain on the

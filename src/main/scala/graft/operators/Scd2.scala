@@ -111,6 +111,96 @@ object Scd2 {
       .select(col("v.*"))
   }
 
+  /** Incremental merge: apply a NEW snapshot to an EXISTING history —
+    * the production SCD2 path, where the history table persists and
+    * each ingest folds one snapshot in (rebuilding from all snapshots
+    * is exactly what SCD2 exists to avoid).
+    *
+    * Label convention (same as [[snapshotHistory]]): a CLOSED row's
+    * `change_type` records what closed it ('updated' — superseded,
+    * 'deleted' — key vanished); an OPEN row's records its birth
+    * ('unchanged' — initial load survivor, 'updated', 'inserted').
+    * Rows already closed pass through untouched; open rows whose key
+    * left the snapshot close as 'deleted'; changed keys close their
+    * old version and open a new one at `asOfDate`.
+    *
+    * Plan shape: the closed partition is a pass-through scan; only the
+    * CURRENT rows (≈ |live keys|, not |history|) join the snapshot —
+    * one full-outer null-safe join + narrow explode, then a UNION
+    * with the untouched closed rows.
+    */
+  def merge(
+      history: DataFrame,
+      snapshot: DataFrame,
+      keys: Seq[String],
+      asOfDate: String): DataFrame = {
+    require(keys.nonEmpty, "scd2 needs at least one key column")
+    val metaCols = Seq("valid_from", "valid_to", "is_current", "change_type")
+    require(metaCols.forall(history.columns.contains),
+      s"history must carry ${metaCols.mkString(",")}")
+    val valueCols = snapshot.columns.filterNot(keys.contains).toSeq
+    require((keys ++ valueCols).forall(history.columns.contains),
+      "history and snapshot disagree on key/value columns")
+
+    val ordered = keys ++ valueCols
+    val closed = history.filter(col("valid_to").isNotNull)
+    val current = history.filter(col("valid_to").isNull)
+      .select((ordered :+ "valid_from" :+ "change_type").map(col): _*)
+      .withColumn("_b_present", lit(1)).alias("b")
+    val snap = snapshot.select(ordered.map(col): _*)
+      .withColumn("_a_present", lit(1)).alias("a")
+
+    val joinCond = keys.map(k => col(s"b.$k") <=> col(s"a.$k")).reduce(_ && _)
+    val joined = current.join(snap, joinCond, "full_outer")
+    val bPresent = col("b._b_present").isNotNull
+    val aPresent = col("a._a_present").isNotNull
+    val changed = valueCols.map(c => !(col(s"b.$c") <=> col(s"a.$c"))).reduce(_ || _)
+
+    val t = lit(asOfDate).cast("date")
+    val openEnd = lit(null).cast("date")
+
+    def version(
+        side: String,
+        from: Column,
+        to: Column,
+        isCur: Column,
+        change: Column): Column =
+      struct(
+        keys.map(k => coalesce(col(s"b.$k"), col(s"a.$k")).as(k)) ++
+          valueCols.map(c => col(s"$side.$c").as(c)) ++ Seq(
+            from.as("valid_from"),
+            to.as("valid_to"),
+            isCur.as("is_current"),
+            change.as("change_type")): _*)
+
+    // the surviving/closing row for every previously-current key
+    val existingRow = when(
+      bPresent,
+      version(
+        "b",
+        col("b.valid_from"),
+        when(!aPresent || changed, t).otherwise(openEnd),
+        aPresent && !changed,
+        when(!aPresent, lit("deleted"))
+          .when(changed, lit("updated"))
+          .otherwise(col("b.change_type")))) // untouched open row keeps its birth label
+    // the new version for changed or newly-inserted keys
+    val newRow = when(
+      aPresent && (!bPresent || changed),
+      version(
+        "a",
+        t,
+        openEnd,
+        lit(true),
+        when(!bPresent, lit("inserted")).otherwise(lit("updated"))))
+
+    val merged = joined
+      .select(explode(array(existingRow, newRow)).as("v"))
+      .filter(col("v").isNotNull)
+      .select(col("v.*"))
+    closed.select(merged.columns.map(col): _*).unionByName(merged)
+  }
+
   /** Point-in-time read: reconstruct the snapshot as of `date` from a
     * [[snapshotHistory]] row set. A row is visible iff
     * `valid_from ≤ date < valid_to` (open intervals never expire).

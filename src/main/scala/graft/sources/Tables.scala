@@ -118,4 +118,39 @@ object Tables {
       |  o_orderdate,
       |  CASE WHEN o_orderkey % 43 = 0 THEN NULL ELSE o_orderpriority END AS o_orderpriority
       |FROM orders WHERE o_orderkey % 53 <> 0""".stripMargin
+
+  /** Third deterministic snapshot in the orders chain (for the
+    * incremental SCD2 merge): perturb [[ordersAfter]] — drop % 59,
+    * bump o_totalprice % 41, flip o_orderstatus % 37 — and re-insert
+    * the odd half of the keys the t0→t1 transition deleted (% 53,
+    * original values), so the 'inserted' path is exercised too.
+    */
+  def ordersAfter2(spark: SparkSession, dir: String): DataFrame = {
+    val a = ordersAfter(spark, dir)
+      .filter(col("o_orderkey") % 59 =!= 0)
+      .withColumn(
+        "o_totalprice",
+        when(col("o_orderkey") % 41 === 0, col("o_totalprice") + lit(5.0))
+          .otherwise(col("o_totalprice")))
+      .withColumn(
+        "o_orderstatus",
+        when(col("o_orderkey") % 37 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")))
+    val back = orders(spark, dir)
+      .filter(col("o_orderkey") % 53 === 0 && col("o_orderkey") % 2 === 1)
+    a.unionByName(back)
+  }
+
+  /** DuckDB-dialect SQL producing exactly [[ordersAfter2]]. */
+  val ordersAfter2Sql: String =
+    s"""SELECT o_orderkey, o_custkey,
+       |  CASE WHEN o_orderkey % 37 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+       |  CASE WHEN o_orderkey % 41 = 0 THEN o_totalprice + 5.0 ELSE o_totalprice END AS o_totalprice,
+       |  o_orderdate, o_orderpriority
+       |FROM (
+       |$ordersAfterSql
+       |) WHERE o_orderkey % 59 <> 0
+       |UNION ALL
+       |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+       |FROM orders WHERE o_orderkey % 53 = 0 AND o_orderkey % 2 = 1""".stripMargin
 }

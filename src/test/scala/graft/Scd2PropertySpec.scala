@@ -59,6 +59,31 @@ class Scd2PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("merge folds a third random snapshot in and still round-trips all three") {
+    for (i <- 1 to 6) {
+      val s0 = randSnapshot()
+      val s1 = randSnapshot()
+      val s2 = randSnapshot()
+      val hist = Scd2.merge(
+        Scd2.snapshotHistory(s0, s1, Seq("k"), "2024-01-01", "2024-02-01"),
+        s2, Seq("k"), "2024-03-01")
+      assert(asSet(Scd2.asOf(hist, "2024-01-15")) == asSet(s0), s"iter $i t0")
+      assert(asSet(Scd2.asOf(hist, "2024-02-15")) == asSet(s1), s"iter $i t1")
+      assert(asSet(Scd2.asOf(hist, "2024-03-15")) == asSet(s2), s"iter $i t2")
+      // ≤1 current row per key; current ⟺ open interval
+      val rows = hist.collect()
+      rows.groupBy(_.getAs[Int]("k")).foreach { case (k, vs) =>
+        assert(vs.count(_.getAs[Boolean]("is_current")) <= 1, s"iter $i key $k")
+        vs.foreach(r => assert(
+          r.getAs[Boolean]("is_current") == (r.getAs[java.sql.Date]("valid_to") == null)))
+      }
+      // merging the SAME snapshot again is a no-op on the visible data
+      val again = Scd2.merge(hist, s2, Seq("k"), "2024-04-01")
+      assert(asSet(Scd2.asOf(again, "2024-04-15")) == asSet(s2), s"iter $i idempotent")
+      assert(again.count() == rows.length, s"iter $i no-op row count")
+    }
+  }
+
   test("row budget and current-row uniqueness hold for random pairs") {
     for (i <- 1 to 10) {
       val before = randSnapshot()
