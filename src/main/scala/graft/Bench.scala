@@ -53,6 +53,7 @@ object Bench {
       var failed = false
       val times = (1 to iters).map { _ =>
         spark.catalog.clearCache()
+        graft.operators.Dedup.unpersistAll() // drain the tracked-cache queue too
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>

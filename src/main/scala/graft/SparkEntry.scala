@@ -980,8 +980,10 @@ object SparkEntry {
     val dir = java.nio.file.Paths.get(wh, name)
     if (java.nio.file.Files.exists(dir)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close() // per-query call: the directory handle leaks otherwise
     }
   }
 

@@ -40,6 +40,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       spark.catalog.clearCache() // operators persist hot intermediates
+      graft.operators.Dedup.unpersistAll() // and register them in a JVM queue — drain it
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -58,14 +59,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // With VERIFY_ONLY active, emit ALL oracle entries, not just the
-    // subset: the parquet dumps of unselected queries survive in
-    // outDir, so dropping their oracle SQL would silently break a later
-    // driver comparison over the same directory. The full map is always
-    // consistent with SparkEntry (oracleSql is source-of-truth, not
-    // per-run state), so emitting it unconditionally is a strict
-    // superset of the merge the subset run needs.
+    // Emit oracle entries for every query whose RESULT exists in
+    // outDir after this run (not just this run's selection): dumps of
+    // previously-verified queries survive a later subset run, so
+    // dropping their oracle SQL would silently break a driver
+    // comparison over the same directory — while emitting the FULL map
+    // into a fresh outDir would make the comparator flag every
+    // unselected query MISSING_RESULT and a one-query iteration loop
+    // could never go green. Result-presence is exactly the set the
+    // comparator can check.
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => Files.exists(Paths.get(s"$outDir/$k")) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

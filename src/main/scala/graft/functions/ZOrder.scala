@@ -101,6 +101,10 @@ object ZInterleave16 {
       numFiles: Int): org.apache.spark.sql.DataFrame = {
     register(df.sparkSession)
     import org.apache.spark.sql.functions.{col, expr}
+    // withColumn would silently REPLACE (and drop below) a caller's
+    // own `_z` — fail loudly instead of losing their data
+    require(!df.columns.contains("_z"),
+      "input already has a column named _z; rename it before clusterByZ")
     df.withColumn(
         "_z",
         expr(s"z_interleave16(CAST($xCol % 65536 AS BIGINT), CAST($yCol % 65536 AS BIGINT))"))

@@ -70,8 +70,11 @@ object BloomPrune {
     val bloom = small
       .agg(expr(s"bloom_agg(xxhash64($smallKey), ${estItems}L, ${numBits}L)").as("_bloom"))
       .scalar()
-    large
+    val pruned = large
       .filter(call_function("bloom_might_contain", bloom, xxhash64(col(largeKey))))
-      .join(small, col(largeKey) === col(smallKey))
+    // same-named keys would make `col(largeKey) === col(smallKey)`
+    // ambiguous — use a USING join there (one shared key column out)
+    if (largeKey == smallKey) pruned.join(small, Seq(largeKey))
+    else pruned.join(small, col(largeKey) === col(smallKey))
   }
 }

@@ -74,12 +74,15 @@ object Sampling {
     * oracle.
     */
   def splitCase(hashExpr: String, weights: Seq[(String, Int)]): String = {
+    // a single 100%-weight split has no WHEN branch — CASE with zero
+    // WHENs is a parse error, so emit the constant directly
+    if (weights.size == 1) return s"'${sq(weights.head._1)}'"
     val bucket = s"(${mixedHash(hashExpr)}) % 100"
     val bounds = weights.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
     val whens = weights.init.zip(bounds.init)
-      .map { case ((name, _), hi) => s"WHEN ($bucket) < $hi THEN '$name'" }
+      .map { case ((name, _), hi) => s"WHEN ($bucket) < $hi THEN '${sq(name)}'" }
       .mkString(" ")
-    s"CASE $whens ELSE '${weights.last._1}' END"
+    s"CASE $whens ELSE '${sq(weights.last._1)}' END"
   }
 
   /** Cap each group at its `k` best rows by `orderSql` (an ORDER BY
@@ -103,11 +106,17 @@ object Sampling {
       .withColumn("rn", expr("CAST(rn AS BIGINT)"))
   }
 
+  /** Single-quote escape for values interpolated into the generated
+    * CASE expressions — a stratum named `o'reilly` must not truncate
+    * (or rewrite) the predicate.
+    */
+  private def sq(v: String): String = v.replace("'", "''")
+
   /** The dialect-neutral `CASE stratum WHEN ... END` modulus picker —
     * shared verbatim by the Spark filter and the DuckDB oracle.
     */
   def modulusCase(strataCol: String, mods: Seq[(String, Int)], defaultMod: Int): String =
     s"CASE $strataCol " +
-      mods.map { case (v, m) => s"WHEN '$v' THEN $m" }.mkString(" ") +
+      mods.map { case (v, m) => s"WHEN '${sq(v)}' THEN $m" }.mkString(" ") +
       s" ELSE $defaultMod END"
 }

@@ -108,9 +108,12 @@ object StreamRunner {
       val tmp = Files.createTempDirectory("graft_sentinel_")
       spark.createDataFrame(List(row).asJava, schema)
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(sys.error(s"sentinel write produced no parquet in $tmp"))
+      val listing = Files.list(tmp)
+      val part =
+        try listing.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"sentinel write produced no parquet in $tmp"))
+        finally listing.close() // directory handle leaks otherwise
       val dest = stage.resolve(s"sentinel_$i.parquet")
       Files.deleteIfExists(dest)
       Files.copy(part, dest)
@@ -118,8 +121,10 @@ object StreamRunner {
       // preserved the source attribute on some filesystem
       Files.setLastModifiedTime(
         dest, java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+      val walk = Files.walk(tmp)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(f => Files.deleteIfExists(f))
+      finally walk.close()
     }
   }
 

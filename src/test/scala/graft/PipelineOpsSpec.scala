@@ -259,6 +259,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(m(3L)._3 == 0L) // empty doc: no division blow-up
   }
 
+  test("prunedJoin supports same-named key columns via a USING join") {
+    import spark.implicits._
+    val large = (1L to 100L).map(k => (k, k % 7)).toDF("id", "key")
+    val small = Seq((1L, "a"), (3L, "b")).toDF("key", "name")
+    val out = BloomPrune.prunedJoin(large, small, "key", "key", estItems = 10L)
+    assert(out.columns.count(_ == "key") == 1) // USING join: one shared key column
+    assert(out.count() == large.filter(col("key").isin(1L, 3L)).count())
+  }
+
+  test("assignSplit handles a single 100% split and quoted names") {
+    import spark.implicits._
+    graft.functions.PolyHash.register(spark)
+    val df = (1L to 50L).toDF("k")
+    val h = graft.functions.TextExprs.charHashSpark("CAST(k AS STRING)")
+    // one split: constant expression, no WHEN-less CASE parse error
+    val one = Sampling.assignSplit(df, h, Seq("all" -> 100))
+    assert(one.filter(col("split") === "all").count() == 50)
+    // a quoted stratum name must survive interpolation
+    val strat = Sampling.stratifiedHash(
+      df.withColumn("s", lit("o'reilly")), "s", h, Seq("o'reilly" -> 5), defaultMod = 1)
+    assert(strat.count() > 0 && strat.count() < 50)
+  }
+
   test("incremental minhash pairs the new batch against the corpus only") {
     import spark.implicits._
     import graft.operators.Dedup
