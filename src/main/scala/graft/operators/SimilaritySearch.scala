@@ -60,7 +60,8 @@ object SimilaritySearch {
         floor(lit(1000000.0) * col("cos")).cast("long").as("cos_ppm"))
   }
 
-  /** IVF-style ANN: coarse centroids are seeded from the vectors with
+  // ---- IVF-style ANN (design notes for buildIndex/probe/ivfTopK) ----
+  /* Coarse centroids are seeded from the vectors with
     * `vec_id % centroidMod == 0`, then refined by `lloydIters` Lloyd
     * (k-means) iterations; every vector is assigned to its L2-nearest
     * centroid; each query probes its `nprobe` nearest centroid lists
@@ -93,19 +94,32 @@ object SimilaritySearch {
     * letting an undersized mod OOM the driver at plan-construction
     * time.
     */
-  def ivfTopK(
+  /** A built IVF index: the refined centroid table (small, broadcast
+    * at probe time) and the full assignment table (one row per corpus
+    * vector with its list id, embedding, and precomputed norm).
+    *
+    * This is the production split: at 100 TB the index is built ONCE
+    * (or incrementally appended) and persisted as tables, then probed
+    * by many query batches — rebuilding per query batch, as a single
+    * fused call would, re-pays the dominant assignment pass every
+    * time. Both members are plain DataFrames, so
+    * `index.assignments.write.parquet(...)` + reload round-trips the
+    * index through storage (pinned in PipelineOpsSpec).
+    */
+  final case class IvfIndex(centroids: DataFrame, assignments: DataFrame)
+
+  /** Build the IVF index for a corpus: seed centroids, refine with
+    * Lloyd iterations, assign every vector to its nearest list. See
+    * [[ivfTopK]] for the determinism and driver-residency notes.
+    */
+  def buildIndex(
       emb: DataFrame,
-      k: Int = 5,
-      queryMod: Int = 97,
       centroidMod: Int = 50,
-      nprobe: Int = 2,
       lloydIters: Int = 1,
       idCol: String = "vec_id",
-      maxCentroids: Int = 1 << 20): DataFrame = {
+      maxCentroids: Int = 1 << 20): IvfIndex = {
     val spark = emb.sparkSession
     graft.functions.VecDot.register(spark)
-    // per-query / per-vector top-k via the bounded-heap operator even
-    // for library callers outside Verify/Bench (idempotent install)
     graft.plans.TopKPerGroup.install(spark)
     def localize(df: DataFrame): DataFrame = {
       // cap BEFORE materializing: collect limit+1 rows so an oversized
@@ -157,12 +171,27 @@ object SimilaritySearch {
       .select(
         col("vid").as("cand_id"), col("cid"), col("embedding").as("cand_emb"),
         expr(s"sqrt(${dotSpark("embedding", "embedding")})").as("cnorm"))
+    IvfIndex(cents, assign)
+  }
 
-    // probe pass: query → nprobe nearest centroids
-    val qprobe = emb
-      .filter(col(idCol) % queryMod === 0)
+  /** Probe a prebuilt index: each query vector visits its `nprobe`
+    * nearest centroid lists and ranks those candidates by cosine.
+    * `queries` needs `(idCol, embedding)`; the index pays nothing per
+    * probe beyond a broadcast of the centroid table.
+    */
+  def probe(
+      index: IvfIndex,
+      queries: DataFrame,
+      k: Int = 5,
+      nprobe: Int = 2,
+      idCol: String = "vec_id"): DataFrame = {
+    val spark = queries.sparkSession
+    graft.functions.VecDot.register(spark)
+    graft.plans.TopKPerGroup.install(spark)
+    val byDist = Window.partitionBy("vid").orderBy(col("d"), col("cid"))
+    val qprobe = queries
       .select(col(idCol).as("vid"), col("embedding"))
-      .crossJoin(broadcast(cents))
+      .crossJoin(broadcast(index.centroids))
       .withColumn("d", expr(l2sqSpark("embedding", "cemb")))
       .withColumn("rn", row_number().over(byDist))
       .filter(col("rn") <= nprobe)
@@ -172,7 +201,7 @@ object SimilaritySearch {
 
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
     qprobe
-      .join(assign, "cid")
+      .join(index.assignments, "cid")
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cos", expr(dotSpark("qemb", "cand_emb")) / (col("qnorm") * col("cnorm")))
       .withColumn("rank", row_number().over(w))
@@ -182,5 +211,18 @@ object SimilaritySearch {
         col("rank").cast("long").as("rank"),
         col("cand_id"),
         floor(lit(1000000.0) * col("cos")).cast("long").as("cos_ppm"))
+  }
+
+  def ivfTopK(
+      emb: DataFrame,
+      k: Int = 5,
+      queryMod: Int = 97,
+      centroidMod: Int = 50,
+      nprobe: Int = 2,
+      lloydIters: Int = 1,
+      idCol: String = "vec_id",
+      maxCentroids: Int = 1 << 20): DataFrame = {
+    val index = buildIndex(emb, centroidMod, lloydIters, idCol, maxCentroids)
+    probe(index, emb.filter(col(idCol) % queryMod === 0), k, nprobe, idCol)
   }
 }

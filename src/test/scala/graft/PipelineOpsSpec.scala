@@ -259,6 +259,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(m(3L)._3 == 0L) // empty doc: no division blow-up
   }
 
+  test("a prebuilt IVF index probes identically to the fused call, including after a parquet round-trip") {
+    import graft.operators.SimilaritySearch
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val fused = SimilaritySearch.ivfTopK(emb).collect().toSet
+    val index = SimilaritySearch.buildIndex(emb)
+    val queries = emb.filter(col("vec_id") % 97 === 0)
+    assert(SimilaritySearch.probe(index, queries).collect().toSet == fused)
+    // the production path: persist the index as tables, reload, probe
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+    index.centroids.write.parquet(s"$dir/centroids")
+    index.assignments.write.parquet(s"$dir/assignments")
+    val reloaded = SimilaritySearch.IvfIndex(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/assignments"))
+    assert(SimilaritySearch.probe(reloaded, queries).collect().toSet == fused)
+  }
+
   test("prunedJoin supports same-named key columns via a USING join") {
     import spark.implicits._
     val large = (1L to 100L).map(k => (k, k % 7)).toDF("id", "key")
