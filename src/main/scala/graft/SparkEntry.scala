@@ -662,9 +662,14 @@ object SparkEntry {
       // across engines/runs, pushes down to the scan), vs .sample()
       // whose per-partition RNG is neither portable nor stable
       graft.functions.PolyHash.register(s)
+      // the hash is re-mixed before the modulus: poly_hash's base 31
+      // ≡ 1 (mod 10), so a bare `% 10` on short numeric keys collapses
+      // to char-code-sum mod 10 and correlates with the key (see
+      // Sampling.mixedHash)
       Tables.orders(s, dir)
         .filter(expr(
-          s"${graft.functions.TextExprs.charHashSpark("CAST(o_orderkey AS STRING)")} % 10 = 0"))
+          s"(${graft.operators.Sampling.mixedHash(
+            graft.functions.TextExprs.charHashSpark("CAST(o_orderkey AS STRING)"))}) % 10 = 0"))
         .agg(
           count(lit(1)).as("n_sampled"),
           sum(col("o_totalprice").cast("decimal(18,2)"))
@@ -1378,12 +1383,13 @@ object SparkEntry {
         |) AS t(col_name, sf_type, type_class)
         |ORDER BY col_name""".stripMargin,
     "q_hash_sample" -> {
-      val h = graft.functions.TextExprs.charHashDuck("CAST(o_orderkey AS VARCHAR)")
+      val h = graft.operators.Sampling.mixedHash(
+        graft.functions.TextExprs.charHashDuck("CAST(o_orderkey AS VARCHAR)"))
       s"""SELECT COUNT(*) AS n_sampled,
          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
          |  MIN(o_orderkey) AS min_key,
          |  MAX(o_orderkey) AS max_key
-         |FROM orders WHERE $h % 10 = 0""".stripMargin
+         |FROM orders WHERE ($h) % 10 = 0""".stripMargin
     },
     "q_setops" ->
       """SELECT 'with_orders' AS op, custkey FROM (

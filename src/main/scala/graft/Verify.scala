@@ -45,6 +45,22 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a STALE dump from a previous run over the same outDir must
+        // not survive a failure: the oracle json is emitted for every
+        // result present, so leaving it would let the comparator hash
+        // last run's (matching) parquet and report this query green
+        // while the current code cannot produce it
+        try {
+          val dir = Paths.get(s"$outDir/$name")
+          if (Files.exists(dir)) {
+            val walk = Files.walk(dir)
+            try {
+              import scala.jdk.CollectionConverters._
+              walk.sorted(java.util.Comparator.reverseOrder())
+                .iterator().asScala.foreach(f => Files.deleteIfExists(f))
+            } finally walk.close()
+          }
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -41,18 +41,24 @@ case class CmsEstimate(left: Expression, right: Expression)
             s"${l.catalogString} and ${r.catalogString}")
     }
 
-  // identity-keyed single-slot cache: the same serialized sketch
-  // arrives as the same array instance for every row of a partition
-  @transient private var cachedBytes: Array[Byte] = _
-  @transient private var cachedSketch: CountMinSketch = _
+  // identity-keyed single-slot cache, per THREAD: local-mode tasks can
+  // share one deserialized expression instance across threads, and an
+  // unsynchronized two-field cache could pair one sketch's bytes with
+  // another's deserialized counters (silent wrong estimates)
+  @transient private lazy val cache =
+    new ThreadLocal[(Array[Byte], CountMinSketch)]()
 
   protected override def nullSafeEval(sketchBytes: Any, value: Any): Any = {
     val bytes = sketchBytes.asInstanceOf[Array[Byte]]
-    if (cachedSketch == null || (cachedBytes ne bytes)) {
-      cachedSketch = CountMinSketch.readFrom(bytes)
-      cachedBytes = bytes
-    }
-    cachedSketch.estimateCount(java.lang.Long.valueOf(value.asInstanceOf[Long]))
+    val cached = cache.get()
+    val sketch =
+      if (cached != null && (cached._1 eq bytes)) cached._2
+      else {
+        val s = CountMinSketch.readFrom(bytes)
+        cache.set((bytes, s))
+        s
+      }
+    sketch.estimateCount(java.lang.Long.valueOf(value.asInstanceOf[Long]))
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsEstimate =

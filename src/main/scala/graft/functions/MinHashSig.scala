@@ -44,10 +44,13 @@ object MinHashSig {
   private val A: Array[Long] = Array.tabulate(NumMinhash)(minhashA)
   private val B: Array[Long] = Array.tabulate(NumMinhash)(minhashB)
 
-  /** Static kernel so generated code can call it. Empty input yields
-    * an all-B signature (min over zero elements never updates) — the
-    * operators pre-filter rows below the shingle size, matching the
-    * SQL formulations which would error/NULL there.
+  /** Static kernel so generated code can call it. ⚠ Empty input
+    * yields an all-Long.MaxValue signature — two empty inputs
+    * therefore agree on all 32 positions and would read as certain
+    * duplicates. Every shipped operator pre-filters rows below the
+    * shingle size (`tokenCount >= n`), so empty gram arrays never
+    * reach this kernel there; direct SQL users of `minhash_sig` must
+    * apply the same guard.
     */
   def sig(grams: ArrayData): GenericArrayData = {
     val n = grams.numElements()

@@ -46,7 +46,8 @@ object ConnectedComponents {
       srcCol: String,
       dstCol: String,
       maxIter: Int = 20,
-      numPartitions: Option[Int] = None): DataFrame = {
+      numPartitions: Option[Int] = None,
+      requireConvergence: Boolean = true): DataFrame = {
     require(maxIter >= 1, "maxIter must be >= 1")
     def width(df: DataFrame, key: String): DataFrame =
       numPartitions.fold(df)(n => df.repartition(n, col(key)))
@@ -104,6 +105,18 @@ object ConnectedComponents {
       converged = nextSum == labelSum
       labelSum = nextSum
       iter += 1
+    }
+    // exhausting maxIter without a fixpoint means some component is
+    // split across labels — silently returning that would make dedup
+    // keep non-canonical duplicates with no signal anywhere. Callers
+    // that WANT a bounded partial propagation (e.g. diameter probes)
+    // pass requireConvergence = false.
+    if (requireConvergence && !converged) {
+      throw new IllegalStateException(
+        s"labelPropagate did not converge in maxIter=$maxIter rounds — the " +
+          "graph has a component with diameter > maxIter. Raise maxIter " +
+          "(rounds needed ≈ the largest component's diameter) or pass " +
+          "requireConvergence = false to accept partial labels.")
     }
     labels
   }

@@ -74,7 +74,11 @@ object Multimodal {
         // decoder init happens HERE, once per partition (stubbed)
         val decoder = StubDecoder
         rows.map { case (id, bytes) =>
-          (id, bytes.length.toLong, decoder.decode(bytes))
+          // mediaSchema declares the payload nullable — treat NULL as
+          // an empty payload (zero-length, all-zero histogram) instead
+          // of NPEing the task
+          val b = if (bytes == null) Array.emptyByteArray else bytes
+          (id, b.length.toLong, decoder.decode(b))
         }
       }
       .toDF("media_id", "n_bytes", "features")

@@ -198,6 +198,15 @@ object Scd2 {
       .select(explode(array(existingRow, newRow)).as("v"))
       .filter(col("v").isNotNull)
       .select(col("v.*"))
+      // an out-of-order merge (asOfDate predating an open row's
+      // valid_from) would write an inverted interval that asOf can
+      // never see — fail the job instead of silently losing history.
+      // assert_true returns NULL on success, so the filter keeps every
+      // row while forcing the check to evaluate; no extra pass.
+      .filter(assert_true(
+        col("valid_to").isNull || col("valid_to") > col("valid_from"),
+        lit(s"scd2 merge: asOfDate $asOfDate predates an open row's " +
+          "valid_from — snapshots must merge in chronological order")).isNull)
     closed.select(merged.columns.map(col): _*).unionByName(merged)
   }
 

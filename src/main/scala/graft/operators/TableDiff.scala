@@ -213,6 +213,17 @@ object TableDiff {
     // Status and key-echo columns carry metadata markers so the
     // companion helpers identify them structurally — a name-prefix
     // heuristic would silently misclassify a DATA column named K_*.
+    // The one unrepresentable case: a DATA column whose name equals a
+    // key's echo name would give the output two identically-named
+    // columns (metadata distinguishes them internally, but name-based
+    // select and parquet writes break) — fail fast with the remedy.
+    val echoCollisions = keyNames.map(opts.keyPrefix + _)
+      .filter(e => allCols.exists(_._1 == e))
+    require(
+      echoCollisions.isEmpty,
+      s"data column(s) ${echoCollisions.mkString(", ")} collide with the key-echo " +
+        s"name(s) the diff emits (keyPrefix='${opts.keyPrefix}'); rename the " +
+        "column(s) or set a different DiffOptions.keyPrefix")
     val keyMeta = new MetadataBuilder().putBoolean(TableDiff.KeyEchoMeta, true).build()
     val statusMeta = new MetadataBuilder().putBoolean(TableDiff.StatusMeta, true).build()
     if (opts.statusesAsMap)

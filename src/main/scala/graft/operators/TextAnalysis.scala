@@ -220,9 +220,11 @@ object TextAnalysis {
       val wh = Dedup.persistTracked(
         df.filter(expr(s"${tokenCountSpark(textCol)} >= $n"))
           .select(keep :+ expr(wordHashArraySpark(wordsSpark(textCol))).as("wh"): _*))
+      // NB shingleHashesFromWordHashesSpark already ends in
+      // array_distinct — no second distinct pass needed
       Dedup.persistTracked(
         wh.select(keep :+ expr(
-          s"array_distinct(${shingleHashesFromWordHashesSpark("wh", n)})").as("grams"): _*))
+          shingleHashesFromWordHashesSpark("wh", n)).as("grams"): _*))
     }
     val bench = distinctGrams(benchmark)
       .select(explode(col("grams")).as("gram"))
@@ -252,13 +254,13 @@ object TextAnalysis {
        |  SELECT ${wordHashArrayDuck(wordsDuck("text"))} AS wh
        |  FROM ($benchRelation) WHERE $guard
        |), bg AS (
-       |  SELECT DISTINCT unnest(list_distinct(${shingleHashesFromWordHashesDuck("wh", n)})) AS gram
+       |  SELECT DISTINCT unnest(${shingleHashesFromWordHashesDuck("wh", n)}) AS gram
        |  FROM bwh
        |), dwh AS (
        |  SELECT doc_id, ${wordHashArrayDuck(wordsDuck("text"))} AS wh
        |  FROM $docsRelation WHERE $guard
        |), dg AS (
-       |  SELECT doc_id, list_distinct(${shingleHashesFromWordHashesDuck("wh", n)}) AS grams
+       |  SELECT doc_id, ${shingleHashesFromWordHashesDuck("wh", n)} AS grams
        |  FROM dwh
        |), e AS (
        |  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams, unnest(grams) AS gram

@@ -23,6 +23,12 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamRunner {
 
+  // process-unique suffix for staged directories; stage dirs are small
+  // (a symlink + sentinel files) so per-JVM copies are cheap
+  private val jvmNonce: String =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+      .replaceAll("[^A-Za-z0-9]", "_")
+
   private val sinkCounter = new AtomicInteger()
 
   /** Events table as a stream, with the same nanos→TIMESTAMP
@@ -60,7 +66,13 @@ object StreamRunner {
     val digest = java.security.MessageDigest.getInstance("SHA-256")
       .digest(s"${src.toAbsolutePath}#sentinels=$sentinels".getBytes("UTF-8"))
       .take(12).map(b => f"$b%02x").mkString
-    val stage = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_stream_stage_$digest")
+    // per-JVM stage (same defense as SparkEntry's scratch dirs): a
+    // path keyed only by the data digest would let two concurrent
+    // harness processes delete/recreate each other's symlink and
+    // sentinels mid-stream
+    val stage = Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_stream_stage_${digest}_$jvmNonce")
     Files.createDirectories(stage)
     val link = stage.resolve("events.parquet")
     Files.deleteIfExists(link)

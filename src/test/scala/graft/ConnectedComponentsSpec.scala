@@ -53,15 +53,21 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
-  test("maxIter caps the rounds (under-iterated chain does not converge to min)") {
+  test("maxIter exhaustion throws by default, returns partial labels when opted in") {
     import spark.implicits._
     val chain = (1L until 10L).map(i => (i + 1, i))
+    // default: silent wrong labels are worse than an error
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents.labelPropagate(chain.toDF("a", "b"), "a", "b", maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // opted in: after 2 rounds node 10 has only seen labels within distance 2
     val capped = ConnectedComponents
-      .labelPropagate(chain.toDF("a", "b"), "a", "b", maxIter = 2)
+      .labelPropagate(chain.toDF("a", "b"), "a", "b", maxIter = 2,
+        requireConvergence = false)
       .collect()
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("component"))
       .toMap
-    // after 2 rounds node 10 has only seen labels within distance 2
     assert(capped(10L) > 1L)
   }
 }

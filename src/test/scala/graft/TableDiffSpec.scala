@@ -185,6 +185,13 @@ class TableDiffSpec extends AnyFunSuite {
     val d = TableDiff.diff(before, before, Seq("k1"),
       opts = DiffOptions(upperCase = true))
     assert(d.columns.toSeq == Seq("_row_status", "K_K1", "K1", "VAL"))
+    // but a DATA column that equals a key's echo name must fail fast —
+    // the output would otherwise carry two identically-named columns
+    val poisoned = before.withColumnRenamed("val", "K_k1")
+    val e = intercept[IllegalArgumentException] {
+      TableDiff.diff(poisoned, poisoned, Seq("k1"))
+    }
+    assert(e.getMessage.contains("keyPrefix"))
   }
 
   // --- FIXTURES.md §A2: the canonical 6-row portfolio oracle ---
