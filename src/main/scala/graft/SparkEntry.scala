@@ -604,10 +604,13 @@ object SparkEntry {
       // snapshot on each side of the transition must reproduce the
       // raw before/after tables EXACTLY — the oracle is the original
       // tables themselves, the strongest possible losslessness check
+      // persist: each asOf branch otherwise replays the history's
+      // full-outer join (in production the history IS a stored table
+      // — PlanSpec pins that shape separately)
       val hist = graft.operators.Scd2.snapshotHistory(
         Tables.orders(s, dir), Tables.ordersAfter(s, dir),
         keys = Seq("o_orderkey"),
-        validFrom = "2024-01-01", validTo = "2024-02-01")
+        validFrom = "2024-01-01", validTo = "2024-02-01").persist()
       graft.operators.Scd2.asOf(hist, "2024-01-15")
         .withColumn("as_of", lit("t0"))
         .unionByName(
@@ -624,9 +627,11 @@ object SparkEntry {
         Tables.orders(s, dir), Tables.ordersAfter(s, dir),
         keys = Seq("o_orderkey"),
         validFrom = "2024-01-01", validTo = "2024-02-01")
+      // persist: three asOf branches would replay BOTH joins each
+      // (history is a stored table in production)
       val hist2 = graft.operators.Scd2.merge(
         hist1, Tables.ordersAfter2(s, dir),
-        keys = Seq("o_orderkey"), asOfDate = "2024-03-01")
+        keys = Seq("o_orderkey"), asOfDate = "2024-03-01").persist()
       graft.operators.Scd2.asOf(hist2, "2024-01-15")
         .withColumn("as_of", lit("t0"))
         .unionByName(
