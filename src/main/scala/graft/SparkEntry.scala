@@ -57,6 +57,24 @@ object SparkEntry {
     beforeCols = ordersCols,
     afterCols = ordersCols)
 
+  /** Orders fixture with every 971st key nulled (both sides) — the
+    * NULL-key skew scenario the side channel exists for. The SQL twin
+    * nulls the same keys so the generated diff (null-safe
+    * IS NOT DISTINCT FROM joins) is the oracle for the side-channel
+    * plan.
+    */
+  private def nullKeyedOrdersBody(body: String): String =
+    s"""SELECT CASE WHEN o_orderkey % 971 = 0 THEN NULL ELSE o_orderkey END AS o_orderkey,
+       |  o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+       |FROM ($body)""".stripMargin
+
+  private val nullKeyDiffSql: String = DiffSql.generate(
+    beforeBody = nullKeyedOrdersBody("SELECT * FROM orders"),
+    afterBody = nullKeyedOrdersBody(Tables.ordersAfterSql),
+    keys = Seq("o_orderkey"),
+    beforeCols = ordersCols,
+    afterCols = ordersCols)
+
   private def decodeSql(c: String): String =
     s"""CASE WHEN $c IS NULL THEN 'PRESENT_BOTH'
        | WHEN $c = 0 THEN 'MATCH'
@@ -164,6 +182,25 @@ object SparkEntry {
         .diff(
           s.table(bTbl), s.table(aTbl), Seq("o_orderkey"),
           opts = DiffOptions(keysNotNull = true))
+        .orderBy("K_o_orderkey")
+    }),
+    "q_diff_nullkeys" -> ((s, dir) => {
+      // NULL-key skew side channel end-to-end: every 971st key nulled
+      // on both sides, diffed with nullKeySideChannel — NULL-keyed
+      // rows route around the main join's hot partitions through a
+      // small separate diff, null-safe pairing + the reference's
+      // poisoned _row_status preserved (oracled against the generated
+      // null-safe SQL in DuckDB)
+      def nullify(df: DataFrame): DataFrame = df.withColumn(
+        "o_orderkey",
+        when(col("o_orderkey") % 971 === 0, lit(null).cast("long"))
+          .otherwise(col("o_orderkey")))
+      TableDiff
+        .diff(
+          nullify(Tables.orders(s, dir)),
+          nullify(Tables.ordersAfter(s, dir)),
+          Seq("o_orderkey"),
+          opts = graft.operators.DiffOptions(nullKeySideChannel = true))
         .orderBy("K_o_orderkey")
     }),
     "q_diff_filtered" -> ((s, dir) => {
@@ -1091,6 +1128,8 @@ object SparkEntry {
       s"$ordersDiffSql\nORDER BY K_o_orderkey",
     "q_diff_filtered" ->
       s"$lineitemFilteredDiffSql\nORDER BY K_l_orderkey, K_l_linenumber",
+    "q_diff_nullkeys" ->
+      s"$nullKeyDiffSql\nORDER BY K_o_orderkey",
     "q_ddl_lifecycle" ->
       """SELECT col_name, type_class, n_rows FROM
         |  (VALUES ('O_ORDERKEY', 'NUMBER'),
