@@ -222,16 +222,44 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     PolyHash.register(newDocs.sparkSession)
     graft.functions.MinHashSig.register(newDocs.sparkSession)
-    val newToks = minhashSignatures(newDocs, n, textCol, idCol)
-    val corpToks = minhashSignatures(corpus, n, textCol, idCol)
-    val cand = bandRows(newToks).as("x")
-      .join(bandRows(corpToks).as("y"),
+    minhashPairsAgainstSignatures(
+      minhashSignatures(newDocs, n, textCol, idCol),
+      minhashSignatures(corpus, n, textCol, idCol),
+      minAgree)
+  }
+
+  /** Public (doc_id, sig) signature table for a corpus — the
+    * persistable half of the incremental pipeline: write it once,
+    * append each ingested batch's signatures, and feed it back to
+    * [[minhashPairsAgainstSignatures]] so later ingests never re-read
+    * the corpus text (spec pins the parquet round-trip).
+    */
+  def signatureTable(
+      docs: DataFrame,
+      n: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    PolyHash.register(docs.sparkSession)
+    graft.functions.MinHashSig.register(docs.sparkSession)
+    minhashSignatures(docs, n, textCol, idCol)
+  }
+
+  /** [[minhashPairsAgainst]] over precomputed (doc_id, sig) tables —
+    * what a steady-state 100 TB ingest actually calls: both sides are
+    * stored signature tables; the corpus text is never touched.
+    */
+  def minhashPairsAgainstSignatures(
+      newSigs: DataFrame,
+      corpusSigs: DataFrame,
+      minAgree: Int = NumMinhash / 2): DataFrame = {
+    val cand = bandRows(newSigs).as("x")
+      .join(bandRows(corpusSigs).as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
       .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("corpus_id"))
       .distinct()
     cand
-      .join(newToks.select(col("doc_id").as("new_id"), col("sig").as("siga")), "new_id")
-      .join(corpToks.select(col("doc_id").as("corpus_id"), col("sig").as("sigb")), "corpus_id")
+      .join(newSigs.select(col("doc_id").as("new_id"), col("sig").as("siga")), "new_id")
+      .join(corpusSigs.select(col("doc_id").as("corpus_id"), col("sig").as("sigb")), "corpus_id")
       .withColumn("n_agree", expr(sigAgreementSpark("siga", "sigb")).cast("long"))
       .filter(col("n_agree") >= minAgree)
       .select("new_id", "corpus_id", "n_agree")

@@ -318,6 +318,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getAs[Long]("new_id") >= 100L && r.getAs[Long]("corpus_id") < 100L))
   }
 
+  test("a persisted signature table pairs identically to re-signaturing the corpus") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy sleeping dog tonight"),
+      (2L, "an entirely different document about distributed query engines today")).toDF("doc_id", "text")
+    val newBatch = Seq(
+      (100L, "the quick brown fox jumps over the lazy sleeping dog tonight")).toDF("doc_id", "text")
+    val direct = Dedup.minhashPairsAgainst(newBatch, corpus).collect().toSet
+    // the steady-state path: signatures written once, reloaded, probed
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigs_").toString
+    Dedup.signatureTable(corpus).write.parquet(s"$dir/corpus")
+    Dedup.signatureTable(newBatch).write.parquet(s"$dir/new")
+    val viaTables = Dedup.minhashPairsAgainstSignatures(
+      spark.read.parquet(s"$dir/new"),
+      spark.read.parquet(s"$dir/corpus")).collect().toSet
+    assert(viaTables == direct && direct.nonEmpty)
+  }
+
   test("contamination scores planted, partial, and clean docs correctly") {
     import spark.implicits._
     val docs = Seq(
