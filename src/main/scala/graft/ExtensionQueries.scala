@@ -62,6 +62,19 @@ object ExtensionQueries {
       Dedup.simhashPairs(Corpus.docCorpus(s, dir)).orderBy("doc_a", "doc_b")),
     "q_dedup_embed" -> ((s, dir) =>
       Dedup.embeddingPairs(Corpus.embCorpus(s, dir)).orderBy("vec_a", "vec_b")),
+    "q_dedup_embed_incremental" -> ((s, dir) => {
+      // embedding ingest shape: the planted scaled copies arrive as a
+      // new batch and pair against the existing corpus only (scale
+      // -invariant comparison-bit bands collide, exact cosine refines)
+      val e = Tables.embeddings(s, dir)
+      val newBatch = e
+        .filter(col("vec_id") % 17 === 0)
+        .withColumn("vec_id", col("vec_id") + 100000L)
+        .withColumn(
+          "embedding",
+          expr("transform(embedding, x -> x * cast(1.001 as float))"))
+      Dedup.embeddingPairsAgainst(newBatch, e).orderBy("new_id", "corpus_id")
+    }),
     "q_dedup_incremental" -> ((s, dir) => {
       // the ingest shape: dedup a NEW batch (the planted exact +
       // near-dup copies) against the EXISTING corpus only — no
@@ -405,6 +418,41 @@ object ExtensionQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q_dedup_incremental" -> minhashIncrementalSql,
+
+    "q_dedup_embed_incremental" -> {
+      def bandSelects(rel: String) =
+        VectorExprs.cmpBandKeysDuck("embedding").zipWithIndex
+          .map { case (k, b) => s"SELECT vec_id, $b AS band, $k AS bkey FROM $rel" }
+          .mkString("\n  UNION ALL\n  ")
+      s"""WITH newb AS (
+         |  SELECT vec_id + 100000 AS vec_id,
+         |         list_transform(embedding, x -> x * 1.001::FLOAT) AS embedding
+         |  FROM embeddings WHERE vec_id % 17 = 0
+         |), en AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(${VectorExprs.dotDuck("embedding", "embedding")}) AS norm
+         |  FROM newb
+         |), ec AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(${VectorExprs.dotDuck("embedding", "embedding")}) AS norm
+         |  FROM embeddings
+         |), nbands AS (
+         |  ${bandSelects("en")}
+         |), cbands AS (
+         |  ${bandSelects("ec")}
+         |), cand AS (
+         |  SELECT DISTINCT x.vec_id AS new_id, y.vec_id AS corpus_id
+         |  FROM nbands x JOIN cbands y ON x.band = y.band AND x.bkey = y.bkey
+         |), p AS (
+         |  SELECT new_id, corpus_id,
+         |    CAST(floor(1e6 * ((${VectorExprs.dotDuck("ex.embedding", "ey.embedding")}) / (ex.norm * ey.norm))) AS BIGINT) AS cos_ppm
+         |  FROM cand
+         |  JOIN en ex ON ex.vec_id = cand.new_id
+         |  JOIN ec ey ON ey.vec_id = cand.corpus_id
+         |)
+         |SELECT new_id, corpus_id, cos_ppm FROM p
+         |WHERE cos_ppm >= 999000 ORDER BY new_id, corpus_id""".stripMargin
+    },
     "q_dedup_exact" ->
       s"""WITH corpus AS (
          |$corpus

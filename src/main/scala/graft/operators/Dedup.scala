@@ -360,29 +360,39 @@ object Dedup {
     * on (band, key) — partitionable, no within-block cartesian — and
     * the refine is the exact cosine threshold.
     */
-  def embeddingPairs(
-      emb: DataFrame,
-      minCosPpm: Long = 999000L,
-      idCol: String = "vec_id"): DataFrame = {
-    graft.functions.VecDot.register(emb.sparkSession)
-    // precompute per-vector norms once (N rows) instead of per
-    // candidate; materialized because the band self-join reads the
-    // frame twice
-    val e = emb.select(
+  /** Persisted (vec_id, embedding, norm) table — norms once per
+    * vector instead of per candidate; materialized because band joins
+    * read it twice.
+    */
+  private def embWithNorms(emb: DataFrame, idCol: String): DataFrame =
+    emb.select(
       col(idCol).as("vec_id"),
       col("embedding"),
       expr(s"sqrt(${VectorExprs.dotSpark("embedding", "embedding")})").as("norm"))
       .pipe(graft.operators.Dedup.persistTracked)
+
+  /** (vec_id, embedding, norm, eb_band, eb_key) comparison-bit LSH
+    * band rows.
+    */
+  private def embBandRows(e: DataFrame): DataFrame = {
     val bandStructs = VectorExprs.cmpBandKeysSpark("embedding").zipWithIndex
       .map { case (k, b) => s"struct($b AS band, $k AS bkey)" }
       .mkString(", ")
-    val bands = e
-      .select(
+    e.select(
         col("vec_id"), col("embedding"), col("norm"),
         expr(s"explode(array($bandStructs))").as("bk"))
       .select(
         col("vec_id"), col("embedding"), col("norm"),
         col("bk.band").as("eb_band"), col("bk.bkey").as("eb_key"))
+  }
+
+  def embeddingPairs(
+      emb: DataFrame,
+      minCosPpm: Long = 999000L,
+      idCol: String = "vec_id"): DataFrame = {
+    graft.functions.VecDot.register(emb.sparkSession)
+    val e = embWithNorms(emb, idCol)
+    val bands = embBandRows(e)
     // same narrow-distinct shape as minhashPairs: dedup bare id
     // pairs, then re-join the persisted vectors for the exact refine
     val cand = bands.as("x")
@@ -402,5 +412,38 @@ object Dedup {
       .withColumn("cos_ppm", floor(lit(1000000.0) * col("cos")).cast("long"))
       .filter(col("cos_ppm") >= minCosPpm)
       .select("vec_a", "vec_b", "cos_ppm")
+  }
+
+  /** Incremental embedding dedup: near-dup pairs of a NEW vector
+    * batch against an EXISTING corpus — same ingest shape as
+    * [[minhashPairsAgainst]]: the corpus's band rows are derivable
+    * from a stored (vec_id, embedding) table and appended per ingest;
+    * candidate generation stays an equi-join on (band, key) with no
+    * corpus self-pairing. Returns (new_id, corpus_id, cos_ppm).
+    */
+  def embeddingPairsAgainst(
+      newEmb: DataFrame,
+      corpus: DataFrame,
+      minCosPpm: Long = 999000L,
+      idCol: String = "vec_id"): DataFrame = {
+    graft.functions.VecDot.register(newEmb.sparkSession)
+    val en = embWithNorms(newEmb, idCol)
+    val ec = embWithNorms(corpus, idCol)
+    val cand = embBandRows(en).as("x")
+      .join(embBandRows(ec).as("y"),
+        col("x.eb_band") === col("y.eb_band") && col("x.eb_key") === col("y.eb_key"))
+      .select(col("x.vec_id").as("new_id"), col("y.vec_id").as("corpus_id"))
+      .distinct()
+    cand
+      .join(
+        en.select(col("vec_id").as("new_id"), col("embedding").as("ea"), col("norm").as("na")),
+        "new_id")
+      .join(
+        ec.select(col("vec_id").as("corpus_id"), col("embedding").as("eb"), col("norm").as("nb")),
+        "corpus_id")
+      .withColumn("cos", expr(VectorExprs.dotSpark("ea", "eb")) / (col("na") * col("nb")))
+      .withColumn("cos_ppm", floor(lit(1000000.0) * col("cos")).cast("long"))
+      .filter(col("cos_ppm") >= minCosPpm)
+      .select("new_id", "corpus_id", "cos_ppm")
   }
 }

@@ -318,6 +318,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getAs[Long]("new_id") >= 100L && r.getAs[Long]("corpus_id") < 100L))
   }
 
+  test("incremental embedding pairs match scaled copies against the corpus only") {
+    import graft.operators.Dedup
+    // real-dimension vectors (the comparison-bit bands index fixed
+    // high dimensions, so tiny synthetic vectors can't exercise them)
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val newBatch = corpus
+      .filter(col("vec_id") % 17 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000L)
+      .withColumn("embedding", expr("transform(embedding, x -> x * cast(1.001 as float))"))
+    val planted = newBatch.select("vec_id").collect().map(_.getLong(0)).toSet
+    val pairs = Dedup.embeddingPairsAgainst(newBatch, corpus).collect()
+    // every planted scaled copy finds its original (cosine ≥ 0.999)
+    planted.foreach { nid =>
+      assert(pairs.exists(r =>
+        r.getAs[Long]("new_id") == nid && r.getAs[Long]("corpus_id") == nid - 100000L),
+        s"planted copy $nid found no original")
+    }
+    // sides never mix
+    assert(pairs.forall(r =>
+      r.getAs[Long]("new_id") >= 100000L && r.getAs[Long]("corpus_id") < 100000L))
+  }
+
   test("a persisted signature table pairs identically to re-signaturing the corpus") {
     import spark.implicits._
     import graft.operators.Dedup
