@@ -60,7 +60,15 @@ object Verify {
                 .iterator().asScala.foreach(f => Files.deleteIfExists(f))
             } finally walk.close()
           }
-        } catch { case _: Throwable => () }
+        } catch { case cleanup: Throwable =>
+          // deletion failing would leave last run's parquet in place
+          // AND presence-filter its oracle entry back in — the exact
+          // stale-green hole the cleanup closes. Surface it loudly;
+          // the selected()-based oracle emission below still forces a
+          // MISSING_RESULT if the dir did get removed.
+          System.err.println(
+            s"[verify] $name: failed to remove stale dump: ${cleanup.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -75,17 +83,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // Emit oracle entries for every query whose RESULT exists in
-    // outDir after this run (not just this run's selection): dumps of
-    // previously-verified queries survive a later subset run, so
-    // dropping their oracle SQL would silently break a driver
-    // comparison over the same directory — while emitting the FULL map
-    // into a fresh outDir would make the comparator flag every
-    // unselected query MISSING_RESULT and a one-query iteration loop
-    // could never go green. Result-presence is exactly the set the
-    // comparator can check.
+    // Emit oracle entries for every query SELECTED this run plus every
+    // query whose RESULT exists in outDir after this run. Presence
+    // keeps previously-verified dumps comparable across a later subset
+    // run without flagging unselected queries MISSING_RESULT in a
+    // fresh outDir; the selected() half makes a query that THREW this
+    // run (dump deleted above) still surface as MISSING_RESULT in the
+    // comparator instead of vanishing from the comparison entirely.
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => Files.exists(Paths.get(s"$outDir/$k")) }
+      .filter { case (k, _) =>
+        selected(k) || Files.exists(Paths.get(s"$outDir/$k")) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -81,31 +81,39 @@ object ConnectedComponents {
     var labelSum = sumOf(labels)
     var iter = 0
     var converged = false
-    while (iter < maxIter && !converged) {
-      // min label among each node's neighbors (join on the edge's src
-      // side, aggregate to its dst side)
+    // one propagation round: min label among each node's neighbors
+    // (join on the edge's src side, aggregate to its dst side), then
+    // least(self, neighbors)
+    def round(cur: DataFrame): DataFrame = {
       val nbrMin = sym
-        .join(labels, sym("src") === labels("node"))
+        .join(cur, sym("src") === cur("node"))
         .groupBy(sym("dst").as("node"))
         .agg(min("component").as("nbr_component"))
+      cur
+        .join(nbrMin.withColumnRenamed("node", "nbr_node"),
+          cur("node") === col("nbr_node"), "left")
+        .select(
+          cur("node"),
+          least(cur("component"), coalesce(col("nbr_component"), cur("component")))
+            .as("component"))
+    }
+    while (iter < maxIter && !converged) {
       // the width() applies to EVERY checkpointed round frame, not
       // just the edge list — otherwise each round's join output (and
       // its checkpoint) re-widens to spark.sql.shuffle.partitions and
       // the knob stops meaning anything
-      labels = width(
-        labels
-          .join(nbrMin.withColumnRenamed("node", "nbr_node"),
-            labels("node") === col("nbr_node"), "left")
-          .select(
-            col("node"),
-            least(col("component"), coalesce(col("nbr_component"), col("component")))
-              .as("component")), "node")
-        .localCheckpoint(false)
+      labels = width(round(labels), "node").localCheckpoint(false)
       val nextSum = sumOf(labels)
       converged = nextSum == labelSum
       labelSum = nextSum
       iter += 1
     }
+    // boundary probe: a graph whose fixpoint lands exactly on the
+    // maxIter-th round leaves converged=false (the loop never got the
+    // confirming equal-sum round). One extra O(1)-row probe — sum of a
+    // hypothetical next round, no checkpoint, labels untouched —
+    // distinguishes "done at the wire" from "genuinely truncated".
+    if (!converged && sumOf(round(labels)) == labelSum) converged = true
     // exhausting maxIter without a fixpoint means some component is
     // split across labels — silently returning that would make dedup
     // keep non-canonical duplicates with no signal anywhere. Callers

@@ -34,6 +34,13 @@ object Sampling {
       mods: Seq[(String, Int)],
       defaultMod: Int): DataFrame = {
     require(mods.nonEmpty, "need at least one stratum rate")
+    // modulus 0 would be silent data loss, not an error: non-ANSI
+    // Spark evaluates x % 0 to NULL so the filter drops the whole
+    // stratum, while the DuckDB oracle errors on % 0 — validate up
+    // front like assignSplit does its weights
+    require(mods.forall(_._2 >= 1),
+      s"every stratum modulus must be >= 1, got ${mods.filter(_._2 < 1).mkString(", ")}")
+    require(defaultMod >= 1, s"default modulus must be >= 1, got $defaultMod")
     df.filter(expr(
       s"(${mixedHash(hashExpr)}) % (${modulusCase(strataCol, mods, defaultMod)}) = 0"))
   }
@@ -98,6 +105,11 @@ object Sampling {
       k: Int): DataFrame = {
     require(k >= 1, s"cap must be at least 1, got $k")
     require(orderCols.nonEmpty, "perGroupCap needs an ordering")
+    // withColumn would silently REPLACE a caller's existing rn data
+    // column — fail fast instead, matching the codebase's collision
+    // guards (clusterByZ on _z, TableDiff on key-echo names)
+    require(!df.columns.contains("rn"),
+      "perGroupCap exposes its rank as column 'rn' but the input already has one — rename it first")
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.row_number
     val w = Window.partitionBy(groupCol).orderBy(orderCols: _*)

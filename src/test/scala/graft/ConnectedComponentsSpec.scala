@@ -70,4 +70,19 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       .toMap
     assert(capped(10L) > 1L)
   }
+
+  test("fixpoint reached exactly at maxIter counts as converged (boundary probe)") {
+    import spark.implicits._
+    // path 1-2-3-4: propagation needs exactly 3 rounds (node 4 learns
+    // label 1 in round 3), so maxIter = 3 exits the loop without the
+    // confirming equal-sum round — the probe must rescue it from a
+    // spurious non-convergence error
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val labels = ConnectedComponents
+      .labelPropagate(path.toDF("a", "b"), "a", "b", maxIter = 3)
+      .collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("component"))
+      .toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
 }

@@ -203,6 +203,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     // rerun: identical row set (no RNG state anywhere)
     val again = Sampling.stratifiedHash(df, "stratum", h, Seq("big" -> 10), defaultMod = 2)
     assert(sampled.exceptAll(again).isEmpty && again.exceptAll(sampled).isEmpty)
+    // modulus <= 0 is silent data loss in non-ANSI Spark (x % 0 → NULL
+    // drops the stratum) and an error in the DuckDB oracle — reject it
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedHash(df, "stratum", h, Seq("big" -> 0), defaultMod = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedHash(df, "stratum", h, Seq("big" -> 10), defaultMod = 0)
+    }
   }
 
   test("assignSplit is exhaustive, deterministic, and near the declared weights") {
@@ -243,6 +251,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     val plan = Sampling.perGroupCap(df, "g", Seq(col("score").desc), 5)
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit") || plan.contains("TopKPerGroup"), plan)
+    // an existing rn data column must fail fast, not be silently
+    // replaced by the exposed rank
+    intercept[IllegalArgumentException] {
+      Sampling.perGroupCap(
+        df.withColumnRenamed("score", "rn"), "g", Seq(col("rn").desc), 5)
+    }
   }
 
   test("repetition counts duplicated tokens in fixed-point ppm") {
