@@ -75,6 +75,30 @@ object SparkEntry {
     beforeCols = ordersCols,
     afterCols = ordersCols)
 
+  /** Legacy `_row_status = 0` twin of [[ordersDiffSql]] — the
+    * reference's own version-skew trap (SURVEY §0 trap 1: README.md:189
+    * and samples/setup_all.sql:80 count matches with `= 0`, the live
+    * template emits NULL — tests/test_diffgen.py:56).
+    */
+  private val ordersLegacyDiffSql: String = DiffSql.generate(
+    beforeBody = "SELECT * FROM orders",
+    afterBody = Tables.ordersAfterSql,
+    keys = Seq("o_orderkey"),
+    beforeCols = ordersCols,
+    afterCols = ordersCols,
+    legacyRowStatusZero = true)
+
+  /** Upper-cased twin of [[ordersDiffSql]] — diffgen.py:73 upper-cases
+    * every column name for Snowflake; DuckDB resolves the references
+    * case-insensitively while preserving alias case in the output.
+    */
+  private val ordersUpperDiffSql: String = DiffSql.generate(
+    beforeBody = "SELECT * FROM orders",
+    afterBody = Tables.ordersAfterSql,
+    keys = Seq("O_ORDERKEY"),
+    beforeCols = ordersCols.map(_.toUpperCase),
+    afterCols = ordersCols.map(_.toUpperCase))
+
   private def decodeSql(c: String): String =
     s"""CASE WHEN $c IS NULL THEN 'PRESENT_BOTH'
        | WHEN $c = 0 THEN 'MATCH'
@@ -219,6 +243,42 @@ object SparkEntry {
           afterWhere = Some(
             "l_shipdate < TIMESTAMP_NTZ '1997-01-01 00:00:00' AND l_discount <= 0.08"))
         .orderBy("K_l_orderkey", "K_l_linenumber")
+    }),
+    "q_diff_legacy" -> ((s, dir) => {
+      // O7 legacy convention end-to-end: present-both rows carry
+      // _row_status = 0 instead of NULL — the hash pins the 0s on
+      // every matched row, not just aggregate counts
+      TableDiff
+        .diff(
+          Tables.orders(s, dir),
+          Tables.ordersAfter(s, dir),
+          Seq("o_orderkey"),
+          opts = DiffOptions(legacyRowStatusZero = true))
+        .orderBy("K_o_orderkey")
+    }),
+    "q_diff_legacy_summary" -> ((s, dir) => {
+      // V1 in legacy mode: the README.md:186-193 summary counts
+      // matches with `= 0`, which only works against a legacy diff —
+      // this is the pairing users of the docs actually run
+      DiffSummary.summary(
+        TableDiff.diff(
+          Tables.orders(s, dir),
+          Tables.ordersAfter(s, dir),
+          Seq("o_orderkey"),
+          opts = DiffOptions(legacyRowStatusZero = true)),
+        legacy = true)
+    }),
+    "q_diff_uppercase" -> ((s, dir) => {
+      // compat mode for the reference's Snowflake casing
+      // (diffgen.py:73): every column name upper-cased before the
+      // diff; key echo + status matrix come out upper-cased too
+      TableDiff
+        .diff(
+          Tables.orders(s, dir),
+          Tables.ordersAfter(s, dir),
+          Seq("o_orderkey"),
+          opts = DiffOptions(upperCase = true))
+        .orderBy("K_O_ORDERKEY")
     }),
     "q_ddl_lifecycle" -> ((s, dir) => {
       // V7+V8+G1/G2 as ONE oracled round trip: CREATE a managed table,
@@ -698,6 +758,63 @@ object SparkEntry {
         .toDF("col_name", "sf_type", "type_class")
         .orderBy("col_name")
     }),
+    "q_session_info" -> ((s, dir) => {
+      // V9: the sf-whoami connectivity probe
+      // (samples/sf-whoami.step.sh step 3). Volatile fields (user,
+      // timestamp, engine patch version) are pinned as
+      // literal-expectation flags, the stable session context
+      // (catalog, database) as values — the sketch-oracle pattern.
+      graft.operators.SessionInfo.whoami(s)
+        .select(
+          col("catalog"),
+          col("database"),
+          (length(col("user")) > 0).as("has_user"),
+          col("ts").isNotNull.as("has_ts"),
+          substring_index(col("engine_version"), ".", 1).as("engine_major"))
+    }),
+    "q_diffgen_cli" -> ((s, dir) => {
+      // G4 (+G5/G6/G7 transport) as one driver-gated CLI flow: schema
+      // CSVs named like the reference's DESCRIBE downloads, table
+      // names INFERRED from the filename stems (diffgen.py:86-94,
+      // `_` → `.`), the SQL written to --out, and the single-line form
+      // appended to the --stack_input file — each step's observable
+      // checked against a literal expectation.
+      import s.implicits._
+      val scratch = java.nio.file.Files.createTempDirectory("graft_diffgen_cli_")
+      try {
+        def write(name: String, text: String): java.nio.file.Path =
+          java.nio.file.Files.writeString(scratch.resolve(name), text)
+        val beforeCsv = write("main_orders.csv",
+          graft.cli.DiffGen.describeCsv(Tables.orders(s, dir).schema))
+        val afterCsv = write("main_orders2.csv",
+          graft.cli.DiffGen.describeCsv(Tables.ordersAfter(s, dir).schema))
+        val keysCsv = write("keys.csv", "name,type\nO_ORDERKEY,\"NUMBER(38,0)\"")
+        val out = scratch.resolve("diff.sql")
+        val stack = scratch.resolve("stack.sql")
+        graft.cli.DiffGen.run(graft.cli.DiffGen.parseArgs(Seq(
+          beforeCsv.toString, afterCsv.toString,
+          "--keys", keysCsv.toString,
+          "--out", out.toString, "--stack_input", stack.toString)))
+        val sql = java.nio.file.Files.readString(out)
+        val stacked = java.nio.file.Files.readString(stack)
+        Seq(
+          ("inferred_before", graft.cli.DiffGen.inferTableName(beforeCsv.toString)),
+          ("inferred_after", graft.cli.DiffGen.inferTableName(afterCsv.toString)),
+          ("sql_from_before", sql.contains("FROM main.orders\n").toString),
+          ("sql_from_after", sql.contains("FROM main.orders2\n").toString),
+          ("stack_single_line", (stacked.trim.linesIterator.size == 1).toString),
+          ("stack_is_flattened_sql",
+            (stacked.trim == graft.operators.DiffSql.flatten(sql)).toString))
+          .toDF("item", "value")
+          .orderBy("item")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(scratch)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    }),
     "q_hash_sample" -> ((s, dir) => {
       // deterministic hash sampling — the scale-safe sample: a pure
       // filter on a key hash (no shuffle, no RNG state, reproducible
@@ -1130,6 +1247,24 @@ object SparkEntry {
       s"$lineitemFilteredDiffSql\nORDER BY K_l_orderkey, K_l_linenumber",
     "q_diff_nullkeys" ->
       s"$nullKeyDiffSql\nORDER BY K_o_orderkey",
+    "q_diff_legacy" ->
+      s"$ordersLegacyDiffSql\nORDER BY K_o_orderkey",
+    "q_diff_legacy_summary" -> {
+      val anyCol = ordersCols.map(c => s"$c > 0").mkString(" OR ")
+      // the README.md:189 / setup_all.sql:77-84 counting convention:
+      // matches are _row_status = 0, valid only against a legacy diff
+      s"""WITH diff AS (
+         |$ordersLegacyDiffSql
+         |)
+         |SELECT COUNT(*) AS total_rows,
+         |  CAST(SUM(CASE WHEN _row_status = 0 THEN 1 ELSE 0 END) AS BIGINT) AS rows_in_both,
+         |  CAST(SUM(CASE WHEN _row_status = 4 THEN 1 ELSE 0 END) AS BIGINT) AS missing_in_before,
+         |  CAST(SUM(CASE WHEN _row_status = 5 THEN 1 ELSE 0 END) AS BIGINT) AS missing_in_after,
+         |  CAST(SUM(CASE WHEN _row_status = 0 AND ($anyCol) THEN 1 ELSE 0 END) AS BIGINT) AS rows_with_cell_diffs
+         |FROM diff""".stripMargin
+    },
+    "q_diff_uppercase" ->
+      s"$ordersUpperDiffSql\nORDER BY K_O_ORDERKEY",
     "q_ddl_lifecycle" ->
       """SELECT col_name, type_class, n_rows FROM
         |  (VALUES ('O_ORDERKEY', 'NUMBER'),
@@ -1426,6 +1561,19 @@ object SparkEntry {
         |  ('L_TAX', 'FLOAT', 'NUMBER')
         |) AS t(col_name, sf_type, type_class)
         |ORDER BY col_name""".stripMargin,
+    "q_session_info" ->
+      """SELECT 'spark_catalog' AS catalog, 'default' AS database,
+        |  TRUE AS has_user, TRUE AS has_ts, '4' AS engine_major""".stripMargin,
+    "q_diffgen_cli" ->
+      """SELECT * FROM (VALUES
+        |  ('inferred_before', 'main.orders'),
+        |  ('inferred_after', 'main.orders2'),
+        |  ('sql_from_before', 'true'),
+        |  ('sql_from_after', 'true'),
+        |  ('stack_single_line', 'true'),
+        |  ('stack_is_flattened_sql', 'true')
+        |) AS t(item, value)
+        |ORDER BY item""".stripMargin,
     "q_hash_sample" -> {
       val h = graft.operators.Sampling.mixedHash(
         graft.functions.TextExprs.charHashDuck("CAST(o_orderkey AS VARCHAR)"))
