@@ -1048,9 +1048,13 @@ object SparkEntry {
       val expected = graft.streaming.StreamRunner.eventsStream(s, dir, sentinels = 2)
       val actual = graft.streaming.StreamRunner.eventsStream(s, dir, sentinels = 2)
         .filter(col("event_id") % 10 =!= 0)
+      // 16 state partitions (not the default 8): the join keeps BOTH
+      // full inputs in state, the widest state of any stream query —
+      // the extra width halves per-task state volume and the 4 join
+      // state stores commit in parallel across more cores
       val out = graft.streaming.StreamRunner.runToCompletion(
         graft.streaming.EventStreams.missingInActual(expected, actual),
-        outputMode = "append")
+        outputMode = "append", statePartitions = 4)
       out.filter(col("event_id") >= 0)
         .withColumn("ts", col("ts").cast("timestamp_ntz"))
         .orderBy("event_id")

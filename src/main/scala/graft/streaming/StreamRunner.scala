@@ -31,6 +31,16 @@ object StreamRunner {
 
   private val sinkCounter = new AtomicInteger()
 
+  // staged dir + raw file schema per (data path, sentinel layout):
+  // staging involves a full max(ts) scan (sentinel event times) plus
+  // sentinel parquet writes, and a stream-stream query calls
+  // eventsStream once PER SIDE — memoizing makes the second (and any
+  // bench re-run's) call free. Safe to reuse within the JVM: contents
+  // are deterministic for the key, and the dir is already per-JVM.
+  private val stageCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (String, org.apache.spark.sql.types.StructType)]()
+
   /** Events table as a stream, with the same nanos→TIMESTAMP
     * normalization as [[graft.sources.Tables.events]] — except to
     * TimestampType (not NTZ): event-time watermarks require TIMESTAMP.
@@ -39,13 +49,14 @@ object StreamRunner {
     * `sentinels` > 0 stages that many single-row "watermark pusher"
     * files after the real data (each with `event_id = -i`, an event
     * time i days past the real maximum) and reads with
-    * `maxFilesPerTrigger = 1` so each file lands in its own
-    * micro-batch. Operators that only EMIT when the watermark passes —
+    * `maxFilesPerTrigger = 2` so the data file and the first sentinel
+    * share the first micro-batch while each later sentinel gets its
+    * own. Operators that only EMIT when the watermark passes —
     * stream-stream outer joins, event-time state timeouts — never
-    * flush in a single AvailableNow batch (the watermark is still at
-    * its initial value while the only data batch runs); the sentinel
-    * batches advance the watermark past all real rows and give the
-    * engine batches in which to evict + emit. Callers filter the
+    * flush in a single AvailableNow batch (the watermark only
+    * advances at a batch's END); the first batch's sentinel advances
+    * the watermark past all real rows and the remaining sentinel
+    * batches give the engine batches in which to evict + emit. Callers filter the
     * sentinel rows (`event_id < 0`) out of the result. The file source
     * processes oldest-modification-time first, so the freshly written
     * sentinels always follow the (old) testdata link.
@@ -70,20 +81,30 @@ object StreamRunner {
     // path keyed only by the data digest would let two concurrent
     // harness processes delete/recreate each other's symlink and
     // sentinels mid-stream
-    val stage = Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_stream_stage_${digest}_$jvmNonce")
-    Files.createDirectories(stage)
-    val link = stage.resolve("events.parquet")
-    Files.deleteIfExists(link)
-    Files.createSymbolicLink(link, src.toAbsolutePath)
-    val schema = spark.read.parquet(src.toString).schema
-    if (sentinels > 0) stageSentinels(spark, src, stage, schema, sentinels)
+    val (stageDir, schema) = stageCache.computeIfAbsent(digest, { _ =>
+      val stage = Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_stream_stage_${digest}_$jvmNonce")
+      Files.createDirectories(stage)
+      val link = stage.resolve("events.parquet")
+      Files.deleteIfExists(link)
+      Files.createSymbolicLink(link, src.toAbsolutePath)
+      val sch = spark.read.parquet(src.toString).schema
+      if (sentinels > 0) stageSentinels(spark, src, stage, sch, sentinels)
+      (stage.toString, sch)
+    })
+    // sentinel runs batch data + first sentinel TOGETHER (the
+    // watermark still advances past all real rows at that batch's
+    // end), leaving the remaining sentinels to drive the
+    // evict-and-emit batches — fewer micro-batches than one-file-per
+    // -trigger at identical output. One spare sentinel batch is the
+    // minimum: state flushed by batch N's watermark emits in batch
+    // N+1.
     val reader = spark.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", if (sentinels > 0) "1" else "1000")
+      .option("maxFilesPerTrigger", if (sentinels > 0) "2" else "1000")
     reader
-      .parquet(stage.toString)
+      .parquet(stageDir)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   }
 
@@ -167,16 +188,38 @@ object StreamRunner {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, statePartitions)
-    val q =
-      try
-        streamingDf.writeStream
-          .format("memory")
-          .queryName(sink)
-          .outputMode(outputMode)
-          .trigger(Trigger.AvailableNow())
-          .start()
-      finally spark.conf.set(key, prev)
-    q.awaitTermination()
-    spark.table(sink)
+    // checkpoint on tmpfs when available: every micro-batch fsyncs
+    // offset/commit logs plus one state delta per store per
+    // partition, and for these run-to-completion bridges the
+    // checkpoint is throwaway (the result is read out of the memory
+    // sink before the dir is deleted) — paying disk fsync latency per
+    // commit buys nothing. A real deployment points this at durable
+    // storage; that knob is writeStream's, not the operator's.
+    val shm = Paths.get("/dev/shm")
+    val ckRoot =
+      if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
+      else Paths.get(System.getProperty("java.io.tmpdir"))
+    val ck = Files.createTempDirectory(ckRoot, "graft_stream_ck_")
+    try {
+      val q =
+        try
+          streamingDf.writeStream
+            .format("memory")
+            .queryName(sink)
+            .outputMode(outputMode)
+            .option("checkpointLocation", ck.toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+        finally spark.conf.set(key, prev)
+      q.awaitTermination()
+      spark.table(sink)
+    } finally {
+      // tmpfs is RAM — leaking checkpoints would eat memory, not disk
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(ck)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
   }
 }
