@@ -141,6 +141,21 @@ object ExtensionQueries {
       SimilaritySearch.bruteTopK(Tables.embeddings(s, dir)).orderBy("query_id", "rank")),
     "q_embed_ann_ivf" -> ((s, dir) =>
       SimilaritySearch.ivfTopK(Tables.embeddings(s, dir)).orderBy("query_id", "rank")),
+    "q_embed_ann_ivf_incremental" -> ((s, dir) => {
+      // the ingest shape: index built once on the base corpus
+      // (two thirds of the vectors), the remaining third appended
+      // against the FROZEN centroids (appendToIndex — one broadcast
+      // pass over the new batch only), then probed like
+      // q_embed_ann_ivf. Same oracle algebra as the full build since
+      // assignment is a pure per-vector nearest-centroid function.
+      val e = Tables.embeddings(s, dir)
+      val idx = SimilaritySearch.appendToIndex(
+        SimilaritySearch.buildIndex(
+          e.filter(col("vec_id") % 3 =!= 0), centroidMod = 50),
+        e.filter(col("vec_id") % 3 === 0))
+      SimilaritySearch.probe(idx, e.filter(col("vec_id") % 97 === 0))
+        .orderBy("query_id", "rank")
+    }),
 
     // ---- text analysis ----
     "q_text_tokens" -> ((s, dir) =>
@@ -416,6 +431,81 @@ object ExtensionQueries {
        |ORDER BY new_id, corpus_id""".stripMargin
   }
 
+  /** IVF ANN oracle SQL — mirrors SimilaritySearch.buildIndex/probe
+    * including the one Lloyd refinement round: seed centroids
+    * (vec_id % 50 within the build set), assign, per-dimension
+    * DECIMAL-summed means cast back to FLOAT — bit-identical
+    * centroids, so the downstream distance folds need no tolerance.
+    *
+    * `buildWhere` restricts which vectors the INDEX is built from
+    * (seeds + Lloyd statistics). The assignment CTE always ranges
+    * over the full table: assignment is a pure per-vector
+    * nearest-centroid function, so vectors appended after the build
+    * (appendToIndex) land exactly where a build-time pass would have
+    * put them — which is why one oracle shape serves both the full
+    * and the incremental query.
+    */
+  private def ivfOracleSql(buildWhere: String): String =
+    s"""WITH cents0 AS (
+       |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+       |  WHERE vec_id % 50 = 0 AND ($buildWhere)
+       |), s0dist AS (
+       |  SELECT e.vec_id AS vid, e.embedding, c.cid,
+       |         ${VectorExprs.l2sqDuck("e.embedding", "c.cemb")} AS d
+       |  FROM embeddings e CROSS JOIN cents0 c WHERE ($buildWhere)
+       |), s0assign AS (
+       |  SELECT cid, embedding FROM (
+       |    SELECT vid, cid, embedding,
+       |           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+       |    FROM s0dist) t WHERE rn = 1
+       |), ex AS (
+       |  SELECT cid,
+       |         unnest(embedding) AS x,
+       |         unnest(range(1, len(embedding) + 1)) AS pos
+       |  FROM s0assign
+       |), mn AS (
+       |  SELECT cid, pos,
+       |         CAST(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+       |              / COUNT(*) AS FLOAT) AS m
+       |  FROM ex GROUP BY cid, pos
+       |), cents AS (
+       |  SELECT cid, list(m ORDER BY pos) AS cemb FROM mn GROUP BY cid
+       |), adist AS (
+       |  SELECT e.vec_id AS vid, e.embedding, c.cid,
+       |         ${VectorExprs.l2sqDuck("e.embedding", "c.cemb")} AS d
+       |  FROM embeddings e CROSS JOIN cents c
+       |), assign AS (
+       |  SELECT vid AS cand_id, cid, embedding AS cand_emb,
+       |         sqrt(${VectorExprs.dotDuck("embedding", "embedding")}) AS cnorm
+       |  FROM (
+       |    SELECT vid, cid, embedding,
+       |           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+       |    FROM adist) t WHERE rn = 1
+       |), qdist AS (
+       |  SELECT e.vec_id AS vid, e.embedding, c.cid,
+       |         ${VectorExprs.l2sqDuck("e.embedding", "c.cemb")} AS d
+       |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id % 97 = 0
+       |), qprobe AS (
+       |  SELECT vid AS query_id, embedding AS qemb, cid,
+       |         sqrt(${VectorExprs.dotDuck("embedding", "embedding")}) AS qnorm
+       |  FROM (
+       |    SELECT vid, cid, embedding,
+       |           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+       |    FROM qdist) t WHERE rn <= 2
+       |), scored AS (
+       |  SELECT query_id, cand_id,
+       |         (${VectorExprs.dotDuck("qprobe.qemb", "assign.cand_emb")}) / (qprobe.qnorm * assign.cnorm) AS cos
+       |  FROM qprobe JOIN assign USING (cid)
+       |  WHERE query_id <> cand_id
+       |), r AS (
+       |  SELECT query_id,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS BIGINT) AS "rank",
+       |         cand_id, CAST(floor(1e6 * cos) AS BIGINT) AS cos_ppm
+       |  FROM scored
+       |)
+       |SELECT query_id, "rank", cand_id, cos_ppm FROM r
+       |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_dedup_incremental" -> minhashIncrementalSql,
 
@@ -613,70 +703,13 @@ object ExtensionQueries {
          |SELECT query_id, "rank", cand_id, cos_ppm FROM r
          |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
 
-    "q_embed_ann_ivf" ->
-      // mirrors SimilaritySearch.ivfTopK including the one Lloyd
-      // refinement round: seed centroids (vec_id % 50), assign all
-      // vectors, per-dimension DECIMAL-summed means cast back to
-      // FLOAT — bit-identical centroids, so the downstream distance
-      // folds need no tolerance
-      s"""WITH cents0 AS (
-         |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id % 50 = 0
-         |), s0dist AS (
-         |  SELECT e.vec_id AS vid, e.embedding, c.cid,
-         |         ${VectorExprs.l2sqDuck("e.embedding", "c.cemb")} AS d
-         |  FROM embeddings e CROSS JOIN cents0 c
-         |), s0assign AS (
-         |  SELECT cid, embedding FROM (
-         |    SELECT vid, cid, embedding,
-         |           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
-         |    FROM s0dist) t WHERE rn = 1
-         |), ex AS (
-         |  SELECT cid,
-         |         unnest(embedding) AS x,
-         |         unnest(range(1, len(embedding) + 1)) AS pos
-         |  FROM s0assign
-         |), mn AS (
-         |  SELECT cid, pos,
-         |         CAST(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
-         |              / COUNT(*) AS FLOAT) AS m
-         |  FROM ex GROUP BY cid, pos
-         |), cents AS (
-         |  SELECT cid, list(m ORDER BY pos) AS cemb FROM mn GROUP BY cid
-         |), adist AS (
-         |  SELECT e.vec_id AS vid, e.embedding, c.cid,
-         |         ${VectorExprs.l2sqDuck("e.embedding", "c.cemb")} AS d
-         |  FROM embeddings e CROSS JOIN cents c
-         |), assign AS (
-         |  SELECT vid AS cand_id, cid, embedding AS cand_emb,
-         |         sqrt(${VectorExprs.dotDuck("embedding", "embedding")}) AS cnorm
-         |  FROM (
-         |    SELECT vid, cid, embedding,
-         |           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
-         |    FROM adist) t WHERE rn = 1
-         |), qdist AS (
-         |  SELECT e.vec_id AS vid, e.embedding, c.cid,
-         |         ${VectorExprs.l2sqDuck("e.embedding", "c.cemb")} AS d
-         |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id % 97 = 0
-         |), qprobe AS (
-         |  SELECT vid AS query_id, embedding AS qemb, cid,
-         |         sqrt(${VectorExprs.dotDuck("embedding", "embedding")}) AS qnorm
-         |  FROM (
-         |    SELECT vid, cid, embedding,
-         |           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
-         |    FROM qdist) t WHERE rn <= 2
-         |), scored AS (
-         |  SELECT query_id, cand_id,
-         |         (${VectorExprs.dotDuck("qprobe.qemb", "assign.cand_emb")}) / (qprobe.qnorm * assign.cnorm) AS cos
-         |  FROM qprobe JOIN assign USING (cid)
-         |  WHERE query_id <> cand_id
-         |), r AS (
-         |  SELECT query_id,
-         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS BIGINT) AS "rank",
-         |         cand_id, CAST(floor(1e6 * cos) AS BIGINT) AS cos_ppm
-         |  FROM scored
-         |)
-         |SELECT query_id, "rank", cand_id, cos_ppm FROM r
-         |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    "q_embed_ann_ivf" -> ivfOracleSql(buildWhere = "TRUE"),
+
+    "q_embed_ann_ivf_incremental" ->
+      // same algebra, index built from two thirds of the corpus: the
+      // appended third is assigned by the identical nearest-centroid
+      // formula, so only the seed/Lloyd CTEs carry the build filter
+      ivfOracleSql(buildWhere = "vec_id % 3 <> 0"),
 
     "q_text_tokens" ->
       s"""SELECT doc_id,

@@ -111,14 +111,26 @@ object SimilaritySearch {
   /** Build the IVF index for a corpus: seed centroids, refine with
     * Lloyd iterations, assign every vector to its nearest list. See
     * [[ivfTopK]] for the determinism and driver-residency notes.
+    *
+    * `centroidMod <= 0` (the default) derives the seed modulus from
+    * the corpus size: nlist ≈ sqrt(|vectors|) (the standard IVF
+    * sizing), and since seeds are every centroidMod-th id, the
+    * modulus that yields sqrt(n) lists is itself ≈ sqrt(n). The one
+    * extra `count()` is a narrow scan paid once per index build —
+    * exactly the place a production pipeline can afford it. Callers
+    * with a layout opinion pass an explicit modulus; the maxCentroids
+    * guard applies either way.
     */
   def buildIndex(
       emb: DataFrame,
-      centroidMod: Int = 50,
+      centroidMod: Int = 0,
       lloydIters: Int = 1,
       idCol: String = "vec_id",
       maxCentroids: Int = 1 << 20): IvfIndex = {
     val spark = emb.sparkSession
+    val mod =
+      if (centroidMod > 0) centroidMod
+      else math.max(1, math.round(math.sqrt(emb.count().toDouble)).toInt)
     graft.functions.VecDot.register(spark)
     graft.plans.TopKPerGroup.install(spark)
     def localize(df: DataFrame): DataFrame = {
@@ -128,7 +140,7 @@ object SimilaritySearch {
       require(
         rows.length <= maxCentroids,
         s"ivfTopK: centroid set exceeds maxCentroids=$maxCentroids rows. " +
-          s"centroidMod=$centroidMod yields |vectors|/$centroidMod seeds and " +
+          s"centroidMod=$mod yields |vectors|/$mod seeds and " +
           "must scale with data volume — pick centroidMod ≈ |vectors|/nlist " +
           "(nlist ≈ sqrt(|vectors|)), or raise maxCentroids if the driver " +
           "can genuinely hold that many centroids.")
@@ -136,7 +148,7 @@ object SimilaritySearch {
     }
     val seeds = localize(
       emb
-        .filter(col(idCol) % centroidMod === 0)
+        .filter(col(idCol) % mod === 0)
         .select(col(idCol).as("cid"), col("embedding").as("cemb")))
     val byDist = Window.partitionBy("vid").orderBy(col("d"), col("cid"))
 
@@ -172,6 +184,40 @@ object SimilaritySearch {
         col("vid").as("cand_id"), col("cid"), col("embedding").as("cand_emb"),
         expr(s"sqrt(${dotSpark("embedding", "embedding")})").as("cnorm"))
     IvfIndex(cents, assign)
+  }
+
+  /** Incremental index append: assign a batch of NEW vectors to the
+    * EXISTING centroids and extend the assignment table — the IVF
+    * twin of minhash dedup's persistable `signatureTable` ingest
+    * path. Per ingest this costs one broadcast-centroid pass over the
+    * new batch only; the corpus assignments are reused untouched, so
+    * steady-state cost is O(|new batch|), not O(|corpus|). Centroids
+    * are deliberately NOT recomputed (the faiss `add` semantics):
+    * list geometry drifts only as far as the data does, and a
+    * periodic full `buildIndex` rebuild re-centers — the standard
+    * IVF maintenance split.
+    *
+    * The result probes identically to an index whose build pass had
+    * seen both sets with these centroids, because assignment is a
+    * pure per-vector nearest-centroid function (pinned in
+    * PipelineOpsSpec).
+    */
+  def appendToIndex(
+      index: IvfIndex,
+      newVectors: DataFrame,
+      idCol: String = "vec_id"): IvfIndex = {
+    graft.functions.VecDot.register(newVectors.sparkSession)
+    val byDist = Window.partitionBy("vid").orderBy(col("d"), col("cid"))
+    val newAssign = newVectors
+      .select(col(idCol).as("vid"), col("embedding"))
+      .crossJoin(broadcast(index.centroids))
+      .withColumn("d", expr(l2sqSpark("embedding", "cemb")))
+      .withColumn("rn", row_number().over(byDist))
+      .filter(col("rn") === 1)
+      .select(
+        col("vid").as("cand_id"), col("cid"), col("embedding").as("cand_emb"),
+        expr(s"sqrt(${dotSpark("embedding", "embedding")})").as("cnorm"))
+    IvfIndex(index.centroids, index.assignments.unionByName(newAssign))
   }
 
   /** Probe a prebuilt index: each query vector visits its `nprobe`

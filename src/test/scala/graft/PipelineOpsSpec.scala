@@ -277,7 +277,9 @@ class PipelineOpsSpec extends AnyFunSuite {
     import graft.operators.SimilaritySearch
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val fused = SimilaritySearch.ivfTopK(emb).collect().toSet
-    val index = SimilaritySearch.buildIndex(emb)
+    // centroidMod pinned to ivfTopK's default; a bare buildIndex call
+    // auto-derives ≈ sqrt(n) instead (covered below)
+    val index = SimilaritySearch.buildIndex(emb, centroidMod = 50)
     val queries = emb.filter(col("vec_id") % 97 === 0)
     assert(SimilaritySearch.probe(index, queries).collect().toSet == fused)
     // the production path: persist the index as tables, reload, probe
@@ -288,6 +290,53 @@ class PipelineOpsSpec extends AnyFunSuite {
       spark.read.parquet(s"$dir/centroids"),
       spark.read.parquet(s"$dir/assignments"))
     assert(SimilaritySearch.probe(reloaded, queries).collect().toSet == fused)
+  }
+
+  test("appendToIndex equals a build-time pass over both sets, and survives a parquet round-trip") {
+    import graft.operators.SimilaritySearch
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val batch = emb.filter(col("vec_id") % 3 === 0)
+    val queries = emb.filter(col("vec_id") % 97 === 0)
+    val baseIdx = SimilaritySearch.buildIndex(base, centroidMod = 50)
+    val appended = SimilaritySearch.appendToIndex(baseIdx, batch)
+    // reference: assign EVERYTHING against the same frozen centroids —
+    // assignment is a pure per-vector function, so append ≡ build-time
+    val full = SimilaritySearch.IvfIndex(
+      baseIdx.centroids,
+      SimilaritySearch.appendToIndex(
+        SimilaritySearch.IvfIndex(
+          baseIdx.centroids, appended.assignments.limit(0)),
+        emb).assignments)
+    assert(
+      SimilaritySearch.probe(appended, queries).collect().toSet ==
+        SimilaritySearch.probe(full, queries).collect().toSet)
+    // the steady-state ingest shape: persisted index + appended batch
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_inc_").toString
+    appended.centroids.write.parquet(s"$dir/centroids")
+    appended.assignments.write.parquet(s"$dir/assignments")
+    val reloaded = SimilaritySearch.IvfIndex(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/assignments"))
+    assert(
+      SimilaritySearch.probe(reloaded, queries).collect().toSet ==
+        SimilaritySearch.probe(appended, queries).collect().toSet)
+  }
+
+  test("buildIndex derives centroidMod ≈ sqrt(n) when none is given") {
+    import graft.operators.SimilaritySearch
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count()
+    val expectedMod = math.max(1, math.round(math.sqrt(n.toDouble)).toInt)
+    val auto = SimilaritySearch.buildIndex(emb)
+    val explicit = SimilaritySearch.buildIndex(emb, centroidMod = expectedMod)
+    // same seed rule → identical centroid tables (bit-exact: both run
+    // the same DECIMAL-summed Lloyd round)
+    assert(
+      auto.centroids.collect().toSet == explicit.centroids.collect().toSet)
+    // nlist lands near sqrt(n): seeds are every mod-th id
+    val nlist = auto.centroids.count()
+    assert(nlist >= 1 && nlist <= n / expectedMod + 1)
   }
 
   test("prunedJoin supports same-named key columns via a USING join") {
