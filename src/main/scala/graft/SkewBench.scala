@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DiffOptions, SkewUtils, TableDiff}
+import graft.sources.Tables
+
+/** Skew-fixture benchmark (VERDICT r7 task 7): the salted aggregation
+  * and the NULL-key diff side channel are oracled for correctness on
+  * uniform TPC-H-ish data; this main measures them on data that is
+  * actually skewed, so BASELINE.md can carry evidence instead of a
+  * design argument.
+  *
+  * Fixtures (derived from the driver's sf0.1 parquet, amplified so
+  * task-level effects rise above scheduling noise, written once to a
+  * scratch dir):
+  *
+  *   - zipfian events: 2M rows (events ×20), the hot user holds ~50%
+  *     of all rows and the rest keep the uniform user_id spread —
+  *     the "billions of rows under one default key" shape.
+  *   - null-key orders: 2.4M unique-key rows per side, HALF the
+  *     before side's keys nulled, none on the after side — the
+  *     one-sided sentinel-key shape (a feed whose ETL nulls a key
+  *     column while the reference copy stays keyed), which maximizes
+  *     the hot-partition effect at zero m×n pair volume.
+  *
+  * Timings are min over `iters` runs of a `count()` action per
+  * variant, matching Bench's protocol.
+  */
+object SkewBench {
+
+  private def time[A](iters: Int)(f: => A): Double =
+    (1 to iters).map { _ =>
+      val t0 = System.nanoTime()
+      f
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val fix = Files.createTempDirectory("graft_skew_fix_").toString
+
+    // ---- fixture 1: zipfian user_id over amplified events ----
+    val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "value")
+    ev.crossJoin(spark.range(20).toDF("r"))
+      .withColumn(
+        "user_id",
+        when(pmod(col("event_id") * 20 + col("r"), lit(2)) === 0, lit(0L))
+          .otherwise(col("user_id")))
+      .select("user_id", "value")
+      .write.mode("overwrite").parquet(s"$fix/zipf_events")
+    val zipf = spark.read.parquet(s"$fix/zipf_events")
+    val nZipf = zipf.count()
+    val hotShare = zipf.filter(col("user_id") === 0L).count().toDouble / nZipf
+
+    val plainAgg = time(iters) {
+      zipf.groupBy("user_id")
+        .agg(
+          sum(col("value").cast("decimal(18,4)")).as("sum_value"),
+          count(lit(1)).as("n_rows"))
+        .count()
+    }
+    val saltedAgg = time(iters) {
+      SkewUtils
+        .saltedSumCount(zipf, Seq("user_id"), col("value").cast("decimal(18,4)"),
+          salts = cpus.toInt)
+        .count()
+    }
+
+    // ---- fixture 2: one-sided NULL-key orders diff ----
+    // unique surrogate keys (o_orderkey*8 + r) so the join fan-out is
+    // 1:1 away from the NULL channel; the before side nulls HALF its
+    // keys, the after side none — the common real shape (one feed's
+    // ETL nulls a key column for a batch while the reference copy
+    // stays keyed). m×n on the NULL channel is zero; what's measured
+    // is purely the shuffle layout: the plain full-outer plan drags
+    // 600k NULL rows into one reducer (AQE's skew splitter does not
+    // support full-outer joins), the side channel keeps them out of
+    // the join shuffle entirely.
+    val orders = Tables.orders(spark, sfDir)
+      .crossJoin(spark.range(16).toDF("r"))
+      .withColumn("k", col("o_orderkey") * 16 + col("r"))
+      .select(col("k"), col("o_custkey"), col("o_totalprice"))
+    orders
+      .withColumn("k", when(pmod(col("k"), lit(2)) === 0, lit(null)).otherwise(col("k")))
+      .write.mode("overwrite").parquet(s"$fix/null_before")
+    orders
+      .withColumn(
+        "o_totalprice",
+        when(pmod(col("k"), lit(7)) === 0, col("o_totalprice") + 1).otherwise(col("o_totalprice")))
+      .write.mode("overwrite").parquet(s"$fix/null_after")
+    val before = spark.read.parquet(s"$fix/null_before")
+    val after = spark.read.parquet(s"$fix/null_after")
+    val nullFrac = before.filter(col("k").isNull).count().toDouble / before.count()
+
+    val plainDiff = time(iters) {
+      TableDiff.diff(before, after, Seq("k")).count()
+    }
+    val sideChannelDiff = time(iters) {
+      TableDiff.diff(before, after, Seq("k"),
+        opts = DiffOptions(nullKeySideChannel = true)).count()
+    }
+
+    println(
+      s"""{"metric":"skew_bench","iters":$iters,"sf":"$sfDir",
+         |"zipf_rows":$nZipf,"hot_key_share":${f"$hotShare%.3f"},
+         |"agg_plain_sec":${f"$plainAgg%.3f"},"agg_salted_sec":${f"$saltedAgg%.3f"},
+         |"diff_rows":${before.count()},"null_key_frac":${f"$nullFrac%.3f"},
+         |"diff_plain_sec":${f"$plainDiff%.3f"},"diff_side_channel_sec":${f"$sideChannelDiff%.3f"}}"""
+        .stripMargin.replaceAll("\n", ""))
+    spark.stop()
+  }
+}
