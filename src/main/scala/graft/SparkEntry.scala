@@ -1091,6 +1091,39 @@ object SparkEntry {
             greatest(abs(col("v_exact")) * lit(1e-9), lit(1e-6))).as("value_ok"))
         .orderBy("user_id")
     }),
+    "q_stream_scd2" -> ((s, dir) => {
+      // streaming SCD2: a 4-slice change stream folded into a
+      // versioned history via foreachBatch + Scd2.merge in upsert
+      // mode (a micro-batch is never a full snapshot — absent keys
+      // mean "no news", not deletion). Each batch reduces to its last
+      // event per user, merged at a per-batch date; the final history
+      // is hashed directly against a window-function reconstruction.
+      import org.apache.spark.sql.types._
+      val histSchema = StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("value", DoubleType),
+        StructField("valid_from", DateType),
+        StructField("valid_to", DateType),
+        StructField("is_current", BooleanType),
+        StructField("change_type", StringType)))
+      val empty = s.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), histSchema)
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val hist = graft.streaming.StreamRunner.foldBatches(
+        graft.streaming.StreamRunner.slicedEventsStream(s, dir, slices = 4),
+        empty) { (h, batch, id) =>
+        val snap = batch
+          .withColumn("rn", row_number().over(byUser))
+          .filter(col("rn") === 1)
+          .select("user_id", "value")
+        graft.operators.Scd2.merge(
+          h, snap, Seq("user_id"),
+          asOfDate = f"2030-01-0${id + 1}%d",
+          deleteAbsentKeys = false)
+      }
+      hist.orderBy("user_id", "valid_from")
+    }),
     "q_range_join" -> ((s, dir) => {
       // events falling inside the 20 longest sessions ("incident
       // windows") — point-in-interval via bucketized equi-join
@@ -1760,6 +1793,38 @@ object SparkEntry {
     "q_stream_running_counts" ->
       """SELECT user_id, COUNT(*) AS n_events, TRUE AS value_ok
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_stream_scd2" ->
+      // window-function reconstruction of the folded history: a
+      // version exists per (user, batch) whose last-event value
+      // differs from the previous appearing batch's; upsert merge
+      // closes a version only when the next one opens, so valid_to =
+      // next version's date, change_type = 'updated' once closed,
+      // birth label only on the open row
+      """WITH ev AS (
+        |  SELECT event_id, user_id, value, ts, event_id % 4 AS batch FROM events
+        |), lastev AS (
+        |  SELECT user_id, batch, value FROM (
+        |    SELECT user_id, batch, value,
+        |           ROW_NUMBER() OVER (PARTITION BY user_id, batch ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM ev) t WHERE rn = 1
+        |), marked AS (
+        |  SELECT user_id, batch, value,
+        |         lag(value) OVER (PARTITION BY user_id ORDER BY batch) AS prev_val
+        |  FROM lastev
+        |), versions AS (
+        |  SELECT user_id, batch, value, (prev_val IS NULL) AS is_first
+        |  FROM marked WHERE prev_val IS NULL OR value <> prev_val
+        |), hist AS (
+        |  SELECT user_id, value,
+        |         DATE '2030-01-01' + CAST(batch AS INT) AS valid_from,
+        |         DATE '2030-01-01' + CAST(lead(batch) OVER (PARTITION BY user_id ORDER BY batch) AS INT) AS valid_to,
+        |         lead(batch) OVER (PARTITION BY user_id ORDER BY batch) IS NULL AS is_current,
+        |         CASE WHEN lead(batch) OVER (PARTITION BY user_id ORDER BY batch) IS NOT NULL THEN 'updated'
+        |              WHEN is_first THEN 'inserted' ELSE 'updated' END AS change_type
+        |  FROM versions
+        |)
+        |SELECT user_id, value, valid_from, valid_to, is_current, change_type
+        |FROM hist ORDER BY user_id, valid_from""".stripMargin,
     "q_range_join" ->
       s"""$sessionizeCtes,
          |win AS (

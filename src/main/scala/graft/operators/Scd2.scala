@@ -128,12 +128,20 @@ object Scd2 {
     * CURRENT rows (≈ |live keys|, not |history|) join the snapshot —
     * one full-outer null-safe join + narrow explode, then a UNION
     * with the untouched closed rows.
+    *
+    * `deleteAbsentKeys = false` switches from SNAPSHOT semantics (a
+    * key missing from the snapshot closes as 'deleted') to UPSERT/CDC
+    * semantics: the input carries only keys that changed, absent keys
+    * keep their open row untouched. This is the per-micro-batch shape
+    * a change stream folds in (q_stream_scd2) — a batch is never a
+    * full snapshot, so absence means "no news", not deletion.
     */
   def merge(
       history: DataFrame,
       snapshot: DataFrame,
       keys: Seq[String],
-      asOfDate: String): DataFrame = {
+      asOfDate: String,
+      deleteAbsentKeys: Boolean = true): DataFrame = {
     require(keys.nonEmpty, "scd2 needs at least one key column")
     val metaCols = Seq("valid_from", "valid_to", "is_current", "change_type")
     require(metaCols.forall(history.columns.contains),
@@ -173,16 +181,19 @@ object Scd2 {
             isCur.as("is_current"),
             change.as("change_type")): _*)
 
-    // the surviving/closing row for every previously-current key
+    // the surviving/closing row for every previously-current key;
+    // under upsert semantics only a CHANGED key closes its row
+    val closesExisting =
+      if (deleteAbsentKeys) !aPresent || changed else aPresent && changed
     val existingRow = when(
       bPresent,
       version(
         "b",
         col("b.valid_from"),
-        when(!aPresent || changed, t).otherwise(openEnd),
-        aPresent && !changed,
-        when(!aPresent, lit("deleted"))
-          .when(changed, lit("updated"))
+        when(closesExisting, t).otherwise(openEnd),
+        !closesExisting,
+        when(lit(deleteAbsentKeys) && !aPresent, lit("deleted"))
+          .when(aPresent && changed, lit("updated"))
           .otherwise(col("b.change_type")))) // untouched open row keeps its birth label
     // the new version for changed or newly-inserted keys
     val newRow = when(

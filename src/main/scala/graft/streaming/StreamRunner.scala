@@ -108,6 +108,106 @@ object StreamRunner {
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   }
 
+  /** Events table as a CHANGE stream of `slices` chronologically
+    * ordered micro-batches: slice i holds the rows with
+    * `event_id % slices = i`, staged as one parquet file each with
+    * strictly increasing modification times, and read with
+    * `maxFilesPerTrigger = 1` so the file source delivers exactly one
+    * slice per micro-batch, in slice order. This is the CDC-ingest
+    * harness shape (each batch a partial key set to fold into state —
+    * see q_stream_scd2); no watermark machinery is involved, so the
+    * normalized NTZ timestamps are staged as-is.
+    */
+  def slicedEventsStream(spark: SparkSession, dir: String, slices: Int): DataFrame = {
+    require(slices >= 1, "need at least one slice")
+    val ev = graft.sources.Tables.events(spark, dir)
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"${Paths.get(dir).toAbsolutePath}#slices=$slices".getBytes("UTF-8"))
+      .take(12).map(b => f"$b%02x").mkString
+    val (stageDir, _) = stageCache.computeIfAbsent(digest, { _ =>
+      val stage = Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_stream_slices_${digest}_$jvmNonce")
+      Files.createDirectories(stage)
+      import scala.jdk.CollectionConverters._
+      (0 until slices).foreach { i =>
+        val tmp = Files.createTempDirectory("graft_slice_")
+        ev.filter(org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.col("event_id"),
+            org.apache.spark.sql.functions.lit(slices)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val listing = Files.list(tmp)
+        val part =
+          try listing.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(sys.error(s"slice write produced no parquet in $tmp"))
+          finally listing.close()
+        val dest = stage.resolve(f"slice_$i%03d.parquet")
+        Files.deleteIfExists(dest)
+        Files.copy(part, dest)
+        // mtime IS the file source's processing order — pin it to the
+        // slice index explicitly instead of trusting write latency
+        Files.setLastModifiedTime(
+          dest, java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+        val walk = Files.walk(tmp)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(f => Files.deleteIfExists(f))
+        finally walk.close()
+      }
+      (stage.toString, ev.schema)
+    })
+    spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir)
+  }
+
+  /** Fold a streaming DataFrame's micro-batches into an accumulator
+    * via foreachBatch — the incremental-ingest bridge (CDC → SCD2
+    * history, incremental dedup signatures, index appends). `step`
+    * receives (accumulator, batch, batchId); its result is eagerly
+    * localCheckpoint'ed, which both materializes the batch data
+    * (a foreachBatch frame is only valid inside its batch) and cuts
+    * the per-batch lineage growth that would otherwise compound over
+    * the run (the ConnectedComponents hazard).
+    */
+  def foldBatches(
+      streamingDf: DataFrame,
+      zero: DataFrame,
+      statePartitions: Int = 8)(
+      step: (DataFrame, DataFrame, Long) => DataFrame): DataFrame = {
+    val spark = streamingDf.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, statePartitions)
+    val shm = Paths.get("/dev/shm")
+    val ckRoot =
+      if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
+      else Paths.get(System.getProperty("java.io.tmpdir"))
+    val ck = Files.createTempDirectory(ckRoot, "graft_stream_fold_ck_")
+    @volatile var acc = zero
+    try {
+      val q =
+        try
+          streamingDf.writeStream
+            .foreachBatch { (batch: DataFrame, id: Long) =>
+              acc = step(acc, batch, id).localCheckpoint(true)
+            }
+            .option("checkpointLocation", ck.toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+        finally spark.conf.set(key, prev)
+      q.awaitTermination()
+      acc
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(ck)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
   /** Write `n` one-row sentinel parquet files into `stage`. Row i
     * carries `event_id = -i` and `ts = max(real ts) + i days` (still
     * raw nanos — the schema is the RAW file schema, ts as LongType

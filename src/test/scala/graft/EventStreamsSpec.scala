@@ -161,4 +161,49 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(!user10.exists(_._2 == 3L), user10.mkString(", "))
     } finally q.stop()
   }
+
+  test("foldBatches + upsert merge equals sequential batch merges (streaming SCD2)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dir = "/root/testdata/sf0.001"
+    val slices = 3
+    val histSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("value", DoubleType),
+      StructField("valid_from", DateType),
+      StructField("valid_to", DateType),
+      StructField("is_current", BooleanType),
+      StructField("change_type", StringType)))
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), histSchema)
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("rn", row_number().over(byUser))
+      .filter(col("rn") === 1)
+      .select("user_id", "value")
+    def date(i: Long) = f"2030-01-0${i + 1}%d"
+    // streaming fold through the real micro-batch engine
+    val streamed = graft.streaming.StreamRunner.foldBatches(
+      graft.streaming.StreamRunner.slicedEventsStream(spark, dir, slices),
+      empty) { (h, batch, id) =>
+      graft.operators.Scd2.merge(
+        h, snap(batch), Seq("user_id"), date(id), deleteAbsentKeys = false)
+    }
+    // batch twin: identical slices merged sequentially, no stream
+    val ev = graft.sources.Tables.events(spark, dir)
+    val batched = (0 until slices).foldLeft(empty) { (h, i) =>
+      graft.operators.Scd2.merge(
+        h, snap(ev.filter(pmod(col("event_id"), lit(slices)) === i)),
+        Seq("user_id"), date(i.toLong), deleteAbsentKeys = false)
+    }
+    assert(streamed.collect().toSet == batched.collect().toSet)
+    // upsert semantics actually exercised: users absent from later
+    // slices keep an OPEN row (no 'deleted' anywhere), and updates
+    // closed earlier versions
+    val types = streamed.collect().map(_.getAs[String]("change_type")).toSet
+    assert(!types.contains("deleted"))
+    assert(streamed.filter(col("valid_to").isNotNull).count() > 0)
+  }
 }
