@@ -39,15 +39,34 @@ object Multimodal {
         (octet_length(col(payloadCol)) % 640).cast("int").as("width"),
         (octet_length(col(payloadCol)) % 480).cast("int").as("height")).as("meta"))
 
-  /** STUB decoder. A production build replaces `decode` with a real
-    * codec call (libjpeg/ffmpeg via JNI or a sidecar process); the
+  /** The codec seam: a production build plugs a real decoder
+    * (libjpeg/ffmpeg via JNI, or a sidecar process) in here and the
+    * plan shape does not change. The contract is deliberately thin:
+    *
+    *   - `open()` is called once per PARTITION, on the executor,
+    *     before any row — the place to load native libraries or
+    *     spawn the sidecar (the cost that must amortize over rows)
+    *   - `decode` maps one payload to a fixed-`featureDim` vector
+    *   - instances must be Serializable: the object is constructed on
+    *     the driver and shipped in the task closure, so heavyweight
+    *     native state belongs in `open()`-initialized transients, not
+    *     constructor fields
+    */
+  trait MediaDecoder extends Serializable {
+    def featureDim: Int
+    def open(): Unit = ()
+    def decode(bytes: Array[Byte]): Array[Float]
+  }
+
+  /** STUB decoder — this container has no image/audio codecs; the
     * deterministic fake — a 16-bin byte histogram — keeps tests
     * meaningful without native deps.
     */
-  object StubDecoder {
+  object StubDecoder extends MediaDecoder {
     val FeatureDim = 16
+    override def featureDim: Int = FeatureDim
     /** ??? real codec goes here ??? — deterministic fake decode. */
-    def decode(bytes: Array[Byte]): Array[Float] = {
+    override def decode(bytes: Array[Byte]): Array[Float] = {
       val hist = new Array[Float](FeatureDim)
       var i = 0
       while (i < bytes.length) {
@@ -60,19 +79,18 @@ object Multimodal {
   }
 
   /** Feature extraction over the media column: mapPartitions so the
-    * (stubbed) decoder is initialized once per partition, not per row
-    * — the batch shape that matters at 100 TB where codec init
-    * dominates per-row cost.
+    * decoder opens once per partition, not per row — the batch shape
+    * that matters at 100 TB where codec init dominates per-row cost.
     */
-  def extractFeatures(media: DataFrame): DataFrame = {
+  def extractFeatures(media: DataFrame, decoder: MediaDecoder = StubDecoder): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media
       .select(col("media_id"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // decoder init happens HERE, once per partition (stubbed)
-        val decoder = StubDecoder
+        // decoder init happens HERE, once per partition
+        decoder.open()
         rows.map { case (id, bytes) =>
           // mediaSchema declares the payload nullable — treat NULL as
           // an empty payload (zero-length, all-zero histogram) instead

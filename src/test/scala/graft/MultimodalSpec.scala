@@ -52,4 +52,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.filter("media_id = 1").count() == 0)
     assert(frames.filter("media_id = 2").count() == 1)
   }
+
+  test("a custom MediaDecoder plugs into extractFeatures with per-partition open()") {
+    import spark.implicits._
+    // 2-dim "codec": [length, first byte] — plus an open() marker that
+    // must run on the executor before any decode
+    object LenDecoder extends Multimodal.MediaDecoder {
+      override def featureDim: Int = 2
+      @transient private var opened = false
+      override def open(): Unit = { opened = true }
+      override def decode(bytes: Array[Byte]): Array[Float] = {
+        assert(opened, "decode() before open(): per-partition init contract broken")
+        Array(bytes.length.toFloat, if (bytes.isEmpty) 0f else (bytes(0) & 0xff).toFloat)
+      }
+    }
+    val m = Multimodal.synthesizeMedia(
+      Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text"))
+    val out = Multimodal.extractFeatures(m, LenDecoder).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        r.getAs[scala.collection.Seq[Float]]("features").toSeq).toMap
+    assert(out(1L) == Seq(3f, 'a'.toFloat))
+    assert(out(2L) == Seq(0f, 0f))
+  }
 }
