@@ -319,6 +319,40 @@ object ExtensionQueries {
         .orderBy("source", "rn")),
     "q_text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_pii_scrub" -> ((s, dir) => {
+      // PII redaction over a planted corpus: every 3rd doc gains an
+      // email, every 5th a phone, every 7th an IPv4 (deterministic,
+      // mirrored verbatim in the SQL twin). Output pins the match
+      // counts AND the redacted content (poly_hash + length), so a
+      // pattern that over- or under-redacts turns the row red.
+      graft.functions.PolyHash.register(s)
+      val planted = Tables.documents(s, dir).select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact: user"), col("doc_id").cast("string"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" call 555-010-"),
+              lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".1")))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.redactPii(planted)
+        .select(
+          col("doc_id"), col("n_email"), col("n_phone"), col("n_ipv4"),
+          expr(charHashSpark("redacted")).as("redacted_hash"),
+          length(col("redacted")).cast("long").as("redacted_len"))
+        .orderBy("doc_id")
+    }),
+    "q_doc_chunks" -> ((s, dir) =>
+      // training-context-window chunking: 120-char chunks, 24-char
+      // overlap, fan-out plan-side (posexplode) — chunk content
+      // pinned via md5 digest per chunk
+      TextAnalysis.chunk(Tables.documents(s, dir), chunkChars = 120, overlap = 24)
+        .orderBy("doc_id", "chunk_no")),
     "q_decontaminate" -> ((s, dir) => {
       // benchmark-leak check: every doc's distinct-3-gram overlap vs
       // a planted "benchmark" subset (doc_id % 97) — planted members
@@ -837,6 +871,28 @@ object ExtensionQueries {
       s"""SELECT doc_id,
          |  ${TextAnalysis.repetitionDuckProjection("text")}
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_pii_scrub" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    text
+         |    || CASE WHEN doc_id % 3 = 0 THEN ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0 THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         |    || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END AS text
+         |  FROM documents
+         |), r AS (
+         |  SELECT doc_id,
+         |  ${TextAnalysis.redactPiiDuckProjection("text")}
+         |  FROM planted
+         |)
+         |SELECT doc_id, n_email, n_phone, n_ipv4,
+         |  ${charHashDuck("redacted")} AS redacted_hash,
+         |  CAST(length(redacted) AS BIGINT) AS redacted_len
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_doc_chunks" ->
+      s"""${TextAnalysis.chunkDuckSql("documents", chunkChars = 120, overlap = 24)}
+         |ORDER BY doc_id, chunk_no""".stripMargin,
 
     "q_decontaminate" ->
       TextAnalysis.contaminationDuckSql(

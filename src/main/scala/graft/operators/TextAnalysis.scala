@@ -293,4 +293,104 @@ object TextAnalysis {
        |  FROM scored)
        |SELECT doc_id, term, score_ppm, rank FROM ranked WHERE rank <= $k
        |ORDER BY doc_id, rank""".stripMargin
+
+  // ---- PII redaction ----
+
+  /** PII patterns, chosen to mean the same thing in Java regex
+    * (Spark) and RE2 (DuckDB): no backrefs, no lookaround, explicit
+    * classes. Deliberately conservative patterns — a production
+    * deployment swaps in its compliance team's set; the operator's
+    * value is the single-pass multi-pattern redact+count shape.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    // (name, pattern, replacement token)
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}", "<PHONE>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"))
+
+  /** Redact PII in one narrow pass: per-pattern match counts plus the
+    * fully redacted text. Patterns apply in [[PiiPatterns]] order
+    * (email before ipv4, so a host-like mail domain is consumed by
+    * the email token first — order is part of the contract). Pure
+    * regexp projection: zero shuffle, codegen'd, linear at any scale.
+    */
+  def redactPii(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val redacted = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    // regexp_count as a Column function, NOT via SQL text: the
+    // patterns carry single-backslash escapes (\b, \., \+), which a
+    // Spark SQL string literal would eat — the Column API takes the
+    // pattern verbatim, matching what DuckDB sees in its quoted form
+    docs.select(
+      col(idCol) +:
+        PiiPatterns.map { case (name, pat, _) =>
+          regexp_count(col(textCol), lit(pat)).cast("long").as(s"n_$name")
+        } :+ redacted.as("redacted"): _*)
+  }
+
+  /** DuckDB twin of [[redactPii]]'s projection list (minus the id). */
+  def redactPiiDuckProjection(t: String): String = {
+    val redacted = PiiPatterns.foldLeft(t) {
+      case (c, (_, pat, repl)) =>
+        s"regexp_replace($c, '${pat.replace("'", "''")}', '$repl', 'g')"
+    }
+    (PiiPatterns.map { case (name, pat, _) =>
+      s"CAST(${regexpCountDuck(t, pat)} AS BIGINT) AS n_$name"
+    } :+ s"$redacted AS redacted").mkString(",\n  ")
+  }
+
+  // ---- sliding-window chunking ----
+
+  /** Split documents into fixed-size character chunks with overlap —
+    * the training-context-window shape. Chunk i covers
+    * `[i·(chunkChars−overlap), i·(chunkChars−overlap)+chunkChars)`;
+    * the last chunk may be short; empty docs yield no chunks. The
+    * fan-out is plan-side (posexplode over a sequence) — distributed,
+    * never a driver loop, same contract as frame sampling.
+    */
+  def chunk(
+      docs: DataFrame,
+      chunkChars: Int = 100,
+      overlap: Int = 20,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(chunkChars >= 1, s"chunkChars must be >= 1, got $chunkChars")
+    require(overlap >= 0 && overlap < chunkChars,
+      s"overlap must be in [0, chunkChars), got $overlap vs $chunkChars")
+    val stride = chunkChars - overlap
+    docs
+      .filter(length(col(textCol)) > 0)
+      .select(
+        col(idCol),
+        posexplode(expr(
+          s"""transform(
+             |  sequence(0, CAST(floor((length($textCol) - 1) / $stride.0D) AS INT)),
+             |  i -> substring($textCol, i * $stride + 1, $chunkChars))""".stripMargin))
+          .as(Seq("chunk_no", "chunk")))
+      .select(
+        col(idCol),
+        col("chunk_no").cast("long").as("chunk_no"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+        md5(col("chunk").cast("binary")).as("digest"))
+  }
+
+  /** DuckDB twin of [[chunk]] as a full SELECT (no trailing ORDER BY). */
+  def chunkDuckSql(
+      docsRelation: String,
+      chunkChars: Int = 100,
+      overlap: Int = 20): String = {
+    val stride = chunkChars - overlap
+    s"""WITH c AS (
+       |  SELECT doc_id, i AS chunk_no,
+       |    substr(text, CAST(i * $stride + 1 AS INT), $chunkChars) AS chunk
+       |  FROM $docsRelation,
+       |       unnest(range(0, CAST(floor((length(text) - 1) / $stride.0) AS INT) + 1)) u(i)
+       |  WHERE length(text) > 0
+       |)
+       |SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+       |  CAST(length(chunk) AS BIGINT) AS chunk_len,
+       |  md5(chunk) AS digest
+       |FROM c""".stripMargin
+  }
 }

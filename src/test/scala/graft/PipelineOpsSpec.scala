@@ -259,6 +259,53 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("redactPii counts and replaces emails, phones, and IPs in pattern order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail me at a.b+c@ex-ample.org or admin@x.io thanks"),
+      (2L, "call 555-010-1234 then 555 010 9999 from 10.0.0.1"),
+      (3L, "clean text, no pii at all"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_email"), r.getAs[Long]("n_phone"), r.getAs[Long]("n_ipv4"),
+          r.getAs[String]("redacted"))).toMap
+    assert(out(1L)._1 == 2 && out(1L)._4 == "mail me at <EMAIL> or <EMAIL> thanks")
+    assert(out(2L) == ((0L, 2L, 1L, "call <PHONE> then <PHONE> from <IP>")))
+    assert(out(3L) == ((0L, 0L, 0L, "clean text, no pii at all")))
+    assert(out(4L) == ((0L, 0L, 0L, "")))
+    // narrow projection: no shuffle anywhere in the plan
+    val plan = TextAnalysis.redactPii(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("chunk slides fixed windows with overlap; short tail; empty docs vanish") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcdefghij"), // 10 chars
+      (2L, "xyz"),
+      (3L, "")).toDF("doc_id", "text")
+    // chunkChars=4, overlap=1 → stride 3 → starts 0,3,6,9
+    val rows = TextAnalysis.chunk(docs, chunkChars = 4, overlap = 1).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_no"), r.getAs[Long]("chunk_len")))
+    val doc1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    assert(doc1.map(_._3).toSeq == Seq(4L, 4L, 4L, 1L)) // abcd, defg, ghij, j
+    assert(rows.filter(_._1 == 2L).map(_._3).toSeq == Seq(3L))
+    assert(!rows.exists(_._1 == 3L))
+    // reconstruction: consecutive chunks overlap by exactly `overlap`
+    val digests = TextAnalysis.chunk(docs, chunkChars = 4, overlap = 1)
+      .filter(col("doc_id") === 1L).orderBy("chunk_no").collect()
+      .map(_.getAs[String]("digest"))
+    val expected = Seq("abcd", "defg", "ghij", "j").map { s =>
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    }
+    assert(digests.toSeq == expected)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunk(docs, chunkChars = 4, overlap = 4)
+    }
+  }
+
   test("repetition counts duplicated tokens in fixed-point ppm") {
     import spark.implicits._
     val docs = Seq(
