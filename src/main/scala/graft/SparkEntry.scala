@@ -582,6 +582,30 @@ object SparkEntry {
       docs.write.mode("overwrite").json(jsonPath)
       s.read.schema(docs.schema).json(jsonPath).orderBy("doc_id")
     }),
+    "q_sink_csv_roundtrip" -> ((s, dir) => {
+      // CSV sink/source round trip on the nastiest table for the
+      // format: document text bodies with embedded commas, quotes,
+      // and newlines force the writer's RFC-4180 quoting and the
+      // reader's multiLine parser — plus a timestamp column from
+      // orders to pin the timestamp text format both ways. Schema-on-
+      // read with the ORIGINAL schema, hashed against untouched
+      // parquet.
+      val docs = Tables.documents(s, dir)
+        .join(
+          Tables.orders(s, dir).select(
+            (col("o_orderkey") % 500).as("doc_id"), col("o_orderdate")),
+          Seq("doc_id"), "left")
+        .groupBy("doc_id", "text", "lang", "source", "n_chars")
+        .agg(max("o_orderdate").as("latest_order"))
+      docs.write.mode("overwrite")
+        .option("header", "true")
+        .csv(csvPath)
+      s.read.schema(docs.schema)
+        .option("header", "true")
+        .option("multiLine", "true")
+        .csv(csvPath)
+        .orderBy("doc_id")
+    }),
     "q_collect_sorted" -> ((s, dir) => {
       // nested-type aggregation: per-customer order-key array.
       // collect_list's arrival order is partial-agg-order-dependent —
@@ -1191,6 +1215,7 @@ object SparkEntry {
   private lazy val ctasPath: String = scratchDir("ctas_orders_diff")
   private lazy val partitionedPath: String = scratchDir("events_by_type")
   private lazy val jsonPath: String = scratchDir("documents_json")
+  private lazy val csvPath: String = scratchDir("documents_csv")
 
   /** Top-20 longest sessions as (window_id, start, end) incident
     * windows — shared by q_range_join and q_range_join_auto.
@@ -1462,6 +1487,13 @@ object SparkEntry {
     "q_sink_json_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_sink_csv_roundtrip" ->
+      """SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
+        |  max(o.o_orderdate) AS latest_order
+        |FROM documents d
+        |LEFT JOIN orders o ON o.o_orderkey % 500 = d.doc_id
+        |GROUP BY d.doc_id, d.text, d.lang, d.source, d.n_chars
+        |ORDER BY d.doc_id""".stripMargin,
     "q_collect_sorted" ->
       """SELECT o_custkey,
         |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys,

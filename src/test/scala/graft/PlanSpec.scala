@@ -183,6 +183,21 @@ class PlanSpec extends AnyFunSuite {
       "ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>"))
   }
 
+  test("round-8 text operators prune their scans and stay shuffle-free") {
+    // redaction and chunking consume only (doc_id, text); reading the
+    // full documents width — or shuffling anywhere — is wrong at scale
+    assert(plan("q_doc_chunks").contains(
+      "ReadSchema: struct<doc_id:bigint,text:string>"))
+    val pii = plan("q_pii_scrub")
+    assert(pii.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+    // narrow projections end-to-end: the only Exchange either query
+    // may carry is the final ORDER BY's range partitioning
+    val chunksNoSort = graft.operators.TextAnalysis
+      .chunk(graft.sources.Tables.documents(spark, dir), chunkChars = 120, overlap = 24)
+      .queryExecution.executedPlan.toString
+    assert(!chunksNoSort.contains("Exchange"), chunksNoSort)
+  }
+
   test("scd2 asOf over a history TABLE is a pure pushed-filter scan") {
     // the time-travel read path: materialize a history once, then any
     // asOf is a single scan with the validity predicates pushed down —
