@@ -582,6 +582,18 @@ object SparkEntry {
       docs.write.mode("overwrite").json(jsonPath)
       s.read.schema(docs.schema).json(jsonPath).orderBy("doc_id")
     }),
+    "q_sink_orc_roundtrip" -> ((s, dir) => {
+      // ORC sink/source round trip — the other built-in columnar
+      // format (different vectorized reader + encoding stack than
+      // parquet). Lineitem slice with a timestamp column pins type
+      // fidelity through the ORC writer/reader pair.
+      val slice = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 7 === 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag", "l_shipdate")
+      slice.write.mode("overwrite").orc(orcPath)
+      s.read.orc(orcPath).orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    }),
     "q_sink_csv_roundtrip" -> ((s, dir) => {
       // CSV sink/source round trip on the nastiest table for the
       // format: document text bodies with embedded commas, quotes,
@@ -1216,6 +1228,7 @@ object SparkEntry {
   private lazy val partitionedPath: String = scratchDir("events_by_type")
   private lazy val jsonPath: String = scratchDir("documents_json")
   private lazy val csvPath: String = scratchDir("documents_csv")
+  private lazy val orcPath: String = scratchDir("lineitem_orc")
 
   /** Top-20 longest sessions as (window_id, start, end) incident
     * windows — shared by q_range_join and q_range_join_auto.
@@ -1487,6 +1500,11 @@ object SparkEntry {
     "q_sink_json_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_sink_orc_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  l_extendedprice, l_returnflag, l_shipdate
+        |FROM lineitem WHERE l_orderkey % 7 = 0
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
     "q_sink_csv_roundtrip" ->
       """SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
         |  max(o.o_orderdate) AS latest_order
