@@ -347,6 +347,11 @@ object ExtensionQueries {
           length(col("redacted")).cast("long").as("redacted_len"))
         .orderBy("doc_id")
     }),
+    "q_seq_packing" -> ((s, dir) =>
+      // causal-LM sequence packing: per-source concat-and-cut spans
+      // over 512-token windows — parallel per group, no global order
+      TextAnalysis.packSequences(Tables.documents(s, dir), seqTokens = 512)
+        .orderBy("source", "doc_id")),
     "q_doc_chunks" -> ((s, dir) =>
       // training-context-window chunking: 120-char chunks, 24-char
       // overlap, fan-out plan-side (posexplode) — chunk content
@@ -893,6 +898,10 @@ object ExtensionQueries {
     "q_doc_chunks" ->
       s"""${TextAnalysis.chunkDuckSql("documents", chunkChars = 120, overlap = 24)}
          |ORDER BY doc_id, chunk_no""".stripMargin,
+
+    "q_seq_packing" ->
+      s"""${TextAnalysis.packSequencesDuckSql("documents", seqTokens = 512)}
+         |ORDER BY source, doc_id""".stripMargin,
 
     "q_decontaminate" ->
       TextAnalysis.contaminationDuckSql(

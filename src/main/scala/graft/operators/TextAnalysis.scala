@@ -375,6 +375,63 @@ object TextAnalysis {
         md5(col("chunk").cast("binary")).as("digest"))
   }
 
+  /** Sequence packing — the causal-LM training layout: documents are
+    * concatenated in a deterministic order and cut into fixed-size
+    * token windows, so each doc occupies the half-open token span
+    * `[start_offset, start_offset + n_tokens)` of its pack group and
+    * straddles sequences `seq_first..seq_last`. Packing is PER GROUP
+    * (`groupCol`, default source): the running sum is a window over
+    * the group, so groups pack in parallel — the scale shape, since a
+    * single global concatenation order would force every row through
+    * one reducer (and real pipelines shard packing anyway). Token
+    * count = whitespace tokens, the suite's standard.
+    */
+  def packSequences(
+      docs: DataFrame,
+      seqTokens: Int = 512,
+      groupCol: String = "source",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(seqTokens >= 1, s"seqTokens must be >= 1, got $seqTokens")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(
+        col(idCol), col(groupCol),
+        expr(tokenCountSpark(textCol)).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0) // empty docs occupy no span
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(
+        col(idCol), col(groupCol), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("start_offset"),
+        floor((col("cum") - col("n_tokens")) / seqTokens).cast("long").as("seq_first"),
+        floor((col("cum") - 1) / seqTokens).cast("long").as("seq_last"))
+  }
+
+  /** DuckDB twin of [[packSequences]] as a full SELECT (no ORDER BY). */
+  def packSequencesDuckSql(
+      docsRelation: String,
+      seqTokens: Int = 512,
+      groupCol: String = "source"): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $groupCol,
+       |    CAST(${tokenCountDuck("text")} AS BIGINT) AS n_tokens
+       |  FROM $docsRelation
+       |), nz AS (
+       |  SELECT * FROM t WHERE n_tokens > 0
+       |), c AS (
+       |  SELECT doc_id, $groupCol, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY $groupCol ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM nz
+       |)
+       |SELECT doc_id, $groupCol, n_tokens,
+       |  CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       |  CAST(floor((cum - n_tokens) / $seqTokens.0) AS BIGINT) AS seq_first,
+       |  CAST(floor((cum - 1) / $seqTokens.0) AS BIGINT) AS seq_last
+       |FROM c""".stripMargin
+
   /** DuckDB twin of [[chunk]] as a full SELECT (no trailing ORDER BY). */
   def chunkDuckSql(
       docsRelation: String,

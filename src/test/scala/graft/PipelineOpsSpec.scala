@@ -306,6 +306,66 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequences tiles each group's token stream exactly, empty docs occupy no span") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "one two three"),        // 3 tokens  → [0,3)
+      (2L, "a", "four five"),            // 2 tokens  → [3,5)
+      (3L, "a", ""),                     // empty → dropped
+      (4L, "a", "six seven eight nine"), // 4 tokens → [5,9)
+      (5L, "b", "alpha beta")            // own group → [0,2)
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.packSequences(docs, seqTokens = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("start_offset"),
+          r.getAs[Long]("seq_first"), r.getAs[Long]("seq_last"))).toMap
+    assert(out(1L) == ((3L, 0L, 0L, 0L)))
+    assert(out(2L) == ((2L, 3L, 0L, 1L))) // straddles the 4-token cut
+    assert(!out.contains(3L))
+    assert(out(4L) == ((4L, 5L, 1L, 2L)))
+    assert(out(5L) == ((2L, 0L, 0L, 0L))) // group b restarts at offset 0
+    // tiling invariant on real data: within a group, spans are
+    // contiguous and gap-free (next start == previous start + len)
+    val real = TextAnalysis.packSequences(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"), seqTokens = 512)
+      .orderBy("source", "doc_id").collect()
+    real.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      rows.foldLeft(0L) { (expected, r) =>
+        assert(r.getAs[Long]("start_offset") == expected, s"gap in group $src")
+        expected + r.getAs[Long]("n_tokens")
+      }
+    }
+  }
+
+  test("chunk property: digests equal a direct slice-by-slice reference on random texts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(8)
+    (1 to 8).foreach { trial =>
+      val chunkChars = 2 + rnd.nextInt(11)
+      val overlap = if (rnd.nextBoolean()) math.min(chunkChars / 2, chunkChars - 1) else 0
+      val stride = chunkChars - overlap
+      val ts = Seq.fill(6)(rnd.alphanumeric.take(rnd.nextInt(51)).mkString)
+      val docs = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val chunks = TextAnalysis.chunk(docs, chunkChars, overlap)
+        .collect()
+        .groupBy(_.getAs[Long]("doc_id"))
+      ts.zipWithIndex.foreach { case (t, i) =>
+        if (t.isEmpty) assert(!chunks.contains(i.toLong), s"trial $trial doc $i")
+        else {
+          // reference: every stride-offset slice of up to chunkChars
+          val expected = (0 until ((t.length - 1) / stride + 1)).map { c =>
+            val s = t.slice(c * stride, math.min(c * stride + chunkChars, t.length))
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+          }
+          val got = chunks(i.toLong).sortBy(_.getAs[Long]("chunk_no"))
+            .map(_.getAs[String]("digest")).toSeq
+          assert(got == expected, s"trial $trial doc $i chunk=$chunkChars overlap=$overlap")
+        }
+      }
+    }
+  }
+
   test("repetition counts duplicated tokens in fixed-point ppm") {
     import spark.implicits._
     val docs = Seq(
