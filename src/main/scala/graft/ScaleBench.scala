@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TableDiff
+import graft.sources.Tables
+
+/** Scaling-curve benchmark: the core diff and the pricing aggregate
+  * measured at 1×/4×/16× the sf0.1 row count (unique surrogate keys,
+  * so join fan-out stays 1:1). The point is the SHAPE of the curve:
+  * a plan that is O(n log n)-ish in the shuffle shows time ratios
+  * tracking data ratios; anything superlinear (accidental cartesian,
+  * driver materialization, codegen fallback) shows up immediately as
+  * a bending curve. Complements BENCH (absolute per-query times) with
+  * the evidence a 100 TB claim actually rests on.
+  */
+object ScaleBench {
+
+  private def time[A](iters: Int)(f: => A): Double =
+    (1 to iters).map { _ =>
+      val t0 = System.nanoTime()
+      f
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val fix = java.nio.file.Files.createTempDirectory("graft_scale_fix_").toString
+
+    // amplified orders with unique keys; the after side perturbs
+    // every 7th price and drops every 1000th key (real diff traffic)
+    def stage(mult: Int): (DataFrame, DataFrame, DataFrame) = {
+      val o = Tables.orders(spark, sfDir)
+        .crossJoin(spark.range(mult).toDF("r"))
+        .withColumn("k", col("o_orderkey") * mult + col("r"))
+        .select(col("k"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      o.write.mode("overwrite").parquet(s"$fix/before_$mult")
+      o.withColumn(
+          "o_totalprice",
+          when(pmod(col("k"), lit(7)) === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+        .filter(pmod(col("k"), lit(1000)) =!= 0)
+        .write.mode("overwrite").parquet(s"$fix/after_$mult")
+      val li = Tables.lineitem(spark, sfDir)
+        .crossJoin(spark.range(mult).toDF("r"))
+        .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+      li.write.mode("overwrite").parquet(s"$fix/lineitem_$mult")
+      (
+        spark.read.parquet(s"$fix/before_$mult"),
+        spark.read.parquet(s"$fix/after_$mult"),
+        spark.read.parquet(s"$fix/lineitem_$mult"))
+    }
+
+    val results = Seq(1, 4, 16, 64).map { mult =>
+      val (before, after, li) = stage(mult)
+      val nRows = before.count()
+      val diffSec = time(iters) {
+        TableDiff.diff(before, after, Seq("k")).count()
+      }
+      val aggSec = time(iters) {
+        li.groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
+            count(lit(1)).as("n"))
+          .count()
+      }
+      (mult, nRows, diffSec, aggSec)
+    }
+
+    val qs = results.map { case (m, n, d, a) =>
+      s""""x$m":{"rows":$n,"diff_sec":${f"$d%.3f"},"agg_sec":${f"$a%.3f"}}"""
+    }.mkString(",")
+    println(s"""{"metric":"scale_curve","iters":$iters,"sf":"$sfDir",$qs}""")
+    spark.stop()
+  }
+}
