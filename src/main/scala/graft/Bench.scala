@@ -77,7 +77,12 @@ object Bench {
       if (!emitSpread) ""
       else results.map { case (k, _, s) => "\"" + k + "\":" + fmt(s) }
         .mkString(""","spread":{""", ",", "}") + s""","iters":$iters"""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$spread,"sf":"$sfDir"}""")
+    // the total is ALSO repeated as the line's last key: the driver
+    // keeps only the tail of stdout, and at 100 queries the line's
+    // head (where "value" lives) no longer fits the capture window
+    // (BENCH_r07.json: "parsed": null, total lost) — the tail always
+    // survives, so the total must live there too
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$spread,"sf":"$sfDir","n_queries":${results.size},"total_sec":${fmt(total)}}""")
     spark.stop()
   }
 }
