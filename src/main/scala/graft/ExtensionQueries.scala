@@ -62,6 +62,23 @@ object ExtensionQueries {
       Dedup.simhashPairs(Corpus.docCorpus(s, dir)).orderBy("doc_a", "doc_b")),
     "q_dedup_embed" -> ((s, dir) =>
       Dedup.embeddingPairs(Corpus.embCorpus(s, dir)).orderBy("vec_a", "vec_b")),
+    "q_dedup_embed_apply" -> ((s, dir) => {
+      // the embedding APPLY step, symmetric with q_dedup_apply:
+      // near-dup pairs → clusters (min-label propagation) → drop
+      // every non-canonical member; singletons pass through the
+      // anti-join untouched
+      val corpus = Corpus.embCorpus(s, dir)
+      val labels = ConnectedComponents.labelPropagate(
+        Dedup.embeddingPairs(corpus), "vec_a", "vec_b",
+        numPartitions = Some(8))
+      corpus
+        .join(
+          labels.filter(col("node") =!= col("component"))
+            .select(col("node").as("vec_id")),
+          Seq("vec_id"), "left_anti")
+        .select("vec_id")
+        .orderBy("vec_id")
+    }),
     "q_dedup_embed_incremental" -> ((s, dir) => {
       // embedding ingest shape: the planted scaled copies arrive as a
       // new batch and pair against the existing corpus only (scale
@@ -545,6 +562,40 @@ object ExtensionQueries {
        |SELECT query_id, "rank", cand_id, cos_ppm FROM r
        |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
 
+  /** The embedding near-dup pairs as bare SQL (no final ORDER BY) —
+    * mirrors the Spark operator's comparison-bit band candidate
+    * generation (VectorExprs.cmpBandKeys*): one definition of
+    * semantics, two dialects, like the minhash oracle. Shared by the
+    * q_dedup_embed oracle and, as the edge list, by
+    * q_dedup_embed_apply's recursive-CTE reachability oracle.
+    */
+  private val embedPairsSql: String = {
+    val bandSelects = VectorExprs.cmpBandKeysDuck("embedding").zipWithIndex
+      .map { case (k, b) => s"SELECT vec_id, $b AS band, $k AS bkey FROM e" }
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH corpus AS (
+       |${Corpus.embCorpusSql}
+       |), e AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${VectorExprs.dotDuck("embedding", "embedding")}) AS norm
+       |  FROM corpus
+       |), bands AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id
+       |), p AS (
+       |  SELECT vec_a, vec_b,
+       |    CAST(floor(1e6 * ((${VectorExprs.dotDuck("ex.embedding", "ey.embedding")}) / (ex.norm * ey.norm))) AS BIGINT) AS cos_ppm
+       |  FROM cand
+       |  JOIN e ex ON ex.vec_id = cand.vec_a
+       |  JOIN e ey ON ey.vec_id = cand.vec_b
+       |)
+       |SELECT vec_a, vec_b, cos_ppm FROM p
+       |WHERE cos_ppm >= 999000""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_dedup_incremental" -> minhashIncrementalSql,
 
@@ -689,35 +740,33 @@ object ExtensionQueries {
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 4
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "q_dedup_embed" -> {
-      // mirrors the Spark operator's comparison-bit band candidate
-      // generation (VectorExprs.cmpBandKeys*) — one definition of
-      // semantics, two dialects, like the minhash oracle
-      val bandSelects = VectorExprs.cmpBandKeysDuck("embedding").zipWithIndex
-        .map { case (k, b) => s"SELECT vec_id, $b AS band, $k AS bkey FROM e" }
-        .mkString("\n  UNION ALL\n  ")
-      s"""WITH corpus AS (
+    "q_dedup_embed" ->
+      s"$embedPairsSql ORDER BY vec_a, vec_b",
+
+    "q_dedup_embed_apply" ->
+      // same reachability oracle as q_dedup_apply, edge list = the
+      // embedding near-dup pairs; survivors = corpus minus every
+      // non-canonical cluster member
+      s"""WITH RECURSIVE pairs AS (
+         |$embedPairsSql
+         |), edges AS (
+         |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+         |  UNION
+         |  SELECT vec_b, vec_a FROM pairs
+         |), nodes AS (
+         |  SELECT DISTINCT src AS node FROM edges
+         |), reach(node, lbl) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+         |), comp AS (
+         |  SELECT node AS vec_id, MIN(lbl) AS component FROM reach GROUP BY node
+         |), corpus2 AS (
          |${Corpus.embCorpusSql}
-         |), e AS (
-         |  SELECT vec_id, embedding,
-         |         sqrt(${VectorExprs.dotDuck("embedding", "embedding")}) AS norm
-         |  FROM corpus
-         |), bands AS (
-         |  $bandSelects
-         |), cand AS (
-         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id
-         |), p AS (
-         |  SELECT vec_a, vec_b,
-         |    CAST(floor(1e6 * ((${VectorExprs.dotDuck("ex.embedding", "ey.embedding")}) / (ex.norm * ey.norm))) AS BIGINT) AS cos_ppm
-         |  FROM cand
-         |  JOIN e ex ON ex.vec_id = cand.vec_a
-         |  JOIN e ey ON ey.vec_id = cand.vec_b
          |)
-         |SELECT vec_a, vec_b, cos_ppm FROM p
-         |WHERE cos_ppm >= 999000 ORDER BY vec_a, vec_b""".stripMargin
-    },
+         |SELECT c.vec_id FROM corpus2 c
+         |WHERE c.vec_id NOT IN (SELECT vec_id FROM comp WHERE vec_id <> component)
+         |ORDER BY vec_id""".stripMargin,
 
     "q_embed_topk_brute" ->
       s"""WITH q AS (
