@@ -102,20 +102,45 @@ object TextExprs {
     s"[$mins]"
   }
 
-  /** LSH band keys: fold each band of RowsPerBand signature values
+  /** LSH band keys: fold each band of `rowsPerBand` signature values
     * into one BIGINT key. `sig` is the signature array column.
     * Returns one (band, key) expression per band.
+    *
+    * The (bands, rowsPerBand) pair is THE recall/cost dial of
+    * MinHash LSH: match probability for a pair with Jaccard j is
+    * 1−(1−j^rowsPerBand)^bands, so more, narrower bands catch
+    * fainter similarity at the price of more candidate pairs to
+    * verify. Bands are laid out contiguously over the signature, so
+    * any banding whose width divides a coarser one's yields a
+    * SUPERSET of its candidates (a w-wide agreeing band contains
+    * agreeing w/2-wide halves) — pinned in DedupSimilaritySpec.
+    * Defaults ([[Bands]]×[[RowsPerBand]]) are what the oracled
+    * queries use.
     */
-  def bandKeysSpark(sig: String): Seq[String] =
-    (0 until Bands).map { b =>
-      val idx = (0 until RowsPerBand).map(r => s"$sig[${b * RowsPerBand + r}]")
+  def bandKeysSpark(
+      sig: String,
+      bands: Int = Bands,
+      rowsPerBand: Int = RowsPerBand): Seq[String] = {
+    requireBanding(bands, rowsPerBand)
+    (0 until bands).map { b =>
+      val idx = (0 until rowsPerBand).map(r => s"$sig[${b * rowsPerBand + r}]")
       idx.tail.foldLeft(idx.head)((acc, m) => s"(($acc) * 31 + $m) % $P")
     }
-  def bandKeysDuck(sig: String): Seq[String] =
-    (0 until Bands).map { b =>
-      val idx = (0 until RowsPerBand).map(r => s"$sig[${b * RowsPerBand + r + 1}]")
+  }
+  def bandKeysDuck(
+      sig: String,
+      bands: Int = Bands,
+      rowsPerBand: Int = RowsPerBand): Seq[String] = {
+    requireBanding(bands, rowsPerBand)
+    (0 until bands).map { b =>
+      val idx = (0 until rowsPerBand).map(r => s"$sig[${b * rowsPerBand + r + 1}]")
       idx.tail.foldLeft(idx.head)((acc, m) => s"(($acc) * 31 + $m) % $P")
     }
+  }
+  private def requireBanding(bands: Int, rowsPerBand: Int): Unit =
+    require(
+      bands >= 1 && rowsPerBand >= 1 && bands * rowsPerBand <= NumMinhash,
+      s"banding $bands×$rowsPerBand exceeds the $NumMinhash-value signature")
 
   /** Count of positions where two signature arrays agree (MinHash
     * Jaccard estimate numerator, out of NumMinhash).

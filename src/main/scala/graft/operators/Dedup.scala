@@ -159,9 +159,15 @@ object Dedup {
       .pipe(graft.operators.Dedup.persistTracked)
   }
 
-  /** (doc_id, sig, band, bkey) LSH band rows for a signature table. */
-  private def bandRows(toks: DataFrame): DataFrame = {
-    val bandStructs = bandKeysSpark("sig").zipWithIndex
+  /** (doc_id, sig, band, bkey) LSH band rows for a signature table.
+    * `bands`×`rowsPerBand` is the recall/cost dial — see
+    * [[graft.functions.TextExprs.bandKeysSpark]].
+    */
+  private def bandRows(
+      toks: DataFrame,
+      bands: Int = graft.functions.TextExprs.Bands,
+      rowsPerBand: Int = graft.functions.TextExprs.RowsPerBand): DataFrame = {
+    val bandStructs = bandKeysSpark("sig", bands, rowsPerBand).zipWithIndex
       .map { case (k, b) => s"struct($b AS band, $k AS bkey)" }
       .mkString(", ")
     toks.select(
@@ -176,17 +182,19 @@ object Dedup {
       n: Int = 3,
       minAgree: Int = NumMinhash / 2,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      bands: Int = graft.functions.TextExprs.Bands,
+      rowsPerBand: Int = graft.functions.TextExprs.RowsPerBand): DataFrame = {
     PolyHash.register(docs.sparkSession)
     graft.functions.MinHashSig.register(docs.sparkSession)
     val toks = minhashSignatures(docs, n, textCol, idCol)
-    val bands = bandRows(toks)
+    val bandRws = bandRows(toks, bands, rowsPerBand)
     // distinct over the BARE id pair (a pair can collide in several
     // bands), then re-join the persisted signatures: deduplicating
     // rows that carry two 32-long arrays makes the exchange and the
     // hash compare pay for 64 longs per row; the narrow form ships 2
-    val cand = bands.as("x")
-      .join(bands.as("y"),
+    val cand = bandRws.as("x")
+      .join(bandRws.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

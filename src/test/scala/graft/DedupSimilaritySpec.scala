@@ -47,6 +47,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(near >= Math.ceil(500.0 / 11).toLong * 8 / 10, s"minhash near-dup recall too low: $near")
   }
 
+  test("band tuning: narrower bands yield a candidate superset (the recall dial)") {
+    // contiguous band layout ⇒ a w-wide agreeing band contains
+    // agreeing halves, so halving rowsPerBand can only ADD candidates
+    def cand(bands: Int, rpb: Int) = Dedup
+      .minhashPairs(corpus, minAgree = 0, bands = bands, rowsPerBand = rpb)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val coarse = cand(4, 8)
+    val default = cand(8, 4)
+    val fine = cand(16, 2)
+    assert(coarse.subsetOf(default), "8-wide candidates must survive 4-wide banding")
+    assert(default.subsetOf(fine), "4-wide candidates must survive 2-wide banding")
+    // and the dial actually moves: finer banding finds strictly more
+    // at this corpus' similarity spread
+    assert(fine.size > default.size && default.size > coarse.size,
+      s"sizes ${coarse.size} / ${default.size} / ${fine.size}")
+    // oversubscribing the signature is rejected
+    intercept[IllegalArgumentException] {
+      Dedup.minhashPairs(corpus, bands = 16, rowsPerBand = 4)
+    }
+  }
+
   test("SimHash: exact copies at Hamming 0") {
     val p = Dedup.simhashPairs(corpus).cache()
     // exact copies share source block and fingerprint; restrict doc_a to
