@@ -34,14 +34,23 @@ object Bench {
         s"SPARK_GRAFT_BENCH_ONLY names no known query: ${unknown.toSeq.sorted.mkString(", ")}")
     }
     val emitSpread = sys.env.get("SPARK_GRAFT_BENCH_SPREAD").contains("1")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // experiment knob: extra session confs as "k=v;k=v" (e.g. a state
+    // -store provider A/B) — unset leaves the driver's default
+    // configuration byte-identical
+    sys.env.get("SPARK_GRAFT_SPARK_CONF").foreach {
+      _.split(';').map(_.trim).filter(_.contains('=')).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      }
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // extensions always on — see the note in Verify: plan shapes must
     // not depend on query execution order
