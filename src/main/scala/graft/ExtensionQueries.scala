@@ -173,6 +173,32 @@ object ExtensionQueries {
       SimilaritySearch.probe(idx, e.filter(col("vec_id") % 97 === 0))
         .orderBy("query_id", "rank")
     }),
+    "q_stream_ann_append" -> ((s, dir) => {
+      // the STREAMING ingest shape: same base index as the batch
+      // incremental query (two thirds of the corpus, frozen
+      // centroids), but the remaining third arrives as a 4-slice
+      // micro-batch stream and each batch is folded into the
+      // assignment table via foreachBatch + appendToIndex — the
+      // production "vectors trickle in, index absorbs them" loop.
+      // Assignment is a pure per-vector nearest-centroid function, so
+      // any batch split yields the identical index and the oracle is
+      // the batch-incremental one verbatim.
+      val e = Tables.embeddings(s, dir)
+      val base = SimilaritySearch.buildIndex(
+        e.filter(col("vec_id") % 3 =!= 0), centroidMod = 50)
+      val assignments = graft.streaming.StreamRunner.foldBatches(
+        graft.streaming.StreamRunner.slicedStream(
+          e.filter(col("vec_id") % 3 === 0), "vec_id", slices = 4,
+          tag = s"${java.nio.file.Paths.get(dir).toAbsolutePath}#emb_mod3"),
+        base.assignments) { (acc, batch, _) =>
+        SimilaritySearch.appendToIndex(
+          SimilaritySearch.IvfIndex(base.centroids, acc), batch).assignments
+      }
+      SimilaritySearch.probe(
+          SimilaritySearch.IvfIndex(base.centroids, assignments),
+          e.filter(col("vec_id") % 97 === 0))
+        .orderBy("query_id", "rank")
+    }),
 
     // ---- text analysis ----
     "q_text_tokens" -> ((s, dir) =>
@@ -797,6 +823,12 @@ object ExtensionQueries {
       // same algebra, index built from two thirds of the corpus: the
       // appended third is assigned by the identical nearest-centroid
       // formula, so only the seed/Lloyd CTEs carry the build filter
+      ivfOracleSql(buildWhere = "vec_id % 3 <> 0"),
+
+    "q_stream_ann_append" ->
+      // batch-split invariance is the claim under test: the streamed
+      // fold must land on the same index as the batch append, so the
+      // oracle is the batch-incremental one verbatim
       ivfOracleSql(buildWhere = "vec_id % 3 <> 0"),
 
     "q_text_tokens" ->

@@ -118,13 +118,28 @@ object StreamRunner {
     * see q_stream_scd2); no watermark machinery is involved, so the
     * normalized NTZ timestamps are staged as-is.
     */
-  def slicedEventsStream(spark: SparkSession, dir: String, slices: Int): DataFrame = {
+  def slicedEventsStream(spark: SparkSession, dir: String, slices: Int): DataFrame =
+    slicedStream(
+      graft.sources.Tables.events(spark, dir), "event_id", slices,
+      tag = s"${Paths.get(dir).toAbsolutePath}#events")
+
+  /** Generalization of [[slicedEventsStream]] to any keyed DataFrame:
+    * slice i holds the rows with `pmod(keyCol, slices) = i`, staged as
+    * one parquet file each with strictly increasing modification times
+    * and delivered one slice per micro-batch. `tag` must identify the
+    * DATASET (it keys the per-JVM stage cache — the upstream plan is
+    * evaluated once per distinct (tag, keyCol, slices)). This is the
+    * ingest harness for non-event streams: embedding batches folding
+    * into an ANN index, document batches folding into dedup
+    * signatures.
+    */
+  def slicedStream(df: DataFrame, keyCol: String, slices: Int, tag: String): DataFrame = {
     require(slices >= 1, "need at least one slice")
-    val ev = graft.sources.Tables.events(spark, dir)
+    val spark = df.sparkSession
     val digest = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s"${Paths.get(dir).toAbsolutePath}#slices=$slices".getBytes("UTF-8"))
+      .digest(s"$tag#key=$keyCol#slices=$slices".getBytes("UTF-8"))
       .take(12).map(b => f"$b%02x").mkString
-    val (stageDir, _) = stageCache.computeIfAbsent(digest, { _ =>
+    val (stageDir, schema) = stageCache.computeIfAbsent(digest, { _ =>
       val stage = Paths.get(
         System.getProperty("java.io.tmpdir"),
         s"graft_stream_slices_${digest}_$jvmNonce")
@@ -132,8 +147,8 @@ object StreamRunner {
       import scala.jdk.CollectionConverters._
       (0 until slices).foreach { i =>
         val tmp = Files.createTempDirectory("graft_slice_")
-        ev.filter(org.apache.spark.sql.functions.pmod(
-            org.apache.spark.sql.functions.col("event_id"),
+        df.filter(org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.col(keyCol),
             org.apache.spark.sql.functions.lit(slices)) === i)
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val listing = Files.list(tmp)
@@ -154,10 +169,10 @@ object StreamRunner {
           .iterator().asScala.foreach(f => Files.deleteIfExists(f))
         finally walk.close()
       }
-      (stage.toString, ev.schema)
+      (stage.toString, df.schema)
     })
     spark.readStream
-      .schema(ev.schema)
+      .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stageDir)
   }

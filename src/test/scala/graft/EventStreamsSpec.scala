@@ -206,4 +206,30 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(!types.contains("deleted"))
     assert(streamed.filter(col("valid_to").isNotNull).count() > 0)
   }
+
+  test("streamed IVF append equals batch append (batch-split invariance)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SimilaritySearch
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    val base = SimilaritySearch.buildIndex(
+      e.filter(col("vec_id") % 3 =!= 0), centroidMod = 50)
+    val streamed = graft.streaming.StreamRunner.foldBatches(
+      graft.streaming.StreamRunner.slicedStream(
+        e.filter(col("vec_id") % 3 === 0), "vec_id", slices = 3,
+        tag = s"$dir#emb_mod3_spec"),
+      base.assignments) { (acc, batch, _) =>
+      SimilaritySearch.appendToIndex(
+        SimilaritySearch.IvfIndex(base.centroids, acc), batch).assignments
+    }
+    val batched = SimilaritySearch.appendToIndex(
+      base, e.filter(col("vec_id") % 3 === 0)).assignments
+    // the assignment TABLES agree row-for-row (modulo order), so any
+    // probe over the streamed index is the batch answer by construction
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("cand_id"), col("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(key(streamed) == key(batched))
+    assert(streamed.count() == e.count())
+  }
 }
