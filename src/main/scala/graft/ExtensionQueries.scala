@@ -362,6 +362,8 @@ object ExtensionQueries {
         .orderBy("source", "rn")),
     "q_text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_text_naturalness" -> ((s, dir) =>
+      TextAnalysis.naturalness(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_pii_scrub" -> ((s, dir) => {
       // PII redaction over a planted corpus: every 3rd doc gains an
       // email, every 5th a phone, every 7th an IPv4 (deterministic,
@@ -957,6 +959,9 @@ object ExtensionQueries {
       s"""SELECT doc_id,
          |  ${TextAnalysis.repetitionDuckProjection("text")}
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_naturalness" ->
+      TextAnalysis.naturalnessDuckSql("documents"),
 
     "q_pii_scrub" ->
       s"""WITH planted AS (

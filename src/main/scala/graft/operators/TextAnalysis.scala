@@ -314,6 +314,84 @@ object TextAnalysis {
     * the email token first — order is part of the contract). Pure
     * regexp projection: zero shuffle, codegen'd, linear at any scale.
     */
+  /** Corpus-relative character-bigram naturalness — the perplexity
+    * family's quality signal without the logarithm. A char-bigram
+    * model is fit on the corpus itself: for every adjacent pair
+    * `c₁c₂` of `lower(text)`, `p(c₂|c₁) = count(c₁c₂)/count(c₁·)`,
+    * quantized to ppm. Each document then scores the MEAN model
+    * probability of its own bigram occurrences. Natural prose
+    * concentrates on high-probability transitions; mojibake, base64
+    * blobs, and key-mash garbage live in the model's tail — the same
+    * ordering a perplexity filter produces, which is why per-token
+    * log-probability filters are standard in LLM corpus curation.
+    *
+    * Log-free on purpose, like [[tfIdfTopTerms]]: `ln`
+    * implementations are only ulp-accurate and an ulp under `floor`
+    * is a cross-engine cliff. Here every step is integer arithmetic
+    * (counts, a ppm quantization with ONE IEEE division, an exact
+    * BIGINT sum, one final division) so the score is bit-reproducible
+    * in any engine and under any aggregation order.
+    *
+    * Scale shape: the model is at most |charset|² rows regardless of
+    * corpus size — it re-joins the gram stream as a broadcast. Two
+    * aggregations (model fit, per-doc mean) are the only shuffles,
+    * both on keys with bounded (gram) or natural (doc) cardinality.
+    * Docs shorter than 2 chars have no bigrams and score (0, 0) via
+    * the left join.
+    */
+  def naturalness(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .filter(length(col(textCol)) >= 2)
+      .select(
+        col(idCol),
+        explode(expr(
+          s"transform(sequence(1, length($textCol) - 1), i -> substring(lower($textCol), i, 2))"))
+          .as("gram"))
+    val model = grams
+      .groupBy("gram").agg(count(lit(1)).as("c2"))
+      .withColumn(
+        "c1", sum(col("c2")).over(Window.partitionBy(expr("substring(gram, 1, 1)"))))
+      .select(col("gram"), expr(ppmSpark("c2", "c1")).cast("long").as("p_ppm"))
+    val perDoc = grams
+      .join(broadcast(model), "gram")
+      .groupBy(idCol)
+      .agg(sum(col("p_ppm")).as("sum_ppm"), count(lit(1)).as("n"))
+    docs
+      .select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n"), lit(0L)).cast("long").as("n_bigrams"),
+        coalesce(
+          expr("CAST(floor(CAST(sum_ppm AS DOUBLE) / n) AS BIGINT)"),
+          lit(0L)).as("naturalness_ppm"))
+  }
+
+  /** DuckDB twin of [[naturalness]] as a full SELECT (ORDER BY doc_id). */
+  def naturalnessDuckSql(docsRelation: String): String =
+    s"""WITH pos AS (
+       |  SELECT doc_id, lower(text) AS t, unnest(range(1, length(text))) AS i
+       |  FROM $docsRelation WHERE length(text) >= 2
+       |), grams AS (
+       |  SELECT doc_id, substr(t, CAST(i AS INT), 2) AS gram FROM pos
+       |), c AS (
+       |  SELECT gram, COUNT(*) AS c2 FROM grams GROUP BY gram
+       |), model AS (
+       |  SELECT gram, ${ppmDuck("c2", "c1")} AS p_ppm
+       |  FROM (SELECT gram, c2,
+       |          CAST(SUM(c2) OVER (PARTITION BY substr(gram, 1, 1)) AS BIGINT) AS c1
+       |        FROM c)
+       |), per_doc AS (
+       |  SELECT g.doc_id, CAST(SUM(m.p_ppm) AS BIGINT) AS sum_ppm, COUNT(*) AS n
+       |  FROM grams g JOIN model m USING (gram) GROUP BY g.doc_id
+       |)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(p.n, 0) AS BIGINT) AS n_bigrams,
+       |  COALESCE(CAST(floor(CAST(p.sum_ppm AS DOUBLE) / p.n) AS BIGINT), 0) AS naturalness_ppm
+       |FROM $docsRelation d LEFT JOIN per_doc p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   def redactPii(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val redacted = PiiPatterns.foldLeft(col(textCol)) {
       case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)

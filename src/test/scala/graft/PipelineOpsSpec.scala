@@ -573,4 +573,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(plan.contains("TopKPerGroup") || !plan.contains("Window"),
       s"expected bounded-heap top-k, got:\n$plan")
   }
+
+  test("naturalness ranks key-mash garbage below natural prose") {
+    import spark.implicits._
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "the other dog sits near the old stone wall in the sun"
+    val docs = Seq(
+      (1L, prose),
+      (2L, prose.reverse.filterNot(_ == ' ').grouped(4).mkString(" ")), // shredded transitions
+      (3L, "zq xv kj qz vx jk zq xv kj qz vx jk zq xv kj qz"),          // key mash
+      (4L, prose),                                                      // natural twin of 1
+      (5L, "a"),                                                        // sub-bigram doc
+      (6L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.naturalness(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("naturalness_ppm"))).toMap
+    // every doc reappears, including the no-bigram ones at (0, 0)
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(out(5L) == ((0L, 0L)) && out(6L) == ((0L, 0L)))
+    // identical docs score identically; prose beats both garbage forms
+    assert(out(1L) == out(4L))
+    assert(out(1L)._2 > out(3L)._2,
+      s"prose ${out(1L)._2} should beat key-mash ${out(3L)._2}")
+    assert(out(1L)._2 > out(2L)._2,
+      s"prose ${out(1L)._2} should beat shredded text ${out(2L)._2}")
+    // bigram geometry: n_bigrams = len - 1 for the prose docs
+    assert(out(1L)._1 == (prose.length - 1).toLong)
+  }
 }
