@@ -58,6 +58,15 @@ object ExtensionQueries {
       Dedup.ngramJaccardPairs(Corpus.docCorpus(s, dir)).orderBy("doc_a", "doc_b")),
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(Corpus.docCorpus(s, dir)).orderBy("doc_a", "doc_b")),
+    "q_dedup_minhash_fine" -> ((s, dir) =>
+      // the banding dial at the high-recall end: 16 bands × 2 rows
+      // admits weaker-overlap candidates than the default 8×4 (match
+      // probability 1-(1-j^r)^b), trading verify cost for recall —
+      // the setting a near-dup-averse curation run picks. Same
+      // signatures, same n_agree gate; only candidate generation
+      // widens.
+      Dedup.minhashPairs(Corpus.docCorpus(s, dir), bands = 16, rowsPerBand = 2)
+        .orderBy("doc_a", "doc_b")),
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Corpus.docCorpus(s, dir)).orderBy("doc_a", "doc_b")),
     "q_dedup_embed" -> ((s, dir) =>
@@ -442,8 +451,8 @@ object ExtensionQueries {
     * shared by the q_dedup_minhash oracle and, as the edge list, by
     * the q_dedup_clusters recursive-CTE oracle.
     */
-  private val minhashPairsSql: String = {
-    val bandSelects = bandKeysDuck("sig").zipWithIndex
+  private def minhashPairsSqlWith(bands: Int, rowsPerBand: Int): String = {
+    val bandSelects = bandKeysDuck("sig", bands, rowsPerBand).zipWithIndex
       .map { case (k, b) => s"SELECT doc_id, $b AS band, $k AS bkey FROM tok" }
       .mkString("\n  UNION ALL\n  ")
     s"""WITH corpus AS (
@@ -472,6 +481,8 @@ object ExtensionQueries {
        |SELECT doc_a, doc_b, n_agree FROM r
        |WHERE n_agree >= ${NumMinhash / 2}""".stripMargin
   }
+
+  private val minhashPairsSql: String = minhashPairsSqlWith(Bands, RowsPerBand)
 
   /** Cross-corpus (new × corpus) minhash pair SQL for the incremental
     * dedup oracle — same signature/band algebra as [[minhashPairsSql]]
@@ -694,6 +705,9 @@ object ExtensionQueries {
 
     "q_dedup_minhash" ->
       s"$minhashPairsSql ORDER BY doc_a, doc_b",
+
+    "q_dedup_minhash_fine" ->
+      s"${minhashPairsSqlWith(bands = 16, rowsPerBand = 2)} ORDER BY doc_a, doc_b",
 
     "q_dedup_fuzzy_verify" ->
       s"""WITH pairs AS (
