@@ -327,6 +327,23 @@ object ExtensionQueries {
           max("o_orderkey").as("max_key"))
         .orderBy("o_orderstatus")
     }),
+    "q_mixture_sample" -> ((s, dir) => {
+      // token-budget mixture sampling: fill each source's char budget
+      // in re-mixed-hash order — "20 B tokens of web, 5 B of code" at
+      // corpus scale, reproducible and monotone under budget growth.
+      // Budgets bind at sf0.01+ (each source carries ~8k chars per
+      // 0.01 SF), so the kept set is a real prefix, not the whole
+      // stratum.
+      graft.functions.PolyHash.register(s)
+      val h = graft.functions.TextExprs.charHashSpark("CAST(doc_id AS STRING)")
+      graft.operators.Sampling
+        .mixtureByBudget(
+          Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+          "source", "n_chars", h, "doc_id",
+          Seq("src0" -> 4000L, "src1" -> 2000L), defaultBudget = 3000L)
+        .select("doc_id", "source", "running_weight")
+        .orderBy("source", "running_weight", "doc_id")
+    }),
     "q_zorder_key" -> ((s, dir) => {
       // Morton-interleave (part, supplier) into a Z-key and roll up
       // per 2^24-wide Z-cell — the layout stat a writer would use to
@@ -927,6 +944,23 @@ object ExtensionQueries {
         |  FROM exact)
         |SELECT k AS l_suppkey, cnt, rank, TRUE AS cms_ok
         |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "q_mixture_sample" -> {
+      val h = graft.functions.TextExprs.charHashDuck("CAST(doc_id AS VARCHAR)")
+      val b = graft.operators.Sampling.budgetCase(
+        "source", Seq("src0" -> 4000L, "src1" -> 2000L), 3000L)
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(SUM(CAST(n_chars AS BIGINT)) OVER (
+         |      PARTITION BY source
+         |      ORDER BY (${graft.operators.Sampling.mixedHash(h)}), doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_weight
+         |  FROM documents
+         |)
+         |SELECT doc_id, source, running_weight FROM t
+         |WHERE running_weight <= ($b)
+         |ORDER BY source, running_weight, doc_id""".stripMargin
+    },
 
     "q_stratified_sample" -> {
       val h = graft.functions.TextExprs.charHashDuck("CAST(o_orderkey AS VARCHAR)")

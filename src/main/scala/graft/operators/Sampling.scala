@@ -118,6 +118,56 @@ object Sampling {
       .withColumn("rn", expr("CAST(rn AS BIGINT)"))
   }
 
+  /** Token-budget mixture sampling: fill each stratum's weight budget
+    * (tokens, chars, bytes — whatever `weightCol` measures) by taking
+    * rows in re-mixed-hash order until the running total would pass
+    * the budget, then stop. This is how training mixtures are
+    * actually specified — "20 B tokens of web, 5 B of code" — and the
+    * hash ordering makes the kept set a uniform, REPRODUCIBLE draw:
+    * re-runs and other engines keep exactly the same rows, and
+    * growing the budget only ever ADDS rows (the hash order is a
+    * fixed permutation per stratum), so mixture revisions are
+    * monotone, never a reshuffle.
+    *
+    * One shuffle on `strataCol` (the window), no RNG, no driver
+    * state. A row larger than the remaining budget ends its stratum's
+    * fill — budgets are honored as hard ceilings.
+    *
+    * Output adds `running_weight`, the stratum-cumulative weight
+    * through each kept row (ends ≤ the stratum budget by
+    * construction).
+    */
+  def mixtureByBudget(
+      df: DataFrame,
+      strataCol: String,
+      weightCol: String,
+      hashExpr: String,
+      idCol: String,
+      budgets: Seq[(String, Long)],
+      defaultBudget: Long): DataFrame = {
+    require(budgets.nonEmpty, "need at least one stratum budget")
+    require(budgets.forall(_._2 >= 0) && defaultBudget >= 0,
+      "budgets must be non-negative")
+    require(!df.columns.contains("running_weight"),
+      "mixtureByBudget exposes column 'running_weight' but the input already has one — rename it first")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, sum}
+    val w = Window.partitionBy(strataCol)
+      .orderBy(expr(mixedHash(hashExpr)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("running_weight", sum(col(weightCol).cast("long")).over(w))
+      .filter(expr(
+        s"running_weight <= (${budgetCase(strataCol, budgets, defaultBudget)})"))
+  }
+
+  /** The dialect-neutral `CASE stratum WHEN ... END` budget picker —
+    * shared verbatim by the Spark filter and the DuckDB oracle.
+    */
+  def budgetCase(strataCol: String, budgets: Seq[(String, Long)], defaultBudget: Long): String =
+    s"CASE $strataCol " +
+      budgets.map { case (v, b) => s"WHEN '${sq(v)}' THEN $b" }.mkString(" ") +
+      s" ELSE $defaultBudget END"
+
   /** Single-quote escape for values interpolated into the generated
     * CASE expressions — a stratum named `o'reilly` must not truncate
     * (or rewrite) the predicate.

@@ -574,6 +574,48 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"expected bounded-heap top-k, got:\n$plan")
   }
 
+  test("mixtureByBudget fills budgets as hard ceilings, monotone under growth") {
+    import spark.implicits._
+    val docs = (1L to 40L).map { i =>
+      (i, if (i <= 20) "web" else "code", 10L + (i % 7))
+    }.toDF("doc_id", "source", "n_chars")
+    val h = "CAST(doc_id AS STRING)" // ascii digits hash fine through length+codes
+    def keep(webBudget: Long) = Sampling
+      .mixtureByBudget(
+        docs, "source", "n_chars",
+        graft.functions.TextExprs.charHashSpark(h), "doc_id",
+        Seq("web" -> webBudget), defaultBudget = 60L)
+      .collect()
+    graft.functions.PolyHash.register(spark)
+    val small = keep(50L)
+    val big = keep(120L)
+    // hard ceiling: every stratum's running total ends within budget
+    def maxRunning(rows: Array[org.apache.spark.sql.Row], src: String) = rows
+      .filter(_.getAs[String]("source") == src)
+      .map(_.getAs[Long]("running_weight")).maxOption.getOrElse(0L)
+    assert(maxRunning(small, "web") <= 50L)
+    assert(maxRunning(big, "web") <= 120L)
+    assert(maxRunning(small, "code") <= 60L)
+    // monotone: growing one budget only ADDS rows, and only in that stratum
+    def ids(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.getAs[Long]("doc_id")).toSet
+    assert(ids(small).subsetOf(ids(big)))
+    assert(ids(big).size > ids(small).size)
+    assert(
+      ids(small).filter(_ > 20L) == ids(big).filter(_ > 20L),
+      "untouched stratum must keep the identical row set")
+    // deterministic: same inputs, same rows
+    assert(ids(keep(50L)) == ids(small))
+    // collision guard mirrors perGroupCap's
+    val clash = docs.withColumnRenamed("n_chars", "running_weight")
+    assertThrows[IllegalArgumentException] {
+      Sampling.mixtureByBudget(
+        clash, "source", "running_weight",
+        graft.functions.TextExprs.charHashSpark(h), "doc_id",
+        Seq("web" -> 10L), 10L)
+    }
+  }
+
   test("naturalness ranks key-mash garbage below natural prose") {
     import spark.implicits._
     val prose = "the quick brown fox jumps over the lazy dog and then " +
