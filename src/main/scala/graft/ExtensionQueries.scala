@@ -327,6 +327,30 @@ object ExtensionQueries {
           max("o_orderkey").as("max_key"))
         .orderBy("o_orderstatus")
     }),
+    "q_url_filter" -> ((s, dir) => {
+      // domain-blocklist filtering over a planted URL column
+      // (deterministic construction mirrored verbatim in the SQL
+      // twin): extract the registered domain with the shared
+      // Java∩RE2 patterns, anti-join the blocklist table, and roll
+      // up the survivors per domain. host-2/host-5 must vanish
+      // entirely — a lazy or over-eager extraction turns the row red.
+      import s.implicits._
+      val planted = Tables.documents(s, dir).select(
+        col("doc_id"), col("n_chars"),
+        concat(
+          lit("https://"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("www.")).otherwise(lit("")),
+          lit("host-"), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".com/p/"), col("doc_id").cast("string"), lit("?utm=1")).as("url"))
+      TextAnalysis
+        .dropBlockedDomains(
+          planted, "url", Seq("host-2.com", "host-5.com").toDF("domain"))
+        .groupBy("registered_domain")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("sum_chars"))
+        .orderBy("registered_domain")
+    }),
     "q_mixture_sample" -> ((s, dir) => {
       // token-budget mixture sampling: fill each source's char budget
       // in re-mixed-hash order — "20 B tokens of web, 5 B of code" at
@@ -944,6 +968,28 @@ object ExtensionQueries {
         |  FROM exact)
         |SELECT k AS l_suppkey, cnt, rank, TRUE AS cms_ok
         |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "q_url_filter" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id, n_chars,
+         |    'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+         |    || 'host-' || CAST(doc_id % 7 AS VARCHAR) || '.com/p/'
+         |    || CAST(doc_id AS VARCHAR) || '?utm=1' AS url
+         |  FROM documents
+         |), d AS (
+         |  SELECT doc_id, n_chars,
+         |    regexp_extract(
+         |      regexp_extract(url, 'https?://([^/?#]+)', 1),
+         |      '([^.]+\\.[^.]+)$$', 1) AS registered_domain
+         |  FROM planted
+         |)
+         |SELECT registered_domain,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
+         |FROM d
+         |WHERE registered_domain NOT IN ('host-2.com', 'host-5.com')
+         |GROUP BY registered_domain
+         |ORDER BY registered_domain""".stripMargin,
 
     "q_mixture_sample" -> {
       val h = graft.functions.TextExprs.charHashDuck("CAST(doc_id AS VARCHAR)")

@@ -392,6 +392,48 @@ object TextAnalysis {
        |FROM $docsRelation d LEFT JOIN per_doc p USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** URL host extraction pattern, in the Java-regex ∩ RE2 dialect
+    * (no lookaround): group 1 is everything between the scheme and
+    * the first `/`, `?`, or `#`.
+    */
+  val UrlHostPattern = "https?://([^/?#]+)"
+
+  /** Registered-domain-ish pattern: the last two dot-labels of a
+    * host. (A real deployment loads the public-suffix list; two
+    * labels is the convention-free approximation that needs no
+    * external data.)
+    */
+  val RegisteredDomainPattern = "([^.]+\\.[^.]+)$"
+
+  /** The registered domain of a URL column — two codegen'd
+    * `regexp_extract`s, no UDF.
+    */
+  def urlRegisteredDomain(urlCol: String): Column =
+    regexp_extract(
+      regexp_extract(col(urlCol), UrlHostPattern, 1), RegisteredDomainPattern, 1)
+
+  /** Domain-blocklist filtering, the first gate of every web-corpus
+    * curation pipeline: extract each row's registered domain and drop
+    * rows whose domain appears in `blocklist` (a one-column `domain`
+    * DataFrame). The blocklist is a TABLE, not a literal predicate,
+    * because production block sets are large (UT1 and friends carry
+    * millions of entries) — the LEFT ANTI join lets Spark broadcast a
+    * small list or shuffle-join a huge one, both without driver-side
+    * materialization. Output keeps the extracted `registered_domain`
+    * for downstream per-domain caps/stats.
+    */
+  def dropBlockedDomains(
+      df: DataFrame, urlCol: String, blocklist: DataFrame): DataFrame = {
+    require(blocklist.columns.sameElements(Array("domain")),
+      s"blocklist must have exactly one column 'domain', got ${blocklist.columns.mkString(", ")}")
+    require(!df.columns.contains("registered_domain"),
+      "dropBlockedDomains exposes column 'registered_domain' but the input already has one — rename it first")
+    df.withColumn("registered_domain", urlRegisteredDomain(urlCol))
+      .join(
+        blocklist.withColumnRenamed("domain", "registered_domain"),
+        Seq("registered_domain"), "left_anti")
+  }
+
   def redactPii(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val redacted = PiiPatterns.foldLeft(col(textCol)) {
       case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)

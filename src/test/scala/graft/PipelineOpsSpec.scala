@@ -574,6 +574,36 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"expected bounded-heap top-k, got:\n$plan")
   }
 
+  test("dropBlockedDomains strips subdomains to the registered domain and drops exactly the blocklist") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "https://www.bad.com/x?y=1"),
+      (2L, "http://deep.sub.bad.com/y"),
+      (3L, "https://good.com/z#frag"),
+      (4L, "https://also-good.org"),     // no path at all
+      (5L, "not a url")).toDF("id", "url")
+    val out = TextAnalysis
+      .dropBlockedDomains(rows, "url", Seq("bad.com").toDF("domain"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("registered_domain"))
+      .toMap
+    // both bad.com spellings (www., deep.sub.) are gone
+    assert(out.keySet == Set(3L, 4L, 5L))
+    assert(out(3L) == "good.com")
+    assert(out(4L) == "also-good.org")
+    // a non-URL extracts an empty domain and passes (no false drops)
+    assert(out(5L) == "")
+    // collision guard
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.dropBlockedDomains(
+        rows.withColumnRenamed("url", "registered_domain"),
+        "registered_domain", Seq("x").toDF("domain"))
+    }
+    // blocklist schema guard
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.dropBlockedDomains(rows, "url", Seq(("a", "b")).toDF("d1", "d2"))
+    }
+  }
+
   test("mixtureByBudget fills budgets as hard ceilings, monotone under growth") {
     import spark.implicits._
     val docs = (1L to 40L).map { i =>
