@@ -414,6 +414,12 @@ object ExtensionQueries {
       TextAnalysis.repetition(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_text_naturalness" -> ((s, dir) =>
       TextAnalysis.naturalness(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_curation_funnel" -> ((s, dir) =>
+      // the keep/drop gate sequence as one narrow scan; thresholds
+      // chosen so every gate fires on the synthetic corpus (token
+      // min above the corpus floor, quality cut near the 25th pct,
+      // repetition cut near the 60th)
+      TextAnalysis.curationFunnel(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_pii_scrub" -> ((s, dir) => {
       // PII redaction over a planted corpus: every 3rd doc gains an
       // email, every 5th a phone, every 7th an IPv4 (deterministic,
@@ -1056,6 +1062,16 @@ object ExtensionQueries {
 
     "q_text_naturalness" ->
       TextAnalysis.naturalnessDuckSql("documents"),
+
+    "q_curation_funnel" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    ${TextAnalysis.funnelMetricsDuckProjection("text")}
+         |  FROM documents
+         |)
+         |SELECT doc_id, n_tokens, quality_ppm, lang_pred, repetition_ppm,
+         |  ${TextAnalysis.funnelVerdictCase(20, 500000L, Seq("en"), 600000L)} AS verdict
+         |FROM m ORDER BY doc_id""".stripMargin,
 
     "q_pii_scrub" ->
       s"""WITH planted AS (

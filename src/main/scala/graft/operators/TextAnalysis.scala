@@ -33,18 +33,36 @@ object TextAnalysis {
     val nPunct = regexpCountSpark(t, punctClass)
     val nStop = regexpCountSpark(t, stopwordPattern)
     val nNonSpace = s"length(regexp_replace($t, '\\\\s', ''))"
-    val score =
-      s"""floor(1e6 * (
-         |  4e-1 * least(1e0, ($nTokens) / 64e0) +
-         |  3e-1 * (1e0 - CASE WHEN length($t) = 0 THEN 0e0 ELSE ($nPunct) * 1e0 / length($t) END) +
-         |  3e-1 * CASE WHEN ($nTokens) = 0 THEN 0e0 ELSE ($nStop) * 1e0 / ($nTokens) END))""".stripMargin
     docs.select(
       col(idCol),
       expr(nTokens).cast("long").as("n_tokens"),
       expr(ppmSpark(nPunct, s"length($t)")).cast("long").as("punct_ppm"),
       expr(ppmSpark(nStop, nTokens)).cast("long").as("stopword_ppm"),
       expr(ppmSpark(nNonSpace, nTokens)).cast("long").as("mean_word_len_ppm"),
-      expr(score).cast("long").as("quality_ppm"))
+      expr(qualityScoreSpark(t)).cast("long").as("quality_ppm"))
+  }
+
+  /** The blended 0..1e6 quality score, as a Spark SQL expression
+    * string (shared by [[quality]] and [[curationFunnel]]).
+    */
+  private def qualityScoreSpark(t: String): String = {
+    val nTokens = tokenCountSpark(t)
+    val nPunct = regexpCountSpark(t, punctClass)
+    val nStop = regexpCountSpark(t, stopwordPattern)
+    s"""floor(1e6 * (
+       |  4e-1 * least(1e0, ($nTokens) / 64e0) +
+       |  3e-1 * (1e0 - CASE WHEN length($t) = 0 THEN 0e0 ELSE ($nPunct) * 1e0 / length($t) END) +
+       |  3e-1 * CASE WHEN ($nTokens) = 0 THEN 0e0 ELSE ($nStop) * 1e0 / ($nTokens) END))""".stripMargin
+  }
+
+  private def qualityScoreDuck(t: String): String = {
+    val nTokens = tokenCountDuck(t)
+    val nPunct = regexpCountDuck(t, punctClassDuck)
+    val nStop = regexpCountDuck(t, stopwordPatternDuck)
+    s"""CAST(floor(1e6 * (
+       |  4e-1 * least(1e0, ($nTokens) / 64e0) +
+       |  3e-1 * (1e0 - CASE WHEN length($t) = 0 THEN 0e0 ELSE ($nPunct) * 1e0 / length($t) END) +
+       |  3e-1 * CASE WHEN ($nTokens) = 0 THEN 0e0 ELSE ($nStop) * 1e0 / ($nTokens) END)) AS BIGINT)""".stripMargin
   }
 
   /** DuckDB twin of [[quality]]'s projection list (minus the id). */
@@ -53,16 +71,11 @@ object TextAnalysis {
     val nPunct = regexpCountDuck(t, punctClassDuck)
     val nStop = regexpCountDuck(t, stopwordPatternDuck)
     val nNonSpace = s"length(regexp_replace($t, '\\s', '', 'g'))"
-    val score =
-      s"""CAST(floor(1e6 * (
-         |  4e-1 * least(1e0, ($nTokens) / 64e0) +
-         |  3e-1 * (1e0 - CASE WHEN length($t) = 0 THEN 0e0 ELSE ($nPunct) * 1e0 / length($t) END) +
-         |  3e-1 * CASE WHEN ($nTokens) = 0 THEN 0e0 ELSE ($nStop) * 1e0 / ($nTokens) END)) AS BIGINT)""".stripMargin
     s"""CAST($nTokens AS BIGINT) AS n_tokens,
        |  ${ppmDuck(nPunct, s"length($t)")} AS punct_ppm,
        |  ${ppmDuck(nStop, nTokens)} AS stopword_ppm,
        |  ${ppmDuck(nNonSpace, nTokens)} AS mean_word_len_ppm,
-       |  $score AS quality_ppm""".stripMargin
+       |  ${qualityScoreDuck(t)} AS quality_ppm""".stripMargin
   }
 
   /** Language-ID heuristic: per-language stopword hit counts plus a
@@ -76,18 +89,40 @@ object TextAnalysis {
       lang -> regexpCountSpark(lower, s"\\\\b$words\\\\b")
     }
     val zh = regexpCountSpark(textCol, cjkClassSpark)
-    val Seq(en, de, es, fr) = scores.map(_._2)
-    val pred =
-      s"""CASE WHEN ($zh) > 0 THEN 'zh'
-         | WHEN ($en) >= ($de) AND ($en) >= ($es) AND ($en) >= ($fr) THEN 'en'
-         | WHEN ($de) >= ($es) AND ($de) >= ($fr) THEN 'de'
-         | WHEN ($es) >= ($fr) THEN 'es'
-         | ELSE 'fr' END""".stripMargin.replaceAll("\n", "")
     docs.select(
       col(idCol) +:
         scores.map { case (lang, e) => expr(e).cast("long").as(s"hits_$lang") } :+
         expr(zh).cast("long").as("hits_zh") :+
-        expr(pred).as("lang_pred"): _*)
+        expr(langPredSpark(textCol)).as("lang_pred"): _*)
+  }
+
+  /** The argmax language CASE, as a Spark SQL expression string
+    * (shared by [[langId]] and [[curationFunnel]]).
+    */
+  private def langPredSpark(t: String): String = {
+    val lower = s"lower($t)"
+    val Seq(en, de, es, fr) = langStopwords.map { case (_, words) =>
+      regexpCountSpark(lower, s"\\\\b$words\\\\b")
+    }
+    val zh = regexpCountSpark(t, cjkClassSpark)
+    s"""CASE WHEN ($zh) > 0 THEN 'zh'
+       | WHEN ($en) >= ($de) AND ($en) >= ($es) AND ($en) >= ($fr) THEN 'en'
+       | WHEN ($de) >= ($es) AND ($de) >= ($fr) THEN 'de'
+       | WHEN ($es) >= ($fr) THEN 'es'
+       | ELSE 'fr' END""".stripMargin.replaceAll("\n", "")
+  }
+
+  private def langPredDuck(t: String): String = {
+    val lower = s"lower($t)"
+    val Seq(en, de, es, fr) = langStopwords.map { case (_, words) =>
+      regexpCountDuck(lower, s"\\b$words\\b")
+    }
+    val zh = regexpCountDuck(t, cjkClassDuck)
+    s"""CASE WHEN ($zh) > 0 THEN 'zh'
+       | WHEN ($en) >= ($de) AND ($en) >= ($es) AND ($en) >= ($fr) THEN 'en'
+       | WHEN ($de) >= ($es) AND ($de) >= ($fr) THEN 'de'
+       | WHEN ($es) >= ($fr) THEN 'es'
+       | ELSE 'fr' END""".stripMargin.replaceAll("\n", "")
   }
 
   /** DuckDB twin of [[langId]]'s projection list (minus the id). */
@@ -97,16 +132,9 @@ object TextAnalysis {
       lang -> regexpCountDuck(lower, s"\\b$words\\b")
     }
     val zh = regexpCountDuck(t, cjkClassDuck)
-    val Seq(en, de, es, fr) = scores.map(_._2)
-    val pred =
-      s"""CASE WHEN ($zh) > 0 THEN 'zh'
-         | WHEN ($en) >= ($de) AND ($en) >= ($es) AND ($en) >= ($fr) THEN 'en'
-         | WHEN ($de) >= ($es) AND ($de) >= ($fr) THEN 'de'
-         | WHEN ($es) >= ($fr) THEN 'es'
-         | ELSE 'fr' END""".stripMargin.replaceAll("\n", "")
     (scores.map { case (lang, e) => s"CAST($e AS BIGINT) AS hits_$lang" } :+
       s"CAST($zh AS BIGINT) AS hits_zh" :+
-      s"$pred AS lang_pred").mkString(",\n  ")
+      s"${langPredDuck(t)} AS lang_pred").mkString(",\n  ")
   }
 
   /** Document fingerprint: polynomial rolling hash over the full text
@@ -178,9 +206,17 @@ object TextAnalysis {
       col(idCol),
       expr(s"size($toksArr)").cast("long").as("n_tokens"),
       expr(s"size(array_distinct($toksArr))").cast("long").as("n_distinct"),
-      expr(ppmSpark(
-        s"size($toksArr) - size(array_distinct($toksArr))",
-        s"size($toksArr)")).cast("long").as("repetition_ppm"))
+      expr(repetitionPpmSpark(textCol)).cast("long").as("repetition_ppm"))
+  }
+
+  private def repetitionPpmSpark(t: String): String = {
+    val toksArr = s"filter(split(lower($t), '[^a-z]+'), x -> x <> '')"
+    ppmSpark(s"size($toksArr) - size(array_distinct($toksArr))", s"size($toksArr)")
+  }
+
+  private def repetitionPpmDuck(t: String): String = {
+    val toksArr = s"list_filter(string_split_regex(lower($t), '[^a-z]+'), x -> x <> '')"
+    ppmDuck(s"len($toksArr) - len(list_distinct($toksArr))", s"len($toksArr)")
   }
 
   /** DuckDB twin of [[repetition]]'s projection list (minus the id). */
@@ -190,6 +226,69 @@ object TextAnalysis {
        |  CAST(len(list_distinct($toksArr)) AS BIGINT) AS n_distinct,
        |  ${ppmDuck(s"len($toksArr) - len(list_distinct($toksArr))", s"len($toksArr)")} AS repetition_ppm""".stripMargin
   }
+
+  /** The curation funnel: the standard keep/drop gate sequence run as
+    * ONE narrow scan, with each document labeled `keep` or the FIRST
+    * rule that dropped it — the shape every production corpus filter
+    * takes (length gate → quality gate → language gate → repetition
+    * gate), and the label is what makes the funnel debuggable: a
+    * `groupBy(verdict)` downstream is the funnel report that tells
+    * you which rule is eating your corpus.
+    *
+    * Composes the shared metric expressions ([[quality]]'s score,
+    * [[langId]]'s argmax, [[repetition]]'s ppm) into a single
+    * projection — zero shuffle, zero joins, codegen end-to-end; at
+    * 100 TB this runs at scan speed. Gate order is fixed and
+    * documented: earlier gates absorb documents failing several.
+    */
+  def curationFunnel(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minTokens: Int = 20,
+      minQualityPpm: Long = 500000L,
+      keepLangs: Seq[String] = Seq("en"),
+      maxRepetitionPpm: Long = 600000L): DataFrame = {
+    require(keepLangs.nonEmpty, "need at least one language to keep")
+    val t = textCol
+    docs
+      .select(
+        col(idCol),
+        expr(tokenCountSpark(t)).cast("long").as("n_tokens"),
+        expr(qualityScoreSpark(t)).cast("long").as("quality_ppm"),
+        expr(langPredSpark(t)).as("lang_pred"),
+        expr(repetitionPpmSpark(t)).cast("long").as("repetition_ppm"))
+      .withColumn(
+        "verdict",
+        expr(funnelVerdictCase(minTokens, minQualityPpm, keepLangs, maxRepetitionPpm)))
+  }
+
+  /** The dialect-neutral verdict CASE over the funnel's metric
+    * columns — shared verbatim by the Spark plan and the DuckDB
+    * oracle.
+    */
+  def funnelVerdictCase(
+      minTokens: Int,
+      minQualityPpm: Long,
+      keepLangs: Seq[String],
+      maxRepetitionPpm: Long): String = {
+    val langs = keepLangs.map(l => s"'${l.replace("'", "''")}'").mkString(", ")
+    s"""CASE WHEN n_tokens < $minTokens THEN 'too_short'
+       | WHEN quality_ppm < $minQualityPpm THEN 'low_quality'
+       | WHEN lang_pred NOT IN ($langs) THEN 'wrong_language'
+       | WHEN repetition_ppm > $maxRepetitionPpm THEN 'too_repetitive'
+       | ELSE 'keep' END""".stripMargin.replaceAll("\n", "")
+  }
+
+  /** DuckDB twin of [[curationFunnel]]'s metric projection (minus the
+    * id and verdict — the verdict CASE comes from
+    * [[funnelVerdictCase]] applied over these column names).
+    */
+  def funnelMetricsDuckProjection(t: String): String =
+    s"""CAST(${tokenCountDuck(t)} AS BIGINT) AS n_tokens,
+       |  ${qualityScoreDuck(t)} AS quality_ppm,
+       |  ${langPredDuck(t)} AS lang_pred,
+       |  ${repetitionPpmDuck(t)} AS repetition_ppm""".stripMargin
 
   /** Benchmark decontamination: per document, the fraction of its
     * distinct word n-grams that appear anywhere in a benchmark

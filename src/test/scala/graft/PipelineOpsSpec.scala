@@ -574,6 +574,29 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"expected bounded-heap top-k, got:\n$plan")
   }
 
+  test("curationFunnel labels each doc with the FIRST failing gate") {
+    import spark.implicits._
+    val longEnough = "the and is of to in that it was for on are with as the " * 4
+    val docs = Seq(
+      (1L, longEnough),                                   // passes everything... except repetition
+      (2L, "short text"),                                 // too_short fires first
+      (3L, "!!! ??? *** !!! ??? *** !!! ??? *** !!! ???"),// 11 ws-tokens, all punct → low_quality
+      (4L, "的 月 日 " + longEnough),                      // zh wins → wrong_language (quality gate passes: stopword-rich)
+      (5L, ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "the and is of to in that it was for on are with as some more words here now then") * 2))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis
+      .curationFunnel(docs, minTokens = 5, minQualityPpm = 400000L,
+        keepLangs = Seq("en"), maxRepetitionPpm = 500000L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(out(2L) == "too_short")
+    assert(out(3L) == "low_quality",
+      "pure punctuation clears the ws-token count gate but not the quality gate")
+    assert(out(4L) == "wrong_language")
+    assert(out(1L) == "too_repetitive", "a 4x-repeated stopword run is repetition, not keep")
+    assert(out(5L) == "keep")
+  }
+
   test("dropBlockedDomains strips subdomains to the registered domain and drops exactly the blocklist") {
     import spark.implicits._
     val rows = Seq(
