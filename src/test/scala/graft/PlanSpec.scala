@@ -198,6 +198,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!chunksNoSort.contains("Exchange"), chunksNoSort)
   }
 
+  test("curation funnel is one pruned zero-shuffle scan; url filter broadcasts its blocklist") {
+    // funnel: all four gates in a single narrow projection — no join,
+    // no Exchange before the query's final ORDER BY
+    val funnel = graft.operators.TextAnalysis
+      .curationFunnel(graft.sources.Tables.documents(spark, dir))
+      .queryExecution.executedPlan.toString
+    assert(!funnel.contains("Exchange") && !funnel.contains("Join"), funnel.take(2000))
+    assert(plan("q_curation_funnel").contains(
+      "ReadSchema: struct<doc_id:bigint,text:string>"))
+    // url filter: the blocklist anti-join must broadcast the list
+    // side, never shuffle the corpus
+    val url = plan("q_url_filter")
+    assert(url.contains("BroadcastHashJoin") && url.contains("LeftAnti"), url.take(2000))
+  }
+
+  test("mixture sampling's only exchanges are the stratum window and final sort") {
+    // one hash partitioning on the stratum column for the running-sum
+    // window; a plan that repartitions anywhere else re-shuffles the
+    // corpus at 100 TB
+    val p = plan("q_mixture_sample")
+    assert("hashpartitioning\\(source".r.findAllIn(p).size >= 1, p.take(2000))
+    assert("[+:]- Exchange".r.findAllIn(p).size <= 2, p.take(2000))
+  }
+
+  test("naturalness re-joins its bigram model as a broadcast") {
+    val p = plan("q_text_naturalness")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
   test("scd2 asOf over a history TABLE is a pure pushed-filter scan") {
     // the time-travel read path: materialize a history once, then any
     // asOf is a single scan with the validity predicates pushed down —
