@@ -115,6 +115,44 @@ object ExtensionQueries {
             .withColumn("text", concat(col("text"), lit(" near dup extra tail"))))
       Dedup.minhashPairsAgainst(newBatch, d).orderBy("new_id", "corpus_id")
     }),
+    "q_stream_dedup_ingest" -> ((s, dir) => {
+      // the STREAMING dedup-ingest loop: the corpus arrives as a
+      // 4-slice micro-batch stream; each batch is signatured once,
+      // paired within itself and against the ACCUMULATED signature
+      // table (never the corpus text), then appended to it — the
+      // steady-state 100 TB shape where the signature table is the
+      // only state. The claim under oracle: the union of per-batch
+      // discoveries reproduces the batch self-join EXACTLY (each
+      // unordered pair surfaces precisely once, when its later
+      // member arrives), so the oracle is q_dedup_minhash's verbatim.
+      import org.apache.spark.sql.types._
+      graft.functions.PolyHash.register(s)
+      graft.functions.MinHashSig.register(s)
+      val corpus = Corpus.docCorpus(s, dir)
+      val emptyPairs = s.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(Seq(
+          StructField("doc_a", LongType), StructField("doc_b", LongType),
+          StructField("n_agree", LongType))))
+      var sigs = Dedup.signatureTable(corpus.limit(0)).localCheckpoint(true)
+      val pairs = graft.streaming.StreamRunner.foldBatches(
+        graft.streaming.StreamRunner.slicedStream(
+          corpus, "doc_id", slices = 4,
+          tag = s"${java.nio.file.Paths.get(dir).toAbsolutePath}#doccorpus4"),
+        emptyPairs) { (acc, batch, _) =>
+        val bs = Dedup.signatureTable(batch).localCheckpoint(true)
+        val within = Dedup.minhashPairsAgainstSignatures(bs, bs)
+          .filter(col("new_id") < col("corpus_id"))
+        val cross = Dedup.minhashPairsAgainstSignatures(bs, sigs)
+        sigs = sigs.unionByName(bs).localCheckpoint(true)
+        acc.unionByName(
+          within.unionByName(cross).select(
+            least(col("new_id"), col("corpus_id")).as("doc_a"),
+            greatest(col("new_id"), col("corpus_id")).as("doc_b"),
+            col("n_agree")))
+      }
+      pairs.orderBy("doc_a", "doc_b")
+    }),
     "q_dedup_clusters" -> ((s, dir) => {
       // pairs → clusters: minimum-label propagation over the minhash
       // near-dup pairs; component = canonical (minimum) doc_id
@@ -755,6 +793,11 @@ object ExtensionQueries {
 
     "q_dedup_minhash_fine" ->
       s"${minhashPairsSqlWith(bands = 16, rowsPerBand = 2)} ORDER BY doc_a, doc_b",
+
+    "q_stream_dedup_ingest" ->
+      // batch-split invariance again: streamed signature ingest must
+      // land on the batch self-join's exact pair set
+      s"$minhashPairsSql ORDER BY doc_a, doc_b",
 
     "q_dedup_fuzzy_verify" ->
       s"""WITH pairs AS (

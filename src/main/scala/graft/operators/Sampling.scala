@@ -160,6 +160,42 @@ object Sampling {
         s"running_weight <= (${budgetCase(strataCol, budgets, defaultBudget)})"))
   }
 
+  /** [[mixtureByBudget]] with budgets from a CONFIG TABLE (columns
+    * `stratum`, `budget`) instead of literals — a production mixture
+    * spec has thousands of strata (domains, languages, source×epoch
+    * cells) that cannot live in a CASE expression. The budget table
+    * joins in broadcast-small; strata absent from it fall back to
+    * `defaultBudget`. Same ordering, same hard-ceiling semantics
+    * (pinned ≡ the literal form by spec).
+    */
+  def mixtureByBudgetTable(
+      df: DataFrame,
+      strataCol: String,
+      weightCol: String,
+      hashExpr: String,
+      idCol: String,
+      budgetTable: DataFrame,
+      defaultBudget: Long): DataFrame = {
+    require(budgetTable.columns.sameElements(Array("stratum", "budget")),
+      s"budget table must have exactly columns (stratum, budget), got ${budgetTable.columns.mkString(", ")}")
+    require(defaultBudget >= 0, "default budget must be non-negative")
+    require(!df.columns.contains("running_weight"),
+      "mixtureByBudgetTable exposes column 'running_weight' but the input already has one — rename it first")
+    require(!df.columns.contains("budget"),
+      "mixtureByBudgetTable joins a 'budget' column but the input already has one — rename it first")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, sum}
+    val w = Window.partitionBy(strataCol)
+      .orderBy(expr(mixedHash(hashExpr)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("running_weight", sum(col(weightCol).cast("long")).over(w))
+      .join(
+        broadcast(budgetTable.withColumnRenamed("stratum", strataCol)),
+        Seq(strataCol), "left")
+      .filter(col("running_weight") <= coalesce(col("budget"), lit(defaultBudget)))
+      .drop("budget")
+  }
+
   /** The dialect-neutral `CASE stratum WHEN ... END` budget picker —
     * shared verbatim by the Spark filter and the DuckDB oracle.
     */

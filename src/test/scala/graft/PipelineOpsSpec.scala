@@ -667,6 +667,25 @@ class PipelineOpsSpec extends AnyFunSuite {
         graft.functions.TextExprs.charHashSpark(h), "doc_id",
         Seq("web" -> 10L), 10L)
     }
+    // the config-table form is row-identical to the literal CASE form,
+    // including the default fallback for strata absent from the table
+    val viaTable = Sampling.mixtureByBudgetTable(
+      docs, "source", "n_chars",
+      graft.functions.TextExprs.charHashSpark(h), "doc_id",
+      Seq(("web", 50L)).toDF("stratum", "budget"), defaultBudget = 60L)
+    assert(
+      viaTable.select("doc_id", "source", "running_weight").collect().toSet ==
+        Sampling.mixtureByBudget(
+          docs, "source", "n_chars",
+          graft.functions.TextExprs.charHashSpark(h), "doc_id",
+          Seq("web" -> 50L), 60L)
+          .select("doc_id", "source", "running_weight").collect().toSet)
+    assertThrows[IllegalArgumentException] {
+      Sampling.mixtureByBudgetTable(
+        docs, "source", "n_chars",
+        graft.functions.TextExprs.charHashSpark(h), "doc_id",
+        Seq(("web", 50L)).toDF("wrong", "cols"), 60L)
+    }
   }
 
   test("naturalness ranks key-mash garbage below natural prose") {
