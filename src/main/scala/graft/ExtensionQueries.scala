@@ -168,6 +168,21 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    "q_dedup_apply_best" -> ((s, dir) => {
+      // the QUALITY-policy apply: same clusters as q_dedup_apply, but
+      // the survivor is the LONGEST member (argmax length(text), ties
+      // to min id) instead of the min id — so the planted near-dup
+      // copies (original + " near dup extra tail") beat their
+      // originals, while exact copies tie on length and the original
+      // wins. Both policy branches are exercised by construction.
+      val corpus = Corpus.docCorpus(s, dir)
+        .withColumn("n_len", length(col("text")).cast("long"))
+      Dedup.applyKeepBest(
+          corpus, minhashPairsMaterialized(s, dir), "n_len",
+          numPartitions = Some(8))
+        .select("doc_id", "source", "n_len")
+        .orderBy("doc_id")
+    }),
     "q_dedup_fuzzy_verify" -> ((s, dir) => {
       // exact edit-distance verification of the minhash CANDIDATES —
       // the refine stage of the two-phase dedup: cheap bucketed
@@ -832,6 +847,35 @@ object ExtensionQueries {
          |)
          |SELECT c.doc_id, c.source FROM corpus2 c
          |WHERE c.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_apply_best" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$minhashPairsSql
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs
+         |), nodes AS (
+         |  SELECT DISTINCT src AS node FROM edges
+         |), reach(node, lbl) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+         |), comp AS (
+         |  SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node
+         |), corpus2 AS (
+         |$corpus
+         |), ranked AS (
+         |  SELECT c2.doc_id,
+         |    row_number() OVER (
+         |      PARTITION BY comp.component
+         |      ORDER BY length(c2.text) DESC, c2.doc_id) AS rn
+         |  FROM comp JOIN corpus2 c2 USING (doc_id)
+         |)
+         |SELECT c.doc_id, c.source, CAST(length(c.text) AS BIGINT) AS n_len
+         |FROM corpus2 c
+         |WHERE c.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn <> 1)
          |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_clusters" ->

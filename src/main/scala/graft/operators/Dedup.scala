@@ -454,4 +454,41 @@ object Dedup {
       .filter(col("cos_ppm") >= minCosPpm)
       .select("new_id", "corpus_id", "cos_ppm")
   }
+
+  /** Cluster-apply with a QUALITY policy: keep the best-scoring
+    * member of each near-dup cluster instead of the minimum id. The
+    * min-id apply (q_dedup_apply) is arbitrary about WHICH copy
+    * survives; a curation run wants the longest / highest-quality
+    * member — pass any numeric `scoreCol` (length, quality_ppm,
+    * naturalness_ppm) and the canonical member is argmax(score),
+    * ties broken by minimum id for determinism. Singletons never
+    * enter the label frame and pass through untouched.
+    *
+    * Shape: label propagation over the pair list (equi-join
+    * iterations, localCheckpoint per round), one score join, one
+    * per-component window, one anti-join — every stage keyed and
+    * partitionable; nothing driver-side.
+    */
+  def applyKeepBest(
+      corpus: DataFrame,
+      pairs: DataFrame,
+      scoreCol: String,
+      idCol: String = "doc_id",
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      numPartitions: Option[Int] = None): DataFrame = {
+    require(corpus.columns.contains(scoreCol) && corpus.columns.contains(idCol),
+      s"corpus needs ($idCol, $scoreCol), got ${corpus.columns.mkString(", ")}")
+    import org.apache.spark.sql.expressions.Window
+    val labels = graft.operators.ConnectedComponents
+      .labelPropagate(pairs, aCol, bCol, numPartitions = numPartitions)
+    val w = Window.partitionBy("component")
+      .orderBy(col("_score").desc, col("node").asc)
+    val losers = labels
+      .join(corpus.select(col(idCol).as("node"), col(scoreCol).as("_score")), "node")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") =!= 1)
+      .select(col("node").as(idCol))
+    corpus.join(losers, Seq(idCol), "left_anti")
+  }
 }

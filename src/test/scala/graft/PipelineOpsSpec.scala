@@ -574,6 +574,23 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"expected bounded-heap top-k, got:\n$plan")
   }
 
+  test("applyKeepBest keeps the argmax-score member, min id on ties, singletons untouched") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, 3L), (2L, 4L),   // cluster {1,2}: 2 is longer -> 2 survives
+      (3L, 5L), (4L, 5L),   // cluster {3,4}: tie -> min id 3 survives
+      (5L, 1L)              // singleton, never in the pair list
+    ).toDF("doc_id", "n_len")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.applyKeepBest(corpus, pairs, "n_len")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(2L, 3L, 5L))
+    assertThrows[IllegalArgumentException] {
+      Dedup.applyKeepBest(corpus, pairs, "no_such_col")
+    }
+  }
+
   test("curationFunnel labels each doc with the FIRST failing gate") {
     import spark.implicits._
     val longEnough = "the and is of to in that it was for on are with as the " * 4
