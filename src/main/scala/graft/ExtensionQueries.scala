@@ -404,6 +404,31 @@ object ExtensionQueries {
           sum(col("n_chars").cast("long")).as("sum_chars"))
         .orderBy("registered_domain")
     }),
+    "q_url_psl_domains" -> ((s, dir) => {
+      // public-suffix-aware domain rollup over planted URLs spanning
+      // multi-label suffixes (co.uk, com.au), plain TLDs, and an
+      // unlisted suffix that must fall back to the two-label
+      // heuristic. The suffix table carries BOTH 'uk' and 'co.uk' so
+      // the longest-match policy is what separates example.co.uk
+      // from co.uk.
+      import s.implicits._
+      val planted = Tables.documents(s, dir).select(
+        col("doc_id"),
+        concat(lit("https://"), expr(
+          """CASE CAST(doc_id % 4 AS INT)
+            | WHEN 0 THEN 'shop-' || CAST(doc_id % 5 AS STRING) || '.co.uk/a'
+            | WHEN 1 THEN 'www.news-' || CAST(doc_id % 5 AS STRING) || '.com.au/b'
+            | WHEN 2 THEN 'a.b.site-' || CAST(doc_id % 5 AS STRING) || '.org/c'
+            | ELSE 'intranet-' || CAST(doc_id % 5 AS STRING) || '.corp/d'
+            |END""".stripMargin)).as("url"))
+      TextAnalysis
+        .registeredDomainBySuffix(
+          planted, "url", "doc_id",
+          Seq("com", "org", "uk", "au", "co.uk", "com.au").toDF("suffix"))
+        .groupBy("registered_domain")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("registered_domain")
+    }),
     "q_mixture_sample" -> ((s, dir) => {
       // token-budget mixture sampling: fill each source's char budget
       // in re-mixed-hash order — "20 B tokens of web, 5 B of code" at
@@ -1082,6 +1107,46 @@ object ExtensionQueries {
          |FROM d
          |WHERE registered_domain NOT IN ('host-2.com', 'host-5.com')
          |GROUP BY registered_domain
+         |ORDER BY registered_domain""".stripMargin,
+
+    "q_url_psl_domains" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id, 'https://' ||
+         |    CASE CAST(doc_id % 4 AS INT)
+         |     WHEN 0 THEN 'shop-' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk/a'
+         |     WHEN 1 THEN 'www.news-' || CAST(doc_id % 5 AS VARCHAR) || '.com.au/b'
+         |     WHEN 2 THEN 'a.b.site-' || CAST(doc_id % 5 AS VARCHAR) || '.org/c'
+         |     ELSE 'intranet-' || CAST(doc_id % 5 AS VARCHAR) || '.corp/d'
+         |    END AS url
+         |  FROM documents
+         |), sfx(suffix) AS (
+         |  VALUES ('com'), ('org'), ('uk'), ('au'), ('co.uk'), ('com.au')
+         |), l AS (
+         |  SELECT doc_id, url,
+         |    string_split(regexp_extract(url, 'https?://([^/?#]+)', 1), '.') AS labels
+         |  FROM planted
+         |), cand0 AS (
+         |  SELECT doc_id, labels,
+         |    unnest(range(1, greatest(least(len(labels) - 1, 4), 1) + 1)) AS k
+         |  FROM l
+         |), cand AS (
+         |  SELECT doc_id, k,
+         |    array_to_string(labels[len(labels) - k + 1:], '.') AS suffix,
+         |    array_to_string(labels[len(labels) - k:], '.') AS reg
+         |  FROM cand0 WHERE k < len(labels)
+         |), m AS (
+         |  SELECT c.doc_id, arg_max(c.reg, c.k) AS reg
+         |  FROM cand c JOIN sfx s ON s.suffix = c.suffix
+         |  GROUP BY c.doc_id
+         |), d AS (
+         |  SELECT l.doc_id,
+         |    COALESCE(m.reg, regexp_extract(
+         |      regexp_extract(l.url, 'https?://([^/?#]+)', 1),
+         |      '([^.]+\\.[^.]+)$$', 1)) AS registered_domain
+         |  FROM l LEFT JOIN m USING (doc_id)
+         |)
+         |SELECT registered_domain, COUNT(*) AS n_docs
+         |FROM d GROUP BY registered_domain
          |ORDER BY registered_domain""".stripMargin,
 
     "q_mixture_sample" -> {

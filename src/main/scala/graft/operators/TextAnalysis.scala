@@ -511,6 +511,62 @@ object TextAnalysis {
     regexp_extract(
       regexp_extract(col(urlCol), UrlHostPattern, 1), RegisteredDomainPattern, 1)
 
+  /** Public-suffix-aware registered-domain extraction: the
+    * [[RegisteredDomainPattern]] two-label heuristic is wrong for
+    * multi-label public suffixes (`shop.example.co.uk` must yield
+    * `example.co.uk`, not `co.uk`), and the fix is inherently
+    * TABLE-driven — the public-suffix list is thousands of rules that
+    * cannot live in a regex. Per row: split the host into labels,
+    * generate the ≤`maxSuffixLabels` trailing-label candidates,
+    * equi-join the suffix table (broadcast-small), and keep the
+    * LONGEST matching suffix's candidate (`max_by` on the label
+    * count); hosts matching no rule fall back to the two-label
+    * heuristic (the PSL's own `*` prevailing rule collapses to that
+    * for 2-label hosts).
+    *
+    * Shape: candidate fan-out is a bounded explode (≤4 rows per
+    * input), the join broadcasts, and the regroup is one aggregate on
+    * the caller's id — no UDF, no driver state.
+    */
+  def registeredDomainBySuffix(
+      df: DataFrame,
+      urlCol: String,
+      idCol: String,
+      suffixTable: DataFrame,
+      maxSuffixLabels: Int = 4): DataFrame = {
+    require(suffixTable.columns.sameElements(Array("suffix")),
+      s"suffix table must have exactly one column 'suffix', got ${suffixTable.columns.mkString(", ")}")
+    require(!df.columns.contains("registered_domain"),
+      "registeredDomainBySuffix exposes column 'registered_domain' but the input already has one — rename it first")
+    val host = regexp_extract(col(urlCol), UrlHostPattern, 1)
+    // k clamps to >= 1 so sequence() never descends; the k < size
+    // filter then discards the clamped candidate on 1-label hosts
+    val cand = df
+      .withColumn("_labels", split(host, "\\."))
+      .select(
+        col(idCol),
+        col("_labels"),
+        explode(expr(
+          s"""transform(
+             |  sequence(1, greatest(least(size(_labels) - 1, $maxSuffixLabels), 1)),
+             |  k -> struct(
+             |    k AS k,
+             |    array_join(slice(_labels, -k, k), '.') AS suffix,
+             |    array_join(slice(_labels, -(k + 1), k + 1), '.') AS reg))""".stripMargin))
+          .as("c"))
+      .filter(col("c.k") < size(col("_labels")))
+      .select(col(idCol), col("c.k").as("k"), col("c.suffix").as("suffix"), col("c.reg").as("reg"))
+    val matched = cand
+      .join(broadcast(suffixTable), "suffix")
+      .groupBy(idCol)
+      .agg(max_by(col("reg"), col("k")).as("_reg"))
+    df.join(matched, Seq(idCol), "left")
+      .withColumn(
+        "registered_domain",
+        coalesce(col("_reg"), urlRegisteredDomain(urlCol)))
+      .drop("_reg")
+  }
+
   /** Domain-blocklist filtering, the first gate of every web-corpus
     * curation pipeline: extract each row's registered domain and drop
     * rows whose domain appears in `blocklist` (a one-column `domain`

@@ -614,6 +614,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(5L) == "keep")
   }
 
+  test("registeredDomainBySuffix picks the longest suffix rule, falls back off-list") {
+    import spark.implicits._
+    val sfx = Seq("com", "uk", "co.uk").toDF("suffix")
+    val rows = Seq(
+      (1L, "https://shop.example.co.uk/x"), // longest match co.uk -> example.co.uk
+      (2L, "https://example.co.uk"),        // exactly registered -> itself
+      (3L, "https://www.site.com/y"),       // plain TLD -> site.com
+      (4L, "https://intranet.corp/z"),      // off-list -> two-label fallback
+      (5L, "https://localhost/w")           // single label: no rule, no fallback match -> ''
+    ).toDF("id", "url")
+    val out = TextAnalysis.registeredDomainBySuffix(rows, "url", "id", sfx)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("registered_domain")).toMap
+    assert(out(1L) == "example.co.uk", "the 'uk' rule must lose to 'co.uk'")
+    assert(out(2L) == "example.co.uk")
+    assert(out(3L) == "site.com")
+    assert(out(4L) == "intranet.corp")
+    assert(out(5L) == "")
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.registeredDomainBySuffix(rows, "url", "id", Seq(("a", "b")).toDF("x", "y"))
+    }
+  }
+
   test("dropBlockedDomains strips subdomains to the registered domain and drops exactly the blocklist") {
     import spark.implicits._
     val rows = Seq(
