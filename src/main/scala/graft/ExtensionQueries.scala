@@ -498,6 +498,13 @@ object ExtensionQueries {
       // min above the corpus floor, quality cut near the 25th pct,
       // repetition cut near the 60th)
       TextAnalysis.curationFunnel(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_curation_funnel_natural" -> ((s, dir) =>
+      // the two-stage filter: the four scan-speed gates plus the
+      // corpus-model naturalness gate LAST (240k ppm ≈ the corpus
+      // 10th percentile, so the model stage visibly relabels part of
+      // the heuristic keeps)
+      TextAnalysis.curationFunnelWithNaturalness(Tables.documents(s, dir))
+        .orderBy("doc_id")),
     "q_pii_scrub" -> ((s, dir) => {
       // PII redaction over a planted corpus: every 3rd doc gains an
       // email, every 5th a phone, every 7th an IPv4 (deterministic,
@@ -1224,6 +1231,21 @@ object ExtensionQueries {
          |SELECT doc_id, n_tokens, quality_ppm, lang_pred, repetition_ppm,
          |  ${TextAnalysis.funnelVerdictCase(20, 500000L, Seq("en"), 600000L)} AS verdict
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_curation_funnel_natural" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    ${TextAnalysis.funnelMetricsDuckProjection("text")}
+         |  FROM documents
+         |), nat AS (
+         |${TextAnalysis.naturalnessDuckSql("documents")}
+         |)
+         |SELECT m.doc_id, m.n_tokens, m.quality_ppm, m.lang_pred, m.repetition_ppm,
+         |  nat.naturalness_ppm,
+         |  ${TextAnalysis.funnelVerdictCase(
+               20, 500000L, Seq("en"), 600000L, minNaturalnessPpm = Some(240000L))} AS verdict
+         |FROM m JOIN nat USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_pii_scrub" ->
       s"""WITH planted AS (

@@ -183,6 +183,13 @@ object Sampling {
       "mixtureByBudgetTable exposes column 'running_weight' but the input already has one — rename it first")
     require(!df.columns.contains("budget"),
       "mixtureByBudgetTable joins a 'budget' column but the input already has one — rename it first")
+    // a duplicated stratum row would silently DUPLICATE every kept row
+    // of that stratum through the join — fail fast instead. The count
+    // costs one job over the config table, which is broadcast-small by
+    // contract.
+    require(
+      budgetTable.count() == budgetTable.select("stratum").distinct().count(),
+      "budget table has duplicate stratum rows — deduplicate it first")
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, sum}
     val w = Window.partitionBy(strataCol)

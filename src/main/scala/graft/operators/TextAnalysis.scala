@@ -250,17 +250,50 @@ object TextAnalysis {
       keepLangs: Seq[String] = Seq("en"),
       maxRepetitionPpm: Long = 600000L): DataFrame = {
     require(keepLangs.nonEmpty, "need at least one language to keep")
-    val t = textCol
-    docs
-      .select(
-        col(idCol),
-        expr(tokenCountSpark(t)).cast("long").as("n_tokens"),
-        expr(qualityScoreSpark(t)).cast("long").as("quality_ppm"),
-        expr(langPredSpark(t)).as("lang_pred"),
-        expr(repetitionPpmSpark(t)).cast("long").as("repetition_ppm"))
+    funnelMetrics(docs, textCol, idCol)
       .withColumn(
         "verdict",
         expr(funnelVerdictCase(minTokens, minQualityPpm, keepLangs, maxRepetitionPpm)))
+  }
+
+  private def funnelMetrics(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = textCol
+    docs.select(
+      col(idCol),
+      expr(tokenCountSpark(t)).cast("long").as("n_tokens"),
+      expr(qualityScoreSpark(t)).cast("long").as("quality_ppm"),
+      expr(langPredSpark(t)).as("lang_pred"),
+      expr(repetitionPpmSpark(t)).cast("long").as("repetition_ppm"))
+  }
+
+  /** [[curationFunnel]] with the corpus-model naturalness gate
+    * appended LAST — the gate ordering is cost ordering: the four
+    * scan-speed gates run first and the two-pass bigram-model signal
+    * ([[naturalness]]) only labels what survives conceptually (the
+    * join computes it for all rows, but a production run can filter
+    * first — the gate stays last either way so cheap gates absorb).
+    * This is the standard two-stage filter: heuristics at scan
+    * speed, then the model-based score.
+    */
+  def curationFunnelWithNaturalness(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minTokens: Int = 20,
+      minQualityPpm: Long = 500000L,
+      keepLangs: Seq[String] = Seq("en"),
+      maxRepetitionPpm: Long = 600000L,
+      minNaturalnessPpm: Long = 240000L): DataFrame = {
+    require(keepLangs.nonEmpty, "need at least one language to keep")
+    funnelMetrics(docs, textCol, idCol)
+      .join(
+        naturalness(docs, textCol, idCol).select(col(idCol), col("naturalness_ppm")),
+        Seq(idCol))
+      .withColumn(
+        "verdict",
+        expr(funnelVerdictCase(
+          minTokens, minQualityPpm, keepLangs, maxRepetitionPpm,
+          minNaturalnessPpm = Some(minNaturalnessPpm))))
   }
 
   /** The dialect-neutral verdict CASE over the funnel's metric
@@ -271,12 +304,17 @@ object TextAnalysis {
       minTokens: Int,
       minQualityPpm: Long,
       keepLangs: Seq[String],
-      maxRepetitionPpm: Long): String = {
+      maxRepetitionPpm: Long,
+      minNaturalnessPpm: Option[Long] = None): String = {
     val langs = keepLangs.map(l => s"'${l.replace("'", "''")}'").mkString(", ")
+    val naturalGate = minNaturalnessPpm
+      .map(n => s" WHEN naturalness_ppm < $n THEN 'unnatural'")
+      .getOrElse("")
     s"""CASE WHEN n_tokens < $minTokens THEN 'too_short'
        | WHEN quality_ppm < $minQualityPpm THEN 'low_quality'
        | WHEN lang_pred NOT IN ($langs) THEN 'wrong_language'
        | WHEN repetition_ppm > $maxRepetitionPpm THEN 'too_repetitive'
+       |$naturalGate
        | ELSE 'keep' END""".stripMargin.replaceAll("\n", "")
   }
 

@@ -612,6 +612,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(4L) == "wrong_language")
     assert(out(1L) == "too_repetitive", "a 4x-repeated stopword run is repetition, not keep")
     assert(out(5L) == "keep")
+    // the naturalness-gated funnel only ever RELABELS heuristic keeps
+    // to 'unnatural' — every heuristic drop verdict is unchanged (the
+    // model gate is last), and an impossible threshold changes nothing
+    val natural = TextAnalysis
+      .curationFunnelWithNaturalness(docs, minTokens = 5,
+        minQualityPpm = 400000L, keepLangs = Seq("en"),
+        maxRepetitionPpm = 500000L, minNaturalnessPpm = 0L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(natural == out, "minNaturalnessPpm=0 must reproduce the heuristic funnel")
+    val strict = TextAnalysis
+      .curationFunnelWithNaturalness(docs, minTokens = 5,
+        minQualityPpm = 400000L, keepLangs = Seq("en"),
+        maxRepetitionPpm = 500000L, minNaturalnessPpm = 1000001L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(strict(5L) == "unnatural", "an impossible naturalness bar relabels the keep")
+    assert(strict.filter(_._2 != "unnatural") == out.filter(_._2 != "keep"),
+      "heuristic drop verdicts must be untouched by the model gate")
   }
 
   test("registeredDomainBySuffix picks the longest suffix rule, falls back off-list") {
