@@ -29,12 +29,32 @@ object ExtensionQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def minhashPairsMaterialized(
-      s: SparkSession, dir: String): DataFrame = {
+      s: SparkSession, dir: String): DataFrame =
+    scratchTable(s, s"pairs#$dir", "graft_minhash_pairs_")(
+      Dedup.minhashPairs(Corpus.docCorpus(s, dir)))
+
+  /** Cluster labels over the materialized pair list, themselves
+    * materialized once per (JVM, dataset): THREE consumers (clusters,
+    * min-id apply, keep-best apply) share the iterative label
+    * propagation the same way they share the band join — re-deriving
+    * it per query triples the second-most-expensive dedup stage for
+    * no information (the r4 lesson, one level up the pipeline).
+    */
+  private def minhashLabelsMaterialized(
+      s: SparkSession, dir: String): DataFrame =
+    scratchTable(s, s"labels#$dir", "graft_minhash_labels_")(
+      ConnectedComponents.labelPropagate(
+        minhashPairsMaterialized(s, dir), "doc_a", "doc_b",
+        numPartitions = Some(8)))
+
+  private def scratchTable(
+      s: SparkSession, key: String, prefix: String)(
+      build: => DataFrame): DataFrame = {
     val path = pairsScratch.computeIfAbsent(
-      dir,
+      key,
       _ => {
         val p = java.nio.file.Files
-          .createTempDirectory("graft_minhash_pairs_").toAbsolutePath
+          .createTempDirectory(prefix).toAbsolutePath
         Runtime.getRuntime.addShutdownHook(new Thread(() =>
           try {
             import scala.jdk.CollectionConverters._
@@ -43,8 +63,7 @@ object ExtensionQueries {
               .iterator().asScala
               .foreach(f => java.nio.file.Files.deleteIfExists(f))
           } catch { case _: Throwable => () }))
-        Dedup.minhashPairs(Corpus.docCorpus(s, dir))
-          .write.mode("overwrite").parquet(p.toString)
+        build.write.mode("overwrite").parquet(p.toString)
         p.toString
       })
     s.read.parquet(path)
@@ -156,9 +175,7 @@ object ExtensionQueries {
     "q_dedup_clusters" -> ((s, dir) => {
       // pairs → clusters: minimum-label propagation over the minhash
       // near-dup pairs; component = canonical (minimum) doc_id
-      val pairs = minhashPairsMaterialized(s, dir)
-      val labels = ConnectedComponents.labelPropagate(
-        pairs, "doc_a", "doc_b", numPartitions = Some(8))
+      val labels = minhashLabelsMaterialized(s, dir)
       labels
         .withColumn(
           "cluster_size",
@@ -177,9 +194,8 @@ object ExtensionQueries {
       // wins. Both policy branches are exercised by construction.
       val corpus = Corpus.docCorpus(s, dir)
         .withColumn("n_len", length(col("text")).cast("long"))
-      Dedup.applyKeepBest(
-          corpus, minhashPairsMaterialized(s, dir), "n_len",
-          numPartitions = Some(8))
+      Dedup.applyKeepBestWithLabels(
+          corpus, minhashLabelsMaterialized(s, dir), "n_len")
         .select("doc_id", "source", "n_len")
         .orderBy("doc_id")
     }),
@@ -203,9 +219,7 @@ object ExtensionQueries {
       // member, keeping singletons untouched (they never enter the
       // label frame, so the anti-join passes them through)
       val corpus = Corpus.docCorpus(s, dir)
-      val labels = ConnectedComponents.labelPropagate(
-        minhashPairsMaterialized(s, dir), "doc_a", "doc_b",
-        numPartitions = Some(8))
+      val labels = minhashLabelsMaterialized(s, dir)
       corpus
         .join(
           labels.filter(col("node") =!= col("component"))

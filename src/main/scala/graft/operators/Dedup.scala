@@ -476,12 +476,26 @@ object Dedup {
       idCol: String = "doc_id",
       aCol: String = "doc_a",
       bCol: String = "doc_b",
-      numPartitions: Option[Int] = None): DataFrame = {
+      numPartitions: Option[Int] = None): DataFrame =
+    applyKeepBestWithLabels(
+      corpus,
+      graft.operators.ConnectedComponents
+        .labelPropagate(pairs, aCol, bCol, numPartitions = numPartitions),
+      scoreCol, idCol)
+
+  /** [[applyKeepBest]] over PRECOMPUTED cluster labels (a
+    * `(node, component)` frame) — the pipeline-sharing form: one
+    * label propagation feeds clusters, min-id apply, and every
+    * keep-best policy without re-running the iteration per consumer.
+    */
+  def applyKeepBestWithLabels(
+      corpus: DataFrame,
+      labels: DataFrame,
+      scoreCol: String,
+      idCol: String = "doc_id"): DataFrame = {
     require(corpus.columns.contains(scoreCol) && corpus.columns.contains(idCol),
       s"corpus needs ($idCol, $scoreCol), got ${corpus.columns.mkString(", ")}")
     import org.apache.spark.sql.expressions.Window
-    val labels = graft.operators.ConnectedComponents
-      .labelPropagate(pairs, aCol, bCol, numPartitions = numPartitions)
     val w = Window.partitionBy("component")
       .orderBy(col("_score").desc, col("node").asc)
     val losers = labels
