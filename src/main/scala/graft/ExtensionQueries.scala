@@ -47,6 +47,15 @@ object ExtensionQueries {
         minhashPairsMaterialized(s, dir), "doc_a", "doc_b",
         numPartitions = Some(8)))
 
+  /** Embedding near-dup pairs, materialized once per (JVM, dataset) —
+    * two consumers (the pair query and the embed apply) share the
+    * LSH band join + cosine refine.
+    */
+  private def embeddingPairsMaterialized(
+      s: SparkSession, dir: String): DataFrame =
+    scratchTable(s, s"embpairs#$dir", "graft_embed_pairs_")(
+      Dedup.embeddingPairs(Corpus.embCorpus(s, dir)))
+
   private def scratchTable(
       s: SparkSession, key: String, prefix: String)(
       build: => DataFrame): DataFrame = {
@@ -89,7 +98,7 @@ object ExtensionQueries {
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Corpus.docCorpus(s, dir)).orderBy("doc_a", "doc_b")),
     "q_dedup_embed" -> ((s, dir) =>
-      Dedup.embeddingPairs(Corpus.embCorpus(s, dir)).orderBy("vec_a", "vec_b")),
+      embeddingPairsMaterialized(s, dir).orderBy("vec_a", "vec_b")),
     "q_dedup_embed_apply" -> ((s, dir) => {
       // the embedding APPLY step, symmetric with q_dedup_apply:
       // near-dup pairs → clusters (min-label propagation) → drop
@@ -97,7 +106,7 @@ object ExtensionQueries {
       // anti-join untouched
       val corpus = Corpus.embCorpus(s, dir)
       val labels = ConnectedComponents.labelPropagate(
-        Dedup.embeddingPairs(corpus), "vec_a", "vec_b",
+        embeddingPairsMaterialized(s, dir), "vec_a", "vec_b",
         numPartitions = Some(8))
       corpus
         .join(
