@@ -91,7 +91,12 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("embedding near-dup candidates are an equi-join on LSH band keys") {
-    val p = plan("q_dedup_embed")
+    // pin the OPERATOR's plan — the q_dedup_embed query now reads the
+    // pair list materialized once per dataset (the pipeline-sharing
+    // shape), so the band-join structure lives in the operator call
+    val p = graft.operators.Dedup
+      .embeddingPairs(graft.sources.Corpus.embCorpus(spark, dir))
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
     assert(p.contains("eb_key"), p.take(2000))
