@@ -521,6 +521,25 @@ object ExtensionQueries {
       // min above the corpus floor, quality cut near the 25th pct,
       // repetition cut near the 60th)
       TextAnalysis.curationFunnel(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_stream_curation_funnel" -> ((s, dir) => {
+      // the funnel over a document STREAM: stateless operators
+      // compose into micro-batches unchanged — no state store, no
+      // watermark, each batch labeled independently and unioned.
+      // Oracle = the batch funnel verbatim (map-only operators are
+      // trivially batch-split invariant; this row proves the
+      // composition plumbing, the stateful ingest rows prove the
+      // hard case).
+      val zero = TextAnalysis
+        .curationFunnel(Tables.documents(s, dir).limit(0))
+        .localCheckpoint(true)
+      graft.streaming.StreamRunner.foldBatches(
+        graft.streaming.StreamRunner.slicedStream(
+          Tables.documents(s, dir), "doc_id", slices = 4,
+          tag = s"${java.nio.file.Paths.get(dir).toAbsolutePath}#docs4"),
+        zero) { (acc, batch, _) =>
+        acc.unionByName(TextAnalysis.curationFunnel(batch))
+      }.orderBy("doc_id")
+    }),
     "q_curation_funnel_natural" -> ((s, dir) =>
       // the two-stage filter: the four scan-speed gates plus the
       // corpus-model naturalness gate LAST (240k ppm ≈ the corpus
@@ -1246,6 +1265,16 @@ object ExtensionQueries {
       TextAnalysis.naturalnessDuckSql("documents"),
 
     "q_curation_funnel" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    ${TextAnalysis.funnelMetricsDuckProjection("text")}
+         |  FROM documents
+         |)
+         |SELECT doc_id, n_tokens, quality_ppm, lang_pred, repetition_ppm,
+         |  ${TextAnalysis.funnelVerdictCase(20, 500000L, Seq("en"), 600000L)} AS verdict
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_stream_curation_funnel" ->
       s"""WITH m AS (
          |  SELECT doc_id,
          |    ${TextAnalysis.funnelMetricsDuckProjection("text")}
