@@ -64,6 +64,22 @@ object ScaleBench {
         spark.read.parquet(s"$fix/lineitem_$mult"))
     }
 
+    // amplified documents with unique ids for the curation family —
+    // text is replicated verbatim (per-row regex/model work is what
+    // scales; duplicate text only scales the bigram-model counts).
+    // The dedup family is deliberately NOT in this curve: amplifying
+    // exact copies makes candidate sets quadratic BY DATA DESIGN
+    // (every replica truly collides), which would bend the curve for
+    // data reasons, not plan reasons.
+    def stageDocs(mult: Int): DataFrame = {
+      Tables.documents(spark, sfDir)
+        .crossJoin(spark.range(mult).toDF("r"))
+        .withColumn("doc_id", col("doc_id") * mult + col("r"))
+        .select("doc_id", "source", "text", "n_chars")
+        .write.mode("overwrite").parquet(s"$fix/docs_$mult")
+      spark.read.parquet(s"$fix/docs_$mult")
+    }
+
     val results = Seq(1, 4, 16, 64).map { mult =>
       val (before, after, li) = stage(mult)
       val nRows = before.count()
@@ -78,11 +94,39 @@ object ScaleBench {
             count(lit(1)).as("n"))
           .count()
       }
-      (mult, nRows, diffSec, aggSec)
+      val docs = stageDocs(mult)
+      val nDocs = docs.count()
+      // count() alone would let Catalyst PRUNE a map-only operator to
+      // a bare row count (and eliminate naturalness' unique-keyed left
+      // join) — consume every output column through a hash-sum so the
+      // measured time is the operator, not an empty scan
+      def consumed(df: DataFrame): Unit = {
+        df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+          .agg(max(col("h")), min(col("h"))).collect()
+        ()
+      }
+      val funnelSec = time(iters) {
+        consumed(graft.operators.TextAnalysis.curationFunnel(docs))
+      }
+      val natSec = time(iters) {
+        consumed(graft.operators.TextAnalysis.naturalness(docs))
+      }
+      graft.functions.PolyHash.register(spark)
+      val mixSec = time(iters) {
+        graft.operators.Sampling.mixtureByBudget(
+          docs.select("doc_id", "source", "n_chars"),
+          "source", "n_chars",
+          graft.functions.TextExprs.charHashSpark("CAST(doc_id AS STRING)"),
+          "doc_id",
+          Seq("src0" -> (40000L * mult), "src1" -> (20000L * mult)),
+          defaultBudget = 30000L * mult).count()
+      }
+      (mult, nRows, diffSec, aggSec, nDocs, funnelSec, natSec, mixSec)
     }
 
-    val qs = results.map { case (m, n, d, a) =>
-      s""""x$m":{"rows":$n,"diff_sec":${f"$d%.3f"},"agg_sec":${f"$a%.3f"}}"""
+    val qs = results.map { case (m, n, d, a, nd, f, nt, mx) =>
+      s""""x$m":{"rows":$n,"diff_sec":${f"$d%.3f"},"agg_sec":${f"$a%.3f"},""" +
+        s""""docs":$nd,"funnel_sec":${f"$f%.3f"},"nat_sec":${f"$nt%.3f"},"mix_sec":${f"$mx%.3f"}}"""
     }.mkString(",")
     println(s"""{"metric":"scale_curve","iters":$iters,"sf":"$sfDir",$qs}""")
     spark.stop()
