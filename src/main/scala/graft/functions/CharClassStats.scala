@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass code-point class counts: `char_class_stats(s)` returns
+  * `[punct, nonspace]` where
+  *
+  *  - `punct`    ≡ `regexp_count(s, '[^a-zA-Z0-9\s]')`
+  *  - `nonspace` ≡ `length(regexp_replace(s, '\s', ''))`
+  *
+  * with Java-regex semantics: `\s` is exactly
+  * `[ \t\n\x0B\f\r]` and both counts are per CODE POINT (every
+  * non-ASCII code point is neither alnum nor `\s`, so it counts for
+  * both). The two regex passes each scan the text through the
+  * backtracking engine and the replace allocates the stripped copy;
+  * this expression is one JIT'd byte scan that skips UTF-8
+  * continuation bytes and never allocates. Deterministic and
+  * lambda-free → shared across a projection by codegen CSE. The
+  * DuckDB oracle twins keep the regex form, verifying the
+  * equivalence row by row.
+  */
+case class CharClassStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "char_class_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_class_stats requires STRING input, got ${child.dataType.catalogString}")
+
+  protected override def nullSafeEval(input: Any): Any =
+    CharClassStats.stats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharClassStats.stats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharClassStats =
+    copy(child = newChild)
+}
+
+object CharClassStats {
+
+  /** The scan kernel — static so generated code can call it. */
+  def stats(s: UTF8String): ArrayData = {
+    var punct = 0
+    var nonspace = 0
+    val bytes = s.getBytes
+    val n = bytes.length
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      if ((b & 0xc0) != 0x80) { // skip UTF-8 continuation bytes
+        if (b < 0) { // lead byte of a non-ASCII code point
+          punct += 1
+          nonspace += 1
+        } else {
+          val alnum = (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+            (b >= '0' && b <= '9')
+          val space = b == ' ' || b == '\t' || b == '\n' || b == 0x0b ||
+            b == '\f' || b == '\r'
+          if (!alnum && !space) punct += 1
+          if (!space) nonspace += 1
+        }
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(Array(punct, nonspace))
+  }
+
+  /** Make `char_class_stats` available to SQL/`expr()` strings
+    * (idempotent).
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_class_stats",
+      exprs => CharClassStats(exprs.head),
+      "built-in")
+}

@@ -189,16 +189,39 @@ object TextExprs {
   /** (lang, stopword alternation) in heuristic priority order; the
     * zh entry is a CJK codepoint class, spelled per-dialect below.
     */
-  val langStopwords: Seq[(String, String)] = Seq(
-    "en" -> "(the|a|and|of|to|is|in|it)",
-    "de" -> "(der|die|das|und|ist|nicht|ein)",
-    "es" -> "(el|los|las|es|una|que|y)",
-    "fr" -> "(le|les|et|est|une|dans|pour)")
+  val langStopwordLists: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es" -> Seq("el", "los", "las", "es", "una", "que", "y"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans", "pour"))
+  val langStopwords: Seq[(String, String)] =
+    langStopwordLists.map { case (l, ws) => l -> ws.mkString("(", "|", ")") }
 
   def regexpCountSpark(s: String, pattern: String): String =
     s"regexp_count($s, '$pattern')"
   def regexpCountDuck(s: String, pattern: String): String =
     s"len(regexp_extract_all($s, '$pattern'))"
+
+  /** Count of `\b(w1|w2|…)\b` matches for PURE-LETTER word sets,
+    * computed without the alternation regex: `\w` runs are maximal,
+    * so a letter-only pattern bounded by `\b` on both sides can only
+    * match a whole run — the count is the number of `\w` runs that
+    * equal a set member, which [[WordSetHits]] counts for ALL sets in
+    * one JIT'd byte scan (per-set alternation regexes backtrack per
+    * char; split+filter HOFs are interpreted and CSE-excluded —
+    * measured 3× worse). Emits element `idx` of the shared call:
+    * identical call strings collapse to one scan under codegen
+    * subexpression elimination. Callers must have run
+    * `WordSetHits.register(spark)`. The regex form stays on the
+    * DuckDB side, so the oracle verifies the equivalence row by row.
+    */
+  def wordSetHitsSpark(s: String, sets: Seq[Seq[String]], idx: Int): String = {
+    require(sets.nonEmpty && sets.forall(ws => ws.nonEmpty && ws.forall(_.matches("[a-z]+"))),
+      s"wordSetHitsSpark needs pure-letter lowercase words, got $sets")
+    require(idx >= 0 && idx < sets.length, s"set index $idx out of range")
+    val spec = sets.map(_.mkString(",")).mkString("|")
+    s"element_at(word_set_hits($s, '$spec'), ${idx + 1})"
+  }
 
   val cjkClassSpark = "[\\\\u4e00-\\\\u9fff]"
   val cjkClassDuck = "[\\x{4e00}-\\x{9fff}]"
@@ -207,8 +230,11 @@ object TextExprs {
   /** BPE-ish token pattern: letter runs, digit runs, punct runs. */
   val bpeClass = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]+"
   val bpeClassDuck = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
-  val stopwordPattern = "\\\\b(the|a|and|of|to|is|in|it)\\\\b"
-  val stopwordPatternDuck = "\\b(the|a|and|of|to|is|in|it)\\b"
+  // Spark side now counts stopwords via WordSetHits (one byte scan,
+  // RE2-parity \b); only the DuckDB oracle twin keeps the regex —
+  // derived from the same list so the two can never drift.
+  val stopwordPatternDuck: String =
+    langStopwordLists.head._2.mkString("\\b(", "|", ")\\b")
 
   /** Fixed-point parts-per-million of a ratio — floor() sidesteps
     * engine-specific rounding of exact .5 ties (e.g. 1/128 at scale 6),

@@ -28,32 +28,45 @@ object TextAnalysis {
     * blended 0..1e6 quality score.
     */
   def quality(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    graft.functions.WordSetHits.register(docs.sparkSession)
+    graft.functions.CharClassStats.register(docs.sparkSession)
     val t = textCol
-    val nTokens = tokenCountSpark(t)
-    val nPunct = regexpCountSpark(t, punctClass)
-    val nStop = regexpCountSpark(t, stopwordPattern)
-    val nNonSpace = s"length(regexp_replace($t, '\\\\s', ''))"
+    // Stage every text-scanning primitive exactly once as a real
+    // column, then derive the metrics from the columns. Subtrees
+    // under CASE branches or inside lambdas are EXCLUDED from
+    // codegen subexpression elimination, so leaving these inline
+    // re-runs the scan once per reference (the token-count split ran
+    // ~4× here — measured on the 80k-doc profile); CollapseProject
+    // keeps the stage boundary because the aliases are non-cheap and
+    // multi-referenced. The one-byte-scan counts ≡ the regex forms
+    // (WordSetHits / CharClassStats scaladocs have the proofs); the
+    // DuckDB twins keep the regex forms, so the oracle verifies the
+    // equivalence row by row.
     docs.select(
       col(idCol),
-      expr(nTokens).cast("long").as("n_tokens"),
-      expr(ppmSpark(nPunct, s"length($t)")).cast("long").as("punct_ppm"),
-      expr(ppmSpark(nStop, nTokens)).cast("long").as("stopword_ppm"),
-      expr(ppmSpark(nNonSpace, nTokens)).cast("long").as("mean_word_len_ppm"),
-      expr(qualityScoreSpark(t)).cast("long").as("quality_ppm"))
+      expr(s"length($t)").as("_len"),
+      expr(tokenCountSpark(t)).as("_nt"),
+      expr(s"element_at(char_class_stats($t), 1)").as("_np"),
+      expr(wordSetHitsSpark(t, Seq(langStopwordLists.head._2), 0)).as("_nstop"),
+      expr(s"element_at(char_class_stats($t), 2)").as("_nn"))
+    .select(
+      col(idCol),
+      col("_nt").cast("long").as("n_tokens"),
+      expr(ppmSpark("_np", "_len")).cast("long").as("punct_ppm"),
+      expr(ppmSpark("_nstop", "_nt")).cast("long").as("stopword_ppm"),
+      expr(ppmSpark("_nn", "_nt")).cast("long").as("mean_word_len_ppm"),
+      expr(qualityScoreFromCols("_nt", "_np", "_len", "_nstop")).cast("long").as("quality_ppm"))
   }
 
-  /** The blended 0..1e6 quality score, as a Spark SQL expression
-    * string (shared by [[quality]] and [[curationFunnel]]).
+  /** The blended 0..1e6 quality score over staged primitive COLUMNS
+    * (shared by [[quality]] and [[curationFunnel]]).
     */
-  private def qualityScoreSpark(t: String): String = {
-    val nTokens = tokenCountSpark(t)
-    val nPunct = regexpCountSpark(t, punctClass)
-    val nStop = regexpCountSpark(t, stopwordPattern)
+  private def qualityScoreFromCols(
+      nTokens: String, nPunct: String, len: String, nStop: String): String =
     s"""floor(1e6 * (
        |  4e-1 * least(1e0, ($nTokens) / 64e0) +
-       |  3e-1 * (1e0 - CASE WHEN length($t) = 0 THEN 0e0 ELSE ($nPunct) * 1e0 / length($t) END) +
+       |  3e-1 * (1e0 - CASE WHEN $len = 0 THEN 0e0 ELSE ($nPunct) * 1e0 / $len END) +
        |  3e-1 * CASE WHEN ($nTokens) = 0 THEN 0e0 ELSE ($nStop) * 1e0 / ($nTokens) END))""".stripMargin
-  }
 
   private def qualityScoreDuck(t: String): String = {
     val nTokens = tokenCountDuck(t)
@@ -84,27 +97,40 @@ object TextAnalysis {
     * narrow scan projecting regexp counts — is identical.)
     */
   def langId(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val lower = s"lower($textCol)"
-    val scores = langStopwords.map { case (lang, words) =>
-      lang -> regexpCountSpark(lower, s"\\\\b$words\\\\b")
-    }
-    val zh = regexpCountSpark(textCol, cjkClassSpark)
+    graft.functions.WordSetHits.register(docs.sparkSession)
+    // ONE byte scan of lower(text) serves all four language counts
+    // (≡ the \b-alternation regexes — wordSetHitsSpark scaladoc; the
+    // DuckDB twin keeps the regex form), staged as an array column so
+    // the argmax CASE — whose branches are CSE-excluded — reads
+    // elements instead of re-scanning.
     docs.select(
+      col(idCol),
+      expr(langHitsArraySpark(textCol)).as("_lang"),
+      expr(regexpCountSpark(textCol, cjkClassSpark)).as("_zh"))
+    .select(
       col(idCol) +:
-        scores.map { case (lang, e) => expr(e).cast("long").as(s"hits_$lang") } :+
-        expr(zh).cast("long").as("hits_zh") :+
-        expr(langPredSpark(textCol)).as("lang_pred"): _*)
+        langStopwordLists.zipWithIndex.map { case ((lang, _), i) =>
+          expr(s"element_at(_lang, ${i + 1})").cast("long").as(s"hits_$lang") } :+
+        col("_zh").cast("long").as("hits_zh") :+
+        expr(langPredFromCols("_lang", "_zh")).as("lang_pred"): _*)
+  }
+
+  /** The shared 4-language hit-count scan as one array expression. */
+  private def langHitsArraySpark(t: String): String = {
+    val spec = langStopwordLists.map(_._2.mkString(",")).mkString("|")
+    s"word_set_hits(lower($t), '$spec')"
   }
 
   /** The argmax language CASE, as a Spark SQL expression string
     * (shared by [[langId]] and [[curationFunnel]]).
     */
-  private def langPredSpark(t: String): String = {
-    val lower = s"lower($t)"
-    val Seq(en, de, es, fr) = langStopwords.map { case (_, words) =>
-      regexpCountSpark(lower, s"\\\\b$words\\\\b")
-    }
-    val zh = regexpCountSpark(t, cjkClassSpark)
+  /** The argmax language CASE over a staged hits-array column and a
+    * staged CJK-count column (shared by [[langId]] and
+    * [[curationFunnel]]).
+    */
+  private def langPredFromCols(langArr: String, zh: String): String = {
+    val Seq(en, de, es, fr) =
+      (1 to 4).map(i => s"element_at($langArr, $i)")
     s"""CASE WHEN ($zh) > 0 THEN 'zh'
        | WHEN ($en) >= ($de) AND ($en) >= ($es) AND ($en) >= ($fr) THEN 'en'
        | WHEN ($de) >= ($es) AND ($de) >= ($fr) THEN 'de'
@@ -201,17 +227,17 @@ object TextAnalysis {
     * hashable).
     */
   def repetition(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val toksArr = s"filter(split(lower($textCol), '[^a-z]+'), t -> t <> '')"
+    // stage the token array once — the lambda-bearing filter is
+    // CSE-excluded, so inline copies would re-split per reference
     docs.select(
       col(idCol),
-      expr(s"size($toksArr)").cast("long").as("n_tokens"),
-      expr(s"size(array_distinct($toksArr))").cast("long").as("n_distinct"),
-      expr(repetitionPpmSpark(textCol)).cast("long").as("repetition_ppm"))
-  }
-
-  private def repetitionPpmSpark(t: String): String = {
-    val toksArr = s"filter(split(lower($t), '[^a-z]+'), x -> x <> '')"
-    ppmSpark(s"size($toksArr) - size(array_distinct($toksArr))", s"size($toksArr)")
+      expr(s"filter(split(lower($textCol), '[^a-z]+'), t -> t <> '')").as("_rt"))
+    .select(
+      col(idCol),
+      expr("size(_rt)").cast("long").as("n_tokens"),
+      expr("size(array_distinct(_rt))").cast("long").as("n_distinct"),
+      expr(ppmSpark("size(_rt) - size(array_distinct(_rt))", "size(_rt)"))
+        .cast("long").as("repetition_ppm"))
   }
 
   private def repetitionPpmDuck(t: String): String = {
@@ -257,13 +283,28 @@ object TextAnalysis {
   }
 
   private def funnelMetrics(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    graft.functions.WordSetHits.register(docs.sparkSession)
+    graft.functions.CharClassStats.register(docs.sparkSession)
     val t = textCol
+    // stage each text-scanning primitive once (see [[quality]] for
+    // why: CASE-branch/lambda subtrees are CSE-excluded, so inline
+    // forms re-scan the text once per reference)
     docs.select(
       col(idCol),
-      expr(tokenCountSpark(t)).cast("long").as("n_tokens"),
-      expr(qualityScoreSpark(t)).cast("long").as("quality_ppm"),
-      expr(langPredSpark(t)).as("lang_pred"),
-      expr(repetitionPpmSpark(t)).cast("long").as("repetition_ppm"))
+      expr(s"length($t)").as("_len"),
+      expr(tokenCountSpark(t)).as("_nt"),
+      expr(s"element_at(char_class_stats($t), 1)").as("_np"),
+      expr(wordSetHitsSpark(t, Seq(langStopwordLists.head._2), 0)).as("_nstop"),
+      expr(langHitsArraySpark(t)).as("_lang"),
+      expr(regexpCountSpark(t, cjkClassSpark)).as("_zh"),
+      expr(s"filter(split(lower($t), '[^a-z]+'), x -> x <> '')").as("_rt"))
+    .select(
+      col(idCol),
+      col("_nt").cast("long").as("n_tokens"),
+      expr(qualityScoreFromCols("_nt", "_np", "_len", "_nstop")).cast("long").as("quality_ppm"),
+      expr(langPredFromCols("_lang", "_zh")).as("lang_pred"),
+      expr(ppmSpark("size(_rt) - size(array_distinct(_rt))", "size(_rt)"))
+        .cast("long").as("repetition_ppm"))
   }
 
   /** [[curationFunnel]] with the corpus-model naturalness gate

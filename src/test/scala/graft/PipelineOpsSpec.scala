@@ -770,4 +770,55 @@ class PipelineOpsSpec extends AnyFunSuite {
     // bigram geometry: n_bigrams = len - 1 for the prose docs
     assert(out(1L)._1 == (prose.length - 1).toLong)
   }
+
+  test("word_set_hits / char_class_stats match their regex twins on adversarial text") {
+    import spark.implicits._
+    graft.functions.WordSetHits.register(spark)
+    graft.functions.CharClassStats.register(spark)
+    // boundary underscores/digits glue runs shut; \x0B is Java \s;
+    // overlapping membership ("a" en-only, "es" es-only) exercises
+    // the bitmask fan-out. ASCII-only texts here: the Unicode case
+    // is pinned separately below because Java and RE2 disagree on it.
+    val texts = Seq(
+      "the cat and the hat", "the_cat and2 the hat_", "THE The the",
+      "a", " a ", "xa ax", "", "   ", "\tthe\u000Bcat\r\n",
+      "el es la les est", "und der die das ist",
+      "a-a_a a", "the,a;and.of!to?is:in it", "dans pour une est le les")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val sets = graft.functions.TextExprs.langStopwordLists
+    val spec = sets.map(_._2.mkString(",")).mkString("|")
+    val (checks, names) = (sets.zipWithIndex.map { case ((lang, words), i) =>
+      val pat = words.mkString("\\\\b(", "|", ")\\\\b")
+      (s"element_at(word_set_hits(lower(t), '$spec'), ${i + 1}) = regexp_count(lower(t), '$pat')",
+        s"ws_$lang")
+    } :+
+      ("element_at(char_class_stats(t), 1) = regexp_count(t, '[^a-zA-Z0-9\\\\s]')", "cc_punct") :+
+      ("element_at(char_class_stats(t), 2) = length(regexp_replace(t, '\\\\s', ''))", "cc_nonspace")).unzip
+    val out = df.select(col("id") +: checks.zip(names).map { case (c, n) => expr(c).as(n) }: _*)
+    val bad = out.filter(not(names.map(col).reduce(_ && _))).collect()
+    assert(bad.isEmpty, s"equivalence failed: ${bad.mkString("; ")} over ${texts.mkString("|")}")
+  }
+
+  test("word_set_hits follows RE2/ASCII \\b (the DuckDB twin), not Java's Unicode \\b") {
+    import spark.implicits._
+    graft.functions.WordSetHits.register(spark)
+    // Java's \b is Unicode-aware even without UNICODE_CHARACTER_CLASS
+    // (a famous asymmetry with ASCII \w), so \bthe\b does NOT match
+    // inside "\u00e9the"; RE2 — what the DuckDB oracle runs — uses
+    // ASCII word chars, so it DOES. The kernel sides with RE2: it is
+    // the cross-engine-parity choice, and the old Spark-side regex
+    // was a latent oracle mismatch on any text with a stopword
+    // adjacent to a non-ASCII letter.
+    val df = Seq((1L, "caf\u00e9 the \u00e9the le caf\u00e9"), (2L, "\u4f60\u597dthe\u4e16\u754c"))
+      .toDF("id", "t")
+    val sets = graft.functions.TextExprs.langStopwordLists
+    val spec = sets.map(_._2.mkString(",")).mkString("|")
+    val out = df.select(
+      col("id"),
+      expr(s"element_at(word_set_hits(lower(t), '$spec'), 1)").as("kernel_en"),
+      expr("regexp_count(lower(t), '\\\\b(the|a|and|of|to|is|in|it)\\\\b')").as("java_en"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(out(1L) == ((2, 1)), s"got ${out(1L)}") // kernel counts "\u00e9the"'s run, Java does not
+    assert(out(2L) == ((1, 0)), s"got ${out(2L)}")
+  }
 }
