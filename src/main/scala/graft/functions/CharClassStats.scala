@@ -9,21 +9,28 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass code-point class counts: `char_class_stats(s)` returns
-  * `[punct, nonspace]` where
+  * `[punct, nonspace, ntokens]` where
   *
   *  - `punct`    ≡ `regexp_count(s, '[^a-zA-Z0-9\s]')`
   *  - `nonspace` ≡ `length(regexp_replace(s, '\s', ''))`
+  *  - `ntokens`  ≡ `CASE WHEN length(trim(s)) = 0 THEN 0
+  *                  ELSE size(split(trim(s), '\s+')) END`
   *
-  * with Java-regex semantics: `\s` is exactly
-  * `[ \t\n\x0B\f\r]` and both counts are per CODE POINT (every
-  * non-ASCII code point is neither alnum nor `\s`, so it counts for
-  * both). The two regex passes each scan the text through the
-  * backtracking engine and the replace allocates the stripped copy;
-  * this expression is one JIT'd byte scan that skips UTF-8
-  * continuation bytes and never allocates. Deterministic and
-  * lambda-free → shared across a projection by codegen CSE. The
-  * DuckDB oracle twins keep the regex form, verifying the
-  * equivalence row by row.
+  * with Java-regex semantics: `\s` is exactly `[ \t\n\x0B\f\r]` and
+  * the class counts are per CODE POINT (every non-ASCII code point
+  * is neither alnum nor `\s`, so it counts for both). `ntokens`
+  * reproduces the split form's quirks bit-for-bit: Spark `trim`
+  * strips 0x20 only, and Spark `split` runs `Pattern.split` with
+  * limit -1, which keeps BOTH a leading and a trailing empty element
+  * when the trimmed text starts/ends with non-space whitespace — so
+  * the count is (maximal non-`\s` runs) + (1 per `[\t\n\x0B\f\r]`
+  * boundary of the space-trimmed text). The regex
+  * passes each scan the text through the backtracking engine and
+  * the replace/split allocate copies; this expression is one JIT'd
+  * byte scan that skips UTF-8 continuation bytes and never
+  * allocates. Deterministic and lambda-free → shared across a
+  * projection by codegen CSE. The DuckDB oracle twins keep the
+  * regex forms, verifying the equivalence row by row.
   */
 case class CharClassStats(child: Expression) extends UnaryExpression {
 
@@ -47,6 +54,9 @@ case class CharClassStats(child: Expression) extends UnaryExpression {
 
 object CharClassStats {
 
+  private def isJavaSpace(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
   /** The scan kernel — static so generated code can call it. */
   def stats(s: UTF8String): ArrayData = {
     var punct = 0
@@ -63,15 +73,36 @@ object CharClassStats {
         } else {
           val alnum = (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
             (b >= '0' && b <= '9')
-          val space = b == ' ' || b == '\t' || b == '\n' || b == 0x0b ||
-            b == '\f' || b == '\r'
+          val space = isJavaSpace(b)
           if (!alnum && !space) punct += 1
           if (!space) nonspace += 1
         }
       }
       i += 1
     }
-    UnsafeArrayData.fromPrimitiveArray(Array(punct, nonspace))
+    // ntokens over the 0x20-trimmed span (Spark trim strips spaces
+    // only). Spark's split runs Pattern.split with limit -1, so a
+    // leading \s char contributes a leading empty element AND a
+    // trailing \s char contributes a trailing empty element (unlike
+    // Java's String.split, which drops trailing empties).
+    var lo = 0
+    var hi = n - 1
+    while (lo < n && bytes(lo) == ' ') lo += 1
+    while (hi >= lo && bytes(hi) == ' ') hi -= 1
+    var ntokens = 0
+    if (lo <= hi) {
+      if (isJavaSpace(bytes(lo))) ntokens += 1
+      if (isJavaSpace(bytes(hi))) ntokens += 1
+      var inRun = false
+      var j = lo
+      while (j <= hi) {
+        val sp = bytes(j) >= 0 && isJavaSpace(bytes(j))
+        if (!sp && !inRun) { ntokens += 1; inRun = true }
+        else if (sp) inRun = false
+        j += 1
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(Array(punct, nonspace, ntokens))
   }
 
   /** Make `char_class_stats` available to SQL/`expr()` strings

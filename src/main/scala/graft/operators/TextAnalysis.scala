@@ -45,7 +45,7 @@ object TextAnalysis {
     docs.select(
       col(idCol),
       expr(s"length($t)").as("_len"),
-      expr(tokenCountSpark(t)).as("_nt"),
+      expr(s"element_at(char_class_stats($t), 3)").as("_nt"),
       expr(s"element_at(char_class_stats($t), 1)").as("_np"),
       expr(wordSetHitsSpark(t, Seq(langStopwordLists.head._2), 0)).as("_nstop"),
       expr(s"element_at(char_class_stats($t), 2)").as("_nn"))
@@ -227,16 +227,18 @@ object TextAnalysis {
     * hashable).
     */
   def repetition(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // stage the token array once — the lambda-bearing filter is
-    // CSE-excluded, so inline copies would re-split per reference
+    graft.functions.LetterRunStats.register(docs.sparkSession)
+    // one byte scan for total + distinct letter runs (≡ the
+    // split+filter+array_distinct form — LetterRunStats scaladoc;
+    // the DuckDB twin keeps the split form)
     docs.select(
       col(idCol),
-      expr(s"filter(split(lower($textCol), '[^a-z]+'), t -> t <> '')").as("_rt"))
+      expr(s"letter_run_stats(lower($textCol))").as("_rr"))
     .select(
       col(idCol),
-      expr("size(_rt)").cast("long").as("n_tokens"),
-      expr("size(array_distinct(_rt))").cast("long").as("n_distinct"),
-      expr(ppmSpark("size(_rt) - size(array_distinct(_rt))", "size(_rt)"))
+      expr("element_at(_rr, 1)").cast("long").as("n_tokens"),
+      expr("element_at(_rr, 2)").cast("long").as("n_distinct"),
+      expr(ppmSpark("element_at(_rr, 1) - element_at(_rr, 2)", "element_at(_rr, 1)"))
         .cast("long").as("repetition_ppm"))
   }
 
@@ -285,6 +287,7 @@ object TextAnalysis {
   private def funnelMetrics(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     graft.functions.WordSetHits.register(docs.sparkSession)
     graft.functions.CharClassStats.register(docs.sparkSession)
+    graft.functions.LetterRunStats.register(docs.sparkSession)
     val t = textCol
     // stage each text-scanning primitive once (see [[quality]] for
     // why: CASE-branch/lambda subtrees are CSE-excluded, so inline
@@ -292,18 +295,18 @@ object TextAnalysis {
     docs.select(
       col(idCol),
       expr(s"length($t)").as("_len"),
-      expr(tokenCountSpark(t)).as("_nt"),
+      expr(s"element_at(char_class_stats($t), 3)").as("_nt"),
       expr(s"element_at(char_class_stats($t), 1)").as("_np"),
       expr(wordSetHitsSpark(t, Seq(langStopwordLists.head._2), 0)).as("_nstop"),
       expr(langHitsArraySpark(t)).as("_lang"),
       expr(regexpCountSpark(t, cjkClassSpark)).as("_zh"),
-      expr(s"filter(split(lower($t), '[^a-z]+'), x -> x <> '')").as("_rt"))
+      expr(s"letter_run_stats(lower($t))").as("_rr"))
     .select(
       col(idCol),
       col("_nt").cast("long").as("n_tokens"),
       expr(qualityScoreFromCols("_nt", "_np", "_len", "_nstop")).cast("long").as("quality_ppm"),
       expr(langPredFromCols("_lang", "_zh")).as("lang_pred"),
-      expr(ppmSpark("size(_rt) - size(array_distinct(_rt))", "size(_rt)"))
+      expr(ppmSpark("element_at(_rr, 1) - element_at(_rr, 2)", "element_at(_rr, 1)"))
         .cast("long").as("repetition_ppm"))
   }
 

@@ -775,6 +775,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     import spark.implicits._
     graft.functions.WordSetHits.register(spark)
     graft.functions.CharClassStats.register(spark)
+    graft.functions.LetterRunStats.register(spark)
     // boundary underscores/digits glue runs shut; \x0B is Java \s;
     // overlapping membership ("a" en-only, "es" es-only) exercises
     // the bitmask fan-out. ASCII-only texts here: the Unicode case
@@ -793,7 +794,10 @@ class PipelineOpsSpec extends AnyFunSuite {
         s"ws_$lang")
     } :+
       ("element_at(char_class_stats(t), 1) = regexp_count(t, '[^a-zA-Z0-9\\\\s]')", "cc_punct") :+
-      ("element_at(char_class_stats(t), 2) = length(regexp_replace(t, '\\\\s', ''))", "cc_nonspace")).unzip
+      ("element_at(char_class_stats(t), 2) = length(regexp_replace(t, '\\\\s', ''))", "cc_nonspace") :+
+      ("element_at(char_class_stats(t), 3) = CASE WHEN length(trim(t)) = 0 THEN 0 ELSE size(split(trim(t), '\\\\s+')) END", "cc_ntokens") :+
+      ("element_at(letter_run_stats(lower(t)), 1) = size(filter(split(lower(t), '[^a-z]+'), x -> x <> ''))", "lr_total") :+
+      ("element_at(letter_run_stats(lower(t)), 2) = size(array_distinct(filter(split(lower(t), '[^a-z]+'), x -> x <> '')))", "lr_distinct")).unzip
     val out = df.select(col("id") +: checks.zip(names).map { case (c, n) => expr(c).as(n) }: _*)
     val bad = out.filter(not(names.map(col).reduce(_ && _))).collect()
     assert(bad.isEmpty, s"equivalence failed: ${bad.mkString("; ")} over ${texts.mkString("|")}")

@@ -31,15 +31,12 @@ object ProfileFunnel {
       }
       println(f"PROF $label%-12s ${times.min}%.3f s")
     }
-    val rep = "floor(1e6 * (size(filter(split(lower(text), '[^a-z]+'), x -> x <> '')) - " +
-      "size(array_distinct(filter(split(lower(text), '[^a-z]+'), x -> x <> '')))) / " +
-      "size(filter(split(lower(text), '[^a-z]+'), x -> x <> '')))"
     t("scan") { consume(d.select(col("doc_id"), length(col("text")).as("l"))) }
     t("tokens") { consume(d.select(col("doc_id"),
       expr(graft.functions.TextExprs.tokenCountSpark("text")).as("n"))) }
     t("quality") { consume(graft.operators.TextAnalysis.quality(d)) }
     t("langid") { consume(graft.operators.TextAnalysis.langId(d)) }
-    t("repetition") { consume(d.select(col("doc_id"), expr(rep).as("r"))) }
+    t("repetition") { consume(graft.operators.TextAnalysis.repetition(d)) }
     t("funnel") { consume(graft.operators.TextAnalysis.curationFunnel(d)) }
     spark.stop()
   }
