@@ -9,12 +9,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass code-point class counts: `char_class_stats(s)` returns
-  * `[punct, nonspace, ntokens]` where
+  * `[punct, nonspace, ntokens, cjk]` where
   *
   *  - `punct`    ≡ `regexp_count(s, '[^a-zA-Z0-9\s]')`
   *  - `nonspace` ≡ `length(regexp_replace(s, '\s', ''))`
   *  - `ntokens`  ≡ `CASE WHEN length(trim(s)) = 0 THEN 0
   *                  ELSE size(split(trim(s), '\s+')) END`
+  *  - `cjk`      ≡ regexp_count of the `U+4E00..U+9FFF` class (the
+  *                 CJK unified block — every member encodes as
+  *                 3-byte UTF-8, decoded inline from the lead byte)
   *
   * with Java-regex semantics: `\s` is exactly `[ \t\n\x0B\f\r]` and
   * the class counts are per CODE POINT (every non-ASCII code point
@@ -61,6 +64,7 @@ object CharClassStats {
   def stats(s: UTF8String): ArrayData = {
     var punct = 0
     var nonspace = 0
+    var cjk = 0
     val bytes = s.getBytes
     val n = bytes.length
     var i = 0
@@ -70,6 +74,11 @@ object CharClassStats {
         if (b < 0) { // lead byte of a non-ASCII code point
           punct += 1
           nonspace += 1
+          if ((b & 0xf0) == 0xe0 && i + 2 < n) { // 3-byte sequence
+            val cp = ((b & 0x0f) << 12) |
+              ((bytes(i + 1) & 0x3f) << 6) | (bytes(i + 2) & 0x3f)
+            if (cp >= 0x4e00 && cp <= 0x9fff) cjk += 1
+          }
         } else {
           val alnum = (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
             (b >= '0' && b <= '9')
@@ -102,7 +111,7 @@ object CharClassStats {
         j += 1
       }
     }
-    UnsafeArrayData.fromPrimitiveArray(Array(punct, nonspace, ntokens))
+    UnsafeArrayData.fromPrimitiveArray(Array(punct, nonspace, ntokens, cjk))
   }
 
   /** Make `char_class_stats` available to SQL/`expr()` strings

@@ -98,6 +98,7 @@ object TextAnalysis {
     */
   def langId(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     graft.functions.WordSetHits.register(docs.sparkSession)
+    graft.functions.CharClassStats.register(docs.sparkSession)
     // ONE byte scan of lower(text) serves all four language counts
     // (≡ the \b-alternation regexes — wordSetHitsSpark scaladoc; the
     // DuckDB twin keeps the regex form), staged as an array column so
@@ -106,7 +107,7 @@ object TextAnalysis {
     docs.select(
       col(idCol),
       expr(langHitsArraySpark(textCol)).as("_lang"),
-      expr(regexpCountSpark(textCol, cjkClassSpark)).as("_zh"))
+      expr(s"element_at(char_class_stats($textCol), 4)").as("_zh"))
     .select(
       col(idCol) +:
         langStopwordLists.zipWithIndex.map { case ((lang, _), i) =>
@@ -121,9 +122,6 @@ object TextAnalysis {
     s"word_set_hits(lower($t), '$spec')"
   }
 
-  /** The argmax language CASE, as a Spark SQL expression string
-    * (shared by [[langId]] and [[curationFunnel]]).
-    */
   /** The argmax language CASE over a staged hits-array column and a
     * staged CJK-count column (shared by [[langId]] and
     * [[curationFunnel]]).
@@ -299,7 +297,7 @@ object TextAnalysis {
       expr(s"element_at(char_class_stats($t), 1)").as("_np"),
       expr(wordSetHitsSpark(t, Seq(langStopwordLists.head._2), 0)).as("_nstop"),
       expr(langHitsArraySpark(t)).as("_lang"),
-      expr(regexpCountSpark(t, cjkClassSpark)).as("_zh"),
+      expr(s"element_at(char_class_stats($t), 4)").as("_zh"),
       expr(s"letter_run_stats(lower($t))").as("_rr"))
     .select(
       col(idCol),

@@ -784,7 +784,10 @@ class PipelineOpsSpec extends AnyFunSuite {
       "the cat and the hat", "the_cat and2 the hat_", "THE The the",
       "a", " a ", "xa ax", "", "   ", "\tthe\u000Bcat\r\n",
       "el es la les est", "und der die das ist",
-      "a-a_a a", "the,a;and.of!to?is:in it", "dans pour une est le les")
+      "a-a_a a", "the,a;and.of!to?is:in it", "dans pour une est le les",
+      // CJK rows (space-separated from any stopword, so Java and RE2
+      // \\b agree and every check column applies)
+      "\u4f60\u597d \u4e16\u754c the cat", "\u6c49\u5b57\u6f22\u5b57", "caf\u00e9 \u4f60 tab\t\u4e16")
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
     val sets = graft.functions.TextExprs.langStopwordLists
     val spec = sets.map(_._2.mkString(",")).mkString("|")
@@ -796,6 +799,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       ("element_at(char_class_stats(t), 1) = regexp_count(t, '[^a-zA-Z0-9\\\\s]')", "cc_punct") :+
       ("element_at(char_class_stats(t), 2) = length(regexp_replace(t, '\\\\s', ''))", "cc_nonspace") :+
       ("element_at(char_class_stats(t), 3) = CASE WHEN length(trim(t)) = 0 THEN 0 ELSE size(split(trim(t), '\\\\s+')) END", "cc_ntokens") :+
+      ("element_at(char_class_stats(t), 4) = regexp_count(t, '[\\\\u4e00-\\\\u9fff]')", "cc_cjk") :+
       ("element_at(letter_run_stats(lower(t)), 1) = size(filter(split(lower(t), '[^a-z]+'), x -> x <> ''))", "lr_total") :+
       ("element_at(letter_run_stats(lower(t)), 2) = size(array_distinct(filter(split(lower(t), '[^a-z]+'), x -> x <> '')))", "lr_distinct")).unzip
     val out = df.select(col("id") +: checks.zip(names).map { case (c, n) => expr(c).as(n) }: _*)
