@@ -41,12 +41,22 @@ object ScaleBench {
     val fix = java.nio.file.Files.createTempDirectory("graft_scale_fix_").toString
 
     // amplified orders with unique keys; the after side perturbs
-    // every 7th price and drops every 1000th key (real diff traffic)
+    // every 7th price and drops every 1000th key (real diff traffic).
+    // Every staged table is REPARTITIONED before writing: the
+    // crossJoin amplification runs in 1-2 partitions, and a table
+    // written from them reads back as a handful of splits — which
+    // would serialize every NARROW downstream pipeline (a shuffle-
+    // bearing plan recovers at its first exchange, a scan-speed
+    // operator never does). A real 100 TB table arrives as thousands
+    // of splits; the curve must not measure an artifact of the
+    // staging layout (measured: the map-only curation family ran in
+    // 5 tasks on 32 cores at x64 before this).
     def stage(mult: Int): (DataFrame, DataFrame, DataFrame) = {
       val o = Tables.orders(spark, sfDir)
         .crossJoin(spark.range(mult).toDF("r"))
         .withColumn("k", col("o_orderkey") * mult + col("r"))
         .select(col("k"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartition(cpus.toInt)
       o.write.mode("overwrite").parquet(s"$fix/before_$mult")
       o.withColumn(
           "o_totalprice",
@@ -57,6 +67,7 @@ object ScaleBench {
       val li = Tables.lineitem(spark, sfDir)
         .crossJoin(spark.range(mult).toDF("r"))
         .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+        .repartition(cpus.toInt)
       li.write.mode("overwrite").parquet(s"$fix/lineitem_$mult")
       (
         spark.read.parquet(s"$fix/before_$mult"),
@@ -76,6 +87,7 @@ object ScaleBench {
         .crossJoin(spark.range(mult).toDF("r"))
         .withColumn("doc_id", col("doc_id") * mult + col("r"))
         .select("doc_id", "source", "text", "n_chars")
+        .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$fix/docs_$mult")
       spark.read.parquet(s"$fix/docs_$mult")
     }
@@ -108,8 +120,13 @@ object ScaleBench {
       val funnelSec = time(iters) {
         consumed(graft.operators.TextAnalysis.curationFunnel(docs))
       }
+      // drain the operator's tracked cache INSIDE the timed thunk:
+      // otherwise iterations 2+ of min-of-iters measure a warm cache,
+      // not the operator (caught when the docs-curve numbers moved
+      // with the staged partition count of the CACHED table)
       val natSec = time(iters) {
         consumed(graft.operators.TextAnalysis.naturalness(docs))
+        graft.operators.Dedup.unpersistAll()
       }
       graft.functions.PolyHash.register(spark)
       val mixSec = time(iters) {

@@ -523,24 +523,24 @@ object TextAnalysis {
     */
   def naturalness(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.BigramCounts.register(docs.sparkSession)
     // The gram stream feeds TWO consumers (model fit + scoring join),
-    // so first COMPACT it to (doc, gram, cnt) — one explode pass, and
-    // everything downstream (model fit, broadcast-join probe, per-doc
-    // mean as a cnt-weighted sum) runs over ≤|docs|·|distinct grams
-    // per doc| rows instead of Σ length(text). Caching the RAW gram
-    // stream instead measured as a wash on the ScaleBench docs curve
-    // (storing Σ-length rows costs what recomputing them costs); the
-    // compact table is the one worth a cache boundary for its two
-    // consumers. Tracked like the dedup caches so Bench can drain it.
+    // so it is consumed COMPACT, as (doc, gram, cnt) — everything
+    // downstream (model fit, broadcast-join probe, per-doc mean as a
+    // cnt-weighted sum) runs over ≤|docs|·|distinct grams per doc|
+    // rows instead of Σ length(text). The bigram_counts kernel
+    // builds each doc's histogram in one byte scan, so the
+    // Σ-length-row positional explode never materializes and the
+    // compaction needs NO shuffle at all (the earlier
+    // explode+groupBy form shuffled already-unique keys; caching the
+    // RAW gram stream measured as a wash — storing Σ-length rows
+    // costs what recomputing them costs). Tracked like the dedup
+    // caches so Bench can drain it.
     val gramCounts = Dedup.persistTracked(docs
       .filter(length(col(textCol)) >= 2)
       .select(
         col(idCol),
-        explode(expr(
-          s"transform(sequence(1, length($textCol) - 1), i -> substring(lower($textCol), i, 2))"))
-          .as("gram"))
-      .groupBy(col(idCol), col("gram"))
-      .agg(count(lit(1)).as("cnt")))
+        explode(expr(s"bigram_counts(lower($textCol))")).as(Seq("gram", "cnt"))))
     val model = gramCounts
       .groupBy("gram").agg(sum(col("cnt")).as("c2"))
       .withColumn(
