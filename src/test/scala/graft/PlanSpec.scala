@@ -233,6 +233,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
   }
 
+  test("the curation funnel plans as byte-scan kernels, zero regex") {
+    // the r8 kernel work's regression guard: every gate count comes
+    // from a codegen'd byte-scan expression; a reappearing regexp_*
+    // or split-lambda means someone reverted to a per-pattern pass
+    val p = plan("q_curation_funnel")
+    assert(p.contains("word_set_hits") && p.contains("char_class_stats") &&
+      p.contains("letter_run_stats"), p.take(3000))
+    assert(!p.toLowerCase.contains("regexp"), p.take(3000))
+  }
+
+  test("naturalness plans as the bigram histogram kernel, no positional explode") {
+    val p = plan("q_text_naturalness")
+    assert(p.contains("bigram_counts"), p.take(3000))
+    assert(!p.contains("sequence(") && !p.contains("transform("), p.take(3000))
+  }
+
   test("scd2 asOf over a history TABLE is a pure pushed-filter scan") {
     // the time-travel read path: materialize a history once, then any
     // asOf is a single scan with the validity predicates pushed down —

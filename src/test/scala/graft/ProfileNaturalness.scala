@@ -67,9 +67,41 @@ object ProfileNaturalness {
       out
     }
 
+    // the kernel form with NO cache boundary: both consumers (model
+    // fit broadcast job + scoring join) recompute the narrow
+    // kernel+explode — two cheap byte-scan passes vs one pass plus a
+    // ~|docs|·|distinct grams| cache write and two cache reads
+    def naturalnessNoPersist(docs: DataFrame): DataFrame = {
+      val gramCounts = docs
+        .filter(length(col("text")) >= 2)
+        .select(
+          col("doc_id"),
+          explode(expr("bigram_counts(lower(text))")).as(Seq("gram", "cnt")))
+      val model = gramCounts
+        .groupBy("gram").agg(sum(col("cnt")).as("c2"))
+        .withColumn(
+          "c1", sum(col("c2")).over(Window.partitionBy(expr("substring(gram, 1, 1)"))))
+        .select(col("gram"), expr(ppmSpark("c2", "c1")).cast("long").as("p_ppm"))
+      val perDoc = gramCounts
+        .join(broadcast(model), "gram")
+        .groupBy("doc_id")
+        .agg(sum(col("p_ppm") * col("cnt")).as("sum_ppm"), sum(col("cnt")).as("n"))
+      docs.select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("n"), lit(0L)).cast("long").as("n_bigrams"),
+          coalesce(
+            expr("CAST(floor(CAST(sum_ppm AS DOUBLE) / n) AS BIGINT)"),
+            lit(0L)).as("naturalness_ppm"))
+    }
+
     t("nat_kernel") {
       consume(graft.operators.TextAnalysis.naturalness(d))
       graft.operators.Dedup.unpersistAll()
+    }
+    t("nat_nopersist") {
+      consume(naturalnessNoPersist(d))
     }
     t("nat_explode") {
       val df = naturalnessExplode(d)
