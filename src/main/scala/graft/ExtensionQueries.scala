@@ -78,6 +78,45 @@ object ExtensionQueries {
     s.read.parquet(path)
   }
 
+  /** Public-suffix-list fixture for q_url_psl_full, in the REAL
+    * publicsuffix.org file format (comment lines, blanks, a wildcard
+    * rule and its exception) so the query also exercises
+    * [[TextAnalysis.parsePslRules]] end-to-end. The DuckDB twin
+    * inlines the PARSED rules as VALUES — the parser itself is
+    * spec-gated (PipelineOpsSpec), the matcher oracle-gated.
+    */
+  private[graft] val PslFixture: String =
+    """// ===BEGIN ICANN DOMAINS===
+      |com
+      |org
+      |uk
+      |co.uk
+      |au
+      |com.au
+      |// the spec's own wildcard/exception family
+      |*.ck
+      |!www.ck
+      |// ===END ICANN DOMAINS===
+      |""".stripMargin
+
+  /** Planted host expression for q_url_psl_full, parameterized on the
+    * engine's string cast type (`STRING` for Spark, `VARCHAR` for
+    * DuckDB). Six families: multi-label suffix, wildcard suffix,
+    * exception host, host-is-public-suffix, unlisted suffix
+    * (implicit `*` fallback), and a one-label host.
+    */
+  private[graft] def pslPlantedHost(strType: String): String =
+    s"""CASE CAST(doc_id % 6 AS INT)
+       | WHEN 0 THEN 'shop-' || CAST(doc_id % 5 AS $strType) || '.co.uk'
+       | WHEN 1 THEN 'a.b.site-' || CAST(doc_id % 5 AS $strType) || '.ck'
+       | WHEN 2 THEN 'www.ck'
+       | WHEN 3 THEN 'co.uk'
+       | WHEN 4 THEN 'x.intranet-' || CAST(doc_id % 5 AS $strType) || '.corp'
+       | ELSE 'localhost'
+       |END""".stripMargin
+
+  private[graft] def PslPlantedHostSql: String = pslPlantedHost("STRING")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- deduplication family ----
     "q_dedup_exact" -> ((s, dir) =>
@@ -449,6 +488,29 @@ object ExtensionQueries {
           planted, "url", "doc_id",
           Seq("com", "org", "uk", "au", "co.uk", "com.au").toDF("suffix"))
         .groupBy("registered_domain")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("registered_domain")
+    }),
+    "q_url_psl_full" -> ((s, dir) => {
+      // the FULL publicsuffix.org algorithm over planted URLs: a
+      // wildcard rule (*.ck) makes site-N.ck a public suffix, its
+      // exception (!www.ck) claws www.ck back to a registrable
+      // domain, a host that IS a public suffix (co.uk) gets NULL,
+      // and unlisted suffixes fall under the spec's implicit `*`
+      // default (two labels, or NULL for bare localhost). The rule
+      // table goes through parsePslRules from real list-format text
+      // (comments, blanks, exception marks) — the same parsed rules
+      // are inlined as VALUES in the DuckDB twin, which mirrors the
+      // candidate/prevailing-rule algorithm independently.
+      import s.implicits._
+      val rules = TextAnalysis.parsePslRules(PslFixture)
+        .toDF("suffix_key", "is_exception")
+      val planted = Tables.documents(s, dir).select(
+        col("doc_id"),
+        concat(lit("https://"), expr(PslPlantedHostSql), lit("/p")).as("url"))
+      TextAnalysis.registeredDomainByPsl(planted, "url", "doc_id", rules)
+        .groupBy(coalesce(col("registered_domain"), lit("(none)"))
+          .as("registered_domain"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("registered_domain")
     }),
@@ -1198,6 +1260,52 @@ object ExtensionQueries {
          |FROM d GROUP BY registered_domain
          |ORDER BY registered_domain""".stripMargin,
 
+    "q_url_psl_full" -> {
+      val rulesValues = TextAnalysis.parsePslRules(PslFixture)
+        .map { case (k, e) => s"('$k', $e)" }.mkString(", ")
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    'https://' || ${pslPlantedHost("VARCHAR").linesIterator.mkString(" ")} || '/p' AS url
+         |  FROM documents
+         |), rules(suffix_key, is_exception) AS (
+         |  VALUES $rulesValues
+         |), l AS (
+         |  SELECT doc_id, url,
+         |    string_split(lower(regexp_extract(url, 'https?://([^/?#]+)', 1)), '.') AS labels
+         |  FROM planted
+         |), cand0 AS (
+         |  SELECT doc_id, labels,
+         |    unnest(range(1, least(len(labels), 5) + 1)) AS k
+         |  FROM l
+         |), cand AS (
+         |  SELECT doc_id, k,
+         |    array_to_string(labels[len(labels) - k + 1:], '.') AS key_exact,
+         |    CASE WHEN k = 1 THEN '*'
+         |         ELSE '*.' || array_to_string(labels[len(labels) - k + 2:], '.') END AS key_wild,
+         |    CASE WHEN k = len(labels) THEN ''
+         |         ELSE array_to_string(labels[len(labels) - k:], '.') END AS reg_next
+         |  FROM cand0
+         |), ckeys AS (
+         |  SELECT doc_id, k, key_exact AS key, key_exact, reg_next FROM cand
+         |  UNION ALL
+         |  SELECT doc_id, k, key_wild AS key, key_exact, reg_next FROM cand
+         |), m AS (
+         |  SELECT c.doc_id,
+         |    arg_max(CASE WHEN r.is_exception = 1 THEN c.key_exact ELSE c.reg_next END,
+         |            r.is_exception * 100 + c.k) AS reg
+         |  FROM ckeys c JOIN rules r ON r.suffix_key = c.key
+         |  GROUP BY c.doc_id
+         |), d AS (
+         |  SELECT l.doc_id,
+         |    CASE WHEN m.doc_id IS NOT NULL THEN NULLIF(m.reg, '')
+         |         WHEN len(l.labels) >= 2 THEN array_to_string(l.labels[len(l.labels) - 1:], '.')
+         |         ELSE NULL END AS registered_domain
+         |  FROM l LEFT JOIN m USING (doc_id)
+         |)
+         |SELECT COALESCE(registered_domain, '(none)') AS registered_domain,
+         |  COUNT(*) AS n_docs
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q_mixture_sample" -> {
       val h = graft.functions.TextExprs.charHashDuck("CAST(doc_id AS VARCHAR)")
       val b = graft.operators.Sampling.budgetCase(

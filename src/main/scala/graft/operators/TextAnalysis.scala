@@ -663,6 +663,121 @@ object TextAnalysis {
       .drop("_reg")
   }
 
+  /** Parse text in the publicsuffix.org list format into rule rows
+    * `(suffix_key, is_exception)`.
+    *
+    * The format (publicsuffix.org/list/): one rule per line; `//`
+    * starts a comment line; blank lines are ignored; only the token
+    * up to the first whitespace is the rule; rules are matched
+    * case-insensitively (the file is lowercase — we lowercase
+    * defensively). A leading `!` marks an exception rule (stripped
+    * here into `is_exception = 1`); `*` labels are kept verbatim in
+    * `suffix_key` because the matcher generates wildcard-shaped join
+    * keys (`*.tld`) from each host. Pure line-shaping, so it runs on
+    * the driver — real lists are ~15k rules, far below broadcast
+    * size.
+    */
+  def parsePslRules(pslText: String): Seq[(String, Int)] =
+    pslText.linesIterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("//"))
+      .map(_.takeWhile(!_.isWhitespace).toLowerCase)
+      .filter(_.nonEmpty)
+      .map(r => if (r.startsWith("!")) (r.drop(1), 1) else (r, 0))
+      .toSeq.distinct
+
+  /** Strict public-suffix-list registered-domain extraction — the
+    * full publicsuffix.org algorithm, unlike
+    * [[registeredDomainBySuffix]]'s plain-suffix approximation:
+    *
+    *  - wildcard rules (`*.ck`) match any single label in the `*`
+    *    position;
+    *  - exception rules (`!www.ck`) PREVAIL over every other match
+    *    and name the registered domain directly (the rule minus its
+    *    leading label is the public suffix);
+    *  - otherwise the longest matching rule prevails;
+    *  - a host that IS a public suffix has NO registered domain
+    *    (NULL) — e.g. `co.uk` under rule `co.uk`, or `test.ck`
+    *    under `*.ck`;
+    *  - a host matching no rule falls under the spec's implicit `*`
+    *    default: public suffix = last label, so the registered
+    *    domain is the last two labels (NULL for one-label hosts
+    *    like `localhost`).
+    *
+    * Shape mirrors [[registeredDomainBySuffix]]: per row a bounded
+    * explode emits ≤ 2·`maxSuffixLabels` candidate keys (each
+    * trailing-label window in exact and wildcard form), the rule
+    * table broadcasts into one equi-join, and one `max_by` aggregate
+    * picks the prevailing rule by `(is_exception, label count)` —
+    * no UDF, no driver state. Hosts are lowercased for matching, as
+    * the list is. `rules` must have columns
+    * `(suffix_key STRING, is_exception INT)` — the shape
+    * [[parsePslRules]] emits.
+    */
+  def registeredDomainByPsl(
+      df: DataFrame,
+      urlCol: String,
+      idCol: String,
+      rules: DataFrame,
+      maxSuffixLabels: Int = 5): DataFrame = {
+    require(rules.columns.sameElements(Array("suffix_key", "is_exception")),
+      s"rules must have columns (suffix_key, is_exception), got ${rules.columns.mkString(", ")}")
+    require(maxSuffixLabels >= 1 && maxSuffixLabels < 100,
+      s"maxSuffixLabels must be in [1, 100) (the prevailing-rule priority encodes as is_exception*100 + k), got $maxSuffixLabels")
+    require(!df.columns.contains("registered_domain"),
+      "registeredDomainByPsl exposes column 'registered_domain' but the input already has one — rename it first")
+    val host = lower(regexp_extract(col(urlCol), UrlHostPattern, 1))
+    // Per trailing-label window k: the exact key, the wildcard-shaped
+    // key (`*` replacing the window's leftmost label), and the
+    // would-be registered domain (window + one more label). The
+    // no-registrable case (k = label count: the host IS the suffix)
+    // is carried as '' rather than NULL so the prevailing-rule
+    // max_by below cannot silently drop it — both engines' arg-max
+    // aggregates treat NULL args as skippable, '' survives.
+    val cand = df
+      .withColumn("_labels", split(host, "\\."))
+      .select(
+        col(idCol),
+        col("_labels"),
+        explode(expr(
+          s"""flatten(transform(
+             |  sequence(1, least(size(_labels), $maxSuffixLabels)),
+             |  k -> array(
+             |    struct(
+             |      k AS k,
+             |      array_join(slice(_labels, -k, k), '.') AS key,
+             |      array_join(slice(_labels, -k, k), '.') AS key_exact,
+             |      IF(k = size(_labels), '',
+             |         array_join(slice(_labels, -(k + 1), k + 1), '.')) AS reg_next),
+             |    struct(
+             |      k AS k,
+             |      IF(k = 1, '*',
+             |         '*.' || array_join(slice(_labels, -(k - 1), k - 1), '.')) AS key,
+             |      array_join(slice(_labels, -k, k), '.') AS key_exact,
+             |      IF(k = size(_labels), '',
+             |         array_join(slice(_labels, -(k + 1), k + 1), '.')) AS reg_next))))""".stripMargin))
+          .as("c"))
+      .select(col(idCol), col("c.k").as("k"), col("c.key").as("key"),
+        col("c.key_exact").as("key_exact"), col("c.reg_next").as("reg_next"))
+    // prevailing rule: exception beats everything, then longest k.
+    // An exception rule IS the registered domain (its public suffix
+    // is the rule minus the leading label).
+    val matched = cand
+      .join(broadcast(rules), col("key") === col("suffix_key"))
+      .groupBy(idCol)
+      .agg(max_by(
+        when(col("is_exception") === 1, col("key_exact")).otherwise(col("reg_next")),
+        col("is_exception") * 100 + col("k")).as("_reg"))
+    df.join(matched, Seq(idCol), "left")
+      .withColumn(
+        "registered_domain",
+        when(col("_reg").isNotNull, nullif(col("_reg"), lit("")))
+          .otherwise( // implicit `*` default rule
+            when(size(split(host, "\\.")) >= 2,
+              lower(regexp_extract(host, RegisteredDomainPattern, 1)))))
+      .drop("_reg")
+  }
+
   /** Domain-blocklist filtering, the first gate of every web-corpus
     * curation pipeline: extract each row's registered domain and drop
     * rows whose domain appears in `blocklist` (a one-column `domain`

@@ -829,4 +829,72 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(1L) == ((2, 1)), s"got ${out(1L)}") // kernel counts "\u00e9the"'s run, Java does not
     assert(out(2L) == ((1, 0)), s"got ${out(2L)}")
   }
+
+  // ---- public-suffix list: parser + strict-spec matcher ----
+
+  test("parsePslRules handles comments, blanks, inline junk, and exception marks") {
+    val text =
+      """// ===BEGIN ICANN DOMAINS===
+        |
+        |com
+        |co.uk   // not an inline comment per spec: token ends at whitespace
+        |  *.ck
+        |!www.ck
+        |
+        |// ===END===
+        |UK
+        |""".stripMargin
+    val rules = TextAnalysis.parsePslRules(text)
+    assert(rules == Seq(
+      ("com", 0), ("co.uk", 0), ("*.ck", 0), ("www.ck", 1), ("uk", 0)))
+  }
+
+  test("registeredDomainByPsl follows the publicsuffix.org algorithm") {
+    import spark.implicits._
+    val rules = TextAnalysis.parsePslRules(
+      """com
+        |uk
+        |co.uk
+        |*.ck
+        |!www.ck
+        |""".stripMargin).toDF("suffix_key", "is_exception")
+    val cases = Seq(
+      // the spec's own ck family
+      (1L, "https://www.ck/x", "www.ck"),          // exception beats *.ck
+      (2L, "https://foo.www.ck/x", "www.ck"),      // public suffix ck (exception rule minus leading label)
+      (3L, "https://test.ck/x", null),             // host IS a public suffix (*.ck)
+      (4L, "https://b.test.ck/x", "b.test.ck"),    // wildcard suffix + one label
+      (5L, "https://a.b.test.ck/x", "b.test.ck"),
+      // longest-match over multi-label suffixes
+      (6L, "https://shop.example.co.uk/x", "example.co.uk"),
+      (7L, "https://example.co.uk/x", "example.co.uk"),
+      (8L, "https://co.uk/x", null),               // host IS a public suffix (co.uk)
+      (9L, "https://EXAMPLE.COM/x", "example.com"),// case-insensitive matching
+      // implicit * default: unlisted suffixes
+      (10L, "https://a.b.intra.corp/x", "intra.corp"),
+      (11L, "https://localhost/x", null))          // one label, no registrable domain
+    val df = cases.map { case (id, url, _) => (id, url) }.toDF("doc_id", "url")
+    val out = TextAnalysis.registeredDomainByPsl(df, "url", "doc_id", rules)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("registered_domain")).toMap
+    cases.foreach { case (id, url, want) =>
+      assert(out(id) == want, s"$url: got ${out(id)}, want $want")
+    }
+  }
+
+  test("registeredDomainByPsl guards its inputs") {
+    import spark.implicits._
+    val df = Seq((1L, "https://a.com/x")).toDF("doc_id", "url")
+    val rules = Seq(("com", 0)).toDF("suffix_key", "is_exception")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.registeredDomainByPsl(
+        df, "url", "doc_id", rules.withColumnRenamed("suffix_key", "sfx"))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.registeredDomainByPsl(
+        df.withColumn("registered_domain", lit("x")), "url", "doc_id", rules)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.registeredDomainByPsl(df, "url", "doc_id", rules, maxSuffixLabels = 0)
+    }
+  }
 }
