@@ -881,6 +881,59 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("registeredDomainByPsl matches a clean-room reference on random rules and hosts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4099)
+    // small label alphabet so hosts and rules collide constantly —
+    // wildcard overlaps, exception shadows, host==suffix cases all
+    // occur by volume. `*` only ever leftmost, as in the real list.
+    val labels = IndexedSeq("a", "b", "co", "uk", "ck", "x")
+    def randLabels(n: Int): Seq[String] =
+      (0 until n).map(_ => labels(rnd.nextInt(labels.size)))
+    // reference: the publicsuffix.org algorithm, label-at-a-time
+    def ref(host: String, rules: Seq[(String, Int)]): Option[String] = {
+      val hs = host.split('.').toSeq
+      val matches = rules.flatMap { case (rule, exc) =>
+        val rl = rule.split('.').toSeq
+        if (rl.size <= hs.size &&
+          rl.zip(hs.takeRight(rl.size)).forall { case (r, h) => r == "*" || r == h })
+          Some((exc, rl.size))
+        else None
+      }
+      val psLabels =
+        if (matches.isEmpty) 1 // implicit `*` default rule
+        else {
+          val (exc, k) = matches.maxBy { case (e, k) => (e, k) }
+          if (exc == 1) k - 1 else k
+        }
+      if (hs.size > psLabels) Some(hs.takeRight(psLabels + 1).mkString("."))
+      else None
+    }
+    (1 to 5).foreach { round =>
+      // rules: 1-3 labels, ~25% wildcard; each wildcard sometimes
+      // gets an exception carved out of it
+      val base = (1 to 10).map { _ =>
+        val body = randLabels(1 + rnd.nextInt(3)).mkString(".")
+        if (rnd.nextInt(4) == 0) "*." + body else body
+      }.distinct
+      val excs = base.filter(_.startsWith("*.")).filter(_ => rnd.nextInt(2) == 0)
+        .map(w => (labels(rnd.nextInt(labels.size)) + w.drop(1), 1))
+      val rules = (base.map((_, 0)) ++ excs).distinct
+        .groupBy(_._1).map(_._2.head).toSeq // a key is either normal or exception, as in the list
+      val hosts = (1 to 80).map(_ => randLabels(1 + rnd.nextInt(5)).mkString(".")).distinct
+      val df = hosts.zipWithIndex.map { case (h, i) => (i.toLong, s"https://$h/x") }
+        .toDF("doc_id", "url")
+      val out = TextAnalysis.registeredDomainByPsl(
+        df, "url", "doc_id", rules.toDF("suffix_key", "is_exception"))
+        .collect().map(r => r.getAs[Long]("doc_id") -> Option(r.getAs[String]("registered_domain"))).toMap
+      hosts.zipWithIndex.foreach { case (h, i) =>
+        val want = ref(h, rules)
+        assert(out(i.toLong) == want,
+          s"round $round host $h rules ${rules.mkString(",")}: got ${out(i.toLong)}, want $want")
+      }
+    }
+  }
+
   test("registeredDomainByPsl guards its inputs") {
     import spark.implicits._
     val df = Seq((1L, "https://a.com/x")).toDF("doc_id", "url")
