@@ -264,4 +264,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("Exchange"), p.take(2000))
     assert(p.contains("PushedFilters:") && p.contains("valid_from"), p.take(2000))
   }
+
+  test("full-PSL matching broadcasts the rule table; the corpus never shuffles for it") {
+    // candidate fan-out is a bounded generator over each host's
+    // labels; the rule join must broadcast the (tiny) rule side and
+    // the corpus side must reach the prevailing-rule aggregate
+    // without any corpus-wide exchange beyond the aggregate's own
+    val p = plan("q_url_psl_full")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p.take(3000))
+  }
 }
