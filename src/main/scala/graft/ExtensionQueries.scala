@@ -117,6 +117,69 @@ object ExtensionQueries {
 
   private[graft] def PslPlantedHostSql: String = pslPlantedHost("STRING")
 
+  /** Planted host expression for q_url_filter_psl: two families whose
+    * registered domains are blocklisted (one behind a multi-label
+    * public suffix — the case the two-label heuristic CANNOT block),
+    * plus keepers, a bare public suffix (NULL registrable domain,
+    * must survive), and a wildcard-suffix family.
+    */
+  private[graft] def pslFilterHost(strType: String): String =
+    s"""CASE CAST(doc_id % 5 AS INT)
+       | WHEN 0 THEN 'shop-' || CAST(doc_id % 3 AS $strType) || '.example.co.uk'
+       | WHEN 1 THEN 'www.news-' || CAST(doc_id % 3 AS $strType) || '.com'
+       | WHEN 2 THEN 'co.uk'
+       | WHEN 3 THEN 'a.b.site-' || CAST(doc_id % 3 AS $strType) || '.ck'
+       | ELSE 'x.evil.ck'
+       |END""".stripMargin
+
+  /** The DuckDB side of the full publicsuffix.org algorithm, shared
+    * by every PSL oracle: CTE chain from `planted(doc_id, url)` to
+    * `d(doc_id, registered_domain)`. `plantedSql` must select
+    * `doc_id` and `url`; the rule set is the parsed [[PslFixture]],
+    * inlined as VALUES.
+    */
+  private def pslDomainDuckCtes(plantedSql: String): String = {
+    val rulesValues = TextAnalysis.parsePslRules(PslFixture)
+      .map { case (k, e) => s"('$k', $e)" }.mkString(", ")
+    s"""WITH planted AS (
+       |  $plantedSql
+       |), rules(suffix_key, is_exception) AS (
+       |  VALUES $rulesValues
+       |), l AS (
+       |  SELECT doc_id, url,
+       |    string_split(lower(regexp_extract(url, 'https?://([^/?#]+)', 1)), '.') AS labels
+       |  FROM planted
+       |), cand0 AS (
+       |  SELECT doc_id, labels,
+       |    unnest(range(1, least(len(labels), 5) + 1)) AS k
+       |  FROM l
+       |), cand AS (
+       |  SELECT doc_id, k,
+       |    array_to_string(labels[len(labels) - k + 1:], '.') AS key_exact,
+       |    CASE WHEN k = 1 THEN '*'
+       |         ELSE '*.' || array_to_string(labels[len(labels) - k + 2:], '.') END AS key_wild,
+       |    CASE WHEN k = len(labels) THEN ''
+       |         ELSE array_to_string(labels[len(labels) - k:], '.') END AS reg_next
+       |  FROM cand0
+       |), ckeys AS (
+       |  SELECT doc_id, k, key_exact AS key, key_exact, reg_next FROM cand
+       |  UNION ALL
+       |  SELECT doc_id, k, key_wild AS key, key_exact, reg_next FROM cand
+       |), m AS (
+       |  SELECT c.doc_id,
+       |    arg_max(CASE WHEN r.is_exception = 1 THEN c.key_exact ELSE c.reg_next END,
+       |            r.is_exception * 100 + c.k) AS reg
+       |  FROM ckeys c JOIN rules r ON r.suffix_key = c.key
+       |  GROUP BY c.doc_id
+       |), d AS (
+       |  SELECT l.doc_id,
+       |    CASE WHEN m.doc_id IS NOT NULL THEN NULLIF(m.reg, '')
+       |         WHEN len(l.labels) >= 2 THEN array_to_string(l.labels[len(l.labels) - 1:], '.')
+       |         ELSE NULL END AS registered_domain
+       |  FROM l LEFT JOIN m USING (doc_id)
+       |)""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- deduplication family ----
     "q_dedup_exact" -> ((s, dir) =>
@@ -509,6 +572,27 @@ object ExtensionQueries {
         col("doc_id"),
         concat(lit("https://"), expr(PslPlantedHostSql), lit("/p")).as("url"))
       TextAnalysis.registeredDomainByPsl(planted, "url", "doc_id", rules)
+        .groupBy(coalesce(col("registered_domain"), lit("(none)"))
+          .as("registered_domain"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("registered_domain")
+    }),
+    "q_url_filter_psl" -> ((s, dir) => {
+      // PSL-aware blocklist filtering: block 'example.co.uk' (a
+      // domain the two-label heuristic can NEVER match — it extracts
+      // 'co.uk') and 'x.evil.ck' (registrable under the *.ck
+      // wildcard). The bare-public-suffix family (co.uk, NULL
+      // registered domain) must survive the anti-join.
+      import s.implicits._
+      val rules = TextAnalysis.parsePslRules(PslFixture)
+        .toDF("suffix_key", "is_exception")
+      val planted = Tables.documents(s, dir).select(
+        col("doc_id"),
+        concat(lit("https://"), expr(pslFilterHost("STRING")), lit("/p")).as("url"))
+      TextAnalysis
+        .dropBlockedDomainsPsl(
+          planted, "url", "doc_id",
+          Seq("example.co.uk", "x.evil.ck").toDF("domain"), rules)
         .groupBy(coalesce(col("registered_domain"), lit("(none)"))
           .as("registered_domain"))
         .agg(count(lit(1)).as("n_docs"))
@@ -1260,52 +1344,21 @@ object ExtensionQueries {
          |FROM d GROUP BY registered_domain
          |ORDER BY registered_domain""".stripMargin,
 
-    "q_url_psl_full" -> {
-      val rulesValues = TextAnalysis.parsePslRules(PslFixture)
-        .map { case (k, e) => s"('$k', $e)" }.mkString(", ")
-      s"""WITH planted AS (
-         |  SELECT doc_id,
-         |    'https://' || ${pslPlantedHost("VARCHAR").linesIterator.mkString(" ")} || '/p' AS url
-         |  FROM documents
-         |), rules(suffix_key, is_exception) AS (
-         |  VALUES $rulesValues
-         |), l AS (
-         |  SELECT doc_id, url,
-         |    string_split(lower(regexp_extract(url, 'https?://([^/?#]+)', 1)), '.') AS labels
-         |  FROM planted
-         |), cand0 AS (
-         |  SELECT doc_id, labels,
-         |    unnest(range(1, least(len(labels), 5) + 1)) AS k
-         |  FROM l
-         |), cand AS (
-         |  SELECT doc_id, k,
-         |    array_to_string(labels[len(labels) - k + 1:], '.') AS key_exact,
-         |    CASE WHEN k = 1 THEN '*'
-         |         ELSE '*.' || array_to_string(labels[len(labels) - k + 2:], '.') END AS key_wild,
-         |    CASE WHEN k = len(labels) THEN ''
-         |         ELSE array_to_string(labels[len(labels) - k:], '.') END AS reg_next
-         |  FROM cand0
-         |), ckeys AS (
-         |  SELECT doc_id, k, key_exact AS key, key_exact, reg_next FROM cand
-         |  UNION ALL
-         |  SELECT doc_id, k, key_wild AS key, key_exact, reg_next FROM cand
-         |), m AS (
-         |  SELECT c.doc_id,
-         |    arg_max(CASE WHEN r.is_exception = 1 THEN c.key_exact ELSE c.reg_next END,
-         |            r.is_exception * 100 + c.k) AS reg
-         |  FROM ckeys c JOIN rules r ON r.suffix_key = c.key
-         |  GROUP BY c.doc_id
-         |), d AS (
-         |  SELECT l.doc_id,
-         |    CASE WHEN m.doc_id IS NOT NULL THEN NULLIF(m.reg, '')
-         |         WHEN len(l.labels) >= 2 THEN array_to_string(l.labels[len(l.labels) - 1:], '.')
-         |         ELSE NULL END AS registered_domain
-         |  FROM l LEFT JOIN m USING (doc_id)
-         |)
+    "q_url_psl_full" ->
+      s"""${pslDomainDuckCtes(
+             s"SELECT doc_id, 'https://' || ${pslPlantedHost("VARCHAR").linesIterator.mkString(" ")} || '/p' AS url FROM documents")}
          |SELECT COALESCE(registered_domain, '(none)') AS registered_domain,
          |  COUNT(*) AS n_docs
-         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
-    },
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_url_filter_psl" ->
+      s"""${pslDomainDuckCtes(
+             s"SELECT doc_id, 'https://' || ${pslFilterHost("VARCHAR").linesIterator.mkString(" ")} || '/p' AS url FROM documents")}
+         |SELECT COALESCE(registered_domain, '(none)') AS registered_domain,
+         |  COUNT(*) AS n_docs
+         |FROM d
+         |WHERE registered_domain IS NULL
+         |   OR registered_domain NOT IN ('example.co.uk', 'x.evil.ck')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_mixture_sample" -> {
       val h = graft.functions.TextExprs.charHashDuck("CAST(doc_id AS VARCHAR)")
       val b = graft.operators.Sampling.budgetCase(

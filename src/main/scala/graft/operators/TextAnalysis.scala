@@ -800,6 +800,32 @@ object TextAnalysis {
         Seq("registered_domain"), "left_anti")
   }
 
+  /** PSL-aware domain-blocklist filtering. [[dropBlockedDomains]]'s
+    * two-label heuristic cannot express a block on a multi-label-
+    * suffix domain: for `shop.example.co.uk` it extracts `co.uk`, so
+    * a blocklist entry `example.co.uk` never matches — and blocking
+    * `co.uk` itself would drop every UK host. This variant extracts
+    * the registered domain through the full public-suffix algorithm
+    * ([[registeredDomainByPsl]]) before the anti-join. Rows with no
+    * registrable domain (NULL — bare public suffixes, one-label
+    * hosts) survive the anti-join by SQL null semantics, which is
+    * the right default: a blocklist names registrable domains.
+    */
+  def dropBlockedDomainsPsl(
+      df: DataFrame,
+      urlCol: String,
+      idCol: String,
+      blocklist: DataFrame,
+      rules: DataFrame,
+      maxSuffixLabels: Int = 5): DataFrame = {
+    require(blocklist.columns.sameElements(Array("domain")),
+      s"blocklist must have exactly one column 'domain', got ${blocklist.columns.mkString(", ")}")
+    registeredDomainByPsl(df, urlCol, idCol, rules, maxSuffixLabels)
+      .join(
+        blocklist.withColumnRenamed("domain", "registered_domain"),
+        Seq("registered_domain"), "left_anti")
+  }
+
   def redactPii(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val redacted = PiiPatterns.foldLeft(col(textCol)) {
       case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)

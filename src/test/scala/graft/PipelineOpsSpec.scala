@@ -934,6 +934,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dropBlockedDomainsPsl blocks multi-label-suffix domains the heuristic cannot") {
+    import spark.implicits._
+    val rules = TextAnalysis.parsePslRules("uk\nco.uk\ncom\n")
+      .toDF("suffix_key", "is_exception")
+    val docs = Seq(
+      (1L, "https://shop.example.co.uk/x"),  // blocked: reg = example.co.uk
+      (2L, "https://example.co.uk/x"),       // blocked: same reg, bare
+      (3L, "https://other.co.uk/x"),         // kept: different reg
+      (4L, "https://co.uk/x"),               // kept: NULL reg (public suffix)
+      (5L, "https://example.com/x"))         // kept: .com not listed
+      .toDF("doc_id", "url")
+    val block = Seq("example.co.uk").toDF("domain")
+    val out = TextAnalysis.dropBlockedDomainsPsl(docs, "url", "doc_id", rules = rules,
+      blocklist = block)
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(3L, 4L, 5L))
+    // the two-label heuristic CANNOT express this block: it extracts
+    // co.uk for every .co.uk host, so blocking example.co.uk drops
+    // nothing and blocking co.uk would drop other.co.uk too
+    val heuristic = TextAnalysis.dropBlockedDomains(docs, "url", block)
+    assert(heuristic.count() == 5L)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.dropBlockedDomainsPsl(
+        docs, "url", "doc_id", block.withColumnRenamed("domain", "d"), rules)
+    }
+  }
+
   test("registeredDomainByPsl guards its inputs") {
     import spark.implicits._
     val df = Seq((1L, "https://a.com/x")).toDF("doc_id", "url")
