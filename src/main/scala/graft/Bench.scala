@@ -91,7 +91,19 @@ object Bench {
     // head (where "value" lives) no longer fits the capture window
     // (BENCH_r07.json: "parsed": null, total lost) — the tail always
     // survives, so the total must live there too
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$spread,"sf":"$sfDir","n_queries":${results.size},"total_sec":${fmt(total)}}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$spread,"sf":"$sfDir","n_queries":${results.size},"total_sec":${fmt(total)}}"""
+    println(line)
+    // the driver's stdout capture is a ~2 KB tail that truncates the
+    // per-query map at 100+ queries (BENCH_r08.json kept 75/114 rows)
+    // — also land the full line in a file it can collect
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_out.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not write BENCH_out.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -1318,7 +1318,7 @@ object ExtensionQueries {
          |  VALUES ('com'), ('org'), ('uk'), ('au'), ('co.uk'), ('com.au')
          |), l AS (
          |  SELECT doc_id, url,
-         |    string_split(regexp_extract(url, 'https?://([^/?#]+)', 1), '.') AS labels
+         |    string_split(lower(regexp_extract(url, 'https?://([^/?#]+)', 1)), '.') AS labels
          |  FROM planted
          |), cand0 AS (
          |  SELECT doc_id, labels,
@@ -1336,7 +1336,7 @@ object ExtensionQueries {
          |), d AS (
          |  SELECT l.doc_id,
          |    COALESCE(m.reg, regexp_extract(
-         |      regexp_extract(l.url, 'https?://([^/?#]+)', 1),
+         |      lower(regexp_extract(l.url, 'https?://([^/?#]+)', 1)),
          |      '([^.]+\\.[^.]+)$$', 1)) AS registered_domain
          |  FROM l LEFT JOIN m USING (doc_id)
          |)

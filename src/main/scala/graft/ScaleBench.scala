@@ -38,7 +38,7 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val fix = java.nio.file.Files.createTempDirectory("graft_scale_fix_").toString
+    val fix = BenchFixtures.cleanedTempDir("graft_scale_fix_")
 
     // amplified orders with unique keys; the after side perturbs
     // every 7th price and drops every 1000th key (real diff traffic).

@@ -53,7 +53,7 @@ object SkewBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val fix = Files.createTempDirectory("graft_skew_fix_").toString
+    val fix = BenchFixtures.cleanedTempDir("graft_skew_fix_")
 
     // ---- fixture 1: zipfian user_id over amplified events ----
     val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "value")

@@ -215,11 +215,21 @@ object TextExprs {
     * `WordSetHits.register(spark)`. The regex form stays on the
     * DuckDB side, so the oracle verifies the equivalence row by row.
     */
-  def wordSetHitsSpark(s: String, sets: Seq[Seq[String]], idx: Int): String = {
+  /** Validate word sets and build the `word_set_hits` spec string.
+    * The spec joins words with ',' and sets with '|', so a word
+    * containing either (or an uppercase letter — the kernel scans
+    * lowered text) would silently corrupt set boundaries; fail fast
+    * instead. Shared by every `word_set_hits` call site.
+    */
+  def wordSetSpec(sets: Seq[Seq[String]]): String = {
     require(sets.nonEmpty && sets.forall(ws => ws.nonEmpty && ws.forall(_.matches("[a-z]+"))),
-      s"wordSetHitsSpark needs pure-letter lowercase words, got $sets")
+      s"word_set_hits needs pure-letter lowercase words, got $sets")
+    sets.map(_.mkString(",")).mkString("|")
+  }
+
+  def wordSetHitsSpark(s: String, sets: Seq[Seq[String]], idx: Int): String = {
+    val spec = wordSetSpec(sets)
     require(idx >= 0 && idx < sets.length, s"set index $idx out of range")
-    val spec = sets.map(_.mkString(",")).mkString("|")
     s"element_at(word_set_hits($s, '$spec'), ${idx + 1})"
   }
 

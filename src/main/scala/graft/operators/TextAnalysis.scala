@@ -116,9 +116,13 @@ object TextAnalysis {
         expr(langPredFromCols("_lang", "_zh")).as("lang_pred"): _*)
   }
 
-  /** The shared 4-language hit-count scan as one array expression. */
+  /** The shared 4-language hit-count scan as one array expression.
+    * Spec built through [[graft.functions.TextExprs.wordSetSpec]] so
+    * a malformed stopword fails fast instead of corrupting set
+    * boundaries.
+    */
   private def langHitsArraySpark(t: String): String = {
-    val spec = langStopwordLists.map(_._2.mkString(",")).mkString("|")
+    val spec = wordSetSpec(langStopwordLists.map(_._2))
     s"word_set_hits(lower($t), '$spec')"
   }
 
@@ -634,7 +638,10 @@ object TextAnalysis {
       s"suffix table must have exactly one column 'suffix', got ${suffixTable.columns.mkString(", ")}")
     require(!df.columns.contains("registered_domain"),
       "registeredDomainBySuffix exposes column 'registered_domain' but the input already has one — rename it first")
-    val host = regexp_extract(col(urlCol), UrlHostPattern, 1)
+    // lowercase before splitting/joining — the suffix table is
+    // lowercase (as the PSL is), so Example.CO.UK must not silently
+    // fall through to the two-label fallback
+    val host = lower(regexp_extract(col(urlCol), UrlHostPattern, 1))
     // k clamps to >= 1 so sequence() never descends; the k < size
     // filter then discards the clamped candidate on 1-label hosts
     val cand = df
@@ -659,7 +666,9 @@ object TextAnalysis {
     df.join(matched, Seq(idCol), "left")
       .withColumn(
         "registered_domain",
-        coalesce(col("_reg"), urlRegisteredDomain(urlCol)))
+        // fallback on the SAME lowered host, so matched and
+        // unmatched rows agree on casing
+        coalesce(col("_reg"), regexp_extract(host, RegisteredDomainPattern, 1)))
       .drop("_reg")
   }
 

@@ -150,6 +150,9 @@ object StreamRunner {
         df.filter(org.apache.spark.sql.functions.pmod(
             org.apache.spark.sql.functions.col(keyCol),
             org.apache.spark.sql.functions.lit(slices)) === i)
+          // harness-only coalesce: each slice must be exactly ONE
+          // parquet file so the file stream source replays it as one
+          // ordered unit — never a production write pattern
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val listing = Files.list(tmp)
         val part =
@@ -202,19 +205,21 @@ object StreamRunner {
     val ck = Files.createTempDirectory(ckRoot, "graft_stream_fold_ck_")
     @volatile var acc = zero
     try {
-      val q =
-        try
-          streamingDf.writeStream
-            .foreachBatch { (batch: DataFrame, id: Long) =>
-              acc = step(acc, batch, id).localCheckpoint(true)
-            }
-            .option("checkpointLocation", ck.toString)
-            .trigger(Trigger.AvailableNow())
-            .start()
-        finally spark.conf.set(key, prev)
+      // The conf must stay overridden until awaitTermination returns:
+      // micro-batches plan asynchronously, so restoring right after
+      // start() would race batch planning and leave most steps on the
+      // session default.
+      val q = streamingDf.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          acc = step(acc, batch, id).localCheckpoint(true)
+        }
+        .option("checkpointLocation", ck.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
       q.awaitTermination()
       acc
     } finally {
+      spark.conf.set(key, prev)
       import scala.jdk.CollectionConverters._
       val walk = Files.walk(ck)
       try walk.sorted(java.util.Comparator.reverseOrder())
@@ -255,6 +260,8 @@ object StreamRunner {
       val row = org.apache.spark.sql.Row.fromSeq(values.toSeq)
       val tmp = Files.createTempDirectory("graft_sentinel_")
       spark.createDataFrame(List(row).asJava, schema)
+        // harness-only coalesce: one-row sentinel must land as one
+        // file so its mtime defines the stream's processing order
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val listing = Files.list(tmp)
       val part =
