@@ -406,28 +406,35 @@ object ExtensionQueries {
           md5(col("text").cast("binary")).as("digest"))
         .orderBy("doc_id")),
     "q_multimodal_features" -> ((s, dir) => {
-      // the REAL decode path end-to-end: synthesize the media table
-      // (BINARY payload + typed metadata), run extractFeatures'
-      // mapPartitions decoder, and hash the features against a DuckDB
-      // twin of the stub's 16-bin byte histogram. Ratios are float32
-      // and cross-engine float stringification differs, so the
-      // features are de-normalized back to exact integer bin COUNTS
-      // (ratio × n_bytes — exact below 2^23: the stored float32 ratio
-      // carries a half-ulp relative error of 2^-24, so round() is only
-      // guaranteed to recover the integer count while count·2^-24 < 1/2,
-      // i.e. counts < 2^23 ≈ 8M-byte documents — see StubDecoder) and
-      // scalarized (array_join) for the driver's row-sorting comparator.
-      val media = graft.operators.Multimodal.synthesizeMedia(
+      // the REAL decode path end-to-end, on a REAL public format:
+      // synthesize valid binary PPM (P6) payloads whose pixel bytes
+      // derive from doc_id formulas, TRUNCATE every 97th payload, and
+      // run the byte-level PpmDecoder through the permissive extract.
+      // The oracle recomputes width/height/pixel-channel sums from
+      // the same formulas — so a header-parse or pixel-offset bug on
+      // the Spark side diverges the hashes — and expects NULL
+      // features + decode_ok=false exactly on the corrupted rows.
+      // Features are small exact integers (sums ≤ 231·126 < 2^24) so
+      // they survive the float32 vector losslessly.
+      val media = graft.operators.Multimodal.synthesizePpm(
         Tables.documents(s, dir))
-      graft.operators.Multimodal.extractFeatures(media)
+        .withColumn(
+          "media",
+          when(pmod(col("media_id"), lit(97)) === 13,
+            expr("substring(media, 1, octet_length(media) - 5)"))
+            .otherwise(col("media")))
+      graft.operators.Multimodal
+        .extractFeaturesPermissive(media, graft.operators.Multimodal.PpmDecoder)
         .select(
           col("media_id"),
           col("n_bytes"),
-          array_join(
-            transform(
-              col("features"),
-              f => round(f * col("n_bytes")).cast("long")),
-            ",").as("bin_counts"))
+          col("decode_error").isNull.as("decode_ok"),
+          element_at(col("features"), 1).cast("long").as("width"),
+          element_at(col("features"), 2).cast("long").as("height"),
+          element_at(col("features"), 4).cast("long").as("n_pixels"),
+          element_at(col("features"), 5).cast("long").as("sum_r"),
+          element_at(col("features"), 6).cast("long").as("sum_g"),
+          element_at(col("features"), 7).cast("long").as("sum_b"))
         .orderBy("media_id")
     }),
 
@@ -1234,23 +1241,38 @@ object ExtensionQueries {
     // pure ASCII (verified octet_length(encode(text)) = length(text)
     // for every row at all SFs); a non-ASCII corpus would need BLOB
     // byte extraction DuckDB doesn't expose in SQL.
+    // planted-PPM twin: header length + per-channel sums recomputed
+    // from the SAME doc_id formulas the Spark side encodes into real
+    // P6 bytes; rows with doc_id % 97 = 13 are truncated → decode
+    // fails → NULL features
     "q_multimodal_features" ->
-      """WITH pos AS (
-        |  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+      """WITH dims AS (
+        |  SELECT doc_id, 4 + doc_id % 8 AS w, 3 + doc_id % 5 AS h,
+        |    length('P6' || chr(10) || '# doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+        |      || CAST(4 + doc_id % 8 AS VARCHAR) || ' ' || CAST(3 + doc_id % 5 AS VARCHAR) || chr(10)
+        |      || '255' || chr(10)) AS hdr
         |  FROM documents
-        |), ch AS (
-        |  SELECT doc_id, unicode(substr(text, CAST(i AS INT), 1)) // 16 AS bin
-        |  FROM pos
-        |), h AS (
-        |  SELECT doc_id, bin, COUNT(*) AS c FROM ch GROUP BY doc_id, bin
-        |), spine AS (
-        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, b.bin
-        |  FROM documents, range(0, 16) b(bin)
+        |), px AS (
+        |  SELECT doc_id, CAST(i % 3 AS INT) AS c, 32 + (doc_id * 31 + i * 7) % 95 AS b
+        |  FROM (SELECT doc_id, unnest(range(0, w * h * 3)) AS i FROM dims)
+        |), agg AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN c = 0 THEN b END) AS sum_r,
+        |    SUM(CASE WHEN c = 1 THEN b END) AS sum_g,
+        |    SUM(CASE WHEN c = 2 THEN b END) AS sum_b
+        |  FROM px GROUP BY doc_id
         |)
-        |SELECT spine.doc_id AS media_id, spine.n_bytes,
-        |  string_agg(CAST(COALESCE(h.c, 0) AS VARCHAR), ',' ORDER BY spine.bin) AS bin_counts
-        |FROM spine LEFT JOIN h ON h.doc_id = spine.doc_id AND h.bin = spine.bin
-        |GROUP BY spine.doc_id, spine.n_bytes
+        |SELECT d.doc_id AS media_id,
+        |  CAST(d.hdr + d.w * d.h * 3
+        |    - CASE WHEN d.doc_id % 97 = 13 THEN 5 ELSE 0 END AS BIGINT) AS n_bytes,
+        |  d.doc_id % 97 <> 13 AS decode_ok,
+        |  CASE WHEN d.doc_id % 97 <> 13 THEN CAST(d.w AS BIGINT) END AS width,
+        |  CASE WHEN d.doc_id % 97 <> 13 THEN CAST(d.h AS BIGINT) END AS height,
+        |  CASE WHEN d.doc_id % 97 <> 13 THEN CAST(d.w * d.h AS BIGINT) END AS n_pixels,
+        |  CASE WHEN d.doc_id % 97 <> 13 THEN CAST(a.sum_r AS BIGINT) END AS sum_r,
+        |  CASE WHEN d.doc_id % 97 <> 13 THEN CAST(a.sum_g AS BIGINT) END AS sum_g,
+        |  CASE WHEN d.doc_id % 97 <> 13 THEN CAST(a.sum_b AS BIGINT) END AS sum_b
+        |FROM dims d JOIN agg a USING (doc_id)
         |ORDER BY media_id""".stripMargin,
 
     // 32-byte frame slices of the ASCII payloads (same
