@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling curve for the dedup chain (minhash pairs → label
+  * propagation → keep-best apply) over MUTATED near-duplicate
+  * amplification.
+  *
+  * ScaleBench deliberately excludes dedup: amplifying verbatim copies
+  * makes every replica collide with every other, so candidate sets
+  * grow quadratically BY DATA DESIGN and the curve measures the
+  * fixture, not the plan. Here amplification is pair-structured
+  * token-level mutation instead:
+  *
+  *  - replica r of a doc gets every 3rd token replaced by a marker
+  *    token unique to its PAIR (`m{r - r%2}`). With 3-token shingles
+  *    every shingle window contains exactly one marker position, so
+  *    replicas of DIFFERENT pairs share no shingles at all — they
+  *    cannot be near-dups of each other;
+  *  - the odd replica of each pair additionally appends one token,
+  *    so each (even, odd) pair is a true near-dup (signature
+  *    agreement ≈ 32/32) without being exact.
+  *
+  * Planted near-dup pairs therefore number docs·mult/2 — LINEAR in
+  * the amplification — and the measured candidate/pair counts are
+  * printed next to the times so the curve's honesty is checkable:
+  * near-linear `n_pairs` growth with near-linear stage times is the
+  * 100 TB evidence; anything superlinear flags a plan (or fixture)
+  * problem immediately.
+  */
+object DedupScaleBench {
+
+  private def time[A](iters: Int)(f: => A): Double =
+    (1 to iters).map { _ =>
+      val t0 = System.nanoTime()
+      f
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val fix = BenchFixtures.cleanedTempDir("graft_dedup_scale_fix_")
+
+    // stage the mutated amplification to parquet and read back, so the
+    // timed chain starts from a real table at a real split count (same
+    // staging discipline as ScaleBench)
+    def stage(mult: Int): DataFrame = {
+      graft.sources.Tables.documents(spark, sfDir)
+        .crossJoin(spark.range(mult).toDF("r"))
+        .withColumn("e", col("r") - pmod(col("r"), lit(2)))
+        .select(
+          (col("doc_id") * mult + col("r")).as("doc_id"),
+          col("source"),
+          concat(
+            expr("array_join(transform(split(text, ' '), (t, i) -> " +
+              "IF(i % 3 = 0, concat('m', CAST(e AS STRING)), t)), ' ')"),
+            when(pmod(col("r"), lit(2)) === 1, lit(" zz")).otherwise(lit("")))
+            .as("text"),
+          col("n_chars"))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$fix/docs_$mult")
+      spark.read.parquet(s"$fix/docs_$mult")
+    }
+
+    val results = Seq(1, 4, 16, 64).map { mult =>
+      val docs = stage(mult)
+      val nDocs = docs.count()
+      var nPairs = 0L
+      val pairsSec = time(iters) {
+        nPairs = graft.operators.Dedup.minhashPairs(docs).count()
+        graft.operators.Dedup.unpersistAll()
+      }
+      // materialize pairs once so the cluster/apply stages time THEIR
+      // work, not a re-run of candidate generation
+      val pairs = graft.operators.Dedup.minhashPairs(docs).localCheckpoint(true)
+      graft.operators.Dedup.unpersistAll()
+      var nClusters = 0L
+      val clusterSec = time(iters) {
+        nClusters = graft.operators.ConnectedComponents
+          .labelPropagate(pairs, "doc_a", "doc_b")
+          .select("component").distinct().count()
+      }
+      val labels = graft.operators.ConnectedComponents
+        .labelPropagate(pairs, "doc_a", "doc_b").localCheckpoint(true)
+      var nKept = 0L
+      val applySec = time(iters) {
+        nKept = graft.operators.Dedup
+          .applyKeepBestWithLabels(docs, labels, "n_chars").count()
+      }
+      (mult, nDocs, nPairs, nClusters, nKept, pairsSec, clusterSec, applySec)
+    }
+
+    val qs = results.map { case (m, nd, np, nc, nk, ps, cs, as_) =>
+      s""""x$m":{"docs":$nd,"n_pairs":$np,"n_clusters":$nc,"n_kept":$nk,""" +
+        s""""pairs_sec":${f"$ps%.3f"},"cluster_sec":${f"$cs%.3f"},"apply_sec":${f"$as_%.3f"}}"""
+    }.mkString(",")
+    println(s"""{"metric":"dedup_scale_curve","iters":$iters,"sf":"$sfDir",$qs}""")
+    spark.stop()
+  }
+}

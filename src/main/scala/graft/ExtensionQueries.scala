@@ -132,19 +132,39 @@ object ExtensionQueries {
        | ELSE 'x.evil.ck'
        |END""".stripMargin
 
+  /** Planted host expression for q_url_psl_9k — the same six
+    * semantic families as [[pslPlantedHost]] plus a 3-label-suffix
+    * family, but pointed at the ~9200-rule synthetic list
+    * ([[TextAnalysis.syntheticPslText]]) so the matcher is
+    * oracle-gated at production rule count.
+    */
+  private[graft] def psl9kHost(strType: String): String =
+    s"""CASE CAST(doc_id % 7 AS INT)
+       | WHEN 0 THEN 'a.s' || CAST(doc_id % 7000 AS $strType) || '.tld' || CAST((doc_id % 7000) % 1500 AS $strType)
+       | WHEN 1 THEN 'b.a.s' || CAST(doc_id % 7000 AS $strType) || '.tld' || CAST((doc_id % 7000) % 1500 AS $strType)
+       | WHEN 2 THEN 'h.any' || CAST(doc_id % 50 AS $strType) || '.wild' || CAST(doc_id % 150 AS $strType)
+       | WHEN 3 THEN 'x' || CAST(doc_id % 100 AS $strType) || '.wild' || CAST(doc_id % 100 AS $strType)
+       | WHEN 4 THEN 's' || CAST(doc_id % 7000 AS $strType) || '.tld' || CAST((doc_id % 7000) % 1500 AS $strType)
+       | WHEN 5 THEN 'q.t' || CAST(doc_id % 300 AS $strType) || '.s' || CAST(doc_id % 300 AS $strType) || '.tld' || CAST((doc_id % 300) % 1500 AS $strType)
+       | ELSE 'foo' || CAST(doc_id % 9 AS $strType) || '.zzz'
+       |END""".stripMargin
+
   /** The DuckDB side of the full publicsuffix.org algorithm, shared
     * by every PSL oracle: CTE chain from `planted(doc_id, url)` to
     * `d(doc_id, registered_domain)`. `plantedSql` must select
-    * `doc_id` and `url`; the rule set is the parsed [[PslFixture]],
-    * inlined as VALUES.
+    * `doc_id` and `url`; `rulesSql` fills the
+    * `rules(suffix_key, is_exception)` CTE — by default the parsed
+    * [[PslFixture]] inlined as VALUES.
     */
-  private def pslDomainDuckCtes(plantedSql: String): String = {
-    val rulesValues = TextAnalysis.parsePslRules(PslFixture)
-      .map { case (k, e) => s"('$k', $e)" }.mkString(", ")
+  private def pslDomainDuckCtes(plantedSql: String, rulesSql: String = ""): String = {
+    val rules =
+      if (rulesSql.nonEmpty) rulesSql
+      else "VALUES " + TextAnalysis.parsePslRules(PslFixture)
+        .map { case (k, e) => s"('$k', $e)" }.mkString(", ")
     s"""WITH planted AS (
        |  $plantedSql
        |), rules(suffix_key, is_exception) AS (
-       |  VALUES $rulesValues
+       |  $rules
        |), l AS (
        |  SELECT doc_id, url,
        |    string_split(lower(regexp_extract(url, 'https?://([^/?#]+)', 1)), '.') AS labels
@@ -584,6 +604,26 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("registered_domain")
     }),
+    "q_url_psl_9k" -> ((s, dir) => {
+      // the SAME full-PSL matcher, but against a synthetic list at
+      // production rule count (~9200 rules — the live publicsuffix
+      // .org list is ~9–15k). Every family resolves per-doc: 2-label
+      // and 3-label suffixes (longest-rule prevails), a wildcard
+      // family, exceptions clawing hosts back, host-IS-suffix (NULL),
+      // and the implicit-`*` fallback. Per-doc output (not grouped)
+      // so the oracle pins every single resolution at this scale.
+      import s.implicits._
+      val rules = TextAnalysis.parsePslRules(TextAnalysis.syntheticPslText())
+        .toDF("suffix_key", "is_exception")
+      val planted = Tables.documents(s, dir).select(
+        col("doc_id"),
+        concat(lit("https://"), expr(psl9kHost("STRING")), lit("/p")).as("url"))
+      TextAnalysis.registeredDomainByPsl(planted, "url", "doc_id", rules)
+        .select(
+          col("doc_id"),
+          coalesce(col("registered_domain"), lit("(none)")).as("registered_domain"))
+        .orderBy("doc_id")
+    }),
     "q_url_filter_psl" -> ((s, dir) => {
       // PSL-aware blocklist filtering: block 'example.co.uk' (a
       // domain the two-label heuristic can NEVER match — it extracts
@@ -668,6 +708,12 @@ object ExtensionQueries {
       TextAnalysis.repetition(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_text_naturalness" -> ((s, dir) =>
       TextAnalysis.naturalness(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_text_naturalness_sampled" -> ((s, dir) =>
+      // hash-sampled model fit (1/4 of docs), every doc still scored
+      // — the capped-fit form a 100 TB corpus would run; the oracle
+      // applies the identical poly-hash filter in its model CTE
+      TextAnalysis.naturalness(
+        Tables.documents(s, dir), fitSampleMod = Some(4)).orderBy("doc_id")),
     "q_curation_funnel" -> ((s, dir) =>
       // the keep/drop gate sequence as one narrow scan; thresholds
       // chosen so every gate fires on the synthetic corpus (token
@@ -1372,6 +1418,12 @@ object ExtensionQueries {
          |SELECT COALESCE(registered_domain, '(none)') AS registered_domain,
          |  COUNT(*) AS n_docs
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_url_psl_9k" ->
+      s"""${pslDomainDuckCtes(
+             s"SELECT doc_id, 'https://' || ${psl9kHost("VARCHAR").linesIterator.mkString(" ")} || '/p' AS url FROM documents",
+             rulesSql = TextAnalysis.syntheticPslRulesDuckSql())}
+         |SELECT doc_id, COALESCE(registered_domain, '(none)') AS registered_domain
+         |FROM d ORDER BY doc_id""".stripMargin,
     "q_url_filter_psl" ->
       s"""${pslDomainDuckCtes(
              s"SELECT doc_id, 'https://' || ${pslFilterHost("VARCHAR").linesIterator.mkString(" ")} || '/p' AS url FROM documents")}
@@ -1446,6 +1498,9 @@ object ExtensionQueries {
 
     "q_text_naturalness" ->
       TextAnalysis.naturalnessDuckSql("documents"),
+
+    "q_text_naturalness_sampled" ->
+      TextAnalysis.naturalnessDuckSql("documents", fitSampleMod = Some(4)),
 
     "q_curation_funnel" ->
       s"""WITH m AS (

@@ -128,6 +128,31 @@ object ScaleBench {
         consumed(graft.operators.TextAnalysis.naturalness(docs))
         graft.operators.Dedup.unpersistAll()
       }
+      // the sampled-fit A/B: model fit on a 1/16 hash-sample, every
+      // doc still scored; no tracked cache to drain (single-consumer
+      // branches stay streaming)
+      val natSampledSec = time(iters) {
+        consumed(graft.operators.TextAnalysis.naturalness(docs, fitSampleMod = Some(16)))
+      }
+      // full-PSL registered-domain extraction at production rule
+      // count (~9200 synthetic rules): the bounded candidate explode
+      // + broadcast rule join must scale with the CORPUS, not the
+      // rule count × corpus product
+      val pslRules = {
+        import spark.implicits._
+        graft.operators.TextAnalysis
+          .parsePslRules(graft.operators.TextAnalysis.syntheticPslText())
+          .toDF("suffix_key", "is_exception")
+      }
+      val pslSec = time(iters) {
+        val planted = docs.select(
+          col("doc_id"),
+          concat(lit("https://"),
+            expr(graft.ExtensionQueries.psl9kHost("STRING")), lit("/p")).as("url"))
+        consumed(graft.operators.TextAnalysis
+          .registeredDomainByPsl(planted, "url", "doc_id", pslRules)
+          .select(col("doc_id"), col("registered_domain")))
+      }
       graft.functions.PolyHash.register(spark)
       val mixSec = time(iters) {
         graft.operators.Sampling.mixtureByBudget(
@@ -138,12 +163,13 @@ object ScaleBench {
           Seq("src0" -> (40000L * mult), "src1" -> (20000L * mult)),
           defaultBudget = 30000L * mult).count()
       }
-      (mult, nRows, diffSec, aggSec, nDocs, funnelSec, natSec, mixSec)
+      (mult, nRows, diffSec, aggSec, nDocs, funnelSec, natSec, natSampledSec, pslSec, mixSec)
     }
 
-    val qs = results.map { case (m, n, d, a, nd, f, nt, mx) =>
+    val qs = results.map { case (m, n, d, a, nd, f, nt, nts, ps, mx) =>
       s""""x$m":{"rows":$n,"diff_sec":${f"$d%.3f"},"agg_sec":${f"$a%.3f"},""" +
-        s""""docs":$nd,"funnel_sec":${f"$f%.3f"},"nat_sec":${f"$nt%.3f"},"mix_sec":${f"$mx%.3f"}}"""
+        s""""docs":$nd,"funnel_sec":${f"$f%.3f"},"nat_sec":${f"$nt%.3f"},""" +
+        s""""nat_sampled_sec":${f"$nts%.3f"},"psl_sec":${f"$ps%.3f"},"mix_sec":${f"$mx%.3f"}}"""
     }.mkString(",")
     println(s"""{"metric":"scale_curve","iters":$iters,"sf":"$sfDir",$qs}""")
     spark.stop()

@@ -524,33 +524,67 @@ object TextAnalysis {
     * cnt-weighted sum over the same compact rows.
     * Docs shorter than 2 chars have no bigrams and score (0, 0) via
     * the left join.
+    *
+    * `fitSampleMod = Some(m)` fits the model on the deterministic
+    * 1/m hash-sample of documents (`poly_hash(doc_id) % m = 0` —
+    * the same cross-engine hash every sampling operator uses) while
+    * still scoring EVERY document. The model is statistical — at
+    * corpus scale a 1/m sample estimates the same transition table —
+    * so this caps the fit at O(corpus/m). It also changes the plan
+    * shape for the better: with a full fit the gram stream feeds two
+    * consumers and must be persisted (Σ compact rows of cache);
+    * with a sampled fit the fit branch re-scans only its 1/m slice,
+    * so NOTHING is cached — 1 + 1/m streaming scans total.
+    * Semantics under sampling: a gram the sample never saw has no
+    * model row, so its occurrences drop out of BOTH `sum_ppm` and
+    * `n_bigrams` — each doc scores the mean over model-covered
+    * transitions (`n_bigrams` = covered occurrences). `Some(1)`
+    * reproduces the full fit bit-for-bit (spec-pinned).
     */
-  def naturalness(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+  def naturalness(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      fitSampleMod: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.BigramCounts.register(docs.sparkSession)
-    // The gram stream feeds TWO consumers (model fit + scoring join),
-    // so it is consumed COMPACT, as (doc, gram, cnt) — everything
-    // downstream (model fit, broadcast-join probe, per-doc mean as a
-    // cnt-weighted sum) runs over ≤|docs|·|distinct grams per doc|
-    // rows instead of Σ length(text). The bigram_counts kernel
-    // builds each doc's histogram in one byte scan, so the
-    // Σ-length-row positional explode never materializes and the
-    // compaction needs NO shuffle at all (the earlier
-    // explode+groupBy form shuffled already-unique keys; caching the
-    // RAW gram stream measured as a wash — storing Σ-length rows
-    // costs what recomputing them costs). Tracked like the dedup
-    // caches so Bench can drain it.
-    val gramCounts = Dedup.persistTracked(docs
+    // Compact (doc, gram, cnt) stream — the only thing that ever
+    // touches Σ length(text) bytes. The bigram_counts kernel builds
+    // each doc's histogram in one byte scan, so the Σ-length-row
+    // positional explode never materializes and the compaction needs
+    // NO shuffle at all (the earlier explode+groupBy form shuffled
+    // already-unique keys).
+    def gramsOf(d: DataFrame): DataFrame = d
       .filter(length(col(textCol)) >= 2)
       .select(
         col(idCol),
-        explode(expr(s"bigram_counts(lower($textCol))")).as(Seq("gram", "cnt"))))
-    val model = gramCounts
+        explode(expr(s"bigram_counts(lower($textCol))")).as(Seq("gram", "cnt")))
+    def modelOf(fitGrams: DataFrame): DataFrame = fitGrams
       .groupBy("gram").agg(sum(col("cnt")).as("c2"))
       .withColumn(
         "c1", sum(col("c2")).over(Window.partitionBy(expr("substring(gram, 1, 1)"))))
       .select(col("gram"), expr(ppmSpark("c2", "c1")).cast("long").as("p_ppm"))
-    val perDoc = gramCounts
+    val (scoreGrams, model) = fitSampleMod match {
+      case None =>
+        // Full fit: the gram stream feeds TWO consumers (model fit +
+        // scoring join), so it is persisted COMPACT (caching the RAW
+        // gram stream measured as a wash — storing Σ-length rows
+        // costs what recomputing them costs). Tracked like the dedup
+        // caches so Bench can drain it.
+        val gramCounts = Dedup.persistTracked(gramsOf(docs))
+        (gramCounts, modelOf(gramCounts))
+      case Some(m) =>
+        require(m >= 1, s"fitSampleMod must be >= 1, got $m")
+        graft.functions.PolyHash.register(docs.sparkSession)
+        // Sampled fit: the fit branch re-scans only its 1/m slice
+        // (the hash filter runs BEFORE the bigram kernel, so the
+        // kernel itself does 1/m of the work), and with single
+        // consumers on each branch nothing needs persisting.
+        val fitDocs = docs.filter(expr(
+          s"${graft.functions.TextExprs.charHashSpark(s"CAST($idCol AS STRING)")} % $m = 0"))
+        (gramsOf(docs), modelOf(gramsOf(fitDocs)))
+    }
+    val perDoc = scoreGrams
       .join(broadcast(model), "gram")
       .groupBy(idCol)
       .agg(
@@ -567,15 +601,21 @@ object TextAnalysis {
           lit(0L)).as("naturalness_ppm"))
   }
 
-  /** DuckDB twin of [[naturalness]] as a full SELECT (ORDER BY doc_id). */
-  def naturalnessDuckSql(docsRelation: String): String =
+  /** DuckDB twin of [[naturalness]] as a full SELECT (ORDER BY
+    * doc_id). `fitSampleMod` mirrors the Spark side: the model CTE
+    * fits only on docs passing the same polynomial-hash filter.
+    */
+  def naturalnessDuckSql(docsRelation: String, fitSampleMod: Option[Int] = None): String = {
+    val fitFilter = fitSampleMod.map { m =>
+      s"WHERE (${graft.functions.TextExprs.charHashDuck("CAST(doc_id AS VARCHAR)")}) % $m = 0"
+    }.getOrElse("")
     s"""WITH pos AS (
        |  SELECT doc_id, lower(text) AS t, unnest(range(1, length(text))) AS i
        |  FROM $docsRelation WHERE length(text) >= 2
        |), grams AS (
        |  SELECT doc_id, substr(t, CAST(i AS INT), 2) AS gram FROM pos
        |), c AS (
-       |  SELECT gram, COUNT(*) AS c2 FROM grams GROUP BY gram
+       |  SELECT gram, COUNT(*) AS c2 FROM grams $fitFilter GROUP BY gram
        |), model AS (
        |  SELECT gram, ${ppmDuck("c2", "c1")} AS p_ppm
        |  FROM (SELECT gram, c2,
@@ -590,6 +630,7 @@ object TextAnalysis {
        |  COALESCE(CAST(floor(CAST(p.sum_ppm AS DOUBLE) / p.n) AS BIGINT), 0) AS naturalness_ppm
        |FROM $docsRelation d LEFT JOIN per_doc p USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+  }
 
   /** URL host extraction pattern, in the Java-regex ∩ RE2 dialect
     * (no lookaround): group 1 is everything between the scheme and
@@ -694,6 +735,58 @@ object TextAnalysis {
       .filter(_.nonEmpty)
       .map(r => if (r.startsWith("!")) (r.drop(1), 1) else (r, 0))
       .toSeq.distinct
+
+  /** Synthetic public-suffix list at PRODUCTION rule count, in the
+    * real publicsuffix.org file format. The live list is ~9–15k
+    * rules; tests and benches that only load a ~20-rule fixture never
+    * prove the broadcast + bounded-explode plan at the rule count a
+    * deployment actually carries. Default counts give ~9050 rules
+    * with the real list's family mix: bare TLDs, 2-label country
+    * suffixes, 3-label suffixes, wildcard rules under their parent
+    * TLD, and exception rules clawing hosts back from wildcards.
+    * Deterministic — the DuckDB oracle regenerates the identical
+    * PARSED rule set from the same formulas (`range()` selects), so
+    * the matcher is oracle-gated at full rule count while
+    * [[parsePslRules]] handles the text form (comments, blanks,
+    * `!` marks) on the Spark side only.
+    */
+  def syntheticPslText(
+      tlds: Int = 1500,
+      twoLabel: Int = 7000,
+      threeLabel: Int = 300,
+      wild: Int = 150,
+      exceptions: Int = 100): String = {
+    val sb = new StringBuilder
+    sb.append("// ===BEGIN SYNTHETIC DOMAINS===\n\n")
+    (0 until tlds).foreach(i => sb.append(s"tld$i\n"))
+    sb.append("// two-label suffixes\n")
+    (0 until twoLabel).foreach(i => sb.append(s"s$i.tld${i % tlds}\n"))
+    sb.append("// three-label suffixes\n")
+    (0 until threeLabel).foreach(i => sb.append(s"t$i.s$i.tld${i % tlds}\n"))
+    sb.append("// wildcard families under their parent TLDs\n")
+    (0 until wild).foreach(i => sb.append(s"wild$i\n*.wild$i\n"))
+    sb.append("// exception rules\n")
+    (0 until exceptions).foreach(i => sb.append(s"!x$i.wild$i\n"))
+    sb.append("// ===END SYNTHETIC DOMAINS===\n")
+    sb.toString
+  }
+
+  /** DuckDB regeneration of `parsePslRules(syntheticPslText(...))` —
+    * a `(suffix_key, is_exception)` SELECT from `range()` mirroring
+    * [[syntheticPslText]]'s formulas rule for rule.
+    */
+  def syntheticPslRulesDuckSql(
+      tlds: Int = 1500,
+      twoLabel: Int = 7000,
+      threeLabel: Int = 300,
+      wild: Int = 150,
+      exceptions: Int = 100): String =
+    s"""SELECT 'tld' || CAST(range AS VARCHAR) AS suffix_key, 0 AS is_exception FROM range($tlds)
+       |  UNION ALL SELECT 's' || CAST(range AS VARCHAR) || '.tld' || CAST(range % $tlds AS VARCHAR), 0 FROM range($twoLabel)
+       |  UNION ALL SELECT 't' || CAST(range AS VARCHAR) || '.s' || CAST(range AS VARCHAR) || '.tld' || CAST(range % $tlds AS VARCHAR), 0 FROM range($threeLabel)
+       |  UNION ALL SELECT 'wild' || CAST(range AS VARCHAR), 0 FROM range($wild)
+       |  UNION ALL SELECT '*.wild' || CAST(range AS VARCHAR), 0 FROM range($wild)
+       |  UNION ALL SELECT 'x' || CAST(range AS VARCHAR) || '.wild' || CAST(range AS VARCHAR), 1 FROM range($exceptions)""".stripMargin
 
   /** Strict public-suffix-list registered-domain extraction — the
     * full publicsuffix.org algorithm, unlike

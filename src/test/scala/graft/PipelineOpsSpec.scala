@@ -771,6 +771,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(1L)._1 == (prose.length - 1).toLong)
   }
 
+  test("sampled naturalness fit: mod 1 ≡ full fit; sampled model keeps the garbage ordering") {
+    import spark.implicits._
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "the other dog sits near the old stone wall in the sun"
+    // a corpus big enough that a 1/3 hash-sample certainly catches
+    // prose docs: 30 prose carriers + the three probe docs
+    val carriers = (10L to 39L).map(i => (i, prose + " run " + ("the dog " * (i % 3).toInt).trim))
+    val probes = Seq(
+      (1L, prose),
+      (2L, prose.reverse.filterNot(_ == ' ').grouped(4).mkString(" ")), // shredded
+      (3L, "zq xv kj qz vx jk zq xv kj qz vx jk zq xv kj qz"))          // key mash
+    val docs = (carriers ++ probes).toDF("doc_id", "text")
+    // Some(1) samples every doc — must reproduce the full fit exactly
+    val full = TextAnalysis.naturalness(docs).orderBy("doc_id").collect().toSeq
+    val mod1 = TextAnalysis.naturalness(docs, fitSampleMod = Some(1))
+      .orderBy("doc_id").collect().toSeq
+    assert(mod1 == full, "fitSampleMod = Some(1) must equal the full fit bit-for-bit")
+    // a real sample: model fit on 1/3 of docs, ordering must survive
+    val sampled = TextAnalysis.naturalness(docs, fitSampleMod = Some(3)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("naturalness_ppm"))).toMap
+    assert(sampled(1L)._1 > 0L, "the sampled model must cover the prose probe's grams")
+    assert(sampled(1L)._2 > sampled(3L)._2,
+      s"prose ${sampled(1L)._2} should beat key-mash ${sampled(3L)._2} under a sampled fit")
+    assert(sampled(1L)._2 > sampled(2L)._2,
+      s"prose ${sampled(1L)._2} should beat shredded text ${sampled(2L)._2} under a sampled fit")
+  }
+
   test("word_set_hits / char_class_stats match their regex twins on adversarial text") {
     import spark.implicits._
     graft.functions.WordSetHits.register(spark)

@@ -276,4 +276,15 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
     assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p.take(3000))
   }
+
+  test("full-PSL plan shape holds at production rule count (~9200 rules)") {
+    // the ~20-rule fixture proves semantics; this proves the PLAN
+    // still broadcasts and never degenerates to a nested loop when
+    // the rule table has the live list's cardinality
+    val p = plan("q_url_psl_9k")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p.take(3000))
+  }
 }
