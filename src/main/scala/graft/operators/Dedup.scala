@@ -273,6 +273,113 @@ object Dedup {
       .select("new_id", "corpus_id", "n_agree")
   }
 
+  /** Default bucket count for [[writeBandTable]] — sized like
+    * `spark.sql.shuffle.partitions` here (32); a 100 TB deployment
+    * picks buckets so each holds one task's worth of band rows.
+    */
+  val BandTableBuckets = 32
+
+  /** Materialize a corpus's LSH band rows `(band, bkey, doc_id)` as
+    * a BUCKETED table on the join keys — the physical layout that
+    * makes steady-state ingest probes O(|new batch|).
+    *
+    * [[minhashPairsAgainstSignatures]] re-explodes and re-SHUFFLES
+    * the corpus signature table on every probe: the band equi-join
+    * hash-partitions both sides, and the corpus side is the big one
+    * — O(corpus) movement per ingest, which at 100 TB dwarfs the
+    * batch itself. Bucketing the stored band rows by `(band, bkey)`
+    * (with in-bucket sort) hands the scan a pre-shuffled, pre-sorted
+    * partitioning Catalyst recognizes: probes exchange ONLY the new
+    * batch's band rows (spec-pinned by counting Exchange nodes).
+    * The table is narrow on purpose — signatures stay in the plain
+    * `(doc_id, sig)` table, re-joined only for the ≤candidate-set
+    * agreement check, so band storage is 3 longs per (doc, band)
+    * instead of 3 + 32.
+    *
+    * Append each ingested batch with [[appendToBandTable]]; after
+    * many appends each bucket accumulates one small file per append
+    * job, so periodically [[compactBandTable]] rewrites the table
+    * back to ~one file per bucket (same name, same layout).
+    */
+  def writeBandTable(
+      sigs: DataFrame, table: String, buckets: Int = BandTableBuckets): DataFrame = {
+    bandRows(sigs)
+      .select("band", "bkey", "doc_id")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "band", "bkey").sortBy("band", "bkey")
+      .saveAsTable(table)
+    sigs.sparkSession.table(table)
+  }
+
+  /** Append a batch's band rows to an existing bucketed band table
+    * (bucket spec must match the original [[writeBandTable]]).
+    */
+  def appendToBandTable(
+      sigs: DataFrame, table: String, buckets: Int = BandTableBuckets): Unit =
+    bandRows(sigs)
+      .select("band", "bkey", "doc_id")
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "band", "bkey").sortBy("band", "bkey")
+      .saveAsTable(table)
+
+  /** Rewrite an append-grown band table down to ~one file per bucket.
+    * N appends leave N files per bucket; every probe then pays N×
+    * the open/seek cost and the per-file sorted runs degrade the
+    * merge. Compaction re-clusters to the SAME bucketing (so probe
+    * plans are byte-identical before/after — spec-pinned) via a tmp
+    * table + rename, atomic at the catalog level.
+    */
+  def compactBandTable(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      buckets: Int = BandTableBuckets): DataFrame = {
+    val tmp = table + "_compact_tmp"
+    // NO repartition: a bucketed scan yields exactly one input
+    // partition per bucket (all of a bucket's accumulated files
+    // grouped), so each write task holds one whole bucket and emits
+    // one file — a repartition would RE-hash the keys and scatter
+    // buckets across tasks (measured: 3 files/bucket). Spark
+    // auto-DISABLES bucketed scanning when the plan doesn't exploit
+    // the partitioning (a bare write doesn't), which would bring the
+    // size-based splits back — force it on for the rewrite.
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevAuto = spark.conf.get(autoKey)
+    try {
+      spark.conf.set(autoKey, "false")
+      spark.table(table)
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, "band", "bkey").sortBy("band", "bkey")
+        .saveAsTable(tmp)
+    } finally spark.conf.set(autoKey, prevAuto)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    spark.table(table)
+  }
+
+  /** [[minhashPairsAgainstSignatures]] with the corpus side read from
+    * a [[writeBandTable]]-bucketed band table: candidate generation
+    * scans the pre-partitioned corpus bands in place and shuffles
+    * only the new batch. `corpusSigs` is the plain signature table,
+    * joined per-candidate for the agreement check.
+    */
+  def minhashPairsAgainstBandTable(
+      newSigs: DataFrame,
+      corpusBands: DataFrame,
+      corpusSigs: DataFrame,
+      minAgree: Int = NumMinhash / 2): DataFrame = {
+    val cand = bandRows(newSigs).as("x")
+      .join(corpusBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("corpus_id"))
+      .distinct()
+    cand
+      .join(newSigs.select(col("doc_id").as("new_id"), col("sig").as("siga")), "new_id")
+      .join(corpusSigs.select(col("doc_id").as("corpus_id"), col("sig").as("sigb")), "corpus_id")
+      .withColumn("n_agree", expr(sigAgreementSpark("siga", "sigb")).cast("long"))
+      .filter(col("n_agree") >= minAgree)
+      .select("new_id", "corpus_id", "n_agree")
+  }
+
   /** Disjoint bit segments covering the SimHash fingerprint:
     * `maxHamming + 1` segments of near-equal width. Pigeonhole: a pair
     * with Hamming distance ≤ maxHamming differs in at most maxHamming

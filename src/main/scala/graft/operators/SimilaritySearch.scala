@@ -174,16 +174,7 @@ object SimilaritySearch {
 
     // build pass: vector → nearest centroid (broadcast join, no shuffle
     // of the big side beyond the window's per-vector grouping)
-    val assign = emb
-      .select(col(idCol).as("vid"), col("embedding"))
-      .crossJoin(broadcast(cents))
-      .withColumn("d", expr(l2sqSpark("embedding", "cemb")))
-      .withColumn("rn", row_number().over(byDist))
-      .filter(col("rn") === 1)
-      .select(
-        col("vid").as("cand_id"), col("cid"), col("embedding").as("cand_emb"),
-        expr(s"sqrt(${dotSpark("embedding", "embedding")})").as("cnorm"))
-    IvfIndex(cents, assign)
+    IvfIndex(cents, assignVectors(cents, emb, idCol))
   }
 
   /** Incremental index append: assign a batch of NEW vectors to the
@@ -205,19 +196,94 @@ object SimilaritySearch {
   def appendToIndex(
       index: IvfIndex,
       newVectors: DataFrame,
-      idCol: String = "vec_id"): IvfIndex = {
-    graft.functions.VecDot.register(newVectors.sparkSession)
+      idCol: String = "vec_id"): IvfIndex =
+    IvfIndex(
+      index.centroids,
+      index.assignments.unionByName(
+        assignVectors(index.centroids, newVectors, idCol)))
+
+  /** One nearest-centroid assignment pass — the shared kernel of the
+    * build, in-memory append, and written-layout append paths.
+    */
+  private def assignVectors(
+      centroids: DataFrame, vectors: DataFrame, idCol: String): DataFrame = {
+    graft.functions.VecDot.register(vectors.sparkSession)
     val byDist = Window.partitionBy("vid").orderBy(col("d"), col("cid"))
-    val newAssign = newVectors
+    vectors
       .select(col(idCol).as("vid"), col("embedding"))
-      .crossJoin(broadcast(index.centroids))
+      .crossJoin(broadcast(centroids))
       .withColumn("d", expr(l2sqSpark("embedding", "cemb")))
       .withColumn("rn", row_number().over(byDist))
       .filter(col("rn") === 1)
       .select(
         col("vid").as("cand_id"), col("cid"), col("embedding").as("cand_emb"),
         expr(s"sqrt(${dotSpark("embedding", "embedding")})").as("cnorm"))
-    IvfIndex(index.centroids, index.assignments.unionByName(newAssign))
+  }
+
+  /** Persist an IVF index with its assignments PARTITIONED BY list
+    * (`cid`) — the on-disk twin of faiss's inverted lists. A probe
+    * visits only `nprobe` lists per query, and a `cid`-partitioned
+    * layout lets Spark prune the unvisited list directories
+    * (dynamic partition pruning on the probe join's cid key), so
+    * probe I/O scales with the probed lists, not the corpus. The
+    * repartition-by-cid before the write puts each list in one task
+    * → one file per list directory.
+    *
+    * Streaming/batch ingest appends via [[appendToWrittenIndex]];
+    * each append adds one small file per touched list, so after many
+    * ingests [[compactWrittenIndex]] rewrites the layout back to one
+    * file per list.
+    */
+  def writeIndex(index: IvfIndex, dir: String): Unit = {
+    index.centroids.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    index.assignments
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/assignments")
+  }
+
+  /** Reload a [[writeIndex]] layout. `cid` comes back as a partition
+    * column; probes join on it by name, so the layout is transparent
+    * to [[probe]].
+    */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex =
+    IvfIndex(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/assignments")
+        .withColumn("cid", col("cid").cast("long")))
+
+  /** Assign NEW vectors against a written index's (frozen) centroids
+    * and append them into the partitioned assignment layout — the
+    * persisted form of [[appendToIndex]]: per ingest this touches
+    * only the new batch and the list directories it lands in.
+    */
+  def appendToWrittenIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String, newVectors: DataFrame,
+      idCol: String = "vec_id"): Unit =
+    assignVectors(spark.read.parquet(s"$dir/centroids"), newVectors, idCol)
+      .repartition(col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(s"$dir/assignments")
+
+  /** Rewrite an append-grown assignment layout to one file per list,
+    * preserving the partitioning (probe plans identical before and
+    * after — spec-pinned). Tmp-dir + atomic move, like the band-table
+    * compaction.
+    */
+  def compactWrittenIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val cur = s"$dir/assignments"
+    val tmp = s"$dir/assignments_compact_tmp"
+    spark.read.parquet(cur)
+      .withColumn("cid", col("cid").cast("long"))
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(tmp)
+    // swap directories; the tmp write is complete before the old
+    // layout disappears, so a crash leaves a readable index either way
+    val old = s"$dir/assignments_old"
+    Files.move(Paths.get(cur), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), Paths.get(cur), StandardCopyOption.ATOMIC_MOVE)
+    import scala.jdk.CollectionConverters._
+    Files.walk(Paths.get(old)).sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(p => Files.deleteIfExists(p))
   }
 
   /** Probe a prebuilt index: each query vector visits its `nprobe`

@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, SimilaritySearch}
+import graft.sources.{Corpus, Tables}
+
+/** Compaction story for the two accumulating state tables of the
+  * streaming-ingest paths: the minhash signature/band table and the
+  * IVF assignment layout. Both grow monotonically under ingest; these
+  * specs pin that (a) the bucketed/partitioned layouts give probes
+  * the plan that shuffles only the new batch, (b) appends don't
+  * change results, and (c) compaction rewrites the layout without
+  * changing results or plan shape while bounding the file count.
+  */
+class StateCompactionSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    "Exchange".r.findAllIn(p).size
+  }
+
+  private def parquetFiles(path: String): Int = {
+    val d = new java.io.File(path)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(d).count(_.getName.endsWith(".parquet"))
+  }
+
+  test("bucketed band table: probe matches, shuffles only the batch, compaction keeps both") {
+    val corpus = Corpus.docCorpus(spark, dir)
+    val newBatch = corpus
+      .filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text", concat(col("text"), lit(" ingest tail")))
+    val corpusSigs = Dedup.signatureTable(corpus).localCheckpoint(true)
+    val newSigs = Dedup.signatureTable(newBatch).localCheckpoint(true)
+    Dedup.unpersistAll()
+    val table = "sigband_spec_t1"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_compact_tmp")
+    try {
+      val bands = Dedup.writeBandTable(corpusSigs, table, buckets = 4)
+
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("new_id", "corpus_id").collect().toSeq
+      val expectedDf = Dedup.minhashPairsAgainstSignatures(newSigs, corpusSigs)
+      val expected = canon(expectedDf)
+      assert(expected.nonEmpty, "fixture must plant cross-batch near-dups")
+      val viaTable = Dedup.minhashPairsAgainstBandTable(newSigs, bands, corpusSigs)
+      assert(canon(viaTable) == expected)
+
+      // the point of the layout: the bucketed corpus side arrives
+      // pre-shuffled, so the band join exchanges strictly less than
+      // the signature-vs-signature probe (which shuffles the corpus
+      // bands every ingest). At spec scale everything broadcasts, so
+      // pin the SHUFFLE plan the 100 TB sizes would get by disabling
+      // broadcast while counting.
+      val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val (exBucketed, exPlain) =
+        try {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          (exchanges(Dedup.minhashPairsAgainstBandTable(newSigs, bands, corpusSigs)),
+            exchanges(Dedup.minhashPairsAgainstSignatures(newSigs, corpusSigs)))
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      assert(exBucketed < exPlain,
+        s"bucketed probe should shuffle less: $exBucketed vs $exPlain")
+      val p = viaTable.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(p.contains("Bucketed: true"), p.take(3000))
+
+      // appending the corpus's own band rows again is candidate-
+      // idempotent (DISTINCT collapses duplicates) — result pinned
+      // unchanged while the per-bucket file count grows
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      val tablePath = s"$wh/$table"
+      val filesBefore = parquetFiles(tablePath)
+      Dedup.appendToBandTable(corpusSigs, table, buckets = 4)
+      Dedup.appendToBandTable(corpusSigs, table, buckets = 4)
+      assert(parquetFiles(tablePath) > filesBefore)
+      assert(canon(
+        Dedup.minhashPairsAgainstBandTable(newSigs, spark.table(table), corpusSigs))
+        == expected)
+
+      // compaction: same results, same plan shape, bounded files
+      val compacted = Dedup.compactBandTable(spark, table, buckets = 4)
+      val viaCompacted =
+        Dedup.minhashPairsAgainstBandTable(newSigs, compacted, corpusSigs)
+      assert(canon(viaCompacted) == expected)
+      val exCompacted =
+        try {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          exchanges(Dedup.minhashPairsAgainstBandTable(newSigs, compacted, corpusSigs))
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      assert(exCompacted == exBucketed,
+        "compaction must not change the probe plan's exchange count")
+      assert(viaCompacted.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode).contains("Bucketed: true"))
+      assert(parquetFiles(tablePath) <= 4,
+        s"compaction should leave ~one file per bucket, got ${parquetFiles(tablePath)}")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_compact_tmp")
+    }
+  }
+
+  test("partitioned IVF layout: probe matches in-memory, appends accumulate, compaction bounds files per list") {
+    val emb = Tables.embeddings(spark, dir)
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val batch = emb.filter(col("vec_id") % 3 === 0)
+      .withColumn("vec_id", col("vec_id") + 500000L)
+    val queries = emb.filter(col("vec_id") % 97 === 0)
+
+    val index = SimilaritySearch.buildIndex(base, centroidMod = 50)
+    val ivfDir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_layout_").toString
+    try {
+      SimilaritySearch.writeIndex(index, ivfDir)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("query_id", "rank").collect().toSeq
+
+      // read-back probes identically to the in-memory index
+      val expected = canon(SimilaritySearch.probe(index, queries))
+      assert(expected.nonEmpty)
+      assert(canon(SimilaritySearch.probe(
+        SimilaritySearch.readIndex(spark, ivfDir), queries)) == expected)
+
+      // append a batch through the written layout ≡ in-memory append
+      SimilaritySearch.appendToWrittenIndex(spark, ivfDir, batch)
+      val expectedAppended = canon(SimilaritySearch.probe(
+        SimilaritySearch.appendToIndex(index, batch), queries))
+      assert(canon(SimilaritySearch.probe(
+        SimilaritySearch.readIndex(spark, ivfDir), queries)) == expectedAppended)
+
+      // each list dir now holds the build file + the append's file;
+      // compaction brings every list back to one file, same answers
+      val listDirs = new java.io.File(s"$ivfDir/assignments")
+        .listFiles().filter(f => f.isDirectory && f.getName.startsWith("cid="))
+      assert(listDirs.nonEmpty)
+      assert(listDirs.exists(d =>
+        d.listFiles().count(_.getName.endsWith(".parquet")) > 1),
+        "append should have left extra files in at least one touched list")
+      SimilaritySearch.compactWrittenIndex(spark, ivfDir)
+      val after = new java.io.File(s"$ivfDir/assignments")
+        .listFiles().filter(f => f.isDirectory && f.getName.startsWith("cid="))
+      assert(after.nonEmpty)
+      assert(after.forall(d =>
+        d.listFiles().count(_.getName.endsWith(".parquet")) == 1),
+        "compaction should leave exactly one file per list")
+      assert(canon(SimilaritySearch.probe(
+        SimilaritySearch.readIndex(spark, ivfDir), queries)) == expectedAppended)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(ivfDir))
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+}
