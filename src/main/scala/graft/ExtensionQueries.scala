@@ -303,6 +303,51 @@ object ExtensionQueries {
       }
       pairs.orderBy("doc_a", "doc_b")
     }),
+    "q_stream_late_window" -> ((s, dir) => {
+      // LATE-DATA adversarial stream: the month of events arrives as
+      // 4 micro-batches sliced by event_id % 4 — each slice spans the
+      // WHOLE month, so every batch after the first delivers rows up
+      // to ~30 days late. A 2-day watermark therefore genuinely
+      // DROPS most late rows (window already finalized) while keeping
+      // each batch's fresh tail — and the drop set is EXACTLY
+      // characterizable: the watermark before batch i is the
+      // millisecond-floored max event time over batches < i minus the
+      // delay, and a row survives iff its 6-hour window's end is
+      // strictly above that. The DuckDB twin replays that progression
+      // (running max over slices) row for row, so the hash gates
+      // Spark's actual late-row semantics, not just a lossless fold.
+      // Two far-future sentinel slices push the final watermark past
+      // every real window (append-mode aggs only emit on eviction)
+      // and drive the emit batch; sentinel windows stay in state.
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("ts", col("ts").cast("timestamp")) // watermarks reject NTZ
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val sent = Seq(
+        (-1L, new java.sql.Timestamp(maxTs.getTime + 4L * 86400 * 1000), -1L, "sentinel", 0.0, 4L),
+        (-2L, new java.sql.Timestamp(maxTs.getTime + 5L * 86400 * 1000), -1L, "sentinel", 0.0, 5L))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "arrival")
+      val arr = ev
+        .withColumn("arrival", pmod(col("event_id"), lit(4)).cast("long"))
+        .unionByName(sent)
+      val stream = graft.streaming.StreamRunner.slicedStream(
+        arr, "arrival", 6,
+        tag = s"${java.nio.file.Paths.get(dir).toAbsolutePath}#latewindow")
+      val agg = stream
+        .withWatermark("ts", "2 days")
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+        .select(
+          col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+      graft.streaming.StreamRunner.runToCompletion(agg, outputMode = "append")
+        .filter(col("event_type") =!= "sentinel")
+        .withColumn("window_start", col("window_start").cast("timestamp_ntz"))
+        .orderBy("window_start", "event_type")
+    }),
     "q_dedup_clusters" -> ((s, dir) => {
       // pairs → clusters: minimum-label propagation over the minhash
       // near-dup pairs; component = canonical (minimum) doc_id
@@ -1086,6 +1131,43 @@ object ExtensionQueries {
       // batch-split invariance again: streamed signature ingest must
       // land on the batch self-join's exact pair set
       s"$minhashPairsSql ORDER BY doc_a, doc_b",
+
+    "q_stream_late_window" ->
+      // clean-room replay of Spark's late-data semantics: batch i is
+      // slice event_id % 4; the late-input filter for batch i uses
+      // the MILLISECOND-floored max event time through batch i-2
+      // minus the 2-day delay (empirically pinned with a per-batch
+      // progress probe: the watermark REPORTED for batch i is already
+      // max(through i-1) - delay, but batch i's input is filtered
+      // with the previous value — the filter lags the report by one
+      // batch; Spark floors max event time to ms in its tracking).
+      // A row survives iff its 6-hour window's end (epoch-aligned,
+      // like Spark's window()) is strictly above that filter value.
+      // Eviction timing never affects membership here: every real
+      // window is flushed by the sentinel batches, and emission
+      // happens exactly once per surviving (window, type) group.
+      """WITH e AS (
+        |  SELECT event_id, ts, event_type, value,
+        |    CAST(event_id % 4 AS INT) AS slice,
+        |    make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) * 1000000) AS wstart
+        |  FROM events
+        |), smax AS (
+        |  SELECT slice, max(ts) AS mx FROM e GROUP BY slice
+        |), wm AS (
+        |  SELECT slice,
+        |    make_timestamp(max(epoch_ms(mx)) OVER (
+        |      ORDER BY slice ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) * 1000)
+        |      - INTERVAL 2 DAY AS wm_filter
+        |  FROM smax
+        |), kept AS (
+        |  SELECT e.* FROM e JOIN wm USING (slice)
+        |  WHERE wm.wm_filter IS NULL OR (e.wstart + INTERVAL 6 HOUR) > wm.wm_filter
+        |)
+        |SELECT wstart AS window_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM kept GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
 
     "q_dedup_fuzzy_verify" ->
       s"""WITH pairs AS (
