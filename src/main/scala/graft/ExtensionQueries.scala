@@ -408,6 +408,14 @@ object ExtensionQueries {
     // ---- similarity search ----
     "q_embed_topk_brute" -> ((s, dir) =>
       SimilaritySearch.bruteTopK(Tables.embeddings(s, dir)).orderBy("query_id", "rank")),
+    "q_embed_topk_quantized" -> ((s, dir) =>
+      // int8-packed-binary candidates, integer-dot cosine: the
+      // 4×-smaller storage layout for a 100 TB embedding corpus
+      SimilaritySearch.quantizedTopK(Tables.embeddings(s, dir)).orderBy("query_id", "rank")),
+    "q_embed_quant_recall" -> ((s, dir) =>
+      // retrieval-quality loss of the quantized layout vs the exact
+      // float baseline, per query — oracled, not eyeballed
+      SimilaritySearch.quantRecallAt(Tables.embeddings(s, dir)).orderBy("query_id")),
     "q_embed_ann_ivf" -> ((s, dir) =>
       SimilaritySearch.ivfTopK(Tables.embeddings(s, dir)).orderBy("query_id", "rank")),
     "q_embed_ann_ivf_incremental" -> ((s, dir) => {
@@ -707,6 +715,21 @@ object ExtensionQueries {
         .select("doc_id", "source", "running_weight")
         .orderBy("source", "running_weight", "doc_id")
     }),
+    "q_train_shards" -> ((s, dir) => {
+      // deterministic global shuffle + shard assignment for training
+      // export: shard AND within-shard position are pure hash
+      // functions of doc_id (two independent re-mixes), so the
+      // trainer's data order is reproducible on any engine with no
+      // RNG and no global sort
+      graft.functions.PolyHash.register(s)
+      val h = graft.functions.TextExprs.charHashSpark("CAST(doc_id AS STRING)")
+      graft.operators.Sampling
+        .shardForTraining(
+          Tables.documents(s, dir).select("doc_id", "source"),
+          "doc_id", h, numShards = 8)
+        .select("shard", "seq", "doc_id")
+        .orderBy("shard", "seq")
+    }),
     "q_zorder_key" -> ((s, dir) => {
       // Morton-interleave (part, supplier) into a Z-key and roll up
       // per 2^24-wide Z-cell — the layout stat a writer would use to
@@ -864,6 +887,42 @@ object ExtensionQueries {
 
   private val corpus = Corpus.docCorpusSql
   private val tokGuard3 = s"${tokenCountDuck("text")} >= 3"
+
+  /** The int8-quantized top-k pipeline as shared CTEs ending in `qr`
+    * (the ranked quantized neighbors) — the q_embed_topk_quantized
+    * oracle selects from it directly and the q_embed_quant_recall
+    * oracle joins it against the exact float ranking. Mirrors
+    * `SimilaritySearch.quantizedTopK` on the unpacked ARRAY<INT>
+    * code form; packed-binary ≡ array is pinned Spark-side in
+    * QuantizedVecSpec.
+    */
+  private val quantTopKCtes: String =
+    s"""WITH sc AS (
+       |  SELECT vec_id, embedding,
+       |         ${VectorExprs.quantScaleDuck("embedding")} AS scale
+       |  FROM embeddings
+       |), qv AS (
+       |  SELECT vec_id,
+       |         ${VectorExprs.quantCodesDuck("embedding", "scale")} AS qemb
+       |  FROM sc
+       |), n AS (
+       |  SELECT vec_id, qemb, ${VectorExprs.dotIntDuck("qemb", "qemb")} AS nsq FROM qv
+       |), q AS (
+       |  SELECT vec_id AS query_id, qemb AS qq, nsq AS qn FROM n WHERE vec_id % 97 = 0
+       |), c AS (
+       |  SELECT vec_id AS cand_id, qemb AS cq, nsq AS cn FROM n
+       |), qscored AS (
+       |  SELECT q.query_id, c.cand_id,
+       |         (${VectorExprs.dotIntDuck("q.qq", "c.cq")})::DOUBLE
+       |           / sqrt((q.qn * c.cn)::DOUBLE) AS cos
+       |  FROM c CROSS JOIN q
+       |  WHERE c.cand_id <> q.query_id
+       |), qr AS (
+       |  SELECT query_id,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS BIGINT) AS "rank",
+       |         cand_id, CAST(floor(CAST(1000000 AS DOUBLE) * cos) AS BIGINT) AS qcos_ppm
+       |  FROM qscored
+       |)""".stripMargin
 
   /** The minhash near-dup pairs as bare SQL (no final ORDER BY) —
     * shared by the q_dedup_minhash oracle and, as the edge list, by
@@ -1322,6 +1381,40 @@ object ExtensionQueries {
          |SELECT query_id, "rank", cand_id, cos_ppm FROM r
          |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
 
+    "q_embed_topk_quantized" ->
+      s"""${quantTopKCtes}
+         |SELECT query_id, "rank", cand_id, qcos_ppm FROM qr
+         |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    "q_embed_quant_recall" ->
+      // exact float top-5 LEFT JOIN quantized top-5 on the neighbor:
+      // COUNT of matches per query is the oracled recall numerator
+      s"""${quantTopKCtes},
+         |exq AS (
+         |  SELECT vec_id AS query_id, embedding AS qemb,
+         |         sqrt(${VectorExprs.dotDuck("embedding", "embedding")}) AS qnorm
+         |  FROM embeddings WHERE vec_id % 97 = 0
+         |), exc AS (
+         |  SELECT vec_id AS cand_id, embedding AS cemb,
+         |         sqrt(${VectorExprs.dotDuck("embedding", "embedding")}) AS cnorm
+         |  FROM embeddings
+         |), exs AS (
+         |  SELECT exq.query_id, exc.cand_id,
+         |         (${VectorExprs.dotDuck("exq.qemb", "exc.cemb")}) / (exq.qnorm * exc.cnorm) AS cos
+         |  FROM exc CROSS JOIN exq
+         |  WHERE exc.cand_id <> exq.query_id
+         |), exr AS (
+         |  SELECT query_id, cand_id,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+         |  FROM exs
+         |)
+         |SELECT e.query_id, COUNT(q.cand_id) AS hits_at_k
+         |FROM exr e
+         |LEFT JOIN qr q
+         |  ON q.query_id = e.query_id AND q.cand_id = e.cand_id AND q."rank" <= 5
+         |WHERE e.rnk <= 5
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
+
     "q_embed_ann_ivf" -> ivfOracleSql(buildWhere = "TRUE"),
 
     "q_embed_ann_ivf_incremental" ->
@@ -1552,6 +1645,21 @@ object ExtensionQueries {
          |SELECT zkey >> 16 AS zcell, COUNT(*) AS n_rows,
          |  MIN(zkey) AS zmin, MAX(zkey) AS zmax
          |FROM z GROUP BY 1 ORDER BY zcell""".stripMargin
+    },
+
+    "q_train_shards" -> {
+      val h1 = graft.operators.Sampling.mixedHash(
+        graft.functions.TextExprs.charHashDuck("CAST(doc_id AS VARCHAR)"))
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    CAST(($h1) % 8 AS BIGINT) AS shard,
+         |    ((($h1) + 1) * 2246822519) % 1000000007 AS m2
+         |  FROM documents
+         |)
+         |SELECT shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY m2, doc_id) AS BIGINT) AS seq,
+         |  doc_id
+         |FROM s ORDER BY shard, seq""".stripMargin
     },
 
     "q_split_assign" -> {

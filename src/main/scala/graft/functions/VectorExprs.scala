@@ -30,6 +30,35 @@ object VectorExprs {
   def cosineDuck(a: String, b: String): String =
     s"(${dotDuck(a, b)}) / (sqrt(${dotDuck(a, a)}) * sqrt(${dotDuck(b, b)}))"
 
+  // ---------- symmetric int8 scalar quantization (SQ8) ----------
+  /** Per-vector quantization scale: max |xᵢ| / 127, floored at 1e-30
+    * so an all-zero vector quantizes to all-zero codes instead of
+    * dividing by zero. max/abs over floats are exact, the double
+    * divide is IEEE-deterministic — both dialects produce the same
+    * bits.
+    */
+  def quantScaleSpark(e: String): String =
+    s"greatest(array_max(transform($e, x -> abs(CAST(x AS DOUBLE)))), 1E-30) / CAST(127 AS DOUBLE)"
+  def quantScaleDuck(e: String): String =
+    s"greatest(list_aggregate(list_transform($e, x -> abs(x::DOUBLE)), 'max'), 1e-30) / CAST(127 AS DOUBLE)"
+
+  /** The int8 codes: round-half-up(x / scale) as `floor(v + 0.5)` —
+    * floor is exact on doubles and identical in both engines, unlike
+    * `round()` whose half-way tie rule differs by dialect. |x| ≤
+    * 127·scale by construction, so codes land in [-127, 127] with no
+    * clamp.
+    */
+  def quantCodesSpark(e: String, scale: String): String =
+    s"transform($e, x -> CAST(floor(CAST(x AS DOUBLE) / ($scale) + CAST(0.5 AS DOUBLE)) AS INT))"
+  def quantCodesDuck(e: String, scale: String): String =
+    s"list_transform($e, x -> CAST(floor((x::DOUBLE) / ($scale) + 0.5::DOUBLE) AS INT))"
+
+  /** Exact BIGINT dot over two INT-code lists — the oracle twin of
+    * the packed-binary `vec_dot_i8` kernel.
+    */
+  def dotIntDuck(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> ($a[i]::BIGINT) * ($b[i]::BIGINT)), (acc, v) -> acc + v)"
+
   // ---------- comparison-bit LSH bands (near-dup candidate blocking) ----------
   /** Winner-take-all-style sketch: bit t is `x[a_t] > x[b_t]` for a
     * fixed pseudo-random index pair (a_t, b_t). Comparisons are

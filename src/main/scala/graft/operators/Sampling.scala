@@ -203,6 +203,57 @@ object Sampling {
       .drop("budget")
   }
 
+  /** Deterministic global shuffle + shard assignment for training
+    * export — the step between a curated corpus and the trainer's
+    * data loader. Every row gets a `shard` in [0, numShards) and a
+    * dense 1-based `seq` within its shard, where BOTH are pure
+    * functions of the row key: shard = re-mixed hash mod numShards,
+    * and the within-shard order is a SECOND independent re-mix of the
+    * same hash (so shard placement and intra-shard position don't
+    * correlate — a row's neighbors in its shard are a uniform draw
+    * from the corpus, which is the whole point of shuffling training
+    * data). No RNG, no global sort: one hash shuffle for the
+    * per-shard window, reproducible on any engine and across
+    * incremental re-runs.
+    */
+  def shardForTraining(
+      df: DataFrame,
+      idCol: String,
+      hashExpr: String,
+      numShards: Int): DataFrame = {
+    require(numShards >= 1, s"numShards must be at least 1, got $numShards")
+    Seq("shard", "seq").foreach { c =>
+      require(!df.columns.contains(c),
+        s"shardForTraining exposes column '$c' but the input already has one — rename it first")
+    }
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val h1 = mixedHash(hashExpr)
+    // second mix: a different odd multiplier over the same prime field
+    // (h1 < 1e9+7 keeps the product < 2^62 — no signed-64 overflow)
+    val mix2 = s"(((($h1) + 1) * 2246822519) % 1000000007)"
+    val w = Window.partitionBy("shard").orderBy(expr(mix2), col(idCol))
+    df.withColumn("shard", expr(s"CAST(($h1) % $numShards AS BIGINT)"))
+      .withColumn("seq", row_number().over(w).cast("long"))
+  }
+
+  /** Write a [[shardForTraining]] result as the layout a data loader
+    * mounts: one directory per shard, ONE file per shard, rows inside
+    * the file in `seq` order. `repartition(numShards, shard)` puts
+    * each shard wholly in one task, `sortWithinPartitions` lays the
+    * rows out in shuffle order, and the partitioned write splits the
+    * (possibly co-resident) shards into their own directories — so
+    * the write costs exactly one shuffle and file count stays
+    * numShards no matter how many executors ran the job. At 100 TB
+    * you pick numShards so each file lands in the 100 MB–1 GB range
+    * the loaders want.
+    */
+  def writeShards(sharded: DataFrame, dir: String, numShards: Int): Unit =
+    sharded
+      .repartition(numShards, org.apache.spark.sql.functions.col("shard"))
+      .sortWithinPartitions("shard", "seq")
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+
   /** The dialect-neutral `CASE stratum WHEN ... END` budget picker —
     * shared verbatim by the Spark filter and the DuckDB oracle.
     */

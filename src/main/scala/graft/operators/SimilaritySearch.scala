@@ -60,6 +60,82 @@ object SimilaritySearch {
         floor(lit(1000000.0) * col("cos")).cast("long").as("cos_ppm"))
   }
 
+  /** Exact top-k cosine over int8-quantized embeddings — the
+    * 4×-smaller storage path for a 100 TB embedding corpus.
+    *
+    * Each vector is symmetric-scalar-quantized (the faiss SQ8 form:
+    * codeᵢ = round(xᵢ/scale), scale = max|xᵢ|/127) and PACKED INTO A
+    * `BINARY` of one byte per component via the codegen'd `i8_pack`
+    * kernel, so the candidate side that a probe scans carries 64
+    * bytes per vector instead of 256 + array headers. Similarity is
+    * computed straight over the packed bytes with `vec_dot_i8` in
+    * exact integer arithmetic: the per-vector scales cancel in the
+    * cosine, so the ONLY floating-point step is one final
+    * divide-and-sqrt — bit-reproducible, no dequantization pass.
+    *
+    * The DuckDB oracle mirrors the arithmetic on the unpacked
+    * `ARRAY<INT>` code form (packed ≡ array is spec-pinned), and
+    * `quantRecallAt` measures the retrieval quality loss vs the
+    * exact float baseline as an oracled query.
+    */
+  def quantizedTopK(
+      emb: DataFrame,
+      k: Int = 5,
+      queryMod: Int = 97,
+      idCol: String = "vec_id"): DataFrame = {
+    val spark = emb.sparkSession
+    graft.functions.Int8Vec.register(spark)
+    graft.plans.TopKPerGroup.install(spark)
+    val scale = quantScaleSpark("embedding")
+    val packed = emb.select(
+      col(idCol),
+      expr(s"i8_pack(${quantCodesSpark("embedding", scale)})").as("qbin"))
+      .withColumn("nsq", expr("vec_dot_i8(qbin, qbin)"))
+    val q = packed
+      .filter(col(idCol) % queryMod === 0)
+      .select(col(idCol).as("query_id"), col("qbin").as("q_bin"), col("nsq").as("q_nsq"))
+    val cand = packed.select(
+      col(idCol).as("cand_id"), col("qbin").as("c_bin"), col("nsq").as("c_nsq"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    cand
+      .crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      // n_q·n_c ≤ (64·127²)² ≈ 1.07e12 < 2⁵³: the BIGINT→DOUBLE casts
+      // below are exact, so the cosine is the same bits in any engine
+      .withColumn("cos",
+        expr("CAST(vec_dot_i8(q_bin, c_bin) AS DOUBLE) / sqrt(CAST(q_nsq * c_nsq AS DOUBLE))"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col("rank").cast("long").as("rank"),
+        col("cand_id"),
+        floor(expr("CAST(1000000 AS DOUBLE)") * col("cos")).cast("long").as("qcos_ppm"))
+  }
+
+  /** Recall@k of the quantized search against the exact float
+    * baseline, per query — the measurement a pipeline owner looks at
+    * before switching the corpus to the 4×-smaller layout. Emits
+    * `(query_id, hits_at_k)` where hits counts exact-top-k neighbors
+    * the quantized top-k also returned.
+    */
+  def quantRecallAt(
+      emb: DataFrame,
+      k: Int = 5,
+      queryMod: Int = 97,
+      idCol: String = "vec_id"): DataFrame = {
+    val exact = bruteTopK(emb, k, queryMod, idCol).select(col("query_id"), col("cand_id"))
+    val quant = quantizedTopK(emb, k, queryMod, idCol)
+      .select(col("query_id").as("q_qid"), col("cand_id").as("q_cid"))
+    exact
+      .join(
+        quant,
+        exact("query_id") === quant("q_qid") && exact("cand_id") === quant("q_cid"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(col("q_cid")).as("hits_at_k"))
+  }
+
   // ---- IVF-style ANN (design notes for buildIndex/probe/ivfTopK) ----
   /* Coarse centroids are seeded from the vectors with
     * `vec_id % centroidMod == 0`, then refined by `lloydIters` Lloyd

@@ -23,13 +23,15 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS, isAdjustedToUTC=false), which
-    * Spark's vectorized reader rejects. Read nanos as long
-    * (spark.sql.legacy.parquet.nanosAsLong) and convert to
-    * TIMESTAMP_NTZ micros — lossless for this data (values are
-    * microsecond-resolution) and matches DuckDB's naive TIMESTAMP in
-    * the oracle. Integer `DIV` keeps the full 63-bit nanos precision
-    * (a double division would lose bits above 2^53).
+  /** events.ts has shipped in two parquet layouts across driver data
+    * generations: TIMESTAMP(NANOS, isAdjustedToUTC=false), which
+    * Spark's vectorized reader rejects — read nanos as long
+    * (spark.sql.legacy.parquet.nanosAsLong) and convert — and plain
+    * TIMESTAMP_MICROS, which reads natively as TIMESTAMP_NTZ. Both
+    * normalize to TIMESTAMP_NTZ micros — lossless for this data
+    * (values are microsecond-resolution) and matching DuckDB's naive
+    * TIMESTAMP in the oracle. Integer `DIV` keeps the full 63-bit
+    * nanos precision (a double division would lose bits above 2^53).
     *
     * NOTE: the conf set here is session-global and must stay set for
     * the lifetime of this DataFrame (the parquet scan consults it at
@@ -41,8 +43,16 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      .withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+    val raw = read(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      // TIMESTAMP(NANOS) layout, read as BIGINT nanos under the conf
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+      // native TIMESTAMP_MICROS layout (driver data from round 9 on):
+      // same instants — just pin the NTZ type the engine standardizes on
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")

@@ -105,8 +105,20 @@ object StreamRunner {
       .option("maxFilesPerTrigger", if (sentinels > 0) "2" else "1000")
     reader
       .parquet(stageDir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts", streamTs(schema))
   }
+
+  /** Stream-side ts normalization across the two driver data layouts
+    * (see `Tables.events`): BIGINT nanos under nanosAsLong, or native
+    * TIMESTAMP_NTZ micros. Either way the stream carries TIMESTAMP
+    * (micros, session TZ = UTC everywhere in the harness) — the type
+    * the watermark/window machinery has been characterized against.
+    */
+  private def streamTs(schema: org.apache.spark.sql.types.StructType) =
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts DIV 1000)")
+      case _ => col("ts").cast("timestamp")
+    }
 
   /** Events table as a CHANGE stream of `slices` chronologically
     * ordered micro-batches: slice i holds the rows with
@@ -229,10 +241,10 @@ object StreamRunner {
   }
 
   /** Write `n` one-row sentinel parquet files into `stage`. Row i
-    * carries `event_id = -i` and `ts = max(real ts) + i days` (still
-    * raw nanos — the schema is the RAW file schema, ts as LongType
-    * under nanosAsLong; the stream's timestamp_micros conversion
-    * applies downstream). Files are written fresh every call so their
+    * carries `event_id = -i` and `ts = max(real ts) + i days` in the
+    * RAW file schema's own ts form (BIGINT nanos under nanosAsLong,
+    * or native NTZ micros — the stream-side normalization applies
+    * downstream). Files are written fresh every call so their
     * modification time — the file source's processing order — is
     * always newer than the linked testdata.
     */
@@ -243,14 +255,24 @@ object StreamRunner {
       schema: org.apache.spark.sql.types.StructType,
       n: Int): Unit = {
     import scala.jdk.CollectionConverters._
-    val maxTs = spark.read.parquet(src.toString)
-      .agg(max(col("ts"))).head().getLong(0)
+    // sentinel ts = max(real ts) + i days, in whichever raw form this
+    // data generation stores ts (BIGINT nanos or native NTZ micros) —
+    // the stream-side normalization converts both identically
+    val maxRow = spark.read.parquet(src.toString).agg(max(col("ts"))).head()
     val dayNanos = 86400L * 1000 * 1000 * 1000
+    val tsFor: Int => AnyRef = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        val maxTs = maxRow.getLong(0)
+        i => java.lang.Long.valueOf(maxTs + i * dayNanos)
+      case _ =>
+        val maxTs = maxRow.getAs[java.time.LocalDateTime](0)
+        i => maxTs.plusDays(i.toLong)
+    }
     (1 to n).foreach { i =>
       val values = schema.fields.map { f =>
         (f.name, f.dataType.typeName) match {
           case ("event_id", _)   => java.lang.Long.valueOf(-i.toLong)
-          case ("ts", _)         => java.lang.Long.valueOf(maxTs + i * dayNanos)
+          case ("ts", _)         => tsFor(i)
           case ("user_id", _)    => java.lang.Long.valueOf(-1L)
           case ("event_type", _) => "sentinel"
           case ("value", _)      => java.lang.Double.valueOf(0.0)
