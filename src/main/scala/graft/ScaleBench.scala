@@ -163,13 +163,38 @@ object ScaleBench {
           Seq("src0" -> (40000L * mult), "src1" -> (20000L * mult)),
           defaultBudget = 30000L * mult).count()
       }
-      (mult, nRows, diffSec, aggSec, nDocs, funnelSec, natSec, natSampledSec, pslSec, mixSec)
+      // float-vs-int8 retrieval A/B over amplified embeddings with a
+      // FIXED query set: ids are original*mult + r, so queryMod =
+      // 97*mult selects exactly the base corpus's ~21 queries at
+      // every scale — candidate work is O(q·n), LINEAR in the
+      // amplification, and the two paths differ only in the scan
+      // width (256B float vs 64B packed binary per vector) and the
+      // dot kernel (double FMA vs integer MAC). The ratio is the
+      // evidence for quantizing a 100 TB embedding column.
+      val embDf = Tables.embeddings(spark, sfDir)
+        .crossJoin(spark.range(mult).toDF("r"))
+        .withColumn("vec_id", col("vec_id") * mult + col("r"))
+        .select("vec_id", "embedding")
+        .repartition(cpus.toInt)
+      embDf.write.mode("overwrite").parquet(s"$fix/emb_$mult")
+      val emb = spark.read.parquet(s"$fix/emb_$mult")
+      val bruteSec = time(iters) {
+        consumed(graft.operators.SimilaritySearch
+          .bruteTopK(emb, queryMod = 97 * mult))
+      }
+      val quantSec = time(iters) {
+        consumed(graft.operators.SimilaritySearch
+          .quantizedTopK(emb, queryMod = 97 * mult))
+      }
+      (mult, nRows, diffSec, aggSec, nDocs, funnelSec, natSec, natSampledSec,
+        pslSec, mixSec, bruteSec, quantSec)
     }
 
-    val qs = results.map { case (m, n, d, a, nd, f, nt, nts, ps, mx) =>
+    val qs = results.map { case (m, n, d, a, nd, f, nt, nts, ps, mx, bt, qt) =>
       s""""x$m":{"rows":$n,"diff_sec":${f"$d%.3f"},"agg_sec":${f"$a%.3f"},""" +
         s""""docs":$nd,"funnel_sec":${f"$f%.3f"},"nat_sec":${f"$nt%.3f"},""" +
-        s""""nat_sampled_sec":${f"$nts%.3f"},"psl_sec":${f"$ps%.3f"},"mix_sec":${f"$mx%.3f"}}"""
+        s""""nat_sampled_sec":${f"$nts%.3f"},"psl_sec":${f"$ps%.3f"},"mix_sec":${f"$mx%.3f"},""" +
+        s""""brute_topk_sec":${f"$bt%.3f"},"quant_topk_sec":${f"$qt%.3f"}}"""
     }.mkString(",")
     println(s"""{"metric":"scale_curve","iters":$iters,"sf":"$sfDir",$qs}""")
     spark.stop()

@@ -108,6 +108,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("aggregate(zip_with")) // no interpreted HOF fold left
   }
 
+  test("quantized top-k scans packed binary, broadcasts queries, dots via the int kernel") {
+    val p = plan("q_embed_topk_quantized")
+    assert(p.contains("vec_dot_i8"))
+    assert(p.contains("i8_pack"))
+    assert(!p.contains("aggregate(zip_with")) // no interpreted HOF fold
+    assert(p.contains("BroadcastExchange"), p.take(2000)) // small query side broadcast
+    // candidates reach the broadcast join without a shuffle of their own
+    assert(!"""Exchange hashpartitioning.*cand_id""".r.findFirstIn(p).isDefined, p.take(2000))
+  }
+
+  test("training-shard assignment is one hash shuffle — no global sort, no join") {
+    val p = plan("q_train_shards")
+    assert(!p.contains("Join"), p.take(2000))
+    // the per-shard window is the operator's one shuffle; the final
+    // ORDER BY adds its range exchange — nothing else may appear
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected ≤2 exchanges (window + order), got $exchanges:\n${p.take(2000)}")
+    assert(p.contains("poly_hash"))
+  }
+
   test("pivot compiles to one conditional-aggregation pass, no join or expand") {
     val p = plan("q_pivot")
     assert(!p.contains("Join"), p.take(2000))
