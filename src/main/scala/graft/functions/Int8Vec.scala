@@ -45,6 +45,33 @@ case class I8Pack(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Fused quantize-and-pack: ARRAY<FLOAT> → BINARY in ONE pass
+  * (max|x|, scale, round-half-up, pack), replacing the
+  * `i8_pack(transform(...))` higher-order formulation whose
+  * per-element interpreted lambdas dominated the quantization cost
+  * at scale (measured 4.7 s vs 0.8 s float brute at ×64 before the
+  * fuse). Bit-identical to the HOF form — spec-pinned — because the
+  * arithmetic is the same IEEE doubles in the same order; the DuckDB
+  * oracle keeps the list-comprehension form.
+  */
+case class I8Quantize(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "i8_quantize"
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT>, got ${other.catalogString}")
+  }
+
+  protected override def nullSafeEval(v: Any): Any =
+    Int8Vec.quantize(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Int8Vec.quantize($c)")
+  override protected def withNewChildInternal(c: Expression): I8Quantize =
+    copy(child = c)
+}
+
 /** ⟨a, b⟩ over two i8-packed vectors, exact in BIGINT. */
 case class VecDotI8(left: Expression, right: Expression) extends BinaryExpression {
   override def prettyName: String = "vec_dot_i8"
@@ -86,6 +113,32 @@ object Int8Vec {
     out
   }
 
+  /** One-pass symmetric int8 quantization, the fused twin of
+    * `i8_pack(quantCodes(...))` — see `VectorExprs.quantScaleSpark` /
+    * `quantCodesSpark` for the arithmetic contract both share with
+    * the DuckDB oracle.
+    */
+  def quantize(a: ArrayData): Array[Byte] = {
+    val n = a.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(s"i8_quantize: NULL component at index $i")
+      val v = math.abs(a.getFloat(i).toDouble)
+      if (v > maxAbs) maxAbs = v
+      i += 1
+    }
+    val scale = math.max(maxAbs, 1e-30) / 127.0
+    val out = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      out(i) = math.floor(a.getFloat(i).toDouble / scale + 0.5).toInt.toByte
+      i += 1
+    }
+    out
+  }
+
   def dot(a: Array[Byte], b: Array[Byte]): Long = {
     val n = math.min(a.length, b.length)
     var acc = 0L
@@ -101,6 +154,8 @@ object Int8Vec {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "i8_pack", exprs => I8Pack(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "i8_quantize", exprs => I8Quantize(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot_i8", exprs => VecDotI8(exprs(0), exprs(1)), "built-in")
   }

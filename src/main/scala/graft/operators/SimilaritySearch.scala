@@ -86,10 +86,13 @@ object SimilaritySearch {
     val spark = emb.sparkSession
     graft.functions.Int8Vec.register(spark)
     graft.plans.TopKPerGroup.install(spark)
-    val scale = quantScaleSpark("embedding")
+    // fused codegen kernel: one pass computes max|x|, the scale, and
+    // the packed codes — the HOF formulation (i8_pack over transform/
+    // array_max) costs interpreted lambda dispatch per element and
+    // dominated the ×64 ScaleBench curve before the fuse
     val packed = emb.select(
       col(idCol),
-      expr(s"i8_pack(${quantCodesSpark("embedding", scale)})").as("qbin"))
+      expr("i8_quantize(embedding)").as("qbin"))
       .withColumn("nsq", expr("vec_dot_i8(qbin, qbin)"))
     val q = packed
       .filter(col(idCol) % queryMod === 0)

@@ -111,8 +111,9 @@ class PlanSpec extends AnyFunSuite {
   test("quantized top-k scans packed binary, broadcasts queries, dots via the int kernel") {
     val p = plan("q_embed_topk_quantized")
     assert(p.contains("vec_dot_i8"))
-    assert(p.contains("i8_pack"))
+    assert(p.contains("i8_quantize")) // the fused one-pass kernel, not the HOF form
     assert(!p.contains("aggregate(zip_with")) // no interpreted HOF fold
+    assert(!p.contains("transform(")) // no interpreted per-element lambdas at all
     assert(p.contains("BroadcastExchange"), p.take(2000)) // small query side broadcast
     // candidates reach the broadcast join without a shuffle of their own
     assert(!"""Exchange hashpartitioning.*cand_id""".r.findFirstIn(p).isDefined, p.take(2000))

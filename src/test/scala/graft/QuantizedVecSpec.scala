@@ -60,6 +60,17 @@ class QuantizedVecSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"kernel/twin dot divergence: ${bad.collect().mkString("; ")}")
   }
 
+  test("fused i8_quantize ≡ i8_pack over the HOF code formulation, byte for byte") {
+    Int8Vec.register(spark)
+    val emb = randEmb(120)
+    val scale = VectorExprs.quantScaleSpark("embedding")
+    val bad = emb
+      .withColumn("fused", expr("i8_quantize(embedding)"))
+      .withColumn("hof", expr(s"i8_pack(${VectorExprs.quantCodesSpark("embedding", scale)})"))
+      .filter(col("fused") =!= col("hof"))
+    assert(bad.isEmpty, s"fused/HOF quantization divergence: ${bad.collect().take(3).mkString("; ")}")
+  }
+
   test("quantization codes stay in [-127, 127] with per-component error ≤ scale/2") {
     val emb = randEmb(60)
     val scale = VectorExprs.quantScaleSpark("embedding")
