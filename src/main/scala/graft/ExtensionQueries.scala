@@ -418,6 +418,11 @@ object ExtensionQueries {
       SimilaritySearch.quantRecallAt(Tables.embeddings(s, dir)).orderBy("query_id")),
     "q_embed_ann_ivf" -> ((s, dir) =>
       SimilaritySearch.ivfTopK(Tables.embeddings(s, dir)).orderBy("query_id", "rank")),
+    "q_embed_ann_ivf_sq8" -> ((s, dir) =>
+      // faiss's IVF…,SQ8 production layout: float centroids steer the
+      // probe, inverted lists carry 4×-smaller int8 codes, the mixed
+      // -precision kernel scores float queries against codes directly
+      SimilaritySearch.ivfSq8TopK(Tables.embeddings(s, dir)).orderBy("query_id", "rank")),
     "q_embed_ann_ivf_incremental" -> ((s, dir) => {
       // the ingest shape: index built once on the base corpus
       // (two thirds of the vectors), the remaining third appended
@@ -1017,7 +1022,43 @@ object ExtensionQueries {
     * put them — which is why one oracle shape serves both the full
     * and the incremental query.
     */
-  private def ivfOracleSql(buildWhere: String): String =
+  /** @param sq8 score probed candidates against their int8 codes
+    *            (the IVF-SQ8 layout) instead of the float embeddings;
+    *            assignment and centroid algebra are identical either
+    *            way — only the `assign`-side payload and the `scored`
+    *            dot change, mirroring `SimilaritySearch.probeQuant`.
+    */
+  private def ivfOracleSql(buildWhere: String, sq8: Boolean = false): String = {
+    val assignPayload =
+      if (!sq8)
+        s"""), assign AS (
+           |  SELECT vid AS cand_id, cid, embedding AS cand_emb,
+           |         sqrt(${VectorExprs.dotDuck("embedding", "embedding")}) AS cnorm
+           |  FROM (
+           |    SELECT vid, cid, embedding,
+           |           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+           |    FROM adist) t WHERE rn = 1""".stripMargin
+      else
+        s"""), assign0 AS (
+           |  SELECT vid AS cand_id, cid, embedding,
+           |         ${VectorExprs.quantScaleDuck("embedding")} AS scale
+           |  FROM (
+           |    SELECT vid, cid, embedding,
+           |           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+           |    FROM adist) t WHERE rn = 1
+           |), assign1 AS (
+           |  SELECT cand_id, cid,
+           |         ${VectorExprs.quantCodesDuck("embedding", "scale")} AS cand_code
+           |  FROM assign0
+           |), assign AS (
+           |  SELECT cand_id, cid, cand_code,
+           |         ${VectorExprs.dotIntDuck("cand_code", "cand_code")} AS cnsq
+           |  FROM assign1""".stripMargin
+    val scoredDot =
+      if (!sq8)
+        s"(${VectorExprs.dotDuck("qprobe.qemb", "assign.cand_emb")}) / (qprobe.qnorm * assign.cnorm)"
+      else
+        s"(${VectorExprs.dotMixedDuck("qprobe.qemb", "assign.cand_code")}) / (qprobe.qnorm * sqrt(assign.cnsq::DOUBLE))"
     s"""WITH cents0 AS (
        |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
        |  WHERE vec_id % 50 = 0 AND ($buildWhere)
@@ -1046,13 +1087,7 @@ object ExtensionQueries {
        |  SELECT e.vec_id AS vid, e.embedding, c.cid,
        |         ${VectorExprs.l2sqDuck("e.embedding", "c.cemb")} AS d
        |  FROM embeddings e CROSS JOIN cents c
-       |), assign AS (
-       |  SELECT vid AS cand_id, cid, embedding AS cand_emb,
-       |         sqrt(${VectorExprs.dotDuck("embedding", "embedding")}) AS cnorm
-       |  FROM (
-       |    SELECT vid, cid, embedding,
-       |           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
-       |    FROM adist) t WHERE rn = 1
+       |$assignPayload
        |), qdist AS (
        |  SELECT e.vec_id AS vid, e.embedding, c.cid,
        |         ${VectorExprs.l2sqDuck("e.embedding", "c.cemb")} AS d
@@ -1066,7 +1101,7 @@ object ExtensionQueries {
        |    FROM qdist) t WHERE rn <= 2
        |), scored AS (
        |  SELECT query_id, cand_id,
-       |         (${VectorExprs.dotDuck("qprobe.qemb", "assign.cand_emb")}) / (qprobe.qnorm * assign.cnorm) AS cos
+       |         $scoredDot AS cos
        |  FROM qprobe JOIN assign USING (cid)
        |  WHERE query_id <> cand_id
        |), r AS (
@@ -1077,6 +1112,7 @@ object ExtensionQueries {
        |)
        |SELECT query_id, "rank", cand_id, cos_ppm FROM r
        |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+  }
 
   /** The embedding near-dup pairs as bare SQL (no final ORDER BY) —
     * mirrors the Spark operator's comparison-bit band candidate
@@ -1416,6 +1452,8 @@ object ExtensionQueries {
          |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
 
     "q_embed_ann_ivf" -> ivfOracleSql(buildWhere = "TRUE"),
+
+    "q_embed_ann_ivf_sq8" -> ivfOracleSql(buildWhere = "TRUE", sq8 = true),
 
     "q_embed_ann_ivf_incremental" ->
       // same algebra, index built from two thirds of the corpus: the

@@ -92,6 +92,31 @@ case class VecDotI8(left: Expression, right: Expression) extends BinaryExpressio
     copy(left = l, right = r)
 }
 
+/** ⟨f, c⟩ between a FLOAT vector and an i8-packed code vector, in
+  * DOUBLE — the IVF-SQ8 probe kernel: stored lists carry 4×-smaller
+  * codes, queries stay float, and the per-vector scale cancels in
+  * the cosine exactly as in the all-quantized case.
+  */
+case class VecDotF8(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "vec_dot_f_i8"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (ARRAY<FLOAT>, BINARY), got " +
+          s"${l.catalogString} and ${r.catalogString}")
+    }
+
+  protected override def nullSafeEval(l: Any, r: Any): Any =
+    Int8Vec.dotF8(l.asInstanceOf[ArrayData], r.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Int8Vec.dotF8($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDotF8 =
+    copy(left = l, right = r)
+}
+
 object Int8Vec {
   /** Static kernels so generated code can call them. */
   def pack(a: ArrayData): Array[Byte] = {
@@ -150,6 +175,17 @@ object Int8Vec {
     acc
   }
 
+  def dotF8(a: ArrayData, b: Array[Byte]): Double = {
+    val n = math.min(a.numElements(), b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
   /** Register `i8_pack` / `vec_dot_i8` for SQL/`expr()` use (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -158,5 +194,7 @@ object Int8Vec {
       "i8_quantize", exprs => I8Quantize(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot_i8", exprs => VecDotI8(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot_f_i8", exprs => VecDotF8(exprs(0), exprs(1)), "built-in")
   }
 }

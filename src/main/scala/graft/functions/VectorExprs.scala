@@ -59,6 +59,12 @@ object VectorExprs {
   def dotIntDuck(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> ($a[i]::BIGINT) * ($b[i]::BIGINT)), (acc, v) -> acc + v)"
 
+  /** DOUBLE dot between a FLOAT vector and an INT-code list — the
+    * oracle twin of the mixed-precision `vec_dot_f_i8` probe kernel.
+    */
+  def dotMixedDuck(f: String, c: String): String =
+    s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> ($f[i]::DOUBLE) * ($c[i]::DOUBLE)), (acc, v) -> acc + v)"
+
   // ---------- comparison-bit LSH bands (near-dup candidate blocking) ----------
   /** Winner-take-all-style sketch: bit t is `x[a_t] > x[b_t]` for a
     * fixed pseudo-random index pair (a_t, b_t). Comparisons are

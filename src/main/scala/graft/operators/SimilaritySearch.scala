@@ -416,4 +416,81 @@ object SimilaritySearch {
     val index = buildIndex(emb, centroidMod, lloydIters, idCol, maxCentroids)
     probe(index, emb.filter(col(idCol) % queryMod === 0), k, nprobe, idCol)
   }
+
+  // ---- IVF-SQ8: quantized inverted lists, float queries ----
+
+  /** Re-encode an index's inverted lists as int8 codes — the faiss
+    * `IVF…,SQ8` layout, THE standard config for billion-vector
+    * corpora: the assignment table (the index's dominant storage,
+    * one row per corpus vector) drops from 4 bytes/component + array
+    * overhead to one packed byte, so at 100 TB the lists a probe
+    * scans are ~4× less I/O. Centroids stay float (they're the
+    * broadcast-small side and steer assignment quality); queries
+    * stay float and score against the codes with the mixed-precision
+    * kernel — the stored vector's scale cancels in the cosine, so
+    * dequantization never materializes.
+    */
+  def quantizeAssignments(index: IvfIndex): IvfIndex = {
+    graft.functions.Int8Vec.register(index.assignments.sparkSession)
+    IvfIndex(
+      index.centroids,
+      index.assignments.select(
+        col("cand_id"), col("cid"),
+        expr("i8_quantize(cand_emb)").as("cand_code"))
+        .withColumn("cnsq", expr("vec_dot_i8(cand_code, cand_code)")))
+  }
+
+  /** [[probe]] against [[quantizeAssignments]]' code-form lists. */
+  def probeQuant(
+      index: IvfIndex,
+      queries: DataFrame,
+      k: Int = 5,
+      nprobe: Int = 2,
+      idCol: String = "vec_id"): DataFrame = {
+    val spark = queries.sparkSession
+    graft.functions.VecDot.register(spark)
+    graft.functions.Int8Vec.register(spark)
+    graft.plans.TopKPerGroup.install(spark)
+    val byDist = Window.partitionBy("vid").orderBy(col("d"), col("cid"))
+    val qprobe = queries
+      .select(col(idCol).as("vid"), col("embedding"))
+      .crossJoin(broadcast(index.centroids))
+      .withColumn("d", expr(l2sqSpark("embedding", "cemb")))
+      .withColumn("rn", row_number().over(byDist))
+      .filter(col("rn") <= nprobe)
+      .select(
+        col("vid").as("query_id"), col("embedding").as("qemb"), col("cid"),
+        expr(s"sqrt(${dotSpark("embedding", "embedding")})").as("qnorm"))
+
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    qprobe
+      .join(index.assignments, "cid")
+      .filter(col("query_id") =!= col("cand_id"))
+      // ⟨float query, int8 codes⟩ in double; |codes| from the exact
+      // integer self-dot (≤ 64·127² < 2⁵³, so the cast is exact)
+      .withColumn("cos",
+        expr("vec_dot_f_i8(qemb, cand_code) / (qnorm * sqrt(CAST(cnsq AS DOUBLE)))"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col("rank").cast("long").as("rank"),
+        col("cand_id"),
+        floor(lit(1000000.0) * col("cos")).cast("long").as("cos_ppm"))
+  }
+
+  /** Build + quantize + probe, the fused IVF-SQ8 query. */
+  def ivfSq8TopK(
+      emb: DataFrame,
+      k: Int = 5,
+      queryMod: Int = 97,
+      centroidMod: Int = 50,
+      nprobe: Int = 2,
+      lloydIters: Int = 1,
+      idCol: String = "vec_id",
+      maxCentroids: Int = 1 << 20): DataFrame = {
+    val index = quantizeAssignments(
+      buildIndex(emb, centroidMod, lloydIters, idCol, maxCentroids))
+    probeQuant(index, emb.filter(col(idCol) % queryMod === 0), k, nprobe, idCol)
+  }
 }

@@ -126,6 +126,48 @@ class QuantizedVecSpec extends AnyFunSuite {
       "packed kernel path diverges from the array-code formulation")
   }
 
+  test("vec_dot_f_i8 ≡ the higher-order mixed dot on random float×code pairs") {
+    Int8Vec.register(spark)
+    import spark.implicits._
+    val df = (1 to 60).map { i =>
+      (i.toLong,
+        (0 until VectorExprs.Dim).map(_ => rnd.nextFloat() * 2f - 1f),
+        (0 until VectorExprs.Dim).map(_ => rnd.nextInt(255) - 127))
+    }.toDF("id", "f", "c")
+    val bad = df
+      .withColumn("kernel", expr("vec_dot_f_i8(f, i8_pack(c))"))
+      .withColumn("twin", expr(
+        "aggregate(zip_with(f, c, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+      .filter(col("kernel") =!= col("twin"))
+    assert(bad.isEmpty, s"mixed-dot kernel/twin divergence: ${bad.collect().take(3).mkString("; ")}")
+  }
+
+  test("IVF-SQ8 returns the float IVF's neighbors on separated clusters") {
+    // same planted geometry as the recall test: int8 noise cannot
+    // reorder cluster mates vs outsiders, and both paths probe the
+    // same lists — so the NEIGHBOR SET (not the ppm scores) matches
+    val rows = (0 until 150).map { i =>
+      val c = i / 5
+      val center = (0 until VectorExprs.Dim).map { d =>
+        math.sin(0.7 * (c + 1) * (d + 1)).toFloat * 10f
+      }
+      Row(i.toLong, center.map(x => x + rnd.nextFloat() * 0.01f))
+    }
+    val emb = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(
+        StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)))))
+    val fl = SimilaritySearch
+      .ivfTopK(emb, k = 4, queryMod = 15, centroidMod = 10)
+      .select("query_id", "cand_id")
+    val q8 = SimilaritySearch
+      .ivfSq8TopK(emb, k = 4, queryMod = 15, centroidMod = 10)
+      .select("query_id", "cand_id")
+    assert(fl.exceptAll(q8).isEmpty && q8.exceptAll(fl).isEmpty,
+      "IVF-SQ8 neighbor set diverges from float IVF on separated clusters")
+  }
+
   test("quantized recall@k is high on separated clusters and bounded by k everywhere") {
     // planted geometry: 30 tight clusters of 5; a query's exact
     // neighbors are its cluster mates, far from everything else —
