@@ -312,15 +312,21 @@ object StreamRunner {
     * query (pinned into the checkpoint at start, so it is a per-query
     * knob by construction): each state partition carries a state
     * store with per-batch commit I/O, so it should track expected
-    * state volume, not the session's batch-shuffle width — a
-    * bench-scale micro-batch wants single digits where a 100 TB
-    * deployment would run hundreds. The session conf is restored
-    * after start.
+    * STATE volume — a stream-stream join holding both full inputs
+    * wants single digits at bench scale (q_stream_missing passes 4)
+    * where a 100 TB deployment would run hundreds. The default (≤ 0)
+    * inherits the session's shuffle width untouched: measured on the
+    * window/session/dedup family, the session's 32 beat a forced 8 by
+    * ~1.4× (more stores = more commit parallelism when state is
+    * small), so only state-heavy queries should dial this down. When
+    * set, the override stays active until awaitTermination returns —
+    * micro-batches plan asynchronously, so restoring right after
+    * start() would race batch planning (the foldBatches rule).
     */
   def runToCompletion(
       streamingDf: DataFrame,
       outputMode: String = "complete",
-      statePartitions: Int = 8): DataFrame = {
+      statePartitions: Int = 0): DataFrame = {
     val spark = streamingDf.sparkSession
     // memory-sink tables live in driver memory until dropped and
     // clearCache() does NOT free them; keep at most the previous
@@ -331,7 +337,7 @@ object StreamRunner {
     val sink = s"graft_stream_sink_$id"
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, statePartitions)
+    if (statePartitions > 0) spark.conf.set(key, statePartitions)
     // checkpoint on tmpfs when available: every micro-batch fsyncs
     // offset/commit logs plus one state delta per store per
     // partition, and for these run-to-completion bridges the
@@ -345,19 +351,20 @@ object StreamRunner {
       else Paths.get(System.getProperty("java.io.tmpdir"))
     val ck = Files.createTempDirectory(ckRoot, "graft_stream_ck_")
     try {
-      val q =
-        try
-          streamingDf.writeStream
-            .format("memory")
-            .queryName(sink)
-            .outputMode(outputMode)
-            .option("checkpointLocation", ck.toString)
-            .trigger(Trigger.AvailableNow())
-            .start()
-        finally spark.conf.set(key, prev)
+      // same rule as foldBatches: micro-batches plan asynchronously,
+      // so the conf override must survive until awaitTermination
+      // returns — restoring right after start() races batch planning
+      val q = streamingDf.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode(outputMode)
+        .option("checkpointLocation", ck.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
       q.awaitTermination()
       spark.table(sink)
     } finally {
+      spark.conf.set(key, prev)
       // tmpfs is RAM — leaking checkpoints would eat memory, not disk
       import scala.jdk.CollectionConverters._
       val walk = Files.walk(ck)
