@@ -168,6 +168,32 @@ class QuantizedVecSpec extends AnyFunSuite {
       "IVF-SQ8 neighbor set diverges from float IVF on separated clusters")
   }
 
+  test("SQ8 inverted lists are materially smaller on parquet than float lists") {
+    // the 100 TB claim measured at spec scale: same index, both
+    // payloads written to parquet, code-form must be well under half
+    // the float bytes (raw ratio is 4×; parquet framing narrows it)
+    val emb = randEmb(2000)
+    val idx = SimilaritySearch.buildIndex(emb, centroidMod = 45)
+    val q8 = SimilaritySearch.quantizeAssignments(idx)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sq8_size_").toString
+    def bytesOf(p: String): Long = {
+      val files = new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+      files.map(_.length()).sum
+    }
+    try {
+      idx.assignments.write.mode("overwrite").parquet(s"$dir/float")
+      q8.assignments.write.mode("overwrite").parquet(s"$dir/sq8")
+      val (fb, qb) = (bytesOf(s"$dir/float"), bytesOf(s"$dir/sq8"))
+      assert(qb.toDouble / fb < 0.5,
+        s"SQ8 lists not smaller enough: float=$fb bytes, sq8=$qb bytes")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("quantized recall@k is high on separated clusters and bounded by k everywhere") {
     // planted geometry: 30 tight clusters of 5; a query's exact
     // neighbors are its cluster mates, far from everything else —
