@@ -119,6 +119,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!"""Exchange hashpartitioning.*cand_id""".r.findFirstIn(p).isDefined, p.take(2000))
   }
 
+  test("IVF-SQ8 probe scores codes with the mixed kernel and broadcasts centroids") {
+    val p = plan("q_embed_ann_ivf_sq8")
+    assert(p.contains("vec_dot_f_i8")) // float query × int8 codes, no dequantize
+    assert(p.contains("i8_quantize"))
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    assert(!p.contains("aggregate(zip_with"))
+  }
+
   test("training-shard assignment is one hash shuffle — no global sort, no join") {
     val p = plan("q_train_shards")
     assert(!p.contains("Join"), p.take(2000))
