@@ -194,6 +194,30 @@ class QuantizedVecSpec extends AnyFunSuite {
     }
   }
 
+  test("a quantized index probes identically after a writeIndex/readIndex round trip") {
+    // the deployment shape: build once, quantize, persist as cid=
+    // inverted-list dirs, probe from storage — BINARY codes and the
+    // integer norms must survive parquet untouched
+    val emb = randEmb(300)
+    val q8 = SimilaritySearch.quantizeAssignments(
+      SimilaritySearch.buildIndex(emb, centroidMod = 20))
+    val queries = emb.filter(col("vec_id") % 30 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sq8_rt_").toString
+    try {
+      SimilaritySearch.writeIndex(q8, dir)
+      val back = SimilaritySearch.readIndex(spark, dir)
+      val mem = SimilaritySearch.probeQuant(q8, queries, k = 3)
+      val disk = SimilaritySearch.probeQuant(back, queries, k = 3)
+      assert(mem.exceptAll(disk).isEmpty && disk.exceptAll(mem).isEmpty,
+        "persisted quantized index probes differently than the in-memory one")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("quantized recall@k is high on separated clusters and bounded by k everywhere") {
     // planted geometry: 30 tight clusters of 5; a query's exact
     // neighbors are its cluster mates, far from everything else —
