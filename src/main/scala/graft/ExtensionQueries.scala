@@ -720,6 +720,43 @@ object ExtensionQueries {
         .select("doc_id", "source", "running_weight")
         .orderBy("source", "running_weight", "doc_id")
     }),
+    "q_pipeline_train_export" -> ((s, dir) => {
+      // the operators composed END-TO-END as one declarative plan —
+      // curate → exact-dedup → decontaminate → budget-mixture →
+      // shard — the full path a pre-training corpus takes from raw
+      // documents to the trainer's shard layout. Every stage binds
+      // on the synthetic corpus (the funnel drops ~55%, dedup
+      // collapses exact copies, the benchmark gate removes planted
+      // leaks, the char budgets truncate each source, and the
+      // final shard/seq are pure hash functions), and the oracle
+      // replays all five stages in SQL — one hash gates the whole
+      // composition, not just each operator alone.
+      graft.functions.PolyHash.register(s)
+      val docs = Tables.documents(s, dir)
+      val h = graft.functions.TextExprs.charHashSpark("CAST(doc_id AS STRING)")
+      val kept = docs.join(
+        TextAnalysis.curationFunnel(docs)
+          .filter(col("verdict") === "keep").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val deduped = kept.join(
+        Dedup.exact(kept).select(col("canonical_doc_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val clean = deduped.join(
+        TextAnalysis
+          .contamination(deduped, docs.filter(col("doc_id") % 97 === 0))
+          .filter(col("contamination_ppm") < 500000L)
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val sampled = graft.operators.Sampling.mixtureByBudget(
+        clean.select("doc_id", "source", "n_chars"),
+        "source", "n_chars", h, "doc_id",
+        Seq("src0" -> 4000L, "src1" -> 2000L), defaultBudget = 3000L)
+        .select("doc_id", "source")
+      graft.operators.Sampling
+        .shardForTraining(sampled, "doc_id", h, numShards = 4)
+        .select("shard", "seq", "doc_id", "source")
+        .orderBy("shard", "seq")
+    }),
     "q_train_shards" -> ((s, dir) => {
       // deterministic global shuffle + shard assignment for training
       // export: shard AND within-shard position are pure hash
@@ -1683,6 +1720,65 @@ object ExtensionQueries {
          |SELECT zkey >> 16 AS zcell, COUNT(*) AS n_rows,
          |  MIN(zkey) AS zmin, MAX(zkey) AS zmax
          |FROM z GROUP BY 1 ORDER BY zcell""".stripMargin
+    },
+
+    "q_pipeline_train_export" -> {
+      val h = graft.functions.TextExprs.charHashDuck("CAST(doc_id AS VARCHAR)")
+      val mh = graft.operators.Sampling.mixedHash(h)
+      val b = graft.operators.Sampling.budgetCase(
+        "source", Seq("src0" -> 4000L, "src1" -> 2000L), 3000L)
+      val guard = s"${tokenCountDuck("text")} >= 3"
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    ${TextAnalysis.funnelMetricsDuckProjection("text")}
+         |  FROM documents
+         |), kept AS (
+         |  SELECT d.doc_id, d.text, d.source, d.n_chars
+         |  FROM documents d JOIN (
+         |    SELECT doc_id FROM m
+         |    WHERE (${TextAnalysis.funnelVerdictCase(20, 500000L, Seq("en"), 600000L)}) = 'keep'
+         |  ) k USING (doc_id)
+         |), canon AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text
+         |), dd AS (
+         |  SELECT k.* FROM kept k JOIN canon USING (doc_id)
+         |), bwh AS (
+         |  SELECT ${wordHashArrayDuck(wordsDuck("text"))} AS wh
+         |  FROM documents WHERE doc_id % 97 = 0 AND $guard
+         |), bg AS (
+         |  SELECT DISTINCT unnest(${shingleHashesFromWordHashesDuck("wh", 3)}) AS gram FROM bwh
+         |), dwh AS (
+         |  SELECT doc_id, ${wordHashArrayDuck(wordsDuck("text"))} AS wh FROM dd WHERE $guard
+         |), dg AS (
+         |  SELECT doc_id, ${shingleHashesFromWordHashesDuck("wh", 3)} AS grams FROM dwh
+         |), e AS (
+         |  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams, unnest(grams) AS gram FROM dg
+         |), cont AS (
+         |  SELECT e.doc_id,
+         |    ${ppmDuck("SUM(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END)", "e.n_grams")} AS contamination_ppm
+         |  FROM e LEFT JOIN bg USING (gram)
+         |  GROUP BY e.doc_id, e.n_grams
+         |), clean AS (
+         |  SELECT d.* FROM dd d JOIN cont USING (doc_id)
+         |  WHERE cont.contamination_ppm < 500000
+         |), mx AS (
+         |  SELECT doc_id, source,
+         |    CAST(SUM(CAST(n_chars AS BIGINT)) OVER (
+         |      PARTITION BY source ORDER BY ($mh), doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_weight
+         |  FROM clean
+         |), sampled AS (
+         |  SELECT doc_id, source FROM mx WHERE running_weight <= ($b)
+         |), sh AS (
+         |  SELECT doc_id, source,
+         |    CAST(($mh) % 4 AS BIGINT) AS shard,
+         |    ((($mh) + 1) * 2246822519) % 1000000007 AS m2
+         |  FROM sampled
+         |)
+         |SELECT shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY m2, doc_id) AS BIGINT) AS seq,
+         |  doc_id, source
+         |FROM sh ORDER BY shard, seq""".stripMargin
     },
 
     "q_train_shards" -> {
