@@ -137,6 +137,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("poly_hash"))
   }
 
+  test("the five-stage pipeline keeps a bounded shuffle count and no cartesian") {
+    val p = plan("q_pipeline_train_export")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // curate/dedup/decontaminate semi-gates + mixture window + shard
+    // window + final order — the composition must not multiply
+    // exchanges beyond its stages (measured 7 at authoring time)
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 8, s"pipeline grew to $exchanges exchanges:\n${p.take(3000)}")
+  }
+
   test("pivot compiles to one conditional-aggregation pass, no join or expand") {
     val p = plan("q_pivot")
     assert(!p.contains("Join"), p.take(2000))
