@@ -757,6 +757,45 @@ object ExtensionQueries {
         .select("shard", "seq", "doc_id", "source")
         .orderBy("shard", "seq")
     }),
+    "q_pipeline_train_export_neardup" -> ((s, dir) => {
+      // pipeline v2: same five stages but the dedup gate is the REAL
+      // one — MinHash-LSH candidate pairs + connected components over
+      // the CURATED subset, dropping every non-canonical cluster
+      // member (min-id canonical, singletons pass untouched). Input
+      // is the corpus WITH planted exact and near-dup copies, so the
+      // stage demonstrably binds; near-dup copies of benchmark docs
+      // also fail the contamination gate (they share its grams),
+      // which is exactly the hygiene a production run wants.
+      graft.functions.PolyHash.register(s)
+      val docs = Corpus.docCorpus(s, dir)
+      val h = graft.functions.TextExprs.charHashSpark("CAST(doc_id AS STRING)")
+      val kept = docs.join(
+        TextAnalysis.curationFunnel(docs)
+          .filter(col("verdict") === "keep").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val labels = ConnectedComponents.labelPropagate(
+        Dedup.minhashPairs(kept), "doc_a", "doc_b", numPartitions = Some(8))
+      val deduped = kept.join(
+        labels.filter(col("node") =!= col("component"))
+          .select(col("node").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      val clean = deduped.join(
+        TextAnalysis
+          .contamination(
+            deduped, Tables.documents(s, dir).filter(col("doc_id") % 97 === 0))
+          .filter(col("contamination_ppm") < 500000L)
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val sampled = graft.operators.Sampling.mixtureByBudget(
+        clean.select("doc_id", "source", "n_chars"),
+        "source", "n_chars", h, "doc_id",
+        Seq("src0" -> 4000L, "src1" -> 2000L), defaultBudget = 3000L)
+        .select("doc_id", "source")
+      graft.operators.Sampling
+        .shardForTraining(sampled, "doc_id", h, numShards = 4)
+        .select("shard", "seq", "doc_id", "source")
+        .orderBy("shard", "seq")
+    }),
     "q_train_shards" -> ((s, dir) => {
       // deterministic global shuffle + shard assignment for training
       // export: shard AND within-shard position are pure hash
@@ -970,12 +1009,13 @@ object ExtensionQueries {
     * shared by the q_dedup_minhash oracle and, as the edge list, by
     * the q_dedup_clusters recursive-CTE oracle.
     */
-  private def minhashPairsSqlWith(bands: Int, rowsPerBand: Int): String = {
+  private def minhashPairsSqlWith(
+      bands: Int, rowsPerBand: Int, corpusSql: String = corpus): String = {
     val bandSelects = bandKeysDuck("sig", bands, rowsPerBand).zipWithIndex
       .map { case (k, b) => s"SELECT doc_id, $b AS band, $k AS bkey FROM tok" }
       .mkString("\n  UNION ALL\n  ")
     s"""WITH corpus AS (
-       |$corpus
+       |$corpusSql
        |), tokw AS (
        |  SELECT doc_id, ${wordHashArrayDuck(wordsDuck("text"))} AS wh
        |  FROM corpus WHERE $tokGuard3
@@ -1742,6 +1782,80 @@ object ExtensionQueries {
          |  SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text
          |), dd AS (
          |  SELECT k.* FROM kept k JOIN canon USING (doc_id)
+         |), bwh AS (
+         |  SELECT ${wordHashArrayDuck(wordsDuck("text"))} AS wh
+         |  FROM documents WHERE doc_id % 97 = 0 AND $guard
+         |), bg AS (
+         |  SELECT DISTINCT unnest(${shingleHashesFromWordHashesDuck("wh", 3)}) AS gram FROM bwh
+         |), dwh AS (
+         |  SELECT doc_id, ${wordHashArrayDuck(wordsDuck("text"))} AS wh FROM dd WHERE $guard
+         |), dg AS (
+         |  SELECT doc_id, ${shingleHashesFromWordHashesDuck("wh", 3)} AS grams FROM dwh
+         |), e AS (
+         |  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams, unnest(grams) AS gram FROM dg
+         |), cont AS (
+         |  SELECT e.doc_id,
+         |    ${ppmDuck("SUM(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END)", "e.n_grams")} AS contamination_ppm
+         |  FROM e LEFT JOIN bg USING (gram)
+         |  GROUP BY e.doc_id, e.n_grams
+         |), clean AS (
+         |  SELECT d.* FROM dd d JOIN cont USING (doc_id)
+         |  WHERE cont.contamination_ppm < 500000
+         |), mx AS (
+         |  SELECT doc_id, source,
+         |    CAST(SUM(CAST(n_chars AS BIGINT)) OVER (
+         |      PARTITION BY source ORDER BY ($mh), doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_weight
+         |  FROM clean
+         |), sampled AS (
+         |  SELECT doc_id, source FROM mx WHERE running_weight <= ($b)
+         |), sh AS (
+         |  SELECT doc_id, source,
+         |    CAST(($mh) % 4 AS BIGINT) AS shard,
+         |    ((($mh) + 1) * 2246822519) % 1000000007 AS m2
+         |  FROM sampled
+         |)
+         |SELECT shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY m2, doc_id) AS BIGINT) AS seq,
+         |  doc_id, source
+         |FROM sh ORDER BY shard, seq""".stripMargin
+    },
+
+    "q_pipeline_train_export_neardup" -> {
+      val h = graft.functions.TextExprs.charHashDuck("CAST(doc_id AS VARCHAR)")
+      val mh = graft.operators.Sampling.mixedHash(h)
+      val b = graft.operators.Sampling.budgetCase(
+        "source", Seq("src0" -> 4000L, "src1" -> 2000L), 3000L)
+      val guard = s"${tokenCountDuck("text")} >= 3"
+      s"""WITH RECURSIVE allc AS (
+         |${Corpus.docCorpusSql}
+         |), m AS (
+         |  SELECT doc_id,
+         |    ${TextAnalysis.funnelMetricsDuckProjection("text")}
+         |  FROM allc
+         |), kept AS (
+         |  SELECT a.doc_id, a.text, a.source, a.n_chars
+         |  FROM allc a JOIN (
+         |    SELECT doc_id FROM m
+         |    WHERE (${TextAnalysis.funnelVerdictCase(20, 500000L, Seq("en"), 600000L)}) = 'keep'
+         |  ) k USING (doc_id)
+         |), pairs AS (
+         |${minhashPairsSqlWith(Bands, RowsPerBand, "SELECT doc_id, text FROM kept")}
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs
+         |), nodes AS (
+         |  SELECT DISTINCT src AS node FROM edges
+         |), reach(node, lbl) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+         |), comp AS (
+         |  SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+         |), dd AS (
+         |  SELECT k.* FROM kept k
+         |  WHERE k.doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
          |), bwh AS (
          |  SELECT ${wordHashArrayDuck(wordsDuck("text"))} AS wh
          |  FROM documents WHERE doc_id % 97 = 0 AND $guard
