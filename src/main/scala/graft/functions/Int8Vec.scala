@@ -165,7 +165,13 @@ object Int8Vec {
   }
 
   def dot(a: Array[Byte], b: Array[Byte]): Long = {
-    val n = math.min(a.length, b.length)
+    // mismatched dims are a caller bug (the quantizer preserves the
+    // input length) — truncating would quietly score a wrong
+    // similarity, inconsistent with pack/quantize's fail-fast stance
+    if (a.length != b.length)
+      throw new IllegalArgumentException(
+        s"vec_dot_i8: vector lengths differ (${a.length} vs ${b.length})")
+    val n = a.length
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -176,7 +182,10 @@ object Int8Vec {
   }
 
   def dotF8(a: ArrayData, b: Array[Byte]): Double = {
-    val n = math.min(a.numElements(), b.length)
+    if (a.numElements() != b.length)
+      throw new IllegalArgumentException(
+        s"vec_dot_f_i8: vector lengths differ (${a.numElements()} vs ${b.length})")
+    val n = b.length
     var acc = 0.0
     var i = 0
     while (i < n) {

@@ -215,6 +215,11 @@ object Sampling {
     * data). No RNG, no global sort: one hash shuffle for the
     * per-shard window, reproducible on any engine and across
     * incremental re-runs.
+    *
+    * `hashExpr` should be non-negative (any [[stratifiedHash]]-style
+    * hash is); shard uses `pmod` so even a negative hash stays inside
+    * the documented [0, numShards) contract rather than emitting
+    * shard=-N directories from [[writeShards]].
     */
   def shardForTraining(
       df: DataFrame,
@@ -233,7 +238,7 @@ object Sampling {
     // (h1 < 1e9+7 keeps the product < 2^62 — no signed-64 overflow)
     val mix2 = s"(((($h1) + 1) * 2246822519) % 1000000007)"
     val w = Window.partitionBy("shard").orderBy(expr(mix2), col(idCol))
-    df.withColumn("shard", expr(s"CAST(($h1) % $numShards AS BIGINT)"))
+    df.withColumn("shard", expr(s"CAST(pmod(($h1), $numShards) AS BIGINT)"))
       .withColumn("seq", row_number().over(w).cast("long"))
   }
 

@@ -50,6 +50,17 @@ object Tables {
         raw.withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
       // native TIMESTAMP_MICROS layout (driver data from round 9 on):
       // same instants — just pin the NTZ type the engine standardizes on
+      case org.apache.spark.sql.types.TimestampType =>
+        // a session-TZ-adjusted read (isAdjustedToUTC=1 parquet) only
+        // preserves instants through the NTZ cast when the session TZ
+        // is UTC — assert it instead of relying on the harness pinning
+        val tz = spark.conf.get("spark.sql.session.timeZone")
+        require(
+          tz == "UTC",
+          s"Tables.events: parquet ts read as TIMESTAMP (LTZ) and session time " +
+            s"zone is '$tz' — the TIMESTAMP_NTZ cast would shift instants. Set " +
+            "spark.sql.session.timeZone=UTC before reading events.")
+        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
       case _ =>
         raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
     }
