@@ -23,6 +23,33 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamRunner {
 
+  /** State-store provider for the stateful bridges ([[runToCompletion]]).
+    * Values: "hdfs" (engine default, memory-map + full-snapshot
+    * upload per commit), "rocksdb" (in-box RocksDBStateStoreProvider —
+    * disk-backed native store, state no longer bounded by executor
+    * heap), "rocksdb-changelog" (RocksDB + changelog checkpointing:
+    * per-commit upload is the DELTA, snapshots amortized in the
+    * background — the production configuration for large state).
+    *
+    * Default "hdfs", from the round-10 A/B on the six stateful
+    * q_stream_* queries at sf0.1 (BASELINE.md): totals 19.8 s (hdfs)
+    * vs 22.7 s (rocksdb, 1.14×) vs 21.6 s (rocksdb-changelog, 1.09×)
+    * — at bench state volume (≤ a few MB per store) the HDFS-backed
+    * provider's in-heap map beats RocksDB's native-write
+    * amortization, and changelog mode's deferred snapshots never pay
+    * off in a run-to-completion stream. The crossover is state
+    * VOLUME: once per-partition state approaches executor-heap scale
+    * (the 100 TB deployment), "rocksdb-changelog" is the right
+    * setting — which is why the knob is an env
+    * (`SPARK_GRAFT_STATE_PROVIDER`) and a per-call parameter, not a
+    * code fork.
+    */
+  val defaultStateProvider: String =
+    sys.env.getOrElse("SPARK_GRAFT_STATE_PROVIDER", "hdfs")
+
+  private val RocksDbProviderClass =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   // process-unique suffix for staged directories; stage dirs are small
   // (a symlink + sentinel files) so per-JVM copies are cheap
   private val jvmNonce: String =
@@ -326,8 +353,30 @@ object StreamRunner {
   def runToCompletion(
       streamingDf: DataFrame,
       outputMode: String = "complete",
-      statePartitions: Int = 0): DataFrame = {
+      statePartitions: Int = 0,
+      stateProvider: String = defaultStateProvider): DataFrame = {
     val spark = streamingDf.sparkSession
+    // provider is pinned into the checkpoint at start, so setting it
+    // per-query is safe (each bridge run creates a fresh checkpoint);
+    // like the shuffle-width override it must stay set until
+    // awaitTermination returns — micro-batches plan asynchronously
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val clogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevProv = spark.conf.getOption(provKey)
+    val prevClog = spark.conf.getOption(clogKey)
+    stateProvider match {
+      case "hdfs" => // engine default — leave the session untouched
+      case "rocksdb" =>
+        spark.conf.set(provKey, RocksDbProviderClass)
+        spark.conf.set(clogKey, "false")
+      case "rocksdb-changelog" =>
+        spark.conf.set(provKey, RocksDbProviderClass)
+        spark.conf.set(clogKey, "true")
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown stateProvider '$other' — expected hdfs | rocksdb | rocksdb-changelog")
+    }
     // memory-sink tables live in driver memory until dropped and
     // clearCache() does NOT free them; keep at most the previous
     // result alive (its consumer — Verify's write / Bench's count —
@@ -365,6 +414,8 @@ object StreamRunner {
       spark.table(sink)
     } finally {
       spark.conf.set(key, prev)
+      prevProv.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
+      prevClog.fold(spark.conf.unset(clogKey))(spark.conf.set(clogKey, _))
       // tmpfs is RAM — leaking checkpoints would eat memory, not disk
       import scala.jdk.CollectionConverters._
       val walk = Files.walk(ck)
