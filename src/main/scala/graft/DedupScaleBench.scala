@@ -93,6 +93,14 @@ object DedupScaleBench {
           .labelPropagate(pairs, "doc_a", "doc_b")
           .select("component").distinct().count()
       }
+      // A/B the O(log n) star alternation on the same pairs: dedup
+      // graphs are near-cliques, so this measures the algorithms'
+      // constant factors at equal (tiny) round counts
+      val starSec = time(iters) {
+        graft.operators.ConnectedComponents
+          .largeSmallStar(pairs, "doc_a", "doc_b")
+          .select("component").distinct().count()
+      }
       val labels = graft.operators.ConnectedComponents
         .labelPropagate(pairs, "doc_a", "doc_b").localCheckpoint(true)
       var nKept = 0L
@@ -100,14 +108,39 @@ object DedupScaleBench {
         nKept = graft.operators.Dedup
           .applyKeepBestWithLabels(docs, labels, "n_chars").count()
       }
-      (mult, nDocs, nPairs, nClusters, nKept, pairsSec, clusterSec, applySec)
+      (mult, nDocs, nPairs, nClusters, nKept, pairsSec, clusterSec, starSec, applySec)
     }
 
-    val qs = results.map { case (m, nd, np, nc, nk, ps, cs, as_) =>
+    val qs = results.map { case (m, nd, np, nc, nk, ps, cs, ss, as_) =>
       s""""x$m":{"docs":$nd,"n_pairs":$np,"n_clusters":$nc,"n_kept":$nk,""" +
-        s""""pairs_sec":${f"$ps%.3f"},"cluster_sec":${f"$cs%.3f"},"apply_sec":${f"$as_%.3f"}}"""
+        s""""pairs_sec":${f"$ps%.3f"},"cluster_sec":${f"$cs%.3f"},""" +
+        s""""cluster_star_sec":${f"$ss%.3f"},"apply_sec":${f"$as_%.3f"}}"""
     }.mkString(",")
     println(s"""{"metric":"dedup_scale_curve","iters":$iters,"sf":"$sfDir",$qs}""")
+
+    // adversarial chain fixture: a path graph is the worst case for
+    // min-label propagation (rounds = diameter) and the motivating
+    // case for the star alternation (rounds ≈ log2 n). Times are one
+    // run each — the gap is orders of magnitude, not noise.
+    val chainResults = Seq(256, 2048).map { n =>
+      import spark.implicits._
+      val chain = (1L until n.toLong).map(i => (i + 1, i))
+        .toDF("a", "b").repartition(cpus.toInt).localCheckpoint(true)
+      val starSec = time(1) {
+        val labels = graft.operators.ConnectedComponents
+          .largeSmallStar(chain, "a", "b", maxIter = 40)
+        require(labels.filter(col("component") =!= 1L).isEmpty, "star mislabeled chain")
+      }
+      // propagation needs n-1 rounds on this graph: run it only at the
+      // smaller size (its cost is the point being demonstrated)
+      val propSec = if (n > 256) -1.0 else time(1) {
+        val labels = graft.operators.ConnectedComponents
+          .labelPropagate(chain, "a", "b", maxIter = n)
+        require(labels.filter(col("component") =!= 1L).isEmpty, "propagation mislabeled chain")
+      }
+      s""""chain_$n":{"star_sec":${f"$starSec%.3f"},"propagate_sec":${f"$propSec%.3f"}}"""
+    }
+    println(s"""{"metric":"cc_chain_ab",${chainResults.mkString(",")}}""")
     spark.stop()
   }
 }

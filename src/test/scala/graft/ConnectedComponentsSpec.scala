@@ -71,6 +71,53 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(capped(10L) > 1L)
   }
 
+  private def starComponents(
+      edges: Seq[(Long, Long)], maxIter: Int = 30): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents
+      .largeSmallStar(edges.toDF("a", "b"), "a", "b", maxIter = maxIter)
+      .collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("component"))
+      .toMap
+  }
+
+  test("large-star/small-star agrees with union-find and propagation on random graphs") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val expect = unionFind(edges)
+      assert(starComponents(edges) == expect, s"trial $trial vs union-find")
+      assert(components(edges) == expect, s"trial $trial vs propagation")
+    }
+  }
+
+  test("large-star/small-star labels a long chain in O(log n) rounds") {
+    // path 1-2-…-200: propagation needs 199 rounds, the star
+    // alternation must finish inside 12 (≈ log2 + slack) — the round
+    // cap IS the assertion, via requireConvergence
+    val chain = (1L until 200L).map(i => (i + 1, i))
+    val got = starComponents(chain, maxIter = 12)
+    (1L to 200L).foreach(n => assert(got(n) == 1L, s"node $n"))
+  }
+
+  test("large-star/small-star handles singletons, self-loops and duplicate edges") {
+    // self-loop-only node 42 keeps its label row; duplicate and
+    // reversed edges collapse; two separate pairs stay separate
+    val edges = Seq((42L, 42L), (1L, 2L), (2L, 1L), (1L, 2L), (7L, 8L))
+    assert(starComponents(edges) ==
+      Map(42L -> 42L, 1L -> 1L, 2L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("large-star/small-star maxIter exhaustion throws by default") {
+    val chain = (1L until 200L).map(i => (i + 1, i))
+    val e = intercept[IllegalStateException] {
+      starComponents(chain, maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("fixpoint reached exactly at maxIter counts as converged (boundary probe)") {
     import spark.implicits._
     // path 1-2-3-4: propagation needs exactly 3 rounds (node 4 learns
