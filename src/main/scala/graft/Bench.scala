@@ -1,6 +1,14 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{QueryExecution, ReusedSubqueryExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Benchmark main: runs every SparkEntry query against
   * $SPARK_GRAFT_SF_DIR and prints one JSON line. Each query's cache is
@@ -9,15 +17,100 @@ import org.apache.spark.sql.SparkSession
   * time is the best of `SPARK_GRAFT_BENCH_ITERS` runs (default 2) to
   * damp JIT/IO warm-up noise.
   *
-  * Isolation knobs (for contention-resistant re-measures; both leave
+  * Beyond wall time, each query records two STRUCTURAL metrics into
+  * the BENCH_out.json `detail` map — so a plan regression that hides
+  * inside the 2× wall-time gate (an extra exchange masked by a warm
+  * cache) is visible in the artifact, not just to a human reading
+  * `.explain`:
+  *   - `shuffle_bytes`: total shuffle write+read bytes across ALL jobs
+  *     the query ran (task-level listener tally — includes operator-
+  *     internal materializations that never appear in the final plan);
+  *   - `n_exchanges`: shuffle-exchange count of the final executed
+  *     plan (AQE-resolved, reused exchanges excluded), captured via
+  *     QueryExecutionListener.
+  *
+  * Isolation knobs (for contention-resistant re-measures; all leave
   * the default driver output byte-compatible when unset):
   *   - SPARK_GRAFT_BENCH_ONLY: comma-separated query names — run only
   *     these (one query per JVM gives the cleanest number).
   *   - SPARK_GRAFT_BENCH_SPREAD=1: also emit per-query `"spread"`
   *     (max-min over the iterations) so dispersion is recorded
   *     alongside the min.
+  *   - SPARK_GRAFT_BENCH_RECHECK=1: after the suite, any query over 2×
+  *     its recorded per-query baseline (tools/baseline_sf01.json,
+  *     overridable via SPARK_GRAFT_BENCH_BASELINE; sf0.1 runs only) is
+  *     re-run once in a FRESH forked JVM and the isolated second
+  *     opinion lands in the artifact's `recheck` map with an
+  *     `adjudicated` verdict — the shared-box contention flags rounds
+  *     4–9 re-measured by hand now arrive pre-adjudicated.
   */
 object Bench {
+
+  /** Task-level shuffle tally: every completed task's shuffle read and
+    * write bytes, across every job in the reset window — catches
+    * shuffles in operator-internal actions (checkpoints, convergence
+    * probes) that the final plan never shows.
+    */
+  private final class ShuffleTally extends SparkListener {
+    val bytes = new AtomicLong()
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        bytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+  }
+
+  /** Holds the most recent completed SQL execution; after the bench's
+    * count() action (the window's last execution) and a listener-bus
+    * flush, this is the query's final executed plan.
+    */
+  private final class LastExecution extends QueryExecutionListener {
+    @volatile var last: Option[QueryExecution] = None
+    override def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit = last = Some(qe)
+    override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+  }
+
+  /** Shuffle exchanges in the EXECUTED plan. AQE wraps each exchange
+    * in a ShuffleQueryStageExec leaf whose inner plan is not a child,
+    * so a plain collect() never sees nested stages — walk explicitly.
+    * Reused exchanges count zero: reuse is the optimization the metric
+    * should reward, not flag.
+    */
+  private def countExchanges(p: SparkPlan): Int = p match {
+    case a: AdaptiveSparkPlanExec => countExchanges(a.executedPlan)
+    case s: ShuffleQueryStageExec =>
+      s.plan match {
+        case _: ReusedExchangeExec => 0
+        case inner => 1 + inner.children.map(countExchanges).sum
+      }
+    case s: QueryStageExec => countExchanges(s.plan)
+    case _: ReusedExchangeExec => 0
+    case _: ReusedSubqueryExec => 0
+    case e: ShuffleExchangeLike => 1 + e.children.map(countExchanges).sum
+    case other =>
+      other.children.map(countExchanges).sum +
+        other.subqueries.map(countExchanges).sum
+  }
+
+  /** Per-query baseline map for the 2× flag, parsed leniently (flat
+    * {"q_name": sec} JSON). Missing file → no flags (new queries have
+    * no baseline to be over).
+    */
+  private def loadBaseline(): Map[String, Double] = {
+    val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "tools/baseline_sf01.json")
+    val p = Paths.get(path)
+    if (!Files.isRegularFile(p)) Map.empty
+    else {
+      val txt = new String(Files.readAllBytes(p), "UTF-8")
+      "\"(q_[a-z_0-9]+)\"\\s*:\\s*([0-9.]+)".r
+        .findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .toMap
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -56,35 +149,53 @@ object Bench {
     // not depend on query execution order
     graft.plans.RangeJoinRewrite.install(spark)
     graft.plans.TopKPerGroup.install(spark)
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+    val lastExec = new LastExecution
+    spark.listenerManager.register(lastExec)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = selected.map { case (name, fn) =>
       var failed = false
-      val times = (1 to iters).map { _ =>
+      var shuffleBytes = -1L
+      var nExchanges = -1
+      val times = (1 to iters).map { i =>
         spark.catalog.clearCache()
         graft.operators.Dedup.unpersistAll() // drain the tracked-cache queue too
+        tally.bytes.set(0L)
+        lastExec.last = None
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
             failed = true
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        // structural metrics from the LAST (warm) iteration: flush the
+        // async listener bus first so the tally and the captured
+        // execution are this window's, then count outside the timer
+        if (!failed && i == iters) {
+          org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext, 10000L)
+          shuffleBytes = tally.bytes.get()
+          nExchanges = lastExec.last.map(qe => countExchanges(qe.executedPlan)).getOrElse(-1)
+        }
+        sec
       }
       // a failed query must read as a failure, not a fast success
-      (name, if (failed) -1.0 else times.min, if (failed) -1.0 else times.max - times.min)
+      (name, if (failed) -1.0 else times.min, if (failed) -1.0 else times.max - times.min,
+        shuffleBytes, nExchanges)
     }
     // millisecond precision: the driver stores only the tail of stdout
     // (~2 KB) and BENCH_r04.json shows the full-precision 65-query line
     // overflowed it mid-line ("parsed": null) — 3 decimals keeps the
     // whole line inside the capture window
     def fmt(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val spread =
       if (!emitSpread) ""
-      else results.map { case (k, _, s) => "\"" + k + "\":" + fmt(s) }
+      else results.map { case (k, _, s, _, _) => "\"" + k + "\":" + fmt(s) }
         .mkString(""","spread":{""", ",", "}") + s""","iters":$iters"""
     // the total is ALSO repeated as the line's last key: the driver
     // keeps only the tail of stdout, and at 100 queries the line's
@@ -93,17 +204,109 @@ object Bench {
     // survives, so the total must live there too
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$spread,"sf":"$sfDir","n_queries":${results.size},"total_sec":${fmt(total)}}"""
     println(line)
+
+    // ---- structural detail + optional flag adjudication (file only:
+    // the stdout line stays byte-shaped like r9 for the driver's tail
+    // capture; the artifact file carries the rich record) ----
+    val detail = results.map { case (k, sec, _, sb, ne) =>
+      s""""$k":{"sec":${fmt(sec)},"shuffle_bytes":$sb,"n_exchanges":$ne}"""
+    }.mkString(""""detail":{""", ",", "}")
+    val baseline = if (sfDir.contains("sf0.1")) loadBaseline() else Map.empty[String, Double]
+    val flagged = results.collect {
+      case (k, sec, _, _, _) if sec > 0 && baseline.get(k).exists(b => sec > 2 * b) => k
+    }
+    val recheck =
+      if (!sys.env.get("SPARK_GRAFT_BENCH_RECHECK").contains("1") || flagged.isEmpty) ""
+      else {
+        val iso = recheckInFreshJvm(flagged, sfDir, cpus)
+        val rows = flagged.map { k =>
+          val isoSec = iso.getOrElse(k, -1.0)
+          val ok = isoSec > 0 && baseline.get(k).exists(b => isoSec <= 2 * b)
+          s""""$k":{"isolated_sec":${fmt(isoSec)},"adjudicated":$ok}"""
+        }
+        rows.mkString(""","recheck":{""", ",", "}")
+      }
+    // structural companion to the 2× wall-time gate: vs a previous
+    // round's artifact (SPARK_GRAFT_BENCH_PREV=path to its
+    // BENCH_out.json), any query whose executed plan gained exchanges
+    // is flagged even if its wall time stayed inside 2×
+    val exchangeRegressions = sys.env.get("SPARK_GRAFT_BENCH_PREV")
+      .map(Paths.get(_)).filter(Files.isRegularFile(_)).toSeq.flatMap { p =>
+        val txt = new String(Files.readAllBytes(p), "UTF-8")
+        val prev = "\"(q_[a-z_0-9]+)\":\\{[^}]*\"n_exchanges\":(-?[0-9]+)".r
+          .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toInt).toMap
+        results.collect {
+          case (k, _, _, _, ne) if ne >= 0 && prev.get(k).exists(pe => pe >= 0 && ne > pe) =>
+            s""""$k":{"prev":${prev(k)},"now":$ne}"""
+        }
+      }
+    val exRegJson =
+      if (exchangeRegressions.isEmpty) ""
+      else exchangeRegressions.mkString(""","exchange_regressions":{""", ",", "}")
+    val flagsJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fileLine = line.dropRight(1) + s""","flags":$flagsJson,$detail$recheck$exRegJson}"""
     // the driver's stdout capture is a ~2 KB tail that truncates the
     // per-query map at 100+ queries (BENCH_r08.json kept 75/114 rows)
     // — also land the full line in a file it can collect
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_out.json")),
-      (line + "\n").getBytes("UTF-8"))
+    try Files.write(
+      Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_out.json")),
+      (fileLine + "\n").getBytes("UTF-8"))
     catch {
       case e: Throwable =>
         System.err.println(s"[bench] could not write BENCH_out.json: ${e.getMessage}")
     }
     spark.stop()
+  }
+
+  /** Re-run the flagged queries in one fresh forked JVM (cold caches,
+    * no sibling-query memory pressure — the isolation rounds 4–9 did
+    * by hand) and return their isolated best-of-iters seconds.
+    */
+  private def recheckInFreshJvm(
+      flagged: Seq[String], sfDir: String, cpus: String): Map[String, Double] = {
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+    val cp = System.getProperty("java.class.path")
+    val out = Files.createTempFile("graft_bench_recheck_", ".json")
+    // same module opens the build gives sbt-forked runs — Spark 4 on
+    // JDK 17 needs them when SparkSession starts outside spark-submit
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx8g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", cp, "graft.Bench")).toArray
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(ProcessBuilder.Redirect.to(new java.io.File("/dev/null")))
+    val env = pb.environment()
+    env.put("SPARK_GRAFT_BENCH_ONLY", flagged.mkString(","))
+    env.put("SPARK_GRAFT_BENCH_OUT", out.toString)
+    env.put("SPARK_GRAFT_SF_DIR", sfDir)
+    env.put("SPARK_GRAFT_CPUS", cpus)
+    env.remove("SPARK_GRAFT_BENCH_RECHECK") // one level of recursion only
+    try {
+      val proc = pb.start()
+      // a wedged recheck must not hang the whole bench: cap at 15 min
+      if (!proc.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)) {
+        proc.destroyForcibly()
+        System.err.println("[bench] recheck JVM timed out after 15 min")
+        return Map.empty
+      }
+      val txt = new String(Files.readAllBytes(out), "UTF-8")
+      // parse the flat "queries" map out of the child's artifact
+      "\"(q_[a-z_0-9]+)\":(-?[0-9.]+)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .toMap.filter(kv => flagged.contains(kv._1))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] recheck failed: ${e.getMessage}")
+        Map.empty
+    } finally Files.deleteIfExists(out)
   }
 }
