@@ -731,30 +731,17 @@ object ExtensionQueries {
       // final shard/seq are pure hash functions), and the oracle
       // replays all five stages in SQL — one hash gates the whole
       // composition, not just each operator alone.
-      graft.functions.PolyHash.register(s)
       val docs = Tables.documents(s, dir)
-      val h = graft.functions.TextExprs.charHashSpark("CAST(doc_id AS STRING)")
-      val kept = docs.join(
-        TextAnalysis.curationFunnel(docs)
-          .filter(col("verdict") === "keep").select("doc_id"),
-        Seq("doc_id"), "left_semi")
-      val deduped = kept.join(
-        Dedup.exact(kept).select(col("canonical_doc_id").as("doc_id")),
-        Seq("doc_id"), "left_semi")
-      val clean = deduped.join(
-        TextAnalysis
-          .contamination(deduped, docs.filter(col("doc_id") % 97 === 0))
-          .filter(col("contamination_ppm") < 500000L)
-          .select("doc_id"),
-        Seq("doc_id"), "left_semi")
-      val sampled = graft.operators.Sampling.mixtureByBudget(
-        clean.select("doc_id", "source", "n_chars"),
-        "source", "n_chars", h, "doc_id",
-        Seq("src0" -> 4000L, "src1" -> 2000L), defaultBudget = 3000L)
-        .select("doc_id", "source")
-      graft.operators.Sampling
-        .shardForTraining(sampled, "doc_id", h, numShards = 4)
-        .select("shard", "seq", "doc_id", "source")
+      graft.pipelines.TrainingExport.run(
+        docs,
+        docs.filter(col("doc_id") % 97 === 0),
+        graft.pipelines.TrainingExport.Config(
+          curate = true,
+          dedup = graft.pipelines.TrainingExport.DedupExact,
+          contaminationMaxPpm = Some(500000L),
+          budgets = Seq("src0" -> 4000L, "src1" -> 2000L),
+          defaultBudget = 3000L,
+          numShards = 4))
         .orderBy("shard", "seq")
     }),
     "q_pipeline_train_export_neardup" -> ((s, dir) => {
@@ -766,34 +753,16 @@ object ExtensionQueries {
       // stage demonstrably binds; near-dup copies of benchmark docs
       // also fail the contamination gate (they share its grams),
       // which is exactly the hygiene a production run wants.
-      graft.functions.PolyHash.register(s)
-      val docs = Corpus.docCorpus(s, dir)
-      val h = graft.functions.TextExprs.charHashSpark("CAST(doc_id AS STRING)")
-      val kept = docs.join(
-        TextAnalysis.curationFunnel(docs)
-          .filter(col("verdict") === "keep").select("doc_id"),
-        Seq("doc_id"), "left_semi")
-      val labels = ConnectedComponents.labelPropagate(
-        Dedup.minhashPairs(kept), "doc_a", "doc_b", numPartitions = Some(8))
-      val deduped = kept.join(
-        labels.filter(col("node") =!= col("component"))
-          .select(col("node").as("doc_id")),
-        Seq("doc_id"), "left_anti")
-      val clean = deduped.join(
-        TextAnalysis
-          .contamination(
-            deduped, Tables.documents(s, dir).filter(col("doc_id") % 97 === 0))
-          .filter(col("contamination_ppm") < 500000L)
-          .select("doc_id"),
-        Seq("doc_id"), "left_semi")
-      val sampled = graft.operators.Sampling.mixtureByBudget(
-        clean.select("doc_id", "source", "n_chars"),
-        "source", "n_chars", h, "doc_id",
-        Seq("src0" -> 4000L, "src1" -> 2000L), defaultBudget = 3000L)
-        .select("doc_id", "source")
-      graft.operators.Sampling
-        .shardForTraining(sampled, "doc_id", h, numShards = 4)
-        .select("shard", "seq", "doc_id", "source")
+      graft.pipelines.TrainingExport.run(
+        Corpus.docCorpus(s, dir),
+        Tables.documents(s, dir).filter(col("doc_id") % 97 === 0),
+        graft.pipelines.TrainingExport.Config(
+          curate = true,
+          dedup = graft.pipelines.TrainingExport.DedupNearDup(numPartitions = Some(8)),
+          contaminationMaxPpm = Some(500000L),
+          budgets = Seq("src0" -> 4000L, "src1" -> 2000L),
+          defaultBudget = 3000L,
+          numShards = 4))
         .orderBy("shard", "seq")
     }),
     "q_train_shards" -> ((s, dir) => {

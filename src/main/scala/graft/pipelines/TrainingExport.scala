@@ -1,0 +1,119 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ConnectedComponents, Dedup, Sampling, TextAnalysis}
+
+/** The composed training-export pipeline as a first-class operator:
+  * curate → dedup → decontaminate → budget-mixture → shard — the full
+  * path a pre-training corpus takes from raw documents to the
+  * trainer's shard layout, assembled as ONE declarative plan (no
+  * stage materializes; Catalyst fuses the five left-semi/anti gates
+  * into a single optimized tree — PlanSpec pins the exchange budget).
+  *
+  * Every stage is a [[Config]] toggle, because real corpus runs mix
+  * and match: a pre-curated corpus skips the funnel, an
+  * exact-dedup'd ingest wants only the near-dup pass, an evals-free
+  * domain skips decontamination. Stage semantics (and the DuckDB
+  * oracle replay in q_pipeline_train_export / _neardup) are
+  * unchanged from the round-8/9 inline compositions this operator
+  * was extracted from.
+  *
+  * Scale shape: the dominant costs are the dedup stage (banded
+  * equi-join candidates + O(diameter) label propagation — see
+  * [[graft.operators.Dedup]] / [[ConnectedComponents]]) and the
+  * mixture window (one hash shuffle per stratum set). Everything
+  * else is left-semi gates on doc_id — broadcast-able once the
+  * funnel has cut the corpus.
+  */
+object TrainingExport {
+
+  /** Dedup stage strength. */
+  sealed trait DedupStage
+  /** Corpus is already unique — stage off. */
+  case object DedupOff extends DedupStage
+  /** Exact text dedup: keep each text's canonical (min-id) doc. */
+  case object DedupExact extends DedupStage
+  /** MinHash-LSH near-dup: candidate pairs → connected components →
+    * drop every non-canonical cluster member. `numPartitions` sizes
+    * the propagation frames to the EDGE list (see
+    * [[ConnectedComponents.labelPropagate]]).
+    */
+  final case class DedupNearDup(numPartitions: Option[Int] = None) extends DedupStage
+
+  /** @param curate language/quality/length/repetition funnel on or off
+    * @param dedup [[DedupStage]] strength
+    * @param contaminationMaxPpm keep docs strictly under this
+    *   benchmark n-gram overlap (None = stage off). The benchmark
+    *   frame is a [[run]] argument, not config — it's data.
+    * @param budgets per-source char budgets for the mixture stage
+    *   (empty = stage off: every clean doc ships)
+    * @param defaultBudget budget for sources not named in `budgets`
+    * @param numShards training-shard fan-out; shard AND intra-shard
+    *   order are pure hash functions (reproducible, no RNG)
+    */
+  final case class Config(
+      curate: Boolean = true,
+      dedup: DedupStage = DedupExact,
+      contaminationMaxPpm: Option[Long] = Some(500000L),
+      budgets: Seq[(String, Long)] = Nil,
+      defaultBudget: Long = Long.MaxValue,
+      numShards: Int = 8)
+
+  /** Run the pipeline over `docs` (schema: doc_id, source, text,
+    * n_chars). Returns (shard, seq, doc_id, source) — the trainer's
+    * manifest; pair with [[Sampling.writeShards]] for the on-disk
+    * layout. `hashExpr` drives BOTH the mixture order and the shard
+    * placement and must be a non-negative deterministic hash of
+    * doc_id (default: the engine's char-hash, same as the inline
+    * queries this was extracted from).
+    */
+  def run(
+      docs: DataFrame,
+      benchmark: => DataFrame,
+      cfg: Config,
+      hashExpr: Option[String] = None): DataFrame = {
+    require(cfg.numShards >= 1, s"numShards must be >= 1, got ${cfg.numShards}")
+    graft.functions.PolyHash.register(docs.sparkSession)
+    val h = hashExpr.getOrElse(
+      graft.functions.TextExprs.charHashSpark("CAST(doc_id AS STRING)"))
+    val kept =
+      if (!cfg.curate) docs
+      else docs.join(
+        TextAnalysis.curationFunnel(docs)
+          .filter(col("verdict") === "keep").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    val deduped = cfg.dedup match {
+      case DedupOff => kept
+      case DedupExact =>
+        kept.join(
+          Dedup.exact(kept).select(col("canonical_doc_id").as("doc_id")),
+          Seq("doc_id"), "left_semi")
+      case DedupNearDup(np) =>
+        val labels = ConnectedComponents.labelPropagate(
+          Dedup.minhashPairs(kept), "doc_a", "doc_b", numPartitions = np)
+        kept.join(
+          labels.filter(col("node") =!= col("component"))
+            .select(col("node").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+    }
+    val clean = cfg.contaminationMaxPpm match {
+      case None => deduped
+      case Some(maxPpm) =>
+        deduped.join(
+          TextAnalysis.contamination(deduped, benchmark)
+            .filter(col("contamination_ppm") < maxPpm)
+            .select("doc_id"),
+          Seq("doc_id"), "left_semi")
+    }
+    val sampled =
+      if (cfg.budgets.isEmpty) clean.select("doc_id", "source")
+      else Sampling.mixtureByBudget(
+        clean.select("doc_id", "source", "n_chars"),
+        "source", "n_chars", h, "doc_id", cfg.budgets, cfg.defaultBudget)
+        .select("doc_id", "source")
+    Sampling.shardForTraining(sampled, "doc_id", h, cfg.numShards)
+      .select("shard", "seq", "doc_id", "source")
+  }
+}

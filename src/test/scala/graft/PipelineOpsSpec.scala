@@ -1004,4 +1004,122 @@ class PipelineOpsSpec extends AnyFunSuite {
       TextAnalysis.registeredDomainByPsl(df, "url", "doc_id", rules, maxSuffixLabels = 0)
     }
   }
+
+  // ---- TrainingExport stage-toggle matrix ----
+
+  import graft.pipelines.TrainingExport
+  import graft.pipelines.TrainingExport.{Config, DedupExact, DedupNearDup, DedupOff}
+
+  /** 24-doc corpus: 8 English-passing bases across two sources, each
+    * with one exact copy (id+100) and one near-dup copy (id+200, one
+    * appended token) — every dedup strength has something to bite on.
+    * Every 3rd token is a base-specific letters-only marker, so every
+    * 3-shingle contains one and DIFFERENT bases share zero shingles
+    * (the DedupScaleBench trick): near-dup clustering and the
+    * contamination gate bind exactly per planted cluster, never
+    * across bases. Letters only — the tokenizer splits on non-alpha,
+    * so digit-suffixed markers would collapse to one token.
+    */
+  private lazy val matrixDocs = {
+    import spark.implicits._
+    val stops = Seq("the", "and", "was", "for", "not", "all",
+      "can", "her", "one", "you", "our", "out")
+    val words = Seq("fox", "dog", "cat", "owl", "bee", "elk",
+      "ant", "ram", "hen", "cow", "pig", "bat")
+    val bases = (1L to 8L).map { i =>
+      val li = ('a' + i - 1).toChar
+      val text = (0 until 12).map { k =>
+        s"${stops(k)} ${words(k)} q$li${('a' + k).toChar}zz"
+      }.mkString(" ")
+      (i, if (i % 2 == 0) "src0" else "src1", text)
+    }
+    val rows = bases.flatMap { case (i, src, t) =>
+      Seq((i, src, t), (i + 100, src, t), (i + 200, src, t + " extra"))
+    }
+    rows.toDF("doc_id", "source", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .localCheckpoint(true)
+  }
+
+  private def runExport(cfg: Config) =
+    TrainingExport.run(
+      matrixDocs,
+      matrixDocs.filter(col("doc_id") === 1L), // benchmark = doc 1's text
+      cfg).localCheckpoint(true)
+
+  private val allOff = Config(
+    curate = false, dedup = DedupOff, contaminationMaxPpm = None,
+    budgets = Nil, numShards = 4)
+
+  test("TrainingExport with every stage off is pure shard assignment") {
+    val out = runExport(allOff)
+    assert(out.count() == matrixDocs.count())
+    // shard ∈ [0, numShards); seq dense 1..n within each shard
+    assert(out.filter(col("shard") < 0 || col("shard") >= 4).isEmpty)
+    val badSeq = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("seq").as("mx"), min("seq").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1L)
+    assert(badSeq.isEmpty, "seq must be dense 1..n per shard")
+  }
+
+  test("TrainingExport exact dedup keeps one min-id doc per distinct text") {
+    val out = runExport(allOff.copy(dedup = DedupExact))
+    // 8 bases + 8 near-dup variants survive; the 8 exact copies fold
+    assert(out.count() == 16)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((1L to 8L).forall(ids.contains), "canonical = min id per text group")
+    assert((101L to 108L).forall(i => !ids.contains(i)), "exact copies dropped")
+  }
+
+  test("TrainingExport near-dup dedup also folds the mutated copies") {
+    val out = runExport(allOff.copy(dedup = DedupNearDup()))
+    // each cluster {i, i+100, i+200} collapses to its min id
+    assert(out.count() == 8)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == (1L to 8L).toSet)
+  }
+
+  test("TrainingExport contamination gate drops the benchmark-overlapping cluster") {
+    val out = runExport(allOff.copy(contaminationMaxPpm = Some(500000L)))
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    // doc 1 and its copies share ~all 3-grams with the benchmark;
+    // other bases differ by one token out of ~26, which leaves 3
+    // contaminated shingles out of 24 — under the 50% gate
+    assert(!ids.contains(1L) && !ids.contains(101L) && !ids.contains(201L))
+    assert(ids.contains(2L) && out.count() >= 20)
+  }
+
+  test("TrainingExport mixture budgets truncate each source to a hash-order prefix") {
+    val budget = 400L
+    val out = runExport(allOff.copy(
+      budgets = Seq("src0" -> budget, "src1" -> budget), defaultBudget = 0L))
+    val perSrc = matrixDocs.select("doc_id", "source", "n_chars")
+      .join(out.select("doc_id"), Seq("doc_id"), "left_semi")
+      .groupBy("source").agg(sum("n_chars").as("chars")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSrc.nonEmpty && perSrc.values.forall(_ <= budget),
+      s"kept chars per source must respect the budget, got $perSrc")
+    assert(out.count() < matrixDocs.count(), "a 400-char budget must bind")
+  }
+
+  test("TrainingExport curate stage drops the short-doc outlier and each stage only removes rows") {
+    import spark.implicits._
+    val withShort = matrixDocs.unionByName(
+      Seq((999L, "src0", "too short")).toDF("doc_id", "source", "text")
+        .withColumn("n_chars", length(col("text")).cast("long")))
+    def ids(cfg: Config) = TrainingExport.run(
+      withShort, withShort.filter(col("doc_id") === 1L), cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val base = ids(allOff)
+    assert(base.contains(999L))
+    val curated = ids(allOff.copy(curate = true))
+    assert(!curated.contains(999L), "sub-minTokens doc must fail the funnel")
+    // monotonicity: enabling stages never adds rows
+    assert(curated.subsetOf(base))
+    val full = ids(Config(
+      curate = true, dedup = DedupNearDup(),
+      contaminationMaxPpm = Some(500000L),
+      budgets = Seq("src0" -> 400L, "src1" -> 400L), defaultBudget = 0L,
+      numShards = 4))
+    assert(full.subsetOf(curated))
+  }
 }
