@@ -356,6 +356,46 @@ object Dedup {
     spark.table(table)
   }
 
+  /** [[appendToBandTable]] plus automatic compaction cadence: when
+    * the append pushes the table past `maxFilesPerBucket` files per
+    * bucket (the fragmentation CompactionBench measured at 4× probe
+    * cost) or past `maxBytes` total, [[compactBandTable]] runs
+    * immediately — the operational knob the manual write/append/
+    * compact trio leaves to the caller, folded into the ingest call
+    * so steady-state pipelines cannot forget it. Probe plans and
+    * results are identical across the automatic trigger
+    * (StateCompactionSpec pins both). Returns true when this append
+    * triggered a compaction.
+    *
+    * Threshold defaults: 4 files/bucket keeps worst-case probe open
+    * cost within the measured noise band while compacting every ~4
+    * ingests; `maxBytes` default off (Long.MaxValue) because file
+    * COUNT, not volume, is what fragmentation degrades.
+    */
+  def appendAndMaybeCompact(
+      sigs: DataFrame,
+      table: String,
+      buckets: Int = BandTableBuckets,
+      maxFilesPerBucket: Int = 4,
+      maxBytes: Long = Long.MaxValue): Boolean = {
+    require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
+    appendToBandTable(sigs, table, buckets)
+    val spark = sigs.sparkSession
+    val files = spark.table(table).inputFiles
+    val overCount = files.length > buckets.toLong * maxFilesPerBucket
+    // bytes threshold: only LISTED when a finite cap is set — listing
+    // every file's size per ingest is pointless work otherwise
+    val overBytes = maxBytes != Long.MaxValue && {
+      val conf = spark.sparkContext.hadoopConfiguration
+      files.iterator.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(conf).getFileStatus(p).getLen
+      }.sum > maxBytes
+    }
+    if (overCount || overBytes) { compactBandTable(spark, table, buckets); true }
+    else false
+  }
+
   /** [[minhashPairsAgainstSignatures]] with the corpus side read from
     * a [[writeBandTable]]-bucketed band table: candidate generation
     * scans the pre-partitioned corpus bands in place and shuffles

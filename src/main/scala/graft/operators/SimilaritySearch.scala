@@ -86,6 +86,17 @@ object SimilaritySearch {
     val spark = emb.sparkSession
     graft.functions.Int8Vec.register(spark)
     graft.plans.TopKPerGroup.install(spark)
+    // exactness bound: the BIGINT→DOUBLE casts below are only
+    // bit-exact while n_q·n_c ≤ (Dim·127²)² < 2⁵³, i.e. Dim ≤ 64. The
+    // kernels themselves accept any length, so pin the invariant to
+    // the corpus dim constant — a future Dim bump must re-derive the
+    // cast (or switch the norm product to DECIMAL) instead of silently
+    // losing mantissa bits vs the oracle.
+    require(
+      graft.functions.VectorExprs.Dim <= 64,
+      s"quantizedTopK exactness invariant needs Dim <= 64 (got " +
+        s"${graft.functions.VectorExprs.Dim}): (Dim*127^2)^2 must stay under 2^53 " +
+        "for the BIGINT->DOUBLE cosine cast to be exact")
     // fused codegen kernel: one pass computes max|x|, the scale, and
     // the packed codes — the HOF formulation (i8_pack over transform/
     // array_max) costs interpreted lambda dispatch per element and
@@ -363,6 +374,28 @@ object SimilaritySearch {
     import scala.jdk.CollectionConverters._
     Files.walk(Paths.get(old)).sorted(java.util.Comparator.reverseOrder())
       .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+  }
+
+  /** [[appendToWrittenIndex]] plus automatic compaction cadence —
+    * the written-index twin of [[Dedup.appendAndMaybeCompact]]: when
+    * the append pushes any list directory past `maxFilesPerList`
+    * files, [[compactWrittenIndex]] rewrites the layout back to one
+    * file per list. Probe plans and results are identical across the
+    * automatic trigger (StateCompactionSpec pins both). Returns true
+    * when this append triggered a compaction.
+    */
+  def appendAndMaybeCompactWrittenIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String, newVectors: DataFrame,
+      idCol: String = "vec_id", maxFilesPerList: Int = 4): Boolean = {
+    require(maxFilesPerList >= 1, "maxFilesPerList must be >= 1")
+    appendToWrittenIndex(spark, dir, newVectors, idCol)
+    // per-LIST file count, not a global total: appends touch only the
+    // lists their batch lands in, so fragmentation is per-directory
+    val maxPerList = spark.read.parquet(s"$dir/assignments").inputFiles
+      .groupBy(f => f.substring(0, f.lastIndexOf('/')))
+      .values.map(_.length).maxOption.getOrElse(0)
+    if (maxPerList > maxFilesPerList) { compactWrittenIndex(spark, dir); true }
+    else false
   }
 
   /** Probe a prebuilt index: each query vector visits its `nprobe`

@@ -110,6 +110,54 @@ class StateCompactionSpec extends AnyFunSuite {
     }
   }
 
+  test("appendAndMaybeCompact: cadence triggers on the file-count threshold, probe results pinned across it") {
+    val corpus = Corpus.docCorpus(spark, dir)
+    val newBatch = corpus
+      .filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text", concat(col("text"), lit(" ingest tail")))
+    val corpusSigs = Dedup.signatureTable(corpus).localCheckpoint(true)
+    val newSigs = Dedup.signatureTable(newBatch).localCheckpoint(true)
+    Dedup.unpersistAll()
+    val table = "sigband_spec_t2"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_compact_tmp")
+    try {
+      Dedup.writeBandTable(corpusSigs, table, buckets = 4)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("new_id", "corpus_id").collect().toSeq
+      val expected = canon(
+        Dedup.minhashPairsAgainstBandTable(newSigs, spark.table(table), corpusSigs))
+      assert(expected.nonEmpty)
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val tablePath = s"$wh/$table"
+      // bucketed writes emit one file per (task × non-empty bucket),
+      // so absolute counts aren't portable — pin the trigger SEMANTICS
+      // instead: an uncapped threshold never compacts (files grow), a
+      // tight one compacts back to ≤ one file per bucket
+      val before = parquetFiles(tablePath)
+      assert(!Dedup.appendAndMaybeCompact(
+        corpusSigs, table, buckets = 4, maxFilesPerBucket = 1000))
+      assert(parquetFiles(tablePath) > before, "no compaction below the threshold")
+      assert(Dedup.appendAndMaybeCompact(
+        corpusSigs, table, buckets = 4, maxFilesPerBucket = 1))
+      assert(parquetFiles(tablePath) <= 4,
+        s"triggered compaction should leave ~one file per bucket, got ${parquetFiles(tablePath)}")
+      // bytes threshold: 1 byte is always exceeded → compacts again
+      assert(Dedup.appendAndMaybeCompact(
+        corpusSigs, table, buckets = 4, maxFilesPerBucket = 1000, maxBytes = 1L))
+      assert(parquetFiles(tablePath) <= 4)
+      // duplicate band rows collapse in the candidate DISTINCT, so the
+      // probe answer is pinned across append+auto-compact
+      assert(canon(
+        Dedup.minhashPairsAgainstBandTable(newSigs, spark.table(table), corpusSigs))
+        == expected)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_compact_tmp")
+    }
+  }
+
   test("partitioned IVF layout: probe matches in-memory, appends accumulate, compaction bounds files per list") {
     val emb = Tables.embeddings(spark, dir)
     val base = emb.filter(col("vec_id") % 3 =!= 0)
@@ -155,6 +203,28 @@ class StateCompactionSpec extends AnyFunSuite {
         "compaction should leave exactly one file per list")
       assert(canon(SimilaritySearch.probe(
         SimilaritySearch.readIndex(spark, ivfDir), queries)) == expectedAppended)
+
+      // cadence-managed append: threshold 2 tolerates the first extra
+      // file per touched list, the second append trips it and the
+      // layout returns to one file per list — answers pinned
+      val batch2 = batch.withColumn("vec_id", col("vec_id") + 500000L)
+      assert(!SimilaritySearch.appendAndMaybeCompactWrittenIndex(
+        spark, ivfDir, batch2, maxFilesPerList = 2))
+      val batch3 = batch.withColumn("vec_id", col("vec_id") + 1000000L)
+      assert(SimilaritySearch.appendAndMaybeCompactWrittenIndex(
+        spark, ivfDir, batch3, maxFilesPerList = 2))
+      val afterAuto = new java.io.File(s"$ivfDir/assignments")
+        .listFiles().filter(f => f.isDirectory && f.getName.startsWith("cid="))
+      assert(afterAuto.forall(d =>
+        d.listFiles().count(_.getName.endsWith(".parquet")) == 1),
+        "triggered compaction should leave exactly one file per list")
+      val expectedFinal = canon(SimilaritySearch.probe(
+        SimilaritySearch.appendToIndex(
+          SimilaritySearch.appendToIndex(
+            SimilaritySearch.appendToIndex(index, batch), batch2), batch3),
+        queries))
+      assert(canon(SimilaritySearch.probe(
+        SimilaritySearch.readIndex(spark, ivfDir), queries)) == expectedFinal)
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(java.nio.file.Paths.get(ivfDir))
