@@ -92,7 +92,14 @@ object ScaleBench {
       spark.read.parquet(s"$fix/docs_$mult")
     }
 
-    val results = Seq(1, 4, 16, 64).map { mult =>
+    // SPARK_GRAFT_SCALE_MULTS trims the amplification curve (e.g.
+    // "1,4" for a quick iteration pass, "" to skip straight to the
+    // Z-order probe); unset runs the full recorded ×1→×64 curve
+    val mults = sys.env.get("SPARK_GRAFT_SCALE_MULTS") match {
+      case Some(s) => s.split(',').map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+      case None => Seq(1, 4, 16, 64)
+    }
+    val results = mults.map { mult =>
       val (before, after, li) = stage(mult)
       val nRows = before.count()
       val diffSec = time(iters) {
@@ -197,6 +204,92 @@ object ScaleBench {
         s""""brute_topk_sec":${f"$bt%.3f"},"quant_topk_sec":${f"$qt%.3f"}}"""
     }.mkString(",")
     println(s"""{"metric":"scale_curve","iters":$iters,"sf":"$sfDir",$qs}""")
+
+    // ---- Z-order file-skipping probe ----
+    // q_zorder_key computes the layout STAT; this measures the layout
+    // DOING ITS JOB: write lineitem twice at the same file count —
+    // linearly range-partitioned on l_partkey (what a naive writer
+    // produces) vs range-partitioned on the Morton z-key — then
+    // evaluate per-file min/max prunability for range predicates on
+    // partkey alone, suppkey alone, and both. The skip ratio is
+    // exactly what a min/max-pruning reader (parquet row groups,
+    // Delta/Iceberg file stats) achieves on each layout; wall time of
+    // the both-dims filtered scan is reported alongside.
+    graft.functions.ZInterleave16.register(spark)
+    val liz = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey", "l_quantity")
+    // 256 files ≈ a 16×16 z-cell grid: enough resolution that the
+    // both-dims predicate prunes multiplicatively (a 10%×10% box
+    // touches ~2×2 of 16×16 cells); linear's pruning saturates at the
+    // slice width of its one sorted dimension no matter the file count
+    val zFiles = 256
+    liz.repartitionByRange(zFiles, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(s"$fix/zlin")
+    // NORMALIZE each dimension to the full 16-bit domain before
+    // interleaving: partkey spans ~15 bits, suppkey ~10, and a raw
+    // interleave leaves the key's high bits all-partkey (suppkey's
+    // high bits are constant zero) — the layout degenerates to a
+    // partkey sort and suppkey skipping vanishes (measured: 0%
+    // supp-dim skip before this). Equal-width scaling is the
+    // standard Z-order writer recipe (Delta/Iceberg rank-normalize
+    // the same way).
+    val zb = liz.agg(
+      max("l_partkey").cast("long"), max("l_suppkey").cast("long")).head()
+    val (maxP, maxS) = (zb.getLong(0), zb.getLong(1))
+    liz.withColumn("zkey", expr(
+        s"z_interleave16(CAST(l_partkey * 65536 DIV ${maxP + 1} AS BIGINT), " +
+          s"CAST(l_suppkey * 65536 DIV ${maxS + 1} AS BIGINT))"))
+      .repartitionByRange(zFiles, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .drop("zkey")
+      .write.mode("overwrite").parquet(s"$fix/zord")
+    // 10%-wide mid-range slices of each dimension
+    val bounds = liz.agg(
+      min("l_partkey").cast("long"), max("l_partkey").cast("long"),
+      min("l_suppkey").cast("long"), max("l_suppkey").cast("long")).head()
+    def slice(lo: Long, hi: Long): (Long, Long) = {
+      val w = hi - lo
+      (lo + (w * 45) / 100, lo + (w * 55) / 100)
+    }
+    val (plo, phi) = slice(bounds.getLong(0), bounds.getLong(1))
+    val (slo, shi) = slice(bounds.getLong(2), bounds.getLong(3))
+    // fraction of files a min/max-stats reader PRUNES for a predicate,
+    // from the files' actual per-file column ranges
+    def skipRatios(path: String): (Double, Double, Double) = {
+      val stats = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(
+          min("l_partkey").cast("long").as("mnp"), max("l_partkey").cast("long").as("mxp"),
+          min("l_suppkey").cast("long").as("mns"), max("l_suppkey").cast("long").as("mxs"))
+        .collect()
+      val n = stats.length.toDouble
+      def hits(p: org.apache.spark.sql.Row => Boolean) = stats.count(p) / n
+      (
+        1.0 - hits(r => r.getLong(2) >= plo && r.getLong(1) <= phi),
+        1.0 - hits(r => r.getLong(4) >= slo && r.getLong(3) <= shi),
+        1.0 - hits(r =>
+          r.getLong(2) >= plo && r.getLong(1) <= phi &&
+            r.getLong(4) >= slo && r.getLong(3) <= shi))
+    }
+    // stats row column order: f=0, mnp=1, mxp=2, mns=3, mxs=4 — each
+    // overlap test is max >= lo && min <= hi on its dimension
+    val (linPart, linSupp, linBoth) = skipRatios(s"$fix/zlin")
+    val (zPart, zSupp, zBoth) = skipRatios(s"$fix/zord")
+    def scanSec(path: String): Double = time(iters) {
+      spark.read.parquet(path)
+        .filter(col("l_partkey").between(plo, phi) && col("l_suppkey").between(slo, shi))
+        .agg(sum(col("l_quantity"))).collect()
+      ()
+    }
+    val pct = (v: Double) => f"${v * 100}%.1f"
+    println(
+      s"""{"metric":"zorder_skip","files":$zFiles,"sf":"$sfDir",""" +
+        s""""pred_part":[$plo,$phi],"pred_supp":[$slo,$shi],""" +
+        s""""linear_skip_pct":{"part":${pct(linPart)},"supp":${pct(linSupp)},"both":${pct(linBoth)}},""" +
+        s""""zorder_skip_pct":{"part":${pct(zPart)},"supp":${pct(zSupp)},"both":${pct(zBoth)}},""" +
+        s""""linear_scan_sec":${f"${scanSec(s"$fix/zlin")}%.3f"},""" +
+        s""""zorder_scan_sec":${f"${scanSec(s"$fix/zord")}%.3f"}}""")
     spark.stop()
   }
 }

@@ -116,12 +116,71 @@ object SkewBench {
         opts = DiffOptions(nullKeySideChannel = true)).count()
     }
 
+    // ---- fixture 3: hot DUPLICATE business key (b×a fan-out) ----
+    // the reference's diff semantics join on the business key, so a
+    // key with b before-rows and a after-rows contributes b×a joined
+    // rows. One planted key carries ~2% of all rows on EACH side
+    // (sf0.1: ~3k×3k ≈ 9M pairs from a single key — the join output
+    // is dominated by one reducer's key). A/B three answers: the
+    // plain plan with AQE's skew splitter OFF (what a naive config
+    // gets), ON (what this engine ships), and the SCALE.md
+    // mitigation (diff on a pre-deduped side — one row per key).
+    // ×4 amplification puts ~12k rows per side under the hot key →
+    // 144M joined rows from ONE key, 99% of the join's output volume
+    // — small enough to run in a bench, large enough that one
+    // reducer's fan-out dominates the wall clock.
+    val dupBase = Tables.orders(spark, sfDir)
+      .crossJoin(spark.range(4).toDF("r"))
+      .withColumn(
+        "k",
+        when(pmod(col("o_orderkey"), lit(50)) === 0, lit(-1L))
+          .otherwise(col("o_orderkey") * 4 + col("r")))
+      .select(col("k"), col("o_custkey"), col("o_totalprice"))
+      .repartition(cpus.toInt)
+    dupBase.write.mode("overwrite").parquet(s"$fix/dup_before")
+    dupBase
+      .withColumn(
+        "o_totalprice",
+        when(pmod(col("o_custkey"), lit(7)) === 0, col("o_totalprice") + 1)
+          .otherwise(col("o_totalprice")))
+      .write.mode("overwrite").parquet(s"$fix/dup_after")
+    val dupBefore = spark.read.parquet(s"$fix/dup_before")
+    val dupAfter = spark.read.parquet(s"$fix/dup_after")
+    val nDup = dupBefore.count()
+    val hotDupShare = dupBefore.filter(col("k") === -1L).count().toDouble / nDup
+
+    val skewKey = "spark.sql.adaptive.skewJoin.enabled"
+    val dupNoSkewJoin = try {
+      spark.conf.set(skewKey, "false")
+      time(iters) { TableDiff.diff(dupBefore, dupAfter, Seq("k")).count() }
+    } finally spark.conf.set(skewKey, "true")
+    val dupSkewJoin = time(iters) {
+      TableDiff.diff(dupBefore, dupAfter, Seq("k")).count()
+    }
+    // the fast-path diff is ONE full-outer join, which AQE's skew
+    // splitter does not support (the on/off pair above measures plan
+    // noise, not a mitigation) — the literal plan's two LEFT joins
+    // are split-eligible, so it completes the mitigation A/B
+    val dupLiteral = time(iters) {
+      TableDiff.diff(dupBefore, dupAfter, Seq("k"),
+        opts = DiffOptions(literalPlan = true)).count()
+    }
+    val dupPreDedup = time(iters) {
+      TableDiff.diff(
+        dupBefore.dropDuplicates("k"), dupAfter.dropDuplicates("k"), Seq("k")).count()
+    }
+
     println(
       s"""{"metric":"skew_bench","iters":$iters,"sf":"$sfDir",
          |"zipf_rows":$nZipf,"hot_key_share":${f"$hotShare%.3f"},
          |"agg_plain_sec":${f"$plainAgg%.3f"},"agg_salted_sec":${f"$saltedAgg%.3f"},
          |"diff_rows":${before.count()},"null_key_frac":${f"$nullFrac%.3f"},
-         |"diff_plain_sec":${f"$plainDiff%.3f"},"diff_side_channel_sec":${f"$sideChannelDiff%.3f"}}"""
+         |"diff_plain_sec":${f"$plainDiff%.3f"},"diff_side_channel_sec":${f"$sideChannelDiff%.3f"},
+         |"dup_rows":$nDup,"hot_dup_share":${f"$hotDupShare%.3f"},
+         |"dup_diff_no_skewjoin_sec":${f"$dupNoSkewJoin%.3f"},
+         |"dup_diff_skewjoin_sec":${f"$dupSkewJoin%.3f"},
+         |"dup_diff_literal_skewjoin_sec":${f"$dupLiteral%.3f"},
+         |"dup_diff_prededup_sec":${f"$dupPreDedup%.3f"}}"""
         .stripMargin.replaceAll("\n", ""))
     spark.stop()
   }
