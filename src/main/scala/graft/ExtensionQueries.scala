@@ -149,6 +149,23 @@ object ExtensionQueries {
        | ELSE 'foo' || CAST(doc_id % 9 AS $strType) || '.zzz'
        |END""".stripMargin
 
+  /** Dialect-neutral planted line structure over `documents` for the
+    * line-stats family: the synthetic corpus text is single-line, so
+    * the fixture synthesizes 4 trimmed lines per doc from substrings
+    * of the real text — every 4th doc's first line a `- ` bullet,
+    * every 3rd doc duplicating the shared middle line, every 5th
+    * ending its last line with `...`. Pure concat/substr/CASE/chr —
+    * parses and evaluates identically in Spark SQL and DuckDB, the
+    * planted-fixture convention the URL family established.
+    */
+  private[graft] val linedTextSql: String =
+    """concat(
+      |  CASE WHEN doc_id % 4 = 0 THEN concat('- ', substr(text, 1, 20)) ELSE substr(text, 1, 20) END,
+      |  chr(10), 'shared middle line', chr(10),
+      |  CASE WHEN doc_id % 3 = 0 THEN 'shared middle line' ELSE concat('mid ', substr(text, 21, 20)) END,
+      |  chr(10),
+      |  CASE WHEN doc_id % 5 = 0 THEN concat(substr(text, 41, 10), '...') ELSE substr(text, 41, 10) END)""".stripMargin
+
   /** The DuckDB side of the full publicsuffix.org algorithm, shared
     * by every PSL oracle: CTE chain from `planted(doc_id, url)` to
     * `d(doc_id, registered_domain)`. `plantedSql` must select
@@ -474,6 +491,16 @@ object ExtensionQueries {
       TextAnalysis.langId(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_text_line_stats" -> ((s, dir) =>
+      // the corpus text is single-line, so the line structure is
+      // PLANTED in-query (the URL-family pattern): 4 lines per doc,
+      // every 4th doc's first line a bullet, every 3rd a duplicated
+      // middle line, every 5th an ellipsis ending — each Gopher rule
+      // binds on a known doc subset, and the identical dialect-neutral
+      // fragment builds the fixture on the oracle side
+      TextAnalysis.lineStats(
+        Tables.documents(s, dir).select(col("doc_id"), expr(linedTextSql).as("text")))
+        .orderBy("doc_id")),
 
     // ---- multimodal plumbing: opaque binary payloads + typed metadata ----
     "q_multimodal_bytes" -> ((s, dir) =>
@@ -1533,6 +1560,15 @@ object ExtensionQueries {
     "q_text_fingerprint" ->
       s"""SELECT doc_id, ${charHashDuck("text")} AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_line_stats" ->
+      s"""SELECT doc_id, n_lines, bullet_start_ppm, ellipsis_end_ppm,
+         |  dup_line_ppm, mean_line_chars_ppm,
+         |  ${TextAnalysis.lineVerdictCase} AS line_verdict
+         |FROM (
+         |  SELECT doc_id, ${TextAnalysis.lineStatsDuckProjection("text")}
+         |  FROM (SELECT doc_id, $linedTextSql AS text FROM documents)
+         |) ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_bytes" ->
       """SELECT doc_id,

@@ -257,6 +257,68 @@ object TextAnalysis {
        |  ${ppmDuck(s"len($toksArr) - len(list_distinct($toksArr))", s"len($toksArr)")} AS repetition_ppm""".stripMargin
   }
 
+  /** Line-level quality stats — the public Gopher/C4 rule family that
+    * the token-level gates above don't see: a page can have perfect
+    * token statistics and still be a nav-menu bullet list, an
+    * ellipsis-truncated teaser farm, or boilerplate with the same
+    * line repeated everywhere. Per document:
+    *   - `n_lines` (non-empty, trimmed),
+    *   - `bullet_start_ppm` — lines starting `- ` / `* `,
+    *   - `ellipsis_end_ppm` — lines ending `...`,
+    *   - `dup_line_ppm` — repeated-line fraction,
+    *   - `mean_line_chars_ppm` — mean line length ×1e6,
+    * plus `line_verdict` applying the published thresholds (drop when
+    * >90% bullets, >30% ellipsis ends, or >30% duplicate lines) as
+    * `keep` or the first failing rule.
+    *
+    * One narrow projection — split + HOFs, no explode, no shuffle,
+    * scan-speed at 100 TB like the rest of the funnel; fixed-point
+    * ppm arithmetic end-to-end so the DuckDB twin hashes identically.
+    */
+  def lineStats(
+      docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val ls = s"filter(transform(split($textCol, chr(10)), l -> trim(l)), l -> l <> '')"
+    docs.select(col(idCol), expr(ls).as("_ls"))
+      .select(
+        col(idCol),
+        expr("size(_ls)").cast("long").as("n_lines"),
+        expr(ppmSpark(
+          "size(filter(_ls, l -> l LIKE '- %' OR l LIKE '* %'))", "size(_ls)"))
+          .cast("long").as("bullet_start_ppm"),
+        expr(ppmSpark("size(filter(_ls, l -> l LIKE '%...'))", "size(_ls)"))
+          .cast("long").as("ellipsis_end_ppm"),
+        expr(ppmSpark("size(_ls) - size(array_distinct(_ls))", "size(_ls)"))
+          .cast("long").as("dup_line_ppm"),
+        expr(ppmSpark(
+          "aggregate(_ls, CAST(0 AS BIGINT), (a, l) -> a + length(l))", "size(_ls)"))
+          .cast("long").as("mean_line_chars_ppm"))
+      .withColumn("line_verdict", expr(lineVerdictCase))
+  }
+
+  /** The verdict CASE over [[lineStats]]'s computed ppm columns —
+    * shared VERBATIM with the oracle so the two can never drift.
+    * Thresholds are the published Gopher rules (0.9 bullet, 0.3
+    * ellipsis, 0.3 duplicate-line fractions).
+    */
+  val lineVerdictCase: String =
+    """CASE WHEN dup_line_ppm > 300000 THEN 'dup_lines'
+      |  WHEN bullet_start_ppm > 900000 THEN 'bullets'
+      |  WHEN ellipsis_end_ppm > 300000 THEN 'ellipsis'
+      |  ELSE 'keep' END""".stripMargin
+
+  /** DuckDB twin of [[lineStats]]'s projection list (minus the id and
+    * the verdict — apply [[lineVerdictCase]] in an outer SELECT).
+    */
+  def lineStatsDuckProjection(t: String): String = {
+    val ls =
+      s"list_filter(list_transform(string_split($t, chr(10)), l -> trim(l)), l -> l <> '')"
+    s"""CAST(len($ls) AS BIGINT) AS n_lines,
+       |  ${ppmDuck(s"len(list_filter($ls, l -> l LIKE '- %' OR l LIKE '* %'))", s"len($ls)")} AS bullet_start_ppm,
+       |  ${ppmDuck(s"len(list_filter($ls, l -> l LIKE '%...'))", s"len($ls)")} AS ellipsis_end_ppm,
+       |  ${ppmDuck(s"len($ls) - len(list_distinct($ls))", s"len($ls)")} AS dup_line_ppm,
+       |  ${ppmDuck(s"COALESCE(CAST(list_sum(list_transform($ls, l -> length(l))) AS BIGINT), 0)", s"len($ls)")} AS mean_line_chars_ppm""".stripMargin
+  }
+
   /** The curation funnel: the standard keep/drop gate sequence run as
     * ONE narrow scan, with each document labeled `keep` or the FIRST
     * rule that dropped it — the shape every production corpus filter

@@ -38,9 +38,17 @@ object TrainingExport {
   /** MinHash-LSH near-dup: candidate pairs → connected components →
     * drop every non-canonical cluster member. `numPartitions` sizes
     * the propagation frames to the EDGE list (see
-    * [[ConnectedComponents.labelPropagate]]).
+    * [[ConnectedComponents.labelPropagate]]). `longChains = true`
+    * swaps min-label propagation for the O(log n)-round
+    * large-star/small-star alternation — same labels (spec-pinned),
+    * the right setting when transitive near-dup chains give the
+    * similarity graph unbounded diameter (the 100 TB shape); the
+    * default propagation converges faster on near-clique duplicate
+    * clusters.
     */
-  final case class DedupNearDup(numPartitions: Option[Int] = None) extends DedupStage
+  final case class DedupNearDup(
+      numPartitions: Option[Int] = None,
+      longChains: Boolean = false) extends DedupStage
 
   /** @param curate language/quality/length/repetition funnel on or off
     * @param dedup [[DedupStage]] strength
@@ -90,9 +98,15 @@ object TrainingExport {
         kept.join(
           Dedup.exact(kept).select(col("canonical_doc_id").as("doc_id")),
           Seq("doc_id"), "left_semi")
-      case DedupNearDup(np) =>
-        val labels = ConnectedComponents.labelPropagate(
-          Dedup.minhashPairs(kept), "doc_a", "doc_b", numPartitions = np)
+      case DedupNearDup(np, longChains) =>
+        val pairs = Dedup.minhashPairs(kept)
+        val labels =
+          if (longChains)
+            ConnectedComponents.largeSmallStar(
+              pairs, "doc_a", "doc_b", numPartitions = np)
+          else
+            ConnectedComponents.labelPropagate(
+              pairs, "doc_a", "doc_b", numPartitions = np)
         kept.join(
           labels.filter(col("node") =!= col("component"))
             .select(col("node").as("doc_id")),

@@ -1005,6 +1005,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- line-level quality stats (Gopher rule family) ----
+
+  test("lineStats computes exact per-line metrics and the Gopher verdicts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "- a\n- b\n* c"),            // all bullet starts
+      (2L, "x\nx\nx\ny"),               // 2 of 4 lines repeats
+      (3L, "hello...\nworld"),          // half ellipsis ends
+      (4L, "ab\n\n   \ncd"),            // empty/blank lines dropped
+      (5L, "one line only")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.lineStats(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def m(id: Long, c: String) = got(id).getAs[Long](c)
+    def v(id: Long) = got(id).getAs[String]("line_verdict")
+    assert(m(1, "n_lines") == 3 && m(1, "bullet_start_ppm") == 1000000L && v(1) == "bullets")
+    assert(m(2, "dup_line_ppm") == 500000L && v(2) == "dup_lines")
+    assert(m(3, "ellipsis_end_ppm") == 500000L && v(3) == "ellipsis")
+    assert(m(4, "n_lines") == 2 && m(4, "dup_line_ppm") == 0L && v(4) == "keep")
+    assert(m(4, "mean_line_chars_ppm") == 2000000L) // 2 chars/line x 1e6
+    assert(m(5, "n_lines") == 1 && v(5) == "keep")
+  }
+
   // ---- TrainingExport stage-toggle matrix ----
 
   import graft.pipelines.TrainingExport
@@ -1076,6 +1099,10 @@ class PipelineOpsSpec extends AnyFunSuite {
     // each cluster {i, i+100, i+200} collapses to its min id
     assert(out.count() == 8)
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == (1L to 8L).toSet)
+    // the long-chain algorithm choice produces the identical manifest
+    val star = runExport(allOff.copy(dedup = DedupNearDup(longChains = true)))
+    assert(star.orderBy("shard", "seq").collect().toSeq ==
+      out.orderBy("shard", "seq").collect().toSeq)
   }
 
   test("TrainingExport contamination gate drops the benchmark-overlapping cluster") {
