@@ -76,9 +76,10 @@ object Bench {
     * in a ShuffleQueryStageExec leaf whose inner plan is not a child,
     * so a plain collect() never sees nested stages — walk explicitly.
     * Reused exchanges count zero: reuse is the optimization the metric
-    * should reward, not flag.
+    * should reward, not flag. (private[graft]: BenchMetricsSpec pins
+    * the walk against live AQE plans.)
     */
-  private def countExchanges(p: SparkPlan): Int = p match {
+  private[graft] def countExchanges(p: SparkPlan): Int = p match {
     case a: AdaptiveSparkPlanExec => countExchanges(a.executedPlan)
     case s: ShuffleQueryStageExec =>
       s.plan match {
