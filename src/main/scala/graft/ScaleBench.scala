@@ -226,23 +226,12 @@ object ScaleBench {
     liz.repartitionByRange(zFiles, col("l_partkey"))
       .sortWithinPartitions("l_partkey")
       .write.mode("overwrite").parquet(s"$fix/zlin")
-    // NORMALIZE each dimension to the full 16-bit domain before
-    // interleaving: partkey spans ~15 bits, suppkey ~10, and a raw
-    // interleave leaves the key's high bits all-partkey (suppkey's
-    // high bits are constant zero) — the layout degenerates to a
-    // partkey sort and suppkey skipping vanishes (measured: 0%
-    // supp-dim skip before this). Equal-width scaling is the
-    // standard Z-order writer recipe (Delta/Iceberg rank-normalize
-    // the same way).
-    val zb = liz.agg(
-      max("l_partkey").cast("long"), max("l_suppkey").cast("long")).head()
-    val (maxP, maxS) = (zb.getLong(0), zb.getLong(1))
-    liz.withColumn("zkey", expr(
-        s"z_interleave16(CAST(l_partkey * 65536 DIV ${maxP + 1} AS BIGINT), " +
-          s"CAST(l_suppkey * 65536 DIV ${maxS + 1} AS BIGINT))"))
-      .repartitionByRange(zFiles, col("zkey"))
-      .sortWithinPartitions("zkey")
-      .drop("zkey")
+    // the PRODUCT operator does the write-side clustering, including
+    // the equal-width dimension normalization without which a
+    // 15-bit × 10-bit interleave degenerates to a partkey sort (0%
+    // supp-dim skip — measured before clusterByZ normalized)
+    graft.functions.ZInterleave16
+      .clusterByZ(liz, "l_partkey", "l_suppkey", numFiles = zFiles)
       .write.mode("overwrite").parquet(s"$fix/zord")
     // 10%-wide mid-range slices of each dimension
     val bounds = liz.agg(

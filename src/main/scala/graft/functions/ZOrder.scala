@@ -87,9 +87,17 @@ object ZInterleave16 {
     * range-partition by the Z-key into `numFiles` partitions and sort
     * within each, so a `write.parquet` of the result produces files
     * whose min/max column statistics are tight on BOTH dimensions.
-    * The helper keys on `xCol % 65536` / `yCol % 65536` (file-level
-    * clustering granularity; the modulus preserves locality for keys
-    * that are themselves dense).
+    *
+    * By default each dimension is NORMALIZED to the full 16-bit
+    * domain from its observed min/max (one tiny agg pass — the
+    * Delta/Iceberg writers rank-normalize the same way), because a
+    * raw interleave of unequal-width domains is quietly useless: with
+    * a 15-bit × 10-bit key pair the second dimension's high interleave
+    * bits are constant zero, the key order degenerates to a sort on
+    * the wider column, and the narrow dimension gets 0% file skipping
+    * (measured — the ScaleBench probe before normalization). Pass
+    * `normalize = false` to key on the raw `% 65536` values when the
+    * caller has already scaled its dimensions.
     *
     * The `_z` column is dropped before return — callers write exactly
     * their own schema; the clustering lives in the row order.
@@ -98,16 +106,38 @@ object ZInterleave16 {
       df: org.apache.spark.sql.DataFrame,
       xCol: String,
       yCol: String,
-      numFiles: Int): org.apache.spark.sql.DataFrame = {
+      numFiles: Int,
+      normalize: Boolean = true): org.apache.spark.sql.DataFrame = {
     register(df.sparkSession)
-    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.functions.{col, expr, max, min}
     // withColumn would silently REPLACE (and drop below) a caller's
     // own `_z` — fail loudly instead of losing their data
     require(!df.columns.contains("_z"),
       "input already has a column named _z; rename it before clusterByZ")
-    df.withColumn(
-        "_z",
-        expr(s"z_interleave16(CAST($xCol % 65536 AS BIGINT), CAST($yCol % 65536 AS BIGINT))"))
+    val zExpr =
+      if (!normalize)
+        s"z_interleave16(CAST($xCol % 65536 AS BIGINT), CAST($yCol % 65536 AS BIGINT))"
+      else {
+        val b = df.agg(
+          min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
+          min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
+        if (b.isNullAt(0) || b.isNullAt(2))
+          // empty input (or all-NULL dims): nothing to normalize
+          s"z_interleave16(CAST($xCol % 65536 AS BIGINT), CAST($yCol % 65536 AS BIGINT))"
+        else {
+          def scaled(c: String, mn: Long, mx: Long): String = {
+            val range = mx - mn + 1
+            // (v - mn) * 65536 must stay inside signed 64 bits
+            require(range < (1L << 46),
+              s"clusterByZ: $c spans $range values — too wide to normalize " +
+                "exactly; pre-scale the dimension or pass normalize = false")
+            s"CAST((($c) - ($mn)) * 65536 DIV $range AS BIGINT)"
+          }
+          s"z_interleave16(${scaled(xCol, b.getLong(0), b.getLong(1))}, " +
+            s"${scaled(yCol, b.getLong(2), b.getLong(3))})"
+        }
+      }
+    df.withColumn("_z", expr(zExpr))
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
