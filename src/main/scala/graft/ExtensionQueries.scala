@@ -792,6 +792,53 @@ object ExtensionQueries {
           numShards = 4))
         .orderBy("shard", "seq")
     }),
+    "q_pipeline_incremental_ingest" -> ((s, dir) => {
+      // the STEADY-STATE ingest composition: the curated corpus
+      // arrives as 4 batches (pmod(doc_id, 4)); each batch is
+      // near-dup-checked against the ACCUMULATED signature table and
+      // within itself under first-arrival-wins — a doc is rejected
+      // iff it near-dups anything from an earlier batch or a
+      // smaller-id doc of its own batch — then ALL its signatures
+      // (accepted or not) append to the seen-corpus state, the
+      // policy a production ingest runs (rejecting against rejected
+      // docs too prevents dup-chains drifting in batch by batch).
+      // Per batch the corpus side never reshuffles (the
+      // minhashPairsAgainstSignatures shape); the oracle replays the
+      // acceptance rule from the full pair set, so one hash gates
+      // curation + incremental dedup + the batch fold end-to-end.
+      graft.functions.PolyHash.register(s)
+      graft.functions.MinHashSig.register(s)
+      val corpus = Corpus.docCorpus(s, dir)
+      val curated = corpus.join(
+        TextAnalysis.curationFunnel(corpus)
+          .filter(col("verdict") === "keep").select("doc_id"),
+        Seq("doc_id"), "left_semi").localCheckpoint(true)
+      var sigs = Dedup.signatureTable(curated.limit(0)).localCheckpoint(true)
+      var kept: org.apache.spark.sql.DataFrame = null
+      (0 until 4).foreach { b =>
+        val batch = curated.filter(pmod(col("doc_id"), lit(4)) === b)
+          .localCheckpoint(true)
+        val bs = Dedup.signatureTable(batch).localCheckpoint(true)
+        Dedup.unpersistAll()
+        val vsSeen = Dedup.minhashPairsAgainstSignatures(bs, sigs)
+          .select(col("new_id").as("rid"))
+        // within-batch pass over the SAME signature table (batch text
+        // is signatured exactly once per ingest): keep the a<b
+        // orientation and reject the larger id
+        val within = Dedup.minhashPairsAgainstSignatures(bs, bs)
+          .filter(col("new_id") < col("corpus_id"))
+          .select(col("corpus_id").as("rid"))
+        Dedup.unpersistAll()
+        val rejected = vsSeen.union(within).distinct()
+        val acc = batch
+          .join(rejected, batch("doc_id") === rejected("rid"), "left_anti")
+          .select(col("doc_id"), col("source"), lit(b.toLong).as("batch"))
+        kept = (if (kept == null) acc else kept.unionByName(acc))
+          .localCheckpoint(true)
+        sigs = sigs.unionByName(bs).localCheckpoint(true)
+      }
+      kept.orderBy("doc_id")
+    }),
     "q_train_shards" -> ((s, dir) => {
       // deterministic global shuffle + shard assignment for training
       // export: shard AND within-shard position are pure hash
@@ -1825,6 +1872,39 @@ object ExtensionQueries {
          |  doc_id, source
          |FROM sh ORDER BY shard, seq""".stripMargin
     },
+
+    "q_pipeline_incremental_ingest" ->
+      // the acceptance rule replayed from the FULL pair set: for a
+      // near-dup pair, the member in the later batch (doc_id % 4) —
+      // or the larger id within one batch — is the rejected one;
+      // since the engine appends every batch's signatures (accepted
+      // or not) to the seen state, acceptance of the other member
+      // never matters, which is what makes the fold order-free and
+      // SQL-replayable
+      s"""WITH allc AS (
+         |${Corpus.docCorpusSql}
+         |), m AS (
+         |  SELECT doc_id,
+         |    ${TextAnalysis.funnelMetricsDuckProjection("text")}
+         |  FROM allc
+         |), kept AS (
+         |  SELECT a.doc_id, a.text, a.source FROM allc a JOIN (
+         |    SELECT doc_id FROM m
+         |    WHERE (${TextAnalysis.funnelVerdictCase(20, 500000L, Seq("en"), 600000L)}) = 'keep'
+         |  ) k USING (doc_id)
+         |), pairs AS (
+         |${minhashPairsSqlWith(Bands, RowsPerBand, "SELECT doc_id, text FROM kept")}
+         |), rej AS (
+         |  SELECT DISTINCT CASE
+         |    WHEN doc_a % 4 < doc_b % 4 THEN doc_b
+         |    WHEN doc_b % 4 < doc_a % 4 THEN doc_a
+         |    ELSE GREATEST(doc_a, doc_b) END AS doc_id
+         |  FROM pairs
+         |)
+         |SELECT k.doc_id, k.source, CAST(k.doc_id % 4 AS BIGINT) AS batch
+         |FROM kept k
+         |WHERE k.doc_id NOT IN (SELECT doc_id FROM rej)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_pipeline_train_export_neardup" -> {
       val h = graft.functions.TextExprs.charHashDuck("CAST(doc_id AS VARCHAR)")
