@@ -793,19 +793,21 @@ object ExtensionQueries {
         .orderBy("shard", "seq")
     }),
     "q_pipeline_incremental_ingest" -> ((s, dir) => {
-      // the STEADY-STATE ingest composition: the curated corpus
-      // arrives as 4 batches (pmod(doc_id, 4)); each batch is
-      // near-dup-checked against the ACCUMULATED signature table and
-      // within itself under first-arrival-wins — a doc is rejected
-      // iff it near-dups anything from an earlier batch or a
-      // smaller-id doc of its own batch — then ALL its signatures
-      // (accepted or not) append to the seen-corpus state, the
-      // policy a production ingest runs (rejecting against rejected
-      // docs too prevents dup-chains drifting in batch by batch).
-      // Per batch the corpus side never reshuffles (the
-      // minhashPairsAgainstSignatures shape); the oracle replays the
-      // acceptance rule from the full pair set, so one hash gates
-      // curation + incremental dedup + the batch fold end-to-end.
+      // the STEADY-STATE ingest composition, on the PRODUCTION state
+      // layout: the curated corpus arrives as 4 batches
+      // (pmod(doc_id, 4)); each batch is near-dup-checked against the
+      // accumulated BUCKETED BAND TABLE (candidates shuffle only the
+      // batch — the writeBandTable scale shape) and within itself
+      // under first-arrival-wins — a doc is rejected iff it near-dups
+      // anything from an earlier batch or a smaller-id doc of its own
+      // batch — then ALL its band rows append through the
+      // CADENCE-MANAGED appendAndMaybeCompact (accepted or not: the
+      // seen-corpus policy that keeps dup chains from drifting in
+      // batch by batch). Batch text is signatured exactly once per
+      // ingest; the oracle replays the acceptance rule from the full
+      // pair set, so one hash gates curation + incremental dedup +
+      // the state-table fold (including any triggered compaction)
+      // end-to-end.
       graft.functions.PolyHash.register(s)
       graft.functions.MinHashSig.register(s)
       val corpus = Corpus.docCorpus(s, dir)
@@ -814,28 +816,45 @@ object ExtensionQueries {
           .filter(col("verdict") === "keep").select("doc_id"),
         Seq("doc_id"), "left_semi").localCheckpoint(true)
       var sigs = Dedup.signatureTable(curated.limit(0)).localCheckpoint(true)
+      // per-JVM table name: Verify and Bench share a cwd-relative
+      // warehouse, so concurrent harness processes must not collide
+      val tbl = "graft_ingest_bands_" +
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+          .replaceAll("[^A-Za-z0-9]", "_")
       var kept: org.apache.spark.sql.DataFrame = null
-      (0 until 4).foreach { b =>
-        val batch = curated.filter(pmod(col("doc_id"), lit(4)) === b)
-          .localCheckpoint(true)
-        val bs = Dedup.signatureTable(batch).localCheckpoint(true)
-        Dedup.unpersistAll()
-        val vsSeen = Dedup.minhashPairsAgainstSignatures(bs, sigs)
-          .select(col("new_id").as("rid"))
-        // within-batch pass over the SAME signature table (batch text
-        // is signatured exactly once per ingest): keep the a<b
-        // orientation and reject the larger id
-        val within = Dedup.minhashPairsAgainstSignatures(bs, bs)
-          .filter(col("new_id") < col("corpus_id"))
-          .select(col("corpus_id").as("rid"))
-        Dedup.unpersistAll()
-        val rejected = vsSeen.union(within).distinct()
-        val acc = batch
-          .join(rejected, batch("doc_id") === rejected("rid"), "left_anti")
-          .select(col("doc_id"), col("source"), lit(b.toLong).as("batch"))
-        kept = (if (kept == null) acc else kept.unionByName(acc))
-          .localCheckpoint(true)
-        sigs = sigs.unionByName(bs).localCheckpoint(true)
+      try {
+        Dedup.writeBandTable(sigs, tbl) // empty seed state
+        (0 until 4).foreach { b =>
+          val batch = curated.filter(pmod(col("doc_id"), lit(4)) === b)
+            .localCheckpoint(true)
+          val bs = Dedup.signatureTable(batch).localCheckpoint(true)
+          Dedup.unpersistAll()
+          val vsSeen = Dedup
+            .minhashPairsAgainstBandTable(bs, s.table(tbl), sigs)
+            .select(col("new_id").as("rid"))
+          // within-batch pass over the SAME signature table: keep the
+          // a<b orientation and reject the larger id
+          val within = Dedup.minhashPairsAgainstSignatures(bs, bs)
+            .filter(col("new_id") < col("corpus_id"))
+            .select(col("corpus_id").as("rid"))
+          Dedup.unpersistAll()
+          val rejected = vsSeen.union(within).distinct()
+          val acc = batch
+            .join(rejected, batch("doc_id") === rejected("rid"), "left_anti")
+            .select(col("doc_id"), col("source"), lit(b.toLong).as("batch"))
+          kept = (if (kept == null) acc else kept.unionByName(acc))
+            .localCheckpoint(true)
+          // single-task appends (batch ≪ corpus) cap each ingest at
+          // one file per bucket; threshold 2 then trips the cadence
+          // exactly once mid-run, so the oracle hash also gates probe
+          // answers across an automatic compaction
+          Dedup.appendAndMaybeCompact(
+            bs, tbl, maxFilesPerBucket = 2, appendTasks = 1)
+          sigs = sigs.unionByName(bs).localCheckpoint(true)
+        }
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+        s.sql(s"DROP TABLE IF EXISTS `${tbl}_compact_tmp`")
       }
       kept.orderBy("doc_id")
     }),

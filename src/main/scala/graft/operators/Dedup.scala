@@ -313,14 +313,27 @@ object Dedup {
 
   /** Append a batch's band rows to an existing bucketed band table
     * (bucket spec must match the original [[writeBandTable]]).
+    *
+    * A bucketed write emits one file per (task × non-empty bucket),
+    * so appending a batch that arrives in many partitions fragments
+    * the table by tasks×buckets files per ingest (measured: ~1000
+    * small files per append at 32 partitions — the 4× probe penalty
+    * CompactionBench quantifies). `appendTasks` > 0 coalesces the
+    * batch's band rows to that many write tasks first, capping the
+    * append at appendTasks×buckets files; batches are small relative
+    * to the corpus by definition, so 1-4 tasks is the steady-state
+    * setting. 0 (the default) preserves the incoming layout for
+    * callers that sized it themselves.
     */
   def appendToBandTable(
-      sigs: DataFrame, table: String, buckets: Int = BandTableBuckets): Unit =
-    bandRows(sigs)
-      .select("band", "bkey", "doc_id")
+      sigs: DataFrame, table: String, buckets: Int = BandTableBuckets,
+      appendTasks: Int = 0): Unit = {
+    val rows = bandRows(sigs).select("band", "bkey", "doc_id")
+    (if (appendTasks > 0) rows.coalesce(appendTasks) else rows)
       .write.mode("append").format("parquet")
       .bucketBy(buckets, "band", "bkey").sortBy("band", "bkey")
       .saveAsTable(table)
+  }
 
   /** Rewrite an append-grown band table down to ~one file per bucket.
     * N appends leave N files per bucket; every probe then pays N×
@@ -377,9 +390,10 @@ object Dedup {
       table: String,
       buckets: Int = BandTableBuckets,
       maxFilesPerBucket: Int = 4,
-      maxBytes: Long = Long.MaxValue): Boolean = {
+      maxBytes: Long = Long.MaxValue,
+      appendTasks: Int = 0): Boolean = {
     require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
-    appendToBandTable(sigs, table, buckets)
+    appendToBandTable(sigs, table, buckets, appendTasks)
     val spark = sigs.sparkSession
     val files = spark.table(table).inputFiles
     val overCount = files.length > buckets.toLong * maxFilesPerBucket
