@@ -51,6 +51,10 @@ object TrainingExport {
       longChains: Boolean = false) extends DedupStage
 
   /** @param curate language/quality/length/repetition funnel on or off
+    * @param lineRules line-level Gopher gates
+    *   ([[TextAnalysis.lineStats]]: bullet/ellipsis/duplicate-line
+    *   ratios) on or off — off by default because single-line corpora
+    *   pass them trivially; turn on for real multi-line web text
     * @param dedup [[DedupStage]] strength
     * @param contaminationMaxPpm keep docs strictly under this
     *   benchmark n-gram overlap (None = stage off). The benchmark
@@ -63,6 +67,7 @@ object TrainingExport {
     */
   final case class Config(
       curate: Boolean = true,
+      lineRules: Boolean = false,
       dedup: DedupStage = DedupExact,
       contaminationMaxPpm: Option[Long] = Some(500000L),
       budgets: Seq[(String, Long)] = Nil,
@@ -86,11 +91,17 @@ object TrainingExport {
     graft.functions.PolyHash.register(docs.sparkSession)
     val h = hashExpr.getOrElse(
       graft.functions.TextExprs.charHashSpark("CAST(doc_id AS STRING)"))
-    val kept =
+    val funneled =
       if (!cfg.curate) docs
       else docs.join(
         TextAnalysis.curationFunnel(docs)
           .filter(col("verdict") === "keep").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    val kept =
+      if (!cfg.lineRules) funneled
+      else funneled.join(
+        TextAnalysis.lineStats(funneled)
+          .filter(col("line_verdict") === "keep").select("doc_id"),
         Seq("doc_id"), "left_semi")
     val deduped = cfg.dedup match {
       case DedupOff => kept

@@ -1128,6 +1128,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.count() < matrixDocs.count(), "a 400-char budget must bind")
   }
 
+  test("TrainingExport lineRules stage drops bullet-farm docs, leaves single-line docs alone") {
+    import spark.implicits._
+    val bulletFarm = (0 until 12).map(i => s"- item ${('a' + i).toChar}").mkString("\n")
+    val withFarm = matrixDocs.unionByName(
+      Seq((900L, "src0", bulletFarm)).toDF("doc_id", "source", "text")
+        .withColumn("n_chars", length(col("text")).cast("long")))
+    def ids(cfg: Config) = TrainingExport.run(
+      withFarm, withFarm.filter(col("doc_id") === 1L), cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val off = ids(allOff)
+    assert(off.contains(900L), "stage off: the bullet farm ships")
+    val on = ids(allOff.copy(lineRules = true))
+    assert(!on.contains(900L), ">90% bullet lines must fail the line gate")
+    // single-line matrix docs pass the line rules untouched
+    assert(on == off - 900L)
+  }
+
   test("TrainingExport curate stage drops the short-doc outlier and each stage only removes rows") {
     import spark.implicits._
     val withShort = matrixDocs.unionByName(
