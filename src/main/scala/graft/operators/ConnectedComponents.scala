@@ -222,17 +222,28 @@ object ConnectedComponents {
         .filter(col("src") =!= col("dst"))
         .distinct()
     }
-    while (iter < maxIter && !converged) {
-      val next = width(smallStar(largeStar(cur)), "src").localCheckpoint(false)
-      val nextCount = next.count()
+    def isFixpoint(next: DataFrame, nextCount: Long): Boolean =
       // exact fixpoint test: equal cardinality + next ⊆ cur ⇒ equal
       // sets (both sides are distinct). One anti-join per round — star
       // rewrites are not label-monotone, so no cheap sum probe exists.
-      converged = nextCount == curCount &&
+      nextCount == curCount &&
         next.join(cur, Seq("src", "dst"), "left_anti").isEmpty
+    while (iter < maxIter && !converged) {
+      val next = width(smallStar(largeStar(cur)), "src").localCheckpoint(false)
+      val nextCount = next.count()
+      converged = isFixpoint(next, nextCount)
       cur = next
       curCount = nextCount
       iter += 1
+    }
+    // boundary probe (the labelPropagate rule): a graph whose fixpoint
+    // lands exactly on the maxIter-th round leaves converged=false —
+    // the loop never got the confirming no-change round. One extra
+    // uncheckpointed round distinguishes "done at the wire" from
+    // "genuinely truncated".
+    if (!converged && iter == maxIter) {
+      val probe = smallStar(largeStar(cur))
+      if (isFixpoint(probe, probe.count())) converged = true
     }
     if (requireConvergence && !converged) {
       throw new IllegalStateException(

@@ -110,6 +110,15 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       Map(42L -> 42L, 1L -> 1L, 2L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("large-star/small-star fixpoint reached exactly at maxIter counts as converged") {
+    // path 1-2-3: round 1 rewrites {(2,1),(3,2)} to the star
+    // {(2,1),(3,1)} — the FIXPOINT — but the confirming no-change
+    // round would be round 2, so maxIter = 1 exits the loop
+    // unconverged and the boundary probe must rescue it
+    val got = starComponents(Seq((1L, 2L), (2L, 3L)), maxIter = 1)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("large-star/small-star maxIter exhaustion throws by default") {
     val chain = (1L until 200L).map(i => (i + 1, i))
     val e = intercept[IllegalStateException] {
