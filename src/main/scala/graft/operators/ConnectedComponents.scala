@@ -137,6 +137,31 @@ object ConnectedComponents {
       .head()
       .getDecimal(0)
 
+  /** Adaptive entry point — the API most callers should use when
+    * they don't know their graph's diameter: min-label propagation
+    * first (the cheaper-per-round winner on near-clique dedup
+    * graphs, which converge in 2-3 rounds), falling back to the
+    * O(log n)-round [[largeSmallStar]] if propagation hasn't
+    * converged within `propagateRounds` — the signature of a
+    * long-chain / high-diameter graph, where propagation's
+    * O(diameter) rounds are the one curve that bends at corpus
+    * scale. Both algorithms produce identical labels, so the
+    * fallback is a pure cost decision; the sunk propagation rounds
+    * are bounded by the small `propagateRounds` cap.
+    */
+  def components(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      propagateRounds: Int = 8,
+      numPartitions: Option[Int] = None): DataFrame =
+    try labelPropagate(edges, srcCol, dstCol, maxIter = propagateRounds,
+      numPartitions = numPartitions)
+    catch {
+      case _: IllegalStateException =>
+        largeSmallStar(edges, srcCol, dstCol, numPartitions = numPartitions)
+    }
+
   /** Connected components by large-star/small-star alternation
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14) — the O(log n)-round escape hatch [[labelPropagate]]'s

@@ -110,6 +110,24 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       Map(42L -> 42L, 1L -> 1L, 2L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("components() adapts: propagation on shallow graphs, star fallback on deep chains") {
+    import spark.implicits._
+    def comp(edges: Seq[(Long, Long)], rounds: Int) =
+      ConnectedComponents
+        .components(edges.toDF("a", "b"), "a", "b", propagateRounds = rounds)
+        .collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("component"))
+        .toMap
+    // triangle: diameter 1, propagation path suffices
+    assert(comp(Seq((5L, 6L), (6L, 7L), (5L, 7L)), 8) ==
+      Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
+    // 100-node chain with a 4-round cap: propagation throws, the star
+    // fallback must deliver the same labels anyway
+    val chain = (1L until 100L).map(i => (i + 1, i))
+    val got = comp(chain, 4)
+    (1L to 100L).foreach(n => assert(got(n) == 1L, s"node $n"))
+  }
+
   test("large-star/small-star fixpoint reached exactly at maxIter counts as converged") {
     // path 1-2-3: round 1 rewrites {(2,1),(3,2)} to the star
     // {(2,1),(3,1)} — the FIXPOINT — but the confirming no-change
