@@ -283,30 +283,45 @@ object Bench {
       "-Xmx8g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "-cp", cp, "graft.Bench")).toArray
     val pb = new ProcessBuilder(cmd: _*)
+    // child output goes to a LOG FILE, not /dev/null: a failed recheck
+    // flips the adjudication verdict, so its diagnostics must survive
+    val childLog = Files.createTempFile("graft_bench_recheck_", ".log")
     pb.redirectErrorStream(true)
-    pb.redirectOutput(ProcessBuilder.Redirect.to(new java.io.File("/dev/null")))
+    pb.redirectOutput(ProcessBuilder.Redirect.to(childLog.toFile))
     val env = pb.environment()
     env.put("SPARK_GRAFT_BENCH_ONLY", flagged.mkString(","))
     env.put("SPARK_GRAFT_BENCH_OUT", out.toString)
     env.put("SPARK_GRAFT_SF_DIR", sfDir)
     env.put("SPARK_GRAFT_CPUS", cpus)
     env.remove("SPARK_GRAFT_BENCH_RECHECK") // one level of recursion only
+    // the spread map repeats every query name with its DISPERSION; a
+    // child inheriting it would make a last-wins parse read ~0 s
+    // "times" and adjudicate a real regression as fine
+    env.remove("SPARK_GRAFT_BENCH_SPREAD")
     try {
       val proc = pb.start()
       // a wedged recheck must not hang the whole bench: cap at 15 min
       if (!proc.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)) {
         proc.destroyForcibly()
-        System.err.println("[bench] recheck JVM timed out after 15 min")
+        System.err.println(s"[bench] recheck JVM timed out after 15 min (log: $childLog)")
         return Map.empty
       }
       val txt = new String(Files.readAllBytes(out), "UTF-8")
-      // parse the flat "queries" map out of the child's artifact
-      "\"(q_[a-z_0-9]+)\":(-?[0-9.]+)".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble)
-        .toMap.filter(kv => flagged.contains(kv._1))
+      // parse the flat "queries" map: FIRST match per name wins, so
+      // even if a later same-shaped map exists in the line (defense in
+      // depth vs the spread issue above) it cannot overwrite the time
+      val parsed = scala.collection.mutable.Map.empty[String, Double]
+      "\"(q_[a-z_0-9]+)\":(-?[0-9.]+)".r.findAllMatchIn(txt).foreach { m =>
+        if (!parsed.contains(m.group(1))) parsed(m.group(1)) = m.group(2).toDouble
+      }
+      val result = parsed.toMap.filter(kv => flagged.contains(kv._1))
+      if (result.isEmpty)
+        System.err.println(s"[bench] recheck produced no parseable times (log: $childLog)")
+      else Files.deleteIfExists(childLog)
+      result
     } catch {
       case e: Throwable =>
-        System.err.println(s"[bench] recheck failed: ${e.getMessage}")
+        System.err.println(s"[bench] recheck failed: ${e.getMessage} (log: $childLog)")
         Map.empty
     } finally Files.deleteIfExists(out)
   }

@@ -203,7 +203,10 @@ object ScaleBench {
         s""""nat_sampled_sec":${f"$nts%.3f"},"psl_sec":${f"$ps%.3f"},"mix_sec":${f"$mx%.3f"},""" +
         s""""brute_topk_sec":${f"$bt%.3f"},"quant_topk_sec":${f"$qt%.3f"}}"""
     }.mkString(",")
-    println(s"""{"metric":"scale_curve","iters":$iters,"sf":"$sfDir",$qs}""")
+    // an empty mults list (the skip-to-probe mode) must still emit
+    // valid JSON — a trailing comma would parse as null driver-side
+    val qsPart = if (qs.isEmpty) "" else "," + qs
+    println(s"""{"metric":"scale_curve","iters":$iters,"sf":"$sfDir"$qsPart}""")
 
     // ---- Z-order file-skipping probe ----
     // q_zorder_key computes the layout STAT; this measures the layout

@@ -158,7 +158,11 @@ object ConnectedComponents {
     try labelPropagate(edges, srcCol, dstCol, maxIter = propagateRounds,
       numPartitions = numPartitions)
     catch {
-      case _: IllegalStateException =>
+      // ONLY the convergence failure routes to the fallback — any
+      // other IllegalStateException (stopped context, helper guards)
+      // must surface, not silently trigger a full re-run
+      case e: IllegalStateException
+          if e.getMessage != null && e.getMessage.contains("did not converge") =>
         largeSmallStar(edges, srcCol, dstCol, numPartitions = numPartitions)
     }
 

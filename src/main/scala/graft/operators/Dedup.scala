@@ -318,18 +318,21 @@ object Dedup {
     * so appending a batch that arrives in many partitions fragments
     * the table by tasks×buckets files per ingest (measured: ~1000
     * small files per append at 32 partitions — the 4× probe penalty
-    * CompactionBench quantifies). `appendTasks` > 0 coalesces the
+    * CompactionBench quantifies). `appendTasks` > 0 REPARTITIONS the
     * batch's band rows to that many write tasks first, capping the
     * append at appendTasks×buckets files; batches are small relative
     * to the corpus by definition, so 1-4 tasks is the steady-state
-    * setting. 0 (the default) preserves the incoming layout for
+    * setting (a repartition, not a coalesce: coalesce would propagate
+    * upstream and serialize the signature explode itself onto
+    * appendTasks cores — the shuffle here moves only the batch's band
+    * rows). 0 (the default) preserves the incoming layout for
     * callers that sized it themselves.
     */
   def appendToBandTable(
       sigs: DataFrame, table: String, buckets: Int = BandTableBuckets,
       appendTasks: Int = 0): Unit = {
     val rows = bandRows(sigs).select("band", "bkey", "doc_id")
-    (if (appendTasks > 0) rows.coalesce(appendTasks) else rows)
+    (if (appendTasks > 0) rows.repartition(appendTasks) else rows)
       .write.mode("append").format("parquet")
       .bucketBy(buckets, "band", "bkey").sortBy("band", "bkey")
       .saveAsTable(table)
@@ -396,7 +399,21 @@ object Dedup {
     appendToBandTable(sigs, table, buckets, appendTasks)
     val spark = sigs.sparkSession
     val files = spark.table(table).inputFiles
-    val overCount = files.length > buckets.toLong * maxFilesPerBucket
+    // the documented threshold is PER BUCKET (fragmentation cost is
+    // paid per bucket a probe opens): bucketed file names carry their
+    // bucket id as `_NNNNN.` before the extension — group on it. A hot
+    // bucket over the threshold triggers even when skewed appends keep
+    // the global total low; the global bound stays as a backstop for
+    // any file the pattern misses.
+    val bucketId = "_([0-9]{5})\\.".r
+    val perBucketMax = files
+      .groupBy { f =>
+        bucketId.findFirstMatchIn(f.substring(f.lastIndexOf('/') + 1)).map(_.group(1))
+      }
+      .collect { case (Some(_), fs) => fs.length }
+      .maxOption.getOrElse(0)
+    val overCount = perBucketMax > maxFilesPerBucket ||
+      files.length > buckets.toLong * maxFilesPerBucket
     // bytes threshold: only LISTED when a finite cap is set — listing
     // every file's size per ingest is pointless work otherwise
     val overBytes = maxBytes != Long.MaxValue && {

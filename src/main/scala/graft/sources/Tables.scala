@@ -53,10 +53,15 @@ object Tables {
       case org.apache.spark.sql.types.TimestampType =>
         // a session-TZ-adjusted read (isAdjustedToUTC=1 parquet) only
         // preserves instants through the NTZ cast when the session TZ
-        // is UTC — assert it instead of relying on the harness pinning
+        // is UTC — assert it instead of relying on the harness pinning.
+        // Accept any UTC-EQUIVALENT zone (Etc/UTC, GMT, +00:00): the
+        // cast preserves instants under any fixed zero offset, so a
+        // string-equality check would spuriously reject them.
         val tz = spark.conf.get("spark.sql.session.timeZone")
+        val rules = java.time.ZoneId.of(tz).getRules
         require(
-          tz == "UTC",
+          rules.isFixedOffset &&
+            rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0,
           s"Tables.events: parquet ts read as TIMESTAMP (LTZ) and session time " +
             s"zone is '$tz' — the TIMESTAMP_NTZ cast would shift instants. Set " +
             "spark.sql.session.timeZone=UTC before reading events.")
