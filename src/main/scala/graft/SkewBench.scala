@@ -150,10 +150,14 @@ object SkewBench {
     val hotDupShare = dupBefore.filter(col("k") === -1L).count().toDouble / nDup
 
     val skewKey = "spark.sql.adaptive.skewJoin.enabled"
+    // restore the value captured BEFORE the override, not a literal —
+    // a session that had skew-join disabled must leave this A/B with
+    // its own config intact (the autoBroadcastJoinThreshold pattern)
+    val skewPrev = spark.conf.get(skewKey)
     val dupNoSkewJoin = try {
       spark.conf.set(skewKey, "false")
       time(iters) { TableDiff.diff(dupBefore, dupAfter, Seq("k")).count() }
-    } finally spark.conf.set(skewKey, "true")
+    } finally spark.conf.set(skewKey, skewPrev)
     val dupSkewJoin = time(iters) {
       TableDiff.diff(dupBefore, dupAfter, Seq("k")).count()
     }

@@ -126,9 +126,23 @@ object ZInterleave16 {
           s"z_interleave16(CAST($xCol % 65536 AS BIGINT), CAST($yCol % 65536 AS BIGINT))"
         else {
           def scaled(c: String, mn: Long, mx: Long): String = {
-            val range = mx - mn + 1
+            // mx - mn can overflow Long for a dimension spanning more
+            // than half the 64-bit domain (e.g. a full-range hash
+            // column); unchecked arithmetic would wrap negative, slip
+            // past the width check, and emit DIV 0/garbage — exactly
+            // the too-wide case this guard exists to reject loudly
+            val span =
+              try Math.subtractExact(mx, mn)
+              catch {
+                case _: ArithmeticException =>
+                  throw new IllegalArgumentException(
+                    s"clusterByZ: $c spans more than 2^63 values — too wide " +
+                      "to normalize exactly; pre-scale the dimension or pass " +
+                      "normalize = false")
+              }
+            val range = span + 1
             // (v - mn) * 65536 must stay inside signed 64 bits
-            require(range < (1L << 46),
+            require(range > 0 && range < (1L << 46),
               s"clusterByZ: $c spans $range values — too wide to normalize " +
                 "exactly; pre-scale the dimension or pass normalize = false")
             s"CAST((($c) - ($mn)) * 65536 DIV $range AS BIGINT)"

@@ -366,7 +366,14 @@ object StreamRunner {
     val prevProv = spark.conf.getOption(provKey)
     val prevClog = spark.conf.getOption(clogKey)
     stateProvider match {
-      case "hdfs" => // engine default — leave the session untouched
+      case "hdfs" =>
+        // explicitly clear any inherited providerClass (spark-defaults
+        // or an outer caller may have pinned RocksDB) — an explicit
+        // "hdfs" request must get the HDFS provider, symmetric with
+        // the rocksdb cases below; the prevProv/prevClog restore in
+        // the finally block puts the original values back
+        spark.conf.unset(provKey)
+        spark.conf.unset(clogKey)
       case "rocksdb" =>
         spark.conf.set(provKey, RocksDbProviderClass)
         spark.conf.set(clogKey, "false")

@@ -170,6 +170,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!clustered.columns.contains("_z"))
   }
 
+  test("clusterByZ rejects a dimension spanning more than half the Long domain") {
+    import spark.implicits._
+    // mx - mn overflows signed 64 bits here; unchecked arithmetic
+    // would wrap negative, slip past the width guard, and emit a
+    // DIV-0/garbage _z (silently degenerating the clustering) — the
+    // guard must instead fail loudly
+    val wide = Seq((Long.MinValue, 0L), (Long.MaxValue, 1L)).toDF("x", "y")
+    val ex = intercept[IllegalArgumentException] {
+      ZInterleave16.clusterByZ(wide, "x", "y", numFiles = 2)
+    }
+    assert(ex.getMessage.contains("too wide"), ex.getMessage)
+    // exactly half-plus-one span: subtractExact succeeds but range
+    // wraps ≤ 0 via span + 1 at Long.MaxValue — also rejected
+    val edge = Seq((Long.MinValue, 0L), (-1L, 1L)).toDF("x", "y")
+    val ex2 = intercept[IllegalArgumentException] {
+      ZInterleave16.clusterByZ(edge, "x", "y", numFiles = 2)
+    }
+    assert(ex2.getMessage.contains("too wide"), ex2.getMessage)
+  }
+
   test("z_interleave16 stays inside WholeStageCodegen") {
     ZInterleave16.register(spark)
     // a Range source (not a LocalTableScan, which constant-folds the
