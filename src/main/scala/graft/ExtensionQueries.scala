@@ -360,7 +360,15 @@ object ExtensionQueries {
         .select(
           col("window.start").as("window_start"), col("event_type"),
           col("n_events"), col("sum_value"))
-      graft.streaming.StreamRunner.runToCompletion(agg, outputMode = "append")
+      // 4 state partitions (not the session's 32): the windowed-agg
+      // state is tiny (~windows × event types rows) but append mode
+      // pays a full state-store commit per partition per micro-batch,
+      // and this stream runs SIX micro-batches — commit count, not
+      // compute, dominates. Measured isolated best-of-3 at sf0.1:
+      // 32 → 6.97 s, 8 → 3.13 s, 4 → 2.78 s, 2 → 3.21 s. Shuffle
+      // width cannot change the result: drops are per-row against the
+      // GLOBAL watermark, which advances on batch boundaries only.
+      graft.streaming.StreamRunner.runToCompletion(agg, outputMode = "append", statePartitions = 4)
         .filter(col("event_type") =!= "sentinel")
         .withColumn("window_start", col("window_start").cast("timestamp_ntz"))
         .orderBy("window_start", "event_type")
