@@ -135,6 +135,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", ScratchWarehouse.dir)
     // experiment knob: extra session confs as "k=v;k=v" (e.g. a state
     // -store provider A/B) — unset leaves the driver's default
     // configuration byte-identical

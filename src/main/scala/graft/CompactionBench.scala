@@ -35,6 +35,7 @@ object CompactionBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", ScratchWarehouse.dir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -49,6 +49,7 @@ object DedupScaleBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", ScratchWarehouse.dir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -824,17 +824,37 @@ object ExtensionQueries {
           .filter(col("verdict") === "keep").select("doc_id"),
         Seq("doc_id"), "left_semi").localCheckpoint(true)
       var sigs = Dedup.signatureTable(curated.limit(0)).localCheckpoint(true)
-      // per-JVM table name: Verify and Bench share a cwd-relative
-      // warehouse, so concurrent harness processes must not collide
+      // per-JVM table name: harness mains run under a per-JVM scratch
+      // warehouse (ScratchWarehouse), but a caller embedding this
+      // query in their own session may not — keep names collision-free
       val tbl = "graft_ingest_bands_" +
         java.lang.management.ManagementFactory.getRuntimeMXBean.getName
           .replaceAll("[^A-Za-z0-9]", "_")
       var kept: org.apache.spark.sql.DataFrame = null
+      // narrow shuffle width for the ingest loop: each batch's probe
+      // joins and appends move band rows of ONE batch (kilobytes at
+      // bench scale, batch-bounded by design at any scale), so the
+      // session's corpus-sized width just multiplies task overhead
+      // across ~10 tiny exchanges per round. Width is a physical
+      // knob: exchange COUNT (spec-pinned) and results are unchanged.
+      val shufKey = "spark.sql.shuffle.partitions"
+      val prevShuf = s.conf.get(shufKey)
+      // bucket count is the state-table SIZING knob (≈ one bucket per
+      // probe-parallel unit of the deployment): 8 at bench scale — 32
+      // would just commit 4× the files per append for kilobyte
+      // buckets. Cadence behavior is bucket-count-invariant (appends
+      // land one file PER BUCKET per ingest either way).
+      val ingestBuckets = 8
       try {
-        Dedup.writeBandTable(sigs, tbl) // empty seed state
+        s.conf.set(shufKey, "8")
+        Dedup.writeBandTable(sigs, tbl, buckets = ingestBuckets) // empty seed state
         (0 until 4).foreach { b =>
+          // batch is a narrow filter over the already-checkpointed
+          // curated corpus — recomputing it per consumer is cheaper
+          // than an eager materialization job (this loop's cost is
+          // JOB COUNT, not data volume: the shm-vs-ext4 warehouse A/B
+          // measured a wash, so every saved job is the win)
           val batch = curated.filter(pmod(col("doc_id"), lit(4)) === b)
-            .localCheckpoint(true)
           val bs = Dedup.signatureTable(batch).localCheckpoint(true)
           Dedup.unpersistAll()
           val vsSeen = Dedup
@@ -857,10 +877,16 @@ object ExtensionQueries {
           // exactly once mid-run, so the oracle hash also gates probe
           // answers across an automatic compaction
           Dedup.appendAndMaybeCompact(
-            bs, tbl, maxFilesPerBucket = 2, appendTasks = 1)
-          sigs = sigs.unionByName(bs).localCheckpoint(true)
+            bs, tbl, buckets = ingestBuckets, maxFilesPerBucket = 2, appendTasks = 1)
+          // lazy union of CHECKPOINTED parts: each bs is already
+          // materialized, so the union tree stays 4 deep and never
+          // compounds lineage — re-checkpointing here would copy the
+          // full accumulated signature table once per batch (O(corpus)
+          // per ingest, the exact shape the bucketed state avoids)
+          sigs = sigs.unionByName(bs)
         }
       } finally {
+        s.conf.set(shufKey, prevShuf)
         s.sql(s"DROP TABLE IF EXISTS `$tbl`")
         s.sql(s"DROP TABLE IF EXISTS `${tbl}_compact_tmp`")
       }

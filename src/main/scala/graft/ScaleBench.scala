@@ -35,6 +35,7 @@ object ScaleBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", ScratchWarehouse.dir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -29,6 +29,7 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", ScratchWarehouse.dir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the engine's optimizer extensions are part of the product: keep
