@@ -155,16 +155,29 @@ object ConnectedComponents {
       dstCol: String,
       propagateRounds: Int = 8,
       numPartitions: Option[Int] = None): DataFrame =
-    try labelPropagate(edges, srcCol, dstCol, maxIter = propagateRounds,
-      numPartitions = numPartitions)
-    catch {
+    try {
+      val out = labelPropagate(edges, srcCol, dstCol, maxIter = propagateRounds,
+        numPartitions = numPartitions)
+      lastComponentsPath.set("propagate")
+      out
+    } catch {
       // ONLY the convergence failure routes to the fallback — any
       // other IllegalStateException (stopped context, helper guards)
       // must surface, not silently trigger a full re-run
       case e: IllegalStateException
           if e.getMessage != null && e.getMessage.contains("did not converge") =>
+        lastComponentsPath.set("star")
         largeSmallStar(edges, srcCol, dstCol, numPartitions = numPartitions)
     }
+
+  /** Which algorithm the most recent [[components]] call on this JVM
+    * resolved to ("propagate" | "star") — a test-observability probe
+    * (the adaptive choice is otherwise invisible: both paths emit
+    * identical labels by construction). Diagnostics only; never
+    * consulted by the operators themselves.
+    */
+  private[graft] val lastComponentsPath =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
 
   /** Connected components by large-star/small-star alternation
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",

@@ -642,10 +642,13 @@ object Dedup {
     * ties broken by minimum id for determinism. Singletons never
     * enter the label frame and pass through untouched.
     *
-    * Shape: label propagation over the pair list (equi-join
-    * iterations, localCheckpoint per round), one score join, one
-    * per-component window, one anti-join — every stage keyed and
-    * partitionable; nothing driver-side.
+    * Shape: adaptive connected components over the pair list
+    * ([[graft.operators.ConnectedComponents.components]]: min-label
+    * propagation, with the O(log n)-round star fallback if the pair
+    * graph turns out to have long transitive chains — identical
+    * labels either way), one score join, one per-component window,
+    * one anti-join — every stage keyed and partitionable; nothing
+    * driver-side.
     */
   def applyKeepBest(
       corpus: DataFrame,
@@ -654,11 +657,13 @@ object Dedup {
       idCol: String = "doc_id",
       aCol: String = "doc_a",
       bCol: String = "doc_b",
-      numPartitions: Option[Int] = None): DataFrame =
+      numPartitions: Option[Int] = None,
+      propagateRounds: Int = 8): DataFrame =
     applyKeepBestWithLabels(
       corpus,
       graft.operators.ConnectedComponents
-        .labelPropagate(pairs, aCol, bCol, numPartitions = numPartitions),
+        .components(pairs, aCol, bCol, propagateRounds = propagateRounds,
+          numPartitions = numPartitions),
       scoreCol, idCol)
 
   /** [[applyKeepBest]] over PRECOMPUTED cluster labels (a

@@ -38,17 +38,20 @@ object TrainingExport {
   /** MinHash-LSH near-dup: candidate pairs → connected components →
     * drop every non-canonical cluster member. `numPartitions` sizes
     * the propagation frames to the EDGE list (see
-    * [[ConnectedComponents.labelPropagate]]). `longChains = true`
-    * swaps min-label propagation for the O(log n)-round
-    * large-star/small-star alternation — same labels (spec-pinned),
-    * the right setting when transitive near-dup chains give the
-    * similarity graph unbounded diameter (the 100 TB shape); the
-    * default propagation converges faster on near-clique duplicate
-    * clusters.
+    * [[ConnectedComponents.labelPropagate]]). The clustering
+    * algorithm is chosen ADAPTIVELY ([[ConnectedComponents.components]]):
+    * min-label propagation first (the cheaper-per-round winner on
+    * near-clique duplicate clusters, which converge in 2-3 rounds),
+    * falling back to the O(log n)-round large-star/small-star
+    * alternation if propagation hasn't converged within
+    * `propagateRounds` — the signature of transitive near-dup chains
+    * giving the similarity graph unbounded diameter (the 100 TB
+    * shape). Both algorithms emit identical labels (spec-pinned), so
+    * nobody has to guess their corpus's chain structure up front.
     */
   final case class DedupNearDup(
       numPartitions: Option[Int] = None,
-      longChains: Boolean = false) extends DedupStage
+      propagateRounds: Int = 8) extends DedupStage
 
   /** @param curate language/quality/length/repetition funnel on or off
     * @param lineRules line-level Gopher gates
@@ -109,15 +112,10 @@ object TrainingExport {
         kept.join(
           Dedup.exact(kept).select(col("canonical_doc_id").as("doc_id")),
           Seq("doc_id"), "left_semi")
-      case DedupNearDup(np, longChains) =>
+      case DedupNearDup(np, rounds) =>
         val pairs = Dedup.minhashPairs(kept)
-        val labels =
-          if (longChains)
-            ConnectedComponents.largeSmallStar(
-              pairs, "doc_a", "doc_b", numPartitions = np)
-          else
-            ConnectedComponents.labelPropagate(
-              pairs, "doc_a", "doc_b", numPartitions = np)
+        val labels = ConnectedComponents.components(
+          pairs, "doc_a", "doc_b", propagateRounds = rounds, numPartitions = np)
         kept.join(
           labels.filter(col("node") =!= col("component"))
             .select(col("node").as("doc_id")),

@@ -1119,10 +1119,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     // each cluster {i, i+100, i+200} collapses to its min id
     assert(out.count() == 8)
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == (1L to 8L).toSet)
-    // the long-chain algorithm choice produces the identical manifest
-    val star = runExport(allOff.copy(dedup = DedupNearDup(longChains = true)))
-    assert(star.orderBy("shard", "seq").collect().toSeq ==
+    // near-clique clusters converge inside the propagation budget, so
+    // the adaptive chooser stays on the cheap path — no star fallback
+    assert(graft.operators.ConnectedComponents.lastComponentsPath.get() == "propagate")
+    // a tighter propagation budget changes only the algorithm choice,
+    // never the manifest (both algorithms emit identical labels)
+    val tight = runExport(allOff.copy(dedup = DedupNearDup(propagateRounds = 1)))
+    assert(tight.orderBy("shard", "seq").collect().toSeq ==
       out.orderBy("shard", "seq").collect().toSeq)
+  }
+
+  test("TrainingExport near-dup chain corpus trips the star fallback inside the pipeline") {
+    import spark.implicits._
+    // rolling-window chain: doc k (k = 0..11) = 24 consecutive tokens
+    // of one letters-only stream, shifted 2 per doc — adjacent docs
+    // share 22 of 24 tokens (3-shingle Jaccard ≈ 0.83, far above the
+    // banding + agreement gates, so every chain link is detected),
+    // while docs 0 and 11 share only 2 tokens (zero shingles — no
+    // edge possible). A connected pair graph missing the 0↔11 edge
+    // has diameter ≥ 2, so with propagateRounds = 1 min-label
+    // propagation cannot reach the fixpoint in its one round →
+    // ConnectedComponents.components must fall back to
+    // large-star/small-star INSIDE the pipeline run.
+    val stream = (0 until 46).map(i => f"w${('a' + i / 26).toChar}${('a' + i % 26).toChar}zz")
+    val chain = (0L to 11L).map { k =>
+      val text = stream.slice(k.toInt * 2, k.toInt * 2 + 24).mkString(" ")
+      (k, "src0", text)
+    }.toDF("doc_id", "source", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    // the pair graph is a chain: every adjacent link present (the
+    // high-overlap pairs MinHash cannot miss), the far ends unlinked
+    // — mid-distance skip edges are allowed (they shorten but never
+    // collapse the diameter below 2)
+    val pairs = graft.operators.Dedup.minhashPairs(chain)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L to 10L).foreach { k =>
+      assert(pairs.contains((k, k + 1)), s"fixture drifted: missing adjacent link ($k,${k + 1}) in $pairs")
+    }
+    assert(!pairs.contains((0L, 11L)), s"fixture drifted: far ends linked in $pairs")
+    val out = TrainingExport.run(
+      chain, chain.filter(col("doc_id") === 99L),
+      allOff.copy(dedup = TrainingExport.DedupNearDup(propagateRounds = 1),
+        contaminationMaxPpm = None))
+    // one chain component → only the min id survives
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(0L))
+    assert(graft.operators.ConnectedComponents.lastComponentsPath.get() == "star")
   }
 
   test("TrainingExport contamination gate drops the benchmark-overlapping cluster") {
