@@ -75,6 +75,23 @@ object SparkEntry {
     beforeCols = ordersCols,
     afterCols = ordersCols)
 
+  /** Duplicate-key collapsed twin of [[lineitemDiffSql]] — the
+    * synthetic lineitem genuinely duplicates (l_orderkey,
+    * l_linenumber) (TESTDATA.md), the very fixture SkewBench measures:
+    * reference semantics fan each duplicated key out b×a, the
+    * collapsed mode emits one row per key (MIN representative +
+    * multiplicity columns). The emitted SQL IS the mode's contract,
+    * run verbatim by the DuckDB oracle.
+    */
+  private val lineitemDupkeysDiffSql: String = DiffSql.generate(
+    beforeBody = "SELECT * FROM lineitem",
+    afterBody = Tables.lineitemAfterSql,
+    keys = Seq("l_orderkey", "l_linenumber"),
+    beforeCols = lineitemCols,
+    afterCols = lineitemCols :+ "extra_col",
+    paddedTypes = Map("extra_col" -> "DOUBLE"),
+    dedupDuplicateKeys = true)
+
   /** Legacy `_row_status = 0` twin of [[ordersDiffSql]] — the
     * reference's own version-skew trap (SURVEY §0 trap 1: README.md:189
     * and samples/setup_all.sql:80 count matches with `= 0`, the live
@@ -226,6 +243,22 @@ object SparkEntry {
           Seq("o_orderkey"),
           opts = graft.operators.DiffOptions(nullKeySideChannel = true))
         .orderBy("K_o_orderkey")
+    }),
+    "q_diff_dupkeys" -> ((s, dir) => {
+      // duplicate-business-key fast path end-to-end: lineitem's
+      // (l_orderkey, l_linenumber) is genuinely non-unique, so the
+      // reference-semantics join fans those keys out b×a (the
+      // SkewBench-measured skew killer); dedupDuplicateKeys collapses
+      // each side to one MIN-representative row per key first and
+      // carries the per-side multiplicity through (_dup_before /
+      // _dup_after / _dup_status)
+      TableDiff
+        .diff(
+          Tables.lineitem(s, dir),
+          Tables.lineitemAfter(s, dir),
+          Seq("l_orderkey", "l_linenumber"),
+          opts = DiffOptions(dedupDuplicateKeys = true))
+        .orderBy("K_l_orderkey", "K_l_linenumber")
     }),
     "q_diff_filtered" -> ((s, dir) => {
       // O2: per-side WHERE predicates — the reference's only
@@ -1322,6 +1355,8 @@ object SparkEntry {
       s"$lineitemFilteredDiffSql\nORDER BY K_l_orderkey, K_l_linenumber",
     "q_diff_nullkeys" ->
       s"$nullKeyDiffSql\nORDER BY K_o_orderkey",
+    "q_diff_dupkeys" ->
+      s"$lineitemDupkeysDiffSql\nORDER BY K_l_orderkey, K_l_linenumber",
     "q_diff_legacy" ->
       s"$ordersLegacyDiffSql\nORDER BY K_o_orderkey",
     "q_diff_legacy_summary" -> {

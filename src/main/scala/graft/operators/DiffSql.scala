@@ -24,6 +24,12 @@ object DiffSql {
     *                    for `CAST(NULL AS t)` padding (full_compare.sql.j2:45,52)
     * @param legacyRowStatusZero emit `0` instead of `NULL` for
     *                    present-both rows (SURVEY.md §0 trap 1)
+    * @param dedupDuplicateKeys collapse each side to one row per key
+    *                    tuple (MIN per data column + COUNT(*)) before
+    *                    the join and append `_dup_before` /
+    *                    `_dup_after` / `_dup_status` — the SQL twin of
+    *                    [[DiffOptions.dedupDuplicateKeys]], pinning
+    *                    the fast mode's contract in one definition
     */
   def generate(
       beforeBody: String,
@@ -32,10 +38,12 @@ object DiffSql {
       beforeCols: Seq[String],
       afterCols: Seq[String],
       paddedTypes: Map[String, String] = Map.empty,
-      legacyRowStatusZero: Boolean = false): String = {
+      legacyRowStatusZero: Boolean = false,
+      dedupDuplicateKeys: Boolean = false): String = {
     val allCols = SchemaUtils.mergeColumns(beforeCols, afterCols)
     val bSet = beforeCols.map(_.toLowerCase).toSet
     val aSet = afterCols.map(_.toLowerCase).toSet
+    val keySet = keys.map(_.toLowerCase).toSet
 
     def pad(c: String) =
       paddedTypes.get(c).map(t => s"CAST(NULL AS $t)").getOrElse("NULL")
@@ -65,28 +73,60 @@ object DiffSql {
       }
       .mkString(",\n  ")
 
+    // key collapse CTEs (dedupDuplicateKeys): one row per key tuple,
+    // MIN representative per data column, COUNT(*) multiplicity
+    def collapseSel(cols: Seq[String], cnt: String): String =
+      (keys ++
+        cols.filterNot(c => keySet(c.toLowerCase)).map(c => s"MIN($c) AS $c") :+
+        s"COUNT(*) AS $cnt").mkString(", ")
+    val collapseCtes =
+      if (!dedupDuplicateKeys) ""
+      else
+        s"""|, before_c AS (
+            |  SELECT ${collapseSel(beforeCols, "_dup_before")}
+            |  FROM before_t GROUP BY $keyList
+            |), after_c AS (
+            |  SELECT ${collapseSel(afterCols, "_dup_after")}
+            |  FROM after_t GROUP BY $keyList
+            |)""".stripMargin
+    val (bFrom, aFrom) =
+      if (dedupDuplicateKeys) ("before_c", "after_c") else ("before_t", "after_t")
+    val dupJoinedCols =
+      if (dedupDuplicateKeys) ",\n    b._dup_before AS _dup_before, a._dup_after AS _dup_after"
+      else ""
+    val dupTail =
+      if (!dedupDuplicateKeys) ""
+      else
+        """|,
+           |  _dup_before, _dup_after,
+           |  CASE WHEN _dup_before IS NULL AND _dup_after IS NULL THEN 0
+           |       WHEN _dup_before IS NULL THEN 2
+           |       WHEN _dup_after IS NULL THEN 3
+           |       WHEN _dup_before = _dup_after THEN 0
+           |       ELSE 1 END AS _dup_status""".stripMargin
+
     s"""WITH before_t AS (
        |$beforeBody
        |), after_t AS (
        |$afterBody
-       |), all_keys AS (
-       |  SELECT $keyList FROM before_t
+       |)$collapseCtes, all_keys AS (
+       |  SELECT $keyList FROM $bFrom
        |  UNION
-       |  SELECT $keyList FROM after_t
+       |  SELECT $keyList FROM $aFrom
        |), joined AS (
        |  SELECT $kEcho,
        |    $bProj,
-       |    $aProj
+       |    $aProj$dupJoinedCols
        |  FROM all_keys k
-       |  LEFT JOIN before_t b ON ${joinCond("b")}
-       |  LEFT JOIN after_t a ON ${joinCond("a")}
+       |  LEFT JOIN $bFrom b ON ${joinCond("b")}
+       |  LEFT JOIN $aFrom a ON ${joinCond("a")}
        |)
        |SELECT
        |  CASE WHEN b_$k0 IS NULL THEN 4
        |       WHEN a_$k0 IS NULL THEN 5
        |       ELSE $bothPresent END AS _row_status,
        |  ${keys.map(k => s"K_$k").mkString(", ")},
-       |  $statusCols
+       |  $statusCols$dupTail
        |FROM joined""".stripMargin
   }
 

@@ -54,6 +54,22 @@ import org.apache.spark.sql.types.MetadataBuilder
   *   bench scale) but builds a per-partition hash map of one side —
   *   use when partitions comfortably fit executor memory; sort-merge
   *   (default) degrades gracefully via spill at 100 TB.
+  * @param dedupDuplicateKeys collapse each side to ONE row per key
+  *   tuple BEFORE the join: every data column aggregated with `min`
+  *   (a deterministic representative; NULLs ignored unless the column
+  *   is all-NULL for the key, matching ANSI MIN) plus the side's row
+  *   count carried through as `_dup_before` / `_dup_after` (NULL when
+  *   the key is missing on that side) and a `_dup_status` cell coded
+  *   like any other status cell over the two counts. This is the
+  *   measured duplicate-key skew mitigation (SkewBench fixture 3: a
+  *   hot key with m×n fan-out makes the reference-semantics join emit
+  *   m×n rows — ~14 s literal / ~2 s plain vs ~1.3 s collapsed at
+  *   bench scale): the b×a output volume is irreducible by
+  *   scheduling, only key collapse removes it. NOT reference
+  *   semantics — the reference fans out b×a per duplicate key — so
+  *   it's opt-in, and the contract (one row per key, min
+  *   representative, counts) is exactly what the emitted oracle SQL
+  *   pins ([[DiffSql.generate]] with `dedupDuplicateKeys = true`).
   */
 final case class DiffOptions(
     legacyRowStatusZero: Boolean = false,
@@ -63,7 +79,8 @@ final case class DiffOptions(
     statusesAsMap: Boolean = false,
     nullKeySideChannel: Boolean = false,
     keysNotNull: Boolean = false,
-    preferShuffledHash: Boolean = false)
+    preferShuffledHash: Boolean = false,
+    dedupDuplicateKeys: Boolean = false)
 
 /** Spark-native re-expression of the reference's generated diff query
   * (reference: checkatron/templates/full_compare.sql.j2 — the entire
@@ -133,7 +150,10 @@ object TableDiff {
       // exact split by NULL pattern: NULL-containing key tuples can
       // only match NULL-containing tuples, so the sub-diffs partition
       // the output; the (small) NULL-key diff no longer rides the hot
-      // partitions of the main shuffle
+      // partitions of the main shuffle. (Composes with the key
+      // collapse below: a key tuple's rows share one NULL pattern, so
+      // each per-key group lands wholly in one branch and the
+      // sub-diffs collapse it identically.)
       val anyKeyNull = keyNames.map(col(_).isNull).reduce(_ || _)
       val sub = opts.copy(nullKeySideChannel = false)
       val mainDiff = diff(b.filter(!anyKeyNull), a.filter(!anyKeyNull), keyNames, opts = sub)
@@ -141,8 +161,35 @@ object TableDiff {
       return mainDiff.unionByName(nullDiff)
     }
 
+    // duplicate-key collapse (see DiffOptions.dedupDuplicateKeys):
+    // one hash aggregation per side — the same key shuffle the join
+    // pays anyway — in exchange for removing the m×n per-key join
+    // fan-out entirely. groupBy groups NULL key values together,
+    // consistent with the `<=>` join semantics downstream.
+    val dupB = if (opts.upperCase) "_DUP_BEFORE" else "_dup_before"
+    val dupA = if (opts.upperCase) "_DUP_AFTER" else "_dup_after"
+    val dupS = if (opts.upperCase) "_DUP_STATUS" else "_dup_status"
+    def collapse(df: DataFrame, cntName: String): DataFrame = {
+      val dataCols = df.columns.filterNot(c => keyNames.exists(_.equalsIgnoreCase(c)))
+      val aggs = dataCols.map(c => min(col(c)).as(c)) :+ count(lit(1)).as(cntName)
+      df.groupBy(keyNames.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
+    val (bc, ac) =
+      if (opts.dedupDuplicateKeys) {
+        val reserved = Seq(dupB, dupA, dupS)
+          .filter(r => (b.columns ++ a.columns).exists(_.equalsIgnoreCase(r)))
+        require(
+          reserved.isEmpty,
+          s"dedupDuplicateKeys reserves the column name(s) ${reserved.mkString(", ")}; " +
+            "rename the input column(s)")
+        (collapse(b, dupB), collapse(a, dupA))
+      } else (b, a)
+
     // G3: ordered union of both schemas, before-side first
-    val allCols = SchemaUtils.mergeColumnTypes(b.schema, a.schema)
+    val allCols = SchemaUtils.mergeColumnTypes(bc.schema, ac.schema)
+    // the multiplicity columns ride the join like data but are NOT
+    // status-matrix members — they surface raw per-side counts
+    val statusCols = allCols.filterNot { case (c, _) => c == dupB || c == dupA }
 
     // O6: per-side projection aligned to the union schema, with
     // literal-NULL padding for columns absent on that side
@@ -151,15 +198,15 @@ object TableDiff {
         if (df.columns.exists(_.equalsIgnoreCase(c))) col(c).as(prefix + c)
         else lit(null).cast(dt).as(prefix + c)
       }: _*)
-    val bAligned = aligned(b, "b_")
-    val aAligned = aligned(a, "a_")
+    val bAligned = aligned(bc, "b_")
+    val aAligned = aligned(ac, "a_")
 
     val joined: DataFrame =
       if (opts.literalPlan) {
         // O4: UNION (distinct) of key tuples from both sides
-        val allKeys = b
+        val allKeys = bc
           .select(keyNames.map(col): _*)
-          .union(a.select(keyNames.map(col): _*))
+          .union(ac.select(keyNames.map(col): _*))
           .distinct()
           .select(keyNames.map(k => col(k).as(opts.keyPrefix + k)): _*)
         // O5: two null-safe LEFT equi-joins (Spark plans <=> as a join key)
@@ -226,19 +273,37 @@ object TableDiff {
         "column(s) or set a different DiffOptions.keyPrefix")
     val keyMeta = new MetadataBuilder().putBoolean(TableDiff.KeyEchoMeta, true).build()
     val statusMeta = new MetadataBuilder().putBoolean(TableDiff.StatusMeta, true).build()
+    // multiplicity tail (dedupDuplicateKeys only): raw per-side counts
+    // (NULL when the key is missing on that side) + a status cell over
+    // them — "is the duplication factor itself different?"
+    val dupTail: Seq[Column] =
+      if (!opts.dedupDuplicateKeys) Nil
+      else {
+        val bcnt = col(s"b_$dupB")
+        val acnt = col(s"a_$dupA")
+        Seq(
+          bcnt.as(dupB),
+          acnt.as(dupA),
+          when(bcnt.isNull && acnt.isNull, Match)
+            .when(bcnt.isNull, NullInBeforeOnly)
+            .when(acnt.isNull, NullInAfterOnly)
+            .when(bcnt === acnt, Match)
+            .otherwise(Different)
+            .as(dupS, statusMeta))
+      }
     if (opts.statusesAsMap)
       joined.select(
-        rowStatus +:
+        (rowStatus +:
           keyNames.map(k => col(opts.keyPrefix + k).as(opts.keyPrefix + k, keyMeta)) :+
           map_from_arrays(
-            array(allCols.map { case (c, _) => lit(c) }: _*),
-            array(allCols.map { case (c, _) => status(c) }: _*))
-            .as("statuses", statusMeta): _*)
+            array(statusCols.map { case (c, _) => lit(c) }: _*),
+            array(statusCols.map { case (c, _) => status(c) }: _*))
+            .as("statuses", statusMeta)) ++ dupTail: _*)
     else
       joined.select(
-        rowStatus +:
+        (rowStatus +:
           keyNames.map(k => col(opts.keyPrefix + k).as(opts.keyPrefix + k, keyMeta)) ++:
-          allCols.map { case (c, _) => status(c).as(c, statusMeta) }: _*)
+          statusCols.map { case (c, _) => status(c).as(c, statusMeta) }) ++ dupTail: _*)
   }
 
   /** Column-metadata keys marking a diff result's status cells and
@@ -259,7 +324,14 @@ object TableDiff {
   def statusColumns(diff: DataFrame, keyPrefix: String = "K_"): Seq[String] = {
     val marked = diff.schema.fields.filter(hasMeta(_, StatusMeta)).map(_.name).toSeq
     if (marked.nonEmpty) marked
-    else diff.columns.filterNot(c => c == RowStatus || c.startsWith(keyPrefix)).toSeq
+    else diff.columns.filterNot { c =>
+      // the raw multiplicity columns of a dedupDuplicateKeys diff are
+      // counts, not status cells — without this a metadata-stripped
+      // (e.g. parquet round-tripped) dedup diff would flag EVERY row
+      // as differing through _dup_before >= 1
+      c == RowStatus || c.startsWith(keyPrefix) ||
+        c.equalsIgnoreCase("_dup_before") || c.equalsIgnoreCase("_dup_after")
+    }.toSeq
   }
 
   /** "Any column differs" predicate (reference README.md:18,209 —

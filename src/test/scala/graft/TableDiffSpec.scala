@@ -120,6 +120,87 @@ class TableDiffSpec extends AnyFunSuite {
     assert(lit.count() == 7)
   }
 
+  test("dedupDuplicateKeys collapses to one row per key with MIN representative + multiplicity") {
+    val before = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k1", "val")
+    val after = Seq((1, "x"), (1, "y"), (1, "z"), (3, "q")).toDF("k1", "val")
+    val d = TableDiff.diff(before, after, Seq("k1"),
+      opts = DiffOptions(dedupDuplicateKeys = true))
+    // one row per key — the reference-mandated b×a fan-out (2×3 on
+    // key 1) is gone; the counts carry what was collapsed
+    assert(d.count() == 3)
+    val byKey = rowsByKey(d, "K_k1")
+    val k1 = byKey(1)
+    assert(k1.getAs[Any]("_row_status") == null)
+    assert(k1.getAs[Long]("_dup_before") == 2L && k1.getAs[Long]("_dup_after") == 3L)
+    assert(k1.getAs[Int]("_dup_status") == TableDiff.Different)
+    assert(k1.getAs[Int]("val") == TableDiff.Different) // MIN "a" vs MIN "x"
+    val k2 = byKey(2) // only-in-before: after-side count NULL → status 3
+    assert(k2.getAs[Int]("_row_status") == TableDiff.MissingInAfter)
+    assert(k2.getAs[Long]("_dup_before") == 1L && k2.getAs[Any]("_dup_after") == null)
+    assert(k2.getAs[Int]("_dup_status") == TableDiff.NullInAfterOnly)
+    val k3 = byKey(3)
+    assert(k3.getAs[Int]("_row_status") == TableDiff.MissingInBefore)
+    assert(k3.getAs[Any]("_dup_before") == null && k3.getAs[Long]("_dup_after") == 1L)
+    assert(k3.getAs[Int]("_dup_status") == TableDiff.NullInBeforeOnly)
+    // equal-multiplicity key reads 0 — and identical content matches
+    // even though the INPUT rows were duplicated
+    val dupBoth = TableDiff.diff(
+      Seq((5, "m"), (5, "m")).toDF("k1", "val"),
+      Seq((5, "m"), (5, "m")).toDF("k1", "val"),
+      Seq("k1"), opts = DiffOptions(dedupDuplicateKeys = true)).collect().head
+    assert(dupBoth.getAs[Int]("_dup_status") == TableDiff.Match)
+    assert(dupBoth.getAs[Int]("val") == TableDiff.Match)
+    // literal-plan composition yields the identical collapsed result
+    val lit = TableDiff.diff(before, after, Seq("k1"),
+      opts = DiffOptions(dedupDuplicateKeys = true, literalPlan = true))
+    assert(lit.columns.toSeq == d.columns.toSeq)
+    assert(lit.exceptAll(d).isEmpty && d.exceptAll(lit).isEmpty)
+    // differingRows survives a metadata-stripping parquet round trip:
+    // raw counts are excluded from the name-heuristic status set, so
+    // an all-match collapsed diff flags nothing
+    val self = TableDiff.diff(before, before, Seq("k1"),
+      opts = DiffOptions(dedupDuplicateKeys = true))
+    val p = java.nio.file.Files.createTempDirectory("dupkeys").toString + "/d"
+    self.write.mode("overwrite").parquet(p)
+    assert(spark.read.parquet(p).filter(TableDiff.anyColumnDiffers(spark.read.parquet(p))).isEmpty)
+  }
+
+  test("dedupDuplicateKeys ≡ plain diff of pre-collapsed sides (contract property)") {
+    // the mode's contract: diff(collapse(b), collapse(a)) + counts.
+    // NULL keys group together (groupBy ≡ <=> pairing), all-NULL
+    // columns stay NULL through MIN.
+    val before = Seq(
+      (Option(1), Option(10)), (Option(1), Option.empty[Int]),
+      (Option.empty[Int], Option(7)), (Option.empty[Int], Option(3)),
+      (Option(2), Option.empty[Int]), (Option(2), Option.empty[Int])
+    ).toDF("k1", "val")
+    val after = Seq(
+      (Option(1), Option(10)),
+      (Option.empty[Int], Option(3)),
+      (Option(9), Option(1))
+    ).toDF("k1", "val")
+    val d = TableDiff.diff(before, after, Seq("k1"),
+      opts = DiffOptions(dedupDuplicateKeys = true))
+    import org.apache.spark.sql.functions.{col, count, lit => flit, min}
+    def collapsed(df: DataFrame) =
+      df.groupBy("k1").agg(min(col("val")).as("val"))
+    val manual = TableDiff.diff(collapsed(before), collapsed(after), Seq("k1"))
+    val dCore = d.drop("_dup_before", "_dup_after", "_dup_status")
+    assert(dCore.exceptAll(manual).isEmpty && manual.exceptAll(dCore).isEmpty)
+    // NULL key collapsed to ONE row carrying both sides' counts
+    val nullRow = d.filter(col("K_k1").isNull).collect()
+    assert(nullRow.length == 1)
+    assert(nullRow.head.getAs[Long]("_dup_before") == 2L)
+    assert(nullRow.head.getAs[Long]("_dup_after") == 1L)
+    // reserved-name guard fails fast
+    val clash = Seq((1, 2L)).toDF("k1", "_dup_before")
+    val e = intercept[IllegalArgumentException] {
+      TableDiff.diff(clash, clash, Seq("k1"),
+        opts = DiffOptions(dedupDuplicateKeys = true))
+    }
+    assert(e.getMessage.contains("_dup_before"))
+  }
+
   test("fast plan ≡ literal plan (same row multiset)") {
     val before = Seq(
       (Option(1), Option("a"), Option(10)),
