@@ -49,6 +49,10 @@ import org.apache.spark.sql.types.MetadataBuilder
   *   coalesce/isnull pairs, whose required distribution a bucketed
   *   table layout can never satisfy, so co-located bucket joins
   *   (zero-shuffle recurring diffs, BucketedDiffSpec) need `=` keys.
+  *   When every key field is ALREADY non-nullable in both sides'
+  *   Catalyst schemas the `=` plan is taken automatically (PlanSpec);
+  *   the declaration remains necessary for file-source inputs, whose
+  *   read schemas Spark deliberately widens to nullable.
   * @param preferShuffledHash hint the join to ShuffledHashJoin
   *   instead of sort-merge: skips both sort phases (~25% faster at
   *   bench scale) but builds a per-partition hash map of one side —
@@ -220,9 +224,20 @@ object TableDiff {
       } else {
         // Fast path: ONE full-outer null-safe join — equivalent row
         // multiset (see DiffOptions.literalPlan), 1/3rd the shuffles.
+        // When Catalyst can PROVE every key field non-nullable on
+        // both sides, `=` and `<=>` are identical and the `=` plan is
+        // taken automatically — same benefit as declaring
+        // keysNotNull, no user action. File-source scans never
+        // qualify on their own: Spark deliberately erases read-schema
+        // nullability (files are externally appendable), so parquet
+        // inputs still need the explicit declaration; proven lineage
+        // (aggregation keys, literals, constructed frames) does.
+        val autoEq = keyNames.forall { k =>
+          !bAligned.schema(s"b_$k").nullable && !aAligned.schema(s"a_$k").nullable
+        }
         val cond = keyNames
           .map { k =>
-            if (opts.keysNotNull) bAligned(s"b_$k") === aAligned(s"a_$k")
+            if (opts.keysNotNull || autoEq) bAligned(s"b_$k") === aAligned(s"a_$k")
             else bAligned(s"b_$k") <=> aAligned(s"a_$k")
           }
           .reduce(_ && _)

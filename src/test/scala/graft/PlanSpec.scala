@@ -184,6 +184,41 @@ class PlanSpec extends AnyFunSuite {
     assert("[+:]- Exchange".r.findAllIn(p).size == 1, p.take(2000))
   }
 
+  test("proven non-nullable keys take the = join automatically; file scans stay null-safe") {
+    import org.apache.spark.sql.catalyst.expressions.EqualNullSafe
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{DataFrame, Row}
+    import graft.operators.TableDiff
+    import scala.jdk.CollectionConverters._
+    def nullSafeKeyed(d: DataFrame): Boolean =
+      d.queryExecution.optimizedPlan
+        .collect { case j: Join => j.condition }
+        .flatten
+        .exists(_.exists(_.isInstanceOf[EqualNullSafe]))
+    // Catalyst-proven non-nullable key (constructed schema) → the `=`
+    // plan with no keysNotNull declaration
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType)))
+    val df = spark.createDataFrame(
+      Seq(Row(1L, "a"), Row(2L, "b")).asJava, schema)
+    val auto = TableDiff.diff(df, df, Seq("k"))
+    assert(!nullSafeKeyed(auto),
+      "non-nullable keys on both sides must plan as `=`")
+    assert(auto.filter("_row_status IS NULL").count() == 2) // and still correct
+    // parquet read: Spark widens the read schema to nullable (files
+    // are externally appendable), so the diff must KEEP `<=>` —
+    // auto-switching here would silently drop NULL-key pairing
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    assert(nullSafeKeyed(TableDiff.diff(o, o, Seq("o_orderkey"))),
+      "file-source keys are nullable by fiat and must stay null-safe")
+    // one proven side is not enough
+    val mixed = TableDiff.diff(df.toDF("o_orderkey", "v").select("o_orderkey"),
+      o.select("o_orderkey"), Seq("o_orderkey"))
+    assert(nullSafeKeyed(mixed), "a single nullable side must stay null-safe")
+  }
+
   test("partitioned sink read-back prunes to the filtered partition directory") {
     val p = plan("q_sink_partitioned")
     assert(p.contains("PartitionFilters: [isnotnull(event_type"), p.take(2000))
