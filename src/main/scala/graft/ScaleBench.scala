@@ -194,15 +194,33 @@ object ScaleBench {
         consumed(graft.operators.SimilaritySearch
           .quantizedTopK(emb, queryMod = 97 * mult))
       }
+      // IVF centroid-fit A/B: the Lloyd refinement is the dominant
+      // build cost (a full nearest-centroid pass per iteration);
+      // fitSampleMod caps it at a 1/16 hash-sample while assignment
+      // stays full-corpus. buildIndex's localize() collects each
+      // round, so timing the call (without consuming the lazy
+      // assignment frame) measures exactly seed + fit.
+      val nEmb = emb.count()
+      val ivfMod = math.max(1, math.round(math.sqrt(nEmb.toDouble)).toInt)
+      val ivfFitSec = time(iters) {
+        graft.operators.SimilaritySearch.buildIndex(emb, centroidMod = ivfMod)
+        ()
+      }
+      val ivfFitSampledSec = time(iters) {
+        graft.operators.SimilaritySearch
+          .buildIndex(emb, centroidMod = ivfMod, fitSampleMod = Some(16))
+        ()
+      }
       (mult, nRows, diffSec, aggSec, nDocs, funnelSec, natSec, natSampledSec,
-        pslSec, mixSec, bruteSec, quantSec)
+        pslSec, mixSec, bruteSec, quantSec, ivfFitSec, ivfFitSampledSec)
     }
 
-    val qs = results.map { case (m, n, d, a, nd, f, nt, nts, ps, mx, bt, qt) =>
+    val qs = results.map { case (m, n, d, a, nd, f, nt, nts, ps, mx, bt, qt, ivf, ivfs) =>
       s""""x$m":{"rows":$n,"diff_sec":${f"$d%.3f"},"agg_sec":${f"$a%.3f"},""" +
         s""""docs":$nd,"funnel_sec":${f"$f%.3f"},"nat_sec":${f"$nt%.3f"},""" +
         s""""nat_sampled_sec":${f"$nts%.3f"},"psl_sec":${f"$ps%.3f"},"mix_sec":${f"$mx%.3f"},""" +
-        s""""brute_topk_sec":${f"$bt%.3f"},"quant_topk_sec":${f"$qt%.3f"}}"""
+        s""""brute_topk_sec":${f"$bt%.3f"},"quant_topk_sec":${f"$qt%.3f"},""" +
+        s""""ivf_fit_sec":${f"$ivf%.3f"},"ivf_fit_sampled_sec":${f"$ivfs%.3f"}}"""
     }.mkString(",")
     // an empty mults list (the skip-to-probe mode) must still emit
     // valid JSON — a trailing comma would parse as null driver-side

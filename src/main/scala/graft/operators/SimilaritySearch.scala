@@ -210,13 +210,28 @@ object SimilaritySearch {
     * exactly the place a production pipeline can afford it. Callers
     * with a layout opinion pass an explicit modulus; the maxCentroids
     * guard applies either way.
+    *
+    * `fitSampleMod = Some(m)` runs the Lloyd refinement on the
+    * deterministic 1/m hash-sample of vectors (the naturalness
+    * `fitSampleMod` pattern — same cross-engine `poly_hash`) while
+    * the assignment pass still covers EVERY vector. Centroid
+    * refinement is statistical — at corpus scale a 1/m sample
+    * estimates the same per-list means — so this caps the dominant
+    * build cost (lloydIters full-corpus nearest-centroid passes) at
+    * O(corpus·(1/m + 1)): one sampled pass per iteration plus the
+    * one full assignment. A seed whose list captures no sampled
+    * vector drops out of that round's mean (standard
+    * k-means-on-sample attrition; the sample sizes list geometry, the
+    * full corpus still lands in the surviving lists). `Some(1)`
+    * reproduces the full fit bit-for-bit (spec-pinned).
     */
   def buildIndex(
       emb: DataFrame,
       centroidMod: Int = 0,
       lloydIters: Int = 1,
       idCol: String = "vec_id",
-      maxCentroids: Int = 1 << 20): IvfIndex = {
+      maxCentroids: Int = 1 << 20,
+      fitSampleMod: Option[Int] = None): IvfIndex = {
     val spark = emb.sparkSession
     val mod =
       if (centroidMod > 0) centroidMod
@@ -242,9 +257,20 @@ object SimilaritySearch {
         .select(col(idCol).as("cid"), col("embedding").as("cemb")))
     val byDist = Window.partitionBy("vid").orderBy(col("d"), col("cid"))
 
+    // Lloyd refinement input: the full corpus, or the deterministic
+    // 1/m hash-sample when fitSampleMod caps the per-iteration scan
+    val fitEmb = fitSampleMod match {
+      case None => emb
+      case Some(m) =>
+        require(m >= 1, s"fitSampleMod must be >= 1, got $m")
+        graft.functions.PolyHash.register(spark)
+        emb.filter(expr(
+          s"${graft.functions.TextExprs.charHashSpark(s"CAST($idCol AS STRING)")} % $m = 0"))
+    }
+
     val cents = (1 to lloydIters).foldLeft(seeds) { (c, _) =>
       localize(
-        emb
+        fitEmb
           .select(col(idCol).as("vid"), col("embedding"))
           .crossJoin(broadcast(c))
           .withColumn("d", expr(l2sqSpark("embedding", "cemb")))

@@ -466,6 +466,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(nlist >= 1 && nlist <= n / expectedMod + 1)
   }
 
+  test("sampled Lloyd fit: Some(1) is the full fit bit-for-bit; a real sample keeps recall") {
+    import graft.operators.SimilaritySearch
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 97 === 0)
+    val full = SimilaritySearch.buildIndex(emb, centroidMod = 50)
+    // the degenerate sample is the full corpus — identical centroids
+    // and identical probe output, pinning that the sampling path adds
+    // no numeric drift
+    val mod1 = SimilaritySearch.buildIndex(emb, centroidMod = 50, fitSampleMod = Some(1))
+    assert(mod1.centroids.collect().toSet == full.centroids.collect().toSet)
+    // a genuine 1/4 sample: list geometry shifts (k-means on a
+    // sample), so the judge of quality is recall@5 against the BRUTE
+    // ground truth, not agreement with the full fit's lists — the fit
+    // is statistical, the assignment is still full-corpus
+    val truth = SimilaritySearch.bruteTopK(emb).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("cand_id")).toSet).toMap
+    def recallAt5(idx: SimilaritySearch.IvfIndex): Double = {
+      val got = SimilaritySearch.probe(idx, queries).collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.map(_.getAs[Long]("cand_id")).toSet).toMap
+      val hits = truth.map { case (q, t) => (t intersect got.getOrElse(q, Set.empty)).size }.sum
+      hits.toDouble / truth.values.map(_.size).sum
+    }
+    val fullRecall = recallAt5(full)
+    val sampled = SimilaritySearch.buildIndex(emb, centroidMod = 50, fitSampleMod = Some(4))
+    val sampledRecall = recallAt5(sampled)
+    info(f"recall@5 full=$fullRecall%.3f sampled(1/4)=$sampledRecall%.3f")
+    // sampling the fit must not cost meaningful retrieval quality
+    assert(sampledRecall >= fullRecall - 0.05,
+      f"sampled-fit recall $sampledRecall%.3f dropped more than 0.05 below full-fit $fullRecall%.3f")
+  }
+
   test("prunedJoin supports same-named key columns via a USING join") {
     import spark.implicits._
     val large = (1L to 100L).map(k => (k, k % 7)).toDF("id", "key")
