@@ -95,6 +95,17 @@ object Bench {
         other.subqueries.map(countExchanges).sum
   }
 
+  /** The shuffle-bytes tolerance: >3× the previous round's bytes AND
+    * >1 MiB absolute growth. The ratio alone would flag kilobyte-scale
+    * noise (a 118-byte single-row exchange jittering to 400), the
+    * absolute floor alone would miss a small query's corpus-sized
+    * mistake; both together fire only when real data volume moved.
+    * Negative readings (failed query / missing listener window) never
+    * flag. (private[graft]: BenchMetricsSpec pins the predicate.)
+    */
+  private[graft] def shuffleBytesRegressed(now: Long, prev: Long): Boolean =
+    now >= 0 && prev >= 0 && now > 3 * prev && now - prev > (1L << 20)
+
   /** Per-query baseline map for the 2× flag, parsed leniently (flat
     * {"q_name": sec} JSON). Missing file → no flags (new queries have
     * no baseline to be over).
@@ -228,23 +239,41 @@ object Bench {
         }
         rows.mkString(""","recheck":{""", ",", "}")
       }
-    // structural companion to the 2× wall-time gate: vs a previous
+    // structural companions to the 2× wall-time gate: vs a previous
     // round's artifact (SPARK_GRAFT_BENCH_PREV=path to its
-    // BENCH_out.json), any query whose executed plan gained exchanges
-    // is flagged even if its wall time stayed inside 2×
-    val exchangeRegressions = sys.env.get("SPARK_GRAFT_BENCH_PREV")
-      .map(Paths.get(_)).filter(Files.isRegularFile(_)).toSeq.flatMap { p =>
+    // BENCH_out.json):
+    //   - exchange_regressions: the executed plan gained exchanges;
+    //   - shuffle_regressions: exchange count held but the bytes
+    //     through those exchanges blew past 3× — the same-count plan
+    //     that quietly starts shuffling the corpus instead of its
+    //     keys, which the count diff is blind to. (Count increases
+    //     stay in THEIR map; one cause, one flag.)
+    // Both flag even when wall time stays inside 2×.
+    val prevDetail = sys.env.get("SPARK_GRAFT_BENCH_PREV")
+      .map(Paths.get(_)).filter(Files.isRegularFile(_)).map { p =>
         val txt = new String(Files.readAllBytes(p), "UTF-8")
-        val prev = "\"(q_[a-z_0-9]+)\":\\{[^}]*\"n_exchanges\":(-?[0-9]+)".r
-          .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toInt).toMap
-        results.collect {
-          case (k, _, _, _, ne) if ne >= 0 && prev.get(k).exists(pe => pe >= 0 && ne > pe) =>
-            s""""$k":{"prev":${prev(k)},"now":$ne}"""
-        }
-      }
+        "\"(q_[a-z_0-9]+)\":\\{[^}]*\"shuffle_bytes\":(-?[0-9]+),\"n_exchanges\":(-?[0-9]+)".r
+          .findAllMatchIn(txt)
+          .map(m => m.group(1) -> ((m.group(2).toLong, m.group(3).toInt)))
+          .toMap
+      }.getOrElse(Map.empty[String, (Long, Int)])
+    val exchangeRegressions = results.collect {
+      case (k, _, _, _, ne)
+          if ne >= 0 && prevDetail.get(k).exists { case (_, pe) => pe >= 0 && ne > pe } =>
+        s""""$k":{"prev":${prevDetail(k)._2},"now":$ne}"""
+    }
+    val shuffleRegressions = results.collect {
+      case (k, _, _, sb, ne)
+          if prevDetail.get(k).exists { case (psb, pe) =>
+            pe >= 0 && ne >= 0 && ne <= pe && shuffleBytesRegressed(sb, psb)
+          } =>
+        s""""$k":{"prev_bytes":${prevDetail(k)._1},"now_bytes":$sb}"""
+    }
     val exRegJson =
-      if (exchangeRegressions.isEmpty) ""
-      else exchangeRegressions.mkString(""","exchange_regressions":{""", ",", "}")
+      (if (exchangeRegressions.isEmpty) ""
+       else exchangeRegressions.mkString(""","exchange_regressions":{""", ",", "}")) +
+        (if (shuffleRegressions.isEmpty) ""
+         else shuffleRegressions.mkString(""","shuffle_regressions":{""", ",", "}"))
     val flagsJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fileLine = line.dropRight(1) + s""","flags":$flagsJson,$detail$recheck$exRegJson}"""
     // the driver's stdout capture is a ~2 KB tail that truncates the

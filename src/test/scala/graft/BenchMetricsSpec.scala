@@ -67,4 +67,24 @@ class BenchMetricsSpec extends AnyFunSuite {
       assert(n >= 1 && n <= 2, s"reused exchange must not double-count, got $n")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("shuffle-bytes regression predicate: ratio AND absolute floor, never on failures") {
+    val MiB = 1L << 20
+    // real regression: 3× blown AND >1 MiB moved
+    assert(Bench.shuffleBytesRegressed(now = 10 * MiB, prev = 2 * MiB))
+    // kilobyte-scale exchange jitter is NOT a regression even at 3×+
+    assert(!Bench.shuffleBytesRegressed(now = 400, prev = 118))
+    // large absolute growth under 3× is the wall/exchange gates' job
+    assert(!Bench.shuffleBytesRegressed(now = 5 * MiB, prev = 2 * MiB))
+    // boundary: exactly 3× does not flag; just past both bounds does
+    assert(!Bench.shuffleBytesRegressed(now = 6 * MiB, prev = 2 * MiB))
+    assert(Bench.shuffleBytesRegressed(now = 6 * MiB + MiB + 1, prev = 2 * MiB))
+    // a query with no measurement (failed run, missing listener
+    // window) reads -1 and must never flag in either position
+    assert(!Bench.shuffleBytesRegressed(now = -1, prev = 2 * MiB))
+    assert(!Bench.shuffleBytesRegressed(now = 10 * MiB, prev = -1))
+    // zero-shuffle previous round: any new shuffle over the floor flags
+    assert(Bench.shuffleBytesRegressed(now = 2 * MiB, prev = 0))
+    assert(!Bench.shuffleBytesRegressed(now = MiB / 2, prev = 0))
+  }
 }
