@@ -627,6 +627,22 @@ object SparkEntry {
       slice.write.mode("overwrite").orc(orcPath)
       s.read.orc(orcPath).orderBy("l_orderkey", "l_linenumber", "l_quantity")
     }),
+    "q_sink_avro_roundtrip" -> ((s, dir) => {
+      // Avro sink/source round trip on the row-oriented exchange
+      // format (graft.sources.AvroIO — built on Avro core; Spark's
+      // jars do not bundle the spark-avro datasource module). The
+      // lineitem slice carries an NTZ timestamp, pinning the
+      // local-timestamp-micros logical-type mapping both ways; the
+      // disjoint % 5 slice keeps this query's data distinct from the
+      // ORC twin's.
+      val slice = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 5 === 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag", "l_shipdate")
+      graft.sources.AvroIO.write(slice, avroPath)
+      graft.sources.AvroIO.read(s, avroPath, slice.schema)
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    }),
     "q_sink_csv_roundtrip" -> ((s, dir) => {
       // CSV sink/source round trip on the nastiest table for the
       // format: document text bodies with embedded commas, quotes,
@@ -1262,6 +1278,7 @@ object SparkEntry {
   private lazy val jsonPath: String = scratchDir("documents_json")
   private lazy val csvPath: String = scratchDir("documents_csv")
   private lazy val orcPath: String = scratchDir("lineitem_orc")
+  private lazy val avroPath: String = scratchDir("lineitem_avro")
 
   /** Top-20 longest sessions as (window_id, start, end) incident
     * windows — shared by q_range_join and q_range_join_auto.
@@ -1539,6 +1556,11 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |  l_extendedprice, l_returnflag, l_shipdate
         |FROM lineitem WHERE l_orderkey % 7 = 0
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+    "q_sink_avro_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  l_extendedprice, l_returnflag, l_shipdate
+        |FROM lineitem WHERE l_orderkey % 5 = 0
         |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
     "q_sink_csv_roundtrip" ->
       """SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
