@@ -20,17 +20,10 @@ package graft
   */
 object ScratchWarehouse {
   lazy val dir: String = {
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val root =
-      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
-      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    val p = java.nio.file.Files.createTempDirectory(root, "graft_warehouse_")
+    val p = TmpfsScratch.createTempDir("graft_warehouse_")
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(f => java.nio.file.Files.deleteIfExists(f))
-      } catch { case _: Throwable => () }))
+      try TmpfsScratch.deleteRecursively(p)
+      catch { case _: Throwable => () }))
     p.toString
   }
 }

@@ -264,8 +264,19 @@ object SimilaritySearch {
       case Some(m) =>
         require(m >= 1, s"fitSampleMod must be >= 1, got $m")
         graft.functions.PolyHash.register(spark)
-        emb.filter(expr(
+        val sample = emb.filter(expr(
           s"${graft.functions.TextExprs.charHashSpark(s"CAST($idCol AS STRING)")} % $m = 0"))
+        // a dry sample would silently collapse the centroid set to
+        // zero rows after the first Lloyd round (empty aggregation →
+        // empty index → probes return nothing, no error anywhere) —
+        // fail loudly with the sizing remedy instead. One limit-1
+        // probe job, sampled mode only.
+        require(
+          m == 1 || sample.head(1).nonEmpty,
+          s"ivf buildIndex: fitSampleMod=$m sampled zero vectors — the corpus is " +
+            "too small for this modulus; lower fitSampleMod (target ≥ ~100 sampled " +
+            "vectors per expected centroid) or drop it for a full fit.")
+        sample
     }
 
     val cents = (1 to lloydIters).foldLeft(seeds) { (c, _) =>

@@ -192,8 +192,14 @@ object TableDiff {
     // G3: ordered union of both schemas, before-side first
     val allCols = SchemaUtils.mergeColumnTypes(bc.schema, ac.schema)
     // the multiplicity columns ride the join like data but are NOT
-    // status-matrix members — they surface raw per-side counts
-    val statusCols = allCols.filterNot { case (c, _) => c == dupB || c == dupA }
+    // status-matrix members — they surface raw per-side counts.
+    // Dedup mode only: in a plain diff a user data column that
+    // happens to be named _dup_before is ordinary data and must keep
+    // its status cell.
+    val statusCols =
+      if (opts.dedupDuplicateKeys)
+        allCols.filterNot { case (c, _) => c == dupB || c == dupA }
+      else allCols
 
     // O6: per-side projection aligned to the union schema, with
     // literal-NULL padding for columns absent on that side
@@ -339,14 +345,23 @@ object TableDiff {
   def statusColumns(diff: DataFrame, keyPrefix: String = "K_"): Seq[String] = {
     val marked = diff.schema.fields.filter(hasMeta(_, StatusMeta)).map(_.name).toSeq
     if (marked.nonEmpty) marked
-    else diff.columns.filterNot { c =>
+    else {
       // the raw multiplicity columns of a dedupDuplicateKeys diff are
-      // counts, not status cells — without this a metadata-stripped
-      // (e.g. parquet round-tripped) dedup diff would flag EVERY row
-      // as differing through _dup_before >= 1
-      c == RowStatus || c.startsWith(keyPrefix) ||
-        c.equalsIgnoreCase("_dup_before") || c.equalsIgnoreCase("_dup_after")
-    }.toSeq
+      // counts, not status cells — without excluding them a
+      // metadata-stripped (e.g. parquet round-tripped) dedup diff
+      // would flag EVERY row as differing through _dup_before >= 1.
+      // Exclude by name ONLY when the frame carries the full dedup
+      // trio (both counts + _dup_status): a plain diff over user data
+      // that happens to contain a _dup_before column keeps it in the
+      // status set.
+      val lower = diff.columns.map(_.toLowerCase).toSet
+      val dedupShaped = Seq("_dup_before", "_dup_after", "_dup_status").forall(lower)
+      diff.columns.filterNot { c =>
+        c == RowStatus || c.startsWith(keyPrefix) ||
+          (dedupShaped &&
+            (c.equalsIgnoreCase("_dup_before") || c.equalsIgnoreCase("_dup_after")))
+      }.toSeq
+    }
   }
 
   /** "Any column differs" predicate (reference README.md:18,209 —

@@ -86,6 +86,12 @@ object AvroIO {
     */
   private def toAvro(v: Any, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
+    // short/byte map to Avro INT in the schema; the VALUE must be an
+    // Integer too — Avro's union resolution (GenericData.isInteger)
+    // recognizes only java.lang.Integer, so an unconverted Short in a
+    // [null, int] union throws "Unknown datum type"
+    case (s: java.lang.Short, ShortType) => java.lang.Integer.valueOf(s.intValue)
+    case (b: java.lang.Byte, ByteType) => java.lang.Integer.valueOf(b.intValue)
     case (t: java.sql.Timestamp, TimestampType) =>
       val i = t.toInstant
       micosOf(i.getEpochSecond, i.getNano)
@@ -194,14 +200,20 @@ object AvroIO {
         bc.value.foreach { case (k, v) => conf.set(k, v) }
         val in = new FsInput(new Path(f), conf)
         val reader = DataFileReader.openReader(in, new GenericDatumReader[GenericRecord]())
-        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-        try {
-          while (reader.hasNext) {
-            val rec = reader.next()
-            out += Row.fromSeq(types.indices.map(j => fromAvro(rec.get(j), types(j))))
+        // STREAM the file — a task must hold one record, not its whole
+        // container file, or a large write partition OOMs the read task
+        new Iterator[Row] {
+          private var open = true
+          def hasNext: Boolean = {
+            if (open && !reader.hasNext) { reader.close(); open = false }
+            open
           }
-        } finally reader.close()
-        out
+          def next(): Row = {
+            if (!hasNext) throw new NoSuchElementException
+            val rec = reader.next()
+            Row.fromSeq(types.indices.map(j => fromAvro(rec.get(j), types(j))))
+          }
+        }
       }
     spark.createDataFrame(rows, schema)
   }

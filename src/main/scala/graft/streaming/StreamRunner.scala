@@ -206,10 +206,7 @@ object StreamRunner {
         // slice index explicitly instead of trusting write latency
         Files.setLastModifiedTime(
           dest, java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
-        val walk = Files.walk(tmp)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(f => Files.deleteIfExists(f))
-        finally walk.close()
+        graft.TmpfsScratch.deleteRecursively(tmp)
       }
       (stage.toString, df.schema)
     })
@@ -237,11 +234,7 @@ object StreamRunner {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, statePartitions)
-    val shm = Paths.get("/dev/shm")
-    val ckRoot =
-      if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
-      else Paths.get(System.getProperty("java.io.tmpdir"))
-    val ck = Files.createTempDirectory(ckRoot, "graft_stream_fold_ck_")
+    val ck = graft.TmpfsScratch.createTempDir("graft_stream_fold_ck_")
     @volatile var acc = zero
     try {
       // The conf must stay overridden until awaitTermination returns:
@@ -259,11 +252,7 @@ object StreamRunner {
       acc
     } finally {
       spark.conf.set(key, prev)
-      import scala.jdk.CollectionConverters._
-      val walk = Files.walk(ck)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(f => Files.deleteIfExists(f))
-      finally walk.close()
+      graft.TmpfsScratch.deleteRecursively(ck)
     }
   }
 
@@ -325,10 +314,7 @@ object StreamRunner {
       // preserved the source attribute on some filesystem
       Files.setLastModifiedTime(
         dest, java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-      val walk = Files.walk(tmp)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(f => Files.deleteIfExists(f))
-      finally walk.close()
+      graft.TmpfsScratch.deleteRecursively(tmp)
     }
   }
 
@@ -401,11 +387,7 @@ object StreamRunner {
     // sink before the dir is deleted) — paying disk fsync latency per
     // commit buys nothing. A real deployment points this at durable
     // storage; that knob is writeStream's, not the operator's.
-    val shm = Paths.get("/dev/shm")
-    val ckRoot =
-      if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
-      else Paths.get(System.getProperty("java.io.tmpdir"))
-    val ck = Files.createTempDirectory(ckRoot, "graft_stream_ck_")
+    val ck = graft.TmpfsScratch.createTempDir("graft_stream_ck_")
     try {
       // same rule as foldBatches: micro-batches plan asynchronously,
       // so the conf override must survive until awaitTermination
@@ -424,11 +406,7 @@ object StreamRunner {
       prevProv.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
       prevClog.fold(spark.conf.unset(clogKey))(spark.conf.set(clogKey, _))
       // tmpfs is RAM — leaking checkpoints would eat memory, not disk
-      import scala.jdk.CollectionConverters._
-      val walk = Files.walk(ck)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(f => Files.deleteIfExists(f))
-      finally walk.close()
+      graft.TmpfsScratch.deleteRecursively(ck)
     }
   }
 }

@@ -64,6 +64,27 @@ class AvroIOSpec extends AnyFunSuite {
     }
   }
 
+  test("nullable short/byte columns write through the [null,int] union") {
+    // Avro's union resolution recognizes only java.lang.Integer for
+    // the int branch — unconverted Short/Byte values used to throw
+    // "Unknown datum type" at write time
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("sh", ShortType),
+      StructField("by", ByteType)))
+    val rows = Seq(
+      Row(1L, 123.toShort, 7.toByte),
+      Row(2L, null, null),
+      Row(3L, Short.MinValue, Byte.MaxValue))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val p = tmp("avro_short")
+    AvroIO.write(df, p)
+    val got = AvroIO.read(spark, p, schema).collect().sortBy(_.getLong(0))
+    assert(got(0).getShort(1) == 123.toShort && got(0).getByte(2) == 7.toByte)
+    assert(got(1).isNullAt(1) && got(1).isNullAt(2))
+    assert(got(2).getShort(1) == Short.MinValue && got(2).getByte(2) == Byte.MaxValue)
+  }
+
   test("timestamps carry the Avro spec's logical types in the emitted schema") {
     val schema = StructType(Seq(
       StructField("ts", TimestampType),

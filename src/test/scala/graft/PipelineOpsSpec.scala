@@ -497,6 +497,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     // sampling the fit must not cost meaningful retrieval quality
     assert(sampledRecall >= fullRecall - 0.05,
       f"sampled-fit recall $sampledRecall%.3f dropped more than 0.05 below full-fit $fullRecall%.3f")
+    // a dry sample must fail loudly, not build a silently-empty index
+    val tiny = emb.filter(col("vec_id") < 3)
+    val e = intercept[IllegalArgumentException] {
+      SimilaritySearch.buildIndex(tiny, centroidMod = 1, fitSampleMod = Some(1 << 20))
+    }
+    assert(e.getMessage.contains("sampled zero vectors"))
   }
 
   test("prunedJoin supports same-named key columns via a USING join") {

@@ -199,6 +199,16 @@ class TableDiffSpec extends AnyFunSuite {
         opts = DiffOptions(dedupDuplicateKeys = true))
     }
     assert(e.getMessage.contains("_dup_before"))
+    // a PLAIN diff over user data that happens to carry a _dup_before
+    // column keeps it in the status set even after a metadata-
+    // stripping round trip: the name exclusion applies only to frames
+    // carrying the full dedup trio (counts + _dup_status)
+    val plain = TableDiff.diff(clash, Seq((1, 3L)).toDF("k1", "_dup_before"), Seq("k1"))
+    val pp = java.nio.file.Files.createTempDirectory("plaindup").toString + "/d"
+    plain.write.mode("overwrite").parquet(pp)
+    val stripped = spark.read.parquet(pp)
+    assert(TableDiff.statusColumns(stripped).contains("_dup_before"))
+    assert(stripped.filter(TableDiff.anyColumnDiffers(stripped)).count() == 1)
   }
 
   test("fast plan ≡ literal plan (same row multiset)") {
