@@ -45,30 +45,40 @@ import org.apache.spark.sql.types._
   */
 object AvroIO {
 
-  /** Catalyst → Avro schema for the supported scalar surface. Every
-    * field is emitted as `union(null, T)` when nullable, matching how
-    * the datasource module maps Spark nullability.
+  /** Catalyst → Avro schema for the supported surface: the scalar
+    * types plus ARRAY of them (the embedding-column shape). Every
+    * nullable field (and nullable array element) is emitted as
+    * `union(null, T)`, matching how the datasource module maps Spark
+    * nullability.
     */
   def toAvroSchema(schema: StructType, recordName: String = "graft_record"): Schema = {
+    def avroOf(dt: DataType, where: String): Schema = dt match {
+      case LongType => Schema.create(Schema.Type.LONG)
+      case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
+      case DoubleType => Schema.create(Schema.Type.DOUBLE)
+      case FloatType => Schema.create(Schema.Type.FLOAT)
+      case StringType => Schema.create(Schema.Type.STRING)
+      case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+      case BinaryType => Schema.create(Schema.Type.BYTES)
+      case TimestampType =>
+        LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+      case TimestampNTZType =>
+        LogicalTypes.localTimestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+      case DateType =>
+        LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+      case ArrayType(elem, containsNull) =>
+        // ARRAY<scalar> — the embedding-column shape. Element
+        // nullability maps to a [null, T] element union, same rule as
+        // fields.
+        val e = avroOf(elem, where + " element")
+        Schema.createArray(
+          if (containsNull) Schema.createUnion(Schema.create(Schema.Type.NULL), e) else e)
+      case other =>
+        throw new IllegalArgumentException(
+          s"AvroIO does not map Catalyst type $other ($where)")
+    }
     val fields = schema.fields.map { f =>
-      val base = f.dataType match {
-        case LongType => Schema.create(Schema.Type.LONG)
-        case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
-        case DoubleType => Schema.create(Schema.Type.DOUBLE)
-        case FloatType => Schema.create(Schema.Type.FLOAT)
-        case StringType => Schema.create(Schema.Type.STRING)
-        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
-        case BinaryType => Schema.create(Schema.Type.BYTES)
-        case TimestampType =>
-          LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
-        case TimestampNTZType =>
-          LogicalTypes.localTimestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
-        case DateType =>
-          LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
-        case other =>
-          throw new IllegalArgumentException(
-            s"AvroIO does not map Catalyst type $other (column '${f.name}')")
-      }
+      val base = avroOf(f.dataType, s"column '${f.name}'")
       val t = if (f.nullable) Schema.createUnion(Schema.create(Schema.Type.NULL), base) else base
       new Schema.Field(
         f.name, t, null,
@@ -101,6 +111,10 @@ object AvroIO {
     case (d: java.sql.Date, DateType) => d.toLocalDate.toEpochDay.toInt
     case (d: LocalDate, DateType) => d.toEpochDay.toInt
     case (b: Array[Byte], BinaryType) => ByteBuffer.wrap(b)
+    case (s: scala.collection.Seq[_], ArrayType(elem, _)) =>
+      val out = new java.util.ArrayList[Any](s.length)
+      s.foreach(e => out.add(toAvro(e, elem)))
+      out
     case (x, _) => x
   }
 
@@ -127,6 +141,8 @@ object AvroIO {
     case (s: CharSequence, StringType) => s.toString
     case (b: ByteBuffer, BinaryType) =>
       val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+    case (l: java.util.Collection[_], ArrayType(elem, _)) =>
+      l.asScala.iterator.map(e => fromAvro(e, elem)).toSeq
     case (x, _) => x
   }
 

@@ -114,6 +114,36 @@ class AvroIOSpec extends AnyFunSuite {
     assert(back.select("id").collect().map(_.getLong(0)).sorted.toSeq == (1L to 100L))
   }
 
+  test("array columns round-trip — including the real embeddings table") {
+    // synthetic: nullable array of nullable ints
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("xs", ArrayType(IntegerType, containsNull = true))))
+    val rows = Seq(
+      Row(1L, Seq(1, null, 3)),
+      Row(2L, null),
+      Row(3L, Seq.empty[Int]))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val p = tmp("avro_arr")
+    AvroIO.write(df, p)
+    val got = AvroIO.read(spark, p, schema).collect().sortBy(_.getLong(0))
+    assert(got(0).getSeq[Any](1) == Seq(1, null, 3))
+    assert(got(1).isNullAt(1))
+    assert(got(2).getSeq[Any](1).isEmpty)
+    // the production shape: embeddings (ARRAY<FLOAT>) hash-identical
+    // through the Avro round trip
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val p2 = tmp("avro_emb")
+    AvroIO.write(emb, p2)
+    val back = AvroIO.read(spark, p2, emb.schema)
+    import org.apache.spark.sql.functions.{col, concat_ws, expr, xxhash64}
+    def digest(d: org.apache.spark.sql.DataFrame): Long = d
+      .select(xxhash64(col("vec_id"), concat_ws(",", col("embedding").cast("array<string>"))).as("h"))
+      .agg(expr("bit_xor(h)")).head().getLong(0)
+    assert(back.count() == emb.count())
+    assert(digest(back) == digest(emb))
+  }
+
   test("overwrite replaces prior contents; unsupported types fail fast") {
     import spark.implicits._
     val p = tmp("avro_ow")
