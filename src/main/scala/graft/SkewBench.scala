@@ -174,6 +174,14 @@ object SkewBench {
       TableDiff.diff(
         dupBefore.dropDuplicates("k"), dupAfter.dropDuplicates("k"), Seq("k")).count()
     }
+    // the mitigation as shipped API (round 11): dedupDuplicateKeys
+    // collapses per-side INSIDE the diff (MIN representative +
+    // multiplicity columns) — same join shape as the manual
+    // dropDuplicates row, plus the multiplicity accounting
+    val dupCollapseMode = time(iters) {
+      TableDiff.diff(dupBefore, dupAfter, Seq("k"),
+        opts = DiffOptions(dedupDuplicateKeys = true)).count()
+    }
 
     println(
       s"""{"metric":"skew_bench","iters":$iters,"sf":"$sfDir",
@@ -185,7 +193,8 @@ object SkewBench {
          |"dup_diff_no_skewjoin_sec":${f"$dupNoSkewJoin%.3f"},
          |"dup_diff_skewjoin_sec":${f"$dupSkewJoin%.3f"},
          |"dup_diff_literal_skewjoin_sec":${f"$dupLiteral%.3f"},
-         |"dup_diff_prededup_sec":${f"$dupPreDedup%.3f"}}"""
+         |"dup_diff_prededup_sec":${f"$dupPreDedup%.3f"},
+         |"dup_diff_collapse_mode_sec":${f"$dupCollapseMode%.3f"}}"""
         .stripMargin.replaceAll("\n", ""))
     spark.stop()
   }

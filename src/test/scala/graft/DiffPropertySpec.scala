@@ -105,4 +105,33 @@ class DiffPropertySpec extends AnyFunSuite {
       assert(d.select("K_k").distinct().count() == expected)
     }
   }
+
+  test("dedupDuplicateKeys law: ≡ plain diff of MIN-collapsed sides + exact multiplicities") {
+    import graft.operators.DiffOptions
+    for (_ <- 1 to 8) {
+      val a = randTable(allowNullKey = true)
+      val b = randTable(allowNullKey = true)
+      val d = TableDiff.diff(a, b, Seq("k"),
+        opts = DiffOptions(dedupDuplicateKeys = true))
+      // one output row per key tuple, NULL keys one group
+      assert(d.count() == a.select("k").union(b.select("k")).distinct().count())
+      // status matrix ≡ a plain diff over manually collapsed sides
+      def collapsed(df: DataFrame): DataFrame =
+        df.groupBy("k").agg(min("v1").as("v1"), min("v2").as("v2"))
+      val manual = TableDiff.diff(collapsed(a), collapsed(b), Seq("k"))
+      val core = d.drop("_dup_before", "_dup_after", "_dup_status")
+      assert(core.exceptAll(manual).isEmpty && manual.exceptAll(core).isEmpty,
+        s"collapse law violated\nA:\n${a.collect().mkString("\n")}\nB:\n${b.collect().mkString("\n")}")
+      // multiplicities are the sides' true per-key row counts
+      val beforeCounts = a.groupBy("k").count().collect()
+        .map(r => r.get(0) -> r.getLong(1)).toMap
+      val afterCounts = b.groupBy("k").count().collect()
+        .map(r => r.get(0) -> r.getLong(1)).toMap
+      d.collect().foreach { r =>
+        val k = r.getAs[Any]("K_k")
+        assert(Option(r.getAs[Any]("_dup_before")) == beforeCounts.get(k).map(identity))
+        assert(Option(r.getAs[Any]("_dup_after")) == afterCounts.get(k).map(identity))
+      }
+    }
+  }
 }
