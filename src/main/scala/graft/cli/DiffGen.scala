@@ -20,6 +20,10 @@ import graft.operators.DiffSql
   *   - `--before_table/--after_table` overrides; otherwise inferred
   *     from the CSV filename stem with `_`→`.` (diffgen.py:86-94)
   *   - `--out` (default diff.sql), `--single_line`, `--stack_input`
+  *   - `--dedup_keys` emit the duplicate-key collapse form
+  *     ([[graft.operators.DiffSql.generate]] `dedupDuplicateKeys`) —
+  *     an extension past the reference CLI, mirroring
+  *     `DiffOptions.dedupDuplicateKeys`
   *     (diffgen.py:58-66,120-140)
   */
 object DiffGen {
@@ -34,7 +38,8 @@ object DiffGen {
       afterTable: Option[String] = None,
       out: String = "diff.sql",
       singleLine: Boolean = false,
-      stackInput: Option[String] = None)
+      stackInput: Option[String] = None,
+      dedupKeys: Boolean = false)
 
   /** RFC-4180-style CSV line split: handles quoted cells (so Snowflake
     * types like `"NUMBER(38,0)"` keep their embedded comma) and `""`
@@ -151,7 +156,8 @@ object DiffGen {
       afterBody = body(afterTable, cfg.afterWhere),
       keys = keys,
       beforeCols = beforeCols,
-      afterCols = afterCols)
+      afterCols = afterCols,
+      dedupDuplicateKeys = cfg.dedupKeys)
     s"CREATE OR REPLACE TABLE diff_result AS\n$query"
   }
 
@@ -172,6 +178,7 @@ object DiffGen {
         case f @ "--after_table" => cfg = cfg.copy(afterTable = Some(value(f))); i += 2
         case f @ "--out" => cfg = cfg.copy(out = value(f)); i += 2
         case "--single_line" => cfg = cfg.copy(singleLine = true); i += 1
+        case "--dedup_keys" => cfg = cfg.copy(dedupKeys = true); i += 1
         case f @ "--stack_input" => cfg = cfg.copy(stackInput = Some(value(f))); i += 2
         case p => positional += p; i += 1
       }

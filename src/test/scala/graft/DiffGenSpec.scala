@@ -109,4 +109,38 @@ class DiffGenSpec extends AnyFunSuite {
     assert(viaSql.exceptAll(viaOperator).isEmpty &&
       viaOperator.exceptAll(viaSql).isEmpty)
   }
+
+  test("--dedup_keys emits the collapse form; executed SQL ≡ native dedup mode") {
+    import spark.implicits._
+    // CLI surface: the flag lands the GROUP BY collapse + multiplicity
+    // tail in the emitted text
+    val b = tmpCsv("example_before.csv", beforeCsv)
+    val a = tmpCsv("example_after.csv", afterCsv)
+    val k = tmpCsv("example_keys.csv", keysCsv)
+    val out = Files.createTempDirectory("diffgen").resolve("diff.sql")
+    DiffGen.main(Array(
+      b.toString, a.toString, "--keys", k.toString,
+      "--out", out.toString, "--dedup_keys"))
+    val cliSql = Files.readString(out)
+    assert(cliSql.contains("_dup_before") && cliSql.contains("_dup_status"))
+    assert(cliSql.contains("GROUP BY"))
+    // semantics: the emitted SQL executed by Spark ≡ the native
+    // operator in dedup mode, duplicate keys included
+    val before = Seq((1, "a"), (1, "b"), (2, "c")).toDF("K1", "VAL")
+    val after = Seq((1, "x"), (1, "y"), (4, "d")).toDF("K1", "VAL")
+    before.createOrReplaceTempView("diffgen_db")
+    after.createOrReplaceTempView("diffgen_da")
+    val sql = DiffSql.generate(
+      "SELECT * FROM diffgen_db",
+      "SELECT * FROM diffgen_da",
+      Seq("K1"), Seq("K1", "VAL"), Seq("K1", "VAL"),
+      dedupDuplicateKeys = true)
+    val viaSql = spark.sql(sql)
+    val viaOperator = TableDiff.diff(before, after, Seq("K1"),
+      opts = DiffOptions(upperCase = true, dedupDuplicateKeys = true))
+    assert(viaSql.columns.map(_.toLowerCase).toSeq ==
+      viaOperator.columns.map(_.toLowerCase).toSeq)
+    val aligned = viaOperator.toDF(viaSql.columns.toIndexedSeq: _*)
+    assert(viaSql.exceptAll(aligned).isEmpty && aligned.exceptAll(viaSql).isEmpty)
+  }
 }
