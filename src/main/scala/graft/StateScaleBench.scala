@@ -1,0 +1,121 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.Tables
+import graft.streaming.StreamRunner
+
+/** Large-STATE streaming provider A/B — built to find the wall-clock
+  * crossover behind the "rocksdb-changelog for heap-scale state"
+  * guidance, and whose measured answer is that ON THIS BOX THERE IS
+  * NONE: hdfs/rocksdb/rocksdb-changelog = 9.6/14.6/12.8 s at 3.2M
+  * keys and 14.1/20.8/26.1 s at 6.4M (16 batches, 8 state
+  * partitions). Two reasons, both structural: (a) the HDFS-backed
+  * provider does NOT snapshot per commit — it writes per-commit
+  * DELTA files and compacts snapshots in the background maintenance
+  * thread, so its commit cost is already O(batch), and its in-heap
+  * map beats RocksDB's native write path whenever state fits the
+  * heap; (b) with tmpfs-local checkpoints, upload volume is nearly
+  * free, so changelog checkpointing's extra bookkeeping shows as pure
+  * overhead (it falls BEHIND plain rocksdb as state grows). The
+  * production case for RocksDB is therefore OPERATIONAL, not
+  * wall-clock: state larger than executor heap (the in-heap provider
+  * OOMs where RocksDB spills), and remote-object-store checkpoints
+  * (where changelog's delta-only upload, ∝ new keys, beats shipping
+  * compacted snapshots of accumulated state). A single-JVM bench can
+  * surface neither ceiling honestly — this main documents the curve
+  * it CAN measure and the reasoning for the knob's default.
+  *
+  * Scenario: streaming `dropDuplicates` over `mult × |events|` unique
+  * keys (state only grows — the worst case), arriving in `batches`
+  * micro-batches, with a foreachBatch counting sink so measured cost
+  * is state machinery, not result materialization.
+  *
+  * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
+  * SPARK_GRAFT_STATE_MULT (key amplification, default 32 →
+  * 3.2M keys at sf0.1), SPARK_GRAFT_STATE_BATCHES (default 16),
+  * SPARK_GRAFT_STATE_PARTS (state partitions, default 8).
+  * Emits one JSON line per provider plus a summary line.
+  */
+object StateScaleBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_STATE_MULT", "32").toInt
+    val batches = sys.env.getOrElse("SPARK_GRAFT_STATE_BATCHES", "16").toInt
+    val stateParts = sys.env.getOrElse("SPARK_GRAFT_STATE_PARTS", "8").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", ScratchWarehouse.dir)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // stage: every key unique (event_id is unique per event; the
+    // amplification keeps it unique), split into `batches` files so
+    // the file source delivers `batches` micro-batches of fresh keys
+    // — state only ever GROWS, the snapshot-cost worst case
+    val stage = TmpfsScratch.createTempDir("graft_state_scale_").toString
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("value"))
+      .crossJoin(spark.range(mult).toDF("r"))
+      .select(
+        (col("event_id") * mult + col("r")).as("k"),
+        col("value"))
+      .repartition(batches)
+      .write.mode("overwrite").parquet(stage)
+    val schema = spark.read.parquet(stage).schema
+    val nKeys = spark.read.parquet(stage).count()
+
+    def run(provider: String): (Double, Long) = {
+      val prevProvider = StreamRunner.setStateProvider(spark, provider)
+      val shuffleKey = "spark.sql.shuffle.partitions"
+      val prevShuffle = spark.conf.get(shuffleKey)
+      spark.conf.set(shuffleKey, stateParts)
+      val ck = TmpfsScratch.createTempDir("graft_state_scale_ck_")
+      val accepted = new AtomicLong()
+      val t0 = System.nanoTime()
+      try {
+        val q = spark.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stage)
+          .dropDuplicates("k")
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            accepted.addAndGet(batch.count())
+            ()
+          }
+          .option("checkpointLocation", ck.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        ((System.nanoTime() - t0) / 1e9, accepted.get())
+      } finally {
+        spark.conf.set(shuffleKey, prevShuffle)
+        StreamRunner.restoreStateProvider(spark, prevProvider)
+        TmpfsScratch.deleteRecursively(ck)
+      }
+    }
+
+    val providers = Seq("hdfs", "rocksdb", "rocksdb-changelog")
+    val results = providers.map { p =>
+      val (sec, acc) = run(p)
+      require(acc == nKeys, s"$p accepted $acc of $nKeys unique keys")
+      println(s"""{"metric":"state_scale","provider":"$p","sec":${f"$sec%.3f"},"keys":$nKeys,"batches":$batches,"state_partitions":$stateParts}""")
+      p -> sec
+    }
+    val line = results.map { case (p, s) => s""""$p":${f"$s%.3f"}""" }.mkString(",")
+    println(s"""{"metric":"state_scale_summary","keys":$nKeys,"batches":$batches,"state_partitions":$stateParts,$line}""")
+    TmpfsScratch.deleteRecursively(java.nio.file.Paths.get(stage))
+    spark.stop()
+  }
+}

@@ -37,18 +37,58 @@ object StreamRunner {
     * — at bench state volume (≤ a few MB per store) the HDFS-backed
     * provider's in-heap map beats RocksDB's native-write
     * amortization, and changelog mode's deferred snapshots never pay
-    * off in a run-to-completion stream. The crossover is state
-    * VOLUME: once per-partition state approaches executor-heap scale
-    * (the 100 TB deployment), "rocksdb-changelog" is the right
-    * setting — which is why the knob is an env
-    * (`SPARK_GRAFT_STATE_PROVIDER`) and a per-call parameter, not a
-    * code fork.
+    * off in a run-to-completion stream. Round-11's StateScaleBench
+    * pushed the A/B to 6.4M keys and found NO on-box wall-clock
+    * crossover (hdfs 14.1 s vs changelog 26.1 s at 6.4M — the hdfs
+    * provider commits per-batch deltas, snapshots in background
+    * maintenance): the case for "rocksdb-changelog" is OPERATIONAL —
+    * state beyond executor heap, and remote-checkpoint upload volume
+    * (delta ∝ new keys vs snapshots ∝ accumulated state) — which is
+    * exactly why the knob is an env (`SPARK_GRAFT_STATE_PROVIDER`)
+    * and a per-call parameter, not a code fork.
     */
   val defaultStateProvider: String =
     sys.env.getOrElse("SPARK_GRAFT_STATE_PROVIDER", "hdfs")
 
   private val RocksDbProviderClass =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private val ProvKey = "spark.sql.streaming.stateStore.providerClass"
+  private val ClogKey =
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+
+  /** Pin the session's state-store provider and return the previous
+    * (providerClass, changelogCheckpointing) values for
+    * [[restoreStateProvider]]. Shared by [[runToCompletion]] and the
+    * provider A/B benches so the knob semantics (explicit "hdfs"
+    * UNSETS an inherited RocksDB pin, not merely leaves it) cannot
+    * drift between them.
+    */
+  private[graft] def setStateProvider(
+      spark: SparkSession, stateProvider: String): (Option[String], Option[String]) = {
+    val prev = (spark.conf.getOption(ProvKey), spark.conf.getOption(ClogKey))
+    stateProvider match {
+      case "hdfs" =>
+        spark.conf.unset(ProvKey)
+        spark.conf.unset(ClogKey)
+      case "rocksdb" =>
+        spark.conf.set(ProvKey, RocksDbProviderClass)
+        spark.conf.set(ClogKey, "false")
+      case "rocksdb-changelog" =>
+        spark.conf.set(ProvKey, RocksDbProviderClass)
+        spark.conf.set(ClogKey, "true")
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown stateProvider '$other' — expected hdfs | rocksdb | rocksdb-changelog")
+    }
+    prev
+  }
+
+  private[graft] def restoreStateProvider(
+      spark: SparkSession, prev: (Option[String], Option[String])): Unit = {
+    prev._1.fold(spark.conf.unset(ProvKey))(spark.conf.set(ProvKey, _))
+    prev._2.fold(spark.conf.unset(ClogKey))(spark.conf.set(ClogKey, _))
+  }
 
   // process-unique suffix for staged directories; stage dirs are small
   // (a symlink + sentinel files) so per-JVM copies are cheap
@@ -346,30 +386,7 @@ object StreamRunner {
     // per-query is safe (each bridge run creates a fresh checkpoint);
     // like the shuffle-width override it must stay set until
     // awaitTermination returns — micro-batches plan asynchronously
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val clogKey =
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
-    val prevProv = spark.conf.getOption(provKey)
-    val prevClog = spark.conf.getOption(clogKey)
-    stateProvider match {
-      case "hdfs" =>
-        // explicitly clear any inherited providerClass (spark-defaults
-        // or an outer caller may have pinned RocksDB) — an explicit
-        // "hdfs" request must get the HDFS provider, symmetric with
-        // the rocksdb cases below; the prevProv/prevClog restore in
-        // the finally block puts the original values back
-        spark.conf.unset(provKey)
-        spark.conf.unset(clogKey)
-      case "rocksdb" =>
-        spark.conf.set(provKey, RocksDbProviderClass)
-        spark.conf.set(clogKey, "false")
-      case "rocksdb-changelog" =>
-        spark.conf.set(provKey, RocksDbProviderClass)
-        spark.conf.set(clogKey, "true")
-      case other =>
-        throw new IllegalArgumentException(
-          s"unknown stateProvider '$other' — expected hdfs | rocksdb | rocksdb-changelog")
-    }
+    val prevProvider = setStateProvider(spark, stateProvider)
     // memory-sink tables live in driver memory until dropped and
     // clearCache() does NOT free them; keep at most the previous
     // result alive (its consumer — Verify's write / Bench's count —
@@ -403,8 +420,7 @@ object StreamRunner {
       spark.table(sink)
     } finally {
       spark.conf.set(key, prev)
-      prevProv.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
-      prevClog.fold(spark.conf.unset(clogKey))(spark.conf.set(clogKey, _))
+      restoreStateProvider(spark, prevProvider)
       // tmpfs is RAM — leaking checkpoints would eat memory, not disk
       graft.TmpfsScratch.deleteRecursively(ck)
     }
