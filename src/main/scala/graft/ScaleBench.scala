@@ -301,6 +301,45 @@ object ScaleBench {
         s""""zorder_skip_pct":{"part":${pct(zPart)},"supp":${pct(zSupp)},"both":${pct(zBoth)}},""" +
         s""""linear_scan_sec":${f"${scanSec(s"$fix/zlin")}%.3f"},""" +
         s""""zorder_scan_sec":${f"${scanSec(s"$fix/zord")}%.3f"}}""")
+
+    // ---- 3-dim Z-order probe (clusterByZN) ----
+    // same methodology, third dimension added (l_quantity, domain
+    // 1-50): the question is whether the shared bit budget still buys
+    // per-dim skipping on all THREE axes, vs the 2-dim layout where
+    // quantity predicates prune nothing. At 256 files the key spends
+    // ~2.7 bits/dim — per-dim resolution drops (that's the documented
+    // cost of each added dimension), the triple-box product prunes
+    // multiplicatively.
+    val liz3 = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .withColumn("l_quantity", col("l_quantity").cast("long"))
+    graft.functions.ZInterleaveN
+      .clusterByZN(liz3, Seq("l_partkey", "l_suppkey", "l_quantity"), numFiles = zFiles)
+      .write.mode("overwrite").parquet(s"$fix/zord3")
+    val qb = liz3.agg(
+      min("l_quantity").cast("long"), max("l_quantity").cast("long")).head()
+    val (qlo, qhi) = slice(qb.getLong(0), qb.getLong(1))
+    def skipRatios3(path: String): (Double, Double, Double, Double) = {
+      val stats = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(
+          min("l_partkey").cast("long").as("mnp"), max("l_partkey").cast("long").as("mxp"),
+          min("l_suppkey").cast("long").as("mns"), max("l_suppkey").cast("long").as("mxs"),
+          min("l_quantity").cast("long").as("mnq"), max("l_quantity").cast("long").as("mxq"))
+        .collect()
+      val n = stats.length.toDouble
+      def hits(p: org.apache.spark.sql.Row => Boolean) = stats.count(p) / n
+      def inP(r: org.apache.spark.sql.Row) = r.getLong(2) >= plo && r.getLong(1) <= phi
+      def inS(r: org.apache.spark.sql.Row) = r.getLong(4) >= slo && r.getLong(3) <= shi
+      def inQ(r: org.apache.spark.sql.Row) = r.getLong(6) >= qlo && r.getLong(5) <= qhi
+      (1.0 - hits(inP), 1.0 - hits(inS), 1.0 - hits(inQ),
+        1.0 - hits(r => inP(r) && inS(r) && inQ(r)))
+    }
+    val (z3Part, z3Supp, z3Qty, z3All) = skipRatios3(s"$fix/zord3")
+    println(
+      s"""{"metric":"zorder3_skip","files":$zFiles,"sf":"$sfDir",""" +
+        s""""pred_qty":[$qlo,$qhi],""" +
+        s""""zorder3_skip_pct":{"part":${pct(z3Part)},"supp":${pct(z3Supp)},"qty":${pct(z3Qty)},"all3":${pct(z3All)}}}""")
     spark.stop()
   }
 }

@@ -157,3 +157,141 @@ object ZInterleave16 {
       .drop("_z")
   }
 }
+
+/** `z_interleave_n(x1, …, xd)` — Morton interleave generalized to d
+  * dimensions (2 ≤ d ≤ 8): bit j of dimension i lands at position
+  * j·d + i, using ⌊63/d⌋-capped-at-16 bits per dimension so the key
+  * always fits non-negative signed 64-bit (d=2 → 16 bits each,
+  * identical key to [[ZInterleave16]]; d=3 → 16 bits; d=4 → 15; …).
+  *
+  * The spread is a plain bit loop rather than the 2-dim magic-number
+  * ladder, and the expression is a CodegenFallback — deliberate, not
+  * an oversight: this is a WRITE-side clustering primitive evaluated
+  * once per row during layout (≤ 16·d bit steps), never a scan-side
+  * kernel, so the interpreted-eval cost is noise next to the write
+  * it feeds; the 2-dim hot path keeps the fully codegen'd
+  * [[ZInterleave16]].
+  */
+case class ZInterleaveN(children: Seq[Expression])
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def prettyName: String = "z_interleave_n"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.size < 2 || children.size > 8)
+      TypeCheckResult.TypeCheckFailure(
+        s"z_interleave_n takes 2 to 8 BIGINT dimensions, got ${children.size}")
+    else if (!children.forall(_.dataType == LongType))
+      TypeCheckResult.TypeCheckFailure(
+        s"z_interleave_n requires BIGINT inputs, got " +
+          children.map(_.dataType.catalogString).mkString(", "))
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val d = children.size
+    val bits = ZInterleaveN.bitsPerDim(d)
+    var acc = 0L
+    var i = 0
+    while (i < d) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      acc |= ZInterleaveN.spread(v.asInstanceOf[Long], d, bits) << i
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ZInterleaveN = copy(children = newChildren)
+}
+
+object ZInterleaveN {
+
+  /** Bits kept per dimension: the full key must stay within 63 bits. */
+  def bitsPerDim(d: Int): Int = math.min(16, 63 / d)
+
+  /** Bit j of (v mod 2^bits) moved to position j·stride — the
+    * stride-generic Morton spread.
+    */
+  def spread(v: Long, stride: Int, bits: Int): Long = {
+    val masked = v & ((1L << bits) - 1)
+    var out = 0L
+    var j = 0
+    while (j < bits) {
+      out |= ((masked >> j) & 1L) << (j * stride)
+      j += 1
+    }
+    out
+  }
+
+  /** Full interleave over a value array — reference form for specs. */
+  def interleave(vals: Array[Long]): Long = {
+    val d = vals.length
+    val bits = bitsPerDim(d)
+    var acc = 0L
+    var i = 0
+    while (i < d) { acc |= spread(vals(i), d, bits) << i; i += 1 }
+    acc
+  }
+
+  /** Register `z_interleave_n` for SQL/`expr()` use (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "z_interleave_n", exprs => ZInterleaveN(exprs), "built-in")
+
+  /** [[ZInterleave16.clusterByZ]] generalized to d dimensions: range-
+    * partition by the d-dim Z-key into `numFiles` partitions and sort
+    * within each, with the same equal-width min/max normalization per
+    * dimension (and the same overflow guards) — so a write of the
+    * result yields files whose min/max statistics are tight on EVERY
+    * clustered dimension. More dimensions split the same bit budget:
+    * per-dim resolution is 2^⌊63/d⌋-capped-at-16 cells, so each added
+    * dimension costs the others selectivity — cluster the 2-4 columns
+    * queries actually filter on, not every column.
+    */
+  def clusterByZN(
+      df: org.apache.spark.sql.DataFrame,
+      cols: Seq[String],
+      numFiles: Int,
+      normalize: Boolean = true): org.apache.spark.sql.DataFrame = {
+    require(cols.size >= 2 && cols.size <= 8, "clusterByZN takes 2 to 8 dimension columns")
+    register(df.sparkSession)
+    import org.apache.spark.sql.functions.{col, expr, max, min}
+    require(!df.columns.contains("_z"),
+      "input already has a column named _z; rename it before clusterByZN")
+    val dom = 1L << bitsPerDim(cols.size)
+    val dims: Seq[String] =
+      if (!normalize) cols.map(c => s"CAST($c % $dom AS BIGINT)")
+      else {
+        val aggs = cols.flatMap(c => Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+        val b = df.agg(aggs.head, aggs.tail: _*).head()
+        cols.zipWithIndex.map { case (c, i) =>
+          if (b.isNullAt(2 * i)) s"CAST($c % $dom AS BIGINT)"
+          else {
+            val (mn, mx) = (b.getLong(2 * i), b.getLong(2 * i + 1))
+            val span =
+              try Math.subtractExact(mx, mn)
+              catch {
+                case _: ArithmeticException =>
+                  throw new IllegalArgumentException(
+                    s"clusterByZN: $c spans more than 2^63 values — too wide " +
+                      "to normalize exactly; pre-scale the dimension or pass " +
+                      "normalize = false")
+              }
+            val range = span + 1
+            require(range > 0 && range < (1L << 46),
+              s"clusterByZN: $c spans $range values — too wide to normalize " +
+                "exactly; pre-scale the dimension or pass normalize = false")
+            s"CAST((($c) - ($mn)) * $dom DIV $range AS BIGINT)"
+          }
+        }
+      }
+    df.withColumn("_z", expr(s"z_interleave_n(${dims.mkString(", ")})"))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+  }
+}

@@ -190,6 +190,65 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("too wide"), ex2.getMessage)
   }
 
+  test("z_interleave_n: d=2 ≡ z_interleave16; bits round-trip at any d; bad arity rejected") {
+    import graft.functions.ZInterleaveN
+    val rnd = new scala.util.Random(7)
+    // d=2 keeps 16 bits/dim → the N-dim loop must reproduce the
+    // 2-dim magic-number ladder bit-for-bit
+    (1 to 200).foreach { _ =>
+      val (x, y) = (rnd.nextLong() & 0xFFFFL, rnd.nextLong() & 0xFFFFL)
+      assert(ZInterleaveN.interleave(Array(x, y)) == ZInterleave16.interleave(x, y))
+    }
+    // de-interleave round trip: dim i's bits sit at positions j·d + i
+    for (d <- 2 to 8) {
+      val bits = ZInterleaveN.bitsPerDim(d)
+      val vals = Array.fill(d)(rnd.nextLong() & ((1L << bits) - 1))
+      val key = ZInterleaveN.interleave(vals)
+      assert(key >= 0L, s"d=$d key must stay non-negative")
+      val back = Array.tabulate(d) { i =>
+        (0 until bits).foldLeft(0L)((acc, j) => acc | (((key >> (j * d + i)) & 1L) << j))
+      }
+      assert(back.toSeq == vals.toSeq, s"d=$d round trip")
+    }
+    // SQL registration + arity/type checking
+    graft.functions.ZInterleaveN.register(spark)
+    val k = spark.range(1)
+      .selectExpr("z_interleave_n(CAST(5 AS BIGINT), CAST(3 AS BIGINT), CAST(1 AS BIGINT))")
+      .head().getLong(0)
+    assert(k == ZInterleaveN.interleave(Array(5L, 3L, 1L)))
+    val err = intercept[Exception] {
+      spark.range(1).selectExpr("z_interleave_n(CAST(1 AS BIGINT))").head()
+    }
+    assert(err.getMessage.contains("2 to 8"))
+  }
+
+  test("clusterByZN yields tight 3-D bboxes per file on a cube grid") {
+    import spark.implicits._
+    import graft.functions.ZInterleaveN
+    val cube = for { x <- 0L until 16L; y <- 0L until 16L; z <- 0L until 16L } yield (x, y, z)
+    val clustered = ZInterleaveN.clusterByZN(
+      cube.toDF("x", "y", "zz"), Seq("x", "y", "zz"), numFiles = 16)
+    val perPart = clustered
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg(
+        min("x").as("xmin"), max("x").as("xmax"),
+        min("y").as("ymin"), max("y").as("ymax"),
+        min("zz").as("zmin"), max("zz").as("zmax"))
+      .collect()
+    // a lexicographic sort gives every file the full 16×16 extent in
+    // the two trailing dims (volume ≥ 16·16·1 = 256 per file at 256
+    // rows/file); the z-layout must keep the mean 3-D bbox volume
+    // well under that
+    val vols = perPart.map(r =>
+      (r.getAs[Long]("xmax") - r.getAs[Long]("xmin") + 1).toDouble *
+        (r.getAs[Long]("ymax") - r.getAs[Long]("ymin") + 1) *
+        (r.getAs[Long]("zmax") - r.getAs[Long]("zmin") + 1))
+    val meanVol = vols.sum / vols.length
+    assert(meanVol < 1600, s"poor 3-D clustering, mean bbox volume $meanVol (lex ≥ 4096/file)")
+    assert(!clustered.columns.contains("_z"))
+  }
+
   test("z_interleave16 stays inside WholeStageCodegen") {
     ZInterleave16.register(spark)
     // a Range source (not a LocalTableScan, which constant-folds the
