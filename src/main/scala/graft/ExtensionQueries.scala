@@ -923,6 +923,25 @@ object ExtensionQueries {
           max("zkey").as("zmax"))
         .orderBy("zcell")
     }),
+    "q_zorder3_key" -> ((s, dir) => {
+      // the N-dim generalization, oracled: 3-dim Morton key over
+      // (part, supplier, quantity) rolled up per 2^24-wide Z-cell —
+      // the sizing stat for a 3-dim clusterByZN write (ScaleBench
+      // measures the resulting per-dim file skip)
+      graft.functions.ZInterleaveN.register(s)
+      Tables.lineitem(s, dir)
+        .select(expr(
+          "z_interleave_n(CAST(l_partkey % 65536 AS BIGINT), " +
+            "CAST(l_suppkey % 65536 AS BIGINT), " +
+            "CAST(l_quantity % 65536 AS BIGINT))")
+          .as("zkey"))
+        .groupBy(expr("shiftright(zkey, 24)").as("zcell"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min("zkey").as("zmin"),
+          max("zkey").as("zmax"))
+        .orderBy("zcell")
+    }),
     "q_split_assign" -> ((s, dir) => {
       // deterministic train/val/test assignment: same doc → same
       // split in every run and every engine (incremental ingests
@@ -1863,6 +1882,16 @@ object ExtensionQueries {
         "l_partkey % 65536", "l_suppkey % 65536")
       s"""WITH z AS (SELECT $z AS zkey FROM lineitem)
          |SELECT zkey >> 16 AS zcell, COUNT(*) AS n_rows,
+         |  MIN(zkey) AS zmin, MAX(zkey) AS zmax
+         |FROM z GROUP BY 1 ORDER BY zcell""".stripMargin
+    },
+
+    "q_zorder3_key" -> {
+      val z = graft.functions.ZInterleaveN.interleaveNDuck(
+        Seq("l_partkey % 65536", "l_suppkey % 65536",
+          "CAST(l_quantity AS BIGINT) % 65536"))
+      s"""WITH z AS (SELECT $z AS zkey FROM lineitem)
+         |SELECT zkey >> 24 AS zcell, COUNT(*) AS n_rows,
          |  MIN(zkey) AS zmin, MAX(zkey) AS zmax
          |FROM z GROUP BY 1 ORDER BY zcell""".stripMargin
     },

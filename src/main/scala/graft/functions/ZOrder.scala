@@ -242,6 +242,22 @@ object ZInterleaveN {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "z_interleave_n", exprs => ZInterleaveN(exprs), "built-in")
 
+  /** DuckDB twin of the d-dim interleave over SQL expressions — the
+    * bit loop unrolled to shift/mask terms (16·d ORs; mechanical but
+    * exactly the Scala kernel's formula, so the oracle and the engine
+    * share one definition).
+    */
+  def interleaveNDuck(dims: Seq[String]): String = {
+    val d = dims.size
+    require(d >= 2 && d <= 8, s"interleaveNDuck takes 2 to 8 dims, got $d")
+    val bits = bitsPerDim(d)
+    dims.zipWithIndex
+      .flatMap { case (e, i) =>
+        (0 until bits).map(j => s"((((${e}) >> $j) & 1) << ${j * d + i})")
+      }
+      .mkString("(", " | ", ")")
+  }
+
   /** [[ZInterleave16.clusterByZ]] generalized to d dimensions: range-
     * partition by the d-dim Z-key into `numFiles` partitions and sort
     * within each, with the same equal-width min/max normalization per
