@@ -929,11 +929,14 @@ object ExtensionQueries {
       // the sizing stat for a 3-dim clusterByZN write (ScaleBench
       // measures the resulting per-dim file skip)
       graft.functions.ZInterleaveN.register(s)
+      // quantity is DOUBLE: FLOOR before the integer mod, spelled
+      // identically in the oracle — a bare engine CAST would diverge
+      // on fractional values (Spark truncates, DuckDB rounds)
       Tables.lineitem(s, dir)
         .select(expr(
           "z_interleave_n(CAST(l_partkey % 65536 AS BIGINT), " +
             "CAST(l_suppkey % 65536 AS BIGINT), " +
-            "CAST(l_quantity % 65536 AS BIGINT))")
+            "CAST(FLOOR(l_quantity) AS BIGINT) % 65536)")
           .as("zkey"))
         .groupBy(expr("shiftright(zkey, 24)").as("zcell"))
         .agg(
@@ -1889,7 +1892,7 @@ object ExtensionQueries {
     "q_zorder3_key" -> {
       val z = graft.functions.ZInterleaveN.interleaveNDuck(
         Seq("l_partkey % 65536", "l_suppkey % 65536",
-          "CAST(l_quantity AS BIGINT) % 65536"))
+          "CAST(FLOOR(l_quantity) AS BIGINT) % 65536"))
       s"""WITH z AS (SELECT $z AS zkey FROM lineitem)
          |SELECT zkey >> 24 AS zcell, COUNT(*) AS n_rows,
          |  MIN(zkey) AS zmin, MAX(zkey) AS zmax

@@ -267,6 +267,9 @@ object ScaleBench {
     val (slo, shi) = slice(bounds.getLong(2), bounds.getLong(3))
     // fraction of files a min/max-stats reader PRUNES for a predicate,
     // from the files' actual per-file column ranges
+    // NAMED field access throughout both probes: positional getLong
+    // indexes silently misread after any agg-list edit, printing
+    // plausible-but-wrong skip percentages
     def skipRatios(path: String): (Double, Double, Double) = {
       val stats = spark.read.parquet(path)
         .groupBy(input_file_name().as("f"))
@@ -276,15 +279,12 @@ object ScaleBench {
         .collect()
       val n = stats.length.toDouble
       def hits(p: org.apache.spark.sql.Row => Boolean) = stats.count(p) / n
-      (
-        1.0 - hits(r => r.getLong(2) >= plo && r.getLong(1) <= phi),
-        1.0 - hits(r => r.getLong(4) >= slo && r.getLong(3) <= shi),
-        1.0 - hits(r =>
-          r.getLong(2) >= plo && r.getLong(1) <= phi &&
-            r.getLong(4) >= slo && r.getLong(3) <= shi))
+      def inP(r: org.apache.spark.sql.Row) =
+        r.getAs[Long]("mxp") >= plo && r.getAs[Long]("mnp") <= phi
+      def inS(r: org.apache.spark.sql.Row) =
+        r.getAs[Long]("mxs") >= slo && r.getAs[Long]("mns") <= shi
+      (1.0 - hits(inP), 1.0 - hits(inS), 1.0 - hits(r => inP(r) && inS(r)))
     }
-    // stats row column order: f=0, mnp=1, mxp=2, mns=3, mxs=4 — each
-    // overlap test is max >= lo && min <= hi on its dimension
     val (linPart, linSupp, linBoth) = skipRatios(s"$fix/zlin")
     val (zPart, zSupp, zBoth) = skipRatios(s"$fix/zord")
     def scanSec(path: String): Double = time(iters) {
@@ -329,9 +329,12 @@ object ScaleBench {
         .collect()
       val n = stats.length.toDouble
       def hits(p: org.apache.spark.sql.Row => Boolean) = stats.count(p) / n
-      def inP(r: org.apache.spark.sql.Row) = r.getLong(2) >= plo && r.getLong(1) <= phi
-      def inS(r: org.apache.spark.sql.Row) = r.getLong(4) >= slo && r.getLong(3) <= shi
-      def inQ(r: org.apache.spark.sql.Row) = r.getLong(6) >= qlo && r.getLong(5) <= qhi
+      def inP(r: org.apache.spark.sql.Row) =
+        r.getAs[Long]("mxp") >= plo && r.getAs[Long]("mnp") <= phi
+      def inS(r: org.apache.spark.sql.Row) =
+        r.getAs[Long]("mxs") >= slo && r.getAs[Long]("mns") <= shi
+      def inQ(r: org.apache.spark.sql.Row) =
+        r.getAs[Long]("mxq") >= qlo && r.getAs[Long]("mnq") <= qhi
       (1.0 - hits(inP), 1.0 - hits(inS), 1.0 - hits(inQ),
         1.0 - hits(r => inP(r) && inS(r) && inQ(r)))
     }

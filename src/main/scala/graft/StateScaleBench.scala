@@ -106,16 +106,21 @@ object StateScaleBench {
       }
     }
 
-    val providers = Seq("hdfs", "rocksdb", "rocksdb-changelog")
-    val results = providers.map { p =>
-      val (sec, acc) = run(p)
-      require(acc == nKeys, s"$p accepted $acc of $nKeys unique keys")
-      println(s"""{"metric":"state_scale","provider":"$p","sec":${f"$sec%.3f"},"keys":$nKeys,"batches":$batches,"state_partitions":$stateParts}""")
-      p -> sec
-    }
-    val line = results.map { case (p, s) => s""""$p":${f"$s%.3f"}""" }.mkString(",")
-    println(s"""{"metric":"state_scale_summary","keys":$nKeys,"batches":$batches,"state_partitions":$stateParts,$line}""")
-    TmpfsScratch.deleteRecursively(java.nio.file.Paths.get(stage))
+    // the staged table is hundreds of MB of tmpfs (RAM) at the large
+    // settings this bench exists to probe — it must not survive a
+    // failed provider run (OOM, native RocksDB error, the acceptance
+    // require), same rule as the per-run checkpoint dirs
+    try {
+      val providers = Seq("hdfs", "rocksdb", "rocksdb-changelog")
+      val results = providers.map { p =>
+        val (sec, acc) = run(p)
+        require(acc == nKeys, s"$p accepted $acc of $nKeys unique keys")
+        println(s"""{"metric":"state_scale","provider":"$p","sec":${f"$sec%.3f"},"keys":$nKeys,"batches":$batches,"state_partitions":$stateParts}""")
+        p -> sec
+      }
+      val line = results.map { case (p, s) => s""""$p":${f"$s%.3f"}""" }.mkString(",")
+      println(s"""{"metric":"state_scale_summary","keys":$nKeys,"batches":$batches,"state_partitions":$stateParts,$line}""")
+    } finally TmpfsScratch.deleteRecursively(java.nio.file.Paths.get(stage))
     spark.stop()
   }
 }

@@ -124,37 +124,41 @@ object ZInterleave16 {
         if (b.isNullAt(0) || b.isNullAt(2))
           // empty input (or all-NULL dims): nothing to normalize
           s"z_interleave16(CAST($xCol % 65536 AS BIGINT), CAST($yCol % 65536 AS BIGINT))"
-        else {
-          def scaled(c: String, mn: Long, mx: Long): String = {
-            // mx - mn can overflow Long for a dimension spanning more
-            // than half the 64-bit domain (e.g. a full-range hash
-            // column); unchecked arithmetic would wrap negative, slip
-            // past the width check, and emit DIV 0/garbage — exactly
-            // the too-wide case this guard exists to reject loudly
-            val span =
-              try Math.subtractExact(mx, mn)
-              catch {
-                case _: ArithmeticException =>
-                  throw new IllegalArgumentException(
-                    s"clusterByZ: $c spans more than 2^63 values — too wide " +
-                      "to normalize exactly; pre-scale the dimension or pass " +
-                      "normalize = false")
-              }
-            val range = span + 1
-            // (v - mn) * 65536 must stay inside signed 64 bits
-            require(range > 0 && range < (1L << 46),
-              s"clusterByZ: $c spans $range values — too wide to normalize " +
-                "exactly; pre-scale the dimension or pass normalize = false")
-            s"CAST((($c) - ($mn)) * 65536 DIV $range AS BIGINT)"
-          }
-          s"z_interleave16(${scaled(xCol, b.getLong(0), b.getLong(1))}, " +
-            s"${scaled(yCol, b.getLong(2), b.getLong(3))})"
-        }
+        else
+          s"z_interleave16(${ZNorm.scaledDim("clusterByZ", xCol, b.getLong(0), b.getLong(1), 65536L)}, " +
+            s"${ZNorm.scaledDim("clusterByZ", yCol, b.getLong(2), b.getLong(3), 65536L)})"
       }
     df.withColumn("_z", expr(zExpr))
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
+  }
+}
+
+/** The ONE definition of equal-width dimension normalization shared
+  * by the 2-dim and N-dim clustering paths — the span-overflow guard
+  * here earned a bugfix once (raw `mx - mn` wraps for a dimension
+  * spanning more than half the 64-bit domain and slips past the width
+  * check into DIV-0/garbage keys); a second copy would let the fix
+  * drift.
+  */
+private[functions] object ZNorm {
+  def scaledDim(opName: String, c: String, mn: Long, mx: Long, dom: Long): String = {
+    val span =
+      try Math.subtractExact(mx, mn)
+      catch {
+        case _: ArithmeticException =>
+          throw new IllegalArgumentException(
+            s"$opName: $c spans more than 2^63 values — too wide " +
+              "to normalize exactly; pre-scale the dimension or pass " +
+              "normalize = false")
+      }
+    val range = span + 1
+    // (v - mn) * dom must stay inside signed 64 bits
+    require(range > 0 && range < (1L << 46),
+      s"$opName: $c spans $range values — too wide to normalize " +
+        "exactly; pre-scale the dimension or pass normalize = false")
+    s"CAST((($c) - ($mn)) * $dom DIV $range AS BIGINT)"
   }
 }
 
@@ -286,23 +290,7 @@ object ZInterleaveN {
         val b = df.agg(aggs.head, aggs.tail: _*).head()
         cols.zipWithIndex.map { case (c, i) =>
           if (b.isNullAt(2 * i)) s"CAST($c % $dom AS BIGINT)"
-          else {
-            val (mn, mx) = (b.getLong(2 * i), b.getLong(2 * i + 1))
-            val span =
-              try Math.subtractExact(mx, mn)
-              catch {
-                case _: ArithmeticException =>
-                  throw new IllegalArgumentException(
-                    s"clusterByZN: $c spans more than 2^63 values — too wide " +
-                      "to normalize exactly; pre-scale the dimension or pass " +
-                      "normalize = false")
-              }
-            val range = span + 1
-            require(range > 0 && range < (1L << 46),
-              s"clusterByZN: $c spans $range values — too wide to normalize " +
-                "exactly; pre-scale the dimension or pass normalize = false")
-            s"CAST((($c) - ($mn)) * $dom DIV $range AS BIGINT)"
-          }
+          else ZNorm.scaledDim("clusterByZN", c, b.getLong(2 * i), b.getLong(2 * i + 1), dom)
         }
       }
     df.withColumn("_z", expr(s"z_interleave_n(${dims.mkString(", ")})"))
