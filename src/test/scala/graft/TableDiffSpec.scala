@@ -211,6 +211,25 @@ class TableDiffSpec extends AnyFunSuite {
     assert(stripped.filter(TableDiff.anyColumnDiffers(stripped)).count() == 1)
   }
 
+  test("DiffSummary over a dedup diff counts multiplicity-only drift as a cell diff") {
+    // key 1: identical content, different duplication factor (2 vs 3)
+    // — _dup_status = 1 is a status cell, so the summary's
+    // rows_with_cell_diffs and differingRows both surface it; key 2 is
+    // a clean match (equal counts, equal content) and stays silent
+    val before = Seq((1, "a"), (1, "a"), (2, "b")).toDF("k1", "val")
+    val after = Seq((1, "a"), (1, "a"), (1, "a"), (2, "b")).toDF("k1", "val")
+    val d = TableDiff.diff(before, after, Seq("k1"),
+      opts = DiffOptions(dedupDuplicateKeys = true))
+    val s = DiffSummary.summary(d).collect().head
+    assert(s.getAs[Long]("total_rows") == 2)
+    assert(s.getAs[Long]("rows_in_both") == 2)
+    assert(s.getAs[Long]("rows_with_cell_diffs") == 1)
+    val drill = DiffSummary.differingRows(d).collect()
+    assert(drill.length == 1 && drill.head.getAs[Int]("K_k1") == 1)
+    assert(drill.head.getAs[Int]("_dup_status") == TableDiff.Different)
+    assert(drill.head.getAs[Int]("val") == TableDiff.Match)
+  }
+
   test("fast plan ≡ literal plan (same row multiset)") {
     val before = Seq(
       (Option(1), Option("a"), Option(10)),
