@@ -493,6 +493,13 @@ object ExtensionQueries {
     // ---- text analysis ----
     "q_text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenStats(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_text_wordpiece" -> ((s, dir) =>
+      // REAL subword tokenization: BERT-style greedy-longest-match
+      // WordPiece over the deterministic synthetic vocab — per-doc
+      // token/unk/word counts, the budgeting currency the whitespace
+      // counts approximate. The DuckDB twin replays the identical
+      // greedy recursion as a recursive CTE over the identical vocab.
+      TextAnalysis.wordpieceStats(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_text_quality" -> ((s, dir) =>
       TextAnalysis.quality(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_text_langid" -> ((s, dir) =>
@@ -1668,6 +1675,13 @@ object ExtensionQueries {
          |  CAST(${regexpCountDuck("text", bpeClassDuck)} AS BIGINT) AS n_tokens_bpe,
          |  CAST(length(text) AS BIGINT) AS n_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_wordpiece" ->
+      s"""WITH wp AS (
+         |${TextAnalysis.wordpieceDuckSql("SELECT doc_id, text FROM documents")}
+         |)
+         |SELECT doc_id, n_tokens, n_unk_words, n_words
+         |FROM wp ORDER BY doc_id""".stripMargin,
 
     "q_text_quality" ->
       s"""SELECT doc_id,

@@ -1126,4 +1126,110 @@ object TextAnalysis {
        |  md5(chunk) AS digest
        |FROM c""".stripMargin
   }
+
+  // ---- WordPiece subword tokenization (functions.WordPieceStats) ----
+
+  /** Deterministic synthetic WordPiece vocabulary, the
+    * [[syntheticPslText]] pattern: defined ONCE here and embedded
+    * verbatim into both the Spark kernel spec and the DuckDB oracle's
+    * VALUES list. Shape mirrors a real (tiny) BERT-family vocab:
+    * single-character pieces as both word-initial and `##`
+    * continuation forms — EXCEPT `q` and `z`, so words containing
+    * them have no tokenization and exercise the `[UNK]` path — plus
+    * common English words and suffix continuations so frequent words
+    * split into 1-2 pieces instead of characters.
+    */
+  def wordpieceVocab(): Seq[String] = {
+    val chars = (('a' to 'z').filterNot(c => c == 'q' || c == 'z') ++
+      ('0' to '9') :+ '_').map(_.toString)
+    val words = Seq(
+      "the", "and", "ing", "ion", "tion", "that", "this", "with", "from",
+      "have", "are", "was", "not", "but", "all", "can", "will", "one",
+      "out", "use", "user", "time", "text", "data", "model", "train",
+      "pro", "con", "com", "for", "in", "on", "at", "is", "of", "to",
+      "it", "or", "an", "re", "er", "ed", "st", "al", "ar", "en")
+    val conts = Seq(
+      "ing", "ed", "er", "es", "tion", "ion", "ly", "ment", "ness",
+      "able", "ation", "al", "ic", "ous", "ity", "ers").map("##" + _)
+    (chars ++ chars.map("##" + _) ++ words ++ conts).distinct
+  }
+
+  /** Per-document WordPiece statistics over a vocabulary:
+    * `(doc_id, n_tokens, n_unk_words, n_words)` under BERT's
+    * greedy-longest-match with unk-at-word-granularity (see
+    * [[graft.functions.WordPieceStats]]). Token counts under a REAL
+    * subword vocab are the budgeting currency of a training pipeline
+    * — sequence packing, mixture budgets, and cost estimates all key
+    * off them, and whitespace counts mis-state them by 1.3-1.5×.
+    * One narrow codegen'd projection; composes into any scan with no
+    * shuffle.
+    */
+  def wordpieceStats(
+      docs: DataFrame,
+      vocab: Seq[String] = wordpieceVocab(),
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(vocab.nonEmpty, "wordpieceStats requires a non-empty vocab")
+    require(vocab.forall(p => p.matches("(##)?[a-z0-9_]+")),
+      "vocab pieces must be [a-z0-9_]+ with optional ## continuation prefix")
+    graft.functions.WordPieceStats.register(docs.sparkSession)
+    docs.select(
+      col(idCol),
+      expr(s"wordpiece_stats($textCol, '${vocab.mkString(",")}')").as("_wp"))
+      .select(
+        col(idCol),
+        expr("element_at(_wp, 1)").as("n_tokens"),
+        expr("element_at(_wp, 2)").as("n_unk_words"),
+        expr("element_at(_wp, 3)").as("n_words"))
+  }
+
+  /** DuckDB twin of [[wordpieceStats]] over a docs relation: the SAME
+    * vocabulary as a VALUES CTE and the SAME greedy-longest-match
+    * recursion as a recursive CTE — tokenizing each DISTINCT word
+    * once (tokenization is a pure function of the word) and joining
+    * the per-word piece counts back to per-document occurrence
+    * counts. One semantics definition, two engines.
+    */
+  def wordpieceDuckSql(
+      docsRel: String,
+      vocab: Seq[String] = wordpieceVocab(),
+      textCol: String = "text",
+      idCol: String = "doc_id"): String = {
+    val values = vocab.map { p =>
+      if (p.startsWith("##")) s"('${p.substring(2)}', TRUE)" else s"('$p', FALSE)"
+    }.mkString(", ")
+    s"""WITH RECURSIVE vocab(piece, cont) AS (VALUES $values),
+       |docs_in AS ($docsRel),
+       |words AS (
+       |  SELECT $idCol, unnest(regexp_extract_all(lower($textCol), '[a-z0-9_]+')) AS w
+       |  FROM docs_in
+       |),
+       |wcount AS (SELECT $idCol, w, COUNT(*) AS cnt FROM words GROUP BY $idCol, w),
+       |uwords AS (SELECT DISTINCT w FROM wcount),
+       |tok AS (
+       |  SELECT w, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS n, FALSE AS unk
+       |  FROM uwords
+       |  UNION ALL
+       |  SELECT w, pos + COALESCE(best, 0), n + 1, best IS NULL
+       |  FROM (
+       |    SELECT w, pos, n,
+       |      (SELECT MAX(LENGTH(piece)) FROM vocab v
+       |        WHERE v.cont = (t.pos > 0)
+       |          AND v.piece = substr(t.w, CAST(t.pos + 1 AS INT), LENGTH(v.piece))) AS best
+       |    FROM tok t WHERE t.pos < LENGTH(t.w) AND NOT t.unk
+       |  )
+       |),
+       |fin AS (
+       |  SELECT w, CASE WHEN unk THEN CAST(1 AS BIGINT) ELSE n END AS n_pieces, unk
+       |  FROM tok WHERE unk OR pos = LENGTH(w)
+       |)
+       |SELECT d.$idCol,
+       |  COALESCE(CAST(SUM(c.cnt * f.n_pieces) AS BIGINT), 0) AS n_tokens,
+       |  COALESCE(CAST(SUM(CASE WHEN f.unk THEN c.cnt ELSE 0 END) AS BIGINT), 0) AS n_unk_words,
+       |  COALESCE(CAST(SUM(c.cnt) AS BIGINT), 0) AS n_words
+       |FROM docs_in d
+       |LEFT JOIN wcount c ON c.$idCol = d.$idCol
+       |LEFT JOIN fin f ON f.w = c.w
+       |GROUP BY d.$idCol""".stripMargin
+  }
 }

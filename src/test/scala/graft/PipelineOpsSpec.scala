@@ -445,6 +445,77 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("wordpiece stats: greedy longest match, unk-at-word, hand-computed fixture") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the training"),           // "the"=1 piece, "training"="train"+"##ing"=2
+      (2L, "a quiz today"),           // "quiz" has q/z → [UNK]; "a"=1; "today"="to"+"##d"+"##a"+"##y"=4
+      (3L, ""),                       // no words
+      (4L, "THE The the")             // case folding: 3 occurrences, 1 piece each
+    ).toDF("doc_id", "text")
+    val m = graft.operators.TextAnalysis.wordpieceStats(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_unk_words"), r.getAs[Long]("n_words")))).toMap
+    assert(m(1L) == ((3L, 0L, 2L)))
+    assert(m(2L) == ((6L, 1L, 3L)))
+    assert(m(3L) == ((0L, 0L, 0L)))
+    assert(m(4L) == ((3L, 0L, 3L)))
+    // greedy LONGEST: with 't','th','the' all plain, "the" is ONE
+    // piece, never 't'+'##h'+'##e'; and unk discards partial pieces
+    // ("theq" consumed 'the' before failing on 'q' → still 1 token)
+    val tiny = Seq((1L, "the theq")).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.wordpieceStats(
+      tiny, vocab = Seq("t", "th", "the", "##h", "##e")).collect().head
+    assert(r.getAs[Long]("n_tokens") == 2L) // "the"=1 + unk("theq")=1
+    assert(r.getAs[Long]("n_unk_words") == 1L)
+  }
+
+  test("wordpiece kernel ≡ independent reference on hostile random text") {
+    import spark.implicits._
+    val vocab = graft.operators.TextAnalysis.wordpieceVocab()
+    val plain = vocab.filterNot(_.startsWith("##")).toSet
+    val cont = vocab.filter(_.startsWith("##")).map(_.substring(2)).toSet
+    val maxLen = (plain.map(_.length) ++ cont.map(_.length)).max
+    // clean-room twin: codepoint-based word extraction + greedy match
+    def ref(text: String): (Long, Long, Long) = {
+      val words = scala.collection.mutable.ArrayBuffer.empty[String]
+      val sb = new StringBuilder
+      (text + " ").foreach { ch =>
+        val c = if (ch >= 'A' && ch <= 'Z') (ch + 32).toChar else ch
+        if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_') sb.append(c)
+        else { if (sb.nonEmpty) { words += sb.toString; sb.clear() } }
+      }
+      var (tok, unk) = (0L, 0L)
+      words.foreach { w =>
+        var pos = 0; var pieces = 0L; var dead = false
+        while (pos < w.length && !dead) {
+          val l = (math.min(maxLen, w.length - pos) to 1 by -1).find { n =>
+            val cand = w.substring(pos, pos + n)
+            if (pos == 0) plain(cand) else cont(cand)
+          }
+          l match {
+            case Some(n) => pieces += 1; pos += n
+            case None => dead = true
+          }
+        }
+        if (dead) { tok += 1; unk += 1 } else tok += pieces
+      }
+      (tok, unk, words.length.toLong)
+    }
+    val rnd = new scala.util.Random(91)
+    val alphabet = "abcdefghijklmnopqrstuvwxyzQZ019_ .,-—é漢\n'\"" // incl q/z, unicode, punct
+    val texts = (1L to 60L).map { i =>
+      (i, (0 until rnd.nextInt(120)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val got = graft.operators.TextAnalysis.wordpieceStats(texts.toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_unk_words"), r.getAs[Long]("n_words")))).toMap
+    texts.foreach { case (i, t) =>
+      assert(got(i) == ref(t), s"doc $i mismatch on ${t.take(60)}…")
+    }
+  }
+
   test("repetition counts duplicated tokens in fixed-point ppm") {
     import spark.implicits._
     val docs = Seq(
