@@ -762,6 +762,26 @@ object ExtensionQueries {
         .select("doc_id", "source", "running_weight")
         .orderBy("source", "running_weight", "doc_id")
     }),
+    "q_mixture_tokens_wp" -> ((s, dir) => {
+      // the mixture sampler keyed on REAL WordPiece token counts
+      // instead of the n_chars proxy — "N tokens of web, M of code"
+      // with the budget currency an actual trainer bills in. Pure
+      // composition: the wordpiece projection joins the source tag,
+      // the budget window is unchanged; budgets sized so roughly
+      // half of each source survives at sf0.01 (a real prefix).
+      graft.functions.PolyHash.register(s)
+      val h = graft.functions.TextExprs.charHashSpark("CAST(doc_id AS STRING)")
+      val docs = Tables.documents(s, dir)
+      val weighted = TextAnalysis.wordpieceStats(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+      graft.operators.Sampling
+        .mixtureByBudget(
+          weighted.select("doc_id", "source", "n_tokens"),
+          "source", "n_tokens", h, "doc_id",
+          Seq("src0" -> 4000L, "src1" -> 2500L), defaultBudget = 3000L)
+        .select("doc_id", "source", "running_weight")
+        .orderBy("source", "running_weight", "doc_id")
+    }),
     "q_pipeline_train_export" -> ((s, dir) => {
       // the operators composed END-TO-END as one declarative plan —
       // curate → exact-dedup → decontaminate → budget-mixture →
@@ -1875,6 +1895,25 @@ object ExtensionQueries {
          |      ORDER BY (${graft.operators.Sampling.mixedHash(h)}), doc_id
          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_weight
          |  FROM documents
+         |)
+         |SELECT doc_id, source, running_weight FROM t
+         |WHERE running_weight <= ($b)
+         |ORDER BY source, running_weight, doc_id""".stripMargin
+    },
+
+    "q_mixture_tokens_wp" -> {
+      val b = graft.operators.Sampling.budgetCase(
+        "source", Seq("src0" -> 4000L, "src1" -> 2500L), 3000L)
+      s"""WITH wp AS (
+         |${TextAnalysis.wordpieceDuckSql("SELECT doc_id, text FROM documents")}
+         |), t AS (
+         |  SELECT d.doc_id AS doc_id, d.source,
+         |    CAST(SUM(wp.n_tokens) OVER (
+         |      PARTITION BY d.source
+         |      ORDER BY (${graft.operators.Sampling.mixedHash(
+                 graft.functions.TextExprs.charHashDuck("CAST(d.doc_id AS VARCHAR)"))}), d.doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_weight
+         |  FROM documents d JOIN wp ON wp.doc_id = d.doc_id
          |)
          |SELECT doc_id, source, running_weight FROM t
          |WHERE running_weight <= ($b)
