@@ -194,6 +194,11 @@ object ScaleBench {
         consumed(graft.operators.SimilaritySearch
           .quantizedTopK(emb, queryMod = 97 * mult))
       }
+      // WordPiece tokenization: a pure map-side byte-scan kernel —
+      // the curve should stay flat like the funnel's
+      val wpSec = time(iters) {
+        consumed(graft.operators.TextAnalysis.wordpieceStats(docs))
+      }
       // IVF centroid-fit A/B: the Lloyd refinement is the dominant
       // build cost (a full nearest-centroid pass per iteration);
       // fitSampleMod caps it at a 1/16 hash-sample while assignment
@@ -212,14 +217,15 @@ object ScaleBench {
         ()
       }
       (mult, nRows, diffSec, aggSec, nDocs, funnelSec, natSec, natSampledSec,
-        pslSec, mixSec, bruteSec, quantSec, ivfFitSec, ivfFitSampledSec)
+        pslSec, mixSec, bruteSec, quantSec, wpSec, ivfFitSec, ivfFitSampledSec)
     }
 
-    val qs = results.map { case (m, n, d, a, nd, f, nt, nts, ps, mx, bt, qt, ivf, ivfs) =>
+    val qs = results.map { case (m, n, d, a, nd, f, nt, nts, ps, mx, bt, qt, wp, ivf, ivfs) =>
       s""""x$m":{"rows":$n,"diff_sec":${f"$d%.3f"},"agg_sec":${f"$a%.3f"},""" +
         s""""docs":$nd,"funnel_sec":${f"$f%.3f"},"nat_sec":${f"$nt%.3f"},""" +
         s""""nat_sampled_sec":${f"$nts%.3f"},"psl_sec":${f"$ps%.3f"},"mix_sec":${f"$mx%.3f"},""" +
         s""""brute_topk_sec":${f"$bt%.3f"},"quant_topk_sec":${f"$qt%.3f"},""" +
+        s""""wordpiece_sec":${f"$wp%.3f"},""" +
         s""""ivf_fit_sec":${f"$ivf%.3f"},"ivf_fit_sampled_sec":${f"$ivfs%.3f"}}"""
     }.mkString(",")
     // an empty mults list (the skip-to-probe mode) must still emit
