@@ -771,9 +771,10 @@ object ExtensionQueries {
       // half of each source survives at sf0.01 (a real prefix).
       graft.functions.PolyHash.register(s)
       val h = graft.functions.TextExprs.charHashSpark("CAST(doc_id AS STRING)")
-      val docs = Tables.documents(s, dir)
-      val weighted = TextAnalysis.wordpieceStats(docs)
-        .join(docs.select("doc_id", "source"), "doc_id")
+      // ONE scan: source rides the wordpiece projection as a
+      // passthrough column — no second documents scan, no self-join
+      val weighted = TextAnalysis.wordpieceStats(
+        Tables.documents(s, dir), passthroughCols = Seq("source"))
       graft.operators.Sampling
         .mixtureByBudget(
           weighted.select("doc_id", "source", "n_tokens"),

@@ -1164,23 +1164,33 @@ object TextAnalysis {
     * One narrow codegen'd projection; composes into any scan with no
     * shuffle.
     */
+  private def requireWordPieceVocab(vocab: Seq[String]): Unit = {
+    require(vocab.nonEmpty, "wordpiece vocab must be non-empty")
+    require(vocab.forall(p => p.matches("(##)?[a-z0-9_]+")),
+      "vocab pieces must be [a-z0-9_]+ with optional ## continuation prefix")
+  }
+
+  /** @param passthroughCols extra input columns carried through the
+    *   projection unchanged — the stats compose into the SAME scan
+    *   (e.g. `source` for a mixture) instead of forcing callers into
+    *   a second table scan plus a self-join on the id.
+    */
   def wordpieceStats(
       docs: DataFrame,
       vocab: Seq[String] = wordpieceVocab(),
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    require(vocab.nonEmpty, "wordpieceStats requires a non-empty vocab")
-    require(vocab.forall(p => p.matches("(##)?[a-z0-9_]+")),
-      "vocab pieces must be [a-z0-9_]+ with optional ## continuation prefix")
+      idCol: String = "doc_id",
+      passthroughCols: Seq[String] = Nil): DataFrame = {
+    requireWordPieceVocab(vocab)
     graft.functions.WordPieceStats.register(docs.sparkSession)
     docs.select(
-      col(idCol),
-      expr(s"wordpiece_stats($textCol, '${vocab.mkString(",")}')").as("_wp"))
+      col(idCol) +: passthroughCols.map(col) :+
+        expr(s"wordpiece_stats($textCol, '${vocab.mkString(",")}')").as("_wp"): _*)
       .select(
-        col(idCol),
-        expr("element_at(_wp, 1)").as("n_tokens"),
-        expr("element_at(_wp, 2)").as("n_unk_words"),
-        expr("element_at(_wp, 3)").as("n_words"))
+        col(idCol) +: passthroughCols.map(col) :+
+          expr("element_at(_wp, 1)").as("n_tokens") :+
+          expr("element_at(_wp, 2)").as("n_unk_words") :+
+          expr("element_at(_wp, 3)").as("n_words"): _*)
   }
 
   /** DuckDB twin of [[wordpieceStats]] over a docs relation: the SAME
@@ -1195,6 +1205,16 @@ object TextAnalysis {
       vocab: Seq[String] = wordpieceVocab(),
       textCol: String = "text",
       idCol: String = "doc_id"): String = {
+    // same validation as the Spark twin: an uppercase piece could
+    // never match the lowercased words (silent divergence) and a
+    // quote/comma would corrupt the generated VALUES list
+    requireWordPieceVocab(vocab)
+    // ASCII-scope note: `lower(text)` in the regex below Unicode-
+    // lowercases, so a non-ASCII uppercase whose lowercase IS ASCII
+    // (e.g. the Kelvin sign → 'k') would form a word here while the
+    // byte kernel treats it as a run break — both twins are defined
+    // for ASCII corpora (the kernel's documented scope; the synthetic
+    // documents corpus is all-ASCII).
     val values = vocab.map { p =>
       if (p.startsWith("##")) s"('${p.substring(2)}', TRUE)" else s"('$p', FALSE)"
     }.mkString(", ")
