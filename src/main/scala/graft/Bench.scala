@@ -249,13 +249,24 @@ object Bench {
     //     keys, which the count diff is blind to. (Count increases
     //     stay in THEIR map; one cause, one flag.)
     // Both flag even when wall time stays inside 2×.
+    // two independent regexes (ADVICE r11): a pre-round-11 artifact has
+    // n_exchanges but no shuffle_bytes — requiring both adjacent would
+    // silently disable BOTH gates; instead missing shuffle_bytes reads
+    // -1 (never flags) while the exchange gate keeps running
     val prevDetail = sys.env.get("SPARK_GRAFT_BENCH_PREV")
       .map(Paths.get(_)).filter(Files.isRegularFile(_)).map { p =>
         val txt = new String(Files.readAllBytes(p), "UTF-8")
-        "\"(q_[a-z_0-9]+)\":\\{[^}]*\"shuffle_bytes\":(-?[0-9]+),\"n_exchanges\":(-?[0-9]+)".r
-          .findAllMatchIn(txt)
-          .map(m => m.group(1) -> ((m.group(2).toLong, m.group(3).toInt)))
-          .toMap
+        val exchanges =
+          "\"(q_[a-z_0-9]+)\":\\{[^}]*?\"n_exchanges\":(-?[0-9]+)".r
+            .findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toInt)
+            .toMap
+        val shuffles =
+          "\"(q_[a-z_0-9]+)\":\\{[^}]*?\"shuffle_bytes\":(-?[0-9]+)".r
+            .findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toLong)
+            .toMap
+        exchanges.map { case (k, ne) => k -> ((shuffles.getOrElse(k, -1L), ne)) }
       }.getOrElse(Map.empty[String, (Long, Int)])
     val exchangeRegressions = results.collect {
       case (k, _, _, _, ne)

@@ -45,6 +45,18 @@ object DiffSql {
     val aSet = afterCols.map(_.toLowerCase).toSet
     val keySet = keys.map(_.toLowerCase).toSet
 
+    // mirror TableDiff.diff's reserved-name guard (ADVICE r11): without
+    // it an input column literally named _dup_before makes collapseSel
+    // emit two same-aliased columns that fail only at execution time
+    if (dedupDuplicateKeys) {
+      val reserved = Seq("_dup_before", "_dup_after", "_dup_status")
+        .filter(r => (beforeCols ++ afterCols).exists(_.equalsIgnoreCase(r)))
+      require(
+        reserved.isEmpty,
+        s"dedupDuplicateKeys reserves the column name(s) ${reserved.mkString(", ")}; " +
+          "rename the input column(s)")
+    }
+
     def pad(c: String) =
       paddedTypes.get(c).map(t => s"CAST(NULL AS $t)").getOrElse("NULL")
 

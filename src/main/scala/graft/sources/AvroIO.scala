@@ -12,6 +12,8 @@ import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWri
 import org.apache.avro.mapred.FsInput
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.{SparkContext, TaskContext}
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
@@ -38,12 +40,36 @@ import org.apache.spark.sql.types._
   * spec mandates; the round trip back through [[read]] restores the
   * exact Catalyst types (spec + q_sink_avro_roundtrip pin it).
   *
-  * Durability note: files are written directly (no temp-dir commit
-  * protocol), so a mid-write failure can leave partial files — the
-  * same contract as Hadoop's direct committers; a production recurring
-  * sink would layer a rename-based committer on top.
+  * Durability: [[write]] uses a rename-based commit protocol. All
+  * task output lands in a job-unique staging directory next to the
+  * target; each task streams into an attempt-suffixed temp file and
+  * renames it to its final `part-NNNNN.avro` name only after a clean
+  * close (first committed attempt wins, later attempts discard), and
+  * the target directory is touched only by the final staging→target
+  * rename after every task has committed. A mid-write failure —
+  * task crash, retried attempt, or whole-job abort — therefore never
+  * makes a partial container file visible under the target path
+  * (AvroIOSpec pins this with an injected mid-write task failure).
   */
 object AvroIO {
+
+  /** One Hadoop-conf broadcast per SparkContext, reused by every
+    * [[write]]/[[read]] — a fresh broadcast per call would accumulate
+    * driver/executor broadcast blocks over a long-lived session, and
+    * [[read]]'s lazy DataFrame keeps referencing its broadcast long
+    * after the call returns, so per-call destroy() is not an option.
+    */
+  @volatile private var cachedConf: (SparkContext, Broadcast[Map[String, String]]) = null
+  private def confBroadcast(spark: SparkSession): Broadcast[Map[String, String]] =
+    synchronized {
+      val sc = spark.sparkContext
+      if (cachedConf == null || (cachedConf._1 ne sc)) {
+        val confMap = sc.hadoopConfiguration.asScala
+          .map(e => e.getKey -> e.getValue).toMap
+        cachedConf = (sc, sc.broadcast(confMap))
+      }
+      cachedConf._2
+    }
 
   /** Catalyst → Avro schema for the supported surface: the scalar
     * types plus ARRAY of them (the embedding-column shape). Every
@@ -157,41 +183,81 @@ object AvroIO {
     // task (the parse is microseconds against a file write)
     val avroJson = toAvroSchema(sparkSchema).toString
     val spark = df.sparkSession
-    // Hadoop Configuration is not serializable either; broadcast its
-    // entries so object-store credentials/endpoints reach the tasks
-    val confMap = spark.sparkContext.hadoopConfiguration.asScala
-      .map(e => e.getKey -> e.getValue).toMap
-    val bc = spark.sparkContext.broadcast(confMap)
+    // Hadoop Configuration is not serializable either; the cached
+    // per-context broadcast ships its entries so object-store
+    // credentials/endpoints reach the tasks
+    val bc = confBroadcast(spark)
     val fs = FileSystem.get(new URI(path), spark.sparkContext.hadoopConfiguration)
-    val dir = new Path(path)
-    fs.delete(dir, true)
-    fs.mkdirs(dir)
-    val out = fs.create(new Path(dir, "_schema.avsc"))
-    out.write(avroJson.getBytes("UTF-8"))
-    out.close()
-    val types = sparkSchema.fields.map(_.dataType)
-    df.rdd.mapPartitionsWithIndex { (i, rows) =>
-      val conf = new Configuration(false)
-      bc.value.foreach { case (k, v) => conf.set(k, v) }
-      val schema = new Schema.Parser().parse(avroJson)
-      val tfs = FileSystem.get(new URI(path), conf)
-      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
-      w.create(schema, tfs.create(new Path(path, f"part-$i%05d.avro")))
-      var n = 0L
-      rows.foreach { row =>
-        val rec = new GenericData.Record(schema)
-        var j = 0
-        while (j < types.length) {
-          rec.put(j, toAvro(row.get(j), types(j)))
-          j += 1
+    val target = fs.makeQualified(new Path(path))
+    // job-unique staging dir beside the target (same FS ⇒ same-volume
+    // rename); the target is touched only by the final promote
+    val staging = new Path(
+      target.getParent,
+      s".${target.getName}.__staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    fs.mkdirs(staging)
+    try {
+      val out = fs.create(new Path(staging, "_schema.avsc"))
+      out.write(avroJson.getBytes("UTF-8"))
+      out.close()
+      val types = sparkSchema.fields.map(_.dataType)
+      val stagingStr = staging.toString
+      df.rdd.mapPartitionsWithIndex { (i, rows) =>
+        val conf = new Configuration(false)
+        bc.value.foreach { case (k, v) => conf.set(k, v) }
+        val schema = new Schema.Parser().parse(avroJson)
+        val tfs = FileSystem.get(new URI(stagingStr), conf)
+        // attempt-suffixed temp name: a retried task never collides
+        // with a dead attempt's partial file
+        val attempt = Option(TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
+        val tmpFile = new Path(stagingStr, f"part-$i%05d.avro.inprogress-$attempt")
+        val finalFile = new Path(stagingStr, f"part-$i%05d.avro")
+        val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+        var committed = false
+        try {
+          w.create(schema, tfs.create(tmpFile))
+          var n = 0L
+          rows.foreach { row =>
+            val rec = new GenericData.Record(schema)
+            var j = 0
+            while (j < types.length) {
+              rec.put(j, toAvro(row.get(j), types(j)))
+              j += 1
+            }
+            w.append(rec)
+            n += 1
+          }
+          w.close()
+          // task commit: atomic rename of the COMPLETE container file;
+          // if a sibling attempt committed first, its file wins
+          if (!tfs.rename(tmpFile, finalFile)) {
+            if (!tfs.exists(finalFile))
+              throw new java.io.IOException(s"could not commit $tmpFile -> $finalFile")
+            tfs.delete(tmpFile, false)
+          }
+          committed = true
+          Iterator.single(n)
+        } finally {
+          if (!committed) {
+            // failed attempt: never leave the partial visible under a
+            // committable name (the driver also sweeps at job commit)
+            try w.close() catch { case _: Throwable => () }
+            try tfs.delete(tmpFile, false) catch { case _: Throwable => () }
+          }
         }
-        w.append(rec)
-        n += 1
-      }
-      w.close()
-      Iterator.single(n)
-    }.count()
-    ()
+      }.count()
+      // job commit: sweep partials from hard-killed attempts whose
+      // task-side cleanup never ran, then swap staging into place
+      fs.listStatus(staging)
+        .filter(_.getPath.getName.contains(".inprogress-"))
+        .foreach(s => fs.delete(s.getPath, false))
+      fs.delete(target, true)
+      if (!fs.rename(staging, target))
+        throw new java.io.IOException(s"could not promote $staging to $target")
+    } catch {
+      case e: Throwable =>
+        try fs.delete(staging, true) catch { case _: Throwable => () }
+        throw e
+    }
   }
 
   /** Read a directory written by [[write]] back under `schema` —
@@ -205,9 +271,7 @@ object AvroIO {
       .filter(_.endsWith(".avro"))
       .sorted
       .toSeq
-    val confMap = spark.sparkContext.hadoopConfiguration.asScala
-      .map(e => e.getKey -> e.getValue).toMap
-    val bc = spark.sparkContext.broadcast(confMap)
+    val bc = confBroadcast(spark)
     val types = schema.fields.map(_.dataType)
     val rows = spark.sparkContext
       .parallelize(files, math.max(1, files.size))
@@ -218,10 +282,14 @@ object AvroIO {
         val reader = DataFileReader.openReader(in, new GenericDatumReader[GenericRecord]())
         // STREAM the file — a task must hold one record, not its whole
         // container file, or a large write partition OOMs the read task
-        new Iterator[Row] {
-          private var open = true
+        val it = new Iterator[Row] {
+          private[this] var open = true
+          def close(): Unit = if (open) {
+            open = false
+            try reader.close() catch { case _: Throwable => () }
+          }
           def hasNext: Boolean = {
-            if (open && !reader.hasNext) { reader.close(); open = false }
+            if (open && !reader.hasNext) close()
             open
           }
           def next(): Row = {
@@ -230,6 +298,10 @@ object AvroIO {
             Row.fromSeq(types.indices.map(j => fromAvro(rec.get(j), types(j))))
           }
         }
+        // a partially consumed read (limit/take, downstream exception)
+        // never exhausts the iterator — close at task end regardless
+        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => it.close()))
+        it
       }
     spark.createDataFrame(rows, schema)
   }

@@ -144,6 +144,32 @@ class AvroIOSpec extends AnyFunSuite {
     assert(digest(back) == digest(emb))
   }
 
+  test("mid-write failure never touches the target (rename-based commit)") {
+    import spark.implicits._
+    val p = tmp("avro_commit")
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false)))
+    AvroIO.write((1L to 10L).toDF("id").repartition(2), p)
+    val committed = new java.io.File(p).listFiles().map(_.getName).sorted.toSeq
+    // a write whose partition containing 100 throws mid-stream, AFTER
+    // some rows have already been appended to its container file
+    val bad = (1L to 100L).toDF("id").repartition(4).as[Long]
+      .map(v => { if (v == 100L) throw new RuntimeException("boom"); v })
+      .toDF("id")
+    intercept[org.apache.spark.SparkException] { AvroIO.write(bad, p) }
+    // target: exactly the previously committed contents, readable
+    assert(new java.io.File(p).listFiles().map(_.getName).sorted.toSeq == committed)
+    assert(AvroIO.read(spark, p, schema).count() == 10)
+    // and no staging/partial debris beside it
+    val siblings = new java.io.File(p).getParentFile.listFiles().map(_.getName)
+    assert(!siblings.exists(_.contains("__staging")), siblings.mkString(","))
+    // first-ever write failing: the target path never appears at all
+    val p2 = tmp("avro_commit_fresh")
+    intercept[org.apache.spark.SparkException] { AvroIO.write(bad, p2) }
+    assert(!new java.io.File(p2).exists())
+    assert(!new java.io.File(p2).getParentFile.listFiles()
+      .map(_.getName).exists(_.contains("__staging")))
+  }
+
   test("overwrite replaces prior contents; unsupported types fail fast") {
     import spark.implicits._
     val p = tmp("avro_ow")

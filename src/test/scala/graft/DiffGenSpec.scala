@@ -143,4 +143,22 @@ class DiffGenSpec extends AnyFunSuite {
     val aligned = viaOperator.toDF(viaSql.columns.toIndexedSeq: _*)
     assert(viaSql.exceptAll(aligned).isEmpty && aligned.exceptAll(viaSql).isEmpty)
   }
+
+  test("dedup mode rejects reserved _dup_* input columns at GENERATION time") {
+    // without the guard, an input column named _dup_before makes the
+    // collapse CTE emit two same-aliased columns — failing only when
+    // the SQL is executed, far from the misuse (ADVICE r11)
+    val e = intercept[IllegalArgumentException] {
+      DiffSql.generate(
+        "SELECT * FROM b", "SELECT * FROM a",
+        Seq("K1"), Seq("K1", "_DUP_BEFORE"), Seq("K1"),
+        dedupDuplicateKeys = true)
+    }
+    assert(e.getMessage.toLowerCase.contains("_dup_before"))
+    // non-dedup mode: the same column is ordinary data, no guard
+    val sql = DiffSql.generate(
+      "SELECT * FROM b", "SELECT * FROM a",
+      Seq("K1"), Seq("K1", "_DUP_BEFORE"), Seq("K1"))
+    assert(sql.contains("_DUP_BEFORE"))
+  }
 }
