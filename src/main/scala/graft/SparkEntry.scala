@@ -92,6 +92,26 @@ object SparkEntry {
     paddedTypes = Map("extra_col" -> "DOUBLE"),
     dedupDuplicateKeys = true)
 
+  /** ARRAY-column diff twin (q_diff_arrays): the embeddings table
+    * (ARRAY<FLOAT>) through the planted before/after fixture
+    * (Tables.embeddingsBefore/After — null elements, empty arrays,
+    * length mismatches, whole-array NULLs, missing rows). The
+    * embedding column's value branch is spelled IS NOT DISTINCT FROM
+    * (structuralEqCols): ANSI `=` on a null-element array returns
+    * NULL and would mis-code an equal pair as status 1, while
+    * Spark's array `=` is structural — DuckDB's DISTINCT-semantics
+    * comparison matches Spark exactly (see DiffSql scaladoc).
+    */
+  private val embeddingsCols = Seq("vec_id", "embedding", "label")
+
+  private val arraysDiffSql: String = DiffSql.generate(
+    beforeBody = Tables.embeddingsBeforeSql,
+    afterBody = Tables.embeddingsAfterSql,
+    keys = Seq("vec_id"),
+    beforeCols = embeddingsCols,
+    afterCols = embeddingsCols,
+    structuralEqCols = Set("embedding"))
+
   /** Legacy `_row_status = 0` twin of [[ordersDiffSql]] — the
     * reference's own version-skew trap (SURVEY §0 trap 1: README.md:189
     * and samples/setup_all.sql:80 count matches with `= 0`, the live
@@ -259,6 +279,20 @@ object SparkEntry {
           Seq("l_orderkey", "l_linenumber"),
           opts = DiffOptions(dedupDuplicateKeys = true))
         .orderBy("K_l_orderkey", "K_l_linenumber")
+    }),
+    "q_diff_arrays" -> ((s, dir) => {
+      // the one type family the diff engine had never touched: an
+      // ARRAY<FLOAT> column, with null elements / empty arrays /
+      // length mismatches / whole-array NULLs planted on the real
+      // embeddings table. Spark's array `=` is structural; the
+      // oracle's IS NOT DISTINCT FROM spelling pins the cross-engine
+      // agreement (DiffSql.structuralEqCols).
+      TableDiff
+        .diff(
+          Tables.embeddingsBefore(s, dir),
+          Tables.embeddingsAfter(s, dir),
+          Seq("vec_id"))
+        .orderBy("K_vec_id")
     }),
     "q_diff_filtered" -> ((s, dir) => {
       // O2: per-side WHERE predicates — the reference's only
@@ -1368,6 +1402,8 @@ object SparkEntry {
       s"$ordersDiffSql\nORDER BY K_o_orderkey",
     "q_diff_bucketed" ->
       s"$ordersDiffSql\nORDER BY K_o_orderkey",
+    "q_diff_arrays" ->
+      s"$arraysDiffSql\nORDER BY K_vec_id",
     "q_diff_filtered" ->
       s"$lineitemFilteredDiffSql\nORDER BY K_l_orderkey, K_l_linenumber",
     "q_diff_nullkeys" ->

@@ -30,6 +30,21 @@ object DiffSql {
     *                    `_dup_after` / `_dup_status` — the SQL twin of
     *                    [[DiffOptions.dedupDuplicateKeys]], pinning
     *                    the fast mode's contract in one definition
+    * @param structuralEqCols columns whose value-equality branch is
+    *                    spelled `IS NOT DISTINCT FROM` instead of `=`.
+    *                    Needed for ARRAY columns: Spark's `=` on
+    *                    arrays is STRUCTURAL (`[1,NULL] = [1,NULL]` is
+    *                    TRUE, `[1,NULL] = [1,2]` is FALSE) while ANSI/
+    *                    DuckDB `=` returns NULL whenever a compared
+    *                    element is NULL — so a null-element cell would
+    *                    fall through the CASE to status 1 in one
+    *                    engine and read 0 in the other. At the value
+    *                    branch both sides are already non-NULL, so for
+    *                    scalar columns the two spellings are
+    *                    identical; for nested types DuckDB's
+    *                    DISTINCT-semantics comparison is exactly
+    *                    Spark's structural equality (probed: null
+    *                    elements, length mismatch, empty, NaN, -0.0).
     */
   def generate(
       beforeBody: String,
@@ -39,7 +54,8 @@ object DiffSql {
       afterCols: Seq[String],
       paddedTypes: Map[String, String] = Map.empty,
       legacyRowStatusZero: Boolean = false,
-      dedupDuplicateKeys: Boolean = false): String = {
+      dedupDuplicateKeys: Boolean = false,
+      structuralEqCols: Set[String] = Set.empty): String = {
     val allCols = SchemaUtils.mergeColumns(beforeCols, afterCols)
     val bSet = beforeCols.map(_.toLowerCase).toSet
     val aSet = afterCols.map(_.toLowerCase).toSet
@@ -77,10 +93,14 @@ object DiffSql {
     val bothPresent = if (legacyRowStatusZero) "0" else "CAST(NULL AS INTEGER)"
     val statusCols = allCols
       .map { c =>
+        val valueEq =
+          if (structuralEqCols.exists(_.equalsIgnoreCase(c)))
+            s"b_$c IS NOT DISTINCT FROM a_$c"
+          else s"b_$c = a_$c"
         s"""CASE WHEN b_$c IS NULL AND a_$c IS NULL THEN 0
            |    WHEN b_$c IS NULL THEN 2
            |    WHEN a_$c IS NULL THEN 3
-           |    WHEN b_$c = a_$c THEN 0
+           |    WHEN $valueEq THEN 0
            |    ELSE 1 END AS $c""".stripMargin
       }
       .mkString(",\n  ")

@@ -167,6 +167,90 @@ object Tables {
     a.unionByName(back)
   }
 
+  /** Common planted transform under the ARRAY-diff fixture, applied to
+    * BOTH sides so the cases read as MATCHING cells (status 0) across
+    * engines — the null-element match is the cross-engine trap the
+    * fixture exists to pin (Spark's structural array `=` says equal,
+    * ANSI `=` says NULL; see DiffSql.structuralEqCols):
+    *   - vec_id % 37 == 0 → empty array (equal empties)
+    *   - vec_id % 43 == 0 → NULL element appended (equal
+    *     null-element arrays)
+    */
+  private def embPlantCommon(df: DataFrame): DataFrame = df.withColumn(
+    "embedding",
+    when(col("vec_id") % 37 === 0, expr("CAST(array() AS ARRAY<FLOAT>)"))
+      .when(
+        col("vec_id") % 43 === 0,
+        concat(col("embedding"), array(lit(null).cast("float"))))
+      .otherwise(col("embedding")))
+
+  /** Before side of the ARRAY-column diff fixture: the planted common
+    * transform, plus the whole array nulled where vec_id % 23 == 0
+    * (before-only NULL → status 2).
+    */
+  def embeddingsBefore(spark: SparkSession, dir: String): DataFrame =
+    embPlantCommon(embeddings(spark, dir)).withColumn(
+      "embedding",
+      when(col("vec_id") % 23 === 0, lit(null).cast("array<float>"))
+        .otherwise(col("embedding")))
+
+  /** After side of the ARRAY-column diff fixture (FIXTURES.md §B
+    * style, on embeddings):
+    *   - rows vec_id % 53 == 0 dropped            → `_row_status` 5
+    *   - rows vec_id % 59 == 0 re-injected with negated key,
+    *     original embedding                        → `_row_status` 4
+    *   - % 29: whole array NULL                    → status 3
+    *   - % 47: every element negated               → status 1 (value)
+    *   - % 41: extra NULL element appended         → status 1 (null
+    *     element + length both differ — structural FALSE, not NULL)
+    *   - % 31: truncated to the first 2 elements   → status 1 (length)
+    * CASE order matters where moduli overlap; the oracle SQL replays
+    * the same order.
+    */
+  def embeddingsAfter(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+    val base = embPlantCommon(e)
+      .filter(col("vec_id") % 53 =!= 0)
+      .withColumn(
+        "embedding",
+        when(col("vec_id") % 29 === 0, lit(null).cast("array<float>"))
+          .when(col("vec_id") % 47 === 0, transform(col("embedding"), x => -x))
+          .when(
+            col("vec_id") % 41 === 0,
+            concat(col("embedding"), array(lit(null).cast("float"))))
+          .when(col("vec_id") % 31 === 0, slice(col("embedding"), 1, 2))
+          .otherwise(col("embedding")))
+    val injected = e
+      .filter(col("vec_id") % 59 === 0)
+      .withColumn("vec_id", -col("vec_id"))
+    base.unionByName(injected)
+  }
+
+  private val embCommonSql: String =
+    """CASE WHEN vec_id % 37 = 0 THEN CAST([] AS FLOAT[])
+      |       WHEN vec_id % 43 = 0 THEN embedding || [CAST(NULL AS FLOAT)]
+      |       ELSE embedding END""".stripMargin
+
+  /** DuckDB-dialect SQL producing exactly [[embeddingsBefore]]. */
+  val embeddingsBeforeSql: String =
+    s"""SELECT vec_id,
+       |  CASE WHEN vec_id % 23 = 0 THEN NULL ELSE $embCommonSql END AS embedding,
+       |  label
+       |FROM embeddings""".stripMargin
+
+  /** DuckDB-dialect SQL producing exactly [[embeddingsAfter]]. */
+  val embeddingsAfterSql: String =
+    s"""SELECT vec_id,
+       |  CASE WHEN vec_id % 29 = 0 THEN NULL
+       |       WHEN vec_id % 47 = 0 THEN CAST(list_transform($embCommonSql, x -> -x) AS FLOAT[])
+       |       WHEN vec_id % 41 = 0 THEN ($embCommonSql) || [CAST(NULL AS FLOAT)]
+       |       WHEN vec_id % 31 = 0 THEN list_slice($embCommonSql, 1, 2)
+       |       ELSE $embCommonSql END AS embedding,
+       |  label
+       |FROM embeddings WHERE vec_id % 53 <> 0
+       |UNION ALL
+       |SELECT -vec_id, embedding, label FROM embeddings WHERE vec_id % 59 = 0""".stripMargin
+
   /** DuckDB-dialect SQL producing exactly [[ordersAfter2]]. */
   val ordersAfter2Sql: String =
     s"""SELECT o_orderkey, o_custkey,

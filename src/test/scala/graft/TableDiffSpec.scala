@@ -272,6 +272,44 @@ class TableDiffSpec extends AnyFunSuite {
     assert(d.filter("_row_status IS NOT NULL").isEmpty) // every key on both sides
   }
 
+  test("array columns: structural equality decides the status cell") {
+    // Spark's array `=` is structural — null elements compare EQUAL,
+    // lengths must match, NaN equals NaN — so the status CASE needs no
+    // special handling; what this pins is the cell codes on every
+    // planted edge (and q_diff_arrays pins the DuckDB twin via
+    // IS NOT DISTINCT FROM — ANSI `=` would return NULL on the
+    // null-element cells and mis-code them 1)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", IntegerType, nullable = false),
+      StructField("xs", ArrayType(FloatType, containsNull = true))))
+    def df(rows: Seq[Row]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val before = df(Seq(
+      Row(1, Seq(1.0f, null)), // equal incl. null element  → 0
+      Row(2, Seq.empty),       // equal empties             → 0
+      Row(3, Seq(1.0f, 2.0f, 3.0f)), // truncated in after  → 1
+      Row(4, Seq(1.0f, 2.0f)), // null element vs value     → 1
+      Row(5, null),            // whole array NULL before   → 2
+      Row(6, Seq(Float.NaN)),  // NaN cells compare equal   → 0
+      Row(7, Seq(1.0f, 2.0f)))) // element changed          → 1
+    val after = df(Seq(
+      Row(1, Seq(1.0f, null)),
+      Row(2, Seq.empty),
+      Row(3, Seq(1.0f, 2.0f)),
+      Row(4, Seq(1.0f, null)),
+      Row(5, Seq(9.0f)),
+      Row(6, Seq(Float.NaN)),
+      Row(7, Seq(1.0f, 9.0f))))
+    val d = TableDiff.diff(before, after, Seq("k"))
+    val m = rowsByKey(d, "K_k")
+    val expected = Map(1 -> 0, 2 -> 0, 3 -> 1, 4 -> 1, 5 -> 2, 6 -> 0, 7 -> 1)
+    expected.foreach { case (k, want) =>
+      assert(m(k).getAs[Int]("xs") == want, s"key $k")
+      assert(m(k).getAs[Any]("_row_status") == null, s"key $k row status")
+    }
+  }
+
   test("legacy _row_status=0 convention behind the flag") {
     val before = Seq((1, "a")).toDF("k1", "val")
     val d = TableDiff
