@@ -109,13 +109,26 @@ object DedupScaleBench {
         nKept = graft.operators.Dedup
           .applyKeepBestWithLabels(docs, labels, "n_chars").count()
       }
-      (mult, nDocs, nPairs, nClusters, nKept, pairsSec, clusterSec, starSec, applySec)
+      // substring-span detector on the same pair-structured fixture:
+      // each (even, odd) replica pair shares its full marker-mutated
+      // text as one verbatim span, and the every-3rd-token pair marker
+      // makes any 10-token window pair-specific — so planted span
+      // count grows LINEARLY in mult and a superlinear time or span
+      // curve flags quadratic fan-out immediately
+      var nSpans = 0L
+      val spanSec = time(iters) {
+        nSpans = graft.operators.Dedup.repeatedSpanPairs(docs, minTokens = 10).count()
+        graft.operators.Dedup.unpersistAll()
+      }
+      (mult, nDocs, nPairs, nClusters, nKept, nSpans, pairsSec, clusterSec, starSec, applySec,
+        spanSec)
     }
 
-    val qs = results.map { case (m, nd, np, nc, nk, ps, cs, ss, as_) =>
-      s""""x$m":{"docs":$nd,"n_pairs":$np,"n_clusters":$nc,"n_kept":$nk,""" +
+    val qs = results.map { case (m, nd, np, nc, nk, nsp, ps, cs, ss, as_, sps) =>
+      s""""x$m":{"docs":$nd,"n_pairs":$np,"n_clusters":$nc,"n_kept":$nk,"n_spans":$nsp,""" +
         s""""pairs_sec":${f"$ps%.3f"},"cluster_sec":${f"$cs%.3f"},""" +
-        s""""cluster_star_sec":${f"$ss%.3f"},"apply_sec":${f"$as_%.3f"}}"""
+        s""""cluster_star_sec":${f"$ss%.3f"},"apply_sec":${f"$as_%.3f"},""" +
+        s""""spans_sec":${f"$sps%.3f"}}"""
     }.mkString(",")
     println(s"""{"metric":"dedup_scale_curve","iters":$iters,"sf":"$sfDir",$qs}""")
 

@@ -223,6 +223,13 @@ object ExtensionQueries {
       Dedup.exact(Corpus.docCorpus(s, dir)).orderBy("canonical_doc_id")),
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Corpus.docCorpus(s, dir)).orderBy("doc_a", "doc_b")),
+    "q_dedup_substring" -> ((s, dir) =>
+      // substring-level exact dedup (Lee et al. 2022 ExactSubstr,
+      // distributed): maximal ≥10-token verbatim spans shared across
+      // doc pairs, over the planted span corpus (doc 13m carries the
+      // first 20 tokens of doc 13m+1)
+      Dedup.repeatedSpanPairs(Corpus.spanCorpus(s, dir), minTokens = 10)
+        .orderBy("doc_a", "doc_b", "a_start", "b_start")),
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(Corpus.docCorpus(s, dir)).orderBy("doc_a", "doc_b")),
     "q_dedup_minhash_fine" -> ((s, dir) =>
@@ -500,6 +507,20 @@ object ExtensionQueries {
       // counts approximate. The DuckDB twin replays the identical
       // greedy recursion as a recursive CTE over the identical vocab.
       TextAnalysis.wordpieceStats(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_text_wordpiece_30k" -> ((s, dir) => {
+      // the production-scale variant: the same kernel under a
+      // ~30k-piece vocabulary, loaded through the vocab-TABLE entry
+      // point (bounded collect + compile) — proving the foldable-spec
+      // path and the compiled matcher at real vocab size. Same
+      // recursive-CTE twin, now over a 30k-row VALUES vocab via the
+      // candidate-substring equi-join (the correlated probe would be
+      // a 10⁹-comparison nested loop at this size).
+      import s.implicits._
+      val vocabDf = TextAnalysis.wordpieceVocab30k().toDF("piece")
+      TextAnalysis
+        .wordpieceStatsFromVocabTable(Tables.documents(s, dir), vocabDf)
+        .orderBy("doc_id")
+    }),
     "q_text_quality" -> ((s, dir) =>
       TextAnalysis.quality(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_text_langid" -> ((s, dir) =>
@@ -1439,6 +1460,43 @@ object ExtensionQueries {
          |SELECT doc_a, doc_b, shared, jaccard_ppm FROM j
          |WHERE jaccard_ppm >= 300000 ORDER BY doc_a, doc_b""".stripMargin,
 
+    "q_dedup_substring" -> {
+      val k = 10
+      s"""WITH corpus AS (
+         |${Corpus.spanCorpusSql}
+         |), whc AS (
+         |  SELECT doc_id, ${wordHashArrayDuck(wordsDuck("text"))} AS wh
+         |  FROM corpus WHERE ${tokenCountDuck("text")} >= $k
+         |), sh AS (
+         |  SELECT doc_id,
+         |    ${positionalShingleHashesDuck("wh", k, 31L)} AS s1,
+         |    ${positionalShingleHashesDuck("wh", k, 131L)} AS s2
+         |  FROM whc
+         |), pos AS (
+         |  SELECT doc_id, unnest(range(0, len(s1))) AS p,
+         |         unnest(s1) AS h1, unnest(s2) AS h2
+         |  FROM sh
+         |), keep AS (
+         |  SELECT h1, h2 FROM pos GROUP BY h1, h2
+         |  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 20
+         |), f AS (
+         |  SELECT pos.doc_id, pos.p, pos.h1, pos.h2
+         |  FROM pos JOIN keep USING (h1, h2)
+         |), cand AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |         x.p AS pa, y.p AS pb, x.p - y.p AS diag
+         |  FROM f x JOIN f y
+         |    ON x.h1 = y.h1 AND x.h2 = y.h2 AND x.doc_id < y.doc_id
+         |), runs AS (
+         |  SELECT doc_a, doc_b, diag, pa, pb,
+         |    pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island
+         |  FROM cand
+         |)
+         |SELECT doc_a, doc_b, MIN(pa) AS a_start, MIN(pb) AS b_start,
+         |  MAX(pa) - MIN(pa) + $k AS span_tokens
+         |FROM runs GROUP BY doc_a, doc_b, diag, island
+         |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin
+    },
     "q_dedup_minhash" ->
       s"$minhashPairsSql ORDER BY doc_a, doc_b",
 
@@ -1700,6 +1758,15 @@ object ExtensionQueries {
     "q_text_wordpiece" ->
       s"""WITH wp AS (
          |${TextAnalysis.wordpieceDuckSql("SELECT doc_id, text FROM documents")}
+         |)
+         |SELECT doc_id, n_tokens, n_unk_words, n_words
+         |FROM wp ORDER BY doc_id""".stripMargin,
+
+    "q_text_wordpiece_30k" ->
+      s"""WITH wp AS (
+         |${TextAnalysis.wordpieceDuckSql(
+            "SELECT doc_id, text FROM documents",
+            vocab = TextAnalysis.wordpieceVocab30k())}
          |)
          |SELECT doc_id, n_tokens, n_unk_words, n_words
          |FROM wp ORDER BY doc_id""".stripMargin,

@@ -199,6 +199,15 @@ object ScaleBench {
       val wpSec = time(iters) {
         consumed(graft.operators.TextAnalysis.wordpieceStats(docs))
       }
+      // the same kernel at production vocab scale (~30k pieces): the
+      // scan is O(bytes · maxPieceLen) with per-length-agnostic hash
+      // probes, so 300× more vocabulary should cost ~nothing beyond
+      // the one-time compile — a superlinear gap here would mean the
+      // matcher degrades with vocab size
+      val wp30k = graft.operators.TextAnalysis.wordpieceVocab30k()
+      val wp30kSec = time(iters) {
+        consumed(graft.operators.TextAnalysis.wordpieceStats(docs, vocab = wp30k))
+      }
       // IVF centroid-fit A/B: the Lloyd refinement is the dominant
       // build cost (a full nearest-centroid pass per iteration);
       // fitSampleMod caps it at a 1/16 hash-sample while assignment
@@ -217,15 +226,15 @@ object ScaleBench {
         ()
       }
       (mult, nRows, diffSec, aggSec, nDocs, funnelSec, natSec, natSampledSec,
-        pslSec, mixSec, bruteSec, quantSec, wpSec, ivfFitSec, ivfFitSampledSec)
+        pslSec, mixSec, bruteSec, quantSec, wpSec, wp30kSec, ivfFitSec, ivfFitSampledSec)
     }
 
-    val qs = results.map { case (m, n, d, a, nd, f, nt, nts, ps, mx, bt, qt, wp, ivf, ivfs) =>
+    val qs = results.map { case (m, n, d, a, nd, f, nt, nts, ps, mx, bt, qt, wp, wp30, ivf, ivfs) =>
       s""""x$m":{"rows":$n,"diff_sec":${f"$d%.3f"},"agg_sec":${f"$a%.3f"},""" +
         s""""docs":$nd,"funnel_sec":${f"$f%.3f"},"nat_sec":${f"$nt%.3f"},""" +
         s""""nat_sampled_sec":${f"$nts%.3f"},"psl_sec":${f"$ps%.3f"},"mix_sec":${f"$mx%.3f"},""" +
         s""""brute_topk_sec":${f"$bt%.3f"},"quant_topk_sec":${f"$qt%.3f"},""" +
-        s""""wordpiece_sec":${f"$wp%.3f"},""" +
+        s""""wordpiece_sec":${f"$wp%.3f"},"wordpiece_30k_sec":${f"$wp30%.3f"},""" +
         s""""ivf_fit_sec":${f"$ivf%.3f"},"ivf_fit_sampled_sec":${f"$ivfs%.3f"}}"""
     }.mkString(",")
     // an empty mults list (the skip-to-probe mode) must still emit

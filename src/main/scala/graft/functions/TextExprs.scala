@@ -88,6 +88,26 @@ object TextExprs {
     s"list_distinct(list_transform(range(1, len($wh) - ${n - 2}), i -> $combine))"
   }
 
+  /** POSITIONAL shingle hashes (no distinct, order = token position):
+    * element at position p (0-based Spark / 1-based DuckDB) is the
+    * fold of word hashes p..p+n-1 under multiplier `mult` — the
+    * repeated-span detector joins on these, so position must survive.
+    * Two folds of the same window under different multipliers give a
+    * ~60-bit composite key (the span join uses (31, 131)); both are
+    * plain integer arithmetic mod P, so the DuckDB twin reproduces
+    * collisions bit-for-bit too.
+    */
+  def positionalShingleHashesSpark(wh: String, n: Int, mult: Long): String = {
+    val combine =
+      (1 until n).foldLeft(s"$wh[i]")((acc, j) => s"(($acc) * $mult + $wh[i + $j]) % $P")
+    s"transform(sequence(0, size($wh) - $n), i -> $combine)"
+  }
+  def positionalShingleHashesDuck(wh: String, n: Int, mult: Long): String = {
+    val combine =
+      (1 until n).foldLeft(s"$wh[i]")((acc, j) => s"(($acc) * $mult + $wh[i + $j]) % $P")
+    s"list_transform(range(1, len($wh) - ${n - 2}), i -> $combine)"
+  }
+
   /** MinHash signature (array of NumMinhash BIGINTs) over a
     * hash-set-array column `hs`. Spark side uses the codegen'd
     * [[MinHashSig]] kernel — callers must have called

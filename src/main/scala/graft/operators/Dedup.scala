@@ -131,6 +131,100 @@ object Dedup {
       .select("doc_a", "doc_b", "shared", "jaccard_ppm")
   }
 
+  /** Substring-level exact dedup: maximal token spans of at least
+    * `minTokens` tokens repeated VERBATIM across document pairs — the
+    * standard LLM-curation operator (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", the ExactSubstr
+    * technique; their suffix-array formulation is single-machine, this
+    * is the distributed shingle-join equivalent).
+    *
+    * Shape: tokenize → positional minTokens-shingle hashes (two
+    * polynomial folds per window, multipliers 31/131 — a ~60-bit
+    * composite so unrelated windows can't collide into false spans) →
+    * drop shingles in more than `maxDocsPerShingle` docs (bounded
+    * fan-out, the PSL-explode-cap pattern: a boilerplate phrase shared
+    * by 10k docs would otherwise emit 10k² pairs; dedup treats such
+    * spans as cluster material, not pairs) and shingles in only one
+    * doc (nothing to pair) → equi-join on the composite hash with
+    * doc_a < doc_b → merge runs of consecutive positions per
+    * (pair, diagonal) with the islands trick → one row per MAXIMAL
+    * shared span: (doc_a, doc_b, a_start, b_start, span_tokens),
+    * positions 0-based in tokens.
+    *
+    * Scale notes: the exploded shingle table is token-count-sized but
+    * NARROW (id + position + two BIGINT hashes — never the text);
+    * every stage is an equi-shuffle (count, join, window), no
+    * all-pairs anywhere, and the per-shingle doc cap bounds the join
+    * fan-out by construction. A span of L tokens emits L−minTokens+1
+    * consecutive join rows that the diagonal merge collapses — the
+    * detector's inherent k× position amplification, same as the
+    * reference technique's suffix array being |corpus|-sized.
+    * DedupScaleBench measures the linear curve on planted spans.
+    */
+  def repeatedSpanPairs(
+      docs: DataFrame,
+      minTokens: Int = 10,
+      maxDocsPerShingle: Int = 20,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    PolyHash.register(docs.sparkSession)
+    val k = minTokens
+    require(k >= 2, "minTokens must be at least 2")
+    val wh = docs
+      .filter(expr(s"${tokenCountSpark(textCol)} >= $k"))
+      .select(
+        col(idCol).as("doc_id"),
+        expr(wordHashArraySpark(wordsSpark(textCol))).as("wh"))
+      .pipe(persistTracked)
+    // positional shingle arrays must be materialized before the zip
+    // indexes them (same CollapseProject trap as the gram arrays)
+    val sh = wh
+      .select(
+        col("doc_id"),
+        expr(positionalShingleHashesSpark("wh", k, 31L)).as("s1"),
+        expr(positionalShingleHashesSpark("wh", k, 131L)).as("s2"))
+      .pipe(persistTracked)
+    val pos = sh
+      .select(col("doc_id"), posexplode(arrays_zip(col("s1"), col("s2"))))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("p"),
+        col("col.s1").as("h1"),
+        col("col.s2").as("h2"))
+    // shareable shingles only: in ≥2 docs (else nothing to pair) and
+    // ≤ cap docs (bounded fan-out)
+    val keep = pos
+      .groupBy("h1", "h2")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= maxDocsPerShingle)
+      .select("h1", "h2")
+    val f = pos.join(keep, Seq("h1", "h2"))
+    val cand = f.as("x")
+      .join(
+        f.as("y"),
+        col("x.h1") === col("y.h1") && col("x.h2") === col("y.h2") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"),
+        col("x.p").as("pa"),
+        col("y.p").as("pb"))
+      .withColumn("diag", col("pa") - col("pb"))
+    // islands: consecutive positions on one (pair, diagonal) collapse
+    // to one maximal span (pa is unique within a diagonal — pb is
+    // determined by pa − diag — so row_number has no ties)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    cand
+      .withColumn("island", col("pa") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "diag", "island")
+      .agg(
+        min("pa").as("a_start"),
+        min("pb").as("b_start"),
+        (max(col("pa")) - min(col("pa")) + lit(k.toLong)).as("span_tokens"))
+      .select("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
+  }
+
   /** MinHash+LSH near-dup candidates: signature → band keys →
     * equi-join on (band, key) → estimated Jaccard = fraction of
     * agreeing signature positions. The scale path: no all-pairs

@@ -1154,6 +1154,34 @@ object TextAnalysis {
     (chars ++ chars.map("##" + _) ++ words ++ conts).distinct
   }
 
+  /** Deterministic synthetic vocabulary at PRODUCTION scale (~30k
+    * pieces, the BERT-base ballpark), the syntheticPslText pattern
+    * scaled up: all single chars, all 2-grams over [a-z0-9_], a
+    * poly-hash-thinned block of 3-letter grams, and a 4-gram block
+    * over a..j — each in plain and `##`-continuation form per a
+    * deterministic hash rule. Exists to prove the foldable-spec path
+    * and the compiled matcher hold at real vocab size (the ~110-piece
+    * [[wordpieceVocab]] is the semantics fixture; this is the scale
+    * fixture). With every single char present, no word is ever UNK —
+    * which is also how real vocabs behave on ASCII text.
+    */
+  def wordpieceVocab30k(): Seq[String] = {
+    def fold(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
+    val chars = (('a' to 'z') ++ ('0' to '9') :+ '_').map(_.toString)
+    val letters = ('a' to 'j').map(_.toString)
+    val two = for { a <- chars; b <- chars } yield a + b
+    val az = ('a' to 'z').map(_.toString)
+    val three = for { a <- az; b <- az; c <- az } yield a + b + c
+    val four = for { a <- letters; b <- letters; c <- letters; d <- letters } yield a + b + c + d
+    (chars ++ chars.map("##" + _) ++
+      two ++ two.map("##" + _) ++
+      three.filterNot(t => fold(t) % 3 == 0) ++
+      three.filter(t => fold(t) % 3 == 1).map("##" + _) ++
+      four.filter(t => fold(t) % 2 == 0) ++
+      four.filter(t => fold(t) % 2 == 1).map("##" + _)).distinct
+  }
+
   /** Per-document WordPiece statistics over a vocabulary:
     * `(doc_id, n_tokens, n_unk_words, n_words)` under BERT's
     * greedy-longest-match with unk-at-word-granularity (see
@@ -1193,12 +1221,51 @@ object TextAnalysis {
           expr("element_at(_wp, 3)").as("n_words"): _*)
   }
 
+  /** Vocabulary-from-a-table entry point: the production shape, where
+    * a ~30k-piece vocab lives in a file/table, not a source literal.
+    * The vocab is localized with a HARD-CAPPED collect (the IVF
+    * centroid-localize pattern — a subword vocab is 30-50k strings by
+    * construction, broadcast-scale data; the cap turns a mis-pointed
+    * vocab table into an error instead of a driver OOM) and compiled
+    * into the same foldable-spec kernel as [[wordpieceStats]].
+    * Ordering of the vocab table is irrelevant: matching is
+    * longest-match over hash sets, not list order.
+    */
+  def wordpieceStatsFromVocabTable(
+      docs: DataFrame,
+      vocabDf: DataFrame,
+      pieceCol: String = "piece",
+      maxPieces: Int = 100000,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      passthroughCols: Seq[String] = Nil): DataFrame = {
+    val pieces = vocabDf
+      .select(col(pieceCol).cast("string"))
+      .limit(maxPieces + 1)
+      .collect()
+      .map(_.getString(0))
+    require(
+      pieces.length <= maxPieces,
+      s"vocab table exceeds $maxPieces pieces — not a subword vocabulary")
+    wordpieceStats(docs, pieces.toIndexedSeq, textCol, idCol, passthroughCols)
+  }
+
   /** DuckDB twin of [[wordpieceStats]] over a docs relation: the SAME
     * vocabulary as a VALUES CTE and the SAME greedy-longest-match
     * recursion as a recursive CTE — tokenizing each DISTINCT word
     * once (tokenization is a pure function of the word) and joining
     * the per-word piece counts back to per-document occurrence
     * counts. One semantics definition, two engines.
+    *
+    * The longest-match probe is phrased as candidate-substring
+    * generation + an EQUI-join against the vocab (grouped to
+    * `best = MAX(len)` per word position), not a correlated
+    * `piece = substr(w, pos, LENGTH(piece))` scan: the correlated
+    * form's join key depends on the inner row's length, which no
+    * decorrelation can hash — at 110 pieces that's invisible, at a
+    * 30k-piece vocab it's a 10⁹-comparison nested loop. Candidate
+    * count is bounded by maxPieceLen per position, so the join input
+    * is O(distinct words × word length × maxPieceLen).
     */
   def wordpieceDuckSql(
       docsRel: String,
@@ -1218,6 +1285,7 @@ object TextAnalysis {
     val values = vocab.map { p =>
       if (p.startsWith("##")) s"('${p.substring(2)}', TRUE)" else s"('$p', FALSE)"
     }.mkString(", ")
+    val maxLen = vocab.map(p => (if (p.startsWith("##")) p.substring(2) else p).length).max
     s"""WITH RECURSIVE vocab(piece, cont) AS (VALUES $values),
        |docs_in AS ($docsRel),
        |words AS (
@@ -1226,17 +1294,27 @@ object TextAnalysis {
        |),
        |wcount AS (SELECT $idCol, w, COUNT(*) AS cnt FROM words GROUP BY $idCol, w),
        |uwords AS (SELECT DISTINCT w FROM wcount),
+       |subs AS (
+       |  SELECT w, pos, substr(w, CAST(pos + 1 AS INT), CAST(l AS INT)) AS sub
+       |  FROM (SELECT w, unnest(range(0, LENGTH(w))) AS pos FROM uwords),
+       |       (SELECT unnest(range(1, ${maxLen + 1})) AS l) ls
+       |  WHERE pos + l <= LENGTH(w)
+       |),
+       |matches AS (
+       |  SELECT s.w, s.pos, v.cont, CAST(MAX(LENGTH(s.sub)) AS BIGINT) AS best
+       |  FROM subs s JOIN vocab v ON v.piece = s.sub
+       |  GROUP BY s.w, s.pos, v.cont
+       |),
        |tok AS (
        |  SELECT w, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS n, FALSE AS unk
        |  FROM uwords
        |  UNION ALL
        |  SELECT w, pos + COALESCE(best, 0), n + 1, best IS NULL
        |  FROM (
-       |    SELECT w, pos, n,
-       |      (SELECT MAX(LENGTH(piece)) FROM vocab v
-       |        WHERE v.cont = (t.pos > 0)
-       |          AND v.piece = substr(t.w, CAST(t.pos + 1 AS INT), LENGTH(v.piece))) AS best
-       |    FROM tok t WHERE t.pos < LENGTH(t.w) AND NOT t.unk
+       |    SELECT t.w, t.pos, t.n, m.best
+       |    FROM tok t LEFT JOIN matches m
+       |      ON m.w = t.w AND m.pos = t.pos AND m.cont = (t.pos > 0)
+       |    WHERE t.pos < LENGTH(t.w) AND NOT t.unk
        |  )
        |),
        |fin AS (

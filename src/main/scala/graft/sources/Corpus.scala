@@ -35,6 +35,37 @@ object Corpus {
       |SELECT doc_id + 2000000, text || ' near dup extra tail', lang, source, n_chars
       |FROM documents WHERE doc_id % 11 = 0""".stripMargin
 
+  /** documents with planted cross-doc token spans for the
+    * repeated-span detector: every doc with doc_id % 13 == 0 gets the
+    * FIRST 20 tokens of doc_id+1's text appended — so the pair
+    * (13m, 13m+1) shares a verbatim ≥20-token span (shorter if the
+    * partner has fewer tokens), sitting at the end of one doc and the
+    * start of the other. Raw texts are otherwise distinct, so planted
+    * spans dominate the output.
+    */
+  def spanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    val p = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("p_text"))
+    d.join(p, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(
+          col("doc_id") % 13 === 0 && col("p_text").isNotNull,
+          concat_ws(
+            " ",
+            col("text"),
+            concat_ws(" ", slice(expr("split(trim(p_text), '\\\\s+')"), 1, 20))))
+          .otherwise(col("text"))
+          .as("text"))
+  }
+
+  val spanCorpusSql: String =
+    """SELECT d.doc_id,
+      |  CASE WHEN d.doc_id % 13 = 0 AND p.text IS NOT NULL
+      |       THEN d.text || ' ' || array_to_string(list_slice(string_split_regex(trim(p.text), '\s+'), 1, 20), ' ')
+      |       ELSE d.text END AS text
+      |FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id + 1""".stripMargin
+
   /** embeddings ∪ scaled copies (vec_id % 17, id + 100,000, embedding
     * × 1.001f — cosine-identical up to float rounding, so they read
     * as near-duplicates under cosine ≥ 0.999).

@@ -35,6 +35,58 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(nearPairs.filter("jaccard_ppm < 400000").count() == 0)
   }
 
+  test("repeated spans ≡ quadratic naive maximal-run sweep; planted corpus pairs found") {
+    import spark.implicits._
+    val k = 4
+    // deterministic small-vocab docs — natural cross-doc repeats are
+    // LIKELY at vocab 10, which is the point: the naive O(n²) sweep is
+    // ground truth for everything, planted or accidental (the
+    // ngramJaccard verifier precedent)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+      "zeta", "eta", "theta", "iota", "kappa")
+    def tok(seed: Int, n: Int): Vector[String] =
+      Vector.tabulate(n)(i => vocab(math.abs((seed * 31 + i * 17) ^ (i * i * 7)) % vocab.size))
+    val base = (0 until 8).map(d => d.toLong -> tok(d + 1, 30)).toMap
+    val planted = base
+      .updated(1L, base(1L) ++ base(2L).take(6)) // (1,2): 6-token span at the seam
+      .updated(3L, base(3L).patch(5, base(4L).slice(10, 20), 10)) // (3,4): 10-token mid-doc
+    val docs = planted.toSeq
+      .map { case (id, ts) => (id, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = Dedup.repeatedSpanPairs(docs, minTokens = k, maxDocsPerShingle = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val arr = planted.toSeq.sortBy(_._1)
+    val want = (for {
+      i <- arr.indices
+      j <- arr.indices
+      if arr(i)._1 < arr(j)._1
+      (a, ta) = arr(i)
+      (b, tb) = arr(j)
+      pa <- ta.indices
+      pb <- tb.indices
+      // a maximal run starts where the previous tokens differ (or at a boundary)
+      if pa == 0 || pb == 0 || ta(pa - 1) != tb(pb - 1)
+      run = Iterator.from(0)
+        .takeWhile(o => pa + o < ta.size && pb + o < tb.size && ta(pa + o) == tb(pb + o))
+        .size
+      if run >= k
+    } yield (a, b, pa.toLong, pb.toLong, run.toLong)).toSet
+    assert(got == want, s"operator vs naive: extra=${got -- want} missing=${want -- got}")
+    Dedup.unpersistAll()
+    // and on the real planted corpus: every (13m, 13m+1) pair carries
+    // its ≥10-token span
+    val spans = Dedup
+      .repeatedSpanPairs(Corpus.spanCorpus(spark, "/root/testdata/sf0.001"), minTokens = 10)
+      .cache()
+    val plantedPairs = spans.filter("doc_b = doc_a + 1 AND doc_a % 13 = 0")
+    assert(plantedPairs.count() >= 30, s"planted pairs: ${plantedPairs.count()}")
+    assert(plantedPairs.filter("span_tokens >= 10").count() == plantedPairs.count())
+    spans.unpersist()
+    Dedup.unpersistAll()
+  }
+
   test("MinHash-LSH recovers planted pairs with full-signature agreement on exact copies") {
     val p = Dedup.minhashPairs(corpus).cache()
     // doc_a < 500: ids ≡ 0 (mod 77) also pair an exact copy with a

@@ -516,6 +516,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("wordpiece at 30k vocab: table entry point ≡ literal vocab, order-independent") {
+    import spark.implicits._
+    val vocab = graft.operators.TextAnalysis.wordpieceVocab30k()
+    // the scale fixture is genuinely production-sized and multi-length
+    assert(vocab.size > 25000 && vocab.size < 50000, s"vocab size ${vocab.size}")
+    assert(vocab.map(p => (if (p.startsWith("##")) p.drop(2) else p).length).max == 4)
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val direct = graft.operators.TextAnalysis
+      .wordpieceStats(docs, vocab = vocab).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // vocab-from-a-table path, deliberately shuffled: matching is
+    // longest-match over compiled sets, so table order must not matter
+    val shuffled = new scala.util.Random(7).shuffle(vocab).toDF("piece")
+    val viaTable = graft.operators.TextAnalysis
+      .wordpieceStatsFromVocabTable(docs, shuffled).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(direct == viaTable)
+    // with every single char in vocab, ASCII words can never be UNK
+    assert(direct.values.forall(_._2 == 0L))
+    // subword compression is real: fewer pieces than chars, more than words
+    val some = direct.values.take(50)
+    assert(some.forall { case (tok, _, words) => words == 0 || tok >= words })
+    // the cap guard fires on a mis-pointed "vocab"
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.wordpieceStatsFromVocabTable(
+        docs, spark.range(200000).selectExpr("CAST(id AS STRING) AS piece"))
+    }
+    assert(e.getMessage.contains("100000"))
+  }
+
   test("repetition counts duplicated tokens in fixed-point ppm") {
     import spark.implicits._
     val docs = Seq(
