@@ -375,9 +375,46 @@ object ExtensionQueries {
       // 32 → 6.97 s, 8 → 3.13 s, 4 → 2.78 s, 2 → 3.21 s. Shuffle
       // width cannot change the result: drops are per-row against the
       // GLOBAL watermark, which advances on batch boundaries only.
-      graft.streaming.StreamRunner.runToCompletion(agg, outputMode = "append", statePartitions = 4)
+      val out = graft.streaming.StreamRunner
+        .runToCompletion(agg, outputMode = "append", statePartitions = 4)
         .filter(col("event_type") =!= "sentinel")
         .withColumn("window_start", col("window_start").cast("timestamp_ntz"))
+      // SECOND, characterization-independent pin (the literal-TRUE-
+      // flag pattern): the primary oracle replays the empirically
+      // pinned lag-2 watermark progression — these flags hold under
+      // ANY correct watermark rule, so they gate the semantics even
+      // if that characterization were fit to the wrong model:
+      //   emitted_once — append mode emits each surviving group once;
+      //   ge_early     — rows of the first two arrival slices precede
+      //                  every watermark filter (batches 0/1 see a
+      //                  NULL filter), so no correct rule may drop
+      //                  them: group counts are bounded below;
+      //   le_all       — and above by the full batch aggregate;
+      //   covers_early — every window the early slices populate must
+      //                  be emitted once the sentinels close it.
+      val winStart = expr(
+        "CAST(window(ts, '6 hours').start AS TIMESTAMP_NTZ)").as("window_start")
+      val hi = ev
+        .groupBy(winStart, col("event_type"))
+        .agg(count(lit(1)).as("hi_n"))
+      val lo = ev
+        .filter(pmod(col("event_id"), lit(4)) <= 1)
+        .groupBy(winStart, col("event_type"))
+        .agg(count(lit(1)).as("lo_n"))
+      val missingEarly =
+        lo.join(out, Seq("window_start", "event_type"), "left_anti").count()
+      val onceW = org.apache.spark.sql.expressions.Window
+        .partitionBy("window_start", "event_type")
+      out
+        .join(hi, Seq("window_start", "event_type"))
+        .join(lo, Seq("window_start", "event_type"), "left")
+        .withColumn("emitted_once", count(lit(1)).over(onceW) === 1)
+        .withColumn("ge_early", col("n_events") >= coalesce(col("lo_n"), lit(0L)))
+        .withColumn("le_all", col("n_events") <= col("hi_n"))
+        .withColumn("covers_early", lit(missingEarly == 0))
+        .select(
+          "window_start", "event_type", "n_events", "sum_value",
+          "emitted_once", "ge_early", "le_all", "covers_early")
         .orderBy("window_start", "event_type")
     }),
     "q_dedup_clusters" -> ((s, dir) => {
@@ -828,6 +865,26 @@ object ExtensionQueries {
           numShards = 4))
         .orderBy("shard", "seq")
     }),
+    "q_pipeline_train_export_tokens" -> ((s, dir) => {
+      // the token-currency toggle (q_mixture_tokens_wp promoted into
+      // the pipeline surface): same five stages as
+      // q_pipeline_train_export, but the mixture budgets are billed
+      // in REAL WordPiece tokens of the clean subset — budgets sized
+      // so each source is genuinely truncated at sf0.01
+      val docs = Tables.documents(s, dir)
+      graft.pipelines.TrainingExport.run(
+        docs,
+        docs.filter(col("doc_id") % 97 === 0),
+        graft.pipelines.TrainingExport.Config(
+          curate = true,
+          dedup = graft.pipelines.TrainingExport.DedupExact,
+          contaminationMaxPpm = Some(500000L),
+          budgets = Seq("src0" -> 2500L, "src1" -> 1500L),
+          defaultBudget = 2000L,
+          budgetCurrency = graft.pipelines.TrainingExport.BudgetWordPieceTokens(),
+          numShards = 4))
+        .orderBy("shard", "seq")
+    }),
     "q_pipeline_train_export_neardup" -> ((s, dir) => {
       // pipeline v2: same five stages but the dedup gate is the REAL
       // one — MinHash-LSH candidate pairs + connected components over
@@ -1135,6 +1192,88 @@ object ExtensionQueries {
 
   private val corpus = Corpus.docCorpusSql
   private val tokGuard3 = s"${tokenCountDuck("text")} >= 3"
+
+  /** The five-stage train-export oracle (funnel → exact dedup →
+    * decontamination → budget mixture → shard), parameterized by the
+    * mixture currency: `tokensWp = false` sums n_chars (the
+    * historical char-budget contract, byte-identical to the pre-r12
+    * inline SQL), `tokensWp = true` inserts the recursive WordPiece
+    * twin over the clean subset and sums its n_tokens — the SQL
+    * mirror of [[graft.pipelines.TrainingExport.BudgetWordPieceTokens]].
+    */
+  private def trainExportPipelineSql(
+      budgets: Seq[(String, Long)], defaultBudget: Long, tokensWp: Boolean): String = {
+    val h = graft.functions.TextExprs.charHashDuck("CAST(doc_id AS VARCHAR)")
+    val mh = graft.operators.Sampling.mixedHash(h)
+    val hq = graft.functions.TextExprs.charHashDuck("CAST(c.doc_id AS VARCHAR)")
+    val mhq = graft.operators.Sampling.mixedHash(hq)
+    val b = graft.operators.Sampling.budgetCase("source", budgets, defaultBudget)
+    val guard = s"${tokenCountDuck("text")} >= 3"
+    val mixtureCtes =
+      if (!tokensWp)
+        s"""|, mx AS (
+            |  SELECT doc_id, source,
+            |    CAST(SUM(CAST(n_chars AS BIGINT)) OVER (
+            |      PARTITION BY source ORDER BY ($mh), doc_id
+            |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_weight
+            |  FROM clean
+            |)""".stripMargin
+      else
+        s"""|, wp AS (
+            |${TextAnalysis.wordpieceDuckSql("SELECT doc_id, text FROM clean")}
+            |), mx AS (
+            |  SELECT c.doc_id AS doc_id, c.source,
+            |    CAST(SUM(wp.n_tokens) OVER (
+            |      PARTITION BY c.source ORDER BY ($mhq), c.doc_id
+            |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_weight
+            |  FROM clean c JOIN wp ON wp.doc_id = c.doc_id
+            |)""".stripMargin
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    ${TextAnalysis.funnelMetricsDuckProjection("text")}
+       |  FROM documents
+       |), kept AS (
+       |  SELECT d.doc_id, d.text, d.source, d.n_chars
+       |  FROM documents d JOIN (
+       |    SELECT doc_id FROM m
+       |    WHERE (${TextAnalysis.funnelVerdictCase(20, 500000L, Seq("en"), 600000L)}) = 'keep'
+       |  ) k USING (doc_id)
+       |), canon AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text
+       |), dd AS (
+       |  SELECT k.* FROM kept k JOIN canon USING (doc_id)
+       |), bwh AS (
+       |  SELECT ${wordHashArrayDuck(wordsDuck("text"))} AS wh
+       |  FROM documents WHERE doc_id % 97 = 0 AND $guard
+       |), bg AS (
+       |  SELECT DISTINCT unnest(${shingleHashesFromWordHashesDuck("wh", 3)}) AS gram FROM bwh
+       |), dwh AS (
+       |  SELECT doc_id, ${wordHashArrayDuck(wordsDuck("text"))} AS wh FROM dd WHERE $guard
+       |), dg AS (
+       |  SELECT doc_id, ${shingleHashesFromWordHashesDuck("wh", 3)} AS grams FROM dwh
+       |), e AS (
+       |  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams, unnest(grams) AS gram FROM dg
+       |), cont AS (
+       |  SELECT e.doc_id,
+       |    ${ppmDuck("SUM(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END)", "e.n_grams")} AS contamination_ppm
+       |  FROM e LEFT JOIN bg USING (gram)
+       |  GROUP BY e.doc_id, e.n_grams
+       |), clean AS (
+       |  SELECT d.* FROM dd d JOIN cont USING (doc_id)
+       |  WHERE cont.contamination_ppm < 500000
+       |)$mixtureCtes, sampled AS (
+       |  SELECT doc_id, source FROM mx WHERE running_weight <= ($b)
+       |), sh AS (
+       |  SELECT doc_id, source,
+       |    CAST(($mh) % 4 AS BIGINT) AS shard,
+       |    ((($mh) + 1) * 2246822519) % 1000000007 AS m2
+       |  FROM sampled
+       |)
+       |SELECT shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY m2, doc_id) AS BIGINT) AS seq,
+       |  doc_id, source
+       |FROM sh ORDER BY shard, seq""".stripMargin
+  }
 
   /** The int8-quantized top-k pipeline as shared CTEs ending in `qr`
     * (the ranked quantized neighbors) — the q_embed_topk_quantized
@@ -1541,7 +1680,9 @@ object ExtensionQueries {
         |)
         |SELECT wstart AS window_start, event_type,
         |  COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  TRUE AS emitted_once, TRUE AS ge_early, TRUE AS le_all,
+        |  TRUE AS covers_early
         |FROM kept GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
 
@@ -2020,64 +2161,15 @@ object ExtensionQueries {
          |FROM z GROUP BY 1 ORDER BY zcell""".stripMargin
     },
 
-    "q_pipeline_train_export" -> {
-      val h = graft.functions.TextExprs.charHashDuck("CAST(doc_id AS VARCHAR)")
-      val mh = graft.operators.Sampling.mixedHash(h)
-      val b = graft.operators.Sampling.budgetCase(
-        "source", Seq("src0" -> 4000L, "src1" -> 2000L), 3000L)
-      val guard = s"${tokenCountDuck("text")} >= 3"
-      s"""WITH m AS (
-         |  SELECT doc_id,
-         |    ${TextAnalysis.funnelMetricsDuckProjection("text")}
-         |  FROM documents
-         |), kept AS (
-         |  SELECT d.doc_id, d.text, d.source, d.n_chars
-         |  FROM documents d JOIN (
-         |    SELECT doc_id FROM m
-         |    WHERE (${TextAnalysis.funnelVerdictCase(20, 500000L, Seq("en"), 600000L)}) = 'keep'
-         |  ) k USING (doc_id)
-         |), canon AS (
-         |  SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text
-         |), dd AS (
-         |  SELECT k.* FROM kept k JOIN canon USING (doc_id)
-         |), bwh AS (
-         |  SELECT ${wordHashArrayDuck(wordsDuck("text"))} AS wh
-         |  FROM documents WHERE doc_id % 97 = 0 AND $guard
-         |), bg AS (
-         |  SELECT DISTINCT unnest(${shingleHashesFromWordHashesDuck("wh", 3)}) AS gram FROM bwh
-         |), dwh AS (
-         |  SELECT doc_id, ${wordHashArrayDuck(wordsDuck("text"))} AS wh FROM dd WHERE $guard
-         |), dg AS (
-         |  SELECT doc_id, ${shingleHashesFromWordHashesDuck("wh", 3)} AS grams FROM dwh
-         |), e AS (
-         |  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams, unnest(grams) AS gram FROM dg
-         |), cont AS (
-         |  SELECT e.doc_id,
-         |    ${ppmDuck("SUM(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END)", "e.n_grams")} AS contamination_ppm
-         |  FROM e LEFT JOIN bg USING (gram)
-         |  GROUP BY e.doc_id, e.n_grams
-         |), clean AS (
-         |  SELECT d.* FROM dd d JOIN cont USING (doc_id)
-         |  WHERE cont.contamination_ppm < 500000
-         |), mx AS (
-         |  SELECT doc_id, source,
-         |    CAST(SUM(CAST(n_chars AS BIGINT)) OVER (
-         |      PARTITION BY source ORDER BY ($mh), doc_id
-         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_weight
-         |  FROM clean
-         |), sampled AS (
-         |  SELECT doc_id, source FROM mx WHERE running_weight <= ($b)
-         |), sh AS (
-         |  SELECT doc_id, source,
-         |    CAST(($mh) % 4 AS BIGINT) AS shard,
-         |    ((($mh) + 1) * 2246822519) % 1000000007 AS m2
-         |  FROM sampled
-         |)
-         |SELECT shard,
-         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY m2, doc_id) AS BIGINT) AS seq,
-         |  doc_id, source
-         |FROM sh ORDER BY shard, seq""".stripMargin
-    },
+    "q_pipeline_train_export" ->
+      trainExportPipelineSql(Seq("src0" -> 4000L, "src1" -> 2000L), 3000L, tokensWp = false),
+
+    "q_pipeline_train_export_tokens" ->
+      // same five stages, budget currency = WordPiece tokens: the wp
+      // CTE (the same recursive greedy-match twin as q_text_wordpiece)
+      // runs over the CLEAN subset and its n_tokens replaces n_chars
+      // in the mixture window — the rest of the pipeline is untouched
+      trainExportPipelineSql(Seq("src0" -> 2500L, "src1" -> 1500L), 2000L, tokensWp = true),
 
     "q_pipeline_incremental_ingest" ->
       // the acceptance rule replayed from the FULL pair set: for a

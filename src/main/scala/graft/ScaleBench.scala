@@ -285,8 +285,10 @@ object ScaleBench {
     // NAMED field access throughout both probes: positional getLong
     // indexes silently misread after any agg-list edit, printing
     // plausible-but-wrong skip percentages
-    def skipRatios(path: String): (Double, Double, Double) = {
-      val stats = spark.read.parquet(path)
+    def skipRatios(path: String): (Double, Double, Double) =
+      skipRatiosOf(spark.read.parquet(path))
+    def skipRatiosOf(df: org.apache.spark.sql.DataFrame): (Double, Double, Double) = {
+      val stats = df
         .groupBy(input_file_name().as("f"))
         .agg(
           min("l_partkey").cast("long").as("mnp"), max("l_partkey").cast("long").as("mxp"),
@@ -316,6 +318,41 @@ object ScaleBench {
         s""""zorder_skip_pct":{"part":${pct(zPart)},"supp":${pct(zSupp)},"both":${pct(zBoth)}},""" +
         s""""linear_scan_sec":${f"${scanSec(s"$fix/zlin")}%.3f"},""" +
         s""""zorder_scan_sec":${f"${scanSec(s"$fix/zord")}%.3f"}}""")
+
+    // ---- Z-order append degradation + re-cluster cadence probe ----
+    // a clusterByZ table is only clustered until appends land: tail
+    // files span the whole (partkey, suppkey) domain, a min/max-stats
+    // reader prunes NONE of them, and skip% decays with every batch.
+    // ZLayout folds the re-cluster cadence into the ingest call (the
+    // band-table appendAndMaybeCompact pattern); this measures the
+    // decay and the restore on the same predicates as zorder_skip.
+    val zlay = s"$fix/zlayout"
+    graft.functions.ZLayout.writeClustered(liz, zlay, "l_partkey", "l_suppkey", zFiles)
+    val (b0p, b0s, b0b) = skipRatiosOf(graft.functions.ZLayout.read(spark, zlay))
+    // 8 ingest batches of ~1/512 of the corpus each, 2 files per batch
+    def sliceBatch(k: Int) = liz.filter(pmod(xxhash64(col("l_partkey"), col("l_suppkey"), col("l_quantity")), lit(512)) === k)
+    (1 to 8).foreach(k => graft.functions.ZLayout.append(sliceBatch(k), zlay, appendTasks = 2))
+    val (d8p, d8s, d8b) = skipRatiosOf(graft.functions.ZLayout.read(spark, zlay))
+    val tailFiles = new java.io.File(s"$zlay/tail").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    // the 9th ingest trips the cadence (17+2 > 6% of 256) and
+    // re-clusters base+tail into a fresh generation
+    var reclustered = false
+    val reclusterSec = time(1) {
+      reclustered = graft.functions.ZLayout.appendAndMaybeRecluster(
+        sliceBatch(9), zlay, "l_partkey", "l_suppkey", zFiles,
+        maxTailFraction = 0.06, appendTasks = 2)
+    }
+    val (r0p, r0s, r0b) = skipRatiosOf(graft.functions.ZLayout.read(spark, zlay))
+    val nAll = graft.functions.ZLayout.read(spark, zlay).count()
+    println(
+      s"""{"metric":"zorder_append_recluster","files":$zFiles,"sf":"$sfDir",""" +
+        s""""base_skip_pct":{"part":${pct(b0p)},"supp":${pct(b0s)},"both":${pct(b0b)}},""" +
+        s""""after_8_appends_skip_pct":{"part":${pct(d8p)},"supp":${pct(d8s)},"both":${pct(d8b)}},""" +
+        s""""tail_files":$tailFiles,"reclustered":$reclustered,""" +
+        s""""recluster_sec":${f"$reclusterSec%.3f"},""" +
+        s""""post_recluster_skip_pct":{"part":${pct(r0p)},"supp":${pct(r0s)},"both":${pct(r0b)}},""" +
+        s""""rows_after":$nAll}""")
 
     // ---- 3-dim Z-order probe (clusterByZN) ----
     // same methodology, third dimension added (l_quantity, domain

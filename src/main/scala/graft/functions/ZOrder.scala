@@ -135,6 +135,105 @@ object ZInterleave16 {
   }
 }
 
+/** Append + re-cluster lifecycle for a [[ZInterleave16.clusterByZ]]
+  * parquet layout — the Z-order counterpart of the band table's
+  * write/append/compact trio (Dedup.writeBandTable family). A
+  * clustered table is only clustered until the first append: appended
+  * files carry arbitrary (x, y) ranges, so a min/max-stats reader can
+  * never prune them and skip% decays with every batch (measured by
+  * the ScaleBench append-degradation probe). The layout here is
+  * `path/base` (clustered generation) + `path/tail` (raw appends);
+  * [[appendAndMaybeRecluster]] folds the re-cluster cadence into the
+  * ingest call the way [[graft.operators.Dedup.appendAndMaybeCompact]]
+  * does for band tables, so steady-state pipelines cannot forget it.
+  *
+  * Scale note: a re-cluster rewrites base+tail wholesale — the
+  * trigger is a FILE-COUNT fraction precisely so that cost stays
+  * amortized (a tail capped at fraction f of the base bounds rewrite
+  * work per ingested row at 1/f writes). A 100 TB deployment
+  * partitions the table (by day/tenant) and runs this per partition;
+  * the cadence logic is unchanged.
+  */
+object ZLayout {
+
+  import org.apache.hadoop.fs.Path
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def parquetFiles(spark: SparkSession, dir: String): Int = {
+    val f = fsOf(spark, dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) 0
+    else f.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Write (or replace) the clustered base generation and clear any
+    * tail left by a previous generation.
+    */
+  def writeClustered(
+      df: DataFrame, path: String, xCol: String, yCol: String, numFiles: Int): Unit = {
+    ZInterleave16
+      .clusterByZ(df, xCol, yCol, numFiles)
+      .write.mode("overwrite").parquet(s"$path/base")
+    fsOf(df.sparkSession, path).delete(new Path(s"$path/tail"), true)
+  }
+
+  /** The whole table: clustered base plus any appended tail. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    if (parquetFiles(spark, s"$path/tail") > 0)
+      spark.read.parquet(s"$path/base", s"$path/tail")
+    else spark.read.parquet(s"$path/base")
+
+  /** Raw append into the tail — cheap (no clustering pass), unpruned
+    * by readers until the next re-cluster. `appendTasks` caps the
+    * batch's file fan-out like the band-table append knob.
+    */
+  def append(batch: DataFrame, path: String, appendTasks: Int = 0): Unit =
+    (if (appendTasks > 0) batch.repartition(appendTasks) else batch)
+      .write.mode("append").parquet(s"$path/tail")
+
+  /** [[append]] plus automatic re-cluster cadence: when the tail
+    * exceeds `maxTailFraction` of the base's file count, base+tail
+    * are re-clustered into a fresh base generation (written beside,
+    * then swapped in — readers never see a half-written base) and the
+    * tail is cleared. Returns true when this append triggered the
+    * re-cluster. File count, not bytes, is the trigger for the same
+    * reason as the band table's: every unpruned tail file costs a
+    * reader one open regardless of size, and tail files are
+    * batch-sized by construction.
+    */
+  def appendAndMaybeRecluster(
+      batch: DataFrame,
+      path: String,
+      xCol: String,
+      yCol: String,
+      numFiles: Int,
+      maxTailFraction: Double = 0.15,
+      appendTasks: Int = 0): Boolean = {
+    require(maxTailFraction > 0, "maxTailFraction must be positive")
+    append(batch, path, appendTasks)
+    val spark = batch.sparkSession
+    val nTail = parquetFiles(spark, s"$path/tail")
+    val nBase = parquetFiles(spark, s"$path/base")
+    if (nTail.toDouble <= maxTailFraction * math.max(nBase, 1)) false
+    else {
+      // the write below fully materializes the new generation from
+      // base+tail BEFORE either is touched; then swap via rename
+      ZInterleave16
+        .clusterByZ(read(spark, path), xCol, yCol, numFiles)
+        .write.mode("overwrite").parquet(s"$path/base_next")
+      val f = fsOf(spark, path)
+      f.delete(new Path(s"$path/base"), true)
+      if (!f.rename(new Path(s"$path/base_next"), new Path(s"$path/base")))
+        throw new java.io.IOException(s"could not swap $path/base_next into place")
+      f.delete(new Path(s"$path/tail"), true)
+      true
+    }
+  }
+}
+
 /** The ONE definition of equal-width dimension normalization shared
   * by the 2-dim and N-dim clustering paths — the span-overflow guard
   * here earned a bugfix once (raw `mx - mn` wraps for a dimension

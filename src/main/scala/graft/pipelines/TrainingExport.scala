@@ -53,6 +53,20 @@ object TrainingExport {
       numPartitions: Option[Int] = None,
       propagateRounds: Int = 8) extends DedupStage
 
+  /** Budget currency for the mixture stage. */
+  sealed trait BudgetCurrency
+  /** Budgets denominated in characters (`n_chars` — the raw proxy). */
+  case object BudgetChars extends BudgetCurrency
+  /** Budgets denominated in REAL WordPiece tokens under `vocab` — the
+    * currency a trainer actually bills in (whitespace/char proxies
+    * mis-state subword costs by 1.3-1.5×). Costs one extra codegen'd
+    * byte-scan projection over the CLEAN subset (post-funnel, dedup,
+    * decontamination — the cheapest place to tokenize); the mixture
+    * window itself is unchanged, so no additional shuffle.
+    */
+  final case class BudgetWordPieceTokens(
+      vocab: Seq[String] = TextAnalysis.wordpieceVocab()) extends BudgetCurrency
+
   /** @param curate language/quality/length/repetition funnel on or off
     * @param lineRules line-level Gopher gates
     *   ([[TextAnalysis.lineStats]]: bullet/ellipsis/duplicate-line
@@ -62,9 +76,12 @@ object TrainingExport {
     * @param contaminationMaxPpm keep docs strictly under this
     *   benchmark n-gram overlap (None = stage off). The benchmark
     *   frame is a [[run]] argument, not config — it's data.
-    * @param budgets per-source char budgets for the mixture stage
-    *   (empty = stage off: every clean doc ships)
+    * @param budgets per-source budgets for the mixture stage
+    *   (empty = stage off: every clean doc ships), denominated in
+    *   `budgetCurrency`
     * @param defaultBudget budget for sources not named in `budgets`
+    * @param budgetCurrency chars (default, the historical contract)
+    *   or WordPiece tokens
     * @param numShards training-shard fan-out; shard AND intra-shard
     *   order are pure hash functions (reproducible, no RNG)
     */
@@ -75,6 +92,7 @@ object TrainingExport {
       contaminationMaxPpm: Option[Long] = Some(500000L),
       budgets: Seq[(String, Long)] = Nil,
       defaultBudget: Long = Long.MaxValue,
+      budgetCurrency: BudgetCurrency = BudgetChars,
       numShards: Int = 8)
 
   /** Run the pipeline over `docs` (schema: doc_id, source, text,
@@ -132,10 +150,21 @@ object TrainingExport {
     }
     val sampled =
       if (cfg.budgets.isEmpty) clean.select("doc_id", "source")
-      else Sampling.mixtureByBudget(
-        clean.select("doc_id", "source", "n_chars"),
-        "source", "n_chars", h, "doc_id", cfg.budgets, cfg.defaultBudget)
-        .select("doc_id", "source")
+      else {
+        val weighted = cfg.budgetCurrency match {
+          case BudgetChars =>
+            clean.select(col("doc_id"), col("source"), col("n_chars").as("_weight"))
+          case BudgetWordPieceTokens(vocab) =>
+            // ONE scan of the clean subset: source rides the wordpiece
+            // projection as a passthrough column (no self-join)
+            TextAnalysis
+              .wordpieceStats(clean, vocab = vocab, passthroughCols = Seq("source"))
+              .select(col("doc_id"), col("source"), col("n_tokens").as("_weight"))
+        }
+        Sampling.mixtureByBudget(
+          weighted, "source", "_weight", h, "doc_id", cfg.budgets, cfg.defaultBudget)
+          .select("doc_id", "source")
+      }
     Sampling.shardForTraining(sampled, "doc_id", h, cfg.numShards)
       .select("shard", "seq", "doc_id", "source")
   }

@@ -170,6 +170,53 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!clustered.columns.contains("_z"))
   }
 
+  test("ZLayout: appends degrade file prunability, the cadence re-cluster restores it") {
+    import spark.implicits._
+    import graft.functions.ZLayout
+    val dir = java.nio.file.Files.createTempDirectory("zlayout").toString + "/t"
+    val grid = (for { x <- 0L until 64L; y <- 0L until 64L } yield (x, y)).toDF("x", "y")
+    ZLayout.writeClustered(grid, dir, "x", "y", numFiles = 16)
+    // the prunability a min/max reader gets is bounded by per-file
+    // 2-D bounding boxes — measure the WORST file (exact skip% at 16
+    // files is range-boundary-alignment luck; the box area is the
+    // guaranteed property, same bound the clusterByZ spec uses)
+    def maxBoxArea(): Long = {
+      val stats = ZLayout.read(spark, dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("x").as("mnx"), max("x").as("mxx"),
+          min("y").as("mny"), max("y").as("mxy"))
+        .collect()
+      stats.map(r =>
+        (r.getAs[Long]("mxx") - r.getAs[Long]("mnx") + 1) *
+          (r.getAs[Long]("mxy") - r.getAs[Long]("mny") + 1)).max
+    }
+    val a0 = maxBoxArea()
+    assert(a0 <= 1024, s"fresh cluster: every file locally tight, worst box $a0")
+    // full-domain batches land in the tail — a tail file's box IS the
+    // whole domain, the reader can never prune it
+    val batch = (for { x <- 0L until 64L by 7; y <- 0L until 64L by 7 } yield (x, y))
+      .toDF("x", "y")
+    (1 to 3).foreach(_ => ZLayout.append(batch, dir, appendTasks = 1))
+    val a1 = maxBoxArea()
+    assert(a1 >= 3000, s"appended tail must contain a full-domain file, worst box $a1")
+    assert(ZLayout.read(spark, dir).count() == grid.count() + 3 * batch.count())
+    // below the cadence: no re-cluster (3+1 tail files vs 0.5*16)
+    assert(!ZLayout.appendAndMaybeRecluster(
+      batch, dir, "x", "y", numFiles = 16, maxTailFraction = 0.5, appendTasks = 1))
+    // over the cadence: re-cluster runs, tail clears, every file's box
+    // is tight again, and not a row is lost across the generation swap
+    assert(ZLayout.appendAndMaybeRecluster(
+      batch, dir, "x", "y", numFiles = 16, maxTailFraction = 0.25, appendTasks = 1))
+    assert(!new java.io.File(s"$dir/tail").exists())
+    val a2 = maxBoxArea()
+    // duplicate-heavy density shifts the range sampler's boundaries a
+    // little off tile edges, so a restored file can straddle ~2 tiles
+    // — bounded locality (≤ half the domain) is the guarantee, vs the
+    // tail's unprunable 4096 full-domain box
+    assert(a2 <= 2048, s"re-cluster must restore locality, worst box $a2")
+    assert(ZLayout.read(spark, dir).count() == grid.count() + 5 * batch.count())
+  }
+
   test("clusterByZ rejects a dimension spanning more than half the Long domain") {
     import spark.implicits._
     // mx - mn overflows signed 64 bits here; unchecked arithmetic
@@ -1386,6 +1433,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(perSrc.nonEmpty && perSrc.values.forall(_ <= budget),
       s"kept chars per source must respect the budget, got $perSrc")
     assert(out.count() < matrixDocs.count(), "a 400-char budget must bind")
+  }
+
+  test("TrainingExport token-currency budgets bill in WordPiece tokens; chars stays the default") {
+    import graft.pipelines.TrainingExport.{BudgetChars, BudgetWordPieceTokens}
+    def rows(cfg: Config) = runExport(cfg).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val base = allOff.copy(
+      budgets = Seq("src0" -> 400L, "src1" -> 400L), defaultBudget = 0L)
+    // the explicit chars toggle IS the default — historical hashes hold
+    assert(rows(base) == rows(base.copy(budgetCurrency = BudgetChars)))
+    // token currency: independent replay — per-source hash-order
+    // prefix over WordPiece token counts must equal the kept set
+    val budget = 150L
+    val out = runExport(base.copy(
+      budgets = Seq("src0" -> budget, "src1" -> budget),
+      budgetCurrency = BudgetWordPieceTokens()))
+    val gotIds = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.functions.PolyHash.register(spark)
+    val h = graft.functions.TextExprs.charHashSpark("CAST(doc_id AS STRING)")
+    val weighted = graft.operators.TextAnalysis
+      .wordpieceStats(matrixDocs, passthroughCols = Seq("source"))
+      .selectExpr("doc_id", "source", "n_tokens",
+        s"(${graft.operators.Sampling.mixedHash(h)}) AS mh")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val wantIds = weighted.groupBy(_._2).toSeq.flatMap { case (_, docs) =>
+      val ordered = docs.toSeq.sortBy(d => (d._4, d._1))
+      val running = ordered.scanLeft(0L)(_ + _._3).tail
+      ordered.zip(running).collect { case (d, sum) if sum <= budget => d._1 }
+    }.toSet
+    assert(gotIds == wantIds,
+      s"extra=${gotIds -- wantIds} missing=${wantIds -- gotIds}")
+    // the 150-token budget binds (truncates) but keeps something
+    assert(gotIds.nonEmpty && gotIds.size < matrixDocs.count())
+    // the billed unit is genuinely tokens, not a char alias: marker
+    // words are UNK (1 token each, many chars), so every doc's token
+    // weight is far below its char weight — a 150 budget keeps docs
+    // in token currency but would keep NOTHING in chars
+    val charWeights = matrixDocs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(weighted.forall { case (id, _, tok, _) => tok < charWeights(id) })
+    assert(charWeights.values.forall(_ > budget), "chars at this budget would keep nothing")
   }
 
   test("TrainingExport lineRules stage drops bullet-farm docs, leaves single-line docs alone") {
