@@ -230,6 +230,17 @@ object ExtensionQueries {
       // first 20 tokens of doc 13m+1)
       Dedup.repeatedSpanPairs(Corpus.spanCorpus(s, dir), minTokens = 10)
         .orderBy("doc_a", "doc_b", "a_start", "b_start")),
+    "q_dedup_substring_coverage" -> ((s, dir) => {
+      // the ACT step: per-doc duplicated-token coverage (merged span
+      // intervals, both roles of every pair) with a drop verdict over
+      // 20% — docs that END with a planted copy AND START inside the
+      // next doc's plant can cross it; the corpus's raw docs read 0
+      val corpus = Corpus.spanCorpus(s, dir)
+      Dedup
+        .repeatedSpanCoverage(
+          corpus, Dedup.repeatedSpanPairs(corpus, minTokens = 10))
+        .orderBy("doc_id")
+    }),
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(Corpus.docCorpus(s, dir)).orderBy("doc_a", "doc_b")),
     "q_dedup_minhash_fine" -> ((s, dir) =>
@@ -1193,6 +1204,50 @@ object ExtensionQueries {
   private val corpus = Corpus.docCorpusSql
   private val tokGuard3 = s"${tokenCountDuck("text")} >= 3"
 
+  /** The repeated-span detector as a DuckDB CTE chain ending in
+    * `spans(doc_a, doc_b, a_start, b_start, span_tokens)` (with the
+    * input relation available as `corpus`) — the SQL twin of
+    * [[graft.operators.Dedup.repeatedSpanPairs]], shared by the span
+    * and coverage oracles so both engines keep one semantics
+    * definition.
+    */
+  private def repeatedSpansDuckCtes(
+      corpusSql: String, k: Int, maxDocsPerShingle: Int = 20): String =
+    s"""WITH corpus AS (
+       |$corpusSql
+       |), whc AS (
+       |  SELECT doc_id, ${wordHashArrayDuck(wordsDuck("text"))} AS wh
+       |  FROM corpus WHERE ${tokenCountDuck("text")} >= $k
+       |), sh AS (
+       |  SELECT doc_id,
+       |    ${positionalShingleHashesDuck("wh", k, 31L)} AS s1,
+       |    ${positionalShingleHashesDuck("wh", k, 131L)} AS s2
+       |  FROM whc
+       |), pos AS (
+       |  SELECT doc_id, unnest(range(0, len(s1))) AS p,
+       |         unnest(s1) AS h1, unnest(s2) AS h2
+       |  FROM sh
+       |), keep AS (
+       |  SELECT h1, h2 FROM pos GROUP BY h1, h2
+       |  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND $maxDocsPerShingle
+       |), f AS (
+       |  SELECT pos.doc_id, pos.p, pos.h1, pos.h2
+       |  FROM pos JOIN keep USING (h1, h2)
+       |), cand AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |         x.p AS pa, y.p AS pb, x.p - y.p AS diag
+       |  FROM f x JOIN f y
+       |    ON x.h1 = y.h1 AND x.h2 = y.h2 AND x.doc_id < y.doc_id
+       |), runs AS (
+       |  SELECT doc_a, doc_b, diag, pa, pb,
+       |    pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island
+       |  FROM cand
+       |), spans AS (
+       |  SELECT doc_a, doc_b, MIN(pa) AS a_start, MIN(pb) AS b_start,
+       |    MAX(pa) - MIN(pa) + $k AS span_tokens
+       |  FROM runs GROUP BY doc_a, doc_b, diag, island
+       |)""".stripMargin
+
   /** The five-stage train-export oracle (funnel → exact dedup →
     * decontamination → budget mixture → shard), parameterized by the
     * mixture currency: `tokensWp = false` sums n_chars (the
@@ -1599,43 +1654,49 @@ object ExtensionQueries {
          |SELECT doc_a, doc_b, shared, jaccard_ppm FROM j
          |WHERE jaccard_ppm >= 300000 ORDER BY doc_a, doc_b""".stripMargin,
 
-    "q_dedup_substring" -> {
-      val k = 10
-      s"""WITH corpus AS (
-         |${Corpus.spanCorpusSql}
-         |), whc AS (
-         |  SELECT doc_id, ${wordHashArrayDuck(wordsDuck("text"))} AS wh
-         |  FROM corpus WHERE ${tokenCountDuck("text")} >= $k
-         |), sh AS (
-         |  SELECT doc_id,
-         |    ${positionalShingleHashesDuck("wh", k, 31L)} AS s1,
-         |    ${positionalShingleHashesDuck("wh", k, 131L)} AS s2
-         |  FROM whc
-         |), pos AS (
-         |  SELECT doc_id, unnest(range(0, len(s1))) AS p,
-         |         unnest(s1) AS h1, unnest(s2) AS h2
-         |  FROM sh
-         |), keep AS (
-         |  SELECT h1, h2 FROM pos GROUP BY h1, h2
-         |  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 20
-         |), f AS (
-         |  SELECT pos.doc_id, pos.p, pos.h1, pos.h2
-         |  FROM pos JOIN keep USING (h1, h2)
-         |), cand AS (
-         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-         |         x.p AS pa, y.p AS pb, x.p - y.p AS diag
-         |  FROM f x JOIN f y
-         |    ON x.h1 = y.h1 AND x.h2 = y.h2 AND x.doc_id < y.doc_id
-         |), runs AS (
-         |  SELECT doc_a, doc_b, diag, pa, pb,
-         |    pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island
-         |  FROM cand
+    "q_dedup_substring" ->
+      s"""${repeatedSpansDuckCtes(Corpus.spanCorpusSql, 10)}
+         |SELECT doc_a, doc_b, a_start, b_start, span_tokens FROM spans
+         |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin,
+
+    "q_dedup_substring_coverage" ->
+      // spans → per-doc duplicated-token coverage: explode both roles
+      // of each span into [start, end) token intervals, merge
+      // overlapping intervals per doc (gaps-and-islands: an interval
+      // opens a new island when its start clears the running max end
+      // over everything before it), sum merged lengths, ppm against
+      // the doc's token count
+      s"""${repeatedSpansDuckCtes(Corpus.spanCorpusSql, 10)}, iv AS (
+         |  -- UNION (not ALL): duplicate intervals tie under the
+         |  -- windows' ORDER BY and the two passes may order ties
+         |  -- differently, splitting an identical interval into its
+         |  -- own island (observed as a nondeterministic oracle)
+         |  SELECT doc_a AS doc_id, a_start AS s, a_start + span_tokens AS e FROM spans
+         |  UNION
+         |  SELECT doc_b, b_start, b_start + span_tokens FROM spans
+         |), w AS (
+         |  SELECT doc_id, s, e,
+         |    MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         |  FROM iv
+         |), isl AS (
+         |  SELECT doc_id, s, e,
+         |    SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island
+         |  FROM w
+         |), merged AS (
+         |  SELECT doc_id, island, MIN(s) AS s0, MAX(e) AS e1 FROM isl GROUP BY doc_id, island
+         |), cov AS (
+         |  SELECT doc_id, CAST(SUM(e1 - s0) AS BIGINT) AS covered_tokens FROM merged GROUP BY doc_id
          |)
-         |SELECT doc_a, doc_b, MIN(pa) AS a_start, MIN(pb) AS b_start,
-         |  MAX(pa) - MIN(pa) + $k AS span_tokens
-         |FROM runs GROUP BY doc_a, doc_b, diag, island
-         |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin
-    },
+         |SELECT c.doc_id,
+         |  CAST(${tokenCountDuck("c.text")} AS BIGINT) AS n_tokens,
+         |  COALESCE(cov.covered_tokens, 0) AS covered_tokens,
+         |  ${ppmDuck("COALESCE(cov.covered_tokens, 0)", s"CAST(${tokenCountDuck("c.text")} AS BIGINT)")} AS coverage_ppm,
+         |  CASE WHEN ${ppmDuck("COALESCE(cov.covered_tokens, 0)", s"CAST(${tokenCountDuck("c.text")} AS BIGINT)")} > 200000
+         |       THEN 'drop' ELSE 'keep' END AS span_verdict
+         |FROM corpus c LEFT JOIN cov ON cov.doc_id = c.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
     "q_dedup_minhash" ->
       s"$minhashPairsSql ORDER BY doc_a, doc_b",
 

@@ -225,6 +225,69 @@ object Dedup {
       .select("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
   }
 
+  /** The ACT step of substring dedup: per-doc duplicated-token
+    * coverage from a [[repeatedSpanPairs]] result — the production
+    * gate for "drop documents that are mostly duplicated content"
+    * (Lee et al. cut the duplicated spans; at corpus curation
+    * granularity the standard posture is dropping high-coverage docs,
+    * the same act-on-detection shape as [[applyKeepBest]]).
+    *
+    * Each span covers tokens [start, start+span_tokens) in BOTH its
+    * docs; overlapping spans in one doc must not double-count, so
+    * intervals are merged per doc with the gaps-and-islands window
+    * (an interval opens a new island when its start clears the
+    * running max end of everything before it). Output per doc:
+    * `(doc_id, n_tokens, covered_tokens, coverage_ppm, span_verdict)`
+    * with verdict `drop` above `maxCoveragePpm`. Scale shape: the
+    * interval list is span-pair-sized (tiny vs the corpus), one
+    * window shuffle on doc_id, one left join back to the docs scan.
+    */
+  def repeatedSpanCoverage(
+      docs: DataFrame,
+      spans: DataFrame,
+      maxCoveragePpm: Long = 200000L,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    // DISTINCT is load-bearing, not cosmetic: duplicate (doc, s, e)
+    // intervals (one doc sharing the same span with several partners)
+    // tie under the windows' ORDER BY (s, e), and the pmax and island
+    // passes may order ties DIFFERENTLY — an identical interval can
+    // then open its own island and the union double-counts
+    // (reproduced as a nondeterministic DuckDB oracle before the fix;
+    // spec pins the duplicate-interval fixture). With the 3-column
+    // row deduped, (s, e) is unique per doc and the order is total.
+    val iv = spans
+      .select(col("doc_a").as("doc_id"), col("a_start").as("s"),
+        (col("a_start") + col("span_tokens")).as("e"))
+      .unionByName(spans.select(col("doc_b").as("doc_id"), col("b_start").as("s"),
+        (col("b_start") + col("span_tokens")).as("e")))
+      .distinct()
+    val W = org.apache.spark.sql.expressions.Window
+    val byDoc = W.partitionBy("doc_id").orderBy("s", "e")
+    val cov = iv
+      .withColumn(
+        "pmax",
+        max(col("e")).over(byDoc.rowsBetween(W.unboundedPreceding, -1)))
+      .withColumn(
+        "island",
+        sum(when(col("pmax").isNull || col("s") > col("pmax"), 1).otherwise(0))
+          .over(byDoc.rowsBetween(W.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(min("s").as("s0"), max("e").as("e1"))
+      .groupBy("doc_id")
+      .agg(sum(col("e1") - col("s0")).cast("long").as("covered_tokens"))
+    val ppm = expr(graft.functions.TextExprs.ppmSpark(
+      "coalesce(covered_tokens, 0L)", s"CAST(${tokenCountSpark(textCol)} AS BIGINT)"))
+    docs
+      .join(cov, docs(idCol) === cov("doc_id"), "left")
+      .select(
+        docs(idCol).as("doc_id"),
+        expr(s"CAST(${tokenCountSpark(textCol)} AS BIGINT)").as("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        ppm.cast("long").as("coverage_ppm"),
+        when(ppm > maxCoveragePpm, "drop").otherwise("keep").as("span_verdict"))
+  }
+
   /** MinHash+LSH near-dup candidates: signature → band keys →
     * equi-join on (band, key) → estimated Jaccard = fraction of
     * agreeing signature positions. The scale path: no all-pairs

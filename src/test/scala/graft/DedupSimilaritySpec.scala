@@ -87,6 +87,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     Dedup.unpersistAll()
   }
 
+  test("span coverage merges overlapping intervals and never double-counts") {
+    import spark.implicits._
+    // hand fixture: doc 1 with two OVERLAPPING spans [0,6) and [4,10)
+    // (union 10, sum 12 — the merge is the point), doc 2 with disjoint
+    // [0,4) and [8,12), doc 3 span-free
+    val docs = Seq(
+      (1L, (0 until 20).map(i => s"w$i").mkString(" ")),
+      (2L, (0 until 16).map(i => s"v$i").mkString(" ")),
+      (3L, "x y z")).toDF("doc_id", "text")
+    // doc 1's [0,6) span appears TWICE (two partners) — the duplicate
+    // interval that used to tie under the window ORDER BY and split
+    // nondeterministically into its own island, double-counting
+    val spans = Seq(
+      (1L, 8L, 0L, 0L, 6L),
+      (1L, 9L, 0L, 0L, 6L),
+      (1L, 9L, 4L, 10L, 6L),
+      (2L, 9L, 0L, 20L, 4L),
+      (2L, 9L, 8L, 30L, 4L)).toDF("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
+    val cov = Dedup.repeatedSpanCoverage(docs, spans, maxCoveragePpm = 400000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(cov(1L) == ((20L, 10L, 500000L, "drop"))) // union of overlaps, not 12
+    assert(cov(2L) == ((16L, 8L, 500000L, "drop")))
+    assert(cov(3L) == ((3L, 0L, 0L, "keep")))
+    // real corpus: coverage bounded by the doc and raw docs read 0
+    val corpus = Corpus.spanCorpus(spark, "/root/testdata/sf0.001")
+    val real = Dedup.repeatedSpanCoverage(
+      corpus, Dedup.repeatedSpanPairs(corpus, minTokens = 10)).cache()
+    assert(real.filter("covered_tokens > n_tokens").isEmpty)
+    assert(real.filter("doc_id % 13 = 0 AND covered_tokens >= 10").count() >= 30)
+    real.unpersist()
+    Dedup.unpersistAll()
+  }
+
   test("MinHash-LSH recovers planted pairs with full-signature agreement on exact copies") {
     val p = Dedup.minhashPairs(corpus).cache()
     // doc_a < 500: ids ≡ 0 (mod 77) also pair an exact copy with a
