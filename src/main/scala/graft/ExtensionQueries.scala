@@ -241,6 +241,24 @@ object ExtensionQueries {
           corpus, Dedup.repeatedSpanPairs(corpus, minTokens = 10))
         .orderBy("doc_id")
     }),
+    "q_dedup_substring_remove" -> ((s, dir) => {
+      // Lee et al.'s ACTUAL action: cut each repeated span from the
+      // later occurrence (keep-first). Content pinned the PII way:
+      // poly_hash + length of the cleaned text, so a surgery that
+      // cuts the wrong tokens — or normalizes whitespace differently
+      // than documented — turns the row red.
+      graft.functions.PolyHash.register(s)
+      val corpus = Corpus.spanCorpus(s, dir)
+      Dedup
+        .removeRepeatedSpans(
+          corpus, Dedup.repeatedSpanPairs(corpus, minTokens = 10))
+        .select(
+          col("doc_id"),
+          col("n_tokens_removed"),
+          length(col("clean_text")).cast("long").as("clean_len"),
+          expr(graft.functions.TextExprs.charHashSpark("clean_text")).as("clean_hash"))
+        .orderBy("doc_id")
+    }),
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(Corpus.docCorpus(s, dir)).orderBy("doc_a", "doc_b")),
     "q_dedup_minhash_fine" -> ((s, dir) =>
@@ -1697,6 +1715,45 @@ object ExtensionQueries {
          |       THEN 'drop' ELSE 'keep' END AS span_verdict
          |FROM corpus c LEFT JOIN cov ON cov.doc_id = c.doc_id
          |ORDER BY c.doc_id""".stripMargin,
+    "q_dedup_substring_remove" ->
+      // removal intervals = doc_b roles only (keep-first policy);
+      // same deterministic islands merge; the token surgery via
+      // DuckDB's 1-BASED indexed lambdas (Spark's filter index is
+      // 0-based — hence the i-1)
+      s"""${repeatedSpansDuckCtes(Corpus.spanCorpusSql, 10)}, riv AS (
+         |  SELECT DISTINCT doc_b AS doc_id, b_start AS s, b_start + span_tokens AS e FROM spans
+         |), rw AS (
+         |  SELECT doc_id, s, e,
+         |    MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         |  FROM riv
+         |), risl AS (
+         |  SELECT doc_id, s, e,
+         |    SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island
+         |  FROM rw
+         |), rmerged AS (
+         |  SELECT doc_id, island, MIN(s) AS s0, MAX(e) AS e1 FROM risl GROUP BY doc_id, island
+         |), rivs AS (
+         |  SELECT doc_id, list(s0 ORDER BY s0) AS ss, list(e1 ORDER BY s0) AS es,
+         |    CAST(SUM(e1 - s0) AS BIGINT) AS n_removed
+         |  FROM rmerged GROUP BY doc_id
+         |), cleaned AS (
+         |  SELECT c.doc_id,
+         |    COALESCE(r.n_removed, 0) AS n_tokens_removed,
+         |    CASE WHEN r.doc_id IS NULL THEN c.text
+         |         -- COALESCE: DuckDB's array_to_string([]) is NULL, not ''
+         |         ELSE COALESCE(array_to_string(list_filter(
+         |           ${wordsDuck("c.text")},
+         |           (t, i) -> len(list_filter(r.ss, (s, j) -> (i - 1) >= s AND (i - 1) < r.es[j])) = 0), ' '), '')
+         |    END AS clean_text
+         |  FROM corpus c LEFT JOIN rivs r ON r.doc_id = c.doc_id
+         |)
+         |SELECT doc_id, n_tokens_removed,
+         |  CAST(length(clean_text) AS BIGINT) AS clean_len,
+         |  ${charHashDuck("clean_text")} AS clean_hash
+         |FROM cleaned ORDER BY doc_id""".stripMargin,
+
     "q_dedup_minhash" ->
       s"$minhashPairsSql ORDER BY doc_a, doc_b",
 

@@ -225,6 +225,34 @@ object Dedup {
       .select("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
   }
 
+  /** Merge possibly-overlapping per-doc `[s, e)` intervals into
+    * disjoint islands: `(doc_id, s0, e1)` per merged run. The leading
+    * DISTINCT is load-bearing, not cosmetic: duplicate (doc, s, e)
+    * intervals (one doc sharing the same span with several partners)
+    * tie under the windows' ORDER BY (s, e), and the pmax and island
+    * passes may order ties DIFFERENTLY — an identical interval can
+    * then open its own island and downstream unions double-count
+    * (reproduced as a nondeterministic DuckDB oracle before the fix;
+    * DedupSimilaritySpec pins the duplicate-interval fixture). With
+    * the 3-column row deduped, (s, e) is unique per doc and the
+    * window order is total.
+    */
+  private def mergedIntervals(iv: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val byDoc = W.partitionBy("doc_id").orderBy("s", "e")
+    iv.distinct()
+      .withColumn(
+        "pmax",
+        max(col("e")).over(byDoc.rowsBetween(W.unboundedPreceding, -1)))
+      .withColumn(
+        "island",
+        sum(when(col("pmax").isNull || col("s") > col("pmax"), 1).otherwise(0))
+          .over(byDoc.rowsBetween(W.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(min("s").as("s0"), max("e").as("e1"))
+      .select("doc_id", "s0", "e1")
+  }
+
   /** The ACT step of substring dedup: per-doc duplicated-token
     * coverage from a [[repeatedSpanPairs]] result — the production
     * gate for "drop documents that are mostly duplicated content"
@@ -248,32 +276,12 @@ object Dedup {
       maxCoveragePpm: Long = 200000L,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    // DISTINCT is load-bearing, not cosmetic: duplicate (doc, s, e)
-    // intervals (one doc sharing the same span with several partners)
-    // tie under the windows' ORDER BY (s, e), and the pmax and island
-    // passes may order ties DIFFERENTLY — an identical interval can
-    // then open its own island and the union double-counts
-    // (reproduced as a nondeterministic DuckDB oracle before the fix;
-    // spec pins the duplicate-interval fixture). With the 3-column
-    // row deduped, (s, e) is unique per doc and the order is total.
     val iv = spans
       .select(col("doc_a").as("doc_id"), col("a_start").as("s"),
         (col("a_start") + col("span_tokens")).as("e"))
       .unionByName(spans.select(col("doc_b").as("doc_id"), col("b_start").as("s"),
         (col("b_start") + col("span_tokens")).as("e")))
-      .distinct()
-    val W = org.apache.spark.sql.expressions.Window
-    val byDoc = W.partitionBy("doc_id").orderBy("s", "e")
-    val cov = iv
-      .withColumn(
-        "pmax",
-        max(col("e")).over(byDoc.rowsBetween(W.unboundedPreceding, -1)))
-      .withColumn(
-        "island",
-        sum(when(col("pmax").isNull || col("s") > col("pmax"), 1).otherwise(0))
-          .over(byDoc.rowsBetween(W.unboundedPreceding, 0)))
-      .groupBy("doc_id", "island")
-      .agg(min("s").as("s0"), max("e").as("e1"))
+    val cov = mergedIntervals(iv)
       .groupBy("doc_id")
       .agg(sum(col("e1") - col("s0")).cast("long").as("covered_tokens"))
     val ppm = expr(graft.functions.TextExprs.ppmSpark(
@@ -286,6 +294,50 @@ object Dedup {
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
         ppm.cast("long").as("coverage_ppm"),
         when(ppm > maxCoveragePpm, "drop").otherwise("keep").as("span_verdict"))
+  }
+
+  /** CUT the repeated spans out of the LATER occurrence — the actual
+    * Lee et al. 2022 action (they delete the duplicated substring
+    * from all but one occurrence; deleting from the higher doc_id of
+    * each pair is the deterministic keep-first policy, symmetric
+    * with exact dedup's min-id canonical). Docs only ever lose their
+    * doc_b-role intervals, so the FIRST occurrence of every span
+    * survives somewhere by construction.
+    *
+    * Output: `(doc_id, clean_text, n_tokens_removed)` for EVERY input
+    * doc — untouched docs pass their text through byte-identical;
+    * touched docs are rebuilt from their kept tokens
+    * (whitespace-normalized to single spaces, the documented
+    * reconstruction contract). Scale shape: the removal-interval list
+    * is span-pair-sized, one window shuffle to merge it, one
+    * broadcast-friendly left join onto the docs scan, and the token
+    * surgery is a per-row higher-order filter — no extra corpus
+    * shuffle.
+    */
+  def removeRepeatedSpans(
+      docs: DataFrame,
+      spans: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val iv = spans.select(
+      col("doc_b").as("doc_id"),
+      col("b_start").as("s"),
+      (col("b_start") + col("span_tokens")).as("e"))
+    val ivs = mergedIntervals(iv)
+      .groupBy("doc_id")
+      .agg(
+        sort_array(collect_list(struct(col("s0"), col("e1")))).as("ivs"),
+        sum(col("e1") - col("s0")).cast("long").as("n_tokens_removed"))
+    docs
+      .join(ivs, docs(idCol) === ivs("doc_id"), "left")
+      .select(
+        docs(idCol).as("doc_id"),
+        when(col("ivs").isNull, col(textCol))
+          .otherwise(expr(
+            s"concat_ws(' ', filter(split(trim($textCol), '\\\\s+'), " +
+              "(t, i) -> NOT exists(ivs, iv -> i >= iv.s0 AND i < iv.e1)))"))
+          .as("clean_text"),
+        coalesce(col("n_tokens_removed"), lit(0L)).as("n_tokens_removed"))
   }
 
   /** MinHash+LSH near-dup candidates: signature → band keys →

@@ -121,6 +121,48 @@ class DedupSimilaritySpec extends AnyFunSuite {
     Dedup.unpersistAll()
   }
 
+  test("span removal cuts the later occurrence's tokens exactly, leaves everything else alone") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "p q  a b c d  r"), // odd spacing: must survive UNTOUCHED byte-identical
+      (3L, "x y z")).toDF("doc_id", "text")
+    // pair (1,2) shares [a b c d]: doc 1 at 0..4, doc 2 at 2..6 —
+    // keep-first removes from doc 2 (the later doc) only
+    val spans = Seq((1L, 2L, 0L, 2L, 4L))
+      .toDF("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
+    val out = Dedup.removeRepeatedSpans(docs, spans).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("a b c d e f g h", 0L))) // doc_a role: untouched
+    assert(out(2L) == (("p q r", 4L))) // tokens 2-5 cut, whitespace normalized
+    assert(out(3L) == (("x y z", 0L)))
+    // untouched docs keep their original bytes (doc 2 only normalizes
+    // BECAUSE it was rebuilt; doc 1/3 never were) — now prove it with
+    // the odd-spaced doc in the untouched role
+    val spans2 = Seq((1L, 3L, 0L, 0L, 2L))
+      .toDF("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
+    val out2 = Dedup.removeRepeatedSpans(docs, spans2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2(2L) == "p q  a b c d  r") // byte-identical passthrough
+    assert(out2(3L) == "z")
+    // real corpus: every planted later-doc (13m+1) loses its copied
+    // prefix; clean token count = original - removed, globally
+    val corpus = Corpus.spanCorpus(spark, "/root/testdata/sf0.001")
+    val cleaned = Dedup.removeRepeatedSpans(
+      corpus, Dedup.repeatedSpanPairs(corpus, minTokens = 10)).cache()
+    val check = cleaned
+      .join(corpus.withColumnRenamed("text", "orig"), Seq("doc_id"))
+      .selectExpr(
+        "size(split(trim(orig), '\\\\s+')) - " +
+          "(CASE WHEN length(trim(clean_text)) = 0 THEN 0 " +
+          " ELSE size(split(trim(clean_text), '\\\\s+')) END) AS lost",
+        "n_tokens_removed")
+    assert(check.filter("lost != n_tokens_removed").isEmpty)
+    assert(cleaned.filter("doc_id % 13 = 1 AND n_tokens_removed >= 10").count() >= 25)
+    cleaned.unpersist()
+    Dedup.unpersistAll()
+  }
+
   test("MinHash-LSH recovers planted pairs with full-signature agreement on exact copies") {
     val p = Dedup.minhashPairs(corpus).cache()
     // doc_a < 500: ids ≡ 0 (mod 77) also pair an exact copy with a
