@@ -1266,6 +1266,32 @@ object ExtensionQueries {
        |  FROM runs GROUP BY doc_a, doc_b, diag, island
        |)""".stripMargin
 
+  /** Gaps-and-islands interval merge as a DuckDB CTE chain: given an
+    * interval source producing `(doc_id, s, e)` rows (the caller must
+    * make them DISTINCT — see Dedup.mergedIntervals on why duplicate
+    * intervals under tied window orders double-count), emits
+    * `, iv AS (...), w AS (...), isl AS (...), merged AS
+    * (doc_id, island, s0, e1)` — the SQL twin of
+    * `Dedup.mergedIntervals`, shared by the coverage and removal
+    * oracles so a future tie-order/frame fix lands in one place.
+    */
+  private def intervalMergeDuckCtes(ivSelect: String): String =
+    s""", iv AS (
+       |$ivSelect
+       |), w AS (
+       |  SELECT doc_id, s, e,
+       |    MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |  FROM iv
+       |), isl AS (
+       |  SELECT doc_id, s, e,
+       |    SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END) OVER (
+       |      PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM w
+       |), merged AS (
+       |  SELECT doc_id, island, MIN(s) AS s0, MAX(e) AS e1 FROM isl GROUP BY doc_id, island
+       |)""".stripMargin
+
   /** The five-stage train-export oracle (funnel → exact dedup →
     * decontamination → budget mixture → shard), parameterized by the
     * mixture currency: `tokensWp = false` sums n_chars (the
@@ -1684,27 +1710,14 @@ object ExtensionQueries {
       // opens a new island when its start clears the running max end
       // over everything before it), sum merged lengths, ppm against
       // the doc's token count
-      s"""${repeatedSpansDuckCtes(Corpus.spanCorpusSql, 10)}, iv AS (
-         |  -- UNION (not ALL): duplicate intervals tie under the
-         |  -- windows' ORDER BY and the two passes may order ties
-         |  -- differently, splitting an identical interval into its
-         |  -- own island (observed as a nondeterministic oracle)
-         |  SELECT doc_a AS doc_id, a_start AS s, a_start + span_tokens AS e FROM spans
-         |  UNION
-         |  SELECT doc_b, b_start, b_start + span_tokens FROM spans
-         |), w AS (
-         |  SELECT doc_id, s, e,
-         |    MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
-         |  FROM iv
-         |), isl AS (
-         |  SELECT doc_id, s, e,
-         |    SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END) OVER (
-         |      PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island
-         |  FROM w
-         |), merged AS (
-         |  SELECT doc_id, island, MIN(s) AS s0, MAX(e) AS e1 FROM isl GROUP BY doc_id, island
-         |), cov AS (
+      s"""${repeatedSpansDuckCtes(Corpus.spanCorpusSql, 10)}${intervalMergeDuckCtes(
+            // UNION (not ALL): duplicate intervals tie under the
+            // windows' ORDER BY and the two passes may order ties
+            // differently, splitting an identical interval into its
+            // own island (observed as a nondeterministic oracle)
+            """  SELECT doc_a AS doc_id, a_start AS s, a_start + span_tokens AS e FROM spans
+              |  UNION
+              |  SELECT doc_b, b_start, b_start + span_tokens FROM spans""".stripMargin)}, cov AS (
          |  SELECT doc_id, CAST(SUM(e1 - s0) AS BIGINT) AS covered_tokens FROM merged GROUP BY doc_id
          |)
          |SELECT c.doc_id,
@@ -1720,24 +1733,11 @@ object ExtensionQueries {
       // same deterministic islands merge; the token surgery via
       // DuckDB's 1-BASED indexed lambdas (Spark's filter index is
       // 0-based — hence the i-1)
-      s"""${repeatedSpansDuckCtes(Corpus.spanCorpusSql, 10)}, riv AS (
-         |  SELECT DISTINCT doc_b AS doc_id, b_start AS s, b_start + span_tokens AS e FROM spans
-         |), rw AS (
-         |  SELECT doc_id, s, e,
-         |    MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
-         |  FROM riv
-         |), risl AS (
-         |  SELECT doc_id, s, e,
-         |    SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END) OVER (
-         |      PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island
-         |  FROM rw
-         |), rmerged AS (
-         |  SELECT doc_id, island, MIN(s) AS s0, MAX(e) AS e1 FROM risl GROUP BY doc_id, island
-         |), rivs AS (
+      s"""${repeatedSpansDuckCtes(Corpus.spanCorpusSql, 10)}${intervalMergeDuckCtes(
+            "  SELECT DISTINCT doc_b AS doc_id, b_start AS s, b_start + span_tokens AS e FROM spans")}, rivs AS (
          |  SELECT doc_id, list(s0 ORDER BY s0) AS ss, list(e1 ORDER BY s0) AS es,
          |    CAST(SUM(e1 - s0) AS BIGINT) AS n_removed
-         |  FROM rmerged GROUP BY doc_id
+         |  FROM merged GROUP BY doc_id
          |), cleaned AS (
          |  SELECT c.doc_id,
          |    COALESCE(r.n_removed, 0) AS n_tokens_removed,

@@ -197,12 +197,23 @@ object ZLayout {
   /** [[append]] plus automatic re-cluster cadence: when the tail
     * exceeds `maxTailFraction` of the base's file count, base+tail
     * are re-clustered into a fresh base generation (written beside,
-    * then swapped in — readers never see a half-written base) and the
-    * tail is cleared. Returns true when this append triggered the
-    * re-cluster. File count, not bytes, is the trigger for the same
-    * reason as the band table's: every unpruned tail file costs a
-    * reader one open regardless of size, and tail files are
-    * batch-sized by construction.
+    * then swapped in) and the tail is cleared. Returns true when this
+    * append triggered the re-cluster. File count, not bytes, is the
+    * trigger for the same reason as the band table's: every unpruned
+    * tail file costs a reader one open regardless of size, and tail
+    * files are batch-sized by construction.
+    *
+    * Swap protocol (single-writer maintenance op, like
+    * compactBandTable): the new generation is FULLY written to
+    * `base_next` first, then tail is deleted (its rows already live
+    * in base_next — no data is ever without a complete copy), then
+    * base is moved aside and base_next renamed in, both renames
+    * CHECKED — a rename onto an existing directory NESTS on HDFS
+    * instead of replacing, so the move-aside must succeed before the
+    * move-in runs. A crash between the two renames leaves no `base`
+    * momentarily, but both generations intact on disk
+    * (`base_old_*` + `base_next`) for recovery; a production
+    * deployment would wrap this window in a manifest/catalog commit.
     */
   def appendAndMaybeRecluster(
       batch: DataFrame,
@@ -219,16 +230,25 @@ object ZLayout {
     val nBase = parquetFiles(spark, s"$path/base")
     if (nTail.toDouble <= maxTailFraction * math.max(nBase, 1)) false
     else {
-      // the write below fully materializes the new generation from
-      // base+tail BEFORE either is touched; then swap via rename
+      // materialize the new generation COMPLETELY before touching
+      // anything the readers see
       ZInterleave16
         .clusterByZ(read(spark, path), xCol, yCol, numFiles)
         .write.mode("overwrite").parquet(s"$path/base_next")
       val f = fsOf(spark, path)
-      f.delete(new Path(s"$path/base"), true)
+      if (!f.delete(new Path(s"$path/tail"), true))
+        throw new java.io.IOException(
+          s"could not clear $path/tail — new generation left at $path/base_next")
+      val oldBase = new Path(
+        s"$path/base_old_${java.util.UUID.randomUUID().toString.take(8)}")
+      if (!f.rename(new Path(s"$path/base"), oldBase))
+        throw new java.io.IOException(
+          s"could not move $path/base aside — new generation left at $path/base_next")
       if (!f.rename(new Path(s"$path/base_next"), new Path(s"$path/base")))
-        throw new java.io.IOException(s"could not swap $path/base_next into place")
-      f.delete(new Path(s"$path/tail"), true)
+        throw new java.io.IOException(
+          s"could not swap $path/base_next into place — previous generation " +
+            s"preserved at $oldBase")
+      f.delete(oldBase, true)
       true
     }
   }

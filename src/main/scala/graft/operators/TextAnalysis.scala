@@ -1239,15 +1239,18 @@ object TextAnalysis {
       textCol: String = "text",
       idCol: String = "doc_id",
       passthroughCols: Seq[String] = Nil): DataFrame = {
-    val pieces = vocabDf
+    val raw = vocabDf
       .select(col(pieceCol).cast("string"))
       .limit(maxPieces + 1)
       .collect()
-      .map(_.getString(0))
+      .map(r => if (r.isNullAt(0)) null else r.getString(0))
     require(
-      pieces.length <= maxPieces,
+      !raw.contains(null),
+      s"vocab table contains NULL in column '$pieceCol' — not a piece list")
+    require(
+      raw.length <= maxPieces,
       s"vocab table exceeds $maxPieces pieces — not a subword vocabulary")
-    wordpieceStats(docs, pieces.toIndexedSeq, textCol, idCol, passthroughCols)
+    wordpieceStats(docs, raw.toIndexedSeq, textCol, idCol, passthroughCols)
   }
 
   /** DuckDB twin of [[wordpieceStats]] over a docs relation: the SAME

@@ -53,22 +53,28 @@ import org.apache.spark.sql.types._
   */
 object AvroIO {
 
-  /** One Hadoop-conf broadcast per SparkContext, reused by every
-    * [[write]]/[[read]] — a fresh broadcast per call would accumulate
-    * driver/executor broadcast blocks over a long-lived session, and
-    * [[read]]'s lazy DataFrame keeps referencing its broadcast long
-    * after the call returns, so per-call destroy() is not an option.
+  /** One Hadoop-conf broadcast per (SparkContext, conf contents),
+    * reused by every [[write]]/[[read]] — a fresh broadcast per call
+    * would accumulate driver/executor broadcast blocks over a
+    * long-lived session, and [[read]]'s lazy DataFrame keeps
+    * referencing its broadcast long after the call returns, so
+    * per-call destroy() is not an option. The cache key includes the
+    * SNAPSHOT of the conf entries (the map is cheap to build —
+    * hundreds of entries): `hadoopConfiguration.set(...)` after the
+    * first call (fresh object-store credentials, say) produces a new
+    * broadcast instead of silently shipping the stale one; superseded
+    * broadcasts are dropped to Spark's ContextCleaner, which reclaims
+    * them once no lazy frame references them.
     */
-  @volatile private var cachedConf: (SparkContext, Broadcast[Map[String, String]]) = null
+  @volatile private var cachedConf: (SparkContext, Map[String, String], Broadcast[Map[String, String]]) = null
   private def confBroadcast(spark: SparkSession): Broadcast[Map[String, String]] =
     synchronized {
       val sc = spark.sparkContext
-      if (cachedConf == null || (cachedConf._1 ne sc)) {
-        val confMap = sc.hadoopConfiguration.asScala
-          .map(e => e.getKey -> e.getValue).toMap
-        cachedConf = (sc, sc.broadcast(confMap))
-      }
-      cachedConf._2
+      val confMap = sc.hadoopConfiguration.asScala
+        .map(e => e.getKey -> e.getValue).toMap
+      if (cachedConf == null || (cachedConf._1 ne sc) || cachedConf._2 != confMap)
+        cachedConf = (sc, confMap, sc.broadcast(confMap))
+      cachedConf._3
     }
 
   /** Catalyst → Avro schema for the supported surface: the scalar
@@ -195,6 +201,7 @@ object AvroIO {
       target.getParent,
       s".${target.getName}.__staging-${java.util.UUID.randomUUID().toString.take(8)}")
     fs.mkdirs(staging)
+    var promoteStarted = false
     try {
       val out = fs.create(new Path(staging, "_schema.avsc"))
       out.write(avroJson.getBytes("UTF-8"))
@@ -250,12 +257,21 @@ object AvroIO {
       fs.listStatus(staging)
         .filter(_.getPath.getName.contains(".inprogress-"))
         .foreach(s => fs.delete(s.getPath, false))
+      // past this point staging holds the ONLY complete copy once the
+      // old target is deleted — a promote failure must therefore KEEP
+      // staging (the catch below only cleans up pre-promote failures,
+      // where the old target is still intact)
+      promoteStarted = true
       fs.delete(target, true)
       if (!fs.rename(staging, target))
-        throw new java.io.IOException(s"could not promote $staging to $target")
+        throw new java.io.IOException(
+          s"could not promote $staging to $target — the complete new " +
+            s"data is preserved at $staging for manual recovery")
     } catch {
       case e: Throwable =>
-        try fs.delete(staging, true) catch { case _: Throwable => () }
+        if (!promoteStarted) {
+          try fs.delete(staging, true) catch { case _: Throwable => () }
+        }
         throw e
     }
   }
