@@ -112,6 +112,43 @@ object SparkEntry {
     afterCols = embeddingsCols,
     structuralEqCols = Set("embedding"))
 
+  /** MAP-column diff twin (q_diff_maps): an attrs MAP<STRING,DOUBLE>
+    * derived from orders, with the full planted matrix — value
+    * changed, key added, whole-map NULL per side, and the decisive
+    * case: ENTRY ORDER REVERSED with equal content, which must read
+    * status 0 (the canonicalized entry-sort equality; engine-native
+    * map `=` is order-sensitive in DuckDB and absent in Spark).
+    * Both bodies are kept textually parallel below; the planted
+    * moduli are disjoint from the orders fixture's (53/47/43).
+    */
+  private val mapsBeforeSql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 23 = 0 THEN CAST(NULL AS MAP(VARCHAR, DOUBLE))
+      |       ELSE MAP(['price', 'disc'], [o_totalprice, CAST(o_orderkey % 7 AS DOUBLE)])
+      |  END AS attrs
+      |FROM orders""".stripMargin
+
+  private val mapsAfterSql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 17 = 0 THEN CAST(NULL AS MAP(VARCHAR, DOUBLE))
+      |       WHEN o_orderkey % 11 = 0 THEN MAP(['price', 'disc'], [o_totalprice + 1.0, CAST(o_orderkey % 7 AS DOUBLE)])
+      |       WHEN o_orderkey % 13 = 0 THEN MAP(['price', 'disc', 'extra'], [o_totalprice, CAST(o_orderkey % 7 AS DOUBLE), 1.0])
+      |       WHEN o_orderkey % 19 = 0 THEN MAP(['disc', 'price'], [CAST(o_orderkey % 7 AS DOUBLE), o_totalprice])
+      |       ELSE MAP(['price', 'disc'], [o_totalprice, CAST(o_orderkey % 7 AS DOUBLE)])
+      |  END AS attrs
+      |FROM orders WHERE o_orderkey % 29 <> 0
+      |UNION ALL
+      |SELECT -o_orderkey, MAP(['price', 'disc'], [o_totalprice, CAST(o_orderkey % 7 AS DOUBLE)])
+      |FROM orders WHERE o_orderkey % 31 = 0""".stripMargin
+
+  private val mapsDiffSql: String = DiffSql.generate(
+    beforeBody = mapsBeforeSql,
+    afterBody = mapsAfterSql,
+    keys = Seq("o_orderkey"),
+    beforeCols = Seq("o_orderkey", "attrs"),
+    afterCols = Seq("o_orderkey", "attrs"),
+    mapEntryEqCols = Set("attrs"))
+
   /** Legacy `_row_status = 0` twin of [[ordersDiffSql]] — the
     * reference's own version-skew trap (SURVEY §0 trap 1: README.md:189
     * and samples/setup_all.sql:80 count matches with `= 0`, the live
@@ -293,6 +330,39 @@ object SparkEntry {
           Tables.embeddingsAfter(s, dir),
           Seq("vec_id"))
         .orderBy("K_vec_id")
+    }),
+    "q_diff_maps" -> ((s, dir) => {
+      // MAP<STRING,DOUBLE> column through the diff: equality is the
+      // canonicalized entry-sort (order-insensitive) — the planted
+      // %19 rows build the SAME map in reversed entry order and must
+      // read status 0; Spark has no native map '=' at all
+      def mk(body: String): DataFrame = {
+        // Spark dialect of the shared fixture bodies: map(...) literal
+        // syntax differs from DuckDB's MAP([k],[v]) — the CASE/plant
+        // structure is identical
+        val o = Tables.orders(s, dir)
+        o.createOrReplaceTempView("graft_maps_orders")
+        s.sql(body.replace("FROM orders", "FROM graft_maps_orders"))
+      }
+      val before = mk(
+        """SELECT o_orderkey,
+          |  CASE WHEN o_orderkey % 23 = 0 THEN CAST(NULL AS MAP<STRING,DOUBLE>)
+          |       ELSE map('price', o_totalprice, 'disc', CAST(o_orderkey % 7 AS DOUBLE))
+          |  END AS attrs
+          |FROM orders""".stripMargin)
+      val after = mk(
+        """SELECT o_orderkey,
+          |  CASE WHEN o_orderkey % 17 = 0 THEN CAST(NULL AS MAP<STRING,DOUBLE>)
+          |       WHEN o_orderkey % 11 = 0 THEN map('price', o_totalprice + 1.0, 'disc', CAST(o_orderkey % 7 AS DOUBLE))
+          |       WHEN o_orderkey % 13 = 0 THEN map('price', o_totalprice, 'disc', CAST(o_orderkey % 7 AS DOUBLE), 'extra', 1.0)
+          |       WHEN o_orderkey % 19 = 0 THEN map('disc', CAST(o_orderkey % 7 AS DOUBLE), 'price', o_totalprice)
+          |       ELSE map('price', o_totalprice, 'disc', CAST(o_orderkey % 7 AS DOUBLE))
+          |  END AS attrs
+          |FROM orders WHERE o_orderkey % 29 <> 0
+          |UNION ALL
+          |SELECT -o_orderkey, map('price', o_totalprice, 'disc', CAST(o_orderkey % 7 AS DOUBLE))
+          |FROM orders WHERE o_orderkey % 31 = 0""".stripMargin)
+      TableDiff.diff(before, after, Seq("o_orderkey")).orderBy("K_o_orderkey")
     }),
     "q_diff_filtered" -> ((s, dir) => {
       // O2: per-side WHERE predicates — the reference's only
@@ -1404,6 +1474,8 @@ object SparkEntry {
       s"$ordersDiffSql\nORDER BY K_o_orderkey",
     "q_diff_arrays" ->
       s"$arraysDiffSql\nORDER BY K_vec_id",
+    "q_diff_maps" ->
+      s"$mapsDiffSql\nORDER BY K_o_orderkey",
     "q_diff_filtered" ->
       s"$lineitemFilteredDiffSql\nORDER BY K_l_orderkey, K_l_linenumber",
     "q_diff_nullkeys" ->

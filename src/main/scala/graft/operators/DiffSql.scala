@@ -45,6 +45,16 @@ object DiffSql {
     *                    DISTINCT-semantics comparison is exactly
     *                    Spark's structural equality (probed: null
     *                    elements, length mismatch, empty, NaN, -0.0).
+    * @param mapEntryEqCols MAP columns: the value branch becomes
+    *                    `array_sort(map_entries(b)) IS NOT DISTINCT
+    *                    FROM array_sort(map_entries(a))` — map keys
+    *                    are unique so the sort is a total order and
+    *                    equality is entry-order-INSENSITIVE, matching
+    *                    the operator's canonicalization (engine-native
+    *                    map `=` is order-sensitive where it exists at
+    *                    all; Spark has none). Both function names
+    *                    parse in Spark AND DuckDB, so the emitted SQL
+    *                    stays dual-dialect.
     */
   def generate(
       beforeBody: String,
@@ -55,7 +65,8 @@ object DiffSql {
       paddedTypes: Map[String, String] = Map.empty,
       legacyRowStatusZero: Boolean = false,
       dedupDuplicateKeys: Boolean = false,
-      structuralEqCols: Set[String] = Set.empty): String = {
+      structuralEqCols: Set[String] = Set.empty,
+      mapEntryEqCols: Set[String] = Set.empty): String = {
     val allCols = SchemaUtils.mergeColumns(beforeCols, afterCols)
     val bSet = beforeCols.map(_.toLowerCase).toSet
     val aSet = afterCols.map(_.toLowerCase).toSet
@@ -94,7 +105,9 @@ object DiffSql {
     val statusCols = allCols
       .map { c =>
         val valueEq =
-          if (structuralEqCols.exists(_.equalsIgnoreCase(c)))
+          if (mapEntryEqCols.exists(_.equalsIgnoreCase(c)))
+            s"array_sort(map_entries(b_$c)) IS NOT DISTINCT FROM array_sort(map_entries(a_$c))"
+          else if (structuralEqCols.exists(_.equalsIgnoreCase(c)))
             s"b_$c IS NOT DISTINCT FROM a_$c"
           else s"b_$c = a_$c"
         s"""CASE WHEN b_$c IS NULL AND a_$c IS NULL THEN 0

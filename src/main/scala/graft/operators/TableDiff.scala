@@ -149,6 +149,15 @@ object TableDiff {
       val kk = if (opts.upperCase) k.toUpperCase else k
       SchemaUtils.resolve(b, kk) // keys must exist on the before side
     }
+    // a MAP business key would only fail deep inside the join's
+    // analysis (maps have no ordering Spark can hash or sort on) —
+    // fail here with the remedy instead
+    keyNames.foreach { k =>
+      require(
+        !b.schema(k).dataType.isInstanceOf[org.apache.spark.sql.types.MapType],
+        s"key column '$k' is a MAP — maps cannot serve as join keys; " +
+          "diff on scalar business-key columns")
+    }
 
     if (opts.nullKeySideChannel) {
       // exact split by NULL pattern: NULL-containing key tuples can
@@ -265,14 +274,28 @@ object TableDiff {
       .otherwise(bothPresent)
       .as(RowStatus)
 
-    // O9: per-column status CASE over every union column (j2:77-85)
-    def status(c: String): Column = {
+    // O9: per-column status CASE over every union column (j2:77-85).
+    // MAP columns cannot be compared with `=` at all in Spark
+    // (INVALID_ORDERING_TYPE) — their value branch canonicalizes to
+    // sorted entry arrays first: map keys are unique, so sorting by
+    // key is a total order and the comparison is entry-ORDER-
+    // INSENSITIVE (two maps built in different insertion orders are
+    // equal data), with null values inside compared structurally like
+    // array elements. The oracle spells the same canonicalization
+    // ([[DiffSql.generate]] mapEntryEqCols) because engine-native map
+    // equality, where it exists at all, is order-sensitive (DuckDB).
+    def status(c: String, dt: org.apache.spark.sql.types.DataType): Column = {
       val bc = col(s"b_$c")
       val ac = col(s"a_$c")
+      val valueEq = dt match {
+        case _: org.apache.spark.sql.types.MapType =>
+          array_sort(map_entries(bc)) === array_sort(map_entries(ac))
+        case _ => bc === ac
+      }
       when(bc.isNull && ac.isNull, Match)
         .when(bc.isNull, NullInBeforeOnly)
         .when(ac.isNull, NullInAfterOnly)
-        .when(bc === ac, Match)
+        .when(valueEq, Match)
         .otherwise(Different)
         .as(c)
     }
@@ -318,13 +341,13 @@ object TableDiff {
           keyNames.map(k => col(opts.keyPrefix + k).as(opts.keyPrefix + k, keyMeta)) :+
           map_from_arrays(
             array(statusCols.map { case (c, _) => lit(c) }: _*),
-            array(statusCols.map { case (c, _) => status(c) }: _*))
+            array(statusCols.map { case (c, dt) => status(c, dt) }: _*))
             .as("statuses", statusMeta)) ++ dupTail: _*)
     else
       joined.select(
         (rowStatus +:
           keyNames.map(k => col(opts.keyPrefix + k).as(opts.keyPrefix + k, keyMeta)) ++:
-          statusCols.map { case (c, _) => status(c).as(c, statusMeta) }) ++ dupTail: _*)
+          statusCols.map { case (c, dt) => status(c, dt).as(c, statusMeta) }) ++ dupTail: _*)
   }
 
   /** Column-metadata keys marking a diff result's status cells and

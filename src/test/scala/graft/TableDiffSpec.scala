@@ -310,6 +310,37 @@ class TableDiffSpec extends AnyFunSuite {
     }
   }
 
+  test("map columns: entry-order-insensitive equality; map keys rejected") {
+    // Spark cannot '=' maps at all — the status cell canonicalizes to
+    // sorted entry arrays, so insertion order is data-invisible but
+    // key sets, values, and null values inside still decide the cell
+    val before = Seq(
+      (1, Map("a" -> 1.0, "b" -> 2.0)),
+      (2, Map("a" -> 1.0)),
+      (3, Map("a" -> 1.0)),
+      (4, Map.empty[String, Double]),
+      (5, Map("a" -> 1.0))).toDF("k", "m")
+    val after = Seq(
+      (1, Map("b" -> 2.0, "a" -> 1.0)), // reversed order, equal data → 0
+      (2, Map("a" -> 9.0)),             // value changed             → 1
+      (3, Map("a" -> 1.0, "x" -> 0.0)), // key added                 → 1
+      (4, Map.empty[String, Double]),   // equal empties             → 0
+      (5, Map("a" -> 1.0))).toDF("k", "m")
+    val m = rowsByKey(TableDiff.diff(before, after, Seq("k")), "K_k")
+    assert(Map(1 -> 0, 2 -> 1, 3 -> 1, 4 -> 0, 5 -> 0)
+      .forall { case (k, want) => m(k).getAs[Int]("m") == want })
+    // null VALUES inside maps compare structurally (like array cells)
+    import org.apache.spark.sql.functions.expr
+    val bn = Seq(1).toDF("k").withColumn("m", expr("map('a', CAST(NULL AS DOUBLE))"))
+    val an = Seq(1).toDF("k").withColumn("m", expr("map('a', CAST(NULL AS DOUBLE))"))
+    assert(rowsByKey(TableDiff.diff(bn, an, Seq("k")), "K_k")(1).getAs[Int]("m") == 0)
+    // a MAP business key fails fast with the remedy, not deep in analysis
+    val e = intercept[IllegalArgumentException] {
+      TableDiff.diff(before, after, Seq("m"))
+    }
+    assert(e.getMessage.contains("MAP"))
+  }
+
   test("legacy _row_status=0 convention behind the flag") {
     val before = Seq((1, "a")).toDF("k1", "val")
     val d = TableDiff
