@@ -230,6 +230,20 @@ object ExtensionQueries {
       // first 20 tokens of doc 13m+1)
       Dedup.repeatedSpanPairs(Corpus.spanCorpus(s, dir), minTokens = 10)
         .orderBy("doc_a", "doc_b", "a_start", "b_start")),
+    "q_dedup_substring_incremental" -> ((s, dir) => {
+      // the production ingest shape for span detection: the corpus is
+      // touched only through its persistable shingle table, probed
+      // with the batch's shingle keys — O(batch + matched), never a
+      // corpus self-join. Split of the planted corpus by doc_id % 4:
+      // planted pairs crossing the split surface as (corpus, batch)
+      // spans
+      val corpus = Corpus.spanCorpus(s, dir)
+      Dedup
+        .repeatedSpansAgainstShingles(
+          Dedup.shingleTable(corpus.filter(col("doc_id") % 4 === 0)),
+          Dedup.shingleTable(corpus.filter(col("doc_id") % 4 =!= 0)))
+        .orderBy("doc_a", "doc_b", "a_start", "b_start")
+    }),
     "q_dedup_substring_coverage" -> ((s, dir) => {
       // the ACT step: per-doc duplicated-token coverage (merged span
       // intervals, both roles of every pair) with a drop verdict over
@@ -1702,6 +1716,53 @@ object ExtensionQueries {
       s"""${repeatedSpansDuckCtes(Corpus.spanCorpusSql, 10)}
          |SELECT doc_a, doc_b, a_start, b_start, span_tokens FROM spans
          |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin,
+
+    "q_dedup_substring_incremental" -> {
+      val k = 10
+      s"""WITH corpus AS (
+         |${Corpus.spanCorpusSql}
+         |), cwh AS (
+         |  SELECT doc_id, ${wordHashArrayDuck(wordsDuck("text"))} AS wh
+         |  FROM corpus WHERE ${tokenCountDuck("text")} >= $k AND doc_id % 4 <> 0
+         |), bwh AS (
+         |  SELECT doc_id, ${wordHashArrayDuck(wordsDuck("text"))} AS wh
+         |  FROM corpus WHERE ${tokenCountDuck("text")} >= $k AND doc_id % 4 = 0
+         |), csh AS (
+         |  SELECT doc_id, ${positionalShingleHashesDuck("wh", k, 31L)} AS s1,
+         |    ${positionalShingleHashesDuck("wh", k, 131L)} AS s2 FROM cwh
+         |), bsh AS (
+         |  SELECT doc_id, ${positionalShingleHashesDuck("wh", k, 31L)} AS s1,
+         |    ${positionalShingleHashesDuck("wh", k, 131L)} AS s2 FROM bwh
+         |), cpos AS (
+         |  SELECT doc_id, unnest(range(0, len(s1))) AS p,
+         |         unnest(s1) AS h1, unnest(s2) AS h2 FROM csh
+         |), bpos AS (
+         |  SELECT doc_id, unnest(range(0, len(s1))) AS p,
+         |         unnest(s1) AS h1, unnest(s2) AS h2 FROM bsh
+         |), probe AS (
+         |  SELECT DISTINCT h1, h2 FROM bpos
+         |), touched AS (
+         |  SELECT cpos.doc_id, cpos.p, cpos.h1, cpos.h2
+         |  FROM cpos JOIN probe ON probe.h1 = cpos.h1 AND probe.h2 = cpos.h2
+         |), keep AS (
+         |  SELECT h1, h2 FROM touched GROUP BY h1, h2
+         |  HAVING COUNT(DISTINCT doc_id) <= 20
+         |), cand AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |         x.p AS pa, y.p AS pb, x.p - y.p AS diag
+         |  FROM touched x
+         |  JOIN keep kk ON kk.h1 = x.h1 AND kk.h2 = x.h2
+         |  JOIN bpos y ON y.h1 = x.h1 AND y.h2 = x.h2
+         |), runs AS (
+         |  SELECT doc_a, doc_b, diag, pa, pb,
+         |    pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island
+         |  FROM cand
+         |)
+         |SELECT doc_a, doc_b, MIN(pa) AS a_start, MIN(pb) AS b_start,
+         |  MAX(pa) - MIN(pa) + $k AS span_tokens
+         |FROM runs GROUP BY doc_a, doc_b, diag, island
+         |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin
+    },
 
     "q_dedup_substring_coverage" ->
       // spans → per-doc duplicated-token coverage: explode both roles

@@ -149,6 +149,43 @@ object SparkEntry {
     afterCols = Seq("o_orderkey", "attrs"),
     mapEntryEqCols = Set("attrs"))
 
+  /** STRUCT-column diff twin (q_diff_structs) — closes the nested-type
+    * family (arrays, maps, structs). Same cross-engine seam as arrays:
+    * Spark's struct `=` is structural (equal null FIELDS → TRUE) while
+    * ANSI `=` returns NULL, so the struct column rides
+    * structuralEqCols' IS NOT DISTINCT FROM spelling. The %23 rows
+    * plant an equal null-field pair on BOTH sides — the cell that
+    * would mis-code 1 under ANSI `=`.
+    */
+  private val structsBeforeSql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 37 = 0 THEN NULL
+      |       WHEN o_orderkey % 23 = 0 THEN {'price': o_totalprice, 'prio': CAST(NULL AS VARCHAR)}
+      |       ELSE {'price': o_totalprice, 'prio': o_orderpriority}
+      |  END AS info
+      |FROM orders""".stripMargin
+
+  private val structsAfterSql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 17 = 0 THEN NULL
+      |       WHEN o_orderkey % 23 = 0 THEN {'price': o_totalprice, 'prio': CAST(NULL AS VARCHAR)}
+      |       WHEN o_orderkey % 11 = 0 THEN {'price': o_totalprice + 1.0, 'prio': o_orderpriority}
+      |       WHEN o_orderkey % 13 = 0 THEN {'price': o_totalprice, 'prio': CAST(NULL AS VARCHAR)}
+      |       ELSE {'price': o_totalprice, 'prio': o_orderpriority}
+      |  END AS info
+      |FROM orders WHERE o_orderkey % 29 <> 0
+      |UNION ALL
+      |SELECT -o_orderkey, {'price': o_totalprice, 'prio': o_orderpriority}
+      |FROM orders WHERE o_orderkey % 31 = 0""".stripMargin
+
+  private val structsDiffSql: String = DiffSql.generate(
+    beforeBody = structsBeforeSql,
+    afterBody = structsAfterSql,
+    keys = Seq("o_orderkey"),
+    beforeCols = Seq("o_orderkey", "info"),
+    afterCols = Seq("o_orderkey", "info"),
+    structuralEqCols = Set("info"))
+
   /** Legacy `_row_status = 0` twin of [[ordersDiffSql]] — the
     * reference's own version-skew trap (SURVEY §0 trap 1: README.md:189
     * and samples/setup_all.sql:80 count matches with `= 0`, the live
@@ -361,6 +398,36 @@ object SparkEntry {
           |FROM orders WHERE o_orderkey % 29 <> 0
           |UNION ALL
           |SELECT -o_orderkey, map('price', o_totalprice, 'disc', CAST(o_orderkey % 7 AS DOUBLE))
+          |FROM orders WHERE o_orderkey % 31 = 0""".stripMargin)
+      TableDiff.diff(before, after, Seq("o_orderkey")).orderBy("K_o_orderkey")
+    }),
+    "q_diff_structs" -> ((s, dir) => {
+      // STRUCT column through the diff: Spark's struct '=' is
+      // structural (the %23 equal-null-FIELD pairs read 0); the
+      // oracle's IS NOT DISTINCT FROM spelling (structuralEqCols)
+      // pins the ANSI engine to the same semantics
+      val o = Tables.orders(s, dir)
+      o.createOrReplaceTempView("graft_structs_orders")
+      def mk(body: String): DataFrame =
+        s.sql(body.replace("FROM orders", "FROM graft_structs_orders"))
+      val before = mk(
+        """SELECT o_orderkey,
+          |  CASE WHEN o_orderkey % 37 = 0 THEN NULL
+          |       WHEN o_orderkey % 23 = 0 THEN named_struct('price', o_totalprice, 'prio', CAST(NULL AS STRING))
+          |       ELSE named_struct('price', o_totalprice, 'prio', o_orderpriority)
+          |  END AS info
+          |FROM orders""".stripMargin)
+      val after = mk(
+        """SELECT o_orderkey,
+          |  CASE WHEN o_orderkey % 17 = 0 THEN NULL
+          |       WHEN o_orderkey % 23 = 0 THEN named_struct('price', o_totalprice, 'prio', CAST(NULL AS STRING))
+          |       WHEN o_orderkey % 11 = 0 THEN named_struct('price', o_totalprice + 1.0, 'prio', o_orderpriority)
+          |       WHEN o_orderkey % 13 = 0 THEN named_struct('price', o_totalprice, 'prio', CAST(NULL AS STRING))
+          |       ELSE named_struct('price', o_totalprice, 'prio', o_orderpriority)
+          |  END AS info
+          |FROM orders WHERE o_orderkey % 29 <> 0
+          |UNION ALL
+          |SELECT -o_orderkey, named_struct('price', o_totalprice, 'prio', o_orderpriority)
           |FROM orders WHERE o_orderkey % 31 = 0""".stripMargin)
       TableDiff.diff(before, after, Seq("o_orderkey")).orderBy("K_o_orderkey")
     }),
@@ -1476,6 +1543,8 @@ object SparkEntry {
       s"$arraysDiffSql\nORDER BY K_vec_id",
     "q_diff_maps" ->
       s"$mapsDiffSql\nORDER BY K_o_orderkey",
+    "q_diff_structs" ->
+      s"$structsDiffSql\nORDER BY K_o_orderkey",
     "q_diff_filtered" ->
       s"$lineitemFilteredDiffSql\nORDER BY K_l_orderkey, K_l_linenumber",
     "q_diff_nullkeys" ->

@@ -167,30 +167,7 @@ object Dedup {
       maxDocsPerShingle: Int = 20,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    PolyHash.register(docs.sparkSession)
-    val k = minTokens
-    require(k >= 2, "minTokens must be at least 2")
-    val wh = docs
-      .filter(expr(s"${tokenCountSpark(textCol)} >= $k"))
-      .select(
-        col(idCol).as("doc_id"),
-        expr(wordHashArraySpark(wordsSpark(textCol))).as("wh"))
-      .pipe(persistTracked)
-    // positional shingle arrays must be materialized before the zip
-    // indexes them (same CollapseProject trap as the gram arrays)
-    val sh = wh
-      .select(
-        col("doc_id"),
-        expr(positionalShingleHashesSpark("wh", k, 31L)).as("s1"),
-        expr(positionalShingleHashesSpark("wh", k, 131L)).as("s2"))
-      .pipe(persistTracked)
-    val pos = sh
-      .select(col("doc_id"), posexplode(arrays_zip(col("s1"), col("s2"))))
-      .select(
-        col("doc_id"),
-        col("pos").cast("long").as("p"),
-        col("col.s1").as("h1"),
-        col("col.s2").as("h2"))
+    val pos = shingleTable(docs, minTokens, textCol, idCol)
     // shareable shingles only: in ≥2 docs (else nothing to pair) and
     // ≤ cap docs (bounded fan-out)
     val keep = pos
@@ -209,19 +186,100 @@ object Dedup {
         col("y.doc_id").as("doc_b"),
         col("x.p").as("pa"),
         col("y.p").as("pb"))
-      .withColumn("diag", col("pa") - col("pb"))
-    // islands: consecutive positions on one (pair, diagonal) collapse
-    // to one maximal span (pa is unique within a diagonal — pb is
-    // determined by pa − diag — so row_number has no ties)
+    spansFromCandidates(cand, minTokens)
+  }
+
+  /** Positional shingle table `(doc_id, p, h1, h2)` for a corpus —
+    * the persistable half of incremental span detection (the
+    * [[signatureTable]] pattern): write it once, append each ingested
+    * batch's shingles, and probe later batches against it so the
+    * corpus TEXT is never re-read. Row width is 28 bytes — at k=10
+    * the table is token-count-sized but far narrower than the text.
+    */
+  def shingleTable(
+      docs: DataFrame,
+      minTokens: Int = 10,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    PolyHash.register(docs.sparkSession)
+    val k = minTokens
+    require(k >= 2, "minTokens must be at least 2")
+    val wh = docs
+      .filter(expr(s"${tokenCountSpark(textCol)} >= $k"))
+      .select(
+        col(idCol).as("doc_id"),
+        expr(wordHashArraySpark(wordsSpark(textCol))).as("wh"))
+      .pipe(persistTracked)
+    // positional shingle arrays must be materialized before the zip
+    // indexes them (same CollapseProject trap as the gram arrays)
+    val sh = wh
+      .select(
+        col("doc_id"),
+        expr(positionalShingleHashesSpark("wh", k, 31L)).as("s1"),
+        expr(positionalShingleHashesSpark("wh", k, 131L)).as("s2"))
+      .pipe(persistTracked)
+    sh
+      .select(col("doc_id"), posexplode(arrays_zip(col("s1"), col("s2"))))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("p"),
+        col("col.s1").as("h1"),
+        col("col.s2").as("h2"))
+  }
+
+  /** Spans of a NEW batch against an EXISTING corpus shingle table —
+    * the production ingest shape (the [[minhashPairsAgainstSignatures]]
+    * pattern): the corpus is only touched through its (precomputable,
+    * append-only) shingle table, probed with the batch's shingle
+    * keys FIRST, so per-ingest work is O(|batch| + matched shingles),
+    * never a corpus self-join. Returns
+    * `(doc_a = corpus id, doc_b = batch id, a_start, b_start,
+    * span_tokens)`; a doc present in both inputs matches itself —
+    * callers filter, same contract as [[minhashPairsAgainst]]. The
+    * per-shingle cap counts CORPUS docs only (the batch is small by
+    * definition); counting over the probe-matched subset equals the
+    * corpus-wide count for every shingle that can produce a pair.
+    */
+  def repeatedSpansAgainstShingles(
+      newShingles: DataFrame,
+      corpusShingles: DataFrame,
+      minTokens: Int = 10,
+      maxDocsPerShingle: Int = 20): DataFrame = {
+    val probeKeys = newShingles.select("h1", "h2").distinct()
+    val touched = corpusShingles.join(probeKeys, Seq("h1", "h2"))
+    val keep = touched
+      .groupBy("h1", "h2")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") <= maxDocsPerShingle)
+      .select("h1", "h2")
+    val cand = touched.join(keep, Seq("h1", "h2")).as("x")
+      .join(
+        newShingles.as("y"),
+        col("x.h1") === col("y.h1") && col("x.h2") === col("y.h2"))
+      .select(
+        col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"),
+        col("x.p").as("pa"),
+        col("y.p").as("pb"))
+    spansFromCandidates(cand, minTokens)
+  }
+
+  /** Shared back half of span detection: merge candidate position
+    * pairs into maximal spans per (pair, diagonal) with the islands
+    * trick (pa is unique within a diagonal — pb is determined by
+    * pa − diag — so row_number has no ties).
+    */
+  private def spansFromCandidates(cand: DataFrame, minTokens: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     cand
+      .withColumn("diag", col("pa") - col("pb"))
       .withColumn("island", col("pa") - row_number().over(w))
       .groupBy("doc_a", "doc_b", "diag", "island")
       .agg(
         min("pa").as("a_start"),
         min("pb").as("b_start"),
-        (max(col("pa")) - min(col("pa")) + lit(k.toLong)).as("span_tokens"))
+        (max(col("pa")) - min(col("pa")) + lit(minTokens.toLong)).as("span_tokens"))
       .select("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
   }
 

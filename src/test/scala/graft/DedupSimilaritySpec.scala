@@ -87,6 +87,45 @@ class DedupSimilaritySpec extends AnyFunSuite {
     Dedup.unpersistAll()
   }
 
+  test("incremental spans: batch probes the corpus shingle table; roles, self-match, cap") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9 ca cb"),
+      (11L, "d0 d1 d2 d3 d4 d5")).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "x0 x1 c2 c3 c4 c5 c6 c7 c8 c9 y0"), // copies corpus 10's tokens 2..9
+      (21L, "z0 z1 z2 z3 z4 z5 z6 z7")).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpansAgainstShingles(
+      Dedup.shingleTable(batch, minTokens = 4),
+      Dedup.shingleTable(corpus, minTokens = 4),
+      minTokens = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // doc_a = CORPUS id, doc_b = BATCH id, regardless of id ordering
+    assert(spans == Set((10L, 20L, 2L, 2L, 8L)))
+    Dedup.unpersistAll()
+    // a doc on both sides matches itself full-length (caller-filter
+    // contract, same as minhashPairsAgainst)
+    val self = Dedup.repeatedSpansAgainstShingles(
+      Dedup.shingleTable(corpus, minTokens = 4),
+      Dedup.shingleTable(corpus, minTokens = 4),
+      minTokens = 4)
+    assert(self.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet ==
+      Set((10L, 10L, 12L), (11L, 11L, 6L)))
+    Dedup.unpersistAll()
+    // hot-shingle cap counts CORPUS docs: a phrase in > cap corpus
+    // docs emits nothing (bounded fan-out)
+    val hot = (1L to 5L).map(i => (100L + i, "h0 h1 h2 h3 h4")).toDF("doc_id", "text")
+    val probe = Seq((200L, "h0 h1 h2 h3 h4")).toDF("doc_id", "text")
+    val capped = Dedup.repeatedSpansAgainstShingles(
+      Dedup.shingleTable(probe, minTokens = 4),
+      Dedup.shingleTable(hot, minTokens = 4),
+      minTokens = 4, maxDocsPerShingle = 4)
+    assert(capped.isEmpty)
+    Dedup.unpersistAll()
+  }
+
   test("span coverage merges overlapping intervals and never double-counts") {
     import spark.implicits._
     // hand fixture: doc 1 with two OVERLAPPING spans [0,6) and [4,10)

@@ -310,6 +310,24 @@ class TableDiffSpec extends AnyFunSuite {
     }
   }
 
+  test("struct columns: structural equality decides the cell (null fields compare equal)") {
+    import org.apache.spark.sql.functions.expr
+    def df(rows: Seq[(Int, String)]) = rows.toDF("k", "spec")
+      .withColumn("st", expr(
+        """CASE WHEN spec = 'null' THEN NULL
+          |     WHEN spec = 'nf' THEN named_struct('x', 1, 'y', CAST(NULL AS INT))
+          |     WHEN spec = 'v2' THEN named_struct('x', 1, 'y', 2)
+          |     ELSE named_struct('x', 1, 'y', 9) END""".stripMargin))
+      .drop("spec")
+    val before = df(Seq(1 -> "nf", 2 -> "v2", 3 -> "null", 4 -> "v2"))
+    val after = df(Seq(1 -> "nf", 2 -> "nf", 3 -> "v2", 4 -> "other"))
+    val m = rowsByKey(TableDiff.diff(before, after, Seq("k")), "K_k")
+    assert(m(1).getAs[Int]("st") == 0) // equal null-field structs → 0
+    assert(m(2).getAs[Int]("st") == 1) // value vs null field      → 1
+    assert(m(3).getAs[Int]("st") == 2) // whole struct NULL before → 2
+    assert(m(4).getAs[Int]("st") == 1) // field value differs      → 1
+  }
+
   test("map columns: entry-order-insensitive equality; map keys rejected") {
     // Spark cannot '=' maps at all — the status cell canonicalizes to
     // sorted entry arrays, so insertion order is data-invisible but
