@@ -175,6 +175,11 @@ object Dedup {
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= 2 && col("nd") <= maxDocsPerShingle)
       .select("h1", "h2")
+    // NOT persisted although both self-join sides consume it —
+    // measured: caching the capped position table costs more than
+    // recomputing the codegen'd explode (isolated best-of-3 at sf0.1:
+    // 1.90 s unpersisted vs 2.32 s persisted; the narrow 600k-row
+    // materialization is pure overhead at this width)
     val f = pos.join(keep, Seq("h1", "h2"))
     val cand = f.as("x")
       .join(
