@@ -156,7 +156,7 @@ object ZInterleave16 {
   */
 object ZLayout {
 
-  import org.apache.hadoop.fs.Path
+  import org.apache.hadoop.fs.{FileSystem, Path}
   import org.apache.spark.sql.{DataFrame, SparkSession}
 
   private def fsOf(spark: SparkSession, path: String) =
@@ -169,22 +169,38 @@ object ZLayout {
     else f.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
   }
 
+  private def subdirs(f: FileSystem, path: String, prefix: String): Seq[Path] = {
+    val p = new Path(path)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).map(_.getPath).filter(_.getName.startsWith(prefix)).toSeq
+  }
+
   /** Write (or replace) the clustered base generation and clear any
-    * tail left by a previous generation.
+    * tail (or in-flight merge) left by a previous generation.
     */
   def writeClustered(
       df: DataFrame, path: String, xCol: String, yCol: String, numFiles: Int): Unit = {
     ZInterleave16
       .clusterByZ(df, xCol, yCol, numFiles)
       .write.mode("overwrite").parquet(s"$path/base")
-    fsOf(df.sparkSession, path).delete(new Path(s"$path/tail"), true)
+    val f = fsOf(df.sparkSession, path)
+    f.delete(new Path(s"$path/tail"), true)
+    (subdirs(f, path, "merging_") ++ subdirs(f, path, "base_next") ++
+      subdirs(f, path, "base_old_")).foreach(f.delete(_, true))
   }
 
-  /** The whole table: clustered base plus any appended tail. */
-  def read(spark: SparkSession, path: String): DataFrame =
-    if (parquetFiles(spark, s"$path/tail") > 0)
-      spark.read.parquet(s"$path/base", s"$path/tail")
-    else spark.read.parquet(s"$path/base")
+  /** The whole table: clustered base, any appended tail, and any
+    * `merging_*` snapshot a re-cluster is currently folding in (its
+    * rows leave `tail` the moment the re-cluster starts but only
+    * leave disk once the new generation is complete — reading it
+    * keeps the table complete throughout the swap).
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val extra = subdirs(fsOf(spark, path), path, "merging_").map(_.toString)
+      .filter(d => parquetFiles(spark, d) > 0)
+    val tail = if (parquetFiles(spark, s"$path/tail") > 0) Seq(s"$path/tail") else Nil
+    spark.read.parquet((Seq(s"$path/base") ++ tail ++ extra): _*)
+  }
 
   /** Raw append into the tail — cheap (no clustering pass), unpruned
     * by readers until the next re-cluster. `appendTasks` caps the
@@ -204,16 +220,29 @@ object ZLayout {
     * files are batch-sized by construction.
     *
     * Swap protocol (single-writer maintenance op, like
-    * compactBandTable): the new generation is FULLY written to
-    * `base_next` first, then tail is deleted (its rows already live
-    * in base_next — no data is ever without a complete copy), then
-    * base is moved aside and base_next renamed in, both renames
-    * CHECKED — a rename onto an existing directory NESTS on HDFS
-    * instead of replacing, so the move-aside must succeed before the
-    * move-in runs. A crash between the two renames leaves no `base`
-    * momentarily, but both generations intact on disk
-    * (`base_old_*` + `base_next`) for recovery; a production
-    * deployment would wrap this window in a manifest/catalog commit.
+    * compactBandTable), crash-safe by roll-forward:
+    *  1. the tail being merged is renamed aside to `merging_*`
+    *     FIRST, so rows appended after a crash can never be confused
+    *     with rows already folded into a new generation;
+    *  2. the new generation is FULLY written to `base_next` — a
+    *     complete write is identified by parquet's `_SUCCESS` marker,
+    *     before which every row still lives in base + merging_* (both
+    *     of which [[read]] serves), after which every row lives in
+    *     base_next;
+    *  3. [[rollForward]] then deletes merging_*, parks base at
+    *     `base_old_*`, renames base_next in, and clears base_old —
+    *     each rename CHECKED (a rename onto an existing directory
+    *     NESTS on HDFS instead of replacing).
+    * [[recover]] runs at the top of every call and is decidable from
+    * the on-disk state alone: complete base_next → finish the swap;
+    * partial base_next → discard it and put merging_* back in the
+    * tail; orphan base_old_* → restore or clear. So no crash point
+    * loses rows, and a leftover base_next is never clobbered by the
+    * next generation write. The residual window (crash between
+    * merging_* deletion and the rename-in) leaves reads stale —
+    * never wrong or doubled — until the next writer call recovers;
+    * a production deployment would close even that with a
+    * manifest/catalog commit.
     */
   def appendAndMaybeRecluster(
       batch: DataFrame,
@@ -224,33 +253,90 @@ object ZLayout {
       maxTailFraction: Double = 0.15,
       appendTasks: Int = 0): Boolean = {
     require(maxTailFraction > 0, "maxTailFraction must be positive")
-    append(batch, path, appendTasks)
     val spark = batch.sparkSession
+    recover(spark, path)
+    append(batch, path, appendTasks)
     val nTail = parquetFiles(spark, s"$path/tail")
     val nBase = parquetFiles(spark, s"$path/base")
     if (nTail.toDouble <= maxTailFraction * math.max(nBase, 1)) false
     else {
+      val f = fsOf(spark, path)
+      val merging = new Path(
+        s"$path/merging_${java.util.UUID.randomUUID().toString.take(8)}")
+      if (!f.rename(new Path(s"$path/tail"), merging))
+        throw new java.io.IOException(s"could not snapshot $path/tail for merge")
       // materialize the new generation COMPLETELY before touching
-      // anything the readers see
+      // anything the readers see (read() still serves merging_*)
       ZInterleave16
         .clusterByZ(read(spark, path), xCol, yCol, numFiles)
         .write.mode("overwrite").parquet(s"$path/base_next")
-      val f = fsOf(spark, path)
-      if (!f.delete(new Path(s"$path/tail"), true))
-        throw new java.io.IOException(
-          s"could not clear $path/tail — new generation left at $path/base_next")
-      val oldBase = new Path(
-        s"$path/base_old_${java.util.UUID.randomUUID().toString.take(8)}")
-      if (!f.rename(new Path(s"$path/base"), oldBase))
-        throw new java.io.IOException(
-          s"could not move $path/base aside — new generation left at $path/base_next")
-      if (!f.rename(new Path(s"$path/base_next"), new Path(s"$path/base")))
-        throw new java.io.IOException(
-          s"could not swap $path/base_next into place — previous generation " +
-            s"preserved at $oldBase")
-      f.delete(oldBase, true)
+      rollForward(f, path)
       true
     }
+  }
+
+  /** Complete (or discard) an interrupted generation swap. Idempotent,
+    * single-writer; see [[appendAndMaybeRecluster]] for the protocol.
+    */
+  def recover(spark: SparkSession, path: String): Unit = {
+    val f = fsOf(spark, path)
+    val next = new Path(s"$path/base_next")
+    if (f.exists(new Path(next, "_SUCCESS"))) {
+      // the new generation is complete — finish the swap
+      rollForward(f, path)
+    } else {
+      if (f.exists(next) && !f.delete(next, true))
+        throw new java.io.IOException(s"could not discard partial $path/base_next")
+      // a merge snapshot whose generation never completed: its rows
+      // exist nowhere else — move its files back into the tail
+      // (part-file names are UUID-unique, so no collisions)
+      subdirs(f, path, "merging_").foreach { m =>
+        val tail = new Path(s"$path/tail")
+        if (!f.exists(tail) && !f.mkdirs(tail))
+          throw new java.io.IOException(s"could not recreate $tail")
+        f.listStatus(m).foreach { st =>
+          if (!f.rename(st.getPath, new Path(tail, st.getPath.getName)))
+            throw new java.io.IOException(
+              s"could not restore ${st.getPath} into $tail")
+        }
+        f.delete(m, true)
+      }
+      val olds = subdirs(f, path, "base_old_")
+      if (!f.exists(new Path(s"$path/base")) && olds.nonEmpty) {
+        // crash between the park and the rename-in with base_next
+        // already gone cannot happen under this protocol (base_next
+        // is renamed before base_old is cleared), but restore
+        // defensively rather than leave the table headless
+        if (!f.rename(olds.head, new Path(s"$path/base")))
+          throw new java.io.IOException(s"could not restore ${olds.head}")
+        olds.tail.foreach(f.delete(_, true))
+      } else olds.foreach(f.delete(_, true))
+    }
+  }
+
+  /** The commit half of the swap, re-runnable from any crash point
+    * after `base_next` is complete.
+    */
+  private def rollForward(f: FileSystem, path: String): Unit = {
+    // merged rows all live in the complete base_next; drop snapshots
+    subdirs(f, path, "merging_").foreach { m =>
+      if (!f.delete(m, true))
+        throw new java.io.IOException(
+          s"could not clear $m — new generation left at $path/base_next")
+    }
+    val base = new Path(s"$path/base")
+    if (f.exists(base)) {
+      val oldBase = new Path(
+        s"$path/base_old_${java.util.UUID.randomUUID().toString.take(8)}")
+      if (!f.rename(base, oldBase))
+        throw new java.io.IOException(
+          s"could not move $path/base aside — new generation left at $path/base_next")
+    }
+    if (!f.rename(new Path(s"$path/base_next"), base))
+      throw new java.io.IOException(
+        s"could not swap $path/base_next into place — previous generation " +
+          s"preserved under $path/base_old_*")
+    subdirs(f, path, "base_old_").foreach(f.delete(_, true))
   }
 }
 

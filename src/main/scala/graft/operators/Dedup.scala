@@ -43,6 +43,13 @@ import graft.functions.VectorExprs
   */
 object Dedup {
 
+  /** Column-metadata key stamping the shingle width k onto a
+    * [[shingleTable]]'s `p` column, so a persisted corpus table probed
+    * at a different `minTokens` fails loudly instead of silently
+    * reporting every span length off by the difference.
+    */
+  val ShingleKMeta = "graft_shingle_k"
+
   /** Intermediates persisted by operators in this object, pending
     * [[unpersistAll]]. Unpersisting a DataFrame is always SAFE — any
     * still-lazy consumer just recomputes — so the worst case of
@@ -223,11 +230,17 @@ object Dedup {
         expr(positionalShingleHashesSpark("wh", k, 31L)).as("s1"),
         expr(positionalShingleHashesSpark("wh", k, 131L)).as("s2"))
       .pipe(persistTracked)
+    // stamp the shingle width onto the table (column metadata survives
+    // parquet round trips): span_tokens math downstream is only right
+    // when probed at the SAME k, and the (doc_id, p, h1, h2) shape
+    // carries no other trace of it
+    val kMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(ShingleKMeta, k.toLong).build()
     sh
       .select(col("doc_id"), posexplode(arrays_zip(col("s1"), col("s2"))))
       .select(
         col("doc_id"),
-        col("pos").cast("long").as("p"),
+        col("pos").cast("long").as("p", kMeta),
         col("col.s1").as("h1"),
         col("col.s2").as("h2"))
   }
@@ -250,6 +263,24 @@ object Dedup {
       corpusShingles: DataFrame,
       minTokens: Int = 10,
       maxDocsPerShingle: Int = 20): DataFrame = {
+    // `minTokens` MUST equal the k both input tables were built at —
+    // span_tokens = max(pa)−min(pa)+minTokens, so a mismatch silently
+    // shifts every reported length by the difference. The tables carry
+    // their k in column metadata (stamped by [[shingleTable]], parquet-
+    // durable); verify it whenever it's present.
+    def kOf(df: DataFrame): Option[Long] =
+      df.schema.fields.find(_.name == "p")
+        .filter(_.metadata.contains(ShingleKMeta))
+        .map(_.metadata.getLong(ShingleKMeta))
+    Seq("newShingles" -> kOf(newShingles), "corpusShingles" -> kOf(corpusShingles))
+      .foreach {
+        case (which, Some(k)) =>
+          require(
+            k == minTokens.toLong,
+            s"$which was built at k=$k but probed with minTokens=$minTokens — " +
+              s"every span_tokens would be off by ${minTokens - k}; pass minTokens=$k")
+        case _ => ()
+      }
     val probeKeys = newShingles.select("h1", "h2").distinct()
     val touched = corpusShingles.join(probeKeys, Seq("h1", "h2"))
     val keep = touched

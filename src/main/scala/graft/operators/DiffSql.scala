@@ -82,6 +82,15 @@ object DiffSql {
         reserved.isEmpty,
         s"dedupDuplicateKeys reserves the column name(s) ${reserved.mkString(", ")}; " +
           "rename the input column(s)")
+      // mirror the operator's MAP-data guard: MIN over a map column
+      // has no ordering in either engine — the emitted SQL would fail
+      // only at execution time
+      val mapData = mapEntryEqCols.filterNot(c => keys.exists(_.equalsIgnoreCase(c)))
+      require(
+        mapData.isEmpty,
+        s"dedupDuplicateKeys cannot collapse MAP-typed data column(s) " +
+          s"${mapData.mkString(", ")} (maps have no MIN ordering); drop or " +
+          "pre-convert them, or generate without dedupDuplicateKeys")
     }
 
     def pad(c: String) =

@@ -129,6 +129,16 @@ object TableDiff {
   val MissingInBefore = 4
   val MissingInAfter = 5
 
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    dt match {
+      case _: MapType => true
+      case ArrayType(e, _) => containsMap(e)
+      case s: StructType => s.fields.exists(f => containsMap(f.dataType))
+      case _ => false
+    }
+  }
+
   def diff(
       before: DataFrame,
       after: DataFrame,
@@ -149,14 +159,15 @@ object TableDiff {
       val kk = if (opts.upperCase) k.toUpperCase else k
       SchemaUtils.resolve(b, kk) // keys must exist on the before side
     }
-    // a MAP business key would only fail deep inside the join's
-    // analysis (maps have no ordering Spark can hash or sort on) —
-    // fail here with the remedy instead
+    // a MAP business key — top-level OR nested inside an array/struct
+    // key — would only fail deep inside the join's analysis (maps have
+    // no ordering Spark can hash or sort on) — fail here with the
+    // remedy instead
     keyNames.foreach { k =>
       require(
-        !b.schema(k).dataType.isInstanceOf[org.apache.spark.sql.types.MapType],
-        s"key column '$k' is a MAP — maps cannot serve as join keys; " +
-          "diff on scalar business-key columns")
+        !containsMap(b.schema(k).dataType),
+        s"key column '$k' is or contains a MAP — maps cannot serve as join " +
+          "keys; diff on scalar business-key columns")
     }
 
     if (opts.nullKeySideChannel) {
@@ -195,6 +206,20 @@ object TableDiff {
           reserved.isEmpty,
           s"dedupDuplicateKeys reserves the column name(s) ${reserved.mkString(", ")}; " +
             "rename the input column(s)")
+        // MIN over a map (or a map nested in an array/struct) has no
+        // ordering in Spark OR DuckDB — the collapse would fail deep
+        // inside the aggregate's analysis, the exact opaque failure
+        // the map-key guard above pre-empts. Same treatment here.
+        val mapData = (b.schema ++ a.schema)
+          .filter(f => !keyNames.exists(_.equalsIgnoreCase(f.name)))
+          .filter(f => containsMap(f.dataType))
+          .map(_.name).distinct
+        require(
+          mapData.isEmpty,
+          s"dedupDuplicateKeys cannot collapse MAP-typed data column(s) " +
+            s"${mapData.mkString(", ")} (maps have no MIN ordering); drop or " +
+            "pre-convert them (e.g. array_sort(map_entries(c))), or diff " +
+            "without dedupDuplicateKeys")
         (collapse(b, dupB), collapse(a, dupA))
       } else (b, a)
 

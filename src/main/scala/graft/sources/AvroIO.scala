@@ -67,15 +67,23 @@ object AvroIO {
     * them once no lazy frame references them.
     */
   @volatile private var cachedConf: (SparkContext, Map[String, String], Broadcast[Map[String, String]]) = null
-  private def confBroadcast(spark: SparkSession): Broadcast[Map[String, String]] =
+  private def confBroadcast(spark: SparkSession): Broadcast[Map[String, String]] = {
+    val sc = spark.sparkContext
+    // snapshot OUTSIDE the lock, via the copy constructor: it clones
+    // the backing Properties under the source conf's monitor, so a
+    // concurrent hadoopConfiguration.set(...) — the credential-refresh
+    // scenario this cache exists for — cannot make the entry iteration
+    // throw ConcurrentModificationException, which iterating the live
+    // conf's fail-fast iterator could. Also keeps the object-wide lock
+    // to a map compare, not a conf walk, so writers don't serialize.
+    val snap = new Configuration(sc.hadoopConfiguration)
+    val confMap = snap.asScala.map(e => e.getKey -> e.getValue).toMap
     synchronized {
-      val sc = spark.sparkContext
-      val confMap = sc.hadoopConfiguration.asScala
-        .map(e => e.getKey -> e.getValue).toMap
       if (cachedConf == null || (cachedConf._1 ne sc) || cachedConf._2 != confMap)
         cachedConf = (sc, confMap, sc.broadcast(confMap))
       cachedConf._3
     }
+  }
 
   /** Catalyst → Avro schema for the supported surface: the scalar
     * types plus ARRAY of them (the embedding-column shape). Every
@@ -262,7 +270,14 @@ object AvroIO {
       // staging (the catch below only cleans up pre-promote failures,
       // where the old target is still intact)
       promoteStarted = true
-      fs.delete(target, true)
+      // the clear must be CHECKED: FileSystem.delete reports failure by
+      // returning false, and a rename onto a still-existing directory
+      // NESTS staging inside it on HDFS (returning true) — silent
+      // corruption with stale data visible under the target
+      if (fs.exists(target) && !fs.delete(target, true))
+        throw new java.io.IOException(
+          s"could not clear $target before promote — the complete new " +
+            s"data is preserved at $staging for manual recovery")
       if (!fs.rename(staging, target))
         throw new java.io.IOException(
           s"could not promote $staging to $target — the complete new " +

@@ -124,6 +124,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
       minTokens = 4, maxDocsPerShingle = 4)
     assert(capped.isEmpty)
     Dedup.unpersistAll()
+    // a k/minTokens mismatch would silently shift every span_tokens by
+    // the difference — the k stamped on the table (parquet-durable
+    // column metadata) makes it fail loudly instead
+    val corpusAt4 = Dedup.shingleTable(corpus, minTokens = 4)
+    val dir = java.nio.file.Files.createTempDirectory("shingles").toString + "/t"
+    corpusAt4.write.parquet(dir) // metadata must survive the round trip
+    val reloaded = spark.read.parquet(dir)
+    val mism = intercept[IllegalArgumentException] {
+      Dedup.repeatedSpansAgainstShingles(
+        Dedup.shingleTable(batch, minTokens = 5), reloaded, minTokens = 5)
+    }
+    assert(mism.getMessage.contains("built at k=4"), mism.getMessage)
+    Dedup.unpersistAll()
   }
 
   test("span coverage merges overlapping intervals and never double-counts") {

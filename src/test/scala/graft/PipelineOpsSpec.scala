@@ -217,6 +217,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ZLayout.read(spark, dir).count() == grid.count() + 5 * batch.count())
   }
 
+  test("ZLayout: an interrupted generation swap is recovered without losing a row") {
+    import spark.implicits._
+    import graft.functions.{ZInterleave16, ZLayout}
+    val dir = java.nio.file.Files.createTempDirectory("zrecover").toString + "/t"
+    val grid = (for { x <- 0L until 32L; y <- 0L until 32L } yield (x, y)).toDF("x", "y")
+    val batch = (for { x <- 0L until 32L by 5; y <- 0L until 32L by 5 } yield (x, y))
+      .toDF("x", "y")
+    ZLayout.writeClustered(grid, dir, "x", "y", numFiles = 8)
+    ZLayout.append(batch, dir, appendTasks = 1)
+    val total = grid.count() + batch.count()
+
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$dir/$s")
+
+    // crash point A: tail snapshotted aside, new generation only
+    // PARTIALLY written (no _SUCCESS). The merging snapshot keeps
+    // reads complete; recovery must discard the partial generation
+    // and put the snapshot back in the tail.
+    assert(fs.rename(p("tail"), p("merging_crashA")))
+    fs.mkdirs(p("base_next"))
+    val junk = fs.create(new org.apache.hadoop.fs.Path(p("base_next"), "part-00000.parquet"))
+    junk.write(Array[Byte](1, 2, 3)); junk.close()
+    assert(ZLayout.read(spark, dir).count() == total, "reads stay complete mid-swap")
+    ZLayout.recover(spark, dir)
+    assert(!fs.exists(p("base_next")) && !fs.exists(p("merging_crashA")))
+    assert(ZLayout.read(spark, dir).count() == total, "partial generation discarded, no loss")
+
+    // crash point B: new generation COMPLETE (parquet _SUCCESS
+    // present) but the swap never ran. Recovery — here via the next
+    // appendAndMaybeRecluster call — must roll FORWARD, never
+    // clobber base_next, and every row (old + appended) survives.
+    assert(fs.rename(p("tail"), p("merging_crashB")))
+    ZInterleave16
+      .clusterByZ(ZLayout.read(spark, dir), "x", "y", numFiles = 8)
+      .write.mode("overwrite").parquet(s"$dir/base_next")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(p("base_next"), "_SUCCESS")))
+    val batch2 = Seq((100L, 100L), (101L, 101L)).toDF("x", "y")
+    ZLayout.appendAndMaybeRecluster(
+      batch2, dir, "x", "y", numFiles = 8, maxTailFraction = 100.0, appendTasks = 1)
+    assert(!fs.exists(p("base_next")) && !fs.exists(p("merging_crashB")))
+    assert(ZLayout.read(spark, dir).count() == total + batch2.count(),
+      "complete generation rolled forward, appended rows intact")
+  }
+
   test("clusterByZ rejects a dimension spanning more than half the Long domain") {
     import spark.implicits._
     // mx - mn overflows signed 64 bits here; unchecked arithmetic

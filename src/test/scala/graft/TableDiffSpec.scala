@@ -357,6 +357,27 @@ class TableDiffSpec extends AnyFunSuite {
       TableDiff.diff(before, after, Seq("m"))
     }
     assert(e.getMessage.contains("MAP"))
+    // ... including a map NESTED in a struct/array key (same
+    // INVALID_ORDERING_TYPE fate in the join, so the same fast guard)
+    val nested = before.withColumn("s", expr("named_struct('inner', m)"))
+    val e2 = intercept[IllegalArgumentException] {
+      TableDiff.diff(nested, nested, Seq("s"))
+    }
+    assert(e2.getMessage.contains("MAP"))
+    // dedup mode cannot MIN a map data column (no ordering in Spark
+    // or DuckDB) — guarded at entry, and mirrored by the SQL twin
+    val e3 = intercept[IllegalArgumentException] {
+      TableDiff.diff(before, after, Seq("k"),
+        opts = DiffOptions(dedupDuplicateKeys = true))
+    }
+    assert(e3.getMessage.contains("MIN ordering"))
+    val e4 = intercept[IllegalArgumentException] {
+      graft.operators.DiffSql.generate(
+        "SELECT * FROM b", "SELECT * FROM a", Seq("k"),
+        Seq("k", "m"), Seq("k", "m"),
+        dedupDuplicateKeys = true, mapEntryEqCols = Set("m"))
+    }
+    assert(e4.getMessage.contains("MIN ordering"))
   }
 
   test("legacy _row_status=0 convention behind the flag") {
