@@ -370,6 +370,63 @@ object ExtensionQueries {
       }
       pairs.orderBy("doc_a", "doc_b")
     }),
+    "q_stream_span_ingest" -> ((s, dir) => {
+      // the STREAMING span-ingest loop — [[q_stream_dedup_ingest]]'s
+      // shape for substring dedup: the planted span corpus arrives as
+      // a 4-slice micro-batch stream; each batch is shingled ONCE,
+      // span-matched within itself and against the ACCUMULATED
+      // positional shingle table (never the corpus text), then
+      // appended to it — the steady-state 100 TB shape where the
+      // 28-byte-row shingle table is the only state. The claim under
+      // oracle: the union of per-batch discoveries reproduces the
+      // one-shot self-join EXACTLY — each unordered pair surfaces
+      // precisely once (when its later member arrives), and ALL of a
+      // pair's candidate positions live in that one probe, so the
+      // per-diagonal islands merge sees identical runs — making the
+      // oracle q_dedup_substring's verbatim. Precondition, stated
+      // honestly: equivalence needs every shingle's corpus-WIDE doc
+      // count within the cap (a shingle crossing it mid-stream would
+      // emit early pairs the one-shot suppresses); the cap exists
+      // for boilerplate phrases, which the planted corpus lacks.
+      import org.apache.spark.sql.types._
+      graft.functions.PolyHash.register(s)
+      val corpus = Corpus.spanCorpus(s, dir)
+      val emptySpans = s.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(Seq(
+          StructField("doc_a", LongType), StructField("doc_b", LongType),
+          StructField("a_start", LongType), StructField("b_start", LongType),
+          StructField("span_tokens", LongType))))
+      var shingles = Dedup.shingleTable(corpus.limit(0)).localCheckpoint(true)
+      val spans = graft.streaming.StreamRunner.foldBatches(
+        graft.streaming.StreamRunner.slicedStream(
+          corpus, "doc_id", slices = 4,
+          tag = s"${java.nio.file.Paths.get(dir).toAbsolutePath}#spancorpus4"),
+        emptySpans) { (acc, batch, _) =>
+        val bs = Dedup.shingleTable(batch).localCheckpoint(true)
+        val within = Dedup.repeatedSpansAgainstShingles(bs, bs)
+          .filter(col("doc_a") < col("doc_b"))
+        val cross = Dedup.repeatedSpansAgainstShingles(bs, shingles)
+        // the accumulated table needs NO re-checkpoint: every piece is
+        // already materialized, so the union's lineage stays one
+        // node per batch — re-writing the whole state per batch would
+        // make ingest O(corpus) instead of O(batch)
+        shingles = shingles.unionByName(bs)
+        // cross rows arrive (doc_a = corpus id, doc_b = batch id) —
+        // normalize to the one-shot's doc_a < doc_b orientation (span
+        // geometry is symmetric: swapping the pair swaps the starts);
+        // the slices partition doc_id, so no id sits on both sides
+        val swap = col("doc_a") > col("doc_b")
+        val crossNorm = cross.select(
+          when(swap, col("doc_b")).otherwise(col("doc_a")).as("doc_a"),
+          when(swap, col("doc_a")).otherwise(col("doc_b")).as("doc_b"),
+          when(swap, col("b_start")).otherwise(col("a_start")).as("a_start"),
+          when(swap, col("a_start")).otherwise(col("b_start")).as("b_start"),
+          col("span_tokens"))
+        acc.unionByName(within.unionByName(crossNorm))
+      }
+      spans.orderBy("doc_a", "doc_b", "a_start", "b_start")
+    }),
     "q_stream_late_window" -> ((s, dir) => {
       // LATE-DATA adversarial stream: the month of events arrives as
       // 4 micro-batches sliced by event_id % 4 — each slice spans the
@@ -1825,6 +1882,13 @@ object ExtensionQueries {
       // batch-split invariance again: streamed signature ingest must
       // land on the batch self-join's exact pair set
       s"$minhashPairsSql ORDER BY doc_a, doc_b",
+
+    "q_stream_span_ingest" ->
+      // batch-split invariance for spans: streamed shingle-table
+      // ingest must land on the one-shot self-join's exact span set
+      s"""${repeatedSpansDuckCtes(Corpus.spanCorpusSql, 10)}
+         |SELECT doc_a, doc_b, a_start, b_start, span_tokens FROM spans
+         |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin,
 
     "q_stream_late_window" ->
       // clean-room replay of Spark's late-data semantics: batch i is
