@@ -244,6 +244,47 @@ object ExtensionQueries {
           Dedup.shingleTable(corpus.filter(col("doc_id") % 4 =!= 0)))
         .orderBy("doc_a", "doc_b", "a_start", "b_start")
     }),
+    "q_dedup_substring_bucketed" -> ((s, dir) => {
+      // the %4-split span probe on the PRODUCTION state layout: the
+      // corpus side lives in a (h1,h2)-bucketed CATALOG table, built
+      // from one slice and grown through two cadence-managed appends
+      // (the second trips compaction mid-query, so the oracle hash
+      // also gates probe answers across an automatic rewrite); the
+      // probe then scans the pre-partitioned state in place and
+      // shuffles only the batch (StateCompactionSpec pins the
+      // exchange gap). The oracle is q_dedup_substring_incremental's
+      // VERBATIM — the layout is a physical change only.
+      graft.functions.PolyHash.register(s)
+      val corpus = Corpus.spanCorpus(s, dir)
+      val tbl = "graft_span_shingles_" +
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+          .replaceAll("[^A-Za-z0-9]", "_")
+      val shufKey = "spark.sql.shuffle.partitions"
+      val prevShuf = s.conf.get(shufKey)
+      val spans = try {
+        // batch-bounded exchanges don't need corpus-sized width (the
+        // incremental-ingest knob; results and exchange COUNT unchanged)
+        s.conf.set(shufKey, "8")
+        Dedup.writeShingleTable(
+          corpus.filter(col("doc_id") % 4 === 1), tbl, buckets = 8)
+        Dedup.appendAndMaybeCompactShingles(
+          corpus.filter(col("doc_id") % 4 === 2), tbl, buckets = 8,
+          maxFilesPerBucket = 1000, appendTasks = 1)
+        Dedup.appendAndMaybeCompactShingles(
+          corpus.filter(col("doc_id") % 4 === 3), tbl, buckets = 8,
+          maxFilesPerBucket = 1, appendTasks = 1) // always trips
+        val out = Dedup.repeatedSpansAgainstShingles(
+          Dedup.shingleTable(corpus.filter(col("doc_id") % 4 === 0)),
+          s.table(tbl)).localCheckpoint(true)
+        Dedup.unpersistAll()
+        out
+      } finally {
+        s.conf.set(shufKey, prevShuf)
+        s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+        s.sql(s"DROP TABLE IF EXISTS `${tbl}_compact_tmp`")
+      }
+      spans.orderBy("doc_a", "doc_b", "a_start", "b_start")
+    }),
     "q_dedup_substring_coverage" -> ((s, dir) => {
       // the ACT step: per-doc duplicated-token coverage (merged span
       // intervals, both roles of every pair) with a drop verdict over
@@ -1701,6 +1742,59 @@ object ExtensionQueries {
        |WHERE cos_ppm >= 999000""".stripMargin
   }
 
+
+  /** DuckDB twin of the %4-split span probe (corpus = doc_id %4 != 0,
+    * batch = %4 == 0) — shared verbatim by q_dedup_substring_incremental
+    * (plain shingle-table probe) and q_dedup_substring_bucketed (the
+    * bucketed catalog layout): same semantics, different physical plan.
+    */
+  private def spanSplitIncrementalOracleSql: String = {
+    val k = 10
+    s"""WITH corpus AS (
+         |${Corpus.spanCorpusSql}
+         |), cwh AS (
+         |  SELECT doc_id, ${wordHashArrayDuck(wordsDuck("text"))} AS wh
+         |  FROM corpus WHERE ${tokenCountDuck("text")} >= $k AND doc_id % 4 <> 0
+         |), bwh AS (
+         |  SELECT doc_id, ${wordHashArrayDuck(wordsDuck("text"))} AS wh
+         |  FROM corpus WHERE ${tokenCountDuck("text")} >= $k AND doc_id % 4 = 0
+         |), csh AS (
+         |  SELECT doc_id, ${positionalShingleHashesDuck("wh", k, 31L)} AS s1,
+         |    ${positionalShingleHashesDuck("wh", k, 131L)} AS s2 FROM cwh
+         |), bsh AS (
+         |  SELECT doc_id, ${positionalShingleHashesDuck("wh", k, 31L)} AS s1,
+         |    ${positionalShingleHashesDuck("wh", k, 131L)} AS s2 FROM bwh
+         |), cpos AS (
+         |  SELECT doc_id, unnest(range(0, len(s1))) AS p,
+         |         unnest(s1) AS h1, unnest(s2) AS h2 FROM csh
+         |), bpos AS (
+         |  SELECT doc_id, unnest(range(0, len(s1))) AS p,
+         |         unnest(s1) AS h1, unnest(s2) AS h2 FROM bsh
+         |), probe AS (
+         |  SELECT DISTINCT h1, h2 FROM bpos
+         |), touched AS (
+         |  SELECT cpos.doc_id, cpos.p, cpos.h1, cpos.h2
+         |  FROM cpos JOIN probe ON probe.h1 = cpos.h1 AND probe.h2 = cpos.h2
+         |), keep AS (
+         |  SELECT h1, h2 FROM touched GROUP BY h1, h2
+         |  HAVING COUNT(DISTINCT doc_id) <= 20
+         |), cand AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |         x.p AS pa, y.p AS pb, x.p - y.p AS diag
+         |  FROM touched x
+         |  JOIN keep kk ON kk.h1 = x.h1 AND kk.h2 = x.h2
+         |  JOIN bpos y ON y.h1 = x.h1 AND y.h2 = x.h2
+         |), runs AS (
+         |  SELECT doc_a, doc_b, diag, pa, pb,
+         |    pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island
+         |  FROM cand
+         |)
+         |SELECT doc_a, doc_b, MIN(pa) AS a_start, MIN(pb) AS b_start,
+         |  MAX(pa) - MIN(pa) + $k AS span_tokens
+         |FROM runs GROUP BY doc_a, doc_b, diag, island
+         |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_dedup_incremental" -> minhashIncrementalSql,
 
@@ -1774,52 +1868,13 @@ object ExtensionQueries {
          |SELECT doc_a, doc_b, a_start, b_start, span_tokens FROM spans
          |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin,
 
-    "q_dedup_substring_incremental" -> {
-      val k = 10
-      s"""WITH corpus AS (
-         |${Corpus.spanCorpusSql}
-         |), cwh AS (
-         |  SELECT doc_id, ${wordHashArrayDuck(wordsDuck("text"))} AS wh
-         |  FROM corpus WHERE ${tokenCountDuck("text")} >= $k AND doc_id % 4 <> 0
-         |), bwh AS (
-         |  SELECT doc_id, ${wordHashArrayDuck(wordsDuck("text"))} AS wh
-         |  FROM corpus WHERE ${tokenCountDuck("text")} >= $k AND doc_id % 4 = 0
-         |), csh AS (
-         |  SELECT doc_id, ${positionalShingleHashesDuck("wh", k, 31L)} AS s1,
-         |    ${positionalShingleHashesDuck("wh", k, 131L)} AS s2 FROM cwh
-         |), bsh AS (
-         |  SELECT doc_id, ${positionalShingleHashesDuck("wh", k, 31L)} AS s1,
-         |    ${positionalShingleHashesDuck("wh", k, 131L)} AS s2 FROM bwh
-         |), cpos AS (
-         |  SELECT doc_id, unnest(range(0, len(s1))) AS p,
-         |         unnest(s1) AS h1, unnest(s2) AS h2 FROM csh
-         |), bpos AS (
-         |  SELECT doc_id, unnest(range(0, len(s1))) AS p,
-         |         unnest(s1) AS h1, unnest(s2) AS h2 FROM bsh
-         |), probe AS (
-         |  SELECT DISTINCT h1, h2 FROM bpos
-         |), touched AS (
-         |  SELECT cpos.doc_id, cpos.p, cpos.h1, cpos.h2
-         |  FROM cpos JOIN probe ON probe.h1 = cpos.h1 AND probe.h2 = cpos.h2
-         |), keep AS (
-         |  SELECT h1, h2 FROM touched GROUP BY h1, h2
-         |  HAVING COUNT(DISTINCT doc_id) <= 20
-         |), cand AS (
-         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-         |         x.p AS pa, y.p AS pb, x.p - y.p AS diag
-         |  FROM touched x
-         |  JOIN keep kk ON kk.h1 = x.h1 AND kk.h2 = x.h2
-         |  JOIN bpos y ON y.h1 = x.h1 AND y.h2 = x.h2
-         |), runs AS (
-         |  SELECT doc_a, doc_b, diag, pa, pb,
-         |    pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island
-         |  FROM cand
-         |)
-         |SELECT doc_a, doc_b, MIN(pa) AS a_start, MIN(pb) AS b_start,
-         |  MAX(pa) - MIN(pa) + $k AS span_tokens
-         |FROM runs GROUP BY doc_a, doc_b, diag, island
-         |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin
-    },
+    "q_dedup_substring_incremental" -> spanSplitIncrementalOracleSql,
+
+    "q_dedup_substring_bucketed" ->
+      // IDENTICAL semantics to the incremental split — the bucketed
+      // catalog layout is a physical change only, and sharing the
+      // oracle string is the proof obligation
+      spanSplitIncrementalOracleSql,
 
     "q_dedup_substring_coverage" ->
       // spans → per-doc duplicated-token coverage: explode both roles

@@ -606,12 +606,81 @@ object Dedup {
     */
   def writeBandTable(
       sigs: DataFrame, table: String, buckets: Int = BandTableBuckets): DataFrame = {
-    bandRows(sigs)
-      .select("band", "bkey", "doc_id")
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, "band", "bkey").sortBy("band", "bkey")
-      .saveAsTable(table)
+    writeBucketedState(
+      bandRows(sigs).select("band", "bkey", "doc_id"),
+      table, buckets, Seq("band", "bkey"), "overwrite", appendTasks = 0)
     sigs.sparkSession.table(table)
+  }
+
+  // ---- shared bucketed catalog-state plumbing: the band table
+  // (minhash) and the shingle table (spans) use the same layout idea
+  // — bucket + in-bucket sort on the probe-join keys, so steady-state
+  // probes scan the state pre-partitioned and shuffle only the batch.
+  private def writeBucketedState(
+      rows: DataFrame, table: String, buckets: Int, keys: Seq[String],
+      mode: String, appendTasks: Int): Unit =
+    (if (appendTasks > 0) rows.repartition(appendTasks) else rows)
+      .write.mode(mode).format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+
+  private def compactBucketedState(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String, buckets: Int, keys: Seq[String]): DataFrame = {
+    val tmp = table + "_compact_tmp"
+    // NO repartition: a bucketed scan yields exactly one input
+    // partition per bucket (all of a bucket's accumulated files
+    // grouped), so each write task holds one whole bucket and emits
+    // one file — a repartition would RE-hash the keys and scatter
+    // buckets across tasks (measured: 3 files/bucket). Spark
+    // auto-DISABLES bucketed scanning when the plan doesn't exploit
+    // the partitioning (a bare write doesn't), which would bring the
+    // size-based splits back — force it on for the rewrite.
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevAuto = spark.conf.get(autoKey)
+    try {
+      spark.conf.set(autoKey, "false")
+      spark.table(table)
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .saveAsTable(tmp)
+    } finally spark.conf.set(autoKey, prevAuto)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    spark.table(table)
+  }
+
+  private def overCompactionThreshold(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      buckets: Int, maxFilesPerBucket: Int, maxBytes: Long): Boolean = {
+    val files = spark.table(table).inputFiles
+    // the documented threshold is PER BUCKET (fragmentation cost is
+    // paid per bucket a probe opens): bucketed file names carry their
+    // bucket id as `_NNNNN.` before the extension — group on it. A hot
+    // bucket over the threshold triggers even when skewed appends keep
+    // the global total low; the global bound stays as a backstop for
+    // any file the pattern misses.
+    val bucketId = "_([0-9]{5})\\.".r
+    val perBucketMax = files
+      .groupBy { f =>
+        bucketId.findFirstMatchIn(f.substring(f.lastIndexOf('/') + 1)).map(_.group(1))
+      }
+      .collect { case (Some(_), fs) => fs.length }
+      .maxOption.getOrElse(0)
+    val overCount = perBucketMax > maxFilesPerBucket ||
+      files.length > buckets.toLong * maxFilesPerBucket
+    // bytes threshold: only LISTED when a finite cap is set — listing
+    // every file's size per ingest is pointless work otherwise
+    val overBytes = maxBytes != Long.MaxValue && {
+      val conf = spark.sparkContext.hadoopConfiguration
+      files.iterator.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(conf).getFileStatus(p).getLen
+      }.sum > maxBytes
+    }
+    overCount || overBytes
   }
 
   /** Append a batch's band rows to an existing bucketed band table
@@ -633,13 +702,10 @@ object Dedup {
     */
   def appendToBandTable(
       sigs: DataFrame, table: String, buckets: Int = BandTableBuckets,
-      appendTasks: Int = 0): Unit = {
-    val rows = bandRows(sigs).select("band", "bkey", "doc_id")
-    (if (appendTasks > 0) rows.repartition(appendTasks) else rows)
-      .write.mode("append").format("parquet")
-      .bucketBy(buckets, "band", "bkey").sortBy("band", "bkey")
-      .saveAsTable(table)
-  }
+      appendTasks: Int = 0): Unit =
+    writeBucketedState(
+      bandRows(sigs).select("band", "bkey", "doc_id"),
+      table, buckets, Seq("band", "bkey"), "append", appendTasks)
 
   /** Rewrite an append-grown band table down to ~one file per bucket.
     * N appends leave N files per bucket; every probe then pays N×
@@ -651,29 +717,8 @@ object Dedup {
   def compactBandTable(
       spark: org.apache.spark.sql.SparkSession,
       table: String,
-      buckets: Int = BandTableBuckets): DataFrame = {
-    val tmp = table + "_compact_tmp"
-    // NO repartition: a bucketed scan yields exactly one input
-    // partition per bucket (all of a bucket's accumulated files
-    // grouped), so each write task holds one whole bucket and emits
-    // one file — a repartition would RE-hash the keys and scatter
-    // buckets across tasks (measured: 3 files/bucket). Spark
-    // auto-DISABLES bucketed scanning when the plan doesn't exploit
-    // the partitioning (a bare write doesn't), which would bring the
-    // size-based splits back — force it on for the rewrite.
-    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prevAuto = spark.conf.get(autoKey)
-    try {
-      spark.conf.set(autoKey, "false")
-      spark.table(table)
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(buckets, "band", "bkey").sortBy("band", "bkey")
-        .saveAsTable(tmp)
-    } finally spark.conf.set(autoKey, prevAuto)
-    spark.sql(s"DROP TABLE `$table`")
-    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
-    spark.table(table)
-  }
+      buckets: Int = BandTableBuckets): DataFrame =
+    compactBucketedState(spark, table, buckets, Seq("band", "bkey"))
 
   /** [[appendToBandTable]] plus automatic compaction cadence: when
     * the append pushes the table past `maxFilesPerBucket` files per
@@ -701,33 +746,81 @@ object Dedup {
     require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
     appendToBandTable(sigs, table, buckets, appendTasks)
     val spark = sigs.sparkSession
-    val files = spark.table(table).inputFiles
-    // the documented threshold is PER BUCKET (fragmentation cost is
-    // paid per bucket a probe opens): bucketed file names carry their
-    // bucket id as `_NNNNN.` before the extension — group on it. A hot
-    // bucket over the threshold triggers even when skewed appends keep
-    // the global total low; the global bound stays as a backstop for
-    // any file the pattern misses.
-    val bucketId = "_([0-9]{5})\\.".r
-    val perBucketMax = files
-      .groupBy { f =>
-        bucketId.findFirstMatchIn(f.substring(f.lastIndexOf('/') + 1)).map(_.group(1))
-      }
-      .collect { case (Some(_), fs) => fs.length }
-      .maxOption.getOrElse(0)
-    val overCount = perBucketMax > maxFilesPerBucket ||
-      files.length > buckets.toLong * maxFilesPerBucket
-    // bytes threshold: only LISTED when a finite cap is set — listing
-    // every file's size per ingest is pointless work otherwise
-    val overBytes = maxBytes != Long.MaxValue && {
-      val conf = spark.sparkContext.hadoopConfiguration
-      files.iterator.map { f =>
-        val p = new org.apache.hadoop.fs.Path(f)
-        p.getFileSystem(conf).getFileStatus(p).getLen
-      }.sum > maxBytes
-    }
-    if (overCount || overBytes) { compactBandTable(spark, table, buckets); true }
-    else false
+    if (overCompactionThreshold(spark, table, buckets, maxFilesPerBucket, maxBytes)) {
+      compactBandTable(spark, table, buckets); true
+    } else false
+  }
+
+  /** Materialize a corpus's positional shingle rows `(h1, h2, doc_id,
+    * p)` as a BUCKETED catalog table on the probe-join keys — the
+    * [[writeBandTable]] layout applied to span state.
+    * [[repeatedSpansAgainstShingles]] consumes it UNCHANGED (its every
+    * join and aggregation keys on exactly `(h1, h2)`), and because the
+    * scan arrives pre-partitioned and pre-sorted, a steady-state probe
+    * shuffles only the batch's shingles — O(batch) movement per
+    * ingest where the plain table re-shuffles the corpus every time
+    * (StateCompactionSpec pins the exchange gap). The `p` column keeps
+    * its [[ShingleKMeta]] stamp through the catalog, so a mismatched
+    * probe still fails loudly.
+    *
+    * Append contract — STRICTER than the band table's: each doc's
+    * shingles must be appended exactly once. The band-table probe
+    * absorbs duplicate rows in its candidate DISTINCT, but span
+    * detection consumes positions, where a duplicated (doc_id, p) row
+    * breaks the islands row_number. Appends are per NEW batch by
+    * construction, so steady-state ingest satisfies this for free.
+    */
+  def writeShingleTable(
+      docs: DataFrame, table: String, minTokens: Int = 10,
+      buckets: Int = BandTableBuckets,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    writeBucketedState(
+      shingleTable(docs, minTokens, textCol, idCol).select("h1", "h2", "doc_id", "p"),
+      table, buckets, Seq("h1", "h2"), "overwrite", appendTasks = 0)
+    docs.sparkSession.table(table)
+  }
+
+  /** Append a NEW batch's shingles to a [[writeShingleTable]] state
+    * table (bucket spec must match; see the once-per-doc append
+    * contract there). `appendTasks` caps the file fan-out exactly as
+    * [[appendToBandTable]]'s does.
+    */
+  def appendToShingleTable(
+      docs: DataFrame, table: String, minTokens: Int = 10,
+      buckets: Int = BandTableBuckets, appendTasks: Int = 0,
+      textCol: String = "text", idCol: String = "doc_id"): Unit =
+    writeBucketedState(
+      shingleTable(docs, minTokens, textCol, idCol).select("h1", "h2", "doc_id", "p"),
+      table, buckets, Seq("h1", "h2"), "append", appendTasks)
+
+  /** [[compactBandTable]] for the shingle state table: rewrite back to
+    * ~one file per bucket, same layout, probe plans byte-identical.
+    */
+  def compactShingleTable(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      buckets: Int = BandTableBuckets): DataFrame =
+    compactBucketedState(spark, table, buckets, Seq("h1", "h2"))
+
+  /** [[appendToShingleTable]] plus the [[appendAndMaybeCompact]]
+    * cadence — the ingest call steady-state span pipelines use so the
+    * layout cannot silently fragment. Returns true when this append
+    * triggered a compaction.
+    */
+  def appendAndMaybeCompactShingles(
+      docs: DataFrame,
+      table: String,
+      minTokens: Int = 10,
+      buckets: Int = BandTableBuckets,
+      maxFilesPerBucket: Int = 4,
+      maxBytes: Long = Long.MaxValue,
+      appendTasks: Int = 0): Boolean = {
+    require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
+    appendToShingleTable(docs, table, minTokens, buckets, appendTasks)
+    val spark = docs.sparkSession
+    if (overCompactionThreshold(spark, table, buckets, maxFilesPerBucket, maxBytes)) {
+      compactShingleTable(spark, table, buckets); true
+    } else false
   }
 
   /** [[minhashPairsAgainstSignatures]] with the corpus side read from

@@ -158,6 +158,90 @@ class StateCompactionSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed shingle table: probe matches, shuffles only the batch, k survives the catalog") {
+    val corpus = Corpus.spanCorpus(spark, dir)
+    val state1 = corpus.filter(col("doc_id") % 4 === 1 || col("doc_id") % 4 === 3)
+    val state2 = corpus.filter(col("doc_id") % 4 === 2)
+    val batch = corpus.filter(col("doc_id") % 4 === 0)
+    val batchSh = Dedup.shingleTable(batch).localCheckpoint(true)
+    Dedup.unpersistAll()
+    val table = "shingle_spec_t1"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_compact_tmp")
+    try {
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_a", "doc_b", "a_start", "b_start").collect().toSeq
+      val stateTable = Dedup.writeShingleTable(state1, table, buckets = 4)
+      val plainSh = Dedup.shingleTable(state1).localCheckpoint(true)
+      Dedup.unpersistAll()
+      val expected = canon(Dedup.repeatedSpansAgainstShingles(batchSh, plainSh))
+      assert(expected.nonEmpty, "fixture must plant cross-split spans")
+      assert(canon(Dedup.repeatedSpansAgainstShingles(batchSh, stateTable)) == expected)
+
+      // the layout's point: the bucketed corpus side arrives
+      // pre-shuffled on (h1, h2) — every join/agg key of the probe —
+      // so the probe exchanges strictly less than the plain-table
+      // form, which re-shuffles the corpus shingles every ingest.
+      // Broadcast hides shuffles at spec scale; disable while counting.
+      val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val (exBucketed, exPlain) =
+        try {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          (exchanges(Dedup.repeatedSpansAgainstShingles(batchSh, stateTable)),
+            exchanges(Dedup.repeatedSpansAgainstShingles(batchSh, plainSh)))
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      assert(exBucketed < exPlain,
+        s"bucketed probe should shuffle less: $exBucketed vs $exPlain")
+      val p = Dedup.repeatedSpansAgainstShingles(batchSh, stateTable)
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(p.contains("Bucketed: true"), p.take(3000))
+
+      // the k stamp survives saveAsTable + spark.table — a mismatched
+      // probe against the CATALOG table still fails loudly
+      assert(spark.table(table).schema("p").metadata
+        .getLong(Dedup.ShingleKMeta) == 10L)
+      val mism = intercept[IllegalArgumentException] {
+        Dedup.repeatedSpansAgainstShingles(
+          Dedup.shingleTable(batch, minTokens = 5), spark.table(table), minTokens = 5)
+      }
+      assert(mism.getMessage.contains("built at k=10"), mism.getMessage)
+      Dedup.unpersistAll()
+
+      // cadence-managed append of a DISJOINT slice (the once-per-doc
+      // append contract): uncapped threshold leaves the files, tight
+      // one compacts back — answers match the plain two-slice probe
+      // across both, and the probe plan's exchange count is unchanged
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val before = parquetFiles(s"$wh/$table")
+      assert(!Dedup.appendAndMaybeCompactShingles(
+        state2, table, buckets = 4, maxFilesPerBucket = 1000, appendTasks = 1))
+      assert(parquetFiles(s"$wh/$table") > before, "no compaction below the threshold")
+      val plainBoth = Dedup.shingleTable(state1.unionByName(state2)).localCheckpoint(true)
+      Dedup.unpersistAll()
+      val expectedBoth = canon(Dedup.repeatedSpansAgainstShingles(batchSh, plainBoth))
+      assert(canon(
+        Dedup.repeatedSpansAgainstShingles(batchSh, spark.table(table))) == expectedBoth)
+      assert(Dedup.appendAndMaybeCompactShingles(
+        corpus.filter(col("doc_id") % 4 === 0).limit(0), table, buckets = 4,
+        maxFilesPerBucket = 1))
+      assert(parquetFiles(s"$wh/$table") <= 4,
+        s"triggered compaction should leave ~one file per bucket, got ${parquetFiles(s"$wh/$table")}")
+      assert(canon(
+        Dedup.repeatedSpansAgainstShingles(batchSh, spark.table(table))) == expectedBoth)
+      val exCompacted =
+        try {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          exchanges(Dedup.repeatedSpansAgainstShingles(batchSh, spark.table(table)))
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      assert(exCompacted == exBucketed,
+        "compaction must not change the probe plan's exchange count")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_compact_tmp")
+      Dedup.unpersistAll()
+    }
+  }
+
   test("partitioned IVF layout: probe matches in-memory, appends accumulate, compaction bounds files per list") {
     val emb = Tables.embeddings(spark, dir)
     val base = emb.filter(col("vec_id") % 3 =!= 0)
