@@ -1026,6 +1026,41 @@ object ExtensionQueries {
           numShards = 4))
         .orderBy("shard", "seq")
     }),
+    "q_pipeline_train_export_spans" -> ((s, dir) => {
+      // the span-surgery stage wired through the pipeline surface:
+      // same stages as q_pipeline_train_export plus spanDedup —
+      // repeated ≥10-token spans are CUT from the later occurrence
+      // between the dedup gate and decontamination, so the
+      // decontamination n-grams and the char budgets bill the text
+      // that actually ships (n_chars recomputed post-surgery).
+      // Corpus = documents with the %13 planted cross-doc spans (the
+      // spanCorpus plant, source kept), so the stage demonstrably
+      // binds; the oracle replays all six stages in SQL.
+      val d = Tables.documents(s, dir)
+      val p = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("p_text"))
+      val planted = d.select("doc_id", "source", "text")
+        .join(p, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"), col("source"),
+          when(
+            col("doc_id") % 13 === 0 && col("p_text").isNotNull,
+            concat_ws(" ", col("text"),
+              concat_ws(" ", slice(expr("split(trim(p_text), '\\\\s+')"), 1, 20))))
+            .otherwise(col("text")).as("text"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      graft.pipelines.TrainingExport.run(
+        planted,
+        planted.filter(col("doc_id") % 97 === 0),
+        graft.pipelines.TrainingExport.Config(
+          curate = true,
+          dedup = graft.pipelines.TrainingExport.DedupExact,
+          spanDedup = Some(10),
+          contaminationMaxPpm = Some(500000L),
+          budgets = Seq("src0" -> 4000L, "src1" -> 2000L),
+          defaultBudget = 3000L,
+          numShards = 4))
+        .orderBy("shard", "seq")
+    }),
     "q_pipeline_train_export_neardup" -> ((s, dir) => {
       // pipeline v2: same five stages but the dedup gate is the REAL
       // one — MinHash-LSH candidate pairs + connected components over
@@ -1343,39 +1378,50 @@ object ExtensionQueries {
     */
   private def repeatedSpansDuckCtes(
       corpusSql: String, k: Int, maxDocsPerShingle: Int = 20): String =
-    s"""WITH corpus AS (
+    s"WITH ${repeatedSpansDuckCtesFrom(corpusSql, k, maxDocsPerShingle)}"
+
+  /** The span-detection CTE chain WITHOUT the `WITH` keyword and with
+    * every CTE name `pfx`-prefixed — spliceable into a larger WITH
+    * (the pipeline oracle); `pfx = ""` reproduces the standalone form
+    * byte-for-byte, so there is still exactly ONE SQL definition of
+    * the operator.
+    */
+  private def repeatedSpansDuckCtesFrom(
+      corpusSql: String, k: Int, maxDocsPerShingle: Int = 20,
+      pfx: String = ""): String =
+    s"""${pfx}corpus AS (
        |$corpusSql
-       |), whc AS (
+       |), ${pfx}whc AS (
        |  SELECT doc_id, ${wordHashArrayDuck(wordsDuck("text"))} AS wh
-       |  FROM corpus WHERE ${tokenCountDuck("text")} >= $k
-       |), sh AS (
+       |  FROM ${pfx}corpus WHERE ${tokenCountDuck("text")} >= $k
+       |), ${pfx}sh AS (
        |  SELECT doc_id,
        |    ${positionalShingleHashesDuck("wh", k, 31L)} AS s1,
        |    ${positionalShingleHashesDuck("wh", k, 131L)} AS s2
-       |  FROM whc
-       |), pos AS (
+       |  FROM ${pfx}whc
+       |), ${pfx}pos AS (
        |  SELECT doc_id, unnest(range(0, len(s1))) AS p,
        |         unnest(s1) AS h1, unnest(s2) AS h2
-       |  FROM sh
-       |), keep AS (
-       |  SELECT h1, h2 FROM pos GROUP BY h1, h2
+       |  FROM ${pfx}sh
+       |), ${pfx}keep AS (
+       |  SELECT h1, h2 FROM ${pfx}pos GROUP BY h1, h2
        |  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND $maxDocsPerShingle
-       |), f AS (
-       |  SELECT pos.doc_id, pos.p, pos.h1, pos.h2
-       |  FROM pos JOIN keep USING (h1, h2)
-       |), cand AS (
+       |), ${pfx}f AS (
+       |  SELECT ${pfx}pos.doc_id, ${pfx}pos.p, ${pfx}pos.h1, ${pfx}pos.h2
+       |  FROM ${pfx}pos JOIN ${pfx}keep USING (h1, h2)
+       |), ${pfx}cand AS (
        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
        |         x.p AS pa, y.p AS pb, x.p - y.p AS diag
-       |  FROM f x JOIN f y
+       |  FROM ${pfx}f x JOIN ${pfx}f y
        |    ON x.h1 = y.h1 AND x.h2 = y.h2 AND x.doc_id < y.doc_id
-       |), runs AS (
+       |), ${pfx}runs AS (
        |  SELECT doc_a, doc_b, diag, pa, pb,
        |    pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island
-       |  FROM cand
-       |), spans AS (
+       |  FROM ${pfx}cand
+       |), ${pfx}spans AS (
        |  SELECT doc_a, doc_b, MIN(pa) AS a_start, MIN(pb) AS b_start,
        |    MAX(pa) - MIN(pa) + $k AS span_tokens
-       |  FROM runs GROUP BY doc_a, doc_b, diag, island
+       |  FROM ${pfx}runs GROUP BY doc_a, doc_b, diag, island
        |)""".stripMargin
 
   /** Gaps-and-islands interval merge as a DuckDB CTE chain: given an
@@ -1387,21 +1433,21 @@ object ExtensionQueries {
     * `Dedup.mergedIntervals`, shared by the coverage and removal
     * oracles so a future tie-order/frame fix lands in one place.
     */
-  private def intervalMergeDuckCtes(ivSelect: String): String =
-    s""", iv AS (
+  private def intervalMergeDuckCtes(ivSelect: String, pfx: String = ""): String =
+    s""", ${pfx}iv AS (
        |$ivSelect
-       |), w AS (
+       |), ${pfx}w AS (
        |  SELECT doc_id, s, e,
        |    MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
-       |  FROM iv
-       |), isl AS (
+       |  FROM ${pfx}iv
+       |), ${pfx}isl AS (
        |  SELECT doc_id, s, e,
        |    SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END) OVER (
        |      PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island
-       |  FROM w
-       |), merged AS (
-       |  SELECT doc_id, island, MIN(s) AS s0, MAX(e) AS e1 FROM isl GROUP BY doc_id, island
+       |  FROM ${pfx}w
+       |), ${pfx}merged AS (
+       |  SELECT doc_id, island, MIN(s) AS s0, MAX(e) AS e1 FROM ${pfx}isl GROUP BY doc_id, island
        |)""".stripMargin
 
   /** The five-stage train-export oracle (funnel → exact dedup →
@@ -1413,11 +1459,41 @@ object ExtensionQueries {
     * mirror of [[graft.pipelines.TrainingExport.BudgetWordPieceTokens]].
     */
   private def trainExportPipelineSql(
-      budgets: Seq[(String, Long)], defaultBudget: Long, tokensWp: Boolean): String = {
+      budgets: Seq[(String, Long)], defaultBudget: Long, tokensWp: Boolean,
+      spanK: Option[Int] = None, corpusSql: Option[String] = None): String = {
     val h = graft.functions.TextExprs.charHashDuck("CAST(doc_id AS VARCHAR)")
     val mh = graft.operators.Sampling.mixedHash(h)
     val hq = graft.functions.TextExprs.charHashDuck("CAST(c.doc_id AS VARCHAR)")
     val mhq = graft.operators.Sampling.mixedHash(hq)
+    // optional planted-corpus prologue: the pipeline reads `pdocs`
+    // instead of the raw documents table
+    val src = if (corpusSql.isDefined) "pdocs" else "documents"
+    val prologue = corpusSql.map(c => s"pdocs AS (\n$c\n), ").getOrElse("")
+    // optional span-surgery splice after the dedup gate: the
+    // OPERATOR-defining CTEs are the shared generators (span
+    // detection + interval merge + the 1-based-lambda token surgery,
+    // exactly q_dedup_substring_remove's spelling) under an sp_
+    // prefix; downstream stages read the rewritten text and the
+    // recomputed n_chars
+    val base = if (spanK.isDefined) "sp" else "dd"
+    val spanCtes = spanK.map { k =>
+      s""", ${repeatedSpansDuckCtesFrom("  SELECT doc_id, text FROM dd", k, 20, "sp_")}${intervalMergeDuckCtes(
+           "  SELECT DISTINCT doc_b AS doc_id, b_start AS s, b_start + span_tokens AS e FROM sp_spans",
+           "sp_")}, sp_rivs AS (
+         |  SELECT doc_id, list(s0 ORDER BY s0) AS ss, list(e1 ORDER BY s0) AS es
+         |  FROM sp_merged GROUP BY doc_id
+         |), sp0 AS (
+         |  SELECT d.doc_id, d.source,
+         |    CASE WHEN r.doc_id IS NULL THEN d.text
+         |         ELSE COALESCE(array_to_string(list_filter(
+         |           ${wordsDuck("d.text")},
+         |           (t, i) -> len(list_filter(r.ss, (s, j) -> (i - 1) >= s AND (i - 1) < r.es[j])) = 0), ' '), '')
+         |    END AS text
+         |  FROM dd d LEFT JOIN sp_rivs r ON r.doc_id = d.doc_id
+         |), sp AS (
+         |  SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n_chars FROM sp0
+         |)""".stripMargin
+    }.getOrElse("")
     val b = graft.operators.Sampling.budgetCase("source", budgets, defaultBudget)
     val guard = s"${tokenCountDuck("text")} >= 3"
     val mixtureCtes =
@@ -1439,13 +1515,13 @@ object ExtensionQueries {
             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_weight
             |  FROM clean c JOIN wp ON wp.doc_id = c.doc_id
             |)""".stripMargin
-    s"""WITH m AS (
+    s"""WITH ${prologue}m AS (
        |  SELECT doc_id,
        |    ${TextAnalysis.funnelMetricsDuckProjection("text")}
-       |  FROM documents
+       |  FROM $src
        |), kept AS (
        |  SELECT d.doc_id, d.text, d.source, d.n_chars
-       |  FROM documents d JOIN (
+       |  FROM $src d JOIN (
        |    SELECT doc_id FROM m
        |    WHERE (${TextAnalysis.funnelVerdictCase(20, 500000L, Seq("en"), 600000L)}) = 'keep'
        |  ) k USING (doc_id)
@@ -1453,13 +1529,13 @@ object ExtensionQueries {
        |  SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text
        |), dd AS (
        |  SELECT k.* FROM kept k JOIN canon USING (doc_id)
-       |), bwh AS (
+       |)$spanCtes, bwh AS (
        |  SELECT ${wordHashArrayDuck(wordsDuck("text"))} AS wh
-       |  FROM documents WHERE doc_id % 97 = 0 AND $guard
+       |  FROM $src WHERE doc_id % 97 = 0 AND $guard
        |), bg AS (
        |  SELECT DISTINCT unnest(${shingleHashesFromWordHashesDuck("wh", 3)}) AS gram FROM bwh
        |), dwh AS (
-       |  SELECT doc_id, ${wordHashArrayDuck(wordsDuck("text"))} AS wh FROM dd WHERE $guard
+       |  SELECT doc_id, ${wordHashArrayDuck(wordsDuck("text"))} AS wh FROM $base WHERE $guard
        |), dg AS (
        |  SELECT doc_id, ${shingleHashesFromWordHashesDuck("wh", 3)} AS grams FROM dwh
        |), e AS (
@@ -1470,7 +1546,7 @@ object ExtensionQueries {
        |  FROM e LEFT JOIN bg USING (gram)
        |  GROUP BY e.doc_id, e.n_grams
        |), clean AS (
-       |  SELECT d.* FROM dd d JOIN cont USING (doc_id)
+       |  SELECT d.* FROM $base d JOIN cont USING (doc_id)
        |  WHERE cont.contamination_ppm < 500000
        |)$mixtureCtes, sampled AS (
        |  SELECT doc_id, source FROM mx WHERE running_weight <= ($b)
@@ -2468,6 +2544,23 @@ object ExtensionQueries {
       // runs over the CLEAN subset and its n_tokens replaces n_chars
       // in the mixture window — the rest of the pipeline is untouched
       trainExportPipelineSql(Seq("src0" -> 2500L, "src1" -> 1500L), 2000L, tokensWp = true),
+
+    "q_pipeline_train_export_spans" ->
+      // six stages: the span-surgery splice (the shared span-detect +
+      // interval-merge + token-surgery CTEs under an sp_ prefix) lands
+      // between the dedup gate and decontamination, over the %13
+      // planted corpus — downstream stages bill the rewritten text
+      trainExportPipelineSql(
+        Seq("src0" -> 4000L, "src1" -> 2000L), 3000L, tokensWp = false,
+        spanK = Some(10),
+        corpusSql = Some(
+          """  SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n_chars FROM (
+            |    SELECT d.doc_id, d.source,
+            |      CASE WHEN d.doc_id % 13 = 0 AND p.text IS NOT NULL
+            |           THEN d.text || ' ' || array_to_string(list_slice(string_split_regex(trim(p.text), '\s+'), 1, 20), ' ')
+            |           ELSE d.text END AS text
+            |    FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id + 1
+            |  )""".stripMargin)),
 
     "q_pipeline_incremental_ingest" ->
       // the acceptance rule replayed from the FULL pair set: for a

@@ -412,7 +412,8 @@ object Dedup {
       docs: DataFrame,
       spans: DataFrame,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      passthroughCols: Seq[String] = Nil): DataFrame = {
     val iv = spans.select(
       col("doc_b").as("doc_id"),
       col("b_start").as("s"),
@@ -425,13 +426,17 @@ object Dedup {
     docs
       .join(ivs, docs(idCol) === ivs("doc_id"), "left")
       .select(
-        docs(idCol).as("doc_id"),
-        when(col("ivs").isNull, col(textCol))
-          .otherwise(expr(
-            s"concat_ws(' ', filter(split(trim($textCol), '\\\\s+'), " +
-              "(t, i) -> NOT exists(ivs, iv -> i >= iv.s0 AND i < iv.e1)))"))
-          .as("clean_text"),
-        coalesce(col("n_tokens_removed"), lit(0L)).as("n_tokens_removed"))
+        (docs(idCol).as("doc_id") +:
+          when(col("ivs").isNull, col(textCol))
+            .otherwise(expr(
+              s"concat_ws(' ', filter(split(trim($textCol), '\\\\s+'), " +
+                "(t, i) -> NOT exists(ivs, iv -> i >= iv.s0 AND i < iv.e1)))"))
+            .as("clean_text") +:
+          coalesce(col("n_tokens_removed"), lit(0L)).as("n_tokens_removed") +:
+          // extra doc columns carried through the surgery (the
+          // wordpieceStats passthrough pattern) — the pipeline keeps
+          // `source` riding the rewrite instead of re-joining
+          passthroughCols.map(c => docs(c))): _*)
   }
 
   /** MinHash+LSH near-dup candidates: signature → band keys →

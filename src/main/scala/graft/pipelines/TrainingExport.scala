@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 import graft.operators.{ConnectedComponents, Dedup, Sampling, TextAnalysis}
 
 /** The composed training-export pipeline as a first-class operator:
-  * curate → dedup → decontaminate → budget-mixture → shard — the full
-  * path a pre-training corpus takes from raw documents to the
-  * trainer's shard layout, assembled as ONE declarative plan (no
-  * stage materializes; Catalyst fuses the five left-semi/anti gates
-  * into a single optimized tree — PlanSpec pins the exchange budget).
+  * curate → dedup → [span surgery] → decontaminate → budget-mixture →
+  * shard — the full path a pre-training corpus takes from raw
+  * documents to the trainer's shard layout, assembled as ONE
+  * declarative plan (no stage materializes; Catalyst fuses the
+  * left-semi/anti gates into a single optimized tree — PlanSpec pins
+  * the exchange budget).
   *
   * Every stage is a [[Config]] toggle, because real corpus runs mix
   * and match: a pre-curated corpus skips the funnel, an
@@ -73,6 +74,15 @@ object TrainingExport {
     *   ratios) on or off — off by default because single-line corpora
     *   pass them trivially; turn on for real multi-line web text
     * @param dedup [[DedupStage]] strength
+    * @param spanDedup substring-level dedup (Lee et al. 2022
+    *   ExactSubstr): when Some(minTokens), repeated ≥minTokens-token
+    *   spans are CUT from the later occurrence
+    *   ([[Dedup.removeRepeatedSpans]], keep-first) after the doc-level
+    *   dedup gate, and the REWRITTEN text flows into every later
+    *   stage — decontamination sees the post-surgery n-grams and the
+    *   budget mixture bills post-surgery chars/tokens (`n_chars` is
+    *   recomputed from the rewritten text). None (default) = stage
+    *   off, prior behavior byte-identical
     * @param contaminationMaxPpm keep docs strictly under this
     *   benchmark n-gram overlap (None = stage off). The benchmark
     *   frame is a [[run]] argument, not config — it's data.
@@ -89,6 +99,7 @@ object TrainingExport {
       curate: Boolean = true,
       lineRules: Boolean = false,
       dedup: DedupStage = DedupExact,
+      spanDedup: Option[Int] = None,
       contaminationMaxPpm: Option[Long] = Some(500000L),
       budgets: Seq[(String, Long)] = Nil,
       defaultBudget: Long = Long.MaxValue,
@@ -139,11 +150,32 @@ object TrainingExport {
             .select(col("node").as("doc_id")),
           Seq("doc_id"), "left_anti")
     }
-    val clean = cfg.contaminationMaxPpm match {
+    val spanned = cfg.spanDedup match {
       case None => deduped
+      case Some(minTok) =>
+        // the surgery REWRITES text, so it must land before anything
+        // that reads it: decontamination n-grams and token budgets
+        // are computed over what actually ships to the trainer.
+        // NOT cached although the span self-join, the removal base,
+        // and decontamination each re-read the deduped subtree —
+        // measured at sf0.1 (best-of-3): caching it cut exchanges
+        // 11→7 but cost 6.7→8.8 s wall; materializing the
+        // text-bearing corpus loses to recomputing the codegen'd
+        // funnel gates, the same verdict as the span position table
+        Dedup
+          .removeRepeatedSpans(
+            deduped, Dedup.repeatedSpanPairs(deduped, minTok),
+            passthroughCols = Seq("source"))
+          .select(
+            col("doc_id"), col("source"),
+            col("clean_text").as("text"),
+            length(col("clean_text")).cast("long").as("n_chars"))
+    }
+    val clean = cfg.contaminationMaxPpm match {
+      case None => spanned
       case Some(maxPpm) =>
-        deduped.join(
-          TextAnalysis.contamination(deduped, benchmark)
+        spanned.join(
+          TextAnalysis.contamination(spanned, benchmark)
             .filter(col("contamination_ppm") < maxPpm)
             .select("doc_id"),
           Seq("doc_id"), "left_semi")

@@ -1522,6 +1522,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(charWeights.values.forall(_ > budget), "chars at this budget would keep nothing")
   }
 
+  test("TrainingExport spanDedup stage cuts repeated spans and later stages bill the rewritten text") {
+    // every base's copies (+100 exact, +200 one-token-appended) share
+    // the full 36-token base text as a repeated span; with the stage
+    // on, the LATER occurrences are gutted (keep-first), so their
+    // char cost collapses to ~0 and a budget that truncated the
+    // source before now admits every doc — the proof that the
+    // mixture bills POST-surgery n_chars
+    val budget = allOff.copy(budgets = Seq("src1" -> 700L), defaultBudget = 1000000L)
+    val without = runExport(budget)
+    val withSpans = runExport(budget.copy(spanDedup = Some(10)))
+    // surgery never drops docs: every input doc still ships a row
+    assert(runExport(allOff.copy(spanDedup = Some(10))).count() == matrixDocs.count())
+    val srcCount = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(col("source") === "src1").count()
+    assert(srcCount(without) < 12,
+      s"src1 at 700 chars must truncate pre-surgery (12 docs ≈ 2000 chars)")
+    assert(srcCount(withSpans) == 12,
+      "post-surgery src1 costs ~688 chars — every doc fits the same budget")
+  }
+
   test("TrainingExport lineRules stage drops bullet-farm docs, leaves single-line docs alone") {
     import spark.implicits._
     val bulletFarm = (0 until 12).map(i => s"- item ${('a' + i).toChar}").mkString("\n")
