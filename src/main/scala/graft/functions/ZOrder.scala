@@ -179,10 +179,20 @@ object ZLayout {
     * tail (or in-flight merge) left by a previous generation.
     */
   def writeClustered(
-      df: DataFrame, path: String, xCol: String, yCol: String, numFiles: Int): Unit = {
-    ZInterleave16
-      .clusterByZ(df, xCol, yCol, numFiles)
-      .write.mode("overwrite").parquet(s"$path/base")
+      df: DataFrame, path: String, xCol: String, yCol: String, numFiles: Int): Unit =
+    writeClusteredWith(df, path, ZInterleave16.clusterByZ(_, xCol, yCol, numFiles))
+
+  /** [[writeClustered]] for an N-dimensional key
+    * ([[ZInterleaveN.clusterByZN]], 2-8 dims) — same layout, same
+    * lifecycle ([[append]]/[[appendAndMaybeReclusterN]]/[[recover]]).
+    */
+  def writeClusteredN(
+      df: DataFrame, path: String, dims: Seq[String], numFiles: Int): Unit =
+    writeClusteredWith(df, path, ZInterleaveN.clusterByZN(_, dims, numFiles))
+
+  private def writeClusteredWith(
+      df: DataFrame, path: String, cluster: DataFrame => DataFrame): Unit = {
+    cluster(df).write.mode("overwrite").parquet(s"$path/base")
     val f = fsOf(df.sparkSession, path)
     f.delete(new Path(s"$path/tail"), true)
     (subdirs(f, path, "merging_") ++ subdirs(f, path, "base_next") ++
@@ -251,7 +261,32 @@ object ZLayout {
       yCol: String,
       numFiles: Int,
       maxTailFraction: Double = 0.15,
-      appendTasks: Int = 0): Boolean = {
+      appendTasks: Int = 0): Boolean =
+    appendAndMaybeReclusterWith(
+      batch, path, maxTailFraction, appendTasks,
+      ZInterleave16.clusterByZ(_, xCol, yCol, numFiles))
+
+  /** [[appendAndMaybeRecluster]] for an N-dimensional key — identical
+    * cadence and crash-safe swap, clustered by
+    * [[ZInterleaveN.clusterByZN]].
+    */
+  def appendAndMaybeReclusterN(
+      batch: DataFrame,
+      path: String,
+      dims: Seq[String],
+      numFiles: Int,
+      maxTailFraction: Double = 0.15,
+      appendTasks: Int = 0): Boolean =
+    appendAndMaybeReclusterWith(
+      batch, path, maxTailFraction, appendTasks,
+      ZInterleaveN.clusterByZN(_, dims, numFiles))
+
+  private def appendAndMaybeReclusterWith(
+      batch: DataFrame,
+      path: String,
+      maxTailFraction: Double,
+      appendTasks: Int,
+      cluster: DataFrame => DataFrame): Boolean = {
     require(maxTailFraction > 0, "maxTailFraction must be positive")
     val spark = batch.sparkSession
     recover(spark, path)
@@ -267,8 +302,7 @@ object ZLayout {
         throw new java.io.IOException(s"could not snapshot $path/tail for merge")
       // materialize the new generation COMPLETELY before touching
       // anything the readers see (read() still serves merging_*)
-      ZInterleave16
-        .clusterByZ(read(spark, path), xCol, yCol, numFiles)
+      cluster(read(spark, path))
         .write.mode("overwrite").parquet(s"$path/base_next")
       rollForward(f, path)
       true

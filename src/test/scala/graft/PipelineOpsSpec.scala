@@ -217,6 +217,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ZLayout.read(spark, dir).count() == grid.count() + 5 * batch.count())
   }
 
+  test("ZLayoutN: appends degrade 3-D prunability, the cadence re-cluster restores it") {
+    import spark.implicits._
+    import graft.functions.ZLayout
+    val dir = java.nio.file.Files.createTempDirectory("zlayout3").toString + "/t"
+    val dims = Seq("x", "y", "w")
+    val grid = (for { x <- 0L until 16L; y <- 0L until 16L; w <- 0L until 16L }
+      yield (x, y, w)).toDF("x", "y", "w")
+    ZLayout.writeClusteredN(grid, dir, dims, numFiles = 8)
+    def boxVols(): Seq[Long] = {
+      val stats = ZLayout.read(spark, dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("x").as("mnx"), max("x").as("mxx"),
+          min("y").as("mny"), max("y").as("mxy"),
+          min("w").as("mnw"), max("w").as("mxw"))
+        .collect()
+      stats.map(r =>
+        (r.getAs[Long]("mxx") - r.getAs[Long]("mnx") + 1) *
+          (r.getAs[Long]("mxy") - r.getAs[Long]("mny") + 1) *
+          (r.getAs[Long]("mxw") - r.getAs[Long]("mnw") + 1)).toSeq
+    }
+    def meanVol(): Double = { val v = boxVols(); v.sum.toDouble / v.length }
+    // the guaranteed property is MEAN volume (the clusterByZN spec's
+    // bound: a lexicographic layout gives >= 4096/file on this cube;
+    // individual files can straddle sampler boundaries)
+    val a0 = meanVol()
+    assert(a0 < 1600, s"fresh 3-dim cluster: mean box volume $a0")
+    // full-domain stride batches land in the tail — an unprunable
+    // 15^3-volume box for any min/max reader
+    val batch = (for { x <- 0L until 16L by 7; y <- 0L until 16L by 7;
+      w <- 0L until 16L by 7 } yield (x, y, w)).toDF("x", "y", "w")
+    (1 to 3).foreach(_ => ZLayout.append(batch, dir, appendTasks = 1))
+    assert(boxVols().max >= 3000, "appended tail must contain a full-domain file")
+    // below the cadence: no re-cluster (4+1 tail files vs 2.0*8)
+    assert(!ZLayout.appendAndMaybeReclusterN(
+      batch, dir, dims, numFiles = 8, maxTailFraction = 2.0, appendTasks = 1))
+    // over it: swap runs through the same crash-safe protocol, rows
+    // exact, locality restored
+    assert(ZLayout.appendAndMaybeReclusterN(
+      batch, dir, dims, numFiles = 8, maxTailFraction = 0.25, appendTasks = 1))
+    assert(!new java.io.File(s"$dir/tail").exists())
+    val a2 = meanVol()
+    assert(a2 < 1600, s"re-cluster must restore 3-D locality, mean box $a2")
+    assert(ZLayout.read(spark, dir).count() == grid.count() + 5 * batch.count())
+  }
+
   test("ZLayout: an interrupted generation swap is recovered without losing a row") {
     import spark.implicits._
     import graft.functions.{ZInterleave16, ZLayout}
