@@ -10,6 +10,34 @@ package graft
   */
 object BenchFixtures {
 
+  /** Mutated near-duplicate amplification, staged to parquet and read
+    * back (the DedupScaleBench fixture, shared with ShingleStateBench):
+    * replica r of a doc gets every 3rd token replaced by a marker
+    * unique to its (even, odd) PAIR, so replicas of different pairs
+    * share no shingles — candidate volume stays LINEAR in `mult`
+    * instead of measuring verbatim-copy quadratic blowup.
+    */
+  def mutatedAmplifiedDocs(
+      spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, mult: Int, cpus: Int, fixDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.sources.Tables.documents(spark, sfDir)
+      .crossJoin(spark.range(mult).toDF("r"))
+      .withColumn("e", col("r") - pmod(col("r"), lit(2)))
+      .select(
+        (col("doc_id") * mult + col("r")).as("doc_id"),
+        col("source"),
+        concat(
+          expr("array_join(transform(split(text, ' '), (t, i) -> " +
+            "IF(i % 3 = 0, concat('m', CAST(e AS STRING)), t)), ' ')"),
+          when(pmod(col("r"), lit(2)) === 1, lit(" zz")).otherwise(lit("")))
+          .as("text"),
+        col("n_chars"))
+      .repartition(cpus)
+      .write.mode("overwrite").parquet(s"$fixDir/docs_$mult")
+    spark.read.parquet(s"$fixDir/docs_$mult")
+  }
+
   /** Create a temp dir whose tree is recursively deleted at JVM
     * shutdown.
     */

@@ -57,24 +57,9 @@ object DedupScaleBench {
 
     // stage the mutated amplification to parquet and read back, so the
     // timed chain starts from a real table at a real split count (same
-    // staging discipline as ScaleBench)
-    def stage(mult: Int): DataFrame = {
-      graft.sources.Tables.documents(spark, sfDir)
-        .crossJoin(spark.range(mult).toDF("r"))
-        .withColumn("e", col("r") - pmod(col("r"), lit(2)))
-        .select(
-          (col("doc_id") * mult + col("r")).as("doc_id"),
-          col("source"),
-          concat(
-            expr("array_join(transform(split(text, ' '), (t, i) -> " +
-              "IF(i % 3 = 0, concat('m', CAST(e AS STRING)), t)), ' ')"),
-            when(pmod(col("r"), lit(2)) === 1, lit(" zz")).otherwise(lit("")))
-            .as("text"),
-          col("n_chars"))
-        .repartition(cpus.toInt)
-        .write.mode("overwrite").parquet(s"$fix/docs_$mult")
-      spark.read.parquet(s"$fix/docs_$mult")
-    }
+    // staging discipline as ScaleBench; fixture shared via BenchFixtures)
+    def stage(mult: Int): DataFrame =
+      BenchFixtures.mutatedAmplifiedDocs(spark, sfDir, mult, cpus.toInt, fix)
 
     val results = Seq(1, 4, 16, 64).map { mult =>
       val docs = stage(mult)
