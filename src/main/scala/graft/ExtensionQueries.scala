@@ -944,6 +944,22 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("registered_domain")
     }),
+    "q_mixture_temperature" -> ((s, dir) => {
+      // temperature-balanced mixture (mBERT/XLM-R smoothing, α = 0.5
+      // as sqrtDepth 1): per-source ROW budgets ∝ sqrt(n_i), computed
+      // IN-PLAN — sqrt and not pow() because IEEE guarantees sqrt
+      // correctly rounded in both engines, so the budget floors are
+      // bit-identical; W pinned to one summation order (see the
+      // operator scaladoc). Budget 300 binds at every SF (500+ docs).
+      graft.functions.PolyHash.register(s)
+      val h = graft.functions.TextExprs.charHashSpark("CAST(doc_id AS STRING)")
+      graft.operators.Sampling
+        .temperatureMixture(
+          Tables.documents(s, dir).select("doc_id", "source"),
+          "source", h, "doc_id", totalDocs = 300, sqrtDepth = 1)
+        .select("doc_id", "source", "running_weight")
+        .orderBy("source", "running_weight")
+    }),
     "q_mixture_sample" -> ((s, dir) => {
       // token-budget mixture sampling: fill each source's char budget
       // in re-mixed-hash order — "20 B tokens of web, 5 B of code" at
@@ -2467,6 +2483,34 @@ object ExtensionQueries {
          |WHERE registered_domain IS NULL
          |   OR registered_domain NOT IN ('example.co.uk', 'x.evil.ck')
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_mixture_temperature" -> {
+      val h = graft.functions.TextExprs.charHashDuck("CAST(doc_id AS VARCHAR)")
+      val mh = graft.operators.Sampling.mixedHash(h)
+      s"""WITH c AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source
+         |), wts AS (
+         |  SELECT source, SQRT(CAST(n AS DOUBLE)) AS w FROM c
+         |), rw AS (
+         |  SELECT source, w,
+         |    SUM(w) OVER (ORDER BY source ROWS UNBOUNDED PRECEDING) AS rwv
+         |  FROM wts
+         |), b AS (
+         |  SELECT source,
+         |    CAST(FLOOR((300.0 * w) / (MAX(rwv) OVER ())) AS BIGINT) AS budget
+         |  FROM rw
+         |), r AS (
+         |  SELECT doc_id, source,
+         |    CAST(SUM(1) OVER (
+         |      PARTITION BY source ORDER BY ($mh), doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_weight
+         |  FROM documents
+         |)
+         |SELECT r.doc_id, r.source, r.running_weight
+         |FROM r JOIN b USING (source)
+         |WHERE r.running_weight <= b.budget
+         |ORDER BY source, running_weight""".stripMargin
+    },
+
     "q_mixture_sample" -> {
       val h = graft.functions.TextExprs.charHashDuck("CAST(doc_id AS VARCHAR)")
       val b = graft.operators.Sampling.budgetCase(

@@ -203,6 +203,65 @@ object Sampling {
       .drop("budget")
   }
 
+  /** Temperature-balanced mixture — the multilingual pre-training
+    * sampling technique (public: mBERT / XLM-R "exponentially
+    * smoothed" source weighting, p_i ∝ n_i^α with α ∈ (0, 1]
+    * flattening source skew so head sources stop drowning the tail):
+    * stratum i with n_i rows gets a ROW budget
+    * `floor(totalDocs · w_i / W)` where `w_i = n_i^(1/2^sqrtDepth)`
+    * and `W = Σ w_j`, filled as a hash-order prefix (the
+    * [[mixtureByBudgetTable]] contract at weight 1 per row, budgets
+    * computed IN-PLAN from the data — no driver collect).
+    *
+    * α is expressed as a SQRT DEPTH (α = 1/2^depth: depth 0 =
+    * proportional, 1 = the standard α = 0.5, 2 = 0.25) rather than a
+    * free double exponent, deliberately: IEEE 754 guarantees
+    * correctly-rounded SQRT in every engine, so the budget doubles
+    * are bit-identical cross-engine, while `pow(n, α)` differs
+    * between libms in final ulps — exactly at the floor() boundaries
+    * where a budget would flake by one row (the DECIMAL-cast
+    * float-aggregate lesson, applied to exponents). For the same
+    * reason W is accumulated through a RUNNING window ordered by
+    * stratum: double addition is non-associative, so the summation
+    * order is pinned to one both engines replay.
+    *
+    * Scale shape: one tiny per-stratum count aggregation, a
+    * stratum-count-sized window (single partition of #strata rows),
+    * a broadcast join, and the one mixture window shuffle — the
+    * corpus moves once.
+    */
+  def temperatureMixture(
+      df: DataFrame,
+      strataCol: String,
+      hashExpr: String,
+      idCol: String,
+      totalDocs: Long,
+      sqrtDepth: Int = 1): DataFrame = {
+    require(totalDocs >= 0, "totalDocs must be non-negative")
+    require(sqrtDepth >= 0 && sqrtDepth <= 4, "sqrtDepth must be in [0, 4]")
+    require(!df.columns.contains("_one"),
+      "temperatureMixture uses a temporary column '_one' — rename the input's")
+    import org.apache.spark.sql.expressions.Window
+    val ordered = Window.orderBy(strataCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wExpr = (0 until sqrtDepth)
+      .foldLeft(col("_n").cast("double"))((e, _) => sqrt(e))
+    val budgets = df.groupBy(strataCol).agg(count(lit(1)).as("_n"))
+      .withColumn("_w", wExpr)
+      .withColumn("_rw", sum(col("_w")).over(ordered))
+      .withColumn("_tw", max(col("_rw")).over(whole))
+      .select(
+        col(strataCol).as("stratum"),
+        floor(lit(totalDocs.toDouble) * col("_w") / col("_tw"))
+          .cast("long").as("budget"))
+    mixtureByBudgetTable(
+      df.withColumn("_one", lit(1L)),
+      strataCol, "_one", hashExpr, idCol, budgets, defaultBudget = 0L)
+      .drop("_one")
+  }
+
   /** Deterministic global shuffle + shard assignment for training
     * export — the step between a curated corpus and the trainer's
     * data loader. Every row gets a `shard` in [0, numShards) and a

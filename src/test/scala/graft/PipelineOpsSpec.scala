@@ -1039,6 +1039,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("temperatureMixture flattens source skew with exact sqrt-weighted budgets") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // 900/100 skew: α=0.5 weights are 30/10 → budgets 225/75 of 300;
+    // proportional (depth 0) weights 900/100 → 270/30 — both exact
+    // (every number here is integer-representable, no float edge)
+    val docs = ((1L to 900L).map(i => (i, "srcA")) ++
+      (1001L to 1100L).map(i => (i, "srcB")))
+      .toDF("doc_id", "source")
+    val h = graft.functions.TextExprs.charHashSpark("CAST(doc_id AS STRING)")
+    graft.functions.PolyHash.register(spark)
+    def kept(depth: Int): Map[String, Long] =
+      Sampling.temperatureMixture(docs, "source", h, "doc_id", 300L, depth)
+        .groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept(1) == Map("srcA" -> 225L, "srcB" -> 75L),
+      "sqrt smoothing: tail source's share rises 10% -> 25%")
+    assert(kept(0) == Map("srcA" -> 270L, "srcB" -> 30L),
+      "depth 0 = proportional")
+    // deterministic: the same prefix both times
+    val a = Sampling.temperatureMixture(docs, "source", h, "doc_id", 300L, 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureMixture(docs, "source", h, "doc_id", 300L, 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b && a.size == 300)
+  }
+
   test("mixtureByBudget fills budgets as hard ceilings, monotone under growth") {
     import spark.implicits._
     val docs = (1L to 40L).map { i =>
