@@ -102,6 +102,32 @@ object SparkEntry {
     * Spark's array `=` is structural — DuckDB's DISTINCT-semantics
     * comparison matches Spark exactly (see DiffSql scaladoc).
     */
+  /** Toleranced numeric diff twin (q_diff_tolerance): o_totalprice
+    * with planted nudges — %23 NULLed, %7 rows +5.0 (beyond the 0.01
+    * tolerance → status 1), %11 rows +0.005 (within → status 0; the
+    * CASE order resolves the %77 overlap identically in both
+    * engines), %29 rows dropped. The bodies are dialect-neutral, so
+    * ONE string pair feeds Spark's temp-view build and the oracle;
+    * the generated SQL spells the identical ABS-double predicate
+    * ([[DiffSql.generate]] absTolCols).
+    */
+  private val tolBeforeSql = "SELECT o_orderkey, o_totalprice FROM orders"
+  private val tolAfterSql =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 23 = 0 THEN CAST(NULL AS DOUBLE)
+      |       WHEN o_orderkey % 7 = 0 THEN o_totalprice + 5.0
+      |       WHEN o_orderkey % 11 = 0 THEN o_totalprice + 0.005
+      |       ELSE o_totalprice END AS o_totalprice
+      |FROM orders WHERE o_orderkey % 29 <> 0""".stripMargin
+  private val toleranceDiffSql: String = DiffSql.generate(
+    beforeBody = tolBeforeSql,
+    afterBody = tolAfterSql,
+    keys = Seq("o_orderkey"),
+    beforeCols = Seq("o_orderkey", "o_totalprice"),
+    afterCols = Seq("o_orderkey", "o_totalprice"),
+    numericAbsTol = Some(0.01),
+    absTolCols = Set("o_orderkey", "o_totalprice"))
+
   private val embeddingsCols = Seq("vec_id", "embedding", "label")
 
   private val arraysDiffSql: String = DiffSql.generate(
@@ -353,6 +379,19 @@ object SparkEntry {
           Seq("l_orderkey", "l_linenumber"),
           opts = DiffOptions(dedupDuplicateKeys = true))
         .orderBy("K_l_orderkey", "K_l_linenumber")
+    }),
+    "q_diff_tolerance" -> ((s, dir) => {
+      // toleranced numeric diff (DiffOptions.numericAbsTol): |b−a| ≤
+      // 0.01 reads as equal — the feature-table ask, where re-derived
+      // floats drift in trailing digits without being different. The
+      // planted +0.005 rows must read 0 and the +5.0 rows 1; the
+      // oracle is the generated SQL with the same double predicate
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      TableDiff
+        .diff(
+          s.sql(tolBeforeSql), s.sql(tolAfterSql), Seq("o_orderkey"),
+          opts = DiffOptions(numericAbsTol = Some(0.01)))
+        .orderBy("K_o_orderkey")
     }),
     "q_diff_arrays" -> ((s, dir) => {
       // the one type family the diff engine had never touched: an
@@ -1539,6 +1578,8 @@ object SparkEntry {
       s"$ordersDiffSql\nORDER BY K_o_orderkey",
     "q_diff_bucketed" ->
       s"$ordersDiffSql\nORDER BY K_o_orderkey",
+    "q_diff_tolerance" ->
+      s"$toleranceDiffSql\nORDER BY K_o_orderkey",
     "q_diff_arrays" ->
       s"$arraysDiffSql\nORDER BY K_vec_id",
     "q_diff_maps" ->

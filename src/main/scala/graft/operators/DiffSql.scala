@@ -55,6 +55,13 @@ object DiffSql {
     *                    all; Spark has none). Both function names
     *                    parse in Spark AND DuckDB, so the emitted SQL
     *                    stays dual-dialect.
+    * @param numericAbsTol with `absTolCols`: those columns' value
+    *                    branch becomes `ABS(CAST(b AS DOUBLE) -
+    *                    CAST(a AS DOUBLE)) <= tol` — the
+    *                    [[DiffOptions.numericAbsTol]] spelling
+    *                    (float→double is exact and the subtraction is
+    *                    the same IEEE op in both engines; NaN reads
+    *                    status 1 in this mode, identically in both).
     */
   def generate(
       beforeBody: String,
@@ -66,7 +73,12 @@ object DiffSql {
       legacyRowStatusZero: Boolean = false,
       dedupDuplicateKeys: Boolean = false,
       structuralEqCols: Set[String] = Set.empty,
-      mapEntryEqCols: Set[String] = Set.empty): String = {
+      mapEntryEqCols: Set[String] = Set.empty,
+      numericAbsTol: Option[Double] = None,
+      absTolCols: Set[String] = Set.empty): String = {
+    require(
+      absTolCols.isEmpty || numericAbsTol.isDefined,
+      "absTolCols given without numericAbsTol — set the tolerance")
     val allCols = SchemaUtils.mergeColumns(beforeCols, afterCols)
     val bSet = beforeCols.map(_.toLowerCase).toSet
     val aSet = afterCols.map(_.toLowerCase).toSet
@@ -118,6 +130,10 @@ object DiffSql {
             s"array_sort(map_entries(b_$c)) IS NOT DISTINCT FROM array_sort(map_entries(a_$c))"
           else if (structuralEqCols.exists(_.equalsIgnoreCase(c)))
             s"b_$c IS NOT DISTINCT FROM a_$c"
+          else if (absTolCols.exists(_.equalsIgnoreCase(c)))
+            // [[DiffOptions.numericAbsTol]]'s spelling: double-cast
+            // both sides, same IEEE subtraction in both engines
+            s"ABS(CAST(b_$c AS DOUBLE) - CAST(a_$c AS DOUBLE)) <= ${numericAbsTol.get}"
           else s"b_$c = a_$c"
         s"""CASE WHEN b_$c IS NULL AND a_$c IS NULL THEN 0
            |    WHEN b_$c IS NULL THEN 2

@@ -74,6 +74,17 @@ import org.apache.spark.sql.types.MetadataBuilder
   *   it's opt-in, and the contract (one row per key, min
   *   representative, counts) is exactly what the emitted oracle SQL
   *   pins ([[DiffSql.generate]] with `dedupDuplicateKeys = true`).
+  * @param numericAbsTol when set, every NUMERIC column's status cell
+  *   treats values within `|b − a| ≤ tol` as equal (status 0) —
+  *   the feature-table ask: re-computed floats differ in trailing
+  *   digits without being DIFFERENT. Both sides are cast to DOUBLE
+  *   before subtracting (float→double is exact, and the identical
+  *   IEEE arithmetic runs in any engine), and NaN on either side is
+  *   status 1 in tolerance mode — NaN's distance is not ≤ tol, and
+  *   both engines agree (exact mode keeps NaN = NaN as 0). NOT
+  *   reference semantics (native per-type `=`), so it's opt-in;
+  *   [[DiffSql.generate]] spells the identical predicate via
+  *   `absTolCols`.
   */
 final case class DiffOptions(
     legacyRowStatusZero: Boolean = false,
@@ -84,7 +95,8 @@ final case class DiffOptions(
     nullKeySideChannel: Boolean = false,
     keysNotNull: Boolean = false,
     preferShuffledHash: Boolean = false,
-    dedupDuplicateKeys: Boolean = false)
+    dedupDuplicateKeys: Boolean = false,
+    numericAbsTol: Option[Double] = None)
 
 /** Spark-native re-expression of the reference's generated diff query
   * (reference: checkatron/templates/full_compare.sql.j2 — the entire
@@ -315,6 +327,12 @@ object TableDiff {
       val valueEq = dt match {
         case _: org.apache.spark.sql.types.MapType =>
           array_sort(map_entries(bc)) === array_sort(map_entries(ac))
+        case _: org.apache.spark.sql.types.NumericType
+            if opts.numericAbsTol.isDefined =>
+          // see DiffOptions.numericAbsTol: double-cast both sides so
+          // the subtraction is the same IEEE op in every engine
+          abs(bc.cast("double") - ac.cast("double")) <=
+            lit(opts.numericAbsTol.get)
         case _ => bc === ac
       }
       when(bc.isNull && ac.isNull, Match)

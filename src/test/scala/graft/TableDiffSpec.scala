@@ -380,6 +380,31 @@ class TableDiffSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("MIN ordering"))
   }
 
+  test("numericAbsTol treats near values as equal; NaN is different in tolerance mode") {
+    val before = Seq(
+      (1, 100.0), (2, 100.0), (3, 100.0), (4, Double.NaN)).toDF("k", "v")
+    val after = Seq(
+      (1, 100.005),          // within |b−a| ≤ 0.01 → 0
+      (2, 105.0),            // beyond → 1
+      (3, 100.0),            // exact → 0
+      (4, Double.NaN)).toDF("k", "v") // NaN distance is not ≤ tol → 1
+    val m = rowsByKey(
+      TableDiff.diff(before, after, Seq("k"),
+        opts = DiffOptions(numericAbsTol = Some(0.01))), "K_k")
+    assert(Map(1 -> 0, 2 -> 1, 3 -> 0, 4 -> 1)
+      .forall { case (k, want) => m(k).getAs[Int]("v") == want })
+    // exact mode keeps Spark's NaN = NaN → 0, and 100.005 reads 1
+    val ex = rowsByKey(TableDiff.diff(before, after, Seq("k")), "K_k")
+    assert(ex(4).getAs[Int]("v") == 0 && ex(1).getAs[Int]("v") == 1)
+    // generator guard: tolerance columns without a tolerance
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.DiffSql.generate(
+        "SELECT * FROM b", "SELECT * FROM a", Seq("k"),
+        Seq("k", "v"), Seq("k", "v"), absTolCols = Set("v"))
+    }
+    assert(e.getMessage.contains("numericAbsTol"))
+  }
+
   test("legacy _row_status=0 convention behind the flag") {
     val before = Seq((1, "a")).toDF("k1", "val")
     val d = TableDiff
