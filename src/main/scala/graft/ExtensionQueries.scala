@@ -960,6 +960,21 @@ object ExtensionQueries {
         .select("doc_id", "source", "running_weight")
         .orderBy("source", "running_weight")
     }),
+    "q_mixture_epochs" -> ((s, dir) => {
+      // epoch-weighted repetition (data-constrained scaling, public:
+      // Muennighoff et al. 2023): src0 at 2.5 epochs (2 full copies +
+      // a hash-prefix half), src1 at 0.5 (subsample half — the same
+      // knob covers both directions), everything else 1.0. Every
+      // number is a single multiply of engine-identical doubles
+      graft.functions.PolyHash.register(s)
+      val h = graft.functions.TextExprs.charHashSpark("CAST(doc_id AS STRING)")
+      graft.operators.Sampling
+        .epochRepeat(
+          Tables.documents(s, dir).select("doc_id", "source"),
+          "source", h, "doc_id",
+          epochs = Seq("src0" -> 2.5, "src1" -> 0.5), defaultEpochs = 1.0)
+        .orderBy("source", "doc_id", "epoch")
+    }),
     "q_mixture_sample" -> ((s, dir) => {
       // token-budget mixture sampling: fill each source's char budget
       // in re-mixed-hash order — "20 B tokens of web, 5 B of code" at
@@ -2483,6 +2498,27 @@ object ExtensionQueries {
          |WHERE registered_domain IS NULL
          |   OR registered_domain NOT IN ('example.co.uk', 'x.evil.ck')
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_mixture_epochs" -> {
+      val h = graft.functions.TextExprs.charHashDuck("CAST(doc_id AS VARCHAR)")
+      val mh = graft.operators.Sampling.mixedHash(h)
+      val ec = "CASE source WHEN 'src0' THEN CAST(2.5 AS DOUBLE) " +
+        "WHEN 'src1' THEN CAST(0.5 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END"
+      s"""WITH n AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source
+         |), r AS (
+         |  SELECT doc_id, source,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY ($mh), doc_id) AS BIGINT) AS rn
+         |  FROM documents
+         |), t AS (
+         |  SELECT r.doc_id, r.source,
+         |    CAST(FLOOR($ec) AS BIGINT) +
+         |      CASE WHEN rn <= CAST(FLOOR(($ec - FLOOR($ec)) * n.n) AS BIGINT) THEN 1 ELSE 0 END AS total
+         |  FROM r JOIN n USING (source)
+         |)
+         |SELECT doc_id, source, unnest(range(0, total)) AS epoch FROM t
+         |ORDER BY source, doc_id, epoch""".stripMargin
+    },
+
     "q_mixture_temperature" -> {
       val h = graft.functions.TextExprs.charHashDuck("CAST(doc_id AS VARCHAR)")
       val mh = graft.operators.Sampling.mixedHash(h)

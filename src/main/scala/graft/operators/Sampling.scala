@@ -262,6 +262,65 @@ object Sampling {
       .drop("_one")
   }
 
+  /** Epoch-weighted repetition for data-constrained training
+    * (public technique: Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models" — repeating scarce data for a
+    * few epochs is near-as-good as fresh data, so a mixture repeats
+    * the tail instead of over-sampling the head): stratum s
+    * configured at E_s epochs emits `floor(E_s)` copies of every row
+    * plus ONE more copy of a deterministic hash-order prefix of
+    * `floor(frac(E_s) · n_s)` rows. Output = input columns +
+    * `epoch` (0-based copy index). E_s < 1 degenerates to
+    * subsampling (zero full copies, a frac-sized prefix) — the same
+    * knob covers both directions. Pair with [[shardForTraining]]
+    * over a hash of (id, epoch) so a row's repeats spread across
+    * shards instead of clumping.
+    *
+    * Determinism: E_s enters as a double literal both engines parse
+    * to the same IEEE value, and `frac · n` is a single multiply —
+    * identical everywhere, no libm involved (the
+    * [[temperatureMixture]] sqrt argument does not even arise); the
+    * extra-copy prefix is the same mixed-hash order every mixture
+    * uses. No RNG, no driver state; the one shuffle is the
+    * per-stratum window.
+    */
+  def epochRepeat(
+      df: DataFrame,
+      strataCol: String,
+      hashExpr: String,
+      idCol: String,
+      epochs: Seq[(String, Double)],
+      defaultEpochs: Double = 1.0): DataFrame = {
+    require(epochs.forall(_._2 >= 0) && defaultEpochs >= 0,
+      "epochs must be non-negative")
+    Seq("epoch", "_rn", "_n", "_e", "_total").foreach(c =>
+      require(!df.columns.contains(c),
+        s"epochRepeat uses column '$c' — rename the input's"))
+    import org.apache.spark.sql.expressions.Window
+    val eCase = s"CASE $strataCol " +
+      epochs.map { case (v, e) => s"WHEN '${sq(v)}' THEN CAST($e AS DOUBLE)" }
+        .mkString(" ") +
+      s" ELSE CAST($defaultEpochs AS DOUBLE) END"
+    val w = Window.partitionBy(strataCol)
+      .orderBy(expr(mixedHash(hashExpr)), col(idCol))
+    val wAll = Window.partitionBy(strataCol)
+    df.withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_e", expr(eCase))
+      .withColumn(
+        "_total",
+        floor(col("_e")).cast("long") +
+          when(
+            col("_rn") <= floor((col("_e") - floor(col("_e"))) * col("_n")),
+            1L).otherwise(0L))
+      .withColumn(
+        "epoch",
+        explode(
+          when(col("_total") > 0, sequence(lit(0L), col("_total") - 1))
+            .otherwise(array().cast("array<bigint>"))))
+      .drop("_rn", "_n", "_e", "_total")
+  }
+
   /** Deterministic global shuffle + shard assignment for training
     * export — the step between a curated corpus and the trainer's
     * data loader. Every row gets a `shard` in [0, numShards) and a

@@ -1066,6 +1066,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a == b && a.size == 300)
   }
 
+  test("epochRepeat emits exact floor+fraction copies; epochs < 1 subsample") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val docs = ((1L to 10L).map(i => (i, "srcA")) ++
+      (101L to 110L).map(i => (i, "srcB")) ++
+      (201L to 210L).map(i => (i, "srcC"))).toDF("doc_id", "source")
+    graft.functions.PolyHash.register(spark)
+    val h = graft.functions.TextExprs.charHashSpark("CAST(doc_id AS STRING)")
+    val out = Sampling.epochRepeat(
+      docs, "source", h, "doc_id",
+      epochs = Seq("srcA" -> 2.5, "srcB" -> 0.5), defaultEpochs = 1.0)
+      .localCheckpoint(true)
+    // srcA: 10·2 full copies + a 5-doc extra prefix = 25 rows;
+    // srcB: 0 full copies + a 5-doc prefix = 5; srcC default = 10
+    val bySrc = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("srcA" -> 25L, "srcB" -> 5L, "srcC" -> 10L))
+    // epochs are dense 0..total-1 per doc and (doc, epoch) unique
+    assert(out.count() == out.select("doc_id", "epoch").distinct().count())
+    val bad = out.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("epoch").as("mx"), min("epoch").as("mn"))
+      .filter(col("mx") =!= col("n") - 1 || col("mn") =!= 0L)
+    assert(bad.isEmpty, "per-doc epochs must be dense from 0")
+    // deterministic: identical multiset on a re-run
+    val again = Sampling.epochRepeat(
+      docs, "source", h, "doc_id",
+      epochs = Seq("srcA" -> 2.5, "srcB" -> 0.5), defaultEpochs = 1.0)
+    assert(out.unionByName(again).distinct().count() == out.count())
+  }
+
   test("mixtureByBudget fills budgets as hard ceilings, monotone under growth") {
     import spark.implicits._
     val docs = (1L to 40L).map { i =>
