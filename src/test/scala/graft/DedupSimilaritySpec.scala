@@ -139,6 +139,49 @@ class DedupSimilaritySpec extends AnyFunSuite {
     Dedup.unpersistAll()
   }
 
+  test("streamed span fold ≡ one-shot exactly until a shingle crosses the cap mid-stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, greatest, least}
+    // the q_stream_span_ingest equivalence precondition, DEMONSTRATED
+    // at its boundary: 6 docs share one 4-token phrase, arriving as
+    // two 3-doc batches. With cap ≥ 6 the streamed union reproduces
+    // the one-shot self-join exactly; with cap 4 the one-shot
+    // suppresses the shingle (6 docs > cap) while each probe's
+    // VISIBLE subset stays under cap and still emits — the divergence
+    // is precisely the boilerplate-cap case the query doc calls out
+    val mk = (ids: Seq[Long]) => ids.map(i => (i, "p0 p1 p2 p3")).toDF("doc_id", "text")
+    val b1 = mk(Seq(1L, 2L, 3L))
+    val b2 = mk(Seq(4L, 5L, 6L))
+    val all = b1.unionByName(b2)
+    def fold(cap: Int): Set[(Long, Long)] = {
+      val s1 = Dedup.shingleTable(b1, minTokens = 4).localCheckpoint(true)
+      val s2 = Dedup.shingleTable(b2, minTokens = 4).localCheckpoint(true)
+      Dedup.unpersistAll()
+      def pairs(df: org.apache.spark.sql.DataFrame) = df
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val within1 = pairs(Dedup.repeatedSpansAgainstShingles(s1, s1, 4, cap))
+      val within2 = pairs(Dedup.repeatedSpansAgainstShingles(s2, s2, 4, cap))
+      val cross = Dedup.repeatedSpansAgainstShingles(s2, s1, 4, cap)
+        .select(
+          least(col("doc_a"), col("doc_b")).as("doc_a"),
+          greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      (within1 ++ within2 ++ cross).toSet
+    }
+    def oneShot(cap: Int): Set[(Long, Long)] =
+      Dedup.repeatedSpanPairs(all, minTokens = 4, maxDocsPerShingle = cap)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val allPairs = (for { a <- 1L to 6L; b <- (a + 1) to 6L } yield (a, b)).toSet
+    // under the precondition (corpus-wide count ≤ cap): exact equality
+    assert(oneShot(6) == allPairs && fold(6) == allPairs)
+    // over it: the one-shot suppresses, the fold's subsets still emit
+    assert(oneShot(4).isEmpty)
+    assert(fold(4) == allPairs)
+    Dedup.unpersistAll()
+  }
+
   test("span coverage merges overlapping intervals and never double-counts") {
     import spark.implicits._
     // hand fixture: doc 1 with two OVERLAPPING spans [0,6) and [4,10)
