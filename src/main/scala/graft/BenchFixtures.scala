@@ -10,6 +10,33 @@ package graft
   */
 object BenchFixtures {
 
+  /** The ONE bench SparkSession recipe — shared so a config change
+    * cannot silently diverge across the bench mains. `skewJoin` is
+    * the only per-main extra in use.
+    */
+  def benchSession(cpus: String, skewJoin: Boolean = false): org.apache.spark.sql.SparkSession = {
+    val b = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", ScratchWarehouse.dir)
+    val spark =
+      (if (skewJoin) b.config("spark.sql.adaptive.skewJoin.enabled", "true") else b)
+        .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Best-of-`iters` wall seconds — the shared bench timing helper. */
+  def minTime[A](iters: Int)(f: => A): Double =
+    (1 to iters).map { _ =>
+      val t0 = System.nanoTime()
+      f
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
   /** Mutated near-duplicate amplification, staged to parquet and read
     * back (the DedupScaleBench fixture, shared with ShingleStateBench):
     * replica r of a doc gets every 3rd token replaced by a marker

@@ -17,11 +17,7 @@ import graft.operators.Dedup
 object CompactionBench {
 
   private def time[A](iters: Int)(f: => A): Double =
-    (1 to iters).map { _ =>
-      val t0 = System.nanoTime()
-      f
-      (System.nanoTime() - t0) / 1e9
-    }.min
+    BenchFixtures.minTime(iters)(f)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -29,15 +25,7 @@ object CompactionBench {
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val mult = sys.env.getOrElse("SPARK_GRAFT_COMPACT_MULT", "16").toInt
     val appends = sys.env.getOrElse("SPARK_GRAFT_COMPACT_APPENDS", "8").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir", ScratchWarehouse.dir)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = BenchFixtures.benchSession(cpus)
 
     val fix = BenchFixtures.cleanedTempDir("graft_compact_fix_")
 

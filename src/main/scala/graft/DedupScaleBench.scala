@@ -32,26 +32,13 @@ import org.apache.spark.sql.functions._
 object DedupScaleBench {
 
   private def time[A](iters: Int)(f: => A): Double =
-    (1 to iters).map { _ =>
-      val t0 = System.nanoTime()
-      f
-      (System.nanoTime() - t0) / 1e9
-    }.min
+    BenchFixtures.minTime(iters)(f)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir", ScratchWarehouse.dir)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = BenchFixtures.benchSession(cpus, skewJoin = true)
 
     val fix = BenchFixtures.cleanedTempDir("graft_dedup_scale_fix_")
 

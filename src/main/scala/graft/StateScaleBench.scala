@@ -49,15 +49,7 @@ object StateScaleBench {
     val mult = sys.env.getOrElse("SPARK_GRAFT_STATE_MULT", "32").toInt
     val batches = sys.env.getOrElse("SPARK_GRAFT_STATE_BATCHES", "16").toInt
     val stateParts = sys.env.getOrElse("SPARK_GRAFT_STATE_PARTS", "8").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir", ScratchWarehouse.dir)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = BenchFixtures.benchSession(cpus)
 
     // stage: every key unique (event_id is unique per event; the
     // amplification keeps it unique), split into `batches` files so

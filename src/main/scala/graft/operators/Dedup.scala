@@ -414,6 +414,15 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       passthroughCols: Seq[String] = Nil): DataFrame = {
+    // collision guard (the perGroupCap convention): a passthrough
+    // named like an output column would emit two same-named columns
+    // that fail only at the first downstream name-based select
+    val reserved = Seq("doc_id", "clean_text", "n_tokens_removed")
+    val clash = passthroughCols.filter(c => reserved.exists(_.equalsIgnoreCase(c)))
+    require(
+      clash.isEmpty,
+      s"removeRepeatedSpans emits column(s) ${clash.mkString(", ")} itself — " +
+        "rename the passthrough column(s)")
     val iv = spans.select(
       col("doc_b").as("doc_id"),
       col("b_start").as("s"),
@@ -793,10 +802,27 @@ object Dedup {
   def appendToShingleTable(
       docs: DataFrame, table: String, minTokens: Int = 10,
       buckets: Int = BandTableBuckets, appendTasks: Int = 0,
-      textCol: String = "text", idCol: String = "doc_id"): Unit =
+      textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    // a mismatched-k append would POISON the state silently: Spark's
+    // append keeps the existing catalog schema, so the table would
+    // keep advertising its original k and the probe-time guard would
+    // keep passing over mixed-width hashes — check the stamp here,
+    // where the mismatch actually enters
+    val spark = docs.sparkSession
+    if (spark.catalog.tableExists(table)) {
+      spark.table(table).schema.fields.find(_.name == "p")
+        .filter(_.metadata.contains(ShingleKMeta))
+        .map(_.metadata.getLong(ShingleKMeta))
+        .foreach(k => require(
+          k == minTokens.toLong,
+          s"shingle table '$table' was built at k=$k but this append uses " +
+            s"minTokens=$minTokens — mixed widths corrupt span detection; " +
+            s"pass minTokens=$k"))
+    }
     writeBucketedState(
       shingleTable(docs, minTokens, textCol, idCol).select("h1", "h2", "doc_id", "p"),
       table, buckets, Seq("h1", "h2"), "append", appendTasks)
+  }
 
   /** [[compactBandTable]] for the shingle state table: rewrite back to
     * ~one file per bucket, same layout, probe plans byte-identical.

@@ -79,6 +79,15 @@ object DiffSql {
     require(
       absTolCols.isEmpty || numericAbsTol.isDefined,
       "absTolCols given without numericAbsTol — set the tolerance")
+    // the converse is just as silent a trap: TableDiff auto-applies
+    // its tolerance to every numeric column, so a generate() call
+    // that sets the tolerance but no columns would emit an EXACT
+    // oracle against a toleranced operator
+    require(
+      numericAbsTol.isEmpty || absTolCols.nonEmpty,
+      "numericAbsTol given without absTolCols — list the numeric columns " +
+        "(TableDiff applies the tolerance to every numeric column; spell the " +
+        "same set here)")
     val allCols = SchemaUtils.mergeColumns(beforeCols, afterCols)
     val bSet = beforeCols.map(_.toLowerCase).toSet
     val aSet = afterCols.map(_.toLowerCase).toSet

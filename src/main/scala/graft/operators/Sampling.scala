@@ -210,8 +210,9 @@ object Sampling {
     * stratum i with n_i rows gets a ROW budget
     * `floor(totalDocs · w_i / W)` where `w_i = n_i^(1/2^sqrtDepth)`
     * and `W = Σ w_j`, filled as a hash-order prefix (the
-    * [[mixtureByBudgetTable]] contract at weight 1 per row, budgets
-    * computed IN-PLAN from the data — no driver collect).
+    * [[mixtureByBudgetTable]] semantics at weight 1 per row, INLINED
+    * — see the in-body note — with budgets computed IN-PLAN from the
+    * data, no driver collect).
     *
     * α is expressed as a SQRT DEPTH (α = 1/2^depth: depth 0 =
     * proportional, 1 = the standard α = 0.5, 2 = 0.25) rather than a
@@ -239,8 +240,9 @@ object Sampling {
       sqrtDepth: Int = 1): DataFrame = {
     require(totalDocs >= 0, "totalDocs must be non-negative")
     require(sqrtDepth >= 0 && sqrtDepth <= 4, "sqrtDepth must be in [0, 4]")
-    require(!df.columns.contains("_one"),
-      "temperatureMixture uses a temporary column '_one' — rename the input's")
+    Seq("running_weight", "budget").foreach(c =>
+      require(!df.columns.contains(c),
+        s"temperatureMixture exposes column '$c' — rename the input's"))
     import org.apache.spark.sql.expressions.Window
     val ordered = Window.orderBy(strataCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -253,13 +255,21 @@ object Sampling {
       .withColumn("_rw", sum(col("_w")).over(ordered))
       .withColumn("_tw", max(col("_rw")).over(whole))
       .select(
-        col(strataCol).as("stratum"),
+        col(strataCol),
         floor(lit(totalDocs.toDouble) * col("_w") / col("_tw"))
           .cast("long").as("budget"))
-    mixtureByBudgetTable(
-      df.withColumn("_one", lit(1L)),
-      strataCol, "_one", hashExpr, idCol, budgets, defaultBudget = 0L)
-      .drop("_one")
+    // the prefix fill is INLINED rather than routed through
+    // mixtureByBudgetTable: its duplicate-stratum require costs two
+    // extra jobs over the budget frame, which here is derived from
+    // the CORPUS (a groupBy output — provably duplicate-free), so the
+    // check would re-aggregate the whole input twice for nothing
+    val wk = Window.partitionBy(strataCol)
+      .orderBy(expr(mixedHash(hashExpr)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("running_weight", sum(lit(1L)).over(wk))
+      .join(broadcast(budgets), Seq(strataCol), "left")
+      .filter(col("running_weight") <= coalesce(col("budget"), lit(0L)))
+      .drop("budget")
   }
 
   /** Epoch-weighted repetition for data-constrained training

@@ -602,8 +602,10 @@ object SimilaritySearch {
       val rows = df.limit(maxCentroids + 1).collect()
       require(
         rows.length <= maxCentroids,
-        s"pqFit: codebook exceeds maxCentroids=$maxCentroids rows — raise seedMod " +
-          "(target |vectors|/seedMod ≈ sqrt(|vectors|) centroids per subspace)")
+        s"pqFit: codebook exceeds maxCentroids=$maxCentroids rows — raise seedMod. " +
+          "PQ wants a FIXED per-subspace k (a few hundred at most: codes must " +
+          "stay byte-small), so seedMod must scale with |vectors| — " +
+          "seedMod ≈ |vectors|/k, NOT the IVF sqrt(n)-lists rule")
       spark.createDataFrame(rows.toSeq.asJava, df.schema)
     }
     val seeds = localize(

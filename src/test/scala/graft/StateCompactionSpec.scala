@@ -206,6 +206,14 @@ class StateCompactionSpec extends AnyFunSuite {
       }
       assert(mism.getMessage.contains("built at k=10"), mism.getMessage)
       Dedup.unpersistAll()
+      // ... and a mismatched-k APPEND is rejected before it can
+      // poison the state (the append keeps the catalog schema, so the
+      // probe-time guard alone would keep passing over mixed widths)
+      val mismAppend = intercept[IllegalArgumentException] {
+        Dedup.appendToShingleTable(state2, table, minTokens = 5, buckets = 4)
+      }
+      assert(mismAppend.getMessage.contains("built at k=10"), mismAppend.getMessage)
+      Dedup.unpersistAll()
 
       // cadence-managed append of a DISJOINT slice (the once-per-doc
       // append contract): uncapped threshold leaves the files, tight
