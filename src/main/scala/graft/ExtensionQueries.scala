@@ -649,6 +649,15 @@ object ExtensionQueries {
       // the probe is 16 table lookups summed in pinned order
       SimilaritySearch.pqAdcTopK(Tables.embeddings(s, dir), m = 16, seedMod = 20)
         .orderBy("query_id", "rank")),
+    "q_embed_ann_ivfpq" -> ((s, dir) =>
+      // faiss's IVFADC composition: the coarse quantizer prunes each
+      // query to its 2 nearest lists, and only those members are
+      // ADC-scored from their PQ codes — per-query cost tracks the
+      // probed lists, not the corpus (the 10⁹-vector shape). Codes
+      // quantize vectors, not per-list residuals — documented
+      // simplification (the also-standard IVF-Flat-PQ variant)
+      SimilaritySearch.ivfPqTopK(Tables.embeddings(s, dir))
+        .orderBy("query_id", "rank")),
     "q_embed_ann_ivf" -> ((s, dir) =>
       SimilaritySearch.ivfTopK(Tables.embeddings(s, dir)).orderBy("query_id", "rank")),
     "q_embed_ann_ivf_sq8" -> ((s, dir) =>
@@ -1771,50 +1780,9 @@ object ExtensionQueries {
     * shared by the top-k and recall oracles.
     */
   private def pqAdcCtes(m: Int, seedMod: Int): String = {
-    val subDim = VectorExprs.Dim / m
-    def l2(a: String, b: String) = VectorExprs.l2sqSubDuck(a, b, subDim)
     val pivotSum = (0 until m)
       .map(i => s"MAX(CASE WHEN qs = $i THEN d END)").mkString(" + ")
-    s"""WITH spine AS (
-       |  SELECT unnest(range(0, $m)) AS s
-       |), sv AS (
-       |  SELECT e.vec_id AS vid, sp.s AS s,
-       |         list_slice(e.embedding, sp.s * $subDim + 1, (sp.s + 1) * $subDim) AS sv
-       |  FROM embeddings e CROSS JOIN spine sp
-       |), seeds AS (
-       |  SELECT s, vid AS cid, sv AS c FROM sv WHERE vid % $seedMod = 0
-       |), fdist AS (
-       |  SELECT v.vid, v.s, v.sv, sd.cid, ${l2("v.sv", "sd.c")} AS d
-       |  FROM sv v JOIN seeds sd ON sd.s = v.s
-       |), fassign AS (
-       |  SELECT s, cid, sv FROM (
-       |    SELECT vid, s, sv, cid,
-       |           ROW_NUMBER() OVER (PARTITION BY vid, s ORDER BY d, cid) AS rn
-       |    FROM fdist) t WHERE rn = 1
-       |), ex AS (
-       |  SELECT s, cid, unnest(sv) AS x,
-       |         unnest(range(1, len(sv) + 1)) AS pos
-       |  FROM fassign
-       |), mn AS (
-       |  SELECT s, cid, pos,
-       |         CAST(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
-       |              / COUNT(*) AS FLOAT) AS mv
-       |  FROM ex GROUP BY s, cid, pos
-       |), cents AS (
-       |  SELECT s, cid, list(mv ORDER BY pos) AS c FROM mn GROUP BY s, cid
-       |), cdist AS (
-       |  SELECT v.vid, v.s, c.cid, ${l2("v.sv", "c.c")} AS d
-       |  FROM sv v JOIN cents c ON c.s = v.s
-       |), codes AS (
-       |  SELECT vid, s, cid AS code FROM (
-       |    SELECT vid, s, cid,
-       |           ROW_NUMBER() OVER (PARTITION BY vid, s ORDER BY d, cid) AS rn
-       |    FROM cdist) t WHERE rn = 1
-       |), qt AS (
-       |  SELECT v.vid AS query_id, v.s AS qs, c.cid, ${l2("v.sv", "c.c")} AS d
-       |  FROM sv v JOIN cents c ON c.s = v.s
-       |  WHERE v.vid % 97 = 0
-       |), scored AS (
+    s"""WITH ${pqCodebookCtes(m, seedMod)}, scored AS (
        |  SELECT qt.query_id, codes.vid AS cand_id,
        |         $pivotSum AS adc
        |  FROM codes JOIN qt ON qt.qs = codes.s AND qt.cid = codes.code
@@ -1823,6 +1791,56 @@ object ExtensionQueries {
        |  SELECT query_id, cand_id, adc,
        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS BIGINT) AS "rank"
        |  FROM scored WHERE query_id <> cand_id
+       |)""".stripMargin
+  }
+
+  /** The PQ codebook/encode/query-table chain (spine → qt), every CTE
+    * name `pfx`-prefixed so it splices beside the IVF coarse chain in
+    * the IVFADC oracle; `pfx = ""` is the standalone form, byte-
+    * identical to what q_embed_pq_* hashed before the split.
+    */
+  private def pqCodebookCtes(m: Int, seedMod: Int, pfx: String = ""): String = {
+    val subDim = VectorExprs.Dim / m
+    def l2(a: String, b: String) = VectorExprs.l2sqSubDuck(a, b, subDim)
+    s"""${pfx}spine AS (
+       |  SELECT unnest(range(0, $m)) AS s
+       |), ${pfx}sv AS (
+       |  SELECT e.vec_id AS vid, sp.s AS s,
+       |         list_slice(e.embedding, sp.s * $subDim + 1, (sp.s + 1) * $subDim) AS sv
+       |  FROM embeddings e CROSS JOIN ${pfx}spine sp
+       |), ${pfx}seeds AS (
+       |  SELECT s, vid AS cid, sv AS c FROM ${pfx}sv WHERE vid % $seedMod = 0
+       |), ${pfx}fdist AS (
+       |  SELECT v.vid, v.s, v.sv, sd.cid, ${l2("v.sv", "sd.c")} AS d
+       |  FROM ${pfx}sv v JOIN ${pfx}seeds sd ON sd.s = v.s
+       |), ${pfx}fassign AS (
+       |  SELECT s, cid, sv FROM (
+       |    SELECT vid, s, sv, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY vid, s ORDER BY d, cid) AS rn
+       |    FROM ${pfx}fdist) t WHERE rn = 1
+       |), ${pfx}ex AS (
+       |  SELECT s, cid, unnest(sv) AS x,
+       |         unnest(range(1, len(sv) + 1)) AS pos
+       |  FROM ${pfx}fassign
+       |), ${pfx}mn AS (
+       |  SELECT s, cid, pos,
+       |         CAST(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+       |              / COUNT(*) AS FLOAT) AS mv
+       |  FROM ${pfx}ex GROUP BY s, cid, pos
+       |), ${pfx}cents AS (
+       |  SELECT s, cid, list(mv ORDER BY pos) AS c FROM ${pfx}mn GROUP BY s, cid
+       |), ${pfx}cdist AS (
+       |  SELECT v.vid, v.s, c.cid, ${l2("v.sv", "c.c")} AS d
+       |  FROM ${pfx}sv v JOIN ${pfx}cents c ON c.s = v.s
+       |), ${pfx}codes AS (
+       |  SELECT vid, s, cid AS code FROM (
+       |    SELECT vid, s, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY vid, s ORDER BY d, cid) AS rn
+       |    FROM ${pfx}cdist) t WHERE rn = 1
+       |), ${pfx}qt AS (
+       |  SELECT v.vid AS query_id, v.s AS qs, c.cid, ${l2("v.sv", "c.c")} AS d
+       |  FROM ${pfx}sv v JOIN ${pfx}cents c ON c.s = v.s
+       |  WHERE v.vid % 97 = 0
        |)""".stripMargin
   }
 
@@ -1876,6 +1894,85 @@ object ExtensionQueries {
        |GROUP BY e.query_id
        |ORDER BY e.query_id""".stripMargin
 
+  /** IVFADC oracle — mirrors SimilaritySearch.ivfPqTopK: the IVF
+    * coarse chain (iv_ prefix) restricts each query to its nprobe
+    * nearest lists' members, and only those pairs are ADC-scored
+    * from the PQ chain (pq_ prefix) with the same fixed-order pivot.
+    * The probe list selection derives from one shared distance CTE
+    * (identical joins, identical tie order as the standalone IVF).
+    */
+  private def ivfPqOracleSql(
+      m: Int = 16, seedMod: Int = 20, k: Int = 5, nprobe: Int = 2): String = {
+    val pivotSum = (0 until m)
+      .map(i => s"MAX(CASE WHEN qs = $i THEN d END)").mkString(" + ")
+    s"""WITH ${ivfCoarseCtes("TRUE", "iv_")}, iv_adist AS (
+       |  SELECT e.vec_id AS vid, c.cid,
+       |         ${VectorExprs.l2sqDuck("e.embedding", "c.cemb")} AS d
+       |  FROM embeddings e CROSS JOIN iv_cents c
+       |), iv_assign AS (
+       |  SELECT vid AS cand_id, cid FROM (
+       |    SELECT vid, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+       |    FROM iv_adist) t WHERE rn = 1
+       |), iv_qprobe AS (
+       |  SELECT vid AS query_id, cid FROM (
+       |    SELECT vid, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+       |    FROM iv_adist WHERE vid % 97 = 0) t WHERE rn <= $nprobe
+       |), pairs0 AS (
+       |  SELECT q.query_id, a.cand_id
+       |  FROM iv_assign a JOIN iv_qprobe q USING (cid)
+       |), ${pqCodebookCtes(m, seedMod, "pq_")}, scored AS (
+       |  SELECT p.query_id, p.cand_id,
+       |         $pivotSum AS adc
+       |  FROM pairs0 p
+       |  JOIN pq_codes c ON c.vid = p.cand_id
+       |  JOIN pq_qt q ON q.query_id = p.query_id AND q.qs = c.s AND q.cid = c.code
+       |  GROUP BY p.query_id, p.cand_id
+       |), r AS (
+       |  SELECT query_id, cand_id, adc,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS BIGINT) AS "rank"
+       |  FROM scored WHERE query_id <> cand_id
+       |)
+       |SELECT query_id, "rank", cand_id,
+       |       CAST(FLOOR(1000000.0 * adc) AS BIGINT) AS adc_ppm
+       |FROM r WHERE "rank" <= $k
+       |ORDER BY query_id, "rank"""".stripMargin
+  }
+
+  /** The IVF coarse-quantizer chain (seed centroids → one
+    * DECIMAL-mean Lloyd round → `cents`), every CTE name
+    * `pfx`-prefixed so it splices beside the PQ chain in the IVFADC
+    * oracle; `pfx = ""` is the standalone form, byte-identical to
+    * what the q_embed_ann_ivf family hashed before the split.
+    */
+  private def ivfCoarseCtes(buildWhere: String, pfx: String = ""): String =
+    s"""${pfx}cents0 AS (
+       |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+       |  WHERE vec_id % 50 = 0 AND ($buildWhere)
+       |), ${pfx}s0dist AS (
+       |  SELECT e.vec_id AS vid, e.embedding, c.cid,
+       |         ${VectorExprs.l2sqDuck("e.embedding", "c.cemb")} AS d
+       |  FROM embeddings e CROSS JOIN ${pfx}cents0 c WHERE ($buildWhere)
+       |), ${pfx}s0assign AS (
+       |  SELECT cid, embedding FROM (
+       |    SELECT vid, cid, embedding,
+       |           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+       |    FROM ${pfx}s0dist) t WHERE rn = 1
+       |), ${pfx}ex AS (
+       |  SELECT cid,
+       |         unnest(embedding) AS x,
+       |         unnest(range(1, len(embedding) + 1)) AS pos
+       |  FROM ${pfx}s0assign
+       |), ${pfx}mn AS (
+       |  SELECT cid, pos,
+       |         CAST(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+       |              / COUNT(*) AS FLOAT) AS m
+       |  FROM ${pfx}ex GROUP BY cid, pos
+       |), ${pfx}cents AS (
+       |  SELECT cid, list(m ORDER BY pos) AS cemb FROM ${pfx}mn GROUP BY cid
+       |)""".stripMargin
+
   private def ivfOracleSql(buildWhere: String, sq8: Boolean = false): String = {
     val assignPayload =
       if (!sq8)
@@ -1907,31 +2004,7 @@ object ExtensionQueries {
         s"(${VectorExprs.dotDuck("qprobe.qemb", "assign.cand_emb")}) / (qprobe.qnorm * assign.cnorm)"
       else
         s"(${VectorExprs.dotMixedDuck("qprobe.qemb", "assign.cand_code")}) / (qprobe.qnorm * sqrt(assign.cnsq::DOUBLE))"
-    s"""WITH cents0 AS (
-       |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
-       |  WHERE vec_id % 50 = 0 AND ($buildWhere)
-       |), s0dist AS (
-       |  SELECT e.vec_id AS vid, e.embedding, c.cid,
-       |         ${VectorExprs.l2sqDuck("e.embedding", "c.cemb")} AS d
-       |  FROM embeddings e CROSS JOIN cents0 c WHERE ($buildWhere)
-       |), s0assign AS (
-       |  SELECT cid, embedding FROM (
-       |    SELECT vid, cid, embedding,
-       |           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
-       |    FROM s0dist) t WHERE rn = 1
-       |), ex AS (
-       |  SELECT cid,
-       |         unnest(embedding) AS x,
-       |         unnest(range(1, len(embedding) + 1)) AS pos
-       |  FROM s0assign
-       |), mn AS (
-       |  SELECT cid, pos,
-       |         CAST(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
-       |              / COUNT(*) AS FLOAT) AS m
-       |  FROM ex GROUP BY cid, pos
-       |), cents AS (
-       |  SELECT cid, list(m ORDER BY pos) AS cemb FROM mn GROUP BY cid
-       |), adist AS (
+    s"""WITH ${ivfCoarseCtes(buildWhere)}, adist AS (
        |  SELECT e.vec_id AS vid, e.embedding, c.cid,
        |         ${VectorExprs.l2sqDuck("e.embedding", "c.cemb")} AS d
        |  FROM embeddings e CROSS JOIN cents c
@@ -2428,6 +2501,8 @@ object ExtensionQueries {
     "q_embed_pq_topk" -> pqAdcOracleSql(m = 16, seedMod = 20, k = 5),
 
     "q_embed_pq_recall" -> pqRecallOracleSql(m = 16, seedMod = 20, k = 5),
+
+    "q_embed_ann_ivfpq" -> ivfPqOracleSql(m = 16, seedMod = 20, k = 5, nprobe = 2),
 
     "q_embed_pq_refined" -> pqRefinedOracleSql(m = 16, seedMod = 20, k = 5, shortlist = 50),
 

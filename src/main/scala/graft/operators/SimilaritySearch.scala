@@ -681,7 +681,27 @@ object SimilaritySearch {
     // intermediate (the first formulation's groupBy-pivot over that
     // blowup measured 82 s at ×16 amplification; this one 3.5 s,
     // the same doubles in the same pinned order either way)
-    val qt = pqSubVecs(emb.filter(col(idCol) % queryMod === 0), cb.m, cb.subDim, idCol)
+    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("cand_id"))
+    pqCodesWide(codes, idCol)
+      .crossJoin(broadcast(pqQueryTables(emb, cb, queryMod, idCol)))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("adc", expr(pqAdcSumExpr(cb.m)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col("rank").cast("long").as("rank"),
+        col("cand_id"),
+        floor(lit(1000000.0) * col("adc")).cast("long").as("adc_ppm"))
+  }
+
+  /** One row per query: the m per-subspace cid→distance tables,
+    * assembled in subspace order (maps aren't orderable inside
+    * array_sort structs, so the array is built by index lookup).
+    */
+  private def pqQueryTables(
+      emb: DataFrame, cb: PqCodebooks, queryMod: Int, idCol: String): DataFrame =
+    pqSubVecs(emb.filter(col(idCol) % queryMod === 0), cb.m, cb.subDim, idCol)
       .withColumnRenamed("vid", "query_id")
       .join(broadcast(cb.centroids), Seq("s"))
       .select(
@@ -690,28 +710,73 @@ object SimilaritySearch {
       .groupBy("query_id", "s")
       .agg(map_from_entries(collect_list(struct(col("cid"), col("d")))).as("tab"))
       .groupBy("query_id")
-      // maps aren't orderable inside array_sort structs — assemble
-      // the subspace-ordered array by index lookup instead
       .agg(map_from_entries(collect_list(struct(col("s"), col("tab")))).as("bys"))
       .select(
         col("query_id"),
         expr(s"transform(sequence(0, ${cb.m - 1}), i -> element_at(bys, i))").as("qm"))
-    val codesWide = codes
+
+  /** Tall codes → one `(cand_id, codes ARRAY)` row per vector. */
+  private def pqCodesWide(codes: DataFrame, idCol: String): DataFrame =
+    codes
       .groupBy(idCol)
       .agg(transform(
         array_sort(collect_list(struct(col("s"), col("code")))),
         e => e("code")).as("codes"))
       .select(col(idCol).as("cand_id"), col("codes"))
-    // fixed-order ADC sum — float addition is non-associative, and
-    // this left-to-right chain is exactly the oracle's pivot order
-    val adcSum = (1 to cb.m)
+
+  /** The fixed-order ADC sum — float addition is non-associative, and
+    * this left-to-right chain is exactly the oracle's pivot order.
+    */
+  private def pqAdcSumExpr(m: Int): String =
+    (1 to m)
       .map(i => s"element_at(element_at(qm, $i), element_at(codes, $i))")
       .mkString(" + ")
+
+  /** IVF × PQ — the faiss IVFADC production composition: the coarse
+    * IVF quantizer prunes the corpus to the `nprobe` nearest lists
+    * per query, and ONLY those candidates are ADC-scored from their
+    * PQ codes (m in-row table lookups each). Per query the scan cost
+    * is candidates-in-probed-lists, not the corpus — the shape that
+    * holds at 10⁹ vectors. Deliberate, documented simplification vs
+    * faiss's default: codes quantize the VECTORS, not the per-list
+    * residuals (the also-standard IVF-Flat-PQ variant) — residual
+    * codebooks couple the two quantizers and are a natural next dial.
+    * Output matches [[pqTopK]]: (query_id, rank, cand_id, adc_ppm).
+    */
+  def ivfPqTopK(
+      emb: DataFrame,
+      k: Int = 5,
+      queryMod: Int = 97,
+      centroidMod: Int = 50,
+      nprobe: Int = 2,
+      m: Int = 16,
+      seedMod: Int = 20,
+      idCol: String = "vec_id"): DataFrame = {
+    val spark = emb.sparkSession
+    graft.functions.VecDot.register(spark)
+    graft.plans.TopKPerGroup.install(spark)
+    val index = buildIndex(emb, centroidMod, 1, idCol)
+    val cb = pqFit(emb, m, seedMod, idCol)
+    val codes = pqEncode(emb, cb, idCol)
+    // query → nprobe nearest coarse lists (same tie order as probe)
+    val byD = Window.partitionBy("query_id").orderBy(col("d"), col("cid"))
+    val qLists = emb.filter(col(idCol) % queryMod === 0)
+      .select(col(idCol).as("query_id"), col("embedding"))
+      .crossJoin(broadcast(index.centroids))
+      .withColumn("d", expr(l2sqSpark("embedding", "cemb")))
+      .withColumn("rn", row_number().over(byD))
+      .filter(col("rn") <= nprobe)
+      .select("query_id", "cid")
+    // candidates restricted to the probed lists
+    val pairs = index.assignments.select(col("cand_id"), col("cid"))
+      .join(broadcast(qLists), Seq("cid"))
+      .select("query_id", "cand_id")
     val w = Window.partitionBy("query_id").orderBy(col("adc"), col("cand_id"))
-    codesWide
-      .crossJoin(broadcast(qt))
+    pairs
+      .join(pqCodesWide(codes, idCol), Seq("cand_id"))
+      .join(broadcast(pqQueryTables(emb, cb, queryMod, idCol)), Seq("query_id"))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("adc", expr(adcSum))
+      .withColumn("adc", expr(pqAdcSumExpr(cb.m)))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(
