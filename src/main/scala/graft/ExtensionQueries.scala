@@ -1799,7 +1799,8 @@ object ExtensionQueries {
     * the IVFADC oracle; `pfx = ""` is the standalone form, byte-
     * identical to what q_embed_pq_* hashed before the split.
     */
-  private def pqCodebookCtes(m: Int, seedMod: Int, pfx: String = ""): String = {
+  private def pqCodebookCtes(
+      m: Int, seedMod: Int, pfx: String = "", queryMod: Int = 97): String = {
     val subDim = VectorExprs.Dim / m
     def l2(a: String, b: String) = VectorExprs.l2sqSubDuck(a, b, subDim)
     s"""${pfx}spine AS (
@@ -1840,7 +1841,7 @@ object ExtensionQueries {
        |), ${pfx}qt AS (
        |  SELECT v.vid AS query_id, v.s AS qs, c.cid, ${l2("v.sv", "c.c")} AS d
        |  FROM ${pfx}sv v JOIN ${pfx}cents c ON c.s = v.s
-       |  WHERE v.vid % 97 = 0
+       |  WHERE v.vid % $queryMod = 0
        |)""".stripMargin
   }
 
@@ -1902,10 +1903,11 @@ object ExtensionQueries {
     * (identical joins, identical tie order as the standalone IVF).
     */
   private def ivfPqOracleSql(
-      m: Int = 16, seedMod: Int = 20, k: Int = 5, nprobe: Int = 2): String = {
+      m: Int = 16, seedMod: Int = 20, k: Int = 5, nprobe: Int = 2,
+      queryMod: Int = 97, centroidMod: Int = 50): String = {
     val pivotSum = (0 until m)
       .map(i => s"MAX(CASE WHEN qs = $i THEN d END)").mkString(" + ")
-    s"""WITH ${ivfCoarseCtes("TRUE", "iv_")}, iv_adist AS (
+    s"""WITH ${ivfCoarseCtes("TRUE", "iv_", centroidMod)}, iv_adist AS (
        |  SELECT e.vec_id AS vid, c.cid,
        |         ${VectorExprs.l2sqDuck("e.embedding", "c.cemb")} AS d
        |  FROM embeddings e CROSS JOIN iv_cents c
@@ -1918,11 +1920,11 @@ object ExtensionQueries {
        |  SELECT vid AS query_id, cid FROM (
        |    SELECT vid, cid,
        |           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
-       |    FROM iv_adist WHERE vid % 97 = 0) t WHERE rn <= $nprobe
+       |    FROM iv_adist WHERE vid % $queryMod = 0) t WHERE rn <= $nprobe
        |), pairs0 AS (
        |  SELECT q.query_id, a.cand_id
        |  FROM iv_assign a JOIN iv_qprobe q USING (cid)
-       |), ${pqCodebookCtes(m, seedMod, "pq_")}, scored AS (
+       |), ${pqCodebookCtes(m, seedMod, "pq_", queryMod)}, scored AS (
        |  SELECT p.query_id, p.cand_id,
        |         $pivotSum AS adc
        |  FROM pairs0 p
@@ -1946,10 +1948,11 @@ object ExtensionQueries {
     * oracle; `pfx = ""` is the standalone form, byte-identical to
     * what the q_embed_ann_ivf family hashed before the split.
     */
-  private def ivfCoarseCtes(buildWhere: String, pfx: String = ""): String =
+  private def ivfCoarseCtes(
+      buildWhere: String, pfx: String = "", centroidMod: Int = 50): String =
     s"""${pfx}cents0 AS (
        |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
-       |  WHERE vec_id % 50 = 0 AND ($buildWhere)
+       |  WHERE vec_id % $centroidMod = 0 AND ($buildWhere)
        |), ${pfx}s0dist AS (
        |  SELECT e.vec_id AS vid, e.embedding, c.cid,
        |         ${VectorExprs.l2sqDuck("e.embedding", "c.cemb")} AS d

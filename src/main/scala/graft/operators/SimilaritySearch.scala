@@ -440,6 +440,24 @@ object SimilaritySearch {
     * `queries` needs `(idCol, embedding)`; the index pays nothing per
     * probe beyond a broadcast of the centroid table.
     */
+  /** Each query's `nprobe` nearest coarse lists — the ONE definition
+    * of the list-selection crossJoin and its `(d, cid)` tie order,
+    * shared by [[probe]], [[probeQuant]], and [[ivfPqTopK]] (the
+    * IVFADC oracle's iv_adist/iv_qprobe mirror it). Returns
+    * `(vid, embedding, cid)`, nprobe rows per query.
+    */
+  private def nearestLists(
+      centroids: DataFrame, queries: DataFrame, nprobe: Int, idCol: String): DataFrame = {
+    val byDist = Window.partitionBy("vid").orderBy(col("d"), col("cid"))
+    queries
+      .select(col(idCol).as("vid"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d", expr(l2sqSpark("embedding", "cemb")))
+      .withColumn("rn", row_number().over(byDist))
+      .filter(col("rn") <= nprobe)
+      .select("vid", "embedding", "cid")
+  }
+
   def probe(
       index: IvfIndex,
       queries: DataFrame,
@@ -449,13 +467,7 @@ object SimilaritySearch {
     val spark = queries.sparkSession
     graft.functions.VecDot.register(spark)
     graft.plans.TopKPerGroup.install(spark)
-    val byDist = Window.partitionBy("vid").orderBy(col("d"), col("cid"))
-    val qprobe = queries
-      .select(col(idCol).as("vid"), col("embedding"))
-      .crossJoin(broadcast(index.centroids))
-      .withColumn("d", expr(l2sqSpark("embedding", "cemb")))
-      .withColumn("rn", row_number().over(byDist))
-      .filter(col("rn") <= nprobe)
+    val qprobe = nearestLists(index.centroids, queries, nprobe, idCol)
       .select(
         col("vid").as("query_id"), col("embedding").as("qemb"), col("cid"),
         expr(s"sqrt(${dotSpark("embedding", "embedding")})").as("qnorm"))
@@ -521,13 +533,7 @@ object SimilaritySearch {
     graft.functions.VecDot.register(spark)
     graft.functions.Int8Vec.register(spark)
     graft.plans.TopKPerGroup.install(spark)
-    val byDist = Window.partitionBy("vid").orderBy(col("d"), col("cid"))
-    val qprobe = queries
-      .select(col(idCol).as("vid"), col("embedding"))
-      .crossJoin(broadcast(index.centroids))
-      .withColumn("d", expr(l2sqSpark("embedding", "cemb")))
-      .withColumn("rn", row_number().over(byDist))
-      .filter(col("rn") <= nprobe)
+    val qprobe = nearestLists(index.centroids, queries, nprobe, idCol)
       .select(
         col("vid").as("query_id"), col("embedding").as("qemb"), col("cid"),
         expr(s"sqrt(${dotSpark("embedding", "embedding")})").as("qnorm"))
@@ -751,22 +757,20 @@ object SimilaritySearch {
       nprobe: Int = 2,
       m: Int = 16,
       seedMod: Int = 20,
-      idCol: String = "vec_id"): DataFrame = {
+      lloydIters: Int = 1,
+      idCol: String = "vec_id",
+      maxCentroids: Int = 1 << 20): DataFrame = {
     val spark = emb.sparkSession
     graft.functions.VecDot.register(spark)
     graft.plans.TopKPerGroup.install(spark)
-    val index = buildIndex(emb, centroidMod, 1, idCol)
+    val index = buildIndex(emb, centroidMod, lloydIters, idCol, maxCentroids)
     val cb = pqFit(emb, m, seedMod, idCol)
     val codes = pqEncode(emb, cb, idCol)
-    // query → nprobe nearest coarse lists (same tie order as probe)
-    val byD = Window.partitionBy("query_id").orderBy(col("d"), col("cid"))
-    val qLists = emb.filter(col(idCol) % queryMod === 0)
-      .select(col(idCol).as("query_id"), col("embedding"))
-      .crossJoin(broadcast(index.centroids))
-      .withColumn("d", expr(l2sqSpark("embedding", "cemb")))
-      .withColumn("rn", row_number().over(byD))
-      .filter(col("rn") <= nprobe)
-      .select("query_id", "cid")
+    // query → nprobe nearest coarse lists (the probe()'s shared
+    // selection — one definition of the tie order)
+    val qLists = nearestLists(
+      index.centroids, emb.filter(col(idCol) % queryMod === 0), nprobe, idCol)
+      .select(col("vid").as("query_id"), col("cid"))
     // candidates restricted to the probed lists
     val pairs = index.assignments.select(col("cand_id"), col("cid"))
       .join(broadcast(qLists), Seq("cid"))

@@ -171,6 +171,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(notMonotone.isEmpty, "refined rank must be non-decreasing in exact L2")
   }
 
+  test("IVFADC: candidates confined to the probed lists; all-lists probe ≡ the full ADC scan") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, dir)
+    val (m, seedMod) = (8, 20)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // degenerate pruning: probing EVERY list reproduces the full ADC
+    // scan exactly (same codebooks, same fixed-order sum)
+    val full = rows(SimilaritySearch.pqAdcTopK(emb, m = m, seedMod = seedMod))
+    val allLists = rows(
+      SimilaritySearch.ivfPqTopK(emb, m = m, seedMod = seedMod, nprobe = 1000000))
+    assert(allLists == full, "probing every list must equal the full ADC scan")
+    // real pruning: every returned candidate lives in one of its
+    // query's nprobe nearest coarse lists (recomputed independently
+    // with the probe's own tie order)
+    graft.functions.VecDot.register(spark)
+    val index = SimilaritySearch.buildIndex(emb, centroidMod = 50)
+    val byD = org.apache.spark.sql.expressions.Window
+      .partitionBy("vid").orderBy(col("d"), col("cid"))
+    val qLists = emb.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("vid"), col("embedding"))
+      .crossJoin(broadcast(index.centroids))
+      .withColumn("d", expr(graft.functions.VectorExprs.l2sqSpark("embedding", "cemb")))
+      .withColumn("rn", row_number().over(byD))
+      .filter(col("rn") <= 2)
+      .select(col("vid").as("query_id"), col("cid"))
+    val allowed = qLists
+      .join(index.assignments.select(col("cand_id"), col("cid")), Seq("cid"))
+      .select("query_id", "cand_id")
+    val res = SimilaritySearch.ivfPqTopK(emb, m = m, seedMod = seedMod, nprobe = 2)
+      .localCheckpoint(true)
+    assert(res.count() > 0)
+    assert(res.join(allowed, Seq("query_id", "cand_id"), "left_anti").isEmpty,
+      "every IVFADC candidate must come from its query's probed lists")
+  }
+
   test("streamed span fold ≡ one-shot exactly until a shingle crosses the cap mid-stream") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, greatest, least}
