@@ -25,6 +25,12 @@ import graft.operators.DiffSql
   *     an extension past the reference CLI, mirroring
   *     `DiffOptions.dedupDuplicateKeys`
   *     (diffgen.py:58-66,120-140)
+  *   - `--abs_tol <d>` emit the toleranced numeric comparison
+  *     (|b−a| ≤ d reads as equal) for every NUMBER-classed column —
+  *     the one place the reference's otherwise-dead TEXT/NUMBER
+  *     type classing (G2) genuinely pays off: the schema CSVs name
+  *     which columns get the tolerance predicate, mirroring
+  *     `DiffOptions.numericAbsTol`
   */
 object DiffGen {
 
@@ -39,7 +45,8 @@ object DiffGen {
       out: String = "diff.sql",
       singleLine: Boolean = false,
       stackInput: Option[String] = None,
-      dedupKeys: Boolean = false)
+      dedupKeys: Boolean = false,
+      absTol: Option[Double] = None)
 
   /** RFC-4180-style CSV line split: handles quoted cells (so Snowflake
     * types like `"NUMBER(38,0)"` keep their embedded comma) and `""`
@@ -143,12 +150,22 @@ object DiffGen {
     * `CREATE OR REPLACE TABLE diff_result AS` — full_compare.sql.j2:10).
     */
   def buildSql(cfg: Config): String = {
-    val beforeCols = loadSchemaCsv(cfg.beforeCsv).map(_._1)
-    val afterCols = loadSchemaCsv(cfg.afterCsv).map(_._1)
+    val beforeSchema = loadSchemaCsv(cfg.beforeCsv)
+    val afterSchema = loadSchemaCsv(cfg.afterCsv)
+    val beforeCols = beforeSchema.map(_._1)
+    val afterCols = afterSchema.map(_._1)
     val keys = loadSchemaCsv(cfg.keysCsv).map(_._1)
     require(keys.nonEmpty, "at least one key column required")
     val beforeTable = cfg.beforeTable.getOrElse(inferTableName(cfg.beforeCsv))
     val afterTable = cfg.afterTable.getOrElse(inferTableName(cfg.afterCsv))
+    // --abs_tol: the NUMBER-classed columns (the reference's G2
+    // classing, finally load-bearing) get the tolerance predicate
+    val numericCols = (beforeSchema ++ afterSchema)
+      .filter { case (_, t) => typeClass(t) == "NUMBER" }
+      .map(_._1).distinct.toSet
+    cfg.absTol.foreach(_ => require(
+      numericCols.nonEmpty,
+      "--abs_tol given but the schemas have no NUMBER-classed columns"))
     def body(table: String, where: Option[String]): String =
       s"SELECT * FROM $table" + where.map(w => s" WHERE $w").getOrElse("")
     val query = DiffSql.generate(
@@ -157,7 +174,9 @@ object DiffGen {
       keys = keys,
       beforeCols = beforeCols,
       afterCols = afterCols,
-      dedupDuplicateKeys = cfg.dedupKeys)
+      dedupDuplicateKeys = cfg.dedupKeys,
+      numericAbsTol = cfg.absTol,
+      absTolCols = if (cfg.absTol.isDefined) numericCols else Set.empty)
     s"CREATE OR REPLACE TABLE diff_result AS\n$query"
   }
 
@@ -179,6 +198,7 @@ object DiffGen {
         case f @ "--out" => cfg = cfg.copy(out = value(f)); i += 2
         case "--single_line" => cfg = cfg.copy(singleLine = true); i += 1
         case "--dedup_keys" => cfg = cfg.copy(dedupKeys = true); i += 1
+        case f @ "--abs_tol" => cfg = cfg.copy(absTol = Some(value(f).toDouble)); i += 2
         case f @ "--stack_input" => cfg = cfg.copy(stackInput = Some(value(f))); i += 2
         case p => positional += p; i += 1
       }

@@ -144,6 +144,49 @@ class DiffGenSpec extends AnyFunSuite {
     assert(viaSql.exceptAll(aligned).isEmpty && aligned.exceptAll(viaSql).isEmpty)
   }
 
+  test("--abs_tol applies the tolerance predicate to exactly the NUMBER-classed columns") {
+    import spark.implicits._
+    // schema CSVs: K1 + VAL (NUMBER) + NOTE (VARCHAR → TEXT class)
+    val schemaCsv = "name,type\nK1,\"NUMBER(38,0)\"\nVAL,FLOAT\nNOTE,VARCHAR(16)"
+    val b = tmpCsv("tol_before.csv", schemaCsv)
+    val a = tmpCsv("tol_after.csv", schemaCsv)
+    val k = tmpCsv("tol_keys.csv", "name,type\nK1,\"NUMBER(38,0)\"")
+    val out = Files.createTempDirectory("diffgen").resolve("diff.sql")
+    DiffGen.main(Array(
+      b.toString, a.toString, "--keys", k.toString,
+      "--out", out.toString, "--abs_tol", "0.01"))
+    val cliSql = Files.readString(out)
+    // NUMBER-classed columns get the ABS predicate, TEXT ones stay =
+    assert(cliSql.contains("ABS(CAST(b_VAL AS DOUBLE) - CAST(a_VAL AS DOUBLE)) <= 0.01"))
+    assert(cliSql.contains("b_NOTE = a_NOTE"))
+    // semantics: the emitted SQL executed by Spark ≡ the native
+    // toleranced operator (within-tolerance drift reads 0)
+    val before = Seq((1, 100.0, "a"), (2, 100.0, "b")).toDF("K1", "VAL", "NOTE")
+    val after = Seq((1, 100.005, "a"), (2, 105.0, "b")).toDF("K1", "VAL", "NOTE")
+    before.createOrReplaceTempView("diffgen_tb")
+    after.createOrReplaceTempView("diffgen_ta")
+    val sql = DiffSql.generate(
+      "SELECT * FROM diffgen_tb",
+      "SELECT * FROM diffgen_ta",
+      Seq("K1"), Seq("K1", "VAL", "NOTE"), Seq("K1", "VAL", "NOTE"),
+      numericAbsTol = Some(0.01), absTolCols = Set("K1", "VAL"))
+    val viaSql = spark.sql(sql)
+    val viaOperator = TableDiff.diff(before, after, Seq("K1"),
+      opts = DiffOptions(upperCase = true, numericAbsTol = Some(0.01)))
+    assert(viaSql.columns.toSeq == viaOperator.columns.toSeq)
+    assert(viaSql.exceptAll(viaOperator).isEmpty &&
+      viaOperator.exceptAll(viaSql).isEmpty)
+    // a schema with no NUMBER columns rejects the flag with a remedy
+    val bt = tmpCsv("tol2_before.csv", "name,type\nK1,VARCHAR(8)\nNOTE,VARCHAR(16)")
+    val at = tmpCsv("tol2_after.csv", "name,type\nK1,VARCHAR(8)\nNOTE,VARCHAR(16)")
+    val kt = tmpCsv("tol2_keys.csv", "name,type\nK1,VARCHAR(8)")
+    val e = intercept[IllegalArgumentException] {
+      DiffGen.buildSql(DiffGen.parseArgs(Seq(
+        bt.toString, at.toString, "--keys", kt.toString, "--abs_tol", "0.5")))
+    }
+    assert(e.getMessage.contains("NUMBER-classed"))
+  }
+
   test("dedup mode rejects reserved _dup_* input columns at GENERATION time") {
     // without the guard, an input column named _dup_before makes the
     // collapse CTE emit two same-aliased columns — failing only when
