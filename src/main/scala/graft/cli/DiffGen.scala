@@ -159,13 +159,23 @@ object DiffGen {
     val beforeTable = cfg.beforeTable.getOrElse(inferTableName(cfg.beforeCsv))
     val afterTable = cfg.afterTable.getOrElse(inferTableName(cfg.afterCsv))
     // --abs_tol: the NUMBER-classed columns (the reference's G2
-    // classing, finally load-bearing) get the tolerance predicate
-    val numericCols = (beforeSchema ++ afterSchema)
-      .filter { case (_, t) => typeClass(t) == "NUMBER" }
-      .map(_._1).distinct.toSet
-    cfg.absTol.foreach(_ => require(
-      numericCols.nonEmpty,
-      "--abs_tol given but the schemas have no NUMBER-classed columns"))
+    // classing, finally load-bearing) get the tolerance predicate —
+    // SCALAR types only: the substring classing would also catch a
+    // nested ARRAY<INT>/STRUCT<...FLOAT...> (describeCsv's fallback
+    // spelling), whose ABS/CAST predicate fails at execution in both
+    // engines. DESCRIBE-era scalar types never contain '<'.
+    val numericCols = cfg.absTol.fold(Set.empty[String]) { d =>
+      require(d >= 0 && !d.isNaN,
+        s"--abs_tol must be a non-negative number, got $d (a negative or NaN " +
+          "tolerance makes every numeric cell read 1, even bit-identical ones)")
+      val cols = (beforeSchema ++ afterSchema)
+        .filter { case (_, t) => typeClass(t) == "NUMBER" && !t.contains("<") }
+        .map(_._1).toSet
+      require(
+        cols.nonEmpty,
+        "--abs_tol given but the schemas have no scalar NUMBER-classed columns")
+      cols
+    }
     def body(table: String, where: Option[String]): String =
       s"SELECT * FROM $table" + where.map(w => s" WHERE $w").getOrElse("")
     val query = DiffSql.generate(
@@ -176,7 +186,7 @@ object DiffGen {
       afterCols = afterCols,
       dedupDuplicateKeys = cfg.dedupKeys,
       numericAbsTol = cfg.absTol,
-      absTolCols = if (cfg.absTol.isDefined) numericCols else Set.empty)
+      absTolCols = numericCols)
     s"CREATE OR REPLACE TABLE diff_result AS\n$query"
   }
 

@@ -185,6 +185,25 @@ class DiffGenSpec extends AnyFunSuite {
         bt.toString, at.toString, "--keys", kt.toString, "--abs_tol", "0.5")))
     }
     assert(e.getMessage.contains("NUMBER-classed"))
+    // NESTED numeric types must NOT get the predicate: ARRAY<INT>
+    // substring-classes NUMBER, but ABS/CAST over it fails at
+    // execution in both engines — scalar types only
+    val bn = tmpCsv("tol3_before.csv",
+      "name,type\nK1,\"NUMBER(38,0)\"\nVAL,FLOAT\nSCORES,ARRAY<INT>")
+    val an = tmpCsv("tol3_after.csv",
+      "name,type\nK1,\"NUMBER(38,0)\"\nVAL,FLOAT\nSCORES,ARRAY<INT>")
+    val kn = tmpCsv("tol3_keys.csv", "name,type\nK1,\"NUMBER(38,0)\"")
+    val nestedSql = DiffGen.buildSql(DiffGen.parseArgs(Seq(
+      bn.toString, an.toString, "--keys", kn.toString, "--abs_tol", "0.01")))
+    assert(nestedSql.contains("ABS(CAST(b_VAL AS DOUBLE)"))
+    assert(!nestedSql.contains("ABS(CAST(b_SCORES"), "nested types must stay =")
+    // a negative (or NaN) tolerance is a silent everything-differs
+    // misconfiguration — rejected with the consequence named
+    val neg = intercept[IllegalArgumentException] {
+      DiffGen.buildSql(DiffGen.parseArgs(Seq(
+        b.toString, a.toString, "--keys", k.toString, "--abs_tol", "-0.01")))
+    }
+    assert(neg.getMessage.contains("non-negative"), neg.getMessage)
   }
 
   test("dedup mode rejects reserved _dup_* input columns at GENERATION time") {
