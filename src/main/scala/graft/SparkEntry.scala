@@ -126,7 +126,10 @@ object SparkEntry {
     beforeCols = Seq("o_orderkey", "o_totalprice"),
     afterCols = Seq("o_orderkey", "o_totalprice"),
     numericAbsTol = Some(0.01),
-    absTolCols = Set("o_orderkey", "o_totalprice"))
+    // o_orderkey (BIGINT) stays on exact `=` — integer-family columns
+    // left the tolerance in r13 (ADVICE: double-casting exact operands
+    // collapses beyond 2^53); only the DOUBLE column is toleranced
+    absTolCols = Set("o_totalprice"))
 
   private val embeddingsCols = Seq("vec_id", "embedding", "label")
 
@@ -211,6 +214,71 @@ object SparkEntry {
     beforeCols = Seq("o_orderkey", "info"),
     afterCols = Seq("o_orderkey", "info"),
     structuralEqCols = Set("info"))
+
+  /** Type-evolution diff twin (q_diff_typechange, r13): the SAME
+    * column on both sides with DIFFERENT types — the single most
+    * common migration change, which the reference leaves to the
+    * warehouse's implicit coercion (full_compare.sql.j2:82). The
+    * engine pins an explicit widened comparison type instead
+    * ([[graft.operators.SchemaUtils.widen]]), and the oracle spells
+    * the IDENTICAL casts (castTypes), so neither engine's coercion
+    * ever decides a status cell. Planted type changes:
+    *
+    *   - `o_orderkey` INT → BIGINT (the KEY itself type-changes:
+    *     exercises the key-universe cast + widened K_ echo);
+    *   - `price_dec` DECIMAL(15,2) → DECIMAL(18,4), with %11 rows
+    *     drifted +0.0001 — representable ONLY at scale 4, the cell
+    *     a scale-2 comparison would miss — and %7 rows +1.0;
+    *   - `cust_str` INT → STRING, compared TEXTUALLY: %13 rows are
+    *     zero-padded ('0123' vs 123 → status 1, where numeric
+    *     coercion would read 0 — the decisive direction pin), %23
+    *     rows NULL;
+    *   - `event_day` DATE → TIMESTAMP(_NTZ), dates compare at
+    *     midnight: %17 rows +10h → status 1, the rest midnight →
+    *     status 0.
+    *
+    * The after-body is one template instantiated per dialect — the
+    * ONLY divergent token is the NTZ timestamp's type name (Spark
+    * `TIMESTAMP_NTZ`, DuckDB's native `TIMESTAMP`).
+    */
+  private val typechangeBeforeSql: String =
+    """SELECT CAST(o_orderkey AS INTEGER) AS o_orderkey,
+      |  CAST(o_totalprice AS DECIMAL(15,2)) AS price_dec,
+      |  CAST(o_custkey AS INTEGER) AS cust_str,
+      |  CAST(o_orderdate AS DATE) AS event_day
+      |FROM orders""".stripMargin
+
+  private def typechangeAfterSql(ts: String): String =
+    s"""SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       |  CAST(CASE WHEN o_orderkey % 7 = 0 THEN CAST(o_totalprice AS DECIMAL(15,2)) + 1.0
+       |            WHEN o_orderkey % 11 = 0 THEN CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS DECIMAL(18,4)) + 0.0001
+       |            ELSE CAST(o_totalprice AS DECIMAL(15,2)) END AS DECIMAL(18,4)) AS price_dec,
+       |  CASE WHEN o_orderkey % 23 = 0 THEN CAST(NULL AS STRING)
+       |       WHEN o_orderkey % 13 = 0 THEN concat('0', CAST(o_custkey AS STRING))
+       |       ELSE CAST(o_custkey AS STRING) END AS cust_str,
+       |  CASE WHEN o_orderkey % 17 = 0 THEN CAST(CAST(o_orderdate AS DATE) AS $ts) + INTERVAL '10' HOUR
+       |       ELSE CAST(CAST(o_orderdate AS DATE) AS $ts) END AS event_day
+       |FROM orders WHERE o_orderkey % 29 <> 0
+       |UNION ALL
+       |SELECT CAST(-o_orderkey AS BIGINT),
+       |  CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS DECIMAL(18,4)),
+       |  CAST(o_custkey AS STRING),
+       |  CAST(CAST(o_orderdate AS DATE) AS $ts)
+       |FROM orders WHERE o_orderkey % 31 = 0""".stripMargin
+
+  private val typechangeCols = Seq("o_orderkey", "price_dec", "cust_str", "event_day")
+
+  private val typechangeDiffSql: String = DiffSql.generate(
+    beforeBody = typechangeBeforeSql,
+    afterBody = typechangeAfterSql("TIMESTAMP"),
+    keys = Seq("o_orderkey"),
+    beforeCols = typechangeCols,
+    afterCols = typechangeCols,
+    castTypes = Map(
+      "o_orderkey" -> "BIGINT",
+      "price_dec" -> "DECIMAL(18,4)",
+      "cust_str" -> "STRING",
+      "event_day" -> "TIMESTAMP"))
 
   /** Legacy `_row_status = 0` twin of [[ordersDiffSql]] — the
     * reference's own version-skew trap (SURVEY §0 trap 1: README.md:189
@@ -392,6 +460,44 @@ object SparkEntry {
           s.sql(tolBeforeSql), s.sql(tolAfterSql), Seq("o_orderkey"),
           opts = DiffOptions(numericAbsTol = Some(0.01)))
         .orderBy("K_o_orderkey")
+    }),
+    "q_diff_typechange" -> ((s, dir) => {
+      // type-evolution diff (r13): INT→BIGINT key, DECIMAL(15,2)→
+      // (18,4), INT→STRING (textual pin: '0123' ≠ 123), DATE→
+      // TIMESTAMP_NTZ — each compared under the EXPLICIT widened type
+      // (SchemaUtils.widen); the oracle spells the identical casts,
+      // so neither engine's implicit coercion decides a cell
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      TableDiff
+        .diff(
+          s.sql(typechangeBeforeSql),
+          s.sql(typechangeAfterSql("TIMESTAMP_NTZ")),
+          Seq("o_orderkey"))
+        .orderBy("K_o_orderkey")
+    }),
+    "q_schema_drift" -> ((s, dir) => {
+      // first-class schema-drift report (r13): columns added/dropped/
+      // type-changed (+ the widened comparison type a diff would use,
+      // NULL for the incompatible pair the diff fails fast on) — pure
+      // schema computation, NO data scan: costs the same at 100 TB
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      val before = s.sql(
+        """SELECT CAST(o_orderkey AS INTEGER) AS o_orderkey,
+          |  CAST(o_totalprice AS DECIMAL(15,2)) AS price_dec,
+          |  CAST(o_custkey AS INTEGER) AS cust_str,
+          |  CAST(o_orderdate AS DATE) AS event_day,
+          |  o_orderpriority AS legacy_col,
+          |  array(CAST(1 AS INT)) AS blob
+          |FROM orders""".stripMargin)
+      val after = s.sql(
+        """SELECT o_orderkey,
+          |  CAST(o_totalprice AS DECIMAL(18,4)) AS price_dec,
+          |  CAST(o_custkey AS STRING) AS cust_str,
+          |  CAST(o_orderdate AS TIMESTAMP_NTZ) AS event_day,
+          |  o_orderstatus AS new_col,
+          |  CAST(NULL AS DOUBLE) AS blob
+          |FROM orders""".stripMargin)
+      graft.operators.DiffSummary.schemaDrift(before, after).orderBy("column")
     }),
     "q_diff_arrays" -> ((s, dir) => {
       // the one type family the diff engine had never touched: an
@@ -1580,6 +1686,22 @@ object SparkEntry {
       s"$ordersDiffSql\nORDER BY K_o_orderkey",
     "q_diff_tolerance" ->
       s"$toleranceDiffSql\nORDER BY K_o_orderkey",
+    "q_diff_typechange" ->
+      s"$typechangeDiffSql\nORDER BY K_o_orderkey",
+    "q_schema_drift" ->
+      // literal-expectation oracle: schemaDrift is a pure schema
+      // computation (no data scan), so the oracle IS the pinned
+      // expected report — Spark catalogString spellings on both sides
+      """SELECT * FROM (VALUES
+        |  ('blob', 'array<int>', 'double', 'type_changed_incompatible', CAST(NULL AS VARCHAR)),
+        |  ('cust_str', 'int', 'string', 'type_changed', 'string'),
+        |  ('event_day', 'date', 'timestamp_ntz', 'type_changed', 'timestamp_ntz'),
+        |  ('legacy_col', 'string', CAST(NULL AS VARCHAR), 'dropped', CAST(NULL AS VARCHAR)),
+        |  ('new_col', CAST(NULL AS VARCHAR), 'string', 'added', CAST(NULL AS VARCHAR)),
+        |  ('o_orderkey', 'int', 'bigint', 'type_changed', 'bigint'),
+        |  ('price_dec', 'decimal(15,2)', 'decimal(18,4)', 'type_changed', 'decimal(18,4)')
+        |) AS t("column", before_type, after_type, change, common_type)
+        |ORDER BY "column"""".stripMargin,
     "q_diff_arrays" ->
       s"$arraysDiffSql\nORDER BY K_vec_id",
     "q_diff_maps" ->

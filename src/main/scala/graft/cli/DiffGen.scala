@@ -137,6 +137,42 @@ object DiffGen {
     else "TEXT"
   }
 
+  /** DESCRIBE-era type string → Spark DataType, for the type-change
+    * widening mirror ([[graft.operators.SchemaUtils.widen]] drives
+    * both the native operator and this CLI path from ONE matrix).
+    * Partial inverse of [[describeCsv]] — DESCRIBE collapses every
+    * integral to NUMBER(38,0), so integrals come back as exact
+    * decimals, which widen identically. None = unknown/unmapped
+    * (structured CSV-era spellings): such a column fails fast if its
+    * type CHANGED, and is left untouched otherwise.
+    */
+  private[cli] def parseCsvType(t: String): Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    val u = t.trim.toUpperCase
+    val decimal = """(?:NUMBER|DECIMAL|NUMERIC)\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)""".r
+    u match {
+      case decimal(p, s) => Some(DecimalType(p.toInt, Option(s).map(_.toInt).getOrElse(0)))
+      case "NUMBER" | "DECIMAL" | "NUMERIC" => Some(DecimalType(38, 0))
+      case "TINYINT" => Some(ByteType)
+      case "SMALLINT" => Some(ShortType)
+      case "INT" | "INTEGER" => Some(IntegerType)
+      case "BIGINT" => Some(LongType)
+      case "FLOAT" | "FLOAT4" | "FLOAT8" | "DOUBLE" | "REAL" | "DOUBLE PRECISION" =>
+        Some(DoubleType)
+      case "BOOLEAN" => Some(BooleanType)
+      case "DATE" => Some(DateType)
+      case s if s.startsWith("VARCHAR") || s.startsWith("CHAR") ||
+          s.startsWith("TEXT") || s == "STRING" => Some(StringType)
+      case s if s.startsWith("TIMESTAMP_NTZ") || s == "TIMESTAMP" ||
+          s.startsWith("TIMESTAMP(") || s.startsWith("DATETIME") =>
+        Some(TimestampNTZType)
+      case s if s.startsWith("TIMESTAMP_LTZ") || s.startsWith("TIMESTAMP_TZ") =>
+        Some(TimestampType)
+      case s if s.startsWith("BINARY") => Some(BinaryType)
+      case _ => None
+    }
+  }
+
   /** Table-name inference (G4, diffgen.py:86-94): CSV filename stem,
     * `_` → `.` (e.g. example_before.csv → example.before).
     */
@@ -164,18 +200,57 @@ object DiffGen {
     // nested ARRAY<INT>/STRUCT<...FLOAT...> (describeCsv's fallback
     // spelling), whose ABS/CAST predicate fails at execution in both
     // engines. DESCRIBE-era scalar types never contain '<'.
-    val numericCols = cfg.absTol.fold(Set.empty[String]) { d =>
-      require(d >= 0 && !d.isNaN,
-        s"--abs_tol must be a non-negative number, got $d (a negative or NaN " +
-          "tolerance makes every numeric cell read 1, even bit-identical ones)")
-      val cols = (beforeSchema ++ afterSchema)
+    // FLOAT-family columns get the double-cast spelling; NUMBER/
+    // DECIMAL/INT-family columns get the exact native-subtraction
+    // spelling (ADVICE r12: double-casting exact-typed OPERANDS
+    // collapses distinct values beyond 2^53 — NUMBER(38,0) is the
+    // DESCRIBE spelling of both integers and wide decimals, so the
+    // CSV path cannot and need not distinguish them).
+    val (floatCols, exactCols) = cfg.absTol.fold(
+      (Set.empty[String], Set.empty[String])) { d =>
+      DiffSql.validateAbsTol(d, "--abs_tol")
+      val scalars = (beforeSchema ++ afterSchema)
         .filter { case (_, t) => typeClass(t) == "NUMBER" && !t.contains("<") }
-        .map(_._1).toSet
+      val (fl, ex) = scalars.partition { case (_, t) =>
+        val u = t.toUpperCase
+        Seq("FLOAT", "DOUBLE", "REAL").exists(u.contains)
+      }
       require(
-        cols.nonEmpty,
+        scalars.nonEmpty,
         "--abs_tol given but the schemas have no scalar NUMBER-classed columns")
-      cols
+      (fl.map(_._1).toSet, ex.map(_._1).toSet)
     }
+    // type-evolution mirror (r13): a column on BOTH sides whose CSV
+    // types differ gets explicit casts to the widened common type
+    // (SchemaUtils.widen — the same matrix the native operator uses),
+    // and FAILS FAST with the type pair + remedy where none exists —
+    // the reference leaves this to the warehouse's implicit coercion
+    // (full_compare.sql.j2:82), exactly the cross-engine seam this
+    // engine pins instead.
+    val afterTypes = afterSchema.toMap
+    val castTypes: Map[String, String] = beforeSchema.flatMap { case (c, bt) =>
+      afterTypes.get(c).filter(at => !at.equalsIgnoreCase(bt)).map { at =>
+        import graft.operators.SchemaUtils
+        (parseCsvType(bt), parseCsvType(at)) match {
+          case (Some(bdt), Some(adt))
+              if SchemaUtils.sameTypeIgnoringNullability(bdt, adt) =>
+            None // spelling drift only (NUMBER(10,0) vs DECIMAL(10,0))
+          case (Some(bdt), Some(adt)) =>
+            SchemaUtils.widen(bdt, adt) match {
+              case Some(w) => Some(c -> SchemaUtils.sqlTypeName(w))
+              case None => throw new IllegalArgumentException(
+                s"column '$c' changed type incomparably: $bt (before) vs $at (after) — " +
+                  "no lossless, engine-independent common type exists for this pair; " +
+                  "cast one side explicitly before diffing (or drop the column from " +
+                  "both sides)")
+            }
+          case _ => throw new IllegalArgumentException(
+            s"column '$c' changed type but at least one spelling is not a " +
+              s"recognized DESCRIBE-era scalar type: $bt (before) vs $at (after) — " +
+              "cast one side explicitly before diffing")
+        }
+      }
+    }.flatten.toMap
     def body(table: String, where: Option[String]): String =
       s"SELECT * FROM $table" + where.map(w => s" WHERE $w").getOrElse("")
     val query = DiffSql.generate(
@@ -186,7 +261,9 @@ object DiffGen {
       afterCols = afterCols,
       dedupDuplicateKeys = cfg.dedupKeys,
       numericAbsTol = cfg.absTol,
-      absTolCols = numericCols)
+      absTolCols = floatCols,
+      absTolDecimalCols = exactCols,
+      castTypes = castTypes)
     s"CREATE OR REPLACE TABLE diff_result AS\n$query"
   }
 

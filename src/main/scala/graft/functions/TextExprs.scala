@@ -68,9 +68,10 @@ object TextExprs {
     * word hashes — each word is hashed ONCE, not once per shingle it
     * appears in (3× cheaper at n=3 than hashing shingle strings).
     * Order-independent consumers only (min/sum/count/join) — the two
-    * engines' distinct() orderings differ. Caller must pre-filter rows
-    * with fewer than n words (Spark's `sequence` runs backwards on
-    * negative spans).
+    * engines' distinct() orderings differ. Rows with fewer than n
+    * words yield the empty list, matching the DuckDB twin (r13: the
+    * guard moved into the expression; callers no longer need the
+    * pre-filter, though the oracled queries keep theirs).
     */
   def shingleHashesSpark(w: String, n: Int): String = {
     val wh = wordHashArraySpark(w)
@@ -78,7 +79,12 @@ object TextExprs {
   }
   def shingleHashesFromWordHashesSpark(wh: String, n: Int): String = {
     val combine = (1 until n).foldLeft(s"$wh[i]")((acc, j) => s"(($acc) * 31 + $wh[i + $j]) % $P")
-    s"array_distinct(transform(sequence(0, size($wh) - $n), i -> $combine))"
+    // guarded for size < n: Spark's sequence(0, negative) runs
+    // BACKWARDS (emitting junk windows with null element accesses)
+    // where the DuckDB twin's range() is empty — the CASE pins both
+    // engines to the empty list (ADVICE r12)
+    s"CASE WHEN size($wh) < $n THEN CAST(array() AS ARRAY<BIGINT>) " +
+      s"ELSE array_distinct(transform(sequence(0, size($wh) - $n), i -> $combine)) END"
   }
   /** DuckDB twin — takes a *materialized* word-hash list column (use a
     * CTE stage for the word hashes first, mirroring the Spark persist).
@@ -100,7 +106,10 @@ object TextExprs {
   def positionalShingleHashesSpark(wh: String, n: Int, mult: Long): String = {
     val combine =
       (1 until n).foldLeft(s"$wh[i]")((acc, j) => s"(($acc) * $mult + $wh[i + $j]) % $P")
-    s"transform(sequence(0, size($wh) - $n), i -> $combine)"
+    // same size-guard as shingleHashesFromWordHashesSpark: the DuckDB
+    // twin's range() is empty-safe, Spark's sequence() is not
+    s"CASE WHEN size($wh) < $n THEN CAST(array() AS ARRAY<BIGINT>) " +
+      s"ELSE transform(sequence(0, size($wh) - $n), i -> $combine) END"
   }
   def positionalShingleHashesDuck(wh: String, n: Int, mult: Long): String = {
     val combine =

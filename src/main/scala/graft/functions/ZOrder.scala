@@ -192,11 +192,30 @@ object ZLayout {
 
   private def writeClusteredWith(
       df: DataFrame, path: String, cluster: DataFrame => DataFrame): Unit = {
-    cluster(df).write.mode("overwrite").parquet(s"$path/base")
-    val f = fsOf(df.sparkSession, path)
-    f.delete(new Path(s"$path/tail"), true)
-    (subdirs(f, path, "merging_") ++ subdirs(f, path, "base_next") ++
-      subdirs(f, path, "base_old_")).foreach(f.delete(_, true))
+    // Full replacement rides the SAME crash-safe swap as the
+    // re-cluster cadence (ADVICE r12: the previous overwrite-then-
+    // clean order had a window where a crash — or a concurrent read —
+    // between the base overwrite and the tail deletion served the new
+    // base plus the OLD generation's stale tail, a mixed-generation
+    // result). Protocol: finish/discard any in-flight swap, snapshot
+    // the tail aside as merging_* (reads keep serving the complete old
+    // generation), materialize the new generation FULLY at base_next,
+    // then rollForward commits — discarding the snapshot (replacement
+    // means those rows are superseded by `df`) and swapping via
+    // checked renames. Every crash point lands in a recover()-decidable
+    // state: old generation intact, or new generation committed.
+    val spark = df.sparkSession
+    val f = fsOf(spark, path)
+    recover(spark, path)
+    val tail = new Path(s"$path/tail")
+    if (f.exists(tail)) {
+      val merging = new Path(
+        s"$path/merging_${java.util.UUID.randomUUID().toString.take(8)}")
+      if (!f.rename(tail, merging))
+        throw new java.io.IOException(s"could not snapshot $path/tail for replacement")
+    }
+    cluster(df).write.mode("overwrite").parquet(s"$path/base_next")
+    rollForward(f, path)
   }
 
   /** The whole table: clustered base, any appended tail, and any

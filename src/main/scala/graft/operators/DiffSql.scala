@@ -62,6 +62,29 @@ object DiffSql {
     *                    (float→double is exact and the subtraction is
     *                    the same IEEE op in both engines; NaN reads
     *                    status 1 in this mode, identically in both).
+    * @param absTolDecimalCols DECIMAL columns under the tolerance:
+    *                    spelled `CAST(ABS(b - a) AS DOUBLE) <= tol` —
+    *                    the subtraction runs in NATIVE DECIMAL (exact
+    *                    in both engines; both widen precision by one,
+    *                    capped at 38), and only the already-small
+    *                    difference is double-cast. The plain
+    *                    `absTolCols` spelling double-casts each SIDE
+    *                    first, which collapses distinct DECIMAL values
+    *                    beyond 2^53 into "equal" (ADVICE r12) — for
+    *                    exact types the operand cast must come AFTER
+    *                    the subtraction.
+    * @param castTypes   columns that exist on BOTH sides with
+    *                    DIFFERENT types: each side's reference is
+    *                    wrapped `CAST(side.col AS t)` with the widened
+    *                    common type t ([[SchemaUtils.widen]],
+    *                    dual-dialect spelling
+    *                    [[SchemaUtils.sqlTypeName]]), in the
+    *                    projections, the key-universe UNION, and the
+    *                    join conditions — so NEITHER engine's implicit
+    *                    coercion ever decides a status cell or a key
+    *                    match (the reference compares raw columns and
+    *                    lets Snowflake coerce, full_compare.sql.j2:82;
+    *                    this engine pins the type explicitly, r13).
     */
   def generate(
       beforeBody: String,
@@ -75,19 +98,23 @@ object DiffSql {
       structuralEqCols: Set[String] = Set.empty,
       mapEntryEqCols: Set[String] = Set.empty,
       numericAbsTol: Option[Double] = None,
-      absTolCols: Set[String] = Set.empty): String = {
+      absTolCols: Set[String] = Set.empty,
+      absTolDecimalCols: Set[String] = Set.empty,
+      castTypes: Map[String, String] = Map.empty): String = {
     require(
-      absTolCols.isEmpty || numericAbsTol.isDefined,
-      "absTolCols given without numericAbsTol — set the tolerance")
+      (absTolCols.isEmpty && absTolDecimalCols.isEmpty) || numericAbsTol.isDefined,
+      "absTolCols/absTolDecimalCols given without numericAbsTol — set the tolerance")
+    numericAbsTol.foreach(validateAbsTol(_, "numericAbsTol"))
     // the converse is just as silent a trap: TableDiff auto-applies
-    // its tolerance to every numeric column, so a generate() call
+    // its tolerance to every fractional column, so a generate() call
     // that sets the tolerance but no columns would emit an EXACT
     // oracle against a toleranced operator
     require(
-      numericAbsTol.isEmpty || absTolCols.nonEmpty,
-      "numericAbsTol given without absTolCols — list the numeric columns " +
-        "(TableDiff applies the tolerance to every numeric column; spell the " +
-        "same set here)")
+      numericAbsTol.isEmpty || absTolCols.nonEmpty || absTolDecimalCols.nonEmpty,
+      "numericAbsTol given without absTolCols/absTolDecimalCols — list the " +
+        "columns (TableDiff applies the tolerance to every FLOAT/DOUBLE column " +
+        "via absTolCols semantics and every DECIMAL column via " +
+        "absTolDecimalCols semantics; spell the same sets here)")
     val allCols = SchemaUtils.mergeColumns(beforeCols, afterCols)
     val bSet = beforeCols.map(_.toLowerCase).toSet
     val aSet = afterCols.map(_.toLowerCase).toSet
@@ -116,18 +143,31 @@ object DiffSql {
 
     def pad(c: String) =
       paddedTypes.get(c).map(t => s"CAST(NULL AS $t)").getOrElse("NULL")
+    // type-changed columns: every reference to the column is cast to
+    // the widened common type, so the comparison type is pinned, not
+    // engine-coerced (see @param castTypes)
+    def castOf(c: String): Option[String] =
+      castTypes.collectFirst { case (n, t) if n.equalsIgnoreCase(c) => t }
+    def ref(alias: String, c: String): String =
+      castOf(c).map(t => s"CAST($alias.$c AS $t)").getOrElse(s"$alias.$c")
 
+    // plain key list (collapse CTE select/GROUP BY — original types);
+    // the key UNIVERSE select casts type-changed keys to the widened
+    // type so the UNION-distinct and join run under the pinned type
     val keyList = keys.mkString(", ")
+    val keyUniverse = keys
+      .map(k => castOf(k).map(t => s"CAST($k AS $t) AS $k").getOrElse(k))
+      .mkString(", ")
     val kEcho = keys.map(k => s"k.$k AS K_$k").mkString(", ")
     val bProj = allCols
-      .map(c => if (bSet(c.toLowerCase)) s"b.$c AS b_$c" else s"${pad(c)} AS b_$c")
+      .map(c => if (bSet(c.toLowerCase)) s"${ref("b", c)} AS b_$c" else s"${pad(c)} AS b_$c")
       .mkString(",\n    ")
     val aProj = allCols
-      .map(c => if (aSet(c.toLowerCase)) s"a.$c AS a_$c" else s"${pad(c)} AS a_$c")
+      .map(c => if (aSet(c.toLowerCase)) s"${ref("a", c)} AS a_$c" else s"${pad(c)} AS a_$c")
       .mkString(",\n    ")
     def joinCond(alias: String) =
       keys
-        .map(k => s"$alias.$k IS NOT DISTINCT FROM k.$k")
+        .map(k => s"${ref(alias, k)} IS NOT DISTINCT FROM k.$k")
         .mkString(" AND ")
 
     val k0 = keys.head
@@ -139,6 +179,10 @@ object DiffSql {
             s"array_sort(map_entries(b_$c)) IS NOT DISTINCT FROM array_sort(map_entries(a_$c))"
           else if (structuralEqCols.exists(_.equalsIgnoreCase(c)))
             s"b_$c IS NOT DISTINCT FROM a_$c"
+          else if (absTolDecimalCols.exists(_.equalsIgnoreCase(c)))
+            // exact-type spelling: subtract in native DECIMAL, cast
+            // only the (small) difference to DOUBLE — see @param
+            s"CAST(ABS(b_$c - a_$c) AS DOUBLE) <= ${numericAbsTol.get}"
           else if (absTolCols.exists(_.equalsIgnoreCase(c)))
             // [[DiffOptions.numericAbsTol]]'s spelling: double-cast
             // both sides, same IEEE subtraction in both engines
@@ -189,9 +233,9 @@ object DiffSql {
        |), after_t AS (
        |$afterBody
        |)$collapseCtes, all_keys AS (
-       |  SELECT $keyList FROM $bFrom
+       |  SELECT $keyUniverse FROM $bFrom
        |  UNION
-       |  SELECT $keyList FROM $aFrom
+       |  SELECT $keyUniverse FROM $aFrom
        |), joined AS (
        |  SELECT $kEcho,
        |    $bProj,
@@ -217,6 +261,22 @@ object DiffSql {
     * flattenable. (Naive about `--` inside string literals, same as
     * the reference.)
     */
+  /** The ONE tolerance guard shared by all three entry points —
+    * [[generate]], [[TableDiff.diff]], and the CLI
+    * ([[graft.cli.DiffGen]]). A negative or NaN tolerance makes every
+    * numeric cell read status 1 (even bit-identical values, since
+    * `|b−a| <= tol` is false for tol < 0 and NEVER true against NaN);
+    * +Infinity makes every pair read status 0. Both are silent
+    * misconfigurations, so every entry point rejects them (ADVICE
+    * r12: the guard previously lived only on the CLI path).
+    */
+  private[graft] def validateAbsTol(t: Double, flag: String): Unit =
+    require(
+      t >= 0 && !t.isNaN && !t.isInfinity,
+      s"$flag must be a finite non-negative number, got $t (negative/NaN " +
+        "reads every numeric cell as status 1 even when bit-identical; " +
+        "+Infinity reads every pair as status 0)")
+
   def flatten(sql: String): String =
     sql.linesIterator
       .map(_.replaceAll("--.*$", "").trim)

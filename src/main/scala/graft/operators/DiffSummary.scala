@@ -89,6 +89,49 @@ object DiffSummary {
   def profileDrift(before: DataFrame, after: DataFrame, approx: Boolean = false): DataFrame =
     profile(before, "b_", approx).crossJoin(profile(after, "a_", approx))
 
+  /** First-class schema-drift report (r13): one row per column that
+    * was added, dropped, or type-changed between the two relations —
+    * the report [[profileDrift]] cannot give (value-level counts are
+    * blind to a type change that preserves values). Pure schema
+    * computation: NO data scan, the result is a literal local
+    * relation, so it costs the same at 100 TB as at 100 rows.
+    *
+    * `change` is one of `added` / `dropped` / `type_changed` /
+    * `type_changed_incompatible`; `common_type` is the
+    * [[SchemaUtils.widen]]ed comparison type a diff would use
+    * (NULL for added/dropped, and for the incompatible case — which
+    * is exactly the pair [[TableDiff.diff]] fails fast on, so this
+    * report is where a user SEES that case without triggering it).
+    * Unchanged columns are not listed; nullability-only differences
+    * are not a type change (file-source reads force nullable).
+    */
+  def schemaDrift(before: DataFrame, after: DataFrame): DataFrame = {
+    val spark = before.sparkSession
+    import spark.implicits._
+    val b = before.schema
+    val a = after.schema
+    def typeOf(s: org.apache.spark.sql.types.StructType, n: String) =
+      s.fields.find(_.name.equalsIgnoreCase(n)).map(_.dataType)
+    val rows = SchemaUtils
+      .mergeColumns(b.fieldNames.toSeq, a.fieldNames.toSeq)
+      .flatMap { c =>
+        (typeOf(b, c), typeOf(a, c)) match {
+          case (Some(bt), Some(at))
+              if !SchemaUtils.sameTypeIgnoringNullability(bt, at) =>
+            val w = SchemaUtils.widen(bt, at)
+            Some((c, bt.catalogString, at.catalogString,
+              if (w.isDefined) "type_changed" else "type_changed_incompatible",
+              w.map(_.catalogString).orNull))
+          case (Some(bt), None) =>
+            Some((c, bt.catalogString, null: String, "dropped", null: String))
+          case (None, Some(at)) =>
+            Some((c, null: String, at.catalogString, "added", null: String))
+          case _ => None
+        }
+      }
+    rows.toDF("column", "before_type", "after_type", "change", "common_type")
+  }
+
   /** V6: status-code → human label decode for one status column
     * (samples/setup_all.sql:89-117). Pure `when` chain — codegen'd,
     * no UDF.

@@ -74,17 +74,27 @@ import org.apache.spark.sql.types.MetadataBuilder
   *   it's opt-in, and the contract (one row per key, min
   *   representative, counts) is exactly what the emitted oracle SQL
   *   pins ([[DiffSql.generate]] with `dedupDuplicateKeys = true`).
-  * @param numericAbsTol when set, every NUMERIC column's status cell
-  *   treats values within `|b − a| ≤ tol` as equal (status 0) —
+  * @param numericAbsTol when set, every FRACTIONAL column's status
+  *   cell treats values within `|b − a| ≤ tol` as equal (status 0) —
   *   the feature-table ask: re-computed floats differ in trailing
-  *   digits without being DIFFERENT. Both sides are cast to DOUBLE
-  *   before subtracting (float→double is exact, and the identical
-  *   IEEE arithmetic runs in any engine), and NaN on either side is
-  *   status 1 in tolerance mode — NaN's distance is not ≤ tol, and
-  *   both engines agree (exact mode keeps NaN = NaN as 0). NOT
-  *   reference semantics (native per-type `=`), so it's opt-in;
-  *   [[DiffSql.generate]] spells the identical predicate via
-  *   `absTolCols`.
+  *   digits without being DIFFERENT. FLOAT/DOUBLE columns are cast to
+  *   DOUBLE before subtracting (float→double is exact, and the
+  *   identical IEEE arithmetic runs in any engine); DECIMAL columns
+  *   subtract in NATIVE DECIMAL — exact — and only the difference is
+  *   double-cast (double-casting the OPERANDS collapses distinct
+  *   values beyond 2^53 into "equal", ADVICE r12; the remaining
+  *   bound: a DECIMAL(38,s) subtraction cannot widen past 38, so two
+  *   operands whose difference needs 39 digits overflow — at which
+  *   point they differ by ≥ 10^37 and any practical tolerance run
+  *   fails loudly under ANSI rather than mis-coding). NaN on either
+  *   side is status 1 in tolerance mode — NaN's distance is not
+  *   ≤ tol, and both engines agree (exact mode keeps NaN = NaN as 0).
+  *   INTEGER-family columns stay on exact `=`: integers carry no
+  *   recomputation noise, and their double-cast is the 2^53 trap.
+  *   NOT reference semantics (native per-type `=`), so it's opt-in;
+  *   [[DiffSql.generate]] spells the identical predicates via
+  *   `absTolCols`/`absTolDecimalCols`. The tolerance must be finite
+  *   and non-negative (shared guard [[DiffSql.validateAbsTol]]).
   */
 final case class DiffOptions(
     legacyRowStatusZero: Boolean = false,
@@ -159,6 +169,7 @@ object TableDiff {
       afterWhere: Option[String] = None,
       opts: DiffOptions = DiffOptions()): DataFrame = {
     require(keys.nonEmpty, "at least one key column is required")
+    opts.numericAbsTol.foreach(DiffSql.validateAbsTol(_, "DiffOptions.numericAbsTol"))
 
     // O2: opaque per-side WHERE strings, parsed by Catalyst
     // (reference injects them verbatim — full_compare.sql.j2:14-15,19-20)
@@ -248,11 +259,20 @@ object TableDiff {
       else allCols
 
     // O6: per-side projection aligned to the union schema, with
-    // literal-NULL padding for columns absent on that side
+    // literal-NULL padding for columns absent on that side. A column
+    // present on BOTH sides with different types is EXPLICITLY cast to
+    // the widened common type (SchemaUtils.mergeColumnTypes — r13): the
+    // widening matrix is lossless by construction, so the cast never
+    // changes a value, it only pins which type the status cell's `=`
+    // runs under (previously each engine's implicit coercion decided).
     def aligned(df: DataFrame, prefix: String): DataFrame =
       df.select(allCols.map { case (c, dt) =>
-        if (df.columns.exists(_.equalsIgnoreCase(c))) col(c).as(prefix + c)
-        else lit(null).cast(dt).as(prefix + c)
+        df.schema.fields.find(_.name.equalsIgnoreCase(c)) match {
+          case Some(f) if SchemaUtils.sameTypeIgnoringNullability(f.dataType, dt) =>
+            col(c).as(prefix + c)
+          case Some(_) => col(c).cast(dt).as(prefix + c)
+          case None => lit(null).cast(dt).as(prefix + c)
+        }
       }: _*)
     val bAligned = aligned(bc, "b_")
     val aAligned = aligned(ac, "a_")
@@ -327,12 +347,19 @@ object TableDiff {
       val valueEq = dt match {
         case _: org.apache.spark.sql.types.MapType =>
           array_sort(map_entries(bc)) === array_sort(map_entries(ac))
-        case _: org.apache.spark.sql.types.NumericType
+        case org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType
             if opts.numericAbsTol.isDefined =>
           // see DiffOptions.numericAbsTol: double-cast both sides so
           // the subtraction is the same IEEE op in every engine
           abs(bc.cast("double") - ac.cast("double")) <=
             lit(opts.numericAbsTol.get)
+        case _: org.apache.spark.sql.types.DecimalType
+            if opts.numericAbsTol.isDefined =>
+          // exact types subtract NATIVELY (ADVICE r12: double-casting
+          // the operands collapses distinct values beyond 2^53); only
+          // the already-small difference is double-cast for the
+          // comparison
+          abs(bc - ac).cast("double") <= lit(opts.numericAbsTol.get)
         case _ => bc === ac
       }
       when(bc.isNull && ac.isNull, Match)

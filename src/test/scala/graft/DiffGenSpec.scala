@@ -156,8 +156,12 @@ class DiffGenSpec extends AnyFunSuite {
       b.toString, a.toString, "--keys", k.toString,
       "--out", out.toString, "--abs_tol", "0.01"))
     val cliSql = Files.readString(out)
-    // NUMBER-classed columns get the ABS predicate, TEXT ones stay =
+    // FLOAT-family columns get the double-cast ABS predicate, exact
+    // NUMBER(p,s) columns the native-subtraction spelling (operand
+    // double-casts collapse distinct values beyond 2^53 — ADVICE r12),
+    // TEXT ones stay =
     assert(cliSql.contains("ABS(CAST(b_VAL AS DOUBLE) - CAST(a_VAL AS DOUBLE)) <= 0.01"))
+    assert(cliSql.contains("CAST(ABS(b_K1 - a_K1) AS DOUBLE) <= 0.01"))
     assert(cliSql.contains("b_NOTE = a_NOTE"))
     // semantics: the emitted SQL executed by Spark ≡ the native
     // toleranced operator (within-tolerance drift reads 0)
@@ -169,7 +173,9 @@ class DiffGenSpec extends AnyFunSuite {
       "SELECT * FROM diffgen_tb",
       "SELECT * FROM diffgen_ta",
       Seq("K1"), Seq("K1", "VAL", "NOTE"), Seq("K1", "VAL", "NOTE"),
-      numericAbsTol = Some(0.01), absTolCols = Set("K1", "VAL"))
+      // the operator tolerances FRACTIONAL columns only (r13): VAL is
+      // the one toleranced column; integral K1 compares exact
+      numericAbsTol = Some(0.01), absTolCols = Set("VAL"))
     val viaSql = spark.sql(sql)
     val viaOperator = TableDiff.diff(before, after, Seq("K1"),
       opts = DiffOptions(upperCase = true, numericAbsTol = Some(0.01)))

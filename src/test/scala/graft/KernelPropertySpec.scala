@@ -109,4 +109,30 @@ class KernelPropertySpec extends AnyFunSuite {
               |  g -> struct(g AS key, CAST(size(filter($grams, x -> x = g)) AS INT) AS value)))""".stripMargin.replace("\n", " "),
         "bigrams")))
   }
+
+  test("shingle hash builders yield the EMPTY list below n tokens, matching the DuckDB twin (ADVICE r12)") {
+    import spark.implicits._
+    import graft.functions.TextExprs
+    graft.functions.PolyHash.register(spark) // wordHashArraySpark uses poly_hash
+    // Spark's sequence(0, negative) runs BACKWARDS — unguarded, a
+    // 2-token row under n=3 emitted junk windows with null element
+    // accesses where DuckDB's range() is empty. The guard pins both
+    // builders to the empty list; at size ≥ n values are unchanged.
+    val df = Seq(
+      (1L, Seq("a", "b")),            // size 2 < n=3 → empty
+      (2L, Seq.empty[String]),        // size 0 → empty
+      (3L, Seq("a", "b", "c")),       // size 3 = n → exactly one window
+      (4L, Seq("a", "b", "c", "d"))   // size 4 → two windows
+    ).toDF("id", "w")
+    val out = df.select(
+      col("id"),
+      expr(TextExprs.shingleHashesFromWordHashesSpark(TextExprs.wordHashArraySpark("w"), 3)).as("sh"),
+      expr(TextExprs.positionalShingleHashesSpark(TextExprs.wordHashArraySpark("w"), 3, 31L)).as("pos"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getSeq[Long](2))).toMap
+    assert(out(1)._1.isEmpty && out(1)._2.isEmpty, "2 tokens under n=3 must be empty")
+    assert(out(2)._1.isEmpty && out(2)._2.isEmpty, "0 tokens must be empty")
+    assert(out(3)._1.size == 1 && out(3)._2.size == 1)
+    assert(out(4)._2.size == 2 && out(4)._2.head == out(3)._2.head,
+      "guard must not disturb the ≥ n windows (positional prefix stable)")
+  }
 }

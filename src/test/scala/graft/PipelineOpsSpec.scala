@@ -307,6 +307,53 @@ class PipelineOpsSpec extends AnyFunSuite {
       "complete generation rolled forward, appended rows intact")
   }
 
+  test("ZLayout: full replacement over a live tail is crash-safe — never a mixed-generation read (ADVICE r12)") {
+    import spark.implicits._
+    import graft.functions.ZLayout
+    val dir = java.nio.file.Files.createTempDirectory("zreplace").toString + "/t"
+    val gen1 = (for { x <- 0L until 16L; y <- 0L until 16L } yield (x, y)).toDF("x", "y")
+    val tailRows = Seq((500L, 500L), (501L, 501L)).toDF("x", "y")
+    ZLayout.writeClustered(gen1, dir, "x", "y", numFiles = 4)
+    ZLayout.append(tailRows, dir, appendTasks = 1)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$dir/$s")
+
+    // happy path: replacement = EXACTLY the new rows, all scaffolding
+    // cleared — the old overwrite-then-clean order had a window where
+    // the new base and the stale tail were served together
+    val gen2 = (for { x <- 100L until 110L; y <- 100L until 110L } yield (x, y)).toDF("x", "y")
+    ZLayout.writeClustered(gen2, dir, "x", "y", numFiles = 4)
+    assert(ZLayout.read(spark, dir).count() == gen2.count(),
+      "replacement must serve exactly the new generation — no stale tail rows")
+    assert(!fs.exists(p("tail")) && subdirs(fs, dir, "merging_").isEmpty &&
+      !fs.exists(p("base_next")) && subdirs(fs, dir, "base_old_").isEmpty)
+
+    // crash mid-replacement: tail snapshotted aside, base_next only
+    // PARTIAL (no _SUCCESS) — the protocol must serve the complete OLD
+    // generation throughout, and recover() must restore it fully
+    ZLayout.append(tailRows, dir, appendTasks = 1)
+    val liveTotal = gen2.count() + tailRows.count()
+    assert(fs.rename(p("tail"), p("merging_crashR")))
+    fs.mkdirs(p("base_next"))
+    val junk = fs.create(new org.apache.hadoop.fs.Path(p("base_next"), "part-00000.parquet"))
+    junk.write(Array[Byte](9, 9)); junk.close()
+    assert(ZLayout.read(spark, dir).count() == liveTotal,
+      "mid-replacement reads serve the complete old generation, never base_next")
+    ZLayout.recover(spark, dir)
+    assert(ZLayout.read(spark, dir).count() == liveTotal,
+      "aborted replacement restores the old generation in full")
+    // and the next replacement still commits atomically
+    ZLayout.writeClustered(gen1, dir, "x", "y", numFiles = 4)
+    assert(ZLayout.read(spark, dir).count() == gen1.count())
+  }
+
+  private def subdirs(fs: org.apache.hadoop.fs.FileSystem, dir: String, prefix: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName).filter(_.startsWith(prefix)).toSeq
+  }
+
   test("clusterByZ rejects a dimension spanning more than half the Long domain") {
     import spark.implicits._
     // mx - mn overflows signed 64 bits here; unchecked arithmetic

@@ -405,6 +405,139 @@ class TableDiffSpec extends AnyFunSuite {
     assert(e.getMessage.contains("numericAbsTol"))
   }
 
+  test("numericAbsTol: negative/NaN/Infinity rejected at every entry point (ADVICE r12)") {
+    val t = Seq((1, 1.0)).toDF("k", "v")
+    // negative/NaN code every numeric cell 1 even when bit-identical;
+    // +Infinity codes every pair 0 — all three are silent
+    // misconfigurations, so diff(), generate(), and the CLI share one
+    // guard (DiffSql.validateAbsTol)
+    for (bad <- Seq(-0.01, Double.NaN, Double.PositiveInfinity)) {
+      val e1 = intercept[IllegalArgumentException] {
+        TableDiff.diff(t, t, Seq("k"), opts = DiffOptions(numericAbsTol = Some(bad)))
+      }
+      assert(e1.getMessage.contains("finite non-negative"), s"diff($bad): ${e1.getMessage}")
+      val e2 = intercept[IllegalArgumentException] {
+        graft.operators.DiffSql.generate(
+          "SELECT * FROM b", "SELECT * FROM a", Seq("k"),
+          Seq("k", "v"), Seq("k", "v"),
+          numericAbsTol = Some(bad), absTolCols = Set("v"))
+      }
+      assert(e2.getMessage.contains("finite non-negative"), s"generate($bad): ${e2.getMessage}")
+    }
+    // tol = 0 is a legitimate degenerate tolerance (exact match via
+    // subtraction), not a misconfiguration
+    val z = rowsByKey(
+      TableDiff.diff(t, t, Seq("k"), opts = DiffOptions(numericAbsTol = Some(0.0))), "K_k")
+    assert(z(1).getAs[Int]("v") == 0)
+  }
+
+  test("numericAbsTol: DECIMAL subtracts natively — no 2^53 collapse; integers stay exact (ADVICE r12)") {
+    // two DECIMAL(20,2) values beyond 2^53 differing by exactly 0.01:
+    // the old double-cast-the-operands spelling collapsed them to
+    // "equal" (both round to the same double); native decimal
+    // subtraction keeps the 0.01 visible to the ≤-test
+    val before = Seq((1, BigDecimal("90071992547409930.02")))
+      .toDF("k", "v").select($"k", $"v".cast("decimal(20,2)").as("v"))
+    val after = Seq((1, BigDecimal("90071992547409930.01")))
+      .toDF("k", "v").select($"k", $"v".cast("decimal(20,2)").as("v"))
+    val tight = rowsByKey(
+      TableDiff.diff(before, after, Seq("k"),
+        opts = DiffOptions(numericAbsTol = Some(0.005))), "K_k")
+    assert(tight(1).getAs[Int]("v") == 1, "0.01 apart > 0.005 tol — must read different")
+    val loose = rowsByKey(
+      TableDiff.diff(before, after, Seq("k"),
+        opts = DiffOptions(numericAbsTol = Some(0.02))), "K_k")
+    assert(loose(1).getAs[Int]("v") == 0, "0.01 apart ≤ 0.02 tol — equal under tolerance")
+    // integer-family columns left the tolerance entirely (no
+    // recomputation noise to forgive, and their double-cast is the
+    // same 2^53 trap): BIGINTs 2 apart read 1 even under tol = 5
+    val bi = Seq((1, 9007199254740993L)).toDF("k", "v")
+    val ba = Seq((1, 9007199254740995L)).toDF("k", "v")
+    val ints = rowsByKey(
+      TableDiff.diff(bi, ba, Seq("k"),
+        opts = DiffOptions(numericAbsTol = Some(5.0))), "K_k")
+    assert(ints(1).getAs[Int]("v") == 1, "integral columns are never toleranced")
+  }
+
+  test("type evolution: same column, different types — widened comparison, pinned semantics (r13)") {
+    import org.apache.spark.sql.types._
+    // INT → BIGINT: equal values read 0 under the widened BIGINT,
+    // drifted read 1; the key itself may type-change too
+    val b1 = Seq((1, 10), (2, 20)).toDF("k", "v")
+      .select($"k".cast("int").as("k"), $"v".cast("int").as("v"))
+    val a1 = Seq((1L, 10L), (2L, 21L)).toDF("k", "v")
+    val d1 = TableDiff.diff(b1, a1, Seq("k"))
+    assert(d1.schema("K_k").dataType == LongType, "key echo carries the widened type")
+    val m1 = rowsByKey(d1, "K_k")
+    assert(m1(1L).getAs[Int]("v") == 0 && m1(2L).getAs[Int]("v") == 1)
+
+    // DECIMAL(15,2) → DECIMAL(18,4): same value at different scales is
+    // EQUAL under the widened DECIMAL(18,4); a drift only representable
+    // in the wider scale reads 1
+    val b2 = Seq((1, "123.45"), (2, "7.00")).toDF("k", "v")
+      .select($"k", $"v".cast("decimal(15,2)").as("v"))
+    val a2 = Seq((1, "123.4500"), (2, "7.0001")).toDF("k", "v")
+      .select($"k", $"v".cast("decimal(18,4)").as("v"))
+    val m2 = rowsByKey(TableDiff.diff(b2, a2, Seq("k")), "K_k")
+    assert(m2(1).getAs[Int]("v") == 0, "123.45 ≡ 123.4500 under the widened scale")
+    assert(m2(2).getAs[Int]("v") == 1, "7.00 vs 7.0001 differs — visible only in scale 4")
+
+    // INT → VARCHAR: compared AS STRINGS via explicit cast — '5' = '5'
+    // reads 0, and the decisive pin: INT 5 vs '05' reads 1 (textual,
+    // not numeric, equality — the engine DECIDES rather than letting
+    // each engine's coercion pick a direction)
+    val b3 = Seq((1, 5), (2, 5), (3, 7)).toDF("k", "v")
+    val a3 = Seq((1, "5"), (2, "05"), (3, "8")).toDF("k", "v")
+    val m3 = rowsByKey(TableDiff.diff(b3, a3, Seq("k")), "K_k")
+    assert(m3(1).getAs[Int]("v") == 0 && m3(2).getAs[Int]("v") == 1 &&
+      m3(3).getAs[Int]("v") == 1)
+
+    // DATE → TIMESTAMP_NTZ: dates compare at midnight
+    val b4 = Seq((1, "2024-01-02"), (2, "2024-01-02")).toDF("k", "v")
+      .select($"k", $"v".cast("date").as("v"))
+    val a4 = Seq((1, "2024-01-02 00:00:00"), (2, "2024-01-02 10:30:00")).toDF("k", "v")
+      .select($"k", $"v".cast("timestamp_ntz").as("v"))
+    val m4 = rowsByKey(TableDiff.diff(b4, a4, Seq("k")), "K_k")
+    assert(m4(1).getAs[Int]("v") == 0 && m4(2).getAs[Int]("v") == 1)
+
+    // integral ↔ DECIMAL widens exactly; LONG ↔ DOUBLE widens to
+    // DOUBLE (the documented FLOAT-contract 2^53 bound)
+    assert(graft.operators.SchemaUtils.widen(IntegerType, DecimalType(15, 2))
+      .contains(DecimalType(15, 2)), "13 integer digits already cover INT's 10")
+    assert(graft.operators.SchemaUtils.widen(LongType, DecimalType(10, 4))
+      .contains(DecimalType(23, 4)))
+    assert(graft.operators.SchemaUtils.widen(LongType, DoubleType).contains(DoubleType))
+    assert(graft.operators.SchemaUtils.widen(ByteType, LongType).contains(LongType))
+
+    // incomparable pairs fail FAST with the type pair and a remedy —
+    // never a silently-coerced cell: INT ↔ ARRAY, FLOAT ↔ STRING
+    // (float text forms are engine-dependent), DECIMAL too wide to
+    // hold both exactly
+    val bArr = Seq((1, Seq(1, 2))).toDF("k", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      TableDiff.diff(b3, bArr, Seq("k"))
+    }
+    assert(e1.getMessage.contains("incomparably") && e1.getMessage.contains("'v'"),
+      e1.getMessage)
+    val bF = Seq((1, 1.5f)).toDF("k", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      TableDiff.diff(bF, a3, Seq("k"))
+    }
+    assert(e2.getMessage.contains("incomparably"), e2.getMessage)
+    assert(graft.operators.SchemaUtils.widen(DecimalType(38, 0), DecimalType(38, 4)).isEmpty,
+      "38 integer digits + scale 4 cannot fit DECIMAL(38) — must fail, not truncate")
+
+    // nullability-only differences (incl. nested flags) are NOT a type
+    // change — file-source reads force everything nullable
+    val arrB = Seq((1, Seq(1, 2))).toDF("k", "v") // containsNull = false
+    val arrA = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1, Seq(1, 2)))),
+      StructType(Seq(StructField("k", IntegerType, nullable = true),
+        StructField("v", ArrayType(IntegerType, containsNull = true), nullable = true))))
+    val m5 = rowsByKey(TableDiff.diff(arrB, arrA, Seq("k")), "K_k")
+    assert(m5(1).getAs[Int]("v") == 0)
+  }
+
   test("legacy _row_status=0 convention behind the flag") {
     val before = Seq((1, "a")).toDF("k1", "val")
     val d = TableDiff
