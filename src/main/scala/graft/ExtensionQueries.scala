@@ -78,6 +78,24 @@ object ExtensionQueries {
     s.read.parquet(path)
   }
 
+  /** A fresh scratch directory for a query that builds a written
+    * index/state layout, reclaimed at JVM exit — the [[scratchTable]]
+    * discipline without the caching, because building the state IS
+    * part of what these queries exercise and measure.
+    */
+  private def freshStateDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix).toAbsolutePath
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      } catch { case _: Throwable => () }))
+    p.toString
+  }
+
   /** Public-suffix-list fixture for q_url_psl_full, in the REAL
     * publicsuffix.org file format (comment lines, blanks, a wildcard
     * rule and its exception) so the query also exercises
@@ -411,6 +429,65 @@ object ExtensionQueries {
       }
       pairs.orderBy("doc_a", "doc_b")
     }),
+    "q_dedup_ingest_delete" -> ((s, dir) => {
+      // the TAKEDOWN path on persisted dedup state: the corpus's band
+      // rows live in a bucketed catalog table; doc_id % 5 == 0 is
+      // then deleted (tombstoned — O(|deleted|) at write time), and
+      // the planted ingest batch is probed TWICE: once against the
+      // tombstone-masked live view, once after a compaction bakes the
+      // removal into the layout and clears the set. Both stages must
+      // equal an oracle whose corpus literally excludes the deleted
+      // ids — deleted docs provably stop surfacing as candidates, in
+      // both state forms, under one hash. The signature table is
+      // deliberately left untouched: candidate generation is gated by
+      // the band state, and the per-candidate agreement join can only
+      // see ids the candidates carry.
+      graft.functions.PolyHash.register(s)
+      graft.functions.MinHashSig.register(s)
+      val d = Tables.documents(s, dir)
+      val tbl = "graft_band_state_" +
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+          .replaceAll("[^A-Za-z0-9]", "_")
+      val shufKey = "spark.sql.shuffle.partitions"
+      val prevShuf = s.conf.get(shufKey)
+      val out = try {
+        s.conf.set(shufKey, "8")
+        val corpusSigs = Dedup.signatureTable(d).localCheckpoint(true)
+        Dedup.writeBandTable(corpusSigs, tbl, buckets = 8)
+        Dedup.deleteFromBandTable(
+          d.filter(col("doc_id") % 5 === 0).select("doc_id"), tbl)
+        val newBatch = d
+          .filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .unionByName(
+            d.filter(col("doc_id") % 11 === 0)
+              .withColumn("doc_id", col("doc_id") + 2000000L)
+              .withColumn("text", concat(col("text"), lit(" near dup extra tail"))))
+        val newSigs = Dedup.signatureTable(newBatch).localCheckpoint(true)
+        // probe 1 BEFORE compaction: tombstones mask via the live view
+        // (materialized now — the compaction below rewrites the files
+        // this plan reads)
+        val masked = Dedup.minhashPairsAgainstBandTable(
+          newSigs, Dedup.stateTableLive(s, tbl), corpusSigs)
+          .withColumn("stage", lit("tombstoned"))
+          .localCheckpoint(true)
+        Dedup.compactBandTable(s, tbl, buckets = 8)
+        // probe 2 AFTER: the rewrite dropped the rows and cleared the
+        // tombstone set — stateTableLive is now the bare scan
+        val compacted = Dedup.minhashPairsAgainstBandTable(
+          newSigs, Dedup.stateTableLive(s, tbl), corpusSigs)
+          .withColumn("stage", lit("compacted"))
+          .localCheckpoint(true)
+        masked.unionByName(compacted)
+      } finally {
+        s.conf.set(shufKey, prevShuf)
+        s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+        s.sql(s"DROP TABLE IF EXISTS `${tbl}_compact_tmp`")
+        s.sql(s"DROP TABLE IF EXISTS `${tbl}_tombstones`")
+      }
+      out.select("stage", "new_id", "corpus_id", "n_agree")
+        .orderBy("stage", "new_id", "corpus_id")
+    }),
     "q_stream_span_ingest" -> ((s, dir) => {
       // the STREAMING span-ingest loop — [[q_stream_dedup_ingest]]'s
       // shape for substring dedup: the planted span corpus arrives as
@@ -520,42 +597,58 @@ object ExtensionQueries {
         .runToCompletion(agg, outputMode = "append", statePartitions = 4)
         .filter(col("event_type") =!= "sentinel")
         .withColumn("window_start", col("window_start").cast("timestamp_ntz"))
-      // SECOND, characterization-independent pin (the literal-TRUE-
-      // flag pattern): the primary oracle replays the empirically
-      // pinned lag-2 watermark progression — these flags hold under
-      // ANY correct watermark rule, so they gate the semantics even
-      // if that characterization were fit to the wrong model:
-      //   emitted_once — append mode emits each surviving group once;
-      //   ge_early     — rows of the first two arrival slices precede
-      //                  every watermark filter (batches 0/1 see a
-      //                  NULL filter), so no correct rule may drop
-      //                  them: group counts are bounded below;
-      //   le_all       — and above by the full batch aggregate;
-      //   covers_early — every window the early slices populate must
-      //                  be emitted once the sentinels close it.
+      // PRIMARY gate, characterization-INDEPENDENT (r13, retiring the
+      // lag-2 watermark-progression model from the oracle — it now
+      // lives in EventStreamsSpec as an explicit engine-version
+      // characterization). The DuckDB twin is pure batch SQL: one row
+      // per (window, type) group the EARLY arrival slices (0/1)
+      // populate. Those rows precede every watermark filter (batches
+      // 0/1 see a NULL filter), so ANY correct late-data rule must
+      // emit each such group exactly once, with a total row count
+      // between the early contribution and the full-data aggregate —
+      // and for groups the late slices never touch (lo_n = hi_n) the
+      // emitted count and sum must EQUAL the batch aggregate, so
+      // those values are hash-gated exactly with no watermark model
+      // anywhere. Late-only groups (whose membership legitimately
+      // depends on progression) are gated by the global extra_ok
+      // flag: whatever extra groups surface must be single-emission
+      // and bounded by the batch aggregate.
       val winStart = expr(
         "CAST(window(ts, '6 hours').start AS TIMESTAMP_NTZ)").as("window_start")
       val hi = ev
         .groupBy(winStart, col("event_type"))
-        .agg(count(lit(1)).as("hi_n"))
+        .agg(
+          count(lit(1)).as("hi_n"),
+          sum(col("value").cast("decimal(18,4)")).as("hi_sum"))
       val lo = ev
         .filter(pmod(col("event_id"), lit(4)) <= 1)
         .groupBy(winStart, col("event_type"))
         .agg(count(lit(1)).as("lo_n"))
-      val missingEarly =
-        lo.join(out, Seq("window_start", "event_type"), "left_anti").count()
-      val onceW = org.apache.spark.sql.expressions.Window
-        .partitionBy("window_start", "event_type")
-      out
+      val emis = out
+        .groupBy(col("window_start"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_emissions"),
+          sum(col("n_events")).as("emitted_n"),
+          max(col("sum_value")).as("emitted_sum"))
+      val extraBad = emis
+        .join(lo, Seq("window_start", "event_type"), "left_anti")
+        .join(hi, Seq("window_start", "event_type"), "left")
+        .filter(
+          col("hi_n").isNull || col("n_emissions") =!= 1 ||
+            col("emitted_n") > col("hi_n"))
+        .count()
+      lo
         .join(hi, Seq("window_start", "event_type"))
-        .join(lo, Seq("window_start", "event_type"), "left")
-        .withColumn("emitted_once", count(lit(1)).over(onceW) === 1)
-        .withColumn("ge_early", col("n_events") >= coalesce(col("lo_n"), lit(0L)))
-        .withColumn("le_all", col("n_events") <= col("hi_n"))
-        .withColumn("covers_early", lit(missingEarly == 0))
+        .join(emis, Seq("window_start", "event_type"), "left")
         .select(
-          "window_start", "event_type", "n_events", "sum_value",
-          "emitted_once", "ge_early", "le_all", "covers_early")
+          col("window_start"), col("event_type"),
+          when(col("lo_n") === col("hi_n"), col("emitted_n")).as("n_exact"),
+          when(col("lo_n") === col("hi_n"), col("emitted_sum")).as("sum_exact"),
+          col("n_emissions").isNotNull.as("emitted"),
+          (col("n_emissions") === 1).as("emitted_once"),
+          (col("emitted_n") >= col("lo_n")).as("ge_early"),
+          (col("emitted_n") <= col("hi_n")).as("le_all"),
+          lit(extraBad == 0L).as("extra_ok"))
         .orderBy("window_start", "event_type")
     }),
     "q_dedup_clusters" -> ((s, dir) => {
@@ -704,6 +797,58 @@ object ExtensionQueries {
       SimilaritySearch.probe(
           SimilaritySearch.IvfIndex(base.centroids, assignments),
           e.filter(col("vec_id") % 97 === 0))
+        .orderBy("query_id", "rank")
+    }),
+    "q_embed_pq_written" -> ((s, dir) => {
+      // the PERSISTED PQ layout end-to-end — closing the r12 gap
+      // where codebooks/codes were refit inside every query: fit ONCE
+      // on the full corpus, write base codes for two thirds of the
+      // vectors, ingest the remaining third through two
+      // cadence-managed appends (the second trips compaction
+      // mid-query, so the hash also gates probe answers across the
+      // automatic rewrite), then probe from state alone. Encoding is
+      // a pure per-vector function of the frozen codebooks, so the
+      // grown layout probes identically to the one-shot in-memory
+      // path — the oracle is q_embed_pq_topk's VERBATIM.
+      val e = Tables.embeddings(s, dir)
+      val stateDir = freshStateDir("graft_pq_written_")
+      val cb = SimilaritySearch.pqFit(e, m = 16, seedMod = 20)
+      SimilaritySearch.writePqIndex(
+        cb, SimilaritySearch.pqEncode(e.filter(col("vec_id") % 3 =!= 0), cb),
+        stateDir)
+      SimilaritySearch.appendAndMaybeCompactPqIndex(
+        s, stateDir, e.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 === 0),
+        maxFiles = 1000)
+      SimilaritySearch.appendAndMaybeCompactPqIndex(
+        s, stateDir, e.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 === 1),
+        maxFiles = 1) // always trips
+      SimilaritySearch.pqProbeWritten(
+          s, stateDir, e.filter(col("vec_id") % 97 === 0))
+        .orderBy("query_id", "rank")
+    }),
+    "q_embed_ann_ivfpq_written" -> ((s, dir) => {
+      // the PERSISTED IVFADC layout: coarse quantizer + codebooks fit
+      // once on the full corpus, the slim (cand_id, cid) assignment
+      // table and the wide codes written for two thirds of the
+      // vectors, the remaining third assigned+encoded against the
+      // FROZEN quantizers into both state tables, the whole layout
+      // compacted, then probed from state alone — hash-equal to the
+      // in-memory composition (q_embed_ann_ivfpq's oracle verbatim).
+      val e = Tables.embeddings(s, dir)
+      val stateDir = freshStateDir("graft_ivfpq_written_")
+      val base = e.filter(col("vec_id") % 3 =!= 0)
+      val idx = SimilaritySearch.buildIndex(e, centroidMod = 50)
+      val cb = SimilaritySearch.pqFit(e, m = 16, seedMod = 20)
+      SimilaritySearch.writeIvfPqIndex(
+        SimilaritySearch.IvfIndex(
+          idx.centroids,
+          idx.assignments.filter(col("cand_id") % 3 =!= 0)),
+        cb, SimilaritySearch.pqEncode(base, cb), stateDir)
+      SimilaritySearch.appendToWrittenIvfPqIndex(
+        s, stateDir, e.filter(col("vec_id") % 3 === 0))
+      SimilaritySearch.compactWrittenIvfPqIndex(s, stateDir)
+      SimilaritySearch.ivfPqProbeWritten(
+          s, stateDir, e.filter(col("vec_id") % 97 === 0))
         .orderBy("query_id", "rank")
     }),
 
@@ -1703,7 +1848,17 @@ object ExtensionQueries {
     * dedup oracle — same signature/band algebra as [[minhashPairsSql]]
     * but without the self-join's id inequality.
     */
-  private val minhashIncrementalSql: String = {
+  private val minhashIncrementalSql: String =
+    minhashIncrementalSqlWith("SELECT doc_id, text FROM documents") +
+      "\nORDER BY new_id, corpus_id"
+
+  /** The incremental-dedup oracle body WITHOUT the final ORDER BY,
+    * parameterized on the corpus relation — `documents` for
+    * q_dedup_incremental; `documents` minus the tombstoned ids for
+    * the takedown query (deletion semantics are defined by literally
+    * excluding the deleted rows from the corpus the oracle sees).
+    */
+  private def minhashIncrementalSqlWith(corpusRel: String): String = {
     def sigCtes(rel: String, p: String): String = {
       val bandSelects = bandKeysDuck("sig").zipWithIndex
         .map { case (k, b) => s"SELECT doc_id, $b AS band, $k AS bkey FROM ${p}s" }
@@ -1724,7 +1879,7 @@ object ExtensionQueries {
         |  UNION ALL
         |  SELECT doc_id + 2000000, text || ' near dup extra tail' FROM documents WHERE doc_id % 11 = 0""".stripMargin
     s"""WITH ${sigCtes(newRel, "n")},
-       |${sigCtes("SELECT doc_id, text FROM documents", "c")},
+       |${sigCtes(corpusRel, "c")},
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS corpus_id
        |  FROM nb x JOIN cb y ON x.band = y.band AND x.bkey = y.bkey
@@ -1737,8 +1892,7 @@ object ExtensionQueries {
        |  SELECT new_id, corpus_id, ${sigAgreementDuck("siga", "sigb")} AS n_agree FROM j
        |)
        |SELECT new_id, corpus_id, n_agree FROM r
-       |WHERE n_agree >= ${NumMinhash / 2}
-       |ORDER BY new_id, corpus_id""".stripMargin
+       |WHERE n_agree >= ${NumMinhash / 2}""".stripMargin
   }
 
   /** IVF ANN oracle SQL — mirrors SimilaritySearch.buildIndex/probe
@@ -2276,43 +2430,34 @@ object ExtensionQueries {
          |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin,
 
     "q_stream_late_window" ->
-      // clean-room replay of Spark's late-data semantics: batch i is
-      // slice event_id % 4; the late-input filter for batch i uses
-      // the MILLISECOND-floored max event time through batch i-2
-      // minus the 2-day delay (empirically pinned with a per-batch
-      // progress probe: the watermark REPORTED for batch i is already
-      // max(through i-1) - delay, but batch i's input is filtered
-      // with the previous value — the filter lags the report by one
-      // batch; Spark floors max event time to ms in its tracking).
-      // A row survives iff its 6-hour window's end (epoch-aligned,
-      // like Spark's window()) is strictly above that filter value.
-      // Eviction timing never affects membership here: every real
-      // window is flushed by the sentinel batches, and emission
-      // happens exactly once per surviving (window, type) group.
+      // characterization-FREE twin (r13): pure batch SQL, no
+      // watermark model. One row per (window, type) group the early
+      // arrival slices populate; groups untouched by late slices
+      // (lo_n = hi_n) carry their exact count/sum, the rest carry
+      // NULLs (the Spark side mirrors the CASE) plus the boolean
+      // gates that hold under ANY correct late-data rule. The lag-2
+      // progression replay that used to live here is pinned in
+      // EventStreamsSpec as an engine-version characterization.
       """WITH e AS (
         |  SELECT event_id, ts, event_type, value,
         |    CAST(event_id % 4 AS INT) AS slice,
         |    make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) * 1000000) AS wstart
         |  FROM events
-        |), smax AS (
-        |  SELECT slice, max(ts) AS mx FROM e GROUP BY slice
-        |), wm AS (
-        |  SELECT slice,
-        |    make_timestamp(max(epoch_ms(mx)) OVER (
-        |      ORDER BY slice ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) * 1000)
-        |      - INTERVAL 2 DAY AS wm_filter
-        |  FROM smax
-        |), kept AS (
-        |  SELECT e.* FROM e JOIN wm USING (slice)
-        |  WHERE wm.wm_filter IS NULL OR (e.wstart + INTERVAL 6 HOUR) > wm.wm_filter
+        |), hi AS (
+        |  SELECT wstart, event_type, COUNT(*) AS hi_n,
+        |         SUM(CAST(value AS DECIMAL(18,4))) AS hi_sum
+        |  FROM e GROUP BY 1, 2
+        |), lo AS (
+        |  SELECT wstart, event_type, COUNT(*) AS lo_n
+        |  FROM e WHERE slice <= 1 GROUP BY 1, 2
         |)
-        |SELECT wstart AS window_start, event_type,
-        |  COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
-        |  TRUE AS emitted_once, TRUE AS ge_early, TRUE AS le_all,
-        |  TRUE AS covers_early
-        |FROM kept GROUP BY 1, 2
-        |ORDER BY window_start, event_type""".stripMargin,
+        |SELECT lo.wstart AS window_start, lo.event_type,
+        |  CASE WHEN lo.lo_n = hi.hi_n THEN hi.hi_n END AS n_exact,
+        |  CASE WHEN lo.lo_n = hi.hi_n THEN CAST(hi.hi_sum AS DOUBLE) END AS sum_exact,
+        |  TRUE AS emitted, TRUE AS emitted_once, TRUE AS ge_early,
+        |  TRUE AS le_all, TRUE AS extra_ok
+        |FROM lo JOIN hi ON hi.wstart = lo.wstart AND hi.event_type = lo.event_type
+        |ORDER BY window_start, lo.event_type""".stripMargin,
 
     "q_dedup_fuzzy_verify" ->
       s"""WITH pairs AS (
@@ -2502,6 +2647,30 @@ object ExtensionQueries {
          |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
 
     "q_embed_pq_topk" -> pqAdcOracleSql(m = 16, seedMod = 20, k = 5),
+
+    // the persisted layouts are physical changes only: written-state
+    // probes must hash-equal the in-memory paths, so the oracles are
+    // the in-memory queries' VERBATIM
+    "q_embed_pq_written" -> pqAdcOracleSql(m = 16, seedMod = 20, k = 5),
+    "q_embed_ann_ivfpq_written" ->
+      ivfPqOracleSql(m = 16, seedMod = 20, k = 5, nprobe = 2),
+
+    // takedown semantics ARE the oracle's corpus exclusion: both the
+    // tombstone-masked and the post-compaction probe must equal the
+    // incremental dedup run against a corpus that never contained the
+    // deleted ids
+    "q_dedup_ingest_delete" -> {
+      val body =
+        minhashIncrementalSqlWith(
+          "SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0")
+      s"""WITH res AS (
+         |$body
+         |)
+         |SELECT 'tombstoned' AS stage, new_id, corpus_id, n_agree FROM res
+         |UNION ALL
+         |SELECT 'compacted' AS stage, new_id, corpus_id, n_agree FROM res
+         |ORDER BY stage, new_id, corpus_id""".stripMargin
+    },
 
     "q_embed_pq_recall" -> pqRecallOracleSql(m = 16, seedMod = 20, k = 5),
 

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The wide-schema escape-hatch measurement the r12 verdict asked
+  * for: `DiffOptions.statusesAsMap` exists because a per-column CASE
+  * projection over thousands of columns stresses whole-stage
+  * codegen's 64KB method limits and the output row width — but until
+  * this probe the threshold where the map form should engage was
+  * asserted, not measured.
+  *
+  * Fixture: a generated `(id, c0000..cWWWW)` pair at a fixed cell
+  * budget comparable to lineitem sf0.1 (~10⁸ cells), staged to
+  * parquet and read back so the diff starts from a real scan. The
+  * after side perturbs ~1/997 of cells, drops ~1/503 of rows, and the
+  * before side drops a disjoint ~1/499 — so every status code path
+  * (0/1/2-3 via the row padding, 4/5) is exercised at every width.
+  *
+  * Measured per width ∈ {100, 400, 1000} and per form (per-column
+  * CASE vs statusesAsMap): wall time of a full-result count, the
+  * WholeStageCodegen span count of the executed plan, and whether any
+  * codegen compile fell back (visible as a span-count drop — Spark
+  * falls back SILENTLY per-subtree via spark.sql.codegen.fallback, so
+  * the span structure is the honest observable).
+  *
+  * Findings are recorded in SCALE.md ("Round-13 wide-schema diff").
+  */
+object WideSchemaBench {
+
+  private def time[A](iters: Int)(f: => A): Double =
+    BenchFixtures.minTime(iters)(f)
+
+  /** Deterministic wide table: key `id`, `width` INT data columns.
+    * `after = true` applies the planted drift: cell perturbation on a
+    * ~1/997 stripe and a disjoint row-universe (before drops
+    * id % 499 == 7, after drops id % 503 == 11) so missing-row codes
+    * appear on both sides.
+    */
+  private def wide(
+      spark: SparkSession, rows: Long, width: Int, after: Boolean): DataFrame = {
+    val base = spark.range(rows)
+      .filter(if (after) col("id") % 503 =!= 11 else col("id") % 499 =!= 7)
+    val cols = (0 until width).map { i =>
+      val v = pmod(col("id") * 2654435761L + lit(i) * 40503L, lit(100000)).cast("int")
+      val cell =
+        if (after) when(pmod(col("id") * 31 + lit(i), lit(997)) === 0, v + 1).otherwise(v)
+        else v
+      cell.as(f"c$i%04d")
+    }
+    base.select(col("id") +: cols: _*)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    val spark = BenchFixtures.benchSession(cpus)
+    val fix = BenchFixtures.cleanedTempDir("graft_wide_fix_")
+
+    // fixed CELL budget across widths (~10⁸ cells ≈ lineitem sf0.1's
+    // 600k × 16 cols scaled to the wide regime): narrower tables get
+    // proportionally more rows, so each width diffs the same volume
+    // and the curve isolates the per-column-PROJECTION cost
+    val cellBudget = 100_000_000L
+    val widths = sys.env.get("SPARK_GRAFT_WIDE_WIDTHS")
+      .map(_.split(",").toSeq.filter(_.nonEmpty).map(_.trim.toInt))
+      .getOrElse(Seq(100, 400, 1000))
+
+    val results = widths.map { w =>
+      val rows = cellBudget / w
+      val bPath = s"$fix/before_$w"
+      val aPath = s"$fix/after_$w"
+      wide(spark, rows, w, after = false).write.mode("overwrite").parquet(bPath)
+      wide(spark, rows, w, after = true).write.mode("overwrite").parquet(aPath)
+      val before = spark.read.parquet(bPath)
+      val after = spark.read.parquet(aPath)
+
+      def run(asMap: Boolean): (Double, Int, Long) = {
+        def d = graft.operators.TableDiff.diff(
+          before, after, Seq("id"),
+          opts = graft.operators.DiffOptions(statusesAsMap = asMap))
+        var n = 0L
+        val sec = time(iters) { n = d.count() }
+        val spans = "WholeStageCodegen".r
+          .findAllIn(d.queryExecution.executedPlan.toString).size
+        (sec, spans, n)
+      }
+      val (colSec, colSpans, colRows) = run(asMap = false)
+      val (mapSec, mapSpans, mapRows) = run(asMap = true)
+      require(colRows == mapRows, s"forms disagree at width $w: $colRows vs $mapRows")
+      println(
+        f"""{"width": $w, "rows": $rows, "out_rows": $colRows, """ +
+          f""""percol_sec": $colSec%.3f, "map_sec": $mapSec%.3f, """ +
+          f""""percol_codegen_spans": $colSpans, "map_codegen_spans": $mapSpans}""")
+      (w, colSec, mapSec, colSpans, mapSpans)
+    }
+    val summary = results
+      .map { case (w, c, m, cs, ms) => f"$w:percol=$c%.2fs/map=$m%.2fs(spans $cs/$ms)" }
+      .mkString(" ")
+    println(s"""{"metric":"wide_schema_diff","summary":"$summary"}""")
+    spark.stop()
+  }
+}

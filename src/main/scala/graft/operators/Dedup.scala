@@ -651,11 +651,13 @@ object Dedup {
     // auto-DISABLES bucketed scanning when the plan doesn't exploit
     // the partitioning (a bare write doesn't), which would bring the
     // size-based splits back — force it on for the rewrite.
+    // (The tombstone mask below is a plain filter, so the bucket
+    // partitioning survives it.)
     val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prevAuto = spark.conf.get(autoKey)
     try {
       spark.conf.set(autoKey, "false")
-      spark.table(table)
+      stateTableLive(spark, table)
         .write.mode("overwrite").format("parquet")
         .bucketBy(buckets, keys.head, keys.tail: _*)
         .sortBy(keys.head, keys.tail: _*)
@@ -663,8 +665,93 @@ object Dedup {
     } finally spark.conf.set(autoKey, prevAuto)
     spark.sql(s"DROP TABLE `$table`")
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    // deletions are now baked into the layout — clear the tombstone
+    // set so live views stop paying the (broadcast) mask
+    spark.sql(s"DROP TABLE IF EXISTS `${tombstoneTableName(table)}`")
     spark.table(table)
   }
+
+  private def tombstoneTableName(table: String): String = table + "_tombstones"
+
+  /** Tombstone documents in a bucketed state table (band or shingle —
+    * both key rows by `doc_id`): `docIds` rows (first column, cast to
+    * long) append to a tiny `{table}_tombstones` catalog table,
+    * [[stateTableLive]] masks them from every subsequent probe, and
+    * the next compaction rewrites the state without them and clears
+    * the set. This is the takedown/re-curation path the r12 verdict
+    * named: without it a deleted document's signatures keep pairing
+    * against every new batch forever. Deletes cost O(|deleted|) at
+    * write time; the O(state) rewrite rides the compaction the layout
+    * already needs for append fragmentation.
+    *
+    * Contract (same as the written-index tombstones): ids are
+    * permanent — re-ingesting a tombstoned doc_id before a compaction
+    * clears the set leaves it masked, and the compaction drops the
+    * re-added rows too. Delete-then-re-add of one id is a caller
+    * error.
+    */
+  def deleteFromStateTable(docIds: DataFrame, table: String): Unit = {
+    val spark = docIds.sparkSession
+    require(
+      spark.catalog.tableExists(table),
+      s"state table '$table' does not exist")
+    docIds
+      .select(col(docIds.columns.head).cast("long").as("doc_id"))
+      .distinct()
+      .repartition(1)
+      .write.mode("append").format("parquet")
+      .saveAsTable(tombstoneTableName(table))
+  }
+
+  /** [[deleteFromStateTable]] under the band-table name. */
+  def deleteFromBandTable(docIds: DataFrame, table: String): Unit =
+    deleteFromStateTable(docIds, table)
+
+  /** [[deleteFromStateTable]] under the shingle-table name. */
+  def deleteFromShingleTable(docIds: DataFrame, table: String): Unit =
+    deleteFromStateTable(docIds, table)
+
+  /** The live view of a bucketed state table: the stored rows minus
+    * any tombstoned doc_ids. The mask is a plain NOT-IN FILTER over a
+    * driver-collected id set, NOT an anti-join: a join between the
+    * scan and the probe's band join makes Spark's
+    * DisableUnnecessaryBucketedScan rule drop the bucketed scan
+    * (measured: +2 exchanges — the corpus shuffle the layout exists
+    * to avoid), while a Filter keeps the scan bucketed and the probe
+    * plan's exchange count unchanged (spec-pinned). The collect is
+    * the bounded-small-side localization discipline: tombstone sets
+    * are takedown-sized by contract, hard-capped with a remedy.
+    * When no tombstone table exists the plan is the bare scan,
+    * untouched.
+    */
+  def stateTableLive(
+      spark: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
+    val t = spark.table(table)
+    val tt = tombstoneTableName(table)
+    if (!spark.catalog.tableExists(tt)) t
+    else {
+      val ids = collectTombstones(spark.table(tt), "doc_id", tt)
+      if (ids.isEmpty) t else t.filter(!col("doc_id").isin(ids: _*))
+    }
+  }
+
+  /** Driver-side tombstone localization, hard-capped: past the cap
+    * the set is no longer "takedown-sized" and the fix is to fold it
+    * into the layout, not to grow the filter.
+    */
+  private[operators] def collectTombstones(
+      df: DataFrame, key: String, what: String,
+      max: Int = MaxTombstones): Seq[Long] = {
+    val rows = df.select(col(key)).limit(max + 1).collect()
+    require(
+      rows.length <= max,
+      s"tombstone set '$what' exceeds $max ids — run the state's compaction " +
+        "to fold the deletions into the layout before tombstoning more")
+    rows.map(_.getLong(0)).toSeq.sorted
+  }
+
+  /** Cap on driver-localized tombstone ids (~32 MB of longs). */
+  val MaxTombstones: Int = 1 << 22
 
   private def overCompactionThreshold(
       spark: org.apache.spark.sql.SparkSession, table: String,

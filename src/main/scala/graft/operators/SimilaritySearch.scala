@@ -370,13 +370,75 @@ object SimilaritySearch {
 
   /** Reload a [[writeIndex]] layout. `cid` comes back as a partition
     * column; probes join on it by name, so the layout is transparent
-    * to [[probe]].
+    * to [[probe]]. Vectors tombstoned by [[deleteFromWrittenIndex]]
+    * are filtered out here (a NOT-IN filter over the tiny tombstone
+    * set — no plan change at all when nothing was ever deleted).
     */
   def readIndex(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex =
     IvfIndex(
       spark.read.parquet(s"$dir/centroids"),
-      spark.read.parquet(s"$dir/assignments")
-        .withColumn("cid", col("cid").cast("long")))
+      antiTombstones(
+        spark,
+        spark.read.parquet(s"$dir/assignments")
+          .withColumn("cid", col("cid").cast("long")),
+        dir))
+
+  /** Tombstone corpus vectors in a written index (re-curation /
+    * takedown): `candIds` rows (first column, cast to long) are
+    * appended to `dir/tombstones`, [[readIndex]] masks them from every
+    * subsequent probe, and the next [[compactWrittenIndex]] rewrites
+    * the lists without them and clears the tombstone set — the
+    * standard tombstone + compaction-filter split: deletes cost
+    * O(|deleted|) at write time and fold into the rewrite the layout
+    * already needs for append fragmentation.
+    *
+    * Contract: ids are permanent — a vector RE-INGESTED under a
+    * tombstoned id stays masked until a compaction clears the
+    * tombstones (the rewrite drops the re-added rows too). Delete
+    * then re-add of the same id is a caller error, stated here
+    * because nothing can detect it cheaply at 100 TB.
+    */
+  def deleteFromWrittenIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String, candIds: DataFrame): Unit =
+    candIds
+      .select(col(candIds.columns.head).cast("long").as("cand_id"))
+      .distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(s"$dir/tombstones")
+
+  /** Mask tombstoned ids out of a written layout's row table. The
+    * mask is a NOT-IN FILTER over a driver-collected id set (the
+    * bounded-small-side localization discipline — tombstone sets are
+    * takedown-sized by contract, hard-capped with a remedy in
+    * [[Dedup.collectTombstones]]), not an anti-join: a filter
+    * preserves the scan's partitioning/pruning properties everywhere
+    * — the bucketed-state twin of this mask measured +2 exchanges as
+    * a join — and costs nothing when no tombstones exist
+    * (StateCompactionSpec pins the no-tombstones plan is untouched
+    * entirely).
+    */
+  private def antiTombstones(
+      spark: org.apache.spark.sql.SparkSession, rows: DataFrame, dir: String,
+      key: String = "cand_id"): DataFrame = {
+    val t = s"$dir/tombstones"
+    if (!dirExists(spark, t)) rows
+    else {
+      val ids = Dedup.collectTombstones(spark.read.parquet(t), "cand_id", t)
+      if (ids.isEmpty) rows else rows.filter(!col(key).isin(ids: _*))
+    }
+  }
+
+  private def dirExists(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def deleteDir(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
 
   /** Assign NEW vectors against a written index's (frozen) centroids
     * and append them into the partitioned assignment layout — the
@@ -393,19 +455,38 @@ object SimilaritySearch {
   /** Rewrite an append-grown assignment layout to one file per list,
     * preserving the partitioning (probe plans identical before and
     * after — spec-pinned). Tmp-dir + atomic move, like the band-table
-    * compaction.
+    * compaction. [[deleteFromWrittenIndex]] tombstones are APPLIED by
+    * the rewrite (the deleted rows never reach the new layout) and
+    * the tombstone set is cleared once the swap lands.
     */
   def compactWrittenIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    compactAssignmentsNoClear(spark, dir)
+    // tombstones are now baked into the layout — clear them so the
+    // live view stops paying the (broadcast) mask and a later re-add
+    // of a compacted-away id becomes possible again
+    deleteDir(spark, s"$dir/tombstones")
+  }
+
+  private def compactAssignmentsNoClear(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val cur = s"$dir/assignments"
     val tmp = s"$dir/assignments_compact_tmp"
-    spark.read.parquet(cur)
-      .withColumn("cid", col("cid").cast("long"))
+    antiTombstones(
+      spark,
+      spark.read.parquet(cur).withColumn("cid", col("cid").cast("long")),
+      dir)
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(tmp)
-    // swap directories; the tmp write is complete before the old
-    // layout disappears, so a crash leaves a readable index either way
-    val old = s"$dir/assignments_old"
+    swapDirs(cur, tmp)
+  }
+
+  /** Swap `tmp` into `cur`'s place: the tmp write is complete before
+    * the old layout disappears, so a crash leaves a readable state
+    * either way.
+    */
+  private def swapDirs(cur: String, tmp: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val old = cur + "_old"
     Files.move(Paths.get(cur), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), Paths.get(cur), StandardCopyOption.ATOMIC_MOVE)
     import scala.jdk.CollectionConverters._
@@ -676,8 +757,23 @@ object SimilaritySearch {
       codes: DataFrame,
       k: Int = 5,
       queryMod: Int = 97,
+      idCol: String = "vec_id"): DataFrame =
+    pqAdcProbe(
+      pqCodesWide(codes, idCol), cb,
+      emb.filter(col(idCol) % queryMod === 0), k, idCol)
+
+  /** The ADC full-scan probe over WIDE codes `(cand_id, codes)` by an
+    * explicit query set `(idCol, embedding)` — the one scoring
+    * definition shared by the in-memory [[pqTopK]] and the persisted
+    * [[pqProbeWritten]] paths.
+    */
+  def pqAdcProbe(
+      wideCodes: DataFrame,
+      cb: PqCodebooks,
+      queries: DataFrame,
+      k: Int = 5,
       idCol: String = "vec_id"): DataFrame = {
-    val spark = emb.sparkSession
+    val spark = queries.sparkSession
     graft.functions.VecDot.register(spark)
     graft.plans.TopKPerGroup.install(spark)
     // per-query distance tables as ONE row per query: an m-array of
@@ -688,8 +784,8 @@ object SimilaritySearch {
     // blowup measured 82 s at ×16 amplification; this one 3.5 s,
     // the same doubles in the same pinned order either way)
     val w = Window.partitionBy("query_id").orderBy(col("adc"), col("cand_id"))
-    pqCodesWide(codes, idCol)
-      .crossJoin(broadcast(pqQueryTables(emb, cb, queryMod, idCol)))
+    wideCodes
+      .crossJoin(broadcast(pqQueryTablesFor(queries, cb, idCol)))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("adc", expr(pqAdcSumExpr(cb.m)))
       .withColumn("rank", row_number().over(w))
@@ -707,7 +803,11 @@ object SimilaritySearch {
     */
   private def pqQueryTables(
       emb: DataFrame, cb: PqCodebooks, queryMod: Int, idCol: String): DataFrame =
-    pqSubVecs(emb.filter(col(idCol) % queryMod === 0), cb.m, cb.subDim, idCol)
+    pqQueryTablesFor(emb.filter(col(idCol) % queryMod === 0), cb, idCol)
+
+  private def pqQueryTablesFor(
+      queries: DataFrame, cb: PqCodebooks, idCol: String): DataFrame =
+    pqSubVecs(queries, cb.m, cb.subDim, idCol)
       .withColumnRenamed("vid", "query_id")
       .join(broadcast(cb.centroids), Seq("s"))
       .select(
@@ -775,12 +875,25 @@ object SimilaritySearch {
     val pairs = index.assignments.select(col("cand_id"), col("cid"))
       .join(broadcast(qLists), Seq("cid"))
       .select("query_id", "cand_id")
+    adcScorePairs(
+      pairs, pqCodesWide(codes, idCol),
+      pqQueryTables(emb, cb, queryMod, idCol), cb.m, k)
+  }
+
+  /** ADC-score an explicit `(query_id, cand_id)` pair list from wide
+    * codes + per-query distance tables — the IVFADC scoring tail,
+    * shared by the in-memory [[ivfPqTopK]] and the persisted
+    * [[ivfPqProbeWritten]] paths.
+    */
+  private def adcScorePairs(
+      pairs: DataFrame, wideCodes: DataFrame, qTabs: DataFrame,
+      m: Int, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("adc"), col("cand_id"))
     pairs
-      .join(pqCodesWide(codes, idCol), Seq("cand_id"))
-      .join(broadcast(pqQueryTables(emb, cb, queryMod, idCol)), Seq("query_id"))
+      .join(wideCodes, Seq("cand_id"))
+      .join(broadcast(qTabs), Seq("query_id"))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("adc", expr(pqAdcSumExpr(cb.m)))
+      .withColumn("adc", expr(pqAdcSumExpr(m)))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(
@@ -896,5 +1009,207 @@ object SimilaritySearch {
         "left")
       .groupBy("query_id")
       .agg(count(col("a_cid")).as("hits_at_k"))
+  }
+
+  // ---------- persisted PQ / IVFADC state ----------
+
+  /** Persist PQ state as parquet tables under `dir`: `meta`
+    * (m, sub_dim — one row), `codebooks` (s, cid, c), and `codes` in
+    * the WIDE per-vector form `(cand_id, codes ARRAY)` — one row per
+    * corpus vector, the m-small-ints payload a production sink packs
+    * to m bytes. This closes the r12 gap where codebooks and codes
+    * were refit inside every query: steady-state ANN fits ONCE
+    * ([[pqFit]]), encodes once, and probes re-read only state. FLOAT
+    * codebook components and integer codes round-trip parquet
+    * bit-exactly, so a written-then-probed query hash-equals the
+    * in-memory path (oracled as q_embed_pq_written).
+    *
+    * Codes are deliberately NOT partitioned by a key: the ADC probe
+    * is a full compressed-domain scan by design, so the layout
+    * optimizes for sequential read, not pruning (IVFADC adds the
+    * pruning dimension — [[writeIvfPqIndex]] keeps the coarse
+    * assignment table `cid`-partitioned for exactly that).
+    */
+  def writePqIndex(
+      cb: PqCodebooks, codes: DataFrame, dir: String,
+      idCol: String = "vec_id"): Unit = {
+    val spark = cb.centroids.sparkSession
+    import spark.implicits._
+    Seq((cb.m, cb.subDim)).toDF("m", "sub_dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    cb.centroids.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    pqCodesWide(codes, idCol).write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** Reload a written layout's codebooks; `m`/`subDim` come from the
+    * one-row meta table, so a probe needs no out-of-band geometry.
+    */
+  def readPqCodebooks(
+      spark: org.apache.spark.sql.SparkSession, dir: String): PqCodebooks = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    PqCodebooks(
+      meta.getAs[Int]("m"), meta.getAs[Int]("sub_dim"),
+      spark.read.parquet(s"$dir/codebooks"))
+  }
+
+  /** Reload a written layout's wide codes, minus any
+    * [[deleteFromWrittenPqIndex]] tombstones (NOT-IN filter; no plan
+    * change when nothing was ever deleted).
+    */
+  def readPqCodesWide(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    antiTombstones(spark, spark.read.parquet(s"$dir/codes"), dir)
+
+  /** Encode NEW vectors against a written layout's (frozen) codebooks
+    * and append their wide code rows — the PQ twin of
+    * [[appendToWrittenIndex]]: per ingest this touches only the new
+    * batch (encoding is a pure per-vector function of the codebooks,
+    * so the grown state probes identically to a one-shot encode —
+    * spec-pinned). `appendTasks` caps the file fan-out per ingest the
+    * way the band-table append's does (a repartition, not a coalesce,
+    * so the encode itself keeps its parallelism).
+    */
+  def appendToWrittenPqIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      newVectors: DataFrame, idCol: String = "vec_id",
+      appendTasks: Int = 1): Unit = {
+    require(appendTasks >= 1, "appendTasks must be >= 1")
+    val cb = readPqCodebooks(spark, dir)
+    pqCodesWide(pqEncode(newVectors, cb, idCol), idCol)
+      .repartition(appendTasks)
+      .write.mode("append").parquet(s"$dir/codes")
+  }
+
+  /** Rewrite append-grown codes down to `targetFiles` files, applying
+    * and then clearing any tombstones (tmp write + atomic swap, like
+    * the assignment compaction). `targetFiles` sizes the layout:
+    * 1 suits test scale; a production corpus passes
+    * ~rows·rowBytes/128MB so each file stays one scan task.
+    */
+  def compactWrittenPqIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetFiles: Int = 1): Unit = {
+    compactCodesNoClear(spark, dir, targetFiles)
+    deleteDir(spark, s"$dir/tombstones")
+  }
+
+  private def compactCodesNoClear(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetFiles: Int): Unit = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val cur = s"$dir/codes"
+    val tmp = s"$dir/codes_compact_tmp"
+    readPqCodesWide(spark, dir)
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp)
+    swapDirs(cur, tmp)
+  }
+
+  /** [[appendToWrittenPqIndex]] plus the automatic compaction cadence
+    * ([[Dedup.appendAndMaybeCompact]]'s contract): when the append
+    * pushes the codes table past `maxFiles` files, the layout is
+    * rewritten (which also folds in any pending tombstones). Returns
+    * true when this append triggered a compaction.
+    */
+  def appendAndMaybeCompactPqIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      newVectors: DataFrame, idCol: String = "vec_id",
+      maxFiles: Int = 4, appendTasks: Int = 1): Boolean = {
+    require(maxFiles >= 1, "maxFiles must be >= 1")
+    appendToWrittenPqIndex(spark, dir, newVectors, idCol, appendTasks)
+    if (spark.read.parquet(s"$dir/codes").inputFiles.length > maxFiles) {
+      compactWrittenPqIndex(spark, dir); true
+    } else false
+  }
+
+  /** Tombstone corpus vectors in a written PQ layout — the same
+    * tombstone set (and the same re-add contract) as
+    * [[deleteFromWrittenIndex]]: [[readPqCodesWide]] masks the ids
+    * from every probe immediately, and the next compaction bakes the
+    * removal into the layout.
+    */
+  def deleteFromWrittenPqIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      candIds: DataFrame): Unit =
+    deleteFromWrittenIndex(spark, dir, candIds)
+
+  /** Probe a written PQ layout: codebooks + codes come from `dir`,
+    * nothing is refit. Hash-equal to the in-memory [[pqTopK]] on the
+    * same corpus (the q_embed_pq_written oracle).
+    */
+  def pqProbeWritten(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, k: Int = 5, idCol: String = "vec_id"): DataFrame =
+    pqAdcProbe(
+      readPqCodesWide(spark, dir), readPqCodebooks(spark, dir),
+      queries, k, idCol)
+
+  /** Persist the full IVFADC state: the coarse quantizer as a
+    * [[writeIndex]] layout SLIMMED to `(cand_id, cid)` (the PQ codes
+    * carry the payload, so the `cid`-partitioned assignment table
+    * stores two longs per vector — pure pruning structure), plus the
+    * [[writePqIndex]] tables, all under one `dir`.
+    */
+  def writeIvfPqIndex(
+      index: IvfIndex, cb: PqCodebooks, codes: DataFrame, dir: String,
+      idCol: String = "vec_id"): Unit = {
+    writeIndex(
+      IvfIndex(index.centroids, index.assignments.select("cand_id", "cid")),
+      dir)
+    writePqIndex(cb, codes, dir, idCol)
+  }
+
+  /** Assign + encode a NEW batch against a written IVFADC layout's
+    * frozen centroids and codebooks, appending to both state tables —
+    * one broadcast pass each over the batch only.
+    */
+  def appendToWrittenIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      newVectors: DataFrame, idCol: String = "vec_id",
+      appendTasks: Int = 1): Unit = {
+    assignVectors(spark.read.parquet(s"$dir/centroids"), newVectors, idCol)
+      .select("cand_id", "cid")
+      .repartition(col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(s"$dir/assignments")
+    appendToWrittenPqIndex(spark, dir, newVectors, idCol, appendTasks)
+  }
+
+  /** Compact BOTH IVFADC state tables, then clear tombstones once —
+    * the one compaction entry point for this layout. (Compacting only
+    * one table via the single-table functions would clear tombstones
+    * the other still needs baked in; results stay correct either way
+    * because the probe inner-joins the pair list against the codes,
+    * but the stale rows would linger — use this.)
+    */
+  def compactWrittenIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetCodeFiles: Int = 1): Unit = {
+    compactAssignmentsNoClear(spark, dir)
+    compactCodesNoClear(spark, dir, targetCodeFiles)
+    deleteDir(spark, s"$dir/tombstones")
+  }
+
+  /** Probe a written IVFADC layout: the coarse lists prune (partition
+    * pruning on the `cid` directories), the codes score, nothing is
+    * refit — hash-equal to the in-memory [[ivfPqTopK]] on the same
+    * corpus (the q_embed_ann_ivfpq_written oracle). Tombstoned ids
+    * are masked from the pair list via the assignment side.
+    */
+  def ivfPqProbeWritten(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, k: Int = 5, nprobe: Int = 2,
+      idCol: String = "vec_id"): DataFrame = {
+    graft.functions.VecDot.register(spark)
+    graft.plans.TopKPerGroup.install(spark)
+    val coarse = readIndex(spark, dir) // assignments already tombstone-masked
+    val cb = readPqCodebooks(spark, dir)
+    val qLists = nearestLists(coarse.centroids, queries, nprobe, idCol)
+      .select(col("vid").as("query_id"), col("cid"))
+    val pairs = coarse.assignments.select(col("cand_id"), col("cid"))
+      .join(broadcast(qLists), Seq("cid"))
+      .select("query_id", "cand_id")
+    adcScorePairs(
+      pairs, readPqCodesWide(spark, dir),
+      pqQueryTablesFor(queries, cb, idCol), cb.m, k)
   }
 }

@@ -232,4 +232,81 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(key(streamed) == key(batched))
     assert(streamed.count() == e.count())
   }
+
+  test("late-window watermark progression: the lag-2 engine characterization (retired from the oracle in r13)") {
+    // This pins SPARK'S OWN late-input filter progression — an
+    // engine-version characterization, not cross-engine semantics:
+    // batch i's input is filtered with the MILLISECOND-floored max
+    // event time through batch i-2 minus the delay (the watermark
+    // REPORTED for batch i is already max(through i-1) - delay; the
+    // input filter lags the report by one batch — pinned with
+    // ProbeLateWindow). Until r13 the q_stream_late_window DuckDB
+    // oracle replayed this model; it now lives HERE, so a future
+    // Spark version changing the progression updates one spec
+    // instead of reddening the cross-engine artifact — the oracle
+    // keeps only the characterization-independent gates.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val sent = Seq(
+      (-1L, new Timestamp(maxTs.getTime + 4L * 86400 * 1000), -1L, "sentinel", 0.0, 4L),
+      (-2L, new Timestamp(maxTs.getTime + 5L * 86400 * 1000), -1L, "sentinel", 0.0, 5L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "arrival")
+    val arr = ev
+      .withColumn("arrival", pmod(col("event_id"), lit(4)).cast("long"))
+      .unionByName(sent)
+      .localCheckpoint(true)
+    val agg = graft.streaming.StreamRunner
+      .slicedStream(arr, "arrival", 6, tag = s"$dir#latewindow-charspec")
+      .withWatermark("ts", "2 days")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(
+        col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    val streamed = graft.streaming.StreamRunner
+      .runToCompletion(agg, outputMode = "append", statePartitions = 4)
+      .filter(col("event_type") =!= "sentinel")
+
+    // the replay: per-slice max event time (ms-floored via getTime),
+    // filter value for slice s = max over slices <= s-2, minus 2 days
+    val sliceMax = arr.groupBy("arrival").agg(max(col("ts")).as("mx"))
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    val order = sliceMax.keys.toSeq.sorted
+    val wmDf = order.map { s =>
+      val prior = order.filter(_ <= s - 2).map(sliceMax)
+      val f =
+        if (prior.isEmpty) null
+        else new Timestamp(prior.max - 2L * 86400 * 1000)
+      (s, f)
+    }.toDF("arrival", "wm_filter")
+    val kept = arr.join(wmDf, "arrival")
+      .filter(
+        col("wm_filter").isNull ||
+          expr("window(ts, '6 hours').end") > col("wm_filter"))
+    val replayed = kept.filter(col("event_type") =!= "sentinel")
+      .groupBy(
+        expr("window(ts, '6 hours').start").as("window_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val s = canon(streamed)
+    assert(s.nonEmpty, "fixture must emit real windows")
+    assert(s == canon(replayed),
+      "Spark's late-input filter no longer matches the lag-2, ms-floored " +
+        "characterization — re-probe with ProbeLateWindow and update THIS spec " +
+        "(the cross-engine oracle is progression-independent by design)")
+  }
 }

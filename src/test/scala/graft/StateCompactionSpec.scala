@@ -325,4 +325,230 @@ class StateCompactionSpec extends AnyFunSuite {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  private def rmTree(path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      .sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+
+  test("written PQ layout: round trip + frozen-codebook appends probe identically, cadence bounds files, probe pays state read only") {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") % 97 === 0)
+    val cb = SimilaritySearch.pqFit(emb, m = 8, seedMod = 50)
+    val codes = SimilaritySearch.pqEncode(emb, cb).localCheckpoint(true)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().toSeq
+    val expected = canon(SimilaritySearch.pqTopK(emb, cb, codes))
+    assert(expected.nonEmpty)
+    val oneShot = java.nio.file.Files
+      .createTempDirectory("graft_pq_oneshot_").toString
+    val grown = java.nio.file.Files
+      .createTempDirectory("graft_pq_grown_").toString
+    try {
+      // one-shot write round-trips: geometry from the meta table,
+      // float codebooks bit-exact through parquet
+      SimilaritySearch.writePqIndex(cb, codes, oneShot)
+      val rt = SimilaritySearch.readPqCodebooks(spark, oneShot)
+      assert(rt.m == 8 && rt.subDim == graft.functions.VectorExprs.Dim / 8)
+      assert(canon(SimilaritySearch.pqProbeWritten(spark, oneShot, queries))
+        == expected)
+
+      // base + two frozen-codebook appends ≡ the one-shot encode
+      // (encoding is a pure per-vector function); the second append's
+      // tight threshold trips the cadence and the layout returns to
+      // one file, answers pinned across the rewrite
+      SimilaritySearch.writePqIndex(
+        cb, codes.filter(col("vec_id") % 3 =!= 0), grown)
+      assert(!SimilaritySearch.appendAndMaybeCompactPqIndex(
+        spark, grown,
+        emb.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 === 0),
+        maxFiles = 1000))
+      assert(SimilaritySearch.appendAndMaybeCompactPqIndex(
+        spark, grown,
+        emb.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 === 1),
+        maxFiles = 1))
+      assert(parquetFiles(s"$grown/codes") == 1,
+        s"triggered compaction should leave one codes file, got ${parquetFiles(s"$grown/codes")}")
+      assert(canon(SimilaritySearch.pqProbeWritten(spark, grown, queries))
+        == expected)
+
+      // the written probe pays the state READ only — the in-memory
+      // path's fit/encode exchanges are gone from its plan
+      val exWritten =
+        exchanges(SimilaritySearch.pqProbeWritten(spark, grown, queries))
+      val exInMem = exchanges(SimilaritySearch.pqTopK(
+        emb, cb, SimilaritySearch.pqEncode(emb, cb)))
+      assert(exWritten < exInMem,
+        s"written probe should shuffle less than fit+encode+probe: $exWritten vs $exInMem")
+    } finally { rmTree(oneShot); rmTree(grown) }
+  }
+
+  test("written-layout tombstones: deletes mask immediately, survive compaction, clear after, and cost nothing when absent") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") % 97 === 0)
+    val ivfDir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_del_").toString
+    val pqDir = java.nio.file.Files
+      .createTempDirectory("graft_pq_del_").toString
+    try {
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("query_id", "rank").collect().toSeq
+      def plan(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+
+      // ---- IVF-flat layout ----
+      val index = SimilaritySearch.buildIndex(emb, centroidMod = 50)
+      SimilaritySearch.writeIndex(index, ivfDir)
+      val baseline = canon(SimilaritySearch.probe(
+        SimilaritySearch.readIndex(spark, ivfDir), queries))
+      assert(baseline.nonEmpty)
+      // no tombstones → the read is the bare scan, no anti-join at all
+      assert(!plan(SimilaritySearch.probe(
+        SimilaritySearch.readIndex(spark, ivfDir), queries)).contains("LeftAnti"))
+      // victims: ids that actually appear as neighbors, so masking
+      // provably changes answers
+      val victims = baseline.map(_.getLong(2)).distinct.take(3)
+      SimilaritySearch.deleteFromWrittenIndex(
+        spark, ivfDir, victims.toDF("cand_id"))
+      val expected = canon(SimilaritySearch.probe(
+        SimilaritySearch.IvfIndex(
+          index.centroids,
+          index.assignments.filter(!col("cand_id").isin(victims: _*))),
+        queries))
+      val masked = canon(SimilaritySearch.probe(
+        SimilaritySearch.readIndex(spark, ivfDir), queries))
+      assert(masked == expected)
+      assert(masked != baseline)
+      assert(!masked.exists(r => victims.contains(r.getLong(2))))
+      // compaction bakes the removal in and clears the tombstone set
+      SimilaritySearch.compactWrittenIndex(spark, ivfDir)
+      assert(!new java.io.File(s"$ivfDir/tombstones").exists())
+      val afterCompact = SimilaritySearch.probe(
+        SimilaritySearch.readIndex(spark, ivfDir), queries)
+      assert(canon(afterCompact) == expected)
+      assert(!plan(afterCompact).contains("LeftAnti"),
+        "post-compaction reads must not pay the mask")
+
+      // ---- written PQ layout: same contract ----
+      val cb = SimilaritySearch.pqFit(emb, m = 8, seedMod = 50)
+      val codes = SimilaritySearch.pqEncode(emb, cb).localCheckpoint(true)
+      SimilaritySearch.writePqIndex(cb, codes, pqDir)
+      val pqBaseline = canon(
+        SimilaritySearch.pqProbeWritten(spark, pqDir, queries))
+      val pqVictims = pqBaseline.map(_.getLong(2)).distinct.take(3)
+      SimilaritySearch.deleteFromWrittenPqIndex(
+        spark, pqDir, pqVictims.toDF("cand_id"))
+      val pqExpected = canon(SimilaritySearch.pqTopK(
+        emb, cb, codes.filter(!col("vec_id").isin(pqVictims: _*))))
+      val pqMasked = canon(
+        SimilaritySearch.pqProbeWritten(spark, pqDir, queries))
+      assert(pqMasked == pqExpected)
+      assert(pqMasked != pqBaseline)
+      SimilaritySearch.compactWrittenPqIndex(spark, pqDir)
+      assert(!new java.io.File(s"$pqDir/tombstones").exists())
+      assert(canon(SimilaritySearch.pqProbeWritten(spark, pqDir, queries))
+        == pqExpected)
+      assert(parquetFiles(s"$pqDir/codes") == 1)
+    } finally { rmTree(ivfDir); rmTree(pqDir) }
+  }
+
+  test("bucketed-state tombstones: band and shingle deletes mask immediately, survive compaction, keep the probe plan") {
+    import spark.implicits._
+    // ---- band table ----
+    val corpus = Corpus.docCorpus(spark, dir)
+    val newBatch = corpus
+      .filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text", concat(col("text"), lit(" ingest tail")))
+    val corpusSigs = Dedup.signatureTable(corpus).localCheckpoint(true)
+    val newSigs = Dedup.signatureTable(newBatch).localCheckpoint(true)
+    Dedup.unpersistAll()
+    val table = "sigband_spec_del"
+    val shTable = "shingle_spec_del"
+    Seq(table, shTable).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_compact_tmp")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_tombstones")
+    }
+    try {
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("new_id", "corpus_id").collect().toSeq
+      Dedup.writeBandTable(corpusSigs, table, buckets = 4)
+      // no tombstone table → the live view IS the bare table
+      val baseline = canon(Dedup.minhashPairsAgainstBandTable(
+        newSigs, Dedup.stateTableLive(spark, table), corpusSigs))
+      assert(baseline == canon(Dedup.minhashPairsAgainstBandTable(
+        newSigs, spark.table(table), corpusSigs)))
+      assert(baseline.nonEmpty)
+      val victims = baseline.map(_.getLong(1)).distinct.take(2)
+      Dedup.deleteFromBandTable(victims.toDF("doc_id"), table)
+      // independent derivation: the signature-table probe against a
+      // corpus that never contained the victims
+      val expected = canon(Dedup.minhashPairsAgainstSignatures(
+        newSigs, corpusSigs.filter(!col("doc_id").isin(victims: _*))))
+      val masked = canon(Dedup.minhashPairsAgainstBandTable(
+        newSigs, Dedup.stateTableLive(spark, table), corpusSigs))
+      assert(masked == expected)
+      assert(masked != baseline)
+      // the mask broadcasts: with broadcast forced off elsewhere, the
+      // probe's exchange count is unchanged by the tombstone view
+      val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val (exBare, exMasked) =
+        try {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          (exchanges(Dedup.minhashPairsAgainstBandTable(
+            newSigs, spark.table(table), corpusSigs)),
+            exchanges(Dedup.minhashPairsAgainstBandTable(
+              newSigs, Dedup.stateTableLive(spark, table), corpusSigs)))
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      assert(exMasked == exBare,
+        s"tombstone mask must not add a shuffle: $exMasked vs $exBare")
+      // compaction bakes the delete in, drops the tombstone table,
+      // and the live view degrades to the bare (bucketed) scan
+      Dedup.compactBandTable(spark, table, buckets = 4)
+      assert(!spark.catalog.tableExists(s"${table}_tombstones"))
+      assert(canon(Dedup.minhashPairsAgainstBandTable(
+        newSigs, Dedup.stateTableLive(spark, table), corpusSigs)) == expected)
+
+      // ---- shingle table: same contract on the span state ----
+      val spanCorpus = Corpus.spanCorpus(spark, dir)
+      val state = spanCorpus.filter(col("doc_id") % 4 =!= 0)
+      val batch = spanCorpus.filter(col("doc_id") % 4 === 0)
+      val batchSh = Dedup.shingleTable(batch).localCheckpoint(true)
+      Dedup.unpersistAll()
+      def canonSp(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_a", "doc_b", "a_start", "b_start").collect().toSeq
+      Dedup.writeShingleTable(state, shTable, buckets = 4)
+      val spBaseline = canonSp(Dedup.repeatedSpansAgainstShingles(
+        batchSh, Dedup.stateTableLive(spark, shTable)))
+      assert(spBaseline.nonEmpty)
+      val spVictims = spBaseline.map(_.getLong(0)).distinct.take(2)
+      Dedup.deleteFromShingleTable(spVictims.toDF("doc_id"), shTable)
+      val spExpectedDf = Dedup.shingleTable(
+        state.filter(!col("doc_id").isin(spVictims: _*))).localCheckpoint(true)
+      Dedup.unpersistAll()
+      val spExpected = canonSp(
+        Dedup.repeatedSpansAgainstShingles(batchSh, spExpectedDf))
+      val spMasked = canonSp(Dedup.repeatedSpansAgainstShingles(
+        batchSh, Dedup.stateTableLive(spark, shTable)))
+      assert(spMasked == spExpected)
+      assert(spMasked != spBaseline)
+      Dedup.compactShingleTable(spark, shTable, buckets = 4)
+      assert(!spark.catalog.tableExists(s"${shTable}_tombstones"))
+      assert(canonSp(Dedup.repeatedSpansAgainstShingles(
+        batchSh, Dedup.stateTableLive(spark, shTable))) == spExpected)
+    } finally {
+      Seq(table, shTable).foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_compact_tmp")
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_tombstones")
+      }
+      Dedup.unpersistAll()
+    }
+  }
 }
