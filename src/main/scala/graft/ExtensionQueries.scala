@@ -751,6 +751,14 @@ object ExtensionQueries {
       // simplification (the also-standard IVF-Flat-PQ variant)
       SimilaritySearch.ivfPqTopK(Tables.embeddings(s, dir))
         .orderBy("query_id", "rank")),
+    "q_embed_ann_ivfpq_residual" -> ((s, dir) =>
+      // the faiss DEFAULT IVFADC: codes quantize RESIDUALS (vector
+      // minus assigned coarse centroid — Jégou et al. §IV-A) instead
+      // of vectors, closing the documented simplification in
+      // q_embed_ann_ivfpq; the coupling cost is per-(query, probed
+      // list) ADC tables, still broadcast-sized
+      SimilaritySearch.ivfPqResidualTopK(Tables.embeddings(s, dir))
+        .orderBy("query_id", "rank")),
     "q_embed_ann_ivf" -> ((s, dir) =>
       SimilaritySearch.ivfTopK(Tables.embeddings(s, dir)).orderBy("query_id", "rank")),
     "q_embed_ann_ivf_sq8" -> ((s, dir) =>
@@ -1954,7 +1962,8 @@ object ExtensionQueries {
     * identical to what q_embed_pq_* hashed before the split.
     */
   private def pqCodebookCtes(
-      m: Int, seedMod: Int, pfx: String = "", queryMod: Int = 97): String = {
+      m: Int, seedMod: Int, pfx: String = "", queryMod: Int = 97,
+      rel: String = "embeddings"): String = {
     val subDim = VectorExprs.Dim / m
     def l2(a: String, b: String) = VectorExprs.l2sqSubDuck(a, b, subDim)
     s"""${pfx}spine AS (
@@ -1962,7 +1971,7 @@ object ExtensionQueries {
        |), ${pfx}sv AS (
        |  SELECT e.vec_id AS vid, sp.s AS s,
        |         list_slice(e.embedding, sp.s * $subDim + 1, (sp.s + 1) * $subDim) AS sv
-       |  FROM embeddings e CROSS JOIN ${pfx}spine sp
+       |  FROM $rel e CROSS JOIN ${pfx}spine sp
        |), ${pfx}seeds AS (
        |  SELECT s, vid AS cid, sv AS c FROM ${pfx}sv WHERE vid % $seedMod = 0
        |), ${pfx}fdist AS (
@@ -2084,6 +2093,75 @@ object ExtensionQueries {
        |  FROM pairs0 p
        |  JOIN pq_codes c ON c.vid = p.cand_id
        |  JOIN pq_qt q ON q.query_id = p.query_id AND q.qs = c.s AND q.cid = c.code
+       |  GROUP BY p.query_id, p.cand_id
+       |), r AS (
+       |  SELECT query_id, cand_id, adc,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS BIGINT) AS "rank"
+       |  FROM scored WHERE query_id <> cand_id
+       |)
+       |SELECT query_id, "rank", cand_id,
+       |       CAST(FLOOR(1000000.0 * adc) AS BIGINT) AS adc_ppm
+       |FROM r WHERE "rank" <= $k
+       |ORDER BY query_id, "rank"""".stripMargin
+  }
+
+  /** IVFADC-RESIDUAL oracle — mirrors
+    * SimilaritySearch.ivfPqResidualTopK: the same coarse chain; the
+    * corpus RESIDUALS (double-subtract rounded to FLOAT — one IEEE op,
+    * identical in both engines) feed the UNCHANGED pq codebook chain
+    * through its `rel` parameter; query distance tables are per
+    * (query, probed list) over the query's per-list residual; the
+    * same fixed-order ADC pivot scores probed candidates.
+    */
+  private def ivfPqResidualOracleSql(
+      m: Int = 16, seedMod: Int = 20, k: Int = 5, nprobe: Int = 2,
+      queryMod: Int = 97, centroidMod: Int = 50): String = {
+    val subDim = VectorExprs.Dim / m
+    val pivotSum = (0 until m)
+      .map(i => s"MAX(CASE WHEN qs = $i THEN d END)").mkString(" + ")
+    s"""WITH ${ivfCoarseCtes("TRUE", "iv_", centroidMod)}, iv_adist AS (
+       |  SELECT e.vec_id AS vid, c.cid,
+       |         ${VectorExprs.l2sqDuck("e.embedding", "c.cemb")} AS d
+       |  FROM embeddings e CROSS JOIN iv_cents c
+       |), iv_assign AS (
+       |  SELECT vid AS cand_id, cid FROM (
+       |    SELECT vid, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+       |    FROM iv_adist) t WHERE rn = 1
+       |), iv_qprobe AS (
+       |  SELECT vid AS query_id, cid FROM (
+       |    SELECT vid, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+       |    FROM iv_adist WHERE vid % $queryMod = 0) t WHERE rn <= $nprobe
+       |), rsd AS (
+       |  SELECT a.cand_id AS vec_id,
+       |         ${VectorExprs.residualDuck("e.embedding", "c.cemb")} AS embedding
+       |  FROM iv_assign a
+       |  JOIN embeddings e ON e.vec_id = a.cand_id
+       |  JOIN iv_cents c ON c.cid = a.cid
+       |), ${pqCodebookCtes(m, seedMod, "pq_", queryMod, rel = "rsd")}, qrs AS (
+       |  SELECT q.query_id, q.cid AS lid,
+       |         ${VectorExprs.residualDuck("e.embedding", "c.cemb")} AS qres
+       |  FROM iv_qprobe q
+       |  JOIN embeddings e ON e.vec_id = q.query_id
+       |  JOIN iv_cents c ON c.cid = q.cid
+       |), qsv AS (
+       |  SELECT query_id, lid, sp.s AS s,
+       |         list_slice(qres, sp.s * $subDim + 1, (sp.s + 1) * $subDim) AS sv
+       |  FROM qrs CROSS JOIN pq_spine sp
+       |), rqt AS (
+       |  SELECT v.query_id, v.lid, v.s AS qs, c.cid,
+       |         ${VectorExprs.l2sqSubDuck("v.sv", "c.c", subDim)} AS d
+       |  FROM qsv v JOIN pq_cents c ON c.s = v.s
+       |), pairs0 AS (
+       |  SELECT q.query_id, q.cid AS lid, a.cand_id
+       |  FROM iv_assign a JOIN iv_qprobe q ON q.cid = a.cid
+       |), scored AS (
+       |  SELECT p.query_id, p.cand_id, $pivotSum AS adc
+       |  FROM pairs0 p
+       |  JOIN pq_codes c ON c.vid = p.cand_id
+       |  JOIN rqt ON rqt.query_id = p.query_id AND rqt.lid = p.lid
+       |          AND rqt.qs = c.s AND rqt.cid = c.code
        |  GROUP BY p.query_id, p.cand_id
        |), r AS (
        |  SELECT query_id, cand_id, adc,
@@ -2675,6 +2753,8 @@ object ExtensionQueries {
     "q_embed_pq_recall" -> pqRecallOracleSql(m = 16, seedMod = 20, k = 5),
 
     "q_embed_ann_ivfpq" -> ivfPqOracleSql(m = 16, seedMod = 20, k = 5, nprobe = 2),
+    "q_embed_ann_ivfpq_residual" ->
+      ivfPqResidualOracleSql(m = 16, seedMod = 20, k = 5, nprobe = 2),
 
     "q_embed_pq_refined" -> pqRefinedOracleSql(m = 16, seedMod = 20, k = 5, shortlist = 50),
 

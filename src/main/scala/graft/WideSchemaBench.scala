@@ -31,6 +31,29 @@ object WideSchemaBench {
   private def time[A](iters: Int)(f: => A): Double =
     BenchFixtures.minTime(iters)(f)
 
+  /** The FINAL physical tree, descending through AQE and its query
+    * stages (TreeNode.collect stops at QueryStageExec leaves, and
+    * explainString on an executed AQE plan does not render codegen
+    * markers — both measured 0 on a plainly-codegen'd aggregate).
+    */
+  private def planString(qe: org.apache.spark.sql.execution.QueryExecution): String = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def render(p: SparkPlan): String = {
+      val self = p match {
+        case a: AdaptiveSparkPlanExec => render(a.executedPlan)
+        case s: QueryStageExec => render(s.plan)
+        case other => other.nodeName
+      }
+      self + "\n" + p.children.map(render).mkString
+    }
+    render(qe.executedPlan)
+  }
+
+  private def countCodegenSpans(
+      qe: org.apache.spark.sql.execution.QueryExecution): Int =
+    "WholeStageCodegen".r.findAllIn(planString(qe)).size
+
   /** Deterministic wide table: key `id`, `width` INT data columns.
     * `after = true` applies the planted drift: cell perturbation on a
     * ~1/997 stripe and a disjoint row-universe (before drops
@@ -64,25 +87,49 @@ object WideSchemaBench {
     val cellBudget = 100_000_000L
     val widths = sys.env.get("SPARK_GRAFT_WIDE_WIDTHS")
       .map(_.split(",").toSeq.filter(_.nonEmpty).map(_.trim.toInt))
-      .getOrElse(Seq(100, 400, 1000))
+      .getOrElse(Seq(100, 400, 1000, 2000, 4000))
+
+    // capture sanity: a trivial aggregation MUST show >= 1 codegen
+    // span, or the span-counting method itself is broken
+    locally {
+      val t = spark.range(1000000).selectExpr("sum(id) AS s")
+      val qe = t.queryExecution
+      qe.toRdd.count()
+      val sanity = countCodegenSpans(qe)
+      println(s"""{"span_capture_sanity": $sanity}""")
+      println("[sanity-plan] " + planString(qe).linesIterator.take(25).mkString(" | "))
+    }
 
     val results = widths.map { w =>
       val rows = cellBudget / w
       val bPath = s"$fix/before_$w"
       val aPath = s"$fix/after_$w"
-      wide(spark, rows, w, after = false).write.mode("overwrite").parquet(bPath)
-      wide(spark, rows, w, after = true).write.mode("overwrite").parquet(aPath)
+      // staging at BOUNDED write parallelism: each parquet write task
+      // holds per-COLUMN encoder buffers, so 32 concurrent 4000-col
+      // writers OOM the shared local heap before the diff ever runs —
+      // 8 tasks keeps staging memory flat across the width ladder
+      wide(spark, rows, w, after = false)
+        .repartition(8).write.mode("overwrite").parquet(bPath)
+      wide(spark, rows, w, after = true)
+        .repartition(8).write.mode("overwrite").parquet(aPath)
       val before = spark.read.parquet(bPath)
       val after = spark.read.parquet(aPath)
 
       def run(asMap: Boolean): (Double, Int, Long) = {
-        def d = graft.operators.TableDiff.diff(
+        val d = graft.operators.TableDiff.diff(
           before, after, Seq("id"),
           opts = graft.operators.DiffOptions(statusesAsMap = asMap))
         var n = 0L
         val sec = time(iters) { n = d.count() }
-        val spans = "WholeStageCodegen".r
-          .findAllIn(d.queryExecution.executedPlan.toString).size
+        // span capture needs care: df.count() builds a SEPARATE plan,
+        // so finalize THIS QueryExecution's AQE plan (toRdd + action)
+        // and read the codegen spans from the same instance — a fresh
+        // or unexecuted plan prints isFinalPlan=false with no codegen
+        // detail (the first run of this probe measured 0 spans
+        // everywhere for exactly that reason)
+        val qe = d.queryExecution
+        qe.toRdd.count()
+        val spans = countCodegenSpans(qe)
         (sec, spans, n)
       }
       val (colSec, colSpans, colRows) = run(asMap = false)

@@ -73,6 +73,16 @@ object VectorExprs {
   def l2sqSubDuck(a: String, b: String, len: Int): String =
     s"list_reduce(list_transform(range(1, ${len + 1}), i -> (($a[i]::DOUBLE) - ($b[i]::DOUBLE)) * (($a[i]::DOUBLE) - ($b[i]::DOUBLE))), (acc, v) -> acc + v)"
 
+  /** `x − c` per component: double subtract, rounded back to FLOAT —
+    * one IEEE op each, so residual vectors are bit-identical across
+    * engines (the IVFADC-residual composition depends on it; FLOAT
+    * because the distance kernels and the PQ fit take ARRAY<FLOAT>).
+    */
+  def residualSpark(x: String, c: String): String =
+    s"zip_with($x, $c, (xe, ce) -> CAST(CAST(xe AS DOUBLE) - CAST(ce AS DOUBLE) AS FLOAT))"
+  def residualDuck(x: String, c: String): String =
+    s"list_transform(range(1, ${Dim + 1}), i -> CAST(($x[i]::DOUBLE) - ($c[i]::DOUBLE) AS FLOAT))"
+
   // ---------- comparison-bit LSH bands (near-dup candidate blocking) ----------
   /** Winner-take-all-style sketch: bit t is `x[a_t] > x[b_t]` for a
     * fixed pseudo-random index pair (a_t, b_t). Comparisons are

@@ -880,6 +880,92 @@ object SimilaritySearch {
       pqQueryTables(emb, cb, queryMod, idCol), cb.m, k)
   }
 
+  /** IVFADC with RESIDUAL codebooks — the faiss DEFAULT composition
+    * (Jégou et al. 2011 §IV-A): PQ codes quantize r = x − q₁(x), the
+    * vector MINUS its assigned coarse centroid, instead of x itself.
+    * Residuals concentrate around the origin with the per-list
+    * geometry already explained away, so the same code budget spends
+    * on finer local detail — the reason this variant is the faiss
+    * default over [[ivfPqTopK]]'s vector-coding simplification. The
+    * cost is the coupling the vector-coding variant avoids: a query's
+    * ADC distance tables depend on WHICH list is probed (the query
+    * residual is q − c_list), so tables are built per (query, probed
+    * list) — nprobe× more table builds, each still broadcast-sized,
+    * while the corpus-side scan cost is unchanged (m in-row lookups
+    * per probed candidate).
+    *
+    * Residuals are double-subtracted then rounded to FLOAT — one IEEE
+    * op either way, so both engines carry bit-identical residual
+    * vectors into the (unchanged) codebook-fit/encode/ADC algebra.
+    * One codebook is shared across lists (the faiss default; per-list
+    * codebooks are the memory-heavy refinement).
+    */
+  def ivfPqResidualTopK(
+      emb: DataFrame,
+      k: Int = 5,
+      queryMod: Int = 97,
+      centroidMod: Int = 50,
+      nprobe: Int = 2,
+      m: Int = 16,
+      seedMod: Int = 20,
+      lloydIters: Int = 1,
+      idCol: String = "vec_id",
+      maxCentroids: Int = 1 << 20): DataFrame = {
+    val spark = emb.sparkSession
+    graft.functions.VecDot.register(spark)
+    graft.plans.TopKPerGroup.install(spark)
+    val index = buildIndex(emb, centroidMod, lloydIters, idCol, maxCentroids)
+    // corpus residuals, keyed like a corpus so pqFit/pqEncode apply
+    // unchanged; coarse list id renamed `lid` everywhere below — the
+    // PQ codebook table has its own `cid` (sub-centroid id)
+    val resid = index.assignments
+      .join(broadcast(index.centroids), Seq("cid"))
+      .select(
+        col("cand_id").as(idCol), col("cid").as("lid"),
+        expr(residualSpark("cand_emb", "cemb")).as("embedding"))
+    val cb = pqFit(resid, m, seedMod, idCol)
+    val codes = pqEncode(resid, cb, idCol)
+    // each query's nprobe lists, then its PER-LIST residual
+    val qres = nearestLists(
+      index.centroids, emb.filter(col(idCol) % queryMod === 0), nprobe, idCol)
+      .join(broadcast(index.centroids), Seq("cid"))
+      .select(
+        col("vid").as("query_id"), col("cid").as("lid"),
+        expr(residualSpark("embedding", "cemb")).as("qres"))
+    // per-(query, list) ADC tables — [[pqQueryTablesFor]]'s shape with
+    // the list id carried through the grouping
+    val qt = qres
+      .withColumn("s", explode(sequence(lit(0), lit(cb.m - 1))))
+      .withColumn("sv", expr(s"slice(qres, s * ${cb.subDim} + 1, ${cb.subDim})"))
+      .join(broadcast(cb.centroids), Seq("s"))
+      .select(
+        col("query_id"), col("lid"), col("s"), col("cid"),
+        expr(l2sqSpark("sv", "c")).as("d"))
+      .groupBy("query_id", "lid", "s")
+      .agg(map_from_entries(collect_list(struct(col("cid"), col("d")))).as("tab"))
+      .groupBy("query_id", "lid")
+      .agg(map_from_entries(collect_list(struct(col("s"), col("tab")))).as("bys"))
+      .select(
+        col("query_id"), col("lid"),
+        expr(s"transform(sequence(0, ${cb.m - 1}), i -> element_at(bys, i))").as("qm"))
+    val qLists = qres.select(col("query_id"), col("lid"))
+    val pairs = index.assignments.select(col("cand_id"), col("cid").as("lid"))
+      .join(broadcast(qLists), Seq("lid"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("cand_id"))
+    pairs
+      .join(pqCodesWide(codes, idCol), Seq("cand_id"))
+      .join(broadcast(qt), Seq("query_id", "lid"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("adc", expr(pqAdcSumExpr(cb.m)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col("rank").cast("long").as("rank"),
+        col("cand_id"),
+        floor(lit(1000000.0) * col("adc")).cast("long").as("adc_ppm"))
+  }
+
   /** ADC-score an explicit `(query_id, cand_id)` pair list from wide
     * codes + per-query distance tables — the IVFADC scoring tail,
     * shared by the in-memory [[ivfPqTopK]] and the persisted

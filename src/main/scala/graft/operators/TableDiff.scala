@@ -27,11 +27,17 @@ import org.apache.spark.sql.types.MetadataBuilder
   *   Snowflake (diffgen.py:73). Off by default to keep parquet-cased
   *   names round-trippable.
   * @param statusesAsMap emit ONE `statuses MAP<STRING,INT>` column
-  *   instead of a status column per union column. For very wide
-  *   schemas (thousands of columns) the per-column CASE projection
-  *   stresses whole-stage codegen's 64KB method limits and the row
-  *   width; the map form keeps the projection narrow at identical
-  *   information content (SURVEY.md §7 "wide schemas").
+  *   instead of a status column per union column. MEASURED
+  *   (WideSchemaBench, r13, fixed ~10⁸-cell budget, widths
+  *   50→4000): there is NO per-column-form performance cliff to
+  *   escape — whole-stage codegen bows out for BOTH forms at
+  *   spark.sql.codegen.maxFields (100) output fields (codegen spans
+  *   4 → 0 between widths 99 and 120), long before the 64KB method
+  *   limit could bite, and the interpreted wide projection stays
+  *   flat (0.35-0.7 s across the ladder; map form ~1.4× ahead only
+  *   at 4000 columns). The map form's real value is row-width
+  *   ergonomics for downstream consumers — no auto-switch is
+  *   warranted (SCALE.md "Round-13 wide-schema diff").
   * @param nullKeySideChannel route rows whose key tuple contains a
   *   NULL through a separate small diff and union the results. Under
   *   null-safe hashing every all/partially-NULL key lands in the same

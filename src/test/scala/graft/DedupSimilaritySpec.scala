@@ -205,6 +205,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(res.count() > 0)
     assert(res.join(allowed, Seq("query_id", "cand_id"), "left_anti").isEmpty,
       "every IVFADC candidate must come from its query's probed lists")
+
+    // the RESIDUAL variant (faiss's default IVFADC): same pruning
+    // contract — candidates confined to probed lists — plus per-query
+    // top-k shape and bitwise determinism (the residual float
+    // rounding and the per-(query, list) ADC tables are all
+    // deterministic algebra, so two runs must agree exactly)
+    val resid = SimilaritySearch
+      .ivfPqResidualTopK(emb, m = m, seedMod = seedMod, nprobe = 2)
+      .localCheckpoint(true)
+    assert(resid.count() > 0)
+    assert(resid.join(allowed, Seq("query_id", "cand_id"), "left_anti").isEmpty,
+      "every residual-IVFADC candidate must come from its query's probed lists")
+    val shapes = resid.groupBy("query_id").agg(
+      count(lit(1)).as("n"),
+      max(col("rank")).as("mx"),
+      min(col("rank")).as("mn"))
+    assert(shapes.filter(
+      col("mx") =!= col("n") || col("mn") =!= 1 || col("n") > 5).isEmpty,
+      "ranks must be contiguous 1..n with n <= k per query")
+    assert(rows(SimilaritySearch.ivfPqResidualTopK(
+      emb, m = m, seedMod = seedMod, nprobe = 2)) == rows(resid))
   }
 
   test("streamed span fold ≡ one-shot exactly until a shingle crosses the cap mid-stream") {
