@@ -619,7 +619,12 @@ object ExtensionQueries {
         .groupBy(winStart, col("event_type"))
         .agg(
           count(lit(1)).as("hi_n"),
-          sum(col("value").cast("decimal(18,4)")).as("hi_sum"))
+          sum(col("value").cast("decimal(18,4)")).as("hi_sum"),
+          // triangle bound for ANY-subset sums: |S_subset| <= Σ|v| in
+          // exact decimal, and the double cast is monotone — so a
+          // late-only group emitted with a corrupted sum cannot hide
+          // behind progression-dependent membership (review finding)
+          sum(abs(col("value").cast("decimal(18,4)"))).as("hi_abs"))
       val lo = ev
         .filter(pmod(col("event_id"), lit(4)) <= 1)
         .groupBy(winStart, col("event_type"))
@@ -635,7 +640,9 @@ object ExtensionQueries {
         .join(hi, Seq("window_start", "event_type"), "left")
         .filter(
           col("hi_n").isNull || col("n_emissions") =!= 1 ||
-            col("emitted_n") > col("hi_n"))
+            col("emitted_n") > col("hi_n") ||
+            col("emitted_n") < col("n_emissions") ||
+            abs(col("emitted_sum")) > col("hi_abs").cast("double"))
         .count()
       lo
         .join(hi, Seq("window_start", "event_type"))
@@ -648,6 +655,7 @@ object ExtensionQueries {
           (col("n_emissions") === 1).as("emitted_once"),
           (col("emitted_n") >= col("lo_n")).as("ge_early"),
           (col("emitted_n") <= col("hi_n")).as("le_all"),
+          (abs(col("emitted_sum")) <= col("hi_abs").cast("double")).as("sum_bounded"),
           lit(extraBad == 0L).as("extra_ok"))
         .orderBy("window_start", "event_type")
     }),
@@ -2533,7 +2541,7 @@ object ExtensionQueries {
         |  CASE WHEN lo.lo_n = hi.hi_n THEN hi.hi_n END AS n_exact,
         |  CASE WHEN lo.lo_n = hi.hi_n THEN CAST(hi.hi_sum AS DOUBLE) END AS sum_exact,
         |  TRUE AS emitted, TRUE AS emitted_once, TRUE AS ge_early,
-        |  TRUE AS le_all, TRUE AS extra_ok
+        |  TRUE AS le_all, TRUE AS sum_bounded, TRUE AS extra_ok
         |FROM lo JOIN hi ON hi.wstart = lo.wstart AND hi.event_type = lo.event_type
         |ORDER BY window_start, lo.event_type""".stripMargin,
 

@@ -17,12 +17,14 @@ import org.apache.spark.sql.functions._
   * before side drops a disjoint ~1/499 — so every status code path
   * (0/1/2-3 via the row padding, 4/5) is exercised at every width.
   *
-  * Measured per width ∈ {100, 400, 1000} and per form (per-column
-  * CASE vs statusesAsMap): wall time of a full-result count, the
-  * WholeStageCodegen span count of the executed plan, and whether any
-  * codegen compile fell back (visible as a span-count drop — Spark
-  * falls back SILENTLY per-subtree via spark.sql.codegen.fallback, so
-  * the span structure is the honest observable).
+  * Measured per width (default ladder {100, 400, 1000, 2000, 4000};
+  * the recorded SCALE.md table also ran the {50, 99, 120} boundary
+  * probes via SPARK_GRAFT_WIDE_WIDTHS to localize the codegen
+  * disengagement at spark.sql.codegen.maxFields = 100 output fields)
+  * and per form (per-column CASE vs statusesAsMap): wall time of a
+  * full-result count and the WholeStageCodegen span count of the
+  * FINALIZED executed plan (the span-count drop is the honest
+  * fallback observable — Spark disengages silently).
   *
   * Findings are recorded in SCALE.md ("Round-13 wide-schema diff").
   */

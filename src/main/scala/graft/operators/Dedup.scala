@@ -695,12 +695,28 @@ object Dedup {
     require(
       spark.catalog.tableExists(table),
       s"state table '$table' does not exist")
-    docIds
-      .select(col(docIds.columns.head).cast("long").as("doc_id"))
-      .distinct()
+    checkedTombstoneIds(docIds)
       .repartition(1)
       .write.mode("append").format("parquet")
       .saveAsTable(tombstoneTableName(table))
+  }
+
+  /** The id column cast to long, FAIL-FAST on any NULL result: a
+    * silently-null id (bad cast, null input) written into a tombstone
+    * table would poison every later probe with an NPE far from the
+    * actual error site — check here, where the bad delete happens.
+    * Shared by the catalog-table and written-layout delete paths.
+    */
+  private[operators] def checkedTombstoneIds(docIds: DataFrame): DataFrame = {
+    val ids = docIds
+      .select(col(docIds.columns.head).cast("long").as("doc_id"))
+      .distinct()
+    require(
+      ids.filter(col("doc_id").isNull).isEmpty,
+      s"tombstone ids contain NULL after casting column '${docIds.columns.head}' " +
+        "to long — a non-numeric or null id cannot be deleted; clean the id set " +
+        "before calling delete")
+    ids
   }
 
   /** [[deleteFromStateTable]] under the band-table name. */
@@ -737,12 +753,14 @@ object Dedup {
 
   /** Driver-side tombstone localization, hard-capped: past the cap
     * the set is no longer "takedown-sized" and the fix is to fold it
-    * into the layout, not to grow the filter.
+    * into the layout (compaction), not to grow the filter. DISTINCT
+    * before the cap — repeated takedowns of overlapping id sets must
+    * not inflate either the literal list or the cap trip.
     */
   private[operators] def collectTombstones(
       df: DataFrame, key: String, what: String,
       max: Int = MaxTombstones): Seq[Long] = {
-    val rows = df.select(col(key)).limit(max + 1).collect()
+    val rows = df.select(col(key)).distinct().limit(max + 1).collect()
     require(
       rows.length <= max,
       s"tombstone set '$what' exceeds $max ids — run the state's compaction " +
@@ -750,8 +768,15 @@ object Dedup {
     rows.map(_.getLong(0)).toSeq.sorted
   }
 
-  /** Cap on driver-localized tombstone ids (~32 MB of longs). */
-  val MaxTombstones: Int = 1 << 22
+  /** Cap on driver-localized tombstone ids. Deliberately modest: the
+    * mask becomes a Catalyst `In` whose CHILD LIST is one Literal per
+    * id until the optimizer's InSet conversion, and plan analysis
+    * walks that list per rule — 100k literals is fine, the earlier
+    * 4M figure would stall/OOM the driver at plan time long before
+    * the ~32 MB of longs mattered. Past this, deletions are no longer
+    * "takedown-sized": compact.
+    */
+  val MaxTombstones: Int = 100000
 
   private def overCompactionThreshold(
       spark: org.apache.spark.sql.SparkSession, table: String,

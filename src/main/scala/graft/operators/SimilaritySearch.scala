@@ -400,9 +400,8 @@ object SimilaritySearch {
     */
   def deleteFromWrittenIndex(
       spark: org.apache.spark.sql.SparkSession, dir: String, candIds: DataFrame): Unit =
-    candIds
-      .select(col(candIds.columns.head).cast("long").as("cand_id"))
-      .distinct()
+    Dedup.checkedTombstoneIds(candIds)
+      .withColumnRenamed("doc_id", "cand_id")
       .coalesce(1)
       .write.mode("append").parquet(s"$dir/tombstones")
 
@@ -461,8 +460,14 @@ object SimilaritySearch {
     */
   def compactWrittenIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     compactAssignmentsNoClear(spark, dir)
-    // tombstones are now baked into the layout — clear them so the
-    // live view stops paying the (broadcast) mask and a later re-add
+    // a combined IVFADC dir shares ONE tombstone set across its row
+    // tables — clearing it after rewriting only the assignments would
+    // let deleted vectors resurface through the still-unrewritten
+    // codes (pqProbeWritten full-scans them), so compact those too
+    // before the clear; on a plain IVF dir this branch never fires
+    if (dirExists(spark, s"$dir/codes")) compactCodesNoClear(spark, dir, 1)
+    // tombstones are now baked into every row table under dir — clear
+    // them so the live views stop paying the mask and a later re-add
     // of a compacted-away id becomes possible again
     deleteDir(spark, s"$dir/tombstones")
   }
@@ -477,21 +482,28 @@ object SimilaritySearch {
       dir)
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(tmp)
-    swapDirs(cur, tmp)
+    swapDirs(spark, cur, tmp)
   }
 
   /** Swap `tmp` into `cur`'s place: the tmp write is complete before
     * the old layout disappears, so a crash leaves a readable state
-    * either way.
+    * either way. Via the path's OWN Hadoop FileSystem — the sibling
+    * helpers (dirExists/deleteDir, the delete path, every read) all
+    * speak Hadoop FS, and a java.nio move would silently confine the
+    * whole persisted layout to the local filesystem (review finding).
+    * Rename is atomic on HDFS/local; object stores without atomic
+    * rename keep the same fail-readable ordering.
     */
-  private def swapDirs(cur: String, tmp: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val old = cur + "_old"
-    Files.move(Paths.get(cur), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmp), Paths.get(cur), StandardCopyOption.ATOMIC_MOVE)
-    import scala.jdk.CollectionConverters._
-    Files.walk(Paths.get(old)).sorted(java.util.Comparator.reverseOrder())
-      .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+  private def swapDirs(
+      spark: org.apache.spark.sql.SparkSession, cur: String, tmp: String): Unit = {
+    val curPath = new org.apache.hadoop.fs.Path(cur)
+    val fs = curPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(cur + "_old")
+    require(fs.rename(curPath, old), s"swap: rename $cur -> $old failed")
+    require(
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), curPath),
+      s"swap: rename $tmp -> $cur failed")
+    fs.delete(old, true)
   }
 
   /** [[appendToWrittenIndex]] plus automatic compaction cadence —
@@ -1176,6 +1188,10 @@ object SimilaritySearch {
       spark: org.apache.spark.sql.SparkSession, dir: String,
       targetFiles: Int = 1): Unit = {
     compactCodesNoClear(spark, dir, targetFiles)
+    // the shared-tombstone mirror of compactWrittenIndex's guard: on
+    // a combined IVFADC dir the coarse assignments must be rewritten
+    // too before the one tombstone set is cleared
+    if (dirExists(spark, s"$dir/assignments")) compactAssignmentsNoClear(spark, dir)
     deleteDir(spark, s"$dir/tombstones")
   }
 
@@ -1188,7 +1204,7 @@ object SimilaritySearch {
     readPqCodesWide(spark, dir)
       .repartition(targetFiles)
       .write.mode("overwrite").parquet(tmp)
-    swapDirs(cur, tmp)
+    swapDirs(spark, cur, tmp)
   }
 
   /** [[appendToWrittenPqIndex]] plus the automatic compaction cadence
@@ -1261,11 +1277,11 @@ object SimilaritySearch {
   }
 
   /** Compact BOTH IVFADC state tables, then clear tombstones once —
-    * the one compaction entry point for this layout. (Compacting only
-    * one table via the single-table functions would clear tombstones
-    * the other still needs baked in; results stay correct either way
-    * because the probe inner-joins the pair list against the codes,
-    * but the stale rows would linger — use this.)
+    * the natural compaction entry point for this layout. The
+    * single-table functions are SAFE here too: each detects the other
+    * row table under `dir` and rewrites it before clearing the shared
+    * tombstone set (the review finding: clearing after a one-table
+    * rewrite would let deleted vectors resurface through the other).
     */
   def compactWrittenIvfPqIndex(
       spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -1287,15 +1303,19 @@ object SimilaritySearch {
       idCol: String = "vec_id"): DataFrame = {
     graft.functions.VecDot.register(spark)
     graft.plans.TopKPerGroup.install(spark)
-    val coarse = readIndex(spark, dir) // assignments already tombstone-masked
+    val coarse = readIndex(spark, dir) // assignments tombstone-masked here
     val cb = readPqCodebooks(spark, dir)
     val qLists = nearestLists(coarse.centroids, queries, nprobe, idCol)
       .select(col("vid").as("query_id"), col("cid"))
     val pairs = coarse.assignments.select(col("cand_id"), col("cid"))
       .join(broadcast(qLists), Seq("cid"))
       .select("query_id", "cand_id")
+    // codes read RAW: the pair list is already tombstone-masked via
+    // the assignment side and the codes join is inner on it, so a
+    // second mask (= a second tombstone read + driver collect per
+    // probe) would only re-exclude rows that can't appear
     adcScorePairs(
-      pairs, readPqCodesWide(spark, dir),
+      pairs, spark.read.parquet(s"$dir/codes"),
       pqQueryTablesFor(queries, cb, idCol), cb.m, k)
   }
 }

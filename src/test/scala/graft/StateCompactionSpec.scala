@@ -317,13 +317,7 @@ class StateCompactionSpec extends AnyFunSuite {
         queries))
       assert(canon(SimilaritySearch.probe(
         SimilaritySearch.readIndex(spark, ivfDir), queries)) == expectedFinal)
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(ivfDir))
-        .sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    } finally rmTree(ivfDir)
   }
 
   private def rmTree(path: String): Unit = {
@@ -454,6 +448,35 @@ class StateCompactionSpec extends AnyFunSuite {
       assert(canon(SimilaritySearch.pqProbeWritten(spark, pqDir, queries))
         == pqExpected)
       assert(parquetFiles(s"$pqDir/codes") == 1)
+
+      // ---- combined IVFADC dir, SINGLE-table compaction entry point
+      // (the review finding): the one shared tombstone set must not
+      // be cleared until EVERY row table under dir is rewritten —
+      // compactWrittenIndex on an IVFADC dir detects the codes table,
+      // rewrites it too, and deleted ids stay gone from the PQ
+      // full-scan probe afterwards
+      val comboDir = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_del_").toString
+      try {
+        SimilaritySearch.writeIvfPqIndex(
+          SimilaritySearch.IvfIndex(
+            index.centroids, index.assignments),
+          cb, codes, comboDir)
+        val comboBase = canon(
+          SimilaritySearch.pqProbeWritten(spark, comboDir, queries))
+        val comboVictims = comboBase.map(_.getLong(2)).distinct.take(3)
+        SimilaritySearch.deleteFromWrittenIndex(
+          spark, comboDir, comboVictims.toDF("cand_id"))
+        SimilaritySearch.compactWrittenIndex(spark, comboDir) // single-table API
+        assert(!new java.io.File(s"$comboDir/tombstones").exists())
+        val afterSingle = canon(
+          SimilaritySearch.pqProbeWritten(spark, comboDir, queries))
+        assert(!afterSingle.exists(r => comboVictims.contains(r.getLong(2))),
+          "single-table compaction on a combined dir must not resurrect " +
+            "deleted ids through the codes table")
+        assert(afterSingle == canon(SimilaritySearch.pqTopK(
+          emb, cb, codes.filter(!col("vec_id").isin(comboVictims: _*)))))
+      } finally rmTree(comboDir)
     } finally { rmTree(ivfDir); rmTree(pqDir) }
   }
 
