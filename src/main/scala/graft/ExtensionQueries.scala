@@ -1451,6 +1451,45 @@ object ExtensionQueries {
           max("zkey").as("zmax"))
         .orderBy("zcell")
     }),
+    "q_zorder_delete" -> ((s, dir) => {
+      // TAKEDOWN on the Z-ordered DATA layout — the r13 deletion
+      // story the persisted state tables got, applied to ZLayout:
+      // base = 3/4 of lineitem (clustered), tail = the raw-appended
+      // rest, then l_orderkey % 10 == 3 tombstoned. The table is
+      // aggregated TWICE under one hash — against the tombstone-
+      // masked live view, and again after a cadence-tripped
+      // re-cluster bakes the removal into a fresh generation and
+      // clears the set — vs an oracle whose relation literally
+      // excludes the deleted keys.
+      import graft.functions.ZLayout
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+      val path = freshStateDir("graft_zdel_")
+      ZLayout.writeClustered(
+        li.filter(col("l_orderkey") % 4 =!= 0), path,
+        "l_partkey", "l_suppkey", numFiles = 16)
+      ZLayout.append(li.filter(col("l_orderkey") % 4 === 0), path, appendTasks = 2)
+      ZLayout.delete(
+        s, path, li.filter(col("l_orderkey") % 10 === 3).select("l_orderkey"))
+      def agg(stage: String) = ZLayout.read(s, path)
+        .groupBy((col("l_orderkey") % 7).as("grp"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+        .withColumn("stage", lit(stage))
+      // probe 1 materialized BEFORE the re-cluster rewrites the files
+      // this plan reads
+      val masked = agg("tombstoned").localCheckpoint(true)
+      // an empty-batch ingest under a ~zero tail cap trips the
+      // cadence: the re-cluster folds the MASKED read into the new
+      // base and clears the tombstones
+      ZLayout.appendAndMaybeRecluster(
+        li.limit(0), path, "l_partkey", "l_suppkey", numFiles = 16,
+        maxTailFraction = 1e-9)
+      masked.unionByName(agg("reclustered"))
+        .select("stage", "grp", "n_rows", "sum_qty")
+        .orderBy("stage", "grp")
+    }),
     "q_split_assign" -> ((s, dir) => {
       // deterministic train/val/test assignment: same doc → same
       // split in every run and every engine (incremental ingests
@@ -3102,6 +3141,23 @@ object ExtensionQueries {
          |  MIN(zkey) AS zmin, MAX(zkey) AS zmax
          |FROM z GROUP BY 1 ORDER BY zcell""".stripMargin
     },
+
+    // deletion semantics ARE the corpus exclusion, as in
+    // q_dedup_ingest_delete: both the tombstone-masked and the
+    // post-re-cluster reads must equal the aggregate over a relation
+    // that never contained the deleted keys
+    "q_zorder_delete" ->
+      """WITH live AS (
+        |  SELECT l_orderkey, l_quantity FROM lineitem WHERE l_orderkey % 10 <> 3
+        |), a AS (
+        |  SELECT l_orderkey % 7 AS grp, COUNT(*) AS n_rows,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |  FROM live GROUP BY 1
+        |)
+        |SELECT 'tombstoned' AS stage, grp, n_rows, sum_qty FROM a
+        |UNION ALL
+        |SELECT 'reclustered' AS stage, grp, n_rows, sum_qty FROM a
+        |ORDER BY stage, grp""".stripMargin,
 
     "q_pipeline_train_export" ->
       trainExportPipelineSql(Seq("src0" -> 4000L, "src1" -> 2000L), 3000L, tokensWp = false),

@@ -222,13 +222,64 @@ object ZLayout {
     * `merging_*` snapshot a re-cluster is currently folding in (its
     * rows leave `tail` the moment the re-cluster starts but only
     * leave disk once the new generation is complete — reading it
-    * keeps the table complete throughout the swap).
+    * keeps the table complete throughout the swap). Rows tombstoned
+    * by [[delete]] are masked here (broadcast anti-join on the tiny
+    * key set — a DATA-table scan has no bucketing to preserve, caller
+    * predicates still push through the streamed side to parquet; no
+    * plan change at all when nothing was ever deleted).
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     val extra = subdirs(fsOf(spark, path), path, "merging_").map(_.toString)
       .filter(d => parquetFiles(spark, d) > 0)
     val tail = if (parquetFiles(spark, s"$path/tail") > 0) Seq(s"$path/tail") else Nil
-    spark.read.parquet((Seq(s"$path/base") ++ tail ++ extra): _*)
+    val raw = spark.read.parquet((Seq(s"$path/base") ++ tail ++ extra): _*)
+    val t = s"$path/tombstones"
+    if (!fsOf(spark, path).exists(new Path(t))) raw
+    else {
+      import org.apache.spark.sql.functions.broadcast
+      val tomb = spark.read.parquet(t)
+      raw.join(broadcast(tomb.distinct()), Seq(tomb.columns.head), "left_anti")
+    }
+  }
+
+  /** Tombstone rows by key (takedown/re-curation — the deletion path
+    * every other persisted layout in the engine grew in r13): `ids`
+    * must be ONE column whose NAME is a column of the stored rows and
+    * whose values identify the rows to remove (any type — the mask is
+    * an anti-join, not a cast). [[read]] masks the keys immediately;
+    * the next committed generation swap (re-cluster cadence or a
+    * [[writeClustered]] replacement) bakes the removal in and clears
+    * the set. Same contracts as the state-table tombstones: ids are
+    * permanent until a swap clears them (a row re-appended under a
+    * tombstoned key stays masked and is dropped by the fold), NULL
+    * ids fail fast here at the error site, and `delete` is a WRITER
+    * op under the layout's single-writer maintenance contract.
+    */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    require(ids.columns.length == 1,
+      "pass exactly ONE id column, named as the stored rows' key column; " +
+        s"got ${ids.columns.mkString(", ")}")
+    val keyCol = ids.columns.head
+    import org.apache.spark.sql.functions.col
+    require(
+      read(spark, path).columns.contains(keyCol),
+      s"tombstone key column '$keyCol' does not exist in the stored rows — " +
+        "the mask would silently drop nothing")
+    val t = s"$path/tombstones"
+    val f = fsOf(spark, path)
+    if (f.exists(new Path(t))) {
+      val existing = spark.read.parquet(t).columns.head
+      require(existing == keyCol,
+        s"tombstone set at $t keys on '$existing' but this delete keys on " +
+          s"'$keyCol' — one layout masks by one key column; re-cluster to " +
+          "fold the existing set in before switching keys")
+    }
+    val d = ids.distinct()
+    require(
+      d.filter(col(keyCol).isNull).isEmpty,
+      s"tombstone ids contain NULL in '$keyCol' — a null key identifies no " +
+        "row; clean the id set before calling delete")
+    d.coalesce(1).write.mode("append").parquet(t)
   }
 
   /** Raw append into the tail — cheap (no clustering pass), unpruned
@@ -390,6 +441,13 @@ object ZLayout {
         s"could not swap $path/base_next into place — previous generation " +
           s"preserved under $path/base_old_*")
     subdirs(f, path, "base_old_").foreach(f.delete(_, true))
+    // the committed generation was materialized THROUGH the masked
+    // read (re-cluster) or from a caller-authoritative replacement —
+    // either way [[delete]]'s tombstones are baked out; clear them so
+    // reads stop paying the mask. A crash before this line leaves the
+    // set masking keys that no longer exist — a harmless no-op
+    // anti-join until the next swap clears it.
+    f.delete(new Path(s"$path/tombstones"), true)
   }
 }
 

@@ -217,6 +217,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ZLayout.read(spark, dir).count() == grid.count() + 5 * batch.count())
   }
 
+  test("ZLayout delete: tombstones mask reads immediately, the re-cluster folds them in and clears, guards fail fast") {
+    import spark.implicits._
+    import graft.functions.ZLayout
+    val dir = java.nio.file.Files.createTempDirectory("zlayout_del").toString + "/t"
+    val grid = (for { x <- 0L until 32L; y <- 0L until 32L } yield (x, y)).toDF("x", "y")
+    ZLayout.writeClustered(grid, dir, "x", "y", numFiles = 8)
+    ZLayout.append(
+      (for { x <- 32L until 40L; y <- 0L until 4L } yield (x, y)).toDF("x", "y"),
+      dir, appendTasks = 1)
+    val total = ZLayout.read(spark, dir).count()
+    // delete by key column `x`: rows in BOTH base and tail vanish
+    // from the live view, nothing else does
+    ZLayout.delete(spark, dir, Seq(3L, 35L).toDF("x"))
+    val masked = ZLayout.read(spark, dir)
+    assert(masked.filter(col("x").isin(3L, 35L)).isEmpty)
+    assert(masked.count() == total - 32 - 4)
+    // guards at the error site: NULL key, unknown column, second key
+    // column against a live set
+    intercept[IllegalArgumentException] {
+      ZLayout.delete(spark, dir, Seq(Some(1L), None).toDF("x"))
+    }
+    intercept[IllegalArgumentException] {
+      ZLayout.delete(spark, dir, Seq(1L).toDF("no_such_col"))
+    }
+    intercept[IllegalArgumentException] {
+      ZLayout.delete(spark, dir, Seq(1L).toDF("y"))
+    }
+    // the cadence re-cluster folds the removal into the fresh
+    // generation and clears the set — same rows, no mask in the plan
+    assert(ZLayout.appendAndMaybeRecluster(
+      grid.limit(0), dir, "x", "y", numFiles = 8, maxTailFraction = 1e-9))
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    val after = ZLayout.read(spark, dir)
+    assert(after.count() == total - 32 - 4)
+    assert(after.filter(col("x").isin(3L, 35L)).isEmpty)
+    assert(!after.queryExecution.executedPlan.toString.contains("LeftAnti"),
+      "post-fold reads must not pay the mask")
+  }
+
   test("ZLayoutN: appends degrade 3-D prunability, the cadence re-cluster restores it") {
     import spark.implicits._
     import graft.functions.ZLayout
