@@ -228,57 +228,104 @@ object ZLayout {
     * predicates still push through the streamed side to parquet; no
     * plan change at all when nothing was ever deleted).
     */
+  /** The live generation's tombstone set: INSIDE the base directory,
+    * underscore-named so Spark's parquet listing never sees it as
+    * data. Generation-scoping is the crash-safety design (review
+    * r13): the set dies ATOMICALLY with its generation at the
+    * existing checked-rename swap — a replacement's fresh `base_next`
+    * carries no set (caller-authoritative rows are never masked, not
+    * even transiently), a re-cluster's fresh generation was built
+    * through the masked read (the removal is baked in), and there is
+    * NO separate clear step to crash around.
+    */
+  private def tombstoneDir(path: String): String = s"$path/base/_tombstones"
+
   def read(spark: SparkSession, path: String): DataFrame = {
     val extra = subdirs(fsOf(spark, path), path, "merging_").map(_.toString)
       .filter(d => parquetFiles(spark, d) > 0)
     val tail = if (parquetFiles(spark, s"$path/tail") > 0) Seq(s"$path/tail") else Nil
     val raw = spark.read.parquet((Seq(s"$path/base") ++ tail ++ extra): _*)
-    val t = s"$path/tombstones"
-    if (!fsOf(spark, path).exists(new Path(t))) raw
+    val t = tombstoneDir(path)
+    // committed-footer guard, same as the sibling dirs: a delete that
+    // crashed mid-write leaves only _temporary — an existence check
+    // alone would brick every subsequent read on schema inference
+    if (parquetFiles(spark, t) == 0) raw
     else {
       import org.apache.spark.sql.functions.broadcast
+      // no distinct(): right-side duplicates cannot change an
+      // anti-join, and delete() already writes each call's set
+      // distinct — the aggregate would tax every masked read
       val tomb = spark.read.parquet(t)
-      raw.join(broadcast(tomb.distinct()), Seq(tomb.columns.head), "left_anti")
+      raw.join(broadcast(tomb), Seq(tomb.columns.head), "left_anti")
     }
   }
+
+  /** Hard cap on a generation's tombstone ids — the r13 state-table
+    * contract (Dedup.MaxTombstones rationale): past this the set is
+    * not "takedown-sized" and the fix is a fold, not a bigger mask
+    * ([[read]] broadcasts the set to every executor).
+    */
+  val MaxTombstones: Int = 100000
 
   /** Tombstone rows by key (takedown/re-curation — the deletion path
     * every other persisted layout in the engine grew in r13): `ids`
     * must be ONE column whose NAME is a column of the stored rows and
-    * whose values identify the rows to remove (any type — the mask is
-    * an anti-join, not a cast). [[read]] masks the keys immediately;
-    * the next committed generation swap (re-cluster cadence or a
-    * [[writeClustered]] replacement) bakes the removal in and clears
-    * the set. Same contracts as the state-table tombstones: ids are
-    * permanent until a swap clears them (a row re-appended under a
-    * tombstoned key stays masked and is dropped by the fold), NULL
-    * ids fail fast here at the error site, and `delete` is a WRITER
-    * op under the layout's single-writer maintenance contract.
+    * whose TYPE matches that column exactly (the anti-join would
+    * otherwise ride Catalyst's implicit comparison coercions — a
+    * BIGINT key matched against STRING ids goes through DOUBLE and
+    * silently misses ids past 2^53; the engine just pinned
+    * widen-or-fail type semantics for exactly this class of seam, so
+    * the delete fails fast instead). [[read]] masks the keys
+    * immediately; the next COMMITTED generation swap (re-cluster
+    * cadence or a [[writeClustered]] replacement) retires the set
+    * atomically with the generation it belongs to — a re-cluster
+    * bakes the removal in, a replacement supersedes it with the
+    * caller's rows. Ids are permanent until then (a row re-appended
+    * under a tombstoned key stays masked and is dropped by a fold);
+    * NULL ids and oversized sets fail fast here at the error site.
+    * `delete` is a WRITER op under the layout's single-writer
+    * maintenance contract, and like every writer op it first
+    * [[recover]]s — writing into a generation that a pending
+    * completed swap is about to replace would lose the takedown.
     */
   def delete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
     require(ids.columns.length == 1,
       "pass exactly ONE id column, named as the stored rows' key column; " +
         s"got ${ids.columns.mkString(", ")}")
+    recover(spark, path)
     val keyCol = ids.columns.head
     import org.apache.spark.sql.functions.col
-    require(
-      read(spark, path).columns.contains(keyCol),
+    val baseField = spark.read.parquet(s"$path/base").schema.fields
+      .find(_.name == keyCol)
+    require(baseField.isDefined,
       s"tombstone key column '$keyCol' does not exist in the stored rows — " +
         "the mask would silently drop nothing")
-    val t = s"$path/tombstones"
-    val f = fsOf(spark, path)
-    if (f.exists(new Path(t))) {
-      val existing = spark.read.parquet(t).columns.head
-      require(existing == keyCol,
-        s"tombstone set at $t keys on '$existing' but this delete keys on " +
-          s"'$keyCol' — one layout masks by one key column; re-cluster to " +
-          "fold the existing set in before switching keys")
-    }
-    val d = ids.distinct()
+    val idType = ids.schema.head.dataType
+    require(idType.catalogString == baseField.get.dataType.catalogString,
+      s"tombstone ids are ${idType.catalogString} but stored column " +
+        s"'$keyCol' is ${baseField.get.dataType.catalogString} — an implicit " +
+        "comparison coercion can silently miss keys; cast the ids explicitly")
+    val t = tombstoneDir(path)
+    val existingCount =
+      if (parquetFiles(spark, t) == 0) 0L
+      else {
+        val existing = spark.read.parquet(t)
+        require(existing.columns.head == keyCol,
+          s"tombstone set at $t keys on '${existing.columns.head}' but this " +
+            s"delete keys on '$keyCol' — one generation masks by one key " +
+            "column; re-cluster to fold the existing set in before switching keys")
+        existing.count()
+      }
+    // one upstream execution for the null gate, the cap, and the write
+    val d = ids.distinct().localCheckpoint(true)
     require(
       d.filter(col(keyCol).isNull).isEmpty,
       s"tombstone ids contain NULL in '$keyCol' — a null key identifies no " +
         "row; clean the id set before calling delete")
+    require(existingCount + d.count() <= MaxTombstones,
+      s"tombstone set would exceed $MaxTombstones ids — no longer " +
+        "takedown-sized; re-cluster to fold the current set into the layout " +
+        "before deleting more")
     d.coalesce(1).write.mode("append").parquet(t)
   }
 
@@ -441,13 +488,12 @@ object ZLayout {
         s"could not swap $path/base_next into place — previous generation " +
           s"preserved under $path/base_old_*")
     subdirs(f, path, "base_old_").foreach(f.delete(_, true))
-    // the committed generation was materialized THROUGH the masked
-    // read (re-cluster) or from a caller-authoritative replacement —
-    // either way [[delete]]'s tombstones are baked out; clear them so
-    // reads stop paying the mask. A crash before this line leaves the
-    // set masking keys that no longer exist — a harmless no-op
-    // anti-join until the next swap clears it.
-    f.delete(new Path(s"$path/tombstones"), true)
+    // no tombstone step here BY DESIGN: the set lives INSIDE the base
+    // generation (tombstoneDir), so the rename above retired the old
+    // set atomically with its generation — the re-cluster path baked
+    // the removal in through the masked read, and a replacement's
+    // fresh generation starts unmasked (caller-authoritative rows are
+    // never hidden, not even transiently).
   }
 }
 

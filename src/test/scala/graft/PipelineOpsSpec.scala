@@ -234,7 +234,9 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(masked.filter(col("x").isin(3L, 35L)).isEmpty)
     assert(masked.count() == total - 32 - 4)
     // guards at the error site: NULL key, unknown column, second key
-    // column against a live set
+    // column against a live set, and a TYPE-skewed id set (implicit
+    // comparison coercion would silently miss keys past 2^53 — the
+    // widen-or-fail discipline applies to takedowns too)
     intercept[IllegalArgumentException] {
       ZLayout.delete(spark, dir, Seq(Some(1L), None).toDF("x"))
     }
@@ -244,11 +246,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       ZLayout.delete(spark, dir, Seq(1L).toDF("y"))
     }
+    intercept[IllegalArgumentException] {
+      ZLayout.delete(spark, dir, Seq("3").toDF("x"))
+    }
     // the cadence re-cluster folds the removal into the fresh
-    // generation and clears the set — same rows, no mask in the plan
+    // generation, which RETIRES the set atomically with the swap
+    // (the set lives inside the generation dir) — same rows, no mask
+    // anywhere in the plan
     assert(ZLayout.appendAndMaybeRecluster(
       grid.limit(0), dir, "x", "y", numFiles = 8, maxTailFraction = 1e-9))
-    assert(!new java.io.File(s"$dir/tombstones").exists())
+    assert(!new java.io.File(s"$dir/base/_tombstones").exists())
     val after = ZLayout.read(spark, dir)
     assert(after.count() == total - 32 - 4)
     assert(after.filter(col("x").isin(3L, 35L)).isEmpty)
