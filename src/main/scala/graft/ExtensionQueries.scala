@@ -364,6 +364,12 @@ object ExtensionQueries {
         .select("vec_id")
         .orderBy("vec_id")
     }),
+    "q_dedup_semantic" -> ((s, dir) =>
+      // SemDeDup over the planted-near-dup corpus: k-means clusters
+      // bound the candidate set (equi-join on cid, never all-pairs),
+      // the farthest-from-centroid member of each within-cluster
+      // cosine component survives
+      Dedup.semanticDedup(Corpus.embCorpus(s, dir)).orderBy("vec_id")),
     "q_dedup_embed_incremental" -> ((s, dir) => {
       // embedding ingest shape: the planted scaled copies arrive as a
       // new batch and pair against the existing corpus only (scale
@@ -2228,14 +2234,15 @@ object ExtensionQueries {
     * what the q_embed_ann_ivf family hashed before the split.
     */
   private def ivfCoarseCtes(
-      buildWhere: String, pfx: String = "", centroidMod: Int = 50): String =
+      buildWhere: String, pfx: String = "", centroidMod: Int = 50,
+      rel: String = "embeddings"): String =
     s"""${pfx}cents0 AS (
-       |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+       |  SELECT vec_id AS cid, embedding AS cemb FROM $rel
        |  WHERE vec_id % $centroidMod = 0 AND ($buildWhere)
        |), ${pfx}s0dist AS (
        |  SELECT e.vec_id AS vid, e.embedding, c.cid,
        |         ${VectorExprs.l2sqDuck("e.embedding", "c.cemb")} AS d
-       |  FROM embeddings e CROSS JOIN ${pfx}cents0 c WHERE ($buildWhere)
+       |  FROM $rel e CROSS JOIN ${pfx}cents0 c WHERE ($buildWhere)
        |), ${pfx}s0assign AS (
        |  SELECT cid, embedding FROM (
        |    SELECT vid, cid, embedding,
@@ -2713,6 +2720,50 @@ object ExtensionQueries {
          |SELECT c.vec_id FROM corpus2 c
          |WHERE c.vec_id NOT IN (SELECT vec_id FROM comp WHERE vec_id <> component)
          |ORDER BY vec_id""".stripMargin,
+
+    "q_dedup_semantic" ->
+      // SemDeDup twin: the ivf coarse chain clusters the SAME planted
+      // corpus, pairs form within clusters only, min-label
+      // reachability mirrors labelPropagate, and the keep window is
+      // farthest-from-centroid (dc DESC) with min-id ties
+      s"""WITH RECURSIVE sd_corpus AS (
+         |${Corpus.embCorpusSql}
+         |), ${ivfCoarseCtes("TRUE", "sd_", rel = "sd_corpus")}, sd_adist AS (
+         |  SELECT e.vec_id AS vid, e.embedding, c.cid,
+         |         ${VectorExprs.l2sqDuck("e.embedding", "c.cemb")} AS d
+         |  FROM sd_corpus e CROSS JOIN sd_cents c
+         |), sd_assign AS (
+         |  SELECT vid AS vec_id, cid, embedding, d AS dc,
+         |         sqrt(${VectorExprs.dotDuck("embedding", "embedding")}) AS nrm
+         |  FROM (
+         |    SELECT vid, cid, embedding, d,
+         |           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+         |    FROM sd_adist) t WHERE rn = 1
+         |), sd_pairs AS (
+         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM sd_assign x JOIN sd_assign y
+         |    ON x.cid = y.cid AND x.vec_id < y.vec_id
+         |  WHERE CAST(floor(1000000.0 * ((${VectorExprs.dotDuck("x.embedding", "y.embedding")}) / (x.nrm * y.nrm))) AS BIGINT) >= 995000
+         |), sd_edges AS (
+         |  SELECT vec_a AS src, vec_b AS dst FROM sd_pairs
+         |  UNION
+         |  SELECT vec_b, vec_a FROM sd_pairs
+         |), sd_nodes AS (
+         |  SELECT DISTINCT src AS node FROM sd_edges
+         |), sd_reach(node, lbl) AS (
+         |  SELECT node, node FROM sd_nodes
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM sd_reach r JOIN sd_edges e ON e.src = r.node
+         |), sd_comp AS (
+         |  SELECT node AS vec_id, MIN(lbl) AS component FROM sd_reach GROUP BY node
+         |), sd_dec AS (
+         |  SELECT a.vec_id, a.cid,
+         |         COALESCE(c.component, a.vec_id) AS component, a.dc
+         |  FROM sd_assign a LEFT JOIN sd_comp c USING (vec_id)
+         |)
+         |SELECT vec_id, cid, component,
+         |       (ROW_NUMBER() OVER (PARTITION BY component ORDER BY dc DESC, vec_id) = 1) AS keep
+         |FROM sd_dec ORDER BY vec_id""".stripMargin,
 
     "q_embed_topk_brute" ->
       s"""WITH q AS (

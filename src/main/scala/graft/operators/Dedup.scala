@@ -1172,6 +1172,83 @@ object Dedup {
       .select("new_id", "corpus_id", "cos_ppm")
   }
 
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the same
+    * deterministic k-means kernel the IVF index uses
+    * ([[SimilaritySearch.buildIndex]] — seeds at `vec_id %
+    * centroidMod`, one Lloyd step with exact DECIMAL mean
+    * accumulation), find cosine near-duplicates WITHIN each cluster
+    * only, group them into connected components, and keep ONE
+    * representative per component: the member FARTHEST from its
+    * cluster centroid (the paper's low-cosine-to-centroid choice —
+    * it keeps boundary examples and sheds redundant cluster-core
+    * mass), ties broken by minimum id.
+    *
+    * This is a distinct dedup GRANULARITY from everything above:
+    * exact/MinHash/SimHash catch copy-paste, span dedup catches
+    * shared substrings, [[embeddingPairs]] catches vectors that are
+    * near-identical anywhere in space — SemDeDup targets *semantic
+    * redundancy inside a cluster*, where the candidate structure
+    * comes from the clustering itself rather than from LSH bands.
+    *
+    * Scale shape (why clustering precedes comparison): the pairwise
+    * step is an equi-join on `cid`, so candidate volume is
+    * Σ|cluster|² — never |corpus|². With k ≈ √n clusters the
+    * expected volume is ~n^1.5, and at 100 TB `centroidMod` tunes k
+    * up to bound cluster sizes (the paper runs 11k clusters on
+    * LAION). A pathologically hot cluster is one skewed join key —
+    * standard AQE-skew/salting territory. Everything downstream of
+    * the assignment is id-width: the component propagation and the
+    * keep window shuffle (id, cid, dc) rows only.
+    *
+    * Returns the full decision table, one row per corpus vector:
+    * `(vec_id, cid, component, keep)` — filter `keep` for the
+    * curation apply, or aggregate for cluster/component audits.
+    */
+  def semanticDedup(
+      emb: DataFrame,
+      centroidMod: Int = 50,
+      minCosPpm: Long = 995000L,
+      idCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VecDot.register(emb.sparkSession)
+    val idx = SimilaritySearch.buildIndex(emb, centroidMod = centroidMod, idCol = idCol)
+    // Assignment table + distance-to-own-centroid (the representative
+    // key). dc is recomputed here because the shared assignment
+    // kernel drops its distance column; the expression is the same
+    // index-ordered l2sq both engines spell, so it is bit-identical
+    // to the oracle's. Persisted: both self-join sides and the final
+    // decision join consume it.
+    val a = idx.assignments
+      .join(broadcast(idx.centroids), "cid")
+      .select(
+        col("cand_id").as("vec_id"),
+        col("cid"),
+        col("cand_emb"),
+        col("cnorm"),
+        expr(VectorExprs.l2sqSpark("cand_emb", "cemb")).as("dc"))
+      .pipe(persistTracked)
+    val pairs = a.as("x")
+      .join(a.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+      .withColumn(
+        "cos",
+        expr(VectorExprs.dotSpark("x.cand_emb", "y.cand_emb")) /
+          (col("x.cnorm") * col("y.cnorm")))
+      .filter(floor(lit(1000000.0) * col("cos")).cast("long") >= minCosPpm)
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+    val labels = graft.operators.ConnectedComponents
+      .labelPropagate(pairs, "vec_a", "vec_b", numPartitions = Some(8))
+      .withColumnRenamed("node", "vec_id")
+    // Singletons never appear in the edge list: they become their own
+    // component via the coalesce and trivially win their window.
+    val w = Window.partitionBy("component").orderBy(col("dc").desc, col("vec_id").asc)
+    a.join(labels, Seq("vec_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("vec_id")))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select("vec_id", "cid", "component", "keep")
+  }
+
   /** Cluster-apply with a QUALITY policy: keep the best-scoring
     * member of each near-dup cluster instead of the minimum id. The
     * min-id apply (q_dedup_apply) is arbitrary about WHICH copy

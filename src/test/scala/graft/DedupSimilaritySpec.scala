@@ -441,6 +441,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(fp.select("fingerprint").distinct().count() == fp.count())
   }
 
+  test("semantic dedup: planted copies collapse within clusters, one keeper per component") {
+    val dec = Dedup.semanticDedup(Corpus.embCorpus(spark, dir)).cache()
+    val n = Corpus.embCorpus(spark, dir).count()
+    // decision table is TOTAL: one row per corpus vector
+    assert(dec.count() == n)
+    assert(dec.select("vec_id").distinct().count() == n)
+    // exactly one keeper per component — multi-member or singleton
+    assert(dec.groupBy("component")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("keep").cast("long")).as("k"))
+      .filter("k != 1").count() == 0)
+    // components never cross clusters: candidate pairs are cid-scoped
+    assert(dec.groupBy("component")
+      .agg(org.apache.spark.sql.functions.countDistinct("cid").as("nc"))
+      .filter("nc != 1").count() == 0)
+    // recall of the planted ×1.001 copies: the copy must land in its
+    // original's component (same cluster + cosine ≈ 1). Property, not
+    // exact edge (memory: assert ≥, not ==): measured 100% at every SF
+    val copies = dec.filter("vec_id >= 100000")
+      .select(org.apache.spark.sql.functions.col("vec_id").minus(100000L).as("orig_id"),
+        org.apache.spark.sql.functions.col("component").as("copy_comp"))
+    val joined = copies.join(
+      dec.select(org.apache.spark.sql.functions.col("vec_id").as("orig_id"),
+        org.apache.spark.sql.functions.col("component").as("orig_comp")), "orig_id")
+    val nCopies = joined.count()
+    assert(nCopies > 0)
+    val collapsed = joined.filter("copy_comp = orig_comp").count()
+    assert(collapsed >= (0.9 * nCopies).toLong,
+      s"only $collapsed of $nCopies planted copies collapsed")
+    // the pairwise stage must be the cid equi-join, never a cartesian
+    assert(!dec.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    dec.unpersist()
+    Dedup.unpersistAll()
+  }
+
   test("unpersistAll releases exactly the dedup-persisted intermediates") {
     // clean slate: earlier tests cache results whose plans would
     // otherwise serve this test's run straight from the CacheManager
