@@ -364,6 +364,11 @@ object ExtensionQueries {
         .select("vec_id")
         .orderBy("vec_id")
     }),
+    "q_dedup_paragraph" -> ((s, dir) =>
+      // CCNet/C4 paragraph granularity over the chunked-line corpus:
+      // the planted cross-doc duplicate line survives only at its
+      // first (doc_id, pos) occurrence and every doc is reassembled
+      Dedup.paragraphDedup(Corpus.paraCorpus(s, dir)).orderBy("doc_id")),
     "q_dedup_semantic" -> ((s, dir) =>
       // SemDeDup over the planted-near-dup corpus: k-means clusters
       // bound the candidate set (equi-join on cid, never all-pairs),
@@ -2720,6 +2725,31 @@ object ExtensionQueries {
          |SELECT c.vec_id FROM corpus2 c
          |WHERE c.vec_id NOT IN (SELECT vec_id FROM comp WHERE vec_id <> component)
          |ORDER BY vec_id""".stripMargin,
+
+    "q_dedup_paragraph" ->
+      // paragraph-dedup twin: identical chunked corpus, 0-based
+      // positional unnest zip, the same lower(trim(...)) key and
+      // (doc_id, pos) first-occurrence window, string_agg reassembly
+      s"""WITH para_corpus AS (
+         |${Corpus.paraCorpusSql}
+         |), parts AS (
+         |  SELECT doc_id,
+         |         unnest(string_split(COALESCE(text, ''), chr(10))) AS para,
+         |         unnest(range(0, len(string_split(COALESCE(text, ''), chr(10))))) AS pos
+         |  FROM para_corpus
+         |), marked AS (
+         |  SELECT doc_id, pos, para,
+         |         CASE WHEN trim(para) = '' THEN TRUE
+         |              ELSE (ROW_NUMBER() OVER (
+         |                PARTITION BY lower(trim(para)) ORDER BY doc_id, pos) = 1)
+         |         END AS keep
+         |  FROM parts
+         |)
+         |SELECT doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_paras,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  COALESCE(string_agg(CASE WHEN keep THEN para END, chr(10) ORDER BY pos), '') AS text_deduped
+         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_dedup_semantic" ->
       // SemDeDup twin: the ivf coarse chain clusters the SAME planted

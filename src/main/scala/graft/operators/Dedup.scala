@@ -1172,6 +1172,60 @@ object Dedup {
       .select("new_id", "corpus_id", "cos_ppm")
   }
 
+  /** Paragraph-level exact deduplication — the CCNet/C4 curation
+    * granularity (Wenzek et al. 2020 dedup shards by paragraph hash;
+    * C4 discards repeated three-sentence spans): a line repeated
+    * ANYWHERE in the corpus (boilerplate headers, navigation chrome,
+    * license blocks) survives only at its FIRST occurrence, and every
+    * document is reassembled from its surviving lines.
+    *
+    * Pinned semantics, shared verbatim with the oracle:
+    *  - paragraphs = `split(text, '\n')`, positions 0-based; empty
+    *    and whitespace-only lines are STRUCTURE — always kept, never
+    *    deduped (dropping "the second blank line ever" would mangle
+    *    every document).
+    *  - dedup key = `lower(trim(para))` (the CCNet normalization);
+    *    removal drops the RAW paragraph.
+    *  - first occurrence corpus-wide wins, ordered by (doc_id, pos) —
+    *    later occurrences drop even inside the same document.
+    *
+    * Scale shape: one hash shuffle partitioned by the paragraph key
+    * (the window), one by doc_id (the reassembly) — both plain key
+    * hashes, no joins. The shuffle carries paragraph text, same width
+    * as [[exact]]; at 100 TB key the window by a 128-bit fingerprint
+    * of the paragraph instead to shrink shuffle rows to hash width
+    * (collision-checked variant), exactly the [[exact]] scaladoc's
+    * guidance. Blank lines BYPASS the paragraph-key shuffle entirely
+    * (they would otherwise pile every blank line in the corpus into
+    * one skewed '' partition).
+    *
+    * Returns (doc_id, n_paras, n_kept, text_deduped).
+    */
+  def paragraphDedup(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = docs.select(
+      col(idCol).as("doc_id"),
+      posexplode(split(coalesce(col(textCol), lit("")), "\n", -1)).as(Seq("pos", "para")))
+    val elig = parts.filter(trim(col("para")) =!= "")
+      .withColumn("pkey", lower(trim(col("para"))))
+      .withColumn("keep",
+        row_number().over(Window.partitionBy("pkey").orderBy("doc_id", "pos")) === 1)
+      .drop("pkey")
+    val blank = parts.filter(trim(col("para")) === "").withColumn("keep", lit(true))
+    elig.unionByName(blank)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        concat_ws("\n",
+          transform(
+            array_sort(collect_list(when(col("keep"), struct(col("pos"), col("para"))))),
+            e => e("para"))).as("text_deduped"))
+  }
+
   /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with the same
     * deterministic k-means kernel the IVF index uses

@@ -66,6 +66,50 @@ object Corpus {
       |       ELSE d.text END AS text
       |FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id + 1""".stripMargin
 
+  /** documents re-laid-out as MULTI-LINE texts for the
+    * paragraph-dedup operator: each doc's words are chunked into
+    * 10-word lines joined by `\n`, and every doc with
+    * doc_id % 13 == 0 gets the FIRST LINE of doc_id+1's chunked text
+    * appended as an extra line — a verbatim cross-doc duplicate
+    * paragraph. Because chunking is identical everywhere, the planted
+    * line in doc 13m is exactly line 0 of doc 13m+1, and the
+    * first-occurrence-wins rule resolves it by (doc_id, pos): the
+    * APPENDED copy (smaller doc_id) survives, the partner's first
+    * line drops.
+    */
+  def paraCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    val p = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("p_text"))
+    def linesOf(t: String): String =
+      s"""array_join(transform(
+         |  sequence(0, cast(ceil(size(split($t, ' ')) / 10.0) as int) - 1),
+         |  i -> array_join(slice(split($t, ' '), i * 10 + 1, 10), ' ')), '\\n')""".stripMargin
+    def firstLineOf(t: String): String =
+      s"array_join(slice(split($t, ' '), 1, 10), ' ')"
+    d.join(p, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(
+          col("doc_id") % 13 === 0 && col("p_text").isNotNull,
+          concat(expr(linesOf("text")), lit("\n"), expr(firstLineOf("p_text"))))
+          .otherwise(expr(linesOf("text")))
+          .as("text"))
+  }
+
+  val paraCorpusSql: String = {
+    def linesOf(t: String): String =
+      s"""array_to_string(list_transform(
+         |  range(0, CAST(ceil(len(string_split($t, ' ')) / 10.0) AS INT)),
+         |  i -> array_to_string(list_slice(string_split($t, ' '), i * 10 + 1, i * 10 + 10), ' ')), chr(10))""".stripMargin
+    def firstLineOf(t: String): String =
+      s"array_to_string(list_slice(string_split($t, ' '), 1, 10), ' ')"
+    s"""SELECT d.doc_id,
+       |  CASE WHEN d.doc_id % 13 = 0 AND p.text IS NOT NULL
+       |       THEN ${linesOf("d.text")} || chr(10) || ${firstLineOf("p.text")}
+       |       ELSE ${linesOf("d.text")} END AS text
+       |FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id + 1""".stripMargin
+  }
+
   /** embeddings ∪ scaled copies (vec_id % 17, id + 100,000, embedding
     * × 1.001f — cosine-identical up to float rounding, so they read
     * as near-duplicates under cosine ≥ 0.999).

@@ -441,6 +441,47 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(fp.select("fingerprint").distinct().count() == fp.count())
   }
 
+  test("paragraph dedup: first occurrence wins, blanks are structure, docs reassemble") {
+    import spark.implicits._
+    val docs = Seq(
+      // doc 1: "header" repeats inside the doc (intra-doc drop), a
+      // blank line sits between (structural, kept)
+      (1L, "header\n\nbody one\nheader"),
+      // doc 2: its "header" is a later corpus-wide occurrence (drops);
+      // "  HEADER  " normalizes to the same key (case+trim) and drops;
+      // whitespace-only line kept
+      (2L, "header\nbody two\n  HEADER  \n \nunique tail"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_paras") == 4 && out(0).getAs[Long]("n_kept") == 3)
+    assert(out(0).getAs[String]("text_deduped") == "header\n\nbody one")
+    assert(out(1).getAs[Long]("n_paras") == 5 && out(1).getAs[Long]("n_kept") == 3)
+    assert(out(1).getAs[String]("text_deduped") == "body two\n \nunique tail")
+    // empty doc: one structural empty paragraph, kept, rebuilt as ""
+    assert(out(2).getAs[Long]("n_paras") == 1 && out(2).getAs[Long]("n_kept") == 1)
+    assert(out(2).getAs[String]("text_deduped") == "")
+  }
+
+  test("paragraph dedup on the planted corpus: the appended copy wins, the partner's line 0 drops") {
+    val res = Dedup.paragraphDedup(Corpus.paraCorpus(spark, dir)).cache()
+    // the GLOBAL invariant: after dedup no normalized non-blank line
+    // key survives twice anywhere in the rebuilt corpus (planted
+    // cross-doc copies, intra-doc repeats, and the word-salad's
+    // natural short-line collisions all collapse to one occurrence)
+    import org.apache.spark.sql.functions._
+    val survivors = res.select(
+      explode(split(col("text_deduped"), "\n", -1)).as("line"))
+      .filter(trim(col("line")) =!= "")
+      .groupBy(lower(trim(col("line")))).count()
+    assert(survivors.filter("count > 1").count() == 0)
+    // every partner doc 13m+1 loses at least its first line — the
+    // appended copy in doc 13m precedes it in (doc_id, pos) order
+    val partners = res.filter("doc_id % 13 = 1 AND doc_id > 0 AND doc_id <= 499")
+    assert(partners.count() > 0)
+    assert(partners.filter("n_kept = n_paras").count() == 0)
+    res.unpersist()
+  }
+
   test("semantic dedup: planted copies collapse within clusters, one keeper per component") {
     val dec = Dedup.semanticDedup(Corpus.embCorpus(spark, dir)).cache()
     val n = Corpus.embCorpus(spark, dir).count()
