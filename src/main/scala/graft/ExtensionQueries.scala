@@ -1537,6 +1537,12 @@ object ExtensionQueries {
       // applies the identical poly-hash filter in its model CTE
       TextAnalysis.naturalness(
         Tables.documents(s, dir), fitSampleMod = Some(4)).orderBy("doc_id")),
+    "q_quality_stratified" -> ((s, dir) =>
+      // FineWeb-style per-language gate: top 60% by quality WITHIN
+      // each language stratum (the table's lang metadata — the
+      // upstream-langid production mode), integer-exact ceil cut
+      TextAnalysis.stratifiedQualityGate(
+        Tables.documents(s, dir), stratumCol = Some("lang")).orderBy("doc_id")),
     "q_curation_funnel" -> ((s, dir) =>
       // the keep/drop gate sequence as one narrow scan; thresholds
       // chosen so every gate fires on the synthetic corpus (token
@@ -3418,6 +3424,11 @@ object ExtensionQueries {
 
     "q_text_naturalness_sampled" ->
       TextAnalysis.naturalnessDuckSql("documents", fitSampleMod = Some(4)),
+
+    "q_quality_stratified" ->
+      // same stratified rank over the table's lang strata; the cut is
+      // the identical integer ceil expression
+      TextAnalysis.stratifiedQualityDuckSql("lang"),
 
     "q_curation_funnel" ->
       s"""WITH m AS (

@@ -408,6 +408,94 @@ object TextAnalysis {
     * columns — shared verbatim by the Spark plan and the DuckDB
     * oracle.
     */
+  /** FineWeb-style STRATIFIED quality gate: keep the top `keepPpm`
+    * fraction of documents per language stratum, ranked by
+    * [[quality]] score. An absolute threshold (the [[curationFunnel]]
+    * gate) calibrated on English silently guts languages whose
+    * heuristic scores run lower — per-stratum ranking is the standard
+    * fix (FineWeb filters per-dump/per-language; CCNet buckets per
+    * language against per-language models).
+    *
+    * The cut is pure integer arithmetic — `rank ≤ ⌈n·keepPpm/10⁶⌉`
+    * via `(n * keepPpm + 999999) div 10⁶` — so no engine's float
+    * rounding can move a boundary document. Ranking order is total:
+    * (quality_ppm DESC, doc_id ASC).
+    *
+    * Scale note: an exact per-stratum rank needs a per-stratum total
+    * order, and with a handful of languages the rank window's
+    * partition count is the language count — the one shape here that
+    * does NOT survive 100 TB unchanged. At that scale replace the
+    * exact rank with a per-language quality threshold from
+    * `approx_percentile` (tiny aggregate, broadcast back — the
+    * [[ProfileSketch]] machinery) and keep `quality_ppm >=
+    * threshold(lang)`; this operator IS the exact-rank semantics the
+    * approximation is judged against.
+    *
+    * Returns (doc_id, lang_pred, quality_ppm, keep).
+    */
+  def stratifiedQualityGate(
+      docs: DataFrame,
+      keepPpm: Long = 600000L,
+      stratumCol: Option[String] = None,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(keepPpm >= 0 && keepPpm <= 1000000L,
+      s"keepPpm is a fraction in ppm, must be in [0, 1000000], got $keepPpm")
+    import org.apache.spark.sql.expressions.Window
+    // `stratumCol` = the production mode (upstream language metadata
+    // already on the table); the default predicts the stratum with
+    // [[langId]]'s heuristic in the same scan.
+    val scored = stratumCol match {
+      case Some(sc) =>
+        require(docs.columns.contains(sc),
+          s"stratumCol '$sc' not in ${docs.columns.mkString(", ")}")
+        graft.functions.WordSetHits.register(docs.sparkSession)
+        graft.functions.CharClassStats.register(docs.sparkSession)
+        val t = textCol
+        docs.select(
+            col(idCol), col(sc).cast("string").as("stratum"),
+            expr(s"length($t)").as("_len"),
+            expr(s"element_at(char_class_stats($t), 3)").as("_nt"),
+            expr(s"element_at(char_class_stats($t), 1)").as("_np"),
+            expr(wordSetHitsSpark(t, Seq(langStopwordLists.head._2), 0)).as("_nstop"))
+          .select(
+            col(idCol), col("stratum"),
+            expr(qualityScoreFromCols("_nt", "_np", "_len", "_nstop"))
+              .cast("long").as("quality_ppm"))
+      case None =>
+        funnelMetrics(docs, textCol, idCol)
+          .select(col(idCol), col("lang_pred").as("stratum"), col("quality_ppm"))
+    }
+    val w = Window.partitionBy("stratum")
+      .orderBy(col("quality_ppm").desc, col(idCol).asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("stratum")))
+      .withColumn("keep", expr(s"rn <= (n * $keepPpm + 999999) div 1000000"))
+      .select(col(idCol), col("stratum"), col("quality_ppm"), col("keep"))
+  }
+
+  /** DuckDB twin of [[stratifiedQualityGate]] as a full SELECT over
+    * `documents` (ORDER BY doc_id). `stratumExpr` is the SQL
+    * expression for the stratum (e.g. `"lang"`).
+    */
+  def stratifiedQualityDuckSql(
+      stratumExpr: String, keepPpm: Long = 600000L): String =
+    s"""WITH m AS (
+       |  SELECT doc_id, CAST($stratumExpr AS VARCHAR) AS stratum,
+       |         ${qualityScoreDuck("text")} AS quality_ppm
+       |  FROM documents
+       |), r AS (
+       |  SELECT doc_id, stratum, quality_ppm,
+       |         ROW_NUMBER() OVER (
+       |           PARTITION BY stratum ORDER BY quality_ppm DESC, doc_id) AS rn,
+       |         COUNT(*) OVER (PARTITION BY stratum) AS n
+       |  FROM m
+       |)
+       |SELECT doc_id, stratum, quality_ppm,
+       |       (rn <= (n * $keepPpm + 999999) // 1000000) AS keep
+       |FROM r ORDER BY doc_id""".stripMargin
+
   def funnelVerdictCase(
       minTokens: Int,
       minQualityPpm: Long,

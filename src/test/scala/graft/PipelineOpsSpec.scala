@@ -1080,6 +1080,44 @@ class PipelineOpsSpec extends AnyFunSuite {
       "heuristic drop verdicts must be untouched by the model gate")
   }
 
+  test("stratifiedQualityGate keeps exactly the ceil-cut top-quality prefix per stratum") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "the and is of to in that it was for on are with as the words"),
+      (2L, "en", "!!! ??? *** noise block with little natural content here"),
+      (3L, "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (4L, "en", "the quick brown fox jumps over the lazy dog and runs on"),
+      (5L, "en", "zz xq jw kv bb nn mm pp qq rr ss tt"),
+      (6L, "de", "der die das und ist ein eine mit von zu"),
+      (7L, "de", "!!! *** ??? kaum inhalt hier"),
+      (8L, "de", "wort wort anderes wort noch mehr worte hier jetzt dann")
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis
+      .stratifiedQualityGate(docs, keepPpm = 500000L, stratumCol = Some("lang"))
+      .collect()
+    assert(out.length == 8)
+    // the kept set must be the (quality DESC, doc_id ASC) prefix of
+    // length ceil(n/2) within each stratum — recomputed independently
+    out.groupBy(_.getAs[String]("stratum")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (-r.getAs[Long]("quality_ppm"), r.getAs[Long]("doc_id")))
+      val k = ((rows.length * 500000L + 999999L) / 1000000L).toInt
+      val expectKeep = sorted.take(k).map(_.getAs[Long]("doc_id")).toSet
+      rows.foreach { r =>
+        assert(r.getAs[Boolean]("keep") == expectKeep.contains(r.getAs[Long]("doc_id")),
+          s"doc ${r.getAs[Long]("doc_id")}: keep disagrees with the recomputed prefix")
+      }
+    }
+    // integer-ceil edges: 0 keeps nothing, 10^6 keeps everything
+    assert(TextAnalysis.stratifiedQualityGate(docs, keepPpm = 0L,
+      stratumCol = Some("lang")).filter("keep").count() == 0)
+    assert(TextAnalysis.stratifiedQualityGate(docs, keepPpm = 1000000L,
+      stratumCol = Some("lang")).filter("NOT keep").count() == 0)
+    // default mode strata come from the langId prediction
+    val pred = TextAnalysis.stratifiedQualityGate(docs, keepPpm = 500000L)
+    assert(pred.select("stratum").distinct().collect()
+      .map(_.getString(0)).forall(Set("en", "de", "es", "fr", "zh")))
+  }
+
   test("registeredDomainBySuffix picks the longest suffix rule, falls back off-list") {
     import spark.implicits._
     val sfx = Seq("com", "uk", "co.uk").toDF("suffix")
