@@ -1296,6 +1296,27 @@ object ExtensionQueries {
           numShards = 4))
         .orderBy("shard", "seq")
     }),
+    "q_pipeline_train_export_paras" -> ((s, dir) => {
+      // the paragraph-dedup stage wired through the pipeline surface:
+      // corpus = the chunked-line plant (paraCorpus), so repeated
+      // lines demonstrably exist; the stage rebuilds each doc from
+      // its surviving lines between the dedup gate and
+      // decontamination, and budgets bill the rebuilt chars
+      val planted = Corpus.paraCorpus(s, dir)
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      graft.pipelines.TrainingExport.run(
+        planted,
+        planted.filter(col("doc_id") % 97 === 0),
+        graft.pipelines.TrainingExport.Config(
+          curate = true,
+          dedup = graft.pipelines.TrainingExport.DedupExact,
+          paragraphDedup = true,
+          contaminationMaxPpm = Some(500000L),
+          budgets = Seq("src0" -> 4000L, "src1" -> 2000L),
+          defaultBudget = 3000L,
+          numShards = 4))
+        .orderBy("shard", "seq")
+    }),
     "q_pipeline_train_export_neardup" -> ((s, dir) => {
       // pipeline v2: same five stages but the dedup gate is the REAL
       // one — MinHash-LSH candidate pairs + connected components over
@@ -1740,7 +1761,8 @@ object ExtensionQueries {
     */
   private def trainExportPipelineSql(
       budgets: Seq[(String, Long)], defaultBudget: Long, tokensWp: Boolean,
-      spanK: Option[Int] = None, corpusSql: Option[String] = None): String = {
+      spanK: Option[Int] = None, corpusSql: Option[String] = None,
+      paraDedup: Boolean = false): String = {
     val h = graft.functions.TextExprs.charHashDuck("CAST(doc_id AS VARCHAR)")
     val mh = graft.operators.Sampling.mixedHash(h)
     val hq = graft.functions.TextExprs.charHashDuck("CAST(c.doc_id AS VARCHAR)")
@@ -1755,9 +1777,36 @@ object ExtensionQueries {
     // exactly q_dedup_substring_remove's spelling) under an sp_
     // prefix; downstream stages read the rewritten text and the
     // recomputed n_chars
-    val base = if (spanK.isDefined) "sp" else "dd"
+    // optional paragraph-dedup splice directly after the dedup gate
+    // (CCNet granularity, exactly q_dedup_paragraph's spelling);
+    // span surgery — when also on — reads the rebuilt corpus
+    val paraCtes =
+      if (!paraDedup) ""
+      else
+        s""", pg_parts AS (
+           |  SELECT doc_id, source,
+           |         unnest(string_split(COALESCE(text, ''), chr(10))) AS para,
+           |         unnest(range(0, len(string_split(COALESCE(text, ''), chr(10))))) AS pos
+           |  FROM dd
+           |), pg_marked AS (
+           |  SELECT doc_id, source, pos, para,
+           |         CASE WHEN trim(para) = '' THEN TRUE
+           |              ELSE (ROW_NUMBER() OVER (
+           |                PARTITION BY lower(trim(para)) ORDER BY doc_id, pos) = 1)
+           |         END AS keep
+           |  FROM pg_parts
+           |), pg0 AS (
+           |  SELECT doc_id, MIN(source) AS source,
+           |         COALESCE(string_agg(CASE WHEN keep THEN para END, chr(10) ORDER BY pos), '') AS text
+           |  FROM pg_marked GROUP BY doc_id
+           |), pg AS (
+           |  SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n_chars FROM pg0
+           |)""".stripMargin
+    val spanSrc = if (paraDedup) "pg" else "dd"
+    val base =
+      if (spanK.isDefined) "sp" else if (paraDedup) "pg" else "dd"
     val spanCtes = spanK.map { k =>
-      s""", ${repeatedSpansDuckCtesFrom("  SELECT doc_id, text FROM dd", k, 20, "sp_")}${intervalMergeDuckCtes(
+      s""", ${repeatedSpansDuckCtesFrom(s"  SELECT doc_id, text FROM $spanSrc", k, 20, "sp_")}${intervalMergeDuckCtes(
            "  SELECT DISTINCT doc_b AS doc_id, b_start AS s, b_start + span_tokens AS e FROM sp_spans",
            "sp_")}, sp_rivs AS (
          |  SELECT doc_id, list(s0 ORDER BY s0) AS ss, list(e1 ORDER BY s0) AS es
@@ -1769,7 +1818,7 @@ object ExtensionQueries {
          |           ${wordsDuck("d.text")},
          |           (t, i) -> len(list_filter(r.ss, (s, j) -> (i - 1) >= s AND (i - 1) < r.es[j])) = 0), ' '), '')
          |    END AS text
-         |  FROM dd d LEFT JOIN sp_rivs r ON r.doc_id = d.doc_id
+         |  FROM $spanSrc d LEFT JOIN sp_rivs r ON r.doc_id = d.doc_id
          |), sp AS (
          |  SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n_chars FROM sp0
          |)""".stripMargin
@@ -1809,7 +1858,7 @@ object ExtensionQueries {
        |  SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text
        |), dd AS (
        |  SELECT k.* FROM kept k JOIN canon USING (doc_id)
-       |)$spanCtes, bwh AS (
+       |)$paraCtes$spanCtes, bwh AS (
        |  SELECT ${wordHashArrayDuck(wordsDuck("text"))} AS wh
        |  FROM $src WHERE doc_id % 97 = 0 AND $guard
        |), bg AS (
@@ -3272,6 +3321,18 @@ object ExtensionQueries {
             |           ELSE d.text END AS text
             |    FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id + 1
             |  )""".stripMargin)),
+
+    "q_pipeline_train_export_paras" ->
+      // six stages with the paragraph-dedup splice (pg_ CTEs) after
+      // the dedup gate, over the chunked-line planted corpus —
+      // decontamination and budgets read the rebuilt text
+      trainExportPipelineSql(
+        Seq("src0" -> 4000L, "src1" -> 2000L), 3000L, tokensWp = false,
+        paraDedup = true,
+        corpusSql = Some(
+          s"""  SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n_chars FROM (
+             |${Corpus.paraCorpusSql}
+             |  )""".stripMargin)),
 
     "q_pipeline_incremental_ingest" ->
       // the acceptance rule replayed from the FULL pair set: for a

@@ -1204,11 +1204,13 @@ object Dedup {
   def paragraphDedup(
       docs: DataFrame,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      passthroughCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val parts = docs.select(
-      col(idCol).as("doc_id"),
-      posexplode(split(coalesce(col(textCol), lit("")), "\n", -1)).as(Seq("pos", "para")))
+      col(idCol).as("doc_id") +:
+        passthroughCols.map(col) :+
+        posexplode(split(coalesce(col(textCol), lit("")), "\n", -1)).as(Seq("pos", "para")): _*)
     val elig = parts.filter(trim(col("para")) =!= "")
       .withColumn("pkey", lower(trim(col("para"))))
       .withColumn("keep",
@@ -1219,11 +1221,15 @@ object Dedup {
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_paras"),
-        sum(col("keep").cast("long")).as("n_kept"),
-        concat_ws("\n",
-          transform(
-            array_sort(collect_list(when(col("keep"), struct(col("pos"), col("para"))))),
-            e => e("para"))).as("text_deduped"))
+        Seq(
+          sum(col("keep").cast("long")).as("n_kept"),
+          concat_ws("\n",
+            transform(
+              array_sort(collect_list(when(col("keep"), struct(col("pos"), col("para"))))),
+              e => e("para"))).as("text_deduped")) ++
+          // doc-constant passthroughs (source, lang, …): min is an
+          // order-free pick of the single distinct value
+          passthroughCols.map(c => min(col(c)).as(c)): _*)
   }
 
   /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,

@@ -74,6 +74,14 @@ object TrainingExport {
     *   ratios) on or off — off by default because single-line corpora
     *   pass them trivially; turn on for real multi-line web text
     * @param dedup [[DedupStage]] strength
+    * @param paragraphDedup CCNet/C4 paragraph-granularity dedup
+    *   ([[Dedup.paragraphDedup]]): repeated normalized lines are cut
+    *   corpus-wide (first (doc_id, pos) occurrence wins) and every
+    *   doc is rebuilt from its surviving lines. Runs AFTER the
+    *   doc-level gate and BEFORE span surgery — coarse cuts first,
+    *   so the span self-join never pays for whole duplicated lines.
+    *   Rewrites text, so downstream stages (span surgery,
+    *   decontamination, budgets) read the rebuilt corpus
     * @param spanDedup substring-level dedup (Lee et al. 2022
     *   ExactSubstr): when Some(minTokens), repeated ≥minTokens-token
     *   spans are CUT from the later occurrence
@@ -99,6 +107,7 @@ object TrainingExport {
       curate: Boolean = true,
       lineRules: Boolean = false,
       dedup: DedupStage = DedupExact,
+      paragraphDedup: Boolean = false,
       spanDedup: Option[Int] = None,
       contaminationMaxPpm: Option[Long] = Some(500000L),
       budgets: Seq[(String, Long)] = Nil,
@@ -150,8 +159,18 @@ object TrainingExport {
             .select(col("node").as("doc_id")),
           Seq("doc_id"), "left_anti")
     }
+    val paraged =
+      if (!cfg.paragraphDedup) deduped
+      else
+        // rebuilt text + recomputed n_chars flow into everything
+        // downstream, exactly like the span stage's contract
+        Dedup.paragraphDedup(deduped, passthroughCols = Seq("source"))
+          .select(
+            col("doc_id"), col("source"),
+            col("text_deduped").as("text"),
+            length(col("text_deduped")).cast("long").as("n_chars"))
     val spanned = cfg.spanDedup match {
-      case None => deduped
+      case None => paraged
       case Some(minTok) =>
         // the surgery REWRITES text, so it must land before anything
         // that reads it: decontamination n-grams and token budgets
@@ -164,7 +183,7 @@ object TrainingExport {
         // funnel gates, the same verdict as the span position table
         Dedup
           .removeRepeatedSpans(
-            deduped, Dedup.repeatedSpanPairs(deduped, minTok),
+            paraged, Dedup.repeatedSpanPairs(paraged, minTok),
             passthroughCols = Seq("source"))
           .select(
             col("doc_id"), col("source"),

@@ -78,7 +78,7 @@ object Corpus {
     * line drops.
     */
   def paraCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    val d = Tables.documents(spark, dir).select("doc_id", "source", "text")
     val p = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("p_text"))
     def linesOf(t: String): String =
       s"""array_join(transform(
@@ -89,6 +89,7 @@ object Corpus {
     d.join(p, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
+        col("source"),
         when(
           col("doc_id") % 13 === 0 && col("p_text").isNotNull,
           concat(expr(linesOf("text")), lit("\n"), expr(firstLineOf("p_text"))))
@@ -103,7 +104,7 @@ object Corpus {
          |  i -> array_to_string(list_slice(string_split($t, ' '), i * 10 + 1, i * 10 + 10), ' ')), chr(10))""".stripMargin
     def firstLineOf(t: String): String =
       s"array_to_string(list_slice(string_split($t, ' '), 1, 10), ' ')"
-    s"""SELECT d.doc_id,
+    s"""SELECT d.doc_id, d.source,
        |  CASE WHEN d.doc_id % 13 = 0 AND p.text IS NOT NULL
        |       THEN ${linesOf("d.text")} || chr(10) || ${firstLineOf("p.text")}
        |       ELSE ${linesOf("d.text")} END AS text

@@ -1775,6 +1775,33 @@ class PipelineOpsSpec extends AnyFunSuite {
       "post-surgery src1 costs ~688 chars — every doc fits the same budget")
   }
 
+  test("TrainingExport paragraphDedup stage rebuilds docs and bills post-dedup chars") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (901L, "src9", shared + "\nunique tail one"),
+      (902L, "src9", shared + "\nunique tail two and a bit more"))
+      .toDF("doc_id", "source", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    def run(cfg: Config) = TrainingExport.run(
+      docs, docs.filter(col("doc_id") === 0L), cfg)
+    // the stage rewrites, never drops: both docs still ship a row
+    assert(run(allOff.copy(paragraphDedup = true)).count() == 2)
+    // billing proof: doc 902 loses the shared first line (first
+    // occurrence lives in 901), so its post-dedup cost is its unique
+    // tail only. A budget of exactly (full 901 + tail-only 902) admits
+    // BOTH docs with the stage on (total fits, any hash order), but
+    // with the stage off the same budget cannot fit both full texts.
+    val full = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val budget = full(901L) + (full(902L) - shared.length - 1)
+    val cfg = allOff.copy(budgets = Seq("src9" -> budget), defaultBudget = 0L)
+    assert(run(cfg.copy(paragraphDedup = true)).count() == 2,
+      "post-dedup chars must fit the exact-total budget")
+    assert(run(cfg).count() < 2,
+      "pre-dedup chars must NOT fit the same budget")
+  }
+
   test("TrainingExport lineRules stage drops bullet-farm docs, leaves single-line docs alone") {
     import spark.implicits._
     val bulletFarm = (0 until 12).map(i => s"- item ${('a' + i).toChar}").mkString("\n")
