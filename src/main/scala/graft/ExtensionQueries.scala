@@ -1564,6 +1564,29 @@ object ExtensionQueries {
       // upstream-langid production mode), integer-exact ceil cut
       TextAnalysis.stratifiedQualityGate(
         Tables.documents(s, dir), stratumCol = Some("lang")).orderBy("doc_id")),
+    "q_quality_stratified_approx" -> ((s, dir) => {
+      // the threshold (100 TB) form cross-checked in-engine against
+      // the exact rank — literal-TRUE-flag oracle, same pattern as
+      // q_approx_quantile_check. The approximate keep count may
+      // exceed the exact ceil cut only by boundary-tie mass plus the
+      // sketch's rank error (≤ n/accuracy).
+      val d = Tables.documents(s, dir)
+      val exact = TextAnalysis.stratifiedQualityGate(d, stratumCol = Some("lang"))
+      val approx = TextAnalysis.stratifiedQualityGateApprox(d, stratumCol = Some("lang"))
+      exact.groupBy("stratum")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("keep").cast("long")).as("kept_exact"))
+        .join(
+          approx.groupBy("stratum")
+            .agg(sum(col("keep").cast("long")).as("_kept_approx")),
+          "stratum")
+        .select(
+          col("stratum"), col("n_docs"), col("kept_exact"),
+          (abs(col("_kept_approx") - col("kept_exact")) <=
+            greatest(lit(8L), col("n_docs") / lit(50L))).as("approx_ok"))
+        .orderBy("stratum")
+    }),
     "q_curation_funnel" -> ((s, dir) =>
       // the keep/drop gate sequence as one narrow scan; thresholds
       // chosen so every gate fires on the synthetic corpus (token
@@ -3490,6 +3513,9 @@ object ExtensionQueries {
       // same stratified rank over the table's lang strata; the cut is
       // the identical integer ceil expression
       TextAnalysis.stratifiedQualityDuckSql("lang"),
+
+    "q_quality_stratified_approx" ->
+      TextAnalysis.stratifiedQualityApproxDuckSql("lang"),
 
     "q_curation_funnel" ->
       s"""WITH m AS (

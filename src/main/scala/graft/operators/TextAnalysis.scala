@@ -442,36 +442,79 @@ object TextAnalysis {
     require(keepPpm >= 0 && keepPpm <= 1000000L,
       s"keepPpm is a fraction in ppm, must be in [0, 1000000], got $keepPpm")
     import org.apache.spark.sql.expressions.Window
-    // `stratumCol` = the production mode (upstream language metadata
-    // already on the table); the default predicts the stratum with
-    // [[langId]]'s heuristic in the same scan.
-    val scored = stratumCol match {
-      case Some(sc) =>
-        require(docs.columns.contains(sc),
-          s"stratumCol '$sc' not in ${docs.columns.mkString(", ")}")
-        graft.functions.WordSetHits.register(docs.sparkSession)
-        graft.functions.CharClassStats.register(docs.sparkSession)
-        val t = textCol
-        docs.select(
-            col(idCol), col(sc).cast("string").as("stratum"),
-            expr(s"length($t)").as("_len"),
-            expr(s"element_at(char_class_stats($t), 3)").as("_nt"),
-            expr(s"element_at(char_class_stats($t), 1)").as("_np"),
-            expr(wordSetHitsSpark(t, Seq(langStopwordLists.head._2), 0)).as("_nstop"))
-          .select(
-            col(idCol), col("stratum"),
-            expr(qualityScoreFromCols("_nt", "_np", "_len", "_nstop"))
-              .cast("long").as("quality_ppm"))
-      case None =>
-        funnelMetrics(docs, textCol, idCol)
-          .select(col(idCol), col("lang_pred").as("stratum"), col("quality_ppm"))
-    }
+    val scored = stratumQualityScores(docs, stratumCol, textCol, idCol)
     val w = Window.partitionBy("stratum")
       .orderBy(col("quality_ppm").desc, col(idCol).asc)
     scored
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("stratum")))
       .withColumn("keep", expr(s"rn <= (n * $keepPpm + 999999) div 1000000"))
+      .select(col(idCol), col("stratum"), col("quality_ppm"), col("keep"))
+  }
+
+  /** Shared (id, stratum, quality_ppm) projection of the stratified
+    * gates. `stratumCol` = the production mode (upstream language
+    * metadata already on the table); the default predicts the
+    * stratum with [[langId]]'s heuristic in the same scan.
+    */
+  private def stratumQualityScores(
+      docs: DataFrame,
+      stratumCol: Option[String],
+      textCol: String,
+      idCol: String): DataFrame = stratumCol match {
+    case Some(sc) =>
+      require(docs.columns.contains(sc),
+        s"stratumCol '$sc' not in ${docs.columns.mkString(", ")}")
+      graft.functions.WordSetHits.register(docs.sparkSession)
+      graft.functions.CharClassStats.register(docs.sparkSession)
+      val t = textCol
+      docs.select(
+          col(idCol), col(sc).cast("string").as("stratum"),
+          expr(s"length($t)").as("_len"),
+          expr(s"element_at(char_class_stats($t), 3)").as("_nt"),
+          expr(s"element_at(char_class_stats($t), 1)").as("_np"),
+          expr(wordSetHitsSpark(t, Seq(langStopwordLists.head._2), 0)).as("_nstop"))
+        .select(
+          col(idCol), col("stratum"),
+          expr(qualityScoreFromCols("_nt", "_np", "_len", "_nstop"))
+            .cast("long").as("quality_ppm"))
+    case None =>
+      funnelMetrics(docs, textCol, idCol)
+        .select(col(idCol), col("lang_pred").as("stratum"), col("quality_ppm"))
+  }
+
+  /** The 100 TB form of [[stratifiedQualityGate]]: instead of an
+    * exact per-stratum rank (a total order per language — the one
+    * shape in the exact gate that cannot survive a handful of
+    * planet-sized strata), compute a per-stratum quality THRESHOLD
+    * with `approx_percentile` (one tiny aggregate row per stratum,
+    * broadcast back) and keep `quality_ppm >= threshold`. Cost: one
+    * partial-aggregating pass + one broadcast-join pass — no
+    * per-stratum sort anywhere, arbitrarily skewed strata welcome.
+    *
+    * Semantics delta vs the exact gate, inherent to thresholds:
+    * boundary TIES are all kept (the exact rank splits a tie group by
+    * doc_id), so the kept count can exceed ⌈n·keepPpm/10⁶⌉ by the
+    * boundary tie mass plus the sketch's rank error (≤ n/accuracy).
+    * q_quality_stratified_approx pins the agreement against the
+    * exact gate with the literal-TRUE-flag oracle pattern.
+    */
+  def stratifiedQualityGateApprox(
+      docs: DataFrame,
+      keepPpm: Long = 600000L,
+      stratumCol: Option[String] = None,
+      accuracy: Int = 10000,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(keepPpm > 0 && keepPpm <= 1000000L,
+      s"keepPpm must be in (0, 1000000] (a zero keep-fraction has no threshold), got $keepPpm")
+    val scored = stratumQualityScores(docs, stratumCol, textCol, idCol)
+    val pct = (1000000L - keepPpm).toDouble / 1000000.0
+    val thr = scored.groupBy("stratum")
+      .agg(expr(s"approx_percentile(quality_ppm, $pct, $accuracy)").as("q_thr"))
+    scored
+      .join(broadcast(thr), "stratum")
+      .withColumn("keep", col("quality_ppm") >= col("q_thr"))
       .select(col(idCol), col("stratum"), col("quality_ppm"), col("keep"))
   }
 
@@ -495,6 +538,25 @@ object TextAnalysis {
        |SELECT doc_id, stratum, quality_ppm,
        |       (rn <= (n * $keepPpm + 999999) // 1000000) AS keep
        |FROM r ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of q_quality_stratified_approx's per-stratum summary
+    * (literal-TRUE-flag pattern): the exact kept count per stratum is
+    * the ceil cut itself — the exact gate keeps rank ≤ k, so its keep
+    * count IS k — and the approximate gate's agreement is checked
+    * in-engine, the oracle pinning `TRUE`.
+    */
+  def stratifiedQualityApproxDuckSql(
+      stratumExpr: String, keepPpm: Long = 600000L): String =
+    s"""WITH m AS (
+       |  SELECT CAST($stratumExpr AS VARCHAR) AS stratum
+       |  FROM documents
+       |), g AS (
+       |  SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_docs FROM m GROUP BY stratum
+       |)
+       |SELECT stratum, n_docs,
+       |       CAST((n_docs * $keepPpm + 999999) // 1000000 AS BIGINT) AS kept_exact,
+       |       TRUE AS approx_ok
+       |FROM g ORDER BY stratum""".stripMargin
 
   def funnelVerdictCase(
       minTokens: Int,

@@ -1080,9 +1080,9 @@ class PipelineOpsSpec extends AnyFunSuite {
       "heuristic drop verdicts must be untouched by the model gate")
   }
 
-  test("stratifiedQualityGate keeps exactly the ceil-cut top-quality prefix per stratum") {
+  private lazy val stratifiedDocs = {
     import spark.implicits._
-    val docs = Seq(
+    Seq(
       (1L, "en", "the and is of to in that it was for on are with as the words"),
       (2L, "en", "!!! ??? *** noise block with little natural content here"),
       (3L, "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
@@ -1091,7 +1091,11 @@ class PipelineOpsSpec extends AnyFunSuite {
       (6L, "de", "der die das und ist ein eine mit von zu"),
       (7L, "de", "!!! *** ??? kaum inhalt hier"),
       (8L, "de", "wort wort anderes wort noch mehr worte hier jetzt dann")
-    ).toDF("doc_id", "lang", "text")
+    ).toDF("doc_id", "lang", "text").localCheckpoint(true)
+  }
+
+  test("stratifiedQualityGate keeps exactly the ceil-cut top-quality prefix per stratum") {
+    val docs = stratifiedDocs
     val out = TextAnalysis
       .stratifiedQualityGate(docs, keepPpm = 500000L, stratumCol = Some("lang"))
       .collect()
@@ -1116,6 +1120,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     val pred = TextAnalysis.stratifiedQualityGate(docs, keepPpm = 500000L)
     assert(pred.select("stratum").distinct().collect()
       .map(_.getString(0)).forall(Set("en", "de", "es", "fr", "zh")))
+  }
+
+  test("stratifiedQualityGateApprox: threshold keep is monotone and tracks the exact cut") {
+    val docs = stratifiedDocs
+    val out = TextAnalysis
+      .stratifiedQualityGateApprox(docs, keepPpm = 500000L, stratumCol = Some("lang"))
+      .collect()
+    out.groupBy(_.getAs[String]("stratum")).foreach { case (_, rows) =>
+      val kept = rows.filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("quality_ppm"))
+      val dropped = rows.filterNot(_.getAs[Boolean]("keep")).map(_.getAs[Long]("quality_ppm"))
+      assert(kept.nonEmpty, "a positive keep fraction keeps at least the threshold doc")
+      // threshold rule is MONOTONE: every kept quality >= every dropped
+      assert(dropped.isEmpty || kept.min >= dropped.max)
+      // and tracks the exact ceil cut within boundary-tie slack
+      val k = ((rows.length * 500000L + 999999L) / 1000000L).toInt
+      assert(math.abs(kept.length - k) <= 2,
+        s"approx kept ${kept.length} vs exact cut $k")
+    }
+    // keepPpm = 10^6: the threshold is the stratum minimum — keeps all
+    assert(TextAnalysis.stratifiedQualityGateApprox(docs,
+      keepPpm = 1000000L, stratumCol = Some("lang")).filter("NOT keep").count() == 0)
   }
 
   test("registeredDomainBySuffix picks the longest suffix rule, falls back off-list") {
