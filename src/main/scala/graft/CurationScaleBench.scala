@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scaling curves for the curation-granularity additions: paragraph
+  * dedup (CCNet/C4 line granularity) and SemDeDup semantic dedup.
+  *
+  * Both fixtures are pair-structured like [[DedupScaleBench]]'s, so
+  * planted duplicate mass grows LINEARLY in the amplification and the
+  * curve measures the PLAN, not a verbatim-copy quadratic fixture:
+  *
+  *  - paragraph: the mutated amplification (every 3rd token replaced
+  *    by an (even, odd)-pair marker) is chunked into 10-word lines —
+  *    the marker sits in every 10-word window, so replicas of
+  *    different pairs share NO full lines, while a pair's replicas
+  *    share every line except the odd's appended tail. Duplicate-line
+  *    mass is linear in mult and per-line-key window groups stay ≤ 2.
+  *  - semantic: replica vectors are deterministic hash-noise
+  *    directions keyed by the (even, odd) pair index — cross-pair
+  *    cosines concentrate near 0 (|cos| ≲ few/√64), far under the
+  *    0.995 gate — and each odd replica is the 1.001× scaled copy of
+  *    its even partner (cosine ≈ 1). Expected drops = exactly one per
+  *    pair; printing the measured count next to the time makes the
+  *    curve's honesty checkable. Clustering uses the k ≈ √n default
+  *    (centroidMod = 0), so candidate volume grows ~n^1.5 — the
+  *    SemDeDup paper's operating point — and the time curve should
+  *    track that, never n².
+  */
+object CurationScaleBench {
+
+  private def time[A](iters: Int)(f: => A): Double =
+    BenchFixtures.minTime(iters)(f)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val spark = BenchFixtures.benchSession(cpus)
+    val fix = BenchFixtures.cleanedTempDir("graft_curation_scale_fix_")
+    val mults = sys.env.get("SPARK_GRAFT_SCALE_MULTS") match {
+      case Some("") => Seq.empty[Int]
+      case Some(s)  => s.split(",").map(_.trim.toInt).toSeq
+      case None     => Seq(1, 4, 16, 64)
+    }
+
+    val paraResults = mults.map { mult =>
+      val docs = BenchFixtures.mutatedAmplifiedDocs(spark, sfDir, mult, cpus.toInt, fix)
+      docs.select(
+          col("doc_id"),
+          expr("""array_join(transform(
+            |  sequence(0, cast(ceil(size(split(text, ' ')) / 10.0) as int) - 1),
+            |  i -> array_join(slice(split(text, ' '), i * 10 + 1, 10), ' ')), '\n')"""
+            .stripMargin).as("text"))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$fix/para_$mult")
+      val corpus = spark.read.parquet(s"$fix/para_$mult")
+      val nDocs = corpus.count()
+      var nLines = 0L
+      var nDropped = 0L
+      val sec = time(iters) {
+        val agg = graft.operators.Dedup.paragraphDedup(corpus)
+          .agg(sum("n_paras"), sum(expr("n_paras - n_kept")))
+          .collect()(0)
+        nLines = agg.getLong(0)
+        nDropped = agg.getLong(1)
+      }
+      (mult, nDocs, nLines, nDropped, sec)
+    }
+
+    val semResults = mults.map { mult =>
+      val d = graft.functions.VectorExprs.Dim
+      graft.sources.Tables.embeddings(spark, sfDir)
+        .select("vec_id", "embedding")
+        .crossJoin(spark.range(mult).toDF("r"))
+        .withColumn("e", col("r") - pmod(col("r"), lit(2)))
+        .select(
+          (col("vec_id") * mult + col("r")).as("vec_id"),
+          expr(s"""transform(sequence(0, ${d - 1}, 1),
+            |  p -> CAST(CAST(pmod(hash(vec_id, e, p), 2001) - 1000 AS DOUBLE)
+            |         / 1000.0 * (1.0 + 0.001 * pmod(r, 2)) AS FLOAT))""".stripMargin)
+            .as("embedding"))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$fix/sem_$mult")
+      val corpus = spark.read.parquet(s"$fix/sem_$mult")
+      var n = 0L
+      var nDropped = 0L
+      var nClusters = 0L
+      val sec = time(iters) {
+        val agg = graft.operators.Dedup.semanticDedup(corpus, centroidMod = 0)
+          .agg(
+            count(lit(1)),
+            sum(when(!col("keep"), 1L).otherwise(0L)),
+            countDistinct("cid"))
+          .collect()(0)
+        n = agg.getLong(0)
+        nDropped = agg.getLong(1)
+        nClusters = agg.getLong(2)
+        graft.operators.Dedup.unpersistAll()
+      }
+      (mult, n, nClusters, nDropped, sec)
+    }
+
+    val paraQs = paraResults.map { case (m, nd, nl, ndr, s) =>
+      s""""para_x$m":{"docs":$nd,"n_lines":$nl,"n_dropped":$ndr,"sec":${f"$s%.3f"}}"""
+    }.mkString(",")
+    val semQs = semResults.map { case (m, n, nc, ndr, s) =>
+      s""""sem_x$m":{"vectors":$n,"n_clusters":$nc,"n_dropped":$ndr,"sec":${f"$s%.3f"}}"""
+    }.mkString(",")
+    println(s"""{"metric":"curation_scale_curve","iters":$iters,"sf":"$sfDir",$paraQs,$semQs}""")
+    spark.stop()
+  }
+}

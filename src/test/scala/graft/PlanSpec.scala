@@ -340,6 +340,40 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters:") && p.contains("valid_from"), p.take(2000))
   }
 
+  test("paragraph dedup: two key-hash exchanges plus the sort, corpus joins broadcast") {
+    val p = plan("q_dedup_paragraph")
+    // line-key window + doc_id reassembly + deterministic orderBy —
+    // a fourth exchange means the blank-line bypass or the union
+    // started re-shuffling the corpus
+    assert("[+:]- Exchange".r.findAllIn(p).size <= 3, p.take(2000))
+    assert(p.contains("hashpartitioning(pkey"), p.take(2000))
+    // the planted-corpus construction join stays broadcast
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("stratified quality gate: both windows share ONE stratum exchange") {
+    val p = plan("q_quality_stratified")
+    // rank + count windows over the same hashpartitioning(stratum)
+    // exchange, plus the final sort — nothing else may shuffle
+    assert("[+:]- Exchange".r.findAllIn(p).size <= 2, p.take(2000))
+    assert("Window".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(p.contains("hashpartitioning(stratum"), p.take(2000))
+  }
+
+  test("approx stratified gate: threshold join broadcasts, no window, no per-stratum sort") {
+    // the operator's own plan — the 100 TB claim is NO total order
+    // anywhere: one partial-aggregating pass for the thresholds
+    // (broadcast back) and a windowless keep projection
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val p = graft.operators.TextAnalysis
+      .stratifiedQualityGateApprox(docs, stratumCol = Some("lang"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("full-PSL matching broadcasts the rule table; the corpus never shuffles for it") {
     // candidate fan-out is a bounded generator over each host's
     // labels; the rule join must broadcast the (tiny) rule side and
