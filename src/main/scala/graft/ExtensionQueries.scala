@@ -499,6 +499,37 @@ object ExtensionQueries {
       out.select("stage", "new_id", "corpus_id", "n_agree")
         .orderBy("stage", "new_id", "corpus_id")
     }),
+    "q_stream_para_ingest" -> ((s, dir) => {
+      // the STREAMING paragraph-ingest loop — line-granularity
+      // sibling of q_stream_span_ingest: the chunked-line corpus
+      // arrives as a 4-slice micro-batch stream; each batch's lines
+      // dedup against the accumulated line-KEY state (bare pkeys,
+      // never text bodies) and extend it. Streaming first-occurrence
+      // semantics is first ARRIVAL wins, so the oracle replays the
+      // identical arrival order — (doc_id % 4, doc_id, pos) — in one
+      // batch window; slices partition doc_id, so the replay is
+      // exact, not approximate.
+      import org.apache.spark.sql.types._
+      val corpus = Corpus.paraCorpus(s, dir).select("doc_id", "text")
+      var state = s.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("pkey", StringType)))).localCheckpoint(true)
+      val zero = Dedup.paragraphDedup(corpus.limit(0)).localCheckpoint(true)
+      val out = graft.streaming.StreamRunner.foldBatches(
+        graft.streaming.StreamRunner.slicedStream(
+          corpus, "doc_id", slices = 4,
+          tag = s"${java.nio.file.Paths.get(dir).toAbsolutePath}#paracorpus4"),
+        zero) { (acc, batch, _) =>
+        val (rebuilt, newKeys) = Dedup.paragraphIngestStep(batch, state)
+        // the state union needs NO re-checkpoint (the span-ingest
+        // lineage argument): every piece is already materialized, so
+        // state stays one union node per batch — O(batch) ingest
+        state = state.unionByName(newKeys.localCheckpoint(true))
+        acc.unionByName(rebuilt)
+      }
+      Dedup.unpersistAll()
+      out.orderBy("doc_id")
+    }),
     "q_stream_span_ingest" -> ((s, dir) => {
       // the STREAMING span-ingest loop — [[q_stream_dedup_ingest]]'s
       // shape for substring dedup: the planted span corpus arrives as
@@ -2636,6 +2667,31 @@ object ExtensionQueries {
       // batch-split invariance again: streamed signature ingest must
       // land on the batch self-join's exact pair set
       s"$minhashPairsSql ORDER BY doc_a, doc_b",
+
+    "q_stream_para_ingest" ->
+      // arrival-order replay: one batch window ordered by
+      // (slice, doc_id, pos) reproduces the streamed fold exactly
+      s"""WITH para_corpus AS (
+         |${Corpus.paraCorpusSql}
+         |), parts AS (
+         |  SELECT doc_id,
+         |         unnest(string_split(COALESCE(text, ''), chr(10))) AS para,
+         |         unnest(range(0, len(string_split(COALESCE(text, ''), chr(10))))) AS pos
+         |  FROM para_corpus
+         |), marked AS (
+         |  SELECT doc_id, pos, para,
+         |         CASE WHEN trim(para) = '' THEN TRUE
+         |              ELSE (ROW_NUMBER() OVER (
+         |                PARTITION BY lower(trim(para))
+         |                ORDER BY doc_id % 4, doc_id, pos) = 1)
+         |         END AS keep
+         |  FROM parts
+         |)
+         |SELECT doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_paras,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  COALESCE(string_agg(CASE WHEN keep THEN para END, chr(10) ORDER BY pos), '') AS text_deduped
+         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_stream_span_ingest" ->
       // batch-split invariance for spans: streamed shingle-table

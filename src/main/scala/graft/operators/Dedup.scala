@@ -1207,17 +1207,34 @@ object Dedup {
       idCol: String = "doc_id",
       passthroughCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val parts = docs.select(
-      col(idCol).as("doc_id") +:
-        passthroughCols.map(col) :+
-        posexplode(split(coalesce(col(textCol), lit("")), "\n", -1)).as(Seq("pos", "para")): _*)
+    val parts = paragraphParts(docs, textCol, idCol, passthroughCols)
     val elig = parts.filter(trim(col("para")) =!= "")
       .withColumn("pkey", lower(trim(col("para"))))
       .withColumn("keep",
         row_number().over(Window.partitionBy("pkey").orderBy("doc_id", "pos")) === 1)
       .drop("pkey")
     val blank = parts.filter(trim(col("para")) === "").withColumn("keep", lit(true))
-    elig.unionByName(blank)
+    rebuildParagraphs(elig.unionByName(blank), passthroughCols)
+  }
+
+  /** (doc_id, [passthroughs], pos, para) exploded line table — the
+    * shared front of the one-shot and streaming paragraph paths.
+    */
+  private def paragraphParts(
+      docs: DataFrame, textCol: String, idCol: String,
+      passthroughCols: Seq[String]): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id") +:
+        passthroughCols.map(col) :+
+        posexplode(split(coalesce(col(textCol), lit("")), "\n", -1)).as(Seq("pos", "para")): _*)
+
+  /** Reassemble documents from a marked line table (doc_id, pos,
+    * para, keep) — the shared tail of the one-shot and streaming
+    * paragraph paths.
+    */
+  private def rebuildParagraphs(
+      marked: DataFrame, passthroughCols: Seq[String]): DataFrame =
+    marked
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_paras"),
@@ -1230,6 +1247,48 @@ object Dedup {
           // doc-constant passthroughs (source, lang, …): min is an
           // order-free pick of the single distinct value
           passthroughCols.map(c => min(col(c)).as(c)): _*)
+
+  /** One paragraph-ingest step — [[paragraphDedup]]'s INCREMENTAL
+    * form, the line-granularity sibling of `minhashPairsAgainst` /
+    * `repeatedSpansAgainstShingles`: dedup a NEW batch's lines
+    * against the accumulated line-key state (first ARRIVAL wins —
+    * the streaming semantics; within a batch the one-shot's
+    * (doc_id, pos) order breaks ties), and return the batch's
+    * rebuilt docs together with the state rows this batch adds.
+    *
+    * State is a bare `pkey` column — normalized line keys, never
+    * text bodies — so steady-state ingest cost is one equi-join of
+    * O(batch) lines against the key table plus the batch-local
+    * window; at 100 TB the key table takes the same bucketed-layout
+    * treatment as the shingle state ([[appendAndMaybeCompact]]).
+    * The returned `newKeys` are distinct within the batch (one
+    * window winner per key) and disjoint from `stateKeys`, so plain
+    * unions keep the state a set.
+    */
+  def paragraphIngestStep(
+      batch: DataFrame,
+      stateKeys: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = paragraphParts(batch, textCol, idCol, Nil)
+    val marked = parts.filter(trim(col("para")) =!= "")
+      .withColumn("pkey", lower(trim(col("para"))))
+      .withColumn("_rn",
+        row_number().over(Window.partitionBy("pkey").orderBy("doc_id", "pos")))
+      .join(stateKeys.withColumn("_seen", lit(true)), Seq("pkey"), "left")
+      .withColumn("keep", col("_rn") === 1 && col("_seen").isNull)
+      .drop("_rn", "_seen")
+      .unionByName(
+        parts.filter(trim(col("para")) === "")
+          .withColumn("pkey", lit(null).cast("string"))
+          .withColumn("keep", lit(true)))
+      .pipe(persistTracked) // rebuilt docs AND new state read it
+    val rebuilt = rebuildParagraphs(marked.drop("pkey"), Nil)
+    val newKeys = marked
+      .filter(col("keep") && col("pkey").isNotNull)
+      .select("pkey")
+    (rebuilt, newKeys)
   }
 
   /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,

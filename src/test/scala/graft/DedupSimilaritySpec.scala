@@ -482,6 +482,51 @@ class DedupSimilaritySpec extends AnyFunSuite {
     res.unpersist()
   }
 
+  test("paragraph ingest fold equals the arrival-order replay, not the id-order one-shot") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val corpus = Corpus.paraCorpus(spark, dir).select("doc_id", "text").localCheckpoint(true)
+    // manual 4-slice fold through the ingest step (the streaming
+    // path's semantics, minus the stream harness the driver oracle
+    // already exercises end-to-end)
+    var state = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("pkey", StringType)))).localCheckpoint(true)
+    var outs = Dedup.paragraphDedup(corpus.limit(0)).localCheckpoint(true)
+    for (i <- 0 until 4) {
+      val batch = corpus.filter(pmod(col("doc_id"), lit(4)) === i).localCheckpoint(true)
+      val (rebuilt, keys) = Dedup.paragraphIngestStep(batch, state)
+      state = state.unionByName(keys.localCheckpoint(true))
+      outs = outs.unionByName(rebuilt).localCheckpoint(true)
+      Dedup.unpersistAll()
+    }
+    // in-engine arrival-order replay twin: ONE window ordered by
+    // (slice, doc_id, pos)
+    import org.apache.spark.sql.expressions.Window
+    val parts = corpus.select(
+      col("doc_id"),
+      posexplode(split(coalesce(col("text"), lit("")), "\n", -1)).as(Seq("pos", "para")))
+    val w = Window.partitionBy(lower(trim(col("para"))))
+      .orderBy(pmod(col("doc_id"), lit(4)), col("doc_id"), col("pos"))
+    val marked = parts.withColumn("keep",
+      when(trim(col("para")) === "", lit(true))
+        .otherwise(row_number().over(w) === 1))
+    val replay = marked.groupBy("doc_id").agg(
+      count(lit(1)).as("n_paras"),
+      sum(col("keep").cast("long")).as("n_kept"),
+      concat_ws("\n", transform(
+        array_sort(collect_list(when(col("keep"), struct(col("pos"), col("para"))))),
+        e => e("para"))).as("text_deduped"))
+    assert(outs.except(replay).isEmpty && replay.except(outs).isEmpty,
+      "fold must equal the arrival-order replay exactly")
+    // and arrival order genuinely differs from (doc_id, pos) order:
+    // a planted pair whose partner's slice precedes the appender's
+    // swaps its winner — the oracle is not vacuously the one-shot
+    val oneShot = Dedup.paragraphDedup(corpus)
+    assert(replay.except(oneShot).count() > 0,
+      "slice order must visibly reorder at least one planted pair")
+  }
+
   test("semantic dedup: planted copies collapse within clusters, one keeper per component") {
     val dec = Dedup.semanticDedup(Corpus.embCorpus(spark, dir)).cache()
     val n = Corpus.embCorpus(spark, dir).count()
