@@ -1368,6 +1368,44 @@ object Dedup {
       .select("vec_id", "cid", "component", "keep")
   }
 
+  /** [[semanticDedup]]'s INCREMENTAL form — the ingest shape shared
+    * with [[minhashPairsAgainst]] / [[embeddingPairsAgainst]]: assign
+    * a NEW vector batch to the corpus's FROZEN centroids (the faiss
+    * `add` semantics [[SimilaritySearch.appendToIndex]] uses) and
+    * compare each new vector against the corpus members of ITS
+    * cluster only. Per ingest this costs one broadcast-centroid pass
+    * over the batch plus an equi-join on `cid` — O(batch ×
+    * cluster-size) cosine refines, never O(batch × corpus) — and the
+    * corpus assignments are reusable state (persist them with the
+    * [[SimilaritySearch.writeIndex]] layout for steady-state runs).
+    *
+    * Returns (new_id, corpus_id, cos_ppm) near-dup pairs, the
+    * [[embeddingPairsAgainst]] contract with cluster-structured
+    * candidates instead of LSH bands.
+    */
+  def semanticDedupAgainst(
+      newEmb: DataFrame,
+      corpus: DataFrame,
+      centroidMod: Int = 50,
+      minCosPpm: Long = 995000L,
+      idCol: String = "vec_id"): DataFrame = {
+    graft.functions.VecDot.register(newEmb.sparkSession)
+    val idx = SimilaritySearch.buildIndex(corpus, centroidMod = centroidMod, idCol = idCol)
+    val corpusA = idx.assignments.select(
+      col("cand_id").as("corpus_id"), col("cid"),
+      col("cand_emb").as("ce"), col("cnorm").as("cn"))
+    val newA = SimilaritySearch.assignVectors(idx.centroids, newEmb, idCol).select(
+      col("cand_id").as("new_id"), col("cid"),
+      col("cand_emb").as("ne"), col("cnorm").as("nn"))
+    newA.join(corpusA, "cid")
+      .withColumn(
+        "cos",
+        expr(VectorExprs.dotSpark("ne", "ce")) / (col("nn") * col("cn")))
+      .withColumn("cos_ppm", floor(lit(1000000.0) * col("cos")).cast("long"))
+      .filter(col("cos_ppm") >= minCosPpm)
+      .select("new_id", "corpus_id", "cos_ppm")
+  }
+
   /** Cluster-apply with a QUALITY policy: keep the best-scoring
     * member of each near-dup cluster instead of the minimum id. The
     * min-id apply (q_dedup_apply) is arbitrary about WHICH copy

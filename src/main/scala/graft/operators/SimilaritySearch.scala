@@ -332,7 +332,7 @@ object SimilaritySearch {
   /** One nearest-centroid assignment pass — the shared kernel of the
     * build, in-memory append, and written-layout append paths.
     */
-  private def assignVectors(
+  private[operators] def assignVectors(
       centroids: DataFrame, vectors: DataFrame, idCol: String): DataFrame = {
     graft.functions.VecDot.register(vectors.sparkSession)
     val byDist = Window.partitionBy("vid").orderBy(col("d"), col("cid"))

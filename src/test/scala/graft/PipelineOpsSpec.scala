@@ -978,6 +978,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(viaTables == direct && direct.nonEmpty)
   }
 
+  test("incremental semantic pairs match scaled copies against co-clustered corpus members") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val newBatch = e.filter(col("vec_id") % 17 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000L)
+      .withColumn("embedding", expr("transform(embedding, x -> x * cast(1.001 as float))"))
+    val p = graft.operators.Dedup.semanticDedupAgainst(newBatch, e).cache()
+    val nNew = newBatch.count()
+    // every planted ×1.001 copy lands in its original's cluster and
+    // pairs with it at cosine ≈ 1; nothing else clears the gate on
+    // the gaussian corpus (deterministic fixture — exact is safe)
+    assert(p.count() == nNew)
+    assert(p.filter(col("corpus_id") === col("new_id") - 100000L).count() == nNew)
+    assert(p.filter("cos_ppm < 999000").count() == 0)
+    p.unpersist()
+    graft.operators.Dedup.unpersistAll()
+  }
+
   test("contamination scores planted, partial, and clean docs correctly") {
     import spark.implicits._
     val docs = Seq(
