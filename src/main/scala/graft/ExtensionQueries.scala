@@ -512,6 +512,51 @@ object ExtensionQueries {
       out.select("stage", "new_id", "corpus_id", "n_agree")
         .orderBy("stage", "new_id", "corpus_id")
     }),
+    "q_dedup_para_ingest_delete" -> ((s, dir) => {
+      // the TAKEDOWN path on persisted LINE state: the corpus's
+      // first-occurrence line keys live in a bucketed catalog table
+      // with their owning doc_id; owners with doc_id % 5 == 0 are
+      // tombstoned, and a planted ingest batch is probed TWICE —
+      // against the masked live view, then after a compaction bakes
+      // the removal in. Both stages must equal an oracle whose state
+      // drops the deleted owners' rows (NOT a state rebuilt without
+      // them — first-wins state cannot resurrect the duplicates it
+      // already dropped; writeLineTable's scaladoc pins why that IS
+      // the takedown semantics).
+      val corpus = Corpus.paraCorpus(s, dir).select("doc_id", "text")
+      val tbl = "graft_line_state_" +
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+          .replaceAll("[^A-Za-z0-9]", "_")
+      val shufKey = "spark.sql.shuffle.partitions"
+      val prevShuf = s.conf.get(shufKey)
+      val out = try {
+        s.conf.set(shufKey, "8")
+        Dedup.writeLineTable(corpus, tbl, buckets = 8)
+        Dedup.deleteFromLineTable(
+          corpus.filter(col("doc_id") % 5 === 0).select("doc_id"), tbl)
+        val batch = corpus.filter(col("doc_id") % 9 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+        val masked = Dedup
+          .paragraphIngestStep(batch, Dedup.stateTableLive(s, tbl))._1
+          .withColumn("stage", lit("tombstoned"))
+          .localCheckpoint(true)
+        Dedup.unpersistAll()
+        Dedup.compactLineTable(s, tbl, buckets = 8)
+        val compacted = Dedup
+          .paragraphIngestStep(batch, Dedup.stateTableLive(s, tbl))._1
+          .withColumn("stage", lit("compacted"))
+          .localCheckpoint(true)
+        Dedup.unpersistAll()
+        masked.unionByName(compacted)
+      } finally {
+        s.conf.set(shufKey, prevShuf)
+        s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+        s.sql(s"DROP TABLE IF EXISTS `${tbl}_compact_tmp`")
+        s.sql(s"DROP TABLE IF EXISTS `${tbl}_tombstones`")
+      }
+      out.select("stage", "doc_id", "n_paras", "n_kept", "text_deduped")
+        .orderBy("stage", "doc_id")
+    }),
     "q_stream_para_ingest" -> ((s, dir) => {
       // the STREAMING paragraph-ingest loop — line-granularity
       // sibling of q_stream_span_ingest: the chunked-line corpus
@@ -537,7 +582,7 @@ object ExtensionQueries {
         // the state union needs NO re-checkpoint (the span-ingest
         // lineage argument): every piece is already materialized, so
         // state stays one union node per batch — O(batch) ingest
-        state = state.unionByName(newKeys.localCheckpoint(true))
+        state = state.unionByName(newKeys.select("pkey").localCheckpoint(true))
         acc.unionByName(rebuilt)
       }
       Dedup.unpersistAll()
@@ -2680,6 +2725,54 @@ object ExtensionQueries {
       // batch-split invariance again: streamed signature ingest must
       // land on the batch self-join's exact pair set
       s"$minhashPairsSql ORDER BY doc_a, doc_b",
+
+    "q_dedup_para_ingest_delete" ->
+      // state = the FULL corpus's first-occurrence (pkey, owner)
+      // rows minus the deleted owners' rows; the batch marks against
+      // that live key set plus its own within-batch window. Both
+      // engine stages must land on this one result under one hash.
+      s"""WITH para_corpus AS (
+         |${Corpus.paraCorpusSql}
+         |), cparts AS (
+         |  SELECT doc_id,
+         |         unnest(string_split(COALESCE(text, ''), chr(10))) AS para,
+         |         unnest(range(0, len(string_split(COALESCE(text, ''), chr(10))))) AS pos
+         |  FROM para_corpus
+         |), state AS (
+         |  SELECT pkey, doc_id FROM (
+         |    SELECT lower(trim(para)) AS pkey, doc_id,
+         |           ROW_NUMBER() OVER (
+         |             PARTITION BY lower(trim(para)) ORDER BY doc_id, pos) AS rn
+         |    FROM cparts WHERE trim(para) <> ''
+         |  ) WHERE rn = 1
+         |), live AS (
+         |  SELECT pkey FROM state WHERE doc_id % 5 <> 0
+         |), batch AS (
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM para_corpus WHERE doc_id % 9 = 0
+         |), bparts AS (
+         |  SELECT doc_id,
+         |         unnest(string_split(COALESCE(text, ''), chr(10))) AS para,
+         |         unnest(range(0, len(string_split(COALESCE(text, ''), chr(10))))) AS pos
+         |  FROM batch
+         |), marked AS (
+         |  SELECT doc_id, pos, para,
+         |         CASE WHEN trim(para) = '' THEN TRUE
+         |              ELSE (ROW_NUMBER() OVER (
+         |                      PARTITION BY lower(trim(para)) ORDER BY doc_id, pos) = 1
+         |                    AND lower(trim(para)) NOT IN (SELECT pkey FROM live))
+         |         END AS keep
+         |  FROM bparts
+         |), res AS (
+         |  SELECT doc_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_paras,
+         |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |    COALESCE(string_agg(CASE WHEN keep THEN para END, chr(10) ORDER BY pos), '') AS text_deduped
+         |  FROM marked GROUP BY doc_id
+         |)
+         |SELECT 'compacted' AS stage, doc_id, n_paras, n_kept, text_deduped FROM res
+         |UNION ALL
+         |SELECT 'tombstoned', doc_id, n_paras, n_kept, text_deduped FROM res
+         |ORDER BY stage, doc_id""".stripMargin,
 
     "q_stream_para_ingest" ->
       // arrival-order replay: one batch window ordered by

@@ -1276,7 +1276,9 @@ object Dedup {
       .withColumn("pkey", lower(trim(col("para"))))
       .withColumn("_rn",
         row_number().over(Window.partitionBy("pkey").orderBy("doc_id", "pos")))
-      .join(stateKeys.withColumn("_seen", lit(true)), Seq("pkey"), "left")
+      // tolerate state rows carrying owner ids ([[writeLineTable]]) —
+      // the probe needs the key set only
+      .join(stateKeys.select("pkey").withColumn("_seen", lit(true)), Seq("pkey"), "left")
       .withColumn("keep", col("_rn") === 1 && col("_seen").isNull)
       .drop("_rn", "_seen")
       .unionByName(
@@ -1287,9 +1289,96 @@ object Dedup {
     val rebuilt = rebuildParagraphs(marked.drop("pkey"), Nil)
     val newKeys = marked
       .filter(col("keep") && col("pkey").isNotNull)
-      .select("pkey")
+      .select("pkey", "doc_id")
     (rebuilt, newKeys)
   }
+
+  /** A corpus's one-shot line-key state: the (pkey, doc_id) pairs of
+    * every eligible line's FIRST (doc_id, pos) occurrence — exactly
+    * the keys [[paragraphDedup]] keeps, with the keeping doc as the
+    * owner (the deletion unit).
+    */
+  private def lineStateRows(
+      docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    paragraphParts(docs, textCol, idCol, Nil)
+      .filter(trim(col("para")) =!= "")
+      .withColumn("pkey", lower(trim(col("para"))))
+      .withColumn("_rn",
+        row_number().over(Window.partitionBy("pkey").orderBy("doc_id", "pos")))
+      .filter(col("_rn") === 1)
+      .select("pkey", "doc_id")
+  }
+
+  /** Materialize a corpus's line-key state as a BUCKETED catalog
+    * table on `pkey` — the [[writeBandTable]] layout applied to
+    * paragraph state. [[paragraphIngestStep]] probes it unchanged
+    * (its state join keys on `pkey`), so a steady-state ingest scans
+    * the state pre-partitioned and shuffles only the batch's lines.
+    * Rows carry the owning doc_id, making [[deleteFromLineTable]]
+    * takedowns doc-scoped like every other state table's.
+    *
+    * Deletion contract nuance, inherent to first-wins state: removing
+    * a deleted doc's (pkey, owner) rows makes those line keys
+    * claimable by FUTURE ingests — the state cannot resurrect the
+    * duplicate occurrences it already dropped, so a line whose first
+    * owner is taken down reappears only when some later batch ships
+    * it again. That is the correct takedown semantics: the text is
+    * gone until re-ingested.
+    */
+  def writeLineTable(
+      docs: DataFrame, table: String, buckets: Int = BandTableBuckets,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    writeBucketedState(
+      lineStateRows(docs, textCol, idCol),
+      table, buckets, Seq("pkey"), "overwrite", appendTasks = 0)
+    docs.sparkSession.table(table)
+  }
+
+  /** Append an ingest step's NEW keys ((pkey, doc_id) — the second
+    * member of [[paragraphIngestStep]]'s result) to a
+    * [[writeLineTable]] state table. New keys are disjoint from the
+    * probed state by construction, so the append keeps the key set a
+    * set.
+    */
+  def appendToLineTable(
+      newKeys: DataFrame, table: String, buckets: Int = BandTableBuckets,
+      appendTasks: Int = 0): Unit =
+    writeBucketedState(
+      newKeys.select("pkey", "doc_id"),
+      table, buckets, Seq("pkey"), "append", appendTasks)
+
+  /** [[compactBandTable]] for the line-key state table. */
+  def compactLineTable(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      buckets: Int = BandTableBuckets): DataFrame =
+    compactBucketedState(spark, table, buckets, Seq("pkey"))
+
+  /** [[appendToLineTable]] plus the [[appendAndMaybeCompact]]
+    * cadence. Returns true when this append triggered a compaction.
+    */
+  def appendAndMaybeCompactLines(
+      newKeys: DataFrame,
+      table: String,
+      buckets: Int = BandTableBuckets,
+      maxFilesPerBucket: Int = 4,
+      maxBytes: Long = Long.MaxValue,
+      appendTasks: Int = 0): Boolean = {
+    require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
+    appendToLineTable(newKeys, table, buckets, appendTasks)
+    val spark = newKeys.sparkSession
+    if (overCompactionThreshold(spark, table, buckets, maxFilesPerBucket, maxBytes)) {
+      compactLineTable(spark, table, buckets); true
+    } else false
+  }
+
+  /** [[deleteFromStateTable]] under the line-table name: tombstone by
+    * owning doc_id; [[stateTableLive]] masks, the next compaction
+    * bakes the removal in.
+    */
+  def deleteFromLineTable(docIds: DataFrame, table: String): Unit =
+    deleteFromStateTable(docIds, table)
 
   /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with the same

@@ -496,7 +496,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     for (i <- 0 until 4) {
       val batch = corpus.filter(pmod(col("doc_id"), lit(4)) === i).localCheckpoint(true)
       val (rebuilt, keys) = Dedup.paragraphIngestStep(batch, state)
-      state = state.unionByName(keys.localCheckpoint(true))
+      state = state.unionByName(keys.select("pkey").localCheckpoint(true))
       outs = outs.unionByName(rebuilt).localCheckpoint(true)
       Dedup.unpersistAll()
     }

@@ -480,6 +480,71 @@ class StateCompactionSpec extends AnyFunSuite {
     } finally { rmTree(ivfDir); rmTree(pqDir) }
   }
 
+  test("bucketed line table: catalog equals the derived state, deletes mask and survive compaction, appends close the set") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val corpus = Corpus.paraCorpus(spark, dir).select("doc_id", "text").localCheckpoint(true)
+    val batch = corpus.filter(col("doc_id") % 9 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L).localCheckpoint(true)
+    val table = "line_spec_del"
+    Seq(table, s"${table}_compact_tmp", s"${table}_tombstones")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_id").collect().toSeq
+      Dedup.writeLineTable(corpus, table, buckets = 4)
+      // the catalog state IS the independently-derived first-occurrence set
+      val parts = corpus.select(
+        col("doc_id"),
+        posexplode(split(coalesce(col("text"), lit("")), "\n", -1)).as(Seq("pos", "para")))
+      val memKeys = parts.filter(trim(col("para")) =!= "")
+        .withColumn("pkey", lower(trim(col("para"))))
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("pkey").orderBy("doc_id", "pos")))
+        .filter(col("rn") === 1).select("pkey", "doc_id").localCheckpoint(true)
+      assert(spark.table(table).except(memKeys).isEmpty
+        && memKeys.except(spark.table(table)).isEmpty)
+      val baseline = canon(
+        Dedup.paragraphIngestStep(batch, Dedup.stateTableLive(spark, table))._1)
+      Dedup.unpersistAll()
+      // tombstone owners: expectation derived from the in-memory keys
+      // minus the deleted owners' rows (NOT a rebuilt state)
+      Dedup.deleteFromLineTable(
+        corpus.filter(col("doc_id") % 5 === 0).select("doc_id"), table)
+      val expected = canon(Dedup.paragraphIngestStep(
+        batch, memKeys.filter(col("doc_id") % 5 =!= 0))._1)
+      Dedup.unpersistAll()
+      val masked = canon(
+        Dedup.paragraphIngestStep(batch, Dedup.stateTableLive(spark, table))._1)
+      Dedup.unpersistAll()
+      assert(masked == expected)
+      assert(masked != baseline, "the delete must visibly change the probe")
+      // compaction bakes the delete in and clears the tombstone set
+      Dedup.compactLineTable(spark, table, buckets = 4)
+      assert(!spark.catalog.tableExists(s"${table}_tombstones"))
+      assert(canon(Dedup.paragraphIngestStep(
+        batch, Dedup.stateTableLive(spark, table))._1) == expected)
+      Dedup.unpersistAll()
+      // append the batch's new keys: a re-ship of the same lines under
+      // fresh ids now keeps NOTHING but structural blanks
+      val newKeys = Dedup.paragraphIngestStep(
+        batch, Dedup.stateTableLive(spark, table))._2.localCheckpoint(true)
+      Dedup.unpersistAll()
+      Dedup.appendToLineTable(newKeys, table, buckets = 4)
+      val reprobe = Dedup.paragraphIngestStep(
+        batch.withColumn("doc_id", col("doc_id") + 5000000L),
+        Dedup.stateTableLive(spark, table))._1
+      val blanks = batch.select(
+          posexplode(split(coalesce(col("text"), lit("")), "\n", -1)).as(Seq("pos", "para")))
+        .filter(trim(col("para")) === "").count()
+      assert(reprobe.agg(sum(col("n_kept"))).collect()(0).getLong(0) == blanks)
+      Dedup.unpersistAll()
+    } finally {
+      Seq(table, s"${table}_compact_tmp", s"${table}_tombstones")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("bucketed-state tombstones: band and shingle deletes mask immediately, survive compaction, keep the probe plan") {
     import spark.implicits._
     // ---- band table ----
