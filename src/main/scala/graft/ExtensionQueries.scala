@@ -1871,6 +1871,39 @@ object ExtensionQueries {
     * twin over the clean subset and sums its n_tokens — the SQL
     * mirror of [[graft.pipelines.TrainingExport.BudgetWordPieceTokens]].
     */
+  /** DuckDB paragraph-dedup pieces — ONE spelling of the pinned
+    * semantics (newline split with trailing empties, 0-based
+    * positional zip, `lower(trim(...))` normalization, blank lines
+    * structural, first-occurrence window) shared by every oracle that
+    * replays it: q_dedup_paragraph, q_stream_para_ingest,
+    * q_dedup_para_ingest_delete, and the pipeline's pg_ splice.
+    * A semantics change edits these two emitters, nowhere else.
+    */
+  private def paraPartsDuck(src: String, extra: Seq[String] = Nil): String = {
+    val cols = ("doc_id" +: extra).mkString(", ")
+    s"""  SELECT $cols,
+       |         unnest(string_split(COALESCE(text, ''), chr(10))) AS para,
+       |         unnest(range(0, len(string_split(COALESCE(text, ''), chr(10))))) AS pos
+       |  FROM $src""".stripMargin
+  }
+
+  /** The keep CASE over a parts row: blanks TRUE, eligible lines win
+    * their normalized-key window under `orderExpr` (arrival order for
+    * the streaming replay, (doc_id, pos) otherwise), optionally gated
+    * on a live state-key relation.
+    */
+  private def paraKeepCaseDuck(
+      orderExpr: String = "doc_id, pos", notInLive: Option[String] = None): String = {
+    val gate = notInLive
+      .map(l => s"\n                    AND lower(trim(para)) NOT IN (SELECT pkey FROM $l)")
+      .getOrElse("")
+    s"""CASE WHEN trim(para) = '' THEN TRUE
+       |              ELSE (ROW_NUMBER() OVER (
+       |                PARTITION BY lower(trim(para))
+       |                ORDER BY $orderExpr) = 1$gate)
+       |         END""".stripMargin
+  }
+
   private def trainExportPipelineSql(
       budgets: Seq[(String, Long)], defaultBudget: Long, tokensWp: Boolean,
       spanK: Option[Int] = None, corpusSql: Option[String] = None,
@@ -1896,16 +1929,10 @@ object ExtensionQueries {
       if (!paraDedup) ""
       else
         s""", pg_parts AS (
-           |  SELECT doc_id, source,
-           |         unnest(string_split(COALESCE(text, ''), chr(10))) AS para,
-           |         unnest(range(0, len(string_split(COALESCE(text, ''), chr(10))))) AS pos
-           |  FROM dd
+           |${paraPartsDuck("dd", Seq("source"))}
            |), pg_marked AS (
            |  SELECT doc_id, source, pos, para,
-           |         CASE WHEN trim(para) = '' THEN TRUE
-           |              ELSE (ROW_NUMBER() OVER (
-           |                PARTITION BY lower(trim(para)) ORDER BY doc_id, pos) = 1)
-           |         END AS keep
+           |         ${paraKeepCaseDuck()} AS keep
            |  FROM pg_parts
            |), pg0 AS (
            |  SELECT doc_id, MIN(source) AS source,
@@ -2734,10 +2761,7 @@ object ExtensionQueries {
       s"""WITH para_corpus AS (
          |${Corpus.paraCorpusSql}
          |), cparts AS (
-         |  SELECT doc_id,
-         |         unnest(string_split(COALESCE(text, ''), chr(10))) AS para,
-         |         unnest(range(0, len(string_split(COALESCE(text, ''), chr(10))))) AS pos
-         |  FROM para_corpus
+         |${paraPartsDuck("para_corpus")}
          |), state AS (
          |  SELECT pkey, doc_id FROM (
          |    SELECT lower(trim(para)) AS pkey, doc_id,
@@ -2750,17 +2774,10 @@ object ExtensionQueries {
          |), batch AS (
          |  SELECT doc_id + 1000000 AS doc_id, text FROM para_corpus WHERE doc_id % 9 = 0
          |), bparts AS (
-         |  SELECT doc_id,
-         |         unnest(string_split(COALESCE(text, ''), chr(10))) AS para,
-         |         unnest(range(0, len(string_split(COALESCE(text, ''), chr(10))))) AS pos
-         |  FROM batch
+         |${paraPartsDuck("batch")}
          |), marked AS (
          |  SELECT doc_id, pos, para,
-         |         CASE WHEN trim(para) = '' THEN TRUE
-         |              ELSE (ROW_NUMBER() OVER (
-         |                      PARTITION BY lower(trim(para)) ORDER BY doc_id, pos) = 1
-         |                    AND lower(trim(para)) NOT IN (SELECT pkey FROM live))
-         |         END AS keep
+         |         ${paraKeepCaseDuck(notInLive = Some("live"))} AS keep
          |  FROM bparts
          |), res AS (
          |  SELECT doc_id,
@@ -2780,17 +2797,10 @@ object ExtensionQueries {
       s"""WITH para_corpus AS (
          |${Corpus.paraCorpusSql}
          |), parts AS (
-         |  SELECT doc_id,
-         |         unnest(string_split(COALESCE(text, ''), chr(10))) AS para,
-         |         unnest(range(0, len(string_split(COALESCE(text, ''), chr(10))))) AS pos
-         |  FROM para_corpus
+         |${paraPartsDuck("para_corpus")}
          |), marked AS (
          |  SELECT doc_id, pos, para,
-         |         CASE WHEN trim(para) = '' THEN TRUE
-         |              ELSE (ROW_NUMBER() OVER (
-         |                PARTITION BY lower(trim(para))
-         |                ORDER BY doc_id % 4, doc_id, pos) = 1)
-         |         END AS keep
+         |         ${paraKeepCaseDuck(orderExpr = "doc_id % 4, doc_id, pos")} AS keep
          |  FROM parts
          |)
          |SELECT doc_id,
@@ -2973,16 +2983,10 @@ object ExtensionQueries {
       s"""WITH para_corpus AS (
          |${Corpus.paraCorpusSql}
          |), parts AS (
-         |  SELECT doc_id,
-         |         unnest(string_split(COALESCE(text, ''), chr(10))) AS para,
-         |         unnest(range(0, len(string_split(COALESCE(text, ''), chr(10))))) AS pos
-         |  FROM para_corpus
+         |${paraPartsDuck("para_corpus")}
          |), marked AS (
          |  SELECT doc_id, pos, para,
-         |         CASE WHEN trim(para) = '' THEN TRUE
-         |              ELSE (ROW_NUMBER() OVER (
-         |                PARTITION BY lower(trim(para)) ORDER BY doc_id, pos) = 1)
-         |         END AS keep
+         |         ${paraKeepCaseDuck()} AS keep
          |  FROM parts
          |)
          |SELECT doc_id,

@@ -1207,6 +1207,16 @@ object Dedup {
       idCol: String = "doc_id",
       passthroughCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // collision guard (the removeRepeatedSpans convention): a
+    // passthrough named like an output or working column would emit
+    // duplicate names that fail only at the first downstream
+    // name-based select
+    val reserved = Seq("doc_id", "n_paras", "n_kept", "text_deduped", "pos", "para", "pkey", "keep")
+    val clash = passthroughCols.filter(c => reserved.exists(_.equalsIgnoreCase(c)))
+    require(
+      clash.isEmpty,
+      s"paragraphDedup emits column(s) ${clash.mkString(", ")} itself — " +
+        "rename the passthrough column(s)")
     val parts = paragraphParts(docs, textCol, idCol, passthroughCols)
     val elig = parts.filter(trim(col("para")) =!= "")
       .withColumn("pkey", lower(trim(col("para"))))
@@ -1417,7 +1427,9 @@ object Dedup {
       emb: DataFrame,
       centroidMod: Int = 50,
       minCosPpm: Long = 995000L,
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id",
+      numPartitions: Option[Int] = None,
+      propagateRounds: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VecDot.register(emb.sparkSession)
     val idx = SimilaritySearch.buildIndex(emb, centroidMod = centroidMod, idCol = idCol)
@@ -1445,8 +1457,15 @@ object Dedup {
           (col("x.cnorm") * col("y.cnorm")))
       .filter(floor(lit(1000000.0) * col("cos")).cast("long") >= minCosPpm)
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+    // ADAPTIVE clustering (the components() contract): min-label
+    // propagation for the near-clique duplicate groups this operator
+    // usually sees, with the O(log n)-round star fallback for
+    // transitive cosine chains whose diameter outruns the round
+    // budget — a hot component must degrade to the slower algorithm,
+    // never abort the job
     val labels = graft.operators.ConnectedComponents
-      .labelPropagate(pairs, "vec_a", "vec_b", numPartitions = Some(8))
+      .components(pairs, "vec_a", "vec_b",
+        propagateRounds = propagateRounds, numPartitions = numPartitions)
       .withColumnRenamed("node", "vec_id")
     // Singletons never appear in the edge list: they become their own
     // component via the coalesce and trivially win their window.
@@ -1462,11 +1481,12 @@ object Dedup {
     * a NEW vector batch to the corpus's FROZEN centroids (the faiss
     * `add` semantics [[SimilaritySearch.appendToIndex]] uses) and
     * compare each new vector against the corpus members of ITS
-    * cluster only. Per ingest this costs one broadcast-centroid pass
-    * over the batch plus an equi-join on `cid` — O(batch ×
-    * cluster-size) cosine refines, never O(batch × corpus) — and the
-    * corpus assignments are reusable state (persist them with the
-    * [[SimilaritySearch.writeIndex]] layout for steady-state runs).
+    * cluster only — O(batch × cluster-size) cosine refines, never
+    * O(batch × corpus). THIS form also (re)builds the corpus index,
+    * so it pays one O(corpus) clustering pass; steady-state loops use
+    * [[semanticDedupAgainstIndex]] with a prebuilt (or
+    * [[SimilaritySearch.readIndex]]-loaded) index so each ingest
+    * costs only the batch-side work.
     *
     * Returns (new_id, corpus_id, cos_ppm) near-dup pairs, the
     * [[embeddingPairsAgainst]] contract with cluster-structured
@@ -1477,13 +1497,35 @@ object Dedup {
       corpus: DataFrame,
       centroidMod: Int = 50,
       minCosPpm: Long = 995000L,
+      idCol: String = "vec_id"): DataFrame =
+    // convenience form: builds the corpus index IN this call — fine
+    // for one-shot probes, but a steady-state ingest loop must pay
+    // the corpus clustering once, not per batch: build (or
+    // SimilaritySearch.readIndex) the index up front and call
+    // [[semanticDedupAgainstIndex]] per batch
+    semanticDedupAgainstIndex(
+      newEmb,
+      SimilaritySearch.buildIndex(corpus, centroidMod = centroidMod, idCol = idCol),
+      minCosPpm, idCol)
+
+  /** [[semanticDedupAgainst]] over a PREBUILT corpus index — the
+    * steady-state form: per ingest this costs one broadcast-centroid
+    * assignment pass over the batch plus the cid equi-join against
+    * the stored assignments; the corpus is never re-clustered or
+    * re-scanned. Pairs with [[SimilaritySearch.writeIndex]]/
+    * [[SimilaritySearch.readIndex]] for the persisted layout, exactly
+    * like the minhash family's band-table probe.
+    */
+  def semanticDedupAgainstIndex(
+      newEmb: DataFrame,
+      index: SimilaritySearch.IvfIndex,
+      minCosPpm: Long = 995000L,
       idCol: String = "vec_id"): DataFrame = {
     graft.functions.VecDot.register(newEmb.sparkSession)
-    val idx = SimilaritySearch.buildIndex(corpus, centroidMod = centroidMod, idCol = idCol)
-    val corpusA = idx.assignments.select(
+    val corpusA = index.assignments.select(
       col("cand_id").as("corpus_id"), col("cid"),
       col("cand_emb").as("ce"), col("cnorm").as("cn"))
-    val newA = SimilaritySearch.assignVectors(idx.centroids, newEmb, idCol).select(
+    val newA = SimilaritySearch.assignVectors(index.centroids, newEmb, idCol).select(
       col("cand_id").as("new_id"), col("cid"),
       col("cand_emb").as("ne"), col("cnorm").as("nn"))
     newA.join(corpusA, "cid")
