@@ -289,13 +289,20 @@ object Bench {
     val fileLine = line.dropRight(1) + s""","flags":$flagsJson,$detail$recheck$exRegJson}"""
     // the driver's stdout capture is a ~2 KB tail that truncates the
     // per-query map at 100+ queries (BENCH_r08.json kept 75/114 rows)
-    // — also land the full line in a file it can collect
-    try Files.write(
-      Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_out.json")),
-      (fileLine + "\n").getBytes("UTF-8"))
-    catch {
-      case e: Throwable =>
-        System.err.println(s"[bench] could not write BENCH_out.json: ${e.getMessage}")
+    // — also land the full line in a file it can collect. A
+    // SPARK_GRAFT_BENCH_ONLY subset run must NOT clobber that file:
+    // the committed artifact is by contract the FULL per-query map,
+    // and a debug run silently replacing it with a 1-query record is
+    // exactly the regression the r13 review caught. Subset runs write
+    // only when an explicit SPARK_GRAFT_BENCH_OUT says where.
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (only.isEmpty) Some("BENCH_out.json") else None) // only: Option[Set[String]]
+    outPath.foreach { p =>
+      try Files.write(Paths.get(p), (fileLine + "\n").getBytes("UTF-8"))
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] could not write $p: ${e.getMessage}")
+      }
     }
     spark.stop()
   }
