@@ -1647,6 +1647,12 @@ object ExtensionQueries {
       // applies the identical poly-hash filter in its model CTE
       TextAnalysis.naturalness(
         Tables.documents(s, dir), fitSampleMod = Some(4)).orderBy("doc_id")),
+    "q_text_chunks" -> ((s, dir) =>
+      // RAG/context-window chunking: 30-token windows every 20 tokens
+      // (10-token overlap), final chunk keeps the tail
+      TextAnalysis.chunkDocuments(
+        Tables.documents(s, dir), chunkTokens = 30, strideTokens = 20)
+        .orderBy("doc_id", "chunk_id")),
     "q_quality_stratified" -> ((s, dir) =>
       // FineWeb-style per-language gate: top 60% by quality WITHIN
       // each language stratum (the table's lang metadata — the
@@ -3711,6 +3717,9 @@ object ExtensionQueries {
 
     "q_text_naturalness_sampled" ->
       TextAnalysis.naturalnessDuckSql("documents", fitSampleMod = Some(4)),
+
+    "q_text_chunks" ->
+      TextAnalysis.chunkDocumentsDuckSql(chunkTokens = 30, strideTokens = 20),
 
     "q_quality_stratified" ->
       // same stratified rank over the table's lang strata; the cut is

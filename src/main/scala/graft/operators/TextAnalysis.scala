@@ -408,6 +408,72 @@ object TextAnalysis {
     * columns — shared verbatim by the Spark plan and the DuckDB
     * oracle.
     */
+  /** Sliding-window document chunking — the context-window prep step
+    * of RAG indexing and long-document training: each doc's tokens
+    * are windowed into chunks of `chunkTokens` words starting every
+    * `strideTokens` (overlap = chunkTokens − strideTokens), the final
+    * chunk keeping whatever tail remains. Chunk count is the pure
+    * integer `⌈max(n − chunk, 0)/stride⌉ + 1`, so every token is
+    * covered and both engines cut identically. Zero-token docs emit
+    * zero chunks.
+    *
+    * Scale shape: one generate (explode over the per-doc chunk-index
+    * sequence) on a pruned (id, words) projection — map-only, no
+    * shuffle at all until a consumer asks for one; output rows carry
+    * the chunk text, so downstream embedding/indexing reads chunks
+    * directly. Overlap multiplies output bytes by chunk/stride — the
+    * caller's knob, stated rather than hidden.
+    *
+    * Returns (doc_id, chunk_id, n_tokens, chunk_text).
+    */
+  def chunkDocuments(
+      docs: DataFrame,
+      chunkTokens: Int = 128,
+      strideTokens: Int = 96,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(strideTokens >= 1 && strideTokens <= chunkTokens,
+      s"strideTokens must be in [1, chunkTokens], got $strideTokens")
+    docs
+      .select(
+        col(idCol).as("doc_id"),
+        expr(graft.functions.TextExprs.wordsSpark(textCol)).as("_w"),
+        expr(tokenCountSpark(textCol)).as("_n"))
+      .filter(col("_n") >= 1)
+      .select(
+        col("doc_id"), col("_w"),
+        expr(s"explode(sequence(0, (greatest(_n - $chunkTokens, 0) + $strideTokens - 1) div $strideTokens))")
+          .as("chunk_id"))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        expr(s"slice(_w, chunk_id * $strideTokens + 1, $chunkTokens)").as("_c"))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        size(col("_c")).cast("long").as("n_tokens"),
+        array_join(col("_c"), " ").as("chunk_text"))
+  }
+
+  /** DuckDB twin of [[chunkDocuments]] as a full SELECT over
+    * `documents` (ORDER BY doc_id, chunk_id).
+    */
+  def chunkDocumentsDuckSql(chunkTokens: Int, strideTokens: Int): String = {
+    val w = graft.functions.TextExprs.wordsDuck("text")
+    s"""WITH d AS (
+       |  SELECT doc_id, $w AS w, ${tokenCountDuck("text")} AS n
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, w,
+       |         unnest(range(0, ((greatest(n - $chunkTokens, 0) + $strideTokens - 1) // $strideTokens) + 1)) AS chunk_id
+       |  FROM d WHERE n >= 1
+       |)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(len(list_slice(w, chunk_id * $strideTokens + 1, chunk_id * $strideTokens + $chunkTokens)) AS BIGINT) AS n_tokens,
+       |  array_to_string(list_slice(w, chunk_id * $strideTokens + 1, chunk_id * $strideTokens + $chunkTokens), ' ') AS chunk_text
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   /** FineWeb-style STRATIFIED quality gate: keep the top `keepPpm`
     * fraction of documents per language stratum, ranked by
     * [[quality]] score. An absolute threshold (the [[curationFunnel]]

@@ -1111,6 +1111,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     ).toDF("doc_id", "lang", "text").localCheckpoint(true)
   }
 
+  test("chunkDocuments: stride prefixes + final chunk reconstruct each doc, zero-token docs vanish") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 53).map(i => s"w$i").mkString(" ")), // 3 chunks at starts 0/20/40
+      (2L, (1 to 7).map(i => s"v$i").mkString(" ")),  // one short chunk
+      (3L, "")                                        // zero tokens → zero chunks
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, chunkTokens = 30, strideTokens = 20)
+      .orderBy("doc_id", "chunk_id").collect()
+    assert(!out.exists(_.getLong(0) == 3L))
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc(1L).length == 3 && byDoc(2L).length == 1)
+    // every non-final chunk is full-width; the final keeps the tail
+    assert(byDoc(1L).dropRight(1).forall(_.getAs[Long]("n_tokens") == 30))
+    assert(byDoc(1L).last.getAs[Long]("n_tokens") == 13)
+    // total coverage with the declared overlap: the stride-token
+    // prefix of each non-final chunk plus the whole final chunk
+    // reassemble the original word sequence exactly
+    def rebuild(rows: Array[org.apache.spark.sql.Row]): String =
+      (rows.dropRight(1).map(
+        _.getAs[String]("chunk_text").split(" ").take(20).mkString(" ")) :+
+        rows.last.getAs[String]("chunk_text")).mkString(" ")
+    assert(rebuild(byDoc(1L)) == (1 to 53).map(i => s"w$i").mkString(" "))
+    assert(rebuild(byDoc(2L)) == (1 to 7).map(i => s"v$i").mkString(" "))
+    // consecutive chunks genuinely overlap by chunk − stride tokens
+    val c = byDoc(1L).map(_.getAs[String]("chunk_text").split(" "))
+    assert(c(0).drop(20).toSeq == c(1).take(10).toSeq)
+  }
+
   test("stratifiedQualityGate keeps exactly the ceil-cut top-quality prefix per stratum") {
     val docs = stratifiedDocs
     val out = TextAnalysis
