@@ -334,6 +334,21 @@ object ExtensionQueries {
     }),
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(Corpus.docCorpus(s, dir)).orderBy("doc_a", "doc_b")),
+    "q_split_leakage" -> ((s, dir) => {
+      // within-corpus train/test leakage: near-dup pairs straddling
+      // the split boundary re-home their WHOLE component to the
+      // highest-priority split (train), transitive chains included.
+      // The planted +1M/+2M copies hash to independent splits, so
+      // ~20% of the planted pairs leak by construction.
+      graft.functions.PolyHash.register(s)
+      val withSplit = graft.operators.Sampling.assignSplit(
+        Corpus.docCorpus(s, dir),
+        graft.functions.TextExprs.charHashSpark("CAST(doc_id AS STRING)"),
+        Seq("train" -> 80, "test" -> 20))
+      Dedup.repairSplitLeakage(
+        withSplit, Dedup.minhashPairs(withSplit), Seq("train", "test"))
+        .orderBy("doc_id")
+    }),
     "q_dedup_minhash_fine" -> ((s, dir) =>
       // the banding dial at the high-recall end: 16 bands × 2 rows
       // admits weaker-overlap candidates than the default 8×4 (match
@@ -2915,6 +2930,47 @@ object ExtensionQueries {
          |FROM corpus2 c
          |WHERE c.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn <> 1)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_split_leakage" ->
+      // same reachability oracle over the pair graph; the split CASE
+      // is the shared Sampling.splitCase spelling and the repair is
+      // MIN(priority index) over each component
+      s"""WITH RECURSIVE pairs AS (
+         |$minhashPairsSql
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs
+         |), nodes AS (
+         |  SELECT DISTINCT src AS node FROM edges
+         |), reach(node, lbl) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+         |), comp AS (
+         |  SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node
+         |), c2 AS (
+         |${Corpus.docCorpusSql}
+         |), assigned AS (
+         |  SELECT doc_id,
+         |         ${graft.operators.Sampling.splitCase(
+                      graft.functions.TextExprs.charHashDuck("CAST(doc_id AS VARCHAR)"),
+                      Seq("train" -> 80, "test" -> 20))} AS split
+         |  FROM c2
+         |), dec AS (
+         |  SELECT a.doc_id, a.split,
+         |         COALESCE(c.component, a.doc_id) AS component,
+         |         CASE WHEN a.split = 'train' THEN 0 ELSE 1 END AS pidx
+         |  FROM assigned a LEFT JOIN comp c ON c.doc_id = a.doc_id
+         |), win AS (
+         |  SELECT doc_id, split,
+         |         MIN(pidx) OVER (PARTITION BY component) AS widx
+         |  FROM dec
+         |)
+         |SELECT doc_id, split,
+         |       CASE widx WHEN 0 THEN 'train' ELSE 'test' END AS split_repaired,
+         |       (split <> CASE widx WHEN 0 THEN 'train' ELSE 'test' END) AS leaked
+         |FROM win ORDER BY doc_id""".stripMargin,
 
     "q_dedup_clusters" ->
       // exact reachability oracle: enumerate every (node, reachable

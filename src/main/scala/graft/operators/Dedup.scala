@@ -1537,6 +1537,72 @@ object Dedup {
       .select("new_id", "corpus_id", "cos_ppm")
   }
 
+  /** Train/eval SPLIT-LEAKAGE repair — the within-corpus sibling of
+    * benchmark decontamination: a near-duplicate pair straddling the
+    * train/eval boundary leaks training signal into evaluation no
+    * matter how clean the benchmark set is. Given the corpus with its
+    * split assignment and a near-dup pair list (any of the
+    * [[minhashPairs]] / [[embeddingPairs]] / [[semanticDedup]]
+    * families), connect the pairs into components and re-home each
+    * component WHOLE to the highest-priority split any member holds —
+    * `priority` head wins, so `Seq("train", "valid", "test")` pulls
+    * every leaky group out of evaluation (transitive chains included;
+    * pair-local fixes miss A–B–C bridges).
+    *
+    * Scale shape: label propagation on the pair list plus one window
+    * over (id, split, component) rows — id-width shuffles only, the
+    * corpus text never moves. The distinct-split guard is a
+    * driver-side localization of a by-contract tiny set (splits are a
+    * handful), failing fast on a split name missing from `priority`
+    * rather than silently re-homing it.
+    *
+    * Returns (idCol, split, split_repaired, leaked).
+    */
+  def repairSplitLeakage(
+      corpus: DataFrame,
+      pairs: DataFrame,
+      priority: Seq[String],
+      idCol: String = "doc_id",
+      splitCol: String = "split",
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      numPartitions: Option[Int] = None,
+      propagateRounds: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(priority.nonEmpty && priority.distinct == priority,
+      s"priority must be a non-empty list of distinct split names, got $priority")
+    require(corpus.columns.contains(splitCol) && corpus.columns.contains(idCol),
+      s"corpus needs ($idCol, $splitCol), got ${corpus.columns.mkString(", ")}")
+    val known = priority.toSet
+    val stray = corpus.select(col(splitCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).filterNot(known)
+    require(stray.isEmpty,
+      s"split value(s) ${stray.mkString(", ")} not in the priority list — " +
+        "every split must be ranked so the repair is total")
+    def lit1(s: String) = s"'${s.replace("'", "''")}'"
+    val pidxCase = priority.zipWithIndex
+      .map { case (s, i) => s"WHEN `$splitCol` = ${lit1(s)} THEN $i" }
+      .mkString("CASE ", " ", " END")
+    val backCase = priority.zipWithIndex
+      .map { case (s, i) => s"WHEN $i THEN ${lit1(s)}" }
+      .mkString("CASE _widx ", " ", " END")
+    val labels = graft.operators.ConnectedComponents
+      .components(pairs, aCol, bCol,
+        propagateRounds = propagateRounds, numPartitions = numPartitions)
+      .withColumnRenamed("node", idCol)
+    corpus
+      .select(col(idCol), col(splitCol).cast("string").as(splitCol))
+      .join(labels, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .withColumn("_pidx", expr(pidxCase))
+      .withColumn("_widx", min(col("_pidx")).over(Window.partitionBy("component")))
+      .select(
+        col(idCol),
+        col(splitCol).as("split"),
+        expr(backCase).as("split_repaired"))
+      .withColumn("leaked", col("split") =!= col("split_repaired"))
+  }
+
   /** Cluster-apply with a QUALITY policy: keep the best-scoring
     * member of each near-dup cluster instead of the minimum id. The
     * min-id apply (q_dedup_apply) is arbitrary about WHICH copy

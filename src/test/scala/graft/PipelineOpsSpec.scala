@@ -995,6 +995,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     graft.operators.Dedup.unpersistAll()
   }
 
+  test("repairSplitLeakage re-homes whole components to the highest-priority split") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "train"), (2L, "test"),                 // crossing pair → both train
+      (3L, "test"),                                // singleton untouched
+      (4L, "valid"), (5L, "test"),                 // lower-priority pair → valid
+      (6L, "test"), (7L, "train"), (8L, "valid")   // transitive chain → train
+    ).toDF("doc_id", "split")
+    val pairs = Seq((1L, 2L), (4L, 5L), (6L, 7L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val out = graft.operators.Dedup
+      .repairSplitLeakage(corpus, pairs, Seq("train", "valid", "test"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("split"), r.getAs[String]("split_repaired"), r.getAs[Boolean]("leaked"))))
+      .toMap
+    assert(out(1L) == (("train", "train", false)) && out(2L) == (("test", "train", true)))
+    assert(out(3L) == (("test", "test", false)))
+    assert(out(4L) == (("valid", "valid", false)) && out(5L) == (("test", "valid", true)))
+    // the A–B–C bridge: a pair-local fix would leave 6 or 8 leaky
+    assert(Seq(6L, 7L, 8L).forall(out(_)._2 == "train"))
+    assert(out(6L)._3 && !out(7L)._3 && out(8L)._3)
+    // a split name outside the priority ranking fails fast
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.repairSplitLeakage(
+        corpus.withColumn("split", lit("oops")), pairs, Seq("train"))
+    }
+  }
+
   test("contamination scores planted, partial, and clean docs correctly") {
     import spark.implicits._
     val docs = Seq(
