@@ -32,7 +32,10 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * Isolation knobs (for contention-resistant re-measures; all leave
   * the default driver output byte-compatible when unset):
   *   - SPARK_GRAFT_BENCH_ONLY: comma-separated query names — run only
-  *     these (one query per JVM gives the cleanest number).
+  *     these (one query per JVM gives the cleanest number). Subset
+  *     runs do NOT write BENCH_out.json — that artifact is by
+  *     contract the FULL per-query map — pass SPARK_GRAFT_BENCH_OUT
+  *     explicitly to record a subset run (stderr notes the skip).
   *   - SPARK_GRAFT_BENCH_SPREAD=1: also emit per-query `"spread"`
   *     (max-min over the iterations) so dispersion is recorded
   *     alongside the min.
@@ -296,7 +299,11 @@ object Bench {
     // exactly the regression the r13 review caught. Subset runs write
     // only when an explicit SPARK_GRAFT_BENCH_OUT says where.
     val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
-      .orElse(if (only.isEmpty) Some("BENCH_out.json") else None) // only: Option[Set[String]]
+      .orElse(if (only.isEmpty) Some("BENCH_out.json") else None)
+    if (outPath.isEmpty)
+      System.err.println(
+        "[bench] subset run (SPARK_GRAFT_BENCH_ONLY): NOT writing BENCH_out.json — " +
+          "set SPARK_GRAFT_BENCH_OUT to record this run somewhere")
     outPath.foreach { p =>
       try Files.write(Paths.get(p), (fileLine + "\n").getBytes("UTF-8"))
       catch {

@@ -1573,16 +1573,31 @@ object Dedup {
       s"priority must be a non-empty list of distinct split names, got $priority")
     require(corpus.columns.contains(splitCol) && corpus.columns.contains(idCol),
       s"corpus needs ($idCol, $splitCol), got ${corpus.columns.mkString(", ")}")
-    val known = priority.toSet
-    val stray = corpus.select(col(splitCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).filterNot(known)
-    require(stray.isEmpty,
-      s"split value(s) ${stray.mkString(", ")} not in the priority list — " +
-        "every split must be ranked so the repair is total")
+    // the propagation casts node ids to LONG; a string id would
+    // silently NULL out and report zero leakage — guard at the
+    // SCHEMA level (no job) rather than discover it in the output
+    def integral(df: DataFrame, c: String): Boolean =
+      df.schema.find(_.name == c).exists(f => f.dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType => true
+        case _ => false
+      })
+    require(integral(corpus, idCol) && integral(pairs, aCol) && integral(pairs, bCol),
+      s"repairSplitLeakage needs integral ids ($idCol / $aCol / $bCol) — " +
+        "string ids would cast to NULL inside the component propagation and " +
+        "read as zero leakage; map ids to longs first")
     def lit1(s: String) = s"'${s.replace("'", "''")}'"
+    // fail-fast totality is LAZY (no separate scan): a split value
+    // missing from the ranking aborts the main job on first contact
     val pidxCase = priority.zipWithIndex
       .map { case (s, i) => s"WHEN `$splitCol` = ${lit1(s)} THEN $i" }
-      .mkString("CASE ", " ", " END")
+      .mkString(
+        "CASE ", " ",
+        s" ELSE CAST(raise_error(concat('split value ', `$splitCol`, " +
+          "' not in the priority list — every split must be ranked so the " +
+          "repair is total')) AS INT) END")
     val backCase = priority.zipWithIndex
       .map { case (s, i) => s"WHEN $i THEN ${lit1(s)}" }
       .mkString("CASE _widx ", " ", " END")

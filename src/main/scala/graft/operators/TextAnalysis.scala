@@ -404,10 +404,6 @@ object TextAnalysis {
           minNaturalnessPpm = Some(minNaturalnessPpm))))
   }
 
-  /** The dialect-neutral verdict CASE over the funnel's metric
-    * columns — shared verbatim by the Spark plan and the DuckDB
-    * oracle.
-    */
   /** Sliding-window document chunking — the context-window prep step
     * of RAG indexing and long-document training: each doc's tokens
     * are windowed into chunks of `chunkTokens` words starting every
@@ -435,11 +431,18 @@ object TextAnalysis {
     require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
     require(strideTokens >= 1 && strideTokens <= chunkTokens,
       s"strideTokens must be in [1, chunkTokens], got $strideTokens")
+    // stage the split ONCE (the quality() staging discipline: CASE
+    // branches are CSE-excluded, so tokenCountSpark's inline form
+    // would re-run the full-text regex split a second time), then
+    // derive the count from the staged array
     docs
       .select(
         col(idCol).as("doc_id"),
         expr(graft.functions.TextExprs.wordsSpark(textCol)).as("_w"),
-        expr(tokenCountSpark(textCol)).as("_n"))
+        expr(s"length(trim($textCol)) = 0").as("_empty"))
+      .select(
+        col("doc_id"), col("_w"),
+        expr("IF(_empty, 0, size(_w))").as("_n"))
       .filter(col("_n") >= 1)
       .select(
         col("doc_id"), col("_w"),
@@ -455,23 +458,30 @@ object TextAnalysis {
         array_join(col("_c"), " ").as("chunk_text"))
   }
 
-  /** DuckDB twin of [[chunkDocuments]] as a full SELECT over
-    * `documents` (ORDER BY doc_id, chunk_id).
+  /** DuckDB twin of [[chunkDocuments]] as a full SELECT
+    * (ORDER BY doc_id, chunk_id), parameterized on the relation like
+    * its sibling twins; the slice is staged once.
     */
-  def chunkDocumentsDuckSql(chunkTokens: Int, strideTokens: Int): String = {
+  def chunkDocumentsDuckSql(
+      chunkTokens: Int, strideTokens: Int,
+      docsRelation: String = "documents"): String = {
     val w = graft.functions.TextExprs.wordsDuck("text")
     s"""WITH d AS (
        |  SELECT doc_id, $w AS w, ${tokenCountDuck("text")} AS n
-       |  FROM documents
+       |  FROM $docsRelation
        |), c AS (
        |  SELECT doc_id, w,
        |         unnest(range(0, ((greatest(n - $chunkTokens, 0) + $strideTokens - 1) // $strideTokens) + 1)) AS chunk_id
        |  FROM d WHERE n >= 1
+       |), s AS (
+       |  SELECT doc_id, chunk_id,
+       |         list_slice(w, chunk_id * $strideTokens + 1, chunk_id * $strideTokens + $chunkTokens) AS ck
+       |  FROM c
        |)
        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-       |  CAST(len(list_slice(w, chunk_id * $strideTokens + 1, chunk_id * $strideTokens + $chunkTokens)) AS BIGINT) AS n_tokens,
-       |  array_to_string(list_slice(w, chunk_id * $strideTokens + 1, chunk_id * $strideTokens + $chunkTokens), ' ') AS chunk_text
-       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+       |  CAST(len(ck) AS BIGINT) AS n_tokens,
+       |  array_to_string(ck, ' ') AS chunk_text
+       |FROM s ORDER BY doc_id, chunk_id""".stripMargin
   }
 
   /** FineWeb-style STRATIFIED quality gate: keep the top `keepPpm`
@@ -624,6 +634,10 @@ object TextAnalysis {
        |       TRUE AS approx_ok
        |FROM g ORDER BY stratum""".stripMargin
 
+  /** The dialect-neutral verdict CASE over the funnel's metric
+    * columns — shared verbatim by the Spark plan and the DuckDB
+    * oracle.
+    */
   def funnelVerdictCase(
       minTokens: Int,
       minQualityPpm: Long,

@@ -1016,10 +1016,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     // the A–B–C bridge: a pair-local fix would leave 6 or 8 leaky
     assert(Seq(6L, 7L, 8L).forall(out(_)._2 == "train"))
     assert(out(6L)._3 && !out(7L)._3 && out(8L)._3)
-    // a split name outside the priority ranking fails fast
+    // a split name outside the priority ranking aborts the job on
+    // first contact (lazy raise_error — no separate guard scan)
+    intercept[Exception] {
+      graft.operators.Dedup.repairSplitLeakage(
+        corpus.withColumn("split", lit("oops")), pairs, Seq("train")).collect()
+    }
+    // ...and string ids are rejected at the SCHEMA level, eagerly —
+    // they would NULL out inside the propagation and read as clean
     intercept[IllegalArgumentException] {
       graft.operators.Dedup.repairSplitLeakage(
-        corpus.withColumn("split", lit("oops")), pairs, Seq("train"))
+        corpus.withColumn("doc_id", col("doc_id").cast("string")), pairs, Seq("train", "valid", "test"))
     }
   }
 
