@@ -570,12 +570,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // caller-owned cache that must SURVIVE the dedup cleanup
     val mine = corpus.limit(10).cache()
     mine.count()
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // compare ID SETS, not sizes: earlier tests' localCheckpoint RDDs
+    // are reclaimed ASYNCHRONOUSLY by the ContextCleaner, so a raw
+    // size can shrink between the two reads and mask the growth (the
+    // r13 flake). The dedup-tracked caches are strongly referenced
+    // until unpersistAll, so the new-ID delta is race-free.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     Dedup.minhashPairs(corpus, n = 4).count() // persists wh/grams/sig internally
-    assert(spark.sparkContext.getPersistentRDDs.size > before,
-      "minhashPairs should have materialized tracked caches")
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty, "minhashPairs should have materialized tracked caches")
     Dedup.unpersistAll()
-    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+    assert((spark.sparkContext.getPersistentRDDs.keySet & added).isEmpty,
       "unpersistAll left dedup intermediates cached")
     // the caller's cache is untouched (clearCache() would have dropped it)
     assert(mine.storageLevel.useMemory)
