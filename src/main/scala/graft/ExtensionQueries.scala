@@ -1662,6 +1662,10 @@ object ExtensionQueries {
       // applies the identical poly-hash filter in its model CTE
       TextAnalysis.naturalness(
         Tables.documents(s, dir), fitSampleMod = Some(4)).orderBy("doc_id")),
+    "q_corpus_report" -> ((s, dir) =>
+      // the one-query corpus health card: counts, duplicate mass,
+      // token totals, integer-exact quality quartiles, language mix
+      TextAnalysis.corpusReport(Tables.documents(s, dir)).orderBy("metric")),
     "q_text_chunks" -> ((s, dir) =>
       // RAG/context-window chunking: 30-token windows every 20 tokens
       // (10-token overlap), final chunk keeps the tail
@@ -3773,6 +3777,9 @@ object ExtensionQueries {
 
     "q_text_naturalness_sampled" ->
       TextAnalysis.naturalnessDuckSql("documents", fitSampleMod = Some(4)),
+
+    "q_corpus_report" ->
+      TextAnalysis.corpusReportDuckSql(),
 
     "q_text_chunks" ->
       TextAnalysis.chunkDocumentsDuckSql(chunkTokens = 30, strideTokens = 20),

@@ -404,6 +404,98 @@ object TextAnalysis {
           minNaturalnessPpm = Some(minNaturalnessPpm))))
   }
 
+  /** One-query corpus HEALTH REPORT — the report card a curation run
+    * starts from: document and exact-duplicate counts, total token
+    * mass, integer-exact quality quartiles, and the predicted
+    * language mix, emitted as (metric, value) rows. Every number is
+    * integer/ppm arithmetic: the quartiles are rank-based picks
+    * (value at rank ⌈q·n⌉ under the total order (quality_ppm,
+    * doc_id)), not interpolated percentiles, so both engines agree
+    * bit-for-bit.
+    *
+    * Scale shape: one metrics scan feeds every branch (count/sum
+    * aggregate, a lang groupBy whose cardinality is the language
+    * count, and one rank window for the quartiles — the only
+    * total-order; at 100 TB swap it for the approx-percentile
+    * threshold exactly as [[stratifiedQualityGateApprox]] does), plus
+    * one distinct-count over the raw text for the duplicate rate.
+    */
+  def corpusReport(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = funnelMetrics(docs, textCol, idCol)
+    val counts = m.agg(
+      count(lit(1)).as("n"),
+      sum(col("n_tokens")).as("tok"))
+      .select(
+        expr("stack(2, 'n_docs', n, 'n_tokens_total', tok)")
+          .as(Seq("metric", "value")))
+    val dups = docs.agg(
+      (count(lit(1)) - countDistinct(col(textCol))).as("d"))
+      .select(lit("n_duplicate_docs").as("metric"), col("d").as("value"))
+    val ranked = m.select(col(idCol), col("quality_ppm"))
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("quality_ppm"), col(idCol))))
+      .withColumn("n", count(lit(1)).over())
+    val quartiles = ranked
+      .filter(expr(
+        "rn = (n * 1 + 3) div 4 OR rn = (n * 2 + 3) div 4 OR rn = (n * 3 + 3) div 4"))
+      .select(
+        concat(lit("quality_p"),
+          expr("CASE WHEN rn = (n * 1 + 3) div 4 THEN '25' " +
+            "WHEN rn = (n * 2 + 3) div 4 THEN '50' ELSE '75' END")).as("metric"),
+        col("quality_ppm").as("value"))
+      // tiny n can land two quartiles on one rank — the CASE labels
+      // the smallest match; dedupe so the report stays one-row-per-metric
+      .groupBy("metric").agg(min(col("value")).as("value"))
+    val langs = m.groupBy("lang_pred")
+      .agg(count(lit(1)).as("value"))
+      .select(concat(lit("lang:"), col("lang_pred")).as("metric"), col("value"))
+    counts.unionByName(dups).unionByName(quartiles).unionByName(langs)
+      .select(col("metric"), col("value").cast("long").as("value"))
+  }
+
+  /** DuckDB twin of [[corpusReport]] as a full SELECT over
+    * `documents` (ORDER BY metric).
+    */
+  def corpusReportDuckSql(docsRelation: String = "documents"): String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    ${funnelMetricsDuckProjection("text")}
+       |  FROM $docsRelation
+       |), counts AS (
+       |  SELECT 'n_docs' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM m
+       |  UNION ALL
+       |  SELECT 'n_tokens_total', CAST(SUM(n_tokens) AS BIGINT) FROM m
+       |), dups AS (
+       |  SELECT 'n_duplicate_docs' AS metric,
+       |         CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS value
+       |  FROM $docsRelation
+       |), ranked AS (
+       |  SELECT quality_ppm,
+       |         ROW_NUMBER() OVER (ORDER BY quality_ppm, doc_id) AS rn,
+       |         COUNT(*) OVER () AS n
+       |  FROM m
+       |), quartiles AS (
+       |  SELECT 'quality_p' ||
+       |           CASE WHEN rn = (n * 1 + 3) // 4 THEN '25'
+       |                WHEN rn = (n * 2 + 3) // 4 THEN '50' ELSE '75' END AS metric,
+       |         CAST(MIN(quality_ppm) AS BIGINT) AS value
+       |  FROM ranked
+       |  WHERE rn = (n * 1 + 3) // 4 OR rn = (n * 2 + 3) // 4 OR rn = (n * 3 + 3) // 4
+       |  GROUP BY 1
+       |), langs AS (
+       |  SELECT 'lang:' || lang_pred AS metric, CAST(COUNT(*) AS BIGINT) AS value
+       |  FROM m GROUP BY lang_pred
+       |)
+       |SELECT metric, value FROM counts
+       |UNION ALL SELECT metric, value FROM dups
+       |UNION ALL SELECT metric, value FROM quartiles
+       |UNION ALL SELECT metric, value FROM langs
+       |ORDER BY metric""".stripMargin
+
   /** Sliding-window document chunking — the context-window prep step
     * of RAG indexing and long-document training: each doc's tokens
     * are windowed into chunks of `chunkTokens` words starting every

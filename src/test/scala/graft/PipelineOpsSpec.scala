@@ -1146,6 +1146,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     ).toDF("doc_id", "lang", "text").localCheckpoint(true)
   }
 
+  test("corpusReport: one row per metric, ordered quartiles, exact planted duplicate mass") {
+    val corpus = graft.sources.Corpus.docCorpus(spark, "/root/testdata/sf0.001")
+    val rows = graft.operators.TextAnalysis.corpusReport(corpus).collect()
+    assert(rows.map(_.getString(0)).distinct.length == rows.length,
+      "duplicate metric rows in the report")
+    val rep = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep("n_docs") == corpus.count())
+    // the planted exact copies (doc_id % 7, +1M) are the only
+    // duplicate texts in the fixture
+    assert(rep("n_duplicate_docs") == Math.ceil(500.0 / 7).toLong)
+    assert(rep("quality_p25") <= rep("quality_p50")
+      && rep("quality_p50") <= rep("quality_p75"))
+    assert(rep("n_tokens_total") > 0)
+    assert(rep.keys.count(_.startsWith("lang:")) >= 1)
+    assert(rep.filter(_._1.startsWith("lang:")).values.sum == rep("n_docs"),
+      "language mix must partition the corpus")
+  }
+
   test("chunkDocuments: stride prefixes + final chunk reconstruct each doc, zero-token docs vanish") {
     import spark.implicits._
     val docs = Seq(
