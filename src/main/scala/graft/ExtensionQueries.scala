@@ -397,6 +397,28 @@ object ExtensionQueries {
           expr("transform(embedding, x -> x * cast(1.001 as float))"))
       Dedup.semanticDedupAgainst(newBatch, e).orderBy("new_id", "corpus_id")
     }),
+    "q_dedup_semantic_written" -> ((s, dir) => {
+      // the STEADY-STATE semantic-ingest path end-to-end: corpus
+      // clustered once, index persisted (writeIndex), probe reads the
+      // layout back and pays batch-side work only
+      // (semanticDedupAgainstIndex). Assignment and the cosine refine
+      // are pure functions of the (exactly round-tripped) floats, so
+      // the written path hash-equals the in-memory incremental — the
+      // oracle is q_dedup_semantic_incremental's VERBATIM.
+      val e = Tables.embeddings(s, dir)
+      val stateDir = freshStateDir("graft_sem_written_")
+      SimilaritySearch.writeIndex(
+        SimilaritySearch.buildIndex(e, centroidMod = 50), stateDir)
+      val newBatch = e
+        .filter(col("vec_id") % 17 === 0)
+        .withColumn("vec_id", col("vec_id") + 100000L)
+        .withColumn(
+          "embedding",
+          expr("transform(embedding, x -> x * cast(1.001 as float))"))
+      Dedup.semanticDedupAgainstIndex(
+          newBatch, SimilaritySearch.readIndex(s, stateDir))
+        .orderBy("new_id", "corpus_id")
+    }),
     "q_dedup_semantic" -> ((s, dir) =>
       // SemDeDup over the planted-near-dup corpus: k-means clusters
       // bound the candidate set (equi-join on cid, never all-pairs),
@@ -1896,6 +1918,48 @@ object ExtensionQueries {
     * twin over the clean subset and sums its n_tokens — the SQL
     * mirror of [[graft.pipelines.TrainingExport.BudgetWordPieceTokens]].
     */
+  /** Incremental-semantic-dedup oracle — the coarse chain clusters
+    * the CORPUS only; the scaled batch is assigned by the identical
+    * nearest-centroid formula and pairs against co-clustered corpus
+    * members. Shared by q_dedup_semantic_incremental and
+    * q_dedup_semantic_written (round-trip invariance: the persisted
+    * index must probe exactly like the in-memory path, so both
+    * queries hash against one SQL).
+    */
+  private lazy val semanticIncrementalOracleSql: String =
+    s"""WITH ${ivfCoarseCtes("TRUE", "si_")}, si_adist AS (
+       |  SELECT e.vec_id AS vid, e.embedding, c.cid,
+       |         ${VectorExprs.l2sqDuck("e.embedding", "c.cemb")} AS d
+       |  FROM embeddings e CROSS JOIN si_cents c
+       |), si_corpus AS (
+       |  SELECT vid AS corpus_id, cid, embedding,
+       |         sqrt(${VectorExprs.dotDuck("embedding", "embedding")}) AS nrm
+       |  FROM (
+       |    SELECT vid, cid, embedding,
+       |           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+       |    FROM si_adist) t WHERE rn = 1
+       |), si_batch AS (
+       |  SELECT vec_id + 100000 AS vid,
+       |         list_transform(embedding, x -> x * 1.001::FLOAT) AS embedding
+       |  FROM embeddings WHERE vec_id % 17 = 0
+       |), si_ndist AS (
+       |  SELECT n.vid, n.embedding, c.cid,
+       |         ${VectorExprs.l2sqDuck("n.embedding", "c.cemb")} AS d
+       |  FROM si_batch n CROSS JOIN si_cents c
+       |), si_new AS (
+       |  SELECT vid AS new_id, cid, embedding,
+       |         sqrt(${VectorExprs.dotDuck("embedding", "embedding")}) AS nrm
+       |  FROM (
+       |    SELECT vid, cid, embedding, d,
+       |           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+       |    FROM si_ndist) t WHERE rn = 1
+       |)
+       |SELECT n.new_id, c.corpus_id,
+       |       CAST(floor(1000000.0 * ((${VectorExprs.dotDuck("n.embedding", "c.embedding")}) / (n.nrm * c.nrm))) AS BIGINT) AS cos_ppm
+       |FROM si_new n JOIN si_corpus c USING (cid)
+       |WHERE CAST(floor(1000000.0 * ((${VectorExprs.dotDuck("n.embedding", "c.embedding")}) / (n.nrm * c.nrm))) AS BIGINT) >= 995000
+       |ORDER BY new_id, corpus_id""".stripMargin
+
   /** DuckDB paragraph-dedup pieces — ONE spelling of the pinned
     * semantics (newline split with trailing empties, 0-based
     * positional zip, `lower(trim(...))` normalization, blank lines
@@ -3061,42 +3125,13 @@ object ExtensionQueries {
          |  COALESCE(string_agg(CASE WHEN keep THEN para END, chr(10) ORDER BY pos), '') AS text_deduped
          |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "q_dedup_semantic_incremental" ->
-      // incremental twin: the coarse chain clusters the CORPUS only;
-      // the scaled batch is assigned by the identical nearest-centroid
-      // formula and pairs against co-clustered corpus members
-      s"""WITH ${ivfCoarseCtes("TRUE", "si_")}, si_adist AS (
-         |  SELECT e.vec_id AS vid, e.embedding, c.cid,
-         |         ${VectorExprs.l2sqDuck("e.embedding", "c.cemb")} AS d
-         |  FROM embeddings e CROSS JOIN si_cents c
-         |), si_corpus AS (
-         |  SELECT vid AS corpus_id, cid, embedding,
-         |         sqrt(${VectorExprs.dotDuck("embedding", "embedding")}) AS nrm
-         |  FROM (
-         |    SELECT vid, cid, embedding,
-         |           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
-         |    FROM si_adist) t WHERE rn = 1
-         |), si_batch AS (
-         |  SELECT vec_id + 100000 AS vid,
-         |         list_transform(embedding, x -> x * 1.001::FLOAT) AS embedding
-         |  FROM embeddings WHERE vec_id % 17 = 0
-         |), si_ndist AS (
-         |  SELECT n.vid, n.embedding, c.cid,
-         |         ${VectorExprs.l2sqDuck("n.embedding", "c.cemb")} AS d
-         |  FROM si_batch n CROSS JOIN si_cents c
-         |), si_new AS (
-         |  SELECT vid AS new_id, cid, embedding,
-         |         sqrt(${VectorExprs.dotDuck("embedding", "embedding")}) AS nrm
-         |  FROM (
-         |    SELECT vid, cid, embedding, d,
-         |           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
-         |    FROM si_ndist) t WHERE rn = 1
-         |)
-         |SELECT n.new_id, c.corpus_id,
-         |       CAST(floor(1000000.0 * ((${VectorExprs.dotDuck("n.embedding", "c.embedding")}) / (n.nrm * c.nrm))) AS BIGINT) AS cos_ppm
-         |FROM si_new n JOIN si_corpus c USING (cid)
-         |WHERE CAST(floor(1000000.0 * ((${VectorExprs.dotDuck("n.embedding", "c.embedding")}) / (n.nrm * c.nrm))) AS BIGINT) >= 995000
-         |ORDER BY new_id, corpus_id""".stripMargin,
+    "q_dedup_semantic_incremental" -> semanticIncrementalOracleSql,
+
+    "q_dedup_semantic_written" ->
+      // round-trip invariance is the claim under test: the persisted
+      // index must probe exactly like the in-memory incremental, so
+      // the oracle is that query's verbatim
+      semanticIncrementalOracleSql,
 
     "q_dedup_semantic" ->
       // SemDeDup twin: the ivf coarse chain clusters the SAME planted

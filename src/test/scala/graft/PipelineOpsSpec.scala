@@ -991,6 +991,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(p.count() == nNew)
     assert(p.filter(col("corpus_id") === col("new_id") - 100000L).count() == nNew)
     assert(p.filter("cos_ppm < 999000").count() == 0)
+    // the written layout probes identically: write → read → probe is
+    // the steady-state path and must be row-for-row the in-memory one
+    val stateDir = java.nio.file.Files.createTempDirectory("sem_written_spec_").toString
+    val idx = graft.operators.SimilaritySearch.buildIndex(e, centroidMod = 50)
+    graft.operators.SimilaritySearch.writeIndex(idx, stateDir)
+    val fromState = graft.operators.Dedup.semanticDedupAgainstIndex(
+      newBatch, graft.operators.SimilaritySearch.readIndex(spark, stateDir))
+    assert(fromState.except(p).isEmpty && p.except(fromState).isEmpty)
     p.unpersist()
     graft.operators.Dedup.unpersistAll()
   }
