@@ -194,39 +194,15 @@ object DiffGen {
     require(keys.nonEmpty, "at least one key column required")
     val beforeTable = cfg.beforeTable.getOrElse(inferTableName(cfg.beforeCsv))
     val afterTable = cfg.afterTable.getOrElse(inferTableName(cfg.afterCsv))
-    // --abs_tol: the NUMBER-classed columns (the reference's G2
-    // classing, finally load-bearing) get the tolerance predicate —
-    // SCALAR types only: the substring classing would also catch a
-    // nested ARRAY<INT>/STRUCT<...FLOAT...> (describeCsv's fallback
-    // spelling), whose ABS/CAST predicate fails at execution in both
-    // engines. DESCRIBE-era scalar types never contain '<'.
-    // FLOAT-family columns get the double-cast spelling; NUMBER/
-    // DECIMAL/INT-family columns get the exact native-subtraction
-    // spelling (ADVICE r12: double-casting exact-typed OPERANDS
-    // collapses distinct values beyond 2^53 — NUMBER(38,0) is the
-    // DESCRIBE spelling of both integers and wide decimals, so the
-    // CSV path cannot and need not distinguish them).
-    val (floatCols, exactCols) = cfg.absTol.fold(
-      (Set.empty[String], Set.empty[String])) { d =>
-      DiffSql.validateAbsTol(d, "--abs_tol")
-      val scalars = (beforeSchema ++ afterSchema)
-        .filter { case (_, t) => typeClass(t) == "NUMBER" && !t.contains("<") }
-      val (fl, ex) = scalars.partition { case (_, t) =>
-        val u = t.toUpperCase
-        Seq("FLOAT", "DOUBLE", "REAL").exists(u.contains)
-      }
-      require(
-        scalars.nonEmpty,
-        "--abs_tol given but the schemas have no scalar NUMBER-classed columns")
-      (fl.map(_._1).toSet, ex.map(_._1).toSet)
-    }
     // type-evolution mirror (r13): a column on BOTH sides whose CSV
     // types differ gets explicit casts to the widened common type
     // (SchemaUtils.widen — the same matrix the native operator uses),
     // and FAILS FAST with the type pair + remedy where none exists —
     // the reference leaves this to the warehouse's implicit coercion
     // (full_compare.sql.j2:82), exactly the cross-engine seam this
-    // engine pins instead.
+    // engine pins instead. Computed BEFORE the --abs_tol classing:
+    // tolerance applies to the COMPARISON type, which for an evolved
+    // column is the widened target, not either side's spelling.
     val afterTypes = afterSchema.toMap
     val castTypes: Map[String, String] = beforeSchema.flatMap { case (c, bt) =>
       afterTypes.get(c).filter(at => !at.equalsIgnoreCase(bt)).map { at =>
@@ -251,6 +227,48 @@ object DiffGen {
         }
       }
     }.flatten.toMap
+    // --abs_tol: the NUMBER-classed columns (the reference's G2
+    // classing, finally load-bearing) get the tolerance predicate —
+    // SCALAR types only: the substring classing would also catch a
+    // nested ARRAY<INT>/STRUCT<...FLOAT...> (describeCsv's fallback
+    // spelling), whose ABS/CAST predicate fails at execution in both
+    // engines. DESCRIBE-era scalar types never contain '<'.
+    // Columns with a type evolution class by their WIDENED castTypes
+    // target (the type both projections actually compare under) —
+    // a NUMBER→VARCHAR column widens to STRING and compares
+    // textually, so no tolerance predicate (ADVICE r13: classing it
+    // off the NUMBER-side spelling emitted ABS() over strings, which
+    // DuckDB rejects and Spark silently coerces); a NUMBER→FLOAT
+    // column widens to DOUBLE and must take the double-cast spelling
+    // even though one side spelled NUMBER.
+    // FLOAT-family columns get the double-cast spelling; NUMBER/
+    // DECIMAL/INT-family columns get the exact native-subtraction
+    // spelling (ADVICE r12: double-casting exact-typed OPERANDS
+    // collapses distinct values beyond 2^53 — NUMBER(38,0) is the
+    // DESCRIBE spelling of both integers and wide decimals, so the
+    // CSV path cannot and need not distinguish them).
+    val (floatCols, exactCols) = cfg.absTol.fold(
+      (Set.empty[String], Set.empty[String])) { d =>
+      DiffSql.validateAbsTol(d, "--abs_tol")
+      def numericScalar(t: String): Boolean = {
+        val u = t.toUpperCase
+        // typeClass plus the Spark sqlTypeName spellings castTypes
+        // emits (DOUBLE/BIGINT) that DESCRIBE-era classing never saw
+        Seq("NUMBER", "INT", "FLOAT", "DECIMAL", "DOUBLE", "REAL")
+          .exists(u.contains) && !t.contains("<")
+      }
+      val scalars = (beforeSchema ++ afterSchema)
+        .map { case (c, t) => (c, castTypes.getOrElse(c, t)) }
+        .filter { case (_, t) => numericScalar(t) }
+      val (fl, ex) = scalars.partition { case (_, t) =>
+        val u = t.toUpperCase
+        Seq("FLOAT", "DOUBLE", "REAL").exists(u.contains)
+      }
+      require(
+        scalars.nonEmpty,
+        "--abs_tol given but the schemas have no scalar NUMBER-classed columns")
+      (fl.map(_._1).toSet, ex.map(_._1).toSet)
+    }
     def body(table: String, where: Option[String]): String =
       s"SELECT * FROM $table" + where.map(w => s" WHERE $w").getOrElse("")
     val query = DiffSql.generate(

@@ -655,9 +655,27 @@ object Dedup {
     // partitioning survives it.)
     val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prevAuto = spark.conf.get(autoKey)
+    // tombstones applied via a broadcast ANTI-JOIN here, not the
+    // probe path's capped driver collect (stateTableLive): compaction
+    // is the prescribed REMEDY when a (legacy/externally-grown)
+    // tombstone set outgrows the probe mask's cap, so the rewrite
+    // must not read through that same cap or the state is
+    // unrecoverable (ADVICE r13 deadlock). Plan-shape preservation
+    // doesn't matter for a one-off rewrite, and a BROADCAST anti-join
+    // is still narrow over the forced bucketed scan — each write task
+    // keeps one whole bucket, preserving the one-file-per-bucket
+    // layout (spec-pinned).
+    val tt = tombstoneTableName(table)
+    val live = {
+      val raw = spark.table(table)
+      if (!spark.catalog.tableExists(tt)) raw
+      // no distinct(): duplicate right-side ids cannot change an
+      // anti-join (the ZLayout.read rationale)
+      else raw.join(broadcast(spark.table(tt)), Seq("doc_id"), "left_anti")
+    }
     try {
       spark.conf.set(autoKey, "false")
-      stateTableLive(spark, table)
+      live
         .write.mode("overwrite").format("parquet")
         .bucketBy(buckets, keys.head, keys.tail: _*)
         .sortBy(keys.head, keys.tail: _*)
@@ -695,10 +713,26 @@ object Dedup {
     require(
       spark.catalog.tableExists(table),
       s"state table '$table' does not exist")
-    checkedTombstoneIds(docIds)
+    // cap enforced at DELETE time, like ZLayout.delete (ADVICE r13):
+    // the probe-path mask collects the set onto the driver under
+    // MaxTombstones, so a write that pushes past the cap would brick
+    // every probe until a compaction — fail the delete instead, at
+    // the call that caused it, while the state is still serviceable.
+    // (The count is conservative — overlapping re-deletes of the same
+    // ids double-count — matching the Z-order layout's contract.)
+    val ids = checkedTombstoneIds(docIds).localCheckpoint(true)
+    val tt = tombstoneTableName(table)
+    val existing =
+      if (spark.catalog.tableExists(tt)) spark.table(tt).distinct().count() else 0L
+    require(
+      existing + ids.count() <= MaxTombstones,
+      s"tombstone set for '$table' would exceed $MaxTombstones ids — no longer " +
+        "takedown-sized; run the state's compaction to fold the current set " +
+        "into the layout before tombstoning more")
+    ids
       .repartition(1)
       .write.mode("append").format("parquet")
-      .saveAsTable(tombstoneTableName(table))
+      .saveAsTable(tt)
   }
 
   /** The id column cast to long, FAIL-FAST on any NULL result: a

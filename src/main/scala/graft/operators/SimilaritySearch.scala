@@ -399,11 +399,26 @@ object SimilaritySearch {
     * because nothing can detect it cheaply at 100 TB.
     */
   def deleteFromWrittenIndex(
-      spark: org.apache.spark.sql.SparkSession, dir: String, candIds: DataFrame): Unit =
-    Dedup.checkedTombstoneIds(candIds)
+      spark: org.apache.spark.sql.SparkSession, dir: String, candIds: DataFrame): Unit = {
+    // cap enforced at DELETE time (the ZLayout.delete / Dedup state
+    // -table contract, ADVICE r13): the probe-path mask driver-collects
+    // the set under Dedup.MaxTombstones, so a write past the cap would
+    // brick every probe — fail here instead, while probes still work.
+    val ids = Dedup.checkedTombstoneIds(candIds)
       .withColumnRenamed("doc_id", "cand_id")
+      .localCheckpoint(true)
+    val t = s"$dir/tombstones"
+    val existing =
+      if (dirExists(spark, t)) spark.read.parquet(t).distinct().count() else 0L
+    require(
+      existing + ids.count() <= Dedup.MaxTombstones,
+      s"tombstone set under '$dir' would exceed ${Dedup.MaxTombstones} ids — " +
+        "no longer takedown-sized; run the layout's compaction to fold the " +
+        "current set in before tombstoning more")
+    ids
       .coalesce(1)
-      .write.mode("append").parquet(s"$dir/tombstones")
+      .write.mode("append").parquet(t)
+  }
 
   /** Mask tombstoned ids out of a written layout's row table. The
     * mask is a NOT-IN FILTER over a driver-collected id set (the
@@ -425,6 +440,24 @@ object SimilaritySearch {
       val ids = Dedup.collectTombstones(spark.read.parquet(t), "cand_id", t)
       if (ids.isEmpty) rows else rows.filter(!col(key).isin(ids: _*))
     }
+  }
+
+  /** The compaction-path twin of [[antiTombstones]]: a broadcast
+    * ANTI-JOIN instead of the capped driver collect. Compaction is
+    * the prescribed remedy when a (legacy/externally-grown) tombstone
+    * set outgrows the probe mask's cap, so the rewrite must not read
+    * through that same cap — the deadlock ADVICE r13 named. Plan
+    * shape doesn't matter for a one-off rewrite; no distinct() on the
+    * tombstone side because duplicate ids cannot change an anti-join.
+    */
+  private def antiTombstonesJoin(
+      spark: org.apache.spark.sql.SparkSession, rows: DataFrame, dir: String,
+      key: String = "cand_id"): DataFrame = {
+    val t = s"$dir/tombstones"
+    if (!dirExists(spark, t)) rows
+    else rows.join(
+      broadcast(spark.read.parquet(t).withColumnRenamed("cand_id", key)),
+      Seq(key), "left_anti")
   }
 
   private def dirExists(
@@ -458,14 +491,23 @@ object SimilaritySearch {
     * the rewrite (the deleted rows never reach the new layout) and
     * the tombstone set is cleared once the swap lands.
     */
-  def compactWrittenIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+  def compactWrittenIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetCodeFiles: Int = 0): Unit = {
     compactAssignmentsNoClear(spark, dir)
     // a combined IVFADC dir shares ONE tombstone set across its row
     // tables — clearing it after rewriting only the assignments would
     // let deleted vectors resurface through the still-unrewritten
     // codes (pqProbeWritten full-scans them), so compact those too
-    // before the clear; on a plain IVF dir this branch never fires
-    if (dirExists(spark, s"$dir/codes")) compactCodesNoClear(spark, dir, 1)
+    // before the clear; on a plain IVF dir this branch never fires.
+    // targetCodeFiles <= 0 sizes the rewrite from the table's bytes
+    // (~one scan task per file) — the previous hardcoded 1 collapsed
+    // an arbitrarily large codes table into a single file (ADVICE r13)
+    if (dirExists(spark, s"$dir/codes"))
+      compactCodesNoClear(
+        spark, dir,
+        if (targetCodeFiles >= 1) targetCodeFiles
+        else sizedCodeFiles(spark, s"$dir/codes"))
     // tombstones are now baked into every row table under dir — clear
     // them so the live views stop paying the mask and a later re-add
     // of a compacted-away id becomes possible again
@@ -476,7 +518,7 @@ object SimilaritySearch {
       spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val cur = s"$dir/assignments"
     val tmp = s"$dir/assignments_compact_tmp"
-    antiTombstones(
+    antiTombstonesJoin(
       spark,
       spark.read.parquet(cur).withColumn("cid", col("cid").cast("long")),
       dir)
@@ -1180,19 +1222,36 @@ object SimilaritySearch {
 
   /** Rewrite append-grown codes down to `targetFiles` files, applying
     * and then clearing any tombstones (tmp write + atomic swap, like
-    * the assignment compaction). `targetFiles` sizes the layout:
-    * 1 suits test scale; a production corpus passes
-    * ~rows·rowBytes/128MB so each file stays one scan task.
+    * the assignment compaction). `targetFiles` sizes the layout;
+    * <= 0 (the default) derives it from the table's bytes so each
+    * file stays ~one scan task ([[sizedCodeFiles]]).
     */
   def compactWrittenPqIndex(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      targetFiles: Int = 1): Unit = {
-    compactCodesNoClear(spark, dir, targetFiles)
+      targetFiles: Int = 0): Unit = {
+    compactCodesNoClear(
+      spark, dir,
+      if (targetFiles >= 1) targetFiles else sizedCodeFiles(spark, s"$dir/codes"))
     // the shared-tombstone mirror of compactWrittenIndex's guard: on
     // a combined IVFADC dir the coarse assignments must be rewritten
     // too before the one tombstone set is cleared
     if (dirExists(spark, s"$dir/assignments")) compactAssignmentsNoClear(spark, dir)
     deleteDir(spark, s"$dir/tombstones")
+  }
+
+  /** Size a codes rewrite from the table's current bytes: ~one scan
+    * task (128 MB, the default `files.maxPartitionBytes`) per output
+    * file, minimum one. The size-derived default for every codes
+    * compaction entry point — 1 is only right at test scale.
+    */
+  private def sizedCodeFiles(
+      spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bytes = spark.read.parquet(path).inputFiles.iterator.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
   }
 
   private def compactCodesNoClear(
@@ -1201,7 +1260,10 @@ object SimilaritySearch {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     val cur = s"$dir/codes"
     val tmp = s"$dir/codes_compact_tmp"
-    readPqCodesWide(spark, dir)
+    // raw read + the anti-JOIN mask (not readPqCodesWide, whose probe
+    // -path mask rides the capped driver collect — see
+    // [[antiTombstonesJoin]] for why a rewrite must not)
+    antiTombstonesJoin(spark, spark.read.parquet(cur), dir)
       .repartition(targetFiles)
       .write.mode("overwrite").parquet(tmp)
     swapDirs(spark, cur, tmp)
@@ -1285,9 +1347,12 @@ object SimilaritySearch {
     */
   def compactWrittenIvfPqIndex(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      targetCodeFiles: Int = 1): Unit = {
+      targetCodeFiles: Int = 0): Unit = {
     compactAssignmentsNoClear(spark, dir)
-    compactCodesNoClear(spark, dir, targetCodeFiles)
+    compactCodesNoClear(
+      spark, dir,
+      if (targetCodeFiles >= 1) targetCodeFiles
+      else sizedCodeFiles(spark, s"$dir/codes"))
     deleteDir(spark, s"$dir/tombstones")
   }
 

@@ -212,6 +212,44 @@ class DiffGenSpec extends AnyFunSuite {
     assert(neg.getMessage.contains("non-negative"), neg.getMessage)
   }
 
+  test("--abs_tol classes evolved columns by their WIDENED comparison type (ADVICE r13)") {
+    import spark.implicits._
+    // VAL evolves NUMBER(9,2) → VARCHAR: both projections cast to
+    // STRING, so the comparison is textual and the tolerance predicate
+    // must not touch it (previously the NUMBER-side spelling landed it
+    // in the exact set → ABS() over strings: DuckDB errors, Spark
+    // silently coerces, contradicting the textual-equality pin).
+    // AMT evolves NUMBER(9,2) → FLOAT: widens to DOUBLE, so it must
+    // take the FLOAT-class double-cast spelling despite the NUMBER
+    // spelling on the before side.
+    val b = tmpCsv("tolw_before.csv",
+      "name,type\nK1,\"NUMBER(38,0)\"\nVAL,\"NUMBER(9,2)\"\nAMT,\"NUMBER(9,2)\"")
+    val a = tmpCsv("tolw_after.csv",
+      "name,type\nK1,\"NUMBER(38,0)\"\nVAL,VARCHAR(16)\nAMT,FLOAT")
+    val k = tmpCsv("tolw_keys.csv", "name,type\nK1,\"NUMBER(38,0)\"")
+    val sql = DiffGen.buildSql(DiffGen.parseArgs(Seq(
+      b.toString, a.toString, "--keys", k.toString, "--abs_tol", "0.01")))
+    assert(!sql.contains("b_VAL - a_VAL"), "STRING-widened column must stay =")
+    assert(sql.contains("ABS(CAST(b_AMT AS DOUBLE) - CAST(a_AMT AS DOUBLE)) <= 0.01"))
+    // and the emitted SQL actually RUNS in Spark with the evolved
+    // table shapes, with textual semantics on VAL ('5.10' vs 5.10
+    // cast to '5.10' agree; '05' vs 5.00 differ textually)
+    Seq((1L, BigDecimal("5.10"), BigDecimal("1.00")))
+      .toDF("K1", "VAL", "AMT")
+      .selectExpr("K1", "CAST(VAL AS DECIMAL(9,2)) AS VAL", "CAST(AMT AS DECIMAL(9,2)) AS AMT")
+      .createOrReplaceTempView("tolw_tb")
+    Seq((1L, "5.10", 1.005f)).toDF("K1", "VAL", "AMT")
+      .createOrReplaceTempView("tolw_ta")
+    val innerSql = sql
+      .replaceFirst("(?s)^CREATE OR REPLACE TABLE diff_result AS\\s*", "")
+      .replace("tolw.before", "tolw_tb")
+      .replace("tolw.after", "tolw_ta")
+    val res = spark.sql(innerSql)
+    val row = res.where("K_K1 = 1").collect().head
+    assert(row.getAs[Int]("VAL") == 0, "textually equal strings must read 0")
+    assert(row.getAs[Int]("AMT") == 0, "within-tolerance double drift must read 0")
+  }
+
   test("dedup mode rejects reserved _dup_* input columns at GENERATION time") {
     // without the guard, an input column named _dup_before makes the
     // collapse CTE emit two same-aliased columns — failing only when

@@ -639,4 +639,91 @@ class StateCompactionSpec extends AnyFunSuite {
       Dedup.unpersistAll()
     }
   }
+
+  test("tombstone cap enforced at DELETE time; compaction recovers an over-cap legacy set (ADVICE r13 deadlock)") {
+    import spark.implicits._
+    val corpus = Corpus.docCorpus(spark, dir)
+    val corpusSigs = Dedup.signatureTable(corpus).localCheckpoint(true)
+    Dedup.unpersistAll()
+    val table = "sigband_spec_cap"
+    Seq(table, s"${table}_compact_tmp", s"${table}_tombstones").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+    val ivfDir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_cap_").toString
+    try {
+      // ---- bucketed state table ----
+      Dedup.writeBandTable(corpusSigs, table, buckets = 4)
+      val bare = spark.table(table).count()
+      // one delete past the cap fails AT THE DELETE, with the remedy,
+      // and writes nothing — probes keep working
+      val over = spark.range(Dedup.MaxTombstones + 1L)
+        .select((col("id") + 10000000L).as("doc_id"))
+      val e = intercept[IllegalArgumentException] {
+        Dedup.deleteFromBandTable(over, table)
+      }
+      assert(e.getMessage.contains("compaction"), e.getMessage)
+      assert(!spark.catalog.tableExists(s"${table}_tombstones"))
+      assert(Dedup.stateTableLive(spark, table).count() == bare)
+      // the cap sums EXISTING + new: a small delete then one that
+      // would cross the line fails too, leaving the small set intact
+      val victims = corpus.select("doc_id").limit(2).as[Long].collect().toSeq
+      Dedup.deleteFromBandTable(victims.toDF("doc_id"), table)
+      intercept[IllegalArgumentException] {
+        Dedup.deleteFromBandTable(
+          spark.range(Dedup.MaxTombstones.toLong)
+            .select((col("id") + 10000000L).as("doc_id")), table)
+      }
+      assert(spark.table(s"${table}_tombstones").count() == 2)
+      // ---- legacy over-cap set (grown before the write-time cap):
+      // the probe mask refuses with the compaction remedy, and the
+      // compaction ITSELF must not read through the same capped
+      // collect — it anti-joins, succeeds, and unbricks the state
+      spark.range(Dedup.MaxTombstones + 1L)
+        .select((col("id") + 10000000L).as("doc_id"))
+        .write.mode("append").format("parquet")
+        .saveAsTable(s"${table}_tombstones")
+      val probeErr = intercept[IllegalArgumentException] {
+        Dedup.stateTableLive(spark, table).count()
+      }
+      assert(probeErr.getMessage.contains("compaction"), probeErr.getMessage)
+      Dedup.compactBandTable(spark, table, buckets = 4)
+      assert(!spark.catalog.tableExists(s"${table}_tombstones"))
+      // the rewrite applied the set: victims gone, phantom ids no-ops
+      val live = Dedup.stateTableLive(spark, table)
+      assert(live.filter(col("doc_id").isin(victims: _*)).isEmpty)
+      assert(live.count() > 0)
+      // one file per bucket survives the anti-join rewrite
+      val loc = spark.sql(s"DESCRIBE FORMATTED $table")
+        .filter(col("col_name") === "Location").select("data_type")
+        .as[String].head()
+      assert(parquetFiles(loc.stripPrefix("file:")) == 4,
+        "anti-join compaction must keep one file per bucket")
+
+      // ---- written layout: same two guarantees ----
+      val emb = Tables.embeddings(spark, dir)
+      val index = SimilaritySearch.buildIndex(emb, centroidMod = 50)
+      SimilaritySearch.writeIndex(index, ivfDir)
+      val overW = spark.range(Dedup.MaxTombstones + 1L)
+        .select((col("id") + 10000000L).as("cand_id"))
+      val eW = intercept[IllegalArgumentException] {
+        SimilaritySearch.deleteFromWrittenIndex(spark, ivfDir, overW)
+      }
+      assert(eW.getMessage.contains("compaction"), eW.getMessage)
+      assert(!new java.io.File(s"$ivfDir/tombstones").exists())
+      // legacy over-cap set on disk: reads refuse, compaction recovers
+      overW.coalesce(1).write.mode("append").parquet(s"$ivfDir/tombstones")
+      intercept[IllegalArgumentException] {
+        SimilaritySearch.readIndex(spark, ivfDir).assignments.count()
+      }
+      SimilaritySearch.compactWrittenIndex(spark, ivfDir)
+      assert(!new java.io.File(s"$ivfDir/tombstones").exists())
+      assert(SimilaritySearch.readIndex(spark, ivfDir).assignments.count() > 0)
+    } finally {
+      Seq(table, s"${table}_compact_tmp", s"${table}_tombstones").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+      }
+      Dedup.unpersistAll()
+    }
+  }
 }
