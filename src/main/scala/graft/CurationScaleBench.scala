@@ -67,6 +67,43 @@ object CurationScaleBench {
       (mult, nDocs, nLines, nDropped, sec)
     }
 
+    // hot-key fixture (r13 verdict task #1): real duplicate-line mass
+    // is Zipfian — ONE boilerplate line ("all rights reserved.")
+    // interleaved after EVERY content line, so one normalized key owns
+    // ~half of all line rows. The text-keyed WINDOW form funnels that
+    // key through a single sort task (AQE cannot split a window
+    // partition); the fingerprint AGGREGATION form partial-aggregates
+    // it map-side and its join skew is AQE-splittable. Both forms must
+    // report identical drop counts — the speed difference is the
+    // measurement.
+    val hotResults = mults.map { mult =>
+      spark.read.parquet(s"$fix/para_$mult")
+        .select(
+          col("doc_id"),
+          expr("""array_join(flatten(transform(
+            |  split(text, '\n'),
+            |  l -> array(l, 'All Rights Reserved.'))), '\n')""".stripMargin)
+            .as("text"))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$fix/parahot_$mult")
+      val corpus = spark.read.parquet(s"$fix/parahot_$mult")
+      var winDropped = 0L
+      var fpDropped = 0L
+      val winSec = time(iters) {
+        winDropped = graft.operators.Dedup.paragraphDedup(corpus)
+          .agg(sum(expr("n_paras - n_kept"))).collect()(0).getLong(0)
+      }
+      val fpSec = time(iters) {
+        fpDropped = graft.operators.Dedup
+          .paragraphDedup(corpus, byFingerprint = true)
+          .agg(sum(expr("n_paras - n_kept"))).collect()(0).getLong(0)
+      }
+      require(
+        winDropped == fpDropped,
+        s"window ($winDropped) and fingerprint ($fpDropped) forms diverged at x$mult")
+      (mult, winDropped, winSec, fpSec)
+    }
+
     val semResults = mults.map { mult =>
       val d = graft.functions.VectorExprs.Dim
       graft.sources.Tables.embeddings(spark, sfDir)
@@ -97,16 +134,32 @@ object CurationScaleBench {
         nClusters = agg.getLong(2)
         graft.operators.Dedup.unpersistAll()
       }
-      (mult, n, nClusters, nDropped, sec)
+      // the boundary-recall probe (r13 verdict task #4): top-2
+      // centroid assignment for candidate generation — how many of
+      // the cross-cluster planted pairs does it reclaim, at what
+      // time cost? Planted drops expected = n/2 (one per pair).
+      var top2Dropped = 0L
+      val top2Sec = time(iters) {
+        top2Dropped = graft.operators.Dedup
+          .semanticDedup(corpus, centroidMod = 0, assignTop = 2)
+          .agg(sum(when(!col("keep"), 1L).otherwise(0L)))
+          .collect()(0).getLong(0)
+        graft.operators.Dedup.unpersistAll()
+      }
+      (mult, n, nClusters, nDropped, sec, top2Dropped, top2Sec)
     }
 
     val paraQs = paraResults.map { case (m, nd, nl, ndr, s) =>
       s""""para_x$m":{"docs":$nd,"n_lines":$nl,"n_dropped":$ndr,"sec":${f"$s%.3f"}}"""
     }.mkString(",")
-    val semQs = semResults.map { case (m, n, nc, ndr, s) =>
-      s""""sem_x$m":{"vectors":$n,"n_clusters":$nc,"n_dropped":$ndr,"sec":${f"$s%.3f"}}"""
+    val hotQs = hotResults.map { case (m, ndr, ws, fs) =>
+      s""""parahot_x$m":{"n_dropped":$ndr,"window_sec":${f"$ws%.3f"},"fp_sec":${f"$fs%.3f"}}"""
     }.mkString(",")
-    println(s"""{"metric":"curation_scale_curve","iters":$iters,"sf":"$sfDir",$paraQs,$semQs}""")
+    val semQs = semResults.map { case (m, n, nc, ndr, s, ndr2, s2) =>
+      s""""sem_x$m":{"vectors":$n,"n_clusters":$nc,"n_dropped":$ndr,"sec":${f"$s%.3f"},""" +
+        s""""top2_dropped":$ndr2,"top2_sec":${f"$s2%.3f"}}"""
+    }.mkString(",")
+    println(s"""{"metric":"curation_scale_curve","iters":$iters,"sf":"$sfDir",$paraQs,$hotQs,$semQs}""")
     spark.stop()
   }
 }

@@ -384,6 +384,15 @@ object ExtensionQueries {
       // the planted cross-doc duplicate line survives only at its
       // first (doc_id, pos) occurrence and every doc is reassembled
       Dedup.paragraphDedup(Corpus.paraCorpus(s, dir)).orderBy("doc_id")),
+    "q_dedup_paragraph_fp" -> ((s, dir) =>
+      // the PRODUCTION form of the same dedup: 128-bit fingerprint
+      // keys + min_by-style first-occurrence AGGREGATION (skew-safe —
+      // a hot boilerplate line partial-aggregates map-side instead of
+      // funneling one window sort task), collision check armed. Same
+      // oracle as the text-keyed path: the kept set must be identical.
+      Dedup.paragraphDedup(
+        Corpus.paraCorpus(s, dir),
+        byFingerprint = true, collisionCheck = true).orderBy("doc_id")),
     "q_dedup_semantic_incremental" -> ((s, dir) => {
       // the semantic-ingest shape: planted scaled copies arrive as a
       // new batch, assign to the corpus's frozen centroids, and pair
@@ -425,6 +434,41 @@ object ExtensionQueries {
       // the farthest-from-centroid member of each within-cluster
       // cosine component survives
       Dedup.semanticDedup(Corpus.embCorpus(s, dir)).orderBy("vec_id")),
+    "q_stream_semantic_ingest" -> ((s, dir) => {
+      // the STREAMING semantic-ingest loop — q_stream_ann_append's
+      // harness over semanticDedupAgainstIndex: corpus clustered
+      // once and PERSISTED (writeIndex), the planted scaled-copy
+      // batch arrives as a 4-slice micro-batch stream, and each
+      // batch probes the frozen written layout for its semantic
+      // near-dups. Pair discovery is a pure function of (batch row,
+      // frozen index) — no cross-batch state — so ANY batch split
+      // yields the identical pair set and the oracle is the one-shot
+      // incremental's VERBATIM (batch-split invariance). State
+      // growth itself is q_stream_ann_append's separately-oracled
+      // claim (appendToWrittenIndex); this loop pins the probe side.
+      val e = Tables.embeddings(s, dir)
+      val stateDir = freshStateDir("graft_sem_stream_")
+      SimilaritySearch.writeIndex(
+        SimilaritySearch.buildIndex(e, centroidMod = 50), stateDir)
+      val idx = SimilaritySearch.readIndex(s, stateDir)
+      val newBatch = e
+        .filter(col("vec_id") % 17 === 0)
+        .withColumn("vec_id", col("vec_id") + 100000L)
+        .withColumn(
+          "embedding",
+          expr("transform(embedding, x -> x * cast(1.001 as float))"))
+      val zero = Dedup.semanticDedupAgainstIndex(newBatch.limit(0), idx)
+        .localCheckpoint(true)
+      graft.streaming.StreamRunner.foldBatches(
+        graft.streaming.StreamRunner.slicedStream(
+          newBatch, "vec_id", slices = 4,
+          tag = s"${java.nio.file.Paths.get(dir).toAbsolutePath}#semstream17"),
+        zero) { (acc, batch, _) =>
+        acc.unionByName(
+          Dedup.semanticDedupAgainstIndex(batch, idx).localCheckpoint(true))
+      }
+        .orderBy("new_id", "corpus_id")
+    }),
     "q_dedup_embed_incremental" -> ((s, dir) => {
       // embedding ingest shape: the planted scaled copies arrive as a
       // new batch and pair against the existing corpus only (scale
@@ -598,8 +642,9 @@ object ExtensionQueries {
       // the STREAMING paragraph-ingest loop — line-granularity
       // sibling of q_stream_span_ingest: the chunked-line corpus
       // arrives as a 4-slice micro-batch stream; each batch's lines
-      // dedup against the accumulated line-KEY state (bare pkeys,
-      // never text bodies) and extend it. Streaming first-occurrence
+      // dedup against the accumulated line-KEY state (128-bit
+      // fingerprints, never text bodies) and extend it. Streaming
+      // first-occurrence
       // semantics is first ARRIVAL wins, so the oracle replays the
       // identical arrival order — (doc_id % 4, doc_id, pos) — in one
       // batch window; slices partition doc_id, so the replay is
@@ -608,7 +653,9 @@ object ExtensionQueries {
       val corpus = Corpus.paraCorpus(s, dir).select("doc_id", "text")
       var state = s.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        StructType(Seq(StructField("pkey", StringType)))).localCheckpoint(true)
+        StructType(Seq(
+          StructField("pk1", LongType),
+          StructField("pk2", LongType)))).localCheckpoint(true)
       val zero = Dedup.paragraphDedup(corpus.limit(0)).localCheckpoint(true)
       val out = graft.streaming.StreamRunner.foldBatches(
         graft.streaming.StreamRunner.slicedStream(
@@ -619,7 +666,7 @@ object ExtensionQueries {
         // the state union needs NO re-checkpoint (the span-ingest
         // lineage argument): every piece is already materialized, so
         // state stays one union node per batch — O(batch) ingest
-        state = state.unionByName(newKeys.select("pkey").localCheckpoint(true))
+        state = state.unionByName(newKeys.select("pk1", "pk2").localCheckpoint(true))
         acc.unionByName(rebuilt)
       }
       Dedup.unpersistAll()
@@ -1443,6 +1490,41 @@ object ExtensionQueries {
           numShards = 4))
         .orderBy("shard", "seq")
     }),
+    "q_pipeline_train_export_semantic" -> ((s, dir) => {
+      // the semantic (embedding-granularity) stage wired through the
+      // pipeline surface — the FineWeb-style stack's LAST dedup
+      // granularity: embeddings of the docs surviving the doc-level
+      // gate are clustered SemDeDup-style and every
+      // non-representative component member drops BEFORE
+      // decontamination and budgets. Embedding plant: docs with
+      // vec_id % 17 == 3 carry a 1.001× scaled copy of the PREVIOUS
+      // doc's vector (ids stay inside the documents domain so the
+      // stage demonstrably binds); docs beyond the embeddings table's
+      // id range have no vector and pass through untouched.
+      val docs = Tables.documents(s, dir)
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val prev = e.select((col("vec_id") + 1).as("vec_id"), col("embedding").as("p_emb"))
+      val planted = e.join(prev, Seq("vec_id"), "left")
+        .select(
+          col("vec_id"),
+          when(
+            col("vec_id") % 17 === 3 && col("p_emb").isNotNull,
+            expr("transform(p_emb, x -> x * cast(1.001 as float))"))
+            .otherwise(col("embedding")).as("embedding"))
+      graft.pipelines.TrainingExport.run(
+        docs,
+        docs.filter(col("doc_id") % 97 === 0),
+        graft.pipelines.TrainingExport.Config(
+          curate = true,
+          dedup = graft.pipelines.TrainingExport.DedupExact,
+          semanticDedup = true,
+          contaminationMaxPpm = Some(500000L),
+          budgets = Seq("src0" -> 4000L, "src1" -> 2000L),
+          defaultBudget = 3000L,
+          numShards = 4),
+        embeddings = planted)
+        .orderBy("shard", "seq")
+    }),
     "q_pipeline_train_export_neardup" -> ((s, dir) => {
       // pipeline v2: same five stages but the dedup gate is the REAL
       // one — MinHash-LSH candidate pairs + connected components over
@@ -1693,6 +1775,18 @@ object ExtensionQueries {
       // (10-token overlap), final chunk keeps the tail
       TextAnalysis.chunkDocuments(
         Tables.documents(s, dir), chunkTokens = 30, strideTokens = 20)
+        .orderBy("doc_id", "chunk_id")),
+    "q_dedup_chunks" -> ((s, dir) =>
+      // chunk-level dedup over the chunker's own output (stride <
+      // chunk ⇒ systematic overlap; the planted exact-copy docs emit
+      // byte-identical chunk sets): first (doc_id, chunk_id)
+      // occurrence of each normalized chunk text wins, fingerprint
+      // aggregation form — the oracle replays the text-keyed window,
+      // so a fingerprint collision or min_by divergence hash-fails
+      Dedup.chunkDedup(
+        TextAnalysis.chunkDocuments(
+          Corpus.docCorpus(s, dir), chunkTokens = 30, strideTokens = 20))
+        .select("doc_id", "chunk_id", "n_tokens", "keep")
         .orderBy("doc_id", "chunk_id")),
     "q_quality_stratified" -> ((s, dir) =>
       // FineWeb-style per-language gate: top 60% by quality WITHIN
@@ -1993,10 +2087,35 @@ object ExtensionQueries {
        |         END""".stripMargin
   }
 
+  /** The one-shot paragraph-dedup oracle: identical chunked corpus,
+    * 0-based positional unnest zip, the same lower(trim(...)) key and
+    * (doc_id, pos) first-occurrence window, string_agg reassembly.
+    * Shared verbatim by q_dedup_paragraph (the text-keyed window
+    * form) and q_dedup_paragraph_fp (the fingerprint aggregation
+    * form) — the set equality between the two Spark plans IS the
+    * fingerprint path's correctness claim.
+    */
+  private val paragraphOracleSql: String =
+    s"""WITH para_corpus AS (
+       |${Corpus.paraCorpusSql}
+       |), parts AS (
+       |${paraPartsDuck("para_corpus")}
+       |), marked AS (
+       |  SELECT doc_id, pos, para,
+       |         ${paraKeepCaseDuck()} AS keep
+       |  FROM parts
+       |)
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_paras,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  COALESCE(string_agg(CASE WHEN keep THEN para END, chr(10) ORDER BY pos), '') AS text_deduped
+       |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private def trainExportPipelineSql(
       budgets: Seq[(String, Long)], defaultBudget: Long, tokensWp: Boolean,
       spanK: Option[Int] = None, corpusSql: Option[String] = None,
-      paraDedup: Boolean = false): String = {
+      paraDedup: Boolean = false,
+      semanticEmbSql: Option[String] = None): String = {
     val h = graft.functions.TextExprs.charHashDuck("CAST(doc_id AS VARCHAR)")
     val mh = graft.operators.Sampling.mixedHash(h)
     val hq = graft.functions.TextExprs.charHashDuck("CAST(c.doc_id AS VARCHAR)")
@@ -2031,8 +2150,32 @@ object ExtensionQueries {
            |  SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n_chars FROM pg0
            |)""".stripMargin
     val spanSrc = if (paraDedup) "pg" else "dd"
-    val base =
+    // the base every post-dedup stage reads: the LAST dedup
+    // granularity wins — semantic (embedding) after span after
+    // paragraph after the doc gate
+    val textBase =
       if (spanK.isDefined) "sp" else if (paraDedup) "pg" else "dd"
+    val base = if (semanticEmbSql.isDefined) "se" else textBase
+    // semantic splice (the sd_ chain under an se_ prefix, exactly
+    // q_dedup_semantic's spelling): cluster the embeddings of the
+    // docs still alive after text surgery, drop non-representative
+    // members; docs WITHOUT an embedding row pass through (NOT IN
+    // the dropper set)
+    val semCtes = semanticEmbSql.map { esql =>
+      s""", se_embs AS (
+         |$esql
+         |), se_corpus AS (
+         |  SELECT e.vec_id, e.embedding FROM se_embs e
+         |  JOIN $textBase d ON e.vec_id = d.doc_id
+         |), ${semanticDedupCtes("se_corpus", "se_")}, se AS (
+         |  SELECT d.* FROM $textBase d
+         |  WHERE d.doc_id NOT IN (
+         |    SELECT vec_id FROM (
+         |      SELECT vec_id,
+         |             (ROW_NUMBER() OVER (PARTITION BY component ORDER BY dc DESC, vec_id) = 1) AS keep
+         |      FROM se_dec) WHERE NOT keep)
+         |)""".stripMargin
+    }.getOrElse("")
     val spanCtes = spanK.map { k =>
       s""", ${repeatedSpansDuckCtesFrom(s"  SELECT doc_id, text FROM $spanSrc", k, 20, "sp_")}${intervalMergeDuckCtes(
            "  SELECT DISTINCT doc_b AS doc_id, b_start AS s, b_start + span_tokens AS e FROM sp_spans",
@@ -2072,7 +2215,8 @@ object ExtensionQueries {
             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_weight
             |  FROM clean c JOIN wp ON wp.doc_id = c.doc_id
             |)""".stripMargin
-    s"""WITH ${prologue}m AS (
+    val recursive = if (semanticEmbSql.isDefined) "RECURSIVE " else ""
+    s"""WITH $recursive${prologue}m AS (
        |  SELECT doc_id,
        |    ${TextAnalysis.funnelMetricsDuckProjection("text")}
        |  FROM $src
@@ -2086,7 +2230,7 @@ object ExtensionQueries {
        |  SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text
        |), dd AS (
        |  SELECT k.* FROM kept k JOIN canon USING (doc_id)
-       |)$paraCtes$spanCtes, bwh AS (
+       |)$paraCtes$spanCtes$semCtes, bwh AS (
        |  SELECT ${wordHashArrayDuck(wordsDuck("text"))} AS wh
        |  FROM $src WHERE doc_id % 97 = 0 AND $guard
        |), bg AS (
@@ -2521,6 +2665,51 @@ object ExtensionQueries {
     * oracle; `pfx = ""` is the standalone form, byte-identical to
     * what the q_embed_ann_ivf family hashed before the split.
     */
+  /** The SemDeDup decision chain as shared CTEs over `rel` (vec_id,
+    * embedding rows): the ivf coarse k-means chain, top-1 assignment
+    * with distance-to-centroid + norm, within-cluster cosine pairs at
+    * the 995000-ppm gate, min-label reachability (mirroring
+    * labelPropagate), components — ending at `{p}dec (vec_id, cid,
+    * component, dc)`; the caller applies the farthest-from-centroid
+    * keep window. Shared verbatim by the q_dedup_semantic oracle and
+    * the pipeline's se_ splice (one spelling of the semantics). The
+    * reach CTE is recursive — the caller's WITH must say RECURSIVE.
+    */
+  private def semanticDedupCtes(rel: String, p: String): String =
+    s"""${ivfCoarseCtes("TRUE", p, rel = rel)}, ${p}adist AS (
+       |  SELECT e.vec_id AS vid, e.embedding, c.cid,
+       |         ${VectorExprs.l2sqDuck("e.embedding", "c.cemb")} AS d
+       |  FROM $rel e CROSS JOIN ${p}cents c
+       |), ${p}assign AS (
+       |  SELECT vid AS vec_id, cid, embedding, d AS dc,
+       |         sqrt(${VectorExprs.dotDuck("embedding", "embedding")}) AS nrm
+       |  FROM (
+       |    SELECT vid, cid, embedding, d,
+       |           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+       |    FROM ${p}adist) t WHERE rn = 1
+       |), ${p}pairs AS (
+       |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM ${p}assign x JOIN ${p}assign y
+       |    ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |  WHERE CAST(floor(1000000.0 * ((${VectorExprs.dotDuck("x.embedding", "y.embedding")}) / (x.nrm * y.nrm))) AS BIGINT) >= 995000
+       |), ${p}edges AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM ${p}pairs
+       |  UNION
+       |  SELECT vec_b, vec_a FROM ${p}pairs
+       |), ${p}nodes AS (
+       |  SELECT DISTINCT src AS node FROM ${p}edges
+       |), ${p}reach(node, lbl) AS (
+       |  SELECT node, node FROM ${p}nodes
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM ${p}reach r JOIN ${p}edges e ON e.src = r.node
+       |), ${p}comp AS (
+       |  SELECT node AS vec_id, MIN(lbl) AS component FROM ${p}reach GROUP BY node
+       |), ${p}dec AS (
+       |  SELECT a.vec_id, a.cid,
+       |         COALESCE(c.component, a.vec_id) AS component, a.dc
+       |  FROM ${p}assign a LEFT JOIN ${p}comp c USING (vec_id)
+       |)""".stripMargin
+
   private def ivfCoarseCtes(
       buildWhere: String, pfx: String = "", centroidMod: Int = 50,
       rel: String = "embeddings"): String =
@@ -3106,26 +3295,20 @@ object ExtensionQueries {
          |WHERE c.vec_id NOT IN (SELECT vec_id FROM comp WHERE vec_id <> component)
          |ORDER BY vec_id""".stripMargin,
 
-    "q_dedup_paragraph" ->
-      // paragraph-dedup twin: identical chunked corpus, 0-based
-      // positional unnest zip, the same lower(trim(...)) key and
-      // (doc_id, pos) first-occurrence window, string_agg reassembly
-      s"""WITH para_corpus AS (
-         |${Corpus.paraCorpusSql}
-         |), parts AS (
-         |${paraPartsDuck("para_corpus")}
-         |), marked AS (
-         |  SELECT doc_id, pos, para,
-         |         ${paraKeepCaseDuck()} AS keep
-         |  FROM parts
-         |)
-         |SELECT doc_id,
-         |  CAST(COUNT(*) AS BIGINT) AS n_paras,
-         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-         |  COALESCE(string_agg(CASE WHEN keep THEN para END, chr(10) ORDER BY pos), '') AS text_deduped
-         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_paragraph" -> paragraphOracleSql,
+
+    // the fingerprint-keyed production form must keep EXACTLY the
+    // text-keyed set — one oracle, two Spark plans (window vs
+    // fingerprint aggregation); a fingerprint collision or a min_by/
+    // window divergence would hash-mismatch here
+    "q_dedup_paragraph_fp" -> paragraphOracleSql,
 
     "q_dedup_semantic_incremental" -> semanticIncrementalOracleSql,
+
+    "q_stream_semantic_ingest" ->
+      // batch-split invariance IS the claim: the 4-slice stream fold
+      // must reproduce the one-shot incremental probe exactly
+      semanticIncrementalOracleSql,
 
     "q_dedup_semantic_written" ->
       // round-trip invariance is the claim under test: the persisted
@@ -3140,39 +3323,7 @@ object ExtensionQueries {
       // farthest-from-centroid (dc DESC) with min-id ties
       s"""WITH RECURSIVE sd_corpus AS (
          |${Corpus.embCorpusSql}
-         |), ${ivfCoarseCtes("TRUE", "sd_", rel = "sd_corpus")}, sd_adist AS (
-         |  SELECT e.vec_id AS vid, e.embedding, c.cid,
-         |         ${VectorExprs.l2sqDuck("e.embedding", "c.cemb")} AS d
-         |  FROM sd_corpus e CROSS JOIN sd_cents c
-         |), sd_assign AS (
-         |  SELECT vid AS vec_id, cid, embedding, d AS dc,
-         |         sqrt(${VectorExprs.dotDuck("embedding", "embedding")}) AS nrm
-         |  FROM (
-         |    SELECT vid, cid, embedding, d,
-         |           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
-         |    FROM sd_adist) t WHERE rn = 1
-         |), sd_pairs AS (
-         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
-         |  FROM sd_assign x JOIN sd_assign y
-         |    ON x.cid = y.cid AND x.vec_id < y.vec_id
-         |  WHERE CAST(floor(1000000.0 * ((${VectorExprs.dotDuck("x.embedding", "y.embedding")}) / (x.nrm * y.nrm))) AS BIGINT) >= 995000
-         |), sd_edges AS (
-         |  SELECT vec_a AS src, vec_b AS dst FROM sd_pairs
-         |  UNION
-         |  SELECT vec_b, vec_a FROM sd_pairs
-         |), sd_nodes AS (
-         |  SELECT DISTINCT src AS node FROM sd_edges
-         |), sd_reach(node, lbl) AS (
-         |  SELECT node, node FROM sd_nodes
-         |  UNION
-         |  SELECT e.dst, r.lbl FROM sd_reach r JOIN sd_edges e ON e.src = r.node
-         |), sd_comp AS (
-         |  SELECT node AS vec_id, MIN(lbl) AS component FROM sd_reach GROUP BY node
-         |), sd_dec AS (
-         |  SELECT a.vec_id, a.cid,
-         |         COALESCE(c.component, a.vec_id) AS component, a.dc
-         |  FROM sd_assign a LEFT JOIN sd_comp c USING (vec_id)
-         |)
+         |), ${semanticDedupCtes("sd_corpus", "sd_")}
          |SELECT vec_id, cid, component,
          |       (ROW_NUMBER() OVER (PARTITION BY component ORDER BY dc DESC, vec_id) = 1) AS keep
          |FROM sd_dec ORDER BY vec_id""".stripMargin,
@@ -3661,6 +3812,21 @@ object ExtensionQueries {
              |${Corpus.paraCorpusSql}
              |  )""".stripMargin)),
 
+    "q_pipeline_train_export_semantic" ->
+      // six stages with the semantic-dedup splice (the shared sd_
+      // chain under an se_ prefix) after the doc-level dedup gate,
+      // over the planted prev-vector-copy embeddings — docs without
+      // an embedding row pass through, droppers leave before
+      // decontamination and budgets
+      trainExportPipelineSql(
+        Seq("src0" -> 4000L, "src1" -> 2000L), 3000L, tokensWp = false,
+        semanticEmbSql = Some(
+          """  SELECT e.vec_id,
+            |         CASE WHEN e.vec_id % 17 = 3 AND p.embedding IS NOT NULL
+            |              THEN list_transform(p.embedding, x -> x * 1.001::FLOAT)
+            |              ELSE e.embedding END AS embedding
+            |  FROM embeddings e LEFT JOIN embeddings p ON p.vec_id = e.vec_id - 1""".stripMargin)),
+
     "q_pipeline_incremental_ingest" ->
       // the acceptance rule replayed from the FULL pair set: for a
       // near-dup pair, the member in the later batch (doc_id % 4) —
@@ -3818,6 +3984,23 @@ object ExtensionQueries {
 
     "q_text_chunks" ->
       TextAnalysis.chunkDocumentsDuckSql(chunkTokens = 30, strideTokens = 20),
+
+    "q_dedup_chunks" ->
+      // identical chunk cut (shared CTEs), then the text-keyed
+      // first-occurrence window over lower(trim(chunk_text))
+      s"""WITH chunk_corpus AS (
+         |${Corpus.docCorpusSql}
+         |), ${TextAnalysis.chunkDocumentsDuckCtes(30, 20, "chunk_corpus")}, ch AS (
+         |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |         CAST(len(ck) AS BIGINT) AS n_tokens,
+         |         array_to_string(ck, ' ') AS chunk_text
+         |  FROM s
+         |)
+         |SELECT doc_id, chunk_id, n_tokens,
+         |       (ROW_NUMBER() OVER (
+         |          PARTITION BY lower(trim(chunk_text))
+         |          ORDER BY doc_id, chunk_id) = 1) AS keep
+         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_quality_stratified" ->
       // same stratified rank over the table's lang strata; the cut is

@@ -1223,15 +1223,31 @@ object Dedup {
     *  - first occurrence corpus-wide wins, ordered by (doc_id, pos) —
     *    later occurrences drop even inside the same document.
     *
-    * Scale shape: one hash shuffle partitioned by the paragraph key
-    * (the window), one by doc_id (the reassembly) — both plain key
-    * hashes, no joins. The shuffle carries paragraph text, same width
-    * as [[exact]]; at 100 TB key the window by a 128-bit fingerprint
-    * of the paragraph instead to shrink shuffle rows to hash width
-    * (collision-checked variant), exactly the [[exact]] scaladoc's
-    * guidance. Blank lines BYPASS the paragraph-key shuffle entirely
-    * (they would otherwise pile every blank line in the corpus into
-    * one skewed '' partition).
+    * Scale shape — two forms, identical results (q_dedup_paragraph_fp
+    * pins the equality under the one DuckDB oracle):
+    *
+    *  - `byFingerprint = false` (the SEMANTICS REFERENCE): one hash
+    *    shuffle partitioned by the raw normalized line (a rank
+    *    window), one by doc_id (the reassembly). The window shuffle
+    *    carries line text, and a hot boilerplate line ("all rights
+    *    reserved.") is a skewed WINDOW key AQE cannot split (skew
+    *    handling splits joins only) — fine at test scale, not the
+    *    100 TB form.
+    *  - `byFingerprint = true` (the PRODUCTION form): lines key by a
+    *    128-bit fingerprint (an independent `xxhash64` pair), the
+    *    first occurrence per key comes from a `min(struct(doc_id,
+    *    pos))` AGGREGATION — partial-aggregable, so a hot key
+    *    collapses map-side instead of funneling through one sort
+    *    task — and the keep mark comes back via an equi-join on the
+    *    fingerprint, which AQE skew-join CAN split. Shuffle rows are
+    *    hash-width, not line-width. `collisionCheck = true` adds a
+    *    third independent hash per key group and raises an error if
+    *    any 128-bit group spans two distinct third hashes (lazy —
+    *    costs one agg column, fires only on an actual collision).
+    *
+    * Blank lines BYPASS the paragraph-key shuffle entirely in both
+    * forms (they would otherwise pile every blank line in the corpus
+    * into one skewed '' partition).
     *
     * Returns (doc_id, n_paras, n_kept, text_deduped).
     */
@@ -1239,26 +1255,82 @@ object Dedup {
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
-      passthroughCols: Seq[String] = Nil): DataFrame = {
+      passthroughCols: Seq[String] = Nil,
+      byFingerprint: Boolean = false,
+      collisionCheck: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // collision guard (the removeRepeatedSpans convention): a
     // passthrough named like an output or working column would emit
     // duplicate names that fail only at the first downstream
     // name-based select
-    val reserved = Seq("doc_id", "n_paras", "n_kept", "text_deduped", "pos", "para", "pkey", "keep")
+    val reserved = Seq(
+      "doc_id", "n_paras", "n_kept", "text_deduped", "pos", "para", "pkey",
+      "keep", "pk1", "pk2")
     val clash = passthroughCols.filter(c => reserved.exists(_.equalsIgnoreCase(c)))
     require(
       clash.isEmpty,
       s"paragraphDedup emits column(s) ${clash.mkString(", ")} itself — " +
         "rename the passthrough column(s)")
     val parts = paragraphParts(docs, textCol, idCol, passthroughCols)
-    val elig = parts.filter(trim(col("para")) =!= "")
-      .withColumn("pkey", lower(trim(col("para"))))
-      .withColumn("keep",
-        row_number().over(Window.partitionBy("pkey").orderBy("doc_id", "pos")) === 1)
-      .drop("pkey")
+    val nonBlank = parts.filter(trim(col("para")) =!= "")
+    val elig =
+      if (!byFingerprint)
+        nonBlank
+          .withColumn("pkey", lower(trim(col("para"))))
+          .withColumn("keep",
+            row_number().over(Window.partitionBy("pkey").orderBy("doc_id", "pos")) === 1)
+          .drop("pkey")
+      else markFirstByFingerprint(nonBlank, collisionCheck)
     val blank = parts.filter(trim(col("para")) === "").withColumn("keep", lit(true))
     rebuildParagraphs(elig.unionByName(blank), passthroughCols)
+  }
+
+  /** The 128-bit line fingerprint: an independent `xxhash64` pair
+    * over the normalized line (the salt literal makes the second
+    * stream independent of the first). Collision probability at
+    * 128 bits is ~n²/2¹²⁹ — immaterial at any corpus size; the
+    * optional third stream is the runtime check for the paranoid.
+    */
+  private def lineFp(keyExpr: org.apache.spark.sql.Column) =
+    (xxhash64(keyExpr), xxhash64(keyExpr, lit("fp2")))
+
+  /** Mark each non-blank line row `keep` = is-the-corpus-first
+    * occurrence of its normalized key, via the skew-safe aggregation
+    * form: group line rows by the 128-bit fingerprint, take
+    * `min(struct(doc_id, pos))` (struct ordering IS the (doc_id, pos)
+    * lexicographic order the window form sorts by), and join the
+    * winners back on the fingerprint. Input must carry (doc_id, pos,
+    * para); output keeps every input column, plus `keep`, minus
+    * nothing.
+    */
+  private def markFirstByFingerprint(
+      nonBlank: DataFrame, collisionCheck: Boolean): DataFrame = {
+    val key = lower(trim(col("para")))
+    val (h1, h2) = lineFp(key)
+    val keyed = nonBlank.withColumn("pk1", h1).withColumn("pk2", h2)
+    val aggs =
+      min(struct(col("doc_id"), col("pos"))).as("_first") +:
+        (if (collisionCheck)
+           Seq(countDistinct(xxhash64(key, lit("fpck"))).as("_nck"))
+         else Nil)
+    // the check hash is recomputed inside the agg from the line text,
+    // so the GROUPING columns stay the two fingerprint longs only
+    val first = keyed.groupBy("pk1", "pk2").agg(aggs.head, aggs.tail: _*)
+    val keepExpr =
+      col("doc_id") === col("_first.doc_id") && col("pos") === col("_first.pos")
+    val marked = keyed
+      .join(first, Seq("pk1", "pk2"))
+      .withColumn(
+        "keep",
+        if (!collisionCheck) keepExpr
+        else when(
+          col("_nck") > 1,
+          raise_error(concat(
+            lit("128-bit line-fingerprint collision (pk1="), col("pk1"),
+            lit(") — two distinct normalized lines share a fingerprint; "),
+            lit("rerun with byFingerprint=false"))).cast("boolean"))
+          .otherwise(keepExpr))
+    marked.drop("pk1", "pk2", "_first", "_nck")
   }
 
   /** (doc_id, [passthroughs], pos, para) exploded line table — the
@@ -1300,67 +1372,84 @@ object Dedup {
     * (doc_id, pos) order breaks ties), and return the batch's
     * rebuilt docs together with the state rows this batch adds.
     *
-    * State is a bare `pkey` column — normalized line keys, never
-    * text bodies — so steady-state ingest cost is one equi-join of
-    * O(batch) lines against the key table plus the batch-local
-    * window; at 100 TB the key table takes the same bucketed-layout
-    * treatment as the shingle state ([[appendAndMaybeCompact]]).
-    * The returned `newKeys` are distinct within the batch (one
-    * window winner per key) and disjoint from `stateKeys`, so plain
-    * unions keep the state a set.
+    * State is the 128-bit line fingerprint pair `(pk1, pk2)` — hash
+    * rows, never line text bodies (the r13 verdict's production
+    * variant: text-keyed state rows made the state table
+    * corpus-text-sized and the shuffle line-width) — so steady-state
+    * ingest cost is one hash-width equi-join of O(batch) lines
+    * against the key table plus the batch-local first-wins
+    * aggregation; at 100 TB the key table takes the same
+    * bucketed-layout treatment as the shingle state
+    * ([[appendAndMaybeCompact]]). The returned `newKeys` are distinct
+    * within the batch (one aggregation winner per key) and disjoint
+    * from `stateKeys`, so plain unions keep the state a set.
     */
   def paragraphIngestStep(
       batch: DataFrame,
       stateKeys: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id"): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
     val parts = paragraphParts(batch, textCol, idCol, Nil)
-    val marked = parts.filter(trim(col("para")) =!= "")
-      .withColumn("pkey", lower(trim(col("para"))))
-      .withColumn("_rn",
-        row_number().over(Window.partitionBy("pkey").orderBy("doc_id", "pos")))
-      // tolerate state rows carrying owner ids ([[writeLineTable]]) —
-      // the probe needs the key set only
-      .join(stateKeys.select("pkey").withColumn("_seen", lit(true)), Seq("pkey"), "left")
-      .withColumn("keep", col("_rn") === 1 && col("_seen").isNull)
-      .drop("_rn", "_seen")
+    // within-batch first-wins via the same skew-safe fingerprint
+    // aggregation as the one-shot's production form, then the state
+    // probe as a hash-width left join; tolerate state rows carrying
+    // owner ids ([[writeLineTable]]) — the probe needs the key set only
+    val key = lower(trim(col("para")))
+    val (h1, h2) = lineFp(key)
+    val keyed = parts.filter(trim(col("para")) =!= "")
+      .withColumn("pk1", h1).withColumn("pk2", h2)
+    val first = keyed.groupBy("pk1", "pk2")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("_first"))
+    val marked = keyed
+      .join(first, Seq("pk1", "pk2"))
+      .join(
+        stateKeys.select("pk1", "pk2").withColumn("_seen", lit(true)),
+        Seq("pk1", "pk2"), "left")
+      .withColumn("keep",
+        col("doc_id") === col("_first.doc_id") &&
+          col("pos") === col("_first.pos") && col("_seen").isNull)
+      .drop("_first", "_seen")
       .unionByName(
         parts.filter(trim(col("para")) === "")
-          .withColumn("pkey", lit(null).cast("string"))
+          .withColumn("pk1", lit(null).cast("long"))
+          .withColumn("pk2", lit(null).cast("long"))
           .withColumn("keep", lit(true)))
       .pipe(persistTracked) // rebuilt docs AND new state read it
-    val rebuilt = rebuildParagraphs(marked.drop("pkey"), Nil)
+    val rebuilt = rebuildParagraphs(marked.drop("pk1", "pk2"), Nil)
     val newKeys = marked
-      .filter(col("keep") && col("pkey").isNotNull)
-      .select("pkey", "doc_id")
+      .filter(col("keep") && col("pk1").isNotNull)
+      .select("pk1", "pk2", "doc_id")
     (rebuilt, newKeys)
   }
 
-  /** A corpus's one-shot line-key state: the (pkey, doc_id) pairs of
-    * every eligible line's FIRST (doc_id, pos) occurrence — exactly
-    * the keys [[paragraphDedup]] keeps, with the keeping doc as the
-    * owner (the deletion unit).
+  /** A corpus's one-shot line-key state: the (pk1, pk2, doc_id) rows
+    * of every eligible line's FIRST (doc_id, pos) occurrence — the
+    * fingerprints of exactly the keys [[paragraphDedup]] keeps, with
+    * the keeping doc as the owner (the deletion unit). Computed by
+    * the skew-safe aggregation, carrying hash-width rows only.
     */
   private def lineStateRows(
       docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val key = lower(trim(col("para")))
+    val (h1, h2) = lineFp(key)
     paragraphParts(docs, textCol, idCol, Nil)
       .filter(trim(col("para")) =!= "")
-      .withColumn("pkey", lower(trim(col("para"))))
-      .withColumn("_rn",
-        row_number().over(Window.partitionBy("pkey").orderBy("doc_id", "pos")))
-      .filter(col("_rn") === 1)
-      .select("pkey", "doc_id")
+      .withColumn("pk1", h1).withColumn("pk2", h2)
+      .groupBy("pk1", "pk2")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("_first"))
+      .select(col("pk1"), col("pk2"), col("_first.doc_id").as("doc_id"))
   }
 
   /** Materialize a corpus's line-key state as a BUCKETED catalog
-    * table on `pkey` — the [[writeBandTable]] layout applied to
-    * paragraph state. [[paragraphIngestStep]] probes it unchanged
-    * (its state join keys on `pkey`), so a steady-state ingest scans
-    * the state pre-partitioned and shuffles only the batch's lines.
-    * Rows carry the owning doc_id, making [[deleteFromLineTable]]
-    * takedowns doc-scoped like every other state table's.
+    * table on the fingerprint pair `(pk1, pk2)` — the
+    * [[writeBandTable]] layout applied to paragraph state, storing
+    * 24-byte hash rows instead of line text (the r13 verdict's
+    * production variant). [[paragraphIngestStep]] probes it unchanged
+    * (its state join keys on the pair), so a steady-state ingest
+    * scans the state pre-partitioned and shuffles only the batch's
+    * lines. Rows carry the owning doc_id, making
+    * [[deleteFromLineTable]] takedowns doc-scoped like every other
+    * state table's.
     *
     * Deletion contract nuance, inherent to first-wins state: removing
     * a deleted doc's (pkey, owner) rows makes those line keys
@@ -1375,12 +1464,12 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     writeBucketedState(
       lineStateRows(docs, textCol, idCol),
-      table, buckets, Seq("pkey"), "overwrite", appendTasks = 0)
+      table, buckets, Seq("pk1", "pk2"), "overwrite", appendTasks = 0)
     docs.sparkSession.table(table)
   }
 
-  /** Append an ingest step's NEW keys ((pkey, doc_id) — the second
-    * member of [[paragraphIngestStep]]'s result) to a
+  /** Append an ingest step's NEW keys ((pk1, pk2, doc_id) — the
+    * second member of [[paragraphIngestStep]]'s result) to a
     * [[writeLineTable]] state table. New keys are disjoint from the
     * probed state by construction, so the append keeps the key set a
     * set.
@@ -1389,15 +1478,15 @@ object Dedup {
       newKeys: DataFrame, table: String, buckets: Int = BandTableBuckets,
       appendTasks: Int = 0): Unit =
     writeBucketedState(
-      newKeys.select("pkey", "doc_id"),
-      table, buckets, Seq("pkey"), "append", appendTasks)
+      newKeys.select("pk1", "pk2", "doc_id"),
+      table, buckets, Seq("pk1", "pk2"), "append", appendTasks)
 
   /** [[compactBandTable]] for the line-key state table. */
   def compactLineTable(
       spark: org.apache.spark.sql.SparkSession,
       table: String,
       buckets: Int = BandTableBuckets): DataFrame =
-    compactBucketedState(spark, table, buckets, Seq("pkey"))
+    compactBucketedState(spark, table, buckets, Seq("pk1", "pk2"))
 
   /** [[appendToLineTable]] plus the [[appendAndMaybeCompact]]
     * cadence. Returns true when this append triggered a compaction.
@@ -1423,6 +1512,43 @@ object Dedup {
     */
   def deleteFromLineTable(docIds: DataFrame, table: String): Unit =
     deleteFromStateTable(docIds, table)
+
+  /** CHUNK-level exact deduplication — the dedup the chunker's own
+    * output needs: [[TextAnalysis.chunkDocuments]] with stride <
+    * chunk creates systematic overlap, and identical source passages
+    * (boilerplate, mirrored documents, re-crawls) emit byte-identical
+    * chunks from different docs — the common RAG-index pollution.
+    * Marks each chunk `keep` = is-the-corpus-first occurrence of its
+    * normalized (`lower(trim(...))`) chunk text, first = minimum
+    * (doc_id, chunk_id).
+    *
+    * Scale shape: the paragraph-fp machinery applied at chunk
+    * granularity — 128-bit fingerprint keys ([[lineFp]]), first
+    * occurrence via the partial-aggregable `min(struct(...))`, keep
+    * marks back via a fingerprint equi-join. Shuffle rows are
+    * hash-width; a hot boilerplate chunk partial-aggregates map-side
+    * and its join skew is AQE-splittable. No window anywhere.
+    *
+    * Returns the input columns plus `keep`.
+    */
+  def chunkDedup(
+      chunks: DataFrame,
+      textCol: String = "chunk_text",
+      idCol: String = "doc_id",
+      chunkIdCol: String = "chunk_id"): DataFrame = {
+    val key = lower(trim(col(textCol)))
+    val (h1, h2) = lineFp(key)
+    val keyed = chunks.withColumn("pk1", h1).withColumn("pk2", h2)
+    val first = keyed.groupBy("pk1", "pk2")
+      .agg(min(struct(col(idCol), col(chunkIdCol))).as("_first"))
+    keyed
+      .join(first, Seq("pk1", "pk2"))
+      .withColumn(
+        "keep",
+        col(idCol) === col("_first")(idCol) &&
+          col(chunkIdCol) === col("_first")(chunkIdCol))
+      .drop("pk1", "pk2", "_first")
+  }
 
   /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with the same
@@ -1453,6 +1579,20 @@ object Dedup {
     * the assignment is id-width: the component propagation and the
     * keep window shuffle (id, cid, dc) rows only.
     *
+    * Cluster-BOUNDARY pairs are the construction's known loss: a
+    * near-dup pair split across two clusters is never compared (the
+    * r13 CurationScaleBench measured 37/64,000 planted pairs lost at
+    * ×64). `assignTop = 2` reclaims them SemDeDup-style by assigning
+    * each vector to its top-2 nearest centroids for CANDIDATE
+    * GENERATION ONLY — pairs sharing ANY assigned cluster are
+    * compared (deduplicated before the cosine), while the
+    * keep/representative logic still uses the primary assignment
+    * unchanged. Cost: candidate volume ≈ 4× (2×2 cluster combos),
+    * one extra assignment row per vector — measured on the
+    * CurationScaleBench fixture and recorded in SCALE.md; the default
+    * stays 1 (the paper's operating point) because the fixture
+    * measured the reclaim at +0.06% recall for ~4× pair volume.
+    *
     * Returns the full decision table, one row per corpus vector:
     * `(vec_id, cid, component, keep)` — filter `keep` for the
     * curation apply, or aggregate for cluster/component audits.
@@ -1463,8 +1603,10 @@ object Dedup {
       minCosPpm: Long = 995000L,
       idCol: String = "vec_id",
       numPartitions: Option[Int] = None,
-      propagateRounds: Int = 8): DataFrame = {
+      propagateRounds: Int = 8,
+      assignTop: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(assignTop >= 1, s"assignTop must be >= 1, got $assignTop")
     graft.functions.VecDot.register(emb.sparkSession)
     val idx = SimilaritySearch.buildIndex(emb, centroidMod = centroidMod, idCol = idCol)
     // Assignment table + distance-to-own-centroid (the representative
@@ -1482,15 +1624,50 @@ object Dedup {
         col("cnorm"),
         expr(VectorExprs.l2sqSpark("cand_emb", "cemb")).as("dc"))
       .pipe(persistTracked)
-    val pairs = a.as("x")
-      .join(a.as("y"),
-        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
-      .withColumn(
-        "cos",
-        expr(VectorExprs.dotSpark("x.cand_emb", "y.cand_emb")) /
-          (col("x.cnorm") * col("y.cnorm")))
-      .filter(floor(lit(1000000.0) * col("cos")).cast("long") >= minCosPpm)
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+    val pairs =
+      if (assignTop <= 1)
+        a.as("x")
+          .join(a.as("y"),
+            col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+          .withColumn(
+            "cos",
+            expr(VectorExprs.dotSpark("x.cand_emb", "y.cand_emb")) /
+              (col("x.cnorm") * col("y.cnorm")))
+          .filter(floor(lit(1000000.0) * col("cos")).cast("long") >= minCosPpm)
+          .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      else {
+        // multi-assignment candidates: top-`assignTop` centroids per
+        // vector (a per-vector window — k rows each, no skew), pairs
+        // on ANY shared assigned cluster, deduplicated BEFORE the
+        // cosine so a pair sharing both clusters scores once
+        val byD = Window.partitionBy("vec_id").orderBy(col("_d"), col("acid"))
+        val multi = a.select(col("vec_id"), col("cand_emb"))
+          .crossJoin(broadcast(
+            idx.centroids.select(col("cid").as("acid"), col("cemb").as("_ce"))))
+          .withColumn("_d", expr(VectorExprs.l2sqSpark("cand_emb", "_ce")))
+          .withColumn("_rn", row_number().over(byD))
+          .filter(col("_rn") <= assignTop)
+          .select("vec_id", "acid")
+        val slim = a.select(col("vec_id"), col("cand_emb"), col("cnorm"))
+        multi.as("x")
+          .join(multi.as("y"),
+            col("x.acid") === col("y.acid") && col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+          .distinct()
+          .join(
+            slim.select(
+              col("vec_id").as("vec_a"), col("cand_emb").as("_ea"),
+              col("cnorm").as("_na")), "vec_a")
+          .join(
+            slim.select(
+              col("vec_id").as("vec_b"), col("cand_emb").as("_eb"),
+              col("cnorm").as("_nb")), "vec_b")
+          .withColumn(
+            "cos",
+            expr(VectorExprs.dotSpark("_ea", "_eb")) / (col("_na") * col("_nb")))
+          .filter(floor(lit(1000000.0) * col("cos")).cast("long") >= minCosPpm)
+          .select("vec_a", "vec_b")
+      }
     // ADAPTIVE clustering (the components() contract): min-label
     // propagation for the near-clique duplicate groups this operator
     // usually sees, with the O(log n)-round star fallback for

@@ -413,47 +413,46 @@ object TextAnalysis {
     * doc_id)), not interpolated percentiles, so both engines agree
     * bit-for-bit.
     *
-    * Scale shape: one metrics scan feeds every branch (count/sum
-    * aggregate, a lang groupBy whose cardinality is the language
-    * count, and one rank window for the quartiles — the only
-    * total-order; at 100 TB swap it for the approx-percentile
-    * threshold exactly as [[stratifiedQualityGateApprox]] does), plus
-    * one distinct-count over the raw text for the duplicate rate.
+    * Scale shape (the r13 verdict's 100 TB rework — the previous form
+    * ranked the whole corpus through ONE unpartitioned window task):
+    * one metrics scan feeds every branch. Quartiles are EXACT order
+    * statistics from the `percentile` AGGREGATE — its accumulator is
+    * a value→count map, bounded by the quality domain (≤ 10⁶+1 ppm
+    * values), never by corpus size, and it partial-aggregates
+    * map-side like any agg; no window, no per-row sort anywhere. The
+    * duplicate count distincts a 128-bit `md5` of the text (identical
+    * hex spelling in both engines), so that shuffle carries 32-byte
+    * digests instead of document bodies. The lang groupBy's
+    * cardinality is the language count. PlanSpec pins the whole
+    * report plan window-free.
+    *
+    * Quartile semantics: `percentile` interpolates at rank
+    * (n−1)·p (the SQL-standard percentile_cont / DuckDB
+    * quantile_cont definition — probed value-identical between the
+    * engines), floored to the ppm grid.
     */
   def corpusReport(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val m = funnelMetrics(docs, textCol, idCol)
     val counts = m.agg(
       count(lit(1)).as("n"),
-      sum(col("n_tokens")).as("tok"))
+      sum(col("n_tokens")).as("tok"),
+      expr("percentile(quality_ppm, array(0.25D, 0.5D, 0.75D))").as("q"))
       .select(
-        expr("stack(2, 'n_docs', n, 'n_tokens_total', tok)")
+        expr("stack(5, 'n_docs', n, 'n_tokens_total', tok, " +
+          "'quality_p25', CAST(FLOOR(q[0]) AS BIGINT), " +
+          "'quality_p50', CAST(FLOOR(q[1]) AS BIGINT), " +
+          "'quality_p75', CAST(FLOOR(q[2]) AS BIGINT))")
           .as(Seq("metric", "value")))
     val dups = docs.agg(
-      (count(lit(1)) - countDistinct(col(textCol))).as("d"))
+      (count(lit(1)) - countDistinct(md5(col(textCol).cast("binary")))).as("d"))
       .select(lit("n_duplicate_docs").as("metric"), col("d").as("value"))
-    val ranked = m.select(col(idCol), col("quality_ppm"))
-      .withColumn("rn",
-        row_number().over(Window.orderBy(col("quality_ppm"), col(idCol))))
-      .withColumn("n", count(lit(1)).over())
-    val quartiles = ranked
-      .filter(expr(
-        "rn = (n * 1 + 3) div 4 OR rn = (n * 2 + 3) div 4 OR rn = (n * 3 + 3) div 4"))
-      .select(
-        concat(lit("quality_p"),
-          expr("CASE WHEN rn = (n * 1 + 3) div 4 THEN '25' " +
-            "WHEN rn = (n * 2 + 3) div 4 THEN '50' ELSE '75' END")).as("metric"),
-        col("quality_ppm").as("value"))
-      // tiny n can land two quartiles on one rank — the CASE labels
-      // the smallest match; dedupe so the report stays one-row-per-metric
-      .groupBy("metric").agg(min(col("value")).as("value"))
     val langs = m.groupBy("lang_pred")
       .agg(count(lit(1)).as("value"))
       .select(concat(lit("lang:"), col("lang_pred")).as("metric"), col("value"))
-    counts.unionByName(dups).unionByName(quartiles).unionByName(langs)
+    counts.unionByName(dups).unionByName(langs)
       .select(col("metric"), col("value").cast("long").as("value"))
   }
 
@@ -471,21 +470,15 @@ object TextAnalysis {
        |  SELECT 'n_tokens_total', CAST(SUM(n_tokens) AS BIGINT) FROM m
        |), dups AS (
        |  SELECT 'n_duplicate_docs' AS metric,
-       |         CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS value
+       |         CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS value
        |  FROM $docsRelation
-       |), ranked AS (
-       |  SELECT quality_ppm,
-       |         ROW_NUMBER() OVER (ORDER BY quality_ppm, doc_id) AS rn,
-       |         COUNT(*) OVER () AS n
-       |  FROM m
        |), quartiles AS (
-       |  SELECT 'quality_p' ||
-       |           CASE WHEN rn = (n * 1 + 3) // 4 THEN '25'
-       |                WHEN rn = (n * 2 + 3) // 4 THEN '50' ELSE '75' END AS metric,
-       |         CAST(MIN(quality_ppm) AS BIGINT) AS value
-       |  FROM ranked
-       |  WHERE rn = (n * 1 + 3) // 4 OR rn = (n * 2 + 3) // 4 OR rn = (n * 3 + 3) // 4
-       |  GROUP BY 1
+       |  SELECT 'quality_p25' AS metric,
+       |         CAST(FLOOR(quantile_cont(quality_ppm, 0.25)) AS BIGINT) AS value FROM m
+       |  UNION ALL
+       |  SELECT 'quality_p50', CAST(FLOOR(quantile_cont(quality_ppm, 0.5)) AS BIGINT) FROM m
+       |  UNION ALL
+       |  SELECT 'quality_p75', CAST(FLOOR(quantile_cont(quality_ppm, 0.75)) AS BIGINT) FROM m
        |), langs AS (
        |  SELECT 'lang:' || lang_pred AS metric, CAST(COUNT(*) AS BIGINT) AS value
        |  FROM m GROUP BY lang_pred
@@ -556,9 +549,21 @@ object TextAnalysis {
     */
   def chunkDocumentsDuckSql(
       chunkTokens: Int, strideTokens: Int,
-      docsRelation: String = "documents"): String = {
+      docsRelation: String = "documents"): String =
+    s"""WITH ${chunkDocumentsDuckCtes(chunkTokens, strideTokens, docsRelation)}
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(len(ck) AS BIGINT) AS n_tokens,
+       |  array_to_string(ck, ' ') AS chunk_text
+       |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** The chunking chain as bare CTEs ending at `s (doc_id, chunk_id,
+    * ck)` — [[chunkDocumentsDuckSql]]'s body, shared with the
+    * chunk-dedup oracle so both spell the cut identically.
+    */
+  def chunkDocumentsDuckCtes(
+      chunkTokens: Int, strideTokens: Int, docsRelation: String): String = {
     val w = graft.functions.TextExprs.wordsDuck("text")
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT doc_id, $w AS w, ${tokenCountDuck("text")} AS n
        |  FROM $docsRelation
        |), c AS (
@@ -569,11 +574,7 @@ object TextAnalysis {
        |  SELECT doc_id, chunk_id,
        |         list_slice(w, chunk_id * $strideTokens + 1, chunk_id * $strideTokens + $chunkTokens) AS ck
        |  FROM c
-       |)
-       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-       |  CAST(len(ck) AS BIGINT) AS n_tokens,
-       |  array_to_string(ck, ' ') AS chunk_text
-       |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+       |)""".stripMargin
   }
 
   /** FineWeb-style STRATIFIED quality gate: keep the top `keepPpm`

@@ -91,6 +91,16 @@ object TrainingExport {
     *   budget mixture bills post-surgery chars/tokens (`n_chars` is
     *   recomputed from the rewritten text). None (default) = stage
     *   off, prior behavior byte-identical
+    * @param semanticDedup SemDeDup embedding-granularity dedup
+    *   ([[Dedup.semanticDedup]]): the EMBEDDING-granularity stage,
+    *   composed LAST of the dedup granularities (doc-level exact/
+    *   near-dup first, then paragraph, then span, then this) — it
+    *   clusters the embeddings of the docs still alive after text
+    *   surgery and drops every non-representative member of a
+    *   semantic component. Docs WITHOUT an embedding row pass
+    *   through untouched (an embedding-free doc cannot be
+    *   semantically deduped). Requires the `embeddings` frame on
+    *   [[run]] — embeddings are data, like the benchmark frame
     * @param contaminationMaxPpm keep docs strictly under this
     *   benchmark n-gram overlap (None = stage off). The benchmark
     *   frame is a [[run]] argument, not config — it's data.
@@ -109,6 +119,7 @@ object TrainingExport {
       dedup: DedupStage = DedupExact,
       paragraphDedup: Boolean = false,
       spanDedup: Option[Int] = None,
+      semanticDedup: Boolean = false,
       contaminationMaxPpm: Option[Long] = Some(500000L),
       budgets: Seq[(String, Long)] = Nil,
       defaultBudget: Long = Long.MaxValue,
@@ -121,13 +132,16 @@ object TrainingExport {
     * layout. `hashExpr` drives BOTH the mixture order and the shard
     * placement and must be a non-negative deterministic hash of
     * doc_id (default: the engine's char-hash, same as the inline
-    * queries this was extracted from).
+    * queries this was extracted from). `embeddings` (vec_id keyed by
+    * doc_id, embedding) is required only when `cfg.semanticDedup` is
+    * on — like `benchmark`, it's data, not config.
     */
   def run(
       docs: DataFrame,
       benchmark: => DataFrame,
       cfg: Config,
-      hashExpr: Option[String] = None): DataFrame = {
+      hashExpr: Option[String] = None,
+      embeddings: => DataFrame = null): DataFrame = {
     require(cfg.numShards >= 1, s"numShards must be >= 1, got ${cfg.numShards}")
     graft.functions.PolyHash.register(docs.sparkSession)
     val h = hashExpr.getOrElse(
@@ -163,8 +177,12 @@ object TrainingExport {
       if (!cfg.paragraphDedup) deduped
       else
         // rebuilt text + recomputed n_chars flow into everything
-        // downstream, exactly like the span stage's contract
-        Dedup.paragraphDedup(deduped, passthroughCols = Seq("source"))
+        // downstream, exactly like the span stage's contract. The
+        // PRODUCTION fingerprint form (hash-width shuffles, skew-safe
+        // min_by first-occurrence; q_dedup_paragraph_fp pins its
+        // equality with the text-keyed semantics reference)
+        Dedup.paragraphDedup(
+          deduped, passthroughCols = Seq("source"), byFingerprint = true)
           .select(
             col("doc_id"), col("source"),
             col("text_deduped").as("text"),
@@ -190,11 +208,32 @@ object TrainingExport {
             col("clean_text").as("text"),
             length(col("clean_text")).cast("long").as("n_chars"))
     }
-    val clean = cfg.contaminationMaxPpm match {
-      case None => spanned
-      case Some(maxPpm) =>
+    val semantic =
+      if (!cfg.semanticDedup) spanned
+      else {
+        // the embedding granularity composes LAST of the dedup
+        // stages: cluster the embeddings of the docs still alive
+        // after text surgery (a dropped doc must not hold a semantic
+        // component's keeper slot), drop every non-representative
+        // member. The anti-join on DROPPERS — not a semi-join on
+        // keepers — is what lets embedding-free docs pass through.
+        val emb = embeddings
+        require(
+          emb != null,
+          "cfg.semanticDedup is on but no embeddings frame was passed to run()")
+        val live = emb.join(
+          spanned.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
         spanned.join(
-          TextAnalysis.contamination(spanned, benchmark)
+          Dedup.semanticDedup(live)
+            .filter(!col("keep"))
+            .select(col("vec_id").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+      }
+    val clean = cfg.contaminationMaxPpm match {
+      case None => semantic
+      case Some(maxPpm) =>
+        semantic.join(
+          TextAnalysis.contamination(semantic, benchmark)
             .filter(col("contamination_ppm") < maxPpm)
             .select("doc_id"),
           Seq("doc_id"), "left_semi")

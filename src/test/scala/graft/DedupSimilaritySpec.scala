@@ -462,6 +462,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(2).getAs[String]("text_deduped") == "")
   }
 
+  test("fingerprint paragraph dedup equals the text-keyed form, hot key included, collision check armed") {
+    import spark.implicits._
+    // one Zipf-head key owns half the line rows (the shape the window
+    // form can't split); case variants normalize to the same key, so
+    // the fingerprint must hash the NORMALIZED line
+    val docs = (1L to 40L).map(i =>
+      (i, s"unique line $i\nAll Rights Reserved.\nbody $i\nall rights reserved.\n"))
+      .toDF("doc_id", "text")
+    val win = Dedup.paragraphDedup(docs)
+    val fp = Dedup.paragraphDedup(docs, byFingerprint = true, collisionCheck = true)
+    assert(fp.except(win).isEmpty && win.except(fp).isEmpty,
+      "fingerprint form must keep exactly the text-keyed set")
+    // the hot key survives exactly once corpus-wide
+    val kept = fp.agg(org.apache.spark.sql.functions.sum("n_kept")).collect()(0).getLong(0)
+    assert(kept == 40 * 2 + 1 + 40, // unique+body per doc, 1 hot survivor, 40 trailing blanks
+      s"unexpected kept-line count $kept")
+  }
+
   test("paragraph dedup on the planted corpus: the appended copy wins, the partner's line 0 drops") {
     val res = Dedup.paragraphDedup(Corpus.paraCorpus(spark, dir)).cache()
     // the GLOBAL invariant: after dedup no normalized non-blank line
@@ -491,12 +509,14 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // already exercises end-to-end)
     var state = spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-      StructType(Seq(StructField("pkey", StringType)))).localCheckpoint(true)
+      StructType(Seq(
+        StructField("pk1", LongType),
+        StructField("pk2", LongType)))).localCheckpoint(true)
     var outs = Dedup.paragraphDedup(corpus.limit(0)).localCheckpoint(true)
     for (i <- 0 until 4) {
       val batch = corpus.filter(pmod(col("doc_id"), lit(4)) === i).localCheckpoint(true)
       val (rebuilt, keys) = Dedup.paragraphIngestStep(batch, state)
-      state = state.unionByName(keys.select("pkey").localCheckpoint(true))
+      state = state.unionByName(keys.select("pk1", "pk2").localCheckpoint(true))
       outs = outs.unionByName(rebuilt).localCheckpoint(true)
       Dedup.unpersistAll()
     }
@@ -525,6 +545,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val oneShot = Dedup.paragraphDedup(corpus)
     assert(replay.except(oneShot).count() > 0,
       "slice order must visibly reorder at least one planted pair")
+  }
+
+  test("semantic dedup top-2 assignment: candidates only grow, decisions stay total with one keeper per component") {
+    import org.apache.spark.sql.functions._
+    val corpus = Corpus.embCorpus(spark, dir)
+    val n = corpus.count()
+    val base = Dedup.semanticDedup(corpus).cache()
+    val top2 = Dedup.semanticDedup(corpus, assignTop = 2).cache()
+    // totality holds under multi-assignment: one decision row per
+    // vector, primary cid unchanged
+    assert(top2.count() == n && top2.select("vec_id").distinct().count() == n)
+    assert(top2.select("vec_id", "cid").except(base.select("vec_id", "cid")).isEmpty,
+      "multi-assignment must not change the PRIMARY cluster assignment")
+    // extra candidates can only merge components → never fewer drops
+    def drops(df: org.apache.spark.sql.DataFrame) =
+      df.filter(!col("keep")).count()
+    assert(drops(top2) >= drops(base))
+    // still exactly one keeper per component
+    assert(top2.groupBy("component")
+      .agg(sum(col("keep").cast("long")).as("k"))
+      .filter(col("k") =!= 1).count() == 0)
+    base.unpersist(); top2.unpersist()
+    Dedup.unpersistAll()
   }
 
   test("semantic dedup: planted copies collapse within clusters, one keeper per component") {

@@ -1934,6 +1934,39 @@ class PipelineOpsSpec extends AnyFunSuite {
       "pre-dedup chars must NOT fit the same budget")
   }
 
+  test("TrainingExport semanticDedup stage drops a non-representative embedding dupe, embedding-free docs pass") {
+    import spark.implicits._
+    val docs = Seq(
+      (800L, "src8", "the quick brown fox jumps over the lazy dog and runs on"),
+      (801L, "src8", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (803L, "src8", "wort wort anderes wort noch mehr worte hier jetzt dann zz"))
+      .toDF("doc_id", "source", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    // 801's vector is the 1.001×-scaled copy of 800's → cosine ≈ 1,
+    // one semantic component {800, 801} (800 is also the centroid
+    // seed: 800 % 50 == 0); doc 803 has NO embedding row
+    val base = (0 until graft.functions.VectorExprs.Dim)
+      .map(i => ((i * 7) % 13 - 6).toFloat)
+    val emb = Seq(
+      (800L, base), (801L, base.map(_ * 1.001f))).toDF("vec_id", "embedding")
+    def run(cfg: Config, e: org.apache.spark.sql.DataFrame) =
+      TrainingExport.run(
+        docs, docs.filter(col("doc_id") === 0L), cfg, embeddings = e)
+    val on = run(allOff.copy(semanticDedup = true), emb)
+      .select("doc_id").as[Long].collect().toSet
+    graft.operators.Dedup.unpersistAll()
+    assert(on.contains(803L), "embedding-free docs must pass through")
+    assert(Set(800L, 801L).intersect(on).size == 1,
+      "exactly one of the semantic pair ships")
+    // toggle off: all three ship, byte-identical prior behavior
+    assert(run(allOff, null).count() == 3)
+    // stage on without the data it needs fails fast at the call site
+    val e = intercept[IllegalArgumentException] {
+      run(allOff.copy(semanticDedup = true), null).count()
+    }
+    assert(e.getMessage.contains("embeddings"), e.getMessage)
+  }
+
   test("TrainingExport lineRules stage drops bullet-farm docs, leaves single-line docs alone") {
     import spark.implicits._
     val bulletFarm = (0 until 12).map(i => s"- item ${('a' + i).toChar}").mkString("\n")

@@ -374,6 +374,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("corpus report: NO window anywhere — quartiles ride the percentile aggregate") {
+    // the r13 verdict's scale-killer: the old report ranked the whole
+    // corpus through one unpartitioned row_number task; the reworked
+    // plan must be aggregate-only (percentile's accumulator is bounded
+    // by the ppm domain, not corpus size)
+    val p = plan("q_corpus_report")
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
+  test("fingerprint paragraph dedup: window-free, keyed by the hash pair") {
+    val p = plan("q_dedup_paragraph_fp")
+    // first-occurrence via min(struct) aggregation + a fingerprint
+    // equi-join — no rank window anywhere (the skew-safety claim), and
+    // the key shuffles carry the hash pair, not line text
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("hashpartitioning(pk1"), p.take(2000))
+  }
+
   test("full-PSL matching broadcasts the rule table; the corpus never shuffles for it") {
     // candidate fan-out is a bounded generator over each host's
     // labels; the rule join must broadcast the (tiny) rule side and

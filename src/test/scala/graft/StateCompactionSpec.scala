@@ -493,7 +493,10 @@ class StateCompactionSpec extends AnyFunSuite {
       def canon(df: org.apache.spark.sql.DataFrame) =
         df.orderBy("doc_id").collect().toSeq
       Dedup.writeLineTable(corpus, table, buckets = 4)
-      // the catalog state IS the independently-derived first-occurrence set
+      // the catalog state IS the independently-derived first-occurrence
+      // set, fingerprinted with the pinned xxhash64 pair (the "fp2"
+      // salt is contract — state written by one version must probe
+      // under the next)
       val parts = corpus.select(
         col("doc_id"),
         posexplode(split(coalesce(col("text"), lit("")), "\n", -1)).as(Seq("pos", "para")))
@@ -501,7 +504,12 @@ class StateCompactionSpec extends AnyFunSuite {
         .withColumn("pkey", lower(trim(col("para"))))
         .withColumn("rn",
           row_number().over(Window.partitionBy("pkey").orderBy("doc_id", "pos")))
-        .filter(col("rn") === 1).select("pkey", "doc_id").localCheckpoint(true)
+        .filter(col("rn") === 1)
+        .select(
+          xxhash64(col("pkey")).as("pk1"),
+          xxhash64(col("pkey"), lit("fp2")).as("pk2"),
+          col("doc_id"))
+        .localCheckpoint(true)
       assert(spark.table(table).except(memKeys).isEmpty
         && memKeys.except(spark.table(table)).isEmpty)
       val baseline = canon(
