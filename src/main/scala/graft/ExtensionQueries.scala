@@ -1525,6 +1525,55 @@ object ExtensionQueries {
         embeddings = planted)
         .orderBy("shard", "seq")
     }),
+    "q_pipeline_train_export_full" -> ((s, dir) => {
+      // the FULL FineWeb-style stack in ONE declarative plan — every
+      // dedup granularity composed in its contract order: doc gate →
+      // exact dedup → paragraph rebuild → span surgery → semantic
+      // (embedding) dedup → decontamination → char budgets → shards.
+      // Each stage has its own plant so each demonstrably binds: the
+      // chunked-line corpus carries duplicate lines (paragraph), docs
+      // %13 carry 20 appended tokens of their successor (span), and
+      // embeddings %17==3 are scaled copies of the previous doc's
+      // vector (semantic). The oracle replays ALL eight stages in SQL
+      // from the same shared CTE generators — one hash gates the
+      // whole composition.
+      val baseC = Corpus.paraCorpus(s, dir)
+      val p = baseC.select((col("doc_id") - 1).as("doc_id"), col("text").as("p_text"))
+      val planted = baseC.select("doc_id", "source", "text")
+        .join(p, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"), col("source"),
+          when(
+            col("doc_id") % 13 === 0 && col("p_text").isNotNull,
+            concat_ws(" ", col("text"),
+              concat_ws(" ", slice(expr("split(trim(p_text), '\\\\s+')"), 1, 20))))
+            .otherwise(col("text")).as("text"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val prevE = e.select((col("vec_id") + 1).as("vec_id"), col("embedding").as("p_emb"))
+      val plantedEmb = e.join(prevE, Seq("vec_id"), "left")
+        .select(
+          col("vec_id"),
+          when(
+            col("vec_id") % 17 === 3 && col("p_emb").isNotNull,
+            expr("transform(p_emb, x -> x * cast(1.001 as float))"))
+            .otherwise(col("embedding")).as("embedding"))
+      graft.pipelines.TrainingExport.run(
+        planted,
+        planted.filter(col("doc_id") % 97 === 0),
+        graft.pipelines.TrainingExport.Config(
+          curate = true,
+          dedup = graft.pipelines.TrainingExport.DedupExact,
+          paragraphDedup = true,
+          spanDedup = Some(10),
+          semanticDedup = true,
+          contaminationMaxPpm = Some(500000L),
+          budgets = Seq("src0" -> 4000L, "src1" -> 2000L),
+          defaultBudget = 3000L,
+          numShards = 4),
+        embeddings = plantedEmb)
+        .orderBy("shard", "seq")
+    }),
     "q_pipeline_train_export_neardup" -> ((s, dir) => {
       // pipeline v2: same five stages but the dedup gate is the REAL
       // one — MinHash-LSH candidate pairs + connected components over
@@ -2146,7 +2195,7 @@ object ExtensionQueries {
            |  SELECT doc_id, MIN(source) AS source,
            |         COALESCE(string_agg(CASE WHEN keep THEN para END, chr(10) ORDER BY pos), '') AS text
            |  FROM pg_marked GROUP BY doc_id
-           |), pg AS (
+           |), pg AS MATERIALIZED (
            |  SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n_chars FROM pg0
            |)""".stripMargin
     val spanSrc = if (paraDedup) "pg" else "dd"
@@ -2164,10 +2213,10 @@ object ExtensionQueries {
     val semCtes = semanticEmbSql.map { esql =>
       s""", se_embs AS (
          |$esql
-         |), se_corpus AS (
+         |), se_corpus AS MATERIALIZED (
          |  SELECT e.vec_id, e.embedding FROM se_embs e
          |  JOIN $textBase d ON e.vec_id = d.doc_id
-         |), ${semanticDedupCtes("se_corpus", "se_")}, se AS (
+         |), ${semanticDedupCtes("se_corpus", "se_")}, se AS MATERIALIZED (
          |  SELECT d.* FROM $textBase d
          |  WHERE d.doc_id NOT IN (
          |    SELECT vec_id FROM (
@@ -2190,7 +2239,7 @@ object ExtensionQueries {
          |           (t, i) -> len(list_filter(r.ss, (s, j) -> (i - 1) >= s AND (i - 1) < r.es[j])) = 0), ' '), '')
          |    END AS text
          |  FROM $spanSrc d LEFT JOIN sp_rivs r ON r.doc_id = d.doc_id
-         |), sp AS (
+         |), sp AS MATERIALIZED (
          |  SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n_chars FROM sp0
          |)""".stripMargin
     }.getOrElse("")
@@ -2680,19 +2729,19 @@ object ExtensionQueries {
        |  SELECT e.vec_id AS vid, e.embedding, c.cid,
        |         ${VectorExprs.l2sqDuck("e.embedding", "c.cemb")} AS d
        |  FROM $rel e CROSS JOIN ${p}cents c
-       |), ${p}assign AS (
+       |), ${p}assign AS MATERIALIZED (
        |  SELECT vid AS vec_id, cid, embedding, d AS dc,
        |         sqrt(${VectorExprs.dotDuck("embedding", "embedding")}) AS nrm
        |  FROM (
        |    SELECT vid, cid, embedding, d,
        |           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
        |    FROM ${p}adist) t WHERE rn = 1
-       |), ${p}pairs AS (
+       |), ${p}pairs AS MATERIALIZED (
        |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
        |  FROM ${p}assign x JOIN ${p}assign y
        |    ON x.cid = y.cid AND x.vec_id < y.vec_id
        |  WHERE CAST(floor(1000000.0 * ((${VectorExprs.dotDuck("x.embedding", "y.embedding")}) / (x.nrm * y.nrm))) AS BIGINT) >= 995000
-       |), ${p}edges AS (
+       |), ${p}edges AS MATERIALIZED (
        |  SELECT vec_a AS src, vec_b AS dst FROM ${p}pairs
        |  UNION
        |  SELECT vec_b, vec_a FROM ${p}pairs
@@ -3820,6 +3869,34 @@ object ExtensionQueries {
       // decontamination and budgets
       trainExportPipelineSql(
         Seq("src0" -> 4000L, "src1" -> 2000L), 3000L, tokensWp = false,
+        semanticEmbSql = Some(
+          """  SELECT e.vec_id,
+            |         CASE WHEN e.vec_id % 17 = 3 AND p.embedding IS NOT NULL
+            |              THEN list_transform(p.embedding, x -> x * 1.001::FLOAT)
+            |              ELSE e.embedding END AS embedding
+            |  FROM embeddings e LEFT JOIN embeddings p ON p.vec_id = e.vec_id - 1""".stripMargin)),
+
+    "q_pipeline_train_export_full" ->
+      // eight stages, every splice at once: pg_ (paragraph) reads dd,
+      // sp_ (span) reads pg, se_ (semantic) reads sp, decontamination
+      // and budgets read se — the emitters compose because each stage
+      // parameterizes its input relation
+      trainExportPipelineSql(
+        Seq("src0" -> 4000L, "src1" -> 2000L), 3000L, tokensWp = false,
+        spanK = Some(10),
+        paraDedup = true,
+        corpusSql = Some(
+          s"""  SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n_chars FROM (
+             |    SELECT d.doc_id, d.source,
+             |      CASE WHEN d.doc_id % 13 = 0 AND p.text IS NOT NULL
+             |           THEN d.text || ' ' || array_to_string(list_slice(string_split_regex(trim(p.text), '\\s+'), 1, 20), ' ')
+             |           ELSE d.text END AS text
+             |    FROM (
+             |${Corpus.paraCorpusSql}
+             |    ) d LEFT JOIN (
+             |${Corpus.paraCorpusSql}
+             |    ) p ON p.doc_id = d.doc_id + 1
+             |  )""".stripMargin),
         semanticEmbSql = Some(
           """  SELECT e.vec_id,
             |         CASE WHEN e.vec_id % 17 = 3 AND p.embedding IS NOT NULL
