@@ -643,44 +643,43 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       table: String, buckets: Int, keys: Seq[String]): DataFrame = {
     val tmp = table + "_compact_tmp"
-    // NO repartition: a bucketed scan yields exactly one input
-    // partition per bucket (all of a bucket's accumulated files
-    // grouped), so each write task holds one whole bucket and emits
-    // one file — a repartition would RE-hash the keys and scatter
-    // buckets across tasks (measured: 3 files/bucket). Spark
-    // auto-DISABLES bucketed scanning when the plan doesn't exploit
-    // the partitioning (a bare write doesn't), which would bring the
-    // size-based splits back — force it on for the rewrite.
-    // (The tombstone mask below is a plain filter, so the bucket
-    // partitioning survives it.)
-    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prevAuto = spark.conf.get(autoKey)
-    // tombstones applied via a broadcast ANTI-JOIN here, not the
-    // probe path's capped driver collect (stateTableLive): compaction
-    // is the prescribed REMEDY when a (legacy/externally-grown)
-    // tombstone set outgrows the probe mask's cap, so the rewrite
-    // must not read through that same cap or the state is
-    // unrecoverable (ADVICE r13 deadlock). Plan-shape preservation
-    // doesn't matter for a one-off rewrite, and a BROADCAST anti-join
-    // is still narrow over the forced bucketed scan — each write task
-    // keeps one whole bucket, preserving the one-file-per-bucket
-    // layout (spec-pinned).
+    // tombstones applied via a PLAIN (shuffled) ANTI-JOIN here — not
+    // the probe path's capped driver collect (stateTableLive), and
+    // not a broadcast: compaction is the prescribed REMEDY when a
+    // (legacy/externally-grown) tombstone set outgrows the probe
+    // mask's cap, so the rewrite must not read the set through ANY
+    // bounded channel — the capped collect was the ADVICE r13
+    // deadlock, and a broadcast would merely move the ceiling to
+    // Spark's broadcast limit (the r14 review's follow-up). Plan
+    // shape doesn't matter for a one-off rewrite; the
+    // one-file-per-bucket layout comes from the explicit repartition
+    // below, whose HashPartitioning is the same murmur3-mod the
+    // bucketed write uses, so each write task holds exactly one whole
+    // bucket (spec-pinned file count). Bucketed READING is disabled
+    // for the rewrite: the scan's CLAIMED bucket partitioning makes
+    // the optimizer eliminate the repartition's exchange while the
+    // accumulated files are still read in size-based splits —
+    // measured 3 files/bucket scatter; a plain read keeps the
+    // exchange and the alignment.
     val tt = tombstoneTableName(table)
-    val live = {
-      val raw = spark.table(table)
-      if (!spark.catalog.tableExists(tt)) raw
-      // no distinct(): duplicate right-side ids cannot change an
-      // anti-join (the ZLayout.read rationale)
-      else raw.join(broadcast(spark.table(tt)), Seq("doc_id"), "left_anti")
-    }
+    val bucketingKey = "spark.sql.sources.bucketing.enabled"
+    val prevBucketing = spark.conf.get(bucketingKey)
     try {
-      spark.conf.set(autoKey, "false")
+      spark.conf.set(bucketingKey, "false")
+      val live = {
+        val raw = spark.table(table)
+        if (!spark.catalog.tableExists(tt)) raw
+        // no distinct(): duplicate right-side ids cannot change an
+        // anti-join (the ZLayout.read rationale)
+        else raw.join(spark.table(tt), Seq("doc_id"), "left_anti")
+      }
       live
+        .repartition(buckets, keys.map(col): _*)
         .write.mode("overwrite").format("parquet")
         .bucketBy(buckets, keys.head, keys.tail: _*)
         .sortBy(keys.head, keys.tail: _*)
         .saveAsTable(tmp)
-    } finally spark.conf.set(autoKey, prevAuto)
+    } finally spark.conf.set(bucketingKey, prevBucketing)
     spark.sql(s"DROP TABLE `$table`")
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
     // deletions are now baked into the layout — clear the tombstone
@@ -1285,14 +1284,22 @@ object Dedup {
     rebuildParagraphs(elig.unionByName(blank), passthroughCols)
   }
 
-  /** The 128-bit line fingerprint: an independent `xxhash64` pair
-    * over the normalized line (the salt literal makes the second
-    * stream independent of the first). Collision probability at
-    * 128 bits is ~n²/2¹²⁹ — immaterial at any corpus size; the
-    * optional third stream is the runtime check for the paranoid.
+  /** The 128-bit line fingerprint: two `xxhash64` evaluations of the
+    * normalized line under DIFFERENT SEEDS. Spark's multi-arg
+    * xxhash64 folds left-to-right with the running hash as the next
+    * seed, so the salt must come FIRST — `xxhash64(salt, key)` is
+    * `XXH64(key, seed = XXH64(salt, 42))`, a different-constant-seed
+    * hash of the key and genuinely independent of the unsalted
+    * stream; `xxhash64(key, salt)` would be a pure FUNCTION of the
+    * first hash (seed = pk1), collapsing the pair to 64-bit
+    * resistance and making any collision check over a third such
+    * stream vacuous (review finding, r14). Collision probability at
+    * a true 128 bits is ~n²/2¹²⁹ — immaterial at any corpus size;
+    * the optional third stream ([[markFirstByFingerprint]]) is the
+    * runtime check for the paranoid.
     */
   private def lineFp(keyExpr: org.apache.spark.sql.Column) =
-    (xxhash64(keyExpr), xxhash64(keyExpr, lit("fp2")))
+    (xxhash64(keyExpr), xxhash64(lit("fp2"), keyExpr))
 
   /** Mark each non-blank line row `keep` = is-the-corpus-first
     * occurrence of its normalized key, via the skew-safe aggregation
@@ -1311,7 +1318,7 @@ object Dedup {
     val aggs =
       min(struct(col("doc_id"), col("pos"))).as("_first") +:
         (if (collisionCheck)
-           Seq(countDistinct(xxhash64(key, lit("fpck"))).as("_nck"))
+           Seq(countDistinct(xxhash64(lit("fpck"), key)).as("_nck"))
          else Nil)
     // the check hash is recomputed inside the agg from the line text,
     // so the GROUPING columns stay the two fingerprint longs only
@@ -1536,6 +1543,15 @@ object Dedup {
       textCol: String = "chunk_text",
       idCol: String = "doc_id",
       chunkIdCol: String = "chunk_id"): DataFrame = {
+    // the paragraphDedup clash guard: a working/output name already on
+    // the input would be silently clobbered by withColumn and fail (or
+    // worse, mislead) only far downstream
+    val reserved = Seq("keep", "pk1", "pk2", "_first")
+    val clash = chunks.columns.filter(c => reserved.exists(_.equalsIgnoreCase(c)))
+    require(
+      clash.isEmpty,
+      s"chunkDedup emits column(s) ${clash.mkString(", ")} itself — " +
+        "rename or drop the input column(s)")
     val key = lower(trim(col(textCol)))
     val (h1, h2) = lineFp(key)
     val keyed = chunks.withColumn("pk1", h1).withColumn("pk2", h2)

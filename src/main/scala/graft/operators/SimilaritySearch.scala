@@ -442,13 +442,17 @@ object SimilaritySearch {
     }
   }
 
-  /** The compaction-path twin of [[antiTombstones]]: a broadcast
-    * ANTI-JOIN instead of the capped driver collect. Compaction is
-    * the prescribed remedy when a (legacy/externally-grown) tombstone
-    * set outgrows the probe mask's cap, so the rewrite must not read
-    * through that same cap — the deadlock ADVICE r13 named. Plan
-    * shape doesn't matter for a one-off rewrite; no distinct() on the
-    * tombstone side because duplicate ids cannot change an anti-join.
+  /** The compaction-path twin of [[antiTombstones]]: a PLAIN
+    * (shuffled) ANTI-JOIN instead of the capped driver collect.
+    * Compaction is the prescribed remedy when a (legacy/
+    * externally-grown) tombstone set outgrows the probe mask's cap,
+    * so the rewrite must not read the set through ANY bounded channel
+    * — the capped collect was the ADVICE r13 deadlock, and a
+    * broadcast hint would merely move the ceiling to Spark's
+    * broadcast limit (r14 review follow-up). Plan shape doesn't
+    * matter for a one-off rewrite (both compaction writers repartition
+    * explicitly afterwards); no distinct() on the tombstone side
+    * because duplicate ids cannot change an anti-join.
     */
   private def antiTombstonesJoin(
       spark: org.apache.spark.sql.SparkSession, rows: DataFrame, dir: String,
@@ -456,7 +460,7 @@ object SimilaritySearch {
     val t = s"$dir/tombstones"
     if (!dirExists(spark, t)) rows
     else rows.join(
-      broadcast(spark.read.parquet(t).withColumnRenamed("cand_id", key)),
+      spark.read.parquet(t).withColumnRenamed("cand_id", key),
       Seq(key), "left_anti")
   }
 

@@ -406,12 +406,8 @@ object TextAnalysis {
 
   /** One-query corpus HEALTH REPORT — the report card a curation run
     * starts from: document and exact-duplicate counts, total token
-    * mass, integer-exact quality quartiles, and the predicted
-    * language mix, emitted as (metric, value) rows. Every number is
-    * integer/ppm arithmetic: the quartiles are rank-based picks
-    * (value at rank ⌈q·n⌉ under the total order (quality_ppm,
-    * doc_id)), not interpolated percentiles, so both engines agree
-    * bit-for-bit.
+    * mass, exact quality quartiles, and the predicted language mix,
+    * emitted as (metric, value) rows, every value a BIGINT.
     *
     * Scale shape (the r13 verdict's 100 TB rework — the previous form
     * ranked the whole corpus through ONE unpartitioned window task):

@@ -494,9 +494,11 @@ class StateCompactionSpec extends AnyFunSuite {
         df.orderBy("doc_id").collect().toSeq
       Dedup.writeLineTable(corpus, table, buckets = 4)
       // the catalog state IS the independently-derived first-occurrence
-      // set, fingerprinted with the pinned xxhash64 pair (the "fp2"
-      // salt is contract — state written by one version must probe
-      // under the next)
+      // set, fingerprinted with the pinned xxhash64 pair (the
+      // SALT-FIRST "fp2" spelling is contract — salt first makes the
+      // second stream a different-SEED hash of the key, independent of
+      // the first; key-first would make it a pure function of pk1 —
+      // and state written by one version must probe under the next)
       val parts = corpus.select(
         col("doc_id"),
         posexplode(split(coalesce(col("text"), lit("")), "\n", -1)).as(Seq("pos", "para")))
@@ -507,7 +509,7 @@ class StateCompactionSpec extends AnyFunSuite {
         .filter(col("rn") === 1)
         .select(
           xxhash64(col("pkey")).as("pk1"),
-          xxhash64(col("pkey"), lit("fp2")).as("pk2"),
+          xxhash64(lit("fp2"), col("pkey")).as("pk2"),
           col("doc_id"))
         .localCheckpoint(true)
       assert(spark.table(table).except(memKeys).isEmpty
