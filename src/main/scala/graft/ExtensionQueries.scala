@@ -83,6 +83,65 @@ object ExtensionQueries {
     * discipline without the caching, because building the state IS
     * part of what these queries exercise and measure.
     */
+  /** Planted cross-doc SPANS — docs % 13 == 0 get the first 20 tokens
+    * of their successor appended (n_chars recomputed): ONE Spark
+    * spelling shared by q_pipeline_train_export_spans (over documents)
+    * and q_pipeline_train_export_full (over the chunked-line corpus),
+    * so an edit to the plant cannot diverge the full composition from
+    * the per-stage query it subsumes (r14 review).
+    */
+  private def plantCrossDocSpans(base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = base.select((col("doc_id") - 1).as("doc_id"), col("text").as("p_text"))
+    base.select("doc_id", "source", "text")
+      .join(p, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("source"),
+        when(
+          col("doc_id") % 13 === 0 && col("p_text").isNotNull,
+          concat_ws(" ", col("text"),
+            concat_ws(" ", slice(expr("split(trim(p_text), '\\\\s+')"), 1, 20))))
+          .otherwise(col("text")).as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  /** Planted scaled-PREV-vector embeddings — vec % 17 == 3 carries the
+    * 1.001x copy of the previous vector (ids stay in the documents
+    * domain): shared by q_pipeline_train_export_semantic and _full.
+    */
+  private def plantScaledPrevEmbeddings(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val prev = e.select((col("vec_id") + 1).as("vec_id"), col("embedding").as("p_emb"))
+    e.join(prev, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        when(
+          col("vec_id") % 17 === 3 && col("p_emb").isNotNull,
+          expr("transform(p_emb, x -> x * cast(1.001 as float))"))
+          .otherwise(col("embedding")).as("embedding"))
+  }
+
+  /** [[plantScaledPrevEmbeddings]]'s DuckDB twin, shared by the same
+    * two oracles. */
+  private val scaledPrevEmbeddingsSql: String =
+    """  SELECT e.vec_id,
+      |         CASE WHEN e.vec_id % 17 = 3 AND p.embedding IS NOT NULL
+      |              THEN list_transform(p.embedding, x -> x * 1.001::FLOAT)
+      |              ELSE e.embedding END AS embedding
+      |  FROM embeddings e LEFT JOIN embeddings p ON p.vec_id = e.vec_id - 1""".stripMargin
+
+  /** [[plantCrossDocSpans]]'s DuckDB twin over `innerRel` (a table
+    * name or parenthesized subquery), shared by the same two oracles.
+    */
+  private def spanPlantCorpusSql(innerRel: String): String =
+    s"""  SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n_chars FROM (
+       |    SELECT d.doc_id, d.source,
+       |      CASE WHEN d.doc_id % 13 = 0 AND p.text IS NOT NULL
+       |           THEN d.text || ' ' || array_to_string(list_slice(string_split_regex(trim(p.text), '\\s+'), 1, 20), ' ')
+       |           ELSE d.text END AS text
+       |    FROM $innerRel d LEFT JOIN $innerRel p ON p.doc_id = d.doc_id + 1
+       |  )""".stripMargin
+
   private def freshStateDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix).toAbsolutePath
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -1444,18 +1503,7 @@ object ExtensionQueries {
       // Corpus = documents with the %13 planted cross-doc spans (the
       // spanCorpus plant, source kept), so the stage demonstrably
       // binds; the oracle replays all six stages in SQL.
-      val d = Tables.documents(s, dir)
-      val p = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("p_text"))
-      val planted = d.select("doc_id", "source", "text")
-        .join(p, Seq("doc_id"), "left")
-        .select(
-          col("doc_id"), col("source"),
-          when(
-            col("doc_id") % 13 === 0 && col("p_text").isNotNull,
-            concat_ws(" ", col("text"),
-              concat_ws(" ", slice(expr("split(trim(p_text), '\\\\s+')"), 1, 20))))
-            .otherwise(col("text")).as("text"))
-        .withColumn("n_chars", length(col("text")).cast("long"))
+      val planted = plantCrossDocSpans(Tables.documents(s, dir))
       graft.pipelines.TrainingExport.run(
         planted,
         planted.filter(col("doc_id") % 97 === 0),
@@ -1502,15 +1550,6 @@ object ExtensionQueries {
       // stage demonstrably binds); docs beyond the embeddings table's
       // id range have no vector and pass through untouched.
       val docs = Tables.documents(s, dir)
-      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
-      val prev = e.select((col("vec_id") + 1).as("vec_id"), col("embedding").as("p_emb"))
-      val planted = e.join(prev, Seq("vec_id"), "left")
-        .select(
-          col("vec_id"),
-          when(
-            col("vec_id") % 17 === 3 && col("p_emb").isNotNull,
-            expr("transform(p_emb, x -> x * cast(1.001 as float))"))
-            .otherwise(col("embedding")).as("embedding"))
       graft.pipelines.TrainingExport.run(
         docs,
         docs.filter(col("doc_id") % 97 === 0),
@@ -1522,7 +1561,7 @@ object ExtensionQueries {
           budgets = Seq("src0" -> 4000L, "src1" -> 2000L),
           defaultBudget = 3000L,
           numShards = 4),
-        embeddings = planted)
+        embeddings = plantScaledPrevEmbeddings(s, dir))
         .orderBy("shard", "seq")
     }),
     "q_pipeline_train_export_full" -> ((s, dir) => {
@@ -1537,27 +1576,7 @@ object ExtensionQueries {
       // vector (semantic). The oracle replays ALL eight stages in SQL
       // from the same shared CTE generators — one hash gates the
       // whole composition.
-      val baseC = Corpus.paraCorpus(s, dir)
-      val p = baseC.select((col("doc_id") - 1).as("doc_id"), col("text").as("p_text"))
-      val planted = baseC.select("doc_id", "source", "text")
-        .join(p, Seq("doc_id"), "left")
-        .select(
-          col("doc_id"), col("source"),
-          when(
-            col("doc_id") % 13 === 0 && col("p_text").isNotNull,
-            concat_ws(" ", col("text"),
-              concat_ws(" ", slice(expr("split(trim(p_text), '\\\\s+')"), 1, 20))))
-            .otherwise(col("text")).as("text"))
-        .withColumn("n_chars", length(col("text")).cast("long"))
-      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
-      val prevE = e.select((col("vec_id") + 1).as("vec_id"), col("embedding").as("p_emb"))
-      val plantedEmb = e.join(prevE, Seq("vec_id"), "left")
-        .select(
-          col("vec_id"),
-          when(
-            col("vec_id") % 17 === 3 && col("p_emb").isNotNull,
-            expr("transform(p_emb, x -> x * cast(1.001 as float))"))
-            .otherwise(col("embedding")).as("embedding"))
+      val planted = plantCrossDocSpans(Corpus.paraCorpus(s, dir))
       graft.pipelines.TrainingExport.run(
         planted,
         planted.filter(col("doc_id") % 97 === 0),
@@ -1571,7 +1590,7 @@ object ExtensionQueries {
           budgets = Seq("src0" -> 4000L, "src1" -> 2000L),
           defaultBudget = 3000L,
           numShards = 4),
-        embeddings = plantedEmb)
+        embeddings = plantScaledPrevEmbeddings(s, dir))
         .orderBy("shard", "seq")
     }),
     "q_pipeline_train_export_neardup" -> ((s, dir) => {
@@ -3840,14 +3859,7 @@ object ExtensionQueries {
       trainExportPipelineSql(
         Seq("src0" -> 4000L, "src1" -> 2000L), 3000L, tokensWp = false,
         spanK = Some(10),
-        corpusSql = Some(
-          """  SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n_chars FROM (
-            |    SELECT d.doc_id, d.source,
-            |      CASE WHEN d.doc_id % 13 = 0 AND p.text IS NOT NULL
-            |           THEN d.text || ' ' || array_to_string(list_slice(string_split_regex(trim(p.text), '\s+'), 1, 20), ' ')
-            |           ELSE d.text END AS text
-            |    FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id + 1
-            |  )""".stripMargin)),
+        corpusSql = Some(spanPlantCorpusSql("documents"))),
 
     "q_pipeline_train_export_paras" ->
       // six stages with the paragraph-dedup splice (pg_ CTEs) after
@@ -3869,12 +3881,7 @@ object ExtensionQueries {
       // decontamination and budgets
       trainExportPipelineSql(
         Seq("src0" -> 4000L, "src1" -> 2000L), 3000L, tokensWp = false,
-        semanticEmbSql = Some(
-          """  SELECT e.vec_id,
-            |         CASE WHEN e.vec_id % 17 = 3 AND p.embedding IS NOT NULL
-            |              THEN list_transform(p.embedding, x -> x * 1.001::FLOAT)
-            |              ELSE e.embedding END AS embedding
-            |  FROM embeddings e LEFT JOIN embeddings p ON p.vec_id = e.vec_id - 1""".stripMargin)),
+        semanticEmbSql = Some(scaledPrevEmbeddingsSql)),
 
     "q_pipeline_train_export_full" ->
       // eight stages, every splice at once: pg_ (paragraph) reads dd,
@@ -3885,24 +3892,9 @@ object ExtensionQueries {
         Seq("src0" -> 4000L, "src1" -> 2000L), 3000L, tokensWp = false,
         spanK = Some(10),
         paraDedup = true,
-        corpusSql = Some(
-          s"""  SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n_chars FROM (
-             |    SELECT d.doc_id, d.source,
-             |      CASE WHEN d.doc_id % 13 = 0 AND p.text IS NOT NULL
-             |           THEN d.text || ' ' || array_to_string(list_slice(string_split_regex(trim(p.text), '\\s+'), 1, 20), ' ')
-             |           ELSE d.text END AS text
-             |    FROM (
-             |${Corpus.paraCorpusSql}
-             |    ) d LEFT JOIN (
-             |${Corpus.paraCorpusSql}
-             |    ) p ON p.doc_id = d.doc_id + 1
-             |  )""".stripMargin),
-        semanticEmbSql = Some(
-          """  SELECT e.vec_id,
-            |         CASE WHEN e.vec_id % 17 = 3 AND p.embedding IS NOT NULL
-            |              THEN list_transform(p.embedding, x -> x * 1.001::FLOAT)
-            |              ELSE e.embedding END AS embedding
-            |  FROM embeddings e LEFT JOIN embeddings p ON p.vec_id = e.vec_id - 1""".stripMargin)),
+        corpusSql = Some(spanPlantCorpusSql(
+          s"(\n${Corpus.paraCorpusSql}\n    )")),
+        semanticEmbSql = Some(scaledPrevEmbeddingsSql)),
 
     "q_pipeline_incremental_ingest" ->
       // the acceptance rule replayed from the FULL pair set: for a

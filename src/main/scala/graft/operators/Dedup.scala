@@ -643,43 +643,57 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       table: String, buckets: Int, keys: Seq[String]): DataFrame = {
     val tmp = table + "_compact_tmp"
-    // tombstones applied via a PLAIN (shuffled) ANTI-JOIN here — not
-    // the probe path's capped driver collect (stateTableLive), and
-    // not a broadcast: compaction is the prescribed REMEDY when a
-    // (legacy/externally-grown) tombstone set outgrows the probe
-    // mask's cap, so the rewrite must not read the set through ANY
-    // bounded channel — the capped collect was the ADVICE r13
-    // deadlock, and a broadcast would merely move the ceiling to
-    // Spark's broadcast limit (the r14 review's follow-up). Plan
-    // shape doesn't matter for a one-off rewrite; the
-    // one-file-per-bucket layout comes from the explicit repartition
-    // below, whose HashPartitioning is the same murmur3-mod the
-    // bucketed write uses, so each write task holds exactly one whole
-    // bucket (spec-pinned file count). Bucketed READING is disabled
-    // for the rewrite: the scan's CLAIMED bucket partitioning makes
-    // the optimizer eliminate the repartition's exchange while the
-    // accumulated files are still read in size-based splits —
-    // measured 3 files/bucket scatter; a plain read keeps the
-    // exchange and the alignment.
+    // Two rewrite paths (r14 review):
+    //
+    // ROUTINE (no tombstone table, or a set inside the probe cap —
+    // i.e. every state the public API can produce): the zero-exchange
+    // form. Bucketed scanning is FORCED ON (Spark auto-disables it
+    // when the plan doesn't exploit the partitioning, bringing
+    // size-based splits back), so each write task holds one whole
+    // bucket and the in-cap mask is stateTableLive's plain filter —
+    // narrow, partitioning preserved, one file per bucket, NOTHING
+    // shuffles. This is the cadence path appendAndMaybeCompact runs
+    // per fragmentation threshold; it must not pay an O(state)
+    // shuffle.
+    //
+    // RECOVERY (a legacy/externally-grown set PAST the cap): the
+    // probe mask's capped collect would deadlock here (ADVICE r13) —
+    // and a broadcast anti-join would merely move the ceiling to
+    // Spark's broadcast limit — so the set rides a PLAIN shuffled
+    // anti-join (no distinct: duplicate right-side ids cannot change
+    // an anti-join). One-file-per-bucket then comes from an explicit
+    // repartition on the bucket keys (the same murmur3-mod the
+    // bucketed write uses) with bucketed READING disabled: the scan's
+    // CLAIMED bucket partitioning otherwise makes the optimizer
+    // eliminate the repartition's exchange while the accumulated
+    // files are still read in size-based splits — measured 3
+    // files/bucket scatter, probed back to 1.
     val tt = tombstoneTableName(table)
-    val bucketingKey = "spark.sql.sources.bucketing.enabled"
-    val prevBucketing = spark.conf.get(bucketingKey)
-    try {
-      spark.conf.set(bucketingKey, "false")
-      val live = {
-        val raw = spark.table(table)
-        if (!spark.catalog.tableExists(tt)) raw
-        // no distinct(): duplicate right-side ids cannot change an
-        // anti-join (the ZLayout.read rationale)
-        else raw.join(spark.table(tt), Seq("doc_id"), "left_anti")
-      }
-      live
-        .repartition(buckets, keys.map(col): _*)
-        .write.mode("overwrite").format("parquet")
+    val overCap = spark.catalog.tableExists(tt) &&
+      spark.table(tt).distinct().count() > MaxTombstones
+    def writeBucketed(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("parquet")
         .bucketBy(buckets, keys.head, keys.tail: _*)
         .sortBy(keys.head, keys.tail: _*)
         .saveAsTable(tmp)
-    } finally spark.conf.set(bucketingKey, prevBucketing)
+    if (!overCap) {
+      val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val prevAuto = spark.conf.get(autoKey)
+      try {
+        spark.conf.set(autoKey, "false")
+        writeBucketed(stateTableLive(spark, table))
+      } finally spark.conf.set(autoKey, prevAuto)
+    } else {
+      val bucketingKey = "spark.sql.sources.bucketing.enabled"
+      val prevBucketing = spark.conf.get(bucketingKey)
+      try {
+        spark.conf.set(bucketingKey, "false")
+        spark.table(table)
+          .join(spark.table(tt), Seq("doc_id"), "left_anti")
+          .repartition(buckets, keys.map(col): _*)
+          .pipe(writeBucketed)
+      } finally spark.conf.set(bucketingKey, prevBucketing)
+    }
     spark.sql(s"DROP TABLE `$table`")
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
     // deletions are now baked into the layout — clear the tombstone
@@ -1264,7 +1278,7 @@ object Dedup {
     // name-based select
     val reserved = Seq(
       "doc_id", "n_paras", "n_kept", "text_deduped", "pos", "para", "pkey",
-      "keep", "pk1", "pk2")
+      "keep", "pk1", "pk2", "_first", "_nck")
     val clash = passthroughCols.filter(c => reserved.exists(_.equalsIgnoreCase(c)))
     require(
       clash.isEmpty,

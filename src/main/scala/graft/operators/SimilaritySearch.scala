@@ -449,10 +449,13 @@ object SimilaritySearch {
     * so the rewrite must not read the set through ANY bounded channel
     * — the capped collect was the ADVICE r13 deadlock, and a
     * broadcast hint would merely move the ceiling to Spark's
-    * broadcast limit (r14 review follow-up). Plan shape doesn't
-    * matter for a one-off rewrite (both compaction writers repartition
-    * explicitly afterwards); no distinct() on the tombstone side
-    * because duplicate ids cannot change an anti-join.
+    * broadcast limit (r14 review follow-up). UNHINTED is the point:
+    * the optimizer still auto-broadcasts a takedown-sized set (the
+    * routine case pays no extra exchange — both compaction writers
+    * repartition explicitly afterwards anyway) and falls back to a
+    * shuffle only when the set is genuinely past broadcast size. No
+    * distinct() on the tombstone side because duplicate ids cannot
+    * change an anti-join.
     */
   private def antiTombstonesJoin(
       spark: org.apache.spark.sql.SparkSession, rows: DataFrame, dir: String,
