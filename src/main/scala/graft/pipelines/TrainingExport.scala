@@ -175,18 +175,26 @@ object TrainingExport {
     }
     val paraged =
       if (!cfg.paragraphDedup) deduped
-      else
+      else {
         // rebuilt text + recomputed n_chars flow into everything
         // downstream, exactly like the span stage's contract. The
         // PRODUCTION fingerprint form (hash-width shuffles, skew-safe
         // min_by first-occurrence; q_dedup_paragraph_fp pins its
         // equality with the text-keyed semantics reference)
-        Dedup.paragraphDedup(
+        val rebuilt = Dedup.paragraphDedup(
           deduped, passthroughCols = Seq("source"), byFingerprint = true)
           .select(
             col("doc_id"), col("source"),
             col("text_deduped").as("text"),
             length(col("text_deduped")).cast("long").as("n_chars"))
+        // materialized ONLY when the span stage follows: the span
+        // self-join and the removal base each re-read their input, and
+        // re-computing the rebuild (agg + fingerprint join + reassembly)
+        // per read loses — unlike the raw-corpus case, where caching
+        // measured slower than recomputing the codegen'd gates (see the
+        // span stage's cache note)
+        if (cfg.spanDedup.isDefined) rebuilt.localCheckpoint(true) else rebuilt
+      }
     val spanned = cfg.spanDedup match {
       case None => paraged
       case Some(minTok) =>
