@@ -393,6 +393,23 @@ object ExtensionQueries {
     }),
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(Corpus.docCorpus(s, dir)).orderBy("doc_a", "doc_b")),
+    "q_dedup_chunks_neardup" -> ((s, dir) =>
+      // NEAR-dup at CHUNK granularity — the optional half of the r13
+      // verdict's chunk-dedup ask: the chunker's output goes through
+      // the standard MinHash-LSH banding machinery unchanged, with
+      // chunk identity packed as doc_id·2²⁰ + chunk_id (chunk counts
+      // are bounded far below 2²⁰ by the token guard). The planted
+      // exact-copy docs emit signature-identical chunk pairs; banding
+      // does candidate generation, full-signature agreement refines —
+      // no operator changes needed, which is the point: chunks are
+      // just documents to the dedup family
+      Dedup.minhashPairs(
+        TextAnalysis.chunkDocuments(
+          Corpus.docCorpus(s, dir), chunkTokens = 30, strideTokens = 20)
+          .select(
+            (col("doc_id") * 1048576L + col("chunk_id")).as("doc_id"),
+            col("chunk_text").as("text")))
+        .orderBy("doc_a", "doc_b")),
     "q_split_leakage" -> ((s, dir) => {
       // within-corpus train/test leakage: near-dup pairs straddling
       // the split boundary re-home their WHOLE component to the
@@ -3090,6 +3107,20 @@ object ExtensionQueries {
 
     "q_dedup_minhash" ->
       s"$minhashPairsSql ORDER BY doc_a, doc_b",
+
+    "q_dedup_chunks_neardup" ->
+      // the SAME minhash oracle spelling over the chunk corpus (the
+      // shared chunk-cut CTEs, packed chunk identity)
+      s"""${minhashPairsSqlWith(
+             Bands, RowsPerBand,
+             s"""SELECT doc_id, text FROM (
+                |  WITH chunk_corpus AS (
+                |${Corpus.docCorpusSql}
+                |  ), ${TextAnalysis.chunkDocumentsDuckCtes(30, 20, "chunk_corpus")}
+                |  SELECT doc_id * 1048576 + chunk_id AS doc_id,
+                |         array_to_string(ck, ' ') AS text
+                |  FROM s
+                |)""".stripMargin)} ORDER BY doc_a, doc_b""",
 
     "q_dedup_minhash_fine" ->
       s"${minhashPairsSqlWith(bands = 16, rowsPerBand = 2)} ORDER BY doc_a, doc_b",
