@@ -250,19 +250,22 @@ object DiffGen {
     val (floatCols, exactCols) = cfg.absTol.fold(
       (Set.empty[String], Set.empty[String])) { d =>
       DiffSql.validateAbsTol(d, "--abs_tol")
-      def numericScalar(t: String): Boolean = {
-        val u = t.toUpperCase
-        // typeClass plus the Spark sqlTypeName spellings castTypes
-        // emits (DOUBLE/BIGINT) that DESCRIBE-era classing never saw
-        Seq("NUMBER", "INT", "FLOAT", "DECIMAL", "DOUBLE", "REAL")
-          .exists(u.contains) && !t.contains("<")
-      }
+      // Classed via parseCsvType's parsed DataType, not substrings
+      // (ADVICE r14: the substring list omitted the 'NUMERIC'
+      // spelling parseCsvType itself accepts as a decimal, and 'INT'
+      // would over-match any future spelling containing it, e.g.
+      // INTERVAL). parseCsvType covers both the DESCRIBE-era
+      // spellings and the Spark sqlTypeName spellings castTypes
+      // emits (DOUBLE/BIGINT/DECIMAL(p,s)); nested types and unknown
+      // spellings parse to None and class non-numeric, preserving
+      // the no-'<' guard.
+      def numericScalar(t: String): Boolean =
+        parseCsvType(t).exists(_.isInstanceOf[org.apache.spark.sql.types.NumericType])
       val scalars = (beforeSchema ++ afterSchema)
         .map { case (c, t) => (c, castTypes.getOrElse(c, t)) }
         .filter { case (_, t) => numericScalar(t) }
       val (fl, ex) = scalars.partition { case (_, t) =>
-        val u = t.toUpperCase
-        Seq("FLOAT", "DOUBLE", "REAL").exists(u.contains)
+        parseCsvType(t).contains(org.apache.spark.sql.types.DoubleType)
       }
       require(
         scalars.nonEmpty,

@@ -720,6 +720,16 @@ object Dedup {
     * clears the set leaves it masked, and the compaction drops the
     * re-added rows too. Delete-then-re-add of one id is a caller
     * error.
+    *
+    * SINGLE-WRITER assumption (ADVICE r14): the cap check below is
+    * check-then-append — two separate jobs with no transaction — so
+    * two concurrent deleters can both pass the check and overshoot
+    * the cap, and the `existing + new` count does not deduplicate
+    * overlap with already-tombstoned ids (an overlapping re-delete is
+    * rejected conservatively near the cap). Every maintenance verb on
+    * these layouts (append, compact, delete) assumes one writer at a
+    * time — the same contract as the Z-order layout's roll-forward;
+    * concurrent writers need an external lock.
     */
   def deleteFromStateTable(docIds: DataFrame, table: String): Unit = {
     val spark = docIds.sparkSession
@@ -1415,6 +1425,7 @@ object Dedup {
     // aggregation as the one-shot's production form, then the state
     // probe as a hash-width left join; tolerate state rows carrying
     // owner ids ([[writeLineTable]]) — the probe needs the key set only
+    val stateProbe = adaptLineState(stateKeys, "paragraphIngestStep")
     val key = lower(trim(col("para")))
     val (h1, h2) = lineFp(key)
     val keyed = parts.filter(trim(col("para")) =!= "")
@@ -1424,7 +1435,7 @@ object Dedup {
     val marked = keyed
       .join(first, Seq("pk1", "pk2"))
       .join(
-        stateKeys.select("pk1", "pk2").withColumn("_seen", lit(true)),
+        stateProbe.withColumn("_seen", lit(true)),
         Seq("pk1", "pk2"), "left")
       .withColumn("keep",
         col("doc_id") === col("_first.doc_id") &&
@@ -1441,6 +1452,30 @@ object Dedup {
       .filter(col("keep") && col("pk1").isNotNull)
       .select("pk1", "pk2", "doc_id")
     (rebuilt, newKeys)
+  }
+
+  /** Adapt a line-state frame to the probe's (pk1, pk2) fingerprint
+    * layout, with an explicit schema check (ADVICE r14: a state table
+    * written by the pre-fingerprint revision — `(pkey STRING,
+    * doc_id)`, pkey = the normalized line text — used to fail the
+    * probe join with a raw missing-column AnalysisException far from
+    * the cause). A legacy text-keyed table is REHASHED on read:
+    * `pkey` already stores `lower(trim(para))` and [[lineFp]] is a
+    * pure function of that key, so the rehash probes identically to
+    * a rebuilt table (the normalization is re-applied — idempotent —
+    * to also tolerate state written from pre-normalized text).
+    * Anything else fails fast with the rebuild remedy.
+    */
+  private def adaptLineState(state: DataFrame, caller: String): DataFrame = {
+    val cols = state.columns.map(_.toLowerCase).toSet
+    if (cols.contains("pk1") && cols.contains("pk2")) state.select("pk1", "pk2")
+    else if (cols.contains("pkey")) {
+      val (l1, l2) = lineFp(lower(trim(col("pkey"))))
+      state.select(l1.as("pk1"), l2.as("pk2"))
+    } else throw new IllegalArgumentException(
+      s"$caller expects fingerprint line-state columns (pk1, pk2) or the " +
+        s"legacy text-keyed layout (pkey); got [${state.columns.mkString(", ")}] — " +
+        "rebuild the state table with writeLineTable on this revision")
   }
 
   /** A corpus's one-shot line-key state: the (pk1, pk2, doc_id) rows
@@ -1497,10 +1532,20 @@ object Dedup {
     */
   def appendToLineTable(
       newKeys: DataFrame, table: String, buckets: Int = BandTableBuckets,
-      appendTasks: Int = 0): Unit =
+      appendTasks: Int = 0): Unit = {
+    // fail fast on a legacy text-keyed (pkey) table: appending
+    // fingerprint rows into it would raise a schema-mismatch error
+    // far from the cause (ADVICE r14) — the table must be rebuilt
+    val spark = newKeys.sparkSession
+    if (spark.catalog.tableExists(table) &&
+      spark.table(table).columns.exists(_.equalsIgnoreCase("pkey")))
+      throw new IllegalArgumentException(
+        s"line-state table '$table' has the legacy text-keyed layout (pkey) — " +
+          "rebuild it with writeLineTable on this revision before appending")
     writeBucketedState(
       newKeys.select("pk1", "pk2", "doc_id"),
       table, buckets, Seq("pk1", "pk2"), "append", appendTasks)
+  }
 
   /** [[compactBandTable]] for the line-key state table. */
   def compactLineTable(

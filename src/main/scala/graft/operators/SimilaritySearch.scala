@@ -1250,6 +1250,15 @@ object SimilaritySearch {
     * task (128 MB, the default `files.maxPartitionBytes`) per output
     * file, minimum one. The size-derived default for every codes
     * compaction entry point — 1 is only right at test scale.
+    *
+    * The raw bytes include rows a pending tombstone set is about to
+    * drop (ADVICE r14: after a large takedown they over-state the
+    * post-compaction size), so the estimate is scaled by the live-row
+    * fraction — codes tables carry exactly one row per vec_id, so
+    * |tombstones| / rows IS the dead fraction; both counts are
+    * parquet-metadata reads, no data scan. Append fragmentation
+    * overhead (small files compress worse) still inflates the
+    * estimate slightly — the conservative direction.
     */
   private def sizedCodeFiles(
       spark: org.apache.spark.sql.SparkSession, path: String): Int = {
@@ -1258,7 +1267,16 @@ object SimilaritySearch {
       val p = new org.apache.hadoop.fs.Path(f)
       p.getFileSystem(conf).getFileStatus(p).getLen
     }.sum
-    math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
+    val dir = path.stripSuffix("/codes")
+    val live =
+      if (dir == path || !dirExists(spark, s"$dir/tombstones")) 1.0
+      else {
+        val total = spark.read.parquet(path).count()
+        val dead = spark.read.parquet(s"$dir/tombstones").count()
+        if (total <= 0L) 1.0 else math.max(0.0, (total - dead).toDouble / total)
+      }
+    val liveBytes = (bytes * live).toLong
+    math.max(1L, (liveBytes + (128L << 20) - 1) / (128L << 20)).toInt
   }
 
   private def compactCodesNoClear(

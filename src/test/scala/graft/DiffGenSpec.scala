@@ -212,6 +212,29 @@ class DiffGenSpec extends AnyFunSuite {
     assert(neg.getMessage.contains("non-negative"), neg.getMessage)
   }
 
+  test("--abs_tol classes via the parsed type: NUMERIC counts, INTERVAL-ish does not (ADVICE r14)") {
+    // NUMERIC(p,s) is a spelling parseCsvType explicitly accepts as a
+    // decimal, but the old substring classing (NUMBER|INT|FLOAT|...)
+    // missed it — the column was silently compared exactly while its
+    // NUMBER(p,s) twin got the tolerance. Classing now rides the
+    // parsed DataType, so NUMERIC takes the exact-subtraction
+    // spelling; and an unparseable future spelling containing 'INT'
+    // (INTERVAL) classes non-numeric instead of substring-matching
+    // into an ABS() that fails at execution.
+    val b = tmpCsv("toln_before.csv",
+      "name,type\nK1,\"NUMBER(38,0)\"\nVAL,\"NUMERIC(10,2)\"\nSPAN,INTERVAL")
+    val a = tmpCsv("toln_after.csv",
+      "name,type\nK1,\"NUMBER(38,0)\"\nVAL,\"NUMERIC(10,2)\"\nSPAN,INTERVAL")
+    val k = tmpCsv("toln_keys.csv", "name,type\nK1,\"NUMBER(38,0)\"")
+    val sql = DiffGen.buildSql(DiffGen.parseArgs(Seq(
+      b.toString, a.toString, "--keys", k.toString, "--abs_tol", "0.01")))
+    assert(sql.contains("CAST(ABS(b_VAL - a_VAL) AS DOUBLE) <= 0.01"),
+      "NUMERIC(10,2) must take the exact native-subtraction tolerance")
+    assert(!sql.contains("ABS(b_SPAN") && !sql.contains("ABS(CAST(b_SPAN"),
+      "INTERVAL must not class numeric via the 'INT' substring")
+    assert(sql.contains("b_SPAN = a_SPAN"))
+  }
+
   test("--abs_tol classes evolved columns by their WIDENED comparison type (ADVICE r13)") {
     import spark.implicits._
     // VAL evolves NUMBER(9,2) → VARCHAR: both projections cast to

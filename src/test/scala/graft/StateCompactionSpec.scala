@@ -555,6 +555,54 @@ class StateCompactionSpec extends AnyFunSuite {
     }
   }
 
+  test("legacy text-keyed line state (pkey): probe rehashes on read, append fails fast (ADVICE r14)") {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = Corpus.paraCorpus(spark, dir).select("doc_id", "text").localCheckpoint(true)
+    val batch = corpus.filter(col("doc_id") % 9 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L).localCheckpoint(true)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id").collect().toSeq
+    // the pre-fingerprint revision's state layout: (pkey STRING,
+    // doc_id), pkey = the normalized line text of each first occurrence
+    val parts = corpus.select(
+      col("doc_id"),
+      posexplode(split(coalesce(col("text"), lit("")), "\n", -1)).as(Seq("pos", "para")))
+    val legacyState = parts.filter(trim(col("para")) =!= "")
+      .withColumn("pkey", lower(trim(col("para"))))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("pkey").orderBy("doc_id", "pos")))
+      .filter(col("rn") === 1)
+      .select(col("pkey"), col("doc_id"))
+      .localCheckpoint(true)
+    // probing the legacy frame must NOT throw a missing-column
+    // AnalysisException: pkey is rehashed into (pk1, pk2) on read and
+    // the probe result is identical to a rebuilt fingerprint state
+    val viaLegacy = canon(Dedup.paragraphIngestStep(batch, legacyState)._1)
+    Dedup.unpersistAll()
+    val fpState = legacyState.select(
+      xxhash64(col("pkey")).as("pk1"),
+      xxhash64(lit("fp2"), col("pkey")).as("pk2"),
+      col("doc_id"))
+    val viaFp = canon(Dedup.paragraphIngestStep(batch, fpState)._1)
+    Dedup.unpersistAll()
+    assert(viaLegacy == viaFp)
+    // a frame with NEITHER layout names the remedy, not a join error
+    val bogus = intercept[IllegalArgumentException] {
+      Dedup.paragraphIngestStep(batch, corpus.select(col("doc_id").as("some_id")))
+    }
+    assert(bogus.getMessage.contains("writeLineTable"), bogus.getMessage)
+    // appending fingerprint rows into a legacy pkey TABLE fails fast
+    // with the rebuild message instead of a schema mismatch downstream
+    val table = "line_spec_legacy"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      legacyState.write.saveAsTable(table)
+      val e = intercept[IllegalArgumentException] {
+        Dedup.appendToLineTable(fpState, table, buckets = 4)
+      }
+      assert(e.getMessage.contains("legacy text-keyed layout"), e.getMessage)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("bucketed-state tombstones: band and shingle deletes mask immediately, survive compaction, keep the probe plan") {
     import spark.implicits._
     // ---- band table ----
