@@ -1227,6 +1227,50 @@ object ExtensionQueries {
         .orderBy("media_id", "frame_no")
     }),
 
+    "q_dedup_media" -> ((s, dir) => {
+      // EXACT media dedup — the byte granularity: every 7th doc's P6
+      // payload re-ships byte-identical under a fresh media_id
+      // (+1,000,000), and each payload group keeps only its
+      // minimum-id member. The fingerprint machinery hashes the RAW
+      // BINARY payload (no decode), so the heavy column never
+      // shuffles; the oracle reconstructs every payload STRING from
+      // the same doc_id formulas and groups by it — a byte-handling
+      // or hash-grouping bug on the Spark side diverges the keep set.
+      // Distinct docs never collide: the '# doc N' header comment
+      // makes the payload injective in the source doc.
+      val base = graft.operators.Multimodal.synthesizePpm(Tables.documents(s, dir))
+      val copies = base.filter(col("media_id") % 7 === 0)
+        .withColumn("media_id", col("media_id") + 1000000L)
+      Dedup.mediaDedupExact(base.unionByName(copies))
+        .select(
+          col("media_id"),
+          octet_length(col("media")).cast("long").as("n_bytes"),
+          col("keep"))
+        .orderBy("media_id")
+    }),
+    "q_dedup_media_neardup" -> ((s, dir) => {
+      // PERCEPTUAL media near-dup — the feature granularity the byte
+      // hash cannot see: every 7th doc's textured P6 re-ships with
+      // three pixels lightly edited (byte hashes differ), and the
+      // pipeline decodes payloads through the REAL grid decoder
+      // (PpmGridDecoder — byte-level header parse + 9×8
+      // nearest-neighbor grayscale sampling), packs the 64-bit
+      // difference hash, and finds all pairs within Hamming 4 via the
+      // lossless pigeonhole multi-index. The fixture's mixed pixel
+      // formula puts the nearest NON-planted pair at Hamming ≥ 5
+      // (measured at both SFs), so the result is exactly the planted
+      // copy pairs; the oracle recomputes the grid cells from the
+      // same formulas — a header-parse or sampling-offset bug on the
+      // Spark side diverges the hashes.
+      val docs = Tables.documents(s, dir)
+      val media = graft.operators.Multimodal.synthesizePpmTextured(docs)
+        .unionByName(graft.operators.Multimodal.synthesizePpmTextured(
+          docs.filter(col("doc_id") % 7 === 0),
+          mediaIdOffset = 1000000L, perturb = true))
+      graft.operators.Multimodal.perceptualHashPairs(media, maxHamming = 4)
+        .orderBy("media_a", "media_b")
+    }),
+
     // ---- corpus curation: salience, heavy hitters, sampling, layout ----
     "q_tfidf_top_terms" -> ((s, dir) =>
       TextAnalysis.tfIdfTopTerms(Tables.documents(s, dir)).orderBy("doc_id", "rank")),
@@ -3640,6 +3684,74 @@ object ExtensionQueries {
         |  md5(frame) AS digest
         |FROM f WHERE frame_no % 4 = 0
         |ORDER BY media_id, frame_no""".stripMargin,
+
+    // exact media dedup: reconstruct every payload (header + pixel
+    // chars from the doc_id formulas — same ASCII-validity argument
+    // as q_multimodal_features) and keep each payload group's
+    // minimum-id member
+    "q_dedup_media" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, doc_id AS sid FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id FROM documents WHERE doc_id % 7 = 0
+        |), px AS (
+        |  SELECT media_id,
+        |    string_agg(chr(CAST(32 + (sid*31 + i*7) % 95 AS INT)), '' ORDER BY i) AS pix
+        |  FROM (
+        |    SELECT media_id, sid,
+        |      unnest(range(0, (4 + sid % 8) * (3 + sid % 5) * 3)) AS i
+        |    FROM m)
+        |  GROUP BY media_id
+        |), pay AS (
+        |  SELECT m.media_id,
+        |    'P6' || chr(10) || '# doc ' || CAST(m.sid AS VARCHAR) || chr(10) ||
+        |    CAST(4 + m.sid % 8 AS VARCHAR) || ' ' || CAST(3 + m.sid % 5 AS VARCHAR) || chr(10) ||
+        |    '255' || chr(10) || px.pix AS payload
+        |  FROM m JOIN px USING (media_id)
+        |)
+        |SELECT media_id, CAST(length(payload) AS BIGINT) AS n_bytes,
+        |  media_id = MIN(media_id) OVER (PARTITION BY payload) AS keep
+        |FROM pay ORDER BY media_id""".stripMargin,
+
+    // perceptual media near-dup: recompute the 9×8 grid cells from
+    // the textured-PPM formulas (nearest-neighbor pixel p = (gy·h/8)
+    // ·w + gx·w/9, gray = the three channel bytes' sum), pack the
+    // 64-bit difference hash with the shared dialect-paired
+    // expression, and take all pairs within Hamming 4 — the
+    // QUADRATIC reference formulation (the corpus is small enough
+    // here; the Spark side must produce the identical pair set from
+    // its pigeonhole candidates, proving them lossless)
+    "q_dedup_media_neardup" -> {
+      def byteDuck(j: String): String =
+        s"(32 + (sid*31 + ($j)*7 + (($j)*($j)*13 + sid*sid*17 + sid*($j)*29) % 9973" +
+          s" + CASE WHEN pert AND ($j) IN (0, 3*((w*h)//2), 3*(w*h-1)) THEN 41 ELSE 0 END) % 95)"
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id, doc_id AS sid, FALSE AS pert FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, doc_id, TRUE FROM documents WHERE doc_id % 7 = 0
+         |), g AS (
+         |  SELECT media_id, sid, pert, 12 + sid % 8 AS w, 9 + sid % 5 AS h,
+         |    unnest(range(0, 72)) AS c
+         |  FROM m
+         |), pcell AS (
+         |  SELECT media_id, sid, pert, w, h, c,
+         |    ((c // 9) * h // 8) * w + ((c % 9) * w // 9) AS p
+         |  FROM g
+         |), cell AS (
+         |  SELECT media_id, c,
+         |    ${byteDuck("3*p")} + ${byteDuck("3*p + 1")} + ${byteDuck("3*p + 2")} AS gray
+         |  FROM pcell
+         |), cells AS (
+         |  SELECT media_id, list(gray ORDER BY c) AS cl FROM cell GROUP BY media_id
+         |), hsh AS (
+         |  SELECT media_id, ${graft.operators.Multimodal.dhashDuck("cl")} AS fph FROM cells
+         |)
+         |SELECT x.media_id AS media_a, y.media_id AS media_b,
+         |  CAST(bit_count(xor(x.fph, y.fph)) AS BIGINT) AS hamming
+         |FROM hsh x JOIN hsh y ON x.media_id < y.media_id
+         |WHERE bit_count(xor(x.fph, y.fph)) <= 4
+         |ORDER BY media_a, media_b""".stripMargin
+    },
 
     "q_tfidf_top_terms" ->
       TextAnalysis.tfIdfTopTermsDuckSql("documents"),

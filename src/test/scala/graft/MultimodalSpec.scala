@@ -123,6 +123,97 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(3L).getAs[Long]("n_bytes") == 0L)
   }
 
+  // ---- media-granularity dedup: byte-exact + perceptual ----
+
+  test("PpmGridDecoder samples the 9x8 grid by nearest neighbor from real bytes") {
+    // 12x9 image whose pixel (x, y) has channel bytes (x, y, 100) —
+    // the sampled cell value is then x + y + 100 at the grid's
+    // nearest-neighbor positions, checkable in closed form
+    val w = 12; val h = 9
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = 3 * (y * w + x)
+      px(p) = x.toByte; px(p + 1) = y.toByte; px(p + 2) = 100.toByte
+    }
+    val f = Multimodal.PpmGridDecoder.decode(ppm(s"P6\n$w $h\n255\n", px))
+    assert(f.length == 72)
+    for (gy <- 0 until 8; gx <- 0 until 9) {
+      val x = gx * w / 9; val y = gy * h / 8
+      assert(f(gy * 9 + gx) == (x + y + 100).toFloat,
+        s"cell ($gx,$gy) must sample pixel ($x,$y)")
+    }
+    // malformed input fails through the same header parser
+    intercept[IllegalArgumentException](
+      Multimodal.PpmGridDecoder.decode("P5\n1 1\n255\nxxx".getBytes("US-ASCII")))
+  }
+
+  test("mediaDedupExact keeps the minimum-id member of each byte-identical payload group") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    val base = Multimodal.synthesizePpm(docs)
+    val copies = base.filter(col("media_id") % 7 === 0)
+      .withColumn("media_id", col("media_id") + 1000000L)
+    val out = graft.operators.Dedup.mediaDedupExact(base.unionByName(copies))
+      .select("media_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // every original keeps (it is the minimum id of its group);
+    // every byte-identical copy drops
+    assert(out.filter(_._1 < 1000000L).values.forall(identity))
+    assert(out.filter(_._1 >= 1000000L).nonEmpty)
+    assert(out.filter(_._1 >= 1000000L).values.forall(!_))
+    // reserved-column clash fails fast
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Dedup.mediaDedupExact(base.withColumn("keep", lit(true))))
+    assert(e.getMessage.contains("keep"))
+  }
+
+  test("perceptual pairs: pigeonhole candidates are lossless, byte dedup misses what dHash catches") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    // originals + lightly-edited copies (3 pixels rotated) + a
+    // RE-ENCODED copy class: same pixels, different header comment —
+    // byte hashes differ, pixels identical → Hamming 0
+    val media = Multimodal.synthesizePpmTextured(docs)
+      .unionByName(Multimodal.synthesizePpmTextured(
+        docs.filter(col("doc_id") % 7 === 0), mediaIdOffset = 1000000L, perturb = true))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("media_a", "media_b").collect().toSeq
+    val viaPigeonhole = canon(Multimodal.perceptualHashPairs(media, maxHamming = 4))
+    graft.operators.Dedup.unpersistAll()
+    val viaQuadratic = canon(
+      Multimodal.perceptualHashPairs(media, maxHamming = 4, pigeonhole = false))
+    graft.operators.Dedup.unpersistAll()
+    // the pigeonhole equi-join candidates lose NO pair within the
+    // radius — identical result to the quadratic reference
+    assert(viaPigeonhole == viaQuadratic)
+    // every planted edited copy is found (Hamming ≤ 4 by fixture
+    // construction: bounded bit footprint of 3 pixel edits), and no
+    // non-planted pair sneaks in (nearest noise ≥ 5, measured)
+    val expected = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(viaPigeonhole.map(r => (r.getLong(0), r.getLong(1))) ===
+      expected.map(d => (d, d + 1000000L)).toSeq)
+    // a re-encoded copy (metadata-only change): byte dedup sees two
+    // distinct payloads, the perceptual hash sees one image
+    val reenc = Multimodal.synthesizePpmTextured(docs.filter(col("doc_id") === 3))
+      .withColumn("media_id", lit(2000000L))
+      .withColumn(
+        "media",
+        // splice a different comment line into the header: '# doc 3'
+        // is bytes 4..10 of the payload (P6\n then the comment)
+        expr("CAST(concat('P6', char(10), '# other comment', char(10), " +
+          "substring(media, 12, octet_length(media) - 11)) AS BINARY)"))
+    val withReenc = media.unionByName(reenc)
+    val exact = graft.operators.Dedup.mediaDedupExact(withReenc)
+      .filter(col("media_id").isin(3L, 2000000L)).select("keep").collect()
+    assert(exact.forall(_.getBoolean(0)), "byte dedup must NOT link the re-encode")
+    val perc = Multimodal.perceptualHashPairs(withReenc, maxHamming = 4)
+      .filter(col("media_a") === 3L && col("media_b") === 2000000L).collect()
+    graft.operators.Dedup.unpersistAll()
+    assert(perc.length == 1 && perc.head.getAs[Long]("hamming") == 0L,
+      "the re-encoded copy must pair at Hamming 0 through the decoder")
+  }
+
   test("a custom MediaDecoder plugs into extractFeatures with per-partition open()") {
     import spark.implicits._
     // 2-dim "codec": [length, first byte] — plus an open() marker that
