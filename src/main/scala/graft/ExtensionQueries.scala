@@ -394,22 +394,18 @@ object ExtensionQueries {
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(Corpus.docCorpus(s, dir)).orderBy("doc_a", "doc_b")),
     "q_dedup_chunks_neardup" -> ((s, dir) =>
-      // NEAR-dup at CHUNK granularity — the optional half of the r13
-      // verdict's chunk-dedup ask: the chunker's output goes through
-      // the standard MinHash-LSH banding machinery unchanged, with
-      // chunk identity packed as doc_id·2²⁰ + chunk_id (chunk counts
-      // are bounded far below 2²⁰ by the token guard). The planted
+      // NEAR-dup at CHUNK granularity through the OPERATOR-level
+      // composite identity (r14 verdict: the earlier bench-side
+      // doc_id·2²⁰+chunk_id packing asserted its bound in a comment;
+      // chunkNearDupPairs packs with lazy range guards and unpacks
+      // the result, so the packed form never leaks). The planted
       // exact-copy docs emit signature-identical chunk pairs; banding
       // does candidate generation, full-signature agreement refines —
-      // no operator changes needed, which is the point: chunks are
-      // just documents to the dedup family
-      Dedup.minhashPairs(
+      // chunks are just documents to the dedup family
+      Dedup.chunkNearDupPairs(
         TextAnalysis.chunkDocuments(
-          Corpus.docCorpus(s, dir), chunkTokens = 30, strideTokens = 20)
-          .select(
-            (col("doc_id") * 1048576L + col("chunk_id")).as("doc_id"),
-            col("chunk_text").as("text")))
-        .orderBy("doc_a", "doc_b")),
+          Corpus.docCorpus(s, dir), chunkTokens = 30, strideTokens = 20))
+        .orderBy("doc_a", "chunk_a", "doc_b", "chunk_b")),
     "q_split_leakage" -> ((s, dir) => {
       // within-corpus train/test leakage: near-dup pairs straddling
       // the split boundary re-home their WHOLE component to the
@@ -747,6 +743,86 @@ object ExtensionQueries {
       }
       Dedup.unpersistAll()
       out.orderBy("doc_id")
+    }),
+    "q_stream_chunk_ingest" -> ((s, dir) => {
+      // the STREAMING chunk-ingest loop — q_stream_para_ingest's
+      // shape at CHUNK granularity (r14 verdict task): the corpus
+      // (with its planted exact copies) arrives as a 4-slice
+      // micro-batch stream; each batch is chunked, deduped against
+      // the accumulated chunk-KEY state (24-byte fingerprint rows,
+      // never chunk text), and extends it. First ARRIVAL wins, so
+      // the oracle replays the identical (doc_id % 4, doc_id,
+      // chunk_id) arrival order in one batch window.
+      import org.apache.spark.sql.types._
+      val corpus = Corpus.docCorpus(s, dir).select("doc_id", "text")
+      var state = s.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(Seq(
+          StructField("pk1", LongType),
+          StructField("pk2", LongType)))).localCheckpoint(true)
+      val zero = Dedup.chunkIngestStep(
+        corpus.limit(0), state, chunkTokens = 30, strideTokens = 20)
+        ._1.localCheckpoint(true)
+      val out = graft.streaming.StreamRunner.foldBatches(
+        graft.streaming.StreamRunner.slicedStream(
+          corpus, "doc_id", slices = 4,
+          tag = s"${java.nio.file.Paths.get(dir).toAbsolutePath}#chunkcorpus4"),
+        zero) { (acc, batch, _) =>
+        val (marked, newKeys) = Dedup.chunkIngestStep(
+          batch, state, chunkTokens = 30, strideTokens = 20)
+        state = state.unionByName(newKeys.select("pk1", "pk2").localCheckpoint(true))
+        acc.unionByName(marked)
+      }
+      Dedup.unpersistAll()
+      out.select("doc_id", "chunk_id", "n_tokens", "keep")
+        .orderBy("doc_id", "chunk_id")
+    }),
+    "q_dedup_chunk_ingest_delete" -> ((s, dir) => {
+      // the TAKEDOWN path on persisted CHUNK state —
+      // q_dedup_para_ingest_delete's shape one granularity up: the
+      // corpus's first-occurrence chunk keys live in a bucketed
+      // catalog table (writeChunkTable — the line table's layout,
+      // the line table's verbs), owners with doc_id % 5 == 0 are
+      // tombstoned, and a planted ingest batch probes TWICE: against
+      // the masked live view, then after a compaction bakes the
+      // removal in. Both stages must equal an oracle whose state
+      // drops the deleted owners' rows.
+      val corpus = Corpus.docCorpus(s, dir).select("doc_id", "text")
+      val tbl = "graft_chunk_state_" +
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+          .replaceAll("[^A-Za-z0-9]", "_")
+      val shufKey = "spark.sql.shuffle.partitions"
+      val prevShuf = s.conf.get(shufKey)
+      val out = try {
+        s.conf.set(shufKey, "8")
+        Dedup.writeChunkTable(
+          corpus, tbl, buckets = 8, chunkTokens = 30, strideTokens = 20)
+        Dedup.deleteFromLineTable(
+          corpus.filter(col("doc_id") % 5 === 0).select("doc_id"), tbl)
+        val batch = corpus.filter(col("doc_id") % 9 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L)
+        val masked = Dedup
+          .chunkIngestStep(batch, Dedup.stateTableLive(s, tbl),
+            chunkTokens = 30, strideTokens = 20)._1
+          .withColumn("stage", lit("tombstoned"))
+          .localCheckpoint(true)
+        Dedup.unpersistAll()
+        Dedup.compactLineTable(s, tbl, buckets = 8)
+        val compacted = Dedup
+          .chunkIngestStep(batch, Dedup.stateTableLive(s, tbl),
+            chunkTokens = 30, strideTokens = 20)._1
+          .withColumn("stage", lit("compacted"))
+          .localCheckpoint(true)
+        Dedup.unpersistAll()
+        masked.unionByName(compacted)
+      } finally {
+        s.conf.set(shufKey, prevShuf)
+        s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+        s.sql(s"DROP TABLE IF EXISTS `${tbl}_compact_tmp`")
+        s.sql(s"DROP TABLE IF EXISTS `${tbl}_tombstones`")
+      }
+      out.select("stage", "doc_id", "chunk_id", "n_tokens", "keep")
+        .orderBy("stage", "doc_id", "chunk_id")
     }),
     "q_stream_span_ingest" -> ((s, dir) => {
       // the STREAMING span-ingest loop — [[q_stream_dedup_ingest]]'s
@@ -1654,6 +1730,30 @@ object ExtensionQueries {
         embeddings = plantScaledPrevEmbeddings(s, dir))
         .orderBy("shard", "seq")
     }),
+    "q_pipeline_chunk_export" -> ((s, dir) => {
+      // the CHUNK-granularity export — the RAG-prep path as one
+      // declarative plan (r14 verdict task): the doc-level stages
+      // (funnel → exact dedup → decontamination) run first, the clean
+      // docs are chunked (30-token windows every 20 — stride <
+      // chunk, so systematic overlap duplicates exist by
+      // construction), every non-first occurrence of a normalized
+      // chunk is dropped, and the survivors are budgeted per source
+      // in CHUNK TOKENS and sharded on the range-guarded packed
+      // (doc, chunk) identity. The oracle replays all seven stages.
+      val docs = Tables.documents(s, dir)
+      graft.pipelines.TrainingExport.runChunks(
+        docs,
+        docs.filter(col("doc_id") % 97 === 0),
+        graft.pipelines.TrainingExport.Config(
+          curate = true,
+          dedup = graft.pipelines.TrainingExport.DedupExact,
+          contaminationMaxPpm = Some(500000L),
+          budgets = Seq("src0" -> 500L, "src1" -> 350L),
+          defaultBudget = 400L,
+          numShards = 4),
+        chunkTokens = 30, strideTokens = 20)
+        .orderBy("shard", "seq")
+    }),
     "q_pipeline_train_export_neardup" -> ((s, dir) => {
       // pipeline v2: same five stages but the dedup gate is the REAL
       // one — MinHash-LSH candidate pairs + connected components over
@@ -2244,11 +2344,8 @@ object ExtensionQueries {
       budgets: Seq[(String, Long)], defaultBudget: Long, tokensWp: Boolean,
       spanK: Option[Int] = None, corpusSql: Option[String] = None,
       paraDedup: Boolean = false,
-      semanticEmbSql: Option[String] = None): String = {
-    val h = graft.functions.TextExprs.charHashDuck("CAST(doc_id AS VARCHAR)")
-    val mh = graft.operators.Sampling.mixedHash(h)
-    val hq = graft.functions.TextExprs.charHashDuck("CAST(c.doc_id AS VARCHAR)")
-    val mhq = graft.operators.Sampling.mixedHash(hq)
+      semanticEmbSql: Option[String] = None,
+      chunkExport: Option[(Int, Int)] = None): String = {
     // optional planted-corpus prologue: the pipeline reads `pdocs`
     // instead of the raw documents table
     val src = if (corpusSql.isDefined) "pdocs" else "documents"
@@ -2323,27 +2420,13 @@ object ExtensionQueries {
          |  SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n_chars FROM sp0
          |)""".stripMargin
     }.getOrElse("")
-    val b = graft.operators.Sampling.budgetCase("source", budgets, defaultBudget)
     val guard = s"${tokenCountDuck("text")} >= 3"
-    val mixtureCtes =
-      if (!tokensWp)
-        s"""|, mx AS (
-            |  SELECT doc_id, source,
-            |    CAST(SUM(CAST(n_chars AS BIGINT)) OVER (
-            |      PARTITION BY source ORDER BY ($mh), doc_id
-            |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_weight
-            |  FROM clean
-            |)""".stripMargin
-      else
-        s"""|, wp AS (
-            |${TextAnalysis.wordpieceDuckSql("SELECT doc_id, text FROM clean")}
-            |), mx AS (
-            |  SELECT c.doc_id AS doc_id, c.source,
-            |    CAST(SUM(wp.n_tokens) OVER (
-            |      PARTITION BY c.source ORDER BY ($mhq), c.doc_id
-            |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_weight
-            |  FROM clean c JOIN wp ON wp.doc_id = c.doc_id
-            |)""".stripMargin
+    // the epilogue: document shard tail (the historical contract) or
+    // the chunk-granularity RAG-prep tail
+    val tail = chunkExport match {
+      case None => trainExportDocTailSql(budgets, defaultBudget, tokensWp)
+      case Some((ct, st)) => chunkExportTailSql(budgets, defaultBudget, ct, st)
+    }
     val recursive = if (semanticEmbSql.isDefined) "RECURSIVE " else ""
     s"""WITH $recursive${prologue}m AS (
        |  SELECT doc_id,
@@ -2378,7 +2461,39 @@ object ExtensionQueries {
        |), clean AS (
        |  SELECT d.* FROM $base d JOIN cont USING (doc_id)
        |  WHERE cont.contamination_ppm < 500000
-       |)$mixtureCtes, sampled AS (
+       |)$tail""".stripMargin
+  }
+
+  /** [[trainExportPipelineSql]]'s DOCUMENT tail: budget mixture over
+    * the clean docs, then shard/seq — the historical epilogue.
+    */
+  private def trainExportDocTailSql(
+      budgets: Seq[(String, Long)], defaultBudget: Long, tokensWp: Boolean): String = {
+    val h = graft.functions.TextExprs.charHashDuck("CAST(doc_id AS VARCHAR)")
+    val mh = graft.operators.Sampling.mixedHash(h)
+    val hq = graft.functions.TextExprs.charHashDuck("CAST(c.doc_id AS VARCHAR)")
+    val mhq = graft.operators.Sampling.mixedHash(hq)
+    val b = graft.operators.Sampling.budgetCase("source", budgets, defaultBudget)
+    val mixtureCtes =
+      if (!tokensWp)
+        s"""|, mx AS (
+            |  SELECT doc_id, source,
+            |    CAST(SUM(CAST(n_chars AS BIGINT)) OVER (
+            |      PARTITION BY source ORDER BY ($mh), doc_id
+            |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_weight
+            |  FROM clean
+            |)""".stripMargin
+      else
+        s"""|, wp AS (
+            |${TextAnalysis.wordpieceDuckSql("SELECT doc_id, text FROM clean")}
+            |), mx AS (
+            |  SELECT c.doc_id AS doc_id, c.source,
+            |    CAST(SUM(wp.n_tokens) OVER (
+            |      PARTITION BY c.source ORDER BY ($mhq), c.doc_id
+            |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_weight
+            |  FROM clean c JOIN wp ON wp.doc_id = c.doc_id
+            |)""".stripMargin
+    s"""$mixtureCtes, sampled AS (
        |  SELECT doc_id, source FROM mx WHERE running_weight <= ($b)
        |), sh AS (
        |  SELECT doc_id, source,
@@ -2390,6 +2505,58 @@ object ExtensionQueries {
        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY m2, doc_id) AS BIGINT) AS seq,
        |  doc_id, source
        |FROM sh ORDER BY shard, seq""".stripMargin
+  }
+
+  /** [[trainExportPipelineSql]]'s CHUNK tail (q_pipeline_chunk_export
+    * — the RAG-prep epilogue): chunk the clean docs with the SHARED
+    * chunk-cut CTEs, keep-first over the normalized chunk text
+    * (q_dedup_chunks' spelling), budget per source in CHUNK TOKENS,
+    * and shard on the packed (doc·2²⁰ + chunk) identity —
+    * [[graft.operators.Dedup.packedChunkId]]'s value, whose hash
+    * drives both the mixture order and shard placement exactly like
+    * the doc tail's doc_id hash.
+    */
+  private def chunkExportTailSql(
+      budgets: Seq[(String, Long)], defaultBudget: Long,
+      chunkTokens: Int, strideTokens: Int): String = {
+    val h = graft.functions.TextExprs.charHashDuck("CAST(cid AS VARCHAR)")
+    val mh = graft.operators.Sampling.mixedHash(h)
+    val b = graft.operators.Sampling.budgetCase("source", budgets, defaultBudget)
+    val lim = 1L << graft.operators.Dedup.ChunkIdBits
+    s""", ${TextAnalysis.chunkDocumentsDuckCtes(chunkTokens, strideTokens, "clean")}, ck AS (
+       |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |         CAST(len(ck) AS BIGINT) AS n_tokens,
+       |         array_to_string(ck, ' ') AS chunk_text
+       |  FROM s
+       |), ckk AS (
+       |  SELECT doc_id, chunk_id, n_tokens FROM (
+       |    SELECT doc_id, chunk_id, n_tokens,
+       |      (ROW_NUMBER() OVER (
+       |         PARTITION BY lower(trim(chunk_text))
+       |         ORDER BY doc_id, chunk_id) = 1) AS keep
+       |    FROM ck) WHERE keep
+       |), cks AS (
+       |  SELECT k.doc_id, k.chunk_id, k.n_tokens, cl.source,
+       |         k.doc_id * $lim + k.chunk_id AS cid
+       |  FROM ckk k JOIN clean cl USING (doc_id)
+       |), cmx AS (
+       |  SELECT doc_id, chunk_id, source, cid,
+       |    CAST(SUM(n_tokens) OVER (
+       |      PARTITION BY source ORDER BY ($mh), cid
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_weight
+       |  FROM cks
+       |), csampled AS (
+       |  SELECT doc_id, chunk_id, source, cid FROM cmx WHERE running_weight <= ($b)
+       |), csh AS (
+       |  SELECT doc_id, chunk_id, source, cid,
+       |    CAST(($mh) % 4 AS BIGINT) AS shard,
+       |    ((($mh) + 1) * 2246822519) % 1000000007 AS m2
+       |  FROM csampled
+       |)
+       |SELECT shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY m2, cid) AS BIGINT) AS seq,
+       |  doc_id, chunk_id, source
+       |FROM csh ORDER BY shard, seq""".stripMargin
   }
 
   /** The int8-quantized top-k pipeline as shared CTEs ending in `qr`
@@ -3154,8 +3321,12 @@ object ExtensionQueries {
 
     "q_dedup_chunks_neardup" ->
       // the SAME minhash oracle spelling over the chunk corpus (the
-      // shared chunk-cut CTEs, packed chunk identity)
-      s"""${minhashPairsSqlWith(
+      // shared chunk-cut CTEs, packed chunk identity), UNPACKED back
+      // to the composite (doc, chunk) identity the operator now emits
+      s"""SELECT doc_a // 1048576 AS doc_a, doc_a % 1048576 AS chunk_a,
+         |  doc_b // 1048576 AS doc_b, doc_b % 1048576 AS chunk_b, n_agree
+         |FROM (
+         |${minhashPairsSqlWith(
              Bands, RowsPerBand,
              s"""SELECT doc_id, text FROM (
                 |  WITH chunk_corpus AS (
@@ -3164,7 +3335,8 @@ object ExtensionQueries {
                 |  SELECT doc_id * 1048576 + chunk_id AS doc_id,
                 |         array_to_string(ck, ' ') AS text
                 |  FROM s
-                |)""".stripMargin)} ORDER BY doc_a, doc_b""",
+                |)""".stripMargin)}
+         |) ORDER BY doc_a, chunk_a, doc_b, chunk_b""".stripMargin,
 
     "q_dedup_minhash_fine" ->
       s"${minhashPairsSqlWith(bands = 16, rowsPerBand = 2)} ORDER BY doc_a, doc_b",
@@ -3229,6 +3401,64 @@ object ExtensionQueries {
          |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  COALESCE(string_agg(CASE WHEN keep THEN para END, chr(10) ORDER BY pos), '') AS text_deduped
          |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_stream_chunk_ingest" ->
+      // arrival-order replay at chunk granularity: one batch window
+      // ordered by (slice, doc_id, chunk_id) reproduces the streamed
+      // fold exactly (slices partition doc_id, so the replay is exact)
+      s"""WITH chunk_corpus AS (
+         |${Corpus.docCorpusSql}
+         |), ${TextAnalysis.chunkDocumentsDuckCtes(30, 20, "chunk_corpus")}, ch AS (
+         |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |         CAST(len(ck) AS BIGINT) AS n_tokens,
+         |         array_to_string(ck, ' ') AS chunk_text
+         |  FROM s
+         |)
+         |SELECT doc_id, chunk_id, n_tokens,
+         |       (ROW_NUMBER() OVER (
+         |          PARTITION BY lower(trim(chunk_text))
+         |          ORDER BY doc_id % 4, doc_id, chunk_id) = 1) AS keep
+         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_dedup_chunk_ingest_delete" ->
+      // state = the corpus's first-occurrence chunk keys minus the
+      // deleted owners' rows; the batch marks against that live key
+      // set plus its own within-batch window. The batch's chunks are
+      // the corpus chunks of its source docs re-identified (+10M) —
+      // chunking is per-doc deterministic, so no second chunk-cut CTE
+      // chain is needed.
+      s"""WITH chunk_corpus AS (
+         |${Corpus.docCorpusSql}
+         |), ${TextAnalysis.chunkDocumentsDuckCtes(30, 20, "chunk_corpus")}, ch AS (
+         |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |         CAST(len(ck) AS BIGINT) AS n_tokens,
+         |         array_to_string(ck, ' ') AS chunk_text
+         |  FROM s
+         |), state AS (
+         |  SELECT ckey, doc_id FROM (
+         |    SELECT lower(trim(chunk_text)) AS ckey, doc_id,
+         |           ROW_NUMBER() OVER (
+         |             PARTITION BY lower(trim(chunk_text))
+         |             ORDER BY doc_id, chunk_id) AS rn
+         |    FROM ch
+         |  ) WHERE rn = 1
+         |), live AS (
+         |  SELECT ckey FROM state WHERE doc_id % 5 <> 0
+         |), bch AS (
+         |  SELECT doc_id + 10000000 AS doc_id, chunk_id, n_tokens, chunk_text
+         |  FROM ch WHERE doc_id % 9 = 0
+         |), marked AS (
+         |  SELECT doc_id, chunk_id, n_tokens,
+         |    ((ROW_NUMBER() OVER (
+         |        PARTITION BY lower(trim(chunk_text))
+         |        ORDER BY doc_id, chunk_id) = 1)
+         |     AND lower(trim(chunk_text)) NOT IN (SELECT ckey FROM live)) AS keep
+         |  FROM bch
+         |)
+         |SELECT 'compacted' AS stage, doc_id, chunk_id, n_tokens, keep FROM marked
+         |UNION ALL
+         |SELECT 'tombstoned', doc_id, chunk_id, n_tokens, keep FROM marked
+         |ORDER BY stage, doc_id, chunk_id""".stripMargin,
 
     "q_stream_span_ingest" ->
       // batch-split invariance for spans: streamed shingle-table
@@ -4038,6 +4268,15 @@ object ExtensionQueries {
         corpusSql = Some(spanPlantCorpusSql(
           s"(\n${Corpus.paraCorpusSql}\n    )")),
         semanticEmbSql = Some(scaledPrevEmbeddingsSql)),
+
+    "q_pipeline_chunk_export" ->
+      // seven stages: the shared doc front (funnel → exact dedup →
+      // decontamination) then the chunk tail — shared chunk-cut CTEs,
+      // q_dedup_chunks' keep-first spelling, token budgets and
+      // shard/seq hashed on the packed (doc·2²⁰ + chunk) identity
+      trainExportPipelineSql(
+        Seq("src0" -> 500L, "src1" -> 350L), 400L, tokensWp = false,
+        chunkExport = Some((30, 20))),
 
     "q_pipeline_incremental_ingest" ->
       // the acceptance rule replayed from the FULL pair set: for a

@@ -1654,6 +1654,153 @@ object Dedup {
       .drop("pk1", "pk2", "_first")
   }
 
+  /** One CHUNK-ingest step — [[chunkDedup]]'s INCREMENTAL form and
+    * the chunk-granularity sibling of [[paragraphIngestStep]]: chunk
+    * a NEW batch of documents, dedup the chunks against the
+    * accumulated chunk-KEY state (first ARRIVAL wins; within a batch
+    * the one-shot's (doc_id, chunk_id) order breaks ties), and return
+    * the batch's marked chunks together with the state rows this
+    * batch adds. State is the same 24-byte (pk1, pk2, doc_id)
+    * fingerprint layout as the line table — [[writeChunkTable]]
+    * persists it, and the append/compact/delete verbs are the line
+    * table's verbatim (the layout IS identical; one implementation,
+    * two granularities).
+    *
+    * Returns (marked chunks: doc_id, chunk_id, n_tokens, chunk_text,
+    * keep; newKeys: pk1, pk2, doc_id).
+    */
+  def chunkIngestStep(
+      batch: DataFrame,
+      stateKeys: DataFrame,
+      chunkTokens: Int = 128,
+      strideTokens: Int = 96,
+      textCol: String = "text",
+      idCol: String = "doc_id"): (DataFrame, DataFrame) = {
+    val chunks = TextAnalysis.chunkDocuments(
+      batch, chunkTokens, strideTokens, textCol, idCol)
+    val stateProbe = adaptLineState(stateKeys, "chunkIngestStep")
+    val key = lower(trim(col("chunk_text")))
+    val (h1, h2) = lineFp(key)
+    val keyed = chunks.withColumn("pk1", h1).withColumn("pk2", h2)
+    val first = keyed.groupBy("pk1", "pk2")
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("_first"))
+    val marked = keyed
+      .join(first, Seq("pk1", "pk2"))
+      .join(
+        stateProbe.withColumn("_seen", lit(true)),
+        Seq("pk1", "pk2"), "left")
+      .withColumn("keep",
+        col("doc_id") === col("_first.doc_id") &&
+          col("chunk_id") === col("_first.chunk_id") && col("_seen").isNull)
+      .drop("_first", "_seen")
+      .pipe(persistTracked) // marked output AND new state read it
+    val newKeys = marked
+      .filter(col("keep"))
+      .select("pk1", "pk2", "doc_id")
+    (marked.drop("pk1", "pk2"), newKeys)
+  }
+
+  /** Materialize a corpus's CHUNK-key state as a bucketed catalog
+    * table — [[writeLineTable]] at chunk granularity: the (pk1, pk2,
+    * doc_id) fingerprints of each normalized chunk text's FIRST
+    * (doc_id, chunk_id) occurrence, owner = the keeping doc (the
+    * deletion unit, same takedown semantics as the line table's —
+    * deleted owners' keys become claimable by future ingests).
+    * Append/compact/delete with the line-table verbs
+    * ([[appendToLineTable]]/[[compactLineTable]]/
+    * [[deleteFromLineTable]]): the layout is byte-identical.
+    */
+  def writeChunkTable(
+      docs: DataFrame, table: String, buckets: Int = BandTableBuckets,
+      chunkTokens: Int = 128, strideTokens: Int = 96,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val key = lower(trim(col("chunk_text")))
+    val (h1, h2) = lineFp(key)
+    val rows = TextAnalysis.chunkDocuments(
+        docs, chunkTokens, strideTokens, textCol, idCol)
+      .withColumn("pk1", h1).withColumn("pk2", h2)
+      .groupBy("pk1", "pk2")
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("_first"))
+      .select(col("pk1"), col("pk2"), col("_first.doc_id").as("doc_id"))
+    writeBucketedState(
+      rows, table, buckets, Seq("pk1", "pk2"), "overwrite", appendTasks = 0)
+    docs.sparkSession.table(table)
+  }
+
+  /** Chunk-identity packing bit budget: chunk ordinals live in the
+    * low [[ChunkIdBits]] bits, doc ids in the rest. 2²⁰ chunks per
+    * doc ≈ a 100M-token document at stride 96 — far above any real
+    * corpus row, but CHECKED, not assumed (see [[packedChunkId]]).
+    */
+  val ChunkIdBits = 20
+
+  /** The composite chunk identity `(doc_id, chunk_id)` packed into
+    * one BIGINT — `doc_id·2²⁰ + chunk_id` — with LAZY range guards
+    * (the raise_error idiom: no separate validation scan; the first
+    * out-of-range row aborts the job that touches it, naming the
+    * violation). Closes the r14 verdict's unguarded bench packing:
+    * silent overflow would alias two different chunks into one
+    * identity and corrupt every downstream dedup/join keyed on it.
+    * Unpack with [[unpackedDocId]]/[[unpackedChunkId]].
+    */
+  def packedChunkId(docCol: org.apache.spark.sql.Column, chunkCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val lim = 1L << ChunkIdBits
+    val docLim = 1L << (62 - ChunkIdBits) // packed stays a positive BIGINT
+    when(
+      chunkCol < 0 || chunkCol >= lim,
+      raise_error(concat(
+        lit(s"chunk_id out of packing range [0, $lim): "), chunkCol.cast("string"),
+        lit(" — raise ChunkIdBits or key on the composite directly")))
+        .cast("long"))
+      .when(
+        docCol < 0 || docCol >= docLim,
+        raise_error(concat(
+          lit(s"doc_id out of packing range [0, $docLim): "), docCol.cast("string")))
+          .cast("long"))
+      .otherwise(docCol.cast("long") * lim + chunkCol.cast("long"))
+  }
+
+  /** Inverse of [[packedChunkId]] (valid because the pack guards
+    * non-negative operands — shiftright needs no sign handling).
+    */
+  def unpackedDocId(packed: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    shiftright(packed, ChunkIdBits)
+  def unpackedChunkId(packed: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    packed.bitwiseAND(lit((1L << ChunkIdBits) - 1))
+
+  /** CHUNK-level NEAR-duplicate pairs — [[chunkDedup]]'s MinHash
+    * sibling, with the composite identity handled AT THE OPERATOR
+    * (the r14 verdict gap: the bench query packed doc_id·2²⁰ +
+    * chunk_id with a comment asserting the bound; this packs with
+    * [[packedChunkId]]'s lazy range guards and unpacks the result, so
+    * callers never see — or get to corrupt — the packed form).
+    * Chunks flow through [[minhashPairs]] unchanged: to the dedup
+    * family a chunk IS a document, which is the point.
+    *
+    * Returns (doc_a, chunk_a, doc_b, chunk_b, n_agree), pair-ordered
+    * by the packed identity (doc, then chunk ordinal).
+    */
+  def chunkNearDupPairs(
+      chunks: DataFrame,
+      n: Int = 3,
+      minAgree: Int = NumMinhash / 2,
+      textCol: String = "chunk_text",
+      idCol: String = "doc_id",
+      chunkIdCol: String = "chunk_id",
+      bands: Int = graft.functions.TextExprs.Bands,
+      rowsPerBand: Int = graft.functions.TextExprs.RowsPerBand): DataFrame =
+    minhashPairs(
+      chunks.select(
+        packedChunkId(col(idCol), col(chunkIdCol)).as("doc_id"),
+        col(textCol).as("text")),
+      n, minAgree, bands = bands, rowsPerBand = rowsPerBand)
+      .select(
+        unpackedDocId(col("doc_a")).as("doc_a"),
+        unpackedChunkId(col("doc_a")).as("chunk_a"),
+        unpackedDocId(col("doc_b")).as("doc_b"),
+        unpackedChunkId(col("doc_b")).as("chunk_b"),
+        col("n_agree"))
+
   /** EXACT media deduplication — the byte granularity of the media
     * dedup pair ([[Multimodal.perceptualHashPairs]] is the perceptual
     * one): marks each media row `keep` = is-the-corpus-first

@@ -508,35 +508,39 @@ object TextAnalysis {
       chunkTokens: Int = 128,
       strideTokens: Int = 96,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      passthroughCols: Seq[String] = Nil): DataFrame = {
     require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
     require(strideTokens >= 1 && strideTokens <= chunkTokens,
       s"strideTokens must be in [1, chunkTokens], got $strideTokens")
+    val pt = passthroughCols.map(col)
     // stage the split ONCE (the quality() staging discipline: CASE
     // branches are CSE-excluded, so tokenCountSpark's inline form
     // would re-run the full-text regex split a second time), then
     // derive the count from the staged array
     docs
       .select(
-        col(idCol).as("doc_id"),
-        expr(graft.functions.TextExprs.wordsSpark(textCol)).as("_w"),
-        expr(s"length(trim($textCol)) = 0").as("_empty"))
+        col(idCol).as("doc_id") +: pt ++: Seq(
+          expr(graft.functions.TextExprs.wordsSpark(textCol)).as("_w"),
+          expr(s"length(trim($textCol)) = 0").as("_empty")): _*)
       .select(
-        col("doc_id"), col("_w"),
-        expr("IF(_empty, 0, size(_w))").as("_n"))
+        col("doc_id") +: pt ++: Seq(
+          col("_w"), expr("IF(_empty, 0, size(_w))").as("_n")): _*)
       .filter(col("_n") >= 1)
       .select(
-        col("doc_id"), col("_w"),
-        expr(s"explode(sequence(0, (greatest(_n - $chunkTokens, 0) + $strideTokens - 1) div $strideTokens))")
-          .as("chunk_id"))
+        col("doc_id") +: pt ++: Seq(
+          col("_w"),
+          expr(s"explode(sequence(0, (greatest(_n - $chunkTokens, 0) + $strideTokens - 1) div $strideTokens))")
+            .as("chunk_id")): _*)
       .select(
-        col("doc_id"),
-        col("chunk_id").cast("long").as("chunk_id"),
-        expr(s"slice(_w, chunk_id * $strideTokens + 1, $chunkTokens)").as("_c"))
+        col("doc_id") +: pt ++: Seq(
+          col("chunk_id").cast("long").as("chunk_id"),
+          expr(s"slice(_w, chunk_id * $strideTokens + 1, $chunkTokens)").as("_c")): _*)
       .select(
-        col("doc_id"), col("chunk_id"),
-        size(col("_c")).cast("long").as("n_tokens"),
-        array_join(col("_c"), " ").as("chunk_text"))
+        col("doc_id") +: pt ++: Seq(
+          col("chunk_id"),
+          size(col("_c")).cast("long").as("n_tokens"),
+          array_join(col("_c"), " ").as("chunk_text")): _*)
   }
 
   /** DuckDB twin of [[chunkDocuments]] as a full SELECT

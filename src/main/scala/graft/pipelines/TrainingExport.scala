@@ -146,6 +146,39 @@ object TrainingExport {
     graft.functions.PolyHash.register(docs.sparkSession)
     val h = hashExpr.getOrElse(
       graft.functions.TextExprs.charHashSpark("CAST(doc_id AS STRING)"))
+    val clean = cleanDocs(docs, benchmark, cfg, embeddings)
+    val sampled =
+      if (cfg.budgets.isEmpty) clean.select("doc_id", "source")
+      else {
+        val weighted = cfg.budgetCurrency match {
+          case BudgetChars =>
+            clean.select(col("doc_id"), col("source"), col("n_chars").as("_weight"))
+          case BudgetWordPieceTokens(vocab) =>
+            // ONE scan of the clean subset: source rides the wordpiece
+            // projection as a passthrough column (no self-join)
+            TextAnalysis
+              .wordpieceStats(clean, vocab = vocab, passthroughCols = Seq("source"))
+              .select(col("doc_id"), col("source"), col("n_tokens").as("_weight"))
+        }
+        Sampling.mixtureByBudget(
+          weighted, "source", "_weight", h, "doc_id", cfg.budgets, cfg.defaultBudget)
+          .select("doc_id", "source")
+      }
+    Sampling.shardForTraining(sampled, "doc_id", h, cfg.numShards)
+      .select("shard", "seq", "doc_id", "source")
+  }
+
+  /** The shared curation front of [[run]] and [[runChunks]]: every
+    * DOCUMENT-granularity stage — funnel, line rules, doc dedup,
+    * paragraph rebuild, span surgery, semantic dedup, decontamination
+    * — leaving the clean corpus (doc_id, source, text, n_chars) whose
+    * text is exactly what ships (or gets chunked).
+    */
+  private def cleanDocs(
+      docs: DataFrame,
+      benchmark: => DataFrame,
+      cfg: Config,
+      embeddings: => DataFrame): DataFrame = {
     val funneled =
       if (!cfg.curate) docs
       else docs.join(
@@ -237,7 +270,7 @@ object TrainingExport {
             .select(col("vec_id").as("doc_id")),
           Seq("doc_id"), "left_anti")
       }
-    val clean = cfg.contaminationMaxPpm match {
+    cfg.contaminationMaxPpm match {
       case None => semantic
       case Some(maxPpm) =>
         semantic.join(
@@ -246,24 +279,53 @@ object TrainingExport {
             .select("doc_id"),
           Seq("doc_id"), "left_semi")
     }
+  }
+
+  /** The CHUNK-granularity export — the RAG-prep shape: run every
+    * document-level curation stage ([[cleanDocs]] — the same [[run]]
+    * front, so gates, dedup granularities, and decontamination apply
+    * to whole documents first), then chunk the clean text
+    * ([[TextAnalysis.chunkDocuments]]), drop every non-first
+    * occurrence of a duplicated chunk ([[Dedup.chunkDedup]] — the
+    * stride-overlap and mirrored-passage pollution a chunk index
+    * otherwise ingests), budget the survivors per source (billed in
+    * CHUNK TOKENS — the chunker already counted them; no extra
+    * tokenize pass), and shard. One declarative plan, like [[run]].
+    *
+    * Chunk identity rides [[Dedup.packedChunkId]] through the
+    * mixture/shard hashing (range-guarded), and is emitted UNPACKED:
+    * returns (shard, seq, doc_id, chunk_id, source).
+    */
+  def runChunks(
+      docs: DataFrame,
+      benchmark: => DataFrame,
+      cfg: Config,
+      chunkTokens: Int = 128,
+      strideTokens: Int = 96,
+      hashExpr: Option[String] = None,
+      embeddings: => DataFrame = null): DataFrame = {
+    require(cfg.numShards >= 1, s"numShards must be >= 1, got ${cfg.numShards}")
+    graft.functions.PolyHash.register(docs.sparkSession)
+    val chunks = TextAnalysis.chunkDocuments(
+      cleanDocs(docs, benchmark, cfg, embeddings),
+      chunkTokens, strideTokens, passthroughCols = Seq("source"))
+    val kept = chunks
+      .join(
+        Dedup.chunkDedup(chunks.select("doc_id", "chunk_id", "chunk_text"))
+          .filter(col("keep")).select("doc_id", "chunk_id"),
+        Seq("doc_id", "chunk_id"), "left_semi")
+      .withColumn("_cid", Dedup.packedChunkId(col("doc_id"), col("chunk_id")))
+    val h = hashExpr.getOrElse(
+      graft.functions.TextExprs.charHashSpark("CAST(_cid AS STRING)"))
     val sampled =
-      if (cfg.budgets.isEmpty) clean.select("doc_id", "source")
-      else {
-        val weighted = cfg.budgetCurrency match {
-          case BudgetChars =>
-            clean.select(col("doc_id"), col("source"), col("n_chars").as("_weight"))
-          case BudgetWordPieceTokens(vocab) =>
-            // ONE scan of the clean subset: source rides the wordpiece
-            // projection as a passthrough column (no self-join)
-            TextAnalysis
-              .wordpieceStats(clean, vocab = vocab, passthroughCols = Seq("source"))
-              .select(col("doc_id"), col("source"), col("n_tokens").as("_weight"))
-        }
-        Sampling.mixtureByBudget(
-          weighted, "source", "_weight", h, "doc_id", cfg.budgets, cfg.defaultBudget)
-          .select("doc_id", "source")
-      }
-    Sampling.shardForTraining(sampled, "doc_id", h, cfg.numShards)
-      .select("shard", "seq", "doc_id", "source")
+      if (cfg.budgets.isEmpty) kept
+      else Sampling.mixtureByBudget(
+        kept.select(col("_cid"), col("doc_id"), col("chunk_id"),
+          col("source"), col("n_tokens").as("_weight")),
+        "source", "_weight", h, "_cid", cfg.budgets, cfg.defaultBudget)
+    Sampling.shardForTraining(
+      sampled.select("_cid", "doc_id", "chunk_id", "source"),
+      "_cid", h, cfg.numShards)
+      .select("shard", "seq", "doc_id", "chunk_id", "source")
   }
 }

@@ -2005,4 +2005,98 @@ class PipelineOpsSpec extends AnyFunSuite {
       numShards = 4))
     assert(full.subsetOf(curated))
   }
+
+  test("TrainingExport chunk export: doc stages first, duplicate chunks fold, token budgets bind") {
+    import graft.operators.{Dedup, TextAnalysis}
+    def runChunks(cfg: Config) = TrainingExport.runChunks(
+      matrixDocs, matrixDocs.filter(col("doc_id") === 1L), cfg,
+      chunkTokens = 8, strideTokens = 4).localCheckpoint(true)
+    // all doc stages off: exact-copy docs (i and i+100) survive to the
+    // chunker, but every one of i+100's chunks duplicates i's — the
+    // CHUNK dedup stage must fold them all; i+200 ends "extra", so
+    // only its tail window (and any window covering it) differs
+    val out = runChunks(allOff)
+    val byDoc = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((1L to 8L).forall(byDoc.contains))
+    assert(!(101L to 108L).exists(byDoc.contains),
+      "a doc whose every chunk is a duplicate contributes nothing")
+    // the output identity is the unpacked composite and matches the
+    // standalone chunkDedup keep-set exactly (stage ≡ operator)
+    val chunks = TextAnalysis.chunkDocuments(
+      matrixDocs, chunkTokens = 8, strideTokens = 4)
+    val keepSet = Dedup.chunkDedup(chunks).filter(col("keep"))
+      .select("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val outSet = out.select("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(outSet == keepSet)
+    // seq dense 1..n per shard, like the doc export
+    val badSeq = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("seq").as("mx"), min("seq").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1L)
+    assert(badSeq.isEmpty)
+    // doc-level dedup BEFORE chunking changes nothing here (the chunk
+    // dedup already folded the copies) — stage order is consistent
+    val dd = runChunks(allOff.copy(dedup = DedupExact))
+    assert(dd.select("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == outSet)
+    // chunk-token budgets are hard ceilings per source
+    val budgeted = runChunks(allOff.copy(
+      budgets = Seq("src0" -> 20L, "src1" -> 20L), defaultBudget = 0L))
+    assert(budgeted.count() > 0 && budgeted.count() < out.count(),
+      "a 20-token budget must bind")
+    val weights = budgeted.join(
+      TextAnalysis.chunkDocuments(matrixDocs, 8, 4)
+        .select("doc_id", "chunk_id", "n_tokens"),
+      Seq("doc_id", "chunk_id"))
+    val perSrc = weights.groupBy("source")
+      .agg(sum("n_tokens").as("t")).collect()
+    assert(perSrc.forall(_.getLong(1) <= 20L))
+  }
+
+  test("packedChunkId: round-trip and lazy range guards (r14 verdict: no unguarded packing)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val ok = Seq((5L, 0L), (0L, 1048575L), (123456789L, 42L))
+      .toDF("d", "c")
+      .select(
+        col("d"), col("c"),
+        Dedup.unpackedDocId(Dedup.packedChunkId(col("d"), col("c"))).as("d2"),
+        Dedup.unpackedChunkId(Dedup.packedChunkId(col("d"), col("c"))).as("c2"))
+      .collect()
+    assert(ok.forall(r => r.getLong(0) == r.getLong(2) && r.getLong(1) == r.getLong(3)))
+    // lazy: the guard fires on the row that violates, inside the job
+    def boom(d: Long, c: Long): String =
+      intercept[Exception] {
+        Seq((d, c)).toDF("d", "c")
+          .select(Dedup.packedChunkId(col("d"), col("c"))).collect()
+      }.getMessage
+    assert(boom(1L, 1L << 20).contains("packing range"))
+    assert(boom(1L, -1L).contains("packing range"))
+    assert(boom(1L << 43, 1L).contains("packing range"))
+    assert(boom(-1L, 1L).contains("packing range"))
+  }
+
+  test("chunkNearDupPairs emits the composite identity of the packed minhash pairs") {
+    import spark.implicits._
+    import graft.operators.{Dedup, TextAnalysis}
+    val chunks = TextAnalysis.chunkDocuments(
+      matrixDocs, chunkTokens = 8, strideTokens = 4)
+    val viaOp = Dedup.chunkNearDupPairs(chunks)
+      .orderBy("doc_a", "chunk_a", "doc_b", "chunk_b").collect().toSeq
+    Dedup.unpersistAll()
+    val viaPacked = Dedup.minhashPairs(
+      chunks.select(
+        (col("doc_id") * (1L << 20) + col("chunk_id")).as("doc_id"),
+        col("chunk_text").as("text")))
+      .select(
+        (col("doc_a") / (1L << 20)).cast("long").as("doc_a"),
+        (col("doc_a") % (1L << 20)).as("chunk_a"),
+        (col("doc_b") / (1L << 20)).cast("long").as("doc_b"),
+        (col("doc_b") % (1L << 20)).as("chunk_b"),
+        col("n_agree"))
+      .orderBy("doc_a", "chunk_a", "doc_b", "chunk_b").collect().toSeq
+    Dedup.unpersistAll()
+    assert(viaOp == viaPacked && viaOp.nonEmpty)
+  }
 }

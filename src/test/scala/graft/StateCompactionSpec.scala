@@ -555,6 +555,53 @@ class StateCompactionSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed chunk table: catalog equals the derived state, ingest appends close the key set") {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = Corpus.docCorpus(spark, dir).select("doc_id", "text").localCheckpoint(true)
+    val table = "chunk_spec_state"
+    Seq(table, s"${table}_compact_tmp", s"${table}_tombstones")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      Dedup.writeChunkTable(
+        corpus, table, buckets = 4, chunkTokens = 30, strideTokens = 20)
+      // catalog state = the independently-derived first-occurrence
+      // chunk keys under the pinned salt-first fingerprint pair
+      val memKeys = graft.operators.TextAnalysis.chunkDocuments(
+          corpus, chunkTokens = 30, strideTokens = 20)
+        .withColumn("ckey", lower(trim(col("chunk_text"))))
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("ckey").orderBy("doc_id", "chunk_id")))
+        .filter(col("rn") === 1)
+        .select(
+          xxhash64(col("ckey")).as("pk1"),
+          xxhash64(lit("fp2"), col("ckey")).as("pk2"),
+          col("doc_id"))
+        .localCheckpoint(true)
+      assert(spark.table(table).except(memKeys).isEmpty
+        && memKeys.except(spark.table(table)).isEmpty)
+      // a batch's new keys append through the LINE-table verb (the
+      // layouts are identical by design); a re-ship of the same docs
+      // under fresh ids then keeps nothing
+      val batch = corpus.filter(col("doc_id") % 9 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000000L).localCheckpoint(true)
+      val newKeys = Dedup.chunkIngestStep(
+        batch, Dedup.stateTableLive(spark, table),
+        chunkTokens = 30, strideTokens = 20)._2.localCheckpoint(true)
+      Dedup.unpersistAll()
+      Dedup.appendToLineTable(newKeys, table, buckets = 4)
+      val reprobe = Dedup.chunkIngestStep(
+        batch.withColumn("doc_id", col("doc_id") + 10000000L),
+        Dedup.stateTableLive(spark, table),
+        chunkTokens = 30, strideTokens = 20)._1
+      assert(reprobe.filter(col("keep")).isEmpty,
+        "every chunk of a re-shipped doc is already in the key set")
+      Dedup.unpersistAll()
+    } finally {
+      Seq(table, s"${table}_compact_tmp", s"${table}_tombstones")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("legacy text-keyed line state (pkey): probe rehashes on read, append fails fast (ADVICE r14)") {
     import org.apache.spark.sql.expressions.Window
     val corpus = Corpus.paraCorpus(spark, dir).select("doc_id", "text").localCheckpoint(true)
