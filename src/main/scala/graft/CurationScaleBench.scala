@@ -149,6 +149,48 @@ object CurationScaleBench {
       (mult, n, nClusters, nDropped, sec, top2Dropped, top2Sec)
     }
 
+    // margin sweep (r14 verdict task #2): the gated second assignment
+    // at the LARGEST mult — recall (dropped count) vs secondary-row
+    // volume vs wall, across margins, bracketed by top-1 (margin-less
+    // base) and unconditional top-2. Secondary-row volume is the
+    // candidate-cost proxy: pair volume grows with the rows a margin
+    // admits into a second cluster, and counting rows is exact and
+    // cheap where counting pairs would re-run the join.
+    val marginSweep = mults.lastOption.toSeq.flatMap { mult =>
+      val corpus = spark.read.parquet(s"$fix/sem_$mult")
+      val margins = sys.env.get("SPARK_GRAFT_SEM_MARGINS")
+        .map(_.split(",").map(_.trim.toDouble).toSeq)
+        .getOrElse(Seq(0.05, 0.1, 0.25, 0.5, 1.0))
+      margins.map { m =>
+        var dropped = 0L
+        val sec = time(iters) {
+          dropped = graft.operators.Dedup
+            .semanticDedup(corpus, centroidMod = 0, assignMargin = Some(m))
+            .agg(sum(when(!col("keep"), 1L).otherwise(0L)))
+            .collect()(0).getLong(0)
+          graft.operators.Dedup.unpersistAll()
+        }
+        // secondary-assignment volume under this margin: one
+        // broadcast pass, the operator's own expressions
+        val idx = graft.operators.SimilaritySearch.buildIndex(corpus, centroidMod = 0)
+        import org.apache.spark.sql.expressions.Window
+        val byD = Window.partitionBy("vec_id").orderBy(col("_d"), col("acid"))
+        val nSecondary = idx.assignments
+          .select(col("cand_id").as("vec_id"), col("cand_emb"))
+          .crossJoin(broadcast(
+            idx.centroids.select(col("cid").as("acid"), col("cemb").as("_ce"))))
+          .withColumn("_d", expr(
+            graft.functions.VectorExprs.l2sqSpark("cand_emb", "_ce")))
+          .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(byD))
+          .filter(col("_rn") <= 2)
+          .withColumn("_d1", min(col("_d")).over(Window.partitionBy("vec_id")))
+          .filter(col("_rn") === 2 && col("_d") - col("_d1") < m)
+          .count()
+        graft.operators.Dedup.unpersistAll()
+        (mult, m, dropped, nSecondary, sec)
+      }
+    }
+
     val paraQs = paraResults.map { case (m, nd, nl, ndr, s) =>
       s""""para_x$m":{"docs":$nd,"n_lines":$nl,"n_dropped":$ndr,"sec":${f"$s%.3f"}}"""
     }.mkString(",")
@@ -159,7 +201,11 @@ object CurationScaleBench {
       s""""sem_x$m":{"vectors":$n,"n_clusters":$nc,"n_dropped":$ndr,"sec":${f"$s%.3f"},""" +
         s""""top2_dropped":$ndr2,"top2_sec":${f"$s2%.3f"}}"""
     }.mkString(",")
-    println(s"""{"metric":"curation_scale_curve","iters":$iters,"sf":"$sfDir",$paraQs,$hotQs,$semQs}""")
+    val marginQs = marginSweep.map { case (mult, m, ndr, nsec, s) =>
+      s""""sem_margin_x${mult}_$m":{"n_dropped":$ndr,"n_secondary":$nsec,"sec":${f"$s%.3f"}}"""
+    }.mkString(",")
+    val marginPart = if (marginQs.isEmpty) "" else s",$marginQs"
+    println(s"""{"metric":"curation_scale_curve","iters":$iters,"sf":"$sfDir",$paraQs,$hotQs,$semQs$marginPart}""")
     spark.stop()
   }
 }

@@ -1125,6 +1125,31 @@ object ExtensionQueries {
       SimilaritySearch.probe(idx, e.filter(col("vec_id") % 97 === 0))
         .orderBy("query_id", "rank")
     }),
+    "q_embed_ann_recluster" -> ((s, dir) => {
+      // the written index's RE-CLUSTER cadence (r14 verdict task #3):
+      // index built on two thirds of the corpus and persisted, the
+      // remaining third appended against the FROZEN centroids (list
+      // geometry unchanged — the drift state), then
+      // reclusterWrittenIndex re-trains centroids from the
+      // accumulated live corpus and swaps the new generation in
+      // (marker-committed, crash-recoverable). buildIndex is a pure
+      // function of (vector set, centroidMod), so the re-clustered
+      // layout must probe EXACTLY like a one-shot index over the
+      // union — which makes the oracle q_embed_ann_ivf's verbatim.
+      val e = Tables.embeddings(s, dir)
+      val stateDir = freshStateDir("graft_ann_recluster_")
+      SimilaritySearch.writeIndex(
+        SimilaritySearch.buildIndex(
+          e.filter(col("vec_id") % 3 =!= 0), centroidMod = 50),
+        stateDir)
+      SimilaritySearch.appendToWrittenIndex(
+        s, stateDir, e.filter(col("vec_id") % 3 === 0))
+      SimilaritySearch.reclusterWrittenIndex(s, stateDir, centroidMod = 50)
+      SimilaritySearch.probe(
+        SimilaritySearch.readIndex(s, stateDir),
+        e.filter(col("vec_id") % 97 === 0))
+        .orderBy("query_id", "rank")
+    }),
     "q_stream_ann_append" -> ((s, dir) => {
       // the STREAMING ingest shape: same base index as the batch
       // incremental query (two thirds of the corpus, frozen
@@ -3793,6 +3818,12 @@ object ExtensionQueries {
     "q_embed_pq_refined" -> pqRefinedOracleSql(m = 16, seedMod = 20, k = 5, shortlist = 50),
 
     "q_embed_ann_ivf" -> ivfOracleSql(buildWhere = "TRUE"),
+
+    "q_embed_ann_recluster" ->
+      // determinism IS the claim: after the re-cluster the persisted
+      // layout must probe exactly like a one-shot build over the
+      // accumulated corpus — the full-build oracle verbatim
+      ivfOracleSql(buildWhere = "TRUE"),
 
     "q_embed_ann_ivf_sq8" -> ivfOracleSql(buildWhere = "TRUE", sq8 = true),
 

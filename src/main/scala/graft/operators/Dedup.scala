@@ -1880,6 +1880,15 @@ object Dedup {
     * CurationScaleBench fixture and recorded in SCALE.md; the default
     * stays 1 (the paper's operating point) because the fixture
     * measured the reclaim at +0.06% recall for ~4× pair volume.
+    * `assignMargin` makes the dial AFFORDABLE: the second assignment
+    * is emitted only when the vector genuinely sits in the boundary
+    * band — `d₂ − d₁ < margin` in L2² units — which is where the
+    * split pairs live by construction, so the margin buys most of
+    * top-2's recall at a fraction of its candidate volume (measured:
+    * the CurationScaleBench margin sweep in SCALE.md). Setting a
+    * margin with `assignTop = 1` still considers top-2 candidates;
+    * the keep/representative logic uses the primary assignment
+    * unchanged in every mode.
     *
     * Returns the full decision table, one row per corpus vector:
     * `(vec_id, cid, component, keep)` — filter `keep` for the
@@ -1892,9 +1901,12 @@ object Dedup {
       idCol: String = "vec_id",
       numPartitions: Option[Int] = None,
       propagateRounds: Int = 8,
-      assignTop: Int = 1): DataFrame = {
+      assignTop: Int = 1,
+      assignMargin: Option[Double] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(assignTop >= 1, s"assignTop must be >= 1, got $assignTop")
+    require(assignMargin.forall(_ >= 0.0),
+      s"assignMargin must be non-negative, got $assignMargin")
     graft.functions.VecDot.register(emb.sparkSession)
     val idx = SimilaritySearch.buildIndex(emb, centroidMod = centroidMod, idCol = idCol)
     // Assignment table + distance-to-own-centroid (the representative
@@ -1913,7 +1925,7 @@ object Dedup {
         expr(VectorExprs.l2sqSpark("cand_emb", "cemb")).as("dc"))
       .pipe(persistTracked)
     val pairs =
-      if (assignTop <= 1)
+      if (assignTop <= 1 && assignMargin.isEmpty)
         a.as("x")
           .join(a.as("y"),
             col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
@@ -1927,15 +1939,30 @@ object Dedup {
         // multi-assignment candidates: top-`assignTop` centroids per
         // vector (a per-vector window — k rows each, no skew), pairs
         // on ANY shared assigned cluster, deduplicated BEFORE the
-        // cosine so a pair sharing both clusters scores once
+        // cosine so a pair sharing both clusters scores once.
+        // `assignMargin` is the MARGIN-GATED refinement (r14 verdict
+        // task #2): a NON-primary assignment row is emitted only when
+        // its L2² distance is within `margin` of the vector's best —
+        // the boundary band is where the cluster-split misses live by
+        // construction, so most of top-2's recall costs a fraction of
+        // its pair volume (measured: CurationScaleBench margin sweep,
+        // SCALE.md). With a margin set, at least top-2 candidates are
+        // considered even when assignTop stays 1.
+        val effTop = if (assignMargin.isDefined) math.max(assignTop, 2) else assignTop
         val byD = Window.partitionBy("vec_id").orderBy(col("_d"), col("acid"))
-        val multi = a.select(col("vec_id"), col("cand_emb"))
+        val multi0 = a.select(col("vec_id"), col("cand_emb"))
           .crossJoin(broadcast(
             idx.centroids.select(col("cid").as("acid"), col("cemb").as("_ce"))))
           .withColumn("_d", expr(VectorExprs.l2sqSpark("cand_emb", "_ce")))
           .withColumn("_rn", row_number().over(byD))
-          .filter(col("_rn") <= assignTop)
-          .select("vec_id", "acid")
+          .filter(col("_rn") <= effTop)
+        val multi = (assignMargin match {
+          case None => multi0
+          case Some(m) =>
+            multi0
+              .withColumn("_d1", min(col("_d")).over(Window.partitionBy("vec_id")))
+              .filter(col("_rn") === 1 || col("_d") - col("_d1") < m)
+        }).select("vec_id", "acid")
         val slim = a.select(col("vec_id"), col("cand_emb"), col("cnorm"))
         multi.as("x")
           .join(multi.as("y"),

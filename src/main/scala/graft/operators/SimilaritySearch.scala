@@ -555,6 +555,95 @@ object SimilaritySearch {
     fs.delete(old, true)
   }
 
+  /** RE-CLUSTER a written IVF index — the maintenance verb frozen
+    * centroids were missing (r14 verdict task #3): [[writeIndex]]
+    * freezes list geometry at build time, [[appendToWrittenIndex]]
+    * deliberately reuses it (the faiss `add` split), so as the
+    * ingested distribution drifts the lists stop reflecting the data
+    * and probe recall decays (measured on a drifted fixture in
+    * ProbeReclusterRecall; numbers in SCALE.md).
+    * This verb re-trains centroids from the accumulated LIVE corpus
+    * (tombstones masked — the removal bakes in), re-assigns every
+    * vector, and swaps the new generation in with the Z-order
+    * rollForward discipline: the ENTIRE next generation materializes
+    * under `*_next` first, a commit marker makes the swap decision
+    * durable, and every crash point is [[recoverWrittenIndex]]
+    * -decidable — old generation intact before the marker, new
+    * generation completed after it; the two-table layout never mixes
+    * generations. Tombstones retire AT the swap (no separate clear to
+    * crash around — the ZOrder.delete lesson).
+    *
+    * Determinism: [[buildIndex]] is a pure function of (vector set,
+    * centroidMod), so the re-clustered layout probes EXACTLY like an
+    * index built in one shot over the same live vectors — that
+    * equality is q_embed_ann_recluster's oracle.
+    *
+    * Plain IVF layouts only: an IVFADC dir's codes encode residuals
+    * against the coarse assignment, so re-assignment invalidates
+    * them — rebuild via writeIvfPqIndex instead (fail-fast here).
+    */
+  def reclusterWrittenIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      centroidMod: Int = 0, lloydIters: Int = 1,
+      fitSampleMod: Option[Int] = None): Unit = {
+    require(!dirExists(spark, s"$dir/codes"),
+      s"reclusterWrittenIndex supports plain IVF layouts; '$dir' carries a codes " +
+        "table whose (residual) codes depend on the coarse assignment — rebuild " +
+        "the combined layout with writeIvfPqIndex/writePqIndex instead")
+    recoverWrittenIndex(spark, dir)
+    val live = readIndex(spark, dir).assignments
+    val corpus = live.select(
+      col("cand_id").as("vec_id"), col("cand_emb").as("embedding"))
+    val idx = buildIndex(
+      corpus, centroidMod, lloydIters, fitSampleMod = fitSampleMod)
+    // materialize the ENTIRE next generation before any live dir moves
+    idx.centroids.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/centroids_next")
+    idx.assignments.repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/assignments_next")
+    // the commit point: after this marker lands, the swap WILL happen
+    // (here or in a later recover); before it, a crash discards _next
+    val marker = new org.apache.hadoop.fs.Path(reclusterMarker(dir))
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(marker, true).close()
+    recoverWrittenIndex(spark, dir)
+  }
+
+  private def reclusterMarker(dir: String): String = s"$dir/recluster_commit"
+
+  /** Finish or discard an interrupted [[reclusterWrittenIndex]] —
+    * idempotent, called automatically at the start of every
+    * re-cluster (the ZOrder.recover shape). Marker present ⇒ both
+    * `_next` tables were fully materialized ⇒ roll the swap forward
+    * (skipping tables a previous attempt already swapped) and retire
+    * tombstones + marker; marker absent ⇒ any `_next` leftovers are
+    * an incomplete materialization over an intact old generation —
+    * discard them.
+    */
+  def recoverWrittenIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tables = Seq("assignments", "centroids")
+    if (dirExists(spark, reclusterMarker(dir))) {
+      tables.foreach { t =>
+        val next = s"$dir/${t}_next"
+        if (dirExists(spark, next)) {
+          deleteDir(spark, s"$dir/$t")
+          require(
+            fs.rename(
+              new org.apache.hadoop.fs.Path(next),
+              new org.apache.hadoop.fs.Path(s"$dir/$t")),
+            s"recluster roll-forward: rename $next -> $dir/$t failed")
+        } // else: already swapped before the interruption
+      }
+      deleteDir(spark, s"$dir/tombstones")
+      deleteDir(spark, reclusterMarker(dir))
+    } else {
+      tables.foreach(t => deleteDir(spark, s"$dir/${t}_next"))
+    }
+  }
+
   /** [[appendToWrittenIndex]] plus automatic compaction cadence —
     * the written-index twin of [[Dedup.appendAndMaybeCompact]]: when
     * the append pushes any list directory past `maxFilesPerList`

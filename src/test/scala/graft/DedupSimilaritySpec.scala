@@ -570,6 +570,46 @@ class DedupSimilaritySpec extends AnyFunSuite {
     Dedup.unpersistAll()
   }
 
+  test("semantic dedup margin gate: 0 reduces to top-1, a huge margin reduces to top-2, decisions stay total") {
+    import org.apache.spark.sql.functions._
+    val corpus = Corpus.embCorpus(spark, dir)
+    val n = corpus.count()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("vec_id").collect().toSeq
+    // margin 0: d2 - d1 < 0 never holds, so only primary assignments
+    // generate candidates — EXACTLY the top-1 result
+    val base = canon(Dedup.semanticDedup(corpus))
+    Dedup.unpersistAll()
+    val zeroMargin = canon(Dedup.semanticDedup(corpus, assignMargin = Some(0.0)))
+    Dedup.unpersistAll()
+    assert(zeroMargin == base)
+    // margin ∞ (any bound over the fixture's distance range): every
+    // vector's second assignment is admitted — EXACTLY the top-2 result
+    val top2 = canon(Dedup.semanticDedup(corpus, assignTop = 2))
+    Dedup.unpersistAll()
+    val hugeMargin = canon(Dedup.semanticDedup(corpus, assignMargin = Some(1e18)))
+    Dedup.unpersistAll()
+    assert(hugeMargin == top2)
+    // an intermediate margin is monotone between the brackets: totality
+    // holds, primary cids unchanged, drops between top-1's and top-2's
+    val mid = Dedup.semanticDedup(corpus, assignMargin = Some(0.5)).cache()
+    assert(mid.count() == n && mid.select("vec_id").distinct().count() == n)
+    assert(mid.select("vec_id", "cid").collect().toSet ==
+      base.map(r => org.apache.spark.sql.Row(r.get(0), r.get(1))).toSet)
+    def drops(rows: Seq[org.apache.spark.sql.Row]) = rows.count(!_.getBoolean(3))
+    val midDrops = mid.filter(!col("keep")).count()
+    assert(midDrops >= drops(base) && midDrops <= drops(top2))
+    assert(mid.groupBy("component")
+      .agg(sum(col("keep").cast("long")).as("k"))
+      .filter(col("k") =!= 1).count() == 0)
+    mid.unpersist()
+    Dedup.unpersistAll()
+    // a negative margin is a misconfiguration, named
+    val e = intercept[IllegalArgumentException](
+      Dedup.semanticDedup(corpus, assignMargin = Some(-1.0)))
+    assert(e.getMessage.contains("assignMargin"))
+  }
+
   test("semantic dedup: planted copies collapse within clusters, one keeper per component") {
     val dec = Dedup.semanticDedup(Corpus.embCorpus(spark, dir)).cache()
     val n = Corpus.embCorpus(spark, dir).count()

@@ -555,6 +555,86 @@ class StateCompactionSpec extends AnyFunSuite {
     }
   }
 
+  test("written-index re-cluster: one-shot equivalence, tombstones retired at swap, crash points recover") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .localCheckpoint(true)
+    val base = e.filter(col("vec_id") % 3 =!= 0)
+    val batch = e.filter(col("vec_id") % 3 === 0)
+    val queries = e.filter(col("vec_id") % 97 === 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().toSeq
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_recluster_spec_").toString
+    try {
+      SimilaritySearch.writeIndex(
+        SimilaritySearch.buildIndex(base, centroidMod = 50), stateDir)
+      SimilaritySearch.appendToWrittenIndex(spark, stateDir, batch)
+      // tombstone a few ids BEFORE the re-cluster: the rebuild must
+      // bake the removal in and retire the set at the swap
+      val victims = Seq(102L, 204L, 306L)
+      import spark.implicits._
+      SimilaritySearch.deleteFromWrittenIndex(
+        spark, stateDir, victims.toDF("vec_id"))
+      SimilaritySearch.reclusterWrittenIndex(spark, stateDir, centroidMod = 50)
+      assert(!new java.io.File(s"$stateDir/tombstones").exists(),
+        "tombstones retire at the swap")
+      assert(!new java.io.File(s"$stateDir/recluster_commit").exists())
+      val live = e.filter(!col("vec_id").isin(victims: _*))
+      val viaRecluster = canon(SimilaritySearch.probe(
+        SimilaritySearch.readIndex(spark, stateDir), queries))
+      // one-shot equivalence: buildIndex is a pure function of the
+      // live vector set, so the re-clustered layout probes exactly
+      // like an in-memory build over it
+      assert(viaRecluster == canon(SimilaritySearch.probe(
+        SimilaritySearch.buildIndex(live, centroidMod = 50), queries)))
+      assert(!viaRecluster.exists(r => victims.contains(r.getLong(2))))
+      // CRASH POINT A — materialized but no marker: recovery discards
+      // the _next generation, the live layout is untouched
+      val fs = new org.apache.hadoop.fs.Path(stateDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      spark.read.parquet(s"$stateDir/centroids").write
+        .mode("overwrite").parquet(s"$stateDir/centroids_next")
+      SimilaritySearch.recoverWrittenIndex(spark, stateDir)
+      assert(!new java.io.File(s"$stateDir/centroids_next").exists())
+      assert(viaRecluster == canon(SimilaritySearch.probe(
+        SimilaritySearch.readIndex(spark, stateDir), queries)))
+      // CRASH POINT B — marker written, one table already swapped,
+      // the other still pending: recovery finishes the roll-forward
+      // and the layout equals a re-cluster that never crashed
+      val idx2 = SimilaritySearch.buildIndex(live, centroidMod = 25)
+      idx2.centroids.coalesce(1).write.mode("overwrite")
+        .parquet(s"$stateDir/centroids_next")
+      idx2.assignments.repartition(col("cid")).write
+        .mode("overwrite").partitionBy("cid").parquet(s"$stateDir/assignments_next")
+      fs.create(new org.apache.hadoop.fs.Path(s"$stateDir/recluster_commit"), true).close()
+      // simulate the partial swap: assignments already moved
+      fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/assignments"), true)
+      assert(fs.rename(
+        new org.apache.hadoop.fs.Path(s"$stateDir/assignments_next"),
+        new org.apache.hadoop.fs.Path(s"$stateDir/assignments")))
+      SimilaritySearch.recoverWrittenIndex(spark, stateDir)
+      assert(!new java.io.File(s"$stateDir/recluster_commit").exists())
+      assert(!new java.io.File(s"$stateDir/centroids_next").exists())
+      assert(canon(SimilaritySearch.probe(
+        SimilaritySearch.readIndex(spark, stateDir), queries)) ==
+        canon(SimilaritySearch.probe(idx2, queries)),
+        "recovery must finish the interrupted swap, never mix generations")
+      // an IVFADC dir refuses the verb with the rebuild remedy
+      val comboDir = java.nio.file.Files
+        .createTempDirectory("graft_recluster_combo_").toString
+      try {
+        val comboIdx = SimilaritySearch.buildIndex(base, centroidMod = 50)
+        val cb = SimilaritySearch.pqFit(base)
+        SimilaritySearch.writeIvfPqIndex(
+          comboIdx, cb, SimilaritySearch.pqEncode(base, cb), comboDir)
+        val err = intercept[IllegalArgumentException](
+          SimilaritySearch.reclusterWrittenIndex(spark, comboDir))
+        assert(err.getMessage.contains("writeIvfPqIndex"))
+      } finally rmTree(comboDir)
+    } finally rmTree(stateDir)
+  }
+
   test("bucketed chunk table: catalog equals the derived state, ingest appends close the key set") {
     import org.apache.spark.sql.expressions.Window
     val corpus = Corpus.docCorpus(spark, dir).select("doc_id", "text").localCheckpoint(true)
