@@ -158,8 +158,10 @@ object CurationScaleBench {
     // cheap where counting pairs would re-run the join.
     val marginSweep = mults.lastOption.toSeq.flatMap { mult =>
       val corpus = spark.read.parquet(s"$fix/sem_$mult")
+      // empty string = skip the sweep (the SPARK_GRAFT_SCALE_MULTS
+      // convention), e.g. when a run only wants the percentile probe
       val margins = sys.env.get("SPARK_GRAFT_SEM_MARGINS")
-        .map(_.split(",").map(_.trim.toDouble).toSeq)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble).toSeq)
         .getOrElse(Seq(0.05, 0.1, 0.25, 0.5, 1.0))
       margins.map { m =>
         var dropped = 0L
@@ -191,6 +193,31 @@ object CurationScaleBench {
       }
     }
 
+    // percentile-accumulator scale probe (r14 verdict task #7): the
+    // corpus report's exact `percentile` claims an accumulator bounded
+    // by the ppm DOMAIN (≤ 10⁶+1 values), not corpus size — pin that
+    // with a measurement at the largest mult: distinct-value count
+    // (the accumulator's true key cardinality) and wall, exact vs the
+    // approx_percentile sketch, over the identical staged column.
+    val pctProbe = mults.lastOption.map { mult =>
+      val corpus = spark.read.parquet(s"$fix/para_$mult")
+      graft.operators.TextAnalysis.quality(corpus)
+        .select("quality_ppm")
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$fix/ppm_$mult")
+      val ppm = spark.read.parquet(s"$fix/ppm_$mult")
+      val n = ppm.count()
+      val nDistinct = ppm.distinct().count()
+      val exactSec = time(iters) {
+        ppm.agg(expr("percentile(quality_ppm, array(0.25D, 0.5D, 0.75D))")).collect()
+      }
+      val approxSec = time(iters) {
+        ppm.agg(expr(
+          "approx_percentile(quality_ppm, array(0.25D, 0.5D, 0.75D), 10000)")).collect()
+      }
+      (mult, n, nDistinct, exactSec, approxSec)
+    }
+
     val paraQs = paraResults.map { case (m, nd, nl, ndr, s) =>
       s""""para_x$m":{"docs":$nd,"n_lines":$nl,"n_dropped":$ndr,"sec":${f"$s%.3f"}}"""
     }.mkString(",")
@@ -205,7 +232,10 @@ object CurationScaleBench {
       s""""sem_margin_x${mult}_$m":{"n_dropped":$ndr,"n_secondary":$nsec,"sec":${f"$s%.3f"}}"""
     }.mkString(",")
     val marginPart = if (marginQs.isEmpty) "" else s",$marginQs"
-    println(s"""{"metric":"curation_scale_curve","iters":$iters,"sf":"$sfDir",$paraQs,$hotQs,$semQs$marginPart}""")
+    val pctPart = pctProbe.map { case (m, n, nd, es, as_) =>
+      s""","pct_x$m":{"rows":$n,"distinct_ppm":$nd,"exact_sec":${f"$es%.3f"},"approx_sec":${f"$as_%.3f"}}"""
+    }.getOrElse("")
+    println(s"""{"metric":"curation_scale_curve","iters":$iters,"sf":"$sfDir",$paraQs,$hotQs,$semQs$marginPart$pctPart}""")
     spark.stop()
   }
 }

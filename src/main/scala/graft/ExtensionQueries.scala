@@ -1372,6 +1372,30 @@ object ExtensionQueries {
         .orderBy("media_a", "media_b")
     }),
 
+    "q_dedup_media_apply" -> ((s, dir) => {
+      // the media APPLY step, symmetric with q_dedup_embed_apply:
+      // perceptual pairs → clusters (min-label propagation) → drop
+      // every non-canonical member; singletons pass the anti-join
+      // untouched. The survivors are exactly the originals: each
+      // planted perturbed copy pairs with its source at Hamming ≤ 3
+      // and loses the min-id canonical choice.
+      val docs = Tables.documents(s, dir)
+      val media = graft.operators.Multimodal.synthesizePpmTextured(docs)
+        .unionByName(graft.operators.Multimodal.synthesizePpmTextured(
+          docs.filter(col("doc_id") % 7 === 0),
+          mediaIdOffset = 1000000L, perturb = true))
+      val labels = ConnectedComponents.labelPropagate(
+        graft.operators.Multimodal.perceptualHashPairs(media, maxHamming = 4),
+        "media_a", "media_b", numPartitions = Some(8))
+      media
+        .join(
+          labels.filter(col("node") =!= col("component"))
+            .select(col("node").as("media_id")),
+          Seq("media_id"), "left_anti")
+        .select("media_id")
+        .orderBy("media_id")
+    }),
+
     // ---- corpus curation: salience, heavy hitters, sampling, layout ----
     "q_tfidf_top_terms" -> ((s, dir) =>
       TextAnalysis.tfIdfTopTerms(Tables.documents(s, dir)).orderBy("doc_id", "rank")),
@@ -3122,6 +3146,48 @@ object ExtensionQueries {
        |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
   }
 
+  /** The perceptual media-dedup fixture + dHash pair list as bare
+    * CTEs ending at `mpairs (media_a, media_b, hamming)` and keeping
+    * `m (media_id, sid, pert)` in scope — shared by the
+    * q_dedup_media_neardup oracle and, as the edge list, by
+    * q_dedup_media_apply's reachability oracle. Recomputes the
+    * textured-PPM grid cells from the synthesis formulas (a
+    * header-parse or sampling-offset bug on the Spark side diverges
+    * the hashes) and takes the QUADRATIC pair set — the lossless
+    * reference the Spark pigeonhole candidates must reproduce.
+    */
+  private val mediaDhashPairCtes: String = {
+    def byteDuck(j: String): String =
+      s"(32 + (sid*31 + ($j)*7 + (($j)*($j)*13 + sid*sid*17 + sid*($j)*29) % 9973" +
+        s" + CASE WHEN pert AND ($j) IN (0, 3*((w*h)//2), 3*(w*h-1)) THEN 41 ELSE 0 END) % 95)"
+    s"""m AS (
+       |  SELECT doc_id AS media_id, doc_id AS sid, FALSE AS pert FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, doc_id, TRUE FROM documents WHERE doc_id % 7 = 0
+       |), g AS (
+       |  SELECT media_id, sid, pert, 12 + sid % 8 AS w, 9 + sid % 5 AS h,
+       |    unnest(range(0, 72)) AS c
+       |  FROM m
+       |), pcell AS (
+       |  SELECT media_id, sid, pert, w, h, c,
+       |    ((c // 9) * h // 8) * w + ((c % 9) * w // 9) AS p
+       |  FROM g
+       |), cell AS (
+       |  SELECT media_id, c,
+       |    ${byteDuck("3*p")} + ${byteDuck("3*p + 1")} + ${byteDuck("3*p + 2")} AS gray
+       |  FROM pcell
+       |), cells AS (
+       |  SELECT media_id, list(gray ORDER BY c) AS cl FROM cell GROUP BY media_id
+       |), hsh AS (
+       |  SELECT media_id, ${graft.operators.Multimodal.dhashDuck("cl")} AS fph FROM cells
+       |), mpairs AS (
+       |  SELECT x.media_id AS media_a, y.media_id AS media_b,
+       |    CAST(bit_count(xor(x.fph, y.fph)) AS BIGINT) AS hamming
+       |  FROM hsh x JOIN hsh y ON x.media_id < y.media_id
+       |  WHERE bit_count(xor(x.fph, y.fph)) <= 4
+       |)""".stripMargin
+  }
+
   /** The embedding near-dup pairs as bare SQL (no final ORDER BY) —
     * mirrors the Spark operator's comparison-bit band candidate
     * generation (VectorExprs.cmpBandKeys*): one definition of
@@ -3982,37 +4048,32 @@ object ExtensionQueries {
     // QUADRATIC reference formulation (the corpus is small enough
     // here; the Spark side must produce the identical pair set from
     // its pigeonhole candidates, proving them lossless)
-    "q_dedup_media_neardup" -> {
-      def byteDuck(j: String): String =
-        s"(32 + (sid*31 + ($j)*7 + (($j)*($j)*13 + sid*sid*17 + sid*($j)*29) % 9973" +
-          s" + CASE WHEN pert AND ($j) IN (0, 3*((w*h)//2), 3*(w*h-1)) THEN 41 ELSE 0 END) % 95)"
-      s"""WITH m AS (
-         |  SELECT doc_id AS media_id, doc_id AS sid, FALSE AS pert FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 1000000, doc_id, TRUE FROM documents WHERE doc_id % 7 = 0
-         |), g AS (
-         |  SELECT media_id, sid, pert, 12 + sid % 8 AS w, 9 + sid % 5 AS h,
-         |    unnest(range(0, 72)) AS c
-         |  FROM m
-         |), pcell AS (
-         |  SELECT media_id, sid, pert, w, h, c,
-         |    ((c // 9) * h // 8) * w + ((c % 9) * w // 9) AS p
-         |  FROM g
-         |), cell AS (
-         |  SELECT media_id, c,
-         |    ${byteDuck("3*p")} + ${byteDuck("3*p + 1")} + ${byteDuck("3*p + 2")} AS gray
-         |  FROM pcell
-         |), cells AS (
-         |  SELECT media_id, list(gray ORDER BY c) AS cl FROM cell GROUP BY media_id
-         |), hsh AS (
-         |  SELECT media_id, ${graft.operators.Multimodal.dhashDuck("cl")} AS fph FROM cells
+    "q_dedup_media_neardup" ->
+      s"""WITH $mediaDhashPairCtes
+         |SELECT media_a, media_b, hamming FROM mpairs
+         |ORDER BY media_a, media_b""".stripMargin,
+
+    // media near-dup APPLY: the same pair fragment feeds the shared
+    // recursive-reachability component oracle (q_dedup_embed_apply's
+    // pattern); survivors = every media id except non-canonical
+    // component members
+    "q_dedup_media_apply" ->
+      s"""WITH RECURSIVE $mediaDhashPairCtes, edges AS (
+         |  SELECT media_a AS src, media_b AS dst FROM mpairs
+         |  UNION
+         |  SELECT media_b, media_a FROM mpairs
+         |), nodes AS (
+         |  SELECT DISTINCT src AS node FROM edges
+         |), reach(node, lbl) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+         |), comp AS (
+         |  SELECT node AS media_id, MIN(lbl) AS component FROM reach GROUP BY node
          |)
-         |SELECT x.media_id AS media_a, y.media_id AS media_b,
-         |  CAST(bit_count(xor(x.fph, y.fph)) AS BIGINT) AS hamming
-         |FROM hsh x JOIN hsh y ON x.media_id < y.media_id
-         |WHERE bit_count(xor(x.fph, y.fph)) <= 4
-         |ORDER BY media_a, media_b""".stripMargin
-    },
+         |SELECT m.media_id FROM m
+         |WHERE m.media_id NOT IN (SELECT media_id FROM comp WHERE media_id <> component)
+         |ORDER BY media_id""".stripMargin,
 
     "q_tfidf_top_terms" ->
       TextAnalysis.tfIdfTopTermsDuckSql("documents"),
