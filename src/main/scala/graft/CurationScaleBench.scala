@@ -172,21 +172,15 @@ object CurationScaleBench {
             .collect()(0).getLong(0)
           graft.operators.Dedup.unpersistAll()
         }
-        // secondary-assignment volume under this margin: one
-        // broadcast pass, the operator's own expressions
+        // secondary-assignment volume under this margin, counted
+        // through the OPERATOR's own gate (Dedup.multiAssignRows —
+        // a re-spelling here could silently drift from the shipped
+        // candidate set, review r15)
         val idx = graft.operators.SimilaritySearch.buildIndex(corpus, centroidMod = 0)
-        import org.apache.spark.sql.expressions.Window
-        val byD = Window.partitionBy("vec_id").orderBy(col("_d"), col("acid"))
-        val nSecondary = idx.assignments
-          .select(col("cand_id").as("vec_id"), col("cand_emb"))
-          .crossJoin(broadcast(
-            idx.centroids.select(col("cid").as("acid"), col("cemb").as("_ce"))))
-          .withColumn("_d", expr(
-            graft.functions.VectorExprs.l2sqSpark("cand_emb", "_ce")))
-          .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(byD))
-          .filter(col("_rn") <= 2)
-          .withColumn("_d1", min(col("_d")).over(Window.partitionBy("vec_id")))
-          .filter(col("_rn") === 2 && col("_d") - col("_d1") < m)
+        val nSecondary = graft.operators.Dedup.multiAssignRows(
+            idx.assignments.select(col("cand_id").as("vec_id"), col("cand_emb")),
+            idx.centroids, effTop = 2, assignMargin = Some(m))
+          .filter(col("_rn") > 1)
           .count()
         graft.operators.Dedup.unpersistAll()
         (mult, m, dropped, nSecondary, sec)

@@ -150,9 +150,16 @@ object DiffGen {
     import org.apache.spark.sql.types._
     val u = t.trim.toUpperCase
     val decimal = """(?:NUMBER|DECIMAL|NUMERIC)\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)""".r
+    // FLOAT(p) — the PostgreSQL/Oracle DESCRIBE spelling of binary
+    // floats (p = mantissa bits, not decimal digits): any precision
+    // maps to DOUBLE, like the bare FLOAT spellings below (review
+    // r15: the substring-era classing accepted it; the parsed path
+    // must not silently drop it out of --abs_tol treatment)
+    val floatParam = """FLOAT\s*\(\s*\d+\s*\)""".r
     u match {
       case decimal(p, s) => Some(DecimalType(p.toInt, Option(s).map(_.toInt).getOrElse(0)))
       case "NUMBER" | "DECIMAL" | "NUMERIC" => Some(DecimalType(38, 0))
+      case t if floatParam.pattern.matcher(t).matches() => Some(DoubleType)
       case "TINYINT" => Some(ByteType)
       case "SMALLINT" => Some(ShortType)
       case "INT" | "INTEGER" => Some(IntegerType)

@@ -1364,20 +1364,42 @@ object Dedup {
     * nothing.
     */
   private def markFirstByFingerprint(
-      nonBlank: DataFrame, collisionCheck: Boolean): DataFrame = {
-    val key = lower(trim(col("para")))
-    val (h1, h2) = lineFp(key)
-    val keyed = nonBlank.withColumn("pk1", h1).withColumn("pk2", h2)
+      nonBlank: DataFrame, collisionCheck: Boolean): DataFrame =
+    markFirstByFp(
+      nonBlank, lower(trim(col("para"))), Seq("doc_id", "pos"),
+      collisionCheck, remedy = "rerun with byFingerprint=false")
+
+  /** The SHARED fingerprint keep-first kernel (review r15: the
+    * paragraph, chunk, and media forms were three hand-rolled copies
+    * that a fingerprint-scheme fix would have to chase separately):
+    * key rows by the 128-bit salted pair ([[lineFp]] over `keyExpr`),
+    * take the minimum `struct(orderCols)` per key (struct ordering IS
+    * the lexicographic first-occurrence order), and join the winners
+    * back on the fingerprint — partial-aggregable, hash-width
+    * shuffles, AQE-splittable join skew, no window anywhere. Output =
+    * input + `keep`. `collisionCheck` adds a third independent hash
+    * per key group (recomputed inside the agg from the key, so the
+    * GROUPING columns stay the two fingerprint longs) and raises with
+    * `remedy` if any 128-bit group spans two distinct third hashes —
+    * lazy, fires only on an actual collision.
+    */
+  private def markFirstByFp(
+      rows: DataFrame,
+      keyExpr: org.apache.spark.sql.Column,
+      orderCols: Seq[String],
+      collisionCheck: Boolean,
+      remedy: String): DataFrame = {
+    val (h1, h2) = lineFp(keyExpr)
+    val keyed = rows.withColumn("pk1", h1).withColumn("pk2", h2)
     val aggs =
-      min(struct(col("doc_id"), col("pos"))).as("_first") +:
+      min(struct(orderCols.map(col): _*)).as("_first") +:
         (if (collisionCheck)
-           Seq(countDistinct(xxhash64(lit("fpck"), key)).as("_nck"))
+           Seq(countDistinct(xxhash64(lit("fpck"), keyExpr)).as("_nck"))
          else Nil)
-    // the check hash is recomputed inside the agg from the line text,
-    // so the GROUPING columns stay the two fingerprint longs only
     val first = keyed.groupBy("pk1", "pk2").agg(aggs.head, aggs.tail: _*)
-    val keepExpr =
-      col("doc_id") === col("_first.doc_id") && col("pos") === col("_first.pos")
+    val keepExpr = orderCols
+      .map(c => col(c) === col("_first")(c))
+      .reduce(_ && _)
     val marked = keyed
       .join(first, Seq("pk1", "pk2"))
       .withColumn(
@@ -1386,11 +1408,25 @@ object Dedup {
         else when(
           col("_nck") > 1,
           raise_error(concat(
-            lit("128-bit line-fingerprint collision (pk1="), col("pk1"),
-            lit(") — two distinct normalized lines share a fingerprint; "),
-            lit("rerun with byFingerprint=false"))).cast("boolean"))
+            lit("128-bit fingerprint collision (pk1="), col("pk1"),
+            lit(") — two distinct normalized keys share a fingerprint; "),
+            lit(remedy))).cast("boolean"))
           .otherwise(keepExpr))
     marked.drop("pk1", "pk2", "_first", "_nck")
+  }
+
+  /** Reserved-column clash guard shared by the keep-first operators:
+    * a working/output name already on the input would be silently
+    * clobbered by withColumn and fail (or worse, mislead) only far
+    * downstream.
+    */
+  private def requireNoReservedCols(df: DataFrame, op: String): Unit = {
+    val reserved = Seq("keep", "pk1", "pk2", "_first", "_nck")
+    val clash = df.columns.filter(c => reserved.exists(_.equalsIgnoreCase(c)))
+    require(
+      clash.isEmpty,
+      s"$op emits column(s) ${clash.mkString(", ")} itself — " +
+        "rename or drop the input column(s)")
   }
 
   /** (doc_id, [passthroughs], pos, para) exploded line table — the
@@ -1580,8 +1616,17 @@ object Dedup {
   def compactLineTable(
       spark: org.apache.spark.sql.SparkSession,
       table: String,
-      buckets: Int = BandTableBuckets): DataFrame =
+      buckets: Int = BandTableBuckets): DataFrame = {
+    // same legacy-layout fail-fast as the append path (review r15:
+    // the r14 guards covered probe + append but left the compaction
+    // to die on a raw missing-(pk1,pk2) error far from the cause)
+    if (spark.catalog.tableExists(table) &&
+      spark.table(table).columns.exists(_.equalsIgnoreCase("pkey")))
+      throw new IllegalArgumentException(
+        s"line-state table '$table' has the legacy text-keyed layout (pkey) — " +
+          "rebuild it with writeLineTable on this revision before compacting")
     compactBucketedState(spark, table, buckets, Seq("pk1", "pk2"))
+  }
 
   /** [[appendToLineTable]] plus the [[appendAndMaybeCompact]]
     * cadence. Returns true when this append triggered a compaction.
@@ -1631,27 +1676,10 @@ object Dedup {
       textCol: String = "chunk_text",
       idCol: String = "doc_id",
       chunkIdCol: String = "chunk_id"): DataFrame = {
-    // the paragraphDedup clash guard: a working/output name already on
-    // the input would be silently clobbered by withColumn and fail (or
-    // worse, mislead) only far downstream
-    val reserved = Seq("keep", "pk1", "pk2", "_first")
-    val clash = chunks.columns.filter(c => reserved.exists(_.equalsIgnoreCase(c)))
-    require(
-      clash.isEmpty,
-      s"chunkDedup emits column(s) ${clash.mkString(", ")} itself — " +
-        "rename or drop the input column(s)")
-    val key = lower(trim(col(textCol)))
-    val (h1, h2) = lineFp(key)
-    val keyed = chunks.withColumn("pk1", h1).withColumn("pk2", h2)
-    val first = keyed.groupBy("pk1", "pk2")
-      .agg(min(struct(col(idCol), col(chunkIdCol))).as("_first"))
-    keyed
-      .join(first, Seq("pk1", "pk2"))
-      .withColumn(
-        "keep",
-        col(idCol) === col("_first")(idCol) &&
-          col(chunkIdCol) === col("_first")(chunkIdCol))
-      .drop("pk1", "pk2", "_first")
+    requireNoReservedCols(chunks, "chunkDedup")
+    markFirstByFp(
+      chunks, lower(trim(col(textCol))), Seq(idCol, chunkIdCol),
+      collisionCheck = false, remedy = "")
   }
 
   /** One CHUNK-ingest step — [[chunkDedup]]'s INCREMENTAL form and
@@ -1822,20 +1850,10 @@ object Dedup {
       media: DataFrame,
       idCol: String = "media_id",
       payloadCol: String = "media"): DataFrame = {
-    val reserved = Seq("keep", "pk1", "pk2", "_first")
-    val clash = media.columns.filter(c => reserved.exists(_.equalsIgnoreCase(c)))
-    require(
-      clash.isEmpty,
-      s"mediaDedupExact emits column(s) ${clash.mkString(", ")} itself — " +
-        "rename or drop the input column(s)")
-    val (h1, h2) = lineFp(col(payloadCol))
-    val keyed = media.withColumn("pk1", h1).withColumn("pk2", h2)
-    val first = keyed.groupBy("pk1", "pk2")
-      .agg(min(col(idCol)).as("_first"))
-    keyed
-      .join(first, Seq("pk1", "pk2"))
-      .withColumn("keep", col(idCol) === col("_first"))
-      .drop("pk1", "pk2", "_first")
+    requireNoReservedCols(media, "mediaDedupExact")
+    markFirstByFp(
+      media, col(payloadCol), Seq(idCol),
+      collisionCheck = false, remedy = "")
   }
 
   /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
@@ -1949,20 +1967,10 @@ object Dedup {
         // SCALE.md). With a margin set, at least top-2 candidates are
         // considered even when assignTop stays 1.
         val effTop = if (assignMargin.isDefined) math.max(assignTop, 2) else assignTop
-        val byD = Window.partitionBy("vec_id").orderBy(col("_d"), col("acid"))
-        val multi0 = a.select(col("vec_id"), col("cand_emb"))
-          .crossJoin(broadcast(
-            idx.centroids.select(col("cid").as("acid"), col("cemb").as("_ce"))))
-          .withColumn("_d", expr(VectorExprs.l2sqSpark("cand_emb", "_ce")))
-          .withColumn("_rn", row_number().over(byD))
-          .filter(col("_rn") <= effTop)
-        val multi = (assignMargin match {
-          case None => multi0
-          case Some(m) =>
-            multi0
-              .withColumn("_d1", min(col("_d")).over(Window.partitionBy("vec_id")))
-              .filter(col("_rn") === 1 || col("_d") - col("_d1") < m)
-        }).select("vec_id", "acid")
+        val multi = multiAssignRows(
+          a.select(col("vec_id"), col("cand_emb")),
+          idx.centroids, effTop, assignMargin)
+          .select("vec_id", "acid")
         val slim = a.select(col("vec_id"), col("cand_emb"), col("cnorm"))
         multi.as("x")
           .join(multi.as("y"),
@@ -2000,6 +2008,36 @@ object Dedup {
       .withColumn("component", coalesce(col("component"), col("vec_id")))
       .withColumn("keep", row_number().over(w) === 1)
       .select("vec_id", "cid", "component", "keep")
+  }
+
+  /** The multi-assignment candidate rows — [[semanticDedup]]'s
+    * top-k/margin gate as a standalone frame (vec_id, acid, _rn),
+    * `private[graft]` so the scale bench counts secondary rows
+    * through the OPERATOR's own gate instead of a re-spelling that
+    * could silently drift (review r15). `vectors` carries
+    * (vec_id, cand_emb); `_rn` is the per-vector nearest-centroid
+    * rank, so `_rn > 1` rows are exactly the extra candidates the
+    * dial admits.
+    */
+  private[graft] def multiAssignRows(
+      vectors: DataFrame,
+      centroids: DataFrame,
+      effTop: Int,
+      assignMargin: Option[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byD = Window.partitionBy("vec_id").orderBy(col("_d"), col("acid"))
+    val m0 = vectors
+      .crossJoin(broadcast(
+        centroids.select(col("cid").as("acid"), col("cemb").as("_ce"))))
+      .withColumn("_d", expr(VectorExprs.l2sqSpark("cand_emb", "_ce")))
+      .withColumn("_rn", row_number().over(byD))
+      .filter(col("_rn") <= effTop)
+    (assignMargin match {
+      case None => m0
+      case Some(m) =>
+        m0.withColumn("_d1", min(col("_d")).over(Window.partitionBy("vec_id")))
+          .filter(col("_rn") === 1 || col("_d") - col("_d1") < m)
+    }).select("vec_id", "acid", "_rn")
   }
 
   /** [[semanticDedup]]'s INCREMENTAL form — the ingest shape shared

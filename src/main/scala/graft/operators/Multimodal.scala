@@ -341,19 +341,33 @@ object Multimodal {
     * (media_id, hash, segment) rows only. Returns
     * (media_a, media_b, hamming).
     */
+  /** `permissive = true` routes the decode through
+    * [[extractFeaturesPermissive]] and SKIPS undecodable payloads
+    * (an asset that cannot decode has no perceptual hash — it simply
+    * never pairs) instead of failing the job on the first NULL or
+    * corrupt payload. At 100 TB a media corpus WILL contain both, and
+    * one bad row must not kill a thousand-executor near-dup pass;
+    * the strict default keeps the fail-fast semantics for curated
+    * inputs where a corrupt payload indicates an upstream bug.
+    */
   def perceptualHashPairs(
       media: DataFrame,
       decoder: MediaDecoder = PpmGridDecoder,
       maxHamming: Int = 4,
       idCol: String = "media_id",
-      pigeonhole: Boolean = true): DataFrame = {
+      pigeonhole: Boolean = true,
+      permissive: Boolean = false): DataFrame = {
     require(decoder.featureDim == DhashGridW * DhashGridH,
       s"perceptualHashPairs needs a ${DhashGridW}x$DhashGridH grid decoder " +
         s"(featureDim ${DhashGridW * DhashGridH}), got ${decoder.featureDim}")
-    val fp = extractFeatures(media.withColumnRenamed(idCol, "media_id"), decoder)
-      .select(
-        col("media_id").as("doc_id"),
-        expr(dhashSpark("features")).as("fph"))
+    val renamed = media.withColumnRenamed(idCol, "media_id")
+    val feats =
+      if (!permissive) extractFeatures(renamed, decoder)
+      else extractFeaturesPermissive(renamed, decoder)
+        .filter(col("decode_error").isNull)
+    val fp = feats.select(
+      col("media_id").as("doc_id"),
+      expr(dhashSpark("features")).as("fph"))
     Dedup.hammingPairs(fp, maxHamming = maxHamming, bits = 64, pigeonhole = pigeonhole)
       .select(
         col("doc_a").as("media_a"), col("doc_b").as("media_b"), col("hamming"))

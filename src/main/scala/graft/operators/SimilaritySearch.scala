@@ -581,6 +581,17 @@ object SimilaritySearch {
     * Plain IVF layouts only: an IVFADC dir's codes encode residuals
     * against the coarse assignment, so re-assignment invalidates
     * them — rebuild via writeIvfPqIndex instead (fail-fast here).
+    *
+    * READ-QUIESCE contract (review r15): the layout is TWO
+    * directories and two directories cannot swap atomically, so the
+    * crash guarantees above are about DURABILITY, not read isolation
+    * — a probe that calls [[readIndex]] DURING the roll-forward can
+    * observe new assignments with old centroids (silently wrong
+    * pruning; the per-table rename-shuffle only removes the
+    * path-not-found window). Like every other maintenance verb on
+    * these layouts, run it with writers AND readers quiesced — serve
+    * probes from a session that re-reads the index after the verb
+    * returns.
     */
   def reclusterWrittenIndex(
       spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -629,18 +640,38 @@ object SimilaritySearch {
       tables.foreach { t =>
         val next = s"$dir/${t}_next"
         if (dirExists(spark, next)) {
-          deleteDir(spark, s"$dir/$t")
+          // rename-shuffle (the swapDirs discipline) instead of
+          // delete-then-rename: the live path is never ABSENT, so a
+          // straggler read in the swap window fails over to the old
+          // or new generation, not to path-not-found. Cross-TABLE
+          // consistency still needs the quiesce contract below — two
+          // directories cannot swap atomically.
+          if (dirExists(spark, s"$dir/$t")) {
+            deleteDir(spark, s"$dir/${t}_old")
+            require(
+              fs.rename(
+                new org.apache.hadoop.fs.Path(s"$dir/$t"),
+                new org.apache.hadoop.fs.Path(s"$dir/${t}_old")),
+              s"recluster roll-forward: rename $dir/$t -> ${t}_old failed")
+          }
           require(
             fs.rename(
               new org.apache.hadoop.fs.Path(next),
               new org.apache.hadoop.fs.Path(s"$dir/$t")),
             s"recluster roll-forward: rename $next -> $dir/$t failed")
+          deleteDir(spark, s"$dir/${t}_old")
         } // else: already swapped before the interruption
       }
       deleteDir(spark, s"$dir/tombstones")
       deleteDir(spark, reclusterMarker(dir))
     } else {
-      tables.foreach(t => deleteDir(spark, s"$dir/${t}_next"))
+      tables.foreach { t =>
+        deleteDir(spark, s"$dir/${t}_next")
+        // a crash between the two roll-forward renames leaves a stray
+        // _old dir whose _next already moved into place — harmless to
+        // reads (the live dir is complete), reclaimed here
+        deleteDir(spark, s"$dir/${t}_old")
+      }
     }
   }
 
@@ -1361,7 +1392,10 @@ object SimilaritySearch {
       if (dir == path || !dirExists(spark, s"$dir/tombstones")) 1.0
       else {
         val total = spark.read.parquet(path).count()
-        val dead = spark.read.parquet(s"$dir/tombstones").count()
+        // distinct: overlapping takedowns append duplicate ids (the
+        // delete path's documented conservatism) — raw rows would
+        // overstate the dead fraction and under-size the rewrite
+        val dead = spark.read.parquet(s"$dir/tombstones").distinct().count()
         if (total <= 0L) 1.0 else math.max(0.0, (total - dead).toDouble / total)
       }
     val liveBytes = (bytes * live).toLong

@@ -305,6 +305,14 @@ object TrainingExport {
       hashExpr: Option[String] = None,
       embeddings: => DataFrame = null): DataFrame = {
     require(cfg.numShards >= 1, s"numShards must be >= 1, got ${cfg.numShards}")
+    // chunk budgets bill in the chunker's own token count — rejecting
+    // the WordPiece currency beats silently billing a different one
+    // (review r15: a Config migrated from run() would otherwise admit
+    // 1.3-2x the text its budgets specify, with no error anywhere)
+    require(cfg.budgetCurrency == BudgetChars,
+      "runChunks bills budgets in CHUNK TOKENS (the chunker's n_tokens); " +
+        "budgetCurrency = BudgetWordPieceTokens is not supported at chunk " +
+        "granularity — size the budgets in chunk tokens and keep BudgetChars")
     graft.functions.PolyHash.register(docs.sparkSession)
     val chunks = TextAnalysis.chunkDocuments(
       cleanDocs(docs, benchmark, cfg, embeddings),

@@ -233,6 +233,18 @@ class DiffGenSpec extends AnyFunSuite {
     assert(!sql.contains("ABS(b_SPAN") && !sql.contains("ABS(CAST(b_SPAN"),
       "INTERVAL must not class numeric via the 'INT' substring")
     assert(sql.contains("b_SPAN = a_SPAN"))
+    // FLOAT(p) — the parameterized binary-float spelling the old
+    // substring classing accepted — must keep its double-cast
+    // tolerance under the parsed-type classing (review r15)
+    val bf = tmpCsv("tolf_before.csv",
+      "name,type\nK1,\"NUMBER(38,0)\"\nVAL,\"FLOAT(53)\"")
+    val af = tmpCsv("tolf_after.csv",
+      "name,type\nK1,\"NUMBER(38,0)\"\nVAL,\"FLOAT(53)\"")
+    val kf = tmpCsv("tolf_keys.csv", "name,type\nK1,\"NUMBER(38,0)\"")
+    val fsql = DiffGen.buildSql(DiffGen.parseArgs(Seq(
+      bf.toString, af.toString, "--keys", kf.toString, "--abs_tol", "0.01")))
+    assert(fsql.contains("ABS(CAST(b_VAL AS DOUBLE) - CAST(a_VAL AS DOUBLE)) <= 0.01"),
+      "FLOAT(53) must take the float-family double-cast tolerance")
   }
 
   test("--abs_tol classes evolved columns by their WIDENED comparison type (ADVICE r13)") {

@@ -214,6 +214,41 @@ class MultimodalSpec extends AnyFunSuite {
       "the re-encoded copy must pair at Hamming 0 through the decoder")
   }
 
+  test("perceptualHashPairs permissive mode skips undecodable payloads instead of failing the job") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    val good = Multimodal.synthesizePpmTextured(docs.filter(col("doc_id") < 50))
+      .unionByName(Multimodal.synthesizePpmTextured(
+        docs.filter(col("doc_id") % 7 === 0 && col("doc_id") < 50),
+        mediaIdOffset = 1000000L, perturb = true))
+    val poisoned = good.unionByName(
+      Seq(
+        (9000001L, "not a ppm at all".getBytes("US-ASCII")),
+        (9000002L, null: Array[Byte]))
+        .toDF("media_id", "media")
+        .withColumn("meta", lit(null).cast(
+          good.schema("meta").dataType.catalogString)))
+    // strict default: the corrupt payload kills the job (fail-fast
+    // for curated inputs, the documented contract)
+    val strict = intercept[Exception](
+      Multimodal.perceptualHashPairs(poisoned).collect())
+    assert(strict.getMessage != null)
+    graft.operators.Dedup.unpersistAll()
+    // permissive: undecodable payloads simply never pair; the pair
+    // set over the decodable subset is unchanged
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("media_a", "media_b").collect().toSeq
+    val viaPermissive = canon(
+      Multimodal.perceptualHashPairs(poisoned, permissive = true))
+    graft.operators.Dedup.unpersistAll()
+    val viaClean = canon(Multimodal.perceptualHashPairs(good))
+    graft.operators.Dedup.unpersistAll()
+    assert(viaPermissive == viaClean && viaPermissive.nonEmpty)
+    assert(!viaPermissive.exists(r =>
+      r.getLong(0) >= 9000000L || r.getLong(1) >= 9000000L))
+  }
+
   test("a custom MediaDecoder plugs into extractFeatures with per-partition open()") {
     import spark.implicits._
     // 2-dim "codec": [length, first byte] — plus an open() marker that

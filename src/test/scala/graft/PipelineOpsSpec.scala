@@ -2054,6 +2054,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(perSrc.forall(_.getLong(1) <= 20L))
   }
 
+  test("runChunks rejects the WordPiece budget currency instead of silently mis-billing") {
+    val e = intercept[IllegalArgumentException] {
+      TrainingExport.runChunks(
+        matrixDocs, matrixDocs.filter(col("doc_id") === 1L),
+        allOff.copy(
+          budgets = Seq("src0" -> 100L),
+          budgetCurrency = TrainingExport.BudgetWordPieceTokens()),
+        chunkTokens = 8, strideTokens = 4)
+    }
+    assert(e.getMessage.contains("CHUNK TOKENS"), e.getMessage)
+  }
+
   test("packedChunkId: round-trip and lazy range guards (r14 verdict: no unguarded packing)") {
     import spark.implicits._
     import graft.operators.Dedup
