@@ -1372,6 +1372,136 @@ object ExtensionQueries {
         .orderBy("media_a", "media_b")
     }),
 
+    "q_dedup_media_incremental" -> ((s, dir) => {
+      // the media granularity's INGEST shape (the minhashPairsAgainst
+      // contract): the corpus's dHash segment rows live in a bucketed
+      // catalog table (writeDhashTable — only the batch decodes and
+      // shuffles per ingest), and the planted perturbed copies arrive
+      // as the new batch probing it. The oracle is the batch pair
+      // fragment restricted to (corpus original, new copy) pairs —
+      // batch-vs-corpus must surface exactly the pairs the one-shot
+      // self-join found across that boundary.
+      val docs = Tables.documents(s, dir)
+      val corpus = graft.operators.Multimodal.synthesizePpmTextured(docs)
+      val batch = graft.operators.Multimodal.synthesizePpmTextured(
+        docs.filter(col("doc_id") % 7 === 0),
+        mediaIdOffset = 1000000L, perturb = true)
+      val tbl = "graft_dhash_state_" +
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+          .replaceAll("[^A-Za-z0-9]", "_")
+      val shufKey = "spark.sql.shuffle.partitions"
+      val prevShuf = s.conf.get(shufKey)
+      val out = try {
+        s.conf.set(shufKey, "8")
+        graft.operators.Multimodal.writeDhashTable(
+          corpus, tbl, maxHamming = 4, buckets = 8)
+        graft.operators.Multimodal
+          .perceptualHashPairsAgainst(batch, s, tbl, maxHamming = 4)
+          .localCheckpoint(true)
+      } finally {
+        s.conf.set(shufKey, prevShuf)
+        s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+        s.sql(s"DROP TABLE IF EXISTS `${tbl}_compact_tmp`")
+        s.sql(s"DROP TABLE IF EXISTS `${tbl}_tombstones`")
+      }
+      Dedup.unpersistAll()
+      out.orderBy("new_media", "corpus_media")
+    }),
+    "q_dedup_media_ingest_delete" -> ((s, dir) => {
+      // the TAKEDOWN path on persisted MEDIA state: dHash segment
+      // rows with owners % 5 == 0 tombstoned, the planted batch
+      // probed against the masked live view AND again after a
+      // compaction bakes the removal in — both stages under one
+      // oracle whose corpus side literally excludes the deleted
+      // owners (deleted media must stop pairing everywhere).
+      val docs = Tables.documents(s, dir)
+      val corpus = graft.operators.Multimodal.synthesizePpmTextured(docs)
+      val batch = graft.operators.Multimodal.synthesizePpmTextured(
+        docs.filter(col("doc_id") % 7 === 0),
+        mediaIdOffset = 1000000L, perturb = true)
+      val tbl = "graft_dhash_del_" +
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+          .replaceAll("[^A-Za-z0-9]", "_")
+      val shufKey = "spark.sql.shuffle.partitions"
+      val prevShuf = s.conf.get(shufKey)
+      val out = try {
+        s.conf.set(shufKey, "8")
+        graft.operators.Multimodal.writeDhashTable(
+          corpus, tbl, maxHamming = 4, buckets = 8)
+        Dedup.deleteFromStateTable(
+          corpus.filter(col("media_id") % 5 === 0).select(col("media_id")), tbl)
+        val masked = graft.operators.Multimodal
+          .perceptualHashPairsAgainst(batch, s, tbl, maxHamming = 4)
+          .withColumn("stage", lit("tombstoned"))
+          .localCheckpoint(true)
+        Dedup.unpersistAll()
+        Dedup.compactHammingTable(s, tbl, buckets = 8)
+        val compacted = graft.operators.Multimodal
+          .perceptualHashPairsAgainst(batch, s, tbl, maxHamming = 4)
+          .withColumn("stage", lit("compacted"))
+          .localCheckpoint(true)
+        Dedup.unpersistAll()
+        masked.unionByName(compacted)
+      } finally {
+        s.conf.set(shufKey, prevShuf)
+        s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+        s.sql(s"DROP TABLE IF EXISTS `${tbl}_compact_tmp`")
+        s.sql(s"DROP TABLE IF EXISTS `${tbl}_tombstones`")
+      }
+      out.select("stage", "new_media", "corpus_media", "hamming")
+        .orderBy("stage", "new_media", "corpus_media")
+    }),
+    "q_stream_media_ingest" -> ((s, dir) => {
+      // the STREAMING media-ingest loop — q_stream_semantic_ingest's
+      // harness at media granularity: the corpus's dHash segment
+      // state is persisted once (writeDhashTable), the planted
+      // perturbed copies arrive as a 4-slice micro-batch stream, and
+      // each batch probes the state for its perceptual near-dups and
+      // APPENDS its own segment rows. Cross-batch copy pairs don't
+      // exist by fixture (originals are mutually ≥ Hamming 5, so
+      // their perturbed copies are too), so the fold must land on the
+      // one-shot incremental probe exactly — the oracle is
+      // q_dedup_media_incremental's verbatim.
+      import org.apache.spark.sql.types._
+      val docs = Tables.documents(s, dir)
+      val corpus = graft.operators.Multimodal.synthesizePpmTextured(docs)
+      val batch = graft.operators.Multimodal.synthesizePpmTextured(
+        docs.filter(col("doc_id") % 7 === 0),
+        mediaIdOffset = 1000000L, perturb = true)
+      val tbl = "graft_dhash_stream_" +
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+          .replaceAll("[^A-Za-z0-9]", "_")
+      val shufKey = "spark.sql.shuffle.partitions"
+      val prevShuf = s.conf.get(shufKey)
+      val out = try {
+        s.conf.set(shufKey, "8")
+        graft.operators.Multimodal.writeDhashTable(
+          corpus, tbl, maxHamming = 4, buckets = 8)
+        val zero = graft.operators.Multimodal
+          .perceptualHashPairsAgainst(batch.limit(0), s, tbl, maxHamming = 4)
+          .localCheckpoint(true)
+        graft.streaming.StreamRunner.foldBatches(
+          graft.streaming.StreamRunner.slicedStream(
+            batch, "media_id", slices = 4,
+            tag = s"${java.nio.file.Paths.get(dir).toAbsolutePath}#mediabatch4"),
+          zero) { (acc, b, _) =>
+          val pairs = graft.operators.Multimodal
+            .perceptualHashPairsAgainst(b, s, tbl, maxHamming = 4)
+            .localCheckpoint(true)
+          Dedup.appendToHammingTable(
+            graft.operators.Multimodal.mediaDhashFingerprints(b),
+            tbl, maxHamming = 4, bits = 64, buckets = 8)
+          acc.unionByName(pairs)
+        }.localCheckpoint(true)
+      } finally {
+        s.conf.set(shufKey, prevShuf)
+        s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+        s.sql(s"DROP TABLE IF EXISTS `${tbl}_compact_tmp`")
+        s.sql(s"DROP TABLE IF EXISTS `${tbl}_tombstones`")
+      }
+      Dedup.unpersistAll()
+      out.orderBy("new_media", "corpus_media")
+    }),
     "q_dedup_media_apply" -> ((s, dir) => {
       // the media APPLY step, symmetric with q_dedup_embed_apply:
       // perceptual pairs → clusters (min-label propagation) → drop
@@ -4052,6 +4182,40 @@ object ExtensionQueries {
       s"""WITH $mediaDhashPairCtes
          |SELECT media_a, media_b, hamming FROM mpairs
          |ORDER BY media_a, media_b""".stripMargin,
+
+    // incremental media ingest: the shared pair fragment restricted
+    // to the (corpus original, new copy) boundary — the ids partition
+    // cleanly (copies ≥ 1M), so mpairs' media_a/media_b ordering puts
+    // the corpus member first in every cross-boundary pair
+    "q_dedup_media_incremental" ->
+      s"""WITH $mediaDhashPairCtes
+         |SELECT media_b AS new_media, media_a AS corpus_media, hamming
+         |FROM mpairs WHERE media_b >= 1000000 AND media_a < 1000000
+         |ORDER BY new_media, corpus_media""".stripMargin,
+
+    // batch-split invariance: the 4-slice streamed fold (probe, then
+    // append own rows) must reproduce the one-shot incremental probe
+    // exactly — cross-batch copy pairs don't exist by fixture, so the
+    // oracle is the incremental's verbatim
+    "q_stream_media_ingest" ->
+      s"""WITH $mediaDhashPairCtes
+         |SELECT media_b AS new_media, media_a AS corpus_media, hamming
+         |FROM mpairs WHERE media_b >= 1000000 AND media_a < 1000000
+         |ORDER BY new_media, corpus_media""".stripMargin,
+
+    // the takedown probe: same restriction, corpus side minus the
+    // deleted owners, duplicated under both stage labels (mask and
+    // post-compaction reads must agree)
+    "q_dedup_media_ingest_delete" ->
+      s"""WITH $mediaDhashPairCtes, res AS (
+         |  SELECT media_b AS new_media, media_a AS corpus_media, hamming
+         |  FROM mpairs
+         |  WHERE media_b >= 1000000 AND media_a < 1000000 AND media_a % 5 <> 0
+         |)
+         |SELECT 'compacted' AS stage, new_media, corpus_media, hamming FROM res
+         |UNION ALL
+         |SELECT 'tombstoned', new_media, corpus_media, hamming FROM res
+         |ORDER BY stage, new_media, corpus_media""".stripMargin,
 
     // media near-dup APPLY: the same pair fragment feeds the shared
     // recursive-reachability component oracle (q_dedup_embed_apply's

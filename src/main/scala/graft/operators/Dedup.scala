@@ -1096,24 +1096,7 @@ object Dedup {
             col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
             col("x.fph").as("ha"), col("y.fph").as("hb"))
       } else {
-        val segStructs = simhashSegments(maxHamming, bits).zipWithIndex
-          .map { case ((start, width), i) =>
-            // the top segment of a 64-bit hash spans the sign bit:
-            // mask with the unsigned width pattern, which shiftright's
-            // arithmetic shift would otherwise sign-extend past
-            val mask = if (width == 64) -1L else (1L << width) - 1
-            s"struct($i AS seg, shiftright(fph, $start) & ${mask}L AS segval)"
-          }
-          .mkString(", ")
-        val sg = fpp
-          .select(
-            Seq(col("doc_id"), col("fph")) ++
-              (if (blocked) Seq(col("block")) else Nil) :+
-              expr(s"explode(array($segStructs))").as("sk"): _*)
-          .select(
-            Seq(col("doc_id"), col("fph")) ++
-              (if (blocked) Seq(col("block")) else Nil) ++
-              Seq(col("sk.seg").as("sh_seg"), col("sk.segval").as("sh_key")): _*)
+        val sg = hammingSegmentRows(fpp, maxHamming, bits)
         sg.as("x")
           .join(sg.as("y"),
             col("x.sh_seg") === col("y.sh_seg") &&
@@ -1129,6 +1112,121 @@ object Dedup {
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** The pigeonhole segment rows of a fingerprint frame — input
+    * columns plus `(sh_seg, sh_key)`, one row per segment (maxHamming
+    * + 1 per fingerprint). Shared by the self-join ([[hammingPairs]]),
+    * the incremental probe ([[hammingPairsAgainst]]), and the
+    * persisted segment table ([[writeHammingTable]]) so all three
+    * carve the hash identically — a boundary drift between writer and
+    * prober would silently lose pairs.
+    */
+  private[graft] def hammingSegmentRows(
+      fp: DataFrame, maxHamming: Int, bits: Int): DataFrame = {
+    val keep = fp.columns.map(col).toSeq
+    val segStructs = simhashSegments(maxHamming, bits).zipWithIndex
+      .map { case ((start, width), i) =>
+        // the top segment of a 64-bit hash spans the sign bit:
+        // mask with the unsigned width pattern, which shiftright's
+        // arithmetic shift would otherwise sign-extend past
+        val mask = if (width == 64) -1L else (1L << width) - 1
+        s"struct($i AS seg, shiftright(fph, $start) & ${mask}L AS segval)"
+      }
+      .mkString(", ")
+    fp
+      .select(keep :+ expr(s"explode(array($segStructs))").as("sk"): _*)
+      .select(keep ++ Seq(
+        col("sk.seg").as("sh_seg"), col("sk.segval").as("sh_key")): _*)
+  }
+
+  /** All corpus fingerprints within `maxHamming` of a NEW batch —
+    * the Hamming family's ingest shape ([[minhashPairsAgainst]]'s
+    * contract): the batch is segmented and equi-joined against the
+    * corpus's (persistable, append-only) segment rows, so per-ingest
+    * cost is O(batch × matched segments), never a corpus self-join.
+    * `corpusSegs` carries (doc_id, fph, sh_seg, sh_key) — a
+    * [[writeHammingTable]] layout or an in-memory
+    * [[hammingSegmentRows]]. Returns (new_id, corpus_id, hamming).
+    * A fingerprint present in both sides (same id) matches itself —
+    * callers filter if unwanted.
+    */
+  private[graft] def hammingPairsAgainst(
+      newFp: DataFrame,
+      corpusSegs: DataFrame,
+      maxHamming: Int,
+      bits: Int): DataFrame =
+    hammingSegmentRows(newFp, maxHamming, bits).as("x")
+      .join(
+        corpusSegs.as("y"),
+        col("x.sh_seg") === col("y.sh_seg") && col("x.sh_key") === col("y.sh_key"))
+      .select(
+        col("x.doc_id").as("new_id"), col("y.doc_id").as("corpus_id"),
+        col("x.fph").as("ha"), col("y.fph").as("hb"))
+      .distinct() // a pair can agree on several segments
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("new_id", "corpus_id", "hamming")
+
+  /** Materialize a fingerprint corpus's pigeonhole SEGMENT rows as a
+    * bucketed catalog table on `(sh_seg, sh_key)` — the
+    * [[writeBandTable]] layout for the Hamming family (media dHash,
+    * text SimHash): probes scan the state pre-partitioned on the join
+    * key and shuffle only the batch. Rows are (doc_id, fph, mh,
+    * sh_seg, sh_key) — `mh` pins the segmentation's maxHamming, which
+    * is a TABLE attribute (segment boundaries depend on it): probing
+    * with a different radius would silently carve the hash
+    * differently and lose pairs, so [[hammingTableLive]] verifies it.
+    * Owner-keyed deletes ride [[deleteFromStateTable]] (`doc_id` is
+    * the owning id), compaction rides [[compactHammingTable]].
+    */
+  def writeHammingTable(
+      fp: DataFrame, table: String, maxHamming: Int, bits: Int,
+      buckets: Int = BandTableBuckets): DataFrame = {
+    writeBucketedState(
+      hammingSegmentRows(
+        fp.select(col("doc_id"), col("fph")).withColumn("mh", lit(maxHamming)),
+        maxHamming, bits),
+      table, buckets, Seq("sh_seg", "sh_key"), "overwrite", appendTasks = 0)
+    fp.sparkSession.table(table)
+  }
+
+  /** Append a new batch's segment rows to a [[writeHammingTable]]
+    * state table.
+    */
+  def appendToHammingTable(
+      fp: DataFrame, table: String, maxHamming: Int, bits: Int,
+      buckets: Int = BandTableBuckets, appendTasks: Int = 0): Unit =
+    writeBucketedState(
+      hammingSegmentRows(
+        fp.select(col("doc_id"), col("fph")).withColumn("mh", lit(maxHamming)),
+        maxHamming, bits),
+      table, buckets, Seq("sh_seg", "sh_key"), "append", appendTasks)
+
+  /** [[compactBandTable]] for a Hamming segment table. */
+  def compactHammingTable(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      buckets: Int = BandTableBuckets): DataFrame =
+    compactBucketedState(spark, table, buckets, Seq("sh_seg", "sh_key"))
+
+  /** The live (tombstone-masked) view of a [[writeHammingTable]]
+    * state table, with the stored-radius check: the table's `mh`
+    * column pins the segmentation it was written under, and a probe
+    * at any other radius must fail loudly, not lose pairs silently.
+    * One limit-1 job for the check.
+    */
+  def hammingTableLive(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      maxHamming: Int): DataFrame = {
+    val live = stateTableLive(spark, table)
+    val head = live.select("mh").head(1)
+    require(
+      head.isEmpty || head.head.getInt(0) == maxHamming,
+      s"Hamming state table '$table' was written for maxHamming=" +
+        s"${head.headOption.map(_.getInt(0)).getOrElse(-1)} but is being probed " +
+        s"at maxHamming=$maxHamming — segment boundaries depend on the radius; " +
+        "rebuild the table (writeHammingTable) at the probe radius")
+    live
   }
 
   /** SimHash near-dup pairs: 30-bit fingerprints, Hamming distance

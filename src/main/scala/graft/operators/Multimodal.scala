@@ -373,6 +373,71 @@ object Multimodal {
         col("doc_a").as("media_a"), col("doc_b").as("media_b"), col("hamming"))
   }
 
+  /** A media table's perceptual fingerprints — (doc_id, fph): the
+    * decode → grid → dHash front shared by the batch pairs, the
+    * incremental probe, and the persisted state writer. The owner id
+    * lands under `doc_id` (the state-table convention every
+    * tombstone/mask verb keys on).
+    */
+  def mediaDhashFingerprints(
+      media: DataFrame,
+      decoder: MediaDecoder = PpmGridDecoder,
+      idCol: String = "media_id",
+      permissive: Boolean = false): DataFrame = {
+    require(decoder.featureDim == DhashGridW * DhashGridH,
+      s"mediaDhashFingerprints needs a ${DhashGridW}x$DhashGridH grid decoder " +
+        s"(featureDim ${DhashGridW * DhashGridH}), got ${decoder.featureDim}")
+    val renamed = media.withColumnRenamed(idCol, "media_id")
+    val feats =
+      if (!permissive) extractFeatures(renamed, decoder)
+      else extractFeaturesPermissive(renamed, decoder)
+        .filter(col("decode_error").isNull)
+    feats.select(
+      col("media_id").as("doc_id"),
+      expr(dhashSpark("features")).as("fph"))
+  }
+
+  /** Persist a media corpus's perceptual-hash state — the dHash
+    * pigeonhole segment rows in a bucketed catalog table
+    * ([[graft.operators.Dedup.writeHammingTable]]): the media
+    * granularity's band table. A steady-state ingest probes it with
+    * [[perceptualHashPairsAgainst]] — only the batch decodes and
+    * shuffles; takedowns ride `Dedup.deleteFromStateTable` +
+    * `Dedup.compactHammingTable` like every other persisted state.
+    */
+  def writeDhashTable(
+      media: DataFrame, table: String,
+      decoder: MediaDecoder = PpmGridDecoder,
+      maxHamming: Int = 4,
+      buckets: Int = Dedup.BandTableBuckets,
+      idCol: String = "media_id"): DataFrame =
+    Dedup.writeHammingTable(
+      mediaDhashFingerprints(media, decoder, idCol), table, maxHamming, bits = 64,
+      buckets = buckets)
+
+  /** Perceptual near-dup pairs of a NEW media batch against a
+    * PERSISTED corpus state ([[writeDhashTable]]) — the media
+    * granularity's ingest shape: decode the batch, segment its
+    * hashes, equi-join against the pre-bucketed segment table, refine
+    * by exact Hamming. O(batch) decode + hash-width probe; the corpus
+    * payloads never re-decode. Returns (new_id, corpus_id, hamming).
+    */
+  def perceptualHashPairsAgainst(
+      newMedia: DataFrame,
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      decoder: MediaDecoder = PpmGridDecoder,
+      maxHamming: Int = 4,
+      idCol: String = "media_id",
+      permissive: Boolean = false): DataFrame =
+    Dedup.hammingPairsAgainst(
+      mediaDhashFingerprints(newMedia, decoder, idCol, permissive),
+      Dedup.hammingTableLive(spark, table, maxHamming),
+      maxHamming, bits = 64)
+      .select(
+        col("new_id").as("new_media"), col("corpus_id").as("corpus_media"),
+        col("hamming"))
+
   /** Feature extraction over the media column: mapPartitions so the
     * decoder opens once per partition, not per row — the batch shape
     * that matters at 100 TB where codec init dominates per-row cost.

@@ -635,6 +635,57 @@ class StateCompactionSpec extends AnyFunSuite {
     } finally rmTree(stateDir)
   }
 
+  test("hamming segment table: catalog equals derived rows, radius guard fires, appends extend the probe") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val corpus = graft.operators.Multimodal.synthesizePpmTextured(docs)
+      .localCheckpoint(true)
+    val batch = graft.operators.Multimodal.synthesizePpmTextured(
+      docs.filter(col("doc_id") % 7 === 0),
+      mediaIdOffset = 1000000L, perturb = true).localCheckpoint(true)
+    val table = "hamming_spec_state"
+    Seq(table, s"${table}_compact_tmp", s"${table}_tombstones")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      graft.operators.Multimodal.writeDhashTable(
+        corpus, table, maxHamming = 4, buckets = 4)
+      Dedup.unpersistAll()
+      // catalog = the independently-derived segment rows (same
+      // decode, same segmentation)
+      val fp = graft.operators.Multimodal.mediaDhashFingerprints(corpus)
+        .withColumn("mh", lit(4))
+      val memRows = Dedup.hammingSegmentRows(fp, maxHamming = 4, bits = 64)
+        .localCheckpoint(true)
+      assert(spark.table(table).except(memRows).isEmpty
+        && memRows.except(spark.table(table)).isEmpty)
+      // probing at a different radius fails loudly with the remedy —
+      // segment boundaries depend on it, silence would lose pairs
+      val e = intercept[IllegalArgumentException](
+        graft.operators.Multimodal.perceptualHashPairsAgainst(
+          batch, spark, table, maxHamming = 2))
+      assert(e.getMessage.contains("rebuild"), e.getMessage)
+      // append a batch's rows: a re-probe of the same batch now also
+      // self-matches against its appended segment rows
+      val before = graft.operators.Multimodal
+        .perceptualHashPairsAgainst(batch, spark, table, maxHamming = 4)
+        .count()
+      Dedup.unpersistAll()
+      Dedup.appendToHammingTable(
+        graft.operators.Multimodal.mediaDhashFingerprints(batch),
+        table, maxHamming = 4, bits = 64, buckets = 4)
+      val after = graft.operators.Multimodal
+        .perceptualHashPairsAgainst(batch, spark, table, maxHamming = 4)
+      assert(after.count() == before + batch.count(),
+        "after the append every batch member self-matches at Hamming 0")
+      assert(after.filter(col("new_media") === col("corpus_media"))
+        .agg(max("hamming")).collect()(0).getLong(0) == 0L)
+      Dedup.unpersistAll()
+    } finally {
+      Seq(table, s"${table}_compact_tmp", s"${table}_tombstones")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("bucketed chunk table: catalog equals the derived state, ingest appends close the key set") {
     import org.apache.spark.sql.expressions.Window
     val corpus = Corpus.docCorpus(spark, dir).select("doc_id", "text").localCheckpoint(true)
