@@ -1430,14 +1430,23 @@ object ExtensionQueries {
           corpus, tbl, maxHamming = 4, buckets = 8)
         Dedup.deleteFromStateTable(
           corpus.filter(col("media_id") % 5 === 0).select(col("media_id")), tbl)
-        val masked = graft.operators.Multimodal
-          .perceptualHashPairsAgainst(batch, s, tbl, maxHamming = 4)
+        // decode the batch ONCE for both probe stages (review r15:
+        // re-decoding identical payloads per probe doubles the decode
+        // work the steady-state shape claims to pay once)
+        val fp = graft.operators.Multimodal.mediaDhashFingerprints(batch)
+          .localCheckpoint(true)
+        def probe() = Dedup.hammingPairsAgainst(
+            fp, Dedup.hammingTableLive(s, tbl, maxHamming = 4, bits = 64),
+            maxHamming = 4, bits = 64)
+          .select(
+            col("new_id").as("new_media"), col("corpus_id").as("corpus_media"),
+            col("hamming"))
+        val masked = probe()
           .withColumn("stage", lit("tombstoned"))
           .localCheckpoint(true)
         Dedup.unpersistAll()
         Dedup.compactHammingTable(s, tbl, buckets = 8)
-        val compacted = graft.operators.Multimodal
-          .perceptualHashPairsAgainst(batch, s, tbl, maxHamming = 4)
+        val compacted = probe()
           .withColumn("stage", lit("compacted"))
           .localCheckpoint(true)
         Dedup.unpersistAll()
@@ -1458,8 +1467,12 @@ object ExtensionQueries {
       // perturbed copies arrive as a 4-slice micro-batch stream, and
       // each batch probes the state for its perceptual near-dups and
       // APPENDS its own segment rows. Cross-batch copy pairs don't
-      // exist by fixture (originals are mutually ≥ Hamming 5, so
-      // their perturbed copies are too), so the fold must land on the
+      // exist by fixture — MEASURED, not argued from the originals'
+      // margin (a copy shifts ≤3 bits, so triangle inequality alone
+      // would allow copy-copy distances down to 5−3−3): the fixture
+      // prototype's cross-pair sweep covers ALL non-planted pairs
+      // INCLUDING copy-copy and reads min Hamming 5 at sf0.1 ids /
+      // 13 at sf0.01 ids (FIXTURES.md). So the fold must land on the
       // one-shot incremental probe exactly — the oracle is
       // q_dedup_media_incremental's verbatim.
       import org.apache.spark.sql.types._
@@ -1485,12 +1498,20 @@ object ExtensionQueries {
             batch, "media_id", slices = 4,
             tag = s"${java.nio.file.Paths.get(dir).toAbsolutePath}#mediabatch4"),
           zero) { (acc, b, _) =>
-          val pairs = graft.operators.Multimodal
-            .perceptualHashPairsAgainst(b, s, tbl, maxHamming = 4)
+          // decode each batch ONCE: the same fingerprints drive the
+          // probe and the append (review r15 — the per-ingest cost
+          // claim is one decode pass, so pay one)
+          val fp = graft.operators.Multimodal.mediaDhashFingerprints(b)
+            .localCheckpoint(true)
+          val pairs = Dedup.hammingPairsAgainst(
+              fp, Dedup.hammingTableLive(s, tbl, maxHamming = 4, bits = 64),
+              maxHamming = 4, bits = 64)
+            .select(
+              col("new_id").as("new_media"),
+              col("corpus_id").as("corpus_media"), col("hamming"))
             .localCheckpoint(true)
           Dedup.appendToHammingTable(
-            graft.operators.Multimodal.mediaDhashFingerprints(b),
-            tbl, maxHamming = 4, bits = 64, buckets = 8)
+            fp, tbl, maxHamming = 4, bits = 64, buckets = 8)
           acc.unionByName(pairs)
         }.localCheckpoint(true)
       } finally {

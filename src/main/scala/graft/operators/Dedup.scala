@@ -1185,23 +1185,34 @@ object Dedup {
       buckets: Int = BandTableBuckets): DataFrame = {
     writeBucketedState(
       hammingSegmentRows(
-        fp.select(col("doc_id"), col("fph")).withColumn("mh", lit(maxHamming)),
+        fp.select(col("doc_id"), col("fph"))
+          .withColumn("mh", lit(maxHamming)).withColumn("hbits", lit(bits)),
         maxHamming, bits),
       table, buckets, Seq("sh_seg", "sh_key"), "overwrite", appendTasks = 0)
     fp.sparkSession.table(table)
   }
 
   /** Append a new batch's segment rows to a [[writeHammingTable]]
-    * state table.
+    * state table — after verifying the batch is segmented under the
+    * TABLE's (maxHamming, bits) (review r15: an unchecked mismatched
+    * append would build a mixed-segmentation table whose one-row
+    * guard passes nondeterministically and whose appended
+    * fingerprints silently never pair; checking at every write
+    * boundary keeps the table homogeneous, which is what makes the
+    * one-row read below sufficient).
     */
   def appendToHammingTable(
       fp: DataFrame, table: String, maxHamming: Int, bits: Int,
-      buckets: Int = BandTableBuckets, appendTasks: Int = 0): Unit =
+      buckets: Int = BandTableBuckets, appendTasks: Int = 0): Unit = {
+    requireHammingGeometry(
+      fp.sparkSession.table(table), table, maxHamming, bits, "appended to")
     writeBucketedState(
       hammingSegmentRows(
-        fp.select(col("doc_id"), col("fph")).withColumn("mh", lit(maxHamming)),
+        fp.select(col("doc_id"), col("fph"))
+          .withColumn("mh", lit(maxHamming)).withColumn("hbits", lit(bits)),
         maxHamming, bits),
       table, buckets, Seq("sh_seg", "sh_key"), "append", appendTasks)
+  }
 
   /** [[compactBandTable]] for a Hamming segment table. */
   def compactHammingTable(
@@ -1210,23 +1221,34 @@ object Dedup {
     compactBucketedState(spark, table, buckets, Seq("sh_seg", "sh_key"))
 
   /** The live (tombstone-masked) view of a [[writeHammingTable]]
-    * state table, with the stored-radius check: the table's `mh`
-    * column pins the segmentation it was written under, and a probe
-    * at any other radius must fail loudly, not lose pairs silently.
-    * One limit-1 job for the check.
+    * state table, with the stored-geometry check: the table's
+    * `(mh, hbits)` columns pin the segmentation it was written under
+    * — boundaries depend on BOTH the radius and the hash width — and
+    * a probe under any other geometry must fail loudly, not lose
+    * pairs silently. One limit-1 job; sufficient because every write
+    * boundary ([[writeHammingTable]]/[[appendToHammingTable]])
+    * enforces homogeneity.
     */
   def hammingTableLive(
       spark: org.apache.spark.sql.SparkSession, table: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, bits: Int): DataFrame = {
     val live = stateTableLive(spark, table)
-    val head = live.select("mh").head(1)
-    require(
-      head.isEmpty || head.head.getInt(0) == maxHamming,
-      s"Hamming state table '$table' was written for maxHamming=" +
-        s"${head.headOption.map(_.getInt(0)).getOrElse(-1)} but is being probed " +
-        s"at maxHamming=$maxHamming — segment boundaries depend on the radius; " +
-        "rebuild the table (writeHammingTable) at the probe radius")
+    requireHammingGeometry(live, table, maxHamming, bits, "probed")
     live
+  }
+
+  private def requireHammingGeometry(
+      rows: DataFrame, table: String, maxHamming: Int, bits: Int,
+      verb: String): Unit = {
+    val head = rows.select("mh", "hbits").head(1)
+    require(
+      head.isEmpty ||
+        (head.head.getInt(0) == maxHamming && head.head.getInt(1) == bits),
+      s"Hamming state table '$table' was written for (maxHamming=" +
+        s"${head.headOption.map(_.getInt(0)).getOrElse(-1)}, bits=" +
+        s"${head.headOption.map(_.getInt(1)).getOrElse(-1)}) but is being " +
+        s"$verb at (maxHamming=$maxHamming, bits=$bits) — segment boundaries " +
+        "depend on both; rebuild the table (writeHammingTable) at the probe geometry")
   }
 
   /** SimHash near-dup pairs: 30-bit fingerprints, Hamming distance

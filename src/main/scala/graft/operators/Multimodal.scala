@@ -432,7 +432,7 @@ object Multimodal {
       permissive: Boolean = false): DataFrame =
     Dedup.hammingPairsAgainst(
       mediaDhashFingerprints(newMedia, decoder, idCol, permissive),
-      Dedup.hammingTableLive(spark, table, maxHamming),
+      Dedup.hammingTableLive(spark, table, maxHamming, bits = 64),
       maxHamming, bits = 64)
       .select(
         col("new_id").as("new_media"), col("corpus_id").as("corpus_media"),

@@ -653,7 +653,7 @@ class StateCompactionSpec extends AnyFunSuite {
       // catalog = the independently-derived segment rows (same
       // decode, same segmentation)
       val fp = graft.operators.Multimodal.mediaDhashFingerprints(corpus)
-        .withColumn("mh", lit(4))
+        .withColumn("mh", lit(4)).withColumn("hbits", lit(64))
       val memRows = Dedup.hammingSegmentRows(fp, maxHamming = 4, bits = 64)
         .localCheckpoint(true)
       assert(spark.table(table).except(memRows).isEmpty
@@ -664,6 +664,20 @@ class StateCompactionSpec extends AnyFunSuite {
         graft.operators.Multimodal.perceptualHashPairsAgainst(
           batch, spark, table, maxHamming = 2))
       assert(e.getMessage.contains("rebuild"), e.getMessage)
+      // ... and so do mismatched-geometry APPENDS (review r15: an
+      // unchecked append would build a MIXED table whose one-row
+      // guard passes nondeterministically — the write boundary is
+      // where homogeneity must hold), for radius AND hash width
+      val ea = intercept[IllegalArgumentException](
+        Dedup.appendToHammingTable(
+          graft.operators.Multimodal.mediaDhashFingerprints(batch),
+          table, maxHamming = 2, bits = 64, buckets = 4))
+      assert(ea.getMessage.contains("appended"), ea.getMessage)
+      val eb = intercept[IllegalArgumentException](
+        Dedup.appendToHammingTable(
+          graft.operators.Multimodal.mediaDhashFingerprints(batch),
+          table, maxHamming = 4, bits = 32, buckets = 4))
+      assert(eb.getMessage.contains("bits=32"), eb.getMessage)
       // append a batch's rows: a re-probe of the same batch now also
       // self-matches against its appended segment rows
       val before = graft.operators.Multimodal
