@@ -1228,6 +1228,35 @@ object ExtensionQueries {
           s, stateDir, e.filter(col("vec_id") % 97 === 0))
         .orderBy("query_id", "rank")
     }),
+    "q_embed_ann_ivfpq_recluster" -> ((s, dir) => {
+      // the COMBINED layout's re-cluster cadence (r15 verdict task
+      // #3 — reclusterWrittenIndex's fail-fast remedy made real):
+      // codebooks fit once on the full corpus (frozen — the faiss
+      // maintenance split), the coarse quantizer built on two thirds
+      // only and persisted, the remaining third assigned+encoded
+      // against the FROZEN coarse geometry (the drift state), then
+      // reclusterWrittenIvfPqIndex retrains the coarse centroids from
+      // the accumulated live corpus, re-assigns, RE-ENCODES the codes
+      // table, and swaps all three tables under one commit marker.
+      // buildIndex and pqEncode are pure in (vectors, mods/codebooks),
+      // so the swapped layout must probe EXACTLY like a one-shot
+      // writeIvfPqIndex over the union — which makes the oracle
+      // q_embed_ann_ivfpq's verbatim.
+      val e = Tables.embeddings(s, dir)
+      val stateDir = freshStateDir("graft_ivfpq_recluster_")
+      val base = e.filter(col("vec_id") % 3 =!= 0)
+      val cb = SimilaritySearch.pqFit(e, m = 16, seedMod = 20)
+      SimilaritySearch.writeIvfPqIndex(
+        SimilaritySearch.buildIndex(base, centroidMod = 50),
+        cb, SimilaritySearch.pqEncode(base, cb), stateDir)
+      SimilaritySearch.appendToWrittenIvfPqIndex(
+        s, stateDir, e.filter(col("vec_id") % 3 === 0))
+      SimilaritySearch.reclusterWrittenIvfPqIndex(
+        s, stateDir, e, centroidMod = 50)
+      SimilaritySearch.ivfPqProbeWritten(
+          s, stateDir, e.filter(col("vec_id") % 97 === 0))
+        .orderBy("query_id", "rank")
+    }),
 
     // ---- text analysis ----
     "q_text_tokens" -> ((s, dir) =>
@@ -4007,6 +4036,13 @@ object ExtensionQueries {
     // the in-memory queries' VERBATIM
     "q_embed_pq_written" -> pqAdcOracleSql(m = 16, seedMod = 20, k = 5),
     "q_embed_ann_ivfpq_written" ->
+      ivfPqOracleSql(m = 16, seedMod = 20, k = 5, nprobe = 2),
+    "q_embed_ann_ivfpq_recluster" ->
+      // determinism IS the claim (the plain-IVF recluster oracle's
+      // argument extended to all three tables): after the re-cluster
+      // the layout must probe exactly like a one-shot IVFADC build
+      // over the accumulated corpus under the same frozen codebooks —
+      // the full-build oracle verbatim
       ivfPqOracleSql(m = 16, seedMod = 20, k = 5, nprobe = 2),
 
     // takedown semantics ARE the oracle's corpus exclusion: both the

@@ -58,7 +58,7 @@ object Dedup {
   private val trackedCaches =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  private[operators] def persistTracked(df: DataFrame): DataFrame = {
+  private[graft] def persistTracked(df: DataFrame): DataFrame = {
     val p = df.persist()
     trackedCaches.add(p)
     p

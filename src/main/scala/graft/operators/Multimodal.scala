@@ -204,10 +204,14 @@ object Multimodal {
       val out = new Array[Float](FeatureDim)
       var gy = 0
       while (gy < DhashGridH) {
-        val y = gy * hd.h / DhashGridH
+        // sample coordinates in Long: the header parser admits w,h up
+        // to the byte-budget bound, so gx·w can exceed Int range on a
+        // legitimately wide payload (gx=8, w≈2^28) — the quotient is
+        // always < w (resp. h), so the narrowing back is exact
+        val y = (gy.toLong * hd.h / DhashGridH).toInt
         var gx = 0
         while (gx < DhashGridW) {
-          val x = gx * hd.w / DhashGridW
+          val x = (gx.toLong * hd.w / DhashGridW).toInt
           val p = hd.pixelOffset + 3 * (y * hd.w + x)
           out(gy * DhashGridW + gx) =
             ((bytes(p) & 0xff) + (bytes(p + 1) & 0xff) + (bytes(p + 2) & 0xff)).toFloat
@@ -404,16 +408,21 @@ object Multimodal {
     * [[perceptualHashPairsAgainst]] — only the batch decodes and
     * shuffles; takedowns ride `Dedup.deleteFromStateTable` +
     * `Dedup.compactHammingTable` like every other persisted state.
+    * `permissive` matches the probe paths' contract (ADVICE r15: the
+    * corpus state build is the LARGEST decode pass of all, so it is
+    * the last place one corrupt payload should be able to kill the
+    * job — an undecodable asset simply contributes no segment rows).
     */
   def writeDhashTable(
       media: DataFrame, table: String,
       decoder: MediaDecoder = PpmGridDecoder,
       maxHamming: Int = 4,
       buckets: Int = Dedup.BandTableBuckets,
-      idCol: String = "media_id"): DataFrame =
+      idCol: String = "media_id",
+      permissive: Boolean = false): DataFrame =
     Dedup.writeHammingTable(
-      mediaDhashFingerprints(media, decoder, idCol), table, maxHamming, bits = 64,
-      buckets = buckets)
+      mediaDhashFingerprints(media, decoder, idCol, permissive), table, maxHamming,
+      bits = 64, buckets = buckets)
 
   /** Perceptual near-dup pairs of a NEW media batch against a
     * PERSISTED corpus state ([[writeDhashTable]]) — the media

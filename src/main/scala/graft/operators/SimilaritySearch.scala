@@ -374,7 +374,14 @@ object SimilaritySearch {
     * are filtered out here (a NOT-IN filter over the tiny tombstone
     * set — no plan change at all when nothing was ever deleted).
     */
-  def readIndex(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex =
+  def readIndex(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex = {
+    // a pending recluster_commit marker means the two-table swap is
+    // half-rolled: serving from this state can mix generations (new
+    // assignments pruned by OLD centroids — silently wrong pruning,
+    // ADVICE r15). Readers may lack write access, so fail fast with
+    // the remedy instead of auto-recovering from a read path; the
+    // write verbs (append/delete/compact/recluster) auto-recover.
+    requireNoPendingRecluster(spark, dir, "readIndex")
     IvfIndex(
       spark.read.parquet(s"$dir/centroids"),
       antiTombstones(
@@ -382,6 +389,16 @@ object SimilaritySearch {
         spark.read.parquet(s"$dir/assignments")
           .withColumn("cid", col("cid").cast("long")),
         dir))
+  }
+
+  private def requireNoPendingRecluster(
+      spark: org.apache.spark.sql.SparkSession, dir: String, verb: String): Unit =
+    require(
+      !dirExists(spark, reclusterMarker(dir)),
+      s"written index '$dir' has a committed-but-unfinished re-cluster " +
+        s"(recluster_commit marker present) — $verb would observe mixed " +
+        "generations; run recoverWrittenIndex(spark, dir) to roll the swap " +
+        "forward first")
 
   /** Tombstone corpus vectors in a written index (re-curation /
     * takedown): `candIds` rows (first column, cast to long) are
@@ -400,6 +417,12 @@ object SimilaritySearch {
     */
   def deleteFromWrittenIndex(
       spark: org.apache.spark.sql.SparkSession, dir: String, candIds: DataFrame): Unit = {
+    // roll a committed-but-unfinished re-cluster forward FIRST: the
+    // pending swap retires the tombstone dir, so a takedown written
+    // against the half-swapped state would be silently undone by the
+    // deferred roll-forward (ADVICE r15) — after recovery the
+    // tombstone lands against the new generation and sticks
+    recoverWrittenIndex(spark, dir)
     // cap enforced at DELETE time (the ZLayout.delete / Dedup state
     // -table contract, ADVICE r13): the probe-path mask driver-collects
     // the set under Dedup.MaxTombstones, so a write past the cap would
@@ -486,10 +509,16 @@ object SimilaritySearch {
     */
   def appendToWrittenIndex(
       spark: org.apache.spark.sql.SparkSession, dir: String, newVectors: DataFrame,
-      idCol: String = "vec_id"): Unit =
+      idCol: String = "vec_id"): Unit = {
+    // finish any committed re-cluster first (idempotent, no-op in the
+    // routine case): an append against the half-swapped state would
+    // assign under whichever centroids generation happens to be live
+    // and could be discarded by the deferred roll-forward (ADVICE r15)
+    recoverWrittenIndex(spark, dir)
     assignVectors(spark.read.parquet(s"$dir/centroids"), newVectors, idCol)
       .repartition(col("cid"))
       .write.mode("append").partitionBy("cid").parquet(s"$dir/assignments")
+  }
 
   /** Rewrite an append-grown assignment layout to one file per list,
     * preserving the partitioning (probe plans identical before and
@@ -501,6 +530,11 @@ object SimilaritySearch {
   def compactWrittenIndex(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       targetCodeFiles: Int = 0): Unit = {
+    // a compaction that started under a half-rolled re-cluster would
+    // rewrite whichever generation is live and then CLEAR the
+    // tombstones the pending swap also retires — roll forward first
+    // so exactly one generation exists before the rewrite (ADVICE r15)
+    recoverWrittenIndex(spark, dir)
     compactAssignmentsNoClear(spark, dir)
     // a combined IVFADC dir shares ONE tombstone set across its row
     // tables — clearing it after rewriting only the assignments would
@@ -599,8 +633,9 @@ object SimilaritySearch {
       fitSampleMod: Option[Int] = None): Unit = {
     require(!dirExists(spark, s"$dir/codes"),
       s"reclusterWrittenIndex supports plain IVF layouts; '$dir' carries a codes " +
-        "table whose (residual) codes depend on the coarse assignment — rebuild " +
-        "the combined layout with writeIvfPqIndex/writePqIndex instead")
+        "table that must be re-encoded alongside the coarse re-assignment — use " +
+        "reclusterWrittenIvfPqIndex (supply the raw corpus vectors; codes are " +
+        "lossy, so the layout cannot reconstruct them)")
     recoverWrittenIndex(spark, dir)
     val live = readIndex(spark, dir).assignments
     val corpus = live.select(
@@ -622,6 +657,86 @@ object SimilaritySearch {
 
   private def reclusterMarker(dir: String): String = s"$dir/recluster_commit"
 
+  /** RE-CLUSTER a written IVFADC layout — [[reclusterWrittenIndex]]'s
+    * combined-layout sibling (its fail-fast's remedy, r15 verdict task
+    * #3): retrain the coarse centroids from the accumulated LIVE
+    * corpus, re-assign every vector, RE-ENCODE the codes table, and
+    * swap all three row tables (centroids, assignments, codes) under
+    * the SAME commit marker / [[recoverWrittenIndex]] discipline. The
+    * re-encode is what makes the verb correct in general: residual
+    * codes depend on the coarse assignment, and even vector-coded
+    * layouts must bake pending takedowns into the codes table the
+    * probe full-scans. Codebooks stay FROZEN (the faiss maintenance
+    * split: PQ geometry is a property of the data distribution's
+    * local detail and retrains on a much slower cadence than the
+    * coarse lists drift) — so re-encoding under them is a pure
+    * per-vector function and the swapped layout probes exactly like a
+    * one-shot [[writeIvfPqIndex]] over the live corpus under the same
+    * codebooks (q_embed_ann_ivfpq_recluster's oracle).
+    *
+    * `vectors` supplies the raw corpus payloads (idCol, embedding):
+    * PQ codes are LOSSY, so unlike the plain-IVF verb the layout
+    * cannot reconstruct its own training input — at 100 TB the
+    * vectors live in a corpus table anyway. The LAYOUT decides
+    * membership: the live (tombstone-masked) assignment ids are the
+    * re-cluster's corpus, `vectors` may be any superset, and a live
+    * id MISSING from it fails fast (silently dropping vectors from
+    * the next generation is the one unrecoverable outcome).
+    *
+    * Same READ-QUIESCE contract as the plain verb — three directories
+    * cannot swap atomically; [[readIndex]] fails fast on the marker
+    * and the write verbs auto-recover.
+    */
+  def reclusterWrittenIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      vectors: DataFrame,
+      centroidMod: Int = 0, lloydIters: Int = 1,
+      fitSampleMod: Option[Int] = None,
+      idCol: String = "vec_id"): Unit = {
+    require(dirExists(spark, s"$dir/codes"),
+      s"'$dir' has no codes table — this is a plain IVF layout; use " +
+        "reclusterWrittenIndex (no vector re-supply needed: plain assignments " +
+        "carry the embeddings)")
+    recoverWrittenIndex(spark, dir)
+    // membership from the layout (tombstones masked — the removal
+    // bakes into all three next-generation tables), payloads from the
+    // caller; checkpointed because three passes (centroid fit, coarse
+    // assign, PQ encode) read it
+    val liveIds = antiTombstones(
+      spark,
+      spark.read.parquet(s"$dir/assignments").select(col("cand_id")),
+      dir)
+    val corpus = vectors
+      .select(col(idCol).cast("long").as("vec_id"), col("embedding"))
+      .join(liveIds.select(col("cand_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      .localCheckpoint(true)
+    val nLive = liveIds.distinct().count()
+    val nCorpus = corpus.count()
+    require(nCorpus == nLive,
+      s"reclusterWrittenIvfPqIndex: the layout holds $nLive live vector ids but " +
+        s"`vectors` covers only $nCorpus of them — a re-cluster from a partial " +
+        "corpus would silently drop the uncovered vectors from the next " +
+        "generation; pass the full corpus table")
+    val cb = readPqCodebooks(spark, dir)
+    val idx = buildIndex(
+      corpus, centroidMod, lloydIters, fitSampleMod = fitSampleMod)
+    // materialize the ENTIRE next generation before any live dir moves
+    idx.centroids.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/centroids_next")
+    idx.assignments.select("cand_id", "cid").repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/assignments_next")
+    pqCodesWide(pqEncode(corpus, cb, "vec_id"), "vec_id")
+      .repartition(sizedCodeFiles(spark, s"$dir/codes"))
+      .write.mode("overwrite").parquet(s"$dir/codes_next")
+    // the commit point — identical discipline to the plain verb: after
+    // the marker lands the three-table swap WILL happen (here or in a
+    // later recover); before it, a crash discards the _next generation
+    val marker = new org.apache.hadoop.fs.Path(reclusterMarker(dir))
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(marker, true).close()
+    recoverWrittenIndex(spark, dir)
+  }
+
   /** Finish or discard an interrupted [[reclusterWrittenIndex]] —
     * idempotent, called automatically at the start of every
     * re-cluster (the ZOrder.recover shape). Marker present ⇒ both
@@ -635,7 +750,10 @@ object SimilaritySearch {
       spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tables = Seq("assignments", "centroids")
+    // "codes" participates only for combined IVFADC layouts
+    // (reclusterWrittenIvfPqIndex materializes codes_next); on a plain
+    // IVF dir the codes entries are no-ops — dirExists gates each move
+    val tables = Seq("assignments", "centroids", "codes")
     if (dirExists(spark, reclusterMarker(dir))) {
       tables.foreach { t =>
         val next = s"$dir/${t}_next"
@@ -660,7 +778,13 @@ object SimilaritySearch {
               new org.apache.hadoop.fs.Path(s"$dir/$t")),
             s"recluster roll-forward: rename $next -> $dir/$t failed")
           deleteDir(spark, s"$dir/${t}_old")
-        } // else: already swapped before the interruption
+        } else {
+          // already swapped before the interruption — but a crash
+          // BETWEEN that swap's two renames can leave the full stale
+          // _old generation behind (ADVICE r15: the leak persisted
+          // until a later no-marker recovery); reclaim it here too
+          deleteDir(spark, s"$dir/${t}_old")
+        }
       }
       deleteDir(spark, s"$dir/tombstones")
       deleteDir(spark, reclusterMarker(dir))
@@ -1479,6 +1603,9 @@ object SimilaritySearch {
       spark: org.apache.spark.sql.SparkSession, dir: String,
       newVectors: DataFrame, idCol: String = "vec_id",
       appendTasks: Int = 1): Unit = {
+    // finish any committed re-cluster first (ADVICE r15 — same
+    // contract as the plain-layout append)
+    recoverWrittenIndex(spark, dir)
     assignVectors(spark.read.parquet(s"$dir/centroids"), newVectors, idCol)
       .select("cand_id", "cid")
       .repartition(col("cid"))
@@ -1496,6 +1623,9 @@ object SimilaritySearch {
   def compactWrittenIvfPqIndex(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       targetCodeFiles: Int = 0): Unit = {
+    // roll a pending re-cluster forward before rewriting either table
+    // (ADVICE r15 — same contract as compactWrittenIndex)
+    recoverWrittenIndex(spark, dir)
     compactAssignmentsNoClear(spark, dir)
     compactCodesNoClear(
       spark, dir,

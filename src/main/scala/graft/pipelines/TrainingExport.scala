@@ -314,9 +314,16 @@ object TrainingExport {
         "budgetCurrency = BudgetWordPieceTokens is not supported at chunk " +
         "granularity — size the budgets in chunk tokens and keep BudgetChars")
     graft.functions.PolyHash.register(docs.sparkSession)
-    val chunks = TextAnalysis.chunkDocuments(
+    // persisted (tracked, Dedup.unpersistAll releases it): the chunks
+    // frame feeds chunkDedup's keyed self-aggregation AND the join
+    // back, and each branch would otherwise re-evaluate the entire
+    // doc-curation subtree — funnel, dedup granularities,
+    // decontamination, chunking (ADVICE r15). Unlike the raw-corpus
+    // caching cases that measured slower, this frame sits ABOVE the
+    // whole curation funnel, so recomputing it is the expensive side.
+    val chunks = Dedup.persistTracked(TextAnalysis.chunkDocuments(
       cleanDocs(docs, benchmark, cfg, embeddings),
-      chunkTokens, strideTokens, passthroughCols = Seq("source"))
+      chunkTokens, strideTokens, passthroughCols = Seq("source")))
     val kept = chunks
       .join(
         Dedup.chunkDedup(chunks.select("doc_id", "chunk_id", "chunk_text"))

@@ -630,8 +630,126 @@ class StateCompactionSpec extends AnyFunSuite {
           comboIdx, cb, SimilaritySearch.pqEncode(base, cb), comboDir)
         val err = intercept[IllegalArgumentException](
           SimilaritySearch.reclusterWrittenIndex(spark, comboDir))
-        assert(err.getMessage.contains("writeIvfPqIndex"))
+        assert(err.getMessage.contains("reclusterWrittenIvfPqIndex"))
       } finally rmTree(comboDir)
+    } finally rmTree(stateDir)
+  }
+
+  test("ivfpq re-cluster: three-table swap equals one-shot, crash points recover, coverage guard fires") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .localCheckpoint(true)
+    val base = e.filter(col("vec_id") % 3 =!= 0)
+    val batch = e.filter(col("vec_id") % 3 === 0)
+    val queries = e.filter(col("vec_id") % 97 === 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().toSeq
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_recluster_spec_").toString
+    try {
+      // codebooks frozen across the whole lifecycle (the verb's
+      // contract); coarse geometry starts on the base corpus only
+      val cb = SimilaritySearch.pqFit(e, m = 16, seedMod = 20)
+      SimilaritySearch.writeIvfPqIndex(
+        SimilaritySearch.buildIndex(base, centroidMod = 50),
+        cb, SimilaritySearch.pqEncode(base, cb), stateDir)
+      SimilaritySearch.appendToWrittenIvfPqIndex(spark, stateDir, batch)
+      // tombstone a few ids BEFORE the re-cluster: all THREE next
+      // tables must bake the removal in (codes included — the probe
+      // full-scans them)
+      val victims = Seq(102L, 204L, 306L)
+      import spark.implicits._
+      SimilaritySearch.deleteFromWrittenPqIndex(
+        spark, stateDir, victims.toDF("vec_id"))
+      SimilaritySearch.reclusterWrittenIvfPqIndex(
+        spark, stateDir, e, centroidMod = 50)
+      assert(!new java.io.File(s"$stateDir/tombstones").exists(),
+        "tombstones retire at the swap")
+      assert(!new java.io.File(s"$stateDir/recluster_commit").exists())
+      val live = e.filter(!col("vec_id").isin(victims: _*))
+        .localCheckpoint(true)
+      val viaRecluster = canon(
+        SimilaritySearch.ivfPqProbeWritten(spark, stateDir, queries))
+      // one-shot equivalence: buildIndex and pqEncode are pure in
+      // (vectors, mods/codebooks), so the swapped layout probes like
+      // a fresh writeIvfPqIndex over the live corpus
+      val oneShotDir = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_oneshot_spec_").toString
+      try {
+        SimilaritySearch.writeIvfPqIndex(
+          SimilaritySearch.buildIndex(live, centroidMod = 50),
+          cb, SimilaritySearch.pqEncode(live, cb), oneShotDir)
+        assert(viaRecluster == canon(
+          SimilaritySearch.ivfPqProbeWritten(spark, oneShotDir, queries)))
+      } finally rmTree(oneShotDir)
+      assert(!viaRecluster.exists(r => victims.contains(r.getLong(2))))
+      // codes were RE-ENCODED from the live corpus: deleted ids are
+      // gone from the codes table itself, not just masked
+      assert(spark.read.parquet(s"$stateDir/codes")
+        .filter(col("cand_id").isin(victims: _*)).count() == 0L)
+      // CRASH POINT A — codes_next materialized but no marker:
+      // recovery discards it, the live layout is untouched
+      spark.read.parquet(s"$stateDir/codes").limit(5).write
+        .mode("overwrite").parquet(s"$stateDir/codes_next")
+      SimilaritySearch.recoverWrittenIndex(spark, stateDir)
+      assert(!new java.io.File(s"$stateDir/codes_next").exists())
+      assert(viaRecluster == canon(
+        SimilaritySearch.ivfPqProbeWritten(spark, stateDir, queries)))
+      // CRASH POINT B — marker written, assignments+centroids already
+      // swapped, codes still pending: recovery finishes the
+      // three-table roll-forward and the layout equals a re-cluster
+      // that never crashed
+      val fs = new org.apache.hadoop.fs.Path(stateDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val idx2 = SimilaritySearch.buildIndex(live, centroidMod = 25)
+      idx2.centroids.coalesce(1).write.mode("overwrite")
+        .parquet(s"$stateDir/centroids_next")
+      idx2.assignments.select("cand_id", "cid").repartition(col("cid")).write
+        .mode("overwrite").partitionBy("cid").parquet(s"$stateDir/assignments_next")
+      spark.read.parquet(s"$stateDir/codes").write
+        .mode("overwrite").parquet(s"$stateDir/codes_next")
+      fs.create(new org.apache.hadoop.fs.Path(s"$stateDir/recluster_commit"), true).close()
+      Seq("centroids", "assignments").foreach { t =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/$t"), true)
+        assert(fs.rename(
+          new org.apache.hadoop.fs.Path(s"$stateDir/${t}_next"),
+          new org.apache.hadoop.fs.Path(s"$stateDir/$t")))
+      }
+      // the half-rolled state REFUSES reads (mixed generations) and
+      // the write verbs auto-recover — the ADVICE r15 medium
+      val err = intercept[IllegalArgumentException](
+        SimilaritySearch.readIndex(spark, stateDir))
+      assert(err.getMessage.contains("recoverWrittenIndex"))
+      SimilaritySearch.recoverWrittenIndex(spark, stateDir)
+      assert(!new java.io.File(s"$stateDir/recluster_commit").exists())
+      assert(!new java.io.File(s"$stateDir/codes_next").exists())
+      val twinDir = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_crashtwin_").toString
+      try {
+        SimilaritySearch.writeIvfPqIndex(
+          idx2, cb, SimilaritySearch.pqEncode(live, cb), twinDir)
+        assert(
+          canon(SimilaritySearch.ivfPqProbeWritten(spark, stateDir, queries))
+            == canon(SimilaritySearch.ivfPqProbeWritten(spark, twinDir, queries)),
+          "recovery must finish the interrupted three-table swap")
+      } finally rmTree(twinDir)
+      // partial-corpus guard: a vectors frame missing live ids fails
+      // fast instead of silently dropping them from the next generation
+      val err2 = intercept[IllegalArgumentException](
+        SimilaritySearch.reclusterWrittenIvfPqIndex(
+          spark, stateDir, e.filter(col("vec_id") % 2 === 0), centroidMod = 50))
+      assert(err2.getMessage.contains("full corpus"))
+      // a plain IVF dir refuses the combined verb with the remedy
+      val plainDir = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_plain_").toString
+      try {
+        SimilaritySearch.writeIndex(
+          SimilaritySearch.buildIndex(base, centroidMod = 50), plainDir)
+        val err3 = intercept[IllegalArgumentException](
+          SimilaritySearch.reclusterWrittenIvfPqIndex(
+            spark, plainDir, e, centroidMod = 50))
+        assert(err3.getMessage.contains("reclusterWrittenIndex"))
+      } finally rmTree(plainDir)
     } finally rmTree(stateDir)
   }
 
