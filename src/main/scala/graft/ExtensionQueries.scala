@@ -432,6 +432,154 @@ object ExtensionQueries {
         .orderBy("doc_a", "doc_b")),
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Corpus.docCorpus(s, dir)).orderBy("doc_a", "doc_b")),
+    "q_dedup_simhash_incremental" -> ((s, dir) => {
+      // text SimHash's INGEST shape on the GENERIC Hamming state
+      // family (r15 verdict task #2 — the family was built for both
+      // granularities but only media exercised it): the corpus's
+      // 30-bit segment rows live in a bucketed catalog table
+      // (writeSimhashTable — block column stored, so the probe keeps
+      // the one-shot simhashPairs source-confinement; unblocked text
+      // fingerprints are too correlated for a global radius-4 probe,
+      // measured: 78 UNRELATED sf0.01 docs collide at Hamming 0), and
+      // tail-appended copies of every 7th doc arrive as the new
+      // batch. Only the batch tokenizes and shuffles; the oracle
+      // recomputes both sides' fingerprints and joins them blocked —
+      // a segmentation or block-handling bug diverges the pair set.
+      val docs = Tables.documents(s, dir)
+      val batch = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("text", concat(col("text"), lit(" ingest tail")))
+      val tbl = "graft_simhash_state_" +
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+          .replaceAll("[^A-Za-z0-9]", "_")
+      val shufKey = "spark.sql.shuffle.partitions"
+      val prevShuf = s.conf.get(shufKey)
+      val out = try {
+        s.conf.set(shufKey, "8")
+        Dedup.writeSimhashTable(docs, tbl, maxHamming = 4, buckets = 8)
+        Dedup.simhashPairsAgainst(batch, s, tbl, maxHamming = 4)
+          .localCheckpoint(true)
+      } finally {
+        s.conf.set(shufKey, prevShuf)
+        s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+        s.sql(s"DROP TABLE IF EXISTS `${tbl}_compact_tmp`")
+        s.sql(s"DROP TABLE IF EXISTS `${tbl}_tombstones`")
+      }
+      Dedup.unpersistAll()
+      out.orderBy("new_doc", "corpus_doc")
+    }),
+    "q_dedup_simhash_ingest_delete" -> ((s, dir) => {
+      // the TAKEDOWN path on persisted TEXT-SIMHASH state — the media
+      // delete query's shape at the text granularity: segment rows
+      // whose owners % 5 == 0 tombstoned, the batch probed against
+      // the masked live view AND again after compaction bakes the
+      // removal in, both stages under one oracle whose corpus side
+      // literally excludes the deleted owners.
+      val docs = Tables.documents(s, dir)
+      val batch = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("text", concat(col("text"), lit(" ingest tail")))
+      val tbl = "graft_simhash_del_" +
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+          .replaceAll("[^A-Za-z0-9]", "_")
+      val shufKey = "spark.sql.shuffle.partitions"
+      val prevShuf = s.conf.get(shufKey)
+      val out = try {
+        s.conf.set(shufKey, "8")
+        Dedup.writeSimhashTable(docs, tbl, maxHamming = 4, buckets = 8)
+        Dedup.deleteFromStateTable(
+          docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")), tbl)
+        def probe() = Dedup.simhashPairsAgainst(batch, s, tbl, maxHamming = 4)
+        val masked = probe()
+          .withColumn("stage", lit("tombstoned"))
+          .localCheckpoint(true)
+        Dedup.unpersistAll()
+        Dedup.compactHammingTable(s, tbl, buckets = 8)
+        val compacted = probe()
+          .withColumn("stage", lit("compacted"))
+          .localCheckpoint(true)
+        Dedup.unpersistAll()
+        masked.unionByName(compacted)
+      } finally {
+        s.conf.set(shufKey, prevShuf)
+        s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+        s.sql(s"DROP TABLE IF EXISTS `${tbl}_compact_tmp`")
+        s.sql(s"DROP TABLE IF EXISTS `${tbl}_tombstones`")
+      }
+      out.select("stage", "new_doc", "corpus_doc", "hamming")
+        .orderBy("stage", "new_doc", "corpus_doc")
+    }),
+    "q_stream_simhash_ingest" -> ((s, dir) => {
+      // the STREAMING text-simhash ingest loop — q_stream_media_
+      // ingest's harness at text granularity, with a STRONGER oracle
+      // than the media one could afford: text fingerprints are
+      // correlated enough that cross-BATCH pairs genuinely exist
+      // (copies of two different docs in one source block can sit
+      // within Hamming 4), so the fold's probe-then-append ordering
+      // is observable — a batch pairs corpus rows AND the rows of
+      // strictly earlier slices, never its own slice's. The oracle
+      // replays exactly that arrival order ((doc_id % 3) slice key,
+      // the slicedStream formula). THREE slices, not the family's
+      // usual four: source is a function of doc_id % 20, so two
+      // same-source batch docs always agree mod 4 and a 4-slice split
+      // would put every cross-batch pair in ONE slice — structurally
+      // unobservable (measured: 7,424 sf0.1 cross pairs, zero with
+      // distinct mod-4 slices); 3 is coprime to 20, so the pairs
+      // spread across slices and the ordering claim has teeth.
+      val docs = Tables.documents(s, dir)
+      val batch = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("text", concat(col("text"), lit(" ingest tail")))
+      val tbl = "graft_simhash_stream_" +
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+          .replaceAll("[^A-Za-z0-9]", "_")
+      val shufKey = "spark.sql.shuffle.partitions"
+      val prevShuf = s.conf.get(shufKey)
+      val out = try {
+        s.conf.set(shufKey, "8")
+        Dedup.writeSimhashTable(docs, tbl, maxHamming = 4, buckets = 8)
+        val zero = Dedup.simhashPairsAgainst(batch.limit(0), s, tbl, maxHamming = 4)
+          .localCheckpoint(true)
+        graft.streaming.StreamRunner.foldBatches(
+          graft.streaming.StreamRunner.slicedStream(
+            batch, "doc_id", slices = 3,
+            tag = s"${java.nio.file.Paths.get(dir).toAbsolutePath}#simhashbatch3"),
+          zero) { (acc, b, _) =>
+          // fingerprint each batch ONCE: the same (doc_id, fph,
+          // block) rows drive the probe and the append — the
+          // one-tokenize-per-ingest cost the design claims
+          val fp = Dedup.simhashFingerprints(
+              b, passthroughCols = Seq("source"))
+            .withColumnRenamed("source", "block")
+            .localCheckpoint(true)
+          // probe through the BATCH's session: foreachBatch frames
+          // live in the stream's cloned session, and the appends
+          // below refresh only THAT session's relation cache — a
+          // probe via the outer session would silently read the
+          // pre-append file listing forever and never see earlier
+          // slices' rows (caught by this query's cross-batch oracle)
+          val pairs = Dedup.hammingPairsAgainst(
+              fp,
+              Dedup.hammingTableLive(
+                b.sparkSession, tbl, maxHamming = 4, bits = SimhashBits),
+              maxHamming = 4, bits = SimhashBits)
+            .select(
+              col("new_id").as("new_doc"),
+              col("corpus_id").as("corpus_doc"), col("hamming"))
+            .localCheckpoint(true)
+          Dedup.appendToHammingTable(
+            fp, tbl, maxHamming = 4, bits = SimhashBits, buckets = 8)
+          acc.unionByName(pairs)
+        }.localCheckpoint(true)
+      } finally {
+        s.conf.set(shufKey, prevShuf)
+        s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+        s.sql(s"DROP TABLE IF EXISTS `${tbl}_compact_tmp`")
+        s.sql(s"DROP TABLE IF EXISTS `${tbl}_tombstones`")
+      }
+      Dedup.unpersistAll()
+      out.orderBy("new_doc", "corpus_doc")
+    }),
     "q_dedup_embed" -> ((s, dir) =>
       embeddingPairsMaterialized(s, dir).orderBy("vec_a", "vec_b")),
     "q_dedup_embed_apply" -> ((s, dir) => {
@@ -1532,8 +1680,15 @@ object ExtensionQueries {
           // claim is one decode pass, so pay one)
           val fp = graft.operators.Multimodal.mediaDhashFingerprints(b)
             .localCheckpoint(true)
+          // probe through the BATCH's session (the stream's clone):
+          // the appends refresh only that session's relation cache,
+          // so an outer-session probe would read the pre-append file
+          // listing forever — invisible under this fixture (no
+          // cross-batch pairs, measured) but wrong as the template;
+          // q_stream_simhash_ingest's cross-batch oracle catches it
           val pairs = Dedup.hammingPairsAgainst(
-              fp, Dedup.hammingTableLive(s, tbl, maxHamming = 4, bits = 64),
+              fp,
+              Dedup.hammingTableLive(b.sparkSession, tbl, maxHamming = 4, bits = 64),
               maxHamming = 4, bits = 64)
             .select(
               col("new_id").as("new_media"),
@@ -2876,6 +3031,29 @@ object ExtensionQueries {
     * the takedown query (deletion semantics are defined by literally
     * excluding the deleted rows from the corpus the oracle sees).
     */
+  /** Shared fingerprint CTEs for the text-simhash ingest oracles:
+    * corpus (optionally filtered — the takedown oracle's exclusion)
+    * and tail-appended batch, each tokenized → word-hashed →
+    * vote-packed to the 30-bit fingerprint with its source block.
+    */
+  private def simhashIngestCtes(corpusWhere: String): String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, source, text FROM documents WHERE $corpusWhere
+       |), batch AS (
+       |  SELECT doc_id + 1000000 AS doc_id, source, text || ' ingest tail' AS text
+       |  FROM documents WHERE doc_id % 7 = 0
+       |), cfv AS (
+       |  SELECT doc_id, source AS block, ${simhashVotesDuck(wordsDuck("text"))} AS votes
+       |  FROM corpus WHERE ${tokenCountDuck("text")} >= 1
+       |), cf AS (
+       |  SELECT doc_id, block, ${simhashPackDuck("votes")} AS simhash FROM cfv
+       |), bfv AS (
+       |  SELECT doc_id, source AS block, ${simhashVotesDuck(wordsDuck("text"))} AS votes
+       |  FROM batch WHERE ${tokenCountDuck("text")} >= 1
+       |), bf AS (
+       |  SELECT doc_id, block, ${simhashPackDuck("votes")} AS simhash FROM bfv
+       |)""".stripMargin
+
   private def minhashIncrementalSqlWith(corpusRel: String): String = {
     def sigCtes(rel: String, p: String): String = {
       val bandSelects = bandKeysDuck("sig").zipWithIndex
@@ -3910,6 +4088,50 @@ object ExtensionQueries {
          |FROM fp x JOIN fp y ON x.block = y.block AND x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 4
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_simhash_incremental" ->
+      s"""${simhashIngestCtes("TRUE")}
+         |SELECT b.doc_id AS new_doc, c.doc_id AS corpus_doc,
+         |       CAST(bit_count(xor(b.simhash, c.simhash)) AS BIGINT) AS hamming
+         |FROM bf b JOIN cf c ON b.block = c.block
+         |WHERE bit_count(xor(b.simhash, c.simhash)) <= 4
+         |ORDER BY new_doc, corpus_doc""".stripMargin,
+
+    // takedown semantics ARE the oracle's corpus exclusion (the media
+    // delete oracle's argument at text granularity): both the
+    // tombstone-masked and the post-compaction probe must equal the
+    // incremental run against a corpus that never held the deleted ids
+    "q_dedup_simhash_ingest_delete" ->
+      s"""${simhashIngestCtes("doc_id % 5 <> 0")}, res AS (
+         |  SELECT b.doc_id AS new_doc, c.doc_id AS corpus_doc,
+         |         CAST(bit_count(xor(b.simhash, c.simhash)) AS BIGINT) AS hamming
+         |  FROM bf b JOIN cf c ON b.block = c.block
+         |  WHERE bit_count(xor(b.simhash, c.simhash)) <= 4
+         |)
+         |SELECT 'tombstoned' AS stage, new_doc, corpus_doc, hamming FROM res
+         |UNION ALL
+         |SELECT 'compacted' AS stage, new_doc, corpus_doc, hamming FROM res
+         |ORDER BY stage, new_doc, corpus_doc""".stripMargin,
+
+    // the fold's probe-then-append order is OBSERVABLE at text
+    // granularity (correlated fingerprints → real cross-batch pairs):
+    // a batch pairs the corpus AND strictly earlier slices' appends,
+    // never its own slice's — replayed via the slicedStream key
+    // (doc_id % 3; 3 is coprime to the source-block period 20, see
+    // the query's comment)
+    "q_stream_simhash_ingest" ->
+      s"""${simhashIngestCtes("TRUE")}
+         |SELECT b.doc_id AS new_doc, c.doc_id AS corpus_doc,
+         |       CAST(bit_count(xor(b.simhash, c.simhash)) AS BIGINT) AS hamming
+         |FROM bf b JOIN cf c ON b.block = c.block
+         |WHERE bit_count(xor(b.simhash, c.simhash)) <= 4
+         |UNION ALL
+         |SELECT x.doc_id, y.doc_id,
+         |       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT)
+         |FROM bf x JOIN bf y
+         |  ON x.block = y.block AND (x.doc_id % 3) > (y.doc_id % 3)
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 4
+         |ORDER BY new_doc, corpus_doc""".stripMargin,
 
     "q_dedup_embed" ->
       s"$embedPairsSql ORDER BY vec_a, vec_b",

@@ -1155,11 +1155,28 @@ object Dedup {
       newFp: DataFrame,
       corpusSegs: DataFrame,
       maxHamming: Int,
-      bits: Int): DataFrame =
+      bits: Int): DataFrame = {
+    // OPTIONAL block confinement — the text-SimHash granularity pairs
+    // within `source` blocks (the one-shot simhashPairs semantics,
+    // and what keeps the candidate volume sane when a corpus's
+    // fingerprints are correlated); media carries no block and probes
+    // globally. Both sides must agree: a blocked batch against an
+    // unblocked state (or vice versa) is a semantics mismatch, not
+    // something to resolve silently.
+    val batchBlocked = newFp.columns.contains("block")
+    val corpusBlocked = corpusSegs.columns.contains("block")
+    require(batchBlocked == corpusBlocked,
+      s"hammingPairsAgainst: batch ${if (batchBlocked) "carries" else "lacks"} a " +
+        s"'block' column but the corpus state ${if (corpusBlocked) "carries" else "lacks"} " +
+        "one — blocked and unblocked Hamming states pair under different " +
+        "semantics; rebuild the state (or the batch fingerprints) to match")
+    def blockEq =
+      if (batchBlocked) col("x.block") === col("y.block") else lit(true)
     hammingSegmentRows(newFp, maxHamming, bits).as("x")
       .join(
         corpusSegs.as("y"),
-        col("x.sh_seg") === col("y.sh_seg") && col("x.sh_key") === col("y.sh_key"))
+        col("x.sh_seg") === col("y.sh_seg") && col("x.sh_key") === col("y.sh_key") &&
+          blockEq)
       .select(
         col("x.doc_id").as("new_id"), col("y.doc_id").as("corpus_id"),
         col("x.fph").as("ha"), col("y.fph").as("hb"))
@@ -1167,6 +1184,7 @@ object Dedup {
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("new_id", "corpus_id", "hamming")
+  }
 
   /** Materialize a fingerprint corpus's pigeonhole SEGMENT rows as a
     * bucketed catalog table on `(sh_seg, sh_key)` — the
@@ -1180,12 +1198,21 @@ object Dedup {
     * Owner-keyed deletes ride [[deleteFromStateTable]] (`doc_id` is
     * the owning id), compaction rides [[compactHammingTable]].
     */
+  /** The stored row set keeps an optional `block` column (the
+    * text-SimHash granularity's source confinement —
+    * [[hammingPairsAgainst]] restores the blocked join semantics when
+    * both sides carry it; media states store none and probe global).
+    */
+  private def hammingStateProjection(fp: DataFrame): Seq[org.apache.spark.sql.Column] =
+    Seq(col("doc_id"), col("fph")) ++
+      (if (fp.columns.contains("block")) Seq(col("block")) else Nil)
+
   def writeHammingTable(
       fp: DataFrame, table: String, maxHamming: Int, bits: Int,
       buckets: Int = BandTableBuckets): DataFrame = {
     writeBucketedState(
       hammingSegmentRows(
-        fp.select(col("doc_id"), col("fph"))
+        fp.select(hammingStateProjection(fp): _*)
           .withColumn("mh", lit(maxHamming)).withColumn("hbits", lit(bits)),
         maxHamming, bits),
       table, buckets, Seq("sh_seg", "sh_key"), "overwrite", appendTasks = 0)
@@ -1204,11 +1231,21 @@ object Dedup {
   def appendToHammingTable(
       fp: DataFrame, table: String, maxHamming: Int, bits: Int,
       buckets: Int = BandTableBuckets, appendTasks: Int = 0): Unit = {
-    requireHammingGeometry(
-      fp.sparkSession.table(table), table, maxHamming, bits, "appended to")
+    val existing = fp.sparkSession.table(table)
+    requireHammingGeometry(existing, table, maxHamming, bits, "appended to")
+    // blockedness is table geometry too: a block-less batch appended
+    // into a blocked table (or vice versa) would change the stored
+    // schema's meaning — the same every-write-boundary homogeneity
+    // rule the (mh, hbits) check enforces
+    require(
+      fp.columns.contains("block") == existing.columns.contains("block"),
+      s"Hamming state table '$table' was written " +
+        s"${if (existing.columns.contains("block")) "WITH" else "WITHOUT"} a 'block' " +
+        "column but the appended batch disagrees — rebuild the table or the " +
+        "batch fingerprints under one blocking convention")
     writeBucketedState(
       hammingSegmentRows(
-        fp.select(col("doc_id"), col("fph"))
+        fp.select(hammingStateProjection(fp): _*)
           .withColumn("mh", lit(maxHamming)).withColumn("hbits", lit(bits)),
         maxHamming, bits),
       table, buckets, Seq("sh_seg", "sh_key"), "append", appendTasks)
@@ -1267,20 +1304,88 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       pigeonhole: Boolean = true): DataFrame = {
-    PolyHash.register(docs.sparkSession)
-    graft.functions.SimHashPack.register(docs.sparkSession)
-    // simhash_pack consumes the word-hash array exactly once in a
-    // fused codegen'd kernel (no lambda indexing → no re-evaluation
-    // trap); the fingerprints are persisted (inside hammingPairs)
-    // because the self-join consumes them on both sides
-    val fp = docs
-      .filter(expr(s"${tokenCountSpark(textCol)} >= 1"))
-      .select(
-        col(idCol).as("doc_id"),
-        col(blockCol).as("block"),
-        expr(s"simhash_pack(${wordHashArraySpark(wordsSpark(textCol))})").as("fph"))
+    // the fingerprints are persisted (inside hammingPairs) because
+    // the self-join consumes them on both sides; the block column
+    // rides the fingerprint projection (one scan, no join back)
+    val fp = simhashFingerprints(docs, textCol, idCol, passthroughCols = Seq(blockCol))
+      .withColumnRenamed(blockCol, "block")
     hammingPairs(fp, maxHamming, SimhashBits, pigeonhole)
   }
+
+  /** A text corpus's 30-bit SimHash fingerprints — (doc_id, fph): the
+    * tokenize → word-hash → vote-pack front shared by the one-shot
+    * pairs ([[simhashPairs]]), the incremental probe, and the
+    * persisted segment state ([[writeHammingTable]] at bits =
+    * [[SimhashBits]]) — the text twin of
+    * [[Multimodal.mediaDhashFingerprints]], proving the Hamming state
+    * family generic across granularities (r15 verdict task #2).
+    * `simhash_pack` consumes the word-hash array exactly once in a
+    * fused codegen'd kernel (no lambda indexing → no re-evaluation
+    * trap). Empty-token docs carry no fingerprint (a vote over zero
+    * words is meaningless) and simply never pair — same contract as
+    * an undecodable media payload under permissive decode.
+    */
+  def simhashFingerprints(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      passthroughCols: Seq[String] = Seq.empty): DataFrame = {
+    PolyHash.register(docs.sparkSession)
+    graft.functions.SimHashPack.register(docs.sparkSession)
+    docs
+      .filter(expr(s"${tokenCountSpark(textCol)} >= 1"))
+      .select(
+        (col(idCol).as("doc_id") +:
+          expr(s"simhash_pack(${wordHashArraySpark(wordsSpark(textCol))})").as("fph") +:
+          passthroughCols.map(col)): _*)
+  }
+
+  /** Persist a text corpus's SimHash state — the pigeonhole segment
+    * rows in a bucketed catalog table ([[writeHammingTable]] at
+    * [[SimhashBits]]), blocks included: the text twin of
+    * [[Multimodal.writeDhashTable]], and the proof the Hamming state
+    * family is granularity-generic (r15 verdict task #2 — the family
+    * was built for both, Dedup.scala's writeHammingTable scaladoc,
+    * but only media exercised it). Steady-state ingests probe with
+    * [[simhashPairsAgainst]] — only the batch tokenizes and shuffles;
+    * takedowns ride [[deleteFromStateTable]] + [[compactHammingTable]]
+    * like every other persisted state.
+    */
+  def writeSimhashTable(
+      docs: DataFrame, table: String,
+      maxHamming: Int = 4,
+      blockCol: String = "source",
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      buckets: Int = BandTableBuckets): DataFrame =
+    writeHammingTable(
+      simhashFingerprints(docs, textCol, idCol, passthroughCols = Seq(blockCol))
+        .withColumnRenamed(blockCol, "block"),
+      table, maxHamming, bits = SimhashBits, buckets = buckets)
+
+  /** SimHash near-dup pairs of a NEW document batch against a
+    * PERSISTED corpus state ([[writeSimhashTable]]) — the text twin
+    * of [[Multimodal.perceptualHashPairsAgainst]]: tokenize and pack
+    * the batch only, segment its fingerprints, equi-join against the
+    * pre-bucketed segment table WITHIN source blocks, refine by exact
+    * Hamming. Returns (new_doc, corpus_doc, hamming).
+    */
+  def simhashPairsAgainst(
+      newDocs: DataFrame,
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      maxHamming: Int = 4,
+      blockCol: String = "source",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    hammingPairsAgainst(
+      simhashFingerprints(newDocs, textCol, idCol, passthroughCols = Seq(blockCol))
+        .withColumnRenamed(blockCol, "block"),
+      hammingTableLive(spark, table, maxHamming, bits = SimhashBits),
+      maxHamming, bits = SimhashBits)
+      .select(
+        col("new_id").as("new_doc"), col("corpus_id").as("corpus_doc"),
+        col("hamming"))
 
   /** Embedding-cosine near-duplicate pairs. Candidate blocks are
     * derived from the data: comparison-bit LSH bands

@@ -818,6 +818,85 @@ class StateCompactionSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash state on the generic hamming family: blocked catalog equals derived rows, block guards fire") {
+    import graft.functions.TextExprs.SimhashBits
+    val docs = Tables.documents(spark, dir).localCheckpoint(true)
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text", concat(col("text"), lit(" ingest tail")))
+      .localCheckpoint(true)
+    val table = "simhash_spec_state"
+    Seq(table, s"${table}_compact_tmp", s"${table}_tombstones")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      Dedup.writeSimhashTable(docs, table, maxHamming = 4, buckets = 4)
+      // catalog = the independently-derived segment rows — same
+      // tokenize/pack front, same segmentation, BLOCK COLUMN STORED
+      // (the text granularity's source confinement rides the generic
+      // family's optional-block support)
+      def blockedFp(d: org.apache.spark.sql.DataFrame) =
+        Dedup.simhashFingerprints(d, passthroughCols = Seq("source"))
+          .withColumnRenamed("source", "block")
+      val fp = blockedFp(docs)
+        .withColumn("mh", lit(4)).withColumn("hbits", lit(SimhashBits))
+        // stored layout orders (doc_id, fph, block, mh, hbits)
+        .select("doc_id", "fph", "block", "mh", "hbits")
+      val memRows = Dedup.hammingSegmentRows(fp, maxHamming = 4, bits = SimhashBits)
+        .localCheckpoint(true)
+      assert(spark.table(table).except(memRows).isEmpty
+        && memRows.except(spark.table(table)).isEmpty)
+      // the state probe = the quadratic blocked reference (pigeonhole
+      // candidates are lossless, block equality confines)
+      val brute = blockedFp(batch).as("x")
+        .join(blockedFp(docs).as("y"), col("x.block") === col("y.block"))
+        .withColumn("hamming",
+          bit_count(col("x.fph").bitwiseXOR(col("y.fph"))).cast("long"))
+        .filter(col("hamming") <= 4)
+        .select(col("x.doc_id").as("new_doc"), col("y.doc_id").as("corpus_doc"),
+          col("hamming"))
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("new_doc", "corpus_doc").collect().toSeq
+      assert(canon(Dedup.simhashPairsAgainst(batch, spark, table, maxHamming = 4))
+        == canon(brute))
+      assert(brute.count() > 0, "fixture must plant blocked pairs")
+      Dedup.unpersistAll()
+      // blockedness is table geometry: an UNBLOCKED batch cannot
+      // probe or append a blocked state (and vice versa) — silence
+      // would change the pairing semantics mid-table
+      val bare = Dedup.simhashFingerprints(batch)
+      val ep = intercept[IllegalArgumentException](
+        Dedup.hammingPairsAgainst(
+          bare, Dedup.hammingTableLive(spark, table, maxHamming = 4, bits = SimhashBits),
+          maxHamming = 4, bits = SimhashBits))
+      assert(ep.getMessage.contains("block"), ep.getMessage)
+      val ea = intercept[IllegalArgumentException](
+        Dedup.appendToHammingTable(
+          bare, table, maxHamming = 4, bits = SimhashBits, buckets = 4))
+      assert(ea.getMessage.contains("block"), ea.getMessage)
+      // the (mh, hbits) geometry guard holds at text width too
+      val er = intercept[IllegalArgumentException](
+        Dedup.simhashPairsAgainst(batch, spark, table, maxHamming = 2))
+      assert(er.getMessage.contains("rebuild"), er.getMessage)
+      // blocked append extends the probe exactly like the media row:
+      // every appended batch member then self-matches at Hamming 0
+      val before = Dedup.simhashPairsAgainst(batch, spark, table, maxHamming = 4).count()
+      Dedup.unpersistAll()
+      Dedup.appendToHammingTable(
+        blockedFp(batch), table, maxHamming = 4, bits = SimhashBits, buckets = 4)
+      val after = Dedup.simhashPairsAgainst(batch, spark, table, maxHamming = 4)
+        .localCheckpoint(true)
+      assert(after.filter(col("new_doc") === col("corpus_doc")).count()
+        == batch.count())
+      assert(after.filter(col("new_doc") === col("corpus_doc"))
+        .agg(max("hamming")).collect()(0).getLong(0) == 0L)
+      assert(after.count() >= before + batch.count())
+      Dedup.unpersistAll()
+    } finally {
+      Seq(table, s"${table}_compact_tmp", s"${table}_tombstones")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("bucketed chunk table: catalog equals the derived state, ingest appends close the key set") {
     import org.apache.spark.sql.expressions.Window
     val corpus = Corpus.docCorpus(spark, dir).select("doc_id", "text").localCheckpoint(true)
