@@ -142,6 +142,39 @@ object ExtensionQueries {
        |    FROM $innerRel d LEFT JOIN $innerRel p ON p.doc_id = d.doc_id + 1
        |  )""".stripMargin
 
+  /** Paired-media plant for the pipeline media stage: doc `2k` and
+    * its odd partner `2k+1` share the formula key `k = doc_id DIV 2`,
+    * so the partner's payload is an EXACT byte copy when `k % 3 == 0`
+    * (the exact-dedup pass's prey — same header, same pixels) and a
+    * 3-pixel perturbed copy otherwise (the perceptual pass's —
+    * Hamming ≤ 3 vs the radius-4 probe). `media_id == doc_id`
+    * everywhere (one payload per doc, the multimodal-corpus shape);
+    * both stages demonstrably bind whenever both partners reach the
+    * media stage. The oracle rebuilds payload strings and grid cells
+    * from the same k/pert formulas (trainExportPipelineSql's me_
+    * chain).
+    */
+  private def plantPairedMedia(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.operators.Multimodal
+    def keyed(d: org.apache.spark.sql.DataFrame) =
+      d.select(expr("doc_id DIV 2").cast("long").as("doc_id"))
+    val evens = Multimodal
+      .synthesizePpmTextured(keyed(docs.filter(pmod(col("doc_id"), lit(2)) === 0)))
+      .withColumn("media_id", col("media_id") * 2)
+    val oddExact = Multimodal
+      .synthesizePpmTextured(keyed(docs.filter(
+        pmod(col("doc_id"), lit(2)) === 1 && expr("(doc_id DIV 2) % 3 = 0"))))
+      .withColumn("media_id", col("media_id") * 2 + 1)
+    val oddPert = Multimodal
+      .synthesizePpmTextured(
+        keyed(docs.filter(
+          pmod(col("doc_id"), lit(2)) === 1 && expr("(doc_id DIV 2) % 3 <> 0"))),
+        perturb = true)
+      .withColumn("media_id", col("media_id") * 2 + 1)
+    evens.unionByName(oddExact).unionByName(oddPert)
+  }
+
   private def freshStateDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix).toAbsolutePath
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -2114,6 +2147,34 @@ object ExtensionQueries {
         embeddings = plantScaledPrevEmbeddings(s, dir))
         .orderBy("shard", "seq")
     }),
+    "q_pipeline_media_export" -> ((s, dir) => {
+      // the MEDIA (byte + pixel) dedup granularity wired through the
+      // pipeline surface (r15 verdict task #1 — the last granularity
+      // that was oracled standalone but not composable): curate →
+      // exact text dedup → MEDIA dedup (exact byte pass, then
+      // perceptual dHash pairs → components → non-canonical drop,
+      // on the payloads of still-alive docs only) → decontaminate →
+      // char budgets → shards, ONE declarative plan. The paired-media
+      // plant makes both media passes bind: every odd doc's payload
+      // is a byte-exact (k%3==0) or 3-pixel-perturbed copy of its
+      // even partner's. The oracle replays all seven stages,
+      // reconstructing payload STRINGS for the byte pass and grid
+      // cells for the perceptual one from the same formulas.
+      val docs = Tables.documents(s, dir)
+      graft.pipelines.TrainingExport.run(
+        docs,
+        docs.filter(col("doc_id") % 97 === 0),
+        graft.pipelines.TrainingExport.Config(
+          curate = true,
+          dedup = graft.pipelines.TrainingExport.DedupExact,
+          mediaDedup = Some(4),
+          contaminationMaxPpm = Some(500000L),
+          budgets = Seq("src0" -> 4000L, "src1" -> 2000L),
+          defaultBudget = 3000L,
+          numShards = 4),
+        media = plantPairedMedia(docs))
+        .orderBy("shard", "seq")
+    }),
     "q_pipeline_chunk_export" -> ((s, dir) => {
       // the CHUNK-granularity export — the RAG-prep path as one
       // declarative plan (r14 verdict task): the doc-level stages
@@ -2729,7 +2790,8 @@ object ExtensionQueries {
       spanK: Option[Int] = None, corpusSql: Option[String] = None,
       paraDedup: Boolean = false,
       semanticEmbSql: Option[String] = None,
-      chunkExport: Option[(Int, Int)] = None): String = {
+      chunkExport: Option[(Int, Int)] = None,
+      mediaDedup: Boolean = false): String = {
     // optional planted-corpus prologue: the pipeline reads `pdocs`
     // instead of the raw documents table
     val src = if (corpusSql.isDefined) "pdocs" else "documents"
@@ -2765,7 +2827,8 @@ object ExtensionQueries {
     // paragraph after the doc gate
     val textBase =
       if (spanK.isDefined) "sp" else if (paraDedup) "pg" else "dd"
-    val base = if (semanticEmbSql.isDefined) "se" else textBase
+    val semBase = if (semanticEmbSql.isDefined) "se" else textBase
+    val base = if (mediaDedup) "me" else semBase
     // semantic splice (the sd_ chain under an se_ prefix, exactly
     // q_dedup_semantic's spelling): cluster the embeddings of the
     // docs still alive after text surgery, drop non-representative
@@ -2786,6 +2849,56 @@ object ExtensionQueries {
          |      FROM se_dec) WHERE NOT keep)
          |)""".stripMargin
     }.getOrElse("")
+    // media splice (the me_ chain, exactly the paired-media plant's
+    // formulas — plantPairedMedia's DuckDB twin): EXACT byte dedup
+    // over reconstructed payload STRINGS (the q_dedup_media oracle's
+    // byte-level adversarial check), then the perceptual
+    // pairs→reachability→non-canonical-drop chain
+    // (q_dedup_media_apply's spelling under a me_ prefix) over the
+    // exact survivors; docs dropped at either pass leave the
+    // pipeline, everything else flows on
+    val mediaCtes =
+      if (!mediaDedup) ""
+      else
+        s""", me_m AS MATERIALIZED (
+           |  SELECT d.doc_id AS media_id, d.doc_id // 2 AS sid,
+           |         (d.doc_id % 2 = 1 AND (d.doc_id // 2) % 3 <> 0) AS pert
+           |  FROM $semBase d
+           |), me_pay AS MATERIALIZED (
+           |  SELECT media_id,
+           |    'P6' || chr(10) || '# doc ' || CAST(sid AS VARCHAR) || chr(10) ||
+           |      CAST(w AS VARCHAR) || ' ' || CAST(h AS VARCHAR) || chr(10) ||
+           |      '255' || chr(10) ||
+           |      array_to_string(list_transform(range(0, w*h*3),
+           |           j -> chr(CAST(${texturedByteDuck("j")} AS INTEGER))), '') AS payload
+           |  FROM (SELECT media_id, sid, pert, 12 + sid % 8 AS w, 9 + sid % 5 AS h
+           |        FROM me_m)
+           |), me_xdrop AS MATERIALIZED (
+           |  SELECT media_id FROM (
+           |    SELECT media_id,
+           |           ROW_NUMBER() OVER (PARTITION BY payload ORDER BY media_id) AS rn
+           |    FROM me_pay) WHERE rn > 1
+           |), me_live AS MATERIALIZED (
+           |  SELECT m.* FROM me_m m
+           |  WHERE m.media_id NOT IN (SELECT media_id FROM me_xdrop)
+           |), ${mediaDhashHashCtes("me_live", "me_")}, me_pairs AS MATERIALIZED (
+           |  SELECT x.media_id AS src, y.media_id AS dst
+           |  FROM me_hsh x JOIN me_hsh y
+           |    ON x.media_id <> y.media_id
+           |  WHERE bit_count(xor(x.fph, y.fph)) <= 4
+           |), me_nodes AS (
+           |  SELECT DISTINCT src AS node FROM me_pairs
+           |), me_reach(node, lbl) AS (
+           |  SELECT node, node FROM me_nodes
+           |  UNION
+           |  SELECT e.dst, r.lbl FROM me_reach r JOIN me_pairs e ON e.src = r.node
+           |), me_comp AS (
+           |  SELECT node, MIN(lbl) AS component FROM me_reach GROUP BY node
+           |), me AS MATERIALIZED (
+           |  SELECT d.* FROM $semBase d
+           |  WHERE d.doc_id NOT IN (SELECT media_id FROM me_xdrop)
+           |    AND d.doc_id NOT IN (SELECT node FROM me_comp WHERE node <> component)
+           |)""".stripMargin
     val spanCtes = spanK.map { k =>
       s""", ${repeatedSpansDuckCtesFrom(s"  SELECT doc_id, text FROM $spanSrc", k, 20, "sp_")}${intervalMergeDuckCtes(
            "  SELECT DISTINCT doc_b AS doc_id, b_start AS s, b_start + span_tokens AS e FROM sp_spans",
@@ -2811,7 +2924,8 @@ object ExtensionQueries {
       case None => trainExportDocTailSql(budgets, defaultBudget, tokensWp)
       case Some((ct, st)) => chunkExportTailSql(budgets, defaultBudget, ct, st)
     }
-    val recursive = if (semanticEmbSql.isDefined) "RECURSIVE " else ""
+    val recursive =
+      if (semanticEmbSql.isDefined || mediaDedup) "RECURSIVE " else ""
     s"""WITH $recursive${prologue}m AS (
        |  SELECT doc_id,
        |    ${TextAnalysis.funnelMetricsDuckProjection("text")}
@@ -2826,7 +2940,7 @@ object ExtensionQueries {
        |  SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text
        |), dd AS (
        |  SELECT k.* FROM kept k JOIN canon USING (doc_id)
-       |)$paraCtes$spanCtes$semCtes, bwh AS (
+       |)$paraCtes$spanCtes$semCtes$mediaCtes, bwh AS (
        |  SELECT ${wordHashArrayDuck(wordsDuck("text"))} AS wh
        |  FROM $src WHERE doc_id % 97 = 0 AND $guard
        |), bg AS (
@@ -3514,37 +3628,53 @@ object ExtensionQueries {
     * the hashes) and takes the QUADRATIC pair set — the lossless
     * reference the Spark pigeonhole candidates must reproduce.
     */
-  private val mediaDhashPairCtes: String = {
-    def byteDuck(j: String): String =
-      s"(32 + (sid*31 + ($j)*7 + (($j)*($j)*13 + sid*sid*17 + sid*($j)*29) % 9973" +
-        s" + CASE WHEN pert AND ($j) IN (0, 3*((w*h)//2), 3*(w*h-1)) THEN 41 ELSE 0 END) % 95)"
+  /** One textured-PPM payload byte, recomputed from the synthesis
+    * formulas (`sid` = the source-doc formula key, `pert` = the
+    * 3-pixel edit flag, `w`/`h` in scope) — the shared spelling of
+    * every media oracle's byte- and cell-level recomputation.
+    */
+  private def texturedByteDuck(j: String): String =
+    s"(32 + (sid*31 + ($j)*7 + (($j)*($j)*13 + sid*sid*17 + sid*($j)*29) % 9973" +
+      s" + CASE WHEN pert AND ($j) IN (0, 3*((w*h)//2), 3*(w*h-1)) THEN 41 ELSE 0 END) % 95)"
+
+  /** dHash CTE chain over a media identity relation `rel`
+    * (media_id, sid, pert): grid geometry → nearest-neighbor sample
+    * positions → recomputed gray cells → packed 64-bit hash, ending
+    * at `${p}hsh (media_id, fph)`. Shared by the one-shot media
+    * oracles (prefix "") and the pipeline media stage (prefix
+    * "me_"), so every consumer recomputes cells from the SAME pixel
+    * formulas the Spark side must parse out of real P6 bytes.
+    */
+  private def mediaDhashHashCtes(rel: String, p: String): String =
+    s"""${p}g AS (
+       |  SELECT media_id, sid, pert, 12 + sid % 8 AS w, 9 + sid % 5 AS h,
+       |    unnest(range(0, 72)) AS c
+       |  FROM $rel
+       |), ${p}pcell AS (
+       |  SELECT media_id, sid, pert, w, h, c,
+       |    ((c // 9) * h // 8) * w + ((c % 9) * w // 9) AS p
+       |  FROM ${p}g
+       |), ${p}cell AS (
+       |  SELECT media_id, c,
+       |    ${texturedByteDuck("3*p")} + ${texturedByteDuck("3*p + 1")} + ${texturedByteDuck("3*p + 2")} AS gray
+       |  FROM ${p}pcell
+       |), ${p}cells AS (
+       |  SELECT media_id, list(gray ORDER BY c) AS cl FROM ${p}cell GROUP BY media_id
+       |), ${p}hsh AS (
+       |  SELECT media_id, ${graft.operators.Multimodal.dhashDuck("cl")} AS fph FROM ${p}cells
+       |)""".stripMargin
+
+  private val mediaDhashPairCtes: String =
     s"""m AS (
        |  SELECT doc_id AS media_id, doc_id AS sid, FALSE AS pert FROM documents
        |  UNION ALL
        |  SELECT doc_id + 1000000, doc_id, TRUE FROM documents WHERE doc_id % 7 = 0
-       |), g AS (
-       |  SELECT media_id, sid, pert, 12 + sid % 8 AS w, 9 + sid % 5 AS h,
-       |    unnest(range(0, 72)) AS c
-       |  FROM m
-       |), pcell AS (
-       |  SELECT media_id, sid, pert, w, h, c,
-       |    ((c // 9) * h // 8) * w + ((c % 9) * w // 9) AS p
-       |  FROM g
-       |), cell AS (
-       |  SELECT media_id, c,
-       |    ${byteDuck("3*p")} + ${byteDuck("3*p + 1")} + ${byteDuck("3*p + 2")} AS gray
-       |  FROM pcell
-       |), cells AS (
-       |  SELECT media_id, list(gray ORDER BY c) AS cl FROM cell GROUP BY media_id
-       |), hsh AS (
-       |  SELECT media_id, ${graft.operators.Multimodal.dhashDuck("cl")} AS fph FROM cells
-       |), mpairs AS (
+       |), ${mediaDhashHashCtes("m", "")}, mpairs AS (
        |  SELECT x.media_id AS media_a, y.media_id AS media_b,
        |    CAST(bit_count(xor(x.fph, y.fph)) AS BIGINT) AS hamming
        |  FROM hsh x JOIN hsh y ON x.media_id < y.media_id
        |  WHERE bit_count(xor(x.fph, y.fph)) <= 4
        |)""".stripMargin
-  }
 
   /** The embedding near-dup pairs as bare SQL (no final ORDER BY) —
     * mirrors the Spark operator's comparison-bit band candidate
@@ -4812,6 +4942,15 @@ object ExtensionQueries {
       trainExportPipelineSql(
         Seq("src0" -> 500L, "src1" -> 350L), 400L, tokensWp = false,
         chunkExport = Some((30, 20))),
+
+    "q_pipeline_media_export" ->
+      // the media-stage composition: funnel → exact text dedup →
+      // me_ chain (byte-exact payload groups over reconstructed
+      // STRINGS, then the perceptual reachability drop) →
+      // decontamination → char budgets → shard tail
+      trainExportPipelineSql(
+        Seq("src0" -> 4000L, "src1" -> 2000L), 3000L, tokensWp = false,
+        mediaDedup = true),
 
     "q_pipeline_incremental_ingest" ->
       // the acceptance rule replayed from the FULL pair set: for a

@@ -1,9 +1,11 @@
 package graft.pipelines
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ConnectedComponents, Dedup, Sampling, TextAnalysis}
+import graft.operators.{ConnectedComponents, Dedup, Multimodal, Sampling, TextAnalysis}
 
 /** The composed training-export pipeline as a first-class operator:
   * curate → dedup → [span surgery] → decontaminate → budget-mixture →
@@ -101,6 +103,20 @@ object TrainingExport {
     *   through untouched (an embedding-free doc cannot be
     *   semantically deduped). Requires the `embeddings` frame on
     *   [[run]] — embeddings are data, like the benchmark frame
+    * @param mediaDedup MEDIA-granularity dedup (Some(maxHamming)):
+    *   the byte-and-pixel stage, composed after every text/embedding
+    *   granularity — a multimodal corpus dedups its payloads inside
+    *   the one declarative plan (r15 verdict task #1). Two passes
+    *   over the media of the docs still alive: EXACT byte dedup
+    *   first ([[Dedup.mediaDedupExact]] — fingerprints of the raw
+    *   payload, no decode, so re-shipped assets drop before anything
+    *   pays decode cost — the 100 TB ordering), then PERCEPTUAL
+    *   near-dup on the survivors ([[graft.operators.Multimodal
+    *   .perceptualHashPairs]] at `maxHamming` → connected components
+    *   → drop every non-canonical member, the q_dedup_media_apply
+    *   chain). Docs WITHOUT a media row pass through untouched (the
+    *   anti-join-on-droppers shape the semantic stage uses). Requires
+    *   the `media` frame on [[run]] — media is data, like embeddings
     * @param contaminationMaxPpm keep docs strictly under this
     *   benchmark n-gram overlap (None = stage off). The benchmark
     *   frame is a [[run]] argument, not config — it's data.
@@ -120,6 +136,7 @@ object TrainingExport {
       paragraphDedup: Boolean = false,
       spanDedup: Option[Int] = None,
       semanticDedup: Boolean = false,
+      mediaDedup: Option[Int] = None,
       contaminationMaxPpm: Option[Long] = Some(500000L),
       budgets: Seq[(String, Long)] = Nil,
       defaultBudget: Long = Long.MaxValue,
@@ -141,12 +158,13 @@ object TrainingExport {
       benchmark: => DataFrame,
       cfg: Config,
       hashExpr: Option[String] = None,
-      embeddings: => DataFrame = null): DataFrame = {
+      embeddings: => DataFrame = null,
+      media: => DataFrame = null): DataFrame = {
     require(cfg.numShards >= 1, s"numShards must be >= 1, got ${cfg.numShards}")
     graft.functions.PolyHash.register(docs.sparkSession)
     val h = hashExpr.getOrElse(
       graft.functions.TextExprs.charHashSpark("CAST(doc_id AS STRING)"))
-    val clean = cleanDocs(docs, benchmark, cfg, embeddings)
+    val clean = cleanDocs(docs, benchmark, cfg, embeddings, media)
     val sampled =
       if (cfg.budgets.isEmpty) clean.select("doc_id", "source")
       else {
@@ -178,7 +196,8 @@ object TrainingExport {
       docs: DataFrame,
       benchmark: => DataFrame,
       cfg: Config,
-      embeddings: => DataFrame): DataFrame = {
+      embeddings: => DataFrame,
+      media: => DataFrame = null): DataFrame = {
     val funneled =
       if (!cfg.curate) docs
       else docs.join(
@@ -270,11 +289,49 @@ object TrainingExport {
             .select(col("vec_id").as("doc_id")),
           Seq("doc_id"), "left_anti")
       }
-    cfg.contaminationMaxPpm match {
+    val mediaed = cfg.mediaDedup match {
       case None => semantic
-      case Some(maxPpm) =>
+      case Some(maxHamming) =>
+        // the media granularity composes LAST of the dedup stages: a
+        // doc dropped by any earlier gate must not hold a media
+        // cluster's keeper slot, so only the payloads of still-alive
+        // docs participate. Two passes, cheap-first: EXACT byte
+        // dedup fingerprints raw payloads (no decode — at 100 TB the
+        // re-shipped-asset mass drops before anything pays decode),
+        // then the perceptual chain decodes only the exact survivors
+        // and applies the pairs→components→non-canonical-drop step
+        // (q_dedup_media_apply's semantics). Anti-joins on DROPPERS
+        // keep media-less docs flowing through untouched.
+        val md = media
+        require(
+          md != null,
+          "cfg.mediaDedup is on but no media frame was passed to run()")
+        val live = md.join(
+          semantic.select(col("doc_id").as("media_id")),
+          Seq("media_id"), "left_semi")
+        val exactDroppers = Dedup.mediaDedupExact(live)
+          .filter(!col("keep"))
+          .select(col("media_id"))
+          // tiny by construction (the duplicated-asset mass), read by
+          // BOTH the doc anti-join and the perceptual input mask
+          .pipe(Dedup.persistTracked)
+        val liveExact = live.join(exactDroppers, Seq("media_id"), "left_anti")
+        val labels = ConnectedComponents.labelPropagate(
+          Multimodal.perceptualHashPairs(liveExact, maxHamming = maxHamming),
+          "media_a", "media_b")
+        val perceptualDroppers = labels
+          .filter(col("node") =!= col("component"))
+          .select(col("node").as("media_id"))
         semantic.join(
-          TextAnalysis.contamination(semantic, benchmark)
+          exactDroppers.unionByName(perceptualDroppers)
+            .select(col("media_id").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+    }
+    cfg.contaminationMaxPpm match {
+      case None => mediaed
+      case Some(maxPpm) =>
+        mediaed.join(
+          TextAnalysis.contamination(mediaed, benchmark)
             .filter(col("contamination_ppm") < maxPpm)
             .select("doc_id"),
           Seq("doc_id"), "left_semi")
@@ -303,7 +360,8 @@ object TrainingExport {
       chunkTokens: Int = 128,
       strideTokens: Int = 96,
       hashExpr: Option[String] = None,
-      embeddings: => DataFrame = null): DataFrame = {
+      embeddings: => DataFrame = null,
+      media: => DataFrame = null): DataFrame = {
     require(cfg.numShards >= 1, s"numShards must be >= 1, got ${cfg.numShards}")
     // chunk budgets bill in the chunker's own token count — rejecting
     // the WordPiece currency beats silently billing a different one
@@ -322,7 +380,7 @@ object TrainingExport {
     // caching cases that measured slower, this frame sits ABOVE the
     // whole curation funnel, so recomputing it is the expensive side.
     val chunks = Dedup.persistTracked(TextAnalysis.chunkDocuments(
-      cleanDocs(docs, benchmark, cfg, embeddings),
+      cleanDocs(docs, benchmark, cfg, embeddings, media),
       chunkTokens, strideTokens, passthroughCols = Seq("source")))
     val kept = chunks
       .join(

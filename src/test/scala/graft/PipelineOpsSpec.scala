@@ -1967,6 +1967,53 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("embeddings"), e.getMessage)
   }
 
+  test("TrainingExport mediaDedup stage: exact byte pass, then perceptual drop; media-less docs pass") {
+    import spark.implicits._
+    val docs = Seq(
+      (900L, "src9", "the quick brown fox jumps over the lazy dog and runs on"),
+      (901L, "src9", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (902L, "src9", "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"),
+      (903L, "src9", "nulla facilisi morbi tempus iaculis urna id volutpat lacus zz"),
+      (905L, "src9", "wort wort anderes wort noch mehr worte hier jetzt dann zz"))
+      .toDF("doc_id", "source", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    // media plant: 901's payload is a BYTE-EXACT copy of 900's (the
+    // exact pass's prey), 903's a 3-pixel perturbed copy of 902's
+    // (the perceptual pass's — Hamming ≤ 3 under radius 4); 905 has
+    // NO media row. Formula keys 450/451 sit in the measured ≥5
+    // cross-margin domain, so the two pairs never cross-link.
+    def keyed(k: Long) = Seq(k).toDF("doc_id")
+    def m(k: Long, mediaId: Long, pert: Boolean) =
+      graft.operators.Multimodal.synthesizePpmTextured(keyed(k), perturb = pert)
+        .withColumn("media_id", lit(mediaId))
+    val media = m(450L, 900L, pert = false)
+      .unionByName(m(450L, 901L, pert = false))
+      .unionByName(m(451L, 902L, pert = false))
+      .unionByName(m(451L, 903L, pert = true))
+      .localCheckpoint(true)
+    // sanity on the plant itself: 900/901 byte-identical, 902/903 not
+    assert(media.select(md5(col("media")).as("d"))
+      .groupBy("d").count().filter(col("count") === 2).count() == 1)
+    def run(cfg: Config, md: org.apache.spark.sql.DataFrame) =
+      TrainingExport.run(
+        docs, docs.filter(col("doc_id") === 0L), cfg, media = md)
+    val on = run(allOff.copy(mediaDedup = Some(4)), media)
+      .select("doc_id").as[Long].collect().toSet
+    graft.operators.Dedup.unpersistAll()
+    assert(on.contains(905L), "media-less docs must pass through")
+    assert(on.contains(900L) && !on.contains(901L),
+      "byte-exact copy drops at the exact pass, min media_id wins")
+    assert(on.contains(902L) && !on.contains(903L),
+      "perturbed copy drops at the perceptual pass, min media_id wins")
+    // toggle off: all five ship, byte-identical prior behavior
+    assert(run(allOff, null).count() == 5)
+    // stage on without the data it needs fails fast at the call site
+    val e = intercept[IllegalArgumentException] {
+      run(allOff.copy(mediaDedup = Some(4)), null).count()
+    }
+    assert(e.getMessage.contains("media"), e.getMessage)
+  }
+
   test("TrainingExport lineRules stage drops bullet-farm docs, leaves single-line docs alone") {
     import spark.implicits._
     val bulletFarm = (0 until 12).map(i => s"- item ${('a' + i).toChar}").mkString("\n")
