@@ -799,6 +799,97 @@ object SimilaritySearch {
     }
   }
 
+  /** One row per inverted list of a written index: `(cid, n_build,
+    * n_appended)` — the build-time vs appended-since-last-rewrite
+    * mass split that decides the RE-CLUSTER cadence (r15 verdict task
+    * #4, turning SCALE.md's "trigger on per-list skew of the appended
+    * mass, not a timer" guidance into an operator). Provenance comes
+    * from the layout's own write discipline, no new state: the build
+    * (and every compaction/re-cluster) leaves exactly ONE file per
+    * list directory, every append adds strictly newer files — so the
+    * oldest file in each list dir IS the baseline generation and
+    * everything newer is appended mass. One driver-side listing + one
+    * footer-cheap count aggregate (parquet count pushdown; no data
+    * scan).
+    *
+    * The evidence window is APPEND-SINCE-LAST-REWRITE: a compaction
+    * folds appended files into the baseline and resets the split.
+    * That is the right window for the cadence decision — evaluate
+    * [[driftReport]] BEFORE compacting (mass already folded at
+    * earlier compaction points was evaluated at those points), and
+    * re-cluster instead of compacting when it trips.
+    */
+  def driftEvidence(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rows = spark.read.parquet(s"$dir/assignments")
+    // oldest file per list dir = the baseline generation
+    // appended = strictly newer than the oldest file of its list dir;
+    // matched downstream by FILE NAME (part files carry the writing
+    // task's UUID, globally unique — so a literal-set match needs no
+    // URI normalization and no UDF: the classifier stays a codegen'd
+    // In over the split tail of input_file_name)
+    val appended = rows.inputFiles
+      .map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        (p.getParent.toUri.getPath, p.getName,
+          p.getFileSystem(conf).getFileStatus(p).getModificationTime)
+      }
+      .groupBy(_._1)
+      .values.flatMap { files =>
+        val oldest = files.map(_._3).min
+        files.filter(_._3 > oldest).map(_._2)
+      }
+      .toSeq
+    val app =
+      if (appended.isEmpty) lit(false)
+      else expr("element_at(split(input_file_name(), '/'), -1)")
+        .isin(appended: _*)
+    rows
+      .select(col("cid").cast("long").as("cid"), app.as("app"))
+      .groupBy("cid")
+      .agg(
+        sum(when(!col("app"), 1L).otherwise(0L)).as("n_build"),
+        sum(when(col("app"), 1L).otherwise(0L)).as("n_appended"))
+  }
+
+  /** The [[driftEvidence]] summary and trigger. `appendedSkew` is the
+    * hottest list's share of the APPENDED mass in multiples of
+    * uniform (share × nLists): ~1 means appends follow the build-time
+    * geometry (stationary ingest — frozen centroids are fine), large
+    * means the appended distribution piles into lists the build never
+    * shaped (the ProbeReclusterRecall failure mode: pruning
+    * degenerates to a half-corpus scan). Triggers when the appended
+    * mass is both material (`minAppendedShare` of the corpus) and
+    * skewed (`skewFactor`× uniform) — a skewed trickle or a balanced
+    * flood are both fine to keep appending into.
+    */
+  final case class DriftReport(
+      nLists: Long,
+      buildRows: Long,
+      appendedRows: Long,
+      appendedShare: Double,
+      appendedSkew: Double,
+      recluster: Boolean)
+
+  def driftReport(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      minAppendedShare: Double = 0.05, skewFactor: Double = 4.0): DriftReport = {
+    val ev = driftEvidence(spark, dir).collect()
+    val nLists = ev.length.toLong
+    val build = ev.map(_.getLong(1)).sum
+    val appended = ev.map(_.getLong(2)).sum
+    val share =
+      if (build + appended == 0L) 0.0
+      else appended.toDouble / (build + appended)
+    val skew =
+      if (appended == 0L || nLists == 0L) 0.0
+      else ev.map(_.getLong(2)).max.toDouble / appended * nLists
+    DriftReport(
+      nLists, build, appended, share, skew,
+      recluster = share >= minAppendedShare && skew >= skewFactor)
+  }
+
   /** [[appendToWrittenIndex]] plus automatic compaction cadence —
     * the written-index twin of [[Dedup.appendAndMaybeCompact]]: when
     * the append pushes any list directory past `maxFilesPerList`

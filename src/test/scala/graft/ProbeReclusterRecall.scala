@@ -97,6 +97,21 @@ object ProbeReclusterRecall {
     SimilaritySearch.writeIndex(
       SimilaritySearch.buildIndex(base, centroidMod = 50), stateDir)
     SimilaritySearch.appendToWrittenIndex(spark, stateDir, drifted)
+    // the cadence trigger the recall curves justify (r16 verdict task
+    // #4): drifted appended mass reads as per-list skew BEFORE any
+    // probe quality is measured — print both fixtures' reports so
+    // SCALE.md can quote the gap
+    println(s"[recluster-recall] driftReport(drifted)    = " +
+      SimilaritySearch.driftReport(spark, stateDir))
+    val statDir = java.nio.file.Files
+      .createTempDirectory("graft_recluster_probe_stat_").toString
+    SimilaritySearch.writeIndex(
+      SimilaritySearch.buildIndex(base, centroidMod = 50), statDir)
+    SimilaritySearch.appendToWrittenIndex(
+      spark, statDir,
+      base.select((col("vec_id") + 200000L).as("vec_id"), col("embedding")))
+    println(s"[recluster-recall] driftReport(stationary) = " +
+      SimilaritySearch.driftReport(spark, statDir))
     report(SimilaritySearch.readIndex(spark, stateDir), "frozen", Seq(2, 4))
     SimilaritySearch.reclusterWrittenIndex(spark, stateDir, centroidMod = 50)
     report(SimilaritySearch.readIndex(spark, stateDir), "re-clustered", Seq(2, 4, 8, 16, 40))

@@ -635,6 +635,60 @@ class StateCompactionSpec extends AnyFunSuite {
     } finally rmTree(stateDir)
   }
 
+  test("driftEvidence: drifted appends trip the re-cluster trigger, stationary appends do not") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .localCheckpoint(true)
+    val base = e.filter(col("vec_id") % 3 =!= 0)
+    val stationary = e.filter(col("vec_id") % 3 === 0)
+    // the ProbeReclusterRecall drift shape: the same vectors
+    // TRANSLATED into a region the build-time centroids never saw —
+    // frozen-centroid appends pile it into the few nearest lists
+    val drifted = stationary.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(embedding, x -> x + cast(1.5 as float))").as("embedding"))
+    def reportAfter(batch: org.apache.spark.sql.DataFrame) = {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_drift_spec_").toString
+      try {
+        SimilaritySearch.writeIndex(
+          SimilaritySearch.buildIndex(base, centroidMod = 50), d)
+        SimilaritySearch.appendToWrittenIndex(spark, d, batch)
+        val r = SimilaritySearch.driftReport(spark, d)
+        // the evidence split must account for every row exactly once
+        assert(r.buildRows == base.count() && r.appendedRows == batch.count())
+        r
+      } finally rmTree(d)
+    }
+    val stat = reportAfter(stationary)
+    val drift = reportAfter(drifted)
+    // stationary ingest follows the build geometry — no trigger;
+    // drift concentrates the appended mass — trigger. The skew gap
+    // itself is the measurement (recorded in SCALE.md next to the
+    // re-cluster verb).
+    assert(!stat.recluster,
+      s"stationary appends must not trip: $stat")
+    assert(drift.recluster,
+      s"drifted appends must trip: $drift")
+    assert(drift.appendedSkew > 2 * stat.appendedSkew,
+      s"skew gap is the signal: stationary=$stat drifted=$drift")
+    // fresh layout (no appends at all): zero appended mass, no trigger
+    val d2 = java.nio.file.Files
+      .createTempDirectory("graft_drift_fresh_").toString
+    try {
+      SimilaritySearch.writeIndex(
+        SimilaritySearch.buildIndex(base, centroidMod = 50), d2)
+      val fresh = SimilaritySearch.driftReport(spark, d2)
+      assert(fresh.appendedRows == 0L && !fresh.recluster)
+      // compaction folds appended files into the baseline: the window
+      // resets, which is why the report is read BEFORE compacting
+      SimilaritySearch.appendToWrittenIndex(spark, d2, drifted)
+      SimilaritySearch.compactWrittenIndex(spark, d2)
+      val folded = SimilaritySearch.driftReport(spark, d2)
+      assert(folded.appendedRows == 0L && !folded.recluster)
+    } finally rmTree(d2)
+  }
+
   test("ivfpq re-cluster: three-table swap equals one-shot, crash points recover, coverage guard fires") {
     import org.apache.spark.sql.functions._
     val e = graft.sources.Tables.embeddings(spark, dir).select("vec_id", "embedding")
