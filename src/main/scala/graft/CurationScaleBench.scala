@@ -158,6 +158,20 @@ object CurationScaleBench {
     // cheap where counting pairs would re-run the join.
     val marginSweep = mults.lastOption.toSeq.flatMap { mult =>
       val corpus = spark.read.parquet(s"$fix/sem_$mult")
+      // the margin-SELECTION probe (r15 verdict task #5): the gap
+      // distribution's low quantiles are the production way to pick
+      // the margin, so print them next to the sweep they predict —
+      // the quantile is the admitted-fraction dial, and the sweep's
+      // n_secondary column should read ≈ quantile·|corpus| at the
+      // probe-chosen margins
+      val probeRows = graft.operators.Dedup
+        .assignMarginProbe(
+          corpus, quantiles = Seq(0.001, 0.01, 0.05, 0.1), centroidMod = 0)
+        .collect()
+        .map(r => f"q${r.getDouble(0)}%.3f -> ${r.getDouble(1)}%.6f")
+        .mkString(", ")
+      graft.operators.Dedup.unpersistAll()
+      println(s"[curation-scale] assignMarginProbe mult=$mult: $probeRows")
       // empty string = skip the sweep (the SPARK_GRAFT_SCALE_MULTS
       // convention), e.g. when a run only wants the percentile probe
       val margins = sys.env.get("SPARK_GRAFT_SEM_MARGINS")

@@ -2262,7 +2262,51 @@ object Dedup {
       case Some(m) =>
         m0.withColumn("_d1", min(col("_d")).over(Window.partitionBy("vec_id")))
           .filter(col("_rn") === 1 || col("_d") - col("_d1") < m)
-    }).select("vec_id", "acid", "_rn")
+    }).select("vec_id", "acid", "_rn", "_d")
+  }
+
+  /** The d₂−d₁ assignment-gap LOW QUANTILES of a corpus under the
+    * same deterministic clustering [[semanticDedup]] uses — the
+    * margin-selection probe (r15 verdict task #5). SCALE.md's sweep
+    * guidance says pick `assignMargin` from the gap distribution's
+    * low quantiles (the boundary band where cluster-split near-dup
+    * pairs live); this turns the advice into an API: one
+    * [[multiAssignRows]] pass at top-2 over the per-vector distance
+    * table the operator already materializes, one exact `percentile`
+    * aggregate. Returns (quantile, margin) rows — setting
+    * `assignMargin` to the margin at quantile q admits a second
+    * assignment for ≈ q·|corpus| vectors, which is the
+    * candidate-volume driver in the sweep table (n_secondary), so the
+    * quantile IS the cost dial. Exact percentile, not approx: the
+    * probe is one aggregate over |corpus| doubles and the chosen
+    * margin feeds a strict inequality — a sketch's rank error would
+    * silently move the admitted fraction.
+    */
+  def assignMarginProbe(
+      emb: DataFrame,
+      quantiles: Seq[Double] = Seq(0.001, 0.01, 0.05, 0.1),
+      centroidMod: Int = 50,
+      idCol: String = "vec_id"): DataFrame = {
+    require(quantiles.nonEmpty && quantiles.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0, 1], got $quantiles")
+    val idx = SimilaritySearch.buildIndex(
+      emb, centroidMod = centroidMod, idCol = idCol)
+    val gaps = multiAssignRows(
+        idx.assignments.select(col("cand_id").as("vec_id"), col("cand_emb")),
+        idx.centroids, effTop = 2, assignMargin = None)
+      .groupBy("vec_id")
+      // top-2 rows per vector: max − min IS d₂ − d₁ (single-centroid
+      // corpora degenerate to gap 0 — no second assignment exists, so
+      // every margin admits nothing, which the 0 correctly signals)
+      .agg((max(col("_d")) - min(col("_d"))).as("gap"))
+    val qArr = quantiles.map(_.toString).mkString(", ")
+    gaps
+      .agg(expr(s"percentile(gap, array($qArr))").as("m"))
+      .select(posexplode(col("m")).as(Seq("i", "margin")))
+      .select(
+        element_at(
+          array(quantiles.map(lit): _*), col("i").cast("int") + 1).as("quantile"),
+        col("margin"))
   }
 
   /** [[semanticDedup]]'s INCREMENTAL form — the ingest shape shared

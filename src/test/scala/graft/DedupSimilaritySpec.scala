@@ -610,6 +610,80 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("assignMargin"))
   }
 
+  test("assignMarginProbe: low-quantile margin reclaims a crafted boundary split at ~quantile volume") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = Corpus.embCorpus(spark, dir).select("vec_id", "embedding")
+      .localCheckpoint(true)
+    // craft a near-dup pair STRADDLING a Voronoi boundary — the
+    // cluster-split shape the margin dial exists for: from the base
+    // build's CLOSEST centroid pair (their bisector region is owned
+    // by the two of them, not a third list) take the midpoint and
+    // step ±0.005 along (c2 − c1). Geometry tuned by measurement
+    // (ProbeMarginFixture sweep): this displacement keeps the rebuilt
+    // clustering splitting the pair at top-1 (Lloyd drag from the two
+    // added vectors is smaller than the step) while one member's
+    // d₂−d₁ gap lands in the distribution's 1% left tail and the
+    // pair cosine stays ≥ 0.995.
+    val idx0 = SimilaritySearch.buildIndex(base, centroidMod = 50)
+    val cents = idx0.centroids.collect()
+      .map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+    val closest = (for {
+      i <- cents.indices; j <- cents.indices if i < j
+    } yield {
+      val d2 = cents(i).indices.map(k => math.pow(cents(i)(k) - cents(j)(k), 2)).sum
+      (d2, i, j)
+    }).minBy(_._1)
+    val c1 = cents(closest._2); val c2 = cents(closest._3)
+    val d = c1.indices.map(i => c2(i) - c1(i)).toArray
+    val dn2 = d.map(x => x * x).sum
+    val mid = c1.indices.map(i => (c1(i) + c2(i)) / 2).toArray
+    val eps = 0.005 / math.sqrt(dn2) // displacement ε·|d| = 0.005
+    val va = c1.indices.map(i => (mid(i) + eps * d(i)).toFloat).toArray
+    val vb = c1.indices.map(i => (mid(i) - eps * d(i)).toFloat).toArray
+    val corpus = base
+      .unionByName(Seq((900001L, va.toSeq), (900003L, vb.toSeq))
+        .toDF("vec_id", "embedding")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS FLOAT))").as("embedding")))
+      .localCheckpoint(true)
+    // top-1 must SPLIT the pair (different clusters, both kept = the
+    // boundary miss) — the fixture premise, asserted not assumed
+    val dec0 = Dedup.semanticDedup(corpus).localCheckpoint(true)
+    Dedup.unpersistAll()
+    val pairRows = dec0.filter(col("vec_id").isin(900001L, 900003L))
+      .orderBy("vec_id").collect()
+    assert(pairRows(0).getLong(1) != pairRows(1).getLong(1),
+      s"fixture must split the pair across clusters at top-1: ${pairRows.toSeq}")
+    assert(pairRows.forall(_.getBoolean(3)),
+      "a split pair is a MISS: both members keep at top-1")
+    // the probe: its q0.01 margin must admit the pair (their d₂−d₁
+    // gaps are the distribution's left tail by construction) …
+    val probe = Dedup.assignMarginProbe(corpus, quantiles = Seq(0.01, 0.05))
+      .orderBy("quantile").collect()
+    Dedup.unpersistAll()
+    val m01 = probe(0).getDouble(1)
+    assert(probe(0).getDouble(0) == 0.01 && m01 > 0.0)
+    assert(probe(1).getDouble(1) >= m01, "quantile margins are monotone")
+    val dec1 = Dedup.semanticDedup(corpus, assignMargin = Some(m01))
+      .localCheckpoint(true)
+    Dedup.unpersistAll()
+    assert(dec1.filter(col("vec_id").isin(900001L, 900003L))
+      .filter(col("keep")).count() == 1L,
+      "the probe-chosen margin reclaims the boundary miss: one keeper")
+    // … at ~quantile volume: secondary rows ≈ 1% of the corpus (the
+    // quantile IS the cost dial; allow 3× for ties/interpolation)
+    val idx1 = SimilaritySearch.buildIndex(corpus, centroidMod = 50)
+    val nSec = Dedup.multiAssignRows(
+        idx1.assignments.select(col("cand_id").as("vec_id"), col("cand_emb")),
+        idx1.centroids, effTop = 2, assignMargin = Some(m01))
+      .filter(col("_rn") > 1).count()
+    Dedup.unpersistAll()
+    val n = corpus.count()
+    assert(nSec >= 2 && nSec <= n * 3 / 100,
+      s"q0.01 margin admitted $nSec of $n secondary rows — expected ≈1%")
+  }
+
   test("semantic dedup: planted copies collapse within clusters, one keeper per component") {
     val dec = Dedup.semanticDedup(Corpus.embCorpus(spark, dir)).cache()
     val n = Corpus.embCorpus(spark, dir).count()

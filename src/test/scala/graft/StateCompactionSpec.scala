@@ -1036,14 +1036,45 @@ class StateCompactionSpec extends AnyFunSuite {
     // appending fingerprint rows into a legacy pkey TABLE fails fast
     // with the rebuild message instead of a schema mismatch downstream
     val table = "line_spec_legacy"
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    Seq(table, s"${table}_compact_tmp", s"${table}_tombstones")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     try {
       legacyState.write.saveAsTable(table)
       val e = intercept[IllegalArgumentException] {
         Dedup.appendToLineTable(fpState, table, buckets = 4)
       }
       assert(e.getMessage.contains("legacy text-keyed layout"), e.getMessage)
-    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+      // … and so does COMPACTION (the r15 verdict's migration-matrix
+      // row: a rewrite would die on a raw missing-(pk1,pk2) error far
+      // from the cause without the guard)
+      val ec = intercept[IllegalArgumentException] {
+        Dedup.compactLineTable(spark, table, buckets = 4)
+      }
+      assert(ec.getMessage.contains("legacy text-keyed layout"), ec.getMessage)
+      // DELETION is layout-agnostic by design — tombstones key on the
+      // owning doc_id, which both layouts carry — so a takedown
+      // against a legacy table masks immediately: the deleted owner's
+      // line keys leave the live view, and a probe through the
+      // rehash-on-read adapter equals a probe of the fingerprint
+      // state minus that owner
+      val victim = legacyState.select("doc_id").orderBy("doc_id").head().getLong(0)
+      import spark.implicits._
+      Dedup.deleteFromLineTable(Seq(victim).toDF("doc_id"), table)
+      val viaLegacyDel = canon(Dedup.paragraphIngestStep(
+        batch, Dedup.stateTableLive(spark, table))._1)
+      Dedup.unpersistAll()
+      val viaFpDel = canon(Dedup.paragraphIngestStep(
+        batch, fpState.filter(col("doc_id") =!= victim))._1)
+      Dedup.unpersistAll()
+      assert(viaLegacyDel == viaFpDel,
+        "legacy-table takedown must mask by owner exactly like the fp state's")
+      // the masked live view genuinely differs from the unmasked probe
+      // (the victim owned at least one key the batch re-ships)
+      assert(viaLegacyDel != viaFp,
+        "fixture must make the deleted owner's keys observable")
+    } finally
+      Seq(table, s"${table}_compact_tmp", s"${table}_tombstones")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   test("bucketed-state tombstones: band and shingle deletes mask immediately, survive compaction, keep the probe plan") {
