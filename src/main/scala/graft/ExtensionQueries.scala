@@ -687,6 +687,23 @@ object ExtensionQueries {
       // the farthest-from-centroid member of each within-cluster
       // cosine component survives
       Dedup.semanticDedup(Corpus.embCorpus(s, dir)).orderBy("vec_id")),
+    "q_dedup_semantic_margin_probe" -> ((s, dir) =>
+      // the margin-SELECTION probe (r15 verdict task #5): the d₂−d₁
+      // assignment-gap low quantiles under the exact clustering
+      // semanticDedup uses — the production way to size assignMargin
+      // (the quantile IS the admitted-candidate-volume dial). The
+      // oracle replays the full chain: seed → one Lloyd step → top-2
+      // distances per vector → gap → quantile_cont, so a clustering,
+      // distance, or interpolation drift diverges the margins.
+      // Margins are floored at 1e-6 (the cos_ppm convention for
+      // float-derived doubles).
+      Dedup.assignMarginProbe(
+          Corpus.embCorpus(s, dir), quantiles = Seq(0.01, 0.05, 0.1),
+          centroidMod = 50)
+        .select(
+          col("quantile"),
+          floor(lit(1000000.0) * col("margin")).cast("long").as("margin_e6"))
+        .orderBy("quantile")),
     "q_stream_semantic_ingest" -> ((s, dir) => {
       // the STREAMING semantic-ingest loop — q_stream_ann_append's
       // harness over semanticDedupAgainstIndex: corpus clustered
@@ -4323,6 +4340,31 @@ object ExtensionQueries {
          |SELECT vec_id, cid, component,
          |       (ROW_NUMBER() OVER (PARTITION BY component ORDER BY dc DESC, vec_id) = 1) AS keep
          |FROM sd_dec ORDER BY vec_id""".stripMargin,
+
+    "q_dedup_semantic_margin_probe" ->
+      // same coarse chain as the semantic oracle, then top-2 distances
+      // per vector → gap → quantile_cont (probed ≡ Spark's exact
+      // percentile in the r14 corpus-report cutover)
+      s"""WITH mp_corpus AS (
+         |${Corpus.embCorpusSql}
+         |), ${ivfCoarseCtes("TRUE", "mp_", rel = "mp_corpus")}, mp_adist AS (
+         |  SELECT e.vec_id AS vid, c.cid,
+         |         ${VectorExprs.l2sqDuck("e.embedding", "c.cemb")} AS d
+         |  FROM mp_corpus e CROSS JOIN mp_cents c
+         |), mp_top2 AS (
+         |  SELECT vid, d FROM (
+         |    SELECT vid, d,
+         |           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+         |    FROM mp_adist) t WHERE rn <= 2
+         |), mp_gap AS (
+         |  SELECT vid, MAX(d) - MIN(d) AS gap FROM mp_top2 GROUP BY vid
+         |), mp_q AS (
+         |  SELECT unnest(CAST([0.01, 0.05, 0.1] AS DOUBLE[])) AS quantile,
+         |         unnest(quantile_cont(gap, [0.01, 0.05, 0.1])) AS margin
+         |  FROM mp_gap
+         |)
+         |SELECT quantile, CAST(floor(1000000.0 * margin) AS BIGINT) AS margin_e6
+         |FROM mp_q ORDER BY quantile""".stripMargin,
 
     "q_embed_topk_brute" ->
       s"""WITH q AS (
