@@ -635,6 +635,55 @@ class StateCompactionSpec extends AnyFunSuite {
     } finally rmTree(stateDir)
   }
 
+  test("pending recluster marker: takedown auto-recovers the swap first and sticks (ADVICE r15)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = graft.sources.Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .localCheckpoint(true)
+    val queries = e.filter(col("vec_id") % 97 === 0)
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_marker_takedown_").toString
+    try {
+      SimilaritySearch.writeIndex(
+        SimilaritySearch.buildIndex(e, centroidMod = 50), stateDir)
+      // simulate a crash right AFTER the commit marker landed: the
+      // entire next generation is materialized, nothing swapped yet
+      val idx2 = SimilaritySearch.buildIndex(e, centroidMod = 25)
+      idx2.centroids.coalesce(1).write.mode("overwrite")
+        .parquet(s"$stateDir/centroids_next")
+      idx2.assignments.repartition(col("cid")).write
+        .mode("overwrite").partitionBy("cid").parquet(s"$stateDir/assignments_next")
+      val fs = new org.apache.hadoop.fs.Path(stateDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(
+        new org.apache.hadoop.fs.Path(s"$stateDir/recluster_commit"), true).close()
+      // the ADVICE r15 scenario: a takedown issued NOW used to write
+      // tombstones the deferred roll-forward would silently delete —
+      // the verb must roll the swap forward first, then tombstone
+      val victims = Seq(97L, 194L)
+      SimilaritySearch.deleteFromWrittenIndex(spark, stateDir, victims.toDF("vec_id"))
+      assert(!new java.io.File(s"$stateDir/recluster_commit").exists(),
+        "the write verb auto-recovers the committed swap")
+      assert(new java.io.File(s"$stateDir/tombstones").exists(),
+        "the takedown lands AFTER the roll-forward, so it sticks")
+      val res = SimilaritySearch.probe(
+        SimilaritySearch.readIndex(spark, stateDir), queries)
+      assert(!res.select("cand_id").as[Long].collect().toSet
+        .exists(victims.contains),
+        "deleted ids stay masked in the new generation")
+      // and the served generation IS the committed one (idx2)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("query_id", "rank").collect().toSeq
+      val live = e.filter(!col("vec_id").isin(victims: _*))
+      assert(canon(res) == canon(SimilaritySearch.probe(
+        SimilaritySearch.IvfIndex(
+          idx2.centroids,
+          idx2.assignments.filter(!col("cand_id").isin(victims: _*))),
+        queries)))
+      assert(live.count() == e.count() - 2)
+    } finally rmTree(stateDir)
+  }
+
   test("driftEvidence: drifted appends trip the re-cluster trigger, stationary appends do not") {
     import org.apache.spark.sql.functions._
     val e = graft.sources.Tables.embeddings(spark, dir).select("vec_id", "embedding")
