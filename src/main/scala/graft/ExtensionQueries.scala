@@ -2164,6 +2164,37 @@ object ExtensionQueries {
         embeddings = plantScaledPrevEmbeddings(s, dir))
         .orderBy("shard", "seq")
     }),
+    "q_pipeline_train_export_multimodal" -> ((s, dir) => {
+      // the COMPLETE multimodal stack — q_pipeline_train_export_full
+      // plus the media granularity, i.e. EVERY dedup granularity the
+      // engine has in ONE declarative plan: doc gate → exact dedup →
+      // paragraph rebuild → span surgery → semantic (embedding) dedup
+      // → MEDIA dedup (byte-exact pass, then perceptual
+      // pairs→components→drop) → decontamination → char budgets →
+      // shards. Each granularity keeps its own plant (duplicate
+      // lines, %13 cross-doc spans, %17 scaled vectors, paired media
+      // payloads), so all NINE stages demonstrably bind, and the
+      // oracle replays every one of them from the shared CTE
+      // generators — one hash gates the whole composition.
+      val planted = plantCrossDocSpans(Corpus.paraCorpus(s, dir))
+      graft.pipelines.TrainingExport.run(
+        planted,
+        planted.filter(col("doc_id") % 97 === 0),
+        graft.pipelines.TrainingExport.Config(
+          curate = true,
+          dedup = graft.pipelines.TrainingExport.DedupExact,
+          paragraphDedup = true,
+          spanDedup = Some(10),
+          semanticDedup = true,
+          mediaDedup = Some(4),
+          contaminationMaxPpm = Some(500000L),
+          budgets = Seq("src0" -> 4000L, "src1" -> 2000L),
+          defaultBudget = 3000L,
+          numShards = 4),
+        embeddings = plantScaledPrevEmbeddings(s, dir),
+        media = plantPairedMedia(planted))
+        .orderBy("shard", "seq")
+    }),
     "q_pipeline_media_export" -> ((s, dir) => {
       // the MEDIA (byte + pixel) dedup granularity wired through the
       // pipeline surface (r15 verdict task #1 — the last granularity
@@ -2231,6 +2262,28 @@ object ExtensionQueries {
         graft.pipelines.TrainingExport.Config(
           curate = true,
           dedup = graft.pipelines.TrainingExport.DedupNearDup(numPartitions = Some(8)),
+          contaminationMaxPpm = Some(500000L),
+          budgets = Seq("src0" -> 4000L, "src1" -> 2000L),
+          defaultBudget = 3000L,
+          numShards = 4))
+        .orderBy("shard", "seq")
+    }),
+    "q_pipeline_train_export_simhash" -> ((s, dir) => {
+      // the SIMHASH dedup-strength toggle (DedupSimHash) — the
+      // fingerprint-drift near-dup definition as a pipeline gate:
+      // 30-bit source-blocked pairs at Hamming ≤ 4 over the curated
+      // subset → components → non-canonical drop. Catches the %7
+      // exact copies at Hamming 0 AND the %11 tail copies (all
+      // planted copies sit within radius 4 of their source —
+      // ProbeSimhashIngest's histogram), plus incidental same-source
+      // fingerprint collisions — all replayed by the oracle's
+      // quadratic blocked pair set.
+      graft.pipelines.TrainingExport.run(
+        Corpus.docCorpus(s, dir),
+        Tables.documents(s, dir).filter(col("doc_id") % 97 === 0),
+        graft.pipelines.TrainingExport.Config(
+          curate = true,
+          dedup = graft.pipelines.TrainingExport.DedupSimHash(numPartitions = Some(8)),
           contaminationMaxPpm = Some(500000L),
           budgets = Seq("src0" -> 4000L, "src1" -> 2000L),
           defaultBudget = 3000L,
@@ -4976,6 +5029,19 @@ object ExtensionQueries {
           s"(\n${Corpus.paraCorpusSql}\n    )")),
         semanticEmbSql = Some(scaledPrevEmbeddingsSql)),
 
+    "q_pipeline_train_export_multimodal" ->
+      // nine stages, every splice at once: pg_ reads dd, sp_ reads
+      // pg, se_ reads sp, me_ reads se, decontamination and budgets
+      // read me — the full-stack oracle plus the media chain
+      trainExportPipelineSql(
+        Seq("src0" -> 4000L, "src1" -> 2000L), 3000L, tokensWp = false,
+        spanK = Some(10),
+        paraDedup = true,
+        corpusSql = Some(spanPlantCorpusSql(
+          s"(\n${Corpus.paraCorpusSql}\n    )")),
+        semanticEmbSql = Some(scaledPrevEmbeddingsSql),
+        mediaDedup = true),
+
     "q_pipeline_chunk_export" ->
       // seven stages: the shared doc front (funnel → exact dedup →
       // decontamination) then the chunk tail — shared chunk-cut CTEs,
@@ -5047,6 +5113,91 @@ object ExtensionQueries {
          |  ) k USING (doc_id)
          |), pairs AS (
          |${minhashPairsSqlWith(Bands, RowsPerBand, "SELECT doc_id, text FROM kept")}
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs
+         |), nodes AS (
+         |  SELECT DISTINCT src AS node FROM edges
+         |), reach(node, lbl) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+         |), comp AS (
+         |  SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+         |), dd AS (
+         |  SELECT k.* FROM kept k
+         |  WHERE k.doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+         |), bwh AS (
+         |  SELECT ${wordHashArrayDuck(wordsDuck("text"))} AS wh
+         |  FROM documents WHERE doc_id % 97 = 0 AND $guard
+         |), bg AS (
+         |  SELECT DISTINCT unnest(${shingleHashesFromWordHashesDuck("wh", 3)}) AS gram FROM bwh
+         |), dwh AS (
+         |  SELECT doc_id, ${wordHashArrayDuck(wordsDuck("text"))} AS wh FROM dd WHERE $guard
+         |), dg AS (
+         |  SELECT doc_id, ${shingleHashesFromWordHashesDuck("wh", 3)} AS grams FROM dwh
+         |), e AS (
+         |  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams, unnest(grams) AS gram FROM dg
+         |), cont AS (
+         |  SELECT e.doc_id,
+         |    ${ppmDuck("SUM(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END)", "e.n_grams")} AS contamination_ppm
+         |  FROM e LEFT JOIN bg USING (gram)
+         |  GROUP BY e.doc_id, e.n_grams
+         |), clean AS (
+         |  SELECT d.* FROM dd d JOIN cont USING (doc_id)
+         |  WHERE cont.contamination_ppm < 500000
+         |), mx AS (
+         |  SELECT doc_id, source,
+         |    CAST(SUM(CAST(n_chars AS BIGINT)) OVER (
+         |      PARTITION BY source ORDER BY ($mh), doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_weight
+         |  FROM clean
+         |), sampled AS (
+         |  SELECT doc_id, source FROM mx WHERE running_weight <= ($b)
+         |), sh AS (
+         |  SELECT doc_id, source,
+         |    CAST(($mh) % 4 AS BIGINT) AS shard,
+         |    ((($mh) + 1) * 2246822519) % 1000000007 AS m2
+         |  FROM sampled
+         |)
+         |SELECT shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY m2, doc_id) AS BIGINT) AS seq,
+         |  doc_id, source
+         |FROM sh ORDER BY shard, seq""".stripMargin
+    },
+
+    "q_pipeline_train_export_simhash" -> {
+      // the neardup pipeline oracle with the SIMHASH pair generator:
+      // blocked quadratic 30-bit pairs at Hamming ≤ 4 over the
+      // curated subset (the q_dedup_simhash spelling), then the same
+      // reachability → drop → decontamination → budget → shard tail
+      val h = graft.functions.TextExprs.charHashDuck("CAST(doc_id AS VARCHAR)")
+      val mh = graft.operators.Sampling.mixedHash(h)
+      val b = graft.operators.Sampling.budgetCase(
+        "source", Seq("src0" -> 4000L, "src1" -> 2000L), 3000L)
+      val guard = s"${tokenCountDuck("text")} >= 3"
+      s"""WITH RECURSIVE allc AS (
+         |${Corpus.docCorpusSql}
+         |), m AS (
+         |  SELECT doc_id,
+         |    ${TextAnalysis.funnelMetricsDuckProjection("text")}
+         |  FROM allc
+         |), kept AS (
+         |  SELECT a.doc_id, a.text, a.source, a.n_chars
+         |  FROM allc a JOIN (
+         |    SELECT doc_id FROM m
+         |    WHERE (${TextAnalysis.funnelVerdictCase(20, 500000L, Seq("en"), 600000L)}) = 'keep'
+         |  ) k USING (doc_id)
+         |), fpv AS (
+         |  SELECT doc_id, source AS block, ${simhashVotesDuck(wordsDuck("text"))} AS votes
+         |  FROM kept WHERE ${tokenCountDuck("text")} >= 1
+         |), fp AS (
+         |  SELECT doc_id, block, ${simhashPackDuck("votes")} AS simhash FROM fpv
+         |), pairs AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM fp x JOIN fp y ON x.block = y.block AND x.doc_id < y.doc_id
+         |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 4
          |), edges AS (
          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
          |  UNION

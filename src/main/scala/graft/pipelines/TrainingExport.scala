@@ -55,6 +55,20 @@ object TrainingExport {
   final case class DedupNearDup(
       numPartitions: Option[Int] = None,
       propagateRounds: Int = 8) extends DedupStage
+  /** SimHash near-dup: 30-bit fingerprint pairs within source blocks
+    * at `maxHamming` ([[Dedup.simhashPairs]] — pigeonhole equi-join
+    * candidates, exact bit_count refine) → connected components →
+    * drop every non-canonical member. The cheaper-per-pair
+    * alternative to [[DedupNearDup]] when the near-dup definition is
+    * "small token-level drift" rather than set overlap: fingerprints
+    * are one codegen'd scan, candidates shuffle 8-byte rows, and the
+    * source blocking bounds incidental pairing (see FIXTURES.md on
+    * why text SimHash must block).
+    */
+  final case class DedupSimHash(
+      maxHamming: Int = 4,
+      numPartitions: Option[Int] = None,
+      propagateRounds: Int = 8) extends DedupStage
 
   /** Budget currency for the mixture stage. */
   sealed trait BudgetCurrency
@@ -218,6 +232,14 @@ object TrainingExport {
           Seq("doc_id"), "left_semi")
       case DedupNearDup(np, rounds) =>
         val pairs = Dedup.minhashPairs(kept)
+        val labels = ConnectedComponents.components(
+          pairs, "doc_a", "doc_b", propagateRounds = rounds, numPartitions = np)
+        kept.join(
+          labels.filter(col("node") =!= col("component"))
+            .select(col("node").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+      case DedupSimHash(mh, np, rounds) =>
+        val pairs = Dedup.simhashPairs(kept, maxHamming = mh)
         val labels = ConnectedComponents.components(
           pairs, "doc_a", "doc_b", propagateRounds = rounds, numPartitions = np)
         kept.join(

@@ -247,6 +247,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(viaPermissive == viaClean && viaPermissive.nonEmpty)
     assert(!viaPermissive.exists(r =>
       r.getLong(0) >= 9000000L || r.getLong(1) >= 9000000L))
+    // the CORPUS STATE BUILD gets the same dial (ADVICE r15: it is
+    // the largest decode pass of all, so the last place one corrupt
+    // payload should kill the job): strict fails on the poisoned
+    // corpus, permissive writes the state of the decodable subset —
+    // byte-identical to a state built from the clean corpus
+    val tPerm = "dhash_perm_spec"
+    val tClean = "dhash_clean_spec"
+    Seq(tPerm, tClean).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      val strictBuild = intercept[Exception](
+        Multimodal.writeDhashTable(poisoned, tPerm, buckets = 4).count())
+      assert(strictBuild.getMessage != null)
+      spark.sql(s"DROP TABLE IF EXISTS $tPerm")
+      Multimodal.writeDhashTable(poisoned, tPerm, buckets = 4, permissive = true)
+      Multimodal.writeDhashTable(good, tClean, buckets = 4)
+      assert(spark.table(tPerm).except(spark.table(tClean)).isEmpty
+        && spark.table(tClean).except(spark.table(tPerm)).isEmpty)
+    } finally
+      Seq(tPerm, tClean).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   test("a custom MediaDecoder plugs into extractFeatures with per-partition open()") {

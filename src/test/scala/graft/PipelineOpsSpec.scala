@@ -1967,6 +1967,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("embeddings"), e.getMessage)
   }
 
+  test("TrainingExport simhash dedup folds exact and drifted copies, survivors are canonical bases") {
+    import spark.implicits._
+    val out = runExport(allOff.copy(
+      dedup = TrainingExport.DedupSimHash(numPartitions = Some(4))))
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    // every copy folds: exact copies sit at Hamming 0 of their base,
+    // one-token-tail copies within the radius; min-id canonical means
+    // every survivor is a BASE (bases may additionally merge if two
+    // lands within radius 4 in one source block — survivors are then
+    // the component minima, still bases)
+    assert(ids.nonEmpty && ids.subsetOf((1L to 8L).toSet),
+      s"survivors must be canonical bases, got $ids")
+    assert((101L to 108L).forall(i => !ids.contains(i)))
+    assert((201L to 208L).forall(i => !ids.contains(i)))
+  }
+
   test("TrainingExport mediaDedup stage: exact byte pass, then perceptual drop; media-less docs pass") {
     import spark.implicits._
     val docs = Seq(
