@@ -1257,6 +1257,25 @@ object Dedup {
       buckets: Int = BandTableBuckets): DataFrame =
     compactBucketedState(spark, table, buckets, Seq("sh_seg", "sh_key"))
 
+  /** [[appendToHammingTable]] plus the [[appendAndMaybeCompact]]
+    * cadence — the last state family without the automatic trigger
+    * (band/shingle/line tables all had one). Returns true when this
+    * append triggered a compaction.
+    */
+  def appendAndMaybeCompactHamming(
+      fp: DataFrame, table: String, maxHamming: Int, bits: Int,
+      buckets: Int = BandTableBuckets,
+      maxFilesPerBucket: Int = 4,
+      maxBytes: Long = Long.MaxValue,
+      appendTasks: Int = 0): Boolean = {
+    require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
+    appendToHammingTable(fp, table, maxHamming, bits, buckets, appendTasks)
+    val spark = fp.sparkSession
+    if (overCompactionThreshold(spark, table, buckets, maxFilesPerBucket, maxBytes)) {
+      compactHammingTable(spark, table, buckets); true
+    } else false
+  }
+
   /** The live (tombstone-masked) view of a [[writeHammingTable]]
     * state table, with the stored-geometry check: the table's
     * `(mh, hbits)` columns pin the segmentation it was written under

@@ -898,6 +898,51 @@ object SimilaritySearch {
     * automatic trigger (StateCompactionSpec pins both). Returns true
     * when this append triggered a compaction.
     */
+  /** What [[appendAndMaintainWrittenIndex]] did after its append. */
+  sealed trait MaintenanceAction
+  case object NoMaintenance extends MaintenanceAction
+  case object Compacted extends MaintenanceAction
+  case object Reclustered extends MaintenanceAction
+
+  /** The CLOSED-LOOP ingest verb — r15 verdict task #4's last step:
+    * [[driftEvidence]] made the re-cluster trigger computable, this
+    * ties it into the append cadence so nobody has to remember to
+    * look. Appends the batch, then decides the maintenance action
+    * from the layout's own evidence, most-expensive-first:
+    * RE-CLUSTER when [[driftReport]] trips (appended mass material
+    * AND skewed — the frozen lists no longer reflect the data, and a
+    * compaction would both waste its rewrite and RESET the evidence
+    * window without fixing the geometry), else COMPACT when a list
+    * directory passed `maxFilesPerList` (fragmentation only — the
+    * geometry is fine), else nothing. The evidence read costs one
+    * driver listing + one footer-only aggregate per ingest — noise
+    * against the append itself.
+    *
+    * Returns the action taken, so ingest loops can log/alert on
+    * re-cluster events (at 100 TB that is an O(corpus) job someone
+    * should see happening).
+    */
+  def appendAndMaintainWrittenIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String, newVectors: DataFrame,
+      idCol: String = "vec_id", maxFilesPerList: Int = 4,
+      minAppendedShare: Double = 0.05, skewFactor: Double = 4.0,
+      centroidMod: Int = 0, lloydIters: Int = 1,
+      fitSampleMod: Option[Int] = None): MaintenanceAction = {
+    require(maxFilesPerList >= 1, "maxFilesPerList must be >= 1")
+    appendToWrittenIndex(spark, dir, newVectors, idCol)
+    val report = driftReport(spark, dir, minAppendedShare, skewFactor)
+    if (report.recluster) {
+      reclusterWrittenIndex(spark, dir, centroidMod, lloydIters, fitSampleMod)
+      Reclustered
+    } else {
+      val maxPerList = spark.read.parquet(s"$dir/assignments").inputFiles
+        .groupBy(f => f.substring(0, f.lastIndexOf('/')))
+        .values.map(_.length).maxOption.getOrElse(0)
+      if (maxPerList > maxFilesPerList) { compactWrittenIndex(spark, dir); Compacted }
+      else NoMaintenance
+    }
+  }
+
   def appendAndMaybeCompactWrittenIndex(
       spark: org.apache.spark.sql.SparkSession, dir: String, newVectors: DataFrame,
       idCol: String = "vec_id", maxFilesPerList: Int = 4): Boolean = {

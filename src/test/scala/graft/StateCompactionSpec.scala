@@ -738,6 +738,65 @@ class StateCompactionSpec extends AnyFunSuite {
     } finally rmTree(d2)
   }
 
+  test("appendAndMaintainWrittenIndex: drift re-clusters, fragmentation compacts, quiet appends do nothing") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .localCheckpoint(true)
+    val base = e.filter(col("vec_id") % 3 =!= 0)
+    val stationary = e.filter(col("vec_id") % 3 === 0).localCheckpoint(true)
+    val drifted = stationary.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(embedding, x -> x + cast(1.5 as float))").as("embedding"))
+      .localCheckpoint(true)
+    val queries = e.filter(col("vec_id") % 97 === 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().toSeq
+    def fresh() = {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_maintain_spec_").toString
+      SimilaritySearch.writeIndex(
+        SimilaritySearch.buildIndex(base, centroidMod = 50), d)
+      d
+    }
+    // 1. DRIFTED batch: the evidence trips and the verb re-clusters —
+    // the layout then probes exactly like a one-shot build over the
+    // union (the recluster determinism claim, through the closed loop)
+    val d1 = fresh()
+    try {
+      val a1 = SimilaritySearch.appendAndMaintainWrittenIndex(
+        spark, d1, drifted, centroidMod = 50)
+      assert(a1 == SimilaritySearch.Reclustered, s"got $a1")
+      assert(canon(SimilaritySearch.probe(
+        SimilaritySearch.readIndex(spark, d1), queries))
+        == canon(SimilaritySearch.probe(
+          SimilaritySearch.buildIndex(
+            base.unionByName(drifted), centroidMod = 50), queries)))
+    } finally rmTree(d1)
+    // 2. STATIONARY batch under a tight file cadence: geometry is
+    // fine (no re-cluster), fragmentation compacts
+    val d2 = fresh()
+    try {
+      val before = canon(SimilaritySearch.probe(
+        SimilaritySearch.appendToIndex(
+          SimilaritySearch.readIndex(spark, d2), stationary), queries))
+      val a2 = SimilaritySearch.appendAndMaintainWrittenIndex(
+        spark, d2, stationary, maxFilesPerList = 1, centroidMod = 50)
+      assert(a2 == SimilaritySearch.Compacted, s"got $a2")
+      // compaction is physical only: the probe answers are the
+      // in-memory append's
+      assert(canon(SimilaritySearch.probe(
+        SimilaritySearch.readIndex(spark, d2), queries)) == before)
+    } finally rmTree(d2)
+    // 3. a small stationary trickle under loose thresholds: nothing
+    val d3 = fresh()
+    try {
+      val a3 = SimilaritySearch.appendAndMaintainWrittenIndex(
+        spark, d3, stationary.limit(5), maxFilesPerList = 1000,
+        centroidMod = 50)
+      assert(a3 == SimilaritySearch.NoMaintenance, s"got $a3")
+    } finally rmTree(d3)
+  }
+
   test("ivfpq re-cluster: three-table swap equals one-shot, crash points recover, coverage guard fires") {
     import org.apache.spark.sql.functions._
     val e = graft.sources.Tables.embeddings(spark, dir).select("vec_id", "embedding")
@@ -914,6 +973,35 @@ class StateCompactionSpec extends AnyFunSuite {
         "after the append every batch member self-matches at Hamming 0")
       assert(after.filter(col("new_media") === col("corpus_media"))
         .agg(max("hamming")).collect()(0).getLong(0) == 0L)
+      Dedup.unpersistAll()
+      // the automatic compaction cadence (the band/shingle/line
+      // families' contract, now on the Hamming family too): a second
+      // append under maxFilesPerBucket=1 trips the rewrite, and the
+      // probe answers are pinned across it
+      val batch2 = graft.operators.Multimodal.synthesizePpmTextured(
+        docs.filter(col("doc_id") % 11 === 0),
+        mediaIdOffset = 2000000L, perturb = true).localCheckpoint(true)
+      val preCanon = graft.operators.Multimodal
+        .perceptualHashPairsAgainst(batch, spark, table, maxHamming = 4)
+        .orderBy("new_media", "corpus_media").collect().toSeq
+      Dedup.unpersistAll()
+      val tripped = Dedup.appendAndMaybeCompactHamming(
+        graft.operators.Multimodal.mediaDhashFingerprints(batch2),
+        table, maxHamming = 4, bits = 64, buckets = 4, maxFilesPerBucket = 1)
+      assert(tripped, "a second append at maxFilesPerBucket=1 must compact")
+      val postCanon = graft.operators.Multimodal
+        .perceptualHashPairsAgainst(batch, spark, table, maxHamming = 4)
+        .orderBy("new_media", "corpus_media").collect().toSeq
+      Dedup.unpersistAll()
+      // batch2's rows joined the state (new %11 self-matches appear
+      // when probing batch2), while batch's probe picture is the
+      // pre-compaction one plus nothing lost
+      assert(postCanon.size >= preCanon.size)
+      assert(Dedup.hammingPairsAgainst(
+          graft.operators.Multimodal.mediaDhashFingerprints(batch2),
+          Dedup.hammingTableLive(spark, table, maxHamming = 4, bits = 64),
+          maxHamming = 4, bits = 64)
+        .filter(col("new_id") === col("corpus_id")).count() == batch2.count())
       Dedup.unpersistAll()
     } finally {
       Seq(table, s"${table}_compact_tmp", s"${table}_tombstones")
