@@ -311,8 +311,21 @@ object TrainingExport {
             .select(col("vec_id").as("doc_id")),
           Seq("doc_id"), "left_anti")
       }
+    // materialized ONLY when the media stage follows AND the text
+    // subtree above is expensive (a rewriting stage — paragraph or
+    // span — is on): the media stage reads this frame on THREE plan
+    // branches (the live-media semi-join, the final anti-join, and
+    // everything downstream), and re-computing a rebuild/surgery
+    // subtree per branch loses — same verdict as the paragraph
+    // stage's span-follows cache. With only cheap gates above
+    // (q_pipeline_media_export's shape), recomputing the codegen'd
+    // funnel wins, as measured for the span stage.
+    val semanticM =
+      if (cfg.mediaDedup.isDefined && (cfg.paragraphDedup || cfg.spanDedup.isDefined))
+        semantic.localCheckpoint(true)
+      else semantic
     val mediaed = cfg.mediaDedup match {
-      case None => semantic
+      case None => semanticM
       case Some(maxHamming) =>
         // the media granularity composes LAST of the dedup stages: a
         // doc dropped by any earlier gate must not hold a media
@@ -329,7 +342,7 @@ object TrainingExport {
           md != null,
           "cfg.mediaDedup is on but no media frame was passed to run()")
         val live = md.join(
-          semantic.select(col("doc_id").as("media_id")),
+          semanticM.select(col("doc_id").as("media_id")),
           Seq("media_id"), "left_semi")
         val exactDroppers = Dedup.mediaDedupExact(live)
           .filter(!col("keep"))
@@ -344,7 +357,7 @@ object TrainingExport {
         val perceptualDroppers = labels
           .filter(col("node") =!= col("component"))
           .select(col("node").as("media_id"))
-        semantic.join(
+        semanticM.join(
           exactDroppers.unionByName(perceptualDroppers)
             .select(col("media_id").as("doc_id")),
           Seq("doc_id"), "left_anti")
