@@ -2268,6 +2268,31 @@ object ExtensionQueries {
           numShards = 4))
         .orderBy("shard", "seq")
     }),
+    "q_pipeline_chunk_media_export" -> ((s, dir) => {
+      // the composition matrix's last cell: MEDIA dedup under the
+      // CHUNK-granularity export — a multimodal RAG corpus drops
+      // byte/pixel-duplicate assets' documents BEFORE chunking, so
+      // the chunk index never ingests a duplicated asset's text at
+      // all. Same doc front as q_pipeline_media_export, same chunk
+      // tail as q_pipeline_chunk_export; the oracle composes the me_
+      // splice with the chunk-cut CTEs (the generators parameterize
+      // their input relations, so the cells compose for free).
+      val docs = Tables.documents(s, dir)
+      graft.pipelines.TrainingExport.runChunks(
+        docs,
+        docs.filter(col("doc_id") % 97 === 0),
+        graft.pipelines.TrainingExport.Config(
+          curate = true,
+          dedup = graft.pipelines.TrainingExport.DedupExact,
+          mediaDedup = Some(4),
+          contaminationMaxPpm = Some(500000L),
+          budgets = Seq("src0" -> 500L, "src1" -> 350L),
+          defaultBudget = 400L,
+          numShards = 4),
+        chunkTokens = 30, strideTokens = 20,
+        media = plantPairedMedia(docs))
+        .orderBy("shard", "seq")
+    }),
     "q_pipeline_train_export_simhash" -> ((s, dir) => {
       // the SIMHASH dedup-strength toggle (DedupSimHash) — the
       // fingerprint-drift near-dup definition as a pipeline gate:
@@ -5059,6 +5084,14 @@ object ExtensionQueries {
       trainExportPipelineSql(
         Seq("src0" -> 4000L, "src1" -> 2000L), 3000L, tokensWp = false,
         mediaDedup = true),
+
+    "q_pipeline_chunk_media_export" ->
+      // the me_ splice composed with the chunk tail: media dedup
+      // gates documents, then the survivors chunk/dedup/budget/shard
+      trainExportPipelineSql(
+        Seq("src0" -> 500L, "src1" -> 350L), 400L, tokensWp = false,
+        mediaDedup = true,
+        chunkExport = Some((30, 20))),
 
     "q_pipeline_incremental_ingest" ->
       // the acceptance rule replayed from the FULL pair set: for a
