@@ -1770,6 +1770,51 @@ object SimilaritySearch {
     deleteDir(spark, s"$dir/tombstones")
   }
 
+  /** The CLOSED-LOOP ingest verb for the COMBINED layout —
+    * [[appendAndMaintainWrittenIndex]]'s IVFADC sibling, closing the
+    * maintenance-verb symmetry (the plain layout got its closed loop
+    * in r16; before this, an IVFADC ingest loop had to remember to
+    * read [[driftReport]] itself). Appends the batch to both state
+    * tables, then decides from the layout's own evidence,
+    * most-expensive-first: RE-CLUSTER when the drift report trips
+    * (the re-encode rides [[reclusterWrittenIvfPqIndex]], so codes
+    * stay consistent with the new coarse geometry), else COMPACT
+    * both tables when an assignments list passed `maxFilesPerList`
+    * (codes fragmentation tracks assignments 1:1 — every append
+    * writes both), else nothing.
+    *
+    * `corpusVectors` is BY-NAME and only evaluated when the
+    * re-cluster actually fires: codes are lossy, so unlike the plain
+    * verb the layout cannot reconstruct its training input — the
+    * caller names the corpus table and pays for reading it only on
+    * the (rare, O(corpus) anyway) re-cluster path. Same evidence
+    * thresholds and [[MaintenanceAction]] contract as the plain verb.
+    */
+  def appendAndMaintainWrittenIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String, newVectors: DataFrame,
+      corpusVectors: => DataFrame,
+      idCol: String = "vec_id", maxFilesPerList: Int = 4,
+      minAppendedShare: Double = 0.05, skewFactor: Double = 4.0,
+      centroidMod: Int = 0, lloydIters: Int = 1,
+      fitSampleMod: Option[Int] = None,
+      appendTasks: Int = 1): MaintenanceAction = {
+    require(maxFilesPerList >= 1, "maxFilesPerList must be >= 1")
+    appendToWrittenIvfPqIndex(spark, dir, newVectors, idCol, appendTasks)
+    val report = driftReport(spark, dir, minAppendedShare, skewFactor)
+    if (report.recluster) {
+      reclusterWrittenIvfPqIndex(
+        spark, dir, corpusVectors, centroidMod, lloydIters, fitSampleMod, idCol)
+      Reclustered
+    } else {
+      val maxPerList = spark.read.parquet(s"$dir/assignments").inputFiles
+        .groupBy(f => f.substring(0, f.lastIndexOf('/')))
+        .values.map(_.length).maxOption.getOrElse(0)
+      if (maxPerList > maxFilesPerList) {
+        compactWrittenIvfPqIndex(spark, dir); Compacted
+      } else NoMaintenance
+    }
+  }
+
   /** Probe a written IVFADC layout: the coarse lists prune (partition
     * pruning on the `cid` directories), the codes score, nothing is
     * refit — hash-equal to the in-memory [[ivfPqTopK]] on the same

@@ -797,6 +797,82 @@ class StateCompactionSpec extends AnyFunSuite {
     } finally rmTree(d3)
   }
 
+  test("appendAndMaintainWrittenIvfPqIndex: drift re-clusters (codes re-encoded), fragmentation compacts both tables, trickle does nothing") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .localCheckpoint(true)
+    val base = e.filter(col("vec_id") % 3 =!= 0)
+    val stationary = e.filter(col("vec_id") % 3 === 0).localCheckpoint(true)
+    val drifted = stationary.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(embedding, x -> x + cast(1.5 as float))").as("embedding"))
+      .localCheckpoint(true)
+    val queries = e.filter(col("vec_id") % 97 === 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().toSeq
+    val cb = SimilaritySearch.pqFit(e, m = 16, seedMod = 20)
+    def fresh() = {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_maintain_ivfpq_spec_").toString
+      SimilaritySearch.writeIvfPqIndex(
+        SimilaritySearch.buildIndex(base, centroidMod = 50),
+        cb, SimilaritySearch.pqEncode(base, cb), d)
+      d
+    }
+    // 1. DRIFTED batch: the evidence trips and the verb re-clusters
+    // all THREE tables — the layout then probes exactly like a
+    // one-shot writeIvfPqIndex over the union under the same frozen
+    // codebooks. corpusVectors (by-name) is evaluated on this path.
+    val d1 = fresh()
+    try {
+      var corpusReads = 0
+      val a1 = SimilaritySearch.appendAndMaintainWrittenIvfPqIndex(
+        spark, d1, drifted,
+        { corpusReads += 1; base.unionByName(drifted) }, centroidMod = 50)
+      assert(a1 == SimilaritySearch.Reclustered, s"got $a1")
+      assert(corpusReads == 1, "re-cluster path evaluates the corpus supplier")
+      val oneShot = java.nio.file.Files
+        .createTempDirectory("graft_maintain_ivfpq_oneshot_").toString
+      try {
+        val union = base.unionByName(drifted)
+        SimilaritySearch.writeIvfPqIndex(
+          SimilaritySearch.buildIndex(union, centroidMod = 50),
+          cb, SimilaritySearch.pqEncode(union, cb), oneShot)
+        assert(
+          canon(SimilaritySearch.ivfPqProbeWritten(spark, d1, queries))
+            == canon(SimilaritySearch.ivfPqProbeWritten(spark, oneShot, queries)))
+      } finally rmTree(oneShot)
+    } finally rmTree(d1)
+    // 2. STATIONARY batch under a tight file cadence: geometry is fine
+    // (no re-cluster — the corpus supplier must NOT be evaluated),
+    // fragmentation compacts; compaction is physical only
+    val d2 = fresh()
+    try {
+      val a2 = SimilaritySearch.appendAndMaintainWrittenIvfPqIndex(
+        spark, d2, stationary,
+        sys.error("compaction path must not read the corpus"),
+        maxFilesPerList = 1, centroidMod = 50)
+      assert(a2 == SimilaritySearch.Compacted, s"got $a2")
+      // the compacted layout answers like an untouched append twin
+      val twin = fresh()
+      try {
+        SimilaritySearch.appendToWrittenIvfPqIndex(spark, twin, stationary)
+        assert(
+          canon(SimilaritySearch.ivfPqProbeWritten(spark, d2, queries))
+            == canon(SimilaritySearch.ivfPqProbeWritten(spark, twin, queries)))
+      } finally rmTree(twin)
+    } finally rmTree(d2)
+    // 3. a small stationary trickle under loose thresholds: nothing
+    val d3 = fresh()
+    try {
+      val a3 = SimilaritySearch.appendAndMaintainWrittenIvfPqIndex(
+        spark, d3, stationary.limit(5),
+        sys.error("quiet path must not read the corpus"),
+        maxFilesPerList = 1000, centroidMod = 50)
+      assert(a3 == SimilaritySearch.NoMaintenance, s"got $a3")
+    } finally rmTree(d3)
+  }
+
   test("ivfpq re-cluster: three-table swap equals one-shot, crash points recover, coverage guard fires") {
     import org.apache.spark.sql.functions._
     val e = graft.sources.Tables.embeddings(spark, dir).select("vec_id", "embedding")
