@@ -1482,6 +1482,22 @@ object ExtensionQueries {
     }),
     "q_text_quality" -> ((s, dir) =>
       TextAnalysis.quality(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_text_quality_model" -> ((s, dir) => {
+      // the MODEL-based quality gate (hashedLinearScore — the
+      // fastText hashing-trick linear classifier as one codegen'd
+      // projection): weights here are derived from a closed-form the
+      // oracle replays per hash, so a bucket-indexing or hashing bug
+      // diverges every margin; a production caller loads a TRAINED
+      // table via hashedLinearWeights instead. Fixed-point ppm over
+      // BIGINTs — margin and gate are integer-exact cross-engine.
+      val b = 512
+      val w = Array.tabulate(b)(i =>
+        ((i.toLong * 2654435761L) % 1000003L) - 501001L)
+      TextAnalysis.hashedLinearScore(
+        Tables.documents(s, dir), w,
+        biasPpm = 250000L, thresholdPpm = 250000L)
+        .orderBy("doc_id")
+    }),
     "q_text_langid" -> ((s, dir) =>
       TextAnalysis.langId(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_text_fingerprint" -> ((s, dir) =>
@@ -2407,6 +2423,134 @@ object ExtensionQueries {
       }
       kept.orderBy("doc_id")
     }),
+    "q_pipeline_ingest_export" -> ((s, dir) => {
+      // the STEADY-STATE EXPORT composition (TrainingExport.runIngest
+      // — r16): the corpus arrives as 3 batches (pmod(doc_id, 3), so
+      // the %7 exact copies land in a DIFFERENT batch than their
+      // originals: 1000000 % 3 = 1); each ingest probes the persisted
+      // doc-fingerprint state (first-ARRIVAL-wins), decontaminates,
+      // fills the REMAINING cumulative budget per source in batch
+      // hash order, and continues shard seq densely via the offsets
+      // state. The oracle replays the whole arrival-order fold —
+      // funnel, arrival dedup, contamination, the chained per-batch
+      // budget CTEs (spent counts SHIPPED weight only), and the
+      // cross-batch seq — so one hash gates every stage AND the
+      // state fold end-to-end.
+      val corpus = Corpus.docCorpus(s, dir)
+      val bench = Tables.documents(s, dir).filter(col("doc_id") % 97 === 0)
+      val p = "graft_ingest_export_" +
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+          .replaceAll("[^A-Za-z0-9]", "_")
+      val cfg = graft.pipelines.TrainingExport.Config(
+        curate = true,
+        dedup = graft.pipelines.TrainingExport.DedupExact,
+        contaminationMaxPpm = Some(500000L),
+        budgets = Seq("src0" -> 4000L, "src1" -> 2000L),
+        defaultBudget = 3000L,
+        numShards = 4)
+      // narrow shuffle width for the ingest loop (the
+      // q_pipeline_incremental_ingest rationale: per-batch exchanges
+      // move kilobytes; corpus-sized width just multiplies tasks)
+      val shufKey = "spark.sql.shuffle.partitions"
+      val prevShuf = s.conf.get(shufKey)
+      var out: org.apache.spark.sql.DataFrame = null
+      try {
+        s.conf.set(shufKey, "8")
+        (0 until 3).foreach { b =>
+          Dedup.unpersistAll()
+          val batch = corpus.filter(pmod(col("doc_id"), lit(3)) === b)
+          val shipped = graft.pipelines.TrainingExport.runIngest(
+            batch, bench, cfg, p, buckets = 8)
+          out = if (out == null) shipped else out.unionByName(shipped)
+        }
+      } finally {
+        s.conf.set(shufKey, prevShuf)
+        Seq("_dedup", "_dedup_compact_tmp", "_dedup_tombstones",
+          "_sigs", "_budget", "_offsets")
+          .foreach(sfx => s.sql(s"DROP TABLE IF EXISTS `$p$sfx`"))
+      }
+      out.orderBy("shard", "seq")
+    }),
+    "q_pipeline_ingest_export_neardup" -> ((s, dir) => {
+      // the steady-state export under the NEAR-DUP stage: each batch
+      // probes the persisted band table (candidates) AND the persisted
+      // signature table (refine) — the corpus text is never
+      // re-signatured — then the same remaining-budget/offset fold.
+      // Acceptance is the incremental rule (reject iff paired to an
+      // earlier batch or to a smaller id of its own batch), which the
+      // oracle replays from the full pair set.
+      graft.functions.MinHashSig.register(s)
+      val corpus = Corpus.docCorpus(s, dir)
+      val bench = Tables.documents(s, dir).filter(col("doc_id") % 97 === 0)
+      val p = "graft_ingest_export_nd_" +
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+          .replaceAll("[^A-Za-z0-9]", "_")
+      val cfg = graft.pipelines.TrainingExport.Config(
+        curate = true,
+        dedup = graft.pipelines.TrainingExport.DedupNearDup(),
+        contaminationMaxPpm = Some(500000L),
+        budgets = Seq("src0" -> 4000L, "src1" -> 2000L),
+        defaultBudget = 3000L,
+        numShards = 4)
+      val shufKey = "spark.sql.shuffle.partitions"
+      val prevShuf = s.conf.get(shufKey)
+      var out: org.apache.spark.sql.DataFrame = null
+      try {
+        s.conf.set(shufKey, "8")
+        (0 until 3).foreach { b =>
+          Dedup.unpersistAll()
+          val batch = corpus.filter(pmod(col("doc_id"), lit(3)) === b)
+          val shipped = graft.pipelines.TrainingExport.runIngest(
+            batch, bench, cfg, p, buckets = 8)
+          out = if (out == null) shipped else out.unionByName(shipped)
+        }
+      } finally {
+        s.conf.set(shufKey, prevShuf)
+        Seq("_dedup", "_dedup_compact_tmp", "_dedup_tombstones",
+          "_sigs", "_sigs_compact_tmp", "_sigs_tombstones",
+          "_budget", "_offsets")
+          .foreach(sfx => s.sql(s"DROP TABLE IF EXISTS `$p$sfx`"))
+      }
+      out.orderBy("shard", "seq")
+    }),
+    "q_pipeline_ingest_export_simhash" -> ((s, dir) => {
+      // the steady-state export under the SIMHASH stage: each batch
+      // probes the persisted blocked segment table (the generic
+      // Hamming family), fingerprints drift-tolerantly, and the same
+      // remaining-budget/offset fold ships the survivors.
+      graft.functions.SimHashPack.register(s)
+      val corpus = Corpus.docCorpus(s, dir)
+      val bench = Tables.documents(s, dir).filter(col("doc_id") % 97 === 0)
+      val p = "graft_ingest_export_sh_" +
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+          .replaceAll("[^A-Za-z0-9]", "_")
+      val cfg = graft.pipelines.TrainingExport.Config(
+        curate = true,
+        dedup = graft.pipelines.TrainingExport.DedupSimHash(),
+        contaminationMaxPpm = Some(500000L),
+        budgets = Seq("src0" -> 4000L, "src1" -> 2000L),
+        defaultBudget = 3000L,
+        numShards = 4)
+      val shufKey = "spark.sql.shuffle.partitions"
+      val prevShuf = s.conf.get(shufKey)
+      var out: org.apache.spark.sql.DataFrame = null
+      try {
+        s.conf.set(shufKey, "8")
+        (0 until 3).foreach { b =>
+          Dedup.unpersistAll()
+          val batch = corpus.filter(pmod(col("doc_id"), lit(3)) === b)
+          val shipped = graft.pipelines.TrainingExport.runIngest(
+            batch, bench, cfg, p, buckets = 8)
+          out = if (out == null) shipped else out.unionByName(shipped)
+        }
+      } finally {
+        s.conf.set(shufKey, prevShuf)
+        Seq("_dedup", "_dedup_compact_tmp", "_dedup_tombstones",
+          "_budget", "_offsets")
+          .foreach(sfx => s.sql(s"DROP TABLE IF EXISTS `$p$sfx`"))
+      }
+      out.orderBy("shard", "seq")
+    }),
     "q_train_shards" -> ((s, dir) => {
       // deterministic global shuffle + shard assignment for training
       // export: shard AND within-shard position are pure hash
@@ -3096,6 +3240,146 @@ object ExtensionQueries {
        |)
        |SELECT shard,
        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY m2, doc_id) AS BIGINT) AS seq,
+       |  doc_id, source
+       |FROM sh ORDER BY shard, seq""".stripMargin
+  }
+
+  /** q_pipeline_ingest_export's oracle — the STEADY-STATE export
+    * (TrainingExport.runIngest) replayed in ARRIVAL order: batch =
+    * doc_id % numBatches, funnel as usual, dedup by
+    * first-arrival-wins (exact: first (batch, doc_id) per text;
+    * near-dup: the incremental rejection rule from the full pair
+    * set), contamination, then the budget FOLD — incremental
+    * admission is sequential, so the oracle chains one CTE trio per
+    * batch (candidates + kept + cumulative spent), where batch k's
+    * running weight starts from the SHIPPED weight of batches 0..k−1
+    * (dropped rows consume nothing — the global prefix replay the
+    * batch pipeline uses would wrongly bill them). Shard seq is one
+    * global ROW_NUMBER ordered (batch, m2, doc_id) — exactly the
+    * per-batch hash order plus the offsets state's continuation.
+    */
+  private def ingestExportPipelineSql(
+      budgets: Seq[(String, Long)], defaultBudget: Long,
+      numBatches: Int, numShards: Int, dedupMode: String): String = {
+    val h = charHashDuck("CAST(doc_id AS VARCHAR)")
+    val mh = graft.operators.Sampling.mixedHash(h)
+    val hc = charHashDuck("CAST(c.doc_id AS VARCHAR)")
+    val mhc = graft.operators.Sampling.mixedHash(hc)
+    val b = graft.operators.Sampling.budgetCase("source", budgets, defaultBudget)
+    val guard = s"${tokenCountDuck("text")} >= 3"
+    // the arrival rejection rule, shared by the pairwise modes: the
+    // LATER-batch member of a pair loses; within one batch the larger
+    // id loses (exactly runIngest's vsSeen/within split)
+    def arrivalRej(aCol: String, bCol: String) =
+      s"""SELECT DISTINCT CASE
+         |    WHEN $aCol % $numBatches < $bCol % $numBatches THEN $bCol
+         |    WHEN $bCol % $numBatches < $aCol % $numBatches THEN $aCol
+         |    ELSE GREATEST($aCol, $bCol) END AS doc_id""".stripMargin
+    val dedupCtes = dedupMode match {
+      case "exact" =>
+        s"""dd AS (
+           |  SELECT doc_id, text, source, n_chars, batch FROM (
+           |    SELECT k2.*,
+           |      ROW_NUMBER() OVER (PARTITION BY text ORDER BY batch, doc_id) AS rn
+           |    FROM kept k2
+           |  ) WHERE rn = 1
+           |)""".stripMargin
+      case "neardup" =>
+        s"""pairs AS (
+           |${minhashPairsSqlWith(Bands, RowsPerBand, "SELECT doc_id, text FROM kept")}
+           |), rej AS (
+           |  ${arrivalRej("doc_a", "doc_b")}
+           |  FROM pairs
+           |), dd AS (
+           |  SELECT k.* FROM kept k
+           |  WHERE k.doc_id NOT IN (SELECT doc_id FROM rej)
+           |)""".stripMargin
+      case "simhash" =>
+        s"""fpv AS (
+           |  SELECT doc_id, source AS block, ${simhashVotesDuck(wordsDuck("text"))} AS votes
+           |  FROM kept WHERE ${tokenCountDuck("text")} >= 1
+           |), fp AS (
+           |  SELECT doc_id, block, ${simhashPackDuck("votes")} AS simhash FROM fpv
+           |), rej AS (
+           |  ${arrivalRej("x.doc_id", "y.doc_id")}
+           |  FROM fp x JOIN fp y ON x.block = y.block AND x.doc_id < y.doc_id
+           |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 4
+           |), dd AS (
+           |  SELECT k.* FROM kept k
+           |  WHERE k.doc_id NOT IN (SELECT doc_id FROM rej)
+           |)""".stripMargin
+      case other => sys.error(s"unknown ingest dedup mode: $other")
+    }
+    val batchCtes = (0 until numBatches).map { k =>
+      val carry =
+        if (k == 0) "0"
+        else s"COALESCE(s${k - 1}.spent, 0)"
+      val join = if (k == 0) "" else s" LEFT JOIN s${k - 1} USING (source)"
+      val spentK =
+        if (k == 0) "SELECT source, SUM(n_chars) AS spent FROM k0 GROUP BY source"
+        else
+          s"""SELECT source, SUM(spent) AS spent FROM (
+             |    SELECT source, spent FROM s${k - 1}
+             |    UNION ALL
+             |    SELECT source, SUM(n_chars) AS spent FROM k$k GROUP BY source
+             |  ) GROUP BY source""".stripMargin
+      s"""b$k AS (
+         |  SELECT c.doc_id, c.source, c.n_chars,
+         |    $carry + SUM(c.n_chars) OVER (
+         |      PARTITION BY c.source ORDER BY ($mhc), c.doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS rw
+         |  FROM clean c$join WHERE c.batch = $k
+         |), k$k AS (
+         |  SELECT doc_id, source, n_chars FROM b$k WHERE rw <= ($b)
+         |), s$k AS (
+         |  $spentK
+         |)""".stripMargin
+    }.mkString(", ")
+    val ship = (0 until numBatches)
+      .map(k => s"SELECT doc_id, source, $k AS batch FROM k$k")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH allc AS (
+       |${graft.sources.Corpus.docCorpusSql}
+       |), m AS (
+       |  SELECT doc_id,
+       |    ${TextAnalysis.funnelMetricsDuckProjection("text")}
+       |  FROM allc
+       |), kept AS (
+       |  SELECT a.doc_id, a.text, a.source, a.n_chars,
+       |    CAST(a.doc_id % $numBatches AS BIGINT) AS batch
+       |  FROM allc a JOIN (
+       |    SELECT doc_id FROM m
+       |    WHERE (${TextAnalysis.funnelVerdictCase(20, 500000L, Seq("en"), 600000L)}) = 'keep'
+       |  ) k USING (doc_id)
+       |), $dedupCtes, bwh AS (
+       |  SELECT ${wordHashArrayDuck(wordsDuck("text"))} AS wh
+       |  FROM documents WHERE doc_id % 97 = 0 AND $guard
+       |), bg AS (
+       |  SELECT DISTINCT unnest(${shingleHashesFromWordHashesDuck("wh", 3)}) AS gram FROM bwh
+       |), dwh AS (
+       |  SELECT doc_id, ${wordHashArrayDuck(wordsDuck("text"))} AS wh FROM dd WHERE $guard
+       |), dg AS (
+       |  SELECT doc_id, ${shingleHashesFromWordHashesDuck("wh", 3)} AS grams FROM dwh
+       |), e AS (
+       |  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams, unnest(grams) AS gram FROM dg
+       |), cont AS (
+       |  SELECT e.doc_id,
+       |    ${ppmDuck("SUM(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END)", "e.n_grams")} AS contamination_ppm
+       |  FROM e LEFT JOIN bg USING (gram)
+       |  GROUP BY e.doc_id, e.n_grams
+       |), clean AS (
+       |  SELECT d.doc_id, d.source, d.n_chars, d.batch FROM dd d JOIN cont USING (doc_id)
+       |  WHERE cont.contamination_ppm < 500000
+       |), $batchCtes, ship AS (
+       |  $ship
+       |), sh AS (
+       |  SELECT doc_id, source, batch,
+       |    CAST(($mh) % $numShards AS BIGINT) AS shard,
+       |    ((($mh) + 1) * 2246822519) % 1000000007 AS m2
+       |  FROM ship
+       |)
+       |SELECT shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY batch, m2, doc_id) AS BIGINT) AS seq,
        |  doc_id, source
        |FROM sh ORDER BY shard, seq""".stripMargin
   }
@@ -4592,6 +4876,26 @@ object ExtensionQueries {
          |  ${TextAnalysis.qualityDuckProjection("text")}
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q_text_quality_model" ->
+      // the hashed-linear margin replayed per token: the oracle
+      // computes each bucket's weight from the SAME closed form the
+      // query tabulated into the embedded array — element_at indexing,
+      // the word-hash front, and the integer ppm arithmetic all gate
+      // on one hash. COALESCE(list_sum, 0) is the empty-array twin of
+      // aggregate()'s init value.
+      s"""WITH t AS (
+         |  SELECT doc_id, ${wordHashArrayDuck(wordsDuck("text"))} AS wh FROM documents
+         |), m AS (
+         |  SELECT doc_id,
+         |    CAST(len(wh) AS BIGINT) AS n_tokens,
+         |    CAST(250000 * len(wh) + COALESCE(list_sum(list_transform(wh,
+         |      h -> (((h % 512) * 2654435761) % 1000003) - 501001)), 0) AS BIGINT) AS margin_ppm
+         |  FROM t
+         |)
+         |SELECT doc_id, n_tokens, margin_ppm,
+         |  margin_ppm >= 250000 * n_tokens AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
+
     "q_text_langid" ->
       s"""SELECT doc_id,
          |  ${TextAnalysis.langIdDuckProjection("text")}
@@ -5125,6 +5429,29 @@ object ExtensionQueries {
          |FROM kept k
          |WHERE k.doc_id NOT IN (SELECT doc_id FROM rej)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_pipeline_ingest_export" ->
+      // the steady-state fold replayed in arrival order; see the
+      // emitter scaladoc for why the budget CTEs chain per batch
+      ingestExportPipelineSql(
+        Seq("src0" -> 4000L, "src1" -> 2000L), 3000L,
+        numBatches = 3, numShards = 4, dedupMode = "exact"),
+
+    "q_pipeline_ingest_export_neardup" ->
+      // same fold under the near-dup stage: rejection from the full
+      // pair set by the incremental rule (earlier batch wins, smaller
+      // id within a batch)
+      ingestExportPipelineSql(
+        Seq("src0" -> 4000L, "src1" -> 2000L), 3000L,
+        numBatches = 3, numShards = 4, dedupMode = "neardup"),
+
+    "q_pipeline_ingest_export_simhash" ->
+      // the third dedup stage on the same fold: source-blocked
+      // SimHash pairs at Hamming ≤ 4 from the persisted segment
+      // state, rejected by the arrival rule
+      ingestExportPipelineSql(
+        Seq("src0" -> 4000L, "src1" -> 2000L), 3000L,
+        numBatches = 3, numShards = 4, dedupMode = "simhash"),
 
     "q_pipeline_train_export_neardup" -> {
       val h = graft.functions.TextExprs.charHashDuck("CAST(doc_id AS VARCHAR)")

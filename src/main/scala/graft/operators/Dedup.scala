@@ -934,6 +934,39 @@ object Dedup {
     } else false
   }
 
+  /** Materialize a corpus's MinHash SIGNATURE rows `(doc_id, sig)` as
+    * a bucketed catalog table on `doc_id` — the REFINE side of the
+    * banded incremental probe ([[minhashPairsAgainstBandTable]]'s
+    * `corpusSigs`), persisted: the band table generates candidates,
+    * but scoring them needs the full corpus signatures, and a
+    * steady-state ingest must read those from state rather than
+    * re-signaturing the corpus (O(corpus) tokenize per ingest — the
+    * exact cost the band table exists to avoid). Bucketing on doc_id
+    * makes the candidate refine join shuffle only the batch-bounded
+    * candidate side. Append per ingest with
+    * [[appendToSignatureTable]]; rows are doc-keyed, so takedowns
+    * ride [[deleteFromStateTable]] like every other state.
+    */
+  def writeSignatureTable(
+      sigs: DataFrame, table: String, buckets: Int = BandTableBuckets): DataFrame = {
+    writeBucketedState(
+      sigs.select("doc_id", "sig"), table, buckets, Seq("doc_id"),
+      "overwrite", appendTasks = 0)
+    sigs.sparkSession.table(table)
+  }
+
+  /** Append a new batch's (doc_id, sig) rows to a
+    * [[writeSignatureTable]] state table. Same contract as the band
+    * appends: each doc's signature appended exactly once (steady-state
+    * ingest satisfies this by construction — the batch is new).
+    */
+  def appendToSignatureTable(
+      sigs: DataFrame, table: String, buckets: Int = BandTableBuckets,
+      appendTasks: Int = 0): Unit =
+    writeBucketedState(
+      sigs.select("doc_id", "sig"), table, buckets, Seq("doc_id"),
+      "append", appendTasks)
+
   /** Materialize a corpus's positional shingle rows `(h1, h2, doc_id,
     * p)` as a BUCKETED catalog table on the probe-join keys — the
     * [[writeBandTable]] layout applied to span state.
@@ -1994,6 +2027,69 @@ object Dedup {
       .groupBy("pk1", "pk2")
       .agg(min(struct(col("doc_id"), col("chunk_id"))).as("_first"))
       .select(col("pk1"), col("pk2"), col("_first.doc_id").as("doc_id"))
+    writeBucketedState(
+      rows, table, buckets, Seq("pk1", "pk2"), "overwrite", appendTasks = 0)
+    docs.sparkSession.table(table)
+  }
+
+  /** Probe-and-mark a NEW document batch against a persisted
+    * DOC-fingerprint state under first-ARRIVAL-wins — [[exact]]'s
+    * steady-state form, and the WHOLE-DOCUMENT member of the
+    * line/chunk ingest-step family: a doc keeps iff its raw-text
+    * fingerprint is the batch's first occurrence (min doc_id — the
+    * within-batch tie [[exact]] also breaks by min id) AND unseen by
+    * any earlier ingest. The key is the RAW text (no normalization),
+    * matching [[exact]]'s exact-bytes grouping — whole-document
+    * identity is byte identity, unlike the line/chunk keys that
+    * normalize incidental whitespace.
+    *
+    * Returns (marked batch with `keep`, new (pk1, pk2, doc_id) keys
+    * to append). Note the seen-corpus policy this implies: a doc that
+    * CLEARS dedup here holds its fingerprint slot even if a later
+    * pipeline gate (budget, decontamination) drops it — identity is
+    * permanent, capacity is not, so a re-shipped copy of a
+    * budget-rejected doc is still a duplicate.
+    */
+  def docIngestStep(
+      batch: DataFrame,
+      stateKeys: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): (DataFrame, DataFrame) = {
+    val stateProbe = adaptLineState(stateKeys, "docIngestStep")
+    val (h1, h2) = lineFp(col(textCol))
+    val keyed = batch.withColumn("pk1", h1).withColumn("pk2", h2)
+    val first = keyed.groupBy("pk1", "pk2")
+      .agg(min(col(idCol)).as("_first"))
+    val marked = keyed
+      .join(first, Seq("pk1", "pk2"))
+      .join(
+        stateProbe.withColumn("_seen", lit(true)),
+        Seq("pk1", "pk2"), "left")
+      .withColumn("keep", col(idCol) === col("_first") && col("_seen").isNull)
+      .drop("_first", "_seen")
+      .pipe(persistTracked) // marked output AND new state read it
+    val newKeys = marked
+      .filter(col("keep"))
+      .select(col("pk1"), col("pk2"), col(idCol).as("doc_id"))
+    (marked.drop("pk1", "pk2"), newKeys)
+  }
+
+  /** Materialize a corpus's DOC-fingerprint state as a bucketed
+    * catalog table — [[writeLineTable]] at whole-document granularity:
+    * (pk1, pk2, doc_id) of each raw text's FIRST (min-id) occurrence,
+    * owner = the keeping doc. Probe with [[docIngestStep]];
+    * append/compact/delete with the line-table verbs
+    * ([[appendToLineTable]]/[[compactLineTable]]/
+    * [[deleteFromLineTable]]) — the layout is byte-identical.
+    */
+  def writeDocTable(
+      docs: DataFrame, table: String, buckets: Int = BandTableBuckets,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val (h1, h2) = lineFp(col(textCol))
+    val rows = docs
+      .withColumn("pk1", h1).withColumn("pk2", h2)
+      .groupBy("pk1", "pk2")
+      .agg(min(col(idCol)).as("doc_id"))
     writeBucketedState(
       rows, table, buckets, Seq("pk1", "pk2"), "overwrite", appendTasks = 0)
     docs.sparkSession.table(table)

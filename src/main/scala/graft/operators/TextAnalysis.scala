@@ -199,6 +199,91 @@ object TextAnalysis {
     * N (corpus size) rides in as a broadcast 1-row aggregate, not a
     * driver-side `count()` — the whole plan stays lazy.
     */
+  /** MODEL-based quality scoring — the hashing-trick LINEAR text
+    * classifier (public technique: fastText's hashed-feature linear
+    * model, Joulin et al. 2016 "Bag of Tricks for Efficient Text
+    * Classification"; feature hashing is Weinberger et al. 2009):
+    * every token hashes into one of `weightsPpm.length` buckets and
+    * the document's margin is `bias + mean(W[hash(token) % B])`. This
+    * is the shape production quality filters actually take (a trained
+    * linear model over hashed n-grams), as opposed to [[quality]]'s
+    * fixed heuristics — the weights are DATA (a trained artifact),
+    * the kernel is the operator.
+    *
+    * Arithmetic is FIXED-POINT ppm over BIGINTs, and the mean's
+    * division is NOT performed: the emitted margin is the TOTAL
+    * `margin_ppm = bias·n + Σ W[h_i]` with `n_tokens` beside it, and
+    * the gate compares `margin_ppm ≥ threshold·n` — integer adds and
+    * multiplies only, associative and bit-identical on any engine
+    * (the tf-idf log-free trick applied to model inference; a
+    * floating mean + sigmoid would hash-diverge in final ulps, and
+    * the sigmoid is monotone so thresholding the margin is the same
+    * gate). Zero-token docs read margin 0 and pass iff threshold ≤ 0
+    * — gate them upstream (the funnel already requires ≥ minTokens).
+    *
+    * Scale shape: the model is embedded in the plan as an array
+    * literal (bounded at 65536 buckets — a hashed linear model's
+    * natural size) and the whole scorer is ONE codegen'd narrow
+    * projection: no join, no shuffle, no UDF; tokens never leave
+    * their partition. Returns (idCol, n_tokens, margin_ppm, keep).
+    */
+  def hashedLinearScore(
+      docs: DataFrame,
+      weightsPpm: Array[Long],
+      biasPpm: Long = 0L,
+      thresholdPpm: Long = 0L,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    graft.functions.PolyHash.register(docs.sparkSession)
+    val bSz = weightsPpm.length
+    require(bSz >= 1 && bSz <= (1 << 16),
+      s"hashed model size must be in [1, 65536], got $bSz — a larger model " +
+        "should ship as a weights table and join, not embed in the plan")
+    val wArr = array(weightsPpm.map(lit(_)): _*)
+    docs
+      .select(col(idCol), expr(wordHashArraySpark(wordsSpark(textCol))).as("_wh"))
+      .select(
+        col(idCol),
+        size(col("_wh")).cast("long").as("n_tokens"),
+        aggregate(
+          transform(
+            col("_wh"),
+            h => element_at(wArr, (pmod(h, lit(bSz.toLong)) + lit(1L)).cast("int"))),
+          lit(biasPpm) * size(col("_wh")).cast("long"),
+          (acc, x) => acc + x).as("margin_ppm"))
+      .withColumn(
+        "keep", col("margin_ppm") >= lit(thresholdPpm) * col("n_tokens"))
+  }
+
+  /** Load a trained hashed-linear model from a (bucket, weight_ppm)
+    * table into the dense array [[hashedLinearScore]] embeds —
+    * missing buckets default to weight 0, out-of-range or duplicate
+    * buckets fail fast (a duplicated bucket would silently sum into
+    * one slot on some engines and last-write on others).
+    */
+  def hashedLinearWeights(weights: DataFrame, nBuckets: Int): Array[Long] = {
+    require(nBuckets >= 1 && nBuckets <= (1 << 16),
+      s"nBuckets must be in [1, 65536], got $nBuckets")
+    val cols = weights.columns.map(_.toLowerCase)
+    require(cols.sameElements(Array("bucket", "weight_ppm")),
+      s"weights table must have exactly (bucket, weight_ppm), got [${weights.columns.mkString(", ")}]")
+    val rows = weights
+      .select(col("bucket").cast("long"), col("weight_ppm").cast("long"))
+      .limit(nBuckets + 1).collect()
+    require(rows.length <= nBuckets,
+      s"weights table has more rows than nBuckets=$nBuckets")
+    val out = Array.fill(nBuckets)(0L)
+    val seen = new scala.collection.mutable.BitSet(nBuckets)
+    rows.foreach { r =>
+      val b = r.getLong(0)
+      require(b >= 0 && b < nBuckets, s"bucket $b out of [0, $nBuckets)")
+      require(!seen.contains(b.toInt), s"duplicate bucket $b in weights table")
+      seen += b.toInt
+      out(b.toInt) = r.getLong(1)
+    }
+    out
+  }
+
   def tfIdfTopTerms(
       docs: DataFrame,
       k: Int = 3,

@@ -200,6 +200,26 @@ object TrainingExport {
       .select("shard", "seq", "doc_id", "source")
   }
 
+  /** The STATELESS per-document gates — funnel and (optionally) line
+    * rules — shared by the batch front ([[cleanDocs]]) and the
+    * steady-state ingest ([[runIngest]]): both are pure functions of
+    * one document, so batch and incremental runs apply them
+    * identically.
+    */
+  private def gateDocs(docs: DataFrame, cfg: Config): DataFrame = {
+    val funneled =
+      if (!cfg.curate) docs
+      else docs.join(
+        TextAnalysis.curationFunnel(docs)
+          .filter(col("verdict") === "keep").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    if (!cfg.lineRules) funneled
+    else funneled.join(
+      TextAnalysis.lineStats(funneled)
+        .filter(col("line_verdict") === "keep").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+  }
+
   /** The shared curation front of [[run]] and [[runChunks]]: every
     * DOCUMENT-granularity stage — funnel, line rules, doc dedup,
     * paragraph rebuild, span surgery, semantic dedup, decontamination
@@ -212,18 +232,7 @@ object TrainingExport {
       cfg: Config,
       embeddings: => DataFrame,
       media: => DataFrame = null): DataFrame = {
-    val funneled =
-      if (!cfg.curate) docs
-      else docs.join(
-        TextAnalysis.curationFunnel(docs)
-          .filter(col("verdict") === "keep").select("doc_id"),
-        Seq("doc_id"), "left_semi")
-    val kept =
-      if (!cfg.lineRules) funneled
-      else funneled.join(
-        TextAnalysis.lineStats(funneled)
-          .filter(col("line_verdict") === "keep").select("doc_id"),
-        Seq("doc_id"), "left_semi")
+    val kept = gateDocs(docs, cfg)
     val deduped = cfg.dedup match {
       case DedupOff => kept
       case DedupExact =>
@@ -435,5 +444,226 @@ object TrainingExport {
       sampled.select("_cid", "doc_id", "chunk_id", "source"),
       "_cid", h, cfg.numShards)
       .select("shard", "seq", "doc_id", "chunk_id", "source")
+  }
+
+  /** Budget-state source-count collect cap: the consumed table is
+    * config-sized (one row per source ever shipped), but CHECKED, not
+    * assumed — a corpus whose "source" column is accidentally a URL
+    * or doc id would otherwise grow the driver-side read unboundedly.
+    */
+  val MaxBudgetSources = 1 << 20
+
+  /** STEADY-STATE ingest export — [[run]]'s incremental form, and the
+    * composition every persisted dedup state exists for: at 100 TB
+    * nobody re-runs the full export when a batch arrives; the batch
+    * probes the accumulated states, only NEW survivors flow through
+    * decontamination → budgets → shards, and the states absorb the
+    * batch for the next arrival. One call per arriving batch; state
+    * lives in catalog tables under `statePrefix`:
+    *
+    *   - `<p>_dedup` — the dedup-stage state ([[graft.operators.Dedup.writeDocTable]]
+    *     doc fingerprints for [[DedupExact]], the bucketed band table
+    *     for [[DedupNearDup]], the blocked SimHash segment table for
+    *     [[DedupSimHash]]), appended through the cadence-managed
+    *     verbs so compaction cannot be forgotten
+    *   - `<p>_sigs` — ([[DedupNearDup]] only) the persisted corpus
+    *     signatures the candidate refine scores against
+    *   - `<p>_budget` — cumulative consumed weight per source: budgets
+    *     are corpus-lifetime ceilings, so each ingest fills only the
+    *     REMAINING budget (batch-k candidates are admitted in
+    *     hash-order prefix against `budget − consumed`), making the
+    *     lifetime admission an ARRIVAL-ORDER prefix — earlier batches
+    *     fill first, which is the only order an incremental system
+    *     can honor (the batch [[run]] admits in global hash order
+    *     instead; the two agree only in the single-batch case)
+    *   - `<p>_offsets` — per-shard row counts, so `seq` continues
+    *     densely across ingests (shard placement is a pure hash and
+    *     never changes; within-shard order is per-batch hash order)
+    *
+    * ACCEPTANCE SEMANTICS (what the q_pipeline_ingest_export oracle
+    * replays end-to-end): a doc ships iff it (1) passes the stateless
+    * gates, (2) is no duplicate of anything SEEN by an earlier ingest
+    * nor of a smaller-id doc of its own batch (first-ARRIVAL-wins,
+    * first-min-id within a batch), (3) passes decontamination, and
+    * (4) fits its source's remaining budget in batch hash order. The
+    * dedup state records every dedup-ACCEPTED doc whether or not a
+    * later gate drops it — identity is permanent, capacity is not: a
+    * budget-rejected doc's future copies are still duplicates. (For
+    * [[DedupNearDup]] the state absorbs ALL the batch's band rows,
+    * accepted or not — the seen-corpus policy that keeps near-dup
+    * chains from drifting in batch by batch.)
+    *
+    * Document-granularity stages only: paragraph/span/semantic/media
+    * have their own persisted-state ingest verbs (see the fail-fast
+    * below) — compose them ahead of this call. Single-writer, like
+    * every state table in this library. Tracked persists are released
+    * by the caller's [[graft.operators.Dedup.unpersistAll]] (the
+    * ingest-loop convention). Returns the SHIPPED batch rows
+    * (shard, seq, doc_id, source), already materialized — state
+    * updates land before the method returns, so the frame stays valid
+    * across later ingests and state drops.
+    */
+  def runIngest(
+      batch: DataFrame,
+      benchmark: => DataFrame,
+      cfg: Config,
+      statePrefix: String,
+      hashExpr: Option[String] = None,
+      buckets: Int = Dedup.BandTableBuckets,
+      maxFilesPerBucket: Int = 4): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    require(cfg.numShards >= 1, s"numShards must be >= 1, got ${cfg.numShards}")
+    require(
+      !cfg.paragraphDedup && cfg.spanDedup.isEmpty &&
+        !cfg.semanticDedup && cfg.mediaDedup.isEmpty,
+      "runIngest composes the DOCUMENT-granularity stages; the finer " +
+        "granularities ingest against their own persisted states — compose " +
+        "Dedup.paragraphIngestStep (lines), Dedup.repeatedSpansAgainstShingles " +
+        "(spans), Dedup.semanticDedupAgainstIndex (embeddings), or " +
+        "Multimodal.perceptualHashPairsAgainst (media) ahead of this call")
+    require(cfg.budgetCurrency == BudgetChars,
+      "runIngest bills cumulative budgets in the n_chars column (the persisted " +
+        "consumed state's currency); to bill tokens, put the token count in " +
+        "n_chars upstream and keep BudgetChars")
+    graft.functions.PolyHash.register(spark)
+    val h = hashExpr.getOrElse(
+      graft.functions.TextExprs.charHashSpark("CAST(doc_id AS STRING)"))
+    val gated = gateDocs(batch, cfg)
+
+    // ---- dedup vs the persisted state (probe now, append after the
+    // shipped frame materializes — the state must not move under the
+    // plan that reads it)
+    val dedupTbl = s"${statePrefix}_dedup"
+    val sigsTbl = s"${statePrefix}_sigs"
+    val (accepted, appendDedupState): (DataFrame, () => Unit) = cfg.dedup match {
+      case DedupOff => (gated, () => ())
+      case DedupExact =>
+        if (!spark.catalog.tableExists(dedupTbl))
+          Dedup.writeDocTable(gated.limit(0), dedupTbl, buckets)
+        val (marked, newKeys) = Dedup.docIngestStep(gated, spark.table(dedupTbl))
+        (marked.filter(col("keep")).drop("keep"),
+          () => { Dedup.appendAndMaybeCompactLines(
+            newKeys, dedupTbl, buckets, maxFilesPerBucket); () })
+      case DedupNearDup(_, _) =>
+        // tracked persist: the probe, the within-batch pass, and the
+        // state appends all read the batch signatures
+        val sigs = Dedup.persistTracked(Dedup.signatureTable(gated))
+        if (!spark.catalog.tableExists(dedupTbl))
+          Dedup.writeBandTable(sigs.limit(0), dedupTbl, buckets)
+        if (!spark.catalog.tableExists(sigsTbl))
+          Dedup.writeSignatureTable(sigs.limit(0), sigsTbl, buckets)
+        val vsSeen = Dedup
+          .minhashPairsAgainstBandTable(
+            sigs, spark.table(dedupTbl), spark.table(sigsTbl))
+          .select(col("new_id").as("_rid"))
+        val within = Dedup.minhashPairsAgainstSignatures(sigs, sigs)
+          .filter(col("new_id") < col("corpus_id"))
+          .select(col("corpus_id").as("_rid"))
+        val rejected = vsSeen.union(within).distinct()
+        (gated.join(rejected, gated("doc_id") === rejected("_rid"), "left_anti"),
+          () => {
+            Dedup.appendAndMaybeCompact(sigs, dedupTbl, buckets, maxFilesPerBucket)
+            Dedup.appendToSignatureTable(sigs, sigsTbl, buckets)
+          })
+      case DedupSimHash(mh, _, _) =>
+        if (!spark.catalog.tableExists(dedupTbl))
+          Dedup.writeSimhashTable(gated.limit(0), dedupTbl, maxHamming = mh, buckets = buckets)
+        val vsSeen = Dedup.simhashPairsAgainst(gated, spark, dedupTbl, maxHamming = mh)
+          .select(col("new_doc").as("_rid"))
+        val within = Dedup.simhashPairs(gated, maxHamming = mh)
+          .select(col("doc_b").as("_rid")) // pairs emit doc_a < doc_b
+        val rejected = vsSeen.union(within).distinct()
+        (gated.join(rejected, gated("doc_id") === rejected("_rid"), "left_anti"),
+          () => { Dedup.appendAndMaybeCompactHamming(
+            Dedup.simhashFingerprints(gated, passthroughCols = Seq("source"))
+              .withColumnRenamed("source", "block"),
+            dedupTbl, mh, bits = graft.functions.TextExprs.SimhashBits,
+            buckets = buckets,
+            maxFilesPerBucket = maxFilesPerBucket); () })
+    }
+
+    // ---- decontamination (stateless, like the batch front)
+    val clean = cfg.contaminationMaxPpm match {
+      case None => accepted
+      case Some(maxPpm) =>
+        accepted.join(
+          TextAnalysis.contamination(accepted, benchmark)
+            .filter(col("contamination_ppm") < maxPpm)
+            .select("doc_id"),
+          Seq("doc_id"), "left_semi")
+    }
+
+    // ---- cumulative budget: this batch fills the REMAINING budget
+    val budgetTbl = s"${statePrefix}_budget"
+    val budgetOn = cfg.budgets.nonEmpty
+    val consumed: Map[String, Long] =
+      if (!budgetOn || !spark.catalog.tableExists(budgetTbl)) Map.empty
+      else {
+        val rows = spark.table(budgetTbl).limit(MaxBudgetSources + 1).collect()
+        require(rows.length <= MaxBudgetSources,
+          s"budget state '$budgetTbl' holds more than $MaxBudgetSources sources — " +
+            "the stratum column is not a source label; re-key the corpus")
+        rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+    val weighted = clean.select(
+      col("doc_id"), col("source"), col("n_chars").cast("long").as("_weight"))
+    val sampled =
+      if (!budgetOn) weighted
+      else {
+        val named = cfg.budgets.toMap
+        val remaining = (named.keySet ++ consumed.keySet).toSeq.sorted.map(src =>
+          src -> math.max(
+            0L, named.getOrElse(src, cfg.defaultBudget) - consumed.getOrElse(src, 0L)))
+        Sampling
+          .mixtureByBudget(
+            weighted, "source", "_weight", h, "doc_id", remaining, cfg.defaultBudget)
+          .drop("running_weight")
+      }
+
+    // ---- shard with cross-ingest seq continuation
+    val offTbl = s"${statePrefix}_offsets"
+    val offsets: Map[Long, Long] =
+      if (!spark.catalog.tableExists(offTbl)) Map.empty
+      else {
+        val rows = spark.table(offTbl).collect()
+        require(rows.length == cfg.numShards,
+          s"shard-offset state '$offTbl' was written with ${rows.length} shards " +
+            s"but this ingest asks for ${cfg.numShards} — numShards is fixed at " +
+            "the first ingest (shard placement is a pure hash mod numShards)")
+        rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+    val sharded = Sampling.shardForTraining(sampled, "doc_id", h, cfg.numShards)
+    val withOff =
+      if (offsets.isEmpty) sharded
+      else
+        sharded
+          .join(
+            broadcast(offsets.toSeq.toDF("shard", "_off")), Seq("shard"), "left")
+          .withColumn("seq", col("seq") + coalesce(col("_off"), lit(0L)))
+    // materialize BEFORE any state moves: the shipped rows both feed
+    // the state updates and outlive them
+    val shipped = withOff
+      .select("shard", "seq", "doc_id", "source", "_weight")
+      .localCheckpoint(true)
+
+    // ---- fold the batch into every state
+    appendDedupState()
+    if (budgetOn) {
+      val spent = shipped.groupBy("source")
+        .agg(sum("_weight").cast("long").as("w")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      (consumed.keySet ++ spent.keySet).toSeq.sorted
+        .map(src => (src, consumed.getOrElse(src, 0L) + spent.getOrElse(src, 0L)))
+        .toDF("source", "consumed")
+        .write.mode("overwrite").saveAsTable(budgetTbl)
+    }
+    val counts = shipped.groupBy("shard").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0L until cfg.numShards.toLong)
+      .map(s0 => (s0, offsets.getOrElse(s0, 0L) + counts.getOrElse(s0, 0L)))
+      .toDF("shard", "n")
+      .write.mode("overwrite").saveAsTable(offTbl)
+    shipped.select("shard", "seq", "doc_id", "source")
   }
 }

@@ -2174,4 +2174,226 @@ class PipelineOpsSpec extends AnyFunSuite {
     Dedup.unpersistAll()
     assert(viaOp == viaPacked && viaOp.nonEmpty)
   }
+
+  test("hashedLinearScore: margin equals the hand fold in integer ppm, stays one narrow projection; weights loader guards") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha alpha alpha alpha alpha"),
+      (3L, "unrelated words entirely here now"))
+      .toDF("doc_id", "text")
+    val b = 64
+    val w = Array.tabulate(b)(i => ((i.toLong * 37L) % 101L) - 50L)
+    val out = TextAnalysis
+      .hashedLinearScore(docs, w, biasPpm = 10L, thresholdPpm = 10L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    // hand fold over the SAME word hashes the operator consumes
+    val hashes = docs
+      .select(
+        col("doc_id"),
+        expr(graft.functions.TextExprs.wordHashArraySpark(
+          graft.functions.TextExprs.wordsSpark("text"))).as("wh"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(hashes.nonEmpty && hashes.values.forall(_.nonEmpty))
+    hashes.foreach { case (id, hs) =>
+      val margin = 10L * hs.length + hs.map(h => w((h % b).toInt)).sum
+      assert(out(id) == ((hs.length.toLong, margin, margin >= 10L * hs.length)),
+        s"doc $id: ${out(id)} vs hand margin $margin")
+    }
+    // loader: dense round trip, zero default, range + duplicate guards
+    val loaded = TextAnalysis.hashedLinearWeights(
+      Seq((0L, 5L), (63L, -7L)).toDF("bucket", "weight_ppm"), 64)
+    assert(loaded(0) == 5L && loaded(63) == -7L && loaded(5) == 0L)
+    intercept[IllegalArgumentException](TextAnalysis.hashedLinearWeights(
+      Seq((64L, 1L)).toDF("bucket", "weight_ppm"), 64))
+    intercept[IllegalArgumentException](TextAnalysis.hashedLinearWeights(
+      Seq((1L, 1L), (1L, 2L)).toDF("bucket", "weight_ppm"), 64))
+    // the whole scorer is one narrow projection — no shuffle, no join
+    val plan = TextAnalysis.hashedLinearScore(docs, w)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  // ---- runIngest: the steady-state export ----
+
+  private def dropIngestState(p: String): Unit =
+    Seq(
+      s"${p}_dedup", s"${p}_dedup_compact_tmp", s"${p}_dedup_tombstones",
+      s"${p}_sigs", s"${p}_sigs_compact_tmp", s"${p}_sigs_tombstones",
+      s"${p}_budget", s"${p}_offsets")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+
+  test("runIngest: arrival-order dedup across batches, idempotent re-ingest, dense cross-batch seq") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val p = "ingest_spec_arrival"
+    dropIngestState(p)
+    val cfg = allOff.copy(dedup = DedupExact, numShards = 4)
+    val bench = matrixDocs.filter(col("doc_id") === 1L)
+    def mk(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "source", "text")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    try {
+      val b0 = matrixDocs.filter(col("doc_id") <= 8L)
+      val s0 = TrainingExport.runIngest(b0, bench, cfg, p)
+      Dedup.unpersistAll()
+      assert(s0.count() == 8L, "first ingest ships every distinct doc")
+      // batch 1: byte-copies of batch-0 docs — including one with a
+      // SMALLER id than its original — are rejected (arrival wins,
+      // not min id); a genuinely new doc ships
+      val t1 = matrixDocs.filter(col("doc_id") === 1L)
+        .head().getString(2)
+      val b1 = mk(Seq(
+        (0L, "src1", t1), // smaller id than the batch-0 owner (1L)
+        (901L, "src0", "a genuinely new document about nothing else zzz")))
+        .unionByName(matrixDocs.filter(col("doc_id") === 102L)) // copy of 2
+      val s1 = TrainingExport.runIngest(b1, bench, cfg, p)
+      Dedup.unpersistAll()
+      val shipped1 = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(shipped1 == Set(901L),
+        s"copies must lose to first arrival whatever their id: $shipped1")
+      // batch 2: re-ingesting batch 0 verbatim ships nothing
+      val s2 = TrainingExport.runIngest(b0, bench, cfg, p)
+      Dedup.unpersistAll()
+      assert(s2.count() == 0L, "re-ingest is idempotent")
+      // seq is dense 1..n per shard ACROSS the three ingests
+      val all = s0.unionByName(s1).unionByName(s2)
+        .select("shard", "seq").collect().map(r => (r.getLong(0), r.getLong(1)))
+      all.groupBy(_._1).foreach { case (sh, rows) =>
+        val seqs = rows.map(_._2).sorted.toSeq
+        assert(seqs == (1L to rows.length.toLong).toSeq,
+          s"shard $sh seqs not dense: $seqs")
+      }
+    } finally dropIngestState(p)
+  }
+
+  test("runIngest: budgets are corpus-lifetime ceilings and a budget-rejected doc keeps its identity slot") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val p = "ingest_spec_budget"
+    dropIngestState(p)
+    // texts sized exactly: A and B 60 chars, C 30, D 50 — budget 100
+    def padTo(base: String, n: Int) =
+      (base + " " + ("x " * n)).take(n)
+    val cfg = allOff.copy(
+      dedup = DedupExact,
+      budgets = Seq("src0" -> 100L), defaultBudget = 0L, numShards = 2)
+    def mk(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, "src0", t) }
+        .toDF("doc_id", "source", "text")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    val bench = mk(Seq((7777L, "benchmark text nothing shares this")))
+    try {
+      // batch 0: two 60-char docs — exactly one fits the 100 budget
+      val a = padTo("alpha doc words", 60)
+      val b = padTo("bravo doc words", 60)
+      val s0 = TrainingExport.runIngest(mk(Seq((1L, a), (2L, b))), bench, cfg, p)
+      Dedup.unpersistAll()
+      val k0 = s0.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(k0.size == 1, s"one 60-char doc fits budget 100: $k0")
+      val rejected = (Set(1L, 2L) -- k0).head
+      val rejectedText = if (rejected == 1L) a else b
+      // batch 1: a byte-copy of the BUDGET-rejected doc — identity is
+      // permanent, so it is still a duplicate even though the budget
+      // has room; a new 30-char doc fills the remaining 40
+      val s1 = TrainingExport.runIngest(
+        mk(Seq((10L, rejectedText), (11L, padTo("charlie doc", 30)))),
+        bench, cfg, p)
+      Dedup.unpersistAll()
+      val k1 = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(k1 == Set(11L),
+        s"copy of the budget-rejected doc must not ship: $k1")
+      // batch 2: remaining budget is 100-60-30 = 10 — a 50-char doc
+      // does not fit, even though a fresh batch-run would admit it
+      val s2 = TrainingExport.runIngest(
+        mk(Seq((20L, padTo("delta doc words", 50)))), bench, cfg, p)
+      Dedup.unpersistAll()
+      assert(s2.count() == 0L, "the lifetime ceiling binds across ingests")
+      // the persisted consumed state reads exactly what shipped
+      val consumed = spark.table(s"${p}_budget").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(consumed == Map("src0" -> 90L), s"consumed: $consumed")
+    } finally dropIngestState(p)
+  }
+
+  test("runIngest near-dup and simhash stages probe their persisted states; the sigs state grows by the whole batch") {
+    import graft.operators.Dedup
+    val bench = matrixDocs.filter(col("doc_id") === 1L)
+    // near-dup: batch 0 = bases, batch 1 = the +200 tail copies — all
+    // rejected against the persisted band+signature state
+    val p1 = "ingest_spec_nd"
+    dropIngestState(p1)
+    try {
+      val cfg = allOff.copy(dedup = DedupNearDup(), numShards = 4)
+      val s0 = TrainingExport.runIngest(
+        matrixDocs.filter(col("doc_id") <= 8L), bench, cfg, p1)
+      Dedup.unpersistAll()
+      assert(s0.count() == 8L)
+      val sigRows0 = spark.table(s"${p1}_sigs").count()
+      assert(sigRows0 == 8L, "every batch doc's signature persists")
+      val s1 = TrainingExport.runIngest(
+        matrixDocs.filter(col("doc_id") > 200L), bench, cfg, p1)
+      Dedup.unpersistAll()
+      assert(s1.count() == 0L, "near-dup tail copies lose to the corpus state")
+      // seen-corpus policy: the rejected batch's signatures persist too
+      assert(spark.table(s"${p1}_sigs").count() == sigRows0 + 8L)
+    } finally dropIngestState(p1)
+    // simhash: the drifted copies sit within Hamming 4 of their
+    // source-blocked originals — rejected by the segment state
+    val p2 = "ingest_spec_sh"
+    dropIngestState(p2)
+    try {
+      import graft.pipelines.TrainingExport.DedupSimHash
+      val cfg = allOff.copy(dedup = DedupSimHash(), numShards = 4)
+      val s0 = TrainingExport.runIngest(
+        matrixDocs.filter(col("doc_id") <= 8L), bench, cfg, p2)
+      Dedup.unpersistAll()
+      // the matrix bases share 2/3 of their tokens, so bases MERGE
+      // within a source block (the batch-stage test pins the same):
+      // survivors are a nonempty subset of the bases — docs with no
+      // smaller-id partner within the radius
+      val k0 = s0.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(k0.nonEmpty && k0.subsetOf((1L to 8L).toSet), s"got $k0")
+      val s1 = TrainingExport.runIngest(
+        matrixDocs.filter(col("doc_id") > 200L), bench, cfg, p2)
+      Dedup.unpersistAll()
+      assert(s1.count() == 0L, "fingerprint-drift copies lose to the segment state")
+    } finally dropIngestState(p2)
+  }
+
+  test("runIngest fail-fasts: finer granularities, non-char currency, numShards drift") {
+    import graft.operators.Dedup
+    val bench = matrixDocs.filter(col("doc_id") === 1L)
+    val e1 = intercept[IllegalArgumentException] {
+      TrainingExport.runIngest(
+        matrixDocs, bench, allOff.copy(paragraphDedup = true), "ingest_spec_ff")
+    }
+    assert(e1.getMessage.contains("paragraphIngestStep"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      TrainingExport.runIngest(
+        matrixDocs, bench,
+        allOff.copy(
+          budgets = Seq("src0" -> 100L),
+          budgetCurrency = TrainingExport.BudgetWordPieceTokens()),
+        "ingest_spec_ff")
+    }
+    assert(e2.getMessage.contains("n_chars"), e2.getMessage)
+    val p = "ingest_spec_shards"
+    dropIngestState(p)
+    try {
+      TrainingExport.runIngest(
+        matrixDocs.filter(col("doc_id") <= 4L), bench,
+        allOff.copy(numShards = 4), p)
+      Dedup.unpersistAll()
+      val e3 = intercept[IllegalArgumentException] {
+        TrainingExport.runIngest(
+          matrixDocs.filter(col("doc_id") > 4L), bench,
+          allOff.copy(numShards = 8), p)
+      }
+      assert(e3.getMessage.contains("numShards"), e3.getMessage)
+    } finally dropIngestState(p)
+  }
 }
