@@ -2551,6 +2551,49 @@ object ExtensionQueries {
       }
       out.orderBy("shard", "seq")
     }),
+    "q_pipeline_chunk_ingest_export" -> ((s, dir) => {
+      // the steady-state export at CHUNK granularity
+      // (TrainingExport.runChunksIngest): the doc-granularity ingest
+      // front, then each batch's clean text chunks and probes the
+      // persisted chunk-key state (first-arrival-wins at the chunk
+      // key), survivors fill the remaining cumulative budget in
+      // CHUNK TOKENS hashed on the packed identity, and shard seq
+      // continues densely. The oracle replays the chunk-cut CTEs and
+      // the same chained arrival fold on chunk rows.
+      val corpus = Corpus.docCorpus(s, dir)
+      val bench = Tables.documents(s, dir).filter(col("doc_id") % 97 === 0)
+      val p = "graft_ingest_export_ck_" +
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+          .replaceAll("[^A-Za-z0-9]", "_")
+      val cfg = graft.pipelines.TrainingExport.Config(
+        curate = true,
+        dedup = graft.pipelines.TrainingExport.DedupExact,
+        contaminationMaxPpm = Some(500000L),
+        budgets = Seq("src0" -> 500L, "src1" -> 350L),
+        defaultBudget = 400L,
+        numShards = 4)
+      val shufKey = "spark.sql.shuffle.partitions"
+      val prevShuf = s.conf.get(shufKey)
+      var out: org.apache.spark.sql.DataFrame = null
+      try {
+        s.conf.set(shufKey, "8")
+        (0 until 3).foreach { b =>
+          Dedup.unpersistAll()
+          val batch = corpus.filter(pmod(col("doc_id"), lit(3)) === b)
+          val shipped = graft.pipelines.TrainingExport.runChunksIngest(
+            batch, bench, cfg, p, chunkTokens = 30, strideTokens = 20,
+            buckets = 8)
+          out = if (out == null) shipped else out.unionByName(shipped)
+        }
+      } finally {
+        s.conf.set(shufKey, prevShuf)
+        Seq("_dedup", "_dedup_compact_tmp", "_dedup_tombstones",
+          "_chunks", "_chunks_compact_tmp", "_chunks_tombstones",
+          "_budget", "_offsets")
+          .foreach(sfx => s.sql(s"DROP TABLE IF EXISTS `$p$sfx`"))
+      }
+      out.orderBy("shard", "seq")
+    }),
     "q_train_shards" -> ((s, dir) => {
       // deterministic global shuffle + shard assignment for training
       // export: shard AND within-shard position are pure hash
@@ -3260,10 +3303,14 @@ object ExtensionQueries {
     */
   private def ingestExportPipelineSql(
       budgets: Seq[(String, Long)], defaultBudget: Long,
-      numBatches: Int, numShards: Int, dedupMode: String): String = {
-    val h = charHashDuck("CAST(doc_id AS VARCHAR)")
+      numBatches: Int, numShards: Int, dedupMode: String,
+      chunkExport: Option[(Int, Int)] = None): String = {
+    // the budget/shard identity: doc_id for the doc tail, the packed
+    // chunk id for the chunk tail (runChunksIngest's _cid)
+    val idc = if (chunkExport.isEmpty) "doc_id" else "cid"
+    val h = charHashDuck(s"CAST($idc AS VARCHAR)")
     val mh = graft.operators.Sampling.mixedHash(h)
-    val hc = charHashDuck("CAST(c.doc_id AS VARCHAR)")
+    val hc = charHashDuck(s"CAST(c.$idc AS VARCHAR)")
     val mhc = graft.operators.Sampling.mixedHash(hc)
     val b = graft.operators.Sampling.budgetCase("source", budgets, defaultBudget)
     val guard = s"${tokenCountDuck("text")} >= 3"
@@ -3310,34 +3357,61 @@ object ExtensionQueries {
            |)""".stripMargin
       case other => sys.error(s"unknown ingest dedup mode: $other")
     }
+    // candidate relation + weight for the budget fold: clean docs
+    // billed in chars (the doc tail) or kept chunks billed in chunk
+    // tokens (the chunk tail)
+    val (candRel, wCol, idCols) = chunkExport match {
+      case None => ("clean", "n_chars", "doc_id")
+      case Some(_) => ("ckk", "n_tokens", "doc_id, chunk_id, cid")
+    }
+    val lim = 1L << graft.operators.Dedup.ChunkIdBits
+    val chunkCtes = chunkExport.map { case (ct, st) =>
+      s""", ${TextAnalysis.chunkDocumentsDuckCtes(ct, st, "clean")}, ck AS (
+         |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |         CAST(len(ck) AS BIGINT) AS n_tokens,
+         |         array_to_string(ck, ' ') AS chunk_text
+         |  FROM s
+         |), ckb AS (
+         |  SELECT k.*, cl.source, cl.batch, k.doc_id * $lim + k.chunk_id AS cid
+         |  FROM ck k JOIN clean cl USING (doc_id)
+         |), ckk AS (
+         |  SELECT doc_id, chunk_id, n_tokens, source, batch, cid FROM (
+         |    SELECT *, (ROW_NUMBER() OVER (
+         |       PARTITION BY lower(trim(chunk_text))
+         |       ORDER BY batch, doc_id, chunk_id) = 1) AS keep
+         |    FROM ckb) WHERE keep
+         |)""".stripMargin
+    }.getOrElse("")
+    val cIdCols = idCols.split(", ").map(c => s"c.$c").mkString(", ")
     val batchCtes = (0 until numBatches).map { k =>
       val carry =
         if (k == 0) "0"
         else s"COALESCE(s${k - 1}.spent, 0)"
       val join = if (k == 0) "" else s" LEFT JOIN s${k - 1} USING (source)"
       val spentK =
-        if (k == 0) "SELECT source, SUM(n_chars) AS spent FROM k0 GROUP BY source"
+        if (k == 0) s"SELECT source, SUM($wCol) AS spent FROM k0 GROUP BY source"
         else
           s"""SELECT source, SUM(spent) AS spent FROM (
              |    SELECT source, spent FROM s${k - 1}
              |    UNION ALL
-             |    SELECT source, SUM(n_chars) AS spent FROM k$k GROUP BY source
+             |    SELECT source, SUM($wCol) AS spent FROM k$k GROUP BY source
              |  ) GROUP BY source""".stripMargin
       s"""b$k AS (
-         |  SELECT c.doc_id, c.source, c.n_chars,
-         |    $carry + SUM(c.n_chars) OVER (
-         |      PARTITION BY c.source ORDER BY ($mhc), c.doc_id
+         |  SELECT $cIdCols, c.source, c.$wCol,
+         |    $carry + SUM(c.$wCol) OVER (
+         |      PARTITION BY c.source ORDER BY ($mhc), c.$idc
          |      ROWS UNBOUNDED PRECEDING) AS rw
-         |  FROM clean c$join WHERE c.batch = $k
+         |  FROM $candRel c$join WHERE c.batch = $k
          |), k$k AS (
-         |  SELECT doc_id, source, n_chars FROM b$k WHERE rw <= ($b)
+         |  SELECT $idCols, source, $wCol FROM b$k WHERE rw <= ($b)
          |), s$k AS (
          |  $spentK
          |)""".stripMargin
     }.mkString(", ")
     val ship = (0 until numBatches)
-      .map(k => s"SELECT doc_id, source, $k AS batch FROM k$k")
+      .map(k => s"SELECT $idCols, source, $k AS batch FROM k$k")
       .mkString("\n  UNION ALL\n  ")
+    val outIds = if (chunkExport.isEmpty) "doc_id" else "doc_id, chunk_id"
     s"""WITH allc AS (
        |${graft.sources.Corpus.docCorpusSql}
        |), m AS (
@@ -3368,19 +3442,19 @@ object ExtensionQueries {
        |  FROM e LEFT JOIN bg USING (gram)
        |  GROUP BY e.doc_id, e.n_grams
        |), clean AS (
-       |  SELECT d.doc_id, d.source, d.n_chars, d.batch FROM dd d JOIN cont USING (doc_id)
+       |  SELECT d.doc_id, d.text, d.source, d.n_chars, d.batch FROM dd d JOIN cont USING (doc_id)
        |  WHERE cont.contamination_ppm < 500000
-       |), $batchCtes, ship AS (
+       |)$chunkCtes, $batchCtes, ship AS (
        |  $ship
        |), sh AS (
-       |  SELECT doc_id, source, batch,
+       |  SELECT $idCols, source, batch,
        |    CAST(($mh) % $numShards AS BIGINT) AS shard,
        |    ((($mh) + 1) * 2246822519) % 1000000007 AS m2
        |  FROM ship
        |)
        |SELECT shard,
-       |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY batch, m2, doc_id) AS BIGINT) AS seq,
-       |  doc_id, source
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY batch, m2, $idc) AS BIGINT) AS seq,
+       |  $outIds, source
        |FROM sh ORDER BY shard, seq""".stripMargin
   }
 
@@ -5452,6 +5526,17 @@ object ExtensionQueries {
       ingestExportPipelineSql(
         Seq("src0" -> 4000L, "src1" -> 2000L), 3000L,
         numBatches = 3, numShards = 4, dedupMode = "simhash"),
+
+    "q_pipeline_chunk_ingest_export" ->
+      // the chunk-granularity fold: the doc front's arrival replay,
+      // then the shared chunk-cut CTEs, arrival-order chunk keep
+      // (first (batch, doc, chunk) per normalized chunk text), and
+      // the chained budget CTEs on CHUNK TOKENS hashed on the packed
+      // identity
+      ingestExportPipelineSql(
+        Seq("src0" -> 500L, "src1" -> 350L), 400L,
+        numBatches = 3, numShards = 4, dedupMode = "exact",
+        chunkExport = Some((30, 20))),
 
     "q_pipeline_train_export_neardup" -> {
       val h = graft.functions.TextExprs.charHashDuck("CAST(doc_id AS VARCHAR)")

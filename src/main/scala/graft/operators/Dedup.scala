@@ -1980,9 +1980,10 @@ object Dedup {
       chunkTokens: Int = 128,
       strideTokens: Int = 96,
       textCol: String = "text",
-      idCol: String = "doc_id"): (DataFrame, DataFrame) = {
+      idCol: String = "doc_id",
+      passthroughCols: Seq[String] = Seq.empty): (DataFrame, DataFrame) = {
     val chunks = TextAnalysis.chunkDocuments(
-      batch, chunkTokens, strideTokens, textCol, idCol)
+      batch, chunkTokens, strideTokens, textCol, idCol, passthroughCols)
     val stateProbe = adaptLineState(stateKeys, "chunkIngestStep")
     val key = lower(trim(col("chunk_text")))
     val (h1, h2) = lineFp(key)

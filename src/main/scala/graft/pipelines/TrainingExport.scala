@@ -502,6 +502,28 @@ object TrainingExport {
     * (shard, seq, doc_id, source), already materialized — state
     * updates land before the method returns, so the frame stays valid
     * across later ingests and state drops.
+    *
+    * CRASH CONTRACT (at-least-once callers): states fold in the order
+    * dedup → budget → offsets, after the shipped frame materializes.
+    * A crash INSIDE that window can leave the dedup state holding the
+    * batch while budget/offsets never billed it; re-running the batch
+    * then ships nothing (the dedup state claims every doc) and the
+    * batch's text is lost to the corpus — the same first-wins
+    * property every state table documents for takedowns. The remedy
+    * is the takedown verb itself:
+    * [[graft.operators.Dedup.deleteFromStateTable]] (or the
+    * table-specific alias) with the batch's doc ids frees their slots
+    * and a re-ingest ships them fresh (spec-pinned). This ordering is
+    * deliberate: the failure mode is bounded capacity UNDER-use (one
+    * batch's weight never billed), never duplicate shipping or seq
+    * collisions — the reverse order would re-ship rows under fresh
+    * seqs on retry, corrupting the trainer's manifest.
+    *
+    * [[DedupNearDup]]/[[DedupSimHash]] knobs note: the batch forms'
+    * `numPartitions`/`propagateRounds` size their connected-components
+    * step; the ingest form has no components (arrival order resolves
+    * every cluster — first in wins, the rest reject pairwise), so
+    * those two fields are inert here.
     */
   def runIngest(
       batch: DataFrame,
@@ -530,18 +552,160 @@ object TrainingExport {
     val h = hashExpr.getOrElse(
       graft.functions.TextExprs.charHashSpark("CAST(doc_id AS STRING)"))
     val gated = gateDocs(batch, cfg)
+    val (accepted, appendDedupState) =
+      ingestDedupStage(gated, cfg, statePrefix, buckets, maxFilesPerBucket)
+    val clean = decontaminate(accepted, benchmark, cfg)
 
-    // ---- dedup vs the persisted state (probe now, append after the
-    // shipped frame materializes — the state must not move under the
-    // plan that reads it)
+    // ---- cumulative budget: this batch fills the REMAINING budget
+    val budgetTbl = s"${statePrefix}_budget"
+    val budgetOn = cfg.budgets.nonEmpty
+    val consumed = readConsumed(spark, budgetTbl, budgetOn)
+    val weighted = clean.select(
+      col("doc_id"), col("source"), col("n_chars").cast("long").as("_weight"))
+    val sampled =
+      if (!budgetOn) weighted
+      else Sampling
+        .mixtureByBudget(
+          weighted, "source", "_weight", h, "doc_id",
+          remainingBudgets(cfg, consumed), cfg.defaultBudget)
+        .drop("running_weight")
+
+    // ---- shard with cross-ingest seq continuation
+    val offTbl = s"${statePrefix}_offsets"
+    val offsets = readOffsets(spark, offTbl, cfg.numShards)
+    val withOff = applyOffsets(
+      Sampling.shardForTraining(sampled, "doc_id", h, cfg.numShards), offsets)
+    // materialize BEFORE any state moves: the shipped rows both feed
+    // the state updates and outlive them
+    val shipped = withOff
+      .select("shard", "seq", "doc_id", "source", "_weight")
+      .localCheckpoint(true)
+
+    // ---- fold the batch into every state
+    appendDedupState()
+    if (budgetOn) writeConsumed(spark, budgetTbl, consumed, shipped)
+    writeOffsets(spark, offTbl, offsets, shipped, cfg.numShards)
+    shipped.select("shard", "seq", "doc_id", "source")
+  }
+
+  /** [[runIngest]] at CHUNK granularity — [[runChunks]]'s incremental
+    * form, completing the steady-state axis at the RAG-prep shape:
+    * the batch runs the document-granularity ingest front (stateless
+    * gates, dedup vs the persisted doc state, decontamination), then
+    * its clean text chunks and probes the persisted CHUNK-key state
+    * ([[graft.operators.Dedup.chunkIngestStep]] — first-ARRIVAL-wins,
+    * first (doc_id, chunk_id) within the batch), survivors fill the
+    * REMAINING cumulative per-source budget in CHUNK TOKENS (the
+    * chunker's own count — [[runChunks]]'s billing contract), and
+    * shard seq continues densely on the packed chunk identity. State
+    * tables: the [[runIngest]] set plus `<p>_chunks` (the line-table
+    * layout at chunk granularity, cadence-compacted). Same acceptance
+    * semantics and single-writer contract as [[runIngest]]; returns
+    * (shard, seq, doc_id, chunk_id, source), materialized.
+    */
+  def runChunksIngest(
+      batch: DataFrame,
+      benchmark: => DataFrame,
+      cfg: Config,
+      statePrefix: String,
+      chunkTokens: Int = 128,
+      strideTokens: Int = 96,
+      hashExpr: Option[String] = None,
+      buckets: Int = Dedup.BandTableBuckets,
+      maxFilesPerBucket: Int = 4): DataFrame = {
+    val spark = batch.sparkSession
+    require(cfg.numShards >= 1, s"numShards must be >= 1, got ${cfg.numShards}")
+    require(
+      !cfg.paragraphDedup && cfg.spanDedup.isEmpty &&
+        !cfg.semanticDedup && cfg.mediaDedup.isEmpty,
+      "runChunksIngest composes the DOCUMENT-granularity front plus the chunk " +
+        "state; the finer doc granularities ingest against their own persisted " +
+        "states (see runIngest's fail-fast) — compose them ahead of this call")
+    // same rejection as runChunks: chunk budgets bill in the chunker's
+    // own token count, and a silently different currency would admit
+    // 1.3-2x the text the budgets specify
+    require(cfg.budgetCurrency == BudgetChars,
+      "runChunksIngest bills cumulative budgets in CHUNK TOKENS (the chunker's " +
+        "n_tokens); budgetCurrency = BudgetWordPieceTokens is not supported at " +
+        "chunk granularity — size the budgets in chunk tokens and keep BudgetChars")
+    graft.functions.PolyHash.register(spark)
+    val gated = gateDocs(batch, cfg)
+    val (accepted, appendDedupState) =
+      ingestDedupStage(gated, cfg, statePrefix, buckets, maxFilesPerBucket)
+    val clean = decontaminate(accepted, benchmark, cfg)
+
+    // ---- chunk + probe the persisted chunk-key state
+    val chunkTbl = s"${statePrefix}_chunks"
+    if (!spark.catalog.tableExists(chunkTbl))
+      Dedup.writeChunkTable(
+        clean.limit(0), chunkTbl, buckets, chunkTokens, strideTokens)
+    val (markedChunks, newChunkKeys) = Dedup.chunkIngestStep(
+      clean, Dedup.stateTableLive(spark, chunkTbl), chunkTokens, strideTokens,
+      passthroughCols = Seq("source"))
+    val kept = markedChunks
+      .filter(col("keep"))
+      .withColumn("_cid", Dedup.packedChunkId(col("doc_id"), col("chunk_id")))
+    val h = hashExpr.getOrElse(
+      graft.functions.TextExprs.charHashSpark("CAST(_cid AS STRING)"))
+
+    // ---- cumulative chunk-token budget + cross-ingest seq
+    val budgetTbl = s"${statePrefix}_budget"
+    val budgetOn = cfg.budgets.nonEmpty
+    val consumed = readConsumed(spark, budgetTbl, budgetOn)
+    val weighted = kept.select(
+      col("_cid"), col("doc_id"), col("chunk_id"), col("source"),
+      col("n_tokens").cast("long").as("_weight"))
+    val sampled =
+      if (!budgetOn) weighted
+      else Sampling
+        .mixtureByBudget(
+          weighted, "source", "_weight", h, "_cid",
+          remainingBudgets(cfg, consumed), cfg.defaultBudget)
+        .drop("running_weight")
+    val offTbl = s"${statePrefix}_offsets"
+    val offsets = readOffsets(spark, offTbl, cfg.numShards)
+    val withOff = applyOffsets(
+      Sampling.shardForTraining(sampled, "_cid", h, cfg.numShards), offsets)
+    val shipped = withOff
+      .select("shard", "seq", "doc_id", "chunk_id", "source", "_weight")
+      .localCheckpoint(true)
+
+    // ---- fold the batch into every state. ORDER MATTERS: the chunk
+    // keys' lineage reads the DOC state table (markedChunks sits
+    // downstream of the doc probe), and the doc append can trigger a
+    // compaction that swaps that table's files out from under any
+    // plan later forced to re-evaluate (the tracked persist is
+    // dropped by Spark's own cache invalidation at the append) — so
+    // the downstream-most state folds FIRST, and each append only
+    // ever re-reads tables no earlier fold has moved
+    Dedup.appendAndMaybeCompactLines(
+      newChunkKeys, chunkTbl, buckets, maxFilesPerBucket)
+    appendDedupState()
+    if (budgetOn) writeConsumed(spark, budgetTbl, consumed, shipped)
+    writeOffsets(spark, offTbl, offsets, shipped, cfg.numShards)
+    shipped.select("shard", "seq", "doc_id", "chunk_id", "source")
+  }
+
+  /** The ingest DEDUP stage shared by [[runIngest]] and
+    * [[runChunksIngest]]: probe the persisted state under
+    * first-arrival-wins, return (accepted docs, a thunk that folds
+    * the batch into the state). The thunk runs AFTER the shipped
+    * frame materializes — the state must not move under the plan
+    * that reads it.
+    */
+  private def ingestDedupStage(
+      gated: DataFrame, cfg: Config, statePrefix: String,
+      buckets: Int, maxFilesPerBucket: Int): (DataFrame, () => Unit) = {
+    val spark = gated.sparkSession
     val dedupTbl = s"${statePrefix}_dedup"
     val sigsTbl = s"${statePrefix}_sigs"
-    val (accepted, appendDedupState): (DataFrame, () => Unit) = cfg.dedup match {
+    cfg.dedup match {
       case DedupOff => (gated, () => ())
       case DedupExact =>
         if (!spark.catalog.tableExists(dedupTbl))
           Dedup.writeDocTable(gated.limit(0), dedupTbl, buckets)
-        val (marked, newKeys) = Dedup.docIngestStep(gated, spark.table(dedupTbl))
+        val (marked, newKeys) = Dedup.docIngestStep(
+          gated, Dedup.stateTableLive(spark, dedupTbl))
         (marked.filter(col("keep")).drop("keep"),
           () => { Dedup.appendAndMaybeCompactLines(
             newKeys, dedupTbl, buckets, maxFilesPerBucket); () })
@@ -555,7 +719,9 @@ object TrainingExport {
           Dedup.writeSignatureTable(sigs.limit(0), sigsTbl, buckets)
         val vsSeen = Dedup
           .minhashPairsAgainstBandTable(
-            sigs, spark.table(dedupTbl), spark.table(sigsTbl))
+            sigs,
+            Dedup.stateTableLive(spark, dedupTbl),
+            Dedup.stateTableLive(spark, sigsTbl))
           .select(col("new_id").as("_rid"))
         val within = Dedup.minhashPairsAgainstSignatures(sigs, sigs)
           .filter(col("new_id") < col("corpus_id"))
@@ -582,88 +748,100 @@ object TrainingExport {
             buckets = buckets,
             maxFilesPerBucket = maxFilesPerBucket); () })
     }
+  }
 
-    // ---- decontamination (stateless, like the batch front)
-    val clean = cfg.contaminationMaxPpm match {
-      case None => accepted
+  /** The stateless decontamination gate shared by the batch front and
+    * both ingest forms.
+    */
+  private def decontaminate(
+      docs: DataFrame, benchmark: => DataFrame, cfg: Config): DataFrame =
+    cfg.contaminationMaxPpm match {
+      case None => docs
       case Some(maxPpm) =>
-        accepted.join(
-          TextAnalysis.contamination(accepted, benchmark)
+        docs.join(
+          TextAnalysis.contamination(docs, benchmark)
             .filter(col("contamination_ppm") < maxPpm)
             .select("doc_id"),
           Seq("doc_id"), "left_semi")
     }
 
-    // ---- cumulative budget: this batch fills the REMAINING budget
-    val budgetTbl = s"${statePrefix}_budget"
-    val budgetOn = cfg.budgets.nonEmpty
-    val consumed: Map[String, Long] =
-      if (!budgetOn || !spark.catalog.tableExists(budgetTbl)) Map.empty
-      else {
-        val rows = spark.table(budgetTbl).limit(MaxBudgetSources + 1).collect()
-        require(rows.length <= MaxBudgetSources,
-          s"budget state '$budgetTbl' holds more than $MaxBudgetSources sources — " +
-            "the stratum column is not a source label; re-key the corpus")
-        rows.map(r => r.getString(0) -> r.getLong(1)).toMap
-      }
-    val weighted = clean.select(
-      col("doc_id"), col("source"), col("n_chars").cast("long").as("_weight"))
-    val sampled =
-      if (!budgetOn) weighted
-      else {
-        val named = cfg.budgets.toMap
-        val remaining = (named.keySet ++ consumed.keySet).toSeq.sorted.map(src =>
-          src -> math.max(
-            0L, named.getOrElse(src, cfg.defaultBudget) - consumed.getOrElse(src, 0L)))
-        Sampling
-          .mixtureByBudget(
-            weighted, "source", "_weight", h, "doc_id", remaining, cfg.defaultBudget)
-          .drop("running_weight")
-      }
-
-    // ---- shard with cross-ingest seq continuation
-    val offTbl = s"${statePrefix}_offsets"
-    val offsets: Map[Long, Long] =
-      if (!spark.catalog.tableExists(offTbl)) Map.empty
-      else {
-        val rows = spark.table(offTbl).collect()
-        require(rows.length == cfg.numShards,
-          s"shard-offset state '$offTbl' was written with ${rows.length} shards " +
-            s"but this ingest asks for ${cfg.numShards} — numShards is fixed at " +
-            "the first ingest (shard placement is a pure hash mod numShards)")
-        rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
-      }
-    val sharded = Sampling.shardForTraining(sampled, "doc_id", h, cfg.numShards)
-    val withOff =
-      if (offsets.isEmpty) sharded
-      else
-        sharded
-          .join(
-            broadcast(offsets.toSeq.toDF("shard", "_off")), Seq("shard"), "left")
-          .withColumn("seq", col("seq") + coalesce(col("_off"), lit(0L)))
-    // materialize BEFORE any state moves: the shipped rows both feed
-    // the state updates and outlive them
-    val shipped = withOff
-      .select("shard", "seq", "doc_id", "source", "_weight")
-      .localCheckpoint(true)
-
-    // ---- fold the batch into every state
-    appendDedupState()
-    if (budgetOn) {
-      val spent = shipped.groupBy("source")
-        .agg(sum("_weight").cast("long").as("w")).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      (consumed.keySet ++ spent.keySet).toSeq.sorted
-        .map(src => (src, consumed.getOrElse(src, 0L) + spent.getOrElse(src, 0L)))
-        .toDF("source", "consumed")
-        .write.mode("overwrite").saveAsTable(budgetTbl)
+  /** Read the persisted consumed-per-source budget state (bounded by
+    * [[MaxBudgetSources]] — checked, not assumed).
+    */
+  private def readConsumed(
+      spark: org.apache.spark.sql.SparkSession, budgetTbl: String,
+      budgetOn: Boolean): Map[String, Long] =
+    if (!budgetOn || !spark.catalog.tableExists(budgetTbl)) Map.empty
+    else {
+      val rows = spark.table(budgetTbl).limit(MaxBudgetSources + 1).collect()
+      require(rows.length <= MaxBudgetSources,
+        s"budget state '$budgetTbl' holds more than $MaxBudgetSources sources — " +
+          "the stratum column is not a source label; re-key the corpus")
+      rows.map(r => r.getString(0) -> r.getLong(1)).toMap
     }
+
+  /** Per-source REMAINING budgets for this ingest: lifetime budget −
+    * consumed, floored at zero; sources seen only by earlier ingests
+    * get the default budget as their lifetime ceiling.
+    */
+  private def remainingBudgets(
+      cfg: Config, consumed: Map[String, Long]): Seq[(String, Long)] = {
+    val named = cfg.budgets.toMap
+    (named.keySet ++ consumed.keySet).toSeq.sorted.map(src =>
+      src -> math.max(
+        0L, named.getOrElse(src, cfg.defaultBudget) - consumed.getOrElse(src, 0L)))
+  }
+
+  private def writeConsumed(
+      spark: org.apache.spark.sql.SparkSession, budgetTbl: String,
+      consumed: Map[String, Long], shipped: DataFrame): Unit = {
+    import spark.implicits._
+    val spent = shipped.groupBy("source")
+      .agg(sum("_weight").cast("long").as("w")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    (consumed.keySet ++ spent.keySet).toSeq.sorted
+      .map(src => (src, consumed.getOrElse(src, 0L) + spent.getOrElse(src, 0L)))
+      .toDF("source", "consumed")
+      .write.mode("overwrite").saveAsTable(budgetTbl)
+  }
+
+  /** Read the per-shard row-count offsets; numShards is fixed at the
+    * first ingest (shard placement is a pure hash mod numShards).
+    */
+  private def readOffsets(
+      spark: org.apache.spark.sql.SparkSession, offTbl: String,
+      numShards: Int): Map[Long, Long] =
+    if (!spark.catalog.tableExists(offTbl)) Map.empty
+    else {
+      val rows = spark.table(offTbl).collect()
+      require(rows.length == numShards,
+        s"shard-offset state '$offTbl' was written with ${rows.length} shards " +
+          s"but this ingest asks for $numShards — numShards is fixed at " +
+          "the first ingest (shard placement is a pure hash mod numShards)")
+      rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+
+  private def applyOffsets(
+      sharded: DataFrame, offsets: Map[Long, Long]): DataFrame =
+    if (offsets.isEmpty) sharded
+    else {
+      val spark = sharded.sparkSession
+      import spark.implicits._
+      sharded
+        .join(broadcast(offsets.toSeq.toDF("shard", "_off")), Seq("shard"), "left")
+        .withColumn("seq", col("seq") + coalesce(col("_off"), lit(0L)))
+        .drop("_off")
+    }
+
+  private def writeOffsets(
+      spark: org.apache.spark.sql.SparkSession, offTbl: String,
+      offsets: Map[Long, Long], shipped: DataFrame, numShards: Int): Unit = {
+    import spark.implicits._
     val counts = shipped.groupBy("shard").count().collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
-    (0L until cfg.numShards.toLong)
+    (0L until numShards.toLong)
       .map(s0 => (s0, offsets.getOrElse(s0, 0L) + counts.getOrElse(s0, 0L)))
       .toDF("shard", "n")
       .write.mode("overwrite").saveAsTable(offTbl)
-    shipped.select("shard", "seq", "doc_id", "source")
   }
 }

@@ -2223,6 +2223,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     Seq(
       s"${p}_dedup", s"${p}_dedup_compact_tmp", s"${p}_dedup_tombstones",
       s"${p}_sigs", s"${p}_sigs_compact_tmp", s"${p}_sigs_tombstones",
+      s"${p}_chunks", s"${p}_chunks_compact_tmp", s"${p}_chunks_tombstones",
       s"${p}_budget", s"${p}_offsets")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
 
@@ -2259,8 +2260,19 @@ class PipelineOpsSpec extends AnyFunSuite {
       val s2 = TrainingExport.runIngest(b0, bench, cfg, p)
       Dedup.unpersistAll()
       assert(s2.count() == 0L, "re-ingest is idempotent")
-      // seq is dense 1..n per shard ACROSS the three ingests
-      val all = s0.unionByName(s1).unionByName(s2)
+      // the documented crash remedy: takedown of the batch owners
+      // frees their fingerprint slots, and a re-ingest ships them
+      // fresh (probes read the tombstone-masked live view)
+      Dedup.deleteFromLineTable(
+        matrixDocs.filter(col("doc_id") <= 8L).select("doc_id"),
+        s"${p}_dedup")
+      val s3 = TrainingExport.runIngest(b0, bench, cfg, p)
+      Dedup.unpersistAll()
+      assert(s3.count() == 8L,
+        "after takedown the re-ingested batch must ship again")
+      // seq is dense 1..n per shard ACROSS all four ingests (the
+      // post-takedown re-ship continues the offsets like any batch)
+      val all = s0.unionByName(s1).unionByName(s2).unionByName(s3)
         .select("shard", "seq").collect().map(r => (r.getLong(0), r.getLong(1)))
       all.groupBy(_._1).foreach { case (sh, rows) =>
         val seqs = rows.map(_._2).sorted.toSeq
@@ -2362,6 +2374,55 @@ class PipelineOpsSpec extends AnyFunSuite {
       Dedup.unpersistAll()
       assert(s1.count() == 0L, "fingerprint-drift copies lose to the segment state")
     } finally dropIngestState(p2)
+  }
+
+  test("runChunksIngest: cross-batch chunk keys fold, re-ingest ships nothing, seq continues densely") {
+    import spark.implicits._
+    import graft.operators.{Dedup, TextAnalysis}
+    val p = "ingest_spec_chunks"
+    dropIngestState(p)
+    // doc-level dedup OFF so the chunk state alone does the folding
+    val cfg = allOff.copy(numShards = 2)
+    def mk(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "source", "text")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    val bench = mk(Seq((7777L, "src0", "benchmark text nothing shares this")))
+    val base = "one two three four five six seven eight nine ten eleven twelve"
+    try {
+      val b0 = mk(Seq((1L, "src0", base)))
+      val s0 = TrainingExport.runChunksIngest(
+        b0, bench, cfg, p, chunkTokens = 8, strideTokens = 4)
+      Dedup.unpersistAll()
+      val n0 = s0.count()
+      assert(n0 >= 2, s"expected multiple chunks, got $n0")
+      // batch 1: a doc PREFIXED by the same text — its leading chunk
+      // windows are byte-identical to batch 0's and hold batch-0
+      // keys; only the genuinely new tail windows ship
+      val t1 = base + " alpha beta gamma delta epsilon zeta eta theta"
+      val b1 = mk(Seq((2L, "src0", t1)))
+      val c1 = TextAnalysis.chunkDocuments(b1, 8, 4).count()
+      val s1 = TrainingExport.runChunksIngest(
+        b1, bench, cfg, p, chunkTokens = 8, strideTokens = 4)
+      Dedup.unpersistAll()
+      val n1 = s1.count()
+      assert(n1 >= 1 && n1 < c1,
+        s"overlapping chunks must fold against the state: shipped $n1 of $c1")
+      assert(s1.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
+        == Seq(2L))
+      // re-ingesting batch 1 verbatim ships nothing
+      val s2 = TrainingExport.runChunksIngest(
+        b1, bench, cfg, p, chunkTokens = 8, strideTokens = 4)
+      Dedup.unpersistAll()
+      assert(s2.count() == 0L, "re-ingest is idempotent at chunk granularity")
+      // seq dense 1..n per shard across all three ingests
+      val all = s0.unionByName(s1).unionByName(s2)
+        .select("shard", "seq").collect().map(r => (r.getLong(0), r.getLong(1)))
+      all.groupBy(_._1).foreach { case (sh, rows) =>
+        val seqs = rows.map(_._2).sorted.toSeq
+        assert(seqs == (1L to rows.length.toLong).toSeq,
+          s"shard $sh seqs not dense: $seqs")
+      }
+    } finally dropIngestState(p)
   }
 
   test("runIngest fail-fasts: finer granularities, non-char currency, numShards drift") {
