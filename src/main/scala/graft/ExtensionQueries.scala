@@ -2423,6 +2423,35 @@ object ExtensionQueries {
       }
       kept.orderBy("doc_id")
     }),
+    "q_pipeline_train_export_modelgate" -> ((s, dir) => {
+      // the MODEL-based quality gate composed ahead of the pipeline:
+      // hashedLinearScore's keep-set pre-filters the corpus (the gate
+      // is a stateless per-doc filter, so it composes as data — no
+      // Config change needed), then the standard five stages run on
+      // the survivors. The oracle replays the margin formula as the
+      // corpus prologue, so the gate's integer-ppm arithmetic is
+      // exercised THROUGH the whole export composition.
+      val docs = Tables.documents(s, dir)
+      val b = 512
+      val w = Array.tabulate(b)(i =>
+        ((i.toLong * 2654435761L) % 1000003L) - 501001L)
+      val gated = docs.join(
+        TextAnalysis.hashedLinearScore(
+          docs, w, biasPpm = 250000L, thresholdPpm = 250000L)
+          .filter(col("keep")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      graft.pipelines.TrainingExport.run(
+        gated,
+        gated.filter(col("doc_id") % 97 === 0),
+        graft.pipelines.TrainingExport.Config(
+          curate = true,
+          dedup = graft.pipelines.TrainingExport.DedupExact,
+          contaminationMaxPpm = Some(500000L),
+          budgets = Seq("src0" -> 4000L, "src1" -> 2000L),
+          defaultBudget = 3000L,
+          numShards = 4))
+        .orderBy("shard", "seq")
+    }),
     "q_pipeline_ingest_export" -> ((s, dir) => {
       // the STEADY-STATE EXPORT composition (TrainingExport.runIngest
       // — r16): the corpus arrives as 3 batches (pmod(doc_id, 3), so
@@ -2549,6 +2578,62 @@ object ExtensionQueries {
           "_budget", "_offsets")
           .foreach(sfx => s.sql(s"DROP TABLE IF EXISTS `$p$sfx`"))
       }
+      out.orderBy("shard", "seq")
+    }),
+    "q_stream_ingest_export" -> ((s, dir) => {
+      // the steady-state export DRIVEN BY A STREAM: the corpus
+      // arrives as a 3-slice micro-batch file stream and each
+      // foreachBatch invocation IS one runIngest call — the same
+      // states, the same acceptance fold. The oracle is byte-for-byte
+      // q_pipeline_ingest_export's (slicedStream's arrival order is
+      // the same pmod batching), so this query pins that the
+      // STREAMING composition and the batch loop are one semantics —
+      // micro-batch boundaries change nothing but the driver.
+      // registered on the OUTER session BEFORE the stream starts: the
+      // micro-batch clones snapshot the function registry at stream
+      // start, so an in-callback registration lands on a clone the
+      // resolving plan never sees
+      graft.functions.PolyHash.register(s)
+      val corpus = Corpus.docCorpus(s, dir)
+      val bench = Tables.documents(s, dir).filter(col("doc_id") % 97 === 0)
+      val p = "graft_stream_ingest_" +
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+          .replaceAll("[^A-Za-z0-9]", "_")
+      val cfg = graft.pipelines.TrainingExport.Config(
+        curate = true,
+        dedup = graft.pipelines.TrainingExport.DedupExact,
+        contaminationMaxPpm = Some(500000L),
+        budgets = Seq("src0" -> 4000L, "src1" -> 2000L),
+        defaultBudget = 3000L,
+        numShards = 4)
+      import org.apache.spark.sql.types._
+      val zero = s.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(Seq(
+          StructField("shard", LongType),
+          StructField("seq", LongType),
+          StructField("doc_id", LongType),
+          StructField("source", StringType))))
+      val shufKey = "spark.sql.shuffle.partitions"
+      val prevShuf = s.conf.get(shufKey)
+      val out = try {
+        s.conf.set(shufKey, "8")
+        graft.streaming.StreamRunner.foldBatches(
+          graft.streaming.StreamRunner.slicedStream(
+            corpus, "doc_id", slices = 3,
+            tag = s"${java.nio.file.Paths.get(dir).toAbsolutePath}#ingestexport3"),
+          zero) { (acc, batch, _) =>
+          Dedup.unpersistAll()
+          acc.unionByName(graft.pipelines.TrainingExport.runIngest(
+            batch, bench, cfg, p, buckets = 8))
+        }
+      } finally {
+        s.conf.set(shufKey, prevShuf)
+        Seq("_dedup", "_dedup_compact_tmp", "_dedup_tombstones",
+          "_budget", "_offsets")
+          .foreach(sfx => s.sql(s"DROP TABLE IF EXISTS `$p$sfx`"))
+      }
+      Dedup.unpersistAll()
       out.orderBy("shard", "seq")
     }),
     "q_pipeline_chunk_ingest_export" -> ((s, dir) => {
@@ -5504,6 +5589,24 @@ object ExtensionQueries {
          |WHERE k.doc_id NOT IN (SELECT doc_id FROM rej)
          |ORDER BY doc_id""".stripMargin,
 
+    "q_pipeline_train_export_modelgate" ->
+      // the model gate as the corpus prologue: the margin formula
+      // (q_text_quality_model's spelling) filters documents, then the
+      // standard five-stage replay runs on the survivors
+      trainExportPipelineSql(
+        Seq("src0" -> 4000L, "src1" -> 2000L), 3000L, tokensWp = false,
+        corpusSql = Some(
+          s"""  SELECT d.doc_id, d.source, d.text, d.n_chars
+             |  FROM documents d JOIN (
+             |    SELECT doc_id FROM (
+             |      SELECT doc_id,
+             |        CAST(len(wh) AS BIGINT) AS n_tokens,
+             |        CAST(250000 * len(wh) + COALESCE(list_sum(list_transform(wh,
+             |          h -> (((h % 512) * 2654435761) % 1000003) - 501001)), 0) AS BIGINT) AS margin_ppm
+             |      FROM (SELECT doc_id, ${wordHashArrayDuck(wordsDuck("text"))} AS wh FROM documents)
+             |    ) WHERE margin_ppm >= 250000 * n_tokens
+             |  ) k USING (doc_id)""".stripMargin)),
+
     "q_pipeline_ingest_export" ->
       // the steady-state fold replayed in arrival order; see the
       // emitter scaladoc for why the budget CTEs chain per batch
@@ -5526,6 +5629,13 @@ object ExtensionQueries {
       ingestExportPipelineSql(
         Seq("src0" -> 4000L, "src1" -> 2000L), 3000L,
         numBatches = 3, numShards = 4, dedupMode = "simhash"),
+
+    "q_stream_ingest_export" ->
+      // byte-for-byte the batch-loop oracle: the stream's micro-batch
+      // boundaries must change nothing but the driver
+      ingestExportPipelineSql(
+        Seq("src0" -> 4000L, "src1" -> 2000L), 3000L,
+        numBatches = 3, numShards = 4, dedupMode = "exact"),
 
     "q_pipeline_chunk_ingest_export" ->
       // the chunk-granularity fold: the doc front's arrival replay,
