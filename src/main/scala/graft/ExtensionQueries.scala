@@ -2580,6 +2580,52 @@ object ExtensionQueries {
       }
       out.orderBy("shard", "seq")
     }),
+    "q_pipeline_ingest_export_paras" -> ((s, dir) => {
+      // the steady-state export with the PARAGRAPH (rewriting)
+      // granularity in the ingest front: each batch's accepted docs
+      // cut every line already claimed by an earlier arrival (the
+      // persisted line-key state), are REBUILT, and the rebuilt text
+      // flows into decontamination and the cumulative budgets —
+      // exactly the batch stage's contract, incrementally. Corpus =
+      // the chunked-line plant, whose %13 cross-doc duplicate lines
+      // land in different pmod-3 batches, so cross-batch line claims
+      // genuinely bind in both directions (earlier copy keeps,
+      // later original loses — arrival order, not id order).
+      val corpus = Corpus.paraCorpus(s, dir)
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val bench = Tables.documents(s, dir).filter(col("doc_id") % 97 === 0)
+      val p = "graft_ingest_export_pg_" +
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+          .replaceAll("[^A-Za-z0-9]", "_")
+      val cfg = graft.pipelines.TrainingExport.Config(
+        curate = true,
+        dedup = graft.pipelines.TrainingExport.DedupExact,
+        paragraphDedup = true,
+        contaminationMaxPpm = Some(500000L),
+        budgets = Seq("src0" -> 4000L, "src1" -> 2000L),
+        defaultBudget = 3000L,
+        numShards = 4)
+      val shufKey = "spark.sql.shuffle.partitions"
+      val prevShuf = s.conf.get(shufKey)
+      var out: org.apache.spark.sql.DataFrame = null
+      try {
+        s.conf.set(shufKey, "8")
+        (0 until 3).foreach { b =>
+          Dedup.unpersistAll()
+          val batch = corpus.filter(pmod(col("doc_id"), lit(3)) === b)
+          val shipped = graft.pipelines.TrainingExport.runIngest(
+            batch, bench, cfg, p, buckets = 8)
+          out = if (out == null) shipped else out.unionByName(shipped)
+        }
+      } finally {
+        s.conf.set(shufKey, prevShuf)
+        Seq("_dedup", "_dedup_compact_tmp", "_dedup_tombstones",
+          "_lines", "_lines_compact_tmp", "_lines_tombstones",
+          "_budget", "_offsets")
+          .foreach(sfx => s.sql(s"DROP TABLE IF EXISTS `$p$sfx`"))
+      }
+      out.orderBy("shard", "seq")
+    }),
     "q_stream_ingest_export" -> ((s, dir) => {
       // the steady-state export DRIVEN BY A STREAM: the corpus
       // arrives as a 3-slice micro-batch file stream and each
@@ -2634,6 +2680,49 @@ object ExtensionQueries {
           .foreach(sfx => s.sql(s"DROP TABLE IF EXISTS `$p$sfx`"))
       }
       Dedup.unpersistAll()
+      out.orderBy("shard", "seq")
+    }),
+    "q_pipeline_chunk_ingest_export_paras" -> ((s, dir) => {
+      // the full ingest-front composition at chunk granularity: doc
+      // exact dedup + paragraph rewrite (both on persisted state) +
+      // decontamination, then the rebuilt text chunks against the
+      // chunk-key state and fills cumulative chunk-token budgets —
+      // four state tables fold per batch, downstream-most first.
+      val corpus = Corpus.paraCorpus(s, dir)
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val bench = Tables.documents(s, dir).filter(col("doc_id") % 97 === 0)
+      val p = "graft_ingest_export_ckpg_" +
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+          .replaceAll("[^A-Za-z0-9]", "_")
+      val cfg = graft.pipelines.TrainingExport.Config(
+        curate = true,
+        dedup = graft.pipelines.TrainingExport.DedupExact,
+        paragraphDedup = true,
+        contaminationMaxPpm = Some(500000L),
+        budgets = Seq("src0" -> 500L, "src1" -> 350L),
+        defaultBudget = 400L,
+        numShards = 4)
+      val shufKey = "spark.sql.shuffle.partitions"
+      val prevShuf = s.conf.get(shufKey)
+      var out: org.apache.spark.sql.DataFrame = null
+      try {
+        s.conf.set(shufKey, "8")
+        (0 until 3).foreach { b =>
+          Dedup.unpersistAll()
+          val batch = corpus.filter(pmod(col("doc_id"), lit(3)) === b)
+          val shipped = graft.pipelines.TrainingExport.runChunksIngest(
+            batch, bench, cfg, p, chunkTokens = 30, strideTokens = 20,
+            buckets = 8)
+          out = if (out == null) shipped else out.unionByName(shipped)
+        }
+      } finally {
+        s.conf.set(shufKey, prevShuf)
+        Seq("_dedup", "_dedup_compact_tmp", "_dedup_tombstones",
+          "_lines", "_lines_compact_tmp", "_lines_tombstones",
+          "_chunks", "_chunks_compact_tmp", "_chunks_tombstones",
+          "_budget", "_offsets")
+          .foreach(sfx => s.sql(s"DROP TABLE IF EXISTS `$p$sfx`"))
+      }
       out.orderBy("shard", "seq")
     }),
     "q_pipeline_chunk_ingest_export" -> ((s, dir) => {
@@ -3389,7 +3478,9 @@ object ExtensionQueries {
   private def ingestExportPipelineSql(
       budgets: Seq[(String, Long)], defaultBudget: Long,
       numBatches: Int, numShards: Int, dedupMode: String,
-      chunkExport: Option[(Int, Int)] = None): String = {
+      chunkExport: Option[(Int, Int)] = None,
+      paraDedup: Boolean = false,
+      corpusSql: Option[String] = None): String = {
     // the budget/shard identity: doc_id for the doc tail, the packed
     // chunk id for the chunk tail (runChunksIngest's _cid)
     val idc = if (chunkExport.isEmpty) "doc_id" else "cid"
@@ -3467,6 +3558,27 @@ object ExtensionQueries {
          |    FROM ckb) WHERE keep
          |)""".stripMargin
     }.getOrElse("")
+    // optional paragraph splice after the doc gate: arrival-order
+    // line keep (q_stream_para_ingest's window under the batch
+    // order), rebuilt text + recomputed n_chars flow downstream —
+    // exactly the engine's ingestParagraphStage contract
+    val paraCtes =
+      if (!paraDedup) ""
+      else
+        s""", pg_parts AS (
+           |${paraPartsDuck("dd", Seq("source", "batch"))}
+           |), pg_marked AS (
+           |  SELECT doc_id, source, batch, pos, para,
+           |         ${paraKeepCaseDuck(orderExpr = s"doc_id % $numBatches, doc_id, pos")} AS keep
+           |  FROM pg_parts
+           |), pg0 AS (
+           |  SELECT doc_id, MIN(source) AS source, MIN(batch) AS batch,
+           |         COALESCE(string_agg(CASE WHEN keep THEN para END, chr(10) ORDER BY pos), '') AS text
+           |  FROM pg_marked GROUP BY doc_id
+           |), pg AS MATERIALIZED (
+           |  SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n_chars, batch FROM pg0
+           |)""".stripMargin
+    val base = if (paraDedup) "pg" else "dd"
     val cIdCols = idCols.split(", ").map(c => s"c.$c").mkString(", ")
     val batchCtes = (0 until numBatches).map { k =>
       val carry =
@@ -3498,7 +3610,7 @@ object ExtensionQueries {
       .mkString("\n  UNION ALL\n  ")
     val outIds = if (chunkExport.isEmpty) "doc_id" else "doc_id, chunk_id"
     s"""WITH allc AS (
-       |${graft.sources.Corpus.docCorpusSql}
+       |${corpusSql.getOrElse(graft.sources.Corpus.docCorpusSql)}
        |), m AS (
        |  SELECT doc_id,
        |    ${TextAnalysis.funnelMetricsDuckProjection("text")}
@@ -3510,13 +3622,13 @@ object ExtensionQueries {
        |    SELECT doc_id FROM m
        |    WHERE (${TextAnalysis.funnelVerdictCase(20, 500000L, Seq("en"), 600000L)}) = 'keep'
        |  ) k USING (doc_id)
-       |), $dedupCtes, bwh AS (
+       |), $dedupCtes$paraCtes, bwh AS (
        |  SELECT ${wordHashArrayDuck(wordsDuck("text"))} AS wh
        |  FROM documents WHERE doc_id % 97 = 0 AND $guard
        |), bg AS (
        |  SELECT DISTINCT unnest(${shingleHashesFromWordHashesDuck("wh", 3)}) AS gram FROM bwh
        |), dwh AS (
-       |  SELECT doc_id, ${wordHashArrayDuck(wordsDuck("text"))} AS wh FROM dd WHERE $guard
+       |  SELECT doc_id, ${wordHashArrayDuck(wordsDuck("text"))} AS wh FROM $base WHERE $guard
        |), dg AS (
        |  SELECT doc_id, ${shingleHashesFromWordHashesDuck("wh", 3)} AS grams FROM dwh
        |), e AS (
@@ -3527,7 +3639,7 @@ object ExtensionQueries {
        |  FROM e LEFT JOIN bg USING (gram)
        |  GROUP BY e.doc_id, e.n_grams
        |), clean AS (
-       |  SELECT d.doc_id, d.text, d.source, d.n_chars, d.batch FROM dd d JOIN cont USING (doc_id)
+       |  SELECT d.doc_id, d.text, d.source, d.n_chars, d.batch FROM $base d JOIN cont USING (doc_id)
        |  WHERE cont.contamination_ppm < 500000
        |)$chunkCtes, $batchCtes, ship AS (
        |  $ship
@@ -5636,6 +5748,32 @@ object ExtensionQueries {
       ingestExportPipelineSql(
         Seq("src0" -> 4000L, "src1" -> 2000L), 3000L,
         numBatches = 3, numShards = 4, dedupMode = "exact"),
+
+    "q_pipeline_ingest_export_paras" ->
+      // the rewriting granularity in the fold: arrival-order line
+      // keep (q_stream_para_ingest's window under the batch order),
+      // rebuilt text billed downstream
+      ingestExportPipelineSql(
+        Seq("src0" -> 4000L, "src1" -> 2000L), 3000L,
+        numBatches = 3, numShards = 4, dedupMode = "exact",
+        paraDedup = true,
+        corpusSql = Some(
+          s"""  SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n_chars FROM (
+             |${graft.sources.Corpus.paraCorpusSql}
+             |  )""".stripMargin)),
+
+    "q_pipeline_chunk_ingest_export_paras" ->
+      // the deepest fold composition: doc arrival dedup + the
+      // paragraph splice + the chunk tail, all in arrival order
+      ingestExportPipelineSql(
+        Seq("src0" -> 500L, "src1" -> 350L), 400L,
+        numBatches = 3, numShards = 4, dedupMode = "exact",
+        chunkExport = Some((30, 20)),
+        paraDedup = true,
+        corpusSql = Some(
+          s"""  SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n_chars FROM (
+             |${graft.sources.Corpus.paraCorpusSql}
+             |  )""".stripMargin)),
 
     "q_pipeline_chunk_ingest_export" ->
       // the chunk-granularity fold: the doc front's arrival replay,

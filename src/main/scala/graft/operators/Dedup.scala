@@ -1761,8 +1761,9 @@ object Dedup {
       batch: DataFrame,
       stateKeys: DataFrame,
       textCol: String = "text",
-      idCol: String = "doc_id"): (DataFrame, DataFrame) = {
-    val parts = paragraphParts(batch, textCol, idCol, Nil)
+      idCol: String = "doc_id",
+      passthroughCols: Seq[String] = Seq.empty): (DataFrame, DataFrame) = {
+    val parts = paragraphParts(batch, textCol, idCol, passthroughCols)
     // within-batch first-wins via the same skew-safe fingerprint
     // aggregation as the one-shot's production form, then the state
     // probe as a hash-width left join; tolerate state rows carrying
@@ -1789,7 +1790,7 @@ object Dedup {
           .withColumn("pk2", lit(null).cast("long"))
           .withColumn("keep", lit(true)))
       .pipe(persistTracked) // rebuilt docs AND new state read it
-    val rebuilt = rebuildParagraphs(marked.drop("pk1", "pk2"), Nil)
+    val rebuilt = rebuildParagraphs(marked.drop("pk1", "pk2"), passthroughCols)
     val newKeys = marked
       .filter(col("keep") && col("pk1").isNotNull)
       .select("pk1", "pk2", "doc_id")

@@ -537,11 +537,10 @@ object TrainingExport {
     import spark.implicits._
     require(cfg.numShards >= 1, s"numShards must be >= 1, got ${cfg.numShards}")
     require(
-      !cfg.paragraphDedup && cfg.spanDedup.isEmpty &&
-        !cfg.semanticDedup && cfg.mediaDedup.isEmpty,
-      "runIngest composes the DOCUMENT-granularity stages; the finer " +
-        "granularities ingest against their own persisted states — compose " +
-        "Dedup.paragraphIngestStep (lines), Dedup.repeatedSpansAgainstShingles " +
+      cfg.spanDedup.isEmpty && !cfg.semanticDedup && cfg.mediaDedup.isEmpty,
+      "runIngest composes the document-granularity stages plus the paragraph " +
+        "rewrite; the remaining granularities ingest against their own " +
+        "persisted states — compose Dedup.repeatedSpansAgainstShingles " +
         "(spans), Dedup.semanticDedupAgainstIndex (embeddings), or " +
         "Multimodal.perceptualHashPairsAgainst (media) ahead of this call")
     require(cfg.budgetCurrency == BudgetChars,
@@ -554,7 +553,9 @@ object TrainingExport {
     val gated = gateDocs(batch, cfg)
     val (accepted, appendDedupState) =
       ingestDedupStage(gated, cfg, statePrefix, buckets, maxFilesPerBucket)
-    val clean = decontaminate(accepted, benchmark, cfg)
+    val (paraged, appendLineState) =
+      ingestParagraphStage(accepted, cfg, statePrefix, buckets, maxFilesPerBucket)
+    val clean = decontaminate(paraged, benchmark, cfg)
 
     // ---- cumulative budget: this batch fills the REMAINING budget
     val budgetTbl = s"${statePrefix}_budget"
@@ -581,7 +582,10 @@ object TrainingExport {
       .select("shard", "seq", "doc_id", "source", "_weight")
       .localCheckpoint(true)
 
-    // ---- fold the batch into every state
+    // ---- fold the batch into every state, DOWNSTREAM-MOST FIRST
+    // (the runChunksIngest ordering invariant: the line keys' lineage
+    // reads the doc state table, so the doc fold must come after)
+    appendLineState()
     appendDedupState()
     if (budgetOn) writeConsumed(spark, budgetTbl, consumed, shipped)
     writeOffsets(spark, offTbl, offsets, shipped, cfg.numShards)
@@ -616,11 +620,11 @@ object TrainingExport {
     val spark = batch.sparkSession
     require(cfg.numShards >= 1, s"numShards must be >= 1, got ${cfg.numShards}")
     require(
-      !cfg.paragraphDedup && cfg.spanDedup.isEmpty &&
-        !cfg.semanticDedup && cfg.mediaDedup.isEmpty,
-      "runChunksIngest composes the DOCUMENT-granularity front plus the chunk " +
-        "state; the finer doc granularities ingest against their own persisted " +
-        "states (see runIngest's fail-fast) — compose them ahead of this call")
+      cfg.spanDedup.isEmpty && !cfg.semanticDedup && cfg.mediaDedup.isEmpty,
+      "runChunksIngest composes the document-granularity front (paragraph " +
+        "rewrite included) plus the chunk state; the remaining granularities " +
+        "ingest against their own persisted states (see runIngest's " +
+        "fail-fast) — compose them ahead of this call")
     // same rejection as runChunks: chunk budgets bill in the chunker's
     // own token count, and a silently different currency would admit
     // 1.3-2x the text the budgets specify
@@ -632,7 +636,9 @@ object TrainingExport {
     val gated = gateDocs(batch, cfg)
     val (accepted, appendDedupState) =
       ingestDedupStage(gated, cfg, statePrefix, buckets, maxFilesPerBucket)
-    val clean = decontaminate(accepted, benchmark, cfg)
+    val (paraged, appendLineState) =
+      ingestParagraphStage(accepted, cfg, statePrefix, buckets, maxFilesPerBucket)
+    val clean = decontaminate(paraged, benchmark, cfg)
 
     // ---- chunk + probe the persisted chunk-key state
     val chunkTbl = s"${statePrefix}_chunks"
@@ -680,6 +686,7 @@ object TrainingExport {
     // ever re-reads tables no earlier fold has moved
     Dedup.appendAndMaybeCompactLines(
       newChunkKeys, chunkTbl, buckets, maxFilesPerBucket)
+    appendLineState()
     appendDedupState()
     if (budgetOn) writeConsumed(spark, budgetTbl, consumed, shipped)
     writeOffsets(spark, offTbl, offsets, shipped, cfg.numShards)
@@ -749,6 +756,37 @@ object TrainingExport {
             maxFilesPerBucket = maxFilesPerBucket); () })
     }
   }
+
+  /** The ingest PARAGRAPH stage — [[cleanDocs]]'s rewriting line
+    * granularity on the persisted line-key state
+    * ([[graft.operators.Dedup.paragraphIngestStep]] — first ARRIVAL
+    * wins at line granularity, `(doc_id, pos)` within a batch):
+    * repeated normalized lines are cut from later arrivals, the
+    * batch's docs are rebuilt, and — exactly the batch stage's
+    * contract — everything downstream (decontamination n-grams,
+    * budget weights, chunking) reads the REBUILT text with `n_chars`
+    * recomputed. Composes after the doc-level gate like the batch
+    * pipeline. Returns (rebuilt docs, the line-state fold thunk).
+    */
+  private def ingestParagraphStage(
+      docs: DataFrame, cfg: Config, statePrefix: String,
+      buckets: Int, maxFilesPerBucket: Int): (DataFrame, () => Unit) =
+    if (!cfg.paragraphDedup) (docs, () => ())
+    else {
+      val spark = docs.sparkSession
+      val linesTbl = s"${statePrefix}_lines"
+      if (!spark.catalog.tableExists(linesTbl))
+        Dedup.writeLineTable(docs.limit(0), linesTbl, buckets)
+      val (rebuilt, newKeys) = Dedup.paragraphIngestStep(
+        docs, Dedup.stateTableLive(spark, linesTbl),
+        passthroughCols = Seq("source"))
+      (rebuilt.select(
+        col("doc_id"), col("source"),
+        col("text_deduped").as("text"),
+        length(col("text_deduped")).cast("long").as("n_chars")),
+        () => { Dedup.appendAndMaybeCompactLines(
+          newKeys, linesTbl, buckets, maxFilesPerBucket); () })
+    }
 
   /** The stateless decontamination gate shared by the batch front and
     * both ingest forms.

@@ -2425,14 +2425,69 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally dropIngestState(p)
   }
 
+  test("runIngest paragraph stage: earlier arrivals claim lines, rebuilt text is what gets billed") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val p = "ingest_spec_para"
+    dropIngestState(p)
+    spark.sql(s"DROP TABLE IF EXISTS `${p}_lines`")
+    spark.sql(s"DROP TABLE IF EXISTS `${p}_lines_compact_tmp`")
+    spark.sql(s"DROP TABLE IF EXISTS `${p}_lines_tombstones`")
+    // doc dedup off: the line state alone does the work; budgets on
+    // so the persisted consumed state exposes the billed n_chars
+    val cfg = allOff.copy(
+      paragraphDedup = true,
+      budgets = Seq("src0" -> 100000L), numShards = 2)
+    def mk(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, "src0", t) }
+        .toDF("doc_id", "source", "text")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    val bench = mk(Seq((7777L, "benchmark text nothing shares this")))
+    def consumed(): Long = spark.table(s"${p}_budget").collect()
+      .map(_.getLong(1)).sum
+    try {
+      val shared = "alpha shared line here"
+      val t0 = s"$shared\nunique zero line"
+      val s0 = TrainingExport.runIngest(mk(Seq((1L, t0))), bench, cfg, p)
+      Dedup.unpersistAll()
+      assert(s0.count() == 1L)
+      // nothing seen yet: the rebuild is byte-identical, billed in full
+      assert(consumed() == t0.length.toLong, s"got ${consumed()}")
+      // batch 1: a DIFFERENT doc repeating the shared line — the line
+      // is claimed by batch 0, so the rebuild cuts it and the budget
+      // bills ONLY the fresh tail (the rebuilt-text contract,
+      // observable through the persisted consumed state)
+      val tail = "fresh tail line"
+      val s1 = TrainingExport.runIngest(
+        mk(Seq((2L, s"$shared\n$tail"))), bench, cfg, p)
+      Dedup.unpersistAll()
+      assert(s1.count() == 1L)
+      assert(consumed() == t0.length.toLong + tail.length.toLong,
+        s"rebuilt billing: got ${consumed()}")
+      // re-ingest doc 2 (doc dedup off): every line is now claimed,
+      // the rebuild is empty, and the budget bills nothing — the
+      // batch stage's fully-cut-doc behavior, incrementally
+      val s2 = TrainingExport.runIngest(
+        mk(Seq((3L, s"$shared\n$tail"))), bench, cfg, p)
+      Dedup.unpersistAll()
+      assert(s2.count() == 1L, "a fully-cut doc still flows (batch parity)")
+      assert(consumed() == t0.length.toLong + tail.length.toLong)
+    } finally {
+      dropIngestState(p)
+      spark.sql(s"DROP TABLE IF EXISTS `${p}_lines`")
+      spark.sql(s"DROP TABLE IF EXISTS `${p}_lines_compact_tmp`")
+      spark.sql(s"DROP TABLE IF EXISTS `${p}_lines_tombstones`")
+    }
+  }
+
   test("runIngest fail-fasts: finer granularities, non-char currency, numShards drift") {
     import graft.operators.Dedup
     val bench = matrixDocs.filter(col("doc_id") === 1L)
     val e1 = intercept[IllegalArgumentException] {
       TrainingExport.runIngest(
-        matrixDocs, bench, allOff.copy(paragraphDedup = true), "ingest_spec_ff")
+        matrixDocs, bench, allOff.copy(spanDedup = Some(10)), "ingest_spec_ff")
     }
-    assert(e1.getMessage.contains("paragraphIngestStep"), e1.getMessage)
+    assert(e1.getMessage.contains("repeatedSpansAgainstShingles"), e1.getMessage)
     val e2 = intercept[IllegalArgumentException] {
       TrainingExport.runIngest(
         matrixDocs, bench,
