@@ -2626,6 +2626,51 @@ object ExtensionQueries {
       }
       out.orderBy("shard", "seq")
     }),
+    "q_pipeline_ingest_export_media" -> ((s, dir) => {
+      // the MULTIMODAL steady-state export: each batch's media (the
+      // paired plant — partner ids differ by 1, so EVERY media pair
+      // lands in different pmod-3 batches and arrival claims bind in
+      // both directions, including the odd partner arriving FIRST
+      // and claiming the slot from the smaller-id even original)
+      // probes the persisted payload-fingerprint and dHash segment
+      // states: exact byte pass first (no decode), perceptual on the
+      // exact survivors with ONE decode per ingest.
+      val corpus = Tables.documents(s, dir)
+      val bench = corpus.filter(col("doc_id") % 97 === 0)
+      val p = "graft_ingest_export_me_" +
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+          .replaceAll("[^A-Za-z0-9]", "_")
+      val cfg = graft.pipelines.TrainingExport.Config(
+        curate = true,
+        dedup = graft.pipelines.TrainingExport.DedupExact,
+        mediaDedup = Some(4),
+        contaminationMaxPpm = Some(500000L),
+        budgets = Seq("src0" -> 4000L, "src1" -> 2000L),
+        defaultBudget = 3000L,
+        numShards = 4)
+      val shufKey = "spark.sql.shuffle.partitions"
+      val prevShuf = s.conf.get(shufKey)
+      var out: org.apache.spark.sql.DataFrame = null
+      try {
+        s.conf.set(shufKey, "8")
+        (0 until 3).foreach { b =>
+          Dedup.unpersistAll()
+          val batch = corpus.filter(pmod(col("doc_id"), lit(3)) === b)
+          val shipped = graft.pipelines.TrainingExport.runIngest(
+            batch, bench, cfg, p, buckets = 8,
+            media = plantPairedMedia(batch))
+          out = if (out == null) shipped else out.unionByName(shipped)
+        }
+      } finally {
+        s.conf.set(shufKey, prevShuf)
+        Seq("_dedup", "_dedup_compact_tmp", "_dedup_tombstones",
+          "_mediafp", "_mediafp_compact_tmp", "_mediafp_tombstones",
+          "_mediadh", "_mediadh_compact_tmp", "_mediadh_tombstones",
+          "_budget", "_offsets")
+          .foreach(sfx => s.sql(s"DROP TABLE IF EXISTS `$p$sfx`"))
+      }
+      out.orderBy("shard", "seq")
+    }),
     "q_stream_ingest_export" -> ((s, dir) => {
       // the steady-state export DRIVEN BY A STREAM: the corpus
       // arrives as a 3-slice micro-batch file stream and each
@@ -3480,7 +3525,8 @@ object ExtensionQueries {
       numBatches: Int, numShards: Int, dedupMode: String,
       chunkExport: Option[(Int, Int)] = None,
       paraDedup: Boolean = false,
-      corpusSql: Option[String] = None): String = {
+      corpusSql: Option[String] = None,
+      mediaDedup: Boolean = false): String = {
     // the budget/shard identity: doc_id for the doc tail, the packed
     // chunk id for the chunk tail (runChunksIngest's _cid)
     val idc = if (chunkExport.isEmpty) "doc_id" else "cid"
@@ -3578,7 +3624,49 @@ object ExtensionQueries {
            |), pg AS MATERIALIZED (
            |  SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n_chars, batch FROM pg0
            |)""".stripMargin
-    val base = if (paraDedup) "pg" else "dd"
+    val base0 = if (paraDedup) "pg" else "dd"
+    // optional media splice after the text gates: the paired-media
+    // plant's payload reconstruction (trainExportPipelineSql's me_
+    // chain), but under ARRIVAL rules — exact keep is the first
+    // (batch, media_id) occurrence of each payload, perceptual
+    // rejection is pairwise (no reachability: the engine's ingest
+    // stage rejects any pair to seen-or-smaller, so no RECURSIVE CTE)
+    val mediaCtes =
+      if (!mediaDedup) ""
+      else
+        s""", me_m AS MATERIALIZED (
+           |  SELECT d.doc_id AS media_id, d.doc_id // 2 AS sid,
+           |         (d.doc_id % 2 = 1 AND (d.doc_id // 2) % 3 <> 0) AS pert,
+           |         d.batch
+           |  FROM $base0 d
+           |), me_pay AS MATERIALIZED (
+           |  SELECT media_id, batch,
+           |    'P6' || chr(10) || '# doc ' || CAST(sid AS VARCHAR) || chr(10) ||
+           |      CAST(w AS VARCHAR) || ' ' || CAST(h AS VARCHAR) || chr(10) ||
+           |      '255' || chr(10) ||
+           |      array_to_string(list_transform(range(0, w*h*3),
+           |           j -> chr(CAST(${texturedByteDuck("j")} AS INTEGER))), '') AS payload
+           |  FROM (SELECT media_id, batch, sid, pert, 12 + sid % 8 AS w, 9 + sid % 5 AS h
+           |        FROM me_m)
+           |), me_xdrop AS MATERIALIZED (
+           |  SELECT media_id FROM (
+           |    SELECT media_id,
+           |           ROW_NUMBER() OVER (
+           |             PARTITION BY payload ORDER BY batch, media_id) AS rn
+           |    FROM me_pay) WHERE rn > 1
+           |), me_live AS MATERIALIZED (
+           |  SELECT m.* FROM me_m m
+           |  WHERE m.media_id NOT IN (SELECT media_id FROM me_xdrop)
+           |), ${mediaDhashHashCtes("me_live", "me_")}, me_pdrop AS MATERIALIZED (
+           |  ${arrivalRej("x.media_id", "y.media_id").replace("AS doc_id", "AS media_id")}
+           |  FROM me_hsh x JOIN me_hsh y ON x.media_id < y.media_id
+           |  WHERE bit_count(xor(x.fph, y.fph)) <= 4
+           |), me AS MATERIALIZED (
+           |  SELECT d.* FROM $base0 d
+           |  WHERE d.doc_id NOT IN (SELECT media_id FROM me_xdrop)
+           |    AND d.doc_id NOT IN (SELECT media_id FROM me_pdrop)
+           |)""".stripMargin
+    val base = if (mediaDedup) "me" else base0
     val cIdCols = idCols.split(", ").map(c => s"c.$c").mkString(", ")
     val batchCtes = (0 until numBatches).map { k =>
       val carry =
@@ -3622,7 +3710,7 @@ object ExtensionQueries {
        |    SELECT doc_id FROM m
        |    WHERE (${TextAnalysis.funnelVerdictCase(20, 500000L, Seq("en"), 600000L)}) = 'keep'
        |  ) k USING (doc_id)
-       |), $dedupCtes$paraCtes, bwh AS (
+       |), $dedupCtes$paraCtes$mediaCtes, bwh AS (
        |  SELECT ${wordHashArrayDuck(wordsDuck("text"))} AS wh
        |  FROM documents WHERE doc_id % 97 = 0 AND $guard
        |), bg AS (
@@ -5748,6 +5836,20 @@ object ExtensionQueries {
       ingestExportPipelineSql(
         Seq("src0" -> 4000L, "src1" -> 2000L), 3000L,
         numBatches = 3, numShards = 4, dedupMode = "exact"),
+
+    "q_pipeline_ingest_export_media" ->
+      // the multimodal fold: arrival-order exact keep over
+      // reconstructed payload STRINGS, then pairwise perceptual
+      // rejection over recomputed grid-cell dHashes — the byte-level
+      // adversarial twin, under the arrival rule
+      ingestExportPipelineSql(
+        Seq("src0" -> 4000L, "src1" -> 2000L), 3000L,
+        numBatches = 3, numShards = 4, dedupMode = "exact",
+        mediaDedup = true,
+        // raw documents (the media plant supplies the duplicates; the
+        // docCorpus text copies would only add noise to the media axis)
+        corpusSql = Some(
+          "  SELECT doc_id, source, text, n_chars FROM documents")),
 
     "q_pipeline_ingest_export_paras" ->
       // the rewriting granularity in the fold: arrival-order line

@@ -532,17 +532,17 @@ object TrainingExport {
       statePrefix: String,
       hashExpr: Option[String] = None,
       buckets: Int = Dedup.BandTableBuckets,
-      maxFilesPerBucket: Int = 4): DataFrame = {
+      maxFilesPerBucket: Int = 4,
+      media: => DataFrame = null): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
     require(cfg.numShards >= 1, s"numShards must be >= 1, got ${cfg.numShards}")
     require(
-      cfg.spanDedup.isEmpty && !cfg.semanticDedup && cfg.mediaDedup.isEmpty,
-      "runIngest composes the document-granularity stages plus the paragraph " +
-        "rewrite; the remaining granularities ingest against their own " +
-        "persisted states — compose Dedup.repeatedSpansAgainstShingles " +
-        "(spans), Dedup.semanticDedupAgainstIndex (embeddings), or " +
-        "Multimodal.perceptualHashPairsAgainst (media) ahead of this call")
+      cfg.spanDedup.isEmpty && !cfg.semanticDedup,
+      "runIngest composes the document, paragraph, and media granularities on " +
+        "persisted state; span surgery and semantic dedup ingest against their " +
+        "own states — compose Dedup.repeatedSpansAgainstShingles (spans) or " +
+        "Dedup.semanticDedupAgainstIndex (embeddings) ahead of this call")
     require(cfg.budgetCurrency == BudgetChars,
       "runIngest bills cumulative budgets in the n_chars column (the persisted " +
         "consumed state's currency); to bill tokens, put the token count in " +
@@ -555,7 +555,9 @@ object TrainingExport {
       ingestDedupStage(gated, cfg, statePrefix, buckets, maxFilesPerBucket)
     val (paraged, appendLineState) =
       ingestParagraphStage(accepted, cfg, statePrefix, buckets, maxFilesPerBucket)
-    val clean = decontaminate(paraged, benchmark, cfg)
+    val (mediaed, appendMediaState) =
+      ingestMediaStage(paraged, media, cfg, statePrefix, buckets, maxFilesPerBucket)
+    val clean = decontaminate(mediaed, benchmark, cfg)
 
     // ---- cumulative budget: this batch fills the REMAINING budget
     val budgetTbl = s"${statePrefix}_budget"
@@ -584,7 +586,9 @@ object TrainingExport {
 
     // ---- fold the batch into every state, DOWNSTREAM-MOST FIRST
     // (the runChunksIngest ordering invariant: the line keys' lineage
-    // reads the doc state table, so the doc fold must come after)
+    // reads the doc state table, so the doc fold must come after;
+    // the media states sit downstream of both)
+    appendMediaState()
     appendLineState()
     appendDedupState()
     if (budgetOn) writeConsumed(spark, budgetTbl, consumed, shipped)
@@ -616,15 +620,16 @@ object TrainingExport {
       strideTokens: Int = 96,
       hashExpr: Option[String] = None,
       buckets: Int = Dedup.BandTableBuckets,
-      maxFilesPerBucket: Int = 4): DataFrame = {
+      maxFilesPerBucket: Int = 4,
+      media: => DataFrame = null): DataFrame = {
     val spark = batch.sparkSession
     require(cfg.numShards >= 1, s"numShards must be >= 1, got ${cfg.numShards}")
     require(
-      cfg.spanDedup.isEmpty && !cfg.semanticDedup && cfg.mediaDedup.isEmpty,
-      "runChunksIngest composes the document-granularity front (paragraph " +
-        "rewrite included) plus the chunk state; the remaining granularities " +
-        "ingest against their own persisted states (see runIngest's " +
-        "fail-fast) — compose them ahead of this call")
+      cfg.spanDedup.isEmpty && !cfg.semanticDedup,
+      "runChunksIngest composes the document/paragraph/media front plus the " +
+        "chunk state; span surgery and semantic dedup ingest against their " +
+        "own persisted states (see runIngest's fail-fast) — compose them " +
+        "ahead of this call")
     // same rejection as runChunks: chunk budgets bill in the chunker's
     // own token count, and a silently different currency would admit
     // 1.3-2x the text the budgets specify
@@ -638,7 +643,9 @@ object TrainingExport {
       ingestDedupStage(gated, cfg, statePrefix, buckets, maxFilesPerBucket)
     val (paraged, appendLineState) =
       ingestParagraphStage(accepted, cfg, statePrefix, buckets, maxFilesPerBucket)
-    val clean = decontaminate(paraged, benchmark, cfg)
+    val (mediaed, appendMediaState) =
+      ingestMediaStage(paraged, media, cfg, statePrefix, buckets, maxFilesPerBucket)
+    val clean = decontaminate(mediaed, benchmark, cfg)
 
     // ---- chunk + probe the persisted chunk-key state
     val chunkTbl = s"${statePrefix}_chunks"
@@ -686,6 +693,7 @@ object TrainingExport {
     // ever re-reads tables no earlier fold has moved
     Dedup.appendAndMaybeCompactLines(
       newChunkKeys, chunkTbl, buckets, maxFilesPerBucket)
+    appendMediaState()
     appendLineState()
     appendDedupState()
     if (budgetOn) writeConsumed(spark, budgetTbl, consumed, shipped)
@@ -786,6 +794,85 @@ object TrainingExport {
         length(col("text_deduped")).cast("long").as("n_chars")),
         () => { Dedup.appendAndMaybeCompactLines(
           newKeys, linesTbl, buckets, maxFilesPerBucket); () })
+    }
+
+  /** The ingest MEDIA stage — the multimodal granularity on
+    * persisted state, composing [[cleanDocs]]'s media stage into the
+    * steady-state front. Two passes over the batch media of
+    * still-alive docs, cheap-first like the batch stage:
+    *
+    *   - EXACT byte pass (no decode): first-ARRIVAL-wins on the raw
+    *     payload fingerprint against `<p>_mediafp` —
+    *     [[graft.operators.Dedup.docIngestStep]] IS the verb (its
+    *     128-bit key hash accepts BINARY), so a re-shipped asset
+    *     drops before anything pays decode cost
+    *   - PERCEPTUAL pass on the exact survivors: ONE decode per
+    *     batch ([[graft.operators.Multimodal.mediaDhashFingerprints]]
+    *     computed once, tracked-persisted, and reused by the state
+    *     probe, the within-batch pairs, AND the state append — the
+    *     one-decode-per-ingest contract the media ingest queries
+    *     pin), probed against the `<p>_mediadh` pigeonhole segment
+    *     state at `maxHamming`, rejecting later arrivals
+    *
+    * Docs whose media is dropped at either pass leave the pipeline;
+    * media-less docs pass through (the batch stage's anti-join-on-
+    * droppers shape). State policy mirrors the text stages: the
+    * exact state records every first-occurrence payload key whether
+    * or not the perceptual pass (or a later gate) drops the doc, and
+    * the perceptual state absorbs ALL exact-surviving fingerprints —
+    * identity is permanent. The fold thunk runs dhash-then-fp
+    * (downstream-most first: the dhash rows' lineage reads the
+    * mediafp state through the exact-survivor mask).
+    */
+  private def ingestMediaStage(
+      docs: DataFrame, media: => DataFrame, cfg: Config, statePrefix: String,
+      buckets: Int, maxFilesPerBucket: Int): (DataFrame, () => Unit) =
+    cfg.mediaDedup match {
+      case None => (docs, () => ())
+      case Some(mh) =>
+        val spark = docs.sparkSession
+        val md = media
+        require(md != null,
+          "cfg.mediaDedup is on but no media frame was passed to the ingest call")
+        val fpTbl = s"${statePrefix}_mediafp"
+        val dhTbl = s"${statePrefix}_mediadh"
+        val live = md.join(
+          docs.select(col("doc_id").as("media_id")), Seq("media_id"), "left_semi")
+        if (!spark.catalog.tableExists(fpTbl))
+          Dedup.writeDocTable(
+            live.limit(0), fpTbl, buckets, textCol = "media", idCol = "media_id")
+        val (xMarked, xKeys) = Dedup.docIngestStep(
+          live, Dedup.stateTableLive(spark, fpTbl),
+          textCol = "media", idCol = "media_id")
+        val liveExact = xMarked.filter(col("keep")).drop("keep")
+        if (!spark.catalog.tableExists(dhTbl))
+          Dedup.writeHammingTable(
+            Multimodal.mediaDhashFingerprints(live.limit(0)),
+            dhTbl, mh, bits = 64, buckets = buckets)
+        // ONE decode per ingest: probe, within-batch pairs, and the
+        // state append all read this frame
+        val fps = Dedup.persistTracked(
+          Multimodal.mediaDhashFingerprints(liveExact))
+        val vsSeen = Dedup
+          .hammingPairsAgainst(
+            fps, Dedup.hammingTableLive(spark, dhTbl, mh, bits = 64),
+            mh, bits = 64)
+          .select(col("new_id").as("_mid"))
+        val within = Dedup
+          .hammingPairs(fps, maxHamming = mh, bits = 64, pigeonhole = true)
+          .select(col("doc_b").as("_mid")) // pairs emit doc_a < doc_b
+        val exactDrop = xMarked.filter(!col("keep"))
+          .select(col("media_id").as("_mid"))
+        val dropped = exactDrop.union(vsSeen).union(within).distinct()
+        (docs.join(dropped, docs("doc_id") === dropped("_mid"), "left_anti"),
+          () => {
+            Dedup.appendAndMaybeCompactHamming(
+              fps, dhTbl, mh, bits = 64,
+              buckets = buckets, maxFilesPerBucket = maxFilesPerBucket)
+            Dedup.appendAndMaybeCompactLines(
+              xKeys, fpTbl, buckets, maxFilesPerBucket)
+            ()
+          })
     }
 
   /** The stateless decontamination gate shared by the batch front and

@@ -2480,6 +2480,63 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("runIngest media stage: byte and perceptual claims bind across batches, media-less docs flow") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Multimodal}
+    val p = "ingest_spec_media"
+    dropIngestState(p)
+    Seq("_mediafp", "_mediafp_compact_tmp", "_mediafp_tombstones",
+      "_mediadh", "_mediadh_compact_tmp", "_mediadh_tombstones")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$p$t`"))
+    val cfg = allOff.copy(mediaDedup = Some(4), numShards = 2)
+    def mk(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, "src0", t) }
+        .toDF("doc_id", "source", "text")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    val bench = mk(Seq((7777L, "benchmark text nothing shares this")))
+    // all payloads derive from BASE id 1 (mediaIdOffset relabels the
+    // media_id without changing the pixel formulas): m(2) is a byte
+    // copy of m(1), m(3) a 3-pixel perturbation within Hamming 4
+    def mediaFor(baseId: Long, mediaId: Long, perturb: Boolean = false) =
+      Multimodal.synthesizePpmTextured(
+        Seq(baseId).toDF("doc_id"),
+        mediaIdOffset = mediaId - baseId, perturb = perturb)
+    try {
+      val s0 = TrainingExport.runIngest(
+        mk(Seq((1L, "doc one entirely distinct text"))), bench, cfg, p,
+        media = mediaFor(1L, 1L))
+      Dedup.unpersistAll()
+      assert(s0.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L))
+      // batch 1: doc 2's media is a BYTE copy (exact state claim),
+      // doc 3's a perturbed copy (perceptual state claim), doc 4 has
+      // no media — only doc 4 ships
+      val b1 = mk(Seq(
+        (2L, "doc two other words completely"),
+        (3L, "doc three more words again"),
+        (4L, "doc four media less and free")))
+      val m1 = mediaFor(1L, 2L)
+        .unionByName(mediaFor(1L, 3L, perturb = true))
+      val s1 = TrainingExport.runIngest(b1, bench, cfg, p, media = m1)
+      Dedup.unpersistAll()
+      assert(s1.select("doc_id").collect().map(_.getLong(0)).toSet == Set(4L),
+        "byte and perceptual claims must both bind against the states")
+      // a later byte re-ship of the perceptually-REJECTED doc 3's
+      // payload still loses: doc 3's media was an exact SURVIVOR, so
+      // its fingerprint holds the byte slot (identity is permanent)
+      val s2 = TrainingExport.runIngest(
+        mk(Seq((5L, "doc five fresh words here"))), bench, cfg, p,
+        media = mediaFor(1L, 5L, perturb = true))
+      Dedup.unpersistAll()
+      assert(s2.count() == 0L,
+        "the perceptually-rejected media's byte identity persists")
+    } finally {
+      dropIngestState(p)
+      Seq("_mediafp", "_mediafp_compact_tmp", "_mediafp_tombstones",
+        "_mediadh", "_mediadh_compact_tmp", "_mediadh_tombstones")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$p$t`"))
+    }
+  }
+
   test("runIngest fail-fasts: finer granularities, non-char currency, numShards drift") {
     import graft.operators.Dedup
     val bench = matrixDocs.filter(col("doc_id") === 1L)
