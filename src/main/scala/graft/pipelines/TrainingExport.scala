@@ -714,9 +714,26 @@ object TrainingExport {
     val spark = gated.sparkSession
     val dedupTbl = s"${statePrefix}_dedup"
     val sigsTbl = s"${statePrefix}_sigs"
+    // layout guard: the three dedup stages write INCOMPATIBLE state
+    // layouts under the same table name, and a cfg.dedup switch
+    // mid-stream would otherwise die on a missing-column
+    // AnalysisException deep inside a probe join (the legacy
+    // line-state lesson, ADVICE r14) — name the mismatch and the
+    // remedy instead
+    def requireLayout(needed: Seq[String], stage: String): Unit =
+      if (spark.catalog.tableExists(dedupTbl)) {
+        val cols = spark.table(dedupTbl).columns.map(_.toLowerCase).toSet
+        require(needed.forall(cols.contains),
+          s"ingest dedup state '$dedupTbl' has columns " +
+            s"[${spark.table(dedupTbl).columns.mkString(", ")}] but cfg.dedup = " +
+            s"$stage expects (${needed.mkString(", ")}) — the table was written " +
+            "under a different dedup stage; keep cfg.dedup fixed per " +
+            "statePrefix, or start a fresh prefix")
+      }
     cfg.dedup match {
       case DedupOff => (gated, () => ())
       case DedupExact =>
+        requireLayout(Seq("pk1", "pk2"), "DedupExact")
         if (!spark.catalog.tableExists(dedupTbl))
           Dedup.writeDocTable(gated.limit(0), dedupTbl, buckets)
         val (marked, newKeys) = Dedup.docIngestStep(
@@ -725,6 +742,7 @@ object TrainingExport {
           () => { Dedup.appendAndMaybeCompactLines(
             newKeys, dedupTbl, buckets, maxFilesPerBucket); () })
       case DedupNearDup(_, _) =>
+        requireLayout(Seq("band", "bkey"), "DedupNearDup")
         // tracked persist: the probe, the within-batch pass, and the
         // state appends all read the batch signatures
         val sigs = Dedup.persistTracked(Dedup.signatureTable(gated))
@@ -748,6 +766,7 @@ object TrainingExport {
             Dedup.appendToSignatureTable(sigs, sigsTbl, buckets)
           })
       case DedupSimHash(mh, _, _) =>
+        requireLayout(Seq("sh_seg", "sh_key"), "DedupSimHash")
         if (!spark.catalog.tableExists(dedupTbl))
           Dedup.writeSimhashTable(gated.limit(0), dedupTbl, maxHamming = mh, buckets = buckets)
         val vsSeen = Dedup.simhashPairsAgainst(gated, spark, dedupTbl, maxHamming = mh)
@@ -820,7 +839,10 @@ object TrainingExport {
     * exact state records every first-occurrence payload key whether
     * or not the perceptual pass (or a later gate) drops the doc, and
     * the perceptual state absorbs ALL exact-surviving fingerprints —
-    * identity is permanent. The fold thunk runs dhash-then-fp
+    * identity is permanent. The media frame is keyed `media_id ==
+    * doc_id` (one payload per doc — the batch stage's multimodal-
+    * corpus shape); rows keyed otherwise never match the doc
+    * anti-join and would silently no-op. The fold thunk runs dhash-then-fp
     * (downstream-most first: the dhash rows' lineage reads the
     * mediafp state through the exact-survivor mask).
     */

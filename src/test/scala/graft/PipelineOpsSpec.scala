@@ -2568,5 +2568,21 @@ class PipelineOpsSpec extends AnyFunSuite {
       }
       assert(e3.getMessage.contains("numShards"), e3.getMessage)
     } finally dropIngestState(p)
+    // a cfg.dedup switch against an existing state names the mismatch
+    // instead of dying inside a probe join (the legacy-layout lesson)
+    val p2 = "ingest_spec_layout"
+    dropIngestState(p2)
+    try {
+      TrainingExport.runIngest(
+        matrixDocs.filter(col("doc_id") <= 4L), bench,
+        allOff.copy(dedup = DedupExact), p2)
+      Dedup.unpersistAll()
+      val e4 = intercept[IllegalArgumentException] {
+        TrainingExport.runIngest(
+          matrixDocs.filter(col("doc_id") > 4L), bench,
+          allOff.copy(dedup = DedupNearDup()), p2)
+      }
+      assert(e4.getMessage.contains("different dedup stage"), e4.getMessage)
+    } finally dropIngestState(p2)
   }
 }
