@@ -2671,6 +2671,56 @@ object ExtensionQueries {
       }
       out.orderBy("shard", "seq")
     }),
+    "q_pipeline_ingest_export_semantic" -> ((s, dir) => {
+      // the EMBEDDING granularity in the steady-state front: the
+      // first batch builds the written IVF index from its own live
+      // vectors (centroids frozen thereafter), every batch appends
+      // then probes (arrival orientation from batch MEMBERSHIP), and
+      // semantic dups drop before decontamination/budgets. The plant
+      // pairs consecutive ids (v carries v−1's scaled vector), so
+      // every semantic pair is cross-batch under pmod 3 — including
+      // the LARGER id arriving first and claiming the slot.
+      val corpus = Tables.documents(s, dir)
+      val bench = corpus.filter(col("doc_id") % 97 === 0)
+      val p = "graft_ingest_export_se_" +
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+          .replaceAll("[^A-Za-z0-9]", "_")
+      val cfg = graft.pipelines.TrainingExport.Config(
+        curate = true,
+        dedup = graft.pipelines.TrainingExport.DedupExact,
+        semanticDedup = true,
+        contaminationMaxPpm = Some(500000L),
+        budgets = Seq("src0" -> 4000L, "src1" -> 2000L),
+        defaultBudget = 3000L,
+        numShards = 4)
+      val emb = plantScaledPrevEmbeddings(s, dir)
+      val shufKey = "spark.sql.shuffle.partitions"
+      val prevShuf = s.conf.get(shufKey)
+      var out: org.apache.spark.sql.DataFrame = null
+      def dropSemIdx(): Unit = {
+        val pth = new org.apache.hadoop.fs.Path(
+          graft.pipelines.TrainingExport.semanticIndexDir(s, p))
+        pth.getFileSystem(s.sparkContext.hadoopConfiguration).delete(pth, true)
+      }
+      try {
+        s.conf.set(shufKey, "8")
+        dropSemIdx() // a stale index from an aborted run must not leak in
+        (0 until 3).foreach { b =>
+          Dedup.unpersistAll()
+          val batch = corpus.filter(pmod(col("doc_id"), lit(3)) === b)
+          val shipped = graft.pipelines.TrainingExport.runIngest(
+            batch, bench, cfg, p, buckets = 8, embeddings = emb)
+          out = if (out == null) shipped else out.unionByName(shipped)
+        }
+      } finally {
+        s.conf.set(shufKey, prevShuf)
+        dropSemIdx()
+        Seq("_dedup", "_dedup_compact_tmp", "_dedup_tombstones",
+          "_budget", "_offsets")
+          .foreach(sfx => s.sql(s"DROP TABLE IF EXISTS `$p$sfx`"))
+      }
+      out.orderBy("shard", "seq")
+    }),
     "q_stream_ingest_export" -> ((s, dir) => {
       // the steady-state export DRIVEN BY A STREAM: the corpus
       // arrives as a 3-slice micro-batch file stream and each
@@ -3526,7 +3576,8 @@ object ExtensionQueries {
       chunkExport: Option[(Int, Int)] = None,
       paraDedup: Boolean = false,
       corpusSql: Option[String] = None,
-      mediaDedup: Boolean = false): String = {
+      mediaDedup: Boolean = false,
+      semanticDedup: Boolean = false): String = {
     // the budget/shard identity: doc_id for the doc tail, the packed
     // chunk id for the chunk tail (runChunksIngest's _cid)
     val idc = if (chunkExport.isEmpty) "doc_id" else "cid"
@@ -3625,6 +3676,42 @@ object ExtensionQueries {
            |  SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n_chars, batch FROM pg0
            |)""".stripMargin
     val base0 = if (paraDedup) "pg" else "dd"
+    // optional semantic splice after the text gates: centroids train
+    // on BATCH 0's live vectors (the engine's first-ingest build,
+    // frozen thereafter — ivfCoarseCtes replays the seed + one-Lloyd
+    // refinement), every live vector assigns to them, and co-assigned
+    // pairs at cosine >= 995000 ppm reject by the arrival rule —
+    // pairwise, like the engine's append-then-probe (no components)
+    val semCtes =
+      if (!semanticDedup) ""
+      else
+        s""", se_emb AS MATERIALIZED (
+           |$scaledPrevEmbeddingsSql
+           |), se_live AS MATERIALIZED (
+           |  SELECT e.vec_id, e.embedding, d.batch
+           |  FROM se_emb e JOIN $base0 d ON d.doc_id = e.vec_id
+           |), se_c0 AS (
+           |  SELECT vec_id, embedding FROM se_live WHERE batch = 0
+           |), ${ivfCoarseCtes("TRUE", "se_", 50, "se_c0")}, se_assign AS MATERIALIZED (
+           |  SELECT vid AS vec_id, cid, embedding,
+           |         sqrt(${VectorExprs.dotDuck("embedding", "embedding")}) AS nrm
+           |  FROM (
+           |    SELECT l.vec_id AS vid, l.embedding, c.cid,
+           |           ${VectorExprs.l2sqDuck("l.embedding", "c.cemb")} AS d,
+           |           ROW_NUMBER() OVER (
+           |             PARTITION BY l.vec_id
+           |             ORDER BY ${VectorExprs.l2sqDuck("l.embedding", "c.cemb")}, c.cid) AS rn
+           |    FROM se_live l CROSS JOIN se_cents c) t WHERE rn = 1
+           |), se_rej AS (
+           |  ${arrivalRej("x.vec_id", "y.vec_id")}
+           |  FROM se_assign x JOIN se_assign y
+           |    ON x.cid = y.cid AND x.vec_id < y.vec_id
+           |  WHERE CAST(floor(1000000.0 * ((${VectorExprs.dotDuck("x.embedding", "y.embedding")}) / (x.nrm * y.nrm))) AS BIGINT) >= 995000
+           |), se AS MATERIALIZED (
+           |  SELECT d.* FROM $base0 d
+           |  WHERE d.doc_id NOT IN (SELECT doc_id FROM se_rej)
+           |)""".stripMargin
+    val baseS = if (semanticDedup) "se" else base0
     // optional media splice after the text gates: the paired-media
     // plant's payload reconstruction (trainExportPipelineSql's me_
     // chain), but under ARRIVAL rules — exact keep is the first
@@ -3638,7 +3725,7 @@ object ExtensionQueries {
            |  SELECT d.doc_id AS media_id, d.doc_id // 2 AS sid,
            |         (d.doc_id % 2 = 1 AND (d.doc_id // 2) % 3 <> 0) AS pert,
            |         d.batch
-           |  FROM $base0 d
+           |  FROM $baseS d
            |), me_pay AS MATERIALIZED (
            |  SELECT media_id, batch,
            |    'P6' || chr(10) || '# doc ' || CAST(sid AS VARCHAR) || chr(10) ||
@@ -3662,11 +3749,11 @@ object ExtensionQueries {
            |  FROM me_hsh x JOIN me_hsh y ON x.media_id < y.media_id
            |  WHERE bit_count(xor(x.fph, y.fph)) <= 4
            |), me AS MATERIALIZED (
-           |  SELECT d.* FROM $base0 d
+           |  SELECT d.* FROM $baseS d
            |  WHERE d.doc_id NOT IN (SELECT media_id FROM me_xdrop)
            |    AND d.doc_id NOT IN (SELECT media_id FROM me_pdrop)
            |)""".stripMargin
-    val base = if (mediaDedup) "me" else base0
+    val base = if (mediaDedup) "me" else baseS
     val cIdCols = idCols.split(", ").map(c => s"c.$c").mkString(", ")
     val batchCtes = (0 until numBatches).map { k =>
       val carry =
@@ -3710,7 +3797,7 @@ object ExtensionQueries {
        |    SELECT doc_id FROM m
        |    WHERE (${TextAnalysis.funnelVerdictCase(20, 500000L, Seq("en"), 600000L)}) = 'keep'
        |  ) k USING (doc_id)
-       |), $dedupCtes$paraCtes$mediaCtes, bwh AS (
+       |), $dedupCtes$paraCtes$semCtes$mediaCtes, bwh AS (
        |  SELECT ${wordHashArrayDuck(wordsDuck("text"))} AS wh
        |  FROM documents WHERE doc_id % 97 = 0 AND $guard
        |), bg AS (
@@ -5848,6 +5935,17 @@ object ExtensionQueries {
         mediaDedup = true,
         // raw documents (the media plant supplies the duplicates; the
         // docCorpus text copies would only add noise to the media axis)
+        corpusSql = Some(
+          "  SELECT doc_id, source, text, n_chars FROM documents")),
+
+    "q_pipeline_ingest_export_semantic" ->
+      // the embedding granularity in the fold: batch-0 centroids
+      // (seed + one Lloyd), every live vector assigned, co-assigned
+      // cosine pairs rejected by the arrival rule
+      ingestExportPipelineSql(
+        Seq("src0" -> 4000L, "src1" -> 2000L), 3000L,
+        numBatches = 3, numShards = 4, dedupMode = "exact",
+        semanticDedup = true,
         corpusSql = Some(
           "  SELECT doc_id, source, text, n_chars FROM documents")),
 

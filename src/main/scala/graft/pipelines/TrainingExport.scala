@@ -5,7 +5,7 @@ import scala.util.chaining._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ConnectedComponents, Dedup, Multimodal, Sampling, TextAnalysis}
+import graft.operators.{ConnectedComponents, Dedup, Multimodal, Sampling, SimilaritySearch, TextAnalysis}
 
 /** The composed training-export pipeline as a first-class operator:
   * curate → dedup → [span surgery] → decontaminate → budget-mixture →
@@ -533,16 +533,18 @@ object TrainingExport {
       hashExpr: Option[String] = None,
       buckets: Int = Dedup.BandTableBuckets,
       maxFilesPerBucket: Int = 4,
-      media: => DataFrame = null): DataFrame = {
+      media: => DataFrame = null,
+      embeddings: => DataFrame = null,
+      semCentroidMod: Int = 50): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
     require(cfg.numShards >= 1, s"numShards must be >= 1, got ${cfg.numShards}")
     require(
-      cfg.spanDedup.isEmpty && !cfg.semanticDedup,
-      "runIngest composes the document, paragraph, and media granularities on " +
-        "persisted state; span surgery and semantic dedup ingest against their " +
-        "own states — compose Dedup.repeatedSpansAgainstShingles (spans) or " +
-        "Dedup.semanticDedupAgainstIndex (embeddings) ahead of this call")
+      cfg.spanDedup.isEmpty,
+      "runIngest composes the document, paragraph, semantic, and media " +
+        "granularities on persisted state; span surgery ingests against its " +
+        "own shingle state — compose Dedup.repeatedSpansAgainstShingles " +
+        "ahead of this call")
     require(cfg.budgetCurrency == BudgetChars,
       "runIngest bills cumulative budgets in the n_chars column (the persisted " +
         "consumed state's currency); to bill tokens, put the token count in " +
@@ -555,8 +557,10 @@ object TrainingExport {
       ingestDedupStage(gated, cfg, statePrefix, buckets, maxFilesPerBucket)
     val (paraged, appendLineState) =
       ingestParagraphStage(accepted, cfg, statePrefix, buckets, maxFilesPerBucket)
+    val (semed, _) =
+      ingestSemanticStage(paraged, embeddings, cfg, statePrefix, semCentroidMod)
     val (mediaed, appendMediaState) =
-      ingestMediaStage(paraged, media, cfg, statePrefix, buckets, maxFilesPerBucket)
+      ingestMediaStage(semed, media, cfg, statePrefix, buckets, maxFilesPerBucket)
     val clean = decontaminate(mediaed, benchmark, cfg)
 
     // ---- cumulative budget: this batch fills the REMAINING budget
@@ -621,15 +625,16 @@ object TrainingExport {
       hashExpr: Option[String] = None,
       buckets: Int = Dedup.BandTableBuckets,
       maxFilesPerBucket: Int = 4,
-      media: => DataFrame = null): DataFrame = {
+      media: => DataFrame = null,
+      embeddings: => DataFrame = null,
+      semCentroidMod: Int = 50): DataFrame = {
     val spark = batch.sparkSession
     require(cfg.numShards >= 1, s"numShards must be >= 1, got ${cfg.numShards}")
     require(
-      cfg.spanDedup.isEmpty && !cfg.semanticDedup,
-      "runChunksIngest composes the document/paragraph/media front plus the " +
-        "chunk state; span surgery and semantic dedup ingest against their " +
-        "own persisted states (see runIngest's fail-fast) — compose them " +
-        "ahead of this call")
+      cfg.spanDedup.isEmpty,
+      "runChunksIngest composes the document/paragraph/semantic/media front " +
+        "plus the chunk state; span surgery ingests against its own shingle " +
+        "state (see runIngest's fail-fast) — compose it ahead of this call")
     // same rejection as runChunks: chunk budgets bill in the chunker's
     // own token count, and a silently different currency would admit
     // 1.3-2x the text the budgets specify
@@ -643,8 +648,10 @@ object TrainingExport {
       ingestDedupStage(gated, cfg, statePrefix, buckets, maxFilesPerBucket)
     val (paraged, appendLineState) =
       ingestParagraphStage(accepted, cfg, statePrefix, buckets, maxFilesPerBucket)
+    val (semed, _) =
+      ingestSemanticStage(paraged, embeddings, cfg, statePrefix, semCentroidMod)
     val (mediaed, appendMediaState) =
-      ingestMediaStage(paraged, media, cfg, statePrefix, buckets, maxFilesPerBucket)
+      ingestMediaStage(semed, media, cfg, statePrefix, buckets, maxFilesPerBucket)
     val clean = decontaminate(mediaed, benchmark, cfg)
 
     // ---- chunk + probe the persisted chunk-key state
@@ -813,6 +820,74 @@ object TrainingExport {
         length(col("text_deduped")).cast("long").as("n_chars")),
         () => { Dedup.appendAndMaybeCompactLines(
           newKeys, linesTbl, buckets, maxFilesPerBucket); () })
+    }
+
+  /** Where the ingest SEMANTIC stage keeps its written IVF index —
+    * under the session warehouse beside the prefix's catalog tables,
+    * exposed so callers can locate, maintain
+    * ([[graft.operators.SimilaritySearch.reclusterWrittenIndex]] /
+    * `driftReport`), or remove the state.
+    */
+  def semanticIndexDir(
+      spark: org.apache.spark.sql.SparkSession, statePrefix: String): String =
+    s"${spark.conf.get("spark.sql.warehouse.dir")}/${statePrefix}_semidx"
+
+  /** The ingest SEMANTIC stage — SemDeDup's embedding granularity on
+    * the persisted WRITTEN IVF index. The FIRST ingest builds the
+    * index from its own live vectors (centroids frozen thereafter —
+    * the faiss maintenance split; wire
+    * [[graft.operators.SimilaritySearch.driftReport]] /
+    * `reclusterWrittenIndex` over [[semanticIndexDir]] when the
+    * corpus drifts); every ingest APPENDS its live vectors and then
+    * probes them against the accumulated membership
+    * ([[graft.operators.Dedup.semanticDedupAgainstIndex]] — assign to
+    * the frozen centroids, cosine ≥ threshold among co-assigned).
+    *
+    * This stage folds its state AT PROBE TIME (append-then-probe),
+    * unlike the text stages' probe-then-fold: arrival orientation
+    * needs batch MEMBERSHIP, not id order — a pair against an
+    * earlier arrival rejects the new side whatever the ids, a
+    * within-batch pair rejects the larger id — and membership is
+    * only observable by probing the post-append index and splitting
+    * pairs on whether the corpus side belongs to this batch. The
+    * crash window is therefore wider (a crash after the append loses
+    * the batch to the semantic state before anything ships); the
+    * remedy is unchanged — `deleteFromWrittenIndex` the batch ids and
+    * re-ingest. Seen-corpus policy like every stage: ALL live batch
+    * vectors join the index, accepted or not. Embedding-less docs
+    * pass through (the anti-join-on-droppers shape).
+    */
+  private def ingestSemanticStage(
+      docs: DataFrame, embeddings: => DataFrame, cfg: Config,
+      statePrefix: String, semCentroidMod: Int): (DataFrame, () => Unit) =
+    if (!cfg.semanticDedup) (docs, () => ())
+    else {
+      val spark = docs.sparkSession
+      val emb = embeddings
+      require(emb != null,
+        "cfg.semanticDedup is on but no embeddings frame was passed to the ingest call")
+      val idxDir = semanticIndexDir(spark, statePrefix)
+      val live = Dedup.persistTracked(emb.join(
+        docs.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"))
+      val marker = new org.apache.hadoop.fs.Path(s"$idxDir/centroids")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker))
+        SimilaritySearch.writeIndex(
+          SimilaritySearch.buildIndex(live, centroidMod = semCentroidMod), idxDir)
+      else
+        SimilaritySearch.appendToWrittenIndex(spark, idxDir, live)
+      val pairs = Dedup
+        .semanticDedupAgainstIndex(live, SimilaritySearch.readIndex(spark, idxDir))
+        .filter(col("new_id") =!= col("corpus_id")) // the batch is in the index
+      val own = live.select(col("vec_id").as("corpus_id"), lit(true).as("_own"))
+      val rejected = pairs
+        .join(own, Seq("corpus_id"), "left")
+        .select(
+          when(col("_own").isNull, col("new_id")) // earlier arrival claims
+            .otherwise(greatest(col("new_id"), col("corpus_id"))).as("_rid"))
+        .distinct()
+      (docs.join(rejected, docs("doc_id") === rejected("_rid"), "left_anti"),
+        () => ())
     }
 
   /** The ingest MEDIA stage — the multimodal granularity on

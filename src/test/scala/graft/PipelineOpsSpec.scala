@@ -2537,6 +2537,70 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("runIngest semantic stage: arrival claims via batch membership, embedding-less docs flow, takedown remedy works") {
+    import spark.implicits._
+    import graft.operators.{Dedup, SimilaritySearch}
+    val p = "ingest_spec_sem"
+    dropIngestState(p)
+    def dropIdx(): Unit = {
+      val pth = new org.apache.hadoop.fs.Path(
+        TrainingExport.semanticIndexDir(spark, p))
+      pth.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pth, true)
+    }
+    dropIdx()
+    val cfg = allOff.copy(semanticDedup = true, numShards = 2)
+    def mk(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, "src0", t) }
+        .toDF("doc_id", "source", "text")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    val bench = mk(Seq((7777L, "benchmark text nothing shares this")))
+    // a deterministic 4-dim embedding per id: ids 100 and 1 share a
+    // direction (cosine 1 up to scale); id 2 is orthogonal
+    def emb(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("vec_id", "embedding")
+    val vA = Seq(1f, 2f, 3f, 4f)
+    val vB = Seq(4f, -3f, 2f, -1f)
+    try {
+      // batch 0: the LARGER id arrives first and claims the semantic
+      // slot (vec 100 seeds the index/centroids; vec_id % 50 == 0)
+      val s0 = TrainingExport.runIngest(
+        mk(Seq((100L, "doc hundred words here"))), bench, cfg, p,
+        embeddings = emb(Seq((100L, vA))))
+      Dedup.unpersistAll()
+      assert(s0.count() == 1L)
+      // batch 1: doc 1's vector is a scaled copy of doc 100's —
+      // rejected by the EARLIER arrival whatever the ids; doc 2 is
+      // orthogonal and ships; doc 3 has NO embedding row and flows
+      val s1 = TrainingExport.runIngest(
+        mk(Seq(
+          (1L, "doc one other words"),
+          (2L, "doc two unrelated words"),
+          (3L, "doc three no embedding"))), bench, cfg, p,
+        embeddings = emb(Seq(
+          (1L, vA.map(_ * 1.001f)),
+          (2L, vB))))
+      Dedup.unpersistAll()
+      val k1 = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(k1 == Set(2L, 3L),
+        s"earlier arrival claims, embedding-less flows: $k1")
+      // the crash/takedown remedy: delete doc 1's vector from the
+      // written index and re-ingest it — it ships (nothing claims it;
+      // doc 100's vector was deleted too in this takedown)
+      SimilaritySearch.deleteFromWrittenIndex(
+        spark, TrainingExport.semanticIndexDir(spark, p),
+        Seq(100L, 1L).toDF("vec_id"))
+      val s2 = TrainingExport.runIngest(
+        mk(Seq((10L, "doc ten fresh words"))), bench, cfg, p,
+        embeddings = emb(Seq((10L, vA.map(_ * 1.002f)))))
+      Dedup.unpersistAll()
+      assert(s2.count() == 1L,
+        "after index takedown the semantic slot is claimable again")
+    } finally {
+      dropIngestState(p)
+      dropIdx()
+    }
+  }
+
   test("runIngest fail-fasts: finer granularities, non-char currency, numShards drift") {
     import graft.operators.Dedup
     val bench = matrixDocs.filter(col("doc_id") === 1L)
