@@ -31,16 +31,23 @@ object ProbeIngestScale {
       .select("doc_id", "source", "text", "n_chars").localCheckpoint(true)
     val n = docs.count()
 
-    for (mode <- Seq("exact", "neardup")) {
+    for (mode <- Seq("exact", "neardup", "media")) {
       val p = s"ingest_scale_${mode}"
-      Seq("_dedup", "_dedup_compact_tmp", "_dedup_tombstones",
+      val tables = Seq(
+        "_dedup", "_dedup_compact_tmp", "_dedup_tombstones",
         "_sigs", "_sigs_compact_tmp", "_sigs_tombstones",
+        "_mediafp", "_mediafp_compact_tmp", "_mediafp_tombstones",
+        "_mediadh", "_mediadh_compact_tmp", "_mediadh_tombstones",
         "_budget", "_offsets")
-        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$p$t`"))
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$p$t`"))
       val cfg = TrainingExport.Config(
         curate = false, // isolate the state machinery from the funnel
-        dedup = if (mode == "exact") TrainingExport.DedupExact
-                else TrainingExport.DedupNearDup(),
+        dedup = mode match {
+          case "exact" => TrainingExport.DedupExact
+          case "neardup" => TrainingExport.DedupNearDup()
+          case _ => TrainingExport.DedupOff // media: isolate the media states
+        },
+        mediaDedup = if (mode == "media") Some(4) else None,
         contaminationMaxPpm = None,
         budgets = Nil,
         numShards = 8)
@@ -58,18 +65,24 @@ object ProbeIngestScale {
           .withColumn("doc_id", col("doc_id") + lit(k.toLong * 10000000L))
           .withColumn("text",
             expr(s"array_join(transform(split(text, ' '), w -> concat(w, '_b$k')), ' ')"))
+        // media mode: one payload per doc, synthesized from the
+        // OFFSET id so every batch carries fully distinct pixels (a
+        // payload derives from its synth input id) — the per-ingest
+        // cost is then one decode pass + the two state probes
+        val media =
+          if (mode != "media") null
+          else graft.operators.Multimodal.synthesizePpmTextured(
+            batch.select("doc_id"))
         val t0 = System.nanoTime()
         val shipped = TrainingExport.runIngest(
-          batch, docs.limit(1), cfg, p)
+          batch, docs.limit(1), cfg, p, media = media)
         val rows = shipped.count()
         val wall = (System.nanoTime() - t0) / 1e9
-        val stateRows = spark.table(s"${p}_dedup").count()
+        val stateTbl = if (mode == "media") s"${p}_mediadh" else s"${p}_dedup"
+        val stateRows = spark.table(stateTbl).count()
         println(f"  ingest $k%2d: wall $wall%6.2f s  shipped $rows%7d  state_rows $stateRows%9d")
       }
-      Seq("_dedup", "_dedup_compact_tmp", "_dedup_tombstones",
-        "_sigs", "_sigs_compact_tmp", "_sigs_tombstones",
-        "_budget", "_offsets")
-        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$p$t`"))
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$p$t`"))
     }
     spark.stop()
   }
