@@ -2595,6 +2595,18 @@ class PipelineOpsSpec extends AnyFunSuite {
       Dedup.unpersistAll()
       assert(s2.count() == 1L,
         "after index takedown the semantic slot is claimable again")
+      // the state is maintainable IN PLACE with the written-index
+      // verbs: a re-cluster (retrain centroids from the live corpus,
+      // marker-committed swap) between ingests must not break the
+      // stage — a later scaled copy of an indexed vector still loses
+      SimilaritySearch.reclusterWrittenIndex(
+        spark, TrainingExport.semanticIndexDir(spark, p), centroidMod = 1)
+      val s3 = TrainingExport.runIngest(
+        mk(Seq((11L, "doc eleven still more words"))), bench, cfg, p,
+        embeddings = emb(Seq((11L, vA.map(_ * 1.003f)))))
+      Dedup.unpersistAll()
+      assert(s3.count() == 0L,
+        "the stage keeps rejecting against the re-clustered state")
     } finally {
       dropIngestState(p)
       dropIdx()
