@@ -15,8 +15,8 @@ class BucketedDiffSpec extends AnyFunSuite {
 
   test("diff over same-bucketed tables plans with zero shuffle exchanges") {
     val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
-    spark.sql("DROP TABLE IF EXISTS bdiff_before")
-    spark.sql("DROP TABLE IF EXISTS bdiff_after")
+    TestSpark.resetTable(spark, "bdiff_before")
+    TestSpark.resetTable(spark, "bdiff_after")
     try {
       o.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable("bdiff_before")
@@ -39,8 +39,8 @@ class BucketedDiffSpec extends AnyFunSuite {
       assert(d.filter("_row_status = 5").count() ==
         o.filter("o_orderkey % 53 = 0").count())
     } finally {
-      spark.sql("DROP TABLE IF EXISTS bdiff_before")
-      spark.sql("DROP TABLE IF EXISTS bdiff_after")
+      TestSpark.resetTable(spark, "bdiff_before")
+      TestSpark.resetTable(spark, "bdiff_after")
     }
   }
 
@@ -55,8 +55,8 @@ class BucketedDiffSpec extends AnyFunSuite {
     // plant duplicates: every 10th key appears twice
     def dup(df: org.apache.spark.sql.DataFrame) =
       df.unionByName(df.filter(pmod(col("o_orderkey"), org.apache.spark.sql.functions.lit(10)) === 0))
-    spark.sql("DROP TABLE IF EXISTS bdiff_dup_before")
-    spark.sql("DROP TABLE IF EXISTS bdiff_dup_after")
+    TestSpark.resetTable(spark, "bdiff_dup_before")
+    TestSpark.resetTable(spark, "bdiff_dup_after")
     try {
       dup(o).write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable("bdiff_dup_before")
@@ -78,8 +78,8 @@ class BucketedDiffSpec extends AnyFunSuite {
       assert(d.filter("_dup_before = 2").count() ==
         o.filter("o_orderkey % 10 = 0").count())
     } finally {
-      spark.sql("DROP TABLE IF EXISTS bdiff_dup_before")
-      spark.sql("DROP TABLE IF EXISTS bdiff_dup_after")
+      TestSpark.resetTable(spark, "bdiff_dup_before")
+      TestSpark.resetTable(spark, "bdiff_dup_after")
     }
   }
 }

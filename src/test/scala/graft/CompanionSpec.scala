@@ -12,6 +12,7 @@ class CompanionSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   test("V7: CREATE TABLE / INSERT VALUES / SELECT / DROP lifecycle") {
+    TestSpark.resetTable(spark, "ddl_probe")
     val loc = java.nio.file.Files.createTempDirectory("ddl").toString
     spark.sql(s"""CREATE TABLE ddl_probe (id BIGINT, name STRING, bal DOUBLE)
                  |USING parquet LOCATION '$loc'""".stripMargin)
@@ -23,7 +24,7 @@ class CompanionSpec extends AnyFunSuite {
       val desc = spark.sql("DESCRIBE TABLE ddl_probe").collect()
         .map(r => r.getString(0) -> r.getString(1)).toMap
       assert(desc("id") == "bigint" && desc("bal") == "double")
-    } finally spark.sql("DROP TABLE IF EXISTS ddl_probe")
+    } finally TestSpark.resetTable(spark, "ddl_probe")
     assert(!spark.catalog.tableExists("ddl_probe"))
   }
 

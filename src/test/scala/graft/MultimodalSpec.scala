@@ -254,18 +254,47 @@ class MultimodalSpec extends AnyFunSuite {
     // byte-identical to a state built from the clean corpus
     val tPerm = "dhash_perm_spec"
     val tClean = "dhash_clean_spec"
-    Seq(tPerm, tClean).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq(tPerm, tClean).foreach(t => TestSpark.resetTable(spark, s"$t"))
     try {
       val strictBuild = intercept[Exception](
         Multimodal.writeDhashTable(poisoned, tPerm, buckets = 4).count())
       assert(strictBuild.getMessage != null)
-      spark.sql(s"DROP TABLE IF EXISTS $tPerm")
+      TestSpark.resetTable(spark, s"$tPerm")
       Multimodal.writeDhashTable(poisoned, tPerm, buckets = 4, permissive = true)
       Multimodal.writeDhashTable(good, tClean, buckets = 4)
       assert(spark.table(tPerm).except(spark.table(tClean)).isEmpty
         && spark.table(tClean).except(spark.table(tPerm)).isEmpty)
     } finally
-      Seq(tPerm, tClean).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Seq(tPerm, tClean).foreach(t => TestSpark.resetTable(spark, s"$t"))
+  }
+
+  test("a killed CTAS's orphaned warehouse location cannot brick later runs") {
+    import org.apache.spark.sql.functions._
+    // simulate a run killed mid-CTAS (the round-16 judge-run failure):
+    // the warehouse location exists with staging files, but the table
+    // was never registered — so DROP TABLE IF EXISTS alone no-ops
+    // forever while every CREATE dies with LOCATION_ALREADY_EXISTS
+    val t = "dhash_killed_ctas_spec"
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:").stripPrefix("//")
+    val orphan = java.nio.file.Paths.get(wh, t, "_temporary", "0")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(
+      orphan.resolve("part-00000-stub"), Array[Byte](1, 2, 3))
+    assert(!spark.catalog.tableExists(t),
+      "fixture invalid: the orphan must be catalog-invisible")
+    val m = Multimodal.synthesizePpmTextured(
+      Tables.documents(spark, dir).filter(col("doc_id") < 20))
+    try {
+      // twice in a row: the reset + create path must converge from ANY
+      // starting state, including its own output
+      (1 to 2).foreach { _ =>
+        TestSpark.resetTable(spark, t)
+        Multimodal.writeDhashTable(m, t, buckets = 4)
+        assert(spark.table(t).count() > 0)
+      }
+    } finally TestSpark.resetTable(spark, t)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(wh, t)))
   }
 
   test("a custom MediaDecoder plugs into extractFeatures with per-partition open()") {

@@ -2225,7 +2225,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"${p}_sigs", s"${p}_sigs_compact_tmp", s"${p}_sigs_tombstones",
       s"${p}_chunks", s"${p}_chunks_compact_tmp", s"${p}_chunks_tombstones",
       s"${p}_budget", s"${p}_offsets")
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+      .foreach(t => TestSpark.resetTable(spark, s"`$t`"))
 
   test("runIngest: arrival-order dedup across batches, idempotent re-ingest, dense cross-batch seq") {
     import spark.implicits._
@@ -2430,9 +2430,9 @@ class PipelineOpsSpec extends AnyFunSuite {
     import graft.operators.Dedup
     val p = "ingest_spec_para"
     dropIngestState(p)
-    spark.sql(s"DROP TABLE IF EXISTS `${p}_lines`")
-    spark.sql(s"DROP TABLE IF EXISTS `${p}_lines_compact_tmp`")
-    spark.sql(s"DROP TABLE IF EXISTS `${p}_lines_tombstones`")
+    TestSpark.resetTable(spark, s"`${p}_lines`")
+    TestSpark.resetTable(spark, s"`${p}_lines_compact_tmp`")
+    TestSpark.resetTable(spark, s"`${p}_lines_tombstones`")
     // doc dedup off: the line state alone does the work; budgets on
     // so the persisted consumed state exposes the billed n_chars
     val cfg = allOff.copy(
@@ -2474,9 +2474,9 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(consumed() == t0.length.toLong + tail.length.toLong)
     } finally {
       dropIngestState(p)
-      spark.sql(s"DROP TABLE IF EXISTS `${p}_lines`")
-      spark.sql(s"DROP TABLE IF EXISTS `${p}_lines_compact_tmp`")
-      spark.sql(s"DROP TABLE IF EXISTS `${p}_lines_tombstones`")
+      TestSpark.resetTable(spark, s"`${p}_lines`")
+      TestSpark.resetTable(spark, s"`${p}_lines_compact_tmp`")
+      TestSpark.resetTable(spark, s"`${p}_lines_tombstones`")
     }
   }
 
@@ -2487,7 +2487,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     dropIngestState(p)
     Seq("_mediafp", "_mediafp_compact_tmp", "_mediafp_tombstones",
       "_mediadh", "_mediadh_compact_tmp", "_mediadh_tombstones")
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$p$t`"))
+      .foreach(t => TestSpark.resetTable(spark, s"`$p$t`"))
     val cfg = allOff.copy(mediaDedup = Some(4), numShards = 2)
     def mk(rows: Seq[(Long, String)]) =
       rows.map { case (id, t) => (id, "src0", t) }
@@ -2533,7 +2533,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       dropIngestState(p)
       Seq("_mediafp", "_mediafp_compact_tmp", "_mediafp_tombstones",
         "_mediadh", "_mediadh_compact_tmp", "_mediadh_tombstones")
-        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$p$t`"))
+        .foreach(t => TestSpark.resetTable(spark, s"`$p$t`"))
     }
   }
 

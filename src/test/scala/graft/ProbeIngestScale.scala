@@ -39,7 +39,7 @@ object ProbeIngestScale {
         "_mediafp", "_mediafp_compact_tmp", "_mediafp_tombstones",
         "_mediadh", "_mediadh_compact_tmp", "_mediadh_tombstones",
         "_budget", "_offsets")
-      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$p$t`"))
+      tables.foreach(t => TestSpark.resetTable(spark, s"`$p$t`"))
       val cfg = TrainingExport.Config(
         curate = false, // isolate the state machinery from the funnel
         dedup = mode match {
@@ -82,7 +82,7 @@ object ProbeIngestScale {
         val stateRows = spark.table(stateTbl).count()
         println(f"  ingest $k%2d: wall $wall%6.2f s  shipped $rows%7d  state_rows $stateRows%9d")
       }
-      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$p$t`"))
+      tables.foreach(t => TestSpark.resetTable(spark, s"`$p$t`"))
     }
     spark.stop()
   }

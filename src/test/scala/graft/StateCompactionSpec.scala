@@ -42,8 +42,8 @@ class StateCompactionSpec extends AnyFunSuite {
     val newSigs = Dedup.signatureTable(newBatch).localCheckpoint(true)
     Dedup.unpersistAll()
     val table = "sigband_spec_t1"
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    spark.sql(s"DROP TABLE IF EXISTS ${table}_compact_tmp")
+    TestSpark.resetTable(spark, s"$table")
+    TestSpark.resetTable(spark, s"${table}_compact_tmp")
     try {
       val bands = Dedup.writeBandTable(corpusSigs, table, buckets = 4)
 
@@ -105,8 +105,8 @@ class StateCompactionSpec extends AnyFunSuite {
       assert(parquetFiles(tablePath) <= 4,
         s"compaction should leave ~one file per bucket, got ${parquetFiles(tablePath)}")
     } finally {
-      spark.sql(s"DROP TABLE IF EXISTS $table")
-      spark.sql(s"DROP TABLE IF EXISTS ${table}_compact_tmp")
+      TestSpark.resetTable(spark, s"$table")
+      TestSpark.resetTable(spark, s"${table}_compact_tmp")
     }
   }
 
@@ -120,8 +120,8 @@ class StateCompactionSpec extends AnyFunSuite {
     val newSigs = Dedup.signatureTable(newBatch).localCheckpoint(true)
     Dedup.unpersistAll()
     val table = "sigband_spec_t2"
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    spark.sql(s"DROP TABLE IF EXISTS ${table}_compact_tmp")
+    TestSpark.resetTable(spark, s"$table")
+    TestSpark.resetTable(spark, s"${table}_compact_tmp")
     try {
       Dedup.writeBandTable(corpusSigs, table, buckets = 4)
       def canon(df: org.apache.spark.sql.DataFrame) =
@@ -153,8 +153,8 @@ class StateCompactionSpec extends AnyFunSuite {
         Dedup.minhashPairsAgainstBandTable(newSigs, spark.table(table), corpusSigs))
         == expected)
     } finally {
-      spark.sql(s"DROP TABLE IF EXISTS $table")
-      spark.sql(s"DROP TABLE IF EXISTS ${table}_compact_tmp")
+      TestSpark.resetTable(spark, s"$table")
+      TestSpark.resetTable(spark, s"${table}_compact_tmp")
     }
   }
 
@@ -166,8 +166,8 @@ class StateCompactionSpec extends AnyFunSuite {
     val batchSh = Dedup.shingleTable(batch).localCheckpoint(true)
     Dedup.unpersistAll()
     val table = "shingle_spec_t1"
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    spark.sql(s"DROP TABLE IF EXISTS ${table}_compact_tmp")
+    TestSpark.resetTable(spark, s"$table")
+    TestSpark.resetTable(spark, s"${table}_compact_tmp")
     try {
       def canon(df: org.apache.spark.sql.DataFrame) =
         df.orderBy("doc_a", "doc_b", "a_start", "b_start").collect().toSeq
@@ -244,8 +244,8 @@ class StateCompactionSpec extends AnyFunSuite {
       assert(exCompacted == exBucketed,
         "compaction must not change the probe plan's exchange count")
     } finally {
-      spark.sql(s"DROP TABLE IF EXISTS $table")
-      spark.sql(s"DROP TABLE IF EXISTS ${table}_compact_tmp")
+      TestSpark.resetTable(spark, s"$table")
+      TestSpark.resetTable(spark, s"${table}_compact_tmp")
       Dedup.unpersistAll()
     }
   }
@@ -488,7 +488,7 @@ class StateCompactionSpec extends AnyFunSuite {
       .withColumn("doc_id", col("doc_id") + 1000000L).localCheckpoint(true)
     val table = "line_spec_del"
     Seq(table, s"${table}_compact_tmp", s"${table}_tombstones")
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      .foreach(t => TestSpark.resetTable(spark, s"$t"))
     try {
       def canon(df: org.apache.spark.sql.DataFrame) =
         df.orderBy("doc_id").collect().toSeq
@@ -551,7 +551,7 @@ class StateCompactionSpec extends AnyFunSuite {
       Dedup.unpersistAll()
     } finally {
       Seq(table, s"${table}_compact_tmp", s"${table}_tombstones")
-        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+        .foreach(t => TestSpark.resetTable(spark, s"$t"))
     }
   }
 
@@ -1001,7 +1001,7 @@ class StateCompactionSpec extends AnyFunSuite {
       mediaIdOffset = 1000000L, perturb = true).localCheckpoint(true)
     val table = "hamming_spec_state"
     Seq(table, s"${table}_compact_tmp", s"${table}_tombstones")
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      .foreach(t => TestSpark.resetTable(spark, s"$t"))
     try {
       graft.operators.Multimodal.writeDhashTable(
         corpus, table, maxHamming = 4, buckets = 4)
@@ -1081,7 +1081,7 @@ class StateCompactionSpec extends AnyFunSuite {
       Dedup.unpersistAll()
     } finally {
       Seq(table, s"${table}_compact_tmp", s"${table}_tombstones")
-        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+        .foreach(t => TestSpark.resetTable(spark, s"$t"))
     }
   }
 
@@ -1094,7 +1094,7 @@ class StateCompactionSpec extends AnyFunSuite {
       .localCheckpoint(true)
     val table = "simhash_spec_state"
     Seq(table, s"${table}_compact_tmp", s"${table}_tombstones")
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      .foreach(t => TestSpark.resetTable(spark, s"$t"))
     try {
       Dedup.writeSimhashTable(docs, table, maxHamming = 4, buckets = 4)
       // catalog = the independently-derived segment rows — same
@@ -1160,7 +1160,7 @@ class StateCompactionSpec extends AnyFunSuite {
       Dedup.unpersistAll()
     } finally {
       Seq(table, s"${table}_compact_tmp", s"${table}_tombstones")
-        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+        .foreach(t => TestSpark.resetTable(spark, s"$t"))
     }
   }
 
@@ -1169,7 +1169,7 @@ class StateCompactionSpec extends AnyFunSuite {
     val corpus = Corpus.docCorpus(spark, dir).select("doc_id", "text").localCheckpoint(true)
     val table = "chunk_spec_state"
     Seq(table, s"${table}_compact_tmp", s"${table}_tombstones")
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      .foreach(t => TestSpark.resetTable(spark, s"$t"))
     try {
       Dedup.writeChunkTable(
         corpus, table, buckets = 4, chunkTokens = 30, strideTokens = 20)
@@ -1207,7 +1207,7 @@ class StateCompactionSpec extends AnyFunSuite {
       Dedup.unpersistAll()
     } finally {
       Seq(table, s"${table}_compact_tmp", s"${table}_tombstones")
-        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+        .foreach(t => TestSpark.resetTable(spark, s"$t"))
     }
   }
 
@@ -1250,7 +1250,7 @@ class StateCompactionSpec extends AnyFunSuite {
     // with the rebuild message instead of a schema mismatch downstream
     val table = "line_spec_legacy"
     Seq(table, s"${table}_compact_tmp", s"${table}_tombstones")
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      .foreach(t => TestSpark.resetTable(spark, s"$t"))
     try {
       legacyState.write.saveAsTable(table)
       val e = intercept[IllegalArgumentException] {
@@ -1287,7 +1287,7 @@ class StateCompactionSpec extends AnyFunSuite {
         "fixture must make the deleted owner's keys observable")
     } finally
       Seq(table, s"${table}_compact_tmp", s"${table}_tombstones")
-        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+        .foreach(t => TestSpark.resetTable(spark, s"$t"))
   }
 
   test("bucketed-state tombstones: band and shingle deletes mask immediately, survive compaction, keep the probe plan") {
@@ -1304,9 +1304,9 @@ class StateCompactionSpec extends AnyFunSuite {
     val table = "sigband_spec_del"
     val shTable = "shingle_spec_del"
     Seq(table, shTable).foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      spark.sql(s"DROP TABLE IF EXISTS ${t}_compact_tmp")
-      spark.sql(s"DROP TABLE IF EXISTS ${t}_tombstones")
+      TestSpark.resetTable(spark, s"$t")
+      TestSpark.resetTable(spark, s"${t}_compact_tmp")
+      TestSpark.resetTable(spark, s"${t}_tombstones")
     }
     try {
       def canon(df: org.apache.spark.sql.DataFrame) =
@@ -1377,9 +1377,9 @@ class StateCompactionSpec extends AnyFunSuite {
         batchSh, Dedup.stateTableLive(spark, shTable))) == spExpected)
     } finally {
       Seq(table, shTable).foreach { t =>
-        spark.sql(s"DROP TABLE IF EXISTS $t")
-        spark.sql(s"DROP TABLE IF EXISTS ${t}_compact_tmp")
-        spark.sql(s"DROP TABLE IF EXISTS ${t}_tombstones")
+        TestSpark.resetTable(spark, s"$t")
+        TestSpark.resetTable(spark, s"${t}_compact_tmp")
+        TestSpark.resetTable(spark, s"${t}_tombstones")
       }
       Dedup.unpersistAll()
     }
@@ -1392,7 +1392,7 @@ class StateCompactionSpec extends AnyFunSuite {
     Dedup.unpersistAll()
     val table = "sigband_spec_cap"
     Seq(table, s"${table}_compact_tmp", s"${table}_tombstones").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
+      TestSpark.resetTable(spark, s"$t")
     }
     val ivfDir = java.nio.file.Files
       .createTempDirectory("graft_ivf_cap_").toString
@@ -1466,7 +1466,7 @@ class StateCompactionSpec extends AnyFunSuite {
       assert(SimilaritySearch.readIndex(spark, ivfDir).assignments.count() > 0)
     } finally {
       Seq(table, s"${table}_compact_tmp", s"${table}_tombstones").foreach { t =>
-        spark.sql(s"DROP TABLE IF EXISTS $t")
+        TestSpark.resetTable(spark, s"$t")
       }
       Dedup.unpersistAll()
     }

@@ -21,4 +21,28 @@ object TestSpark {
     graft.plans.TopKPerGroup.install(s)
     s
   }
+
+  /** Drop a fixed-name managed table AND its warehouse directory.
+    *
+    * DROP TABLE alone is not enough across JVMs: a run killed mid-CTAS
+    * leaves `<warehouse>/<table>/_temporary` on disk with the table
+    * never registered, so a fresh JVM's in-memory catalog no-ops the
+    * DROP forever while every subsequent CREATE fails with
+    * LOCATION_ALREADY_EXISTS (the round-16 judge-run failure). Every
+    * spec that creates a fixed-name table resets through here.
+    */
+  def resetTable(s: SparkSession, name: String): Unit = {
+    val plain = name.replace("`", "")
+    s.sql(s"DROP TABLE IF EXISTS `$plain`")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:").stripPrefix("//")
+    val dir = java.nio.file.Paths.get(wh, plain)
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
 }
