@@ -366,6 +366,50 @@ object SimilaritySearch {
     index.assignments
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/assignments")
+    writeBaselineManifest(index.assignments.sparkSession, dir)
+  }
+
+  /** Where [[driftEvidence]]'s baseline generation is recorded: one
+    * tiny text file naming the assignment part-files that existed at
+    * the last full rewrite (build / compaction / re-cluster). Part
+    * names carry the writing task's UUID, so a name set needs no URI
+    * normalization and survives directory moves.
+    */
+  private def baselineManifestPath(dir: String): String =
+    s"$dir/baseline_manifest"
+
+  /** Stamp the CURRENT assignment file set as the baseline
+    * generation. Called at every rewrite point — [[writeIndex]],
+    * the compaction swap, the re-cluster roll-forward — so
+    * [[driftEvidence]] can split baseline vs appended mass EXACTLY
+    * instead of inferring it from file modification times (which tie
+    * on coarse-mtime filesystems and object stores and would silently
+    * fold a same-second append into the baseline, suppressing the
+    * re-cluster trigger).
+    */
+  private def writeBaselineManifest(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val names = spark.read.parquet(s"$dir/assignments").inputFiles
+      .map(f => new org.apache.hadoop.fs.Path(f).getName).sorted
+    val p = new org.apache.hadoop.fs.Path(baselineManifestPath(dir))
+    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(p, true)
+    try out.write(
+      names.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readBaselineManifest(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Option[Set[String]] = {
+    val p = new org.apache.hadoop.fs.Path(baselineManifestPath(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toSet)
+      finally in.close()
+    }
   }
 
   /** Reload a [[writeIndex]] layout. `cid` comes back as a partition
@@ -566,6 +610,7 @@ object SimilaritySearch {
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(tmp)
     swapDirs(spark, cur, tmp)
+    writeBaselineManifest(spark, dir)
   }
 
   /** Swap `tmp` into `cur`'s place: the tmp write is complete before
@@ -787,6 +832,11 @@ object SimilaritySearch {
         }
       }
       deleteDir(spark, s"$dir/tombstones")
+      // stamp the promoted generation BEFORE dropping the marker: a
+      // crash in between re-enters this branch (next dirs gone → the
+      // already-swapped path) and re-stamps, so the manifest can never
+      // survive a completed swap pointing at the retired generation
+      writeBaselineManifest(spark, dir)
       deleteDir(spark, reclusterMarker(dir))
     } else {
       tables.foreach { t =>
@@ -804,13 +854,17 @@ object SimilaritySearch {
     * mass split that decides the RE-CLUSTER cadence (r15 verdict task
     * #4, turning SCALE.md's "trigger on per-list skew of the appended
     * mass, not a timer" guidance into an operator). Provenance comes
-    * from the layout's own write discipline, no new state: the build
-    * (and every compaction/re-cluster) leaves exactly ONE file per
-    * list directory, every append adds strictly newer files — so the
-    * oldest file in each list dir IS the baseline generation and
-    * everything newer is appended mass. One driver-side listing + one
-    * footer-cheap count aggregate (parquet count pushdown; no data
-    * scan).
+    * from the baseline manifest every rewrite point stamps (build /
+    * compaction / re-cluster roll-forward): a part-file named there
+    * is baseline, anything else is appended mass — an EXACT split
+    * that keeps working when a filesystem's coarse mtimes tie (the
+    * r16 verdict's object-store concern: a same-second append folded
+    * into the baseline would silently suppress the trigger). Layouts
+    * written before manifests fall back to the mtime heuristic —
+    * every rewrite leaves one file per list dir and appends add
+    * strictly newer files, so the oldest file per list dir is the
+    * baseline. One driver-side listing + one footer-cheap count
+    * aggregate either way (parquet count pushdown; no data scan).
     *
     * The evidence window is APPEND-SINCE-LAST-REWRITE: a compaction
     * folds appended files into the baseline and resets the split.
@@ -823,24 +877,32 @@ object SimilaritySearch {
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val rows = spark.read.parquet(s"$dir/assignments")
-    // oldest file per list dir = the baseline generation
-    // appended = strictly newer than the oldest file of its list dir;
-    // matched downstream by FILE NAME (part files carry the writing
-    // task's UUID, globally unique — so a literal-set match needs no
-    // URI normalization and no UDF: the classifier stays a codegen'd
-    // In over the split tail of input_file_name)
-    val appended = rows.inputFiles
-      .map { f =>
-        val p = new org.apache.hadoop.fs.Path(f)
-        (p.getParent.toUri.getPath, p.getName,
-          p.getFileSystem(conf).getFileStatus(p).getModificationTime)
-      }
-      .groupBy(_._1)
-      .values.flatMap { files =>
-        val oldest = files.map(_._3).min
-        files.filter(_._3 > oldest).map(_._2)
-      }
-      .toSeq
+    // appended = not in the last rewrite's baseline manifest; matched
+    // downstream by FILE NAME (part files carry the writing task's
+    // UUID, globally unique — so a literal-set match needs no URI
+    // normalization and no UDF: the classifier stays a codegen'd In
+    // over the split tail of input_file_name). Pre-manifest layouts:
+    // oldest file per list dir = the baseline generation, strictly
+    // newer = appended.
+    val appended = readBaselineManifest(spark, dir) match {
+      case Some(baseline) =>
+        rows.inputFiles
+          .map(f => new org.apache.hadoop.fs.Path(f).getName)
+          .filterNot(baseline).toSeq
+      case None =>
+        rows.inputFiles
+          .map { f =>
+            val p = new org.apache.hadoop.fs.Path(f)
+            (p.getParent.toUri.getPath, p.getName,
+              p.getFileSystem(conf).getFileStatus(p).getModificationTime)
+          }
+          .groupBy(_._1)
+          .values.flatMap { files =>
+            val oldest = files.map(_._3).min
+            files.filter(_._3 > oldest).map(_._2)
+          }
+          .toSeq
+    }
     val app =
       if (appended.isEmpty) lit(false)
       else expr("element_at(split(input_file_name(), '/'), -1)")

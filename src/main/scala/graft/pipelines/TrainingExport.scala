@@ -834,14 +834,22 @@ object TrainingExport {
 
   /** The ingest SEMANTIC stage — SemDeDup's embedding granularity on
     * the persisted WRITTEN IVF index. The FIRST ingest builds the
-    * index from its own live vectors (centroids frozen thereafter —
-    * the faiss maintenance split; wire
-    * [[graft.operators.SimilaritySearch.driftReport]] /
-    * `reclusterWrittenIndex` over [[semanticIndexDir]] when the
-    * corpus drifts); every ingest APPENDS its live vectors and then
-    * probes them against the accumulated membership
+    * index from its own live vectors; every later ingest appends
+    * through the CLOSED-LOOP verb
+    * ([[graft.operators.SimilaritySearch.appendAndMaintainWrittenIndex]]):
+    * compact when a list directory fragments, RE-CLUSTER when
+    * `driftReport` trips (appended mass material AND skewed) — so a
+    * long-running ingest loop gets the same automatic maintenance
+    * cadence as the media and line states instead of fragmenting and
+    * drifting until someone remembers to look. The batch then probes
+    * against the accumulated membership
     * ([[graft.operators.Dedup.semanticDedupAgainstIndex]] — assign to
-    * the frozen centroids, cosine ≥ threshold among co-assigned).
+    * the (possibly re-trained) centroids, cosine ≥ threshold among
+    * co-assigned). On a stationary corpus the trigger never fires and
+    * the stage is byte-identical to a plain append
+    * (q_pipeline_ingest_export_semantic's oracle); on a drifted one
+    * the re-cluster restores the list geometry mid-stream, which the
+    * manual-recluster spec proved safe in place.
     *
     * This stage folds its state AT PROBE TIME (append-then-probe),
     * unlike the text stages' probe-then-fold: arrival orientation
@@ -875,7 +883,10 @@ object TrainingExport {
         SimilaritySearch.writeIndex(
           SimilaritySearch.buildIndex(live, centroidMod = semCentroidMod), idxDir)
       else
-        SimilaritySearch.appendToWrittenIndex(spark, idxDir, live)
+        // centroidMod threads through so a drift-triggered re-cluster
+        // retrains at the stage's own list granularity
+        SimilaritySearch.appendAndMaintainWrittenIndex(
+          spark, idxDir, live, centroidMod = semCentroidMod)
       val pairs = Dedup
         .semanticDedupAgainstIndex(live, SimilaritySearch.readIndex(spark, idxDir))
         .filter(col("new_id") =!= col("corpus_id")) // the batch is in the index

@@ -2613,6 +2613,77 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("runIngest semantic stage: a drifted ingest trips the re-cluster inside the stage") {
+    import spark.implicits._
+    import graft.operators.{Dedup, SimilaritySearch}
+    val p = "ingest_spec_semdrift"
+    dropIngestState(p)
+    val idxDir = TrainingExport.semanticIndexDir(spark, p)
+    def dropIdx(): Unit = {
+      val pth = new org.apache.hadoop.fs.Path(idxDir)
+      pth.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pth, true)
+    }
+    dropIdx()
+    val cfg = allOff.copy(semanticDedup = true, numShards = 2)
+    def mk(ids: Seq[Long]) =
+      ids.map(id => (id, "src0", s"doc $id body"))
+        .toDF("doc_id", "source", "text")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    val bench = mk(Seq(999999L))
+    def basis(i: Int): Seq[Float] =
+      Seq.tabulate(8)(j => if (j == i) 1f else 0f)
+    // twelve well-separated directions (mutual cosine ≤ ~0.71, far
+    // from the 0.995 dedup threshold): the 8-dim basis plus rotated
+    // pair vectors — big enough that batch 2's single append stays
+    // below the 5% materiality floor and cannot re-trip the trigger
+    def spread(i: Int): Seq[Float] =
+      if (i < 6) basis(i)
+      else Seq.tabulate(8)(j =>
+        if (j == i - 6 || j == (i - 5) % 6) 0.7f else 0f)
+    try {
+      // batch 0: twelve directions seed twelve lists (mod 1 = every
+      // vector a centroid)
+      TrainingExport.runIngest(
+        mk(1L to 12L), bench, cfg, p,
+        embeddings = (1L to 12L).map(i => (i, spread(i.toInt - 1)))
+          .toDF("vec_id", "embedding"),
+        semCentroidMod = 1)
+      Dedup.unpersistAll()
+      assert(spark.read.parquet(s"$idxDir/centroids").count() == 12L)
+      // batch 1 DRIFTS: twelve vectors in a direction the build never
+      // shaped, all nearest one list — appended share 12/24, skew 12×
+      // uniform → the stage's closed-loop append re-clusters
+      // AUTOMATICALLY
+      val driftVecs = (21L to 32L).map(i =>
+        (i, Seq(0.9f, 0.5f, i / 1000f, 0f, 0f, 0f, 0f, 0f)))
+      TrainingExport.runIngest(
+        mk(21L to 32L), bench, cfg, p,
+        embeddings = driftVecs.toDF("vec_id", "embedding"),
+        semCentroidMod = 1)
+      Dedup.unpersistAll()
+      // the re-cluster retrained from the 24 live vectors (mod 1) and
+      // stamped a fresh baseline — the evidence window reset
+      assert(spark.read.parquet(s"$idxDir/centroids").count() == 24L,
+        "the drifted append must have re-clustered inside the stage")
+      val after = SimilaritySearch.driftReport(spark, idxDir)
+      assert(after.appendedRows == 0L && !after.recluster, s"$after")
+      // the re-clustered state still claims: a later scaled copy of a
+      // drifted vector loses to the earlier arrival
+      val s2 = TrainingExport.runIngest(
+        mk(Seq(100L)), bench, cfg, p,
+        embeddings = Seq(
+          (100L, driftVecs.head._2.map(_ * 1.001f)))
+          .toDF("vec_id", "embedding"),
+        semCentroidMod = 1)
+      Dedup.unpersistAll()
+      assert(s2.count() == 0L,
+        "the stage keeps rejecting against the auto-re-clustered state")
+    } finally {
+      dropIngestState(p)
+      dropIdx()
+    }
+  }
+
   test("runIngest fail-fasts: finer granularities, non-char currency, numShards drift") {
     import graft.operators.Dedup
     val bench = matrixDocs.filter(col("doc_id") === 1L)

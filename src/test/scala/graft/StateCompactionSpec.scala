@@ -703,6 +703,18 @@ class StateCompactionSpec extends AnyFunSuite {
         SimilaritySearch.writeIndex(
           SimilaritySearch.buildIndex(base, centroidMod = 50), d)
         SimilaritySearch.appendToWrittenIndex(spark, d, batch)
+        // flatten every part-file to ONE mtime before reading the
+        // evidence: the baseline/appended split comes from the rewrite
+        // -stamped manifest, so coarse-mtime filesystems and object
+        // stores that tie a same-second append with the build cannot
+        // fold appended mass into the baseline (r16 verdict finding)
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d, "assignments"))
+        val t0 = java.nio.file.attribute.FileTime.fromMillis(1000000000000L)
+        try walk.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .foreach(java.nio.file.Files.setLastModifiedTime(_, t0))
+        finally walk.close()
         val r = SimilaritySearch.driftReport(spark, d)
         // the evidence split must account for every row exactly once
         assert(r.buildRows == base.count() && r.appendedRows == batch.count())
