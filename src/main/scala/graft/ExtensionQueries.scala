@@ -276,6 +276,68 @@ object ExtensionQueries {
       |  chr(10),
       |  CASE WHEN doc_id % 5 = 0 THEN concat(substr(text, 41, 10), '...') ELSE substr(text, 41, 10) END)""".stripMargin
 
+  /** Dialect-neutral planted LABELED corpus for the model-fit family:
+    * even doc_ids carry a tripled positive marker token, odd a
+    * negative one, label = the parity — a separable signal on top of
+    * the real text's hash noise, built from concat/CASE only so both
+    * engines derive the identical corpus.
+    */
+  private[graft] val fitPlantedTextSql: String =
+    "concat(text, CASE WHEN doc_id % 2 = 0 THEN ' qualgood qualgood qualgood' " +
+      "ELSE ' qualbad qualbad qualbad' END)"
+
+  private def fitPlantedDocs(
+      s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      expr(fitPlantedTextSql).as("text"),
+      expr("doc_id % 2 = 0").as("label"))
+
+  /** The DuckDB replay of [[TextAnalysis.hashedLinearFit]]'s
+    * full-batch perceptron — epochs chained as CTEs (the ingest-export
+    * oracles' chained-batch pattern applied to training): epoch 1's
+    * update is closed-form (all-zero weights misclassify everything),
+    * every later epoch recomputes margins against the previous CTE's
+    * weights, filters `y·margin ≤ 0`, and folds the per-bucket
+    * gradient in. All-integer ppm arithmetic, so the trained weights
+    * hash-match the Scala driver loop exactly.
+    */
+  private def hashedFitDuckCtes(nBuckets: Int, epochs: Int, lrPpm: Long): String = {
+    val head =
+      s"""d AS (
+         |  SELECT doc_id, $fitPlantedTextSql AS text,
+         |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS y
+         |  FROM documents
+         |), tok AS (
+         |  SELECT doc_id, y,
+         |    unnest(list_transform(${wordHashArrayDuck(wordsDuck("text"))},
+         |      h -> h % $nBuckets)) AS bucket
+         |  FROM d
+         |), delta1 AS (
+         |  SELECT bucket, CAST(SUM(y) AS BIGINT) AS g FROM tok GROUP BY bucket
+         |), w1 AS (
+         |  SELECT bucket, $lrPpm * g AS w FROM delta1
+         |)""".stripMargin
+    val tail = (2 to epochs).map { k =>
+      s""", m$k AS (
+         |  SELECT t.doc_id, MIN(t.y) AS y,
+         |    COALESCE(CAST(SUM(w.w) AS BIGINT), 0) AS margin
+         |  FROM tok t LEFT JOIN w${k - 1} w USING (bucket)
+         |  GROUP BY t.doc_id
+         |), mis$k AS (
+         |  SELECT doc_id FROM m$k WHERE y * margin <= 0
+         |), delta$k AS (
+         |  SELECT t.bucket, CAST(SUM(t.y) AS BIGINT) AS g
+         |  FROM tok t JOIN mis$k USING (doc_id) GROUP BY t.bucket
+         |), w$k AS (
+         |  SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+         |    COALESCE(a.w, 0) + $lrPpm * COALESCE(b.g, 0) AS w
+         |  FROM w${k - 1} a FULL JOIN delta$k b ON a.bucket = b.bucket
+         |)""".stripMargin
+    }.mkString("\n")
+    head + tail
+  }
+
   /** The DuckDB side of the full publicsuffix.org algorithm, shared
     * by every PSL oracle: CTE chain from `planted(doc_id, url)` to
     * `d(doc_id, registered_domain)`. `plantedSql` must select
@@ -1497,6 +1559,27 @@ object ExtensionQueries {
         Tables.documents(s, dir), w,
         biasPpm = 250000L, thresholdPpm = 250000L)
         .orderBy("doc_id")
+    }),
+    "q_text_quality_fit" -> ((s, dir) =>
+      // TRAIN the quality model (hashedLinearFit — full-batch
+      // perceptron over the hashed bucket features, all fixed-point
+      // ppm): labels planted by doc parity with a tripled marker
+      // token each way, so the fit has a separable signal over the
+      // real text's hash noise. The oracle replays every epoch as a
+      // chained CTE — same margins, same misclassified sets, same
+      // per-bucket gradients — so the trained weights must match to
+      // the last ppm. Closes the r16 gap: the gate consumed trained
+      // weights but nothing produced them.
+      TextAnalysis.hashedLinearFit(fitPlantedDocs(s, dir), nBuckets = 64)
+        .orderBy("bucket")),
+    "q_text_quality_fit_gate" -> ((s, dir) => {
+      // the closed loop: fit → hashedLinearWeights (the trained-table
+      // loader) → hashedLinearScore — the production wiring end-to-end
+      // on one plan, gated at margin ≥ 0
+      val planted = fitPlantedDocs(s, dir)
+      val w = TextAnalysis.hashedLinearWeights(
+        TextAnalysis.hashedLinearFit(planted, nBuckets = 64), 64)
+      TextAnalysis.hashedLinearScore(planted, w).orderBy("doc_id")
     }),
     "q_text_langid" -> ((s, dir) =>
       TextAnalysis.langId(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -5341,6 +5424,22 @@ object ExtensionQueries {
          |SELECT doc_id, n_tokens, margin_ppm,
          |  margin_ppm >= 250000 * n_tokens AS keep
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality_fit" ->
+      s"""WITH ${hashedFitDuckCtes(64, 3, 1000L)}
+         |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(w AS BIGINT) AS weight_ppm
+         |FROM w3 WHERE w <> 0 ORDER BY bucket""".stripMargin,
+
+    "q_text_quality_fit_gate" ->
+      s"""WITH ${hashedFitDuckCtes(64, 3, 1000L)}
+         |, s AS (
+         |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |    COALESCE(CAST(SUM(w.w) AS BIGINT), 0) AS margin_ppm
+         |  FROM tok t LEFT JOIN w3 w USING (bucket) GROUP BY t.doc_id
+         |)
+         |SELECT doc_id, n_tokens, margin_ppm,
+         |  margin_ppm >= 0 AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_text_langid" ->
       s"""SELECT doc_id,

@@ -284,6 +284,88 @@ object TextAnalysis {
     out
   }
 
+  /** TRAIN a hashed-linear quality model — the fit
+    * [[hashedLinearScore]] was missing (r16 verdict: the gate
+    * consumed trained weights but nothing produced them, so the
+    * production caller was told to bring a model from elsewhere).
+    * Full-batch PERCEPTRON over the hashed bucket features, entirely
+    * in fixed-point ppm integers: per epoch every doc's margin is
+    * `Σ W[hash(token) % B]` (the scorer's own kernel, bias-free), a
+    * doc with `y · margin ≤ 0` is misclassified, and the weight
+    * update is `W[b] += lrPpm · Σ_misclassified y · count_b`. No
+    * randomness, no floats, no per-row sequencing — a deterministic
+    * function of (corpus, labels, B, epochs, lrPpm) that any engine
+    * replays exactly (q_text_quality_fit's oracle chains the epochs
+    * as CTEs), unlike stochastic SGD whose row order is engine-
+    * defined. Full-batch is the right variant here anyway: each
+    * epoch is ONE aggregate pass, so "n epochs = n aggregates" and
+    * the shuffle count is epochs × one bucket-width exchange.
+    *
+    * Scale shape: the token-hash frame materializes ONCE
+    * (localCheckpoint — epochs must not re-tokenize the corpus);
+    * each epoch runs one codegen'd margin projection (no shuffle —
+    * weights ride in as a literal array, bounded 65536 like the
+    * scorer), one explode + groupBy(bucket) capped at B groups, and
+    * one ≤B-row driver collect (the bounded-small-side discipline).
+    * Labels: `labelCol` is read as boolean/0-1; docs with NULL labels
+    * fail fast rather than silently training as negatives.
+    *
+    * Returns the NONZERO rows of the trained model as
+    * `(bucket, weight_ppm)` — exactly [[hashedLinearWeights]]'s input
+    * contract, so `hashedLinearScore(docs, hashedLinearWeights(fit,
+    * B))` closes the loop.
+    */
+  def hashedLinearFit(
+      docs: DataFrame,
+      nBuckets: Int,
+      epochs: Int = 3,
+      lrPpm: Long = 1000L,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      labelCol: String = "label"): DataFrame = {
+    require(nBuckets >= 1 && nBuckets <= (1 << 16),
+      s"nBuckets must be in [1, 65536], got $nBuckets")
+    require(epochs >= 1 && epochs <= 64, s"epochs must be in [1, 64], got $epochs")
+    require(lrPpm > 0L, s"lrPpm must be positive, got $lrPpm")
+    val spark = docs.sparkSession
+    graft.functions.PolyHash.register(spark)
+    val base = docs
+      .select(
+        col(idCol),
+        expr(wordHashArraySpark(wordsSpark(textCol))).as("_wh"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(-1L).as("_y"),
+        col(labelCol).isNull.as("_ynull"))
+      .localCheckpoint(true)
+    require(base.filter(col("_ynull")).isEmpty,
+      s"hashedLinearFit: NULL labels in '$labelCol' — label every doc or " +
+        "filter upstream; training NULLs as negatives would be silent")
+    val w = Array.fill(nBuckets)(0L)
+    (1 to epochs).foreach { _ =>
+      val wArr = array(w.map(lit(_)): _*)
+      val mis = base
+        .withColumn(
+          "_margin",
+          aggregate(
+            transform(
+              col("_wh"),
+              h => element_at(
+                wArr, (pmod(h, lit(nBuckets.toLong)) + lit(1L)).cast("int"))),
+            lit(0L),
+            (acc, x) => acc + x))
+        .filter(col("_y") * col("_margin") <= 0L)
+      mis
+        .select(col("_y"), explode(col("_wh")).as("_h"))
+        .groupBy(pmod(col("_h"), lit(nBuckets.toLong)).as("_b"))
+        .agg(sum(col("_y")).as("_g"))
+        .collect()
+        .foreach(r => w(r.getLong(0).toInt) += lrPpm * r.getLong(1))
+    }
+    import spark.implicits._
+    w.iterator.zipWithIndex
+      .collect { case (wt, b) if wt != 0L => (b.toLong, wt) }
+      .toSeq.toDF("bucket", "weight_ppm")
+  }
+
   def tfIdfTopTerms(
       docs: DataFrame,
       k: Int = 3,

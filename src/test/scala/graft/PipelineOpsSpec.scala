@@ -2217,6 +2217,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("hashedLinearFit: learns a planted-separable gate, deterministic, label guard") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // separable by construction: positives carry 'good', negatives
+    // 'bad', plus shared noise tokens in both classes
+    val docs = (1L to 40L).map { i =>
+      val pos = i % 2 == 0
+      val marker = if (pos) "good good good" else "bad bad bad"
+      (i, s"common filler words here $marker tail$i", pos)
+    }.toDF("doc_id", "text", "label")
+    val b = 64
+    val fit = TextAnalysis.hashedLinearFit(docs, b, epochs = 3, lrPpm = 1000L)
+    assert(fit.columns.toSeq == Seq("bucket", "weight_ppm"))
+    val w = TextAnalysis.hashedLinearWeights(fit, b)
+    // the trained gate separates the planted classes at margin 0
+    val gated = TextAnalysis.hashedLinearScore(docs, w)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    (1L to 40L).foreach(i =>
+      assert(gated(i) == (i % 2 == 0), s"doc $i misgated after fit: $gated"))
+    // full-batch + fixed-point = bit-deterministic: re-fit is identical
+    val again = TextAnalysis.hashedLinearFit(docs, b, epochs = 3, lrPpm = 1000L)
+    assert(fit.orderBy("bucket").collect().toSeq ==
+      again.orderBy("bucket").collect().toSeq)
+    // a NULL label fails fast instead of silently training a negative
+    val holed = docs.withColumn(
+      "label", when(col("doc_id") === 7L, lit(null)).otherwise(col("label")))
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.hashedLinearFit(holed, b))
+    assert(e.getMessage.contains("NULL labels"), e.getMessage)
+    graft.operators.Dedup.unpersistAll()
+  }
+
   // ---- runIngest: the steady-state export ----
 
   private def dropIngestState(p: String): Unit =
