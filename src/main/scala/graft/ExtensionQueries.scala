@@ -2709,6 +2709,55 @@ object ExtensionQueries {
       }
       out.orderBy("shard", "seq")
     }),
+    "q_pipeline_ingest_export_spans" -> ((s, dir) => {
+      // the steady-state export with SPAN surgery in the ingest
+      // front — the last granularity missing from the matrix (r16
+      // verdict task #4): each batch's accepted docs cut every span
+      // already claimed by an earlier arrival's persisted positional
+      // shingles (ingestSpanStage: cross probe cuts the BATCH side
+      // whatever the ids, within-batch the larger id loses), are
+      // REBUILT, and the rebuilt text flows into decontamination and
+      // the cumulative budgets. Corpus = the span plant, whose %13
+      // neighbor pairs always land in different pmod-3 batches — so
+      // arrival claims genuinely bind in both directions, including
+      // the smaller id arriving later and losing.
+      val corpus = graft.sources.Corpus.spanCorpus(s, dir)
+        .join(
+          Tables.documents(s, dir).select("doc_id", "source"), Seq("doc_id"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val bench = Tables.documents(s, dir).filter(col("doc_id") % 97 === 0)
+      val p = "graft_ingest_export_sp_" +
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+          .replaceAll("[^A-Za-z0-9]", "_")
+      val cfg = graft.pipelines.TrainingExport.Config(
+        curate = true,
+        dedup = graft.pipelines.TrainingExport.DedupExact,
+        spanDedup = Some(10),
+        contaminationMaxPpm = Some(500000L),
+        budgets = Seq("src0" -> 4000L, "src1" -> 2000L),
+        defaultBudget = 3000L,
+        numShards = 4)
+      val shufKey = "spark.sql.shuffle.partitions"
+      val prevShuf = s.conf.get(shufKey)
+      var out: org.apache.spark.sql.DataFrame = null
+      try {
+        s.conf.set(shufKey, "8")
+        (0 until 3).foreach { b =>
+          Dedup.unpersistAll()
+          val batch = corpus.filter(pmod(col("doc_id"), lit(3)) === b)
+          val shipped = graft.pipelines.TrainingExport.runIngest(
+            batch, bench, cfg, p, buckets = 8)
+          out = if (out == null) shipped else out.unionByName(shipped)
+        }
+      } finally {
+        s.conf.set(shufKey, prevShuf)
+        Seq("_dedup", "_dedup_compact_tmp", "_dedup_tombstones",
+          "_shingles", "_shingles_compact_tmp", "_shingles_tombstones",
+          "_budget", "_offsets")
+          .foreach(sfx => s.sql(s"DROP TABLE IF EXISTS `$p$sfx`"))
+      }
+      out.orderBy("shard", "seq")
+    }),
     "q_pipeline_ingest_export_media" -> ((s, dir) => {
       // the MULTIMODAL steady-state export: each batch's media (the
       // paired plant — partner ids differ by 1, so EVERY media pair
@@ -3660,7 +3709,8 @@ object ExtensionQueries {
       paraDedup: Boolean = false,
       corpusSql: Option[String] = None,
       mediaDedup: Boolean = false,
-      semanticDedup: Boolean = false): String = {
+      semanticDedup: Boolean = false,
+      spanDedup: Option[Int] = None): String = {
     // the budget/shard identity: doc_id for the doc tail, the packed
     // chunk id for the chunk tail (runChunksIngest's _cid)
     val idc = if (chunkExport.isEmpty) "doc_id" else "cid"
@@ -3759,6 +3809,41 @@ object ExtensionQueries {
            |  SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n_chars, batch FROM pg0
            |)""".stripMargin
     val base0 = if (paraDedup) "pg" else "dd"
+    // optional span splice after the doc gates: the one-shot span set
+    // over every staged doc's PRE-surgery text (the engine's
+    // accumulated shingle state records exactly that — the stream
+    // query's probe-union ≡ one-shot equivalence), with the LOSER of
+    // each pair decided by ARRIVAL: the later batch's doc is cut at
+    // its own positions whatever the ids; same batch → the larger id
+    // (the one-shot doc_b), exactly ingestSpanStage's within/cross
+    // split
+    val spanCtes = spanDedup.map { k =>
+      s""", ${repeatedSpansDuckCtesFrom(
+             s"  SELECT doc_id, text FROM $base0", k, 20, "sp_")}, sp_loser AS (
+         |  SELECT CASE WHEN doc_a % $numBatches <= doc_b % $numBatches
+         |              THEN doc_b ELSE doc_a END AS doc_id,
+         |         CASE WHEN doc_a % $numBatches <= doc_b % $numBatches
+         |              THEN b_start ELSE a_start END AS st,
+         |         span_tokens
+         |  FROM sp_spans
+         |)${intervalMergeDuckCtes(
+             "  SELECT DISTINCT doc_id, st AS s, st + span_tokens AS e FROM sp_loser",
+             "sp_")}, sp_rivs AS (
+         |  SELECT doc_id, list(s0 ORDER BY s0) AS ss, list(e1 ORDER BY s0) AS es
+         |  FROM sp_merged GROUP BY doc_id
+         |), sp0 AS (
+         |  SELECT d.doc_id, d.source, d.batch,
+         |    CASE WHEN r.doc_id IS NULL THEN d.text
+         |         ELSE COALESCE(array_to_string(list_filter(
+         |           ${wordsDuck("d.text")},
+         |           (t, i) -> len(list_filter(r.ss, (s, j) -> (i - 1) >= s AND (i - 1) < r.es[j])) = 0), ' '), '')
+         |    END AS text
+         |  FROM $base0 d LEFT JOIN sp_rivs r ON r.doc_id = d.doc_id
+         |), sp AS MATERIALIZED (
+         |  SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n_chars, batch FROM sp0
+         |)""".stripMargin
+    }.getOrElse("")
+    val baseSp = if (spanDedup.isDefined) "sp" else base0
     // optional semantic splice after the text gates: centroids train
     // on BATCH 0's live vectors (the engine's first-ingest build,
     // frozen thereafter — ivfCoarseCtes replays the seed + one-Lloyd
@@ -3772,7 +3857,7 @@ object ExtensionQueries {
            |$scaledPrevEmbeddingsSql
            |), se_live AS MATERIALIZED (
            |  SELECT e.vec_id, e.embedding, d.batch
-           |  FROM se_emb e JOIN $base0 d ON d.doc_id = e.vec_id
+           |  FROM se_emb e JOIN $baseSp d ON d.doc_id = e.vec_id
            |), se_c0 AS (
            |  SELECT vec_id, embedding FROM se_live WHERE batch = 0
            |), ${ivfCoarseCtes("TRUE", "se_", 50, "se_c0")}, se_assign AS MATERIALIZED (
@@ -3791,10 +3876,10 @@ object ExtensionQueries {
            |    ON x.cid = y.cid AND x.vec_id < y.vec_id
            |  WHERE CAST(floor(1000000.0 * ((${VectorExprs.dotDuck("x.embedding", "y.embedding")}) / (x.nrm * y.nrm))) AS BIGINT) >= 995000
            |), se AS MATERIALIZED (
-           |  SELECT d.* FROM $base0 d
+           |  SELECT d.* FROM $baseSp d
            |  WHERE d.doc_id NOT IN (SELECT doc_id FROM se_rej)
            |)""".stripMargin
-    val baseS = if (semanticDedup) "se" else base0
+    val baseS = if (semanticDedup) "se" else baseSp
     // optional media splice after the text gates: the paired-media
     // plant's payload reconstruction (trainExportPipelineSql's me_
     // chain), but under ARRIVAL rules — exact keep is the first
@@ -3880,7 +3965,7 @@ object ExtensionQueries {
        |    SELECT doc_id FROM m
        |    WHERE (${TextAnalysis.funnelVerdictCase(20, 500000L, Seq("en"), 600000L)}) = 'keep'
        |  ) k USING (doc_id)
-       |), $dedupCtes$paraCtes$semCtes$mediaCtes, bwh AS (
+       |), $dedupCtes$paraCtes$spanCtes$semCtes$mediaCtes, bwh AS (
        |  SELECT ${wordHashArrayDuck(wordsDuck("text"))} AS wh
        |  FROM documents WHERE doc_id % 97 = 0 AND $guard
        |), bg AS (
@@ -6047,6 +6132,22 @@ object ExtensionQueries {
         semanticDedup = true,
         corpusSql = Some(
           "  SELECT doc_id, source, text, n_chars FROM documents")),
+
+    "q_pipeline_ingest_export_spans" ->
+      // the span surgery in the fold: the one-shot span set over
+      // every staged doc's pre-surgery text, losers by arrival
+      // (later batch cut at its own positions; tie → larger id),
+      // rebuilt text billed downstream
+      ingestExportPipelineSql(
+        Seq("src0" -> 4000L, "src1" -> 2000L), 3000L,
+        numBatches = 3, numShards = 4, dedupMode = "exact",
+        spanDedup = Some(10),
+        corpusSql = Some(
+          s"""  SELECT c.doc_id, s.source, c.text,
+             |    CAST(length(c.text) AS BIGINT) AS n_chars
+             |  FROM (
+             |${graft.sources.Corpus.spanCorpusSql}
+             |  ) c JOIN documents s USING (doc_id)""".stripMargin)),
 
     "q_pipeline_ingest_export_paras" ->
       // the rewriting granularity in the fold: arrival-order line

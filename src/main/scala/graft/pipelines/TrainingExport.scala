@@ -539,12 +539,6 @@ object TrainingExport {
     val spark = batch.sparkSession
     import spark.implicits._
     require(cfg.numShards >= 1, s"numShards must be >= 1, got ${cfg.numShards}")
-    require(
-      cfg.spanDedup.isEmpty,
-      "runIngest composes the document, paragraph, semantic, and media " +
-        "granularities on persisted state; span surgery ingests against its " +
-        "own shingle state — compose Dedup.repeatedSpansAgainstShingles " +
-        "ahead of this call")
     require(cfg.budgetCurrency == BudgetChars,
       "runIngest bills cumulative budgets in the n_chars column (the persisted " +
         "consumed state's currency); to bill tokens, put the token count in " +
@@ -557,8 +551,10 @@ object TrainingExport {
       ingestDedupStage(gated, cfg, statePrefix, buckets, maxFilesPerBucket)
     val (paraged, appendLineState) =
       ingestParagraphStage(accepted, cfg, statePrefix, buckets, maxFilesPerBucket)
+    val (spanned, appendShingleState) =
+      ingestSpanStage(paraged, cfg, statePrefix, buckets, maxFilesPerBucket)
     val (semed, _) =
-      ingestSemanticStage(paraged, embeddings, cfg, statePrefix, semCentroidMod)
+      ingestSemanticStage(spanned, embeddings, cfg, statePrefix, semCentroidMod)
     val (mediaed, appendMediaState) =
       ingestMediaStage(semed, media, cfg, statePrefix, buckets, maxFilesPerBucket)
     val clean = decontaminate(mediaed, benchmark, cfg)
@@ -591,8 +587,11 @@ object TrainingExport {
     // ---- fold the batch into every state, DOWNSTREAM-MOST FIRST
     // (the runChunksIngest ordering invariant: the line keys' lineage
     // reads the doc state table, so the doc fold must come after;
-    // the media states sit downstream of both)
+    // the shingle fold's input is checkpointed but its ordering
+    // keeps the invariant legible; the media states sit downstream
+    // of all text stages)
     appendMediaState()
+    appendShingleState()
     appendLineState()
     appendDedupState()
     if (budgetOn) writeConsumed(spark, budgetTbl, consumed, shipped)
@@ -630,11 +629,6 @@ object TrainingExport {
       semCentroidMod: Int = 50): DataFrame = {
     val spark = batch.sparkSession
     require(cfg.numShards >= 1, s"numShards must be >= 1, got ${cfg.numShards}")
-    require(
-      cfg.spanDedup.isEmpty,
-      "runChunksIngest composes the document/paragraph/semantic/media front " +
-        "plus the chunk state; span surgery ingests against its own shingle " +
-        "state (see runIngest's fail-fast) — compose it ahead of this call")
     // same rejection as runChunks: chunk budgets bill in the chunker's
     // own token count, and a silently different currency would admit
     // 1.3-2x the text the budgets specify
@@ -648,8 +642,10 @@ object TrainingExport {
       ingestDedupStage(gated, cfg, statePrefix, buckets, maxFilesPerBucket)
     val (paraged, appendLineState) =
       ingestParagraphStage(accepted, cfg, statePrefix, buckets, maxFilesPerBucket)
+    val (spanned, appendShingleState) =
+      ingestSpanStage(paraged, cfg, statePrefix, buckets, maxFilesPerBucket)
     val (semed, _) =
-      ingestSemanticStage(paraged, embeddings, cfg, statePrefix, semCentroidMod)
+      ingestSemanticStage(spanned, embeddings, cfg, statePrefix, semCentroidMod)
     val (mediaed, appendMediaState) =
       ingestMediaStage(semed, media, cfg, statePrefix, buckets, maxFilesPerBucket)
     val clean = decontaminate(mediaed, benchmark, cfg)
@@ -701,6 +697,7 @@ object TrainingExport {
     Dedup.appendAndMaybeCompactLines(
       newChunkKeys, chunkTbl, buckets, maxFilesPerBucket)
     appendMediaState()
+    appendShingleState()
     appendLineState()
     appendDedupState()
     if (budgetOn) writeConsumed(spark, budgetTbl, consumed, shipped)
@@ -820,6 +817,67 @@ object TrainingExport {
         length(col("text_deduped")).cast("long").as("n_chars")),
         () => { Dedup.appendAndMaybeCompactLines(
           newKeys, linesTbl, buckets, maxFilesPerBucket); () })
+    }
+
+  /** The ingest SPAN stage — substring surgery (Lee et al. 2022) on
+    * the persisted positional shingle state, closing the last
+    * granularity missing from the steady-state front (r16 verdict
+    * task #4: the fail-fast told users to hand-compose
+    * [[graft.operators.Dedup.repeatedSpansAgainstShingles]] ahead of
+    * the call). Arrival orientation at SPAN granularity: a span
+    * already recorded in the state belongs to an earlier arrival, so
+    * the BATCH side is cut whatever the ids (the cross probe's
+    * (doc_a = corpus, doc_b = batch) orientation is exactly
+    * [[graft.operators.Dedup.removeRepeatedSpans]]'s cut-doc_b
+    * contract); within a batch the larger id loses, the one-shot
+    * pair orientation. Everything downstream — decontamination
+    * n-grams, budget weights, chunking — reads the REBUILT text with
+    * `n_chars` recomputed, the rewriting-stage contract shared with
+    * the paragraph stage.
+    *
+    * State: `<p>_shingles`, the 28-byte-row bucketed positional
+    * shingle table ([[graft.operators.Dedup.writeShingleTable]] —
+    * q_stream_span_ingest's layout), appended with the batch's
+    * PRE-surgery shingles (all staged docs, shipped or not — the
+    * every-stage seen-corpus policy; original positions keep the
+    * state append-only and a later copy of a cut span still finds
+    * its earliest arrival). Probe cost is O(batch) — the state
+    * arrives bucketed on (h1, h2), only the batch's keys shuffle.
+    * The batch is shingled ONCE (persistTracked) and feeds the
+    * within-batch self-probe, the cross probe, and the fold.
+    */
+  private def ingestSpanStage(
+      docs: DataFrame, cfg: Config, statePrefix: String,
+      buckets: Int, maxFilesPerBucket: Int): (DataFrame, () => Unit) =
+    cfg.spanDedup match {
+      case None => (docs, () => ())
+      case Some(minTok) =>
+        val spark = docs.sparkSession
+        val shTbl = s"${statePrefix}_shingles"
+        if (!spark.catalog.tableExists(shTbl))
+          Dedup.writeShingleTable(docs.limit(0), shTbl, minTok, buckets)
+        // materialized like the batch pipeline's span-follows cache:
+        // the self-join, the cross probe, the removal base, and the
+        // fold all re-read this frame, and its lineage carries the
+        // upstream state probes
+        val staged = docs.localCheckpoint(true)
+        val bs = Dedup.persistTracked(Dedup.shingleTable(staged, minTok))
+        val within = Dedup.repeatedSpansAgainstShingles(bs, bs, minTok)
+          .filter(col("doc_a") < col("doc_b"))
+        // re-ingest protection is the doc-dedup stage's job — a doc
+        // probing its own persisted shingles would self-erase here
+        val cross = Dedup
+          .repeatedSpansAgainstShingles(
+            bs, Dedup.stateTableLive(spark, shTbl), minTok)
+          .filter(col("doc_a") =!= col("doc_b"))
+        val rebuilt = Dedup.removeRepeatedSpans(
+          staged, within.unionByName(cross), passthroughCols = Seq("source"))
+        (rebuilt.select(
+          col("doc_id"), col("source"),
+          col("clean_text").as("text"),
+          length(col("clean_text")).cast("long").as("n_chars")),
+          () => { Dedup.appendAndMaybeCompactShingles(
+            staged, shTbl, minTok, buckets, maxFilesPerBucket); () })
     }
 
   /** Where the ingest SEMANTIC stage keeps its written IVF index —

@@ -2716,14 +2716,61 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("runIngest fail-fasts: finer granularities, non-char currency, numShards drift") {
+  test("runIngest span stage: cross-batch spans cut from LATER ARRIVALS whatever the ids, rebuilt text billed") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val p = "ingest_spec_span"
+    dropIngestState(p)
+    Seq(s"${p}_shingles", s"${p}_shingles_compact_tmp", s"${p}_shingles_tombstones")
+      .foreach(t => TestSpark.resetTable(spark, s"`$t`"))
+    val cfg = allOff.copy(
+      spanDedup = Some(10), budgets = Seq("src0" -> 100000L), numShards = 2)
+    def mk(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, "src0", t) }
+        .toDF("doc_id", "source", "text")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    val bench = mk(Seq((7777L, "benchmark text nothing shares this")))
+    def consumed(): Long = spark.table(s"${p}_budget").collect()
+      .map(_.getLong(1)).sum
+    val span1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val span2 = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    try {
+      // batch 0: doc 2 carries span1 — nothing seen, billed in full
+      val t2 = s"$span1 tail two extra words"
+      TrainingExport.runIngest(mk(Seq((2L, t2))), bench, cfg, p)
+      Dedup.unpersistAll()
+      assert(consumed() == t2.length.toLong, s"got ${consumed()}")
+      // batch 1: doc 1 repeats span1 — the state claimed it in batch
+      // 0, so the SMALLER id is cut (arrival order, not id order);
+      // docs 5 and 6 share span2 within the batch — the larger id
+      // loses, the one-shot orientation
+      val head1 = "head one words"
+      val t5 = s"$span2 five tail"
+      val s1 = TrainingExport.runIngest(
+        mk(Seq(
+          (1L, s"$head1 $span1"),
+          (5L, t5),
+          (6L, s"six head $span2"))), bench, cfg, p)
+      Dedup.unpersistAll()
+      assert(s1.count() == 3L, "span surgery rewrites, never drops docs")
+      assert(consumed() ==
+        t2.length.toLong + head1.length.toLong + t5.length.toLong +
+          "six head".length.toLong,
+        s"rebuilt billing: got ${consumed()}")
+      // the state accumulated every staged doc's PRE-surgery shingles
+      // (seen-corpus policy): 4 docs' worth of positional rows
+      assert(spark.table(s"${p}_shingles")
+        .select("doc_id").distinct().count() == 4L)
+    } finally {
+      dropIngestState(p)
+      Seq(s"${p}_shingles", s"${p}_shingles_compact_tmp", s"${p}_shingles_tombstones")
+        .foreach(t => TestSpark.resetTable(spark, s"`$t`"))
+    }
+  }
+
+  test("runIngest fail-fasts: non-char currency, numShards drift") {
     import graft.operators.Dedup
     val bench = matrixDocs.filter(col("doc_id") === 1L)
-    val e1 = intercept[IllegalArgumentException] {
-      TrainingExport.runIngest(
-        matrixDocs, bench, allOff.copy(spanDedup = Some(10)), "ingest_spec_ff")
-    }
-    assert(e1.getMessage.contains("repeatedSpansAgainstShingles"), e1.getMessage)
     val e2 = intercept[IllegalArgumentException] {
       TrainingExport.runIngest(
         matrixDocs, bench,
