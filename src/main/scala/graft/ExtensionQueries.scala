@@ -2709,6 +2709,49 @@ object ExtensionQueries {
       }
       out.orderBy("shard", "seq")
     }),
+    "q_pipeline_ingest_export_tokens" -> ((s, dir) => {
+      // the TOKEN-currency steady-state export (r16 verdict task #5:
+      // runIngest billed chars only, pushing token billing upstream):
+      // same arrival fold as q_pipeline_ingest_export, but each
+      // batch's clean survivors are tokenized ONCE (the recursive
+      // WordPiece kernel) and the cumulative per-source budgets —
+      // including the persisted consumed state — bill real subword
+      // tokens. Budgets sized so each source genuinely truncates
+      // (the binding is the point: token and char billing admit
+      // DIFFERENT doc sets, ~1.3-1.5× apart).
+      val corpus = Corpus.docCorpus(s, dir)
+      val bench = Tables.documents(s, dir).filter(col("doc_id") % 97 === 0)
+      val p = "graft_ingest_export_tk_" +
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+          .replaceAll("[^A-Za-z0-9]", "_")
+      val cfg = graft.pipelines.TrainingExport.Config(
+        curate = true,
+        dedup = graft.pipelines.TrainingExport.DedupExact,
+        contaminationMaxPpm = Some(500000L),
+        budgets = Seq("src0" -> 2500L, "src1" -> 1500L),
+        defaultBudget = 2000L,
+        budgetCurrency = graft.pipelines.TrainingExport.BudgetWordPieceTokens(),
+        numShards = 4)
+      val shufKey = "spark.sql.shuffle.partitions"
+      val prevShuf = s.conf.get(shufKey)
+      var out: org.apache.spark.sql.DataFrame = null
+      try {
+        s.conf.set(shufKey, "8")
+        (0 until 3).foreach { b =>
+          Dedup.unpersistAll()
+          val batch = corpus.filter(pmod(col("doc_id"), lit(3)) === b)
+          val shipped = graft.pipelines.TrainingExport.runIngest(
+            batch, bench, cfg, p, buckets = 8)
+          out = if (out == null) shipped else out.unionByName(shipped)
+        }
+      } finally {
+        s.conf.set(shufKey, prevShuf)
+        Seq("_dedup", "_dedup_compact_tmp", "_dedup_tombstones",
+          "_budget", "_offsets")
+          .foreach(sfx => s.sql(s"DROP TABLE IF EXISTS `$p$sfx`"))
+      }
+      out.orderBy("shard", "seq")
+    }),
     "q_pipeline_ingest_export_spans" -> ((s, dir) => {
       // the steady-state export with SPAN surgery in the ingest
       // front — the last granularity missing from the matrix (r16
@@ -3710,7 +3753,8 @@ object ExtensionQueries {
       corpusSql: Option[String] = None,
       mediaDedup: Boolean = false,
       semanticDedup: Boolean = false,
-      spanDedup: Option[Int] = None): String = {
+      spanDedup: Option[Int] = None,
+      tokensWp: Boolean = false): String = {
     // the budget/shard identity: doc_id for the doc tail, the packed
     // chunk id for the chunk tail (runChunksIngest's _cid)
     val idc = if (chunkExport.isEmpty) "doc_id" else "cid"
@@ -3767,9 +3811,23 @@ object ExtensionQueries {
     // billed in chars (the doc tail) or kept chunks billed in chunk
     // tokens (the chunk tail)
     val (candRel, wCol, idCols) = chunkExport match {
-      case None => ("clean", "n_chars", "doc_id")
+      case None =>
+        if (tokensWp) ("cleanw", "n_tokens", "doc_id")
+        else ("clean", "n_chars", "doc_id")
       case Some(_) => ("ckk", "n_tokens", "doc_id, chunk_id, cid")
     }
+    // token-currency fold: the recursive WordPiece twin over the
+    // clean survivors, joined back so the budget CTEs bill REAL
+    // subword tokens (runIngest's BudgetWordPieceTokens path)
+    val tokenCtes =
+      if (!tokensWp) ""
+      else
+        s""", wp AS (
+           |${TextAnalysis.wordpieceDuckSql("SELECT doc_id, text FROM clean")}
+           |), cleanw AS (
+           |  SELECT c.doc_id, c.source, c.batch, CAST(w.n_tokens AS BIGINT) AS n_tokens
+           |  FROM clean c JOIN wp w USING (doc_id)
+           |)""".stripMargin
     val lim = 1L << graft.operators.Dedup.ChunkIdBits
     val chunkCtes = chunkExport.map { case (ct, st) =>
       s""", ${TextAnalysis.chunkDocumentsDuckCtes(ct, st, "clean")}, ck AS (
@@ -3984,7 +4042,7 @@ object ExtensionQueries {
        |), clean AS (
        |  SELECT d.doc_id, d.text, d.source, d.n_chars, d.batch FROM $base d JOIN cont USING (doc_id)
        |  WHERE cont.contamination_ppm < 500000
-       |)$chunkCtes, $batchCtes, ship AS (
+       |)$tokenCtes$chunkCtes, $batchCtes, ship AS (
        |  $ship
        |), sh AS (
        |  SELECT $idCols, source, batch,
@@ -6132,6 +6190,14 @@ object ExtensionQueries {
         semanticDedup = true,
         corpusSql = Some(
           "  SELECT doc_id, source, text, n_chars FROM documents")),
+
+    "q_pipeline_ingest_export_tokens" ->
+      // the token-currency fold: the WordPiece twin over each clean
+      // survivor, budgets billed in subword tokens batch by batch
+      ingestExportPipelineSql(
+        Seq("src0" -> 2500L, "src1" -> 1500L), 2000L,
+        numBatches = 3, numShards = 4, dedupMode = "exact",
+        tokensWp = true),
 
     "q_pipeline_ingest_export_spans" ->
       // the span surgery in the fold: the one-shot span set over

@@ -539,10 +539,6 @@ object TrainingExport {
     val spark = batch.sparkSession
     import spark.implicits._
     require(cfg.numShards >= 1, s"numShards must be >= 1, got ${cfg.numShards}")
-    require(cfg.budgetCurrency == BudgetChars,
-      "runIngest bills cumulative budgets in the n_chars column (the persisted " +
-        "consumed state's currency); to bill tokens, put the token count in " +
-        "n_chars upstream and keep BudgetChars")
     graft.functions.PolyHash.register(spark)
     val h = hashExpr.getOrElse(
       graft.functions.TextExprs.charHashSpark("CAST(doc_id AS STRING)"))
@@ -563,8 +559,24 @@ object TrainingExport {
     val budgetTbl = s"${statePrefix}_budget"
     val budgetOn = cfg.budgets.nonEmpty
     val consumed = readConsumed(spark, budgetTbl, budgetOn)
-    val weighted = clean.select(
-      col("doc_id"), col("source"), col("n_chars").cast("long").as("_weight"))
+    // the batch pipeline's currency split, incrementally: chars read
+    // the column the rewriting stages already recomputed; WordPiece
+    // tokens cost ONE extra codegen'd byte-scan over the clean
+    // SURVIVORS (the cheapest place to tokenize — everything dropped
+    // upstream never pays it). The persisted consumed state bills in
+    // whatever currency the loop runs — the currency is part of the
+    // state contract, like the budget numbers themselves: switch it
+    // only with a fresh budget table.
+    val weighted = cfg.budgetCurrency match {
+      case BudgetChars =>
+        clean.select(
+          col("doc_id"), col("source"), col("n_chars").cast("long").as("_weight"))
+      case BudgetWordPieceTokens(vocab) =>
+        graft.operators.TextAnalysis
+          .wordpieceStats(clean, vocab = vocab, passthroughCols = Seq("source"))
+          .select(
+            col("doc_id"), col("source"), col("n_tokens").cast("long").as("_weight"))
+    }
     val sampled =
       if (!budgetOn) weighted
       else Sampling

@@ -2768,18 +2768,55 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("runIngest fail-fasts: non-char currency, numShards drift") {
+  test("runIngest bills WordPiece tokens when asked: consumed state in token currency, cross-batch continuation") {
+    import spark.implicits._
+    import graft.operators.{Dedup, TextAnalysis}
+    val p = "ingest_spec_tok"
+    dropIngestState(p)
+    def mk(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, "src0", t) }
+        .toDF("doc_id", "source", "text")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    val bench = mk(Seq((7777L, "benchmark text nothing shares this")))
+    def tokensOf(rows: Seq[(Long, String)]): Long = TextAnalysis
+      .wordpieceStats(mk(rows)).agg(sum("n_tokens")).head().getLong(0)
+    val b0 = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+    val b1 = Seq((2L, "an entirely different second document body"))
+    // budget sized between batch 0's and batch 0+1's token totals so
+    // the SECOND batch is what the remaining-budget continuation cuts
+    val t0 = tokensOf(b0)
+    val cfg = allOff.copy(
+      budgets = Seq("src0" -> (t0 + 1L)),
+      budgetCurrency = TrainingExport.BudgetWordPieceTokens(), numShards = 2)
+    try {
+      val s0 = TrainingExport.runIngest(mk(b0), bench, cfg, p)
+      Dedup.unpersistAll()
+      assert(s0.count() == 1L)
+      // the consumed state bills TOKENS, not chars: the two differ on
+      // this text, so a chars-billed state would fail this equality
+      val spent0 = spark.table(s"${p}_budget").collect().map(_.getLong(1)).sum
+      assert(spent0 == t0 && spent0 != b0.head._2.length.toLong,
+        s"token billing: spent $spent0, tokens $t0, chars ${b0.head._2.length}")
+      // batch 1: only 1 token of budget remains — the doc cannot fit
+      val s1 = TrainingExport.runIngest(mk(b1), bench, cfg, p)
+      Dedup.unpersistAll()
+      assert(s1.count() == 0L,
+        "the remaining TOKEN budget must cut the second batch")
+    } finally dropIngestState(p)
+  }
+
+  test("runIngest fail-fasts: chunk-front currency, numShards drift") {
     import graft.operators.Dedup
     val bench = matrixDocs.filter(col("doc_id") === 1L)
     val e2 = intercept[IllegalArgumentException] {
-      TrainingExport.runIngest(
+      TrainingExport.runChunksIngest(
         matrixDocs, bench,
         allOff.copy(
           budgets = Seq("src0" -> 100L),
           budgetCurrency = TrainingExport.BudgetWordPieceTokens()),
         "ingest_spec_ff")
     }
-    assert(e2.getMessage.contains("n_chars"), e2.getMessage)
+    assert(e2.getMessage.contains("CHUNK TOKENS"), e2.getMessage)
     val p = "ingest_spec_shards"
     dropIngestState(p)
     try {
