@@ -2952,6 +2952,51 @@ object ExtensionQueries {
       Dedup.unpersistAll()
       out.orderBy("shard", "seq")
     }),
+    "q_pipeline_chunk_ingest_export_spans" -> ((s, dir) => {
+      // the chunk-matrix SPAN cell: doc exact dedup + span surgery
+      // (both on persisted state) + decontamination, then the
+      // REBUILT text chunks against the chunk-key state and fills
+      // cumulative chunk-token budgets — the q_pipeline_ingest_
+      // export_spans front with the RAG-prep tail.
+      val corpus = graft.sources.Corpus.spanCorpus(s, dir)
+        .join(
+          Tables.documents(s, dir).select("doc_id", "source"), Seq("doc_id"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val bench = Tables.documents(s, dir).filter(col("doc_id") % 97 === 0)
+      val p = "graft_ingest_export_cksp_" +
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+          .replaceAll("[^A-Za-z0-9]", "_")
+      val cfg = graft.pipelines.TrainingExport.Config(
+        curate = true,
+        dedup = graft.pipelines.TrainingExport.DedupExact,
+        spanDedup = Some(10),
+        contaminationMaxPpm = Some(500000L),
+        budgets = Seq("src0" -> 500L, "src1" -> 350L),
+        defaultBudget = 400L,
+        numShards = 4)
+      val shufKey = "spark.sql.shuffle.partitions"
+      val prevShuf = s.conf.get(shufKey)
+      var out: org.apache.spark.sql.DataFrame = null
+      try {
+        s.conf.set(shufKey, "8")
+        (0 until 3).foreach { b =>
+          Dedup.unpersistAll()
+          val batch = corpus.filter(pmod(col("doc_id"), lit(3)) === b)
+          val shipped = graft.pipelines.TrainingExport.runChunksIngest(
+            batch, bench, cfg, p, chunkTokens = 30, strideTokens = 20,
+            buckets = 8)
+          out = if (out == null) shipped else out.unionByName(shipped)
+        }
+      } finally {
+        s.conf.set(shufKey, prevShuf)
+        Seq("_dedup", "_dedup_compact_tmp", "_dedup_tombstones",
+          "_shingles", "_shingles_compact_tmp", "_shingles_tombstones",
+          "_chunks", "_chunks_compact_tmp", "_chunks_tombstones",
+          "_budget", "_offsets")
+          .foreach(sfx => s.sql(s"DROP TABLE IF EXISTS `$p$sfx`"))
+      }
+      out.orderBy("shard", "seq")
+    }),
     "q_pipeline_chunk_ingest_export_paras" -> ((s, dir) => {
       // the full ingest-front composition at chunk granularity: doc
       // exact dedup + paragraph rewrite (both on persisted state) +
@@ -6227,6 +6272,21 @@ object ExtensionQueries {
           s"""  SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n_chars FROM (
              |${graft.sources.Corpus.paraCorpusSql}
              |  )""".stripMargin)),
+
+    "q_pipeline_chunk_ingest_export_spans" ->
+      // the chunk-matrix span cell's oracle: the arrival span splice
+      // (losers by batch, tie → larger id) feeding the chunk tail
+      ingestExportPipelineSql(
+        Seq("src0" -> 500L, "src1" -> 350L), 400L,
+        numBatches = 3, numShards = 4, dedupMode = "exact",
+        chunkExport = Some((30, 20)),
+        spanDedup = Some(10),
+        corpusSql = Some(
+          s"""  SELECT c.doc_id, s.source, c.text,
+             |    CAST(length(c.text) AS BIGINT) AS n_chars
+             |  FROM (
+             |${graft.sources.Corpus.spanCorpusSql}
+             |  ) c JOIN documents s USING (doc_id)""".stripMargin)),
 
     "q_pipeline_chunk_ingest_export_paras" ->
       // the deepest fold composition: doc arrival dedup + the
