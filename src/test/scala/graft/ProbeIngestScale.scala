@@ -31,13 +31,14 @@ object ProbeIngestScale {
       .select("doc_id", "source", "text", "n_chars").localCheckpoint(true)
     val n = docs.count()
 
-    for (mode <- Seq("exact", "neardup", "media")) {
+    for (mode <- Seq("exact", "neardup", "media", "span")) {
       val p = s"ingest_scale_${mode}"
       val tables = Seq(
         "_dedup", "_dedup_compact_tmp", "_dedup_tombstones",
         "_sigs", "_sigs_compact_tmp", "_sigs_tombstones",
         "_mediafp", "_mediafp_compact_tmp", "_mediafp_tombstones",
         "_mediadh", "_mediadh_compact_tmp", "_mediadh_tombstones",
+        "_shingles", "_shingles_compact_tmp", "_shingles_tombstones",
         "_budget", "_offsets")
       tables.foreach(t => TestSpark.resetTable(spark, s"`$p$t`"))
       val cfg = TrainingExport.Config(
@@ -45,9 +46,14 @@ object ProbeIngestScale {
         dedup = mode match {
           case "exact" => TrainingExport.DedupExact
           case "neardup" => TrainingExport.DedupNearDup()
-          case _ => TrainingExport.DedupOff // media: isolate the media states
+          case _ => TrainingExport.DedupOff // media/span: isolate one state
         },
         mediaDedup = if (mode == "media") Some(4) else None,
+        // span mode: isolate the shingle state + surgery — the r17
+        // ingest stage; probes join the bucketed positional table, so
+        // the claim under measurement is O(batch) probe + O(batch)
+        // append as the 28-byte-row state grows linearly
+        spanDedup = if (mode == "span") Some(10) else None,
         contaminationMaxPpm = None,
         budgets = Nil,
         numShards = 8)
@@ -78,7 +84,11 @@ object ProbeIngestScale {
           batch, docs.limit(1), cfg, p, media = media)
         val rows = shipped.count()
         val wall = (System.nanoTime() - t0) / 1e9
-        val stateTbl = if (mode == "media") s"${p}_mediadh" else s"${p}_dedup"
+        val stateTbl = mode match {
+          case "media" => s"${p}_mediadh"
+          case "span" => s"${p}_shingles"
+          case _ => s"${p}_dedup"
+        }
         val stateRows = spark.table(stateTbl).count()
         println(f"  ingest $k%2d: wall $wall%6.2f s  shipped $rows%7d  state_rows $stateRows%9d")
       }
