@@ -2896,6 +2896,61 @@ object ExtensionQueries {
       }
       out.orderBy("shard", "seq")
     }),
+    "q_pipeline_ingest_export_semantic_pq" -> ((s, dir) => {
+      // the CODES-BACKED semantic ingest state (r16 verdict task #6):
+      // same arrival fold as q_pipeline_ingest_export_semantic, but
+      // the persisted state is a written IVFADC layout — coarse
+      // assignments + PQ codes under codebooks frozen at batch 0 —
+      // and every probe scores float batch vectors against corpus
+      // RECONSTRUCTIONS. The threshold is the dial the compression
+      // pays with: reconstruction error eats into the cosine (the
+      // planted scaled pairs read ~0.92-0.97 reconstructed vs ~1.0
+      // float), so the stage runs 920000 ppm — which also admits the
+      // over-merge tail PQ genuinely has; the oracle replays the fit,
+      // the codes, and the asymmetric cosine exactly.
+      val corpus = Tables.documents(s, dir)
+      val bench = corpus.filter(col("doc_id") % 97 === 0)
+      val p = "graft_ingest_export_sq_" +
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+          .replaceAll("[^A-Za-z0-9]", "_")
+      val cfg = graft.pipelines.TrainingExport.Config(
+        curate = true,
+        dedup = graft.pipelines.TrainingExport.DedupExact,
+        semanticDedup = true,
+        semanticPq = true,
+        contaminationMaxPpm = Some(500000L),
+        budgets = Seq("src0" -> 4000L, "src1" -> 2000L),
+        defaultBudget = 3000L,
+        numShards = 4)
+      val emb = plantScaledPrevEmbeddings(s, dir)
+      val shufKey = "spark.sql.shuffle.partitions"
+      val prevShuf = s.conf.get(shufKey)
+      var out: org.apache.spark.sql.DataFrame = null
+      def dropSemIdx(): Unit = {
+        val pth = new org.apache.hadoop.fs.Path(
+          graft.pipelines.TrainingExport.semanticIndexDir(s, p))
+        pth.getFileSystem(s.sparkContext.hadoopConfiguration).delete(pth, true)
+      }
+      try {
+        s.conf.set(shufKey, "8")
+        dropSemIdx() // a stale index from an aborted run must not leak in
+        (0 until 3).foreach { b =>
+          Dedup.unpersistAll()
+          val batch = corpus.filter(pmod(col("doc_id"), lit(3)) === b)
+          val shipped = graft.pipelines.TrainingExport.runIngest(
+            batch, bench, cfg, p, buckets = 8, embeddings = emb,
+            semPqSeedMod = 5, semMinCosPpm = 920000L)
+          out = if (out == null) shipped else out.unionByName(shipped)
+        }
+      } finally {
+        s.conf.set(shufKey, prevShuf)
+        dropSemIdx()
+        Seq("_dedup", "_dedup_compact_tmp", "_dedup_tombstones",
+          "_budget", "_offsets")
+          .foreach(sfx => s.sql(s"DROP TABLE IF EXISTS `$p$sfx`"))
+      }
+      out.orderBy("shard", "seq")
+    }),
     "q_stream_ingest_export" -> ((s, dir) => {
       // the steady-state export DRIVEN BY A STREAM: the corpus
       // arrives as a 3-slice micro-batch file stream and each
@@ -3799,7 +3854,11 @@ object ExtensionQueries {
       mediaDedup: Boolean = false,
       semanticDedup: Boolean = false,
       spanDedup: Option[Int] = None,
-      tokensWp: Boolean = false): String = {
+      tokensWp: Boolean = false,
+      semanticPq: Boolean = false,
+      semPqM: Int = 16,
+      semPqSeedMod: Int = 5,
+      semMinCosPpm: Long = 995000L): String = {
     // the budget/shard identity: doc_id for the doc tail, the packed
     // chunk id for the chunk tail (runChunksIngest's _cid)
     val idc = if (chunkExport.isEmpty) "doc_id" else "cid"
@@ -3951,8 +4010,85 @@ object ExtensionQueries {
     // on BATCH 0's live vectors (the engine's first-ingest build,
     // frozen thereafter — ivfCoarseCtes replays the seed + one-Lloyd
     // refinement), every live vector assigns to them, and co-assigned
-    // pairs at cosine >= 995000 ppm reject by the arrival rule —
-    // pairwise, like the engine's append-then-probe (no components)
+    // pairs at cosine >= the threshold reject by the arrival rule —
+    // pairwise, like the engine's append-then-probe (no components).
+    // semanticPq swaps the CORPUS side for PQ reconstructions: the
+    // codebooks fit on batch 0's live vectors (frozen, the pqFit
+    // replay — seeds, one decimal-mean Lloyd round), every live
+    // vector's codes under them, recon = the coded sub-centroids
+    // concatenated — and the cosine becomes ASYMMETRIC (float new ×
+    // recon corpus, the ADC orientation), so the pair set is the
+    // no-later-arrival direction rather than x < y both ways.
+    val semSubDim = VectorExprs.Dim / semPqM
+    def l2sub(a: String, b: String) = VectorExprs.l2sqSubDuck(a, b, semSubDim)
+    val semRejCtes =
+      if (!semanticPq)
+        s"""se_rej AS (
+           |  ${arrivalRej("x.vec_id", "y.vec_id")}
+           |  FROM se_assign x JOIN se_assign y
+           |    ON x.cid = y.cid AND x.vec_id < y.vec_id
+           |  WHERE CAST(floor(1000000.0 * ((${VectorExprs.dotDuck("x.embedding", "y.embedding")}) / (x.nrm * y.nrm))) AS BIGINT) >= $semMinCosPpm
+           |)""".stripMargin
+      else
+        s"""pq_sp AS (
+           |  SELECT unnest(range(0, $semPqM)) AS s
+           |), pq_sv0 AS (
+           |  SELECT e.vec_id AS vid, sp.s,
+           |         list_slice(e.embedding, sp.s * $semSubDim + 1, (sp.s + 1) * $semSubDim) AS sv
+           |  FROM se_c0 e CROSS JOIN pq_sp sp
+           |), pq_seeds AS (
+           |  SELECT s, vid AS cid, sv AS c FROM pq_sv0 WHERE vid % $semPqSeedMod = 0
+           |), pq_fd AS (
+           |  SELECT v.vid, v.s, v.sv, sd.cid, ${l2sub("v.sv", "sd.c")} AS d
+           |  FROM pq_sv0 v JOIN pq_seeds sd ON sd.s = v.s
+           |), pq_fa AS (
+           |  SELECT s, cid, sv FROM (
+           |    SELECT vid, s, sv, cid,
+           |           ROW_NUMBER() OVER (PARTITION BY vid, s ORDER BY d, cid) AS rn
+           |    FROM pq_fd) t WHERE rn = 1
+           |), pq_ex AS (
+           |  SELECT s, cid, unnest(sv) AS x,
+           |         unnest(range(1, len(sv) + 1)) AS pos
+           |  FROM pq_fa
+           |), pq_mn AS (
+           |  SELECT s, cid, pos,
+           |         CAST(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+           |              / COUNT(*) AS FLOAT) AS mv
+           |  FROM pq_ex GROUP BY s, cid, pos
+           |), pq_cents AS (
+           |  SELECT s, cid, list(mv ORDER BY pos) AS c FROM pq_mn GROUP BY s, cid
+           |), pq_sv AS (
+           |  SELECT e.vec_id AS vid, sp.s,
+           |         list_slice(e.embedding, sp.s * $semSubDim + 1, (sp.s + 1) * $semSubDim) AS sv
+           |  FROM se_live e CROSS JOIN pq_sp sp
+           |), pq_cd AS (
+           |  SELECT v.vid, v.s, c.cid, ${l2sub("v.sv", "c.c")} AS d
+           |  FROM pq_sv v JOIN pq_cents c ON c.s = v.s
+           |), pq_codes AS (
+           |  SELECT vid, s, cid AS code FROM (
+           |    SELECT vid, s, cid,
+           |           ROW_NUMBER() OVER (PARTITION BY vid, s ORDER BY d, cid) AS rn
+           |    FROM pq_cd) t WHERE rn = 1
+           |), se_recon0 AS (
+           |  SELECT k.vid AS vec_id, flatten(list(c.c ORDER BY k.s)) AS recon
+           |  FROM pq_codes k JOIN pq_cents c ON c.s = k.s AND c.cid = k.code
+           |  GROUP BY k.vid
+           |), se_recon AS MATERIALIZED (
+           |  SELECT vec_id, recon,
+           |         sqrt(${VectorExprs.dotDuck("recon", "recon")}) AS rnorm
+           |  FROM se_recon0
+           |), se_rej AS (
+           |  SELECT DISTINCT CASE
+           |      WHEN n.vec_id % $numBatches = c.vec_id % $numBatches
+           |        THEN GREATEST(n.vec_id, c.vec_id)
+           |      ELSE n.vec_id END AS doc_id
+           |  FROM se_assign n
+           |  JOIN se_assign c ON c.cid = n.cid AND c.vec_id <> n.vec_id
+           |  JOIN se_recon r ON r.vec_id = c.vec_id
+           |  WHERE c.vec_id % $numBatches <= n.vec_id % $numBatches
+           |    AND n.nrm > 0 AND r.rnorm > 0
+           |    AND CAST(floor(1000000.0 * ((${VectorExprs.dotDuck("n.embedding", "r.recon")}) / (n.nrm * r.rnorm))) AS BIGINT) >= $semMinCosPpm
+           |)""".stripMargin
     val semCtes =
       if (!semanticDedup) ""
       else
@@ -3973,12 +4109,7 @@ object ExtensionQueries {
            |             PARTITION BY l.vec_id
            |             ORDER BY ${VectorExprs.l2sqDuck("l.embedding", "c.cemb")}, c.cid) AS rn
            |    FROM se_live l CROSS JOIN se_cents c) t WHERE rn = 1
-           |), se_rej AS (
-           |  ${arrivalRej("x.vec_id", "y.vec_id")}
-           |  FROM se_assign x JOIN se_assign y
-           |    ON x.cid = y.cid AND x.vec_id < y.vec_id
-           |  WHERE CAST(floor(1000000.0 * ((${VectorExprs.dotDuck("x.embedding", "y.embedding")}) / (x.nrm * y.nrm))) AS BIGINT) >= 995000
-           |), se AS MATERIALIZED (
+           |), $semRejCtes, se AS MATERIALIZED (
            |  SELECT d.* FROM $baseSp d
            |  WHERE d.doc_id NOT IN (SELECT doc_id FROM se_rej)
            |)""".stripMargin
@@ -6233,6 +6364,21 @@ object ExtensionQueries {
         Seq("src0" -> 4000L, "src1" -> 2000L), 3000L,
         numBatches = 3, numShards = 4, dedupMode = "exact",
         semanticDedup = true,
+        corpusSql = Some(
+          "  SELECT doc_id, source, text, n_chars FROM documents")),
+
+    "q_pipeline_ingest_export_semantic_pq" ->
+      // the codes-backed semantic fold: batch-0 coarse centroids AND
+      // PQ codebooks (both frozen), every live vector coded, the
+      // corpus side reconstructed from its codes, asymmetric cosine
+      // at the compression-tuned threshold, losers by arrival
+      ingestExportPipelineSql(
+        Seq("src0" -> 4000L, "src1" -> 2000L), 3000L,
+        numBatches = 3, numShards = 4, dedupMode = "exact",
+        semanticDedup = true,
+        semanticPq = true,
+        semPqSeedMod = 5,
+        semMinCosPpm = 920000L,
         corpusSql = Some(
           "  SELECT doc_id, source, text, n_chars FROM documents")),
 

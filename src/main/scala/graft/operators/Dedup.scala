@@ -2487,6 +2487,56 @@ object Dedup {
       .select("new_id", "corpus_id", "cos_ppm")
   }
 
+  /** [[semanticDedupAgainstIndex]] against a written IVFADC layout —
+    * the CODES-ONLY form of the persisted semantic state (r16 verdict
+    * task #6): the corpus side carries PQ codes + frozen codebooks
+    * (~m bytes a vector) instead of full float embeddings, and the
+    * probe scores each new FLOAT vector against the co-assigned
+    * corpus vectors' RECONSTRUCTIONS
+    * ([[graft.operators.SimilaritySearch.reconstructWrittenCodes]]).
+    * Same pairing semantics, threshold, and fixed-point ppm floor as
+    * the float verb; the cosine is asymmetric by design (float query
+    * × reconstructed corpus — the ADC orientation), which is exactly
+    * the arrival orientation the ingest stage needs: the corpus side
+    * is always the no-later arrival.
+    *
+    * Scale shape: one broadcast coarse-assign pass over the batch,
+    * one codes-reconstruction join against the broadcast codebooks,
+    * pairs generated by the same cid equi-join as the float verb —
+    * no corpus float vectors anywhere in the plan.
+    */
+  def semanticDedupAgainstPqIndex(
+      newEmb: DataFrame,
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      minCosPpm: Long = 995000L,
+      idCol: String = "vec_id"): DataFrame = {
+    graft.functions.VecDot.register(spark)
+    val coarse = SimilaritySearch.readIndex(spark, dir)
+    val corpusA = coarse.assignments.select(
+      col("cand_id").as("corpus_id"), col("cid"))
+      .join(
+        SimilaritySearch.reconstructWrittenCodes(spark, dir)
+          .select(col("cand_id").as("corpus_id"), col("recon").as("ce")),
+        Seq("corpus_id"))
+      .withColumn("cn", expr(s"sqrt(${VectorExprs.dotSpark("ce", "ce")})"))
+    val newA = SimilaritySearch.assignVectors(coarse.centroids, newEmb, idCol).select(
+      col("cand_id").as("new_id"), col("cid"),
+      col("cand_emb").as("ne"), col("cnorm").as("nn"))
+    newA.join(corpusA, "cid")
+      // a direction the frozen codebooks never saw reconstructs to
+      // the zero vector — its cosine is undefined and it can claim
+      // nothing; without the guard the division is an ANSI
+      // DIVIDE_BY_ZERO job failure (spec-pinned fixture)
+      .filter(col("nn") > 0.0 && col("cn") > 0.0)
+      .withColumn(
+        "cos",
+        expr(VectorExprs.dotSpark("ne", "ce")) / (col("nn") * col("cn")))
+      .withColumn("cos_ppm", floor(lit(1000000.0) * col("cos")).cast("long"))
+      .filter(col("cos_ppm") >= minCosPpm)
+      .select("new_id", "corpus_id", "cos_ppm")
+  }
+
   /** Train/eval SPLIT-LEAKAGE repair — the within-corpus sibling of
     * benchmark decontamination: a near-duplicate pair straddling the
     * train/eval boundary leaks training signal into evaluation no

@@ -1649,6 +1649,33 @@ object SimilaritySearch {
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     antiTombstones(spark, spark.read.parquet(s"$dir/codes"), dir)
 
+  /** DECODE a written layout's live codes back to float vectors:
+    * `(cand_id, recon ARRAY<FLOAT>)`, recon = the m sub-centroids
+    * named by the vector's codes, concatenated in subspace order —
+    * PQ's defining approximation, materialized. This is what a
+    * CODES-ONLY persisted state can serve in place of stored float
+    * vectors (the r16 verdict's semantic-state-bytes concern: plain
+    * IVF assignments carry full embeddings; codes + frozen codebooks
+    * carry ~m bytes a vector), and the probe side of
+    * [[graft.operators.Dedup.semanticDedupAgainstPqIndex]] scores
+    * cosine against exactly this reconstruction. One broadcast join
+    * against the (driver-capped) codebooks + one per-vector collect_
+    * list — no corpus-width shuffle beyond the codes scan's own.
+    */
+  def reconstructWrittenCodes(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val cb = readPqCodebooks(spark, dir)
+    readPqCodesWide(spark, dir)
+      .select(col("cand_id"), posexplode(col("codes")).as(Seq("s", "code")))
+      .join(
+        broadcast(cb.centroids.withColumnRenamed("cid", "code")),
+        Seq("s", "code"))
+      .groupBy("cand_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("s"), col("c")))),
+        e => e("c"))).as("recon"))
+  }
+
   /** Encode NEW vectors against a written layout's (frozen) codebooks
     * and append their wide code rows — the PQ twin of
     * [[appendToWrittenIndex]]: per ingest this touches only the new

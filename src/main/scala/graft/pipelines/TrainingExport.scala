@@ -150,6 +150,7 @@ object TrainingExport {
       paragraphDedup: Boolean = false,
       spanDedup: Option[Int] = None,
       semanticDedup: Boolean = false,
+      semanticPq: Boolean = false,
       mediaDedup: Option[Int] = None,
       contaminationMaxPpm: Option[Long] = Some(500000L),
       budgets: Seq[(String, Long)] = Nil,
@@ -535,7 +536,11 @@ object TrainingExport {
       maxFilesPerBucket: Int = 4,
       media: => DataFrame = null,
       embeddings: => DataFrame = null,
-      semCentroidMod: Int = 50): DataFrame = {
+      semCentroidMod: Int = 50,
+      semPqM: Int = 16,
+      semPqSeedMod: Int = 50,
+      semMinCosPpm: Long = 995000L,
+      semCorpusVectors: () => DataFrame = () => null): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
     require(cfg.numShards >= 1, s"numShards must be >= 1, got ${cfg.numShards}")
@@ -550,7 +555,9 @@ object TrainingExport {
     val (spanned, appendShingleState) =
       ingestSpanStage(paraged, cfg, statePrefix, buckets, maxFilesPerBucket)
     val (semed, _) =
-      ingestSemanticStage(spanned, embeddings, cfg, statePrefix, semCentroidMod)
+      ingestSemanticStage(
+        spanned, embeddings, cfg, statePrefix, semCentroidMod,
+        semPqM, semPqSeedMod, semMinCosPpm, semCorpusVectors)
     val (mediaed, appendMediaState) =
       ingestMediaStage(semed, media, cfg, statePrefix, buckets, maxFilesPerBucket)
     val clean = decontaminate(mediaed, benchmark, cfg)
@@ -638,7 +645,11 @@ object TrainingExport {
       maxFilesPerBucket: Int = 4,
       media: => DataFrame = null,
       embeddings: => DataFrame = null,
-      semCentroidMod: Int = 50): DataFrame = {
+      semCentroidMod: Int = 50,
+      semPqM: Int = 16,
+      semPqSeedMod: Int = 50,
+      semMinCosPpm: Long = 995000L,
+      semCorpusVectors: () => DataFrame = () => null): DataFrame = {
     val spark = batch.sparkSession
     require(cfg.numShards >= 1, s"numShards must be >= 1, got ${cfg.numShards}")
     // same rejection as runChunks: chunk budgets bill in the chunker's
@@ -657,7 +668,9 @@ object TrainingExport {
     val (spanned, appendShingleState) =
       ingestSpanStage(paraged, cfg, statePrefix, buckets, maxFilesPerBucket)
     val (semed, _) =
-      ingestSemanticStage(spanned, embeddings, cfg, statePrefix, semCentroidMod)
+      ingestSemanticStage(
+        spanned, embeddings, cfg, statePrefix, semCentroidMod,
+        semPqM, semPqSeedMod, semMinCosPpm, semCorpusVectors)
     val (mediaed, appendMediaState) =
       ingestMediaStage(semed, media, cfg, statePrefix, buckets, maxFilesPerBucket)
     val clean = decontaminate(mediaed, benchmark, cfg)
@@ -937,7 +950,10 @@ object TrainingExport {
     */
   private def ingestSemanticStage(
       docs: DataFrame, embeddings: => DataFrame, cfg: Config,
-      statePrefix: String, semCentroidMod: Int): (DataFrame, () => Unit) =
+      statePrefix: String, semCentroidMod: Int,
+      semPqM: Int = 16, semPqSeedMod: Int = 50,
+      semMinCosPpm: Long = 995000L,
+      semCorpusVectors: () => DataFrame = () => null): (DataFrame, () => Unit) =
     if (!cfg.semanticDedup) (docs, () => ())
     else {
       val spark = docs.sparkSession
@@ -949,16 +965,61 @@ object TrainingExport {
         docs.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"))
       val marker = new org.apache.hadoop.fs.Path(s"$idxDir/centroids")
       val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(marker))
-        SimilaritySearch.writeIndex(
-          SimilaritySearch.buildIndex(live, centroidMod = semCentroidMod), idxDir)
+      if (!fs.exists(marker)) {
+        if (!cfg.semanticPq)
+          SimilaritySearch.writeIndex(
+            SimilaritySearch.buildIndex(live, centroidMod = semCentroidMod), idxDir)
+        else {
+          // CODES-ONLY state (r16 verdict task #6): the written layout
+          // persists coarse assignments + PQ codes + frozen codebooks
+          // — ~m bytes a vector instead of a full float embedding
+          val idx = SimilaritySearch.buildIndex(live, centroidMod = semCentroidMod)
+          val cb = SimilaritySearch.pqFit(live, m = semPqM, seedMod = semPqSeedMod)
+          SimilaritySearch.writeIvfPqIndex(
+            idx, cb, SimilaritySearch.pqEncode(live, cb), idxDir)
+        }
+      } else {
+        // a semanticPq flip against an existing state would die on a
+        // missing codes/meta table deep inside a probe — name it here
+        val hasCodes = fs.exists(
+          new org.apache.hadoop.fs.Path(s"$idxDir/codes"))
+        require(hasCodes == cfg.semanticPq,
+          s"semantic ingest state '$idxDir' is a " +
+            s"${if (hasCodes) "codes-backed (IVFADC)" else "float (plain IVF)"} " +
+            s"layout but cfg.semanticPq = ${cfg.semanticPq} — keep the flag " +
+            "fixed per statePrefix, or start a fresh prefix")
+        if (!cfg.semanticPq)
+          // centroidMod threads through so a drift-triggered re-cluster
+          // retrains at the stage's own list granularity
+          SimilaritySearch.appendAndMaintainWrittenIndex(
+            spark, idxDir, live, centroidMod = semCentroidMod)
+        else
+          // the IVFADC closed loop: codes are lossy, so a drift-
+          // triggered re-cluster must re-encode from RAW corpus
+          // vectors — supplied lazily and only paid on re-cluster
+          // (at 100 TB the vectors live in a corpus table anyway)
+          SimilaritySearch.appendAndMaintainWrittenIvfPqIndex(
+            spark, idxDir, live,
+            corpusVectors = {
+              val cv = semCorpusVectors()
+              require(cv != null,
+                "the semantic ingest state's drift trigger fired and the " +
+                  "codes-backed layout needs raw corpus vectors to re-cluster " +
+                  "— pass semCorpusVectors to the ingest call (it is only " +
+                  "evaluated when a re-cluster actually runs)")
+              cv
+            },
+            centroidMod = semCentroidMod)
+      }
+      val pairs = (if (cfg.semanticPq)
+        // the threshold dial matters here: reconstruction error eats
+        // into the cosine, so a codes-backed state runs a LOWER
+        // threshold than the float default (measured in the query
+        // fixture; the oracle replays whatever is passed)
+        Dedup.semanticDedupAgainstPqIndex(live, spark, idxDir, semMinCosPpm)
       else
-        // centroidMod threads through so a drift-triggered re-cluster
-        // retrains at the stage's own list granularity
-        SimilaritySearch.appendAndMaintainWrittenIndex(
-          spark, idxDir, live, centroidMod = semCentroidMod)
-      val pairs = Dedup
-        .semanticDedupAgainstIndex(live, SimilaritySearch.readIndex(spark, idxDir))
+        Dedup.semanticDedupAgainstIndex(
+          live, SimilaritySearch.readIndex(spark, idxDir), semMinCosPpm))
         .filter(col("new_id") =!= col("corpus_id")) // the batch is in the index
       val own = live.select(col("vec_id").as("corpus_id"), lit(true).as("_own"))
       val rejected = pairs

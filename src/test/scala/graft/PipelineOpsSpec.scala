@@ -2645,6 +2645,70 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("runIngest semantic stage on the CODES-backed state: claims bind through reconstructions, layout flips fail fast") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val p = "ingest_spec_sempq"
+    dropIngestState(p)
+    val idxDir = TrainingExport.semanticIndexDir(spark, p)
+    def dropIdx(): Unit = {
+      val pth = new org.apache.hadoop.fs.Path(idxDir)
+      pth.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pth, true)
+    }
+    dropIdx()
+    val cfg = allOff.copy(semanticDedup = true, semanticPq = true, numShards = 2)
+    def mk(ids: Seq[Long]) =
+      ids.map(id => (id, "src0", s"doc $id body"))
+        .toDF("doc_id", "source", "text")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    val bench = mk(Seq(999999L))
+    // 64-dim vectors each supported in its OWN m=16 subspace (dim
+    // i*4): with seedMod 1 every batch-0 subvector seeds its own
+    // codebook entry, so batch-0 vectors reconstruct EXACTLY and the
+    // claim binds at the float threshold, while a direction the
+    // codebooks never saw reconstructs to zero (cosine NaN → no
+    // pair) instead of ALIASING onto a seen one — the collapse a
+    // shared-subspace fixture measured first
+    def basis(i: Int): Seq[Float] =
+      Seq.tabulate(64)(j => if (j == i * 4) 4f else 0f)
+    def emb(rows: Seq[(Long, Seq[Float])]) = rows.toDF("vec_id", "embedding")
+    try {
+      val s0 = TrainingExport.runIngest(
+        mk(Seq(2L, 4L)), bench, cfg, p,
+        embeddings = emb(Seq((2L, basis(0)), (4L, basis(1)))),
+        semCentroidMod = 1, semPqSeedMod = 1)
+      Dedup.unpersistAll()
+      assert(s0.count() == 2L)
+      // the persisted state carries NO float corpus vectors — codes +
+      // codebooks + coarse assignments only
+      val assignCols = spark.read.parquet(s"$idxDir/assignments").columns.toSet
+      assert(!assignCols.contains("cand_emb"),
+        s"codes-backed state must not store embeddings: $assignCols")
+      assert(spark.read.parquet(s"$idxDir/codes").count() == 2L)
+      // batch 1: a scaled copy of doc 2's vector loses to the EARLIER
+      // arrival through its reconstruction; an orthogonal doc ships
+      val s1 = TrainingExport.runIngest(
+        mk(Seq(1L, 3L)), bench, cfg, p,
+        embeddings = emb(Seq(
+          (1L, basis(0).map(_ * 1.001f)), (3L, basis(2)))),
+        semCentroidMod = 1, semPqSeedMod = 1)
+      Dedup.unpersistAll()
+      assert(s1.select("doc_id").collect().map(_.getLong(0)).toSet == Set(3L),
+        "the reconstructed claim must reject the scaled copy")
+      // flipping semanticPq against the existing codes layout names
+      // the mismatch instead of dying inside a probe
+      val e = intercept[IllegalArgumentException] {
+        TrainingExport.runIngest(
+          mk(Seq(10L)), bench, cfg.copy(semanticPq = false), p,
+          embeddings = emb(Seq((10L, basis(3)))), semCentroidMod = 1)
+      }
+      assert(e.getMessage.contains("codes-backed"), e.getMessage)
+    } finally {
+      dropIngestState(p)
+      dropIdx()
+    }
+  }
+
   test("runIngest semantic stage: a drifted ingest trips the re-cluster inside the stage") {
     import spark.implicits._
     import graft.operators.{Dedup, SimilaritySearch}
