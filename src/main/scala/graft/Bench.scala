@@ -175,7 +175,13 @@ object Bench {
       var failed = false
       var shuffleBytes = -1L
       var nExchanges = -1
-      val times = (1 to iters).map { i =>
+      // lifecycle tier (r16 verdict's operational note): the ingest-
+      // export queries are 3-batch persisted-state LIFECYCLES whose
+      // cost is job count, not dataflow — it does not jitter the way
+      // sub-second queries do, and at ~55% of total suite time a
+      // best-of-N re-run buys nothing but wall clock. One iteration.
+      val qIters = if (name.contains("_ingest_export")) 1 else iters
+      val times = (1 to qIters).map { i =>
         spark.catalog.clearCache()
         graft.operators.Dedup.unpersistAll() // drain the tracked-cache queue too
         tally.bytes.set(0L)
@@ -190,7 +196,7 @@ object Bench {
         // structural metrics from the LAST (warm) iteration: flush the
         // async listener bus first so the tally and the captured
         // execution are this window's, then count outside the timer
-        if (!failed && i == iters) {
+        if (!failed && i == qIters) {
           org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext, 10000L)
           shuffleBytes = tally.bytes.get()
           nExchanges = lastExec.last.map(qe => countExchanges(qe.executedPlan)).getOrElse(-1)
