@@ -277,14 +277,17 @@ object ExtensionQueries {
       |  CASE WHEN doc_id % 5 = 0 THEN concat(substr(text, 41, 10), '...') ELSE substr(text, 41, 10) END)""".stripMargin
 
   /** Dialect-neutral planted LABELED corpus for the model-fit family:
-    * even doc_ids carry a tripled positive marker token, odd a
-    * negative one, label = the parity — a separable signal on top of
-    * the real text's hash noise, built from concat/CASE only so both
-    * engines derive the identical corpus.
+    * even doc_ids carry an 8× positive marker token, odd an 8×
+    * negative one, label = the parity — built from concat/CASE/repeat
+    * only so both engines derive the identical corpus. Eight repeats
+    * is measured, not cosmetic: at 3 repeats the ~57 noise tokens per
+    * doc swamp the signal in 64 buckets and 3 epochs (the trained
+    * gate kept 0/250 positives at margin ≥ 0); at 8 the fit separates
+    * both classes perfectly at sf0.01 and 4999/5000 at sf0.1.
     */
   private[graft] val fitPlantedTextSql: String =
-    "concat(text, CASE WHEN doc_id % 2 = 0 THEN ' qualgood qualgood qualgood' " +
-      "ELSE ' qualbad qualbad qualbad' END)"
+    "concat(text, CASE WHEN doc_id % 2 = 0 THEN repeat(' qualgood', 8) " +
+      "ELSE repeat(' qualbad', 8) END)"
 
   private def fitPlantedDocs(
       s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
@@ -2521,6 +2524,42 @@ object ExtensionQueries {
       val gated = docs.join(
         TextAnalysis.hashedLinearScore(
           docs, w, biasPpm = 250000L, thresholdPpm = 250000L)
+          .filter(col("keep")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      graft.pipelines.TrainingExport.run(
+        gated,
+        gated.filter(col("doc_id") % 97 === 0),
+        graft.pipelines.TrainingExport.Config(
+          curate = true,
+          dedup = graft.pipelines.TrainingExport.DedupExact,
+          contaminationMaxPpm = Some(500000L),
+          budgets = Seq("src0" -> 4000L, "src1" -> 2000L),
+          defaultBudget = 3000L,
+          numShards = 4))
+        .orderBy("shard", "seq")
+    }),
+    "q_pipeline_train_export_fitgate" -> ((s, dir) => {
+      // the SELF-CONTAINED quality-model loop end-to-end: TRAIN the
+      // hashed-linear model on the labeled planted corpus
+      // (hashedLinearFit — the full-batch perceptron), load it
+      // through the production weights loader, gate THAT corpus with
+      // the trained model at margin ≥ 0 (the learned keep class —
+      // unmarked text scores all-negative, measured, so the gate
+      // binds on the corpus the labels describe), and export the
+      // survivors through the standard five stages. This is the
+      // production shape q_pipeline_train_export_modelgate's
+      // closed-form weights stood in for: weights now come from a
+      // fit the oracle replays epoch by epoch.
+      val planted = fitPlantedDocs(s, dir)
+      val w = TextAnalysis.hashedLinearWeights(
+        TextAnalysis.hashedLinearFit(planted, 64), 64)
+      val docs = planted
+        .join(Tables.documents(s, dir).select("doc_id", "source"), Seq("doc_id"))
+        .select(
+          col("doc_id"), col("source"), col("text"),
+          length(col("text")).cast("long").as("n_chars"))
+      val gated = docs.join(
+        TextAnalysis.hashedLinearScore(docs, w)
           .filter(col("keep")).select("doc_id"),
         Seq("doc_id"), "left_semi")
       graft.pipelines.TrainingExport.run(
@@ -6311,6 +6350,25 @@ object ExtensionQueries {
              |      FROM (SELECT doc_id, ${wordHashArrayDuck(wordsDuck("text"))} AS wh FROM documents)
              |    ) WHERE margin_ppm >= 250000 * n_tokens
              |  ) k USING (doc_id)""".stripMargin)),
+
+    "q_pipeline_train_export_fitgate" ->
+      // the trained gate as the corpus prologue: the fit CTEs replay
+      // the perceptron epochs on the planted corpus, the trained
+      // weights score the real corpus, survivors flow into the
+      // standard five-stage replay
+      trainExportPipelineSql(
+        Seq("src0" -> 4000L, "src1" -> 2000L), 3000L, tokensWp = false,
+        corpusSql = Some(
+          s"""  SELECT doc_id, source, $fitPlantedTextSql AS text,
+             |    CAST(length($fitPlantedTextSql) AS BIGINT) AS n_chars
+             |  FROM documents WHERE doc_id IN (
+             |    WITH ${hashedFitDuckCtes(64, 3, 1000L)}
+             |    , gm AS (
+             |      SELECT t.doc_id, COALESCE(CAST(SUM(w.w) AS BIGINT), 0) AS margin
+             |      FROM tok t LEFT JOIN w3 w USING (bucket) GROUP BY t.doc_id
+             |    )
+             |    SELECT doc_id FROM gm WHERE margin >= 0
+             |  )""".stripMargin)),
 
     "q_pipeline_ingest_export" ->
       // the steady-state fold replayed in arrival order; see the
