@@ -31,7 +31,7 @@ object ProbeIngestScale {
       .select("doc_id", "source", "text", "n_chars").localCheckpoint(true)
     val n = docs.count()
 
-    for (mode <- Seq("exact", "neardup", "media", "span")) {
+    for (mode <- Seq("exact", "neardup", "media", "span", "semantic", "semanticpq")) {
       val p = s"ingest_scale_${mode}"
       val tables = Seq(
         "_dedup", "_dedup_compact_tmp", "_dedup_tombstones",
@@ -54,10 +54,34 @@ object ProbeIngestScale {
         // the claim under measurement is O(batch) probe + O(batch)
         // append as the 28-byte-row state grows linearly
         spanDedup = if (mode == "span") Some(10) else None,
+        // semantic modes: isolate the written index (float vs codes-
+        // backed); each batch is the base embedding cloud ROTATED by
+        // the batch number — an isotropic cloud's rotation keeps the
+        // list geometry stationary (no spurious drift re-cluster)
+        // while every vector is a genuinely new direction (no
+        // cross-batch dups)
+        semanticDedup = mode.startsWith("semantic"),
+        semanticPq = mode == "semanticpq",
         contaminationMaxPpm = None,
         budgets = Nil,
         numShards = 8)
-      println(s"=== mode $mode: $nBatches batches x $n docs ===")
+      val idxDir = TrainingExport.semanticIndexDir(spark, p)
+      def dropIdx(): Unit = {
+        val pth = new org.apache.hadoop.fs.Path(idxDir)
+        pth.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pth, true)
+      }
+      dropIdx()
+      val embBase =
+        if (!mode.startsWith("semantic")) null
+        else graft.sources.Tables.embeddings(spark, dir)
+          .select("vec_id", "embedding").localCheckpoint(true)
+      val semDocs =
+        if (!mode.startsWith("semantic")) docs
+        else docs.join(
+          embBase.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+          .localCheckpoint(true)
+      val nMode = if (mode.startsWith("semantic")) semDocs.count() else n
+      println(s"=== mode $mode: $nBatches batches x $nMode docs ===")
       (0 until nBatches).foreach { k =>
         Dedup.unpersistAll()
         // suffix every WORD with the batch tag: a mere appended tail
@@ -67,7 +91,7 @@ object ProbeIngestScale {
         // docs (measured: within-batch candidate blowup, one 22 s
         // ingest). Per-word suffixing keeps each doc's shingle
         // structure while making every batch fully distinct corpus.
-        val batch = docs
+        val batch = semDocs
           .withColumn("doc_id", col("doc_id") + lit(k.toLong * 10000000L))
           .withColumn("text",
             expr(s"array_join(transform(split(text, ' '), w -> concat(w, '_b$k')), ' ')"))
@@ -79,20 +103,29 @@ object ProbeIngestScale {
           if (mode != "media") null
           else graft.operators.Multimodal.synthesizePpmTextured(
             batch.select("doc_id"))
+        val rot = k % 63 + 1
+        val emb =
+          if (!mode.startsWith("semantic")) null
+          else embBase.select(
+            (col("vec_id") + lit(k.toLong * 10000000L)).as("vec_id"),
+            expr(s"concat(slice(embedding, $rot + 1, ${64 - rot}), " +
+              s"slice(embedding, 1, $rot))").as("embedding"))
         val t0 = System.nanoTime()
         val shipped = TrainingExport.runIngest(
-          batch, docs.limit(1), cfg, p, media = media)
+          batch, docs.limit(1), cfg, p, media = media, embeddings = emb)
         val rows = shipped.count()
         val wall = (System.nanoTime() - t0) / 1e9
-        val stateTbl = mode match {
-          case "media" => s"${p}_mediadh"
-          case "span" => s"${p}_shingles"
-          case _ => s"${p}_dedup"
+        val stateRows = mode match {
+          case "media" => spark.table(s"${p}_mediadh").count()
+          case "span" => spark.table(s"${p}_shingles").count()
+          case m if m.startsWith("semantic") =>
+            spark.read.parquet(s"$idxDir/assignments").count()
+          case _ => spark.table(s"${p}_dedup").count()
         }
-        val stateRows = spark.table(stateTbl).count()
         println(f"  ingest $k%2d: wall $wall%6.2f s  shipped $rows%7d  state_rows $stateRows%9d")
       }
       tables.foreach(t => TestSpark.resetTable(spark, s"`$p$t`"))
+      dropIdx()
     }
     spark.stop()
   }
