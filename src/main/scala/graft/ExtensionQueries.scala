@@ -1521,6 +1521,33 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    "q_embed_ann_ivfpq_refit" -> ((s, dir) => {
+      // the OTHER half of the maintenance split (the re-cluster's
+      // mirror): codebooks fit on two thirds only and persisted, the
+      // remaining third appended under the FROZEN codebooks (the
+      // codes-drift state), then refitWrittenPqCodebooks retrains the
+      // codebooks from the accumulated live corpus, re-encodes every
+      // vector, and swaps codes+codebooks (+live assignments) under
+      // one commit marker — the coarse geometry untouched. pqFit and
+      // pqEncode are pure in (vectors, m, seedMod), so the refit
+      // layout must probe EXACTLY like a one-shot build with the same
+      // coarse index and full-corpus codebooks: the oracle is the
+      // IVFADC oracle with the coarse fit scoped to the base.
+      val e = Tables.embeddings(s, dir)
+      val stateDir = freshStateDir("graft_ivfpq_refit_")
+      val base = e.filter(col("vec_id") % 3 =!= 0)
+      val cb = SimilaritySearch.pqFit(base, m = 16, seedMod = 20)
+      SimilaritySearch.writeIvfPqIndex(
+        SimilaritySearch.buildIndex(base, centroidMod = 50),
+        cb, SimilaritySearch.pqEncode(base, cb), stateDir)
+      SimilaritySearch.appendToWrittenIvfPqIndex(
+        s, stateDir, e.filter(col("vec_id") % 3 === 0))
+      SimilaritySearch.refitWrittenPqCodebooks(s, stateDir, e, seedMod = 20)
+      SimilaritySearch.ivfPqProbeWritten(
+          s, stateDir, e.filter(col("vec_id") % 97 === 0))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- text analysis ----
     "q_text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenStats(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -4635,10 +4662,11 @@ object ExtensionQueries {
     */
   private def ivfPqOracleSql(
       m: Int = 16, seedMod: Int = 20, k: Int = 5, nprobe: Int = 2,
-      queryMod: Int = 97, centroidMod: Int = 50): String = {
+      queryMod: Int = 97, centroidMod: Int = 50,
+      coarseBuildWhere: String = "TRUE"): String = {
     val pivotSum = (0 until m)
       .map(i => s"MAX(CASE WHEN qs = $i THEN d END)").mkString(" + ")
-    s"""WITH ${ivfCoarseCtes("TRUE", "iv_", centroidMod)}, iv_adist AS (
+    s"""WITH ${ivfCoarseCtes(coarseBuildWhere, "iv_", centroidMod)}, iv_adist AS (
        |  SELECT e.vec_id AS vid, c.cid,
        |         ${VectorExprs.l2sqDuck("e.embedding", "c.cemb")} AS d
        |  FROM embeddings e CROSS JOIN iv_cents c
@@ -5687,6 +5715,13 @@ object ExtensionQueries {
       // over the accumulated corpus under the same frozen codebooks —
       // the full-build oracle verbatim
       ivfPqOracleSql(m = 16, seedMod = 20, k = 5, nprobe = 2),
+    "q_embed_ann_ivfpq_refit" ->
+      // the codebook-refit mirror: coarse fit scoped to the BASE two
+      // thirds (the frozen geometry the refit must not touch),
+      // codebooks over the full corpus — one-shot equivalence again
+      ivfPqOracleSql(
+        m = 16, seedMod = 20, k = 5, nprobe = 2,
+        coarseBuildWhere = "vec_id % 3 <> 0"),
 
     // takedown semantics ARE the oracle's corpus exclusion: both the
     // tombstone-masked and the post-compaction probe must equal the

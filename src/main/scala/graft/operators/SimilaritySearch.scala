@@ -795,10 +795,11 @@ object SimilaritySearch {
       spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // "codes" participates only for combined IVFADC layouts
-    // (reclusterWrittenIvfPqIndex materializes codes_next); on a plain
-    // IVF dir the codes entries are no-ops — dirExists gates each move
-    val tables = Seq("assignments", "centroids", "codes")
+    // "codes"/"codebooks" participate only for combined IVFADC
+    // layouts (reclusterWrittenIvfPqIndex materializes codes_next;
+    // refitWrittenPqCodebooks adds codebooks_next); on a plain IVF
+    // dir those entries are no-ops — dirExists gates each move
+    val tables = Seq("assignments", "centroids", "codes", "codebooks")
     if (dirExists(spark, reclusterMarker(dir))) {
       tables.foreach { t =>
         val next = s"$dir/${t}_next"
@@ -1879,6 +1880,66 @@ object SimilaritySearch {
     * the (rare, O(corpus) anyway) re-cluster path. Same evidence
     * thresholds and [[MaintenanceAction]] contract as the plain verb.
     */
+  /** REFIT the PQ CODEBOOKS of a written IVFADC layout — the SLOWER
+    * half of the faiss maintenance split, now an operator like its
+    * faster sibling: [[reclusterWrittenIvfPqIndex]] retrains the
+    * coarse lists under FROZEN codebooks (the frequent cadence);
+    * this verb retrains the codebooks from the accumulated LIVE
+    * corpus and re-encodes every vector under them, leaving the
+    * coarse geometry untouched (the rare cadence — PQ geometry
+    * tracks the distribution's local detail and drifts much slower
+    * than list occupancy). Without it, codebooks fit at first build
+    * served forever and a corpus that outgrew them had no remedy
+    * short of a full rebuild.
+    *
+    * Same swap discipline as the re-cluster: the ENTIRE next
+    * generation (codebooks, codes, and the live-filtered assignments
+    * — rewriting them bakes pending tombstones in so the shared
+    * tombstone clear at the swap is sound) materializes under
+    * `*_next`, one commit marker, [[recoverWrittenIndex]]-decidable
+    * at every crash point; same READ-QUIESCE contract. `vectors`
+    * supplies raw payloads (codes are lossy); the LAYOUT decides
+    * membership and a live id missing from `vectors` fails fast.
+    * The refit layout probes exactly like a one-shot
+    * [[writeIvfPqIndex]] with the same coarse index and codebooks
+    * fit on the live corpus — q_embed_ann_ivfpq_refit's oracle.
+    */
+  def refitWrittenPqCodebooks(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      vectors: DataFrame,
+      seedMod: Int = 50,
+      idCol: String = "vec_id"): Unit = {
+    require(dirExists(spark, s"$dir/codes"),
+      s"'$dir' has no codes table — a plain IVF layout carries no PQ " +
+        "codebooks to refit")
+    recoverWrittenIndex(spark, dir)
+    val m = readPqCodebooks(spark, dir).m
+    val liveAssign = readIndex(spark, dir).assignments // tombstone-masked
+    val vecs = vectors.select(col(idCol).as("cand_id"), col("embedding"))
+    require(
+      liveAssign.select("cand_id")
+        .join(vecs, Seq("cand_id"), "left_anti").limit(1).isEmpty,
+      s"refitWrittenPqCodebooks: live vector ids in '$dir' are missing from " +
+        "the supplied vectors frame — silently dropping them from the next " +
+        "generation is the one unrecoverable outcome; supply a superset")
+    val lv = Dedup.persistTracked(
+      vecs.join(liveAssign.select("cand_id"), Seq("cand_id"))
+        .select(col("cand_id").as(idCol), col("embedding")))
+    val cb2 = pqFit(lv, m = m, seedMod = seedMod, idCol = idCol)
+    cb2.centroids.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/codebooks_next")
+    pqCodesWide(pqEncode(lv, cb2, idCol), idCol)
+      .repartition(sizedCodeFiles(spark, s"$dir/codes"))
+      .write.mode("overwrite").parquet(s"$dir/codes_next")
+    liveAssign.select("cand_id", "cid")
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/assignments_next")
+    val marker = new org.apache.hadoop.fs.Path(reclusterMarker(dir))
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(marker, true).close()
+    recoverWrittenIndex(spark, dir)
+  }
+
   def appendAndMaintainWrittenIvfPqIndex(
       spark: org.apache.spark.sql.SparkSession, dir: String, newVectors: DataFrame,
       corpusVectors: => DataFrame,

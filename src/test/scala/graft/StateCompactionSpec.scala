@@ -1003,6 +1003,96 @@ class StateCompactionSpec extends AnyFunSuite {
     } finally rmTree(stateDir)
   }
 
+  test("ivfpq codebook REFIT: re-encode bakes takedowns in, equals one-shot under new codebooks, guards fire") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = graft.sources.Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .localCheckpoint(true)
+    val base = e.filter(col("vec_id") % 3 =!= 0)
+    val batch = e.filter(col("vec_id") % 3 === 0)
+    val queries = e.filter(col("vec_id") % 97 === 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().toSeq
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_refit_spec_").toString
+    try {
+      // codebooks fit on the BASE only (the drift the refit remedies);
+      // coarse geometry also on the base and UNTOUCHED throughout
+      val cbBase = SimilaritySearch.pqFit(base, m = 16, seedMod = 20)
+      val idxBase = SimilaritySearch.buildIndex(base, centroidMod = 50)
+      SimilaritySearch.writeIvfPqIndex(
+        idxBase, cbBase, SimilaritySearch.pqEncode(base, cbBase), stateDir)
+      SimilaritySearch.appendToWrittenIvfPqIndex(spark, stateDir, batch)
+      // tombstones pending at refit time: the re-encode must bake the
+      // removal into codes AND the rewritten assignments
+      val victims = Seq(101L, 102L, 204L)
+      SimilaritySearch.deleteFromWrittenPqIndex(
+        spark, stateDir, victims.toDF("vec_id"))
+      SimilaritySearch.refitWrittenPqCodebooks(spark, stateDir, e, seedMod = 20)
+      assert(!new java.io.File(s"$stateDir/tombstones").exists())
+      assert(!new java.io.File(s"$stateDir/recluster_commit").exists())
+      assert(spark.read.parquet(s"$stateDir/codes")
+        .filter(col("cand_id").isin(victims: _*)).count() == 0L)
+      assert(spark.read.parquet(s"$stateDir/assignments")
+        .filter(col("cand_id").isin(victims: _*)).count() == 0L)
+      // one-shot equivalence: same coarse geometry, codebooks fit on
+      // the LIVE corpus (the layout decides membership — pending
+      // tombstones are excluded from the refit's training set, not
+      // just from the re-encode) — pqFit/pqEncode purity means the
+      // refit layout probes exactly like a twin built that way
+      val liveE = e.filter(!col("vec_id").isin(victims: _*))
+      val cbFull = SimilaritySearch.pqFit(liveE, m = 16, seedMod = 20)
+      val liveBase = base.filter(!col("vec_id").isin(victims: _*))
+      val liveBatch = batch.filter(!col("vec_id").isin(victims: _*))
+      val twinDir = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_refit_twin_").toString
+      try {
+        SimilaritySearch.writeIvfPqIndex(
+          SimilaritySearch.IvfIndex(
+            idxBase.centroids,
+            idxBase.assignments.filter(!col("cand_id").isin(victims: _*))),
+          cbFull, SimilaritySearch.pqEncode(liveBase, cbFull), twinDir)
+        SimilaritySearch.appendToWrittenIvfPqIndex(spark, twinDir, liveBatch)
+        assert(
+          canon(SimilaritySearch.ivfPqProbeWritten(spark, stateDir, queries))
+            == canon(SimilaritySearch.ivfPqProbeWritten(spark, twinDir, queries)),
+          "refit must equal the one-shot full-corpus-codebook build")
+      } finally rmTree(twinDir)
+      // wait — the refit CHANGED the codebooks: probing must not
+      // equal the frozen-codebook state (else the verb did nothing)
+      val frozenDir = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_refit_frozen_").toString
+      try {
+        SimilaritySearch.writeIvfPqIndex(
+          SimilaritySearch.IvfIndex(
+            idxBase.centroids,
+            idxBase.assignments.filter(!col("cand_id").isin(victims: _*))),
+          cbBase, SimilaritySearch.pqEncode(liveBase, cbBase), frozenDir)
+        SimilaritySearch.appendToWrittenIvfPqIndex(spark, frozenDir, liveBatch)
+        assert(
+          canon(SimilaritySearch.ivfPqProbeWritten(spark, stateDir, queries))
+            != canon(SimilaritySearch.ivfPqProbeWritten(spark, frozenDir, queries)),
+          "the refit must actually move the codebooks on this fixture")
+      } finally rmTree(frozenDir)
+      // guards: live ids missing from the supplied vectors fail fast;
+      // a plain IVF layout has no codebooks to refit
+      val g1 = intercept[IllegalArgumentException](
+        SimilaritySearch.refitWrittenPqCodebooks(
+          spark, stateDir, e.filter(col("vec_id") % 2 === 0)))
+      assert(g1.getMessage.contains("superset"), g1.getMessage)
+      val plainDir = java.nio.file.Files
+        .createTempDirectory("graft_refit_plain_").toString
+      try {
+        SimilaritySearch.writeIndex(
+          SimilaritySearch.buildIndex(base, centroidMod = 50), plainDir)
+        val g2 = intercept[IllegalArgumentException](
+          SimilaritySearch.refitWrittenPqCodebooks(spark, plainDir, e))
+        assert(g2.getMessage.contains("no codes table"), g2.getMessage)
+      } finally rmTree(plainDir)
+      Dedup.unpersistAll()
+    } finally rmTree(stateDir)
+  }
+
   test("hamming segment table: catalog equals derived rows, radius guard fires, appends extend the probe") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables.documents(spark, dir)
