@@ -113,6 +113,15 @@ object Bench {
     * {"q_name": sec} JSON). Missing file → no flags (new queries have
     * no baseline to be over).
     */
+  /** The lifecycle (cold, ITERS=1) tier's membership rule — ANCHORED:
+    * a name qualifies only when `_ingest_export` is a terminal
+    * segment or is followed by further `_`-separated variant
+    * segments, never by mere substring accident ("…_ingest_exporter"
+    * stays best-of-N). Keep this in sync with the SparkEntry
+    * `_ingest_export` query family.
+    */
+  private val lifecycleRe = "q_[a-z0-9_]*_ingest_export(_[a-z0-9]+)*".r
+
   private def loadBaseline(): Map[String, Double] = {
     val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "tools/baseline_sf01.json")
     val p = Paths.get(path)
@@ -180,7 +189,12 @@ object Bench {
       // cost is job count, not dataflow — it does not jitter the way
       // sub-second queries do, and at ~55% of total suite time a
       // best-of-N re-run buys nothing but wall clock. One iteration.
-      val qIters = if (name.contains("_ingest_export")) 1 else iters
+      // Membership is ANCHORED (ADVICE r17: a bare substring match
+      // would silently demote any future name that merely contains
+      // it), and the per-query iteration count is recorded in the
+      // artifact's detail map so carried comparisons split the tiers
+      // mechanically instead of by prose.
+      val qIters = if (lifecycleRe.matches(name)) 1 else iters
       val times = (1 to qIters).map { i =>
         spark.catalog.clearCache()
         graft.operators.Dedup.unpersistAll() // drain the tracked-cache queue too
@@ -205,19 +219,19 @@ object Bench {
       }
       // a failed query must read as a failure, not a fast success
       (name, if (failed) -1.0 else times.min, if (failed) -1.0 else times.max - times.min,
-        shuffleBytes, nExchanges)
+        shuffleBytes, nExchanges, qIters)
     }
     // millisecond precision: the driver stores only the tail of stdout
     // (~2 KB) and BENCH_r04.json shows the full-precision 65-query line
     // overflowed it mid-line ("parsed": null) — 3 decimals keeps the
     // whole line inside the capture window
     def fmt(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val spread =
       if (!emitSpread) ""
-      else results.map { case (k, _, s, _, _) => "\"" + k + "\":" + fmt(s) }
+      else results.map { case (k, _, s, _, _, _) => "\"" + k + "\":" + fmt(s) }
         .mkString(""","spread":{""", ",", "}") + s""","iters":$iters"""
     // the total is ALSO repeated as the line's last key: the driver
     // keeps only the tail of stdout, and at 100 queries the line's
@@ -230,12 +244,12 @@ object Bench {
     // ---- structural detail + optional flag adjudication (file only:
     // the stdout line stays byte-shaped like r9 for the driver's tail
     // capture; the artifact file carries the rich record) ----
-    val detail = results.map { case (k, sec, _, sb, ne) =>
-      s""""$k":{"sec":${fmt(sec)},"shuffle_bytes":$sb,"n_exchanges":$ne}"""
+    val detail = results.map { case (k, sec, _, sb, ne, qi) =>
+      s""""$k":{"sec":${fmt(sec)},"shuffle_bytes":$sb,"n_exchanges":$ne,"iters":$qi}"""
     }.mkString(""""detail":{""", ",", "}")
     val baseline = if (sfDir.contains("sf0.1")) loadBaseline() else Map.empty[String, Double]
     val flagged = results.collect {
-      case (k, sec, _, _, _) if sec > 0 && baseline.get(k).exists(b => sec > 2 * b) => k
+      case (k, sec, _, _, _, _) if sec > 0 && baseline.get(k).exists(b => sec > 2 * b) => k
     }
     val recheck =
       if (!sys.env.get("SPARK_GRAFT_BENCH_RECHECK").contains("1") || flagged.isEmpty) ""
@@ -278,12 +292,12 @@ object Bench {
         exchanges.map { case (k, ne) => k -> ((shuffles.getOrElse(k, -1L), ne)) }
       }.getOrElse(Map.empty[String, (Long, Int)])
     val exchangeRegressions = results.collect {
-      case (k, _, _, _, ne)
+      case (k, _, _, _, ne, _)
           if ne >= 0 && prevDetail.get(k).exists { case (_, pe) => pe >= 0 && ne > pe } =>
         s""""$k":{"prev":${prevDetail(k)._2},"now":$ne}"""
     }
     val shuffleRegressions = results.collect {
-      case (k, _, _, sb, ne)
+      case (k, _, _, sb, ne, _)
           if prevDetail.get(k).exists { case (psb, pe) =>
             pe >= 0 && ne >= 0 && ne <= pe && shuffleBytesRegressed(sb, psb)
           } =>

@@ -1548,6 +1548,40 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    "q_embed_ann_ivfpq_refit_trigger" -> ((s, dir) => {
+      // the refit REACHED THROUGH ITS EVIDENCE TRIGGER (r17 verdict:
+      // the verb existed, the cadence was manual): codebooks
+      // deliberately OVERFIT to the base third (seedMod=1 — every
+      // base vector is its own codeword, so the generation's
+      // quantization-error baseline is exactly zero), then the other
+      // two thirds arrive through the closed-loop maintain verb.
+      // Their nonzero error over a zero baseline is an infinite
+      // ratio: refitReport MUST fire (materiality is 2/3 of the
+      // corpus), the verb runs refitWrittenPqCodebooks on the live
+      // corpus at seedMod 20, and the swapped layout probes exactly
+      // like the refit oracle's one-shot (coarse geometry frozen on
+      // the base, codebooks fit on the full corpus). skewFactor is
+      // pinned out of reach so the spec-isolated REFIT arm, not the
+      // re-cluster, is what the oracle certifies.
+      val e = Tables.embeddings(s, dir)
+      val stateDir = freshStateDir("graft_ivfpq_refit_trig_")
+      val base = e.filter(col("vec_id") % 3 === 0)
+      val rest = e.filter(col("vec_id") % 3 =!= 0)
+      val cb0 = SimilaritySearch.pqFit(base, m = 16, seedMod = 1)
+      SimilaritySearch.writeIvfPqIndex(
+        SimilaritySearch.buildIndex(base, centroidMod = 50),
+        cb0, SimilaritySearch.pqEncode(base, cb0), stateDir)
+      val action = SimilaritySearch.appendAndMaintainWrittenIvfPqIndex(
+        s, stateDir, rest, corpusVectors = e,
+        maxFilesPerList = 1000, skewFactor = 1e9,
+        centroidMod = 50, refitSeedMod = 20)
+      require(action == SimilaritySearch.Refitted,
+        s"the zero-baseline fixture must trip the refit trigger, got $action")
+      SimilaritySearch.ivfPqProbeWritten(
+          s, stateDir, e.filter(col("vec_id") % 97 === 0))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- text analysis ----
     "q_text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenStats(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -2950,7 +2984,13 @@ object ExtensionQueries {
           Dedup.unpersistAll()
           val batch = corpus.filter(pmod(col("doc_id"), lit(3)) === b)
           val shipped = graft.pipelines.TrainingExport.runIngest(
-            batch, bench, cfg, p, buckets = 8, embeddings = emb)
+            batch, bench, cfg, p, buckets = 8, embeddings = emb,
+            // the DuckDB twin models FROZEN batch-0 geometry — pin
+            // that assumption (ADVICE r17) instead of relying on the
+            // maintenance triggers never firing on this fixture
+            onSemanticMaintenance = a => require(
+              a == graft.operators.SimilaritySearch.NoMaintenance,
+              s"frozen-geometry fixture saw a maintenance action: $a"))
           out = if (out == null) shipped else out.unionByName(shipped)
         }
       } finally {
@@ -3005,7 +3045,13 @@ object ExtensionQueries {
           val batch = corpus.filter(pmod(col("doc_id"), lit(3)) === b)
           val shipped = graft.pipelines.TrainingExport.runIngest(
             batch, bench, cfg, p, buckets = 8, embeddings = emb,
-            semPqSeedMod = 5, semMinCosPpm = 920000L)
+            semPqSeedMod = 5, semMinCosPpm = 920000L,
+            // same pin as the float twin: the oracle's geometry (and
+            // CODEBOOKS) are batch-0-frozen; a fired re-cluster or
+            // refit must fail loudly here, not diverge silently
+            onSemanticMaintenance = a => require(
+              a == graft.operators.SimilaritySearch.NoMaintenance,
+              s"frozen-geometry fixture saw a maintenance action: $a"))
           out = if (out == null) shipped else out.unionByName(shipped)
         }
       } finally {
@@ -5722,6 +5768,14 @@ object ExtensionQueries {
       ivfPqOracleSql(
         m = 16, seedMod = 20, k = 5, nprobe = 2,
         coarseBuildWhere = "vec_id % 3 <> 0"),
+    "q_embed_ann_ivfpq_refit_trigger" ->
+      // the trigger path lands on the SAME one-shot semantics, just
+      // reached by evidence instead of by hand: coarse geometry
+      // frozen on the base THIRD (the trigger fixture inverts the
+      // refit query's split), refit codebooks over the full corpus
+      ivfPqOracleSql(
+        m = 16, seedMod = 20, k = 5, nprobe = 2,
+        coarseBuildWhere = "vec_id % 3 = 0"),
 
     // takedown semantics ARE the oracle's corpus exclusion: both the
     // tombstone-masked and the post-compaction probe must equal the

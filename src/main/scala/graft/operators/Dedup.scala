@@ -2500,10 +2500,20 @@ object Dedup {
     * the arrival orientation the ingest stage needs: the corpus side
     * is always the no-later arrival.
     *
-    * Scale shape: one broadcast coarse-assign pass over the batch,
-    * one codes-reconstruction join against the broadcast codebooks,
-    * pairs generated by the same cid equi-join as the float verb —
-    * no corpus float vectors anywhere in the plan.
+    * Scale shape (r17 verdict's O(corpus) finding, fixed): one
+    * broadcast coarse-assign pass over the batch, then EVERYTHING
+    * corpus-side is pruned to the lists the batch actually touches —
+    * code rows carry `cid` as a partition column (stamped at encode
+    * time), so the reconstruction's posexplode/groupBy fan-out runs
+    * over Σ|touched lists| rows
+    * ([[SimilaritySearch.reconstructWrittenCodesForCids]]), and the
+    * assignment scan partition-prunes to the same lists. The probe's
+    * corpus cost is the SemDeDup contract — co-assigned mass only —
+    * however large the full corpus grows (ProbePqProbeScale measures
+    * the reconstruction input rows staying flat while the corpus
+    * grows; SCALE.md). The touched-cid set is driver-resident by the
+    * driftReport argument: bounded by nLists ≈ sqrt(corpus). No
+    * corpus float vectors anywhere in the plan.
     */
   def semanticDedupAgainstPqIndex(
       newEmb: DataFrame,
@@ -2513,16 +2523,24 @@ object Dedup {
       idCol: String = "vec_id"): DataFrame = {
     graft.functions.VecDot.register(spark)
     val coarse = SimilaritySearch.readIndex(spark, dir)
-    val corpusA = coarse.assignments.select(
-      col("cand_id").as("corpus_id"), col("cid"))
+    // persisted: the assign pass feeds both the touched-list collect
+    // and the pair join — one broadcast pass over the batch, not two
+    val newA = persistTracked(
+      SimilaritySearch.assignVectors(coarse.centroids, newEmb, idCol).select(
+        col("cand_id").as("new_id"), col("cid"),
+        col("cand_emb").as("ne"), col("cnorm").as("nn")))
+    val touched = newA.select(col("cid").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val corpusA = coarse.assignments
+      .filter(
+        if (touched.isEmpty) lit(false)
+        else col("cid").cast("long").isin(touched: _*))
+      .select(col("cand_id").as("corpus_id"), col("cid"))
       .join(
-        SimilaritySearch.reconstructWrittenCodes(spark, dir)
+        SimilaritySearch.reconstructWrittenCodesForCids(spark, dir, touched)
           .select(col("cand_id").as("corpus_id"), col("recon").as("ce")),
         Seq("corpus_id"))
       .withColumn("cn", expr(s"sqrt(${VectorExprs.dotSpark("ce", "ce")})"))
-    val newA = SimilaritySearch.assignVectors(coarse.centroids, newEmb, idCol).select(
-      col("cand_id").as("new_id"), col("cid"),
-      col("cand_emb").as("ne"), col("cnorm").as("nn"))
     newA.join(corpusA, "cid")
       // a direction the frozen codebooks never saw reconstructs to
       // the zero vector — its cosine is undefined and it can claim

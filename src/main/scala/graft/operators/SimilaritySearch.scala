@@ -332,7 +332,7 @@ object SimilaritySearch {
   /** One nearest-centroid assignment pass — the shared kernel of the
     * build, in-memory append, and written-layout append paths.
     */
-  private[operators] def assignVectors(
+  private[graft] def assignVectors(
       centroids: DataFrame, vectors: DataFrame, idCol: String): DataFrame = {
     graft.functions.VecDot.register(vectors.sparkSession)
     val byDist = Window.partitionBy("vid").orderBy(col("d"), col("cid"))
@@ -771,8 +771,18 @@ object SimilaritySearch {
     idx.assignments.select("cand_id", "cid").repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/assignments_next")
     pqCodesWide(pqEncode(corpus, cb, "vec_id"), "vec_id")
-      .repartition(sizedCodeFiles(spark, s"$dir/codes"))
-      .write.mode("overwrite").parquet(s"$dir/codes_next")
+      .join(
+        idx.assignments.select(col("cand_id"), col("cid").cast("long")),
+        Seq("cand_id"))
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/codes_next")
+    // the appended mass folds into the next generation, so its
+    // quantization-error baseline restamps too (codebooks are frozen
+    // here, but the EVIDENCE window — appended-vs-baseline — resets
+    // exactly like the drift manifest's)
+    writeQerrStats(
+      spark, s"${qerrBaselinePath(dir)}_next",
+      pqQuantErrStats(corpus, cb, "vec_id"))
     // the commit point — identical discipline to the plain verb: after
     // the marker lands the three-table swap WILL happen (here or in a
     // later recover); before it, a crash discards the _next generation
@@ -795,11 +805,13 @@ object SimilaritySearch {
       spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // "codes"/"codebooks" participate only for combined IVFADC
-    // layouts (reclusterWrittenIvfPqIndex materializes codes_next;
-    // refitWrittenPqCodebooks adds codebooks_next); on a plain IVF
-    // dir those entries are no-ops — dirExists gates each move
-    val tables = Seq("assignments", "centroids", "codes", "codebooks")
+    // "codes"/"codebooks"/"qerr_baseline" participate only for
+    // combined IVFADC layouts (reclusterWrittenIvfPqIndex materializes
+    // codes_next; refitWrittenPqCodebooks adds codebooks_next; both
+    // restamp qerr_baseline_next); on a plain IVF dir those entries
+    // are no-ops — dirExists gates each move
+    val tables =
+      Seq("assignments", "centroids", "codes", "codebooks", "qerr_baseline")
     if (dirExists(spark, reclusterMarker(dir))) {
       tables.foreach { t =>
         val next = s"$dir/${t}_next"
@@ -833,6 +845,11 @@ object SimilaritySearch {
         }
       }
       deleteDir(spark, s"$dir/tombstones")
+      // the appended quantization-error ledger measured mass the
+      // promoted generation just folded into its restamped baseline —
+      // clear it with the tombstones (no-op when the generation
+      // didn't carry qerr tables)
+      deleteDir(spark, s"$dir/qerr_appended")
       // stamp the promoted generation BEFORE dropping the marker: a
       // crash in between re-enters this branch (next dirs gone → the
       // already-swapped path) and re-stamps, so the manifest can never
@@ -885,24 +902,31 @@ object SimilaritySearch {
     // over the split tail of input_file_name). Pre-manifest layouts:
     // oldest file per list dir = the baseline generation, strictly
     // newer = appended.
+    def mtimeHeuristic: Seq[String] =
+      rows.inputFiles
+        .map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          (p.getParent.toUri.getPath, p.getName,
+            p.getFileSystem(conf).getFileStatus(p).getModificationTime)
+        }
+        .groupBy(_._1)
+        .values.flatMap { files =>
+          val oldest = files.map(_._3).min
+          files.filter(_._3 > oldest).map(_._2)
+        }
+        .toSeq
+    val names = rows.inputFiles
+      .map(f => new org.apache.hadoop.fs.Path(f).getName).toSeq
     val appended = readBaselineManifest(spark, dir) match {
-      case Some(baseline) =>
-        rows.inputFiles
-          .map(f => new org.apache.hadoop.fs.Path(f).getName)
-          .filterNot(baseline).toSeq
-      case None =>
-        rows.inputFiles
-          .map { f =>
-            val p = new org.apache.hadoop.fs.Path(f)
-            (p.getParent.toUri.getPath, p.getName,
-              p.getFileSystem(conf).getFileStatus(p).getModificationTime)
-          }
-          .groupBy(_._1)
-          .values.flatMap { files =>
-            val oldest = files.map(_._3).min
-            files.filter(_._3 > oldest).map(_._2)
-          }
-          .toSeq
+      // a manifest naming NONE of the current files is STALE, not a
+      // claim that everything is appended: a crash between the
+      // compaction swap and the manifest re-stamp leaves exactly this
+      // state, and classifying 100% of the mass as appended would
+      // spuriously trip an O(corpus) re-cluster (ADVICE r17) — fall
+      // back to the mtime heuristic, the pre-manifest behavior
+      case Some(baseline) if names.exists(baseline.contains) =>
+        names.filterNot(baseline)
+      case _ => mtimeHeuristic
     }
     val app =
       if (appended.isEmpty) lit(false)
@@ -953,6 +977,132 @@ object SimilaritySearch {
       recluster = share >= minAppendedShare && skew >= skewFactor)
   }
 
+  // ---------- codebook-refit evidence (the quantization-error split) ----------
+
+  private def qerrBaselinePath(dir: String): String = s"$dir/qerr_baseline"
+  private def qerrAppendedPath(dir: String): String = s"$dir/qerr_appended"
+
+  /** Quantization-error mass of `vecs` under `cb` in fixed-point ppm:
+    * a vector's error is the sum over its m subspaces of the L2²
+    * distance to the NEAREST sub-centroid — exactly the residual PQ
+    * encoding throws away, so its growth on appended mass is the
+    * direct evidence the frozen codebooks no longer fit the
+    * distribution (the codebook sibling of [[driftEvidence]]'s
+    * assignment-mass skew). Per-subspace errors floor to ppm longs
+    * before summing, so the stat is associative-deterministic. One
+    * broadcast-codebook pass over `vecs`; returns (nVectors, sumPpm).
+    */
+  private def pqQuantErrStats(
+      vecs: DataFrame, cb: PqCodebooks, idCol: String): (Long, Long) = {
+    graft.functions.VecDot.register(vecs.sparkSession)
+    val byDist = Window.partitionBy("vid", "s").orderBy(col("d"), col("cid"))
+    val row = pqSubVecs(vecs, cb.m, cb.subDim, idCol)
+      .join(broadcast(cb.centroids), Seq("s"))
+      .withColumn("d", expr(l2sqSpark("sv", "c")))
+      .withColumn("rn", row_number().over(byDist))
+      .filter(col("rn") === 1)
+      .agg(
+        count(lit(1)).as("n_sub"),
+        coalesce(
+          sum(floor(lit(1000000.0) * col("d")).cast("long")), lit(0L)).as("s"))
+      .head()
+    (row.getLong(0) / cb.m, row.getLong(1))
+  }
+
+  private def writeQerrStats(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      stats: (Long, Long)): Unit = {
+    import spark.implicits._
+    Seq(stats).toDF("n_vectors", "sum_err_ppm")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Summed read (not head()) so the appended ledger's one-row-per-
+    * ingest accumulation and the one-row baseline share a reader.
+    */
+  private def readQerrStats(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[(Long, Long)] =
+    if (!dirExists(spark, path)) None
+    else {
+      val row = spark.read.parquet(path)
+        .agg(
+          coalesce(sum("n_vectors"), lit(0L)),
+          coalesce(sum("sum_err_ppm"), lit(0L)))
+        .head()
+      Some((row.getLong(0), row.getLong(1)))
+    }
+
+  private def appendQerrEvidence(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      stats: (Long, Long)): Unit = {
+    import spark.implicits._
+    Seq(stats).toDF("n_vectors", "sum_err_ppm")
+      .coalesce(1).write.mode("append").parquet(qerrAppendedPath(dir))
+    // one tiny row-file lands per ingest — fold the ledger down on a
+    // file-count cadence so a long loop doesn't accumulate thousands
+    if (spark.read.parquet(qerrAppendedPath(dir)).inputFiles.length > 64) {
+      val all = readQerrStats(spark, qerrAppendedPath(dir)).get
+      val tmp = s"${qerrAppendedPath(dir)}_compact_tmp"
+      Seq(all).toDF("n_vectors", "sum_err_ppm")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      swapDirs(spark, qerrAppendedPath(dir), tmp)
+    }
+  }
+
+  /** The codebook-refit trigger's evidence summary — `errRatio` is
+    * appended mean quantization error over baseline mean (1 ≈ the
+    * appends quantize like the corpus the codebooks were fit on;
+    * large = the distribution moved somewhere the frozen codebooks
+    * never shaped and every new vector pays reconstruction error the
+    * fit could remove). Fires when the appended mass is MATERIAL
+    * (`minAppendedShare`) and its error is `errFactor`× the baseline
+    * — a noisy trickle or a well-quantized flood both keep appending.
+    */
+  final case class RefitReport(
+      baselineN: Long,
+      baselineMeanErrPpm: Double,
+      appendedN: Long,
+      appendedMeanErrPpm: Double,
+      appendedShare: Double,
+      errRatio: Double,
+      refit: Boolean)
+
+  /** Evaluate the refit trigger from the layout's persisted
+    * quantization-error split: `qerr_baseline` (stamped by every
+    * full-generation write — build with embeddings in hand,
+    * re-cluster, refit) vs `qerr_appended` (one row per
+    * [[appendAndMaintainWrittenIvfPqIndex]] ingest). Layouts written
+    * before the ledger existed, or built from slimmed assignments,
+    * have no baseline — the trigger stays silent (never fires) until
+    * the first re-cluster/refit restamps it, the same grandfathering
+    * as the drift manifest's mtime fallback.
+    */
+  def refitReport(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      minAppendedShare: Double = 0.05,
+      errFactor: Double = 2.0): RefitReport = {
+    val base = readQerrStats(spark, qerrBaselinePath(dir))
+    val app = readQerrStats(spark, qerrAppendedPath(dir))
+    val (bn, bs) = base.getOrElse((0L, 0L))
+    val (an, asum) = app.getOrElse((0L, 0L))
+    val bm = if (bn > 0) bs.toDouble / bn else 0.0
+    val am = if (an > 0) asum.toDouble / an else 0.0
+    val share = if (bn + an > 0) an.toDouble / (bn + an) else 0.0
+    val ratio =
+      if (bn == 0L || an == 0L) 0.0
+      else if (bm > 0) am / bm
+      else if (am > 0) Double.PositiveInfinity
+      else 1.0
+    RefitReport(
+      bn, bm, an, am, share, ratio,
+      // errFactor = Double.PositiveInfinity is the documented OPT-OUT
+      // (a zero-error baseline makes any appended error an infinite
+      // ratio, so a plain >= could never be disabled)
+      refit = bn > 0 && an > 0 && !errFactor.isInfinite &&
+        share >= minAppendedShare && ratio >= errFactor)
+  }
+
   /** [[appendToWrittenIndex]] plus automatic compaction cadence —
     * the written-index twin of [[Dedup.appendAndMaybeCompact]]: when
     * the append pushes any list directory past `maxFilesPerList`
@@ -966,6 +1116,7 @@ object SimilaritySearch {
   case object NoMaintenance extends MaintenanceAction
   case object Compacted extends MaintenanceAction
   case object Reclustered extends MaintenanceAction
+  case object Refitted extends MaintenanceAction
 
   /** The CLOSED-LOOP ingest verb — r15 verdict task #4's last step:
     * [[driftEvidence]] made the re-cluster trigger computable, this
@@ -1659,14 +1810,52 @@ object SimilaritySearch {
     * IVF assignments carry full embeddings; codes + frozen codebooks
     * carry ~m bytes a vector), and the probe side of
     * [[graft.operators.Dedup.semanticDedupAgainstPqIndex]] scores
-    * cosine against exactly this reconstruction. One broadcast join
-    * against the (driver-capped) codebooks + one per-vector collect_
-    * list — no corpus-width shuffle beyond the codes scan's own.
+    * cosine against exactly this reconstruction.
+    *
+    * COST SHAPE — this is the FULL-CORPUS decode: the posexplode
+    * fans every live vector into m rows and the per-vector
+    * `collect_list` groupBy IS a corpus-width shuffle (m×N rows at
+    * full float width). That is the right verb for a one-shot
+    * whole-layout export; an ingest-cadence probe must NOT call it —
+    * use [[reconstructWrittenCodesForCids]], which prunes the codes
+    * scan to the lists the batch actually touches before any of
+    * that fan-out runs (the r17 verdict's O(corpus)-per-batch
+    * finding).
     */
   def reconstructWrittenCodes(
-      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val cb = readPqCodebooks(spark, dir)
-    readPqCodesWide(spark, dir)
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    reconstructCodes(readPqCodebooks(spark, dir), readPqCodesWide(spark, dir))
+
+  /** [[reconstructWrittenCodes]] restricted to the named coarse
+    * lists — the ingest-cadence decode: `cid` is a PARTITION column
+    * on the combined layout's code rows (stamped at encode time from
+    * the coarse assignment), so the `isin` filter prunes unvisited
+    * list directories at the scan and the posexplode/groupBy fan-out
+    * downstream of it runs over Σ|touched lists| rows, not the
+    * corpus. `cids` is driver-resident by the same argument as
+    * [[driftReport]]'s evidence: it is bounded by nLists, which the
+    * [[buildIndex]] sizing rule keeps ≈ sqrt(corpus).
+    *
+    * Fails fast on a pre-cid (flat) codes layout — run
+    * [[migrateWrittenPqCodesCid]] once.
+    */
+  def reconstructWrittenCodesForCids(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      cids: Seq[Long]): DataFrame = {
+    val wide = readPqCodesWide(spark, dir)
+    require(wide.columns.contains("cid"),
+      s"combined IVFADC layout '$dir' carries FLAT code rows — the pruned " +
+        "reconstruction needs the cid-partitioned codes layout; run " +
+        "migrateWrittenPqCodesCid(spark, dir) once to rewrite it")
+    reconstructCodes(
+      readPqCodebooks(spark, dir),
+      if (cids.isEmpty) wide.filter(lit(false))
+      else wide.filter(col("cid").cast("long").isin(cids: _*)))
+  }
+
+  private def reconstructCodes(
+      cb: PqCodebooks, wideCodes: DataFrame): DataFrame =
+    wideCodes
       .select(col("cand_id"), posexplode(col("codes")).as(Seq("s", "code")))
       .join(
         broadcast(cb.centroids.withColumnRenamed("cid", "code")),
@@ -1675,7 +1864,6 @@ object SimilaritySearch {
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("s"), col("c")))),
         e => e("c"))).as("recon"))
-  }
 
   /** Encode NEW vectors against a written layout's (frozen) codebooks
     * and append their wide code rows — the PQ twin of
@@ -1691,6 +1879,13 @@ object SimilaritySearch {
       newVectors: DataFrame, idCol: String = "vec_id",
       appendTasks: Int = 1): Unit = {
     require(appendTasks >= 1, "appendTasks must be >= 1")
+    // a combined IVFADC dir keeps its codes cid-PARTITIONED; a flat
+    // append here would mix layouts and break partition discovery —
+    // the combined layout appends via appendToWrittenIvfPqIndex,
+    // which carries the coarse assignment onto the code rows
+    require(!dirExists(spark, s"$dir/assignments"),
+      s"'$dir' is a combined IVFADC layout (codes are cid-partitioned) — " +
+        "append via appendToWrittenIvfPqIndex, not the flat-codes verb")
     val cb = readPqCodebooks(spark, dir)
     pqCodesWide(pqEncode(newVectors, cb, idCol), idCol)
       .repartition(appendTasks)
@@ -1761,9 +1956,18 @@ object SimilaritySearch {
     // raw read + the anti-JOIN mask (not readPqCodesWide, whose probe
     // -path mask rides the capped driver collect — see
     // [[antiTombstonesJoin]] for why a rewrite must not)
-    antiTombstonesJoin(spark, spark.read.parquet(cur), dir)
-      .repartition(targetFiles)
-      .write.mode("overwrite").parquet(tmp)
+    val raw = spark.read.parquet(cur)
+    val live = antiTombstonesJoin(spark, raw, dir)
+    // a combined layout's codes are cid-PARTITIONED (the pruning
+    // structure the probe depends on) — the rewrite preserves it,
+    // one file per list like the assignments compaction; flat plain-
+    // PQ codes keep the size-derived file count
+    if (raw.columns.contains("cid"))
+      live.withColumn("cid", col("cid").cast("long"))
+        .repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(tmp)
+    else
+      live.repartition(targetFiles).write.mode("overwrite").parquet(tmp)
     swapDirs(spark, cur, tmp)
   }
 
@@ -1810,15 +2014,42 @@ object SimilaritySearch {
     * [[writeIndex]] layout SLIMMED to `(cand_id, cid)` (the PQ codes
     * carry the payload, so the `cid`-partitioned assignment table
     * stores two longs per vector — pure pruning structure), plus the
-    * [[writePqIndex]] tables, all under one `dir`.
+    * PQ meta/codebooks tables and the codes — PARTITIONED BY `cid`
+    * like the assignments (r17 verdict: the cid is known at encode
+    * time from the coarse assignment, and carrying it on code rows is
+    * what lets a probe reconstruct only the lists a batch touches
+    * instead of the whole corpus — [[reconstructWrittenCodesForCids]]).
+    * All under one `dir`. When `index.assignments` still carries the
+    * raw embeddings (a fresh [[buildIndex]] output), the build's
+    * quantization-error baseline is stamped too ([[refitReport]]'s
+    * evidence); slimmed assignments skip the stamp — the refit
+    * trigger then stays silent until the first re-cluster/refit
+    * restamps it.
     */
   def writeIvfPqIndex(
       index: IvfIndex, cb: PqCodebooks, codes: DataFrame, dir: String,
       idCol: String = "vec_id"): Unit = {
+    val spark = cb.centroids.sparkSession
+    import spark.implicits._
     writeIndex(
       IvfIndex(index.centroids, index.assignments.select("cand_id", "cid")),
       dir)
-    writePqIndex(cb, codes, dir, idCol)
+    Seq((cb.m, cb.subDim)).toDF("m", "sub_dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    cb.centroids.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    pqCodesWide(codes, idCol)
+      .join(
+        index.assignments.select(col("cand_id"), col("cid").cast("long")),
+        Seq("cand_id"))
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/codes")
+    if (index.assignments.columns.contains("cand_emb"))
+      writeQerrStats(
+        spark, qerrBaselinePath(dir),
+        pqQuantErrStats(
+          index.assignments.select(
+            col("cand_id").as(idCol), col("cand_emb").as("embedding")),
+          cb, idCol))
   }
 
   /** Assign + encode a NEW batch against a written IVFADC layout's
@@ -1829,14 +2060,77 @@ object SimilaritySearch {
       spark: org.apache.spark.sql.SparkSession, dir: String,
       newVectors: DataFrame, idCol: String = "vec_id",
       appendTasks: Int = 1): Unit = {
+    require(appendTasks >= 1, "appendTasks must be >= 1")
     // finish any committed re-cluster first (ADVICE r15 — same
     // contract as the plain-layout append)
     recoverWrittenIndex(spark, dir)
-    assignVectors(spark.read.parquet(s"$dir/centroids"), newVectors, idCol)
-      .select("cand_id", "cid")
+    requireCidCodes(spark, dir, "appendToWrittenIvfPqIndex")
+    // ONE assignment pass feeds both state tables: the assignments
+    // append and the cid each code row carries (checkpointed so the
+    // broadcast-centroid pass over the batch runs once, not twice)
+    val assigned = assignVectors(
+      spark.read.parquet(s"$dir/centroids"), newVectors, idCol)
+      .select(col("cand_id"), col("cid").cast("long"))
+      .localCheckpoint(true)
+    assigned
       .repartition(col("cid"))
       .write.mode("append").partitionBy("cid").parquet(s"$dir/assignments")
-    appendToWrittenPqIndex(spark, dir, newVectors, idCol, appendTasks)
+    val cb = readPqCodebooks(spark, dir)
+    pqCodesWide(pqEncode(newVectors, cb, idCol), idCol)
+      .join(assigned, Seq("cand_id"))
+      // cid rides the hash partitioning so every touched list gets at
+      // most `appendTasks` new files per ingest (1 by default — the
+      // assignments append's own fan-out discipline)
+      .repartition(appendTasks, col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(s"$dir/codes")
+  }
+
+  /** Fail fast when a combined layout's codes table predates the
+    * cid-partitioned layout (r17 verdict: flat code rows cannot be
+    * pruned to the lists a batch touches) — the remedy is a one-time
+    * [[migrateWrittenPqCodesCid]] rewrite.
+    */
+  private def requireCidCodes(
+      spark: org.apache.spark.sql.SparkSession, dir: String, verb: String): Unit =
+    require(
+      spark.read.parquet(s"$dir/codes").columns.contains("cid"),
+      s"combined IVFADC layout '$dir' carries FLAT code rows (no cid " +
+        s"partition column) — $verb requires the cid-partitioned codes " +
+        "layout so probes can prune to the touched lists; run " +
+        "migrateWrittenPqCodesCid(spark, dir) once to rewrite it")
+
+  /** One-time migration of a pre-cid combined layout: join each code
+    * row to its coarse assignment (every encoded vector has exactly
+    * one) and rewrite the codes table partitioned by `cid` — tmp
+    * write + atomic swap, the compaction discipline. Idempotent;
+    * fails fast on a plain PQ layout (no assignments to source the
+    * cid from — flat codes are that layout's DESIGN: the ADC probe
+    * full-scans by contract).
+    */
+  def migrateWrittenPqCodesCid(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    require(dirExists(spark, s"$dir/assignments"),
+      s"'$dir' is a plain PQ layout — flat codes are its design (full-scan " +
+        "ADC probe); only combined IVFADC layouts carry cid on code rows")
+    recoverWrittenIndex(spark, dir)
+    val codes = spark.read.parquet(s"$dir/codes")
+    if (codes.columns.contains("cid")) return
+    val joined = codes.join(
+      spark.read.parquet(s"$dir/assignments")
+        .select(col("cand_id"), col("cid").cast("long")),
+      Seq("cand_id"))
+    // an orphaned code row (no assignment) would silently vanish in
+    // the inner join — the unrecoverable outcome; count both sides
+    val nCodes = codes.count()
+    val nJoined = joined.count()
+    require(nJoined == nCodes,
+      s"migrateWrittenPqCodesCid: $nCodes code rows but only $nJoined have a " +
+        "coarse assignment — the layout is inconsistent; repair assignments " +
+        "before migrating")
+    val tmp = s"$dir/codes_migrate_tmp"
+    joined.repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(tmp)
+    swapDirs(spark, s"$dir/codes", tmp)
   }
 
   /** Compact BOTH IVFADC state tables, then clear tombstones once —
@@ -1873,12 +2167,22 @@ object SimilaritySearch {
     * (codes fragmentation tracks assignments 1:1 — every append
     * writes both), else nothing.
     *
-    * `corpusVectors` is BY-NAME and only evaluated when the
-    * re-cluster actually fires: codes are lossy, so unlike the plain
-    * verb the layout cannot reconstruct its training input — the
-    * caller names the corpus table and pays for reading it only on
-    * the (rare, O(corpus) anyway) re-cluster path. Same evidence
-    * thresholds and [[MaintenanceAction]] contract as the plain verb.
+    * `corpusVectors` is BY-NAME and only evaluated when an O(corpus)
+    * verb actually fires: codes are lossy, so unlike the plain verb
+    * the layout cannot reconstruct its training input — the caller
+    * names the corpus table and pays for reading it only on the
+    * (rare) re-cluster/refit path. Same evidence thresholds and
+    * [[MaintenanceAction]] contract as the plain verb, plus the
+    * CODEBOOK arm (r17 verdict task: the refit verb existed but had
+    * no trigger): each ingest stamps the batch's quantization error
+    * into the layout's `qerr_appended` ledger, and when
+    * [[refitReport]] trips — appended mass material AND quantizing
+    * `refitErrFactor`× worse than the generation's `qerr_baseline` —
+    * the verb runs [[refitWrittenPqCodebooks]] (checked after the
+    * re-cluster trigger: list-mass skew is the frequent drift mode
+    * and its roll-forward folds the qerr window too; the refit arm
+    * catches the shifts list mass is blind to — a radial scale lands
+    * in the same lists but quantizes badly).
     */
   /** REFIT the PQ CODEBOOKS of a written IVFADC layout — the SLOWER
     * half of the faiss maintenance split, now an operator like its
@@ -1925,15 +2229,34 @@ object SimilaritySearch {
     val lv = Dedup.persistTracked(
       vecs.join(liveAssign.select("cand_id"), Seq("cand_id"))
         .select(col("cand_id").as(idCol), col("embedding")))
+    // the left_anti above only catches MISSING ids — a duplicated id
+    // in `vectors` would slip through and double-weight pqFit's Lloyd
+    // means (silently skewed codebooks); the sibling re-cluster's
+    // count-equality check rejects both failure modes (ADVICE r17)
+    val nLive = liveAssign.select("cand_id").distinct().count()
+    val nCorpus = lv.count()
+    require(nCorpus == nLive,
+      s"refitWrittenPqCodebooks: the layout holds $nLive live vector ids but " +
+        s"`vectors` joined to $nCorpus rows — duplicate ids in the supplied " +
+        "frame would double-weight the codebook fit; deduplicate it first")
     val cb2 = pqFit(lv, m = m, seedMod = seedMod, idCol = idCol)
     cb2.centroids.coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/codebooks_next")
     pqCodesWide(pqEncode(lv, cb2, idCol), idCol)
-      .repartition(sizedCodeFiles(spark, s"$dir/codes"))
-      .write.mode("overwrite").parquet(s"$dir/codes_next")
+      .join(
+        liveAssign.select(col("cand_id"), col("cid").cast("long")),
+        Seq("cand_id"))
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/codes_next")
     liveAssign.select("cand_id", "cid")
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/assignments_next")
+    // the refit codebooks define a NEW error baseline over the live
+    // corpus — restamped under the same marker so [[refitReport]]'s
+    // evidence window resets exactly when the generation swaps
+    writeQerrStats(
+      spark, s"${qerrBaselinePath(dir)}_next",
+      pqQuantErrStats(lv, cb2, idCol))
     val marker = new org.apache.hadoop.fs.Path(reclusterMarker(dir))
     marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .create(marker, true).close()
@@ -1947,21 +2270,46 @@ object SimilaritySearch {
       minAppendedShare: Double = 0.05, skewFactor: Double = 4.0,
       centroidMod: Int = 0, lloydIters: Int = 1,
       fitSampleMod: Option[Int] = None,
-      appendTasks: Int = 1): MaintenanceAction = {
+      appendTasks: Int = 1,
+      refitErrFactor: Double = 2.0,
+      refitSeedMod: Int = 50): MaintenanceAction = {
     require(maxFilesPerList >= 1, "maxFilesPerList must be >= 1")
     appendToWrittenIvfPqIndex(spark, dir, newVectors, idCol, appendTasks)
+    // record this batch's quantization error under the CURRENT
+    // codebooks — one broadcast pass over the batch, the evidence
+    // [[refitReport]] splits against the generation's baseline
+    appendQerrEvidence(
+      spark, dir,
+      pqQuantErrStats(newVectors, readPqCodebooks(spark, dir), idCol))
+    // decide on the faiss cadence split: RE-CLUSTER first (coarse
+    // list geometry drifts fastest — a skewed-and-material appended
+    // mass is the frequent failure, and its roll-forward folds ALL
+    // evidence windows, qerr included, into the restamped baseline);
+    // else REFIT (retrain codebooks + re-encode everything — the
+    // slower half) when the appended mass quantizes errFactor× worse
+    // than the mass the codebooks were fit on WITHOUT skewing the
+    // lists (the radial/scale shift a list-mass trigger is blind to);
+    // else COMPACT on fragmentation. Both O(corpus) verbs read
+    // `corpusVectors` (codes are lossy), evaluated only when one
+    // actually fires.
     val report = driftReport(spark, dir, minAppendedShare, skewFactor)
     if (report.recluster) {
       reclusterWrittenIvfPqIndex(
         spark, dir, corpusVectors, centroidMod, lloydIters, fitSampleMod, idCol)
       Reclustered
     } else {
-      val maxPerList = spark.read.parquet(s"$dir/assignments").inputFiles
-        .groupBy(f => f.substring(0, f.lastIndexOf('/')))
-        .values.map(_.length).maxOption.getOrElse(0)
-      if (maxPerList > maxFilesPerList) {
-        compactWrittenIvfPqIndex(spark, dir); Compacted
-      } else NoMaintenance
+      val rfit = refitReport(spark, dir, minAppendedShare, refitErrFactor)
+      if (rfit.refit) {
+        refitWrittenPqCodebooks(spark, dir, corpusVectors, refitSeedMod, idCol)
+        Refitted
+      } else {
+        val maxPerList = spark.read.parquet(s"$dir/assignments").inputFiles
+          .groupBy(f => f.substring(0, f.lastIndexOf('/')))
+          .values.map(_.length).maxOption.getOrElse(0)
+        if (maxPerList > maxFilesPerList) {
+          compactWrittenIvfPqIndex(spark, dir); Compacted
+        } else NoMaintenance
+      }
     }
   }
 
@@ -1981,15 +2329,29 @@ object SimilaritySearch {
     val cb = readPqCodebooks(spark, dir)
     val qLists = nearestLists(coarse.centroids, queries, nprobe, idCol)
       .select(col("vid").as("query_id"), col("cid"))
+      .localCheckpoint(true)
     val pairs = coarse.assignments.select(col("cand_id"), col("cid"))
       .join(broadcast(qLists), Seq("cid"))
       .select("query_id", "cand_id")
     // codes read RAW: the pair list is already tombstone-masked via
     // the assignment side and the codes join is inner on it, so a
     // second mask (= a second tombstone read + driver collect per
-    // probe) would only re-exclude rows that can't appear
+    // probe) would only re-exclude rows that can't appear. On the
+    // cid-partitioned layout the probed lists prune the codes SCAN
+    // too (a semantic no-op — the inner join on cand_id already
+    // restricts to those lists — but without it the scan reads every
+    // code row just to throw most away); the probed-cid set is
+    // driver-small by construction (≤ nprobe × |queries|).
+    val rawCodes = spark.read.parquet(s"$dir/codes")
+    val codes =
+      if (!rawCodes.columns.contains("cid")) rawCodes
+      else {
+        val qc = qLists.select(col("cid").cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        if (qc.isEmpty) rawCodes.filter(lit(false))
+        else rawCodes.filter(col("cid").cast("long").isin(qc: _*))
+      }
     adcScorePairs(
-      pairs, spark.read.parquet(s"$dir/codes"),
-      pqQueryTablesFor(queries, cb, idCol), cb.m, k)
+      pairs, codes, pqQueryTablesFor(queries, cb, idCol), cb.m, k)
   }
 }

@@ -303,12 +303,29 @@ object TextAnalysis {
     *
     * Scale shape: the token-hash frame materializes ONCE
     * (localCheckpoint — epochs must not re-tokenize the corpus);
-    * each epoch runs one codegen'd margin projection (no shuffle —
-    * weights ride in as a literal array, bounded 65536 like the
-    * scorer), one explode + groupBy(bucket) capped at B groups, and
-    * one ≤B-row driver collect (the bounded-small-side discipline).
-    * Labels: `labelCol` is read as boolean/0-1; docs with NULL labels
-    * fail fast rather than silently training as negatives.
+    * each epoch computes every doc's margin, then runs one explode +
+    * groupBy(bucket) capped at B groups and one ≤B-row driver
+    * collect (the bounded-small-side discipline). The margin itself
+    * has TWO plans, split at `literalMaxBuckets` (r17 verdict task
+    * #4 — ProbeFitScale measured the literal-array path at 4-5×
+    * per-epoch cost at B=65536, corpus-independent: pure plan/
+    * codegen size):
+    *
+    *   - B ≤ literalMaxBuckets: weights ride in as a literal array —
+    *     a shuffle-free codegen'd projection, the cheapest plan while
+    *     the array stays small;
+    *   - B > literalMaxBuckets: the nonzero weights broadcast as a
+    *     table, margins come from explode → broadcast-join →
+    *     groupBy(doc) — one id-width exchange per epoch buys a plan
+    *     whose size is independent of B (the scorer's documented "a
+    *     larger model ships as a weights table and join" boundary,
+    *     now applied to the fit).
+    *
+    * Both paths sum the same longs (associative), so the fit output
+    * is HASH-IDENTICAL across them — spec-pinned by forcing each
+    * path on the same corpus. Labels: `labelCol` is read as
+    * boolean/0-1; docs with NULL labels fail fast rather than
+    * silently training as negatives.
     *
     * Returns the NONZERO rows of the trained model as
     * `(bucket, weight_ppm)` — exactly [[hashedLinearWeights]]'s input
@@ -322,12 +339,16 @@ object TextAnalysis {
       lrPpm: Long = 1000L,
       textCol: String = "text",
       idCol: String = "doc_id",
-      labelCol: String = "label"): DataFrame = {
+      labelCol: String = "label",
+      literalMaxBuckets: Int = 4096): DataFrame = {
     require(nBuckets >= 1 && nBuckets <= (1 << 16),
       s"nBuckets must be in [1, 65536], got $nBuckets")
     require(epochs >= 1 && epochs <= 64, s"epochs must be in [1, 64], got $epochs")
     require(lrPpm > 0L, s"lrPpm must be positive, got $lrPpm")
+    require(literalMaxBuckets >= 1,
+      s"literalMaxBuckets must be >= 1, got $literalMaxBuckets")
     val spark = docs.sparkSession
+    import spark.implicits._
     graft.functions.PolyHash.register(spark)
     val base = docs
       .select(
@@ -341,26 +362,43 @@ object TextAnalysis {
         "filter upstream; training NULLs as negatives would be silent")
     val w = Array.fill(nBuckets)(0L)
     (1 to epochs).foreach { _ =>
-      val wArr = array(w.map(lit(_)): _*)
-      val mis = base
-        .withColumn(
-          "_margin",
-          aggregate(
-            transform(
-              col("_wh"),
-              h => element_at(
-                wArr, (pmod(h, lit(nBuckets.toLong)) + lit(1L)).cast("int"))),
-            lit(0L),
-            (acc, x) => acc + x))
+      val withMargin =
+        if (nBuckets <= literalMaxBuckets) {
+          val wArr = array(w.map(lit(_)): _*)
+          base.withColumn(
+            "_margin",
+            aggregate(
+              transform(
+                col("_wh"),
+                h => element_at(
+                  wArr, (pmod(h, lit(nBuckets.toLong)) + lit(1L)).cast("int"))),
+              lit(0L),
+              (acc, x) => acc + x))
+        } else {
+          // zero-weight buckets contribute nothing to the sum, so
+          // only the nonzero rows broadcast; a doc whose every token
+          // misses the table (or with no tokens at all) coalesces to
+          // margin 0 — exactly the literal path's value
+          val wTab = w.iterator.zipWithIndex
+            .collect { case (wt, b) if wt != 0L => (b.toLong, wt) }
+            .toSeq.toDF("_b", "_w")
+          val margins = base
+            .select(col(idCol), explode(col("_wh")).as("_h"))
+            .withColumn("_b", pmod(col("_h"), lit(nBuckets.toLong)))
+            .join(broadcast(wTab), Seq("_b"), "left")
+            .groupBy(idCol)
+            .agg(sum(coalesce(col("_w"), lit(0L))).as("_mj"))
+          base.join(margins, Seq(idCol), "left")
+            .withColumn("_margin", coalesce(col("_mj"), lit(0L)))
+        }
+      withMargin
         .filter(col("_y") * col("_margin") <= 0L)
-      mis
         .select(col("_y"), explode(col("_wh")).as("_h"))
         .groupBy(pmod(col("_h"), lit(nBuckets.toLong)).as("_b"))
         .agg(sum(col("_y")).as("_g"))
         .collect()
         .foreach(r => w(r.getLong(0).toInt) += lrPpm * r.getLong(1))
     }
-    import spark.implicits._
     w.iterator.zipWithIndex
       .collect { case (wt, b) if wt != 0L => (b.toLong, wt) }
       .toSeq.toDF("bucket", "weight_ppm")

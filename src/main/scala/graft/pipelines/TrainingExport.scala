@@ -540,7 +540,10 @@ object TrainingExport {
       semPqM: Int = 16,
       semPqSeedMod: Int = 50,
       semMinCosPpm: Long = 995000L,
-      semCorpusVectors: () => DataFrame = () => null): DataFrame = {
+      semCorpusVectors: () => DataFrame = () => null,
+      onSemanticMaintenance: SimilaritySearch.MaintenanceAction => Unit = _ => (),
+      semRefitErrFactor: Double = 2.0)
+      : DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
     require(cfg.numShards >= 1, s"numShards must be >= 1, got ${cfg.numShards}")
@@ -557,7 +560,8 @@ object TrainingExport {
     val (semed, _) =
       ingestSemanticStage(
         spanned, embeddings, cfg, statePrefix, semCentroidMod,
-        semPqM, semPqSeedMod, semMinCosPpm, semCorpusVectors)
+        semPqM, semPqSeedMod, semMinCosPpm, semCorpusVectors,
+        onSemanticMaintenance, semRefitErrFactor)
     val (mediaed, appendMediaState) =
       ingestMediaStage(semed, media, cfg, statePrefix, buckets, maxFilesPerBucket)
     val clean = decontaminate(mediaed, benchmark, cfg)
@@ -565,6 +569,8 @@ object TrainingExport {
     // ---- cumulative budget: this batch fills the REMAINING budget
     val budgetTbl = s"${statePrefix}_budget"
     val budgetOn = cfg.budgets.nonEmpty
+    val ledgerCurrency = currencyTag(cfg.budgetCurrency)
+    requireLedgerCurrency(spark, budgetTbl, budgetOn, ledgerCurrency)
     val consumed = readConsumed(spark, budgetTbl, budgetOn)
     // the batch pipeline's currency split, incrementally: chars read
     // the column the rewriting stages already recomputed; WordPiece
@@ -613,7 +619,8 @@ object TrainingExport {
     appendShingleState()
     appendLineState()
     appendDedupState()
-    if (budgetOn) writeConsumed(spark, budgetTbl, consumed, shipped)
+    if (budgetOn)
+      writeConsumed(spark, budgetTbl, consumed, shipped, ledgerCurrency)
     writeOffsets(spark, offTbl, offsets, shipped, cfg.numShards)
     shipped.select("shard", "seq", "doc_id", "source")
   }
@@ -649,7 +656,10 @@ object TrainingExport {
       semPqM: Int = 16,
       semPqSeedMod: Int = 50,
       semMinCosPpm: Long = 995000L,
-      semCorpusVectors: () => DataFrame = () => null): DataFrame = {
+      semCorpusVectors: () => DataFrame = () => null,
+      onSemanticMaintenance: SimilaritySearch.MaintenanceAction => Unit = _ => (),
+      semRefitErrFactor: Double = 2.0)
+      : DataFrame = {
     val spark = batch.sparkSession
     require(cfg.numShards >= 1, s"numShards must be >= 1, got ${cfg.numShards}")
     // same rejection as runChunks: chunk budgets bill in the chunker's
@@ -670,7 +680,8 @@ object TrainingExport {
     val (semed, _) =
       ingestSemanticStage(
         spanned, embeddings, cfg, statePrefix, semCentroidMod,
-        semPqM, semPqSeedMod, semMinCosPpm, semCorpusVectors)
+        semPqM, semPqSeedMod, semMinCosPpm, semCorpusVectors,
+        onSemanticMaintenance, semRefitErrFactor)
     val (mediaed, appendMediaState) =
       ingestMediaStage(semed, media, cfg, statePrefix, buckets, maxFilesPerBucket)
     val clean = decontaminate(mediaed, benchmark, cfg)
@@ -692,6 +703,11 @@ object TrainingExport {
     // ---- cumulative chunk-token budget + cross-ingest seq
     val budgetTbl = s"${statePrefix}_budget"
     val budgetOn = cfg.budgets.nonEmpty
+    // the chunk front bills in the chunker's own token count — its
+    // OWN currency, distinct from both doc-front units, so a prefix
+    // shared across fronts fails fast instead of mixing units
+    val ledgerCurrency = "chunk_tokens"
+    requireLedgerCurrency(spark, budgetTbl, budgetOn, ledgerCurrency)
     val consumed = readConsumed(spark, budgetTbl, budgetOn)
     val weighted = kept.select(
       col("_cid"), col("doc_id"), col("chunk_id"), col("source"),
@@ -725,7 +741,8 @@ object TrainingExport {
     appendShingleState()
     appendLineState()
     appendDedupState()
-    if (budgetOn) writeConsumed(spark, budgetTbl, consumed, shipped)
+    if (budgetOn)
+      writeConsumed(spark, budgetTbl, consumed, shipped, ledgerCurrency)
     writeOffsets(spark, offTbl, offsets, shipped, cfg.numShards)
     shipped.select("shard", "seq", "doc_id", "chunk_id", "source")
   }
@@ -870,6 +887,18 @@ object TrainingExport {
     * arrives bucketed on (h1, h2), only the batch's keys shuffle.
     * The batch is shingled ONCE (persistTracked) and feeds the
     * within-batch self-probe, the cross probe, and the fold.
+    *
+    * CAP SEMANTICS (ADVICE r17): the `maxDocsPerShingle`
+    * stop-shingle cap is ARRIVAL-SCOPED, not one-shot-equivalent —
+    * each probe counts the docs visible to IT (state-so-far for the
+    * cross probe, batch-only for the within-batch probe), so a
+    * shingle held by ≤cap docs in every individual batch but >cap in
+    * aggregate is still cut here while a one-shot run over the union
+    * would suppress it as a stop-shingle. That is the coherent
+    * incremental reading (an arrival can only see the corpus that
+    * exists when it lands), and it errs toward MORE dedup, never
+    * less; a loop that needs the one-shot cap must re-run the batch
+    * pipeline over the accumulated corpus.
     */
   private def ingestSpanStage(
       docs: DataFrame, cfg: Config, statePrefix: String,
@@ -953,7 +982,10 @@ object TrainingExport {
       statePrefix: String, semCentroidMod: Int,
       semPqM: Int = 16, semPqSeedMod: Int = 50,
       semMinCosPpm: Long = 995000L,
-      semCorpusVectors: () => DataFrame = () => null): (DataFrame, () => Unit) =
+      semCorpusVectors: () => DataFrame = () => null,
+      onMaintenance: SimilaritySearch.MaintenanceAction => Unit = _ => (),
+      semRefitErrFactor: Double = 2.0)
+      : (DataFrame, () => Unit) =
     if (!cfg.semanticDedup) (docs, () => ())
     else {
       val spark = docs.sparkSession
@@ -988,28 +1020,42 @@ object TrainingExport {
             s"${if (hasCodes) "codes-backed (IVFADC)" else "float (plain IVF)"} " +
             s"layout but cfg.semanticPq = ${cfg.semanticPq} — keep the flag " +
             "fixed per statePrefix, or start a fresh prefix")
-        if (!cfg.semanticPq)
-          // centroidMod threads through so a drift-triggered re-cluster
-          // retrains at the stage's own list granularity
-          SimilaritySearch.appendAndMaintainWrittenIndex(
-            spark, idxDir, live, centroidMod = semCentroidMod)
-        else
-          // the IVFADC closed loop: codes are lossy, so a drift-
-          // triggered re-cluster must re-encode from RAW corpus
-          // vectors — supplied lazily and only paid on re-cluster
-          // (at 100 TB the vectors live in a corpus table anyway)
-          SimilaritySearch.appendAndMaintainWrittenIvfPqIndex(
-            spark, idxDir, live,
-            corpusVectors = {
-              val cv = semCorpusVectors()
-              require(cv != null,
-                "the semantic ingest state's drift trigger fired and the " +
-                  "codes-backed layout needs raw corpus vectors to re-cluster " +
-                  "— pass semCorpusVectors to the ingest call (it is only " +
-                  "evaluated when a re-cluster actually runs)")
-              cv
-            },
-            centroidMod = semCentroidMod)
+        val action =
+          if (!cfg.semanticPq)
+            // centroidMod threads through so a drift-triggered re-cluster
+            // retrains at the stage's own list granularity
+            SimilaritySearch.appendAndMaintainWrittenIndex(
+              spark, idxDir, live, centroidMod = semCentroidMod)
+          else
+            // the IVFADC closed loop: codes are lossy, so a drift- or
+            // quantization-error-triggered O(corpus) verb (re-cluster /
+            // codebook REFIT) must re-encode from RAW corpus vectors —
+            // supplied lazily and only paid when one actually fires
+            // (at 100 TB the vectors live in a corpus table anyway)
+            SimilaritySearch.appendAndMaintainWrittenIvfPqIndex(
+              spark, idxDir, live,
+              corpusVectors = {
+                val cv = semCorpusVectors()
+                require(cv != null,
+                  "the semantic ingest state's maintenance trigger fired " +
+                    "(re-cluster or codebook refit) and the codes-backed " +
+                    "layout needs raw corpus vectors to re-encode — pass " +
+                    "semCorpusVectors to the ingest call (it is only " +
+                    "evaluated when an O(corpus) verb actually runs)")
+                cv
+              },
+              centroidMod = semCentroidMod,
+              refitErrFactor = semRefitErrFactor,
+              // a refit retrains at the stage's own codebook seeding
+              // dial — the verb's corpus-scale default would mis-seed
+              // small-id corpora (seeds are ids % seedMod == 0)
+              refitSeedMod = semPqSeedMod)
+        // the caller's window into the closed loop: oracle-backed
+        // fixtures assert NoMaintenance here (their DuckDB twins model
+        // frozen batch-0 geometry — ADVICE r17: pin the assumption
+        // instead of relying on the trigger never firing), production
+        // loops log/alert on the O(corpus) events
+        onMaintenance(action)
       }
       val pairs = (if (cfg.semanticPq)
         // the threshold dial matters here: reconstruction error eats
@@ -1137,11 +1183,47 @@ object TrainingExport {
       budgetOn: Boolean): Map[String, Long] =
     if (!budgetOn || !spark.catalog.tableExists(budgetTbl)) Map.empty
     else {
-      val rows = spark.table(budgetTbl).limit(MaxBudgetSources + 1).collect()
+      val rows = spark.table(budgetTbl).select("source", "consumed")
+        .limit(MaxBudgetSources + 1).collect()
       require(rows.length <= MaxBudgetSources,
         s"budget state '$budgetTbl' holds more than $MaxBudgetSources sources — " +
           "the stratum column is not a source label; re-key the corpus")
       rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+
+  /** The ledger stamp for a billing currency. WordPiece stamps one
+    * tag for any vocab — vocab stability across a loop is the
+    * caller's contract (it is a data argument, not cheaply
+    * fingerprintable here); the stamp closes the chars↔tokens and
+    * docs↔chunks unit mixes, the silent ones.
+    */
+  private def currencyTag(c: BudgetCurrency): String = c match {
+    case BudgetChars => "chars"
+    case BudgetWordPieceTokens(_) => "wordpiece"
+  }
+
+  /** Fail fast when the persisted ledger is denominated in a
+    * different currency than this ingest bills (r17 verdict: the
+    * comment said "switch only with a fresh budget table" — the
+    * sibling mistakes all got fail-fasts; this promotes the comment).
+    * Ledgers written before the stamp existed (2-column layout) are
+    * unstamped — accepted once and stamped by this ingest's write.
+    */
+  private def requireLedgerCurrency(
+      spark: org.apache.spark.sql.SparkSession, budgetTbl: String,
+      budgetOn: Boolean, tag: String): Unit =
+    if (budgetOn && spark.catalog.tableExists(budgetTbl)) {
+      val t = spark.table(budgetTbl)
+      if (t.columns.contains("currency")) {
+        val stamps = t.select("currency").distinct().limit(3)
+          .collect().map(_.getString(0)).toSeq
+        require(stamps.isEmpty || stamps == Seq(tag),
+          s"budget state '$budgetTbl' is denominated in " +
+            s"'${stamps.mkString("', '")}' but this ingest bills in '$tag' — " +
+            "mixing units in one consumed ledger silently mis-prices every " +
+            "later batch; keep the currency fixed per statePrefix, or start " +
+            "a fresh prefix")
+      }
     }
 
   /** Per-source REMAINING budgets for this ingest: lifetime budget −
@@ -1158,14 +1240,16 @@ object TrainingExport {
 
   private def writeConsumed(
       spark: org.apache.spark.sql.SparkSession, budgetTbl: String,
-      consumed: Map[String, Long], shipped: DataFrame): Unit = {
+      consumed: Map[String, Long], shipped: DataFrame,
+      currency: String): Unit = {
     import spark.implicits._
     val spent = shipped.groupBy("source")
       .agg(sum("_weight").cast("long").as("w")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     (consumed.keySet ++ spent.keySet).toSeq.sorted
-      .map(src => (src, consumed.getOrElse(src, 0L) + spent.getOrElse(src, 0L)))
-      .toDF("source", "consumed")
+      .map(src =>
+        (src, consumed.getOrElse(src, 0L) + spent.getOrElse(src, 0L), currency))
+      .toDF("source", "consumed", "currency")
       .write.mode("overwrite").saveAsTable(budgetTbl)
   }
 

@@ -2687,11 +2687,19 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(spark.read.parquet(s"$idxDir/codes").count() == 2L)
       // batch 1: a scaled copy of doc 2's vector loses to the EARLIER
       // arrival through its reconstruction; an orthogonal doc ships
+      // this spec pins the claim semantics under FROZEN codebooks —
+      // and the fixture's seedMod-1 batch-0 fit has a literally ZERO
+      // quantization-error baseline, so basis(2)'s unseen direction
+      // would (correctly) read as an infinite error ratio and trip
+      // the refit arm; the documented opt-out pins the geometry
       val s1 = TrainingExport.runIngest(
         mk(Seq(1L, 3L)), bench, cfg, p,
         embeddings = emb(Seq(
           (1L, basis(0).map(_ * 1.001f)), (3L, basis(2)))),
-        semCentroidMod = 1, semPqSeedMod = 1)
+        semCentroidMod = 1, semPqSeedMod = 1,
+        semRefitErrFactor = Double.PositiveInfinity,
+        onSemanticMaintenance = a => assert(
+          a == graft.operators.SimilaritySearch.NoMaintenance, s"got $a"))
       Dedup.unpersistAll()
       assert(s1.select("doc_id").collect().map(_.getLong(0)).toSet == Set(3L),
         "the reconstructed claim must reject the scaled copy")
@@ -2911,5 +2919,87 @@ class PipelineOpsSpec extends AnyFunSuite {
       }
       assert(e4.getMessage.contains("different dedup stage"), e4.getMessage)
     } finally dropIngestState(p2)
+  }
+
+  test("budget ledger records its currency: a mid-loop flip fails fast both ways, fronts cannot share a prefix") {
+    import graft.operators.Dedup
+    val bench = matrixDocs.filter(col("doc_id") === 1L)
+    // chars -> tokens flips fail; the chunk front (its own unit,
+    // chunk_tokens) is refused on the same ledger too
+    val p = "ingest_spec_cur1"
+    dropIngestState(p)
+    try {
+      TrainingExport.runIngest(
+        matrixDocs.filter(col("doc_id") <= 4L), bench,
+        allOff.copy(budgets = Seq("src0" -> 100000L)), p)
+      Dedup.unpersistAll()
+      assert(spark.table(s"${p}_budget").select("currency").distinct()
+        .collect().map(_.getString(0)).toSeq == Seq("chars"))
+      val e1 = intercept[IllegalArgumentException] {
+        TrainingExport.runIngest(
+          matrixDocs.filter(col("doc_id") > 4L), bench,
+          allOff.copy(
+            budgets = Seq("src0" -> 100000L),
+            budgetCurrency = TrainingExport.BudgetWordPieceTokens()), p)
+      }
+      assert(e1.getMessage.contains("denominated"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        TrainingExport.runChunksIngest(
+          matrixDocs.filter(col("doc_id") > 4L), bench,
+          allOff.copy(budgets = Seq("src0" -> 100000L)), p)
+      }
+      assert(e2.getMessage.contains("denominated"), e2.getMessage)
+    } finally dropIngestState(p)
+    // tokens -> chars flips fail; the SAME currency keeps flowing
+    val p2 = "ingest_spec_cur2"
+    dropIngestState(p2)
+    try {
+      val tokCfg = allOff.copy(
+        budgets = Seq("src0" -> 100000L),
+        budgetCurrency = TrainingExport.BudgetWordPieceTokens())
+      TrainingExport.runIngest(
+        matrixDocs.filter(col("doc_id") <= 4L), bench, tokCfg, p2)
+      Dedup.unpersistAll()
+      val e3 = intercept[IllegalArgumentException] {
+        TrainingExport.runIngest(
+          matrixDocs.filter(col("doc_id") > 4L), bench,
+          allOff.copy(budgets = Seq("src0" -> 100000L)), p2)
+      }
+      assert(e3.getMessage.contains("denominated"), e3.getMessage)
+      TrainingExport.runIngest(
+        matrixDocs.filter(col("doc_id") > 4L), bench, tokCfg, p2)
+      Dedup.unpersistAll()
+      assert(spark.table(s"${p2}_budget").select("currency").distinct()
+        .collect().map(_.getString(0)).toSeq == Seq("wordpiece"))
+    } finally dropIngestState(p2)
+  }
+
+  test("hashedLinearFit: broadcast-weights epoch path is bit-identical to the literal path (r17 literal-array ceiling)") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = (1L to 60L).map { i =>
+      val pos = i % 2 == 0
+      val marker = if (pos) "good good excellent" else "bad awful dreadful"
+      (i, s"common filler words here $marker tail$i extra${i % 7}", pos)
+    }.toDF("doc_id", "text", "label")
+    // literalMaxBuckets = 1 forces the JOIN path at any real B; the
+    // default keeps the literal path at B = 512 — same corpus, same
+    // epochs, the two margin plans must train the same model
+    val b = 512
+    val viaLiteral = TextAnalysis.hashedLinearFit(docs, b, epochs = 4)
+    val viaJoin = TextAnalysis.hashedLinearFit(
+      docs, b, epochs = 4, literalMaxBuckets = 1)
+    assert(viaLiteral.orderBy("bucket").collect().toSeq ==
+      viaJoin.orderBy("bucket").collect().toSeq,
+      "join-path fit must be bit-identical to the literal path")
+    // above the default threshold the fit takes the join path on its
+    // own — cross-checked against a literal-forced twin at the same B
+    val big = 8192
+    val viaDefault = TextAnalysis.hashedLinearFit(docs, big, epochs = 2)
+    val viaForcedLiteral = TextAnalysis.hashedLinearFit(
+      docs, big, epochs = 2, literalMaxBuckets = big)
+    assert(viaDefault.orderBy("bucket").collect().toSeq ==
+      viaForcedLiteral.orderBy("bucket").collect().toSeq)
+    graft.operators.Dedup.unpersistAll()
   }
 }

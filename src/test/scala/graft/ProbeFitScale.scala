@@ -23,13 +23,24 @@ object ProbeFitScale {
           expr("doc_id % 2 = 0").as("label"))
         .localCheckpoint(true)
       val n = docs.count()
-      for (b <- Seq(64, 4096, 65536); epochs <- Seq(3, 6)) {
+      // past literalMaxBuckets (default 4096) the fit switches to the
+      // broadcast-weights join epoch (r17 verdict task #4); the probe
+      // measures BOTH paths at the big B — the literal-array cliff the
+      // r17 table found vs the join path that replaced it as default
+      for (b <- Seq(64, 4096, 65536); epochs <- Seq(3, 6);
+           path <- if (b == 65536) Seq("join", "literal") else Seq("auto")) {
+        val lmb = path match {
+          case "literal" => 65536 // force the literal array at big B
+          case _ => 4096
+        }
         val t0 = System.nanoTime()
-        val fit = TextAnalysis.hashedLinearFit(docs, b, epochs = epochs)
+        val fit = TextAnalysis.hashedLinearFit(
+          docs, b, epochs = epochs, literalMaxBuckets = lmb)
         val nz = fit.count()
         val wall = (System.nanoTime() - t0) / 1e9
-        println(f"[fit-scale] $dir%-24s docs=$n%5d B=$b%5d epochs=$epochs: " +
-          f"wall $wall%6.2f s (${wall / epochs}%5.2f s/epoch)  nonzero_w=$nz%5d")
+        println(f"[fit-scale] $dir%-24s docs=$n%5d B=$b%5d epochs=$epochs " +
+          f"path=$path%-7s: wall $wall%6.2f s (${wall / epochs}%5.2f s/epoch)  " +
+          f"nonzero_w=$nz%5d")
       }
     }
     spark.stop()

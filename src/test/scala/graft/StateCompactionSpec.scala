@@ -956,8 +956,16 @@ class StateCompactionSpec extends AnyFunSuite {
         .parquet(s"$stateDir/centroids_next")
       idx2.assignments.select("cand_id", "cid").repartition(col("cid")).write
         .mode("overwrite").partitionBy("cid").parquet(s"$stateDir/assignments_next")
-      spark.read.parquet(s"$stateDir/codes").write
-        .mode("overwrite").parquet(s"$stateDir/codes_next")
+      // codes_next the way the real verb materializes it: cid comes
+      // from the NEXT generation's coarse assignment (code rows carry
+      // their generation's cid in lockstep — a stale cid column would
+      // mis-prune every probe)
+      spark.read.parquet(s"$stateDir/codes").select("cand_id", "codes")
+        .join(
+          idx2.assignments.select(col("cand_id"), col("cid").cast("long")),
+          Seq("cand_id"))
+        .repartition(col("cid")).write
+        .mode("overwrite").partitionBy("cid").parquet(s"$stateDir/codes_next")
       fs.create(new org.apache.hadoop.fs.Path(s"$stateDir/recluster_commit"), true).close()
       Seq("centroids", "assignments").foreach { t =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/$t"), true)
@@ -1091,6 +1099,171 @@ class StateCompactionSpec extends AnyFunSuite {
       } finally rmTree(plainDir)
       Dedup.unpersistAll()
     } finally rmTree(stateDir)
+  }
+
+  test("ivfpq refit TRIGGER: badly-quantizing appends trip Refitted, stationary appends stay quiet") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .localCheckpoint(true)
+    val base = e.filter(col("vec_id") % 3 =!= 0)
+    val stationary = e.filter(col("vec_id") % 3 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    // the shift a LIST-MASS trigger is blind to: same directions, so
+    // coarse assignment stays the build's shape, but radially
+    // scaled — quantization error explodes under the frozen codebooks
+    val scaled = e.filter(col("vec_id") % 3 === 0)
+      .select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(embedding, x -> x * cast(6 as float))").as("embedding"))
+      .localCheckpoint(true)
+    val cb = SimilaritySearch.pqFit(base, m = 16, seedMod = 20)
+    def fresh() = {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_refit_trigger_spec_").toString
+      SimilaritySearch.writeIvfPqIndex(
+        SimilaritySearch.buildIndex(base, centroidMod = 50),
+        cb, SimilaritySearch.pqEncode(base, cb), d)
+      d
+    }
+    // skewFactor pinned out of reach: the spec isolates the REFIT arm
+    // (a scaled cloud can also skew lists; that path has its own spec)
+    val d1 = fresh()
+    try {
+      var reads = 0
+      val a1 = SimilaritySearch.appendAndMaintainWrittenIvfPqIndex(
+        spark, d1, scaled,
+        { reads += 1; base.unionByName(scaled) },
+        maxFilesPerList = 1000, skewFactor = 1e9, centroidMod = 50)
+      assert(a1 == SimilaritySearch.Refitted, s"got $a1")
+      assert(reads == 1, "the refit path evaluates the corpus supplier once")
+      assert(!new java.io.File(s"$d1/recluster_commit").exists())
+      assert(!new java.io.File(s"$d1/qerr_appended").exists(),
+        "the appended-error ledger resets when the generation swaps")
+      // the swapped generation's codebooks actually moved (fit now
+      // covers the scaled mass) and the layout still serves probes
+      val cbNow = spark.read.parquet(s"$d1/codebooks")
+        .orderBy("s", "cid").collect().toSeq
+      val cbWas = cb.centroids.orderBy("s", "cid").collect().toSeq
+      assert(cbNow != cbWas, "refit must retrain the codebooks")
+      val queries = e.filter(col("vec_id") % 97 === 0)
+      assert(SimilaritySearch.ivfPqProbeWritten(spark, d1, queries).count() > 0)
+      // and the restamped baseline covers the whole live corpus, so
+      // the very next stationary append reads as well-quantized
+      val rep = SimilaritySearch.refitReport(spark, d1)
+      assert(rep.baselineN == base.count() + scaled.count() && rep.appendedN == 0L,
+        s"$rep")
+    } finally rmTree(d1)
+    // stationary appends under the SAME thresholds: evidence recorded,
+    // trigger quiet, the supplier never evaluated
+    val d2 = fresh()
+    try {
+      val a2 = SimilaritySearch.appendAndMaintainWrittenIvfPqIndex(
+        spark, d2, stationary,
+        sys.error("quiet refit path must not read the corpus"),
+        maxFilesPerList = 1000, skewFactor = 1e9, centroidMod = 50)
+      assert(a2 == SimilaritySearch.NoMaintenance, s"got $a2")
+      assert(new java.io.File(s"$d2/qerr_appended").exists())
+      assert(new java.io.File(s"$d2/qerr_baseline").exists())
+      val rep = SimilaritySearch.refitReport(spark, d2)
+      assert(rep.appendedN > 0L && rep.errRatio < 2.0,
+        s"stationary appends must quantize like the fit set: $rep")
+    } finally rmTree(d2)
+    Dedup.unpersistAll()
+  }
+
+  test("pre-cid codes layout: combined verbs fail fast with the remedy, migrateWrittenPqCodesCid restores pruned probes") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .localCheckpoint(true)
+    val base = e.filter(col("vec_id") % 3 =!= 0)
+    val batch = e.filter(col("vec_id") % 3 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val queries = e.filter(col("vec_id") % 97 === 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().toSeq
+    val cb = SimilaritySearch.pqFit(base, m = 16, seedMod = 20)
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_precid_spec_").toString
+    try {
+      SimilaritySearch.writeIvfPqIndex(
+        SimilaritySearch.buildIndex(base, centroidMod = 50),
+        cb, SimilaritySearch.pqEncode(base, cb), d)
+      val before = canon(SimilaritySearch.ivfPqProbeWritten(spark, d, queries))
+      // SIMULATE a pre-r18 layout: the codes table flat, no cid
+      val flat = spark.read.parquet(s"$d/codes").select("cand_id", "codes")
+        .localCheckpoint(true)
+      rmTree(s"$d/codes")
+      flat.repartition(1).write.mode("overwrite").parquet(s"$d/codes")
+      // writes and pruned reads name the one-time migration
+      val g1 = intercept[IllegalArgumentException](
+        SimilaritySearch.appendToWrittenIvfPqIndex(spark, d, batch))
+      assert(g1.getMessage.contains("migrateWrittenPqCodesCid"), g1.getMessage)
+      val g2 = intercept[IllegalArgumentException](
+        SimilaritySearch.reconstructWrittenCodesForCids(spark, d, Seq(0L)))
+      assert(g2.getMessage.contains("migrateWrittenPqCodesCid"), g2.getMessage)
+      // the full-scan probe keeps serving the legacy layout meanwhile
+      assert(canon(SimilaritySearch.ivfPqProbeWritten(spark, d, queries))
+        == before)
+      SimilaritySearch.migrateWrittenPqCodesCid(spark, d)
+      SimilaritySearch.migrateWrittenPqCodesCid(spark, d) // idempotent
+      assert(spark.read.parquet(s"$d/codes").columns.contains("cid"))
+      assert(canon(SimilaritySearch.ivfPqProbeWritten(spark, d, queries))
+        == before, "migration is layout-only")
+      // appends flow again on the migrated layout
+      SimilaritySearch.appendToWrittenIvfPqIndex(spark, d, batch)
+      assert(SimilaritySearch.reconstructWrittenCodesForCids(
+        spark, d,
+        spark.read.parquet(s"$d/assignments")
+          .select(col("cid").cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSeq).count()
+        == base.count() + batch.count())
+      // a plain PQ layout refuses the migration — flat is its design
+      val pq = java.nio.file.Files
+        .createTempDirectory("graft_precid_plainpq_").toString
+      try {
+        SimilaritySearch.writePqIndex(
+          cb, SimilaritySearch.pqEncode(base, cb), pq)
+        val g3 = intercept[IllegalArgumentException](
+          SimilaritySearch.migrateWrittenPqCodesCid(spark, pq))
+        assert(g3.getMessage.contains("plain PQ layout"), g3.getMessage)
+      } finally rmTree(pq)
+    } finally rmTree(d)
+    Dedup.unpersistAll()
+  }
+
+  test("driftEvidence: a manifest naming zero current files is STALE — mtime fallback, never 100%-appended (ADVICE r17)") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .localCheckpoint(true)
+    val base = e.filter(col("vec_id") % 3 =!= 0)
+    val batch = e.filter(col("vec_id") % 3 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_stale_manifest_spec_").toString
+    try {
+      SimilaritySearch.writeIndex(
+        SimilaritySearch.buildIndex(base, centroidMod = 50), d)
+      SimilaritySearch.appendToWrittenIndex(spark, d, batch)
+      val honest = SimilaritySearch.driftReport(spark, d)
+      assert(honest.buildRows > 0L && honest.appendedRows > 0L)
+      // simulate the crash window between the compaction swap and the
+      // manifest re-stamp: every name in the manifest belongs to a
+      // retired generation
+      val mp = new org.apache.hadoop.fs.Path(s"$d/baseline_manifest")
+      val out = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .create(mp, true)
+      try out.write(
+        "part-00000-retired-generation.snappy.parquet\n".getBytes("UTF-8"))
+      finally out.close()
+      val fell = SimilaritySearch.driftReport(spark, d)
+      assert(fell.buildRows >= honest.buildRows,
+        s"a stale manifest must fall back to mtimes, not classify all " +
+          s"mass as appended: $fell vs $honest")
+      assert(!fell.recluster || honest.recluster,
+        "the fallback must not manufacture a re-cluster trigger")
+    } finally rmTree(d)
+    Dedup.unpersistAll()
   }
 
   test("hamming segment table: catalog equals derived rows, radius guard fires, appends extend the probe") {
