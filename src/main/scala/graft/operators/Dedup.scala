@@ -2461,10 +2461,15 @@ object Dedup {
   /** [[semanticDedupAgainst]] over a PREBUILT corpus index — the
     * steady-state form: per ingest this costs one broadcast-centroid
     * assignment pass over the batch plus the cid equi-join against
-    * the stored assignments; the corpus is never re-clustered or
-    * re-scanned. Pairs with [[SimilaritySearch.writeIndex]]/
-    * [[SimilaritySearch.readIndex]] for the persisted layout, exactly
-    * like the minhash family's band-table probe.
+    * the stored assignments, with the corpus side PRUNED to the lists
+    * the batch actually touches (an isin over the batch's assigned
+    * cids — on a written layout that is static partition pruning, so
+    * the scan AND the join's corpus input are Σ|touched lists|, the
+    * SemDeDup co-assignment contract); the corpus is never
+    * re-clustered or re-scanned whole. Pairs with
+    * [[SimilaritySearch.writeIndex]]/[[SimilaritySearch.readIndex]]
+    * for the persisted layout, exactly like the minhash family's
+    * band-table probe.
     */
   def semanticDedupAgainstIndex(
       newEmb: DataFrame,
@@ -2472,12 +2477,28 @@ object Dedup {
       minCosPpm: Long = 995000L,
       idCol: String = "vec_id"): DataFrame = {
     graft.functions.VecDot.register(newEmb.sparkSession)
-    val corpusA = index.assignments.select(
-      col("cand_id").as("corpus_id"), col("cid"),
-      col("cand_emb").as("ce"), col("cnorm").as("cn"))
-    val newA = SimilaritySearch.assignVectors(index.centroids, newEmb, idCol).select(
-      col("cand_id").as("new_id"), col("cid"),
-      col("cand_emb").as("ne"), col("cnorm").as("nn"))
+    // persisted: the assign pass feeds both the touched-list collect
+    // and the pair join (the codes-backed verb's discipline, r18) —
+    // and the touched-cid isin makes the corpus-side prune STATIC:
+    // on a written layout the assignments scan partition-prunes to
+    // the batch's lists at plan time, where the bare cid equi-join
+    // left the planner a full corpus scan + shuffle per ingest
+    // (runtime DPP needs a broadcast side the batch frame's unknown
+    // stats don't offer). Driver-resident by the driftReport
+    // argument: bounded by nLists ≈ sqrt(corpus).
+    val newA = persistTracked(
+      SimilaritySearch.assignVectors(index.centroids, newEmb, idCol).select(
+        col("cand_id").as("new_id"), col("cid"),
+        col("cand_emb").as("ne"), col("cnorm").as("nn")))
+    val touched = newA.select(col("cid").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val corpusA = index.assignments
+      .filter(
+        if (touched.isEmpty) lit(false)
+        else col("cid").cast("long").isin(touched: _*))
+      .select(
+        col("cand_id").as("corpus_id"), col("cid"),
+        col("cand_emb").as("ce"), col("cnorm").as("cn"))
     newA.join(corpusA, "cid")
       .withColumn(
         "cos",

@@ -1266,6 +1266,73 @@ class StateCompactionSpec extends AnyFunSuite {
     Dedup.unpersistAll()
   }
 
+  test("semantic probes PARTITION-PRUNE the written corpus scans to the batch's lists (r18)") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .localCheckpoint(true)
+    val base = e.filter(col("vec_id") % 3 =!= 0)
+    // a small batch so touched lists are visibly fewer than nLists
+    val batch = e.filter(col("vec_id") % 199 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    def fmt(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    // FLOAT layout: the assignments scan carries a cid IN(...)
+    // partition filter (static pruning — the batch's touched lists
+    // are driver-known literals, so no DPP machinery is needed)
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_sem_prune_spec_").toString
+    try {
+      SimilaritySearch.writeIndex(
+        SimilaritySearch.buildIndex(base, centroidMod = 50), d)
+      val idx = SimilaritySearch.readIndex(spark, d)
+      val pruned = Dedup.semanticDedupAgainstIndex(batch, idx, 900000L)
+      val plan = fmt(pruned)
+      assert(plan.contains("PartitionFilters") && plan.contains("cid"),
+        s"assignments scan must partition-prune on cid:\n$plan")
+      assert("cid.* IN ".r.findFirstIn(plan).nonEmpty
+        || plan.contains("cid#") && plan.contains(" IN ("),
+        s"expected a cid IN (...) partition filter:\n$plan")
+      // pruning is a semantic no-op: equals the hand-rolled UNPRUNED
+      // probe (full assignments join on cid)
+      val newA = SimilaritySearch.assignVectors(idx.centroids, batch, "vec_id")
+        .select(
+          col("cand_id").as("new_id"), col("cid"),
+          col("cand_emb").as("ne"), col("cnorm").as("nn"))
+      val corpusA = idx.assignments.select(
+        col("cand_id").as("corpus_id"), col("cid"),
+        col("cand_emb").as("ce"), col("cnorm").as("cn"))
+      val unpruned = newA.join(corpusA, "cid")
+        .withColumn(
+          "cos",
+          expr(graft.functions.VectorExprs.dotSpark("ne", "ce"))
+            / (col("nn") * col("cn")))
+        .withColumn("cos_ppm", floor(lit(1000000.0) * col("cos")).cast("long"))
+        .filter(col("cos_ppm") >= 900000L)
+        .select("new_id", "corpus_id", "cos_ppm")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("new_id", "corpus_id").collect().toSeq
+      assert(canon(pruned) == canon(unpruned))
+    } finally rmTree(d)
+    // IVFADC layout: the codes scan prunes the same way through
+    // reconstructWrittenCodesForCids
+    val dc = java.nio.file.Files
+      .createTempDirectory("graft_sempq_prune_spec_").toString
+    try {
+      val cb = SimilaritySearch.pqFit(base, m = 16, seedMod = 20)
+      SimilaritySearch.writeIvfPqIndex(
+        SimilaritySearch.buildIndex(base, centroidMod = 50),
+        cb, SimilaritySearch.pqEncode(base, cb), dc)
+      val planPq = fmt(
+        Dedup.semanticDedupAgainstPqIndex(batch, spark, dc, 900000L))
+      // two partitioned scans (assignments + codes), both cid-filtered
+      assert("PartitionFilters".r.findAllIn(planPq).size >= 2,
+        s"both corpus scans must partition-prune on cid:\n$planPq")
+    } finally rmTree(dc)
+    Dedup.unpersistAll()
+  }
+
   test("hamming segment table: catalog equals derived rows, radius guard fires, appends extend the probe") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables.documents(spark, dir)
