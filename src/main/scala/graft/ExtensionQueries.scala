@@ -528,8 +528,29 @@ object ExtensionQueries {
       // widens.
       Dedup.minhashPairs(Corpus.docCorpus(s, dir), bands = 16, rowsPerBand = 2)
         .orderBy("doc_a", "doc_b")),
+    "q_dedup_minhash_hotband" -> ((s, dir) =>
+      // the hot-bucket dial under the skew shape that defeats plain
+      // LSH at corpus scale: 40 verbatim copies of one doc share a
+      // bucket in EVERY band (identical signatures), so the uncapped
+      // self-join would emit 8×~900 candidate rows from the group
+      // alone — and at 10⁶ boilerplate copies, ~4·10¹². With the cap
+      // the group contributes |group|−1 star edges to its min id per
+      // band; every natural docCorpus bucket is ≤ cap and keeps the
+      // exact all-pairs semantics, so q_dedup_minhash's pairs ride
+      // through unchanged (minus any that straddle the hot group).
+      Dedup.minhashPairs(Corpus.hotCorpus(s, dir), maxDocsPerBand = 8)
+        .orderBy("doc_a", "doc_b")),
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Corpus.docCorpus(s, dir)).orderBy("doc_a", "doc_b")),
+    "q_dedup_simhash_hotseg" -> ((s, dir) =>
+      // the hot-bucket star on pigeonhole SEGMENT buckets: the 40-copy
+      // template group carries ONE fingerprint value, so it floods all
+      // five (segment, value, block) buckets; past the cap each bucket
+      // contributes star edges to its min doc instead of B²/2 pairs.
+      // The oracle replays the segment algebra (not the all-pairs
+      // shortcut the lossless uncapped form permits).
+      Dedup.simhashPairs(Corpus.hotCorpus(s, dir), maxDocsPerSegment = 8)
+        .orderBy("doc_a", "doc_b")),
     "q_dedup_simhash_incremental" -> ((s, dir) => {
       // text SimHash's INGEST shape on the GENERIC Hamming state
       // family (r15 verdict task #2 — the family was built for both
@@ -752,6 +773,16 @@ object ExtensionQueries {
       // the farthest-from-centroid member of each within-cluster
       // cosine component survives
       Dedup.semanticDedup(Corpus.embCorpus(s, dir)).orderBy("vec_id")),
+    "q_dedup_semantic_hotcluster" -> ((s, dir) =>
+      // the hot-cluster star: a 40-copy embedding spike (the
+      // broken-encoder shape) collapses into ONE cluster, where the
+      // uncapped within-cluster join pays |cluster|²/2 cosine
+      // comparisons; past the cap the cluster contributes hub edges
+      // from its min vec_id — cosine-identical members keep their
+      // component exactly, and the keep window (farthest from
+      // centroid, min-id ties) runs unchanged on the decision table
+      Dedup.semanticDedup(Corpus.hotEmbCorpus(s, dir), maxVecsPerCluster = 8)
+        .orderBy("vec_id")),
     "q_dedup_semantic_margin_probe" -> ((s, dir) =>
       // the margin-SELECTION probe (r15 verdict task #5): the d₂−d₁
       // assignment-gap low quantiles under the exact clustering
@@ -830,6 +861,34 @@ object ExtensionQueries {
             .withColumn("doc_id", col("doc_id") + 2000000L)
             .withColumn("text", concat(col("text"), lit(" near dup extra tail"))))
       Dedup.minhashPairsAgainst(newBatch, d).orderBy("new_id", "corpus_id")
+    }),
+    "q_dedup_incremental_hotband" -> ((s, dir) => {
+      // the ingest probe under corpus-side skew: the corpus carries a
+      // 40-copy boilerplate group, and the arriving batch re-ships the
+      // same template 10 times (plus the natural planted copies). The
+      // cap keeps each batch template's candidate fan-out at 8
+      // representative corpus rows per bucket instead of ~41 per band
+      // — at 10⁶ boilerplate corpus copies the uncapped probe emits
+      // 10⁶ candidate rows per arriving copy, the capped one 8.
+      val d = Tables.documents(s, dir)
+      val seed = d.orderBy("doc_id").limit(1).select("text")
+      val corpus = d.select("doc_id", "text").unionByName(
+        s.range(40).select((col("id") + 3000000L).as("doc_id"))
+          .crossJoin(seed).select("doc_id", "text"))
+      val newBatch = d
+        .filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .select("doc_id", "text")
+        .unionByName(
+          d.filter(col("doc_id") % 11 === 0)
+            .withColumn("doc_id", col("doc_id") + 2000000L)
+            .withColumn("text", concat(col("text"), lit(" near dup extra tail")))
+            .select("doc_id", "text"))
+        .unionByName(
+          s.range(10).select((col("id") + 4000000L).as("doc_id"))
+            .crossJoin(seed).select("doc_id", "text"))
+      Dedup.minhashPairsAgainst(newBatch, corpus, maxCorpusDocsPerBand = 8)
+        .orderBy("new_id", "corpus_id")
     }),
     "q_stream_dedup_ingest" -> ((s, dir) => {
       // the STREAMING dedup-ingest loop: the corpus arrives as a
@@ -4437,10 +4496,35 @@ object ExtensionQueries {
     * the q_dedup_clusters recursive-CTE oracle.
     */
   private def minhashPairsSqlWith(
-      bands: Int, rowsPerBand: Int, corpusSql: String = corpus): String = {
+      bands: Int, rowsPerBand: Int, corpusSql: String = corpus,
+      maxDocsPerBand: Int = 0): String = {
     val bandSelects = bandKeysDuck("sig", bands, rowsPerBand).zipWithIndex
       .map { case (k, b) => s"SELECT doc_id, $b AS band, $k AS bkey FROM tok" }
       .mkString("\n  UNION ALL\n  ")
+    // cap > 0 replays the hot-band star: buckets holding more than
+    // `cap` docs emit (bucket-min, member) edges instead of all pairs
+    val candSql =
+      if (maxDocsPerBand <= 0)
+        """  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          |  FROM bands x JOIN bands y
+          |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id""".stripMargin
+      else
+        s"""  SELECT DISTINCT doc_a, doc_b FROM (
+           |    WITH bstat AS (
+           |      SELECT band, bkey, MIN(doc_id) AS bmin, COUNT(*) AS nd
+           |      FROM bands GROUP BY band, bkey HAVING COUNT(*) >= 2
+           |    ), brw AS (
+           |      SELECT b.doc_id, b.band, b.bkey, s.bmin, s.nd
+           |      FROM bands b JOIN bstat s USING (band, bkey)
+           |    )
+           |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |    FROM brw x JOIN brw y
+           |      ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+           |    WHERE x.nd <= $maxDocsPerBand AND y.nd <= $maxDocsPerBand
+           |    UNION ALL
+           |    SELECT bmin AS doc_a, doc_id AS doc_b
+           |    FROM brw WHERE nd > $maxDocsPerBand AND doc_id <> bmin
+           |  )""".stripMargin
     s"""WITH corpus AS (
        |$corpusSql
        |), tokw AS (
@@ -4453,9 +4537,7 @@ object ExtensionQueries {
        |), bands AS (
        |  $bandSelects
        |), cand AS (
-       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+       |$candSql
        |), j AS (
        |  SELECT doc_a, doc_b, tx.sig AS siga, ty.sig AS sigb
        |  FROM cand
@@ -4507,7 +4589,10 @@ object ExtensionQueries {
        |  SELECT doc_id, block, ${simhashPackDuck("votes")} AS simhash FROM bfv
        |)""".stripMargin
 
-  private def minhashIncrementalSqlWith(corpusRel: String): String = {
+  private def minhashIncrementalSqlWith(
+      corpusRel: String,
+      newRelOverride: String = null,
+      maxCorpusDocsPerBand: Int = 0): String = {
     def sigCtes(rel: String, p: String): String = {
       val bandSelects = bandKeysDuck("sig").zipWithIndex
         .map { case (k, b) => s"SELECT doc_id, $b AS band, $k AS bkey FROM ${p}s" }
@@ -4523,15 +4608,26 @@ object ExtensionQueries {
          |  $bandSelects
          |)""".stripMargin
     }
-    val newRel =
+    val newRel = Option(newRelOverride).getOrElse(
       """SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
         |  UNION ALL
-        |  SELECT doc_id + 2000000, text || ' near dup extra tail' FROM documents WHERE doc_id % 11 = 0""".stripMargin
+        |  SELECT doc_id + 2000000, text || ' near dup extra tail' FROM documents WHERE doc_id % 11 = 0""".stripMargin)
+    // cap > 0 replays the ingest probe's hot-bucket dial: the corpus
+    // side of the band join keeps only the cap smallest doc_ids per
+    // (band, bkey) bucket
+    val corpusBandRel =
+      if (maxCorpusDocsPerBand <= 0) "cb"
+      else
+        s"""(SELECT doc_id, band, bkey FROM (
+           |    SELECT doc_id, band, bkey,
+           |           ROW_NUMBER() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS _rk
+           |    FROM cb)
+           |  WHERE _rk <= $maxCorpusDocsPerBand)""".stripMargin
     s"""WITH ${sigCtes(newRel, "n")},
        |${sigCtes(corpusRel, "c")},
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS corpus_id
-       |  FROM nb x JOIN cb y ON x.band = y.band AND x.bkey = y.bkey
+       |  FROM nb x JOIN $corpusBandRel y ON x.band = y.band AND x.bkey = y.bkey
        |), j AS (
        |  SELECT new_id, corpus_id, xs.sig AS siga, ys.sig AS sigb
        |  FROM cand
@@ -4832,7 +4928,37 @@ object ExtensionQueries {
     * the pipeline's se_ splice (one spelling of the semantics). The
     * reach CTE is recursive — the caller's WITH must say RECURSIVE.
     */
-  private def semanticDedupCtes(rel: String, p: String): String =
+  private def semanticDedupCtes(
+      rel: String, p: String, maxVecsPerCluster: Int = 0): String = {
+    // cap > 0 replays the hot-cluster star: clusters past the cap
+    // contribute hub edges from their minimum vec_id, cosine-gated
+    // the same way (branches disjoint — top-1 assignment is unique)
+    val pairsSql =
+      if (maxVecsPerCluster <= 0)
+        s"""  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+           |  FROM ${p}assign x JOIN ${p}assign y
+           |    ON x.cid = y.cid AND x.vec_id < y.vec_id
+           |  WHERE CAST(floor(1000000.0 * ((${VectorExprs.dotDuck("x.embedding", "y.embedding")}) / (x.nrm * y.nrm))) AS BIGINT) >= 995000""".stripMargin
+      else
+        s"""  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+           |  FROM ${p}assign x JOIN ${p}assign y
+           |    ON x.cid = y.cid AND x.vec_id < y.vec_id
+           |  JOIN ${p}cstat s ON s.cid = x.cid
+           |  WHERE s.nd <= $maxVecsPerCluster
+           |    AND CAST(floor(1000000.0 * ((${VectorExprs.dotDuck("x.embedding", "y.embedding")}) / (x.nrm * y.nrm))) AS BIGINT) >= 995000
+           |  UNION ALL
+           |  SELECT h.vec_id AS vec_a, y.vec_id AS vec_b
+           |  FROM ${p}assign y
+           |  JOIN ${p}cstat s ON s.cid = y.cid AND s.nd > $maxVecsPerCluster AND y.vec_id <> s.cmin
+           |  JOIN ${p}assign h ON h.vec_id = s.cmin
+           |  WHERE CAST(floor(1000000.0 * ((${VectorExprs.dotDuck("h.embedding", "y.embedding")}) / (h.nrm * y.nrm))) AS BIGINT) >= 995000""".stripMargin
+    val cstatCte =
+      if (maxVecsPerCluster <= 0) ""
+      else
+        s""", ${p}cstat AS (
+           |  SELECT cid, MIN(vec_id) AS cmin, COUNT(*) AS nd
+           |  FROM ${p}assign GROUP BY cid HAVING COUNT(*) >= 2
+           |)""".stripMargin
     s"""${ivfCoarseCtes("TRUE", p, rel = rel)}, ${p}adist AS (
        |  SELECT e.vec_id AS vid, e.embedding, c.cid,
        |         ${VectorExprs.l2sqDuck("e.embedding", "c.cemb")} AS d
@@ -4844,11 +4970,8 @@ object ExtensionQueries {
        |    SELECT vid, cid, embedding, d,
        |           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
        |    FROM ${p}adist) t WHERE rn = 1
-       |), ${p}pairs AS MATERIALIZED (
-       |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
-       |  FROM ${p}assign x JOIN ${p}assign y
-       |    ON x.cid = y.cid AND x.vec_id < y.vec_id
-       |  WHERE CAST(floor(1000000.0 * ((${VectorExprs.dotDuck("x.embedding", "y.embedding")}) / (x.nrm * y.nrm))) AS BIGINT) >= 995000
+       |)$cstatCte, ${p}pairs AS MATERIALIZED (
+       |$pairsSql
        |), ${p}edges AS MATERIALIZED (
        |  SELECT vec_a AS src, vec_b AS dst FROM ${p}pairs
        |  UNION
@@ -4866,6 +4989,7 @@ object ExtensionQueries {
        |         COALESCE(c.component, a.vec_id) AS component, a.dc
        |  FROM ${p}assign a LEFT JOIN ${p}comp c USING (vec_id)
        |)""".stripMargin
+  }
 
   private def ivfCoarseCtes(
       buildWhere: String, pfx: String = "", centroidMod: Int = 50,
@@ -5106,6 +5230,23 @@ object ExtensionQueries {
   def oracleSql: Map[String, String] = Map(
     "q_dedup_incremental" -> minhashIncrementalSql,
 
+    "q_dedup_incremental_hotband" ->
+      (minhashIncrementalSqlWith(
+        """SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT 3000000 + g.g AS doc_id, h.text
+          |  FROM (SELECT text FROM documents ORDER BY doc_id LIMIT 1) h
+          |  CROSS JOIN (SELECT range AS g FROM range(0, 40)) g""".stripMargin,
+        newRelOverride =
+          """SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+            |  UNION ALL
+            |  SELECT doc_id + 2000000, text || ' near dup extra tail' FROM documents WHERE doc_id % 11 = 0
+            |  UNION ALL
+            |  SELECT 4000000 + g.g AS doc_id, h.text
+            |  FROM (SELECT text FROM documents ORDER BY doc_id LIMIT 1) h
+            |  CROSS JOIN (SELECT range AS g FROM range(0, 10)) g""".stripMargin,
+        maxCorpusDocsPerBand = 8) + "\nORDER BY new_id, corpus_id"),
+
     "q_dedup_embed_incremental" -> {
       def bandSelects(rel: String) =
         VectorExprs.cmpBandKeysDuck("embedding").zipWithIndex
@@ -5259,6 +5400,11 @@ object ExtensionQueries {
 
     "q_dedup_minhash_fine" ->
       s"${minhashPairsSqlWith(bands = 16, rowsPerBand = 2)} ORDER BY doc_a, doc_b",
+
+    "q_dedup_minhash_hotband" ->
+      s"""${minhashPairsSqlWith(
+             Bands, RowsPerBand, Corpus.hotCorpusSql(),
+             maxDocsPerBand = 8)} ORDER BY doc_a, doc_b""",
 
     "q_stream_dedup_ingest" ->
       // batch-split invariance again: streamed signature ingest must
@@ -5559,6 +5705,52 @@ object ExtensionQueries {
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 4
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    "q_dedup_simhash_hotseg" -> {
+      // segment boundaries come from the SAME simhashSegments the
+      // engine carves — a drift would diverge the bucket membership
+      val segSelects = graft.operators.Dedup.simhashSegments(4).zipWithIndex
+        .map { case ((start, width), i) =>
+          val mask = (1L << width) - 1
+          s"SELECT doc_id, block, simhash, $i AS seg, (simhash >> $start) & $mask AS segval FROM fp"
+        }
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH corpus AS (
+         |${Corpus.hotCorpusSql()}
+         |), fpv AS (
+         |  SELECT doc_id, source AS block, ${simhashVotesDuck(wordsDuck("text"))} AS votes
+         |  FROM corpus WHERE ${tokenCountDuck("text")} >= 1
+         |), fp AS (
+         |  SELECT doc_id, block, ${simhashPackDuck("votes")} AS simhash FROM fpv
+         |), segs AS (
+         |  $segSelects
+         |), bstat AS (
+         |  SELECT seg, segval, block, MIN(doc_id) AS bmin, COUNT(*) AS nd
+         |  FROM segs GROUP BY seg, segval, block HAVING COUNT(*) >= 2
+         |), brw AS (
+         |  SELECT s.doc_id, s.block, s.seg, s.segval, b.bmin, b.nd
+         |  FROM segs s JOIN bstat b
+         |    ON s.seg = b.seg AND s.segval = b.segval AND s.block = b.block
+         |), cand AS (
+         |  SELECT DISTINCT doc_a, doc_b FROM (
+         |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |    FROM brw x JOIN brw y
+         |      ON x.seg = y.seg AND x.segval = y.segval AND x.block = y.block
+         |     AND x.doc_id < y.doc_id
+         |    WHERE x.nd <= 8
+         |    UNION ALL
+         |    SELECT bmin AS doc_a, doc_id AS doc_b
+         |    FROM brw WHERE nd > 8 AND doc_id <> bmin
+         |  )
+         |)
+         |SELECT c.doc_a, c.doc_b,
+         |       CAST(bit_count(xor(fa.simhash, fb.simhash)) AS BIGINT) AS hamming
+         |FROM cand c
+         |JOIN fp fa ON fa.doc_id = c.doc_a
+         |JOIN fp fb ON fb.doc_id = c.doc_b
+         |WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 4
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
     "q_dedup_simhash_incremental" ->
       s"""${simhashIngestCtes("TRUE")}
          |SELECT b.doc_id AS new_doc, c.doc_id AS corpus_doc,
@@ -5663,6 +5855,14 @@ object ExtensionQueries {
          |SELECT vec_id, cid, component,
          |       (ROW_NUMBER() OVER (PARTITION BY component ORDER BY dc DESC, vec_id) = 1) AS keep
          |FROM sd_dec ORDER BY vec_id""".stripMargin,
+
+    "q_dedup_semantic_hotcluster" ->
+      s"""WITH RECURSIVE sh_corpus AS (
+         |${Corpus.hotEmbCorpusSql()}
+         |), ${semanticDedupCtes("sh_corpus", "sh_", maxVecsPerCluster = 8)}
+         |SELECT vec_id, cid, component,
+         |       (ROW_NUMBER() OVER (PARTITION BY component ORDER BY dc DESC, vec_id) = 1) AS keep
+         |FROM sh_dec ORDER BY vec_id""".stripMargin,
 
     "q_dedup_semantic_margin_probe" ->
       // same coarse chain as the semantic oracle, then top-2 distances

@@ -494,6 +494,26 @@ object Dedup {
       .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
   }
 
+  /** `maxDocsPerBand` is the HOT-BUCKET dial: 0 (the default) keeps
+    * the exact all-pairs-within-bucket semantics; a positive cap
+    * switches any (band, bkey) bucket holding MORE than `cap` docs
+    * from the quadratic self-join to a STAR on the bucket's minimum
+    * doc_id — |bucket|−1 candidate edges instead of |bucket|²/2.
+    * This is the one blowup the band join cannot otherwise escape at
+    * corpus scale: B near-identical boilerplate docs share a bucket
+    * in EVERY band (identical signatures hash identically in all of
+    * them), so the uncapped join materializes bands × B²/2 rows —
+    * at B = 10⁶ that is ~4·10¹² candidate rows from ONE template.
+    * The star keeps exactly what dedup needs: members of a
+    * hot bucket stay one connected component through the hub (for
+    * mutually-identical docs every star edge verifies at full
+    * signature agreement, so clusters()/apply() are unchanged —
+    * spec-pinned), while merely-similar hot-bucket members may lose
+    * pair edges the quadratic join would have verified — the recall
+    * side of the dial, same trade as `maxDocsPerShingle` in the
+    * substring family. Star edges still pass the n_agree verify; the
+    * output contract (doc_a < doc_b, n_agree) is unchanged.
+    */
   def minhashPairs(
       docs: DataFrame,
       n: Int = 3,
@@ -501,7 +521,8 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       bands: Int = graft.functions.TextExprs.Bands,
-      rowsPerBand: Int = graft.functions.TextExprs.RowsPerBand): DataFrame = {
+      rowsPerBand: Int = graft.functions.TextExprs.RowsPerBand,
+      maxDocsPerBand: Int = 0): DataFrame = {
     PolyHash.register(docs.sparkSession)
     graft.functions.MinHashSig.register(docs.sparkSession)
     val toks = minhashSignatures(docs, n, textCol, idCol)
@@ -510,12 +531,38 @@ object Dedup {
     // bands), then re-join the persisted signatures: deduplicating
     // rows that carry two 32-long arrays makes the exchange and the
     // hash compare pay for 64 longs per row; the narrow form ships 2
-    val cand = bandRws.as("x")
-      .join(bandRws.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val cand = (if (maxDocsPerBand <= 0) {
+      bandRws.as("x")
+        .join(bandRws.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    } else {
+      // per-bucket (min, count) via groupBy+join, not a window: the
+      // agg partial-combines map-side (a hot bucket never assembles
+      // its rows in one task's sort the way a window partition
+      // would), and the join back is 1 stats row per bucket — AQE
+      // splittable. Singleton buckets drop at the inner join (they
+      // cannot pair; the uncapped self-join shuffles them for
+      // nothing).
+      val stats = bandRws.groupBy("band", "bkey")
+        .agg(min(col("doc_id")).as("bmin"), count(lit(1L)).as("nd"))
+        .filter(col("nd") >= 2)
+      val rws = persistTracked(
+        bandRws.join(stats, Seq("band", "bkey"))
+          .select(col("band"), col("bkey"), col("doc_id"), col("bmin"), col("nd")))
+      val cold = rws.filter(col("nd") <= maxDocsPerBand)
+      val coldPairs = cold.as("x")
+        .join(cold.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      // doc_a < doc_b holds by construction: bmin is the bucket min
+      val hotPairs = rws
+        .filter(col("nd") > maxDocsPerBand && col("doc_id") =!= col("bmin"))
+        .select(col("bmin").as("doc_a"), col("doc_id").as("doc_b"))
+      coldPairs.unionByName(hotPairs)
+    }).distinct()
     cand
       .join(toks.select(col("doc_id").as("doc_a"), col("sig").as("siga")), "doc_a")
       .join(toks.select(col("doc_id").as("doc_b"), col("sig").as("sigb")), "doc_b")
@@ -544,13 +591,15 @@ object Dedup {
       n: Int = 3,
       minAgree: Int = NumMinhash / 2,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      maxCorpusDocsPerBand: Int = 0): DataFrame = {
     PolyHash.register(newDocs.sparkSession)
     graft.functions.MinHashSig.register(newDocs.sparkSession)
     minhashPairsAgainstSignatures(
       minhashSignatures(newDocs, n, textCol, idCol),
       minhashSignatures(corpus, n, textCol, idCol),
-      minAgree)
+      minAgree,
+      maxCorpusDocsPerBand)
   }
 
   /** Public (doc_id, sig) signature table for a corpus — the
@@ -573,12 +622,50 @@ object Dedup {
     * what a steady-state 100 TB ingest actually calls: both sides are
     * stored signature tables; the corpus text is never touched.
     */
+  /** Corpus-side band rows reduced to the `cap` SMALLEST doc_ids per
+    * (band, bkey) bucket — the ingest probe's hot-bucket dial. A
+    * boilerplate template with B corpus copies makes every matching
+    * batch doc fan out to B candidate rows in EVERY band; the cap
+    * bounds that to `cap` deterministic representatives per bucket.
+    * For the decision the probe feeds (does this arrival near-match
+    * the corpus?), sig-identical bucket members are interchangeable —
+    * any representative verifies at the same n_agree — so hot
+    * EXACT-duplicate buckets reject exactly as before; merely-similar
+    * bucket members beyond the cap may lose pairs the full fan-out
+    * would verify (the recall side, same trade as the one-shot star).
+    * row_number over the bucket keys rides the band table's bucketed
+    * layout (no exchange, an in-bucket sort) and never buffers the
+    * bucket the way a collect_list cap would.
+    */
+  private def capCorpusBands(corpusBands: DataFrame, cap: Int): DataFrame =
+    if (cap <= 0) corpusBands
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("bkey")).orderBy(col("doc_id"))
+      corpusBands
+        .withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") <= cap)
+        .drop("_rk")
+    }
+
+  /** `maxNewDocsPerBand` caps the NEW side the same way — the dial
+    * for the within-batch SELF-probe (`newSigs eq corpusSigs`,
+    * rejected = the larger id of each pair): capping the new side
+    * keeps the cap smallest bucket members as HUBS, and every
+    * larger member still pairs with a smaller hub, so the rejection
+    * set over sig-identical buckets is EXACTLY the uncapped one at
+    * O(cap × |bucket|) fan-out. Capping the CORPUS side there would
+    * be wrong — a member past the cap slice never appears as
+    * corpus_id and would escape rejection.
+    */
   def minhashPairsAgainstSignatures(
       newSigs: DataFrame,
       corpusSigs: DataFrame,
-      minAgree: Int = NumMinhash / 2): DataFrame = {
-    val cand = bandRows(newSigs).as("x")
-      .join(bandRows(corpusSigs).as("y"),
+      minAgree: Int = NumMinhash / 2,
+      maxCorpusDocsPerBand: Int = 0,
+      maxNewDocsPerBand: Int = 0): DataFrame = {
+    val cand = capCorpusBands(bandRows(newSigs), maxNewDocsPerBand).as("x")
+      .join(capCorpusBands(bandRows(corpusSigs), maxCorpusDocsPerBand).as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
       .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("corpus_id"))
       .distinct()
@@ -1066,9 +1153,10 @@ object Dedup {
       newSigs: DataFrame,
       corpusBands: DataFrame,
       corpusSigs: DataFrame,
-      minAgree: Int = NumMinhash / 2): DataFrame = {
+      minAgree: Int = NumMinhash / 2,
+      maxCorpusDocsPerBand: Int = 0): DataFrame = {
     val cand = bandRows(newSigs).as("x")
-      .join(corpusBands.as("y"),
+      .join(capCorpusBands(corpusBands, maxCorpusDocsPerBand).as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
       .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("corpus_id"))
       .distinct()
@@ -1117,7 +1205,11 @@ object Dedup {
       fp: DataFrame,
       maxHamming: Int,
       bits: Int,
-      pigeonhole: Boolean): DataFrame = {
+      pigeonhole: Boolean,
+      maxDocsPerSegment: Int = 0): DataFrame = {
+    require(maxDocsPerSegment <= 0 || pigeonhole,
+      "maxDocsPerSegment is a pigeonhole-bucket dial — the quadratic " +
+        "reference form has no buckets to cap")
     val blocked = fp.columns.contains("block")
     val fpp = persistTracked(fp)
     def blockEq = if (blocked) col("x.block") === col("y.block") else lit(true)
@@ -1128,7 +1220,7 @@ object Dedup {
           .select(
             col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
             col("x.fph").as("ha"), col("y.fph").as("hb"))
-      } else {
+      } else if (maxDocsPerSegment <= 0) {
         val sg = hammingSegmentRows(fpp, maxHamming, bits)
         sg.as("x")
           .join(sg.as("y"),
@@ -1140,6 +1232,39 @@ object Dedup {
             col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
             col("x.fph").as("ha"), col("y.fph").as("hb"))
           .distinct() // a pair can agree on several segments
+      } else {
+        // the minhash family's hot-bucket STAR on (segment, value[,
+        // block]) buckets: B identical fingerprints agree on EVERY
+        // segment, so the uncapped self-join emits (maxHamming+1) ×
+        // B²/2 candidates from one fingerprint value; past the cap a
+        // bucket contributes |bucket|−1 hub edges instead. The
+        // pigeonhole candidate set stops being lossless for
+        // merely-similar members of a hot bucket (the recall dial);
+        // Hamming-0 members keep their components exactly — every
+        // hub edge verifies at 0 (spec-pinned).
+        val segKeys = Seq("sh_seg", "sh_key") ++ (if (blocked) Seq("block") else Nil)
+        val sg0 = hammingSegmentRows(fpp, maxHamming, bits)
+        val stats = sg0.groupBy(segKeys.map(col): _*)
+          .agg(min(col("doc_id")).as("bmin"), count(lit(1L)).as("nd"))
+          .filter(col("nd") >= 2)
+        val sg = persistTracked(sg0.join(stats, segKeys))
+        val cold = sg.filter(col("nd") <= maxDocsPerSegment)
+        val coldPairs = cold.as("x")
+          .join(cold.as("y"),
+            col("x.sh_seg") === col("y.sh_seg") &&
+              col("x.sh_key") === col("y.sh_key") &&
+              blockEq &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(
+            col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.fph").as("ha"), col("y.fph").as("hb"))
+        val hotPairs = sg
+          .filter(col("nd") > maxDocsPerSegment && col("doc_id") =!= col("bmin"))
+          .select(col("bmin").as("doc_a"), col("doc_id").as("doc_b"),
+            col("fph").as("hb"))
+          .join(fpp.select(col("doc_id").as("doc_a"), col("fph").as("ha")), "doc_a")
+          .select("doc_a", "doc_b", "ha", "hb")
+        coldPairs.unionByName(hotPairs).distinct()
       }
     cand
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
@@ -1349,19 +1474,28 @@ object Dedup {
     * formulation (the small-scale verifier DedupSimilaritySpec uses to
     * prove the equi-join candidates are lossless).
     */
+  /** `maxDocsPerSegment` is the hot-bucket dial ([[minhashPairs]]'s
+    * `maxDocsPerBand` on pigeonhole segment buckets): past the cap a
+    * (segment, value, block) bucket contributes |bucket|−1 star
+    * edges to its minimum doc_id instead of all pairs — identical
+    * fingerprints (Hamming 0, the B-copy template shape) keep their
+    * components exactly, merely-similar hot-bucket members trade
+    * recall for escaping the (maxHamming+1) × B²/2 blowup.
+    */
   def simhashPairs(
       docs: DataFrame,
       maxHamming: Int = 4,
       blockCol: String = "source",
       textCol: String = "text",
       idCol: String = "doc_id",
-      pigeonhole: Boolean = true): DataFrame = {
+      pigeonhole: Boolean = true,
+      maxDocsPerSegment: Int = 0): DataFrame = {
     // the fingerprints are persisted (inside hammingPairs) because
     // the self-join consumes them on both sides; the block column
     // rides the fingerprint projection (one scan, no join back)
     val fp = simhashFingerprints(docs, textCol, idCol, passthroughCols = Seq(blockCol))
       .withColumnRenamed(blockCol, "block")
-    hammingPairs(fp, maxHamming, SimhashBits, pigeonhole)
+    hammingPairs(fp, maxHamming, SimhashBits, pigeonhole, maxDocsPerSegment)
   }
 
   /** A text corpus's 30-bit SimHash fingerprints — (doc_id, fph): the
@@ -2254,6 +2388,19 @@ object Dedup {
     * `(vec_id, cid, component, keep)` — filter `keep` for the
     * curation apply, or aggregate for cluster/component audits.
     */
+  /** `maxVecsPerCluster` is the hot-CLUSTER dial ([[minhashPairs]]'s
+    * star on the clustering's own candidate buckets): a cluster past
+    * the cap contributes |cluster|−1 hub edges to its minimum vec_id
+    * instead of |cluster|²/2 within-cluster comparisons — the
+    * degenerate-spike defense (a broken upstream encoder emitting one
+    * constant embedding collapses the corpus into ONE cluster, and
+    * Σ|cluster|² becomes |corpus|²; AQE spreads that join's tasks but
+    * cannot shrink its quadratic output). Cosine-identical members
+    * verify against the hub at cos 1 and keep their component
+    * exactly; merely-similar members of a hot cluster may lose pair
+    * edges (recall dial). Top-1/no-margin path only — the
+    * multi-assignment candidate structure has its own dials.
+    */
   def semanticDedup(
       emb: DataFrame,
       centroidMod: Int = 50,
@@ -2262,11 +2409,15 @@ object Dedup {
       numPartitions: Option[Int] = None,
       propagateRounds: Int = 8,
       assignTop: Int = 1,
-      assignMargin: Option[Double] = None): DataFrame = {
+      assignMargin: Option[Double] = None,
+      maxVecsPerCluster: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(assignTop >= 1, s"assignTop must be >= 1, got $assignTop")
     require(assignMargin.forall(_ >= 0.0),
       s"assignMargin must be non-negative, got $assignMargin")
+    require(maxVecsPerCluster <= 0 || (assignTop <= 1 && assignMargin.isEmpty),
+      "maxVecsPerCluster caps the top-1 within-cluster join; the " +
+        "multi-assignment paths have their own candidate dials")
     graft.functions.VecDot.register(emb.sparkSession)
     val idx = SimilaritySearch.buildIndex(emb, centroidMod = centroidMod, idCol = idCol)
     // Assignment table + distance-to-own-centroid (the representative
@@ -2284,18 +2435,47 @@ object Dedup {
         col("cnorm"),
         expr(VectorExprs.l2sqSpark("cand_emb", "cemb")).as("dc"))
       .pipe(persistTracked)
+    def cosGate(df: DataFrame, ea: String, na: String, eb: String, nb: String) =
+      df.withColumn(
+        "cos",
+        expr(VectorExprs.dotSpark(ea, eb)) / (col(na) * col(nb)))
+        .filter(floor(lit(1000000.0) * col("cos")).cast("long") >= minCosPpm)
     val pairs =
-      if (assignTop <= 1 && assignMargin.isEmpty)
-        a.as("x")
-          .join(a.as("y"),
-            col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
-          .withColumn(
-            "cos",
-            expr(VectorExprs.dotSpark("x.cand_emb", "y.cand_emb")) /
-              (col("x.cnorm") * col("y.cnorm")))
-          .filter(floor(lit(1000000.0) * col("cos")).cast("long") >= minCosPpm)
+      if (assignTop <= 1 && assignMargin.isEmpty && maxVecsPerCluster <= 0)
+        cosGate(
+          a.as("x")
+            .join(a.as("y"),
+              col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id")),
+          "x.cand_emb", "x.cnorm", "y.cand_emb", "y.cnorm")
           .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      else {
+      else if (assignTop <= 1 && assignMargin.isEmpty) {
+        // hot-cluster star: per-cluster (min, count) via groupBy+join
+        // (the minhash discipline — partial-aggregable, 1 stats row a
+        // cluster); a vector belongs to exactly one cluster in this
+        // path, so cold and hot branches are disjoint and need no
+        // final distinct
+        val stats = a.groupBy("cid")
+          .agg(min(col("vec_id")).as("cmin"), count(lit(1L)).as("nd"))
+          .filter(col("nd") >= 2)
+        val rws = persistTracked(a.join(stats, "cid"))
+        val cold = rws.filter(col("nd") <= maxVecsPerCluster)
+        val coldPairs = cosGate(
+          cold.as("x")
+            .join(cold.as("y"),
+              col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id")),
+          "x.cand_emb", "x.cnorm", "y.cand_emb", "y.cnorm")
+          .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+        val hotPairs = cosGate(
+          rws.filter(col("nd") > maxVecsPerCluster && col("vec_id") =!= col("cmin"))
+            .as("y")
+            .join(
+              a.select(col("vec_id").as("_hid"), col("cand_emb").as("_hemb"),
+                col("cnorm").as("_hnorm")).as("h"),
+              col("h._hid") === col("y.cmin")),
+          "h._hemb", "h._hnorm", "y.cand_emb", "y.cnorm")
+          .select(col("y.cmin").as("vec_a"), col("y.vec_id").as("vec_b"))
+        coldPairs.unionByName(hotPairs)
+      } else {
         // multi-assignment candidates: top-`assignTop` centroids per
         // vector (a per-vector window — k rows each, no skew), pairs
         // on ANY shared assigned cluster, deduplicated BEFORE the

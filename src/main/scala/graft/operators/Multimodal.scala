@@ -360,7 +360,8 @@ object Multimodal {
       maxHamming: Int = 4,
       idCol: String = "media_id",
       pigeonhole: Boolean = true,
-      permissive: Boolean = false): DataFrame = {
+      permissive: Boolean = false,
+      maxDocsPerSegment: Int = 0): DataFrame = {
     require(decoder.featureDim == DhashGridW * DhashGridH,
       s"perceptualHashPairs needs a ${DhashGridW}x$DhashGridH grid decoder " +
         s"(featureDim ${DhashGridW * DhashGridH}), got ${decoder.featureDim}")
@@ -372,7 +373,8 @@ object Multimodal {
     val fp = feats.select(
       col("media_id").as("doc_id"),
       expr(dhashSpark("features")).as("fph"))
-    Dedup.hammingPairs(fp, maxHamming = maxHamming, bits = 64, pigeonhole = pigeonhole)
+    Dedup.hammingPairs(fp, maxHamming = maxHamming, bits = 64,
+      pigeonhole = pigeonhole, maxDocsPerSegment = maxDocsPerSegment)
       .select(
         col("doc_a").as("media_a"), col("doc_b").as("media_b"), col("hamming"))
   }

@@ -52,9 +52,19 @@ object TrainingExport {
     * shape). Both algorithms emit identical labels (spec-pinned), so
     * nobody has to guess their corpus's chain structure up front.
     */
+  /** `maxDocsPerBand` is the hot-bucket dial (0 = off): the batch
+    * stage runs [[Dedup.minhashPairs]]'s star cap (a bucket past the
+    * cap contributes |bucket|−1 hub edges — identical-copy components
+    * unchanged, which is all this stage consumes), and the ingest
+    * stage caps the state probe's corpus side at the cap smallest
+    * doc_ids per bucket ([[Dedup.minhashPairsAgainstBandTable]]) —
+    * bounding a boilerplate template's per-ingest candidate fan-out
+    * at O(cap) instead of O(|corpus copies|).
+    */
   final case class DedupNearDup(
       numPartitions: Option[Int] = None,
-      propagateRounds: Int = 8) extends DedupStage
+      propagateRounds: Int = 8,
+      maxDocsPerBand: Int = 0) extends DedupStage
   /** SimHash near-dup: 30-bit fingerprint pairs within source blocks
     * at `maxHamming` ([[Dedup.simhashPairs]] — pigeonhole equi-join
     * candidates, exact bit_count refine) → connected components →
@@ -240,8 +250,8 @@ object TrainingExport {
         kept.join(
           Dedup.exact(kept).select(col("canonical_doc_id").as("doc_id")),
           Seq("doc_id"), "left_semi")
-      case DedupNearDup(np, rounds) =>
-        val pairs = Dedup.minhashPairs(kept)
+      case DedupNearDup(np, rounds, cap) =>
+        val pairs = Dedup.minhashPairs(kept, maxDocsPerBand = cap)
         val labels = ConnectedComponents.components(
           pairs, "doc_a", "doc_b", propagateRounds = rounds, numPartitions = np)
         kept.join(
@@ -787,7 +797,7 @@ object TrainingExport {
         (marked.filter(col("keep")).drop("keep"),
           () => { Dedup.appendAndMaybeCompactLines(
             newKeys, dedupTbl, buckets, maxFilesPerBucket); () })
-      case DedupNearDup(_, _) =>
+      case DedupNearDup(_, _, cap) =>
         requireLayout(Seq("band", "bkey"), "DedupNearDup")
         // tracked persist: the probe, the within-batch pass, and the
         // state appends all read the batch signatures
@@ -800,9 +810,14 @@ object TrainingExport {
           .minhashPairsAgainstBandTable(
             sigs,
             Dedup.stateTableLive(spark, dedupTbl),
-            Dedup.stateTableLive(spark, sigsTbl))
+            Dedup.stateTableLive(spark, sigsTbl),
+            maxCorpusDocsPerBand = cap)
           .select(col("new_id").as("_rid"))
-        val within = Dedup.minhashPairsAgainstSignatures(sigs, sigs)
+        // within-batch: the cap goes on the NEW side (hub orientation
+        // — rejected is the LARGER id, so hubs must be the small ids;
+        // see minhashPairsAgainstSignatures' scaladoc)
+        val within = Dedup
+          .minhashPairsAgainstSignatures(sigs, sigs, maxNewDocsPerBand = cap)
           .filter(col("new_id") < col("corpus_id"))
           .select(col("corpus_id").as("_rid"))
         val rejected = vsSeen.union(within).distinct()

@@ -35,6 +35,32 @@ object Corpus {
       |SELECT doc_id + 2000000, text || ' near dup extra tail', lang, source, n_chars
       |FROM documents WHERE doc_id % 11 = 0""".stripMargin
 
+  /** [[docCorpus]] ∪ a HOT GROUP: `copies` verbatim copies of the
+    * lowest-doc_id document (ids 3,000,000+g). Identical texts have
+    * identical minhash signatures, so the group lands in ONE (band,
+    * bkey) bucket in EVERY band — the boilerplate-template skew shape
+    * that makes an uncapped LSH band self-join quadratic. Fixture for
+    * the hot-band star dial (`minhashPairs(maxDocsPerBand)`).
+    */
+  def hotCorpus(spark: SparkSession, dir: String, copies: Int = 40): DataFrame = {
+    val seed = Tables.documents(spark, dir)
+      .orderBy("doc_id").limit(1)
+      .select("text", "lang", "source", "n_chars")
+    docCorpus(spark, dir).unionByName(
+      spark.range(copies.toLong)
+        .select((col("id") + 3000000L).as("doc_id"))
+        .crossJoin(seed)
+        .select("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
+  def hotCorpusSql(copies: Int = 40): String =
+    s"""$docCorpusSql
+       |UNION ALL
+       |SELECT 3000000 + g.g AS doc_id, h.text, h.lang, h.source, h.n_chars
+       |FROM (SELECT text, lang, source, n_chars FROM documents
+       |      ORDER BY doc_id LIMIT 1) h
+       |CROSS JOIN (SELECT range AS g FROM range(0, $copies)) g""".stripMargin
+
   /** documents with planted cross-doc token spans for the
     * repeated-span detector: every doc with doc_id % 13 == 0 gets the
     * FIRST 20 tokens of doc_id+1's text appended — so the pair
@@ -130,4 +156,29 @@ object Corpus {
       |UNION ALL
       |SELECT vec_id + 100000, list_transform(embedding, x -> x * 1.001::FLOAT), label
       |FROM embeddings WHERE vec_id % 17 = 0""".stripMargin
+
+  /** embeddings ∪ a HOT EMBEDDING SPIKE: `copies` verbatim copies of
+    * the lowest-vec_id embedding (ids 300,001+g — offset past every
+    * `% 50` k-means seed slot so the planted mass never becomes a
+    * centroid seed). Identical vectors share one top-1 assignment, so
+    * the group lands in ONE cluster — the broken-encoder shape that
+    * makes SemDeDup's within-cluster join quadratic. Fixture for the
+    * hot-cluster star dial (`semanticDedup(maxVecsPerCluster)`).
+    */
+  def hotEmbCorpus(spark: SparkSession, dir: String, copies: Int = 40): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val seed = e.orderBy("vec_id").limit(1).select("embedding")
+    e.unionByName(
+      spark.range(copies.toLong)
+        .select((col("id") + 300001L).as("vec_id"))
+        .crossJoin(seed)
+        .select("vec_id", "embedding"))
+  }
+
+  def hotEmbCorpusSql(copies: Int = 40): String =
+    s"""SELECT vec_id, embedding FROM embeddings
+       |UNION ALL
+       |SELECT 300001 + g.g AS vec_id, h.embedding
+       |FROM (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1) h
+       |CROSS JOIN (SELECT range AS g FROM range(0, $copies)) g""".stripMargin
 }

@@ -359,6 +359,54 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(near >= Math.ceil(500.0 / 11).toLong * 8 / 10, s"minhash near-dup recall too low: $near")
   }
 
+  test("hot-band star: subset of uncapped pairs, identical-copy components intact, |group|−1 edges") {
+    import org.apache.spark.sql.functions._
+    val hot = Corpus.hotCorpus(spark, dir).cache()
+    val capped = Dedup.minhashPairs(hot, maxDocsPerBand = 8).cache()
+    val uncapped = Dedup.minhashPairs(hot).cache()
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cs = pairSet(capped)
+    val us = pairSet(uncapped)
+    // every star edge (bucket-min, member) is also an uncapped
+    // candidate of the same bucket, verified by the same n_agree gate
+    assert(cs.subsetOf(us), s"capped pairs must be a subset; extra: ${(cs -- us).take(5)}")
+    // the identical-copy hub: doc 0, its +1M exact copy, and the 40
+    // planted 3M+ copies share every band bucket (identical sigs) —
+    // the capped form emits exactly the 41 star edges from hub 0 at
+    // full agreement, where uncapped pays C(42,2) = 861
+    val hotIds = (Set(0L, 1000000L) ++ (0 until 40).map(g => 3000000L + g)).toSet
+    val hotCapped = cs.filter { case (a, b) => hotIds(a) && hotIds(b) }
+    val hotUncapped = us.filter { case (a, b) => hotIds(a) && hotIds(b) }
+    assert(hotCapped == hotIds.filter(_ != 0L).map(m => (0L, m)),
+      s"hot group must reduce to the 41-edge star on doc 0; got ${hotCapped.size}")
+    assert(hotUncapped.size == 42 * 41 / 2, s"uncapped control: ${hotUncapped.size}")
+    assert(capped.filter(col("doc_a") === 0L && col("doc_b") >= 3000000L)
+      .filter(col("n_agree") =!= 32L).count() == 0, "identical copies verify at full agreement")
+    // clusters are what dedup consumes: the identical-copy component
+    // survives the star reduction byte-identically
+    def hubComponent(pairs: org.apache.spark.sql.DataFrame) =
+      graft.operators.ConnectedComponents.labelPropagate(pairs, "doc_a", "doc_b")
+        .filter(col("component") === 0L).select("node")
+        .collect().map(_.getLong(0)).toSet
+    assert(hubComponent(capped).intersect(hotIds) == hubComponent(uncapped).intersect(hotIds),
+      "identical-copy membership of component 0 must match")
+  }
+
+  test("hot-band boundary: a bucket at the cap stays all-pairs; one past the cap goes star") {
+    import spark.implicits._
+    // k identical docs: one bucket of size k in every band
+    def group(k: Int) = (0 until k)
+      .map(i => (i.toLong, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val k = 5
+    val atCap = Dedup.minhashPairs(group(k), maxDocsPerBand = k)
+    assert(atCap.count() == k.toLong * (k - 1) / 2, "nd == cap must keep all-pairs")
+    val pastCap = Dedup.minhashPairs(group(k), maxDocsPerBand = k - 1).collect()
+    assert(pastCap.length == k - 1 && pastCap.forall(r => r.getLong(0) == 0L),
+      "nd == cap+1 must star onto the bucket min")
+  }
+
   test("band tuning: narrower bands yield a candidate superset (the recall dial)") {
     // contiguous band layout ⇒ a w-wide agreeing band contains
     // agreeing halves, so halving rowsPerBand can only ADD candidates
@@ -378,6 +426,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // oversubscribing the signature is rejected
     intercept[IllegalArgumentException] {
       Dedup.minhashPairs(corpus, bands = 16, rowsPerBand = 4)
+    }
+  }
+
+  test("hot-segment star: subset of uncapped, Hamming-0 hub exact, boundary at the cap") {
+    import org.apache.spark.sql.functions._
+    val hot = Corpus.hotCorpus(spark, dir).cache()
+    val capped = Dedup.simhashPairs(hot, maxDocsPerSegment = 8).cache()
+    val uncapped = Dedup.simhashPairs(hot).cache()
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cs = pairSet(capped)
+    val us = pairSet(uncapped)
+    assert(cs.subsetOf(us), s"extra capped pairs: ${(cs -- us).take(5)}")
+    // the 42 fingerprint-identical members (seed, +1M copy, 40 hot
+    // copies — all one source block) flood every segment bucket:
+    // capped keeps exactly the star on the seed at Hamming 0
+    val hotIds = (Set(0L, 1000000L) ++ (0 until 40).map(g => 3000000L + g)).toSet
+    val hotCapped = cs.filter { case (a, b) => hotIds(a) && hotIds(b) }
+    assert(hotCapped == hotIds.filter(_ != 0L).map(m => (0L, m)),
+      s"hot group must star on doc 0: ${hotCapped.size}")
+    assert(capped.filter(col("doc_a") === 0L && col("doc_b") >= 3000000L)
+      .filter(col("hamming") =!= 0L).count() == 0)
+    assert(us.count { case (a, b) => hotIds(a) && hotIds(b) } == 42 * 41 / 2)
+    // cap boundary on a synthetic fingerprint-identical group
+    import spark.implicits._
+    def group(k: Int) = (0 until k)
+      .map(i => (i.toLong, "s0", "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "source", "text")
+    assert(Dedup.simhashPairs(group(5), maxDocsPerSegment = 5).count() == 10L,
+      "nd == cap keeps all-pairs")
+    val star = Dedup.simhashPairs(group(5), maxDocsPerSegment = 4).collect()
+    assert(star.length == 4 && star.forall(_.getLong(0) == 0L),
+      "nd == cap+1 stars onto the min")
+    // the reference quadratic form has no buckets to cap
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(group(5), pigeonhole = false, maxDocsPerSegment = 4)
     }
   }
 
@@ -682,6 +766,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val n = corpus.count()
     assert(nSec >= 2 && nSec <= n * 3 / 100,
       s"q0.01 margin admitted $nSec of $n secondary rows — expected ≈1%")
+  }
+
+  test("hot-cluster star: embedding-spike decisions equal uncapped SemDeDup; dial rejects multi-assign") {
+    import org.apache.spark.sql.functions._
+    val hot = Corpus.hotEmbCorpus(spark, dir)
+    def decisions(cap: Int) =
+      Dedup.semanticDedup(hot, maxVecsPerCluster = cap)
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    val capped = decisions(8)
+    val uncapped = decisions(0)
+    // cosine-identical spike members all verify against the cluster's
+    // min-id hub, so the star loses nothing this corpus' pairs need:
+    // the full decision table matches row for row
+    assert(capped == uncapped)
+    // the spike (seed + 40 copies) is one component with one keeper
+    val seedId = Tables.embeddings(spark, dir).orderBy("vec_id").limit(1)
+      .collect()(0).getLong(0)
+    val spikeIds = (Set(seedId) ++ (0 until 40).map(g => 300001L + g)).toSet
+    val spike = capped.filter(r => spikeIds(r._1))
+    assert(spike.size == 41)
+    assert(spike.map(_._3).toSet.size == 1, "spike must be one component")
+    assert(spike.count(_._4) == 1, "exactly one spike keeper")
+    // the dial is a top-1-path cap; multi-assignment paths refuse it
+    intercept[IllegalArgumentException] {
+      Dedup.semanticDedup(hot, assignTop = 2, maxVecsPerCluster = 8)
+    }
+    Dedup.unpersistAll()
   }
 
   test("semantic dedup: planted copies collapse within clusters, one keeper per component") {

@@ -2408,6 +2408,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally dropIngestState(p2)
   }
 
+  test("runIngest near-dup hot-bucket cap: survivors equal the uncapped front on a template-flood fixture") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // a boilerplate template flooding both the within-batch pass and
+    // the persisted state probe: the cap (3) binds in both — NEW-side
+    // hubs within the batch, corpus-side representatives at the probe
+    // — and over sig-identical copies both orientations provably keep
+    // the uncapped REJECTION set, so the shipped set must match the
+    // uncapped front doc for doc
+    val template = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    def mk(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, "src0", t) }
+        .toDF("doc_id", "source", "text")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    val bench = mk(Seq((7777L, "benchmark text nothing shares this")))
+    val b0 = mk((1L to 10L).map(i => (i, template)) ++ Seq(
+      (20L, "twenty completely different words about weather patterns today"),
+      (21L, "twenty one another unrelated document on maritime navigation charts")))
+    val b1 = mk((31L to 35L).map(i => (i, template)) :+
+      ((40L, "forty a genuinely new arrival discussing volcanic geology")))
+    def shipped(p: String, cap: Int): Seq[Set[Long]] = {
+      dropIngestState(p)
+      try {
+        val cfg = allOff.copy(
+          dedup = DedupNearDup(maxDocsPerBand = cap), numShards = 2)
+        Seq(b0, b1).map { b =>
+          val s = TrainingExport.runIngest(b, bench, cfg, p)
+          Dedup.unpersistAll()
+          s.select("doc_id").collect().map(_.getLong(0)).toSet
+        }
+      } finally dropIngestState(p)
+    }
+    val capped = shipped("ingest_spec_hotcap", cap = 3)
+    val uncapped = shipped("ingest_spec_hotun", cap = 0)
+    assert(capped == uncapped,
+      s"capped front must ship the uncapped set: $capped vs $uncapped")
+    assert(capped(0) == Set(1L, 20L, 21L),
+      s"batch 0: template hub + the two distinct docs: ${capped(0)}")
+    assert(capped(1) == Set(40L),
+      s"batch 1: re-shipped template copies all lose to the state: ${capped(1)}")
+  }
+
   test("runChunksIngest: cross-batch chunk keys fold, re-ingest ships nothing, seq continues densely") {
     import spark.implicits._
     import graft.operators.{Dedup, TextAnalysis}

@@ -110,6 +110,80 @@ class StateCompactionSpec extends AnyFunSuite {
     }
   }
 
+  test("hot-bucket probe cap: representatives only, rejection set intact, no extra exchange on the bucketed layout") {
+    // corpus carries a 20-copy boilerplate template; the batch
+    // re-ships it 5 times plus the natural tail-append batch
+    val base = Corpus.docCorpus(spark, dir)
+    val seed = base.orderBy("doc_id").limit(1).select("text")
+    def copies(nCopies: Int, offset: Long) = spark.range(nCopies.toLong)
+      .select((col("id") + offset).as("doc_id"))
+      .crossJoin(seed).select("doc_id", "text")
+    val corpus = base.select("doc_id", "text").unionByName(copies(20, 3000000L))
+    val newBatch = base
+      .filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text", concat(col("text"), lit(" ingest tail")))
+      .select("doc_id", "text")
+      .unionByName(copies(5, 4000000L))
+    val corpusSigs = Dedup.signatureTable(corpus).localCheckpoint(true)
+    val newSigs = Dedup.signatureTable(newBatch).localCheckpoint(true)
+    Dedup.unpersistAll()
+    val cap = 4
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("new_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairSet(
+      Dedup.minhashPairsAgainstSignatures(newSigs, corpusSigs, maxCorpusDocsPerBand = cap))
+    val uncapped = pairSet(Dedup.minhashPairsAgainstSignatures(newSigs, corpusSigs))
+    assert(capped.subsetOf(uncapped))
+    // the REJECTION decision the ingest stage consumes is unchanged:
+    // sig-identical bucket members are interchangeable representatives
+    assert(capped.map(_._1) == uncapped.map(_._1),
+      "the set of batch docs with >=1 corpus partner must not change")
+    // the cap binds PER BUCKET: partners are the union of each shared
+    // bucket's <=cap smallest members, so a hot batch doc may also
+    // keep pairs from OTHER (small) buckets it matches. Pin the
+    // sig-IDENTICAL bucket's slice exactly: its members sorted are
+    // (seed, seed+1M exact copy, 3M+0, 3M+1, ...), so cap=4 admits
+    // seed, 1M, 3M+0, 3M+1 — and NO 3M member past the slice.
+    val seedId = base.orderBy("doc_id").limit(1).collect()(0).getLong(0)
+    val identicalBucket = Set(seedId, seedId + 1000000L) ++
+      (0 until 20).map(g => 3000000L + g)
+    val hotPartners = capped.filter(_._1 >= 4000000L).groupBy(_._1)
+    assert(hotPartners.size == 5)
+    val expectedSlice = Set(seedId, seedId + 1000000L, 3000000L, 3000001L)
+    hotPartners.foreach { case (nid, ps) =>
+      assert(ps.map(_._2).intersect(identicalBucket) == expectedSlice,
+        s"batch doc $nid identical-bucket reps: got ${ps.map(_._2).intersect(identicalBucket)}")
+    }
+    // uncapped control: every hot batch doc fans to ALL 22 sig-identical members
+    assert(uncapped.filter(_._1 >= 4000000L).groupBy(_._1)
+      .forall(_._2.map(x => x._2).intersect(identicalBucket).size == 22))
+
+    // the bucketed-layout probe agrees, and the cap's row_number rides
+    // the bucketing: no additional exchange over the uncapped probe
+    val table = "sigband_spec_hot"
+    TestSpark.resetTable(spark, s"$table")
+    try {
+      val bands = Dedup.writeBandTable(corpusSigs, table, buckets = 4)
+      assert(pairSet(Dedup.minhashPairsAgainstBandTable(
+        newSigs, bands, corpusSigs, maxCorpusDocsPerBand = cap)) == capped)
+      val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val (exCapped, exPlain) =
+        try {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          (exchanges(Dedup.minhashPairsAgainstBandTable(
+            newSigs, bands, corpusSigs, maxCorpusDocsPerBand = cap)),
+            exchanges(Dedup.minhashPairsAgainstBandTable(newSigs, bands, corpusSigs)))
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      assert(exCapped == exPlain,
+        s"the per-bucket cap must not add an exchange: $exCapped vs $exPlain")
+    } finally {
+      TestSpark.resetTable(spark, s"$table")
+    }
+    Dedup.unpersistAll()
+  }
+
   test("appendAndMaybeCompact: cadence triggers on the file-count threshold, probe results pinned across it") {
     val corpus = Corpus.docCorpus(spark, dir)
     val newBatch = corpus
