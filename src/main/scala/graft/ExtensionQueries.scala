@@ -540,6 +540,13 @@ object ExtensionQueries {
       // through unchanged (minus any that straddle the hot group).
       Dedup.minhashPairs(Corpus.hotCorpus(s, dir), maxDocsPerBand = 8)
         .orderBy("doc_a", "doc_b")),
+    "q_dedup_hotband_report" -> ((s, dir) =>
+      // the dial-setting diagnostic: the top-10 hottest band buckets
+      // with member counts, largest first — on the planted corpus the
+      // 42-member template group must own the top slots (one bucket
+      // per band), and nd·(nd−1)/2 against the top row is how a user
+      // reads off whether a cap is needed before paying the join
+      Dedup.hotBandReport(Corpus.hotCorpus(s, dir), k = 10)),
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Corpus.docCorpus(s, dir)).orderBy("doc_a", "doc_b")),
     "q_dedup_simhash_hotseg" -> ((s, dir) =>
@@ -5405,6 +5412,27 @@ object ExtensionQueries {
       s"""${minhashPairsSqlWith(
              Bands, RowsPerBand, Corpus.hotCorpusSql(),
              maxDocsPerBand = 8)} ORDER BY doc_a, doc_b""",
+
+    "q_dedup_hotband_report" -> {
+      val bandSelects = bandKeysDuck("sig").zipWithIndex
+        .map { case (k, b) => s"SELECT doc_id, $b AS band, $k AS bkey FROM tok" }
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH corpus AS (
+         |${Corpus.hotCorpusSql()}
+         |), tokw AS (
+         |  SELECT doc_id, ${wordHashArrayDuck(wordsDuck("text"))} AS wh
+         |  FROM corpus WHERE $tokGuard3
+         |), tok0 AS (
+         |  SELECT doc_id, ${shingleHashesFromWordHashesDuck("wh", 3)} AS grams FROM tokw
+         |), tok AS (
+         |  SELECT doc_id, ${minhashSigDuck("grams")} AS sig FROM tok0
+         |), bands AS (
+         |  $bandSelects
+         |)
+         |SELECT band, bkey, COUNT(*) AS nd FROM bands
+         |GROUP BY band, bkey
+         |ORDER BY nd DESC, band, bkey LIMIT 10""".stripMargin
+    },
 
     "q_stream_dedup_ingest" ->
       // batch-split invariance again: streamed signature ingest must

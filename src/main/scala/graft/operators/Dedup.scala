@@ -514,6 +514,46 @@ object Dedup {
     * substring family. Star edges still pass the n_agree verify; the
     * output contract (doc_a < doc_b, n_agree) is unchanged.
     */
+  /** Top-`k` hottest candidate buckets of any bucket-keyed rows — the
+    * dial-setting diagnostic for the hot-bucket star caps. Works on
+    * every candidate-generation state the engine keeps, because they
+    * are all (key..., doc) rows: minhash band rows / the persisted
+    * band table on `(band, bkey)`, pigeonhole segment rows / the
+    * Hamming table on `(sh_seg, sh_key[, block])`, the shingle table
+    * on `(h1, h2)`, a written IVF index's assignments on `(cid)`.
+    * Returns the key columns plus `nd` (bucket member count), largest
+    * first with the key columns as the deterministic tie-break. A
+    * bucket's uncapped candidate contribution is nd·(nd−1)/2 — read
+    * the top row against that square before picking a cap. One
+    * partial-aggregable groupBy + a k-row TopK: safe to run on the
+    * full state at any scale.
+    */
+  def hotBucketReport(rows: DataFrame, keys: Seq[String], k: Int = 20): DataFrame = {
+    require(keys.nonEmpty, "hotBucketReport needs at least one bucket key column")
+    rows.groupBy(keys.map(col): _*)
+      .agg(count(lit(1L)).as("nd"))
+      .orderBy(col("nd").desc +: keys.map(col): _*)
+      .limit(k)
+  }
+
+  /** [[hotBucketReport]] over a corpus's minhash band rows — the
+    * report to read before setting `minhashPairs(maxDocsPerBand)`.
+    */
+  def hotBandReport(
+      docs: DataFrame,
+      k: Int = 20,
+      n: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      bands: Int = graft.functions.TextExprs.Bands,
+      rowsPerBand: Int = graft.functions.TextExprs.RowsPerBand): DataFrame = {
+    PolyHash.register(docs.sparkSession)
+    graft.functions.MinHashSig.register(docs.sparkSession)
+    hotBucketReport(
+      bandRows(minhashSignatures(docs, n, textCol, idCol), bands, rowsPerBand),
+      Seq("band", "bkey"), k)
+  }
+
   def minhashPairs(
       docs: DataFrame,
       n: Int = 3,

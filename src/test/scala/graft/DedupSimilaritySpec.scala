@@ -393,6 +393,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "identical-copy membership of component 0 must match")
   }
 
+  test("hotBucketReport: the planted template owns the top band buckets; generic over states") {
+    val hot = Corpus.hotCorpus(spark, dir)
+    val rep = Dedup.hotBandReport(hot, k = 10).collect()
+    assert(rep.length == 10)
+    // the 42 identical members (seed, +1M copy, 40 planted) land in
+    // ONE bucket per band — 8 bands, so the top 8 rows are theirs
+    assert(rep.take(8).forall(_.getLong(2) >= 42L),
+      s"top-8 counts: ${rep.take(8).map(_.getLong(2)).toSeq}")
+    assert(rep(8).getLong(2) < 42L, "rank 9 must be a natural bucket")
+    val counts = rep.map(_.getLong(2)).toSeq
+    assert(counts == counts.sortBy(-_), "largest first")
+    // the same verb reads cluster sizes off a built index's
+    // assignments — the semantic star's dial-setting view
+    val sizes = Dedup.hotBucketReport(
+      graft.operators.SimilaritySearch
+        .buildIndex(Corpus.hotEmbCorpus(spark, dir)).assignments,
+      Seq("cid"), k = 3).collect()
+    assert(sizes.head.getLong(1) >= 41L,
+      s"the spike's cluster must top the report: ${sizes.map(_.getLong(1)).toSeq}")
+    Dedup.unpersistAll()
+  }
+
   test("hot-band boundary: a bucket at the cap stays all-pairs; one past the cap goes star") {
     import spark.implicits._
     // k identical docs: one bucket of size k in every band
