@@ -103,6 +103,36 @@ object ProbeHotBandScale {
       }
     }
 
+    // the STEADY-STATE shape: the corpus signature state accumulates
+    // 512 more template copies per ingest while a FIXED 8-copy batch
+    // probes it — uncapped, the per-ingest probe bill grows with the
+    // accumulated hot mass; capped, it stays at 8 × cap representatives
+    println(f"${"ingest"}%8s ${"mode"}%10s ${"probe_pairs"}%12s ${"wall_s"}%8s")
+    val probeB = spark.range(8L)
+      .select((col("id") + 5000000L).as("doc_id"))
+      .crossJoin(seed).select("doc_id", "text")
+    val probeSigs = Dedup.signatureTable(probeB).localCheckpoint(true)
+    Dedup.unpersistAll()
+    for ((mode, cap) <- Seq("uncapped" -> 0, "capped" -> 8)) {
+      var stateSigs = Dedup.signatureTable(base).localCheckpoint(true)
+      Dedup.unpersistAll()
+      for (i <- 1 to 8) {
+        val arriving = spark.range(512L)
+          .select((col("id") + 3000000L + i * 100000L).as("doc_id"))
+          .crossJoin(seed).select("doc_id", "text")
+        val arrivingSigs = Dedup.signatureTable(arriving).localCheckpoint(true)
+        Dedup.unpersistAll()
+        stateSigs = stateSigs.unionByName(arrivingSigs).localCheckpoint(true)
+        val t0 = System.nanoTime()
+        val n = Dedup.minhashPairsAgainstSignatures(
+          probeSigs, stateSigs, maxCorpusDocsPerBand = cap).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        if (i == 1 || i == 4 || i == 8)
+          println(f"$i%8d $mode%10s $n%12d $wall%8.2f")
+        Dedup.unpersistAll()
+      }
+    }
+
     // the INGEST shape: a fixed 8-copy template batch probed against
     // a corpus whose hot group grows. Uncapped verified pairs per
     // batch = 8 × (H + natural), capped = 8 × (union of per-bucket
