@@ -1828,6 +1828,29 @@ object ExtensionQueries {
         .orderBy("media_a", "media_b")
     }),
 
+    "q_dedup_media_hotseg" -> ((s, dir) => {
+      // the hot-segment star at MEDIA granularity — the same shared
+      // hammingPairs kernel, 64-bit dHash: 40 re-keyed copies of one
+      // payload (an asset farm re-shipping a logo) carry ONE hash
+      // that floods all five segment buckets; past the cap each
+      // bucket stars on its min media_id through the unchanged
+      // bit_count refine
+      val d = Tables.documents(s, dir)
+      val seedMedia = graft.operators.Multimodal
+        .synthesizePpmTextured(d.orderBy("doc_id").limit(1))
+        .select("media", "meta")
+      val media = graft.operators.Multimodal.synthesizePpmTextured(d)
+        .unionByName(graft.operators.Multimodal.synthesizePpmTextured(
+          d.filter(col("doc_id") % 7 === 0),
+          mediaIdOffset = 1000000L, perturb = true))
+        .unionByName(
+          s.range(40).select((col("id") + 3000000L).as("media_id"))
+            .crossJoin(seedMedia)
+            .select("media_id", "media", "meta"))
+      graft.operators.Multimodal
+        .perceptualHashPairs(media, maxHamming = 4, maxDocsPerSegment = 8)
+        .orderBy("media_a", "media_b")
+    }),
     "q_dedup_media_incremental" -> ((s, dir) => {
       // the media granularity's INGEST shape (the minhashPairsAgainst
       // contract): the corpus's dHash segment rows live in a bucketed
@@ -6235,6 +6258,53 @@ object ExtensionQueries {
       s"""WITH $mediaDhashPairCtes
          |SELECT media_a, media_b, hamming FROM mpairs
          |ORDER BY media_a, media_b""".stripMargin,
+
+    "q_dedup_media_hotseg" -> {
+      // 64-bit segment boundaries from the engine's own
+      // simhashSegments(4, 64); arithmetic >> then mask matches the
+      // Spark spelling bit for bit (both sign-extend, both truncate)
+      val segSelects = graft.operators.Dedup.simhashSegments(4, bits = 64)
+        .zipWithIndex
+        .map { case ((start, width), i) =>
+          val mask = (1L << width) - 1
+          s"SELECT media_id, fph, $i AS seg, (fph >> $start) & $mask AS segval FROM hsh"
+        }
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id, doc_id AS sid, FALSE AS pert FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, doc_id, TRUE FROM documents WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT 3000000 + g.g, h.sid, FALSE
+         |  FROM (SELECT MIN(doc_id) AS sid FROM documents) h
+         |  CROSS JOIN (SELECT range AS g FROM range(0, 40)) g
+         |), ${mediaDhashHashCtes("m", "")}, segs AS (
+         |  $segSelects
+         |), bstat AS (
+         |  SELECT seg, segval, MIN(media_id) AS bmin, COUNT(*) AS nd
+         |  FROM segs GROUP BY seg, segval HAVING COUNT(*) >= 2
+         |), brw AS (
+         |  SELECT s.media_id, s.seg, s.segval, b.bmin, b.nd
+         |  FROM segs s JOIN bstat b ON s.seg = b.seg AND s.segval = b.segval
+         |), cand AS (
+         |  SELECT DISTINCT media_a, media_b FROM (
+         |    SELECT x.media_id AS media_a, y.media_id AS media_b
+         |    FROM brw x JOIN brw y
+         |      ON x.seg = y.seg AND x.segval = y.segval AND x.media_id < y.media_id
+         |    WHERE x.nd <= 8
+         |    UNION ALL
+         |    SELECT bmin AS media_a, media_id AS media_b
+         |    FROM brw WHERE nd > 8 AND media_id <> bmin
+         |  )
+         |)
+         |SELECT c.media_a, c.media_b,
+         |       CAST(bit_count(xor(fa.fph, fb.fph)) AS BIGINT) AS hamming
+         |FROM cand c
+         |JOIN hsh fa ON fa.media_id = c.media_a
+         |JOIN hsh fb ON fb.media_id = c.media_b
+         |WHERE bit_count(xor(fa.fph, fb.fph)) <= 4
+         |ORDER BY media_a, media_b""".stripMargin
+    },
 
     // incremental media ingest: the shared pair fragment restricted
     // to the (corpus original, new copy) boundary — the ids partition

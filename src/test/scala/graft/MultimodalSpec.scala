@@ -214,6 +214,30 @@ class MultimodalSpec extends AnyFunSuite {
       "the re-encoded copy must pair at Hamming 0 through the decoder")
   }
 
+  test("perceptual hot-segment star: the asset-farm payload reduces to a Hamming-0 hub star") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    val seedMedia = Multimodal.synthesizePpmTextured(docs.orderBy("doc_id").limit(1))
+      .select("media", "meta")
+    val media = Multimodal.synthesizePpmTextured(docs)
+      .unionByName(
+        spark.range(20L).select((col("id") + 3000000L).as("media_id"))
+          .crossJoin(seedMedia).select("media_id", "media", "meta"))
+    def pairSet(cap: Int) = Multimodal
+      .perceptualHashPairs(media, maxHamming = 4, maxDocsPerSegment = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val capped = pairSet(8)
+    val uncapped = pairSet(0)
+    assert(capped.subsetOf(uncapped))
+    val seedId = docs.orderBy("doc_id").limit(1).collect()(0).getLong(0)
+    val hotIds = (Set(seedId) ++ (0 until 20).map(g => 3000000L + g)).toSet
+    val hotCapped = capped.filter(p => hotIds(p._1) && hotIds(p._2))
+    assert(hotCapped == hotIds.filter(_ != seedId).map(m => (seedId, m, 0L)),
+      s"21 identical payloads must star on the seed at Hamming 0: ${hotCapped.size}")
+    assert(uncapped.count(p => hotIds(p._1) && hotIds(p._2)) == 21 * 20 / 2)
+    graft.operators.Dedup.unpersistAll()
+  }
+
   test("perceptualHashPairs permissive mode skips undecodable payloads instead of failing the job") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
