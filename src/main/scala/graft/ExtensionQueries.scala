@@ -594,6 +594,46 @@ object ExtensionQueries {
       Dedup.unpersistAll()
       out.orderBy("new_doc", "corpus_doc")
     }),
+    "q_dedup_simhash_incremental_hotseg" -> ((s, dir) => {
+      // the segment-state probe under corpus-side skew — the minhash
+      // incremental-hotband query at the SimHash granularity: the
+      // persisted segment state carries a 40-copy template (one
+      // fingerprint flooding all five buckets of its block), the
+      // arriving batch re-ships the template 10 times plus the
+      // natural tail batch, and the probe reads only the cap smallest
+      // bucket representatives
+      val docs = Tables.documents(s, dir)
+      val seed = docs.orderBy("doc_id").limit(1).select("source", "text")
+      val corpus = docs.select("doc_id", "source", "text").unionByName(
+        s.range(40).select((col("id") + 3000000L).as("doc_id"))
+          .crossJoin(seed).select("doc_id", "source", "text"))
+      val batch = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("text", concat(col("text"), lit(" ingest tail")))
+        .select("doc_id", "source", "text")
+        .unionByName(
+          s.range(10).select((col("id") + 4000000L).as("doc_id"))
+            .crossJoin(seed).select("doc_id", "source", "text"))
+      val tbl = "graft_simhash_hotseg_" +
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+          .replaceAll("[^A-Za-z0-9]", "_")
+      val shufKey = "spark.sql.shuffle.partitions"
+      val prevShuf = s.conf.get(shufKey)
+      val out = try {
+        s.conf.set(shufKey, "8")
+        Dedup.writeSimhashTable(corpus, tbl, maxHamming = 4, buckets = 8)
+        Dedup.simhashPairsAgainst(batch, s, tbl, maxHamming = 4,
+          maxCorpusDocsPerSegment = 8)
+          .localCheckpoint(true)
+      } finally {
+        s.conf.set(shufKey, prevShuf)
+        s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+        s.sql(s"DROP TABLE IF EXISTS `${tbl}_compact_tmp`")
+        s.sql(s"DROP TABLE IF EXISTS `${tbl}_tombstones`")
+      }
+      Dedup.unpersistAll()
+      out.orderBy("new_doc", "corpus_doc")
+    }),
     "q_dedup_simhash_ingest_delete" -> ((s, dir) => {
       // the TAKEDOWN path on persisted TEXT-SIMHASH state — the media
       // delete query's shape at the text granularity: segment rows
@@ -5800,6 +5840,59 @@ object ExtensionQueries {
          |JOIN fp fb ON fb.doc_id = c.doc_b
          |WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 4
          |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q_dedup_simhash_incremental_hotseg" -> {
+      val segSelects = graft.operators.Dedup.simhashSegments(4).zipWithIndex
+        .map { case ((start, width), i) =>
+          val mask = (1L << width) - 1
+          s"SELECT doc_id, block, simhash, $i AS seg, (simhash >> $start) & $mask AS segval FROM cf"
+        }
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH seed AS (
+         |  SELECT source, text FROM documents ORDER BY doc_id LIMIT 1
+         |), corpus AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  UNION ALL
+         |  SELECT 3000000 + g.g, h.source, h.text
+         |  FROM seed h CROSS JOIN (SELECT range AS g FROM range(0, 40)) g
+         |), batch AS (
+         |  SELECT doc_id + 1000000 AS doc_id, source, text || ' ingest tail' AS text
+         |  FROM documents WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT 4000000 + g.g, h.source, h.text
+         |  FROM seed h CROSS JOIN (SELECT range AS g FROM range(0, 10)) g
+         |), cfv AS (
+         |  SELECT doc_id, source AS block, ${simhashVotesDuck(wordsDuck("text"))} AS votes
+         |  FROM corpus WHERE ${tokenCountDuck("text")} >= 1
+         |), cf AS (
+         |  SELECT doc_id, block, ${simhashPackDuck("votes")} AS simhash FROM cfv
+         |), bfv AS (
+         |  SELECT doc_id, source AS block, ${simhashVotesDuck(wordsDuck("text"))} AS votes
+         |  FROM batch WHERE ${tokenCountDuck("text")} >= 1
+         |), bf AS (
+         |  SELECT doc_id, block, ${simhashPackDuck("votes")} AS simhash FROM bfv
+         |), csegs AS (
+         |  $segSelects
+         |), capped AS (
+         |  SELECT doc_id, block, seg, segval FROM (
+         |    SELECT doc_id, block, seg, segval,
+         |           ROW_NUMBER() OVER (PARTITION BY seg, segval, block ORDER BY doc_id) AS _rk
+         |    FROM csegs) t WHERE _rk <= 8
+         |), bsegs AS (
+         |  ${segSelects.replace("FROM cf", "FROM bf")}
+         |), cand AS (
+         |  SELECT DISTINCT x.doc_id AS new_doc, y.doc_id AS corpus_doc
+         |  FROM bsegs x JOIN capped y
+         |    ON x.seg = y.seg AND x.segval = y.segval AND x.block = y.block
+         |)
+         |SELECT c.new_doc, c.corpus_doc,
+         |       CAST(bit_count(xor(b.simhash, f.simhash)) AS BIGINT) AS hamming
+         |FROM cand c
+         |JOIN bf b ON b.doc_id = c.new_doc
+         |JOIN cf f ON f.doc_id = c.corpus_doc
+         |WHERE bit_count(xor(b.simhash, f.simhash)) <= 4
+         |ORDER BY new_doc, corpus_doc""".stripMargin
     },
 
     "q_dedup_simhash_incremental" ->

@@ -678,11 +678,20 @@ object Dedup {
     * bucket the way a collect_list cap would.
     */
   private def capCorpusBands(corpusBands: DataFrame, cap: Int): DataFrame =
-    if (cap <= 0) corpusBands
+    capBucketRows(corpusBands, Seq("band", "bkey"), cap)
+
+  /** The corpus-side representative cap shared by every bucket-keyed
+    * ingest probe: keep the `cap` smallest `doc_id`s per bucket. See
+    * [[capCorpusBands]]'s call sites for the semantics argument
+    * (sig-/fingerprint-identical members are interchangeable for the
+    * rejection decision a probe feeds).
+    */
+  private def capBucketRows(rows: DataFrame, keys: Seq[String], cap: Int): DataFrame =
+    if (cap <= 0) rows
     else {
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band"), col("bkey")).orderBy(col("doc_id"))
-      corpusBands
+        .partitionBy(keys.map(col): _*).orderBy(col("doc_id"))
+      rows
         .withColumn("_rk", row_number().over(w))
         .filter(col("_rk") <= cap)
         .drop("_rk")
@@ -1349,11 +1358,21 @@ object Dedup {
     * A fingerprint present in both sides (same id) matches itself —
     * callers filter if unwanted.
     */
+  /** `maxCorpusDocsPerSegment` is the ingest twin of the one-shot
+    * [[hammingPairs]] star dial ([[minhashPairsAgainstSignatures]]'s
+    * `maxCorpusDocsPerBand` on segment buckets): the corpus side of
+    * the probe join keeps the cap smallest doc_ids per (segment,
+    * value[, block]) bucket — fingerprint-identical members are
+    * interchangeable for the rejection decision, so an asset-farm /
+    * template bucket rejects re-shipped copies at O(cap) fan-out per
+    * batch row instead of O(|accumulated copies|).
+    */
   private[graft] def hammingPairsAgainst(
       newFp: DataFrame,
       corpusSegs: DataFrame,
       maxHamming: Int,
-      bits: Int): DataFrame = {
+      bits: Int,
+      maxCorpusDocsPerSegment: Int = 0): DataFrame = {
     // OPTIONAL block confinement — the text-SimHash granularity pairs
     // within `source` blocks (the one-shot simhashPairs semantics,
     // and what keeps the candidate volume sane when a corpus's
@@ -1370,9 +1389,13 @@ object Dedup {
         "semantics; rebuild the state (or the batch fingerprints) to match")
     def blockEq =
       if (batchBlocked) col("x.block") === col("y.block") else lit(true)
+    val cappedCorpus = capBucketRows(
+      corpusSegs,
+      Seq("sh_seg", "sh_key") ++ (if (corpusBlocked) Seq("block") else Nil),
+      maxCorpusDocsPerSegment)
     hammingSegmentRows(newFp, maxHamming, bits).as("x")
       .join(
-        corpusSegs.as("y"),
+        cappedCorpus.as("y"),
         col("x.sh_seg") === col("y.sh_seg") && col("x.sh_key") === col("y.sh_key") &&
           blockEq)
       .select(
@@ -1603,12 +1626,14 @@ object Dedup {
       maxHamming: Int = 4,
       blockCol: String = "source",
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame =
+      idCol: String = "doc_id",
+      maxCorpusDocsPerSegment: Int = 0): DataFrame =
     hammingPairsAgainst(
       simhashFingerprints(newDocs, textCol, idCol, passthroughCols = Seq(blockCol))
         .withColumnRenamed(blockCol, "block"),
       hammingTableLive(spark, table, maxHamming, bits = SimhashBits),
-      maxHamming, bits = SimhashBits)
+      maxHamming, bits = SimhashBits,
+      maxCorpusDocsPerSegment = maxCorpusDocsPerSegment)
       .select(
         col("new_id").as("new_doc"), col("corpus_id").as("corpus_doc"),
         col("hamming"))

@@ -440,11 +440,13 @@ object Multimodal {
       decoder: MediaDecoder = PpmGridDecoder,
       maxHamming: Int = 4,
       idCol: String = "media_id",
-      permissive: Boolean = false): DataFrame =
+      permissive: Boolean = false,
+      maxCorpusDocsPerSegment: Int = 0): DataFrame =
     Dedup.hammingPairsAgainst(
       mediaDhashFingerprints(newMedia, decoder, idCol, permissive),
       Dedup.hammingTableLive(spark, table, maxHamming, bits = 64),
-      maxHamming, bits = 64)
+      maxHamming, bits = 64,
+      maxCorpusDocsPerSegment = maxCorpusDocsPerSegment)
       .select(
         col("new_id").as("new_media"), col("corpus_id").as("corpus_media"),
         col("hamming"))

@@ -75,10 +75,18 @@ object TrainingExport {
     * source blocking bounds incidental pairing (see FIXTURES.md on
     * why text SimHash must block).
     */
+  /** `maxDocsPerSegment` is [[DedupNearDup]]'s hot-bucket dial at the
+    * SimHash granularity (0 = off): batch stage and within-batch
+    * ingest pass run [[Dedup.simhashPairs]]'s segment-bucket star
+    * (hub = min id, the orientation both consumers need), and the
+    * state probe caps its corpus side at the cap smallest doc_ids
+    * per bucket ([[Dedup.simhashPairsAgainst]]).
+    */
   final case class DedupSimHash(
       maxHamming: Int = 4,
       numPartitions: Option[Int] = None,
-      propagateRounds: Int = 8) extends DedupStage
+      propagateRounds: Int = 8,
+      maxDocsPerSegment: Int = 0) extends DedupStage
 
   /** Budget currency for the mixture stage. */
   sealed trait BudgetCurrency
@@ -258,8 +266,8 @@ object TrainingExport {
           labels.filter(col("node") =!= col("component"))
             .select(col("node").as("doc_id")),
           Seq("doc_id"), "left_anti")
-      case DedupSimHash(mh, np, rounds) =>
-        val pairs = Dedup.simhashPairs(kept, maxHamming = mh)
+      case DedupSimHash(mh, np, rounds, cap) =>
+        val pairs = Dedup.simhashPairs(kept, maxHamming = mh, maxDocsPerSegment = cap)
         val labels = ConnectedComponents.components(
           pairs, "doc_a", "doc_b", propagateRounds = rounds, numPartitions = np)
         kept.join(
@@ -826,13 +834,17 @@ object TrainingExport {
             Dedup.appendAndMaybeCompact(sigs, dedupTbl, buckets, maxFilesPerBucket)
             Dedup.appendToSignatureTable(sigs, sigsTbl, buckets)
           })
-      case DedupSimHash(mh, _, _) =>
+      case DedupSimHash(mh, _, _, cap) =>
         requireLayout(Seq("sh_seg", "sh_key"), "DedupSimHash")
         if (!spark.catalog.tableExists(dedupTbl))
           Dedup.writeSimhashTable(gated.limit(0), dedupTbl, maxHamming = mh, buckets = buckets)
-        val vsSeen = Dedup.simhashPairsAgainst(gated, spark, dedupTbl, maxHamming = mh)
+        val vsSeen = Dedup.simhashPairsAgainst(gated, spark, dedupTbl, maxHamming = mh,
+          maxCorpusDocsPerSegment = cap)
           .select(col("new_doc").as("_rid"))
-        val within = Dedup.simhashPairs(gated, maxHamming = mh)
+        // within-batch: the one-shot star's hub IS the min id, so
+        // rejecting doc_b keeps the uncapped rejection set over
+        // fingerprint-identical buckets
+        val within = Dedup.simhashPairs(gated, maxHamming = mh, maxDocsPerSegment = cap)
           .select(col("doc_b").as("_rid")) // pairs emit doc_a < doc_b
         val rejected = vsSeen.union(within).distinct()
         (gated.join(rejected, gated("doc_id") === rejected("_rid"), "left_anti"),

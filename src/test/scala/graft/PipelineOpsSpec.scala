@@ -2448,6 +2448,30 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"batch 0: template hub + the two distinct docs: ${capped(0)}")
     assert(capped(1) == Set(40L),
       s"batch 1: re-shipped template copies all lose to the state: ${capped(1)}")
+
+    // the SimHash granularity under the same flood: identical texts
+    // carry one fingerprint, so the segment-bucket star (within) and
+    // the corpus-side representative cap (state probe) must also
+    // reproduce the uncapped front doc for doc
+    def shippedSh(p: String, cap: Int): Seq[Set[Long]] = {
+      dropIngestState(p)
+      try {
+        val cfg = allOff.copy(
+          dedup = TrainingExport.DedupSimHash(maxDocsPerSegment = cap),
+          numShards = 2)
+        Seq(b0, b1).map { b =>
+          val s = TrainingExport.runIngest(b, bench, cfg, p)
+          Dedup.unpersistAll()
+          s.select("doc_id").collect().map(_.getLong(0)).toSet
+        }
+      } finally dropIngestState(p)
+    }
+    val shCapped = shippedSh("ingest_spec_hotcap_sh", cap = 3)
+    val shUncapped = shippedSh("ingest_spec_hotun_sh", cap = 0)
+    assert(shCapped == shUncapped,
+      s"SimHash capped front must ship the uncapped set: $shCapped vs $shUncapped")
+    assert(shCapped(1).isEmpty || shCapped(1) == Set(40L),
+      s"re-shipped template copies must lose to the segment state: ${shCapped(1)}")
   }
 
   test("runChunksIngest: cross-batch chunk keys fold, re-ingest ships nothing, seq continues densely") {
