@@ -5843,10 +5843,11 @@ object ExtensionQueries {
     },
 
     "q_dedup_simhash_incremental_hotseg" -> {
-      val segSelects = graft.operators.Dedup.simhashSegments(4).zipWithIndex
+      def segSelectsFrom(rel: String) = graft.operators.Dedup
+        .simhashSegments(4).zipWithIndex
         .map { case ((start, width), i) =>
           val mask = (1L << width) - 1
-          s"SELECT doc_id, block, simhash, $i AS seg, (simhash >> $start) & $mask AS segval FROM cf"
+          s"SELECT doc_id, block, simhash, $i AS seg, (simhash >> $start) & $mask AS segval FROM $rel"
         }
         .mkString("\n  UNION ALL\n  ")
       s"""WITH seed AS (
@@ -5873,14 +5874,14 @@ object ExtensionQueries {
          |), bf AS (
          |  SELECT doc_id, block, ${simhashPackDuck("votes")} AS simhash FROM bfv
          |), csegs AS (
-         |  $segSelects
+         |  ${segSelectsFrom("cf")}
          |), capped AS (
          |  SELECT doc_id, block, seg, segval FROM (
          |    SELECT doc_id, block, seg, segval,
          |           ROW_NUMBER() OVER (PARTITION BY seg, segval, block ORDER BY doc_id) AS _rk
          |    FROM csegs) t WHERE _rk <= 8
          |), bsegs AS (
-         |  ${segSelects.replace("FROM cf", "FROM bf")}
+         |  ${segSelectsFrom("bf")}
          |), cand AS (
          |  SELECT DISTINCT x.doc_id AS new_doc, y.doc_id AS corpus_doc
          |  FROM bsegs x JOIN capped y

@@ -494,26 +494,6 @@ object Dedup {
       .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
   }
 
-  /** `maxDocsPerBand` is the HOT-BUCKET dial: 0 (the default) keeps
-    * the exact all-pairs-within-bucket semantics; a positive cap
-    * switches any (band, bkey) bucket holding MORE than `cap` docs
-    * from the quadratic self-join to a STAR on the bucket's minimum
-    * doc_id — |bucket|−1 candidate edges instead of |bucket|²/2.
-    * This is the one blowup the band join cannot otherwise escape at
-    * corpus scale: B near-identical boilerplate docs share a bucket
-    * in EVERY band (identical signatures hash identically in all of
-    * them), so the uncapped join materializes bands × B²/2 rows —
-    * at B = 10⁶ that is ~4·10¹² candidate rows from ONE template.
-    * The star keeps exactly what dedup needs: members of a
-    * hot bucket stay one connected component through the hub (for
-    * mutually-identical docs every star edge verifies at full
-    * signature agreement, so clusters()/apply() are unchanged —
-    * spec-pinned), while merely-similar hot-bucket members may lose
-    * pair edges the quadratic join would have verified — the recall
-    * side of the dial, same trade as `maxDocsPerShingle` in the
-    * substring family. Star edges still pass the n_agree verify; the
-    * output contract (doc_a < doc_b, n_agree) is unchanged.
-    */
   /** Top-`k` hottest candidate buckets of any bucket-keyed rows — the
     * dial-setting diagnostic for the hot-bucket star caps. Works on
     * every candidate-generation state the engine keeps, because they
@@ -554,6 +534,26 @@ object Dedup {
       Seq("band", "bkey"), k)
   }
 
+  /** `maxDocsPerBand` is the HOT-BUCKET dial: 0 (the default) keeps
+    * the exact all-pairs-within-bucket semantics; a positive cap
+    * switches any (band, bkey) bucket holding MORE than `cap` docs
+    * from the quadratic self-join to a STAR on the bucket's minimum
+    * doc_id — |bucket|−1 candidate edges instead of |bucket|²/2.
+    * This is the one blowup the band join cannot otherwise escape at
+    * corpus scale: B near-identical boilerplate docs share a bucket
+    * in EVERY band (identical signatures hash identically in all of
+    * them), so the uncapped join materializes bands × B²/2 rows —
+    * at B = 10⁶ that is ~4·10¹² candidate rows from ONE template.
+    * The star keeps exactly what dedup needs: members of a
+    * hot bucket stay one connected component through the hub (for
+    * mutually-identical docs every star edge verifies at full
+    * signature agreement, so clusters()/apply() are unchanged —
+    * spec-pinned), while merely-similar hot-bucket members may lose
+    * pair edges the quadratic join would have verified — the recall
+    * side of the dial, same trade as `maxDocsPerShingle` in the
+    * substring family. Star edges still pass the n_agree verify; the
+    * output contract (doc_a < doc_b, n_agree) is unchanged.
+    */
   def minhashPairs(
       docs: DataFrame,
       n: Int = 3,
@@ -578,29 +578,15 @@ object Dedup {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
     } else {
-      // per-bucket (min, count) via groupBy+join, not a window: the
-      // agg partial-combines map-side (a hot bucket never assembles
-      // its rows in one task's sort the way a window partition
-      // would), and the join back is 1 stats row per bucket — AQE
-      // splittable. Singleton buckets drop at the inner join (they
-      // cannot pair; the uncapped self-join shuffles them for
-      // nothing).
-      val stats = bandRws.groupBy("band", "bkey")
-        .agg(min(col("doc_id")).as("bmin"), count(lit(1L)).as("nd"))
-        .filter(col("nd") >= 2)
-      val rws = persistTracked(
-        bandRws.join(stats, Seq("band", "bkey"))
-          .select(col("band"), col("bkey"), col("doc_id"), col("bmin"), col("nd")))
-      val cold = rws.filter(col("nd") <= maxDocsPerBand)
+      val (cold, hot) = starSplitBuckets(
+        bandRws.select("band", "bkey", "doc_id"),
+        Seq("band", "bkey"), "doc_id", maxDocsPerBand)
       val coldPairs = cold.as("x")
         .join(cold.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      // doc_a < doc_b holds by construction: bmin is the bucket min
-      val hotPairs = rws
-        .filter(col("nd") > maxDocsPerBand && col("doc_id") =!= col("bmin"))
-        .select(col("bmin").as("doc_a"), col("doc_id").as("doc_b"))
+      val hotPairs = hot.select(col("bmin").as("doc_a"), col("doc_id").as("doc_b"))
       coldPairs.unionByName(hotPairs)
     }).distinct()
     cand
@@ -679,6 +665,31 @@ object Dedup {
     */
   private def capCorpusBands(corpusBands: DataFrame, cap: Int): DataFrame =
     capBucketRows(corpusBands, Seq("band", "bkey"), cap)
+
+  /** The hot-bucket star's shared skeleton: per-bucket (min, count)
+    * via groupBy+join — partial-aggregable, one stats row a bucket,
+    * never a hot window sort — with singleton buckets dropped at the
+    * inner join (they cannot pair; the uncapped self-joins shuffle
+    * them for nothing). Returns (cold rows: buckets within the cap,
+    * still all-pairs; hot rows: past-cap bucket members EXCLUDING the
+    * hub, each carrying its bucket's `bmin`). The three families'
+    * capped branches (minhash bands, Hamming segments, k-means
+    * clusters) all build their pair forms on this one split, so the
+    * boundary invariants — nd ≥ 2, ≤ cap vs > cap, hub excluded, and
+    * doc_a < doc_b holding because bmin IS the bucket minimum — live
+    * here once. `rows` is tracked-persisted with the joined stats
+    * (both branches and the cold self-join's two sides read it).
+    */
+  private def starSplitBuckets(
+      rows: DataFrame, keys: Seq[String], idCol: String, cap: Int)
+      : (DataFrame, DataFrame) = {
+    val stats = rows.groupBy(keys.map(col): _*)
+      .agg(min(col(idCol)).as("bmin"), count(lit(1L)).as("nd"))
+      .filter(col("nd") >= 2)
+    val rws = persistTracked(rows.join(stats, keys))
+    (rws.filter(col("nd") <= cap),
+      rws.filter(col("nd") > cap && col(idCol) =!= col("bmin")))
+  }
 
   /** The corpus-side representative cap shared by every bucket-keyed
     * ingest probe: keep the `cap` smallest `doc_id`s per bucket. See
@@ -1292,12 +1303,9 @@ object Dedup {
         // Hamming-0 members keep their components exactly — every
         // hub edge verifies at 0 (spec-pinned).
         val segKeys = Seq("sh_seg", "sh_key") ++ (if (blocked) Seq("block") else Nil)
-        val sg0 = hammingSegmentRows(fpp, maxHamming, bits)
-        val stats = sg0.groupBy(segKeys.map(col): _*)
-          .agg(min(col("doc_id")).as("bmin"), count(lit(1L)).as("nd"))
-          .filter(col("nd") >= 2)
-        val sg = persistTracked(sg0.join(stats, segKeys))
-        val cold = sg.filter(col("nd") <= maxDocsPerSegment)
+        val (cold, hot) = starSplitBuckets(
+          hammingSegmentRows(fpp, maxHamming, bits),
+          segKeys, "doc_id", maxDocsPerSegment)
         val coldPairs = cold.as("x")
           .join(cold.as("y"),
             col("x.sh_seg") === col("y.sh_seg") &&
@@ -1307,8 +1315,7 @@ object Dedup {
           .select(
             col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
             col("x.fph").as("ha"), col("y.fph").as("hb"))
-        val hotPairs = sg
-          .filter(col("nd") > maxDocsPerSegment && col("doc_id") =!= col("bmin"))
+        val hotPairs = hot
           .select(col("bmin").as("doc_a"), col("doc_id").as("doc_b"),
             col("fph").as("hb"))
           .join(fpp.select(col("doc_id").as("doc_a"), col("fph").as("ha")), "doc_a")
@@ -2514,16 +2521,12 @@ object Dedup {
           "x.cand_emb", "x.cnorm", "y.cand_emb", "y.cnorm")
           .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       else if (assignTop <= 1 && assignMargin.isEmpty) {
-        // hot-cluster star: per-cluster (min, count) via groupBy+join
-        // (the minhash discipline — partial-aggregable, 1 stats row a
-        // cluster); a vector belongs to exactly one cluster in this
-        // path, so cold and hot branches are disjoint and need no
-        // final distinct
-        val stats = a.groupBy("cid")
-          .agg(min(col("vec_id")).as("cmin"), count(lit(1L)).as("nd"))
-          .filter(col("nd") >= 2)
-        val rws = persistTracked(a.join(stats, "cid"))
-        val cold = rws.filter(col("nd") <= maxVecsPerCluster)
+        // hot-cluster star on the shared split; a vector belongs to
+        // exactly one cluster in this path, so cold and hot branches
+        // are disjoint and need no final distinct
+        val (cold, hot) = starSplitBuckets(
+          a.select("vec_id", "cid", "cand_emb", "cnorm"),
+          Seq("cid"), "vec_id", maxVecsPerCluster)
         val coldPairs = cosGate(
           cold.as("x")
             .join(cold.as("y"),
@@ -2531,14 +2534,13 @@ object Dedup {
           "x.cand_emb", "x.cnorm", "y.cand_emb", "y.cnorm")
           .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
         val hotPairs = cosGate(
-          rws.filter(col("nd") > maxVecsPerCluster && col("vec_id") =!= col("cmin"))
-            .as("y")
+          hot.as("y")
             .join(
               a.select(col("vec_id").as("_hid"), col("cand_emb").as("_hemb"),
                 col("cnorm").as("_hnorm")).as("h"),
-              col("h._hid") === col("y.cmin")),
+              col("h._hid") === col("y.bmin")),
           "h._hemb", "h._hnorm", "y.cand_emb", "y.cnorm")
-          .select(col("y.cmin").as("vec_a"), col("y.vec_id").as("vec_b"))
+          .select(col("y.bmin").as("vec_a"), col("y.vec_id").as("vec_b"))
         coldPairs.unionByName(hotPairs)
       } else {
         // multi-assignment candidates: top-`assignTop` centroids per

@@ -149,6 +149,12 @@ object TrainingExport {
     *   chain). Docs WITHOUT a media row pass through untouched (the
     *   anti-join-on-droppers shape the semantic stage uses). Requires
     *   the `media` frame on [[run]] — media is data, like embeddings
+    * @param mediaMaxDocsPerSegment the media stage's hot-bucket dial
+    *   (0 = off; [[DedupSimHash]]'s `maxDocsPerSegment` at dHash
+    *   granularity): batch pairs and the within-batch ingest pass run
+    *   the segment-bucket star, and the ingest state probe caps its
+    *   corpus side — an asset farm re-shipping one payload rejects at
+    *   O(cap) fan-out instead of O(accumulated copies)
     * @param contaminationMaxPpm keep docs strictly under this
     *   benchmark n-gram overlap (None = stage off). The benchmark
     *   frame is a [[run]] argument, not config — it's data.
@@ -170,6 +176,7 @@ object TrainingExport {
       semanticDedup: Boolean = false,
       semanticPq: Boolean = false,
       mediaDedup: Option[Int] = None,
+      mediaMaxDocsPerSegment: Int = 0,
       contaminationMaxPpm: Option[Long] = Some(500000L),
       budgets: Seq[(String, Long)] = Nil,
       defaultBudget: Long = Long.MaxValue,
@@ -380,7 +387,8 @@ object TrainingExport {
           .pipe(Dedup.persistTracked)
         val liveExact = live.join(exactDroppers, Seq("media_id"), "left_anti")
         val labels = ConnectedComponents.labelPropagate(
-          Multimodal.perceptualHashPairs(liveExact, maxHamming = maxHamming),
+          Multimodal.perceptualHashPairs(liveExact, maxHamming = maxHamming,
+            maxDocsPerSegment = cfg.mediaMaxDocsPerSegment),
           "media_a", "media_b")
         val perceptualDroppers = labels
           .filter(col("node") =!= col("component"))
@@ -1168,10 +1176,14 @@ object TrainingExport {
         val vsSeen = Dedup
           .hammingPairsAgainst(
             fps, Dedup.hammingTableLive(spark, dhTbl, mh, bits = 64),
-            mh, bits = 64)
+            mh, bits = 64,
+            maxCorpusDocsPerSegment = cfg.mediaMaxDocsPerSegment)
           .select(col("new_id").as("_mid"))
+        // within-batch: the one-shot star's hub IS the min id, the
+        // orientation rejecting doc_b needs (the DedupSimHash twin)
         val within = Dedup
-          .hammingPairs(fps, maxHamming = mh, bits = 64, pigeonhole = true)
+          .hammingPairs(fps, maxHamming = mh, bits = 64, pigeonhole = true,
+            maxDocsPerSegment = cfg.mediaMaxDocsPerSegment)
           .select(col("doc_b").as("_mid")) // pairs emit doc_a < doc_b
         val exactDrop = xMarked.filter(!col("keep"))
           .select(col("media_id").as("_mid"))

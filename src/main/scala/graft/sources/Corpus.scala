@@ -166,6 +166,12 @@ object Corpus {
     * hot-cluster star dial (`semanticDedup(maxVecsPerCluster)`).
     */
   def hotEmbCorpus(spark: SparkSession, dir: String, copies: Int = 40): DataFrame = {
+    // ids 300001..300001+copies-1 dodge the % 50 seed slots only while
+    // the run stays short of 300050 — past that the planted mass would
+    // seed its own centroid and the fixture's premise silently breaks
+    require(copies <= 49,
+      s"hotEmbCorpus plants ids from 300001 and must stay below the next " +
+        s"% 50 k-means seed slot (300050) to keep the spike seedless — got $copies")
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val seed = e.orderBy("vec_id").limit(1).select("embedding")
     e.unionByName(

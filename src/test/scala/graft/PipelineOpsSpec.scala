@@ -2635,6 +2635,67 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("runIngest media hot-bucket cap: survivors equal the uncapped front on a re-encoded asset flood") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Multimodal}
+    // the asset-farm flood the byte pass CANNOT stop: re-encoded
+    // copies (same pixels, different header comment) are
+    // byte-distinct, so every one reaches the perceptual state and
+    // the dHash bucket accumulates — exactly where
+    // mediaMaxDocsPerSegment binds; over hash-identical members the
+    // capped front must ship the uncapped survivor set doc for doc
+    def mk(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, "src0", t) }
+        .toDF("doc_id", "source", "text")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    val bench = mk(Seq((7777L, "benchmark text nothing shares this")))
+    def mediaFor(baseId: Long, mediaId: Long) =
+      Multimodal.synthesizePpmTextured(
+        Seq(baseId).toDF("doc_id"), mediaIdOffset = mediaId - baseId)
+    // byte-distinct, pixel-identical: rewrite the header comment only
+    def reencoded(mediaId: Long, v: Int) = mediaFor(1L, mediaId)
+      .withColumn("media", expr(
+        s"CAST(replace(CAST(media AS STRING), '# doc 1', '# doc 1 v$v') AS BINARY)"))
+    val b0docs = mk((1L to 5L).map(i => (i, s"doc $i words $i")) :+
+      ((6L, "doc six carries its own distinct payload")))
+    val b0media = (1 to 5).map(i => reencoded(i.toLong, i))
+      .reduce(_ unionByName _)
+      .unionByName(mediaFor(6L, 6L))
+    val b1docs = mk(Seq(
+      (11L, "doc eleven reships the asset"),
+      (12L, "doc twelve reships it too"),
+      (13L, "doc thirteen has no media at all")))
+    val b1media = reencoded(11L, 11).unionByName(reencoded(12L, 12))
+    def shipped(p: String, cap: Int): Seq[Set[Long]] = {
+      dropIngestState(p)
+      Seq("_mediafp", "_mediafp_compact_tmp", "_mediafp_tombstones",
+        "_mediadh", "_mediadh_compact_tmp", "_mediadh_tombstones")
+        .foreach(t => TestSpark.resetTable(spark, s"`$p$t`"))
+      try {
+        val cfg = allOff.copy(
+          mediaDedup = Some(4), mediaMaxDocsPerSegment = cap, numShards = 2)
+        Seq(b0docs -> b0media, b1docs -> b1media).map { case (b, m) =>
+          val s = TrainingExport.runIngest(b, bench, cfg, p, media = m)
+          Dedup.unpersistAll()
+          s.select("doc_id").collect().map(_.getLong(0)).toSet
+        }
+      } finally {
+        dropIngestState(p)
+        Seq("_mediafp", "_mediafp_compact_tmp", "_mediafp_tombstones",
+          "_mediadh", "_mediadh_compact_tmp", "_mediadh_tombstones")
+          .foreach(t => TestSpark.resetTable(spark, s"`$p$t`"))
+      }
+    }
+    val capped = shipped("ingest_spec_mediacap", cap = 3)
+    val uncapped = shipped("ingest_spec_mediaun", cap = 0)
+    assert(capped == uncapped,
+      s"capped media front must ship the uncapped set: $capped vs $uncapped")
+    assert(capped(0) == Set(1L, 6L),
+      s"batch 0: flood hub + the distinct-payload doc: ${capped(0)}")
+    assert(capped(1) == Set(13L),
+      s"batch 1: re-encoded re-ships lose to the dHash state: ${capped(1)}")
+  }
+
   test("runIngest semantic stage: arrival claims via batch membership, embedding-less docs flow, takedown remedy works") {
     import spark.implicits._
     import graft.operators.{Dedup, SimilaritySearch}

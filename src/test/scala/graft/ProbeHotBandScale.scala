@@ -81,7 +81,12 @@ object ProbeHotBandScale {
     // broken-encoder shape) collapses into one cluster; uncapped,
     // SemDeDup's within-cluster join pays H²/2 full-width cosine
     // comparisons there — wall is the observable (the operator
-    // returns decisions, not pairs)
+    // returns decisions, not pairs). At H > 49 some planted ids land
+    // on % 50 seed slots (identical seed vectors — degenerate
+    // duplicate centroids), unlike the hotEmbCorpus fixture, which
+    // requires a seedless spike; here both modes share whatever
+    // clustering results, so the capped-vs-uncapped comparison (and
+    // the decision-equality readout) stays valid
     println(f"${"H"}%8s ${"mode"}%10s ${"decisions"}%12s ${"wall_s"}%8s")
     val emb = graft.sources.Tables.embeddings(spark, dir)
       .select("vec_id", "embedding").localCheckpoint(true)
