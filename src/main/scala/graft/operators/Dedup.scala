@@ -697,11 +697,13 @@ object Dedup {
     * (sig-/fingerprint-identical members are interchangeable for the
     * rejection decision a probe feeds).
     */
-  private def capBucketRows(rows: DataFrame, keys: Seq[String], cap: Int): DataFrame =
+  private[graft] def capBucketRows(
+      rows: DataFrame, keys: Seq[String], cap: Int,
+      idCol: String = "doc_id"): DataFrame =
     if (cap <= 0) rows
     else {
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(keys.map(col): _*).orderBy(col("doc_id"))
+        .partitionBy(keys.map(col): _*).orderBy(col(idCol))
       rows
         .withColumn("_rk", row_number().over(w))
         .filter(col("_rk") <= cap)
@@ -2718,11 +2720,23 @@ object Dedup {
     * for the persisted layout, exactly like the minhash family's
     * band-table probe.
     */
+  /** `maxCorpusVecsPerList` is the ingest family's hot-bucket cap on
+    * the clustering's own buckets (the semantic twin of
+    * `maxCorpusDocsPerBand`/`maxCorpusDocsPerSegment`): the corpus
+    * side of the probe keeps the cap smallest corpus_ids per touched
+    * list, so a degenerate-encoder spike accumulated in the state
+    * (one constant embedding → one list holding the whole flood)
+    * rejects re-arriving copies at O(cap) fan-out per batch vector
+    * instead of O(|accumulated spike|). Cosine-identical list members
+    * are interchangeable for the rejection decision; merely-similar
+    * members past the cap may lose pairs (the family's recall dial).
+    */
   def semanticDedupAgainstIndex(
       newEmb: DataFrame,
       index: SimilaritySearch.IvfIndex,
       minCosPpm: Long = 995000L,
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id",
+      maxCorpusVecsPerList: Int = 0): DataFrame = {
     graft.functions.VecDot.register(newEmb.sparkSession)
     // persisted: the assign pass feeds both the touched-list collect
     // and the pair join (the codes-backed verb's discipline, r18) —
@@ -2739,13 +2753,15 @@ object Dedup {
         col("cand_emb").as("ne"), col("cnorm").as("nn")))
     val touched = newA.select(col("cid").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val corpusA = index.assignments
-      .filter(
-        if (touched.isEmpty) lit(false)
-        else col("cid").cast("long").isin(touched: _*))
-      .select(
-        col("cand_id").as("corpus_id"), col("cid"),
-        col("cand_emb").as("ce"), col("cnorm").as("cn"))
+    val corpusA = capBucketRows(
+      index.assignments
+        .filter(
+          if (touched.isEmpty) lit(false)
+          else col("cid").cast("long").isin(touched: _*))
+        .select(
+          col("cand_id").as("corpus_id"), col("cid"),
+          col("cand_emb").as("ce"), col("cnorm").as("cn")),
+      Seq("cid"), maxCorpusVecsPerList, idCol = "corpus_id")
     newA.join(corpusA, "cid")
       .withColumn(
         "cos",
@@ -2783,12 +2799,18 @@ object Dedup {
     * driftReport argument: bounded by nLists ≈ sqrt(corpus). No
     * corpus float vectors anywhere in the plan.
     */
+  /** `maxCorpusVecsPerList` — see [[semanticDedupAgainstIndex]]: the
+    * same corpus-side list cap, applied BEFORE reconstruction, so a
+    * hot list's decode bill also drops to the cap (the codes-backed
+    * form pays per reconstructed row).
+    */
   def semanticDedupAgainstPqIndex(
       newEmb: DataFrame,
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       minCosPpm: Long = 995000L,
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id",
+      maxCorpusVecsPerList: Int = 0): DataFrame = {
     graft.functions.VecDot.register(spark)
     val coarse = SimilaritySearch.readIndex(spark, dir)
     // persisted: the assign pass feeds both the touched-list collect
@@ -2799,11 +2821,13 @@ object Dedup {
         col("cand_emb").as("ne"), col("cnorm").as("nn")))
     val touched = newA.select(col("cid").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val corpusA = coarse.assignments
-      .filter(
-        if (touched.isEmpty) lit(false)
-        else col("cid").cast("long").isin(touched: _*))
-      .select(col("cand_id").as("corpus_id"), col("cid"))
+    val corpusA = capBucketRows(
+      coarse.assignments
+        .filter(
+          if (touched.isEmpty) lit(false)
+          else col("cid").cast("long").isin(touched: _*))
+        .select(col("cand_id").as("corpus_id"), col("cid")),
+      Seq("cid"), maxCorpusVecsPerList, idCol = "corpus_id")
       .join(
         SimilaritySearch.reconstructWrittenCodesForCids(spark, dir, touched)
           .select(col("cand_id").as("corpus_id"), col("recon").as("ce")),
