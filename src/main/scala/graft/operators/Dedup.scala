@@ -2802,7 +2802,12 @@ object Dedup {
   /** `maxCorpusVecsPerList` — see [[semanticDedupAgainstIndex]]: the
     * same corpus-side list cap, applied BEFORE reconstruction, so a
     * hot list's decode bill also drops to the cap (the codes-backed
-    * form pays per reconstructed row).
+    * form pays per reconstructed row). "Before" is literal since r19:
+    * the capped representative ids are pushed into
+    * [[SimilaritySearch.reconstructWrittenCodesForCids]] as a
+    * broadcast semi-join BELOW its posexplode/groupBy (an inner join
+    * above that aggregate is not pushable by Catalyst — ADVICE r18),
+    * so only cap×|touched lists| code rows decode.
     */
   def semanticDedupAgainstPqIndex(
       newEmb: DataFrame,
@@ -2821,15 +2826,27 @@ object Dedup {
         col("cand_emb").as("ne"), col("cnorm").as("nn")))
     val touched = newA.select(col("cid").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val corpusA = capBucketRows(
+    // capped representatives computed ONCE (tracked persist when the
+    // cap is live: the frame feeds both the pair join and the decode's
+    // id filter; uncapped it is a bare pruned scan read once — no
+    // persist, plan unchanged)
+    val reps0 = capBucketRows(
       coarse.assignments
         .filter(
           if (touched.isEmpty) lit(false)
           else col("cid").cast("long").isin(touched: _*))
         .select(col("cand_id").as("corpus_id"), col("cid")),
       Seq("cid"), maxCorpusVecsPerList, idCol = "corpus_id")
+    val reps = if (maxCorpusVecsPerList > 0) persistTracked(reps0) else reps0
+    val corpusA = reps
       .join(
-        SimilaritySearch.reconstructWrittenCodesForCids(spark, dir, touched)
+        SimilaritySearch
+          .reconstructWrittenCodesForCids(
+            spark, dir, touched,
+            idFilter =
+              if (maxCorpusVecsPerList > 0)
+                Some(reps.select(col("corpus_id").as("cand_id")))
+              else None)
           .select(col("cand_id").as("corpus_id"), col("recon").as("ce")),
         Seq("corpus_id"))
       .withColumn("cn", expr(s"sqrt(${VectorExprs.dotSpark("ce", "ce")})"))

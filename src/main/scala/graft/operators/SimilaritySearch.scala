@@ -281,8 +281,8 @@ object SimilaritySearch {
 
     val cents = (1 to lloydIters).foldLeft(seeds) { (c, _) =>
       localize(
-        fitEmb
-          .select(col(idCol).as("vid"), col("embedding"))
+        spreadForCompute(
+          fitEmb.select(col(idCol).as("vid"), col("embedding")))
           .crossJoin(broadcast(c))
           .withColumn("d", expr(l2sqSpark("embedding", "cemb")))
           .withColumn("rn", row_number().over(byDist))
@@ -336,8 +336,7 @@ object SimilaritySearch {
       centroids: DataFrame, vectors: DataFrame, idCol: String): DataFrame = {
     graft.functions.VecDot.register(vectors.sparkSession)
     val byDist = Window.partitionBy("vid").orderBy(col("d"), col("cid"))
-    vectors
-      .select(col(idCol).as("vid"), col("embedding"))
+    spreadForCompute(vectors.select(col(idCol).as("vid"), col("embedding")))
       .crossJoin(broadcast(centroids))
       .withColumn("d", expr(l2sqSpark("embedding", "cemb")))
       .withColumn("rn", row_number().over(byDist))
@@ -1185,8 +1184,7 @@ object SimilaritySearch {
   private def nearestLists(
       centroids: DataFrame, queries: DataFrame, nprobe: Int, idCol: String): DataFrame = {
     val byDist = Window.partitionBy("vid").orderBy(col("d"), col("cid"))
-    queries
-      .select(col(idCol).as("vid"), col("embedding"))
+    spreadForCompute(queries.select(col(idCol).as("vid"), col("embedding")))
       .crossJoin(broadcast(centroids))
       .withColumn("d", expr(l2sqSpark("embedding", "cemb")))
       .withColumn("rn", row_number().over(byDist))
@@ -1372,9 +1370,42 @@ object SimilaritySearch {
     PqCodebooks(m, subDim, cents)
   }
 
+  /** Parallelism floor for the JOIN-EXPLOSION kernels (nearest-
+    * centroid argmin, Lloyd assignment, PQ encode): their input rows
+    * are BYTES-tiny but each fans out k-fold against a broadcast
+    * centroid table, so a byte-derived split count (parquet row
+    * groups, AQE advisory sizes) under-partitions the compute by
+    * ~k× — measured at sf0.1 as 0.5–2 s single-task stages with 31
+    * idle cores (guide §2.5's input-skew shape, by compute density
+    * rather than bytes). One round-robin repartition of the
+    * PRE-explosion rows costs ≤1/k of the downstream FLOPs at any
+    * scale, so the floor is safe on a cluster too: max(total cores,
+    * shuffle partitions) tracks however the session is sized.
+    */
+  /** Gated OFF by default: measured at sf0.1 (isolated subset bench,
+    * 14 embed/semantic queries) the unconditional repartition REGRESSED
+    * the family 1.3–2× — the extra exchange adds an AQE stage
+    * materialization + plan re-render + 32-task scheduling round per
+    * argmin call, which at bench scale outweighs the single-task
+    * serialization it fixes. Opt in via spark conf
+    * `spark.graft.spreadForCompute=true` for deployments whose
+    * centroid sets are large enough that the k-fold blowup dominates
+    * (k in the thousands), where the floor pays for itself.
+    */
+  private def spreadForCompute(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.conf.getOption("spark.graft.spreadForCompute").contains("true")) df
+    else {
+      val p = math.max(
+        spark.sparkContext.defaultParallelism,
+        spark.sessionState.conf.numShufflePartitions)
+      df.repartition(p)
+    }
+  }
+
   private def pqSubVecs(
       df: DataFrame, m: Int, subDim: Int, idCol: String): DataFrame =
-    df.select(col(idCol).as("vid"), col("embedding"))
+    spreadForCompute(df.select(col(idCol).as("vid"), col("embedding")))
       .withColumn("s", explode(sequence(lit(0), lit(m - 1))))
       .withColumn("sv", expr(s"slice(embedding, s * $subDim + 1, $subDim)"))
       .select("vid", "s", "sv")
@@ -1838,19 +1869,34 @@ object SimilaritySearch {
     *
     * Fails fast on a pre-cid (flat) codes layout — run
     * [[migrateWrittenPqCodesCid]] once.
+    *
+    * `idFilter` (optional, `(cand_id)` rows) narrows the decode
+    * further, BELOW the posexplode/groupBy fan-out: a capped probe
+    * ([[graft.operators.Dedup.semanticDedupAgainstPqIndex]]'s
+    * `maxCorpusVecsPerList`) only ever joins the cap×|touched lists|
+    * representative rows, and an inner join ABOVE the aggregate
+    * cannot be pushed through it by Catalyst — so without this
+    * filter every code row of a hot list still paid the decode and
+    * non-representatives were dropped only at the join (ADVICE r18).
+    * The filter side is bounded by cap×|touched lists| by contract,
+    * hence the broadcast left-semi.
     */
   def reconstructWrittenCodesForCids(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      cids: Seq[Long]): DataFrame = {
+      cids: Seq[Long], idFilter: Option[DataFrame] = None): DataFrame = {
     val wide = readPqCodesWide(spark, dir)
     require(wide.columns.contains("cid"),
       s"combined IVFADC layout '$dir' carries FLAT code rows — the pruned " +
         "reconstruction needs the cid-partitioned codes layout; run " +
         "migrateWrittenPqCodesCid(spark, dir) once to rewrite it")
+    val pruned =
+      if (cids.isEmpty) wide.filter(lit(false))
+      else wide.filter(col("cid").cast("long").isin(cids: _*))
     reconstructCodes(
       readPqCodebooks(spark, dir),
-      if (cids.isEmpty) wide.filter(lit(false))
-      else wide.filter(col("cid").cast("long").isin(cids: _*)))
+      idFilter.fold(pruned)(ids =>
+        pruned.join(
+          broadcast(ids.select("cand_id")), Seq("cand_id"), "left_semi")))
   }
 
   private def reconstructCodes(
@@ -2037,10 +2083,25 @@ object SimilaritySearch {
     Seq((cb.m, cb.subDim)).toDF("m", "sub_dim")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     cb.centroids.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    // LEFT join + row-level raise_error, not inner: a code row whose
+    // cand_id has no coarse assignment (inconsistent caller inputs)
+    // must fail the write, not silently vanish from the layout — the
+    // guard migrateWrittenPqCodesCid applies as a count-equality
+    // require, done here as a per-row check so the write stays ONE
+    // job (ADVICE r18)
     pqCodesWide(codes, idCol)
       .join(
         index.assignments.select(col("cand_id"), col("cid").cast("long")),
-        Seq("cand_id"))
+        Seq("cand_id"), "left")
+      .withColumn(
+        "cid",
+        when(col("cid").isNotNull, col("cid")).otherwise(
+          raise_error(concat(
+            lit("writeIvfPqIndex: code row cand_id="),
+            col("cand_id").cast("string"),
+            lit(" has no coarse assignment — the index and codes frames " +
+              "disagree; encode from the same corpus the index was built on")))
+            .cast("long")))
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/codes")
     if (index.assignments.columns.contains("cand_emb"))

@@ -568,7 +568,8 @@ object TrainingExport {
       semMinCosPpm: Long = 995000L,
       semCorpusVectors: () => DataFrame = () => null,
       onSemanticMaintenance: SimilaritySearch.MaintenanceAction => Unit = _ => (),
-      semRefitErrFactor: Double = 2.0)
+      semRefitErrFactor: Double = 2.0,
+      appendTasks: Int = 1)
       : DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
@@ -578,26 +579,25 @@ object TrainingExport {
       graft.functions.TextExprs.charHashSpark("CAST(doc_id AS STRING)"))
     val gated = gateDocs(batch, cfg)
     val (accepted, appendDedupState) =
-      ingestDedupStage(gated, cfg, statePrefix, buckets, maxFilesPerBucket)
+      ingestDedupStage(gated, cfg, statePrefix, buckets, maxFilesPerBucket, appendTasks)
     val (paraged, appendLineState) =
-      ingestParagraphStage(accepted, cfg, statePrefix, buckets, maxFilesPerBucket)
+      ingestParagraphStage(accepted, cfg, statePrefix, buckets, maxFilesPerBucket, appendTasks)
     val (spanned, appendShingleState) =
-      ingestSpanStage(paraged, cfg, statePrefix, buckets, maxFilesPerBucket)
+      ingestSpanStage(paraged, cfg, statePrefix, buckets, maxFilesPerBucket, appendTasks)
     val (semed, _) =
       ingestSemanticStage(
         spanned, embeddings, cfg, statePrefix, semCentroidMod,
         semPqM, semPqSeedMod, semMinCosPpm, semCorpusVectors,
         onSemanticMaintenance, semRefitErrFactor)
     val (mediaed, appendMediaState) =
-      ingestMediaStage(semed, media, cfg, statePrefix, buckets, maxFilesPerBucket)
+      ingestMediaStage(semed, media, cfg, statePrefix, buckets, maxFilesPerBucket, appendTasks)
     val clean = decontaminate(mediaed, benchmark, cfg)
 
     // ---- cumulative budget: this batch fills the REMAINING budget
     val budgetTbl = s"${statePrefix}_budget"
     val budgetOn = cfg.budgets.nonEmpty
     val ledgerCurrency = currencyTag(cfg.budgetCurrency)
-    requireLedgerCurrency(spark, budgetTbl, budgetOn, ledgerCurrency)
-    val consumed = readConsumed(spark, budgetTbl, budgetOn)
+    val consumed = readConsumedChecked(spark, budgetTbl, budgetOn, ledgerCurrency)
     // the batch pipeline's currency split, incrementally: chars read
     // the column the rewriting stages already recomputed; WordPiece
     // tokens cost ONE extra codegen'd byte-scan over the clean
@@ -684,7 +684,8 @@ object TrainingExport {
       semMinCosPpm: Long = 995000L,
       semCorpusVectors: () => DataFrame = () => null,
       onSemanticMaintenance: SimilaritySearch.MaintenanceAction => Unit = _ => (),
-      semRefitErrFactor: Double = 2.0)
+      semRefitErrFactor: Double = 2.0,
+      appendTasks: Int = 1)
       : DataFrame = {
     val spark = batch.sparkSession
     require(cfg.numShards >= 1, s"numShards must be >= 1, got ${cfg.numShards}")
@@ -698,18 +699,18 @@ object TrainingExport {
     graft.functions.PolyHash.register(spark)
     val gated = gateDocs(batch, cfg)
     val (accepted, appendDedupState) =
-      ingestDedupStage(gated, cfg, statePrefix, buckets, maxFilesPerBucket)
+      ingestDedupStage(gated, cfg, statePrefix, buckets, maxFilesPerBucket, appendTasks)
     val (paraged, appendLineState) =
-      ingestParagraphStage(accepted, cfg, statePrefix, buckets, maxFilesPerBucket)
+      ingestParagraphStage(accepted, cfg, statePrefix, buckets, maxFilesPerBucket, appendTasks)
     val (spanned, appendShingleState) =
-      ingestSpanStage(paraged, cfg, statePrefix, buckets, maxFilesPerBucket)
+      ingestSpanStage(paraged, cfg, statePrefix, buckets, maxFilesPerBucket, appendTasks)
     val (semed, _) =
       ingestSemanticStage(
         spanned, embeddings, cfg, statePrefix, semCentroidMod,
         semPqM, semPqSeedMod, semMinCosPpm, semCorpusVectors,
         onSemanticMaintenance, semRefitErrFactor)
     val (mediaed, appendMediaState) =
-      ingestMediaStage(semed, media, cfg, statePrefix, buckets, maxFilesPerBucket)
+      ingestMediaStage(semed, media, cfg, statePrefix, buckets, maxFilesPerBucket, appendTasks)
     val clean = decontaminate(mediaed, benchmark, cfg)
 
     // ---- chunk + probe the persisted chunk-key state
@@ -733,8 +734,7 @@ object TrainingExport {
     // OWN currency, distinct from both doc-front units, so a prefix
     // shared across fronts fails fast instead of mixing units
     val ledgerCurrency = "chunk_tokens"
-    requireLedgerCurrency(spark, budgetTbl, budgetOn, ledgerCurrency)
-    val consumed = readConsumed(spark, budgetTbl, budgetOn)
+    val consumed = readConsumedChecked(spark, budgetTbl, budgetOn, ledgerCurrency)
     val weighted = kept.select(
       col("_cid"), col("doc_id"), col("chunk_id"), col("source"),
       col("n_tokens").cast("long").as("_weight"))
@@ -762,7 +762,8 @@ object TrainingExport {
     // the downstream-most state folds FIRST, and each append only
     // ever re-reads tables no earlier fold has moved
     Dedup.appendAndMaybeCompactLines(
-      newChunkKeys, chunkTbl, buckets, maxFilesPerBucket)
+      newChunkKeys, chunkTbl, buckets, maxFilesPerBucket,
+      appendTasks = appendTasks)
     appendMediaState()
     appendShingleState()
     appendLineState()
@@ -782,7 +783,8 @@ object TrainingExport {
     */
   private def ingestDedupStage(
       gated: DataFrame, cfg: Config, statePrefix: String,
-      buckets: Int, maxFilesPerBucket: Int): (DataFrame, () => Unit) = {
+      buckets: Int, maxFilesPerBucket: Int,
+      appendTasks: Int = 1): (DataFrame, () => Unit) = {
     val spark = gated.sparkSession
     val dedupTbl = s"${statePrefix}_dedup"
     val sigsTbl = s"${statePrefix}_sigs"
@@ -812,7 +814,8 @@ object TrainingExport {
           gated, Dedup.stateTableLive(spark, dedupTbl))
         (marked.filter(col("keep")).drop("keep"),
           () => { Dedup.appendAndMaybeCompactLines(
-            newKeys, dedupTbl, buckets, maxFilesPerBucket); () })
+            newKeys, dedupTbl, buckets, maxFilesPerBucket,
+            appendTasks = appendTasks); () })
       case DedupNearDup(_, _, cap) =>
         requireLayout(Seq("band", "bkey"), "DedupNearDup")
         // tracked persist: the probe, the within-batch pass, and the
@@ -839,8 +842,9 @@ object TrainingExport {
         val rejected = vsSeen.union(within).distinct()
         (gated.join(rejected, gated("doc_id") === rejected("_rid"), "left_anti"),
           () => {
-            Dedup.appendAndMaybeCompact(sigs, dedupTbl, buckets, maxFilesPerBucket)
-            Dedup.appendToSignatureTable(sigs, sigsTbl, buckets)
+            Dedup.appendAndMaybeCompact(
+              sigs, dedupTbl, buckets, maxFilesPerBucket, appendTasks = appendTasks)
+            Dedup.appendToSignatureTable(sigs, sigsTbl, buckets, appendTasks)
           })
       case DedupSimHash(mh, _, _, cap) =>
         requireLayout(Seq("sh_seg", "sh_key"), "DedupSimHash")
@@ -861,7 +865,8 @@ object TrainingExport {
               .withColumnRenamed("source", "block"),
             dedupTbl, mh, bits = graft.functions.TextExprs.SimhashBits,
             buckets = buckets,
-            maxFilesPerBucket = maxFilesPerBucket); () })
+            maxFilesPerBucket = maxFilesPerBucket,
+            appendTasks = appendTasks); () })
     }
   }
 
@@ -878,7 +883,8 @@ object TrainingExport {
     */
   private def ingestParagraphStage(
       docs: DataFrame, cfg: Config, statePrefix: String,
-      buckets: Int, maxFilesPerBucket: Int): (DataFrame, () => Unit) =
+      buckets: Int, maxFilesPerBucket: Int,
+      appendTasks: Int = 1): (DataFrame, () => Unit) =
     if (!cfg.paragraphDedup) (docs, () => ())
     else {
       val spark = docs.sparkSession
@@ -893,7 +899,8 @@ object TrainingExport {
         col("text_deduped").as("text"),
         length(col("text_deduped")).cast("long").as("n_chars")),
         () => { Dedup.appendAndMaybeCompactLines(
-          newKeys, linesTbl, buckets, maxFilesPerBucket); () })
+          newKeys, linesTbl, buckets, maxFilesPerBucket,
+          appendTasks = appendTasks); () })
     }
 
   /** The ingest SPAN stage — substring surgery (Lee et al. 2022) on
@@ -937,7 +944,8 @@ object TrainingExport {
     */
   private def ingestSpanStage(
       docs: DataFrame, cfg: Config, statePrefix: String,
-      buckets: Int, maxFilesPerBucket: Int): (DataFrame, () => Unit) =
+      buckets: Int, maxFilesPerBucket: Int,
+      appendTasks: Int = 1): (DataFrame, () => Unit) =
     cfg.spanDedup match {
       case None => (docs, () => ())
       case Some(minTok) =>
@@ -966,7 +974,8 @@ object TrainingExport {
           col("clean_text").as("text"),
           length(col("clean_text")).cast("long").as("n_chars")),
           () => { Dedup.appendAndMaybeCompactShingles(
-            staged, shTbl, minTok, buckets, maxFilesPerBucket); () })
+            staged, shTbl, minTok, buckets, maxFilesPerBucket,
+            appendTasks = appendTasks); () })
     }
 
   /** Where the ingest SEMANTIC stage keeps its written IVF index —
@@ -1146,7 +1155,8 @@ object TrainingExport {
     */
   private def ingestMediaStage(
       docs: DataFrame, media: => DataFrame, cfg: Config, statePrefix: String,
-      buckets: Int, maxFilesPerBucket: Int): (DataFrame, () => Unit) =
+      buckets: Int, maxFilesPerBucket: Int,
+      appendTasks: Int = 1): (DataFrame, () => Unit) =
     cfg.mediaDedup match {
       case None => (docs, () => ())
       case Some(mh) =>
@@ -1192,9 +1202,11 @@ object TrainingExport {
           () => {
             Dedup.appendAndMaybeCompactHamming(
               fps, dhTbl, mh, bits = 64,
-              buckets = buckets, maxFilesPerBucket = maxFilesPerBucket)
+              buckets = buckets, maxFilesPerBucket = maxFilesPerBucket,
+              appendTasks = appendTasks)
             Dedup.appendAndMaybeCompactLines(
-              xKeys, fpTbl, buckets, maxFilesPerBucket)
+              xKeys, fpTbl, buckets, maxFilesPerBucket,
+              appendTasks = appendTasks)
             ()
           })
     }
@@ -1215,18 +1227,37 @@ object TrainingExport {
     }
 
   /** Read the persisted consumed-per-source budget state (bounded by
-    * [[MaxBudgetSources]] — checked, not assumed).
+    * [[MaxBudgetSources]] — checked, not assumed) AND check the
+    * ledger's currency stamp, in ONE collect (r19:
+    * the two verbs each ran a job against the same config-sized table
+    * every ingest; the ledger is MaxBudgetSources-bounded, so the
+    * currency check reads the same rows the consumed map needs).
+    * Identical failure messages and acceptance (unstamped 2-column
+    * legacy ledgers pass and get stamped by this ingest's write).
     */
-  private def readConsumed(
+  private def readConsumedChecked(
       spark: org.apache.spark.sql.SparkSession, budgetTbl: String,
-      budgetOn: Boolean): Map[String, Long] =
+      budgetOn: Boolean, tag: String): Map[String, Long] =
     if (!budgetOn || !spark.catalog.tableExists(budgetTbl)) Map.empty
     else {
-      val rows = spark.table(budgetTbl).select("source", "consumed")
-        .limit(MaxBudgetSources + 1).collect()
+      val t = spark.table(budgetTbl)
+      val stamped = t.columns.contains("currency")
+      val cols =
+        if (stamped) t.select("source", "consumed", "currency")
+        else t.select("source", "consumed")
+      val rows = cols.limit(MaxBudgetSources + 1).collect()
       require(rows.length <= MaxBudgetSources,
         s"budget state '$budgetTbl' holds more than $MaxBudgetSources sources — " +
           "the stratum column is not a source label; re-key the corpus")
+      if (stamped) {
+        val stamps = rows.map(_.getString(2)).distinct.toSeq
+        require(stamps.isEmpty || stamps == Seq(tag),
+          s"budget state '$budgetTbl' is denominated in " +
+            s"'${stamps.mkString("', '")}' but this ingest bills in '$tag' — " +
+            "mixing units in one consumed ledger silently mis-prices every " +
+            "later batch; keep the currency fixed per statePrefix, or start " +
+            "a fresh prefix")
+      }
       rows.map(r => r.getString(0) -> r.getLong(1)).toMap
     }
 
@@ -1241,29 +1272,6 @@ object TrainingExport {
     case BudgetWordPieceTokens(_) => "wordpiece"
   }
 
-  /** Fail fast when the persisted ledger is denominated in a
-    * different currency than this ingest bills (r17 verdict: the
-    * comment said "switch only with a fresh budget table" — the
-    * sibling mistakes all got fail-fasts; this promotes the comment).
-    * Ledgers written before the stamp existed (2-column layout) are
-    * unstamped — accepted once and stamped by this ingest's write.
-    */
-  private def requireLedgerCurrency(
-      spark: org.apache.spark.sql.SparkSession, budgetTbl: String,
-      budgetOn: Boolean, tag: String): Unit =
-    if (budgetOn && spark.catalog.tableExists(budgetTbl)) {
-      val t = spark.table(budgetTbl)
-      if (t.columns.contains("currency")) {
-        val stamps = t.select("currency").distinct().limit(3)
-          .collect().map(_.getString(0)).toSeq
-        require(stamps.isEmpty || stamps == Seq(tag),
-          s"budget state '$budgetTbl' is denominated in " +
-            s"'${stamps.mkString("', '")}' but this ingest bills in '$tag' — " +
-            "mixing units in one consumed ledger silently mis-prices every " +
-            "later batch; keep the currency fixed per statePrefix, or start " +
-            "a fresh prefix")
-      }
-    }
 
   /** Per-source REMAINING budgets for this ingest: lifetime budget −
     * consumed, floored at zero; sources seen only by earlier ingests

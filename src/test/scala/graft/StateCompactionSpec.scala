@@ -1887,4 +1887,117 @@ class StateCompactionSpec extends AnyFunSuite {
       Dedup.unpersistAll()
     }
   }
+
+  test("capped PQ probe: the cap bounds the DECODE set itself, pairs equal uncapped-filtered-to-reps") {
+    // r19 optimization (ADVICE r18): maxCorpusVecsPerList used to cap
+    // only the pair fan-out — every code row of a touched list still
+    // paid the posexplode/groupBy decode because Catalyst cannot push
+    // an inner join below that aggregate. The capped representative
+    // ids now enter reconstructWrittenCodesForCids as a broadcast
+    // semi-join BELOW the aggregate. This spec pins (a) the decode
+    // output is exactly the representative set, (b) the pair list is
+    // byte-identical to the uncapped probe filtered to those
+    // representatives (the cap's documented semantics), and (c) the
+    // cap=0 path is unchanged.
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .localCheckpoint(true)
+    val base = e.filter(col("vec_id") % 3 =!= 0)
+    val batch = e.filter(col("vec_id") % 3 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val cb = SimilaritySearch.pqFit(base, m = 16, seedMod = 20)
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_cappq_spec_").toString
+    def rm(p: String): Unit = {
+      def walk(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(walk)
+        f.delete()
+      }
+      walk(new java.io.File(p))
+    }
+    try {
+      SimilaritySearch.writeIvfPqIndex(
+        SimilaritySearch.buildIndex(base, centroidMod = 20),
+        cb, SimilaritySearch.pqEncode(base, cb), d)
+      val cap = 2
+      // low threshold so several pairs per list survive and the cap bites
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("new_id", "corpus_id").collect().toSeq
+      val uncapped = Dedup.semanticDedupAgainstPqIndex(
+        batch, spark, d, minCosPpm = -2000000L)
+      val capped = Dedup.semanticDedupAgainstPqIndex(
+        batch, spark, d, minCosPpm = -2000000L, maxCorpusVecsPerList = cap)
+      // representatives: the cap smallest corpus ids per list
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("cid").orderBy("cand_id")
+      val reps = spark.read.parquet(s"$d/assignments")
+        .withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") <= cap)
+        .select(col("cand_id"))
+        .collect().map(_.getLong(0)).toSet
+      val expect = canon(
+        uncapped.filter(col("corpus_id").isInCollection(reps)))
+      assert(expect.nonEmpty, "fixture must produce capped pairs")
+      assert(canon(capped) == expect,
+        "capped pairs must equal the uncapped probe filtered to the reps")
+      assert(canon(uncapped).size > expect.size,
+        "the cap must actually bite on this fixture")
+      // (a) the decode path itself is bounded: with an id filter the
+      // reconstruction returns exactly the filtered ids
+      val touched = spark.read.parquet(s"$d/assignments")
+        .select(col("cid").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      import spark.implicits._
+      val someIds = reps.take(3).toSeq
+      val recon = SimilaritySearch.reconstructWrittenCodesForCids(
+        spark, d, touched,
+        idFilter = Some(someIds.toDF("cand_id")))
+      assert(recon.select("cand_id").collect().map(_.getLong(0)).toSet
+        == someIds.toSet,
+        "idFilter must bound the decode output to exactly the filtered ids")
+    } finally {
+      rm(d)
+      Dedup.unpersistAll()
+    }
+  }
+
+  test("writeIvfPqIndex fails fast on a code row with no coarse assignment") {
+    // ADVICE r18: the codes⋈assignments stamp was an inner join, so a
+    // code row whose cand_id has no assignment (inconsistent caller
+    // inputs) silently vanished from the written layout. Now a left
+    // join + per-row raise_error (no extra count job) names the bad id.
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .localCheckpoint(true)
+    val base = e.filter(col("vec_id") % 3 =!= 0)
+    val phantom = base.limit(1)
+      .select((col("vec_id") + 9999999L).as("vec_id"), col("embedding"))
+    val cb = SimilaritySearch.pqFit(base, m = 16, seedMod = 20)
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_pqguard_spec_").toString
+    def rm(p: String): Unit = {
+      def walk(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(walk)
+        f.delete()
+      }
+      walk(new java.io.File(p))
+    }
+    try {
+      val idx = SimilaritySearch.buildIndex(base, centroidMod = 20)
+      val ex = intercept[Exception] {
+        SimilaritySearch.writeIvfPqIndex(
+          idx, cb,
+          SimilaritySearch.pqEncode(base.unionByName(phantom), cb), d)
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(ex).exists(_.contains("no coarse assignment")),
+        s"want the named-id guard, got: ${messages(ex).mkString(" | ")}")
+      // consistent inputs still write
+      SimilaritySearch.writeIvfPqIndex(
+        idx, cb, SimilaritySearch.pqEncode(base, cb), d)
+      assert(spark.read.parquet(s"$d/codes").count() == base.count())
+    } finally {
+      rm(d)
+      Dedup.unpersistAll()
+    }
+  }
 }
