@@ -1874,17 +1874,35 @@ object Dedup {
       orderCols: Seq[String],
       collisionCheck: Boolean,
       remedy: String): DataFrame = {
+    graft.functions.MinPair.register(rows.sparkSession)
     val (h1, h2) = lineFp(keyExpr)
     val keyed = rows.withColumn("pk1", h1).withColumn("pk2", h2)
+    // the first-occurrence aggregate, HASH-aggregable (r19): a plain
+    // min for one order column, the two-long-buffer min_pair_long for
+    // the (id, pos) pair — min(struct(...)) carries an immutable
+    // struct buffer, which HashAggregateExec refuses, and the
+    // SortAggregate fallback sorts every task's full line/chunk/media
+    // table by fingerprint (see graft.functions.MinPairLong). Same
+    // lexicographic minimum either way.
+    val firstAgg = orderCols match {
+      case Seq(c) => min(col(c)).as("_first")
+      case Seq(c1, c2) =>
+        expr(s"min_pair_long(CAST(`$c1` AS BIGINT), CAST(`$c2` AS BIGINT))")
+          .as("_first")
+      case cs => min(struct(cs.map(col): _*)).as("_first")
+    }
     val aggs =
-      min(struct(orderCols.map(col): _*)).as("_first") +:
+      firstAgg +:
         (if (collisionCheck)
            Seq(countDistinct(xxhash64(lit("fpck"), keyExpr)).as("_nck"))
          else Nil)
     val first = keyed.groupBy("pk1", "pk2").agg(aggs.head, aggs.tail: _*)
-    val keepExpr = orderCols
-      .map(c => col(c) === col("_first")(c))
-      .reduce(_ && _)
+    val keepExpr = orderCols match {
+      case Seq(c) => col(c) === col("_first")
+      case Seq(c1, c2) =>
+        col(c1) === col("_first")("a") && col(c2) === col("_first")("b")
+      case cs => cs.map(c => col(c) === col("_first")(c)).reduce(_ && _)
+    }
     val marked = keyed
       .join(first, Seq("pk1", "pk2"))
       .withColumn(
@@ -1981,16 +1999,19 @@ object Dedup {
     val (h1, h2) = lineFp(key)
     val keyed = parts.filter(trim(col("para")) =!= "")
       .withColumn("pk1", h1).withColumn("pk2", h2)
+    graft.functions.MinPair.register(batch.sparkSession)
     val first = keyed.groupBy("pk1", "pk2")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("_first"))
+      .agg(expr(
+        "min_pair_long(CAST(doc_id AS BIGINT), CAST(pos AS BIGINT))")
+        .as("_first"))
     val marked = keyed
       .join(first, Seq("pk1", "pk2"))
       .join(
         stateProbe.withColumn("_seen", lit(true)),
         Seq("pk1", "pk2"), "left")
       .withColumn("keep",
-        col("doc_id") === col("_first.doc_id") &&
-          col("pos") === col("_first.pos") && col("_seen").isNull)
+        col("doc_id") === col("_first.a") &&
+          col("pos") === col("_first.b") && col("_seen").isNull)
       .drop("_first", "_seen")
       .unionByName(
         parts.filter(trim(col("para")) === "")
@@ -2037,14 +2058,17 @@ object Dedup {
     */
   private def lineStateRows(
       docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    graft.functions.MinPair.register(docs.sparkSession)
     val key = lower(trim(col("para")))
     val (h1, h2) = lineFp(key)
     paragraphParts(docs, textCol, idCol, Nil)
       .filter(trim(col("para")) =!= "")
       .withColumn("pk1", h1).withColumn("pk2", h2)
       .groupBy("pk1", "pk2")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("_first"))
-      .select(col("pk1"), col("pk2"), col("_first.doc_id").as("doc_id"))
+      .agg(expr(
+        "min_pair_long(CAST(doc_id AS BIGINT), CAST(pos AS BIGINT))")
+        .as("_first"))
+      .select(col("pk1"), col("pk2"), col("_first.a").as("doc_id"))
   }
 
   /** Materialize a corpus's line-key state as a BUCKETED catalog
@@ -2197,16 +2221,19 @@ object Dedup {
     val key = lower(trim(col("chunk_text")))
     val (h1, h2) = lineFp(key)
     val keyed = chunks.withColumn("pk1", h1).withColumn("pk2", h2)
+    graft.functions.MinPair.register(batch.sparkSession)
     val first = keyed.groupBy("pk1", "pk2")
-      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("_first"))
+      .agg(expr(
+        "min_pair_long(CAST(doc_id AS BIGINT), CAST(chunk_id AS BIGINT))")
+        .as("_first"))
     val marked = keyed
       .join(first, Seq("pk1", "pk2"))
       .join(
         stateProbe.withColumn("_seen", lit(true)),
         Seq("pk1", "pk2"), "left")
       .withColumn("keep",
-        col("doc_id") === col("_first.doc_id") &&
-          col("chunk_id") === col("_first.chunk_id") && col("_seen").isNull)
+        col("doc_id") === col("_first.a") &&
+          col("chunk_id") === col("_first.b") && col("_seen").isNull)
       .drop("_first", "_seen")
       .pipe(persistTracked) // marked output AND new state read it
     val newKeys = marked
@@ -2229,14 +2256,17 @@ object Dedup {
       docs: DataFrame, table: String, buckets: Int = BandTableBuckets,
       chunkTokens: Int = 128, strideTokens: Int = 96,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    graft.functions.MinPair.register(docs.sparkSession)
     val key = lower(trim(col("chunk_text")))
     val (h1, h2) = lineFp(key)
     val rows = TextAnalysis.chunkDocuments(
         docs, chunkTokens, strideTokens, textCol, idCol)
       .withColumn("pk1", h1).withColumn("pk2", h2)
       .groupBy("pk1", "pk2")
-      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("_first"))
-      .select(col("pk1"), col("pk2"), col("_first.doc_id").as("doc_id"))
+      .agg(expr(
+        "min_pair_long(CAST(doc_id AS BIGINT), CAST(chunk_id AS BIGINT))")
+        .as("_first"))
+      .select(col("pk1"), col("pk2"), col("_first.a").as("doc_id"))
     writeBucketedState(
       rows, table, buckets, Seq("pk1", "pk2"), "overwrite", appendTasks = 0)
     docs.sparkSession.table(table)
