@@ -1877,16 +1877,29 @@ object Dedup {
     graft.functions.MinPair.register(rows.sparkSession)
     val (h1, h2) = lineFp(keyExpr)
     val keyed = rows.withColumn("pk1", h1).withColumn("pk2", h2)
+    // min_pair_long dispatch is TYPE-GUARDED (r20, VERDICT r19 #2):
+    // the CAST to BIGINT is a widening no-op for integral order
+    // columns, but on anything else (a string id "doc_42") it yields
+    // NULL, min_pair_long skips the row, and the keep filter silently
+    // drops the whole group — where min(struct(...)) handles any
+    // orderable type. Only a provably-lossless pair takes the fast
+    // path; everything else keeps the generic struct minimum.
+    val integralTypes: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    def isIntegral(c: String): Boolean =
+      rows.schema.fields.find(_.name == c).exists(f => integralTypes(f.dataType))
+    val pairFast = orderCols.length == 2 && orderCols.forall(isIntegral)
     // the first-occurrence aggregate, HASH-aggregable (r19): a plain
     // min for one order column, the two-long-buffer min_pair_long for
-    // the (id, pos) pair — min(struct(...)) carries an immutable
-    // struct buffer, which HashAggregateExec refuses, and the
-    // SortAggregate fallback sorts every task's full line/chunk/media
-    // table by fingerprint (see graft.functions.MinPairLong). Same
-    // lexicographic minimum either way.
+    // an integral (id, pos) pair — min(struct(...)) carries an
+    // immutable struct buffer, which HashAggregateExec refuses, and
+    // the SortAggregate fallback sorts every task's full line/chunk/
+    // media table by fingerprint (see graft.functions.MinPairLong).
+    // Same lexicographic minimum either way.
     val firstAgg = orderCols match {
       case Seq(c) => min(col(c)).as("_first")
-      case Seq(c1, c2) =>
+      case Seq(c1, c2) if pairFast =>
         expr(s"min_pair_long(CAST(`$c1` AS BIGINT), CAST(`$c2` AS BIGINT))")
           .as("_first")
       case cs => min(struct(cs.map(col): _*)).as("_first")
@@ -1899,7 +1912,7 @@ object Dedup {
     val first = keyed.groupBy("pk1", "pk2").agg(aggs.head, aggs.tail: _*)
     val keepExpr = orderCols match {
       case Seq(c) => col(c) === col("_first")
-      case Seq(c1, c2) =>
+      case Seq(c1, c2) if pairFast =>
         col(c1) === col("_first")("a") && col(c2) === col("_first")("b")
       case cs => cs.map(c => col(c) === col("_first")(c)).reduce(_ && _)
     }

@@ -1290,17 +1290,31 @@ object TextAnalysis {
           .as("c"))
       .filter(col("c.k") < size(col("_labels")))
       .select(col(idCol), col("c.k").as("k"), col("c.suffix").as("suffix"), col("c.reg").as("reg"))
+    // HASH-aggregable arg-max (r20): max_by(string, int) carries a
+    // string buffer, which HashAggregateExec refuses — the plan fell
+    // back to SortAggregate, sorting every task's candidate fan-out by
+    // the caller's id at both partial and final levels. `reg` is a
+    // pure function of (k, host) and per (id, k) there is exactly one
+    // candidate row, so max(k) + re-deriving reg from the host labels
+    // in the join-back projection is the same value with a primitive
+    // INT buffer (see graft.functions.MinPairLong for the kernel-side
+    // twin of this rewrite).
     val matched = cand
       .join(broadcast(suffixTable), "suffix")
       .groupBy(idCol)
-      .agg(max_by(col("reg"), col("k")).as("_reg"))
+      .agg(max(col("k")).as("_k"))
+    val hostLabels = split(host, "\\.")
     df.join(matched, Seq(idCol), "left")
       .withColumn(
         "registered_domain",
         // fallback on the SAME lowered host, so matched and
-        // unmatched rows agree on casing
-        coalesce(col("_reg"), regexp_extract(host, RegisteredDomainPattern, 1)))
-      .drop("_reg")
+        // unmatched rows agree on casing; slice() is null-intolerant,
+        // so an unmatched row (_k NULL) falls through the coalesce
+        coalesce(
+          array_join(
+            slice(hostLabels, -(col("_k") + 1), col("_k") + 1), "."),
+          regexp_extract(host, RegisteredDomainPattern, 1)))
+      .drop("_k")
   }
 
   /** Parse text in the publicsuffix.org list format into rule rows
@@ -1454,20 +1468,36 @@ object TextAnalysis {
     // prevailing rule: exception beats everything, then longest k.
     // An exception rule IS the registered domain (its public suffix
     // is the rule minus the leading label).
+    //
+    // HASH-aggregable arg-max (r20): max_by(string, int) carries a
+    // string buffer → SortAggregate fallback (sorts every task's
+    // candidate fan-out by id, partial and final). The value is a
+    // pure function of (is_exception, k, host) — tied priorities can
+    // only carry EQUAL values (exact and wildcard keys at the same k
+    // share key_exact and reg_next by construction) — so max over the
+    // encoded priority (a primitive INT buffer) plus re-derivation
+    // from the host labels in the join-back projection is the same
+    // registered domain, through HashAggregate.
     val matched = cand
       .join(broadcast(rules), col("key") === col("suffix_key"))
       .groupBy(idCol)
-      .agg(max_by(
-        when(col("is_exception") === 1, col("key_exact")).otherwise(col("reg_next")),
-        col("is_exception") * 100 + col("k")).as("_reg"))
+      .agg(max(col("is_exception") * 100 + col("k")).as("_prio"))
+    val hostLabels = split(host, "\\.")
+    val kAtMax = (col("_prio") % 100).cast("int")
+    val regAtMax =
+      when(col("_prio") >= 100, // exception rule: the rule IS the domain
+        array_join(slice(hostLabels, -kAtMax, kAtMax), "."))
+        .when(kAtMax === size(hostLabels), lit("")) // host IS a public suffix
+        .otherwise(
+          array_join(slice(hostLabels, -(kAtMax + 1), kAtMax + 1), "."))
     df.join(matched, Seq(idCol), "left")
       .withColumn(
         "registered_domain",
-        when(col("_reg").isNotNull, nullif(col("_reg"), lit("")))
+        when(col("_prio").isNotNull, nullif(regAtMax, lit("")))
           .otherwise( // implicit `*` default rule
             when(size(split(host, "\\.")) >= 2,
               lower(regexp_extract(host, RegisteredDomainPattern, 1)))))
-      .drop("_reg")
+      .drop("_prio")
   }
 
   /** Domain-blocklist filtering, the first gate of every web-corpus

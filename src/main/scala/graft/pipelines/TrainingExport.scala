@@ -645,9 +645,9 @@ object TrainingExport {
     appendShingleState()
     appendLineState()
     appendDedupState()
-    if (budgetOn)
-      writeConsumed(spark, budgetTbl, consumed, shipped, ledgerCurrency)
-    writeOffsets(spark, offTbl, offsets, shipped, cfg.numShards)
+    writeBudgetAndOffsets(
+      spark, budgetTbl, offTbl, consumed, offsets, shipped,
+      ledgerCurrency, budgetOn, cfg.numShards)
     shipped.select("shard", "seq", "doc_id", "source")
   }
 
@@ -768,9 +768,9 @@ object TrainingExport {
     appendShingleState()
     appendLineState()
     appendDedupState()
-    if (budgetOn)
-      writeConsumed(spark, budgetTbl, consumed, shipped, ledgerCurrency)
-    writeOffsets(spark, offTbl, offsets, shipped, cfg.numShards)
+    writeBudgetAndOffsets(
+      spark, budgetTbl, offTbl, consumed, offsets, shipped,
+      ledgerCurrency, budgetOn, cfg.numShards)
     shipped.select("shard", "seq", "doc_id", "chunk_id", "source")
   }
 
@@ -839,7 +839,11 @@ object TrainingExport {
           .minhashPairsAgainstSignatures(sigs, sigs, maxNewDocsPerBand = cap)
           .filter(col("new_id") < col("corpus_id"))
           .select(col("corpus_id").as("_rid"))
-        val rejected = vsSeen.union(within).distinct()
+        // no DISTINCT: the left-anti below only tests existence, and a
+        // distinct here costs a full exchange + two aggregates per
+        // ingest over the pair fan-out (guide §2.4 — remove shuffles
+        // outright; r20)
+        val rejected = vsSeen.union(within)
         (gated.join(rejected, gated("doc_id") === rejected("_rid"), "left_anti"),
           () => {
             Dedup.appendAndMaybeCompact(
@@ -858,7 +862,8 @@ object TrainingExport {
         // fingerprint-identical buckets
         val within = Dedup.simhashPairs(gated, maxHamming = mh, maxDocsPerSegment = cap)
           .select(col("doc_b").as("_rid")) // pairs emit doc_a < doc_b
-        val rejected = vsSeen.union(within).distinct()
+        // no DISTINCT before the anti join — existence test only (r20)
+        val rejected = vsSeen.union(within)
         (gated.join(rejected, gated("doc_id") === rejected("_rid"), "left_anti"),
           () => { Dedup.appendAndMaybeCompactHamming(
             Dedup.simhashFingerprints(gated, passthroughCols = Seq("source"))
@@ -1112,12 +1117,12 @@ object TrainingExport {
           live, SimilaritySearch.readIndex(spark, idxDir), semMinCosPpm))
         .filter(col("new_id") =!= col("corpus_id")) // the batch is in the index
       val own = live.select(col("vec_id").as("corpus_id"), lit(true).as("_own"))
+      // no DISTINCT: the anti join below only tests existence (r20)
       val rejected = pairs
         .join(own, Seq("corpus_id"), "left")
         .select(
           when(col("_own").isNull, col("new_id")) // earlier arrival claims
             .otherwise(greatest(col("new_id"), col("corpus_id"))).as("_rid"))
-        .distinct()
       (docs.join(rejected, docs("doc_id") === rejected("_rid"), "left_anti"),
         () => ())
     }
@@ -1197,7 +1202,8 @@ object TrainingExport {
           .select(col("doc_b").as("_mid")) // pairs emit doc_a < doc_b
         val exactDrop = xMarked.filter(!col("keep"))
           .select(col("media_id").as("_mid"))
-        val dropped = exactDrop.union(vsSeen).union(within).distinct()
+        // no DISTINCT before the anti join — existence test only (r20)
+        val dropped = exactDrop.union(vsSeen).union(within)
         (docs.join(dropped, docs("doc_id") === dropped("_mid"), "left_anti"),
           () => {
             Dedup.appendAndMaybeCompactHamming(
@@ -1285,19 +1291,39 @@ object TrainingExport {
         0L, named.getOrElse(src, cfg.defaultBudget) - consumed.getOrElse(src, 0L)))
   }
 
-  private def writeConsumed(
-      spark: org.apache.spark.sql.SparkSession, budgetTbl: String,
-      consumed: Map[String, Long], shipped: DataFrame,
-      currency: String): Unit = {
+  /** Fold the batch's spend into the budget ledger AND the shard
+    * offsets from ONE job over the checkpointed shipped frame (r20,
+    * guide §1.2 — the two ledgers each ran their own collect against
+    * the same tiny frame every ingest; one (shard, source) rollup
+    * carries both: shards × sources is offsets-table-bounded small).
+    * Writes and failure behavior are unchanged — the budget table is
+    * only touched when budgets are on, exactly as before.
+    */
+  private def writeBudgetAndOffsets(
+      spark: org.apache.spark.sql.SparkSession,
+      budgetTbl: String, offTbl: String,
+      consumed: Map[String, Long], offsets: Map[Long, Long],
+      shipped: DataFrame, currency: String,
+      budgetOn: Boolean, numShards: Int): Unit = {
     import spark.implicits._
-    val spent = shipped.groupBy("source")
-      .agg(sum("_weight").cast("long").as("w")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    (consumed.keySet ++ spent.keySet).toSeq.sorted
-      .map(src =>
-        (src, consumed.getOrElse(src, 0L) + spent.getOrElse(src, 0L), currency))
-      .toDF("source", "consumed", "currency")
-      .write.mode("overwrite").saveAsTable(budgetTbl)
+    val rows = shipped.groupBy("shard", "source")
+      .agg(sum("_weight").cast("long").as("w"), count(lit(1)).as("n"))
+      .collect()
+    if (budgetOn) {
+      val spent = rows.groupBy(_.getString(1)).view
+        .mapValues(_.map(_.getLong(2)).sum).toMap
+      (consumed.keySet ++ spent.keySet).toSeq.sorted
+        .map(src =>
+          (src, consumed.getOrElse(src, 0L) + spent.getOrElse(src, 0L), currency))
+        .toDF("source", "consumed", "currency")
+        .write.mode("overwrite").saveAsTable(budgetTbl)
+    }
+    val counts = rows.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(3)).sum).toMap
+    (0L until numShards.toLong)
+      .map(s0 => (s0, offsets.getOrElse(s0, 0L) + counts.getOrElse(s0, 0L)))
+      .toDF("shard", "n")
+      .write.mode("overwrite").saveAsTable(offTbl)
   }
 
   /** Read the per-shard row-count offsets; numShards is fixed at the
@@ -1328,15 +1354,4 @@ object TrainingExport {
         .drop("_off")
     }
 
-  private def writeOffsets(
-      spark: org.apache.spark.sql.SparkSession, offTbl: String,
-      offsets: Map[Long, Long], shipped: DataFrame, numShards: Int): Unit = {
-    import spark.implicits._
-    val counts = shipped.groupBy("shard").count().collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toMap
-    (0L until numShards.toLong)
-      .map(s0 => (s0, offsets.getOrElse(s0, 0L) + counts.getOrElse(s0, 0L)))
-      .toDF("shard", "n")
-      .write.mode("overwrite").saveAsTable(offTbl)
-  }
 }

@@ -135,4 +135,60 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(out(4)._2.size == 2 && out(4)._2.head == out(3)._2.head,
       "guard must not disturb the ≥ n windows (positional prefix stable)")
   }
+
+  test("min_pair_long ≡ min(struct) on randomized longs incl. ties and Long boundaries (VERDICT r19 #4)") {
+    import spark.implicits._
+    graft.functions.MinPair.register(spark)
+    // randomized groups with deliberate collisions: a SMALL value
+    // domain forces repeated (a, b) pairs (ties), repeated a with
+    // different b (the lexicographic second-slot decision), and the
+    // boundary values sit in the draw set so MinValue/MaxValue order
+    // like any other long
+    val domain = Array(Long.MinValue, Long.MinValue + 1, -7L, -1L, 0L,
+      1L, 2L, 42L, Long.MaxValue - 1, Long.MaxValue)
+    val rows = (1 to 4000).map { _ =>
+      (rnd.nextInt(37).toLong, domain(rnd.nextInt(domain.length)),
+        domain(rnd.nextInt(domain.length)))
+    }
+    val df = rows.toDF("g", "a", "b")
+    val both = df.groupBy("g").agg(
+      expr("min_pair_long(a, b)").as("mp"),
+      min(struct(col("a"), col("b"))).as("ms"))
+    val bad = both.filter(
+      col("mp")("a") =!= col("ms")("a") || col("mp")("b") =!= col("ms")("b"))
+      .collect()
+    assert(bad.isEmpty, bad.mkString("\n"))
+    // and the all-group sweep really covered ties: at 4000 draws over
+    // a 10×10 pair domain and 37 groups, a tie-free run is impossible
+    val withTies = df.groupBy("g", "a", "b").count().filter(col("count") > 1).count()
+    assert(withTies > 0, "tie coverage assumption broken — enlarge the draw")
+  }
+
+  test("markFirstByFp falls back to min(struct) for NON-integral order columns (VERDICT r19 #2)") {
+    import spark.implicits._
+    // chunkDedup with STRING ids: before the r20 type guard, the
+    // min_pair_long path CAST the ids to BIGINT → NULL, the aggregate
+    // skipped every row, keep evaluated NULL, and the whole group was
+    // silently dropped. The guard routes non-integral order columns
+    // to min(struct(...)) — any orderable type, same keep-first rule.
+    val chunks = Seq(
+      ("doc_b", "c1", "same text"),
+      ("doc_a", "c2", "same text"), // lexicographically first (doc, chunk)
+      ("doc_a", "c9", "same text"),
+      ("doc_z", "c0", "other text")
+    ).toDF("doc_id", "chunk_id", "chunk_text")
+    val marked = graft.operators.Dedup.chunkDedup(chunks)
+    val kept = marked.filter(col("keep"))
+      .select("doc_id", "chunk_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(kept == Set(("doc_a", "c2"), ("doc_z", "c0")), kept)
+    // the integral path is unchanged: long ids still keep-first
+    val chunksL = Seq(
+      (7L, 1L, "same text"), (3L, 2L, "same text"), (3L, 9L, "same text"))
+      .toDF("doc_id", "chunk_id", "chunk_text")
+    val keptL = graft.operators.Dedup.chunkDedup(chunksL)
+      .filter(col("keep")).select("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keptL == Set((3L, 2L)), keptL)
+  }
 }

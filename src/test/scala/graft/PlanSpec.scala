@@ -387,11 +387,25 @@ class PlanSpec extends AnyFunSuite {
 
   test("fingerprint paragraph dedup: window-free, keyed by the hash pair") {
     val p = plan("q_dedup_paragraph_fp")
-    // first-occurrence via min(struct) aggregation + a fingerprint
+    // first-occurrence via min_pair_long aggregation + a fingerprint
     // equi-join — no rank window anywhere (the skew-safety claim), and
     // the key shuffles carry the hash pair, not line text
     assert(!p.contains("Window"), p.take(2000))
     assert(p.contains("hashpartitioning(pk1"), p.take(2000))
+    // the r19 HashAggregate claim, pinned (VERDICT r19 #1): the
+    // two-long-buffer min_pair_long keeps the keep-first aggregation
+    // out of the SortAggregate fallback — no per-task sort of the
+    // exploded line table by its 128-bit fingerprint, at either
+    // aggregation level
+    assert(!p.contains("SortAggregate"), p.take(4000))
+  }
+
+  test("media-exact keep-first aggregates by hash, never by sort") {
+    // the media kernel's twin of the paragraph-fp pin: min(col) /
+    // min_pair_long keep every keep-first aggregation hash-based
+    val p = plan("q_dedup_media")
+    assert(!p.contains("SortAggregate"), p.take(4000))
+    assert(!p.contains("Window"), p.take(2000))
   }
 
   test("full-PSL matching broadcasts the rule table; the corpus never shuffles for it") {
@@ -404,6 +418,10 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
     assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p.take(3000))
+    // prevailing-rule arg-max runs as max(int) through HashAggregate
+    // (r20): the old max_by(string, int) carried a string buffer and
+    // fell back to SortAggregate at both aggregation levels
+    assert(!p.contains("SortAggregate"), p.take(4000))
   }
 
   test("full-PSL plan shape holds at production rule count (~9200 rules)") {
@@ -415,5 +433,6 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
     assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p.take(3000))
+    assert(!p.contains("SortAggregate"), p.take(4000)) // see q_url_psl_full
   }
 }
