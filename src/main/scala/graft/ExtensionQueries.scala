@@ -814,6 +814,35 @@ object ExtensionQueries {
           newBatch, SimilaritySearch.readIndex(s, stateDir))
         .orderBy("new_id", "corpus_id")
     }),
+    "q_dedup_semantic_written_pq_capped" -> ((s, dir) => {
+      // the CAPPED codes-backed probe end-to-end (VERDICT r19 #5: the
+      // r19 decode-cap pushdown was spec-covered but no declared query
+      // ran with cap > 0): corpus clustered + PQ-coded once into the
+      // written IVFADC layout, then the scaled-copy batch probes with
+      // maxCorpusVecsPerList = 3 — each touched list contributes only
+      // its 3 smallest corpus ids, and the capped representative set
+      // is pushed below the reconstruction's posexplode/groupBy as the
+      // idFilter broadcast semi-join. The oracle replays the whole
+      // chain (coarse seed → Lloyd → assign; PQ fit → codes → recon)
+      // plus the per-list ROW_NUMBER cap, so a cap- or decode-set bug
+      // diverges the pair set, not just a unit spec.
+      val e = Tables.embeddings(s, dir)
+      val stateDir = freshStateDir("graft_sempq_capped_")
+      val idx = SimilaritySearch.buildIndex(e, centroidMod = 50)
+      val cb = SimilaritySearch.pqFit(e, m = 16, seedMod = 20)
+      SimilaritySearch.writeIvfPqIndex(
+        idx, cb, SimilaritySearch.pqEncode(e, cb), stateDir)
+      val newBatch = e
+        .filter(col("vec_id") % 17 === 0)
+        .withColumn("vec_id", col("vec_id") + 100000L)
+        .withColumn(
+          "embedding",
+          expr("transform(embedding, x -> x * cast(1.001 as float))"))
+      Dedup.semanticDedupAgainstPqIndex(
+          newBatch, s, stateDir, minCosPpm = 750000L,
+          maxCorpusVecsPerList = 8)
+        .orderBy("new_id", "corpus_id")
+    }),
     "q_dedup_semantic" -> ((s, dir) =>
       // SemDeDup over the planted-near-dup corpus: k-means clusters
       // bound the candidate set (equi-join on cid, never all-pairs),
@@ -5988,6 +6017,63 @@ object ExtensionQueries {
       // index must probe exactly like the in-memory incremental, so
       // the oracle is that query's verbatim
       semanticIncrementalOracleSql,
+
+    "q_dedup_semantic_written_pq_capped" ->
+      // the capped codes-backed probe: coarse chain + assignment as
+      // the semantic oracles, PQ codebooks/codes as the q_embed_pq_*
+      // chain (fit on the full corpus, seeds % 20), corpus side capped
+      // to the 3 smallest ids per list (capBucketRows' ROW_NUMBER
+      // twin), reconstructions ONLY for the capped representatives
+      // (the r19 idFilter contract), asymmetric cosine at the
+      // compression-tuned threshold
+      s"""WITH ${ivfCoarseCtes("TRUE", "sqv_")}, sqv_adist AS (
+         |  SELECT e.vec_id AS vid, c.cid,
+         |         ${VectorExprs.l2sqDuck("e.embedding", "c.cemb")} AS d
+         |  FROM embeddings e CROSS JOIN sqv_cents c
+         |), sqv_corpus AS (
+         |  SELECT vid AS corpus_id, cid FROM (
+         |    SELECT vid, cid,
+         |           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+         |    FROM sqv_adist) t WHERE rn = 1
+         |), sqv_reps AS (
+         |  SELECT corpus_id, cid FROM (
+         |    SELECT corpus_id, cid,
+         |           ROW_NUMBER() OVER (PARTITION BY cid ORDER BY corpus_id) AS rk
+         |    FROM sqv_corpus) t WHERE rk <= 8
+         |), ${pqCodebookCtes(16, 20, "sqp_")}, sqp_recon0 AS (
+         |  SELECT k.vid AS corpus_id, flatten(list(c.c ORDER BY k.s)) AS recon
+         |  FROM sqp_codes k
+         |  JOIN sqp_cents c ON c.s = k.s AND c.cid = k.code
+         |  JOIN sqv_reps r ON r.corpus_id = k.vid
+         |  GROUP BY k.vid
+         |), sqv_recon AS (
+         |  SELECT corpus_id, recon,
+         |         sqrt(${VectorExprs.dotDuck("recon", "recon")}) AS rnorm
+         |  FROM sqp_recon0
+         |), sqv_batch AS (
+         |  SELECT vec_id + 100000 AS vid,
+         |         list_transform(embedding, x -> x * 1.001::FLOAT) AS embedding
+         |  FROM embeddings WHERE vec_id % 17 = 0
+         |), sqv_ndist AS (
+         |  SELECT n.vid, n.embedding, c.cid,
+         |         ${VectorExprs.l2sqDuck("n.embedding", "c.cemb")} AS d
+         |  FROM sqv_batch n CROSS JOIN sqv_cents c
+         |), sqv_new AS (
+         |  SELECT vid AS new_id, cid, embedding,
+         |         sqrt(${VectorExprs.dotDuck("embedding", "embedding")}) AS nrm
+         |  FROM (
+         |    SELECT vid, cid, embedding,
+         |           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+         |    FROM sqv_ndist) t WHERE rn = 1
+         |)
+         |SELECT n.new_id, c.corpus_id AS corpus_id,
+         |       CAST(floor(1000000.0 * ((${VectorExprs.dotDuck("n.embedding", "c.recon")}) / (n.nrm * c.rnorm))) AS BIGINT) AS cos_ppm
+         |FROM sqv_new n
+         |JOIN sqv_reps r ON r.cid = n.cid
+         |JOIN sqv_recon c ON c.corpus_id = r.corpus_id
+         |WHERE n.nrm > 0 AND c.rnorm > 0
+         |  AND CAST(floor(1000000.0 * ((${VectorExprs.dotDuck("n.embedding", "c.recon")}) / (n.nrm * c.rnorm))) AS BIGINT) >= 750000
+         |ORDER BY new_id, corpus_id""".stripMargin,
 
     "q_dedup_semantic" ->
       // SemDeDup twin: the ivf coarse chain clusters the SAME planted
