@@ -224,62 +224,42 @@ object StreamRunner {
         s"graft_stream_slices_${digest}_$jvmNonce")
       Files.createDirectories(stage)
       import scala.jdk.CollectionConverters._
-      // ONE scan stages every slice (r20, guide §1.2/§6): the old
+      // ONE scan stages every slice (r20, guide §1.2): the old
       // per-slice `filter(pmod = i).coalesce(1)` loop re-evaluated the
-      // whole upstream plan `slices` times — one full corpus scan and
-      // one write command per slice. A single partitionBy("_slice")
-      // write evaluates the plan once; hash-partitioning on the slice
-      // id puts each slice in exactly one task, so each partition
-      // directory holds exactly ONE parquet file (the per-slice replay
-      // unit the file source needs). sortWithinPartitions leads with
-      // _slice so the writer's partition-sort requirement is already
-      // satisfied (no re-sort) and intra-file order is deterministic
-      // by key. NULL keys match no pmod filter in the old form and are
-      // dropped here explicitly — same staged rows.
-      val tmp = Files.createTempDirectory("graft_slice_")
-      df.withColumn("_slice", org.apache.spark.sql.functions.pmod(
-          org.apache.spark.sql.functions.col(keyCol),
-          org.apache.spark.sql.functions.lit(slices)))
-        .filter(org.apache.spark.sql.functions.col("_slice").isNotNull)
-        .repartition(slices, org.apache.spark.sql.functions.col("_slice"))
-        .sortWithinPartitions("_slice", keyCol)
-        .write.mode("overwrite").partitionBy("_slice").parquet(tmp.toString)
-      (0 until slices).foreach { i =>
-        val sliceDir = tmp.resolve(s"_slice=$i")
-        val part =
-          if (!Files.isDirectory(sliceDir)) None
-          else {
-            val listing = Files.list(sliceDir)
+      // whole upstream plan `slices` times — one full corpus scan per
+      // slice. Persisting the frame for the staging block keeps the
+      // loop's exact write contract (one coalesced file per slice,
+      // upstream row order, no shuffle — a partitionBy write was
+      // measured to add a staged-bytes exchange, tripping the bench's
+      // shuffle gate for zero benefit) while every slice after the
+      // first filters the CACHED scan instead of re-running the plan.
+      val staged = df.persist()
+      try {
+        (0 until slices).foreach { i =>
+          val tmp = Files.createTempDirectory("graft_slice_")
+          staged.filter(org.apache.spark.sql.functions.pmod(
+              org.apache.spark.sql.functions.col(keyCol),
+              org.apache.spark.sql.functions.lit(slices)) === i)
+            // harness-only coalesce: each slice must be exactly ONE
+            // parquet file so the file stream source replays it as one
+            // ordered unit — never a production write pattern
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val listing = Files.list(tmp)
+          val part =
             try listing.iterator().asScala
               .find(_.getFileName.toString.endsWith(".parquet"))
+              .getOrElse(sys.error(s"slice write produced no parquet in $tmp"))
             finally listing.close()
-          }
-        val dest = stage.resolve(f"slice_$i%03d.parquet")
-        Files.deleteIfExists(dest)
-        part match {
-          case Some(p) => Files.copy(p, dest)
-          case None =>
-            // an EMPTY slice writes no partition directory — stage an
-            // empty parquet file so batch indices still line up with
-            // slice order (the old per-slice write always produced a
-            // file, rows or not)
-            val empty = Files.createTempDirectory("graft_slice_empty_")
-            df.limit(0).coalesce(1).write.mode("overwrite").parquet(empty.toString)
-            val l2 = Files.list(empty)
-            val ep =
-              try l2.iterator().asScala
-                .find(_.getFileName.toString.endsWith(".parquet"))
-                .getOrElse(sys.error(s"empty slice write produced no parquet in $empty"))
-              finally l2.close()
-            Files.copy(ep, dest)
-            graft.TmpfsScratch.deleteRecursively(empty)
+          val dest = stage.resolve(f"slice_$i%03d.parquet")
+          Files.deleteIfExists(dest)
+          Files.copy(part, dest)
+          // mtime IS the file source's processing order — pin it to the
+          // slice index explicitly instead of trusting write latency
+          Files.setLastModifiedTime(
+            dest, java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+          graft.TmpfsScratch.deleteRecursively(tmp)
         }
-        // mtime IS the file source's processing order — pin it to the
-        // slice index explicitly instead of trusting write latency
-        Files.setLastModifiedTime(
-          dest, java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
-      }
-      graft.TmpfsScratch.deleteRecursively(tmp)
+      } finally staged.unpersist()
       (stage.toString, df.schema)
     })
     spark.readStream
